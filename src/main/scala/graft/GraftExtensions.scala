@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.SlugifyExpression
+
+/** SparkSessionExtensions entry point: registers the engine's native Catalyst
+  * expressions so they are callable from SQL and `expr(...)`.
+  *
+  * Install with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * or by calling [[GraftExtensions.register]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("slugify"),
+      new ExpressionInfo(classOf[SlugifyExpression].getName, "slugify"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SlugifyExpression(children.head)
+    ))
+  }
+}
+
+object GraftExtensions {
+  /** Register the same functions on an already-created session (useful when
+    * the session builder is owned by someone else, e.g. the test driver). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("slugify"),
+      new ExpressionInfo(classOf[SlugifyExpression].getName, "slugify"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SlugifyExpression(children.head)
+    )
+  }
+}

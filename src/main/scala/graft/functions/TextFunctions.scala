@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  * All pure Column expressions (codegen-friendly, no UDFs): at 100 TB these
+  * run inside the scan stage with no extra shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer; empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set (bag-of-words support for Jaccard / fingerprints). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: alphabetic runs, digit runs, and single
+    * non-alnum symbols each count as one token (a cheap, deterministic proxy
+    * for a byte-pair-encoded length used for budget accounting). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Word k-shingles (for MinHash / n-gram Jaccard): contiguous k-grams of the
+    * whitespace tokens, joined with a single space. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " "))
+    ).otherwise(array(array_join(toks, " ")))
+  }
+
+  /** Stopword-hit ratio against a fixed English list. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "is", "it", "that")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(Stopwords.map(lit): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(0.0)
+  }
+
+  /** Punctuation-character ratio of the raw text. */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    val p = n - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    when(n > 0, p.cast("double") / n).otherwise(0.0)
+  }
+
+  /** Mean token length. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
+    ).otherwise(0.0)
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * low punctuation + sane word length. Heuristic quality filter for
+    * pretraining-style corpora. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 10000), 0.4).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > 0.01, 0.2).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 0.2).otherwise(0.0)
+    val wordOk = when(avgTokenLen(text).between(2.0, 12.0), 0.2).otherwise(0.0)
+    lenOk + stopOk + punctOk + wordOk
+  }
+
+  /** Language-ID by marker-token votes (n-gram-free heuristic: counts hits of
+    * per-language function words; highest hit count wins, ties by list order;
+    * no hits -> "und"). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "zh" -> Seq("de", "shi", "zai", "le", "he"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      struct(size(filter(toks, t => t.isin(markers.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = scores.reduceLeft((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Order-insensitive document fingerprint: md5 of the sorted distinct token
+    * set (OpenRefine-style key collision fingerprint). Two documents with the
+    * same bag of words collide. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(tokenSet(text)), " "))
+
+  /** Polynomial rolling hash of the full text (mod 2^31-1, base 257) —
+    * content-defined fingerprint with cheap incremental structure. The
+    * modulus is kept below 2^31 so every intermediate (acc*257 + ch) fits a
+    * 64-bit signed integer without wrapping: the fold is then exactly
+    * reproducible in any engine with plain BIGINT arithmetic. */
+  def rollingHash(text: Column): Column = {
+    val prime = lit(2147483647L) // 2^31 - 1
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 257L + coalesce(ascii(ch).cast("long"), lit(0L)), prime))
+  }
+}

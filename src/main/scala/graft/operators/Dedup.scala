@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is a hash group-by — one shuffle on the content hash;
+  *  - near-dup never materializes the O(n^2) pair space: candidates come from
+  *    an inverted index (Jaccard), LSH band buckets (MinHash), or signature
+  *    band buckets (SimHash), so the join is bucket-local;
+  *  - the known skew lever is high-document-frequency tokens; `maxTokenDf`
+  *    drops them from candidate generation (standard stopword-df cut).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: every row keeps its dup-group id and a
+    * deterministic keeper flag (lowest id in the group wins). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grp = Window.partitionBy(md5(col(textCol)))
+    docs.select(
+      col(idCol),
+      md5(col(textCol)).as("content_hash"),
+      (col(idCol) === min(col(idCol)).over(grp)).as("is_keeper"),
+      count(lit(1)).over(grp).as("dup_count"))
+  }
+
+  /** (doc_id, token) inverted-index edge list over distinct features of the
+    * text. `tokens` picks the feature space: unigram token sets by default;
+    * pass `t => array_distinct(TextFunctions.shingles(t, k))` for word
+    * k-shingles — the right choice at scale, since shingle document
+    * frequencies stay low where a small word vocabulary would make the
+    * inverted-index self-join quadratic. */
+  def tokenIndex(docs: DataFrame, idCol: String, textCol: String,
+                 tokens: Column => Column = TextFunctions.tokenSet): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+
+  /** Token-set (n-gram=1) Jaccard near-duplicate pairs above `threshold`.
+    * Inverted-index self-join: |A∩B| = count of shared tokens, sizes joined
+    * back, J = common / (|A| + |B| - common). Returns (id_a < id_b, jaccard).
+    * `maxTokenDf`: tokens present in more than this many documents are
+    * excluded from candidate generation (skew/scale lever; <=0 disables). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, maxTokenDf: Long = 0L,
+                   tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    val tok0 = tokenIndex(docs, idCol, textCol, tokens)
+    val tok = if (maxTokenDf > 0) {
+      val df = tok0.groupBy("tok").agg(count(lit(1)).as("df"))
+      tok0.join(broadcast(df.filter(col("df") <= maxTokenDf)), "tok")
+        .select("doc_id", "tok")
+    } else tok0
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val common = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature rows: (doc_id, perm i, h) where h is the minimum of a
+    * keyed hash over the document's token set. The per-permutation hash is
+    * md5(i ":" token) compared as a string — engine-portable, uniformly
+    * distributed, and exactly reproducible (no platform-specific murmur). */
+  def minhash(docs: DataFrame, idCol: String, textCol: String, k: Int,
+              tokens: Column => Column = TextFunctions.tokenSet): DataFrame =
+    tokenIndex(docs, idCol, textCol, tokens)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("tok"))
+      .groupBy("doc_id", "i")
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("tok")))).as("h"))
+
+  /** LSH band buckets from minhash rows: band id + md5 over the band's
+    * signature slice (rows-per-band hashes joined in permutation order). */
+  def minhashBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
+    sig.groupBy(col("doc_id"), floor(col("i") / rowsPerBand).as("band"))
+      .agg(md5(concat_ws(",",
+        array_sort(collect_list(struct(col("i"), col("h"))))
+          .getField("h"))).as("band_hash"))
+
+  /** MinHash-LSH near-dup pairs: candidates collide on >=1 band bucket, then
+    * are verified with the exact token-set Jaccard. */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, rowsPerBand: Int, threshold: Double,
+                      tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    val bands = minhashBands(minhash(docs, idCol, textCol, k, tokens), rowsPerBand)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val verified = jaccardVerify(docs, idCol, textCol, cand, tokens)
+    verified.filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard restricted to a candidate-pair set (verification step). */
+  def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
+                    pairs: DataFrame,
+                    tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    pairs
+      .join(sets.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
+  }
+
+  /** 64-bit SimHash signature as a 16-char lowercase hex string.
+    *
+    * Bit source: bit j of md5(token) (j in 0..63, big-endian within each hex
+    * nibble), extracted with pure string/integer arithmetic so any engine
+    * reproduces it. Each distinct token votes +1/-1 per bit; the signature
+    * bit is 1 when the vote sum is positive.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    val tok = tokenIndex(docs, idCol, textCol, tokens)
+      .withColumn("h", md5(col("tok")))
+    // vote_j = sum over tokens of (2*bit_j - 1)
+    val votes = (0 until 64).map { j =>
+      val digit = substring(col("h"), 1 + j / 4, 1)
+      val v = instr(lit("0123456789abcdef"), digit) - 1
+      val bit = floor(v / (1 << (3 - j % 4))) % 2
+      sum(bit * 2 - 1).as(s"v$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val nibbles = (0 until 16).map { n =>
+      val value = (0 until 4).map { b =>
+        when(col(s"v${4 * n + b}") > 0, lit(1 << (3 - b))).otherwise(lit(0))
+      }.reduce(_ + _)
+      substring(lit("0123456789abcdef"), value + 1, lit(1))
+    }
+    agg.select(col("doc_id"), concat(nibbles: _*).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs agreeing on at least one of four
+    * 16-bit bands (4 hex chars), verified by full 64-bit hamming distance. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int,
+                   tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    val sig = simhash(docs, idCol, textCol, tokens)
+    val bands = sig.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), substring(col("simhash"), 1 + 4 * b, 4).as("bh"))): _*)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bh"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.simhash").as("sig_a"),
+        col("b.doc_id").as("id_b"), col("b.simhash").as("sig_b"))
+      .distinct()
+    val hamming = (0 until 16).map { n =>
+      val va = instr(lit("0123456789abcdef"), substring(col("sig_a"), n + 1, 1)) - 1
+      val vb = instr(lit("0123456789abcdef"), substring(col("sig_b"), n + 1, 1)) - 1
+      // popcount of (va XOR vb) over 4 bits, bitwise ops only
+      (0 until 4).map { b =>
+        val mask = 1 << b
+        when((floor(va / mask) % 2) =!= (floor(vb / mask) % 2), 1).otherwise(0)
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    cand.select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within sign-LSH buckets: vectors
+    * only compare within their sign-pattern bucket (see
+    * [[graft.functions.VectorFunctions.signBucket]]), so the pair join is
+    * bucket-local instead of O(n^2). */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, bucketBits: Int = 8): DataFrame = {
+    val b = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+      VectorFunctions.signBucket(col(vecCol), bucketBits).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,359 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.weather.{WeatherSources, WeatherTransform}
+
+/** Training-data-pipeline half of the operator inventory: text analysis,
+  * deduplication (exact / Jaccard / MinHash-LSH / SimHash / embedding-cosine),
+  * similarity search, multimodal plumbing — over the `documents` and
+  * `embeddings` tables — plus the weather-transform parity queries over the
+  * reference fixtures with literal-value oracles.
+  *
+  * Oracle-parity rules (see [[Q]]): all double arithmetic is written with an
+  * identical, fully-determined evaluation order on both engines (sequential
+  * folds for vector math, integer-exact ratios, decimal-exact sums), so the
+  * driver's hash compare sees bit-identical values.
+  */
+object DocQueries {
+
+  /** Word 3-shingle feature set (distinct). At scale this is the right
+    * near-dup feature space: shingle document frequencies stay low even when
+    * the word vocabulary is small, keeping the inverted-index self-join
+    * near-linear instead of quadratic. */
+  private val ShingleK = 3
+  private def shingleSet(t: Column): Column =
+    array_distinct(TextFunctions.shingles(t, ShingleK))
+
+  // ---------- shared DuckDB SQL fragments (mirror the Spark expressions) ----
+  /** tokens: lower, split on \s+, drop empties — mirrors TextFunctions.tokens. */
+  private val ToksSql =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
+
+  /** Distinct word 3-shingles of `toks` — mirrors TextFunctions.shingles(3)
+    * followed by array_distinct. */
+  private val ShinglesSql =
+    s"""list_distinct(CASE WHEN len(toks) >= $ShingleK
+       | THEN list_transform(range(1, len(toks) - ${ShingleK - 2}),
+       |   i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))
+       | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+
+  /** Sequential-fold cosine over DOUBLE[] lists (DuckDB's list_dot_product is
+    * a left-to-right fold — bit-identical to VectorFunctions.cosine). */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  /** Sign-LSH bucket over the first `bits` dims — mirrors VectorFunctions.signBucket. */
+  private def bucketSql(v: String, bits: Int): String =
+    (1 to bits).map(i => s"(CASE WHEN $v[$i] >= 0 THEN '+' ELSE '-' END)")
+      .mkString(" || ")
+
+  private val StopListSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+  private val StopRatioSql =
+    s"""(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ($StopListSql))) AS DOUBLE) / len(toks) ELSE 0.0 END)"""
+  private val PunctRatioSql =
+    """(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"""
+  private val AvgTokLenSql =
+    """(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END)"""
+
+  // ---------- SimHash SQL mirrors (generated to match Dedup.simhash) --------
+  /** Bit j of md5 hex string column `h` (big-endian within each nibble),
+    * exactly as Dedup.simhash extracts it. */
+  private def bitSql(h: String, j: Int): String = {
+    val mask = 1 << (3 - j % 4)
+    s"(CAST(floor((instr('0123456789abcdef', substr($h, ${1 + j / 4}, 1)) - 1) / $mask) AS BIGINT) % 2)"
+  }
+
+  private val SimhashVotesSql: String =
+    (0 until 64).map(j => s"sum(${bitSql("h", j)} * 2 - 1) AS v$j").mkString(", ")
+
+  private val SimhashNibblesSql: String =
+    (0 until 16).map { n =>
+      val value = (0 until 4).map { b =>
+        s"(CASE WHEN v${4 * n + b} > 0 THEN ${1 << (3 - b)} ELSE 0 END)"
+      }.mkString(" + ")
+      s"substr('0123456789abcdef', ($value) + 1, 1)"
+    }.mkString(" || ")
+
+  /** sig CTE prefix shared by both simhash queries (shingle feature space). */
+  private val SimhashSigCte: String =
+    s"""WITH t AS (SELECT doc_id, $ToksSql AS toks, text FROM documents),
+       |sh AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+       |hv AS (SELECT doc_id, md5(tok) AS h FROM sh),
+       |v AS (SELECT doc_id, $SimhashVotesSql FROM hv GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $SimhashNibblesSql AS simhash FROM v)""".stripMargin
+
+  /** 64-bit hamming distance between hex columns sig_a/sig_b, mirroring
+    * Dedup.simhashPairs' nibble-wise popcount. */
+  private val HammingSql: String =
+    (0 until 16).flatMap { n =>
+      val va = s"(instr('0123456789abcdef', substr(sig_a, ${n + 1}, 1)) - 1)"
+      val vb = s"(instr('0123456789abcdef', substr(sig_b, ${n + 1}, 1)) - 1)"
+      (0 until 4).map { b =>
+        val mask = 1 << b
+        s"(CASE WHEN (CAST(floor($va / $mask) AS BIGINT) % 2) != (CAST(floor($vb / $mask) AS BIGINT) % 2) THEN 1 ELSE 0 END)"
+      }
+    }.mkString(" + ")
+
+  /** Inverted-index Jaccard oracle over shingles, optionally restricted to an
+    * LSH candidate CTE named `cand(id_a, id_b)`. */
+  private def jaccardTailSql(threshold: Double, candJoin: String): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh GROUP BY 1),
+       |common AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       | FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       | CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common) AS jaccard
+       |FROM common c
+       | $candJoin
+       | JOIN sizes sa ON sa.doc_id = c.id_a
+       | JOIN sizes sb ON sb.doc_id = c.id_b
+       |WHERE jaccard >= $threshold
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ==================== text analysis ====================
+
+    "q_text_stats" -> Q(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("n_bpe_tokens"),
+        TextFunctions.avgTokenLen(col("text")).as("avg_token_len"),
+        TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
+        |SELECT doc_id,
+        | len(toks) AS n_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+        | $AvgTokLenSql AS avg_token_len,
+        | $PunctRatioSql AS punct_ratio,
+        | $StopRatioSql AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    "q_text_quality_lang" -> Q(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id"),
+      Some {
+        val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
+          s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$lang"
+        }.mkString(",\n  ")
+        val langNames = TextFunctions.LangMarkers.map(_._1)
+        val greatest = s"greatest(${langNames.map("h_" + _).mkString(", ")})"
+        val langCase = langNames.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+        s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+           |h AS (SELECT doc_id, text, toks, $langHits FROM t),
+           |g AS (SELECT *, $greatest AS m FROM h)
+           |SELECT doc_id,
+           | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality,
+           | CASE WHEN m = 0 THEN 'und' $langCase END AS lang_guess
+           |FROM g ORDER BY doc_id""".stripMargin
+      }),
+
+    "q_text_fingerprint" -> Q(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        TextFunctions.rollingHash(col("text")).as("rolling_hash"))
+        .orderBy("doc_id"),
+      // 2-arg list_reduce seeds with the first element; the Spark fold seeds
+      // with 0, and (0*257 + c1) % p == c1, so the two are identical.
+      Some(s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents)
+        |SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+        | CASE WHEN length(text) = 0 THEN 0
+        |  ELSE list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |    (acc, x) -> (acc * 257 + x) % 2147483647) END AS rolling_hash
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ==================== deduplication ====================
+
+    // exact dedup keyed on the low-cardinality `source` column so keeper /
+    // dup-group semantics are exercised on real groups.
+    "q_dedup_exact" -> Q(
+      (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(source) AS content_hash,
+        | doc_id = min(doc_id) OVER (PARTITION BY md5(source)) AS is_keeper,
+        | count(*) OVER (PARTITION BY md5(source)) AS dup_count
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "q_dedup_jaccard" -> Q(
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.3, tokens = shingleSet)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |${jaccardTailSql(0.3, "")}""".stripMargin)),
+
+    "q_dedup_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 32, rowsPerBand = 4, threshold = 0.3, tokens = shingleSet)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS h
+        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS i) GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, (i // 4) AS band,
+        |  md5(string_agg(h, ',' ORDER BY i)) AS band_hash
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        |${jaccardTailSql(0.3, "JOIN cand ON cand.id_a = c.id_a AND cand.id_b = c.id_b")}""".stripMargin)),
+
+    "q_dedup_simhash_sig" -> Q(
+      (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text",
+          tokens = shingleSet)
+        .orderBy("doc_id"),
+      Some(s"""$SimhashSigCte
+        |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin)),
+
+    "q_dedup_simhash_pairs" -> Q(
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 16, tokens = shingleSet)
+        .orderBy("id_a", "id_b"),
+      Some(s"""$SimhashSigCte,
+        |bands AS (SELECT doc_id, simhash, b.band,
+        |  substr(simhash, 1 + 4 * b.band, 4) AS bh
+        |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sig_a,
+        |  b2.doc_id AS id_b, b2.simhash AS sig_b
+        |  FROM bands a JOIN bands b2
+        |  ON a.band = b2.band AND a.bh = b2.bh AND a.doc_id < b2.doc_id)
+        |SELECT id_a, id_b, ($HammingSql) AS hamming
+        |FROM cand WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin)),
+
+    "q_dedup_embedding" -> Q(
+      (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.8, bucketBits = 8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  ${bucketSql("CAST(embedding AS DOUBLE[])", 8)} AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        | ${cosSql("a.v", "b2.v")} AS cosine
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |WHERE cosine >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ==================== similarity search ====================
+
+    "q_sim_topk_exact" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT query_id, e.vec_id AS nbr_id,
+        |  ${cosSql("qv", "e.v")} AS cosine
+        |  FROM e CROSS JOIN q WHERE e.vec_id != query_id)
+        |SELECT query_id, nbr_id, cosine,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    "q_sim_topk_bucketed" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+            bucketBits = 6)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  ${bucketSql("CAST(embedding AS DOUBLE[])", 6)} AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+        |scored AS (SELECT query_id, e.vec_id AS nbr_id,
+        |  ${cosSql("qv", "e.v")} AS cosine
+        |  FROM e JOIN q USING (bucket) WHERE e.vec_id != query_id)
+        |SELECT query_id, nbr_id, cosine,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+        |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // ==================== multimodal plumbing ====================
+
+    "q_multimodal_meta" -> Q(
+      (s, d) => Multimodal.metaStats(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text", "source"))
+        .orderBy("kind"),
+      Some("""SELECT 'image' AS kind, count(*) AS n,
+        | CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        | count(DISTINCT sha256(text)) AS distinct_payloads
+        |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)),
+
+    // Feature extraction runs the partition-local decode stub — the Spark
+    // plumbing under test; no SQL oracle (driver records rows-only).
+    "q_multimodal_features" -> Q(
+      (s, d) => Multimodal.fakeDecodeFeatures(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text", "source"))
+        .select(col("media_id"), col("kind"), col("meta.byte_len").as("byte_len"),
+          col("features"))
+        .orderBy("media_id")),
+
+    // ==================== weather-transform parity (fixtures) ===============
+
+    "q_weather_daily" -> Q(
+      (s, _) => WeatherTransform.daily(
+          WeatherSources.rawFromJson(s, FixtureWeatherJson),
+          WeatherSources.rawFromJson(s, FixtureAirJson))
+        .orderBy("date"),
+      Some("""SELECT CAST('2025-01-01' AS DATE) AS date,
+        |  CAST(25.0 AS DOUBLE) AS temp_min, CAST(26.5 AS DOUBLE) AS temp_max,
+        |  CAST(0.1 AS DOUBLE) AS total_rain, CAST(15.0 AS DOUBLE) AS pm25_avg,
+        |  CAST(27.5 AS DOUBLE) AS pm10_avg, 'Sedang' AS pm25_category
+        |UNION ALL
+        |SELECT CAST('2025-01-02' AS DATE),
+        |  CAST(24.0 AS DOUBLE), CAST(24.0 AS DOUBLE),
+        |  CAST(2.4 AS DOUBLE), CAST(40.0 AS DOUBLE),
+        |  CAST(60.0 AS DOUBLE), 'Tidak sehat (sensitif)'
+        |ORDER BY date""".stripMargin)),
+
+    "q_weather_hourly" -> Q(
+      (s, _) => WeatherTransform.hourly(
+          WeatherSources.rawFromJson(s, FixtureWeatherJson),
+          WeatherSources.rawFromJson(s, FixtureAirJson))
+        .withColumn("time", col("time").cast("timestamp_ntz"))
+        .orderBy("time"),
+      Some {
+        val rows = Seq(
+          ("2025-01-01 00:00:00", "25.0", "0.0", "10.0", "25.0", "2025-01-01"),
+          ("2025-01-01 01:00:00", "26.5", "0.1", "20.0", "30.0", "2025-01-01"),
+          ("2025-01-02 00:00:00", "24.0", "2.4", "40.0", "60.0", "2025-01-02"))
+        rows.map { case (t, temp, rain, pm25, pm10, dt) =>
+          s"""SELECT CAST('$t' AS TIMESTAMP) AS time, CAST($temp AS DOUBLE) AS temp,
+             | CAST($rain AS DOUBLE) AS rain, CAST(NULL AS DOUBLE) AS rh,
+             | CAST(NULL AS DOUBLE) AS wind, CAST(NULL AS DOUBLE) AS feels_like,
+             | CAST(NULL AS DOUBLE) AS wcode, CAST(NULL AS DOUBLE) AS dew_point,
+             | CAST(NULL AS DOUBLE) AS wind_dir, CAST($pm25 AS DOUBLE) AS pm25,
+             | CAST($pm10 AS DOUBLE) AS pm10, CAST('$dt' AS DATE) AS date""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY time")
+      }))
+
+  /** The reference's minimal fixtures (tests/fixtures/weather_min.json:1-7,
+    * air_min.json:1-7): 3 hours across 2 days. */
+  val FixtureWeatherJson: String =
+    """{"hourly": {"time": ["2025-01-01T00:00", "2025-01-01T01:00", "2025-01-02T00:00"],
+      | "temperature_2m": [25.0, 26.5, 24.0],
+      | "precipitation": [0.0, 0.1, 2.4]}}""".stripMargin
+
+  val FixtureAirJson: String =
+    """{"hourly": {"time": ["2025-01-01T00:00", "2025-01-01T01:00", "2025-01-02T00:00"],
+      | "pm2_5": [10.0, 20.0, 40.0],
+      | "pm10": [25.0, 30.0, 60.0]}}""".stripMargin
+}

@@ -1,0 +1,16 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One correctness-gate query: a Spark implementation plus (when the op is
+  * SQL-expressible over the shared parquet tables) a DuckDB oracle that must
+  * hash-match it exactly.
+  *
+  * Parity rules used throughout the inventory:
+  *  - every query ends in a total ORDER BY (hashing may be order-sensitive);
+  *  - double-typed aggregates are computed as exact decimal sums (see
+  *    graft.functions.ExactAgg) or fixed-order folds, never free-order
+  *    double sums, so Spark and a single-threaded oracle agree bit-for-bit;
+  *  - output column names are aliased identically on both sides.
+  */
+case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String] = None)

@@ -1,0 +1,557 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftExtensions
+import graft.core.Tables
+import graft.functions.{ExactAgg, WeatherFunctions}
+import graft.operators.{AsOfJoin, Sessionize}
+
+/** The relational half of the SURVEY §2 operator inventory, mapped onto the
+  * driver's TPC-H-ish tables with DuckDB oracles. Names carry the §2 op ids
+  * they exercise.
+  */
+object RelationalQueries {
+
+  private val sumQty = ExactAgg.sumSql("l_quantity")
+  private val sumPrice = ExactAgg.sumSql("l_extendedprice")
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- A1+A3+A4+P7+O2: the reference's daily rollup shape (min/max/sum/
+    //      mean per day) on lineitem by ship date.
+    "q_a1_daily_rollup" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("ship_date"))
+        .agg(
+          min("l_quantity").as("qty_min"),
+          max("l_quantity").as("qty_max"),
+          ExactAgg.sumD(col("l_quantity")).as("qty_sum"),
+          ExactAgg.avgD(col("l_extendedprice")).as("price_avg"),
+          count(lit(1)).as("n"))
+        .orderBy("ship_date"),
+      Some(s"""SELECT CAST(l_shipdate AS DATE) AS ship_date,
+        | min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+        | $sumQty AS qty_sum,
+        | ${ExactAgg.avgSql("l_extendedprice")} AS price_avg,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- A2: group-by mean (compare path, web.py:498-503) on events.
+    "q_a2_group_mean" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(ExactAgg.avgD(col("value")).as("value_avg"), count(lit(1)).as("n"))
+        .orderBy("day", "event_type"),
+      Some(s"""SELECT CAST(ts AS DATE) AS day, event_type,
+        | ${ExactAgg.avgSql("value")} AS value_avg, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- A5: global summary aggregates (report.py:81-106) on orders.
+    "q_a5_global_summary" -> Q(
+      (s, d) => Tables.orders(s, d).agg(
+        min(to_date(col("o_orderdate"))).as("first_order"),
+        max(to_date(col("o_orderdate"))).as("last_order"),
+        max("o_totalprice").as("max_price"),
+        min("o_totalprice").as("min_price"),
+        countDistinct("o_custkey").as("n_cust"),
+        count(lit(1)).as("n")),
+      Some("""SELECT CAST(min(o_orderdate) AS DATE) AS first_order,
+        | CAST(max(o_orderdate) AS DATE) AS last_order,
+        | max(o_totalprice) AS max_price, min(o_totalprice) AS min_price,
+        | count(DISTINCT o_custkey) AS n_cust, count(*) AS n
+        |FROM orders""".stripMargin)),
+
+    // ---- A6+O9: argmax with pandas-idxmax tie semantics (first max by key
+    //      order, report.py:93): the single highest-revenue ship day.
+    "q_a6_argmax" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("best_day"))
+        .agg(ExactAgg.sumD(col("l_extendedprice")).as("rev"))
+        .orderBy(desc("rev"), asc("best_day"))
+        .limit(1),
+      Some(s"""SELECT CAST(l_shipdate AS DATE) AS best_day, $sumPrice AS rev
+        |FROM lineitem GROUP BY 1 ORDER BY rev DESC, best_day ASC LIMIT 1""".stripMargin)),
+
+    // ---- A7: conditional count (rainy-days analog, report.py:105).
+    "q_a7_conditional_count" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("discounted"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS discounted,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- A9+W4: per-group avg/max ranked desc (app.js:874-883).
+    "q_a9_ranked_summary" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          ExactAgg.avgD(col("c_acctbal")).as("avg_bal"),
+          max("c_acctbal").as("max_bal"),
+          count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("avg_bal"), asc("n_name"))).cast("bigint"))
+        .orderBy("rnk"),
+      Some(s"""WITH g AS (
+        | SELECT n_name, ${ExactAgg.avgSql("c_acctbal")} AS avg_bal,
+        |  max(c_acctbal) AS max_bal, count(*) AS n
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+        |SELECT n_name, avg_bal, max_bal, n,
+        | row_number() OVER (ORDER BY avg_bal DESC, n_name ASC) AS rnk
+        |FROM g ORDER BY rnk""".stripMargin)),
+
+    // ---- A10: top-vs-second percent difference (app.js:973-986).
+    "q_a10_pct_diff" -> Q(
+      (s, d) => {
+        val seg = Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(ExactAgg.sumD(col("o_totalprice")).as("rev"))
+        val w = Window.orderBy(desc("rev"), asc("segment"))
+        seg
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("second_rev", lead("rev", 1).over(w))
+          .filter(col("rnk") === 1)
+          .select(
+            col("segment").as("top_segment"),
+            col("rev").as("top_rev"),
+            col("second_rev"),
+            ((col("rev") - col("second_rev")) / abs(col("second_rev")) * 100.0)
+              .as("pct_diff"))
+      },
+      Some(s"""WITH g AS (
+        | SELECT c_mktsegment AS segment, ${ExactAgg.sumSql("o_totalprice")} AS rev
+        | FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |r AS (SELECT segment, rev,
+        |  row_number() OVER (ORDER BY rev DESC, segment ASC) AS rnk,
+        |  lead(rev) OVER (ORDER BY rev DESC, segment ASC) AS second_rev FROM g)
+        |SELECT segment AS top_segment, rev AS top_rev, second_rev,
+        | (rev - second_rev) / abs(second_rev) * 100.0 AS pct_diff
+        |FROM r WHERE rnk = 1""".stripMargin)),
+
+    // ---- J1+O1: the core full-outer merge of two keyed daily series
+    //      (transform.py:77), here order-days vs ship-days.
+    "q_j1_full_outer" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"),
+            ExactAgg.sumD(col("o_totalprice")).as("order_value"))
+        val l = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(count(lit(1)).as("n_ships"),
+            ExactAgg.sumD(col("l_quantity")).as("ship_qty"))
+        o.join(l, Seq("day"), "full_outer").orderBy("day")
+      },
+      Some(s"""WITH o AS (
+        | SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+        |  ${ExactAgg.sumSql("o_totalprice")} AS order_value
+        | FROM orders GROUP BY 1),
+        |l AS (
+        | SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n_ships,
+        |  $sumQty AS ship_qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT coalesce(o.day, l.day) AS day, n_orders, order_value, n_ships, ship_qty
+        |FROM o FULL OUTER JOIN l ON o.day = l.day ORDER BY 1""".stripMargin)),
+
+    // ---- J2: left outer join keeping unmatched left rows (web.py:506);
+    //      the right side is big orders only, so misses exist.
+    "q_j2_left_join" -> Q(
+      (s, d) => {
+        val big = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 400000.0)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_big"),
+            ExactAgg.sumD(col("o_totalprice")).as("big_value"))
+        Tables.customer(s, d)
+          .join(big, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            coalesce(col("n_big"), lit(0L)).as("n_big"),
+            coalesce(col("big_value"), lit(0.0)).as("big_value"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""WITH big AS (
+        | SELECT o_custkey, count(*) AS n_big,
+        |  ${ExactAgg.sumSql("o_totalprice")} AS big_value
+        | FROM orders WHERE o_totalprice > 400000.0 GROUP BY 1)
+        |SELECT c_custkey, c_mktsegment,
+        | coalesce(n_big, 0) AS n_big, coalesce(big_value, 0.0) AS big_value
+        |FROM customer LEFT JOIN big ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- J3: nearest-to-instant as-of lookup (app.js:754-761) per user.
+    "q_j3_asof_nearest" -> Q(
+      (s, d) => AsOfJoin.nearestTo(
+          Tables.events(s, d), "user_id", "ts",
+          lit("2024-01-15 00:00:00"))
+        .select("user_id", "ts", "event_type", "value")
+        .orderBy("user_id"),
+      Some("""SELECT user_id, ts, event_type, value FROM (
+        | SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY abs(epoch(ts) - epoch(TIMESTAMP '2024-01-15 00:00:00')), ts) AS rn
+        | FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // ---- J3 generalized: backward as-of join (latest prior view per
+    //      purchase, union+window formulation — one shuffle, no range blowup).
+    "q_j3_asof_backward" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("value"))
+        AsOfJoin.backward(purchases, views, "user_id", "ts", Seq("ts", "value"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("view_ts"), col("asof_value").as("view_value"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts,
+        | v.ts AS view_ts, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        | ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin)),
+
+    // ---- J4+F15: key normalization (regex prefix strip, web.py:88-90) then
+    //      dimension equi-join.
+    "q_j4_key_normalize" -> Q(
+      (s, d) => Tables.part(s, d)
+        .withColumn("brand_code",
+          regexp_replace(col("p_brand"), "Brand#", "").cast("int"))
+        .join(Tables.nation(s, d), pmod(col("brand_code"), lit(25)) === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_parts"), ExactAgg.avgD(col("p_retailprice")).as("avg_price"))
+        .orderBy("n_name"),
+      Some(s"""SELECT n_name, count(*) AS n_parts,
+        | ${ExactAgg.avgSql("p_retailprice")} AS avg_price
+        |FROM part JOIN nation
+        | ON CAST(regexp_replace(p_brand, 'Brand#', '') AS INT) % 25 = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- P2+P4+P10+O8: pushed-down filter + projection + sort + limit.
+    "q_p2_projection_filter" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        // match the literal's type to the scanned column (parquet timestamps
+        // arrive as NTZ) so the predicate pushes down to the scan unchanged
+        val bound = lit("2000-06-01").cast(li.schema("l_shipdate").dataType)
+        li.filter(col("l_shipdate") >= bound && col("l_returnflag") === "A")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber")
+          .limit(500)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00' AND l_returnflag = 'A'
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin)),
+
+    // ---- P6: coercing cast, invalid -> null (pd.to_numeric errors="coerce").
+    "q_p6_try_cast" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+          expr("try_cast(o_orderstatus AS DOUBLE)").as("bogus"))
+        .orderBy("o_orderkey")
+        .limit(1000),
+      Some("""SELECT o_orderkey,
+        | TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        | TRY_CAST(o_orderstatus AS DOUBLE) AS bogus
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
+    // ---- F1: slugify via the native Catalyst expression (ASCII parity with
+    //      the SQL oracle; unicode accent folding covered in unit tests).
+    "q_f1_slugify" -> Q(
+      (s, d) => {
+        GraftExtensions.register(s)
+        Tables.customer(s, d)
+          .select(col("c_custkey"),
+            expr("slugify(concat(c_name, ' ', c_mktsegment))").as("slug"))
+          .orderBy("c_custkey")
+          .limit(1000)
+      },
+      Some("""SELECT c_custkey,
+        | trim(lower(regexp_replace(strip_accents(c_name || ' ' || c_mktsegment),
+        |   '[^A-Za-z0-9]+', '-', 'g')), '-') AS slug
+        |FROM customer ORDER BY c_custkey LIMIT 1000""".stripMargin)),
+
+    // ---- F2: the 6-level PM2.5 categorizer when-chain (transform.py:32-48)
+    //      applied to the events value column (spans all levels).
+    "q_f2_pm25_category" -> Q(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), col("value"),
+          WeatherFunctions.pm25Category(col("value")).as("pm25_category"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, value,
+        | CASE WHEN value IS NULL THEN 'Tidak diketahui'
+        |  WHEN value <= 12 THEN 'Baik'
+        |  WHEN value <= 35.4 THEN 'Sedang'
+        |  WHEN value <= 55.4 THEN 'Tidak sehat (sensitif)'
+        |  WHEN value <= 150.4 THEN 'Tidak sehat'
+        |  WHEN value <= 250.4 THEN 'Sangat tidak sehat'
+        |  ELSE 'Berbahaya' END AS pm25_category
+        |FROM events ORDER BY event_id""".stripMargin)),
+
+    // ---- F7: WMO weather-code decoder (app.js:169-185) over synthetic codes.
+    "q_f7_wcode_decode" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .select(pmod(col("l_partkey"), lit(100)).cast("int").as("code"))
+        .withColumn("label", WeatherFunctions.weatherCodeLabel(col("code")))
+        .groupBy("code", "label").agg(count(lit(1)).as("n"))
+        .orderBy("code"),
+      Some("""SELECT code, CASE
+        |  WHEN code = 0 THEN 'Clear' WHEN code = 1 THEN 'Mostly Clear'
+        |  WHEN code = 2 THEN 'Partly Cloudy' WHEN code = 3 THEN 'Cloudy'
+        |  WHEN code IN (45, 48) THEN 'Fog'
+        |  WHEN code BETWEEN 51 AND 57 THEN 'Drizzle'
+        |  WHEN code BETWEEN 61 AND 67 THEN 'Rain'
+        |  WHEN code BETWEEN 71 AND 77 THEN 'Snow'
+        |  WHEN code BETWEEN 80 AND 82 THEN 'Showers'
+        |  WHEN code IN (85, 86) THEN 'Snow Showers'
+        |  WHEN code IN (95, 96, 99) THEN 'Thunderstorms'
+        |  ELSE 'Unknown' END AS label, count(*) AS n
+        |FROM (SELECT CAST(l_partkey % 100 AS INT) AS code FROM lineitem)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    // ---- F8: 16-point compass label (app.js:187-194) over synthetic degrees.
+    "q_f8_compass" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .select(pmod(col("l_partkey"), lit(360)).cast("double").as("deg"))
+        .withColumn("compass", WeatherFunctions.compass16(col("deg")))
+        .groupBy("compass").agg(count(lit(1)).as("n"))
+        .orderBy("compass"),
+      Some(s"""SELECT (${compassCaseSql("deg")}) AS compass, count(*) AS n
+        |FROM (SELECT CAST(l_partkey % 360 AS DOUBLE) AS deg FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- F9+F10: date formatting and re-parsing round trip, monthly rollup.
+    "q_f9_f10_dates" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month_str"),
+          to_date(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("day"))
+        .groupBy("month_str")
+        .agg(min("day").as("first_day"), count(lit(1)).as("n"))
+        .orderBy("month_str"),
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS month_str,
+        | min(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE)) AS first_day,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- O5-O9: top-k by value with deterministic tie-break.
+    "q_o_topk" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // ---- U1: schema-aligned union-all with a missing column null-padded
+    //      (pd.concat semantics, web.py:558-561).
+    "q_u1_union_align" -> Q(
+      (s, d) => {
+        val a = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("id"), col("c_acctbal").as("bal"),
+            col("c_mktsegment").as("segment"))
+        val b = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("id"), col("s_acctbal").as("bal"))
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy(col("id").asc, col("segment").asc_nulls_first)
+      },
+      Some("""SELECT * FROM (
+        | SELECT c_custkey AS id, c_acctbal AS bal, c_mktsegment AS segment
+        | FROM customer WHERE c_mktsegment = 'BUILDING'
+        | UNION ALL
+        | SELECT s_suppkey AS id, s_acctbal AS bal, NULL AS segment FROM supplier)
+        |ORDER BY id ASC, segment ASC NULLS FIRST""".stripMargin)),
+
+    // ---- U2: distinct (dedup-preserving-order is the row_number variant).
+    "q_u2_distinct" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem ORDER BY 1, 2""".stripMargin)),
+
+    // ---- W1: trailing 7-row moving average with the pandas rolling(7) null
+    //      head (viz.py:77), over the daily quantity series. Window sums run
+    //      on exact decimals so both engines agree bitwise.
+    "q_w1_trailing_ma" -> Q(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_dec"))
+        val w = Window.orderBy("day").rowsBetween(-6, 0)
+        daily
+          .withColumn("ma7",
+            when(count("qty_dec").over(w) === 7,
+              sum("qty_dec").over(w).cast("double") / 7.0))
+          .select(col("day"), col("qty_dec").cast("double").as("qty"), col("ma7"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+        | SELECT CAST(l_shipdate AS DATE) AS day,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        | FROM lineitem GROUP BY 1)
+        |SELECT day, CAST(qty_dec AS DOUBLE) AS qty,
+        | CASE WHEN count(qty_dec) OVER w = 7
+        |  THEN CAST(sum(qty_dec) OVER w AS DOUBLE) / 7.0 END AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin)),
+
+    // ---- W2: centered 3-row moving average, shrinking edges (app.js:859-872).
+    "q_w2_centered_ma" -> Q(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-1, 1)
+        daily
+          .withColumn("ma3", sum("n").over(w).cast("double") / count("n").over(w))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        | FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n,
+        | CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w AS ma3
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY event_type, day""".stripMargin)),
+
+    // ---- W3: per-group min-max normalization with zero-range guard
+    //      (app.js:851-858).
+    "q_w3_minmax_norm" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+        val mn = min("c_acctbal").over(w)
+        val mx = max("c_acctbal").over(w)
+        val range = when(mx - mn === 0.0, 1.0).otherwise(mx - mn)
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            col("c_acctbal"),
+            ((col("c_acctbal") - mn) / range).as("norm_bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+        | (c_acctbal - min(c_acctbal) OVER w) /
+        |  (CASE WHEN max(c_acctbal) OVER w - min(c_acctbal) OVER w = 0 THEN 1.0
+        |   ELSE max(c_acctbal) OVER w - min(c_acctbal) OVER w END) AS norm_bal
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- W extension: lead/lag/ntile (beyond the reference's windows).
+    "q_w_lead_lag_ntile" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wq = Window.partitionBy("user_id").orderBy("value", "event_id")
+        Tables.events(s, d)
+          .filter(col("user_id") < 10)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+            lag("value", 1).over(w).as("prev_value"),
+            lead("value", 1).over(w).as("next_value"),
+            ntile(4).over(wq).cast("bigint").as("quartile"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""SELECT user_id, ts, event_id, value,
+        | lag(value) OVER w AS prev_value,
+        | lead(value) OVER w AS next_value,
+        | ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS quartile
+        |FROM events WHERE user_id < 10
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // ---- T/streaming analog: tumbling 1-hour event-time windows (the batch
+    //      twin of streaming.StreamingOps.dailyRollup).
+    "q_t_tumbling_hourly" -> Q(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"), ExactAgg.sumD(col("value")).as("value_sum"))
+        .select(col("win.start").as("hour_start"), col("event_type"),
+          col("n"), col("value_sum"))
+        .orderBy("hour_start", "event_type"),
+      Some(s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        | count(*) AS n, ${ExactAgg.sumSql("value")} AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Sessionization (gap 30 min) — batch twin of the streaming
+    //      mapGroupsWithState operator.
+    "q_t_sessionize" -> Q(
+      (s, d) => Sessionize.sessions(Tables.events(s, d), "user_id", "ts", 30)
+        .orderBy("user_id", "session_id"),
+      Some("""WITH e AS (
+        | SELECT user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        | FROM events),
+        |st AS (SELECT user_id, ts,
+        |  CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |   THEN 1 ELSE 0 END AS is_start FROM e),
+        |x AS (SELECT user_id, ts,
+        |  CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM st)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        | max(ts) AS session_end, count(*) AS n_events
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- S6 analog: tolerant semi-structured extraction (JSON props).
+    "q_s6_json_extract" -> Q(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+        | CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max
+        |FROM (SELECT event_type,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Aggregation extension: ROLLUP grouping sets (absent from the
+    //      reference; first-class in the engine).
+    "q_a_rollup" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(ExactAgg.sumD(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("qty"), col("n"))
+        .orderBy("returnflag", "linestatus"),
+      Some(s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | $sumQty AS qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Distinct-count extension.
+    "q_a_count_distinct" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct("o_custkey").as("n_cust"), count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
+
+  /** F8 compass as a DuckDB CASE over the same arithmetic Spark runs:
+    * idx = CAST(round(deg / 22.5) AS INT) % 16 (deg already in [0,360)). */
+  private def compassCaseSql(degCol: String): String = {
+    val cases = WeatherFunctions.CompassPoints.zipWithIndex.map { case (p, i) =>
+      s"WHEN $i THEN '$p'"
+    }.mkString(" ")
+    s"CASE CAST(round($degCol / 22.5) AS INT) % 16 $cases END"
+  }
+}

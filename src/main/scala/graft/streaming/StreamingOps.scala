@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming formulations of the engine's incremental semantics
+  * (SURVEY §2.9): the reference's raw zone is append-only (snapshot dual-
+  * write, fetch.py:101-105), which is exactly a streaming file source; the
+  * daily rollup becomes a watermarked tumbling-window aggregation, and
+  * sessionization becomes typed state on a KeyValueGroupedDataset.
+  */
+object StreamingOps {
+
+  /** Raw-zone hourly schema for the streaming reader (matches the pivoted
+    * hourly table; streaming JSON sources must declare their schema). */
+  val HourlySchema: StructType = StructType(Seq(
+    StructField("city", StringType),
+    StructField("time", TimestampType),
+    StructField("temp", DoubleType),
+    StructField("rain", DoubleType),
+    StructField("pm25", DoubleType),
+    StructField("pm10", DoubleType)))
+
+  /** T2 — tail the append-only raw zone as a stream of hourly rows. */
+  def readHourlyStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(HourlySchema).json(dir)
+
+  /** A1 as a stream: per-(city, day) rollup with a watermark for late hours.
+    * Watermark bounds state: days older than the horizon are finalized and
+    * evicted, so state size is O(cities x horizon) regardless of input. */
+  def dailyRollup(hourly: DataFrame, watermark: String = "2 days"): DataFrame =
+    hourly
+      .withWatermark("time", watermark)
+      .groupBy(col("city"), window(col("time"), "1 day").as("day"))
+      .agg(
+        min("temp").as("temp_min"),
+        max("temp").as("temp_max"),
+        sum("rain").as("total_rain"),
+        avg("pm25").as("pm25_avg"),
+        avg("pm10").as("pm10_avg"))
+      .select(col("city"), col("day.start").cast("date").as("date"),
+        col("temp_min"), col("temp_max"), col("total_rain"),
+        col("pm25_avg"), col("pm10_avg"))
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long, value_sum: Double)
+
+  /** Gap-based streaming sessionization with processing-time timeout:
+    * a session closes when no event arrives for `gapMs`. Custom state via
+    * mapGroupsWithState — the streaming twin of operators.Sessionize. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Sink helper: append the streaming rollup to a partitioned parquet zone. */
+  def writeDaily(rollup: DataFrame, outDir: String, checkpoint: String) =
+    rollup.writeStream
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("city")
+}
