@@ -84,12 +84,18 @@ object TextFunctions {
 
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val scores = LangMarkers.map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isin(markers.map(lit): _*))).as("hits"),
-        lit(lang).as("lang"))
-    }
-    val best = scores.reduceLeft((a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+    // hits per language as one array; winner = first index achieving the
+    // max (array_position returns the first occurrence), which is exactly
+    // "replace only on strictly greater" fold semantics. A when-chain
+    // reduceLeft over structs would duplicate the accumulated tree at every
+    // step — exponential expression size in the number of languages.
+    val hits = array(LangMarkers.map { case (_, markers) =>
+      size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }: _*)
+    val langs = array(LangMarkers.map { case (lang, _) => lit(lang) }: _*)
+    val mx = array_max(hits)
+    when(mx > 0, element_at(langs, array_position(hits, mx).cast("int")))
+      .otherwise("und")
   }
 
   /** Order-insensitive document fingerprint: md5 of the sorted distinct token

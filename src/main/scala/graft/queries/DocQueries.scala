@@ -240,7 +240,7 @@ object DocQueries {
 
     "q_dedup_embedding" -> Q(
       (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.8, bucketBits = 8)
+          "embedding", threshold = 0.35, bucketBits = 8)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |  ${bucketSql("CAST(embedding AS DOUBLE[])", 8)} AS bucket
@@ -248,7 +248,7 @@ object DocQueries {
         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
         | ${cosSql("a.v", "b2.v")} AS cosine
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-        |WHERE cosine >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
+        |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
 
     // ==================== similarity search ====================
 

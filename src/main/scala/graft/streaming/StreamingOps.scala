@@ -51,15 +51,21 @@ object StreamingOps {
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long, value_sum: Double)
 
-  /** Gap-based streaming sessionization with processing-time timeout:
-    * a session closes when no event arrives for `gapMs`. Custom state via
-    * mapGroupsWithState — the streaming twin of operators.Sessionize. */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+  /** Gap-based streaming sessionization: a session closes when a later event
+    * arrives past the gap, or (with ProcessingTimeTimeout, the production
+    * default) when no event arrives for `gapMs` at all. Custom state via
+    * flatMapGroupsWithState — the streaming twin of operators.Sessionize.
+    * Tests pass NoTimeout: a processing-time timeout makes the micro-batch
+    * trigger poll continuously, which busy-loops under processAllAvailable. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+      : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeout) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -83,7 +89,7 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
             }
             closed.reverseIterator
           }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Slugify, TextFunctions, VectorFunctions, WeatherFunctions}
+
+/** Scalar-function parity: slugify cases (tests/test_utils.py:4-8), PM2.5
+  * categorizer thresholds (tests/test_report.py:4-8 + FIXTURES.md §1.6),
+  * weather-code decode, compass, recommendation rules. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("slugify reference cases") {
+    assert(Slugify.slugify("Bandung") == "bandung")
+    assert(Slugify.slugify("Kota Yogyakarta") == "kota-yogyakarta")
+    assert(Slugify.slugify("Cirebon/Harjamukti") == "cirebon-harjamukti")
+    assert(Slugify.slugify("São Paulo") == "sao-paulo")
+    assert(Slugify.slugify("") == "city")
+    assert(Slugify.slugify(null) == "city")
+  }
+
+  test("slugify as registered SQL function (native expression)") {
+    GraftExtensions.register(spark)
+    val out = spark.sql("SELECT slugify('São  Paulo!!') AS s").as[String].head()
+    assert(out == "sao-paulo")
+  }
+
+  test("pm25 categorizer boundary table") {
+    val cases = Seq[(Option[Double], String)](
+      (None, "Tidak diketahui"),
+      (Some(12.0), "Baik"), (Some(12.01), "Sedang"), (Some(35.4), "Sedang"),
+      (Some(35.41), "Tidak sehat (sensitif)"), (Some(55.4), "Tidak sehat (sensitif)"),
+      (Some(55.41), "Tidak sehat"), (Some(150.4), "Tidak sehat"),
+      (Some(150.41), "Sangat tidak sehat"), (Some(250.4), "Sangat tidak sehat"),
+      (Some(250.41), "Berbahaya"))
+    val got = cases.map(_._1).toDF("v")
+      .select(WeatherFunctions.pm25Category(col("v"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("weather code decode + compass") {
+    val got = Seq(0, 2, 45, 55, 63, 75, 81, 85, 95, 42).toDF("c")
+      .select(WeatherFunctions.weatherCodeLabel(col("c"))).as[String].collect()
+    assert(got.toSeq == Seq("Clear", "Partly Cloudy", "Fog", "Drizzle", "Rain",
+      "Snow", "Showers", "Snow Showers", "Thunderstorms", "Unknown"))
+    // 0->N, 90->E, 180->S, 270->W, 360->N, -90 -> W (mod wrap), 11.24 -> N
+    val comp = Seq(0.0, 90.0, 180.0, 270.0, 360.0, -90.0, 11.24, 11.3)
+      .toDF("d").select(WeatherFunctions.compass16(col("d"))).as[String].collect()
+    assert(comp.toSeq == Seq("N", "E", "S", "W", "N", "W", "N", "NNE"))
+  }
+
+  test("recommendation rules fire in order (report.py:28-49)") {
+    val msg = Seq(1).toDF("x").select(WeatherFunctions.recommendation(
+      lit(35.0), lit(60.0), lit(4L))).as[String].head()
+    assert(msg.contains("masker")) // pm25 > 55.4
+    assert(msg.contains("panas"))  // temp > 33
+    assert(msg.contains("hujan"))  // rainy >= 3
+    val calm = Seq(1).toDF("x").select(WeatherFunctions.recommendation(
+      lit(25.0), lit(10.0), lit(0L))).as[String].head()
+    assert(calm.contains("relatif aman"))
+  }
+
+  test("text functions: tokens, shingles, fingerprint, quality, langId") {
+    val df = Seq("The quick brown fox", "fox brown quick the", "ab").toDF("text")
+    val toks = df.select(TextFunctions.tokenCount(col("text")).as("n")).as[Int].collect()
+    assert(toks.toSeq == Seq(4, 4, 1))
+    // shingles: n < k collapses to a single whole-string shingle
+    val sh = df.select(TextFunctions.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(sh(0) == Seq("the quick brown", "quick brown fox"))
+    assert(sh(2) == Seq("ab"))
+    // order-insensitive fingerprint: permutations collide
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+    val lang = Seq("the cat and the dog is big", "el que y la de", "xyz")
+      .toDF("text").select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(lang.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("rolling hash matches a reference fold") {
+    val p = 2147483647L
+    def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 257 + c.toLong) % p)
+    val texts = Seq("hello world", "a", "")
+    val got = texts.toDF("text")
+      .select(TextFunctions.rollingHash(col("text"))).as[Long].collect()
+    assert(got.toSeq == texts.map(ref))
+  }
+
+  test("vector cosine and sign bucket") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(-1.0f, -1.0f))).toDF("a", "b")
+    val cos = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(cos(0) - 1.0) < 1e-12)
+    assert(math.abs(cos(1)) < 1e-12)
+    assert(math.abs(cos(2) + 1.0) < 1e-12)
+    // sign of 0.0 is '+': (1,0)->"++", (0,1)->"++", (-1,-1)->"--"
+    val b = df.select(VectorFunctions.signBucket(col("b"), 2)).as[String].collect()
+    assert(b.toSeq == Seq("++", "++", "--"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, Sessionize, Windows}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of join: latest prior right row, inclusive at equality") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3")).toDF("k", "t", "id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2.0), // equal ts -> matched (>=)
+      (2L, ts("2024-01-01 09:30:00"), 3.0)) // after left -> no match
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.backward(left, right, "k", "t", Seq("t", "v"))
+      .orderBy("id").collect()
+    assert(out.map(r => Option(r.getAs[Any]("asof_v"))).toSeq ==
+      Seq(Some(1.0), Some(2.0), None))
+  }
+
+  test("nearest-to as-of lookup picks min |t - at|, earliest on tie") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"),
+      (1L, ts("2024-01-03 00:00:00"), "b"), // tie with "a" around Jan 2 -> earliest wins
+      (2L, ts("2024-01-05 00:00:00"), "c")).toDF("k", "t", "id")
+    val out = AsOfJoin.nearestTo(df, "k", "t", lit("2024-01-02 00:00:00"))
+      .orderBy("k").select("id").as[String].collect()
+    assert(out.toSeq == Seq("a", "c"))
+  }
+
+  test("sessionize splits on gap and rolls up sessions") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 01:00:00")), // 50 min gap > 30 -> new session
+      (2L, ts("2024-01-01 00:00:00"))).toDF("user_id", "t")
+    val out = Sessionize.sessions(ev, "user_id", "t", gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_events"))).toSeq ==
+      Seq((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("trailing moving average has the pandas rolling(n) null head") {
+    val df = (1 to 5).map(i => (i, i.toDouble)).toDF("ord", "v")
+    val out = Windows.trailingAvg(df, "ord", "v", n = 3, outCol = "ma")
+      .orderBy("ord").select("ma").collect()
+    assert(out(0).isNullAt(0) && out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 2.0 && out(4).getDouble(0) == 4.0)
+  }
+
+  test("centered 3-row average shrinks at the edges (app.js:859-872)") {
+    val df = Seq((1, 1.0), (2, 2.0), (3, 6.0)).toDF("ord", "v")
+    val out = Windows.centeredAvg3(df, "ord", "v", "ma")
+      .orderBy("ord").select("ma").as[Double].collect()
+    assert(out.toSeq == Seq(1.5, 3.0, 4.0))
+  }
+
+  test("exact dedup: keeper is lowest id per content group") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("id", "text")
+    val out = Dedup.exact(docs, "id", "text").orderBy("id").collect()
+    assert(out.map(_.getAs[Boolean]("is_keeper")).toSeq == Seq(true, true, false))
+    assert(out.map(_.getAs[Long]("dup_count")).toSeq == Seq(2L, 1L, 2L))
+  }
+
+  test("jaccard and minhash-LSH find a near-duplicate pair") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words about spark engines and scale"))
+      .toDF("id", "text")
+    val j = Dedup.jaccardPairs(docs, "id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    assert(j.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(j(0).getAs[Double]("jaccard") > 0.7)
+    val m = Dedup.minhashLshPairs(docs, "id", "text", k = 16, rowsPerBand = 2,
+      threshold = 0.5).collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash: identical docs get identical signatures, hamming 0") {
+    val docs = Seq((1L, "spark shuffles at scale"), (2L, "spark shuffles at scale"),
+      (3L, "unrelated text entirely here")).toDF("id", "text")
+    val sig = Dedup.simhash(docs, "id", "text").orderBy("doc_id")
+      .select("simhash").as[String].collect()
+    assert(sig(0).length == 16 && sig(0) == sig(1) && sig(0) != sig(2))
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 0).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs(0).getAs[Int]("hamming") == 0)
+  }
+
+  test("embedding near-dup within sign buckets") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 2.0f, 0.5f)),
+      (2L, Seq(1.1f, 2.1f, 0.4f)),  // same bucket, cosine ~1
+      (3L, Seq(-1.0f, 2.0f, 0.5f))) // different sign bucket
+      .toDF("id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, "id", "embedding", threshold = 0.9,
+      bucketBits = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+}

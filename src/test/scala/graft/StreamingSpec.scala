@@ -1,0 +1,70 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+
+/** Structured Streaming formulations: watermark + tumbling-day rollup and
+  * stateful sessionization, driven through MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming daily rollup aggregates per city-day with watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double, Double, Double, Double)]
+    val hourly = mem.toDF().toDF("city", "time", "temp", "rain", "pm25", "pm10")
+    val rollup = StreamingOps.dailyRollup(hourly, watermark = "1 day")
+    val q = rollup.writeStream.format("memory").queryName("daily_rollup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        ("bdg", ts("2025-01-01 00:00:00"), 25.0, 0.0, 10.0, 20.0),
+        ("bdg", ts("2025-01-01 06:00:00"), 27.0, 1.5, 14.0, 22.0))
+      q.processAllAvailable()
+      // advance the watermark far past Jan 1 so its window finalizes
+      mem.addData(("bdg", ts("2025-01-05 00:00:00"), 20.0, 0.0, 5.0, 5.0))
+      q.processAllAvailable()
+      mem.addData(("bdg", ts("2025-01-09 00:00:00"), 21.0, 0.0, 6.0, 6.0))
+      q.processAllAvailable()
+      val rows = s.sql(
+        "SELECT * FROM daily_rollup WHERE date = DATE'2025-01-01'").collect()
+      assert(rows.length == 1)
+      val r = rows(0)
+      assert(r.getAs[Double]("temp_min") == 25.0)
+      assert(r.getAs[Double]("temp_max") == 27.0)
+      assert(r.getAs[Double]("total_rain") == 1.5)
+      assert(r.getAs[Double]("pm25_avg") == 12.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes a session on the event gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    val sessions = StreamingOps.sessionize(mem.toDS(), gapMs = 60 * 1000L,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        StreamingOps.Event(1L, ts("2025-01-01 00:00:00"), 1.0),
+        StreamingOps.Event(1L, ts("2025-01-01 00:00:30"), 2.0))
+      q.processAllAvailable()
+      // a later batch beyond the gap closes the first session immediately
+      mem.addData(StreamingOps.Event(1L, ts("2025-01-01 01:00:00"), 5.0))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT * FROM sessions").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Long]("n_events") == 2L)
+      assert(rows(0).getAs[Double]("value_sum") == 3.0)
+    } finally q.stop()
+  }
+}
