@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Parallelism
 import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Deduplication operators for training-data pipelines.
@@ -37,8 +38,8 @@ object Dedup {
     * inverted-index self-join quadratic. */
   def tokenIndex(docs: DataFrame, idCol: String, textCol: String,
                  tokens: Column => Column = TextFunctions.tokenSet): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("tok"))
+    Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
 
   /** Token-set (n-gram=1) Jaccard near-duplicate pairs above `threshold`.
     * Inverted-index self-join: |A∩B| = count of shared tokens, sizes joined
@@ -68,31 +69,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature rows: (doc_id, perm i, h) where h is the minimum of a
-    * keyed hash over the document's token set. The per-permutation hash is
-    * md5(i ":" token) compared as a string — engine-portable, uniformly
-    * distributed, and exactly reproducible (no platform-specific murmur). */
-  def minhash(docs: DataFrame, idCol: String, textCol: String, k: Int,
-              tokens: Column => Column = TextFunctions.tokenSet): DataFrame =
-    tokenIndex(docs, idCol, textCol, tokens)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"), col("tok"))
-      .groupBy("doc_id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("tok")))).as("h"))
+  /** 2^31-1: every universal-hash intermediate a*x+b stays far below 2^63,
+    * so the arithmetic is exact in any engine with 64-bit integers. */
+  val HashPrime = 2147483647L
 
-  /** LSH band buckets from minhash rows: band id + md5 over the band's
-    * signature slice (rows-per-band hashes joined in permutation order). */
-  def minhashBands(sig: DataFrame, rowsPerBand: Int): DataFrame =
-    sig.groupBy(col("doc_id"), floor(col("i") / rowsPerBand).as("band"))
-      .agg(md5(concat_ws(",",
-        array_sort(collect_list(struct(col("i"), col("h"))))
-          .getField("h"))).as("band_hash"))
+  /** Fixed (a, b) pairs for the per-permutation universal hashes, drawn once
+    * from a seeded PRNG (so both the Spark plan and any mirroring oracle SQL
+    * are generated from the same constants). */
+  val HashParams: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(64)(
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 28-bit token fingerprint: the first 7 hex nibbles of md5(tok) read
+    * big-endian, plus 1 (keeps x > 0 so a*x never degenerates to b). */
+  private def tokenFingerprint(tok: Column): Column =
+    conv(substring(md5(tok), 1, 7), 16, 10).cast("long") + 1L
+
+  /** MinHash signature: one row per doc with columns h0..h{k-1}, where
+    * h_i = min over tokens of ((a_i * x(tok) + b_i) mod HashPrime).
+    *
+    * Scale shape: ONE md5 per (doc, token) edge — the k permutations are
+    * cheap integer ops on the same fingerprint, not k separate hashes — and
+    * the minima are plain agg columns, so partial (map-side) aggregation
+    * collapses each partition to one row per doc before the single shuffle.
+    * No row blowup by k, no collect_list. */
+  def minhashSig(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                 tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    require(k <= HashParams.length, s"k <= ${HashParams.length}")
+    val x = tokenFingerprint(col("tok"))
+    val mins = (0 until k).map { i =>
+      val (a, b) = HashParams(i)
+      min(pmod(lit(a) * x + lit(b), lit(HashPrime))).as(s"h$i")
+    }
+    tokenIndex(docs, idCol, textCol, tokens)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band buckets from a minhashSig frame: one row per (doc, band) with
+    * band_hash = md5 over the band's signature slice. */
+  def minhashBands(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = k / rowsPerBand
+    val entries = (0 until nBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"h$i").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("band_hash"))
+    }
+    sig.select(col("doc_id"), explode(array(entries: _*)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.band_hash"))
+  }
 
   /** MinHash-LSH near-dup pairs: candidates collide on >=1 band bucket, then
     * are verified with the exact token-set Jaccard. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, rowsPerBand: Int, threshold: Double,
                       tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
-    val bands = minhashBands(minhash(docs, idCol, textCol, k, tokens), rowsPerBand)
+    val bands = minhashBands(minhashSig(docs, idCol, textCol, k, tokens), k, rowsPerBand)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -106,8 +140,8 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame,
                     tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
-    val sets = docs.select(col(idCol).as("doc_id"),
-      tokens(col(textCol)).as("toks"))
+    val sets = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
     pairs
       .join(sets.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
@@ -179,8 +213,9 @@ object Dedup {
     * bucket-local instead of O(n^2). */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, bucketBits: Int = 8): DataFrame = {
-    val b = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-      VectorFunctions.signBucket(col(vecCol), bucketBits).as("bucket"))
+    val b = Parallelism.fanOut(emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")))
+      .select(col("vec_id"), col("v"),
+        VectorFunctions.signBucket(col("v"), bucketBits).as("bucket"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Parallelism
 import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -19,7 +20,8 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. `queries` is assumed
     * small (it is broadcast); ties broken by neighbor id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"))
+    val c = Parallelism.fanOut(
+      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
@@ -33,8 +35,10 @@ object Similarity {
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    bucketBits: Int = 8): DataFrame = {
-    val c = corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"),
-      VectorFunctions.signBucket(col("embedding"), bucketBits).as("bucket"))
+    val c = Parallelism.fanOut(
+      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
+      .select(col("nbr_id"), col("nbr_v"),
+        VectorFunctions.signBucket(col("nbr_v"), bucketBits).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"),
       VectorFunctions.signBucket(col("embedding"), bucketBits).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))

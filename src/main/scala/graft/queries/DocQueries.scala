@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Parallelism, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.weather.{WeatherSources, WeatherTransform}
@@ -21,6 +21,11 @@ import graft.weather.{WeatherSources, WeatherTransform}
   * driver's hash compare sees bit-identical values.
   */
 object DocQueries {
+
+  /** documents with the compute-dense-stage parallelism guard applied (the
+    * text-stat expression trees do all their work in the scan stage). */
+  private def docsP(s: SparkSession, d: String): DataFrame =
+    Parallelism.fanOut(Tables.documents(s, d))
 
   /** Word 3-shingle feature set (distinct). At scale this is the right
     * near-dup feature space: shingle document frequencies stay low even when
@@ -60,6 +65,31 @@ object DocQueries {
     """(CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END)"""
   private val AvgTokLenSql =
     """(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END)"""
+
+  // ---------- MinHash SQL mirrors (generated to match Dedup.minhashSig) ----
+  /** 28-bit big-endian token fingerprint from md5(tok)'s first 7 nibbles,
+    * plus 1 — mirrors Dedup.tokenFingerprint (Spark's conv(hex,16,10)). */
+  private val TokenFingerprintSql: String =
+    (1 to 7).map { j =>
+      s"(instr('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) * ${math.pow(16, 7 - j).toLong}"
+    }.mkString("(", " + ", " + 1)")
+
+  /** h0..h{31}: min universal hash per permutation (constants from
+    * Dedup.HashParams — same seed on both engines by construction). */
+  private val minhashMinsSql: String =
+    (0 until 32).map { i =>
+      val (a, b) = graft.operators.Dedup.HashParams(i)
+      s"min(($a * x + $b) % ${graft.operators.Dedup.HashPrime}) AS h$i"
+    }.mkString(", ")
+
+  /** Band rows: one SELECT per band over the sig CTE (mirror of
+    * Dedup.minhashBands' md5 over the comma-joined slice). */
+  private def minhashBandsSql(k: Int, rowsPerBand: Int): String =
+    (0 until k / rowsPerBand).map { band =>
+      val slice = (band * rowsPerBand until (band + 1) * rowsPerBand)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $band AS band, md5($slice) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
 
   // ---------- SimHash SQL mirrors (generated to match Dedup.simhash) --------
   /** Bit j of md5 hex string column `h` (big-endian within each nibble),
@@ -122,7 +152,7 @@ object DocQueries {
     // ==================== text analysis ====================
 
     "q_text_stats" -> Q(
-      (s, d) => Tables.documents(s, d).select(
+      (s, d) => docsP(s, d).select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"),
         TextFunctions.bpeTokenCount(col("text")).cast("bigint").as("n_bpe_tokens"),
@@ -140,7 +170,7 @@ object DocQueries {
         |FROM t ORDER BY doc_id""".stripMargin)),
 
     "q_text_quality_lang" -> Q(
-      (s, d) => Tables.documents(s, d).select(
+      (s, d) => docsP(s, d).select(
         col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality"),
         TextFunctions.langId(col("text")).as("lang_guess"))
@@ -165,7 +195,7 @@ object DocQueries {
       }),
 
     "q_text_fingerprint" -> Q(
-      (s, d) => Tables.documents(s, d).select(
+      (s, d) => docsP(s, d).select(
         col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fingerprint"),
         TextFunctions.rollingHash(col("text")).as("rolling_hash"))
@@ -206,11 +236,9 @@ object DocQueries {
         .orderBy("id_a", "id_b"),
       Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
         |sh AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
-        |sig AS (SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || tok)) AS h
-        |  FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS i) GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, (i // 4) AS band,
-        |  md5(string_agg(h, ',' ORDER BY i)) AS band_hash
-        |  FROM sig GROUP BY 1, 2),
+        |fp AS (SELECT doc_id, $TokenFingerprintSql AS x FROM sh),
+        |sig AS (SELECT doc_id, $minhashMinsSql FROM fp GROUP BY doc_id),
+        |bands AS (${minhashBandsSql(32, 4)}),
         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
