@@ -24,34 +24,17 @@ object Profile {
       println(f"PROF $n: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
     }
     val docs = Tables.documents(spark, d)
-    println("PROF docs partitions: " + docs.rdd.getNumPartitions)
     val shingleSet =
       (t: org.apache.spark.sql.Column) => array_distinct(TextFunctions.shingles(t, 3))
-    time("tokenIndex count") {
-      println("  rows=" + Dedup.tokenIndex(docs, "doc_id", "text", shingleSet).count())
-    }
-    val sig = Dedup.minhashSig(docs, "doc_id", "text", 32, shingleSet)
-    time("minhash sig noop") { sig.write.format("noop").mode("overwrite").save() }
-    val bands = Dedup.minhashBands(sig, 32, 4)
-    time("bands noop") { bands.write.format("noop").mode("overwrite").save() }
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-    time("cand count") { println("  cand=" + cand.count()) }
-    time("full lsh noop") {
-      Dedup.minhashLshPairs(docs, "doc_id", "text", 32, 4, 0.3, shingleSet)
-        .write.format("noop").mode("overwrite").save()
-    }
-    time("text_stats noop") {
-      docs.select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).as("a"),
-        TextFunctions.bpeTokenCount(col("text")).as("b"),
-        TextFunctions.avgTokenLen(col("text")).as("c"),
-        TextFunctions.punctRatio(col("text")).as("d"),
-        TextFunctions.stopwordRatio(col("text")).as("e"))
-        .write.format("noop").mode("overwrite").save()
-    }
+    val sig = Dedup.simhash(docs, "doc_id", "text", shingleSet)
+    time("simhash sig run1") { sig.write.format("noop").mode("overwrite").save() }
+    time("simhash sig run2") { sig.write.format("noop").mode("overwrite").save() }
+    val jp = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3, tokens = shingleSet)
+    time("jaccard run1") { jp.write.format("noop").mode("overwrite").save() }
+    time("jaccard run2") { jp.write.format("noop").mode("overwrite").save() }
+    val sp = Dedup.simhashPairs(docs, "doc_id", "text", 16, shingleSet)
+    time("simhash pairs run1") { sp.write.format("noop").mode("overwrite").save() }
+    time("simhash pairs run2") { sp.write.format("noop").mode("overwrite").save() }
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.Parallelism
 import graft.functions.{TextFunctions, VectorFunctions}
@@ -46,15 +47,27 @@ object Dedup {
     * back, J = common / (|A| + |B| - common). Returns (id_a < id_b, jaccard).
     * `maxTokenDf`: tokens present in more than this many documents are
     * excluded from candidate generation (skew/scale lever; <=0 disables). */
+  /** 60-bit token fingerprint (first 15 hex nibbles of md5 read big-endian):
+    * shuffles and joins compare a long instead of an arbitrary-length token
+    * string. Collision odds at 2^60 are negligible (~1e-8 for a million
+    * distinct tokens), and any engine mirroring the same md5 prefix computes
+    * identical values. */
+  def tokenFp60(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, maxTokenDf: Long = 0L,
                    tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
-    val tok0 = tokenIndex(docs, idCol, textCol, tokens)
-    val tok = if (maxTokenDf > 0) {
-      val df = tok0.groupBy("tok").agg(count(lit(1)).as("df"))
-      tok0.join(broadcast(df.filter(col("df") <= maxTokenDf)), "tok")
+    val tok1 = tokenIndex(docs, idCol, textCol, tokens)
+      .select(col("doc_id"), tokenFp60(col("tok")).as("tok"))
+    val tok0 = if (maxTokenDf > 0) {
+      val df = tok1.groupBy("tok").agg(count(lit(1)).as("df"))
+      tok1.join(broadcast(df.filter(col("df") <= maxTokenDf)), "tok")
         .select("doc_id", "tok")
-    } else tok0
+    } else tok1
+    // the edge list is read three times (self-join both sides + sizes);
+    // persist so tokenization/hashing runs once, not three times
+    val tok = tok0.persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
     val common = tok.as("a").join(tok.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -126,7 +139,11 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, rowsPerBand: Int, threshold: Double,
                       tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    // signatures are expensive to build and the band frame is tiny (a few
+    // rows per doc); persist it so the self-join doesn't recompute the
+    // whole minhash pipeline for each side
     val bands = minhashBands(minhashSig(docs, idCol, textCol, k, tokens), k, rowsPerBand)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -142,6 +159,7 @@ object Dedup {
                     tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
     val sets = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // read twice (a-side + b-side)
     pairs
       .join(sets.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
@@ -161,17 +179,28 @@ object Dedup {
               tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
     val tok = tokenIndex(docs, idCol, textCol, tokens)
       .withColumn("h", md5(col("tok")))
-    // vote_j = sum over tokens of (2*bit_j - 1)
-    val votes = (0 until 64).map { j =>
-      val digit = substring(col("h"), 1 + j / 4, 1)
-      val v = instr(lit("0123456789abcdef"), digit) - 1
-      val bit = floor(v / (1 << (3 - j % 4))) % 2
-      sum(bit * 2 - 1).as(s"v$j")
+    // nibble values decoded ONCE per token row (16 string extracts), so the
+    // vote aggregates below are pure integer shift/mask arithmetic
+    val nibbles16 = (0 until 16).map { n =>
+      (instr(lit("0123456789abcdef"), substring(col("h"), n + 1, 1)) - 1).as(s"n$n")
     }
-    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val decoded = tok.select(col("doc_id") +: nibbles16: _*)
+    def bit(j: Int): Column =
+      shiftright(col(s"n${j / 4}"), 3 - j % 4).bitwiseAND(lit(1)).cast("long")
+    // two 32-bit set-bit counters packed per agg column (32 sums instead of
+    // 64 keeps the generated aggregate code half the size); vote_j > 0 is
+    // then 2*count_j > n_tokens
+    val packed = (0 until 32).map { m =>
+      sum(bit(2 * m) + bit(2 * m + 1) * lit(4294967296L)).as(s"p$m")
+    }
+    val agg = decoded.groupBy("doc_id")
+      .agg(count(lit(1)).as("cnt"), packed: _*)
+    def bitCount(j: Int): Column =
+      if (j % 2 == 0) col(s"p${j / 2}").bitwiseAND(lit(0xFFFFFFFFL))
+      else shiftright(col(s"p${j / 2}"), 32)
     val nibbles = (0 until 16).map { n =>
       val value = (0 until 4).map { b =>
-        when(col(s"v${4 * n + b}") > 0, lit(1 << (3 - b))).otherwise(lit(0))
+        when(bitCount(4 * n + b) * 2 > col("cnt"), lit(1 << (3 - b))).otherwise(lit(0))
       }.reduce(_ + _)
       substring(lit("0123456789abcdef"), value + 1, lit(1))
     }
@@ -188,6 +217,9 @@ object Dedup {
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), substring(col("simhash"), 1 + 4 * b, 4).as("bh"))): _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bh"))
+      // tiny (4 rows/doc); persist so the self-join doesn't rebuild the
+      // signature pipeline for each side
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -66,6 +66,13 @@ object DocQueries {
   private val AvgTokLenSql =
     """(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END)"""
 
+  /** 60-bit big-endian token fingerprint (first 15 md5 nibbles) — mirrors
+    * Dedup.tokenFp60. Largest term 15*16^14 < 2^60: exact in BIGINT. */
+  private val TokenFp60Sql: String =
+    (1 to 15).map { j =>
+      s"(instr('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) * ${1L << (4 * (15 - j))}"
+    }.mkString("(", " + ", ")")
+
   // ---------- MinHash SQL mirrors (generated to match Dedup.minhashSig) ----
   /** 28-bit big-endian token fingerprint from md5(tok)'s first 7 nibbles,
     * plus 1 — mirrors Dedup.tokenFingerprint (Spark's conv(hex,16,10)). */
@@ -227,7 +234,8 @@ object DocQueries {
           threshold = 0.3, tokens = shingleSet)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-        |sh AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |sh AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
         |${jaccardTailSql(0.3, "")}""".stripMargin)),
 
     "q_dedup_minhash_lsh" -> Q(
