@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocQueries, Q, RelationalQueries}
+import graft.queries.{DocQueries, Q, RelationalQueries, WeatherQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -10,7 +10,8 @@ import graft.queries.{DocQueries, Q, RelationalQueries}
   * DuckDB oracle whose arithmetic is written to hash-match bit-for-bit.
   */
 object SparkEntry {
-  val inventory: Seq[(String, Q)] = RelationalQueries.all ++ DocQueries.all
+  val inventory: Seq[(String, Q)] =
+    RelationalQueries.all ++ DocQueries.all ++ WeatherQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises scan → join → hash-agg → window-rank in one plan (A9+W4). */

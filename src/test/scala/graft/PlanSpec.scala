@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.Similarity
+import graft.queries.RelationalQueries
+
+/** Physical-plan assertions: the properties that decide whether a query
+  * still works at 1000x the data — pushdown reaching the parquet scan,
+  * dimension joins broadcasting, bucketed ANN avoiding a cross join — are
+  * pinned here so a refactor can't silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def run(name: String): DataFrame =
+    RelationalQueries.all.toMap.apply(name).fn(spark, sf)
+
+  test("filter + projection push down to the parquet scan (P2)") {
+    val plan = planOf(run("q_p2_projection_filter"))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("IsNotNull(l_shipdate)") || plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$plan")
+    // the scan must read only the projected + filtered columns, never the
+    // full 16-column lineitem schema
+    assert(!plan.contains("l_comment"), s"scan reads unprojected columns:\n$plan")
+  }
+
+  test("dimension join broadcasts the small side (A9)") {
+    val plan = planOf(run("q_a9_ranked_summary"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"nation-dimension join did not broadcast:\n$plan")
+  }
+
+  test("bucketed ANN joins hash-partitioned, not as a cross join") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = planOf(
+      Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 2), k = 3, bucketBits = 4))
+    assert(!plan.contains("CartesianProduct"), s"bucketed ANN degenerated to cartesian:\n$plan")
+  }
+
+  test("daily rollup aggregates partially before the shuffle (A1)") {
+    val plan = planOf(run("q_a1_daily_rollup"))
+    // partial+final hash aggregation: two HashAggregate nodes around the
+    // exchange mean map-side combine happens before any data moves
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial aggregation:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan->project pipeline (F2)") {
+    val df = run("q_f2_pm25_category")
+    df.collect() // AQE only materializes codegen spans in the executed final plan
+    val plan = planOf(df)
+    // `*(n)` node prefixes mark WholeStageCodegen stages in the plan string
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+  }
+}

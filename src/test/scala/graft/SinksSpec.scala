@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.weather.WeatherSources
+
+/** Round-trips for the source/sink surface (SURVEY §2.1: S7-S10). */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("S8: raw snapshot + latest dual-write, latest tracks newest snapshot") {
+    val dir = tmpDir("raw").toString
+    WeatherSources.writeRawSnapshot(dir, "bandung", "weather", """{"v":1}""", "20250101T000000")
+    val (snap2, latest) =
+      WeatherSources.writeRawSnapshot(dir, "bandung", "weather", """{"v":2}""", "20250102T000000")
+    assert(Files.readString(java.nio.file.Paths.get(latest)) == """{"v":2}""")
+    assert(snap2.contains("bandung_weather_20250102T000000.json"))
+    // both snapshots retained (append-only history)
+    assert(new java.io.File(dir).list().count(_.startsWith("bandung_weather_2")) == 2)
+  }
+
+  test("S7: missing raw file falls back to the fail-soft empty shape") {
+    val df = WeatherSources.readRaw(spark, "/nonexistent/never.json")
+    assert(df.select(size(col("hourly.time"))).as[Int].head() == 0)
+  }
+
+  test("S9+S10: parquet and CSV sinks round-trip the daily frame") {
+    val daily = Seq(
+      ("2025-01-01", 25.0, 26.5, 0.1),
+      ("2025-01-02", 24.0, 24.0, 2.4))
+      .toDF("date", "temp_min", "temp_max", "total_rain")
+      .withColumn("date", to_date(col("date")))
+    val dir = tmpDir("proc").toString
+    WeatherSources.writeProcessed(daily, dir, "daily")
+    val back = spark.read.parquet(s"$dir/daily.parquet")
+    assert(back.count() == 2 && back.columns.toSeq == daily.columns.toSeq)
+
+    val csvPath = s"$dir/daily_csv"
+    WeatherSources.writeCsvCompat(daily, csvPath)
+    val csv = WeatherSources.readCsv(spark, csvPath, Seq("date"))
+    assert(csv.count() == 2)
+    assert(csv.schema("date").dataType.typeName == "timestamp")
+    assert(csv.select(sum("total_rain")).as[Double].head() == 2.5)
+  }
+
+  test("S9: city-partitioned processed zone prunes to one directory per city") {
+    val daily = Seq(("a", 1.0), ("b", 2.0)).toDF("city", "v")
+    val dir = tmpDir("part").toString
+    WeatherSources.writeProcessed(daily, dir, "daily", partitionByCity = true)
+    assert(new java.io.File(s"$dir/daily.parquet").list().exists(_.startsWith("city=a")))
+    val pruned = spark.read.parquet(s"$dir/daily.parquet").filter(col("city") === "a")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 1)
+    // partition filter applied at the source, not post-scan
+    assert(scan.contains("PartitionFilters: [") && scan.contains("city"))
+  }
+}
