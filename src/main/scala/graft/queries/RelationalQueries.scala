@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.GraftExtensions
 import graft.core.Tables
 import graft.functions.{ExactAgg, WeatherFunctions}
-import graft.operators.{AsOfJoin, Sessionize}
+import graft.operators.{AsOfJoin, SaltedJoin, Sessionize}
 
 /** The relational half of the SURVEY §2 operator inventory, mapped onto the
   * driver's TPC-H-ish tables with DuckDB oracles. Names carry the §2 op ids
@@ -544,7 +544,66 @@ object RelationalQueries {
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
         | count(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)))
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Skew lever: salted equi-join — row-identical to the plain join
+    //      (the oracle IS the plain join), but the hot key's rows spread over
+    //      `factor` reducers instead of one.
+    "q_j_salted_skew" -> Q(
+      (s, d) => SaltedJoin.inner(
+          Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity"),
+          Tables.part(s, d).select("p_partkey", "p_brand")
+            .withColumnRenamed("p_partkey", "l_partkey"),
+          Seq("l_partkey"), factor = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), ExactAgg.sumD(col("l_quantity")).as("qty"))
+        .orderBy("p_brand"),
+      Some(s"""SELECT p_brand, count(*) AS n, $sumQty AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Grouping-sets extension: CUBE over two dims.
+    "q_a_cube" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Exact interpolated percentiles (Spark `percentile` and DuckDB
+    //      `quantile_cont` share the linear-interpolation definition; the
+    //      inputs are small integers so the arithmetic is bit-identical).
+    "q_a_percentile" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS p25,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.75) AS p75,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- HLL sketch count (approximate by design: engines' sketches differ,
+    //      so no value oracle — the driver records the weaker rows check).
+    "q_a_approx_distinct" -> Q(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(approx_count_distinct("o_custkey").as("approx_cust"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")))
 
   /** F8 compass as a DuckDB CASE over the same arithmetic Spark runs:
     * idx = CAST(round(deg / 22.5) AS INT) % 16 (deg already in [0,360)). */

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Config
+import graft.operators.SaltedJoin
+import graft.weather.WeatherCli
+
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cfg() = {
+    val dir = Files.createTempDirectory("graft-cli")
+    dir.toFile.deleteOnExit()
+    Config(city = "Bandung", dataDir = dir.toString)
+  }
+
+  test("fetch -> transform -> report runs end-to-end on embedded fixtures") {
+    val c = cfg()
+    val (wLatest, aLatest) = WeatherCli.fetch(c)
+    assert(Files.exists(java.nio.file.Paths.get(wLatest)))
+    assert(Files.exists(java.nio.file.Paths.get(aLatest)))
+
+    val daily = WeatherCli.transform(spark, c).orderBy("date").collect()
+    assert(daily.length == 2)
+    assert(daily(0).getAs[Double]("temp_max") == 26.5)
+    assert(daily(1).getAs[String]("pm25_category") == "Tidak sehat (sensitif)")
+    assert(daily(1).getAs[Boolean]("is_unhealthy_pm25"))
+
+    val report = WeatherCli.report(spark, c)
+    assert(report.isDefined)
+    val html = Files.readString(java.nio.file.Paths.get(report.get))
+    assert(html.contains("Bandung") && html.contains("Rekomendasi"))
+  }
+
+  test("serveDaily is cache-or-compute: computes once, then serves the cache") {
+    val c = cfg()
+    val first = WeatherCli.serveDaily(spark, c) // no processed zone -> computes
+    assert(first.count() == 2)
+    val parquet = java.nio.file.Paths.get(s"${c.processedDir}/bandung_daily.parquet")
+    val mtime = Files.getLastModifiedTime(parquet)
+    val second = WeatherCli.serveDaily(spark, c) // cache hit -> no rewrite
+    assert(second.count() == 2)
+    assert(Files.getLastModifiedTime(parquet) == mtime)
+    WeatherCli.serveDaily(spark, c, refresh = true) // forced recompute
+    assert(Files.getLastModifiedTime(parquet) != mtime)
+  }
+
+  test("recordsJson emits the {city, count, data} payload (S12)") {
+    val df = Seq(("2025-01-01", 26.5)).toDF("date", "temp_max")
+    val json = WeatherCli.recordsJson(df, "Bandung")
+    assert(json.startsWith("""{"city": "Bandung", "count": 1,"""))
+    assert(json.contains(""""temp_max":26.5"""))
+  }
+
+  test("salted join returns exactly the plain join, spread over salts") {
+    val big = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "v")
+    val small = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "w")
+    val salted = SaltedJoin.inner(big, small, Seq("k"), factor = 4)
+      .orderBy("k", "v").collect()
+    val plain = big.join(small, Seq("k")).orderBy("k", "v").collect()
+    assert(salted.toSeq == plain.toSeq)
+    assert(!salted.head.schema.fieldNames.contains("__salt"))
+  }
+}
