@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Scaling experiment (not part of the contract surface): replicate the
+  * sf0.1 tables 10x (ids offset per shard) into /tmp/scale10, then time the
+  * heavy operators at 1x and 10x. Near-linear ratios (~10x input -> <=10x
+  * time on fixed cores) are the empirical check that the plans scale by
+  * partitioning, not by luck. Results recorded in SCALE.md.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/scale10"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String, idCols: Seq[String], shards: Int): Unit = {
+      val src = spark.read.parquet(s"$base/$name.parquet")
+      val shard = explode(array((0 until shards).map(lit): _*)).as("__shard")
+      val wide = src.select(col("*"), shard)
+      val offset = idCols.foldLeft(wide) { (df, c) =>
+        df.withColumn(c, col(c) + col("__shard").cast("long") * 100000000L)
+      }
+      offset.drop("__shard")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    replicate("documents", Seq("doc_id"), 10)
+    replicate("lineitem", Seq("l_orderkey"), 10)
+    replicate("orders", Seq("o_orderkey"), 10)
+    replicate("embeddings", Seq("vec_id"), 10)
+    println("SCALE replicated 10x into " + out)
+
+    val shingleSet =
+      (t: org.apache.spark.sql.Column) => array_distinct(TextFunctions.shingles(t, 3))
+
+    def time(name: String, dir: String)(f: String => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f(dir).write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE $name @ $dir: $s%.2f s")
+      s
+    }
+
+    val cases: Seq[(String, String => DataFrame)] = Seq(
+      "daily_rollup" -> (d => Tables.lineitem(spark, d)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(min("l_quantity"), max("l_quantity"), count(lit(1)))),
+      "full_outer_join" -> { d =>
+        val o = Tables.orders(spark, d).groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        val l = Tables.lineitem(spark, d).groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(count(lit(1)).as("n_ships"))
+        o.join(l, Seq("day"), "full_outer")
+      },
+      "text_stats" -> (d => Tables.documents(spark, d).select(
+        TextFunctions.tokenCount(col("text")),
+        TextFunctions.punctRatio(col("text")),
+        TextFunctions.stopwordRatio(col("text")))),
+      "exact_dedup" -> (d => Dedup.exact(Tables.documents(spark, d), "doc_id", "text")),
+      "minhash_sig" -> (d =>
+        Dedup.minhashSig(Tables.documents(spark, d), "doc_id", "text", 32, shingleSet)),
+      "simhash_sig" -> (d =>
+        Dedup.simhash(Tables.documents(spark, d), "doc_id", "text", shingleSet)))
+
+    // warm codegen/JIT once at 1x so both measured runs are hot
+    cases.foreach { case (_, f) => f(base).write.format("noop").mode("overwrite").save() }
+    val results = cases.map { case (name, f) =>
+      val t1 = time(name, base)(f)
+      val t10 = time(name, out)(f)
+      (name, t1, t10)
+    }
+    println("SCALE == summary (10x data on fixed 32 cores) ==")
+    results.foreach { case (n, t1, t10) =>
+      println(f"SCALE | $n%-16s | $t1%6.2f s | $t10%6.2f s | ${t10 / t1}%5.1fx |")
+    }
+    spark.stop()
+  }
+}
