@@ -7,6 +7,13 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced through the `noop` sink — unlike `count()`, which
   * lets Catalyst prune every column a query computes, noop materializes the
   * full result rows, so the timing covers the real work.
+  *
+  * Every query runs twice and reports the second (hot) time: the first run
+  * pays one-off JVM/codegen/classload costs that are noise at bench scale
+  * and irrelevant at production scale. The DataFrame cache is cleared
+  * between the runs so persisted intermediates (LSH band frames etc.) are
+  * rebuilt — the hot run re-executes all real work, it only skips the
+  * compile-time fixed costs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,16 +28,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen paths once so per-query numbers measure the
-    // queries, not first-call classloading
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.inventory.map { case (name, q) =>
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.inventory.map { case (name, q) =>
+      once(name, q.fn)          // warm: codegen + JIT + classloading
+      spark.catalog.clearCache() // drop persisted intermediates -> hot run redoes all real work
+      name -> once(name, q.fn)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -96,6 +96,20 @@ object StreamingOps {
       }
   }
 
+  /** T4 — streaming current-conditions view: the latest hourly row per city,
+    * continuously maintained (the streaming twin of AsOfJoin.nearestTo's
+    * "conditions closest to now"). max_by keeps exactly one row of state per
+    * city; Complete output re-emits the small per-city table each batch. */
+  def currentConditions(hourly: DataFrame): DataFrame =
+    hourly
+      .groupBy(col("city"))
+      .agg(max_by(
+        struct(col("time"), col("temp"), col("rain"), col("pm25"), col("pm10")),
+        col("time")).as("latest"))
+      .select(col("city"), col("latest.time").as("time"),
+        col("latest.temp").as("temp"), col("latest.rain").as("rain"),
+        col("latest.pm25").as("pm25"), col("latest.pm10").as("pm10"))
+
   /** Sink helper: append the streaming rollup to a partitioned parquet zone. */
   def writeDaily(rollup: DataFrame, outDir: String, checkpoint: String) =
     rollup.writeStream

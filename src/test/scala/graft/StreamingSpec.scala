@@ -44,6 +44,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming current-conditions keeps the latest row per city (T4)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Timestamp, Double, Double, Double, Double)]
+    val hourly = mem.toDF().toDF("city", "time", "temp", "rain", "pm25", "pm10")
+    val q = StreamingOps.currentConditions(hourly)
+      .writeStream.format("memory").queryName("current")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        ("bdg", ts("2025-01-01 00:00:00"), 25.0, 0.0, 10.0, 20.0),
+        ("jkt", ts("2025-01-01 01:00:00"), 30.0, 0.0, 50.0, 70.0))
+      q.processAllAvailable()
+      mem.addData(("bdg", ts("2025-01-01 02:00:00"), 26.5, 0.2, 12.0, 22.0))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT * FROM current ORDER BY city").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[Double]("temp") == 26.5) // bdg advanced to the 02:00 row
+      assert(rows(1).getAs[Double]("temp") == 30.0)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session on the event gap") {
     val s = spark
     import s.implicits._
