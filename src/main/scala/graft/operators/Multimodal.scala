@@ -66,6 +66,30 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** STUB resize kernel: a real implementation decodes `payload`, resizes to
+    * (w, h) and re-encodes; the container has no codecs, so the stub keeps
+    * the payload and records the target dims in metadata. The plumbing —
+    * partition-local map, no shuffle, schema evolution via struct rewrite —
+    * is the real contract. */
+  def fakeResize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta", struct(
+      col("meta.byte_len"), col("meta.sha256"), col("meta.source"),
+      lit(w).as("target_w"), lit(h).as("target_h")))
+
+  /** STUB frame sampler for video payloads: a real kernel emits one row per
+    * sampled frame; the stub derives `nFrames` deterministic pseudo-frames
+    * (payload slices) per media row. Generator shape (explode) is the real
+    * contract: output rows >> input rows with no shuffle. */
+  def frameSample(media: DataFrame, nFrames: Int): DataFrame =
+    media
+      .select(col("media_id"), col("kind"), col("meta"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_no"),
+        col("payload"))
+      .withColumn("frame_payload",
+        // deterministic slice stand-in for a decoded frame
+        col("payload").substr(col("frame_no") * 8 + 1, lit(8)))
+      .drop("payload")
+
   /** Metadata-only projection — the common 100 TB access pattern: filter and
     * count media without deserializing payloads (parquet column pruning keeps
     * the payload column unread). */

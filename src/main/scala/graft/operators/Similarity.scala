@@ -31,6 +31,54 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer splits the corpus
+    * into `nLists` cells; each query probes only its `nProbe` nearest cells.
+    * The classic FAISS-style scale path: the expensive full scan becomes a
+    * cell-local scan of ~nProbe/nLists of the corpus.
+    *
+    * Scale shape: centroids are tiny (nLists x dim) — trained once, collected
+    * to the driver, broadcast into both assignment joins; the corpus is
+    * scanned once for assignment and the probe join is an equi-join on
+    * cell id. Recall rises with nProbe (nProbe = nLists is exact search).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = Parallelism.fanOut(
+      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
+    val train = c.select(array_to_vector(col("nbr_v").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+
+    // centroid table is tiny: score cell distance as a Column expression over
+    // a literal array of centroids (stays codegen'd, no UDF)
+    val centroids = model.clusterCenters.map(_.toArray)
+    def dist2(v: Column, cent: Array[Double]): Column =
+      aggregate(
+        zip_with(v.cast("array<double>"),
+          array(cent.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d)
+    def nearestCells(v: Column, n: Int): Column = {
+      val scored = array(centroids.zipWithIndex.map { case (cent, i) =>
+        struct(dist2(v, cent).as("d"), lit(i).as("cell"))
+      }: _*)
+      slice(array_sort(scored), 1, n).getField("cell")
+    }
+
+    val assigned = c.withColumn("cell", nearestCells(col("nbr_v"), 1).getItem(0))
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+      .withColumn("cell", explode(nearestCells(col("q_v"), nProbe)))
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        VectorFunctions.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -322,6 +322,18 @@ object DocQueries {
         | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
         |FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF scale path (coarse k-means quantizer + nProbe cells; recall vs
+    // brute force asserted in SimilaritySpec — no SQL oracle for k-means,
+    // driver records the rows check).
+    "q_sim_topk_ivf" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10,
+            nLists = 16, nProbe = 4)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      }),
+
     // ==================== multimodal plumbing ====================
 
     "q_multimodal_meta" -> Q(

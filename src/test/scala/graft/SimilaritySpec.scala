@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Multimodal, Similarity}
+
+/** ANN quality and multimodal plumbing. */
+class SimilaritySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("IVF top-k reaches high recall vs brute force at nProbe=4/16") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Similarity.bruteForceTopK(emb, queries, k))
+    val ivf = resultSet(Similarity.ivfTopK(emb, queries, k, nLists = 16, nProbe = 4))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // probing every cell must recover exact search entirely
+    val full = resultSet(Similarity.ivfTopK(emb, queries, k, nLists = 16, nProbe = 16))
+    assert(full == exact, "nProbe = nLists should equal brute force")
+  }
+
+  test("frame sampling explodes deterministic pseudo-frames per media row") {
+    val media = Multimodal.fromText(
+      Tables.documents(spark, sf).limit(5), "doc_id", "text", "source", kind = "video")
+    val frames = Multimodal.frameSample(media, nFrames = 4)
+    assert(frames.count() == 20)
+    assert(frames.columns.contains("frame_payload") && !frames.columns.contains("payload"))
+    val one = frames.filter(col("frame_no") === 1).select("frame_payload").collect()
+    assert(one.forall(_.getAs[Array[Byte]](0).length <= 8))
+  }
+
+  test("resize stub records target dims in metadata, payload untouched") {
+    val media = Multimodal.fromText(
+      Tables.documents(spark, sf).limit(3), "doc_id", "text", "source")
+    val resized = Multimodal.fakeResize(media, 224, 224)
+    val r = resized.select("meta.target_w", "meta.target_h", "meta.byte_len").head()
+    assert(r.getInt(0) == 224 && r.getInt(1) == 224 && r.getLong(2) > 0)
+  }
+}
