@@ -239,6 +239,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair graph: every doc in a
+    * duplicate cluster gets the cluster's minimum doc id as its component
+    * label (the canonical "keep one representative per cluster" step after
+    * pair generation).
+    *
+    * Min-label propagation: labels start as own id and each iteration takes
+    * the min over neighbors; converges in O(graph diameter) rounds. Each
+    * round is one shuffle-join — the standard large-scale formulation (near-
+    * dup graphs are overwhelmingly tiny cliques, so 3-5 rounds settle it);
+    * frames are persisted per round and the loop stops at a fixpoint.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("nbr_comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id"), col("comp"), (col("id") === col("comp")).as("is_keeper"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within sign-LSH buckets: vectors
     * only compare within their sign-pattern bucket (see
     * [[graft.functions.VectorFunctions.signBucket]]), so the pair join is

@@ -274,6 +274,38 @@ object DocQueries {
         |SELECT id_a, id_b, ($HammingSql) AS hamming
         |FROM cand WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin)),
 
+    // components over the jaccard near-dup graph: cluster label = min doc id
+    // reachable through pairs; oracle walks the same closure with a
+    // recursive CTE.
+    "q_dedup_components" -> Q(
+      (s, d) => Dedup.connectedComponents(
+          Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+            threshold = 0.3, tokens = shingleSet))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |sh AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT c.id_a, c.id_b
+        | FROM common c
+        | JOIN sizes sa ON sa.doc_id = c.id_a
+        | JOIN sizes sb ON sb.doc_id = c.id_b
+        | WHERE CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common) >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+        | FROM reach GROUP BY src)
+        |SELECT id, comp, id = comp AS is_keeper FROM comp ORDER BY id""".stripMargin)),
+
     "q_dedup_embedding" -> Q(
       (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
           "embedding", threshold = 0.35, bucketBits = 8)

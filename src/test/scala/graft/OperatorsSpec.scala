@@ -97,6 +97,16 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs(0).getAs[Int]("hamming") == 0)
   }
 
+  test("connected components label clusters by min id, chains included") {
+    // two clusters: {1,2,3} via a chain (1-2, 2-3; 1-3 never paired) and {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).orderBy("id").collect()
+    assert(comp.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+    assert(comp.map(_.getAs[Boolean]("is_keeper")).toSeq ==
+      Seq(true, false, false, true, false))
+  }
+
   test("embedding near-dup within sign buckets") {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f, 0.5f)),
