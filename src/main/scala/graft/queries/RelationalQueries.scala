@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.GraftExtensions
 import graft.core.Tables
 import graft.functions.{ExactAgg, WeatherFunctions}
-import graft.operators.{AsOfJoin, SaltedJoin, Sessionize}
+import graft.operators.{AsOfJoin, Resample, SaltedJoin, Sessionize}
 
 /** The relational half of the SURVEY §2 operator inventory, mapped onto the
   * driver's TPC-H-ish tables with DuckDB oracles. Names carry the §2 op ids
@@ -603,7 +603,111 @@ object RelationalQueries {
         .groupBy("o_orderpriority")
         .agg(approx_count_distinct("o_custkey").as("approx_cust"),
           count(lit(1)).as("n"))
-        .orderBy("o_orderpriority")))
+        .orderBy("o_orderpriority")),
+
+    // ---- Time-series regularization: hourly bucket means densified to the
+    //      full hour grid per user, gaps forward-filled.
+    "q_t_resample_ffill" -> Q(
+      (s, d) => {
+        val hourly = Tables.events(s, d).filter(col("user_id") < 5)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(ExactAgg.avgD(col("value")).as("value"))
+        Resample.fillForward(hourly, "user_id", "hour", Seq("value"))
+          .orderBy("user_id", "hour")
+      },
+      Some(s"""WITH b AS (
+        | SELECT user_id, date_trunc('hour', ts) AS hour,
+        |  ${ExactAgg.avgSql("value")} AS value
+        | FROM events WHERE user_id < 5 GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(hour) AS t0, max(hour) AS t1 FROM b GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS hour FROM bounds),
+        |j AS (SELECT g.user_id, g.hour, b.value,
+        |  b.user_id IS NOT NULL AS is_observed
+        | FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.hour = g.hour)
+        |SELECT user_id, hour,
+        | last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        | is_observed
+        |FROM j ORDER BY user_id, hour""".stripMargin)),
+
+    // ---- Semi/anti joins (engine completion; reference has none).
+    "q_j_semi" -> Q(
+      (s, d) => {
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000.0)
+        Tables.customer(s, d)
+          .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    "q_j_anti" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- Set ops beyond union: intersect / except (distinct semantics).
+    "q_u_intersect_except" -> Q(
+      (s, d) => {
+        val shipped = Tables.lineitem(s, d).select(col("l_orderkey").as("okey")).distinct()
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+          .select(col("o_orderkey").as("okey")).distinct()
+        shipped.intersect(big).withColumn("op", lit("both"))
+          .unionByName(big.except(shipped).withColumn("op", lit("only_big")))
+          .orderBy("op", "okey")
+      },
+      Some("""SELECT * FROM (
+        | SELECT okey, 'both' AS op FROM
+        |  (SELECT DISTINCT l_orderkey AS okey FROM lineitem
+        |   INTERSECT
+        |   SELECT DISTINCT o_orderkey FROM orders WHERE o_totalprice > 200000.0)
+        | UNION ALL
+        | SELECT okey, 'only_big' FROM
+        |  (SELECT DISTINCT o_orderkey AS okey FROM orders WHERE o_totalprice > 200000.0
+        |   EXCEPT
+        |   SELECT DISTINCT l_orderkey FROM lineitem))
+        |ORDER BY op, okey""".stripMargin)),
+
+    // ---- Pivot: wide per-key columns from a tall table.
+    "q_a_pivot" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+        | count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+        | count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Rank-statistics windows: percent_rank / cume_dist.
+    "q_w_rank_stats" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+        Tables.customer(s, d)
+          .filter(col("c_custkey") <= 300)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+            col("c_acctbal"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment AS segment, c_acctbal,
+        | percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume
+        |FROM customer WHERE c_custkey <= 300
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin)))
 
   /** F8 compass as a DuckDB CASE over the same arithmetic Spark runs:
     * idx = CAST(round(deg / 22.5) AS INT) % 16 (deg already in [0,360)). */

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Sessionize, Windows}
+import graft.operators.{AsOfJoin, Dedup, Resample, Sessionize, Windows}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -95,6 +95,21 @@ class OperatorsSpec extends SparkSpec {
     val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 0).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(pairs(0).getAs[Int]("hamming") == 0)
+  }
+
+  test("resample densifies to the hour grid and forward-fills gaps") {
+    val df = Seq(
+      ("bdg", ts("2025-01-01 00:00:00"), 25.0),
+      ("bdg", ts("2025-01-01 03:00:00"), 28.0), // 2-hour gap before this
+      ("jkt", ts("2025-01-01 00:00:00"), 30.0))
+      .toDF("city", "t", "temp")
+    val out = Resample.fillForward(df, "city", "t", Seq("temp"))
+      .orderBy("city", "t").collect()
+    assert(out.length == 5) // bdg 00..03 (4 rows) + jkt 00 (1 row)
+    val bdg = out.filter(_.getString(0) == "bdg")
+    assert(bdg.map(_.getAs[Double]("temp")).toSeq == Seq(25.0, 25.0, 25.0, 28.0))
+    assert(bdg.map(_.getAs[Boolean]("is_observed")).toSeq ==
+      Seq(true, false, false, true))
   }
 
   test("connected components label clusters by min id, chains included") {
