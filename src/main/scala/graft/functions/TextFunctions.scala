@@ -36,6 +36,16 @@ object TextFunctions {
     ).otherwise(array(array_join(toks, " ")))
   }
 
+  /** Character k-shingles of the raw lowercased text (near-dup feature space
+    * robust to tokenization differences; standard for short/noisy text). */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = lower(text)
+    val n = length(t)
+    when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i => t.substr(i, lit(k)))
+    ).otherwise(array(t))
+  }
+
   /** Stopword-hit ratio against a fixed English list. */
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "is", "it", "that")

@@ -41,36 +41,49 @@ object Similarity {
     * scanned once for assignment and the probe join is an equi-join on
     * cell id. Recall rises with nProbe (nProbe = nLists is exact search).
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
-    val c = Parallelism.fanOut(
-      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
-    val train = c.select(array_to_vector(col("nbr_v").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
-
-    // centroid table is tiny: score cell distance as a Column expression over
-    // a literal array of centroids (stays codegen'd, no UDF)
-    val centroids = model.clusterCenters.map(_.toArray)
-    def dist2(v: Column, cent: Array[Double]): Column =
-      aggregate(
-        zip_with(v.cast("array<double>"),
-          array(cent.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d)
-    def nearestCells(v: Column, n: Int): Column = {
+  /** A built IVF index: corpus vectors with their cell assignment, plus the
+    * centroid table. Build once, search many times — training and assignment
+    * never rerun per query batch. */
+  case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]]) {
+    private[Similarity] def nearestCells(v: Column, n: Int): Column = {
       val scored = array(centroids.zipWithIndex.map { case (cent, i) =>
         struct(dist2(v, cent).as("d"), lit(i).as("cell"))
       }: _*)
       slice(array_sort(scored), 1, n).getField("cell")
     }
+  }
 
-    val assigned = c.withColumn("cell", nearestCells(col("nbr_v"), 1).getItem(0))
+  /** Squared L2 distance to a literal centroid as a pure Column expression
+    * (stays codegen'd, no UDF; centroid tables are tiny by construction). */
+  private def dist2(v: Column, cent: Array[Double]): Column =
+    aggregate(
+      zip_with(v.cast("array<double>"),
+        array(cent.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
+  /** Train the coarse quantizer and assign every corpus vector to its cell.
+    * The assignment frame is persisted: it is the reusable index. */
+  def buildIvf(corpus: DataFrame, nLists: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.storage.StorageLevel
+
+    val c = Parallelism.fanOut(
+      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
+    val train = c.select(array_to_vector(col("nbr_v").cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+    val index = IvfIndex(null, model.clusterCenters.map(_.toArray))
+    val assigned = c.withColumn("cell", index.nearestCells(col("nbr_v"), 1).getItem(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    index.copy(assigned = assigned)
+  }
+
+  /** Probe the `nProbe` nearest cells per query and rank cell-local cosine. */
+  def searchIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
-      .withColumn("cell", explode(nearestCells(col("q_v"), nProbe)))
-    val scored = assigned.join(broadcast(probed), Seq("cell"))
+      .withColumn("cell", explode(index.nearestCells(col("q_v"), nProbe)))
+    val scored = index.assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         VectorFunctions.cosine(col("q_v"), col("nbr_v")).as("cosine"))
@@ -78,6 +91,11 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Convenience: build + search in one call. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame =
+    searchIvf(buildIvf(corpus, nLists, seed), queries, k, nProbe)
 
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */

@@ -238,6 +238,28 @@ object DocQueries {
         |sh AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
         |${jaccardTailSql(0.3, "")}""".stripMargin)),
 
+    // character-5-gram variant of the jaccard near-dup (tokenization-robust
+    // feature space for short/noisy text); tighter threshold because char
+    // n-gram overlap runs higher than word-shingle overlap.
+    "q_dedup_jaccard_char" -> Q(
+      (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.62, maxTokenDf = 100L,
+          tokens = t => array_distinct(TextFunctions.charShingles(t, 5)))
+        .orderBy("id_a", "id_b"),
+      // df <= 100 cut mirrors maxTokenDf: common 5-grams ("the q", " and ")
+      // are dropped from candidate generation on BOTH engines, which is also
+      // what keeps the inverted-index join near-linear at scale.
+      Some(s"""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        |sh0 AS (SELECT doc_id, unnest(
+        |  list_distinct(CASE WHEN length(lt) >= 5
+        |   THEN list_transform(range(1, length(lt) - 3), i -> substr(lt, i, 5))
+        |   ELSE [lt] END)) AS tok FROM t),
+        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |sh AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+        |  WHERE df <= 100),
+        |${jaccardTailSql(0.62, "")}""".stripMargin)),
+
     "q_dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
           k = 32, rowsPerBand = 4, threshold = 0.3, tokens = shingleSet)
