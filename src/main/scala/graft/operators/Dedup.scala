@@ -66,8 +66,11 @@ object Dedup {
         .select("doc_id", "tok")
     } else tok1
     // the edge list is read three times (self-join both sides + sizes);
-    // persist so tokenization/hashing runs once, not three times
+    // persist so tokenization/hashing runs once, not three times. The
+    // count() materializes the cache up front — otherwise the join branches
+    // race to populate it and can each recompute the full pipeline.
     val tok = tok0.persist(StorageLevel.MEMORY_AND_DISK)
+    tok.count()
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
     val common = tok.as("a").join(tok.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -144,6 +147,7 @@ object Dedup {
     // whole minhash pipeline for each side
     val bands = minhashBands(minhashSig(docs, idCol, textCol, k, tokens), k, rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    bands.count() // materialize before the self-join (see jaccardPairs note)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -160,6 +164,7 @@ object Dedup {
     val sets = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), tokens(col(textCol)).as("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK) // read twice (a-side + b-side)
+    sets.count() // materialize before the double join (see jaccardPairs note)
     pairs
       .join(sets.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
@@ -220,6 +225,7 @@ object Dedup {
       // tiny (4 rows/doc); persist so the self-join doesn't rebuild the
       // signature pipeline for each side
       .persist(StorageLevel.MEMORY_AND_DISK)
+    bands.count() // materialize before the self-join (see jaccardPairs note)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -254,6 +260,7 @@ object Dedup {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize once; every iteration re-reads this frame
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
