@@ -25,6 +25,24 @@ class CompareReportSpec extends SparkSpec {
     assert(u.length == 2 && u(0).isNullAt(2) && u(1).getDouble(2) == 3.0)
   }
 
+  test("cityDaily left-joins daily air means onto weather days (web.py:478-507)") {
+    val dailyWeather = Seq(
+      (Date.valueOf("2025-01-01"), 30.0),
+      (Date.valueOf("2025-01-02"), 31.0)) // no air rows this day -> nulls kept
+      .toDF("date", "temp_max")
+    val hourlyAir = Seq(
+      ("2025-01-01 00:00:00", 10.0, 20.0),
+      ("2025-01-01 12:00:00", 30.0, 40.0))
+      .toDF("time", "pm25", "pm10")
+      .withColumn("time", col("time").cast("timestamp"))
+    val out = Compare.cityDaily(dailyWeather, hourlyAir, "bandung")
+      .orderBy("date").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("pm25_avg") == 20.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("pm25_avg"))) // left join keeps the day
+    assert(out.forall(_.getAs[String]("city") == "bandung"))
+  }
+
   test("ranked summary orders cities by avg desc with pct diff") {
     val ranked = Compare.rankedSummary(daily, "pm25_avg")
     val rows = ranked.collect()
