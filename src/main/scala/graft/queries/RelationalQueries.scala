@@ -605,6 +605,98 @@ object RelationalQueries {
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
 
+    // ---- TPC-H macro-benchmarks (the driver tables are TPC-H-shaped; dates
+    //      adapted to the generated 1995-2001 range, o_orderpriority stands
+    //      in for the absent o_shippriority). Money arithmetic runs on exact
+    //      decimals end-to-end so both engines agree bitwise.
+    "q_tpch_q1" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ep = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(18,2)")
+        val tax = col("l_tax").cast("decimal(18,2)")
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast(li.schema("l_shipdate").dataType))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            ExactAgg.sumD(col("l_quantity")).as("sum_qty"),
+            ExactAgg.sumD(col("l_extendedprice")).as("sum_base_price"),
+            sum(ep * (lit(1).cast("decimal(18,2)") - disc)).cast("double").as("sum_disc_price"),
+            sum(ep * (lit(1).cast("decimal(18,2)") - disc) *
+              (lit(1).cast("decimal(18,2)") + tax)).cast("double").as("sum_charge"),
+            ExactAgg.avgD(col("l_quantity")).as("avg_qty"),
+            ExactAgg.avgD(col("l_extendedprice")).as("avg_price"),
+            ExactAgg.avgD(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+        | $sumQty AS sum_qty,
+        | ${ExactAgg.sumSql("l_extendedprice")} AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) *
+        |   (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        | ${ExactAgg.avgSql("l_quantity")} AS avg_qty,
+        | ${ExactAgg.avgSql("l_extendedprice")} AS avg_price,
+        | ${ExactAgg.avgSql("l_discount")} AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    "q_tpch_q3" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val cutoffL = lit("1999-03-15").cast(li.schema("l_shipdate").dataType)
+        val o = Tables.orders(s, d)
+        val cutoffO = lit("1999-03-15").cast(o.schema("o_orderdate").dataType)
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(o.filter(col("o_orderdate") < cutoffO),
+            col("c_custkey") === col("o_custkey"))
+          .join(li.filter(col("l_shipdate") > cutoffL),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+        | AND l_shipdate > TIMESTAMP '1999-03-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""".stripMargin)),
+
+    "q_tpch_q6" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dt = li.schema("l_shipdate").dataType
+        li.filter(
+            col("l_shipdate") >= lit("1997-01-01").cast(dt) &&
+            col("l_shipdate") < lit("1998-01-01").cast(dt) &&
+            col("l_discount").cast("decimal(18,2)").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+        | AND l_quantity < 24""".stripMargin)),
+
     // ---- Time-series regularization: hourly bucket means densified to the
     //      full hour grid per user, gaps forward-filled.
     "q_t_resample_ffill" -> Q(
