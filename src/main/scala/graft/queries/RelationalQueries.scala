@@ -675,6 +675,43 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""".stripMargin)),
 
+    // Q5: local-supplier revenue per nation — the 6-table join exercise
+    // (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region with the
+    // customer-and-supplier-same-nation constraint).
+    "q_tpch_q5" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val dt = o.schema("o_orderdate").dataType
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        Tables.customer(s, d)
+          .join(o.filter(col("o_orderdate") >= lit("1997-01-01").cast(dt) &&
+              col("o_orderdate") < lit("1998-01-01").cast(dt)),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.supplier(s, d),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d),
+            col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(desc("revenue"), asc("n_name"))
+      },
+      Some("""SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin)),
+
     "q_tpch_q6" -> Q(
       (s, d) => {
         val li = Tables.lineitem(s, d)
