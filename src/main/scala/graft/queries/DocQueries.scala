@@ -217,6 +217,50 @@ object DocQueries {
         |    (acc, x) -> (acc * 257 + x) % 2147483647) END AS rolling_hash
         |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // ---- the capstone corpus-cleaning flow: quality gate -> language gate
+    //      -> exact-dedup keeper -> cleaned corpus with metrics. One
+    //      declarative plan: the gates run in the scan stage, dedup adds the
+    //      single content-hash shuffle.
+    "q_pipeline_corpus_clean" -> Q(
+      (s, d) => {
+        val scored = docsP(s, d).select(
+          col("doc_id"), col("text"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+          .filter(col("quality") >= 0.6 && col("lang") === "en")
+        val grp = Window.partitionBy(md5(col("text")))
+        scored
+          .withColumn("is_keeper", col("doc_id") === min("doc_id").over(grp))
+          .filter(col("is_keeper"))
+          .select("doc_id", "source", "quality", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some {
+        val langNames = TextFunctions.LangMarkers.map(_._1)
+        val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
+          s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$lang"
+        }.mkString(", ")
+        val greatest = s"greatest(${langNames.map("h_" + _).mkString(", ")})"
+        val langCase = langNames.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+        s"""WITH t AS (SELECT doc_id, text, source, $ToksSql AS toks FROM documents),
+           |h AS (SELECT *, $langHits FROM t),
+           |g AS (SELECT *, $greatest AS m FROM h),
+           |scored AS (SELECT doc_id, text, source,
+           | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality,
+           | CASE WHEN m = 0 THEN 'und' $langCase END AS lang,
+           | len(toks) AS n_tokens
+           |FROM g),
+           |gated AS (SELECT * FROM scored WHERE quality >= 0.6 AND lang = 'en')
+           |SELECT doc_id, source, quality, n_tokens FROM (
+           | SELECT *, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+           | FROM gated)
+           |WHERE is_keeper ORDER BY doc_id""".stripMargin
+      }),
+
     // ==================== deduplication ====================
 
     // exact dedup keyed on the low-cardinality `source` column so keeper /
