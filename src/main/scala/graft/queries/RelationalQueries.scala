@@ -712,6 +712,67 @@ object RelationalQueries {
         | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin)),
 
+    // Q10: returned-item reporting — customers who returned the most, one
+    // quarter, top 20 (deterministic tie-break by custkey).
+    "q_tpch_q10" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val dt = o.schema("o_orderdate").dataType
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        Tables.customer(s, d)
+          .join(o.filter(col("o_orderdate") >= lit("1997-10-01").cast(dt) &&
+              col("o_orderdate") < lit("1998-01-01").cast(dt)),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)),
+
+    // Q14: promotion effect — ratio of two exact-decimal sums.
+    "q_tpch_q14" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dt = li.schema("l_shipdate").dataType
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        li.filter(col("l_shipdate") >= lit("1997-09-01").cast(dt) &&
+            col("l_shipdate") < lit("1997-10-01").cast(dt))
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"), rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(rev).cast("double")).as("promo_revenue"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |  THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS promo_revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin)),
+
     "q_tpch_q6" -> Q(
       (s, d) => {
         val li = Tables.lineitem(s, d)
