@@ -745,6 +745,30 @@ object RelationalQueries {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)),
 
+    // Q18: large-volume customers — group-by-having feeding a semi join.
+    "q_tpch_q18" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val bigOrders = li.groupBy("l_orderkey")
+          .agg(ExactAgg.sumD(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 250.0)
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""WITH big AS (
+        | SELECT l_orderkey, $sumQty AS total_qty
+        | FROM lineitem GROUP BY 1 HAVING total_qty > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
+
     // Q14: promotion effect — ratio of two exact-decimal sums.
     "q_tpch_q14" -> Q(
       (s, d) => {
