@@ -264,6 +264,9 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    def checksum(df: DataFrame): Long =
+      df.agg(sum("comp")).head().getLong(0)
+    var sum0 = checksum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -275,11 +278,13 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).limit(1).count()
+      // labels only ever decrease, so the label sum strictly decreases until
+      // the fixpoint — one agg over the cached frame replaces a diff join
+      val sum1 = checksum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = sum1 == sum0
+      sum0 = sum1
       iter += 1
     }
     labels.select(col("id"), col("comp"), (col("id") === col("comp")).as("is_keeper"))
