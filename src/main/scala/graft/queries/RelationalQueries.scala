@@ -712,6 +712,53 @@ object RelationalQueries {
         | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin)),
 
+    // Q7: volume shipping between two nations — the disjunctive
+    // nation-pair join (either direction), grouped by year.
+    "q_tpch_q7" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dt = li.schema("l_shipdate").dataType
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        Tables.supplier(s, d)
+          .join(li.filter(col("l_shipdate") >= lit("1997-01-01").cast(dt) &&
+              col("l_shipdate") < lit("1999-01-01").cast(dt)),
+            col("s_suppkey") === col("l_suppkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(n1, col("s_nationkey") === col("s_nkey"))
+          .join(n2, col("c_nationkey") === col("c_nkey"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("bigint").as("l_year"))
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+        | CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (
+        | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        | FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     // Q10: returned-item reporting — customers who returned the most, one
     // quarter, top 20 (deterministic tie-break by custkey).
     "q_tpch_q10" -> Q(
