@@ -759,6 +759,84 @@ object RelationalQueries {
         |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
 
+    // Q8: national market share — a conditional-sum ratio per year over the
+    // full star join (share of ASIA-region revenue supplied by one nation).
+    "q_tpch_q8" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val dt = o.schema("o_orderdate").dataType
+        val vol = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        val suppNation = Tables.supplier(s, d)
+          .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        Tables.lineitem(s, d)
+          .join(o.filter(col("o_orderdate") >= lit("1997-01-01").cast(dt) &&
+              col("o_orderdate") < lit("1999-01-01").cast(dt)),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, d).withColumnRenamed("n_name", "cust_nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d),
+            col("n_regionkey") === col("r_regionkey") && col("r_name") === "ASIA")
+          .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).cast("bigint").as("o_year"))
+          .agg((sum(when(col("supp_nation") === "NATION_3", vol)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(vol).cast("double")).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q15: top supplier by quarterly revenue (window-max instead of the
+    // original's view + subquery; deterministic tie-break by suppkey).
+    "q_tpch_q15" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dt = li.schema("l_shipdate").dataType
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        val revenue = li.filter(col("l_shipdate") >= lit("1997-01-01").cast(dt) &&
+            col("l_shipdate") < lit("1997-04-01").cast(dt))
+          .groupBy("l_suppkey")
+          .agg(sum(rev).cast("double").as("total_revenue"))
+        revenue
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(desc("total_revenue"), asc("l_suppkey"))))
+          .filter(col("rnk") === 1)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "total_revenue")
+      },
+      Some("""WITH revenue AS (
+        | SELECT l_suppkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        | GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY total_revenue DESC, l_suppkey ASC) AS rnk
+        | FROM revenue)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rnk = 1""".stripMargin)),
+
     // Q10: returned-item reporting — customers who returned the most, one
     // quarter, top 20 (deterministic tie-break by custkey).
     "q_tpch_q10" -> Q(
