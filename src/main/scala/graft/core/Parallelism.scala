@@ -12,11 +12,35 @@ import org.apache.spark.sql.DataFrame
   * task would otherwise serialize all the CPU work behind one core.
   */
 object Parallelism {
-  /** Repartition `df` up to the session's default parallelism iff its plan
-    * currently yields fewer partitions; otherwise pass through untouched
-    * (no shuffle added on well-partitioned inputs). */
+  /** Repartition `df` up to the session's default parallelism iff its input
+    * would scan as fewer splits; otherwise pass through untouched (no shuffle
+    * added on well-partitioned inputs).
+    *
+    * The decision is driver-side metadata only — file count, and file sizes
+    * only when the count is already below target (a bounded number of
+    * `getFileStatus` calls) — so the guard never instantiates the physical
+    * RDD lineage or plans the query twice. At 100 TB, `inputFiles.length >=
+    * target` short-circuits on the catalog's file index. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= target) df
+    else if (files.isEmpty) {
+      // no file-based input (in-memory fixture / computed relation): its
+      // partitioning is as narrow as its tiny source — fan out unconditionally
+      df.repartition(target)
+    } else {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+      val totalBytes = files.iterator.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+      // parquet row groups split at ~maxPartitionBytes; an estimate is all
+      // the guard needs (it only has to catch the scans-narrow regime)
+      val estSplits = math.max(1L, (totalBytes + maxSplit - 1) / maxSplit)
+      if (estSplits < target) df.repartition(target) else df
+    }
   }
 }

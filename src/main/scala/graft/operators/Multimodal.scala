@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -41,29 +41,28 @@ object Multimodal {
         col(sourceCol).as("source")).as("meta"))
 
   /** Deterministic fake "decode + feature extract": 8 doubles derived from
-    * payload bytes. Stands in for a real image/audio kernel (??? in the
-    * container); runs per-partition with no shuffle and no driver collect. */
+    * payload bytes — lane j sums payload bytes at positions ≡ j (mod 8),
+    * scaled to [0,1] per byte and normalized by floor(len/8).
+    *
+    * Stands in for a real image/audio kernel (no codecs in the container).
+    * Written as a pure Column tree (hex + higher-order `aggregate`), so the
+    * stand-in keeps whole-stage codegen — the shape a real vectorized kernel
+    * should inherit — and is exactly mirrorable in oracle SQL. A real decode
+    * would swap the per-lane fold for a typed `Dataset.mapPartitions` over
+    * the codec, keeping the same schema contract. */
   def fakeDecodeFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = media.schema.add("features", ArrayType(DoubleType))
-    val rdd = media.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val feats: Array[Double] =
-          if (payload == null) Array.fill(8)(0.0)
-          else {
-            val acc = new Array[Double](8)
-            var i = 0
-            while (i < payload.length) {
-              acc(i % 8) += (payload(i) & 0xff) / 255.0
-              i += 1
-            }
-            acc.map(v => if (payload.length == 0) 0.0 else v / math.max(1, payload.length / 8))
-          }
-        Row.fromSeq(r.toSeq :+ feats.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val len = length(col("payload")) // byte count for a binary column
+    val hx = hex(col("payload"))     // 2 hex chars per byte, uppercase
+    val scale = greatest(lit(1L), floor(len / 8)).cast("double")
+    // byte value at 1-based position p, as a double in [0, 1]
+    def byteAt(p: Column): Column =
+      conv(hx.substr((p - 1) * 2 + 1, lit(2)), 16, 10).cast("double") / 255.0
+    def lane(j: Int): Column =
+      when(col("payload").isNull || len < j + 1, lit(0.0))
+        .otherwise(
+          aggregate(sequence(lit(j + 1), len, lit(8)), lit(0.0),
+            (acc, p) => acc + byteAt(p)) / scale)
+    media.withColumn("features", array((0 until 8).map(lane): _*))
   }
 
   /** STUB resize kernel: a real implementation decodes `payload`, resizes to

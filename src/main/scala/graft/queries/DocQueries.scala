@@ -137,6 +137,19 @@ object DocQueries {
       }
     }.mkString(" + ")
 
+  /** DuckDB mirror of [[Multimodal.fakeDecodeFeatures]] lane `j` over blob
+    * hex `hx` with byte count `len`: same per-byte /255.0, same ascending
+    * sequential fold (list_reduce seeded via list_prepend(0.0, ...) matches
+    * Spark's aggregate(..., 0.0, +)), same floor(len/8) normalizer — so the
+    * doubles are bit-identical. */
+  private def featureLaneSql(j: Int): String = {
+    def byteAt(p: String) =
+      s"((instr('0123456789ABCDEF', substr(hx, 2*$p-1, 1)) - 1) * 16 + (instr('0123456789ABCDEF', substr(hx, 2*$p, 1)) - 1))"
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(${j + 1}, len + 1, 8), p -> ${byteAt("p")} / CAST(255.0 AS DOUBLE))),
+       |  (acc, x) -> acc + x) / CAST(greatest(1, len // 8) AS DOUBLE) AS f$j""".stripMargin
+  }
+
   /** Inverted-index Jaccard oracle over shingles, optionally restricted to an
     * LSH candidate CTE named `cand(id_a, id_b)`. */
   private def jaccardTailSql(threshold: Double, candJoin: String): String =
@@ -273,13 +286,20 @@ object DocQueries {
         | count(*) OVER (PARTITION BY md5(source)) AS dup_count
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // df <= 100 cut (maxTokenDf) mirrored on both engines: a single high-df
+    // shingle would make one inverted-index bucket quadratic at scale, so the
+    // flagship near-dup query runs with the skew lever ON, like the char
+    // variant below.
     "q_dedup_jaccard" -> Q(
       (s, d) => Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.3, tokens = shingleSet)
+          threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
         |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
-        |sh AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |sh AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+        |  WHERE df <= 100),
         |${jaccardTailSql(0.3, "")}""".stripMargin)),
 
     // character-5-gram variant of the jaccard near-dup (tokenization-robust
@@ -346,11 +366,14 @@ object DocQueries {
     "q_dedup_components" -> Q(
       (s, d) => Dedup.connectedComponents(
           Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
-            threshold = 0.3, tokens = shingleSet))
+            threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet))
         .orderBy("id"),
       Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
         |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
-        |sh AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |sh AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+        |  WHERE df <= 100),
         |sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh GROUP BY 1),
         |common AS (
         | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
@@ -443,14 +466,22 @@ object DocQueries {
         | count(DISTINCT sha256(text)) AS distinct_payloads
         |FROM documents GROUP BY 1 ORDER BY kind""".stripMargin)),
 
-    // Feature extraction runs the partition-local decode stub — the Spark
-    // plumbing under test; no SQL oracle (driver records rows-only).
+    // Feature extraction runs the Column-tree decode stub; features are
+    // emitted as per-dim f0..f7 doubles (sortable/hashable by the oracle
+    // harness — a raw array<double> column is not) and mirrored bit-for-bit
+    // in DuckDB via the same hex fold.
     "q_multimodal_features" -> Q(
       (s, d) => Multimodal.fakeDecodeFeatures(
           Multimodal.fromText(Tables.documents(s, d), "doc_id", "text", "source"))
-        .select(col("media_id"), col("kind"), col("meta.byte_len").as("byte_len"),
-          col("features"))
-        .orderBy("media_id")),
+        .select(Seq(col("media_id"), col("kind"),
+            col("meta.byte_len").as("byte_len")) ++
+          (0 until 8).map(j => element_at(col("features"), j + 1).as(s"f$j")): _*)
+        .orderBy("media_id"),
+      Some(s"""WITH m AS (SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
+        |b AS (SELECT media_id, hex(payload) AS hx, octet_length(payload) AS len FROM m)
+        |SELECT media_id, 'image' AS kind, CAST(len AS BIGINT) AS byte_len,
+        | ${(0 until 8).map(featureLaneSql).mkString(",\n ")}
+        |FROM b ORDER BY media_id""".stripMargin)),
 
     // ==================== weather-transform parity (fixtures) ===============
 

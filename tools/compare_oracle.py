@@ -4,7 +4,7 @@ graft.Verify, run its DuckDB oracle over the same parquet tables and compare
 schema + values exactly (columns sorted by name, rows as produced —
 every query ends in a total ORDER BY).
 
-Usage: compare_oracle.py <sfDir> <verifyOutDir>
+Usage: compare_oracle.py <sfDir> <verifyOutDir> [nameSubstr,nameSubstr,...]
 """
 import json
 import sys
@@ -21,6 +21,9 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if len(sys.argv) > 3:
+        pats = sys.argv[3].split(",")
+        oracles = {k: v for k, v in oracles.items() if any(p in k for p in pats)}
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
         try:
