@@ -894,6 +894,85 @@ object RelationalQueries {
         | JOIN big ON o_orderkey = l_orderkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
 
+    // Q17: small-quantity-order revenue. The reference shape is a correlated
+    // scalar subquery (per-part avg quantity); the Spark-first decorrelation
+    // is a window over the brand-filtered lineitems — ONE shuffle on
+    // l_partkey, no self-join, brand dim broadcast. Threshold arithmetic is
+    // decimal-exact sum / count so both engines compare against bit-identical
+    // doubles. (No p_container in the driver schema; p_brand carries the
+    // selective filter.)
+    "q_tpch_q17" -> Q(
+      (s, d) => {
+        val p = Tables.part(s, d).filter(col("p_brand") === "Brand#1")
+          .select("p_partkey")
+        val w = Window.partitionBy("l_partkey")
+        val thresh = lit(0.2) *
+          (sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double") /
+            count(col("l_quantity")).over(w))
+        Tables.lineitem(s, d)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .withColumn("qty_thresh", thresh)
+          .filter(col("l_quantity") < col("qty_thresh"))
+          .agg((ExactAgg.sumD(col("l_extendedprice")) / 7).as("avg_yearly"),
+            count(lit(1)).as("n"))
+      },
+      Some(s"""WITH f AS (
+        | SELECT l_extendedprice, l_quantity,
+        |  CAST(0.2 AS DOUBLE) *
+        |   (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS DOUBLE) /
+        |    count(l_quantity) OVER (PARTITION BY l_partkey)) AS qty_thresh
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE p_brand = 'Brand#1')
+        |SELECT ${ExactAgg.sumSql("l_extendedprice")} / 7 AS avg_yearly,
+        | count(*) AS n
+        |FROM f WHERE l_quantity < qty_thresh""".stripMargin)),
+
+    // Q21: suppliers who kept orders waiting — the EXISTS / NOT EXISTS chain,
+    // expressed as left-semi ("some other supplier shipped in this order")
+    // then left-anti ("no other supplier was late") joins, all hash joins on
+    // l_orderkey so the three lineitem branches co-partition. "Late" is
+    // l_shipdate > o_orderdate + 60 days (the driver schema has no
+    // receipt/commit dates; same comparison on both engines).
+    "q_tpch_q21" -> Q(
+      (s, d) => {
+        val late = expr("INTERVAL 60 DAYS")
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+        val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val l1 = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + late)
+          .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"),
+            col("o_orderdate").as("od"))
+        val l2 = li.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+        val l3 = li.select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"),
+          col("l_shipdate").as("sd3"))
+        val sole = l1
+          .join(l2, col("lo") === col("lo2") && col("ls") =!= col("ls2"), "left_semi")
+          .join(l3, col("lo") === col("lo3") && col("ls") =!= col("ls3") &&
+            col("sd3") > col("od") + late, "left_anti")
+        sole
+          .join(Tables.supplier(s, d), col("ls") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), asc("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        | AND o_orderstatus = 'F'
+        | AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |   WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |   WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        | AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
+
     // Q14: promotion effect — ratio of two exact-decimal sums.
     "q_tpch_q14" -> Q(
       (s, d) => {
