@@ -150,6 +150,18 @@ object DocQueries {
        |  (acc, x) -> acc + x) / CAST(greatest(1, len // 8) AS DOUBLE) AS f$j""".stripMargin
   }
 
+  /** Exact cosine top-10 for query vectors vec_id < 8 — the oracle for both
+    * brute-force search and IVF run in exact mode (nProbe = nLists). */
+  private lazy val BruteTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |scored AS (SELECT query_id, e.vec_id AS nbr_id,
+       |  ${cosSql("qv", "e.v")} AS cosine
+       |  FROM e CROSS JOIN q WHERE e.vec_id != query_id)
+       |SELECT query_id, nbr_id, cosine,
+       | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+       |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Inverted-index Jaccard oracle over shingles, optionally restricted to an
     * LSH candidate CTE named `cand(id_a, id_b)`. */
   private def jaccardTailSql(threshold: Double, candJoin: String): String =
@@ -408,6 +420,8 @@ object DocQueries {
         |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
 
     // ==================== similarity search ====================
+    // (BruteTopKSql — the exact cosine top-10 oracle — is shared by the
+    // brute-force gate and the exact-mode IVF gate below.)
 
     "q_sim_topk_exact" -> Q(
       (s, d) => {
@@ -416,14 +430,21 @@ object DocQueries {
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-        |scored AS (SELECT query_id, e.vec_id AS nbr_id,
-        |  ${cosSql("qv", "e.v")} AS cosine
-        |  FROM e CROSS JOIN q WHERE e.vec_id != query_id)
-        |SELECT query_id, nbr_id, cosine,
-        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
-        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+      Some(BruteTopKSql)),
+
+    // IVF with nProbe = nLists probes every cell, so it is exact search by
+    // construction — hash-matched against the same brute-force oracle. This
+    // pins the IVF join/rank machinery itself; the approximate mode's recall
+    // is asserted in SimilaritySpec.
+    "q_sim_topk_ivf_exact" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10,
+            nLists = 16, nProbe = 16)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(BruteTopKSql)),
 
     "q_sim_topk_bucketed" -> Q(
       (s, d) => {

@@ -601,7 +601,9 @@ object RelationalQueries {
     "q_a_approx_distinct" -> Q(
       (s, d) => Tables.orders(s, d)
         .groupBy("o_orderpriority")
-        .agg(approx_count_distinct("o_custkey").as("approx_cust"),
+        // rsd 0.01 (vs the 0.05 default): the sketch is held to <5% relative
+        // error against exact counts in OperatorsSpec, so size it for that
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_cust"),
           count(lit(1)).as("n"))
         .orderBy("o_orderpriority")),
 

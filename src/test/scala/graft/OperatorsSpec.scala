@@ -132,4 +132,22 @@ class OperatorsSpec extends SparkSpec {
       bucketBits = 3).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
+
+  // Bounds the no-oracle gate row q_a_approx_distinct: HLL sketches differ
+  // across engines, so instead of a hash compare the sketch is held to <5%
+  // relative error against the exact distinct counts on real data.
+  test("approx_count_distinct stays within 5% of exact per group") {
+    val orders = graft.core.Tables.orders(spark, "/root/testdata/sf0.01")
+    val both = orders.groupBy("o_orderpriority")
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx"),
+        countDistinct("o_custkey").as("exact"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val (a, e) = (r.getAs[Long]("approx").toDouble, r.getAs[Long]("exact").toDouble)
+      val relErr = math.abs(a - e) / e
+      assert(relErr < 0.05,
+        s"${r.getString(0)}: approx=$a exact=$e relErr=$relErr")
+    }
+  }
 }
