@@ -56,15 +56,16 @@ object WeatherCli {
     daily
   }
 
-  /** report parity (report.py:69-177): summary over the processed daily
-    * table -> HTML file. Returns the report path. */
+  /** report parity (report.py:69-177): summary + the three Vega-Lite charts
+    * over the processed daily table -> HTML file. Returns the report path. */
   def report(spark: SparkSession, cfg: Config): Option[String] = {
     val slug = WeatherSources.slug(cfg.city)
     val daily = spark.read.parquet(s"${cfg.processedDir}/${slug}_daily.parquet")
     WeatherReport.summary(daily).map { s =>
+      val charts = WeatherViz.chartsToHtml(WeatherViz.vegaLiteSpecs(daily))
       Files.createDirectories(Paths.get(cfg.reportsDir))
       val out = Paths.get(cfg.reportsDir, s"$slug.html")
-      Files.writeString(out, WeatherReport.renderHtml(cfg.city, s))
+      Files.writeString(out, WeatherReport.renderHtml(cfg.city, s, charts))
       out.toString
     }
   }

@@ -67,12 +67,22 @@ object WeatherReport {
     }
   }
 
-  /** S11 — minimal HTML render of the summary (the reference's Jinja2
-    * fallback template, report.py:117-176). Driver-side string templating
-    * over one collected row; not a relational op. */
-  def renderHtml(city: String, s: Summary): String =
+  /** S11 — HTML render of the summary (the reference's Jinja2 template,
+    * report.py:117-176), with the chart section (`{% for c in charts %}`,
+    * report.py:119-138) fed by [[WeatherViz]] Vega-Lite fragments.
+    * Driver-side string templating over one collected row + |days|-bounded
+    * chart data; not a relational op. */
+  def renderHtml(city: String, s: Summary, chartsHtml: Seq[String] = Nil): String = {
+    // vega runtime rides once in the head, same CDN trio altair's to_html
+    // embeds; the specs themselves are inline and self-contained
+    val head = if (chartsHtml.isEmpty) "" else
+      """|<script src="https://cdn.jsdelivr.net/npm/vega@5"></script>
+         |<script src="https://cdn.jsdelivr.net/npm/vega-lite@5"></script>
+         |<script src="https://cdn.jsdelivr.net/npm/vega-embed@6"></script>""".stripMargin
+    val charts = if (chartsHtml.isEmpty) "" else
+      s"\n<h2>Grafik</h2>\n${chartsHtml.mkString("\n")}"
     s"""<!doctype html><html><head><meta charset="utf-8">
-       |<title>Laporan Cuaca — $city</title></head><body>
+       |<title>Laporan Cuaca — $city</title>$head</head><body>
        |<h1>Laporan Cuaca &amp; Kualitas Udara: $city</h1>
        |<p>Periode: ${s.periodStart} — ${s.periodEnd}</p>
        |<ul>
@@ -81,7 +91,8 @@ object WeatherReport {
        |<li>Rata-rata PM2.5: ${s.pm25Avg.fold("-")(v => f"$v%.1f")} µg/m³ (${s.pm25Category})</li>
        |<li>Hari terbasah: ${s.wettestDate.getOrElse("-")} (${f"${s.wettestRain}%.1f"} mm)</li>
        |<li>Jumlah hari hujan: ${s.rainyDays}</li>
-       |</ul>
+       |</ul>$charts
        |<p><strong>Rekomendasi:</strong> ${s.recommendation}</p>
        |</body></html>""".stripMargin
+  }
 }
