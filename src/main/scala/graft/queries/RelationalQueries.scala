@@ -7,6 +7,7 @@ import graft.GraftExtensions
 import graft.core.Tables
 import graft.functions.{ExactAgg, WeatherFunctions}
 import graft.operators.{AsOfJoin, Resample, SaltedJoin, Sessionize}
+import graft.sources.{GeocodeSource, RegionSource}
 
 /** The relational half of the SURVEY §2 operator inventory, mapped onto the
   * driver's TPC-H-ish tables with DuckDB oracles. Names carry the §2 op ids
@@ -518,6 +519,41 @@ object RelationalQueries {
         |FROM (SELECT event_type,
         |  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- S6 full semantics: polymorphic provinces read — one code path
+    //      normalizes a bare list, `provinces`/`data`-keyed dicts with id/name
+    //      key aliases (incl. numeric ids), and a plain {id: name} map
+    //      (web.py:51-76). Fixture payloads, literal-value oracle.
+    "q_s6_polymorphic" -> Q(
+      (s, _) => {
+        import s.implicits._
+        RegionSource.normalize(S6FixturePayloads.toDF("payload"))
+          .orderBy("id")
+      },
+      Some("""SELECT * FROM (
+        | SELECT '11' AS id, 'ACEH' AS name
+        | UNION ALL SELECT '12', 'SUMATERA UTARA'
+        | UNION ALL SELECT '13', 'SUMATERA BARAT'
+        | UNION ALL SELECT '14', 'RIAU'
+        | UNION ALL SELECT '15', 'JAMBI'
+        |) ORDER BY id""".stripMargin)),
+
+    // ---- S5: geocode top-k search over the offline city dimension (derived
+    //      from nation so the oracle mirrors the same arithmetic); exact name
+    //      ranks first, then alphabetical, k=5 (web.py:123-151).
+    "q_s5_geocode_topk" -> Q(
+      (s, d) => GeocodeSource.searchTopK(
+          GeocodeSource.fromNations(Tables.nation(s, d)), "NATION_1", k = 5)
+        .orderBy("name"),
+      Some("""WITH dim AS (SELECT n_name AS name,
+        |  CAST(-8.0 AS DOUBLE) + n_nationkey * CAST(0.7 AS DOUBLE) AS lat,
+        |  CAST(95.0 AS DOUBLE) + n_nationkey * CAST(1.3 AS DOUBLE) AS lon,
+        |  'Asia/Jakarta' AS tz FROM nation),
+        |hits AS (SELECT * FROM dim
+        | WHERE starts_with(lower(name), 'nation_1')
+        | ORDER BY (CASE WHEN lower(name) = 'nation_1' THEN 0 ELSE 1 END), name
+        | LIMIT 5)
+        |SELECT name, lat, lon, tz FROM hits ORDER BY name""".stripMargin)),
 
     // ---- Aggregation extension: ROLLUP grouping sets (absent from the
     //      reference; first-class in the engine).
@@ -1128,6 +1164,15 @@ object RelationalQueries {
         |FROM customer WHERE c_custkey <= 300
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin)))
+
+  /** Every payload shape the reference's region endpoints tolerate
+    * (web.py:51-76): bare list, keyed dicts with aliased/numeric keys, and a
+    * plain id→name map. One per shape, normalized through one code path. */
+  val S6FixturePayloads: Seq[String] = Seq(
+    """[{"id": "11", "name": "ACEH"}]""",
+    """{"provinces": [{"province_id": 12, "province_name": "SUMATERA UTARA"}]}""",
+    """{"data": [{"code": "13", "nama": "SUMATERA BARAT"}]}""",
+    """{"14": "RIAU", "15": "JAMBI"}""")
 
   /** F8 compass as a DuckDB CASE over the same arithmetic Spark runs:
     * idx = CAST(round(deg / 22.5) AS INT) % 16 (deg already in [0,360)). */

@@ -7,6 +7,7 @@ import java.time.format.DateTimeFormatter
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.core.{Config, GraftSession}
+import graft.sources.{GeocodeSource, Ingest}
 
 /** The reference's CLI surface (cli.py:20-109: fetch | transform | report |
   * all), network-free: `fetch` stages sample payloads into the raw zone with
@@ -21,17 +22,29 @@ object WeatherCli {
 
   private val TsFmt = DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")
 
+  /** S4 — resolve a city against a geocode dimension, fail-soft: the
+    * reference's fetch.run geocodes first (fetch.py:88 → utils.py:329-345);
+    * offline the dim is the built-in city table (or a caller-supplied stub,
+    * the test_fetch.py:21-38 pattern). None → caller falls back to the slug
+    * identity, keeping the pipeline runnable for unknown cities. */
+  def resolve(spark: SparkSession, city: String,
+              dim: Option[org.apache.spark.sql.DataFrame] = None): Option[GeocodeSource.Geo] =
+    GeocodeSource.firstMatch(
+      dim.getOrElse(GeocodeSource.builtinDim(spark)), city)
+
   /** fetch --offline parity (fetch.py:85-139): read `<slug>_{weather,air}
     * .json` from the samples dir (falling back to the embedded minimal
-    * fixtures so the pipeline always has data), then snapshot+latest write
-    * into the raw zone. Returns (weatherLatest, airLatest). */
+    * fixtures so the pipeline always has data) through the S3 retry/backoff
+    * ingest interface, then snapshot+latest write into the raw zone.
+    * Returns (weatherLatest, airLatest). */
   def fetch(cfg: Config, sampleDir: Option[String] = None): (String, String) = {
     val slug = WeatherSources.slug(cfg.city)
     val sdir = sampleDir.getOrElse(cfg.samplesDir)
-    def payload(kind: String, fallback: String): String = {
-      val p = Paths.get(sdir, s"${slug}_$kind.json")
-      if (Files.exists(p)) Files.readString(p) else fallback
-    }
+    def payload(kind: String, fallback: String): String =
+      Ingest.retry() { _ =>
+        val p = Paths.get(sdir, s"${slug}_$kind.json")
+        if (Files.exists(p)) Files.readString(p) else fallback
+      }
     val ts = LocalDateTime.now().format(TsFmt)
     val (_, wLatest) = WeatherSources.writeRawSnapshot(cfg.rawDir, slug, "weather",
       payload("weather", graft.queries.DocQueries.FixtureWeatherJson), ts)

@@ -55,6 +55,18 @@ class CliSpec extends SparkSpec {
     assert(json.contains(""""temp_max":26.5"""))
   }
 
+  test("fetch resolves the city through a (stubbed) geocode dim, slug on miss") {
+    // the test_fetch.py:21-38 pattern: a stub dim stands in for the API
+    val stubDim = Seq(("Bandung", -6.9175, 107.6191, "Asia/Jakarta"))
+      .toDF("name", "lat", "lon", "tz")
+    val hit = WeatherCli.resolve(spark, "Bandung", Some(stubDim))
+    assert(hit.contains(
+      graft.sources.GeocodeSource.Geo("Bandung", -6.9175, 107.6191, "Asia/Jakarta")))
+    // unknown city: fail-soft None -> pipeline proceeds on the slug identity
+    assert(WeatherCli.resolve(spark, "Kota Antah", Some(stubDim)).isEmpty)
+    assert(graft.weather.WeatherSources.slug("Kota Antah") == "kota-antah")
+  }
+
   test("salted join returns exactly the plain join, spread over salts") {
     val big = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "v")
     val small = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "w")

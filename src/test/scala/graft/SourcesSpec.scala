@@ -1,0 +1,82 @@
+package graft
+
+import graft.sources.{GeocodeSource, Ingest, RegionSource}
+
+/** Ingest-side sources: geocode dimension (S4/S5), retry/backoff (S3), and
+  * the polymorphic region read (S6). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------- geocode ------------------------------------
+
+  test("first-match geocode resolves a known city and misses soft") {
+    val geo = GeocodeSource.firstMatch(GeocodeSource.builtinDim(spark), "Bandung")
+    assert(geo.contains(GeocodeSource.Geo("Bandung", -6.9175, 107.6191, "Asia/Jakarta")))
+    assert(GeocodeSource.firstMatch(GeocodeSource.builtinDim(spark), "Atlantis").isEmpty)
+  }
+
+  test("top-k search: exact name first, then alphabetical, blank fails soft") {
+    val dim = Seq(
+      ("Malang", 1.0, 2.0, "tz"), ("Makassar", 1.0, 2.0, "tz"),
+      ("Mataram", 1.0, 2.0, "tz"), ("MA", 1.0, 2.0, "tz"))
+      .toDF("name", "lat", "lon", "tz")
+    val hits = GeocodeSource.searchTopK(dim, "ma", k = 3)
+      .select("name").as[String].collect().toSeq
+    assert(hits == Seq("MA", "Makassar", "Malang")) // exact first, then alpha
+    assert(GeocodeSource.searchTopK(dim, "  ", k = 3).count() == 0)
+  }
+
+  // ---------------------------- retry/backoff ------------------------------
+
+  test("ingest retry: succeeds on 3rd attempt with 0.8s x1.6 backoff") {
+    var delays = Vector.empty[Long]
+    var calls = 0
+    val out = Ingest.retry(retries = 3, sleep = d => delays :+= d) { _ =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException("boom")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3)
+    assert(delays == Vector(800L, 1280L)) // 0.8s, then x1.6
+  }
+
+  test("ingest retry: all attempts fail -> NetworkError keeps the cause") {
+    var calls = 0
+    val e = intercept[Ingest.NetworkError] {
+      Ingest.retry[String](retries = 3, sleep = _ => ()) { _ =>
+        calls += 1; throw new RuntimeException("down")
+      }
+    }
+    assert(calls == 3)
+    assert(e.getCause.getMessage == "down")
+  }
+
+  // ---------------------------- polymorphic regions ------------------------
+
+  test("region read normalizes list, keyed-dict, aliased, and map payloads") {
+    val payloads = graft.queries.RelationalQueries.S6FixturePayloads.toDF("payload")
+    val out = RegionSource.normalize(payloads).orderBy("id")
+      .as[(String, String)].collect().toSeq
+    assert(out == Seq(
+      "11" -> "ACEH", "12" -> "SUMATERA UTARA", "13" -> "SUMATERA BARAT",
+      "14" -> "RIAU", "15" -> "JAMBI"))
+  }
+
+  test("region read drops incomplete records and garbage payloads") {
+    val payloads = Seq(
+      """[{"id": "21"}, {"name": "orphan"}, {"id": "22", "name": "OK"}]""",
+      """not json at all""",
+      """{"unrelated": {"nested": true}}""").toDF("payload")
+    val out = RegionSource.normalize(payloads).as[(String, String)].collect().toSeq
+    assert(out == Seq("22" -> "OK"))
+  }
+
+  test("regencies variant accepts data, regencies, and code-keyed payloads") {
+    val payloads = Seq(
+      """{"regencies": [{"id": "3201", "name": "KAB. BOGOR"}]}""",
+      """{"32": [{"id": "3202", "name": "KAB. SUKABUMI"}]}""").toDF("payload")
+    val out = RegionSource.normalizeRegencies(payloads, provinceCode = "32")
+      .orderBy("id").as[(String, String)].collect().toSeq
+    assert(out == Seq("3201" -> "KAB. BOGOR", "3202" -> "KAB. SUKABUMI"))
+  }
+}
