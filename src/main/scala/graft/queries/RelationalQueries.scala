@@ -1011,6 +1011,106 @@ object RelationalQueries {
         | AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)),
 
+    // Q4: order-priority checking — EXISTS as a conditional left-semi join
+    // (late lineitem in the order window); "late" adapted as in Q21.
+    "q_tpch_q4" -> Q(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val dt = o.schema("o_orderdate").dataType
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+        o.filter(col("o_orderdate") >= lit("1997-01-01").cast(dt) &&
+            col("o_orderdate") < lit("1997-04-01").cast(dt))
+          .join(li, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Q13: customer order-count distribution — left outer join preserving
+    // order-less customers, then a two-level aggregation (the second is tiny
+    // post-agg). o_comment NOT LIKE adapted to an o_orderpriority exclusion.
+    "q_tpch_q13" -> Q(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count")),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT OUTER JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // Q19: discounted revenue under a disjunctive brand/size/quantity
+    // predicate — the OR-of-ANDs join filter exercise; part is broadcast so
+    // the predicate evaluates stream-side in the scan stage.
+    "q_tpch_q19" -> Q(
+      (s, d) => {
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        def clause(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+          col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+            col("l_quantity").between(qLo, qHi)
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .filter(clause("Brand#1", 1, 10, 1, 11) ||
+            clause("Brand#2", 1, 20, 10, 20) ||
+            clause("Brand#3", 1, 30, 20, 30))
+          .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+        | OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+        | OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // Q22: global sales opportunity — a scalar subquery (global positive-
+    // balance mean, 1 row, broadcast cross join) plus NOT EXISTS as a
+    // left-anti join. Phone country codes adapted to nation keys; "no
+    // orders" adapted to "no urgent orders" (every sf0.01 customer orders).
+    "q_tpch_q22" -> Q(
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val avgPos = c.filter(col("c_acctbal") > 0.0)
+          .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("ab"))
+        val urgent = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        c.filter(col("c_nationkey") < 10)
+          .crossJoin(broadcast(avgPos))
+          .filter(col("c_acctbal") > col("ab"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").as("cntry"))
+          .agg(count(lit(1)).as("numcust"),
+            ExactAgg.sumD(col("c_acctbal")).as("totacctbal"))
+          .orderBy("cntry")
+      },
+      Some(s"""WITH pos AS (SELECT ${ExactAgg.sumSql("c_acctbal")} / count(*) AS ab
+        | FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey AS cntry, count(*) AS numcust,
+        | ${ExactAgg.sumSql("c_acctbal")} AS totacctbal
+        |FROM customer, pos
+        |WHERE c_acctbal > ab AND c_nationkey < 10
+        | AND NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Q14: promotion effect — ratio of two exact-decimal sums.
     "q_tpch_q14" -> Q(
       (s, d) => {

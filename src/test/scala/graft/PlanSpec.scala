@@ -59,4 +59,32 @@ class PlanSpec extends SparkSpec {
     // `*(n)` node prefixes mark WholeStageCodegen stages in the plan string
     assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
   }
+
+  test("Q17 decorrelates to one window, no lineitem self-join (TPC-H)") {
+    val plan = planOf(run("q_tpch_q17"))
+    assert(plan.contains("Window"), s"no window decorrelation:\n$plan")
+    // exactly one lineitem scan: a join-back decorrelation would scan twice
+    assert("FileScan parquet .*lineitem".r.findAllIn(plan).size == 1,
+      s"lineitem scanned more than once:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"brand dim not broadcast:\n$plan")
+  }
+
+  test("Q21 runs the exists/not-exists chain as semi + anti hash joins") {
+    val plan = planOf(run("q_tpch_q21"))
+    assert(plan.contains("LeftSemi"), s"no semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"exists chain degenerated to cartesian:\n$plan")
+  }
+
+  test("multimodal decode stub stays a Column tree, no ExistingRDD scan") {
+    val media = graft.operators.Multimodal.fromText(
+      Tables.documents(spark, sf), "doc_id", "text", "source")
+    val plan = planOf(graft.operators.Multimodal.fakeDecodeFeatures(media))
+    assert(!plan.contains("ExistingRDD"),
+      s"decode stub dropped out of the declarative plan:\n$plan")
+    assert(!plan.contains("DeserializeToObject"),
+      s"decode stub forces object serialization:\n$plan")
+  }
 }
