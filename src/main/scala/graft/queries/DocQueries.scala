@@ -504,6 +504,26 @@ object DocQueries {
         | ${(0 until 8).map(featureLaneSql).mkString(",\n ")}
         |FROM b ORDER BY media_id""".stripMargin)),
 
+    // Frame sampling: the generator shape (rows out >> rows in, no shuffle)
+    // hash-checked — DuckDB mirrors the deterministic payload slices with
+    // blob substrings.
+    "q_multimodal_frames" -> Q(
+      (s, d) => Multimodal.frameSample(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text", "source"),
+          nFrames = 3)
+        .select(col("media_id"), col("frame_no").cast("bigint").as("frame_no"),
+          // hex instead of raw bytes: DuckDB 1.0 can't substring a BLOB, so
+          // the oracle slices the payload's hex string (2 chars/byte)
+          hex(col("frame_payload")).as("frame_hex"),
+          length(col("frame_payload")).cast("bigint").as("frame_len"))
+        .orderBy("media_id", "frame_no"),
+      Some("""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx FROM documents),
+        |f AS (SELECT media_id, unnest(range(0, 3)) AS frame_no, hx FROM m)
+        |SELECT media_id, frame_no,
+        | substr(hx, CAST(frame_no*16+1 AS INT), 16) AS frame_hex,
+        | CAST(length(substr(hx, CAST(frame_no*16+1 AS INT), 16)) // 2 AS BIGINT) AS frame_len
+        |FROM f ORDER BY media_id, frame_no""".stripMargin)),
+
     // ==================== weather-transform parity (fixtures) ===============
 
     "q_weather_daily" -> Q(
