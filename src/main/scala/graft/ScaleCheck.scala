@@ -73,7 +73,14 @@ object ScaleCheck {
       "minhash_sig" -> (d =>
         Dedup.minhashSig(Tables.documents(spark, d), "doc_id", "text", 32, shingleSet)),
       "simhash_sig" -> (d =>
-        Dedup.simhash(Tables.documents(spark, d), "doc_id", "text", shingleSet)))
+        Dedup.simhash(Tables.documents(spark, d), "doc_id", "text", shingleSet)),
+      "jaccard_pairs" -> (d =>
+        Dedup.jaccardPairs(Tables.documents(spark, d), "doc_id", "text",
+          threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)),
+      "multimodal_feat" -> (d =>
+        graft.operators.Multimodal.fakeDecodeFeatures(
+          graft.operators.Multimodal.fromText(
+            Tables.documents(spark, d), "doc_id", "text", "source"))))
 
     // warm codegen/JIT once at 1x so both measured runs are hot
     cases.foreach { case (_, f) => f(base).write.format("noop").mode("overwrite").save() }
