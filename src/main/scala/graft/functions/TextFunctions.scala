@@ -47,13 +47,18 @@ object TextFunctions {
   }
 
   /** Character k-shingles of the raw lowercased text (near-dup feature space
-    * robust to tokenization differences; standard for short/noisy text). */
+    * robust to tokenization differences; standard for short/noisy text).
+    * Same zip-with-shifted-slices construction as [[shingles]] (the substr-
+    * per-position lambda re-lowered the text per element — O(n²)/row);
+    * `concat` nulls out the trailing partial entries, which the slice cuts. */
   def charShingles(text: Column, k: Int): Column = {
     val t = lower(text)
     val n = length(t)
-    when(n >= k,
-      transform(sequence(lit(1), n - (k - 1)), i => t.substr(i, lit(k)))
-    ).otherwise(array(t))
+    val chars = split(t, "")
+    val joined = (1 until k).foldLeft(chars) { (acc, i) =>
+      zip_with(acc, slice(chars, lit(i + 1), size(chars)), (a, b) => concat(a, b))
+    }
+    when(n >= k, slice(joined, lit(1), n - (k - 1))).otherwise(array(t))
   }
 
   /** Stopword-hit ratio against a fixed English list. */
