@@ -51,6 +51,25 @@ class SourcesSpec extends SparkSpec {
     assert(e.getCause.getMessage == "down")
   }
 
+  // ---------------------------- fan-out guard ------------------------------
+
+  test("fanOut repartitions only scans-narrow inputs, from metadata alone") {
+    import graft.core.Parallelism
+    val target = spark.sparkContext.defaultParallelism
+    val dir = java.nio.file.Files.createTempDirectory("fanout").toString
+    spark.range(1000).toDF("id").repartition(target * 2)
+      .write.parquet(s"$dir/many")
+    val many = spark.read.parquet(s"$dir/many")
+    assert(Parallelism.fanOut(many) eq many) // enough files: untouched, no shuffle
+    spark.range(10).toDF("id").coalesce(1).write.parquet(s"$dir/one")
+    val one = spark.read.parquet(s"$dir/one")
+    val fanned = Parallelism.fanOut(one)
+    assert(fanned ne one)
+    assert(fanned.rdd.getNumPartitions == target)
+    // in-memory input (no files): fanned out unconditionally
+    assert(Parallelism.fanOut(Seq(1, 2, 3).toDF("x")).rdd.getNumPartitions == target)
+  }
+
   // ---------------------------- polymorphic regions ------------------------
 
   test("region read normalizes list, keyed-dict, aliased, and map payloads") {
