@@ -81,6 +81,19 @@ object WeatherFunctions {
   def isUnhealthyPm25(pm25Avg: Column): Column = pm25Avg > 35.4
   def isHeavyRain(totalRain: Column): Column = totalRain > 20.0
 
+  /** F13 — search-hit highlight (app.js:417-421): the query has its regex
+    * metacharacters escaped, then the FIRST case-insensitive occurrence is
+    * wrapped in the highlight span, preserving the matched text's case. The
+    * first-match-only semantics of JS `String.replace` with a non-global
+    * regex are reproduced by capturing the remainder with a dotall `(.*)`
+    * tail — the whole match then consumes to end-of-string, so exactly one
+    * replacement can happen. */
+  def highlightFirst(text: Column, query: String): Column = {
+    val quoted = query.replaceAll("""[.*+?^$(){}|\[\]\\]""", """\\$0""")
+    regexp_replace(text, s"(?is)($quoted)(.*)",
+      "<span class=\"highlight\">$1</span>$2")
+  }
+
   /** Recommendation rules (F6, report.py:28-49): advice sentences joined in
     * rule order (pm2.5 rules are mutually exclusive — if/elif in the
     * reference), falling back to the default sentence when no rule fires. */

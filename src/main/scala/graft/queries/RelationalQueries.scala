@@ -555,6 +555,25 @@ object RelationalQueries {
         | LIMIT 5)
         |SELECT name, lat, lon, tz FROM hits ORDER BY name""".stripMargin)),
 
+    // ---- F13: search-hit highlight over the S5 search results — the
+    //      reference's exact UI flow (search then wrap the first
+    //      case-insensitive match, app.js:417-421).
+    "q_f13_highlight" -> Q(
+      (s, d) => GeocodeSource.searchTopK(
+          GeocodeSource.fromNations(Tables.nation(s, d)), "NATION_1", k = 5)
+        .select(col("name"),
+          WeatherFunctions.highlightFirst(col("name"), "nation_1").as("html"))
+        .orderBy("name"),
+      Some("""WITH dim AS (SELECT n_name AS name FROM nation),
+        |hits AS (SELECT name FROM dim
+        | WHERE starts_with(lower(name), 'nation_1')
+        | ORDER BY (CASE WHEN lower(name) = 'nation_1' THEN 0 ELSE 1 END), name
+        | LIMIT 5)
+        |SELECT name,
+        | regexp_replace(name, '(?is)(nation_1)(.*)',
+        |   '<span class="highlight">\1</span>\2') AS html
+        |FROM hits ORDER BY name""".stripMargin)),
+
     // ---- Aggregation extension: ROLLUP grouping sets (absent from the
     //      reference; first-class in the engine).
     "q_a_rollup" -> Q(

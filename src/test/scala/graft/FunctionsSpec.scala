@@ -76,6 +76,20 @@ class FunctionsSpec extends SparkSpec {
     assert(lang.toSeq == Seq("en", "es", "und"))
   }
 
+  test("highlight wraps only the first match, case-insensitive, escaped (F13)") {
+    val df = Seq("Bandung and BANDUNG", "no hit here", "a.c literal").toDF("t")
+    def hl(q: String) = df.select(WeatherFunctions.highlightFirst(col("t"), q))
+      .as[String].collect().toSeq
+    assert(hl("bandung") == Seq(
+      """<span class="highlight">Bandung</span> and BANDUNG""", // first only, case kept
+      "no hit here",
+      "a.c literal"))
+    // regex metachars in the query are literal: "a.c" must not match "abc"
+    assert(hl("a.c") == Seq(
+      "Bandung and BANDUNG", "no hit here",
+      """<span class="highlight">a.c</span> literal"""))
+  }
+
   test("rolling hash matches a reference fold") {
     val p = 2147483647L
     def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 257 + c.toLong) % p)
