@@ -25,6 +25,17 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
+  /** L2-normalize to a unit vector (zero vectors pass through unchanged) —
+    * the standard embedding preprocessing before cosine/IP search. The norm
+    * rides in via `array_repeat` as an ARGUMENT array: a lambda that merely
+    * captured `norm2(v)` would re-fold the whole vector once per element
+    * (O(d²)/row). */
+  def normalize(a: Column): Column = {
+    val v = asD(a)
+    zip_with(v, array_repeat(norm2(v), size(v)),
+      (x, n) => when(n > 0.0, x / n).otherwise(x))
+  }
+
   /** Sign-bit LSH bucket over the first `bits` dimensions: cheap deterministic
     * bucketing for approximate nearest-neighbor (candidates only form within a
     * bucket, so the pair join is bucket-local instead of a full cross join).

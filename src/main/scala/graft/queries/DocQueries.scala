@@ -476,6 +476,28 @@ object DocQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // Embedding L2-normalization (the preprocessing step before cosine/IP
+    // search): unit norm + first two dims emitted as scalars (the oracle
+    // harness can't sort raw array columns), all bit-exact via the shared
+    // sequential folds.
+    "q_v_normalize" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          VectorFunctions.normalize(col("embedding")).as("nv"))
+        .select(col("vec_id"),
+          VectorFunctions.norm2(col("nv")).as("unit_norm"),
+          element_at(col("nv"), 1).as("x0"),
+          element_at(col("nv"), 2).as("x1"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e),
+        |u AS (SELECT vec_id,
+        |  list_transform(v, x -> CASE WHEN nm > 0 THEN x / nm ELSE x END) AS nv
+        |  FROM n)
+        |SELECT vec_id, sqrt(list_dot_product(nv, nv)) AS unit_norm,
+        | nv[1] AS x0, nv[2] AS x1
+        |FROM u ORDER BY vec_id""".stripMargin)),
+
     // ==================== multimodal plumbing ====================
 
     "q_multimodal_meta" -> Q(

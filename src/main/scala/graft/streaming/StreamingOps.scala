@@ -110,6 +110,23 @@ object StreamingOps {
         col("latest.temp").as("temp"), col("latest.rain").as("rain"),
         col("latest.pm25").as("pm25"), col("latest.pm10").as("pm10"))
 
+  /** Streaming exact dedup — the incremental twin of `Dedup.exact`, the shape
+    * an always-on ingest pipeline needs (batch dedup requires re-reading the
+    * corpus; this keeps one state row per content hash inside the watermark
+    * horizon and emits only first-seen documents). `dropDuplicates` keyed on
+    * the content hash; the event-time watermark bounds state so it is
+    * O(distinct hashes per horizon), not O(corpus).
+    * `dropDuplicatesWithinWatermark` dedups on the hash ALONE while still
+    * evicting state past the watermark — plain `dropDuplicates` would need
+    * the event-time column in the key (wrong semantics) or keep state
+    * forever. */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "1 day"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Sink helper: append the streaming rollup to a partitioned parquet zone. */
   def writeDaily(rollup: DataFrame, outDir: String, checkpoint: String) =
     rollup.writeStream

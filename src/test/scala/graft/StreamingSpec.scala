@@ -90,4 +90,29 @@ class StreamingSpec extends SparkSpec {
       assert(rows(0).getAs[Double]("value_sum") == 3.0)
     } finally q.stop()
   }
+
+  test("streaming exact dedup emits first-seen docs only, across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val deduped = StreamingOps.dedupStream(docs, "ts", "text", watermark = "1 day")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, ts("2025-01-01 00:00:00"), "alpha"),
+        (2L, ts("2025-01-01 00:01:00"), "beta"),
+        (3L, ts("2025-01-01 00:02:00"), "alpha")) // in-batch dup
+      q.processAllAvailable()
+      mem.addData((4L, ts("2025-01-01 01:00:00"), "alpha")) // cross-batch dup
+      q.processAllAvailable()
+      mem.addData((5L, ts("2025-01-01 02:00:00"), "gamma"))
+      q.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM dedup_stream ORDER BY doc_id")
+        .as[Long].collect().toSeq
+      assert(ids == Seq(1L, 2L, 5L), s"got $ids")
+    } finally q.stop()
+  }
 }
