@@ -258,30 +258,44 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val edges0 = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize once; every iteration re-reads this frame
+    val nEdges = edges0.count() // materialize once; every iteration re-reads
+    // size-aware layout: near-dup graphs are usually a sliver of the corpus,
+    // so a tiny edge list iterates on few partitions (per-round task overhead
+    // would otherwise dwarf the work); large graphs keep the parallel layout
+    val parts = math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (nEdges / 500000L).toInt + 1))
+    // localCheckpoint(eager) — not just persist — TRUNCATES lineage: an
+    // iterative DataFrame loop otherwise re-analyzes/re-optimizes a logical
+    // plan that grows by one join per round (quadratic planning, measured as
+    // >1 s/round on a 256-edge graph). On a fault-tolerant cluster job,
+    // swap for reliable checkpoint(dir) every few rounds — same trade
+    // GraphFrames makes.
+    val edges = edges0.coalesce(parts).localCheckpoint(true)
+    edges0.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def checksum(df: DataFrame): Long =
       df.agg(sum("comp")).head().getLong(0)
     var sum0 = checksum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("nbr_comp").as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+      val next = labels.join(
+          edges
+            .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+            .groupBy(col("src").as("id"))
+            .agg(min("nbr_comp").as("nbr_comp")),
+          Seq("id"), "left_outer")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       // labels only ever decrease, so the label sum strictly decreases until
-      // the fixpoint — one agg over the cached frame replaces a diff join
+      // the fixpoint — one agg over the checkpointed frame replaces a diff join
       val sum1 = checksum(next)
-      labels.unpersist()
       labels = next
       converged = sum1 == sum0
       sum0 = sum1
