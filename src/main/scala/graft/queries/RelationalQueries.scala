@@ -591,6 +591,43 @@ object RelationalQueries {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin)),
 
+    // ---- Histogram/binning: fixed-width price buckets. The bucket formula
+    //      is a plain floor-division (identical double arithmetic on both
+    //      engines) rather than width_bucket, whose internal arithmetic
+    //      differs across engines at bucket boundaries.
+    "q_a_histogram" -> Q(
+      (s, d) => Tables.lineitem(s, d)
+        .select((least(floor(col("l_extendedprice") / 10000.0), lit(9)) + 1)
+          .cast("bigint").as("bucket"), col("l_extendedprice"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(least(floor(l_extendedprice / 10000.0), 9) + 1 AS BIGINT) AS bucket,
+        | count(*) AS n, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Fuzzy key matching: edit-distance join of a probe list (typos
+    //      included) against the nation dimension — the J4 key-normalize
+    //      family's fallback when normalization alone can't align keys.
+    //      Standard Levenshtein is engine-identical; the dim side broadcasts.
+    "q_j_fuzzy_levenshtein" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val probes = Seq("NATOIN_3", "nation_12", "NATION_99X", "xyz")
+          .toDF("probe")
+        probes.join(broadcast(Tables.nation(s, d)),
+            levenshtein(upper(col("probe")), col("n_name")) <= 2)
+          .select(col("probe"), col("n_name").as("name"),
+            levenshtein(upper(col("probe")), col("n_name")).cast("bigint").as("dist"))
+          .orderBy("probe", "name")
+      },
+      Some("""WITH probes(probe) AS (VALUES ('NATOIN_3'), ('nation_12'), ('NATION_99X'), ('xyz'))
+        |SELECT probe, n_name AS name,
+        | CAST(levenshtein(upper(probe), n_name) AS BIGINT) AS dist
+        |FROM probes JOIN nation ON levenshtein(upper(probe), n_name) <= 2
+        |ORDER BY probe, name""".stripMargin)),
+
     // ---- Distinct-count extension.
     "q_a_count_distinct" -> Q(
       (s, d) => Tables.orders(s, d)
