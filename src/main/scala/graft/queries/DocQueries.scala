@@ -286,6 +286,76 @@ object DocQueries {
            |WHERE is_keeper ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- capstone v2: same gates, but the dedup stage is NEAR-dup — word-
+    //      shingle jaccard pairs -> connected components -> keep cluster
+    //      keepers (min doc id) and unclustered docs. The full pipeline a
+    //      pretraining corpus actually runs; oracle = the gates' SQL + the
+    //      recursive-CTE closure.
+    "q_pipeline_corpus_neardup" -> Q(
+      (s, d) => {
+        val scored = docsP(s, d).select(
+          col("doc_id"), col("text"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+          .filter(col("quality") >= 0.6 && col("lang") === "en")
+        val comps = Dedup.connectedComponents(
+          Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+            threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet))
+        scored
+          .join(comps.select(col("id").as("doc_id"), col("is_keeper")),
+            Seq("doc_id"), "left_outer")
+          .filter(coalesce(col("is_keeper"), lit(true)))
+          .select("doc_id", "source", "quality", "n_tokens")
+          .orderBy("doc_id")
+      },
+      Some {
+        val langNames = TextFunctions.LangMarkers.map(_._1)
+        val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
+          s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$lang"
+        }.mkString(", ")
+        val greatest = s"greatest(${langNames.map("h_" + _).mkString(", ")})"
+        val langCase = langNames.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+        s"""WITH RECURSIVE t AS (SELECT doc_id, text, source, $ToksSql AS toks FROM documents),
+           |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+           |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+           |sh AS (SELECT doc_id, tok FROM (
+           |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+           |  WHERE df <= 100),
+           |sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh GROUP BY 1),
+           |common AS (
+           | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           | FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           | GROUP BY 1, 2),
+           |pairs AS (
+           | SELECT c.id_a, c.id_b FROM common c
+           | JOIN sizes sa ON sa.doc_id = c.id_a
+           | JOIN sizes sb ON sb.doc_id = c.id_b
+           | WHERE CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common) >= 0.3),
+           |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           | UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(src, dst) AS (
+           | SELECT src, dst FROM e
+           | UNION
+           | SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+           |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+           | FROM reach GROUP BY src),
+           |h AS (SELECT *, $langHits FROM t),
+           |g AS (SELECT *, $greatest AS m FROM h),
+           |scored AS (SELECT doc_id, text, source,
+           | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality,
+           | CASE WHEN m = 0 THEN 'und' $langCase END AS lang,
+           | len(toks) AS n_tokens
+           |FROM g),
+           |gated AS (SELECT * FROM scored WHERE quality >= 0.6 AND lang = 'en')
+           |SELECT doc_id, source, quality, n_tokens FROM gated
+           |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // ==================== deduplication ====================
 
     // exact dedup keyed on the low-cardinality `source` column so keeper /
