@@ -78,6 +78,16 @@ class PlanSpec extends SparkSpec {
       s"exists chain degenerated to cartesian:\n$plan")
   }
 
+  test("Q4 runs EXISTS as a semi join; Q22's scalar subquery broadcasts") {
+    val q4 = planOf(run("q_tpch_q4"))
+    assert(q4.contains("LeftSemi"), s"Q4 exists not a semi join:\n$q4")
+    val q22 = planOf(run("q_tpch_q22"))
+    assert(q22.contains("LeftAnti"), s"Q22 not-exists not an anti join:\n$q22")
+    assert(q22.contains("BroadcastExchange") || q22.contains("BroadcastNestedLoopJoin"),
+      s"Q22 scalar subquery not broadcast:\n$q22")
+    assert(!q22.contains("CartesianProduct"), s"Q22 degenerated to cartesian:\n$q22")
+  }
+
   test("multimodal decode stub stays a Column tree, no ExistingRDD scan") {
     val media = graft.operators.Multimodal.fromText(
       Tables.documents(spark, sf), "doc_id", "text", "source")
