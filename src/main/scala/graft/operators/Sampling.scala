@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and dataset splits.
+  *
+  * Training-data pipelines need REPRODUCIBLE subsets: the same document must
+  * land in the same split on every run, engine, and cluster size — which
+  * seeded Bernoulli sampling (`df.sample`) cannot promise across engines or
+  * partitionings. Hash-bucketing the stable key delivers it: bucket =
+  * md5(key ++ salt) mod 100, so membership is a pure function of the row,
+  * evaluated in the scan stage with no shuffle and no state. Different
+  * `salt`s give independent samples of the same corpus.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a key column: the first 15 md5
+    * nibbles read big-endian (exact in a long), mod `buckets`. */
+  def hashBucket(key: Column, buckets: Int = 100, salt: String = ""): Column =
+    pmod(
+      conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+        .cast("long"),
+      lit(buckets.toLong))
+
+  /** Deterministic train/valid/test assignment by hash bucket. */
+  def split(key: Column, trainPct: Int = 80, validPct: Int = 10,
+            salt: String = ""): Column = {
+    val b = hashBucket(key, 100, salt)
+    when(b < trainPct, "train")
+      .when(b < trainPct + validPct, "valid")
+      .otherwise("test")
+  }
+
+  /** Keep a deterministic `pct`% of rows (0-100). */
+  def sampleByHash(df: DataFrame, key: Column, pct: Int,
+                   salt: String = ""): DataFrame =
+    df.filter(hashBucket(key, 100, salt) < pct)
+}

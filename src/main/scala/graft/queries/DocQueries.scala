@@ -66,12 +66,15 @@ object DocQueries {
   private val AvgTokLenSql =
     """(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0.0 END)"""
 
-  /** 60-bit big-endian token fingerprint (first 15 md5 nibbles) — mirrors
-    * Dedup.tokenFp60. Largest term 15*16^14 < 2^60: exact in BIGINT. */
-  private val TokenFp60Sql: String =
+  /** 60-bit big-endian fingerprint (first 15 md5 nibbles) of any SQL string
+    * expression — mirrors Dedup.tokenFp60 / Sampling.hashBucket. Largest
+    * term 15*16^14 < 2^60: exact in BIGINT. */
+  private def fp60Sql(e: String): String =
     (1 to 15).map { j =>
-      s"(instr('0123456789abcdef', substr(md5(tok), $j, 1)) - 1) * ${1L << (4 * (15 - j))}"
+      s"(instr('0123456789abcdef', substr(md5($e), $j, 1)) - 1) * ${1L << (4 * (15 - j))}"
     }.mkString("(", " + ", ")")
+
+  private val TokenFp60Sql: String = fp60Sql("tok")
 
   // ---------- MinHash SQL mirrors (generated to match Dedup.minhashSig) ----
   /** 28-bit big-endian token fingerprint from md5(tok)'s first 7 nibbles,
@@ -285,6 +288,28 @@ object DocQueries {
            | FROM gated)
            |WHERE is_keeper ORDER BY doc_id""".stripMargin
       }),
+
+    // ---- Deterministic hash-split: stable stratified train/valid/test
+    //      assignment (membership is a pure function of doc_id + salt — the
+    //      reproducible alternative to seeded Bernoulli sampling, which no
+    //      two engines agree on). Counts + id ranges per (source, split).
+    "q_sample_hash_split" -> Q(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("split",
+          graft.operators.Sampling.split(col("doc_id"), 80, 10, salt = ":v1"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source", "split"),
+      Some(s"""WITH k AS (SELECT doc_id, source,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':v1'")} % 100 AS b
+        | FROM documents),
+        |sp AS (SELECT doc_id, source,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        | FROM k)
+        |SELECT source, split, count(*) AS n,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- capstone v2: same gates, but the dedup stage is NEAR-dup — word-
     //      shingle jaccard pairs -> connected components -> keep cluster

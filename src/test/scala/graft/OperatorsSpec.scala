@@ -133,6 +133,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("hash split is stable, exhaustive, and salt-independent samples differ") {
+    import graft.operators.Sampling
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val a = docs.select(col("doc_id"), Sampling.split(col("doc_id")).as("s"))
+    val b = docs.select(col("doc_id"), Sampling.split(col("doc_id")).as("s"))
+    // same assignment on every evaluation (pure function of the key)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val counts = a.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "valid", "test")) // exhaustive
+    assert(counts("train") > counts("valid")) // ~80/10/10
+    // a different salt draws a (near-)independent sample
+    val s1 = Sampling.sampleByHash(docs, col("doc_id"), 10, salt = "a").count()
+    val s2 = Sampling.sampleByHash(docs, col("doc_id"), 10, salt = "b")
+    val overlap = Sampling.sampleByHash(docs, col("doc_id"), 10, salt = "a")
+      .select("doc_id").intersect(s2.select("doc_id")).count()
+    assert(overlap < s1, "salted samples should not coincide")
+  }
+
   // Bounds the no-oracle gate row q_a_approx_distinct: HLL sketches differ
   // across engines, so instead of a hash compare the sketch is held to <5%
   // relative error against the exact distinct counts on real data.
