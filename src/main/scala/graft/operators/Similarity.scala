@@ -70,8 +70,18 @@ object Similarity {
 
     val c = Parallelism.fanOut(
       corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
+    // quantizer training: random init (one pass; k-means|| costs ~5 extra
+    // distributed passes for marginal centroid quality on a coarse quantizer)
+    // over a few fat partitions (32 near-empty tasks per iteration otherwise
+    // dominate wall time). At real scale, train on a hash sample — centroid
+    // quality needs vector diversity, not the full corpus.
     val train = c.select(array_to_vector(col("nbr_v").cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10).fit(train)
+      .coalesce(4)
+    // 5 iterations: a coarse quantizer needs balanced-ish cells, not
+    // converged centroids — recall is governed by nProbe, and each extra
+    // iteration is a full distributed pass
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
+      .setInitMode("random").fit(train)
     val index = IvfIndex(null, model.clusterCenters.map(_.toArray))
     val assigned = c.withColumn("cell", index.nearestCells(col("nbr_v"), 1).getItem(0))
       .persist(StorageLevel.MEMORY_AND_DISK)
