@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.GraftExtensions
 import graft.core.Tables
 import graft.functions.{ExactAgg, WeatherFunctions}
-import graft.operators.{AsOfJoin, Resample, SaltedJoin, Sessionize}
+import graft.operators.{AsOfJoin, RangeJoin, Resample, SaltedJoin, Sessionize}
 import graft.sources.{GeocodeSource, RegionSource}
 
 /** The relational half of the SURVEY §2 operator inventory, mapped onto the
@@ -590,6 +590,30 @@ object RelationalQueries {
         | $sumQty AS qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Range (interval) join: lineitem ship dates against 3-day order
+    //      windows, NO equi key — bucketed into day-grain hash-join keys by
+    //      RangeJoin instead of the nested-loop plan Spark would pick.
+    "q_j_range_interval" -> Q(
+      (s, d) => {
+        val w = Tables.orders(s, d).filter(col("o_orderkey") < 200)
+          .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+            (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("w_end"))
+        val li = Tables.lineitem(s, d).select("l_shipdate")
+        RangeJoin.pointInInterval(li, "l_shipdate", w, "w_start", "w_end",
+            bucketSeconds = 86400L)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_shipped"),
+            min("l_shipdate").as("first_ship"), max("l_shipdate").as("last_ship"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_shipped,
+        | min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+        |FROM (SELECT o_orderkey, o_orderdate AS w_start,
+        |   o_orderdate + INTERVAL 3 DAY AS w_end
+        |  FROM orders WHERE o_orderkey < 200) w
+        |JOIN lineitem ON l_shipdate >= w_start AND l_shipdate <= w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- Histogram/binning: fixed-width price buckets. The bucket formula
     //      is a plain floor-division (identical double arithmetic on both

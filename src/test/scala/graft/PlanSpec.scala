@@ -88,6 +88,14 @@ class PlanSpec extends SparkSpec {
     assert(!q22.contains("CartesianProduct"), s"Q22 degenerated to cartesian:\n$q22")
   }
 
+  test("range join hash-joins on time buckets, never nested-loop/cartesian") {
+    val plan = planOf(run("q_j_range_interval"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to an O(n*m) plan:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no hash join on the bucket key:\n$plan")
+  }
+
   test("multimodal decode stub stays a Column tree, no ExistingRDD scan") {
     val media = graft.operators.Multimodal.fromText(
       Tables.documents(spark, sf), "doc_id", "text", "source")
