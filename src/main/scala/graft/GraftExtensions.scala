@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.SlugifyExpression
+import graft.functions.{Hamming64Expression, SlugifyExpression}
 
 /** SparkSessionExtensions entry point: registers the engine's native Catalyst
   * expressions so they are callable from SQL and `expr(...)`.
@@ -20,6 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SlugifyExpression(children.head)
     ))
+    ext.injectFunction((
+      FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[Hamming64Expression].getName, "hamming64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Hamming64Expression(children.head, children(1))
+    ))
   }
 }
 
@@ -32,6 +38,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SlugifyExpression].getName, "slugify"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SlugifyExpression(children.head)
+    )
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[Hamming64Expression].getName, "hamming64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Hamming64Expression(children.head, children(1))
     )
   }
 }

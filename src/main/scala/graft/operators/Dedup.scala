@@ -232,16 +232,12 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("a.simhash").as("sig_a"),
         col("b.doc_id").as("id_b"), col("b.simhash").as("sig_b"))
       .distinct()
-    val hamming = (0 until 16).map { n =>
-      val va = instr(lit("0123456789abcdef"), substring(col("sig_a"), n + 1, 1)) - 1
-      val vb = instr(lit("0123456789abcdef"), substring(col("sig_b"), n + 1, 1)) - 1
-      // popcount of (va XOR vb) over 4 bits, bitwise ops only
-      (0 until 4).map { b =>
-        val mask = 1 << b
-        when((floor(va / mask) % 2) =!= (floor(vb / mask) % 2), 1).otherwise(0)
-      }.reduce(_ + _)
-    }.reduce(_ + _)
-    cand.select(col("id_a"), col("id_b"), hamming.as("hamming"))
+    // native codegen'd expression: XOR + popcount per pair instead of the
+    // equivalent 64-term nibble-compare Column tree
+    graft.GraftExtensions.register(docs.sparkSession)
+    cand.select(col("id_a"), col("id_b"),
+        graft.functions.Hamming64.hamming64(col("sig_a"), col("sig_b"))
+          .cast("int").as("hamming")) // int like the nibble-sum formulation
       .filter(col("hamming") <= maxHamming)
   }
 

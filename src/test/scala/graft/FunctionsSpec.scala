@@ -76,6 +76,24 @@ class FunctionsSpec extends SparkSpec {
     assert(lang.toSeq == Seq("en", "es", "und"))
   }
 
+  test("hamming64 native expression matches a reference popcount, via SQL too") {
+    import graft.functions.Hamming64
+    def ref(a: String, b: String): Long =
+      (BigInt(a, 16) ^ BigInt(b, 16)).bitCount.toLong
+    val cases = Seq(
+      ("0000000000000000", "0000000000000000"),
+      ("ffffffffffffffff", "0000000000000000"),
+      ("deadbeefdeadbeef", "deadbeefdeadbeee"),
+      ("8000000000000001", "0000000000000001"))
+    val df = cases.toDF("a", "b")
+    val got = df.select(Hamming64.hamming64(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq == cases.map { case (a, b) => ref(a, b) })
+    // and through the registered SQL surface
+    GraftExtensions.register(spark)
+    val sql = df.selectExpr("hamming64(a, b)").as[Long].collect()
+    assert(sql.toSeq == got.toSeq)
+  }
+
   test("highlight wraps only the first match, case-insensitive, escaped (F13)") {
     val df = Seq("Bandung and BANDUNG", "no hit here", "a.c literal").toDF("t")
     def hl(q: String) = df.select(WeatherFunctions.highlightFirst(col("t"), q))
