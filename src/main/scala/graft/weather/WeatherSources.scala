@@ -67,6 +67,22 @@ object WeatherSources {
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").csv(path)
 
+  /** Size-aware compacting parquet write — the small-files guard: a shuffle-
+    * heavy job ends with as many files as shuffle partitions (tiny files ×
+    * thousands of jobs is the classic lakehouse pathology; every downstream
+    * scan then pays per-file open/footer costs). Target file count comes
+    * from Catalyst's size estimate for the plan, so callers don't hand-tune
+    * partition counts per dataset. Estimates are rough (pre-compression
+    * row-size arithmetic) — fine for a file-count decision. */
+  def writeCompacted(df: DataFrame, path: String,
+                     targetFileBytes: Long = 128L << 20): Unit = {
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = (estBytes / targetFileBytes).toLong.toInt + 1
+    // coalesce never increases partition count, so no need to inspect the
+    // current layout (which would instantiate the RDD lineage)
+    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** S10 — CSV scan with date parsing and the reference's fallback-without-
     * parsing behavior (web.py:25-34): columns that fail to parse stay
     * strings rather than failing the read. */

@@ -51,6 +51,17 @@ class SinksSpec extends SparkSpec {
     assert(csv.select(sum("total_rain")).as[Double].head() == 2.5)
   }
 
+  test("compacting write collapses a many-partition frame to sized files") {
+    val dir = tmpDir("compact").toString
+    val df = spark.range(10000).toDF("id").repartition(32)
+    WeatherSources.writeCompacted(df, s"$dir/out.parquet",
+      targetFileBytes = 1L << 30) // tiny data, 1 GiB target -> 1 file
+    val files = new java.io.File(s"$dir/out.parquet")
+      .list().count(_.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 compacted file, got $files")
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 10000)
+  }
+
   test("S9: city-partitioned processed zone prunes to one directory per city") {
     val daily = Seq(("a", 1.0), ("b", 2.0)).toDF("city", "v")
     val dir = tmpDir("part").toString
