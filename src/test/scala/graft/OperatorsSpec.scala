@@ -152,6 +152,17 @@ class OperatorsSpec extends SparkSpec {
     assert(overlap < s1, "salted samples should not coincide")
   }
 
+  test("approx_percentile stays within 1% of exact on lineitem prices") {
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val r = li.agg(
+      expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)").as("ap"),
+      expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("ex"))
+      .head()
+    val ap = r.getSeq[Double](0); val ex = r.getSeq[Double](1)
+    ap.zip(ex).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.01, s"approx=$a exact=$e") }
+  }
+
   // Bounds the no-oracle gate row q_a_approx_distinct: HLL sketches differ
   // across engines, so instead of a hash compare the sketch is held to <5%
   // relative error against the exact distinct counts on real data.
