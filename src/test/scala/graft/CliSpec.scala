@@ -67,6 +67,33 @@ class CliSpec extends SparkSpec {
     assert(graft.weather.WeatherSources.slug("Kota Antah") == "kota-antah")
   }
 
+  test("fun-fact cache: cache-or-generate, last-7 trim, legacy + corrupt reads") {
+    import graft.weather.FunFactCache
+    val dir = java.nio.file.Files.createTempDirectory("funfacts")
+    val path = s"$dir/funfacts.json"
+    var calls = 0
+    def gen(s: String) = () => { calls += 1; Some(s) }
+    // first call generates and persists; second serves from cache
+    assert(FunFactCache.get(path, " Bandung ", gen("f1")).contains("f1"))
+    assert(FunFactCache.get(path, "bandung", gen("f2")).contains("f1"))
+    assert(calls == 1)
+    // fresh=true regenerates; variants accumulate, trimmed to the last 7
+    (2 to 9).foreach(i =>
+      FunFactCache.get(path, "bandung", gen(s"f$i"), fresh = true))
+    val facts = FunFactCache.load(path)("bandung")
+    assert(facts.size == 7 && facts.head == "f3" && facts.last == "f9")
+    assert(FunFactCache.cached(path, "Bandung").contains("f9"))
+    // supplier failure falls back to cache; unknown city stays None
+    assert(FunFactCache.get(path, "bandung", () => None, fresh = true).contains("f9"))
+    assert(FunFactCache.get(path, "nowhere", () => None).isEmpty)
+    // legacy single-fact entries and corrupt files read tolerantly
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      """{"solo": {"fact": "old-shape", "ts": 1}}""")
+    assert(FunFactCache.cached(path, "solo").contains("old-shape"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), "{not json")
+    assert(FunFactCache.load(path).isEmpty)
+  }
+
   test("salted join returns exactly the plain join, spread over salts") {
     val big = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "v")
     val small = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "w")
