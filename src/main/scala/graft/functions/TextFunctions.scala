@@ -123,6 +123,29 @@ object TextFunctions {
       .otherwise("und")
   }
 
+  /** Duplicate-line fraction (a Gopher/C4-style repetition quality signal):
+    * 1 - distinct_lines / lines over non-empty trimmed lines; 0.0 for
+    * documents with no lines. High values flag boilerplate/spam. */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of tokens inside duplicated word 2-grams (repetition signal #2:
+    * catches within-line loops that line-dedup misses): duplicated = a
+    * 2-gram occurring more than once; fraction = dup 2-gram count / total
+    * 2-grams, 0.0 when fewer than 2 tokens. */
+  def dupBigramFraction(text: Column): Column = {
+    val grams = shingles(text, 2) // NOT distinct: duplicates are the signal
+    val n = size(grams)
+    when(size(tokens(text)) >= 2,
+      (n - size(array_distinct(grams))).cast("double") / n)
+      .otherwise(0.0)
+  }
+
   /** Order-insensitive document fingerprint: md5 of the sorted distinct token
     * set (OpenRefine-style key collision fingerprint). Two documents with the
     * same bag of words collide. */

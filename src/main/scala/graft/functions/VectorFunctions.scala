@@ -36,6 +36,29 @@ object VectorFunctions {
       (x, n) => when(n > 0.0, x / n).otherwise(x))
   }
 
+  /** Symmetric int8 scalar quantization scale: 127 / max|v| (1.0 for the
+    * zero vector). Max is order-independent, so the fold is exact on any
+    * engine. */
+  def quantScaleI8(a: Column): Column = {
+    val maxAbs = aggregate(asD(a), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(lit(1.0))
+  }
+
+  /** Quantize to int8 codes with the given scale: q_i = round(v_i * scale)
+    * ∈ [-127, 127]. 4× memory/IO vs float32 — the standard first compression
+    * step for an embedding store at scale; pair with [[dequantizeI8]] or
+    * integer dot products. The scale rides in as an argument array (a
+    * captured lambda expression would re-evaluate it per element). */
+  def quantizeI8(a: Column, scale: Column): Column = {
+    val v = asD(a)
+    zip_with(v, array_repeat(scale, size(v)),
+      (x, s) => round(x * s).cast("tinyint"))
+  }
+
+  def dequantizeI8(q: Column, scale: Column): Column =
+    zip_with(q, array_repeat(scale, size(q)),
+      (x, s) => x.cast("double") / s)
+
   /** Sign-bit LSH bucket over the first `bits` dimensions: cheap deterministic
     * bucketing for approximate nearest-neighbor (candidates only form within a
     * bucket, so the pair join is bucket-local instead of a full cross join).

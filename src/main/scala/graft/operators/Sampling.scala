@@ -36,4 +36,16 @@ object Sampling {
   def sampleByHash(df: DataFrame, key: Column, pct: Int,
                    salt: String = ""): DataFrame =
     df.filter(hashBucket(key, 100, salt) < pct)
+
+  /** Per-group sampling rates — the deterministic analog of `sampleBy` for
+    * domain-mixture curation (e.g. keep 50% of web text, 100% of books).
+    * Groups absent from `rates` keep `defaultPct`. */
+  def stratifiedSampleByHash(df: DataFrame, key: Column, group: Column,
+                             rates: Map[String, Int], defaultPct: Int = 0,
+                             salt: String = ""): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultPct)) {
+      case (acc, (g, p)) => when(group === g, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, 100, salt) < rateCol)
+  }
 }

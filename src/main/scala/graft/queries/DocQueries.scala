@@ -289,6 +289,32 @@ object DocQueries {
            |WHERE is_keeper ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- Repetition quality signals (Gopher/C4-style): duplicate-line
+    //      fraction and duplicated word-2-gram fraction — the boilerplate /
+    //      loop detectors a pretraining cleaner runs beside qualityScore.
+    "q_text_repetition" -> Q(
+      (s, d) => docsP(s, d).select(
+        col("doc_id"),
+        TextFunctions.dupLineFraction(col("text")).as("dup_line_frac"),
+        TextFunctions.dupBigramFraction(col("text")).as("dup_bigram_frac"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+        |l AS (SELECT doc_id, toks,
+        |  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |    x -> len(x) > 0) AS lines FROM t),
+        |g AS (SELECT doc_id, lines, toks,
+        |  CASE WHEN len(toks) >= 2
+        |   THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |   ELSE [] END AS grams FROM l)
+        |SELECT doc_id,
+        | CASE WHEN len(lines) > 0
+        |  THEN CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS dup_line_frac,
+        | CASE WHEN len(toks) >= 2
+        |  THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin)),
+
     // ---- Deterministic hash-split: stable stratified train/valid/test
     //      assignment (membership is a pure function of doc_id + salt — the
     //      reproducible alternative to seeded Bernoulli sampling, which no
@@ -310,6 +336,25 @@ object DocQueries {
         |SELECT source, split, count(*) AS n,
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Stratified deterministic sampling: per-source keep rates (the
+    //      domain-mixture knob: 100% of src0, 40% of src1, 10% default).
+    "q_sample_stratified" -> Q(
+      (s, d) => graft.operators.Sampling.stratifiedSampleByHash(
+          Tables.documents(s, d), col("doc_id"), col("source"),
+          rates = Map("src0" -> 100, "src1" -> 40), defaultPct = 10,
+          salt = ":mix1")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+        .orderBy("source"),
+      Some(s"""WITH k AS (SELECT doc_id, source,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':mix1'")} % 100 AS b
+        | FROM documents)
+        |SELECT source, count(*) AS n, min(doc_id) AS min_id
+        |FROM k
+        |WHERE b < (CASE WHEN source = 'src0' THEN 100
+        |  WHEN source = 'src1' THEN 40 ELSE 10 END)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- capstone v2: same gates, but the dedup stage is NEAR-dup — word-
     //      shingle jaccard pairs -> connected components -> keep cluster
@@ -592,6 +637,33 @@ object DocQueries {
         |SELECT vec_id, sqrt(list_dot_product(nv, nv)) AS unit_norm,
         | nv[1] AS x0, nv[2] AS x1
         |FROM u ORDER BY vec_id""".stripMargin)),
+
+    // int8 scalar quantization round-trip: scale, two codes, and the max
+    // reconstruction error per vector — all exact-mirrorable arithmetic
+    // (round ties-away-from-zero on both engines, max folds are exact).
+    "q_v_quantize_i8" -> Q(
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale", VectorFunctions.quantScaleI8(col("v")))
+        .withColumn("q", VectorFunctions.quantizeI8(col("v"), col("scale")))
+        .select(col("vec_id"), col("scale"),
+          element_at(col("q"), 1).as("q0"), element_at(col("q"), 2).as("q1"),
+          aggregate(
+            zip_with(col("v"), VectorFunctions.dequantizeI8(col("q"), col("scale")),
+              (x, y) => abs(x - y)),
+            lit(0.0), (acc, e) => greatest(acc, e)).as("max_err"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0.0
+        |   THEN CAST(127.0 AS DOUBLE) / list_max(list_transform(v, x -> abs(x)))
+        |   ELSE CAST(1.0 AS DOUBLE) END AS scale FROM e),
+        |qz AS (SELECT vec_id, v, scale,
+        |  list_transform(v, x -> CAST(round(x * scale) AS TINYINT)) AS q FROM sc)
+        |SELECT vec_id, scale, q[1] AS q0, q[2] AS q1,
+        | list_max(list_transform(range(1, len(v) + 1),
+        |   i -> abs(v[i] - CAST(q[i] AS DOUBLE) / scale))) AS max_err
+        |FROM qz ORDER BY vec_id""".stripMargin)),
 
     // ==================== multimodal plumbing ====================
 
