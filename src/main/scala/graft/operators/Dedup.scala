@@ -60,10 +60,14 @@ object Dedup {
                    tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
     val tok1 = tokenIndex(docs, idCol, textCol, tokens)
       .select(col("doc_id"), tokenFp60(col("tok")).as("tok"))
+    // df cut as a WINDOW over tok, not a broadcast-joined df table: the
+    // distinct-token table grows with the corpus (billions at 100 TB), so
+    // broadcasting it would overflow the driver — the window shuffles once
+    // on tok, the same partitioning the self-join below needs anyway
     val tok0 = if (maxTokenDf > 0) {
-      val df = tok1.groupBy("tok").agg(count(lit(1)).as("df"))
-      tok1.join(broadcast(df.filter(col("df") <= maxTokenDf)), "tok")
-        .select("doc_id", "tok")
+      tok1.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+        .filter(col("df") <= maxTokenDf)
+        .drop("df")
     } else tok1
     // the edge list is read three times (self-join both sides + sizes);
     // persist so tokenization/hashing runs once, not three times. The
