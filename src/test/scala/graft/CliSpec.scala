@@ -33,6 +33,9 @@ class CliSpec extends SparkSpec {
     assert(report.isDefined)
     val html = Files.readString(java.nio.file.Paths.get(report.get))
     assert(html.contains("Bandung") && html.contains("Rekomendasi"))
+    // the chart section rides in the written report (S11 + viz layer)
+    assert(html.contains("<h2>Grafik</h2>") && html.contains("vegaEmbed(\"#chart_3\""))
+    assert(html.contains("vega-lite/v5.json"))
   }
 
   test("serveDaily is cache-or-compute: computes once, then serves the cache") {

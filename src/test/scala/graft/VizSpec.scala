@@ -62,6 +62,19 @@ class VizSpec extends SparkSpec {
     assert(pm.contains("\"aqi_status\": \"Tidak Sehat\""))
   }
 
+  test("rain MA fills in from day 7 with pandas rolling(7) semantics") {
+    val s = spark
+    import s.implicits._
+    val ten = (1 to 10).map(i =>
+      (java.sql.Date.valueOf(f"2025-01-$i%02d"), 20.0, 30.0, i.toDouble, 10.0))
+      .toDF("date", "temp_min", "temp_max", "total_rain", "pm25_avg")
+    val ma = WeatherViz.chartFrame(ten).select("rain_ma7")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(ma.take(6).forall(_.isEmpty)) // first 6 rows null
+    assert(ma(6).contains(4.0))  // mean(1..7)
+    assert(ma(9).contains(7.0))  // mean(4..10)
+  }
+
   test("report html embeds the three charts and the vega runtime") {
     import graft.weather.WeatherReport
     val s = WeatherReport.summary(daily).get
