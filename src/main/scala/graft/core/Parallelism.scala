@@ -27,9 +27,11 @@ object Parallelism {
     val files = df.inputFiles
     if (files.length >= target) df
     else if (files.isEmpty) {
-      // no file-based input (in-memory fixture / computed relation): its
-      // partitioning is as narrow as its tiny source — fan out unconditionally
-      df.repartition(target)
+      // no file-based input (in-memory fixture / computed relation): no file
+      // metadata to reason from, so pay the cheap getNumPartitions check
+      // (these relations are small by construction) rather than stacking an
+      // unconditional shuffle on top of an already-wide computed frame
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
     } else {
       val conf = spark.sparkContext.hadoopConfiguration
       val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes

@@ -61,15 +61,19 @@ object Multimodal {
     val bytes = transform(
       regexp_extract_all(hex(col("payload")), lit(".."), lit(0)),
       h => conv(h, 16, 10).cast("double") / 255.0)
+    // collision-free staging column: an input frame that already carries a
+    // column by this name must not be silently clobbered and dropped
+    val bytesCol = Iterator.from(0).map(i => s"__graft_bytes_$i")
+      .find(n => !media.columns.contains(n)).get
     def lane(j: Int): Column =
       when(col("payload").isNull || len < j + 1, lit(0.0))
         .otherwise(
           aggregate(sequence(lit(j + 1), len, lit(8)), lit(0.0),
-            (acc, p) => acc + element_at(col("__bytes"), p)) / scale)
+            (acc, p) => acc + element_at(col(bytesCol), p)) / scale)
     media
-      .withColumn("__bytes", bytes)
+      .withColumn(bytesCol, bytes)
       .withColumn("features", array((0 until 8).map(lane): _*))
-      .drop("__bytes")
+      .drop(bytesCol)
   }
 
   /** STUB resize kernel: a real implementation decodes `payload`, resizes to

@@ -16,13 +16,16 @@ object Ingest {
     * is injectable so specs assert the delay schedule without waiting. */
   def retry[T](retries: Int = 3, delay0Ms: Long = 800, factor: Double = 1.6,
                sleep: Long => Unit = Thread.sleep)(f: Int => T): T = {
+    require(retries >= 1, s"retries must be >= 1, got $retries")
     var delay = delay0Ms
     var last: Throwable = null
     var attempt = 1
     while (attempt <= retries) {
       try return f(attempt)
       catch {
-        case e: Throwable =>
+        // NonFatal only: the reference catches httpx.HTTPError, not
+        // interrupts/OOM — fatal errors and InterruptedException propagate
+        case scala.util.control.NonFatal(e) =>
           last = e
           sleep(delay)
           delay = (delay * factor).toLong

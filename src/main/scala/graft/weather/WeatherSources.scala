@@ -75,12 +75,28 @@ object WeatherSources {
     * partition counts per dataset. Estimates are rough (pre-compression
     * row-size arithmetic) — fine for a file-count decision. */
   def writeCompacted(df: DataFrame, path: String,
-                     targetFileBytes: Long = 128L << 20): Unit = {
+                     targetFileBytes: Long = 128L << 20,
+                     maxFiles: Int = 10000): Unit = {
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = (estBytes / targetFileBytes).toLong.toInt + 1
-    // coalesce never increases partition count, so no need to inspect the
-    // current layout (which would instantiate the RDD lineage)
-    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(path)
+    val unknown = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    targetFileCount(estBytes, targetFileBytes, unknown, maxFiles) match {
+      // coalesce never increases partition count, so no need to inspect the
+      // current layout (which would instantiate the RDD lineage)
+      case Some(n) => df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(path)
+      // size estimate is the no-stats sentinel: keep the current layout
+      // rather than coalescing on garbage
+      case None => df.write.mode(SaveMode.Overwrite).parquet(path)
+    }
+  }
+
+  /** File-count decision for [[writeCompacted]], clamped to [1, maxFiles];
+    * `None` when the estimate is the no-stats sentinel (>= the session's
+    * defaultSizeInBytes, i.e. "unknown" — relations without stats report
+    * Long.MaxValue, which would overflow a naive toInt into coalesce(0)). */
+  def targetFileCount(estBytes: BigInt, targetFileBytes: Long,
+                      unknownSentinel: BigInt, maxFiles: Int = 10000): Option[Int] = {
+    if (estBytes >= unknownSentinel) None
+    else Some((estBytes / targetFileBytes + 1).min(maxFiles).max(1).toInt)
   }
 
   /** S10 — CSV scan with date parsing and the reference's fallback-without-

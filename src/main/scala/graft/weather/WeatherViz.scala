@@ -66,7 +66,11 @@ object WeatherViz {
 
   private def jnum(v: Any): String = v match {
     case null => "null"
-    case d: Double => if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+    // bare NaN/Infinity tokens are invalid JSON and would break the whole
+    // inline spec at vegaEmbed parse time — encode as null like Altair does
+    case d: Double if d.isNaN || d.isInfinite => "null"
+    case f: Float if f.isNaN || f.isInfinite => "null"
+    case d: Double => if (d == d.floor) f"$d%.1f" else d.toString
     case x => x.toString
   }
 

@@ -36,6 +36,19 @@ class SimilaritySpec extends SparkSpec {
     assert(one.forall(_.getAs[Array[Byte]](0).length <= 8))
   }
 
+  test("decode staging column never clobbers a caller column of the same name") {
+    val media = Multimodal.fromText(
+        Tables.documents(spark, sf).limit(3), "doc_id", "text", "source")
+      .withColumn("__graft_bytes_0", lit(42))
+    val out = Multimodal.fakeDecodeFeatures(media)
+    assert(out.columns.contains("__graft_bytes_0"))
+    assert(out.select("__graft_bytes_0").collect().forall(_.getInt(0) == 42))
+    // features identical to the collision-free path
+    val plain = Multimodal.fakeDecodeFeatures(media.drop("__graft_bytes_0"))
+    assert(out.select("media_id", "features").collect().toSeq ==
+      plain.select("media_id", "features").collect().toSeq)
+  }
+
   test("resize stub records target dims in metadata, payload untouched") {
     val media = Multimodal.fromText(
       Tables.documents(spark, sf).limit(3), "doc_id", "text", "source")

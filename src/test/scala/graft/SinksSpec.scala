@@ -62,6 +62,17 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out.parquet").count() == 10000)
   }
 
+  test("compaction file-count clamps and treats the no-stats sentinel as unknown") {
+    val unknown = BigInt(Long.MaxValue)
+    val target = 128L << 20
+    // no-stats sentinel (defaultSizeInBytes = Long.MaxValue): don't coalesce(0)
+    assert(WeatherSources.targetFileCount(unknown, target, unknown).isEmpty)
+    assert(WeatherSources.targetFileCount(unknown - 1, target, unknown, maxFiles = 500)
+      .contains(500)) // huge-but-known estimate clamps to maxFiles, no Int overflow
+    assert(WeatherSources.targetFileCount(BigInt(0), target, unknown).contains(1))
+    assert(WeatherSources.targetFileCount(BigInt(300L << 20), target, unknown).contains(3))
+  }
+
   test("S9: city-partitioned processed zone prunes to one directory per city") {
     val daily = Seq(("a", 1.0), ("b", 2.0)).toDF("city", "v")
     val dir = tmpDir("part").toString

@@ -51,6 +51,17 @@ class SourcesSpec extends SparkSpec {
     assert(e.getCause.getMessage == "down")
   }
 
+  test("ingest retry: retries < 1 rejected; fatal errors are not retried") {
+    intercept[IllegalArgumentException](Ingest.retry(retries = 0, sleep = _ => ())(_ => "x"))
+    var calls = 0
+    intercept[InterruptedException] {
+      Ingest.retry(retries = 3, sleep = _ => ()) { _ =>
+        calls += 1; throw new InterruptedException("stop")
+      }
+    }
+    assert(calls == 1) // propagated on first throw, no backoff loop
+  }
+
   // ---------------------------- fan-out guard ------------------------------
 
   test("fanOut repartitions only scans-narrow inputs, from metadata alone") {
@@ -66,8 +77,11 @@ class SourcesSpec extends SparkSpec {
     val fanned = Parallelism.fanOut(one)
     assert(fanned ne one)
     assert(fanned.rdd.getNumPartitions == target)
-    // in-memory input (no files): fanned out unconditionally
+    // in-memory input (no files): narrow frames fan out...
     assert(Parallelism.fanOut(Seq(1, 2, 3).toDF("x")).rdd.getNumPartitions == target)
+    // ...but an already-wide computed relation passes through shuffle-free
+    val wide = spark.range(1000).toDF("id").repartition(target)
+    assert(Parallelism.fanOut(wide) eq wide)
   }
 
   // ---------------------------- polymorphic regions ------------------------

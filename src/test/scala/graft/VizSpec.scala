@@ -75,6 +75,19 @@ class VizSpec extends SparkSpec {
     assert(ma(9).contains(7.0))  // mean(4..10)
   }
 
+  test("non-finite doubles encode as JSON null, never bare NaN/Infinity tokens") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq(
+      (java.sql.Date.valueOf("2025-01-01"), Double.NaN, 30.0, Double.PositiveInfinity, Double.NaN),
+      (java.sql.Date.valueOf("2025-01-02"), 20.0, 25.0, 1.5, 12.0))
+      .toDF("date", "temp_min", "temp_max", "total_rain", "pm25_avg")
+    for (spec <- WeatherViz.vegaLiteSpecs(bad)) {
+      assert(!spec.contains("NaN") && !spec.contains("Infinity"),
+        s"invalid JSON token in spec:\n${spec.take(400)}")
+    }
+  }
+
   test("report html embeds the three charts and the vega runtime") {
     import graft.weather.WeatherReport
     val s = WeatherReport.summary(daily).get
