@@ -16,22 +16,27 @@ object Parallelism {
     * would scan as fewer splits; otherwise pass through untouched (no shuffle
     * added on well-partitioned inputs).
     *
-    * The decision is driver-side metadata only — file count, and file sizes
-    * only when the count is already below target (a bounded number of
-    * `getFileStatus` calls) — so the guard never instantiates the physical
-    * RDD lineage or plans the query twice. At 100 TB, `inputFiles.length >=
-    * target` short-circuits on the catalog's file index. */
+    * The decision is driver-side only — file count, file sizes when the
+    * count is already below target (a bounded number of `getFileStatus`
+    * calls), and for file-less relations the PLANNED physical output
+    * partitioning — so the guard never executes a stage of the query. At
+    * 100 TB, `inputFiles.length >= target` short-circuits on the catalog's
+    * file index. */
   def fanOut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
     if (files.length >= target) df
     else if (files.isEmpty) {
-      // no file-based input (in-memory fixture / computed relation): no file
-      // metadata to reason from, so pay the cheap getNumPartitions check
-      // (these relations are small by construction) rather than stacking an
-      // unconditional shuffle on top of an already-wide computed frame
-      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+      // no file-based input (in-memory fixture / computed relation): read the
+      // PLANNED physical output partitioning rather than forcing .rdd — under
+      // AQE, .rdd eagerly executes every upstream shuffle stage just to count
+      // partitions (for JDBC/Kafka/derived frames, not just tiny fixtures).
+      // sparkPlan only plans; an already-wide computed frame (shuffle on top)
+      // reports its exchange partitioning and passes through shuffle-free,
+      // while local/unknown-partitioned relations report 0 and fan out.
+      val planned = df.queryExecution.sparkPlan.outputPartitioning.numPartitions
+      if (planned >= target) df else df.repartition(target)
     } else {
       val conf = spark.sparkContext.hadoopConfiguration
       val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes

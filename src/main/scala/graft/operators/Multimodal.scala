@@ -62,9 +62,13 @@ object Multimodal {
       regexp_extract_all(hex(col("payload")), lit(".."), lit(0)),
       h => conv(h, 16, 10).cast("double") / 255.0)
     // collision-free staging column: an input frame that already carries a
-    // column by this name must not be silently clobbered and dropped
+    // column by this name must not be silently clobbered and dropped.
+    // Compared case-insensitively — withColumn/drop resolve names that way
+    // under the default spark.sql.caseSensitive=false, so a caller column
+    // differing only in case would still be clobbered by an exact-match check
+    val taken = media.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val bytesCol = Iterator.from(0).map(i => s"__graft_bytes_$i")
-      .find(n => !media.columns.contains(n)).get
+      .find(n => !taken.contains(n)).get
     def lane(j: Int): Column =
       when(col("payload").isNull || len < j + 1, lit(0.0))
         .otherwise(

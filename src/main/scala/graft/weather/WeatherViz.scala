@@ -70,7 +70,11 @@ object WeatherViz {
     // inline spec at vegaEmbed parse time — encode as null like Altair does
     case d: Double if d.isNaN || d.isInfinite => "null"
     case f: Float if f.isNaN || f.isInfinite => "null"
-    case d: Double => if (d == d.floor) f"$d%.1f" else d.toString
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale (id_ID) would emit "12,0" — an invalid JSON token
+    case d: Double =>
+      if (d == d.floor) String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+      else d.toString
     case x => x.toString
   }
 
