@@ -59,14 +59,35 @@ object VectorFunctions {
     zip_with(q, array_repeat(scale, size(q)),
       (x, s) => x.cast("double") / s)
 
-  /** Sign-bit LSH bucket over the first `bits` dimensions: cheap deterministic
-    * bucketing for approximate nearest-neighbor (candidates only form within a
-    * bucket, so the pair join is bucket-local instead of a full cross join).
-    * Bucket id is the concatenated sign pattern, e.g. "+-++-+-+".
-    */
-  def signBucket(a: Column, bits: Int): Column =
-    concat(
-      (0 until bits).map { d =>
-        when(element_at(asD(a), d + 1) >= 0.0, "+").otherwise("-")
-      }: _*)
+  /** Fixed seeded random hyperplanes with ±1 (Rademacher) entries, drawn once
+    * from a seeded PRNG — the same constants generate both the Spark plan and
+    * any mirroring oracle SQL (the `Dedup.HashParams` pattern). ±1 entries
+    * instead of Gaussians keep every product an exact sign-flip of the input
+    * double, so the sequential-fold dot product is bit-reproducible across
+    * engines with no float-literal round-tripping. */
+  def signPlanes(bits: Int, dim: Int, seed: Long = 42L): IndexedSeq[Array[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(bits)(Array.fill(dim)(if (rnd.nextBoolean()) 1 else -1))
+  }
+
+  /** Sign-LSH bucket from `bits` random-hyperplane projections: bit i is the
+    * sign of v · plane_i. Bucket id is the concatenated sign pattern, e.g.
+    * "+-++-+-+" — candidates only form within a bucket, so the pair join is
+    * bucket-local instead of a full cross join.
+    *
+    * Random hyperplanes, NOT the signs of the first `bits` dimensions: real
+    * embedding dimensions are correlated/anisotropic, so leading-dim signs
+    * skew badly (worst case one bucket holds most of the corpus and the
+    * "bucket-local" join degenerates toward quadratic). Each projection mixes
+    * ALL `dim` dimensions with ±1 weights, which balances buckets under any
+    * fixed rotation/scaling of the embedding space. */
+  def hyperplaneBucket(a: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
+    val v = asD(a)
+    concat(signPlanes(bits, dim, seed).map { p =>
+      val proj = aggregate(
+        zip_with(v, array(p.map(x => lit(x.toDouble)): _*), (x, c) => x * c),
+        lit(0.0), (acc, t) => acc + t)
+      when(proj >= 0.0, "+").otherwise("-")
+    }: _*)
+  }
 }

@@ -305,14 +305,21 @@ object Dedup {
   }
 
   /** Embedding-cosine near-duplicate pairs within sign-LSH buckets: vectors
-    * only compare within their sign-pattern bucket (see
-    * [[graft.functions.VectorFunctions.signBucket]]), so the pair join is
-    * bucket-local instead of O(n^2). */
+    * only compare within their random-hyperplane sign bucket (see
+    * [[graft.functions.VectorFunctions.hyperplaneBucket]]), so the pair join
+    * is bucket-local instead of O(n^2). */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, bucketBits: Int = 8): DataFrame = {
+                       threshold: Double, bucketBits: Int = 8,
+                       dim: Int = 64): DataFrame = {
     val b = Parallelism.fanOut(emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")))
       .select(col("vec_id"), col("v"),
-        VectorFunctions.signBucket(col("v"), bucketBits).as("bucket"))
+        VectorFunctions.hyperplaneBucket(col("v"), bucketBits, dim).as("bucket"))
+      // persist + materialize like every other self-join in this file:
+      // exchange reuse is unreliable, and without the count() the two join
+      // branches race to populate the cache and can each recompute the full
+      // fanOut + bucket pipeline (the observed bimodal-timing failure mode)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    b.count()
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),

@@ -70,13 +70,23 @@ object Similarity {
 
     val c = Parallelism.fanOut(
       corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
-    // quantizer training: random init (one pass; k-means|| costs ~5 extra
-    // distributed passes for marginal centroid quality on a coarse quantizer)
-    // over a few fat partitions (32 near-empty tasks per iteration otherwise
-    // dominate wall time). At real scale, train on a hash sample — centroid
-    // quality needs vector diversity, not the full corpus.
-    val train = c.select(array_to_vector(col("nbr_v").cast("array<double>")).as("features"))
-      .coalesce(4)
+    // quantizer training: centroid quality needs vector DIVERSITY, not the
+    // full corpus — train on a deterministic hash sample capped at ~100
+    // rows/list. The sample rate comes from one distributed count (cheap
+    // metadata pass vs the 5 full-corpus passes the fit would otherwise
+    // make), and the salt is seed-derived so the quantizer is reproducible.
+    val n = c.count()
+    val targetRows = nLists.toLong * 100L
+    val pct = math.min(100, math.max(1,
+      math.ceil(targetRows * 100.0 / math.max(n, 1L)).toInt))
+    // repartition, NOT coalesce: coalesce pushes the partition merge upstream
+    // so the corpus-wide sample FILTER itself would funnel through 4 scan
+    // tasks. A shuffle here moves only the bounded sample (~nLists*100 rows)
+    // into a few fat partitions for the iterative fit — 32 near-empty tasks
+    // per k-means iteration otherwise dominate wall time.
+    val train = Sampling.sampleByHash(c, col("nbr_id"), pct, salt = s"ivf$seed")
+      .select(array_to_vector(col("nbr_v").cast("array<double>")).as("features"))
+      .repartition(4)
     // 5 iterations: a coarse quantizer needs balanced-ish cells, not
     // converged centroids — recall is governed by nProbe, and each extra
     // iteration is a full distributed pass
@@ -110,13 +120,13 @@ object Similarity {
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                   bucketBits: Int = 8): DataFrame = {
+                   bucketBits: Int = 8, dim: Int = 64): DataFrame = {
     val c = Parallelism.fanOut(
       corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
       .select(col("nbr_id"), col("nbr_v"),
-        VectorFunctions.signBucket(col("nbr_v"), bucketBits).as("bucket"))
+        VectorFunctions.hyperplaneBucket(col("nbr_v"), bucketBits, dim).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"),
-      VectorFunctions.signBucket(col("embedding"), bucketBits).as("bucket"))
+      VectorFunctions.hyperplaneBucket(col("embedding"), bucketBits, dim).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),

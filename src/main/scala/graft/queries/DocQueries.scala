@@ -53,10 +53,15 @@ object DocQueries {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
-  /** Sign-LSH bucket over the first `bits` dims — mirrors VectorFunctions.signBucket. */
-  private def bucketSql(v: String, bits: Int): String =
-    (1 to bits).map(i => s"(CASE WHEN $v[$i] >= 0 THEN '+' ELSE '-' END)")
-      .mkString(" || ")
+  /** Sign-LSH bucket from random ±1 hyperplane projections — mirrors
+    * VectorFunctions.hyperplaneBucket: the SAME seeded signPlanes constants
+    * generate both sides, and DuckDB's list_dot_product is a left-to-right
+    * fold matching the sequential Column aggregate bit-for-bit. */
+  private def bucketSql(v: String, bits: Int, dim: Int): String =
+    VectorFunctions.signPlanes(bits, dim).map { p =>
+      val arr = p.map(x => s"$x.0").mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($v, $arr) >= 0 THEN '+' ELSE '-' END)"
+    }.mkString(" || ")
 
   private val StopListSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
   private val StopRatioSql =
@@ -549,10 +554,10 @@ object DocQueries {
 
     "q_dedup_embedding" -> Q(
       (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
-          "embedding", threshold = 0.35, bucketBits = 8)
+          "embedding", threshold = 0.35, bucketBits = 8, dim = 64)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |  ${bucketSql("CAST(embedding AS DOUBLE[])", 8)} AS bucket
+        |  ${bucketSql("CAST(embedding AS DOUBLE[])", 8, 64)} AS bucket
         |  FROM embeddings)
         |SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
         | ${cosSql("a.v", "b2.v")} AS cosine
@@ -590,12 +595,12 @@ object DocQueries {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         Similarity.bucketedTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-            bucketBits = 6)
+            bucketBits = 6, dim = 64)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |  ${bucketSql("CAST(embedding AS DOUBLE[])", 6)} AS bucket FROM embeddings),
+        |  ${bucketSql("CAST(embedding AS DOUBLE[])", 6, 64)} AS bucket FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 8),
         |scored AS (SELECT query_id, e.vec_id AS nbr_id,
         |  ${cosSql("qv", "e.v")} AS cosine

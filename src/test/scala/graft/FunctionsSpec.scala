@@ -117,7 +117,7 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq == texts.map(ref))
   }
 
-  test("vector cosine and sign bucket") {
+  test("vector cosine and hyperplane sign bucket") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
       (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
@@ -126,8 +126,17 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(cos(0) - 1.0) < 1e-12)
     assert(math.abs(cos(1)) < 1e-12)
     assert(math.abs(cos(2) + 1.0) < 1e-12)
-    // sign of 0.0 is '+': (1,0)->"++", (0,1)->"++", (-1,-1)->"--"
-    val b = df.select(VectorFunctions.signBucket(col("b"), 2)).as[String].collect()
-    assert(b.toSeq == Seq("++", "++", "--"))
+    // driver-side mirror of the seeded planes: bucket bit i = sign(v · plane_i)
+    val planes = VectorFunctions.signPlanes(2, 2)
+    def expect(v: Seq[Float]): String = planes.map { p =>
+      val d = v.zip(p).map { case (x, c) => x.toDouble * c }.sum
+      if (d >= 0.0) "+" else "-"
+    }.mkString
+    val b = df.select(VectorFunctions.hyperplaneBucket(col("b"), 2, 2)).as[String].collect()
+    assert(b.toSeq == Seq(
+      expect(Seq(1.0f, 0.0f)), expect(Seq(0.0f, 1.0f)), expect(Seq(-1.0f, -1.0f))))
+    // an antipodal pair never shares a bucket (every projection flips sign;
+    // (1,2) dodges exact zeros — no ±1 combination of 1 and 2 sums to 0)
+    assert(expect(Seq(1.0f, 2.0f)) != expect(Seq(-1.0f, -2.0f)))
   }
 }

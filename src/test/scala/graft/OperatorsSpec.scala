@@ -126,10 +126,10 @@ class OperatorsSpec extends SparkSpec {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f, 0.5f)),
       (2L, Seq(1.1f, 2.1f, 0.4f)),  // same bucket, cosine ~1
-      (3L, Seq(-1.0f, 2.0f, 0.5f))) // different sign bucket
+      (3L, Seq(-1.0f, 2.0f, 0.5f))) // cosine 0.62 vs id 1 — below threshold
       .toDF("id", "embedding")
     val out = Dedup.embeddingNearDup(emb, "id", "embedding", threshold = 0.9,
-      bucketBits = 3).collect()
+      bucketBits = 3, dim = 3).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 

@@ -26,6 +26,23 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact, "nProbe = nLists should equal brute force")
   }
 
+  test("hyperplane sign buckets stay balanced on the sf0.01 embeddings") {
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, sf)
+    val counts = emb
+      .select(VectorFunctions.hyperplaneBucket(col("embedding"), 6, 64).as("b"))
+      .groupBy("b").count()
+      .collect().map(_.getLong(1))
+    val total = counts.sum
+    assert(total == 500)
+    // 64 buckets over 500 rows (uniform ≈ 7.8/bucket): the worst bucket must
+    // stay a small fraction of the corpus — the property the bucket-local
+    // pair join's cost model depends on (measured max is 22 = 4.4%)
+    assert(counts.max <= total * 6 / 100,
+      s"worst bucket holds ${counts.max} of $total rows")
+    assert(counts.length >= 48, s"only ${counts.length} buckets occupied")
+  }
+
   test("frame sampling explodes deterministic pseudo-frames per media row") {
     val media = Multimodal.fromText(
       Tables.documents(spark, sf).limit(5), "doc_id", "text", "source", kind = "video")
