@@ -62,6 +62,43 @@ object WeatherFunctions {
       .otherwise("Unknown")
   }
 
+  /** WMO weather-code emoji decoder (F7 variant, app.js:283-299) — the daily
+    * cards show this beside the text label; groupings differ from the label
+    * map (80-82 shares the rain emoji, 85/86 the snow one, 96/99 collapse
+    * into the single thunderstorm glyph). Every glyph except U+26C5 carries
+    * the U+FE0F variation selector, exactly as the reference source does;
+    * null/unmapped codes get the thermometer fallback. */
+  /** Glyphs built from explicit codepoints (not source literals): the U+FE0F
+    * variation selector is invisible in an editor, and dropping it would
+    * silently change every downstream byte hash. */
+  private def em(cps: Int*): String = cps.flatMap(Character.toChars(_)).mkString
+  val WeatherEmoji: Map[String, String] = Map(
+    "sun"     -> em(0x2600, 0xFE0F),  // ☀️
+    "sunCld"  -> em(0x1F324, 0xFE0F), // 🌤️
+    "partCld" -> em(0x26C5),          // ⛅  (no selector in the reference)
+    "cloud"   -> em(0x2601, 0xFE0F),  // ☁️
+    "fog"     -> em(0x1F32B, 0xFE0F), // 🌫️
+    "drizzle" -> em(0x1F326, 0xFE0F), // 🌦️
+    "rain"    -> em(0x1F327, 0xFE0F), // 🌧️
+    "snow"    -> em(0x1F328, 0xFE0F), // 🌨️
+    "storm"   -> em(0x26C8, 0xFE0F),  // ⛈️
+    "thermo"  -> em(0x1F321, 0xFE0F)) // 🌡️
+  def weatherCodeEmoji(code: Column): Column = {
+    val c = code.cast("int")
+    when(c === 0, WeatherEmoji("sun"))
+      .when(c === 1, WeatherEmoji("sunCld"))
+      .when(c === 2, WeatherEmoji("partCld"))
+      .when(c === 3, WeatherEmoji("cloud"))
+      .when(c.isin(45, 48), WeatherEmoji("fog"))
+      .when(c.between(51, 57), WeatherEmoji("drizzle"))
+      .when(c.between(61, 67), WeatherEmoji("rain"))
+      .when(c.between(71, 77), WeatherEmoji("snow"))
+      .when(c.between(80, 82), WeatherEmoji("rain"))
+      .when(c.isin(85, 86), WeatherEmoji("snow"))
+      .when(c.isin(95, 96, 99), WeatherEmoji("storm"))
+      .otherwise(WeatherEmoji("thermo"))
+  }
+
   val CompassPoints: Seq[String] = Seq(
     "N", "NNE", "NE", "ENE", "E", "ESE", "SE", "SSE",
     "S", "SSW", "SW", "WSW", "W", "WNW", "NW", "NNW")

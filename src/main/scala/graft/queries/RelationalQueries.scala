@@ -304,9 +304,15 @@ object RelationalQueries {
       (s, d) => Tables.lineitem(s, d)
         .select(pmod(col("l_partkey"), lit(100)).cast("int").as("code"))
         .withColumn("label", WeatherFunctions.weatherCodeLabel(col("code")))
-        .groupBy("code", "label").agg(count(lit(1)).as("n"))
+        .withColumn("emoji", WeatherFunctions.weatherCodeEmoji(col("code")))
+        .groupBy("code", "label", "emoji").agg(count(lit(1)).as("n"))
         .orderBy("code"),
-      Some("""SELECT code, CASE
+      Some({
+        // emoji literals come from the SAME codepoint-built strings as the
+        // Spark plan (WeatherFunctions.WeatherEmoji) — no source-literal
+        // variation-selector drift between the two engines
+        val e = WeatherFunctions.WeatherEmoji
+        s"""SELECT code, CASE
         |  WHEN code = 0 THEN 'Clear' WHEN code = 1 THEN 'Mostly Clear'
         |  WHEN code = 2 THEN 'Partly Cloudy' WHEN code = 3 THEN 'Cloudy'
         |  WHEN code IN (45, 48) THEN 'Fog'
@@ -316,9 +322,20 @@ object RelationalQueries {
         |  WHEN code BETWEEN 80 AND 82 THEN 'Showers'
         |  WHEN code IN (85, 86) THEN 'Snow Showers'
         |  WHEN code IN (95, 96, 99) THEN 'Thunderstorms'
-        |  ELSE 'Unknown' END AS label, count(*) AS n
+        |  ELSE 'Unknown' END AS label, CASE
+        |  WHEN code = 0 THEN '${e("sun")}' WHEN code = 1 THEN '${e("sunCld")}'
+        |  WHEN code = 2 THEN '${e("partCld")}' WHEN code = 3 THEN '${e("cloud")}'
+        |  WHEN code IN (45, 48) THEN '${e("fog")}'
+        |  WHEN code BETWEEN 51 AND 57 THEN '${e("drizzle")}'
+        |  WHEN code BETWEEN 61 AND 67 THEN '${e("rain")}'
+        |  WHEN code BETWEEN 71 AND 77 THEN '${e("snow")}'
+        |  WHEN code BETWEEN 80 AND 82 THEN '${e("rain")}'
+        |  WHEN code IN (85, 86) THEN '${e("snow")}'
+        |  WHEN code IN (95, 96, 99) THEN '${e("storm")}'
+        |  ELSE '${e("thermo")}' END AS emoji, count(*) AS n
         |FROM (SELECT CAST(l_partkey % 100 AS INT) AS code FROM lineitem)
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+      })),
 
     // ---- F8: 16-point compass label (app.js:187-194) over synthetic degrees.
     "q_f8_compass" -> Q(

@@ -47,6 +47,19 @@ class FunctionsSpec extends SparkSpec {
     val comp = Seq(0.0, 90.0, 180.0, 270.0, 360.0, -90.0, 11.24, 11.3)
       .toDF("d").select(WeatherFunctions.compass16(col("d"))).as[String].collect()
     assert(comp.toSeq == Seq("N", "E", "S", "W", "N", "W", "N", "NNE"))
+    // emoji variant (app.js:283-299): distinct groupings from the label map —
+    // 81 shares rain (not Showers), 85 shares snow, 96 collapses to storm;
+    // null and unmapped codes take the thermometer fallback
+    val e = WeatherFunctions.WeatherEmoji
+    val emo = Seq[Integer](0, 1, 2, 3, 45, 55, 63, 75, 81, 85, 95, 96, 42, null)
+      .toDF("c").select(WeatherFunctions.weatherCodeEmoji(col("c")))
+      .as[String].collect()
+    assert(emo.toSeq == Seq(e("sun"), e("sunCld"), e("partCld"), e("cloud"),
+      e("fog"), e("drizzle"), e("rain"), e("snow"), e("rain"), e("snow"),
+      e("storm"), e("storm"), e("thermo"), e("thermo")))
+    // the variation selector must survive: every glyph except partCld (U+26C5)
+    // ends in U+FE0F
+    assert(e.removed("partCld").values.forall(_.endsWith("\uFE0F")))
   }
 
   test("recommendation rules fire in order (report.py:28-49)") {
