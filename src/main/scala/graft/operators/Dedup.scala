@@ -256,7 +256,11 @@ object Dedup {
     * dup graphs are overwhelmingly tiny cliques, so 3-5 rounds settle it);
     * frames are persisted per round and the loop stops at a fixpoint.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          checkpointDir: Option[String] = None,
+                          checkpointInterval: Int = 3): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges0 = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -267,32 +271,45 @@ object Dedup {
     val parts = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
       (nEdges / 500000L).toInt + 1))
-    // localCheckpoint(eager) — not just persist — TRUNCATES lineage: an
-    // iterative DataFrame loop otherwise re-analyzes/re-optimizes a logical
-    // plan that grows by one join per round (quadratic planning, measured as
-    // >1 s/round on a 256-edge graph). On a fault-tolerant cluster job,
-    // swap for reliable checkpoint(dir) every few rounds — same trade
-    // GraphFrames makes.
-    val edges = edges0.coalesce(parts).localCheckpoint(true)
+    // Lineage management, selectable per deployment (the GraphFrames trade):
+    //  - default: eager localCheckpoint per round — not just persist —
+    //    TRUNCATES lineage (an iterative DataFrame loop otherwise
+    //    re-analyzes/re-optimizes a logical plan that grows by one join per
+    //    round: quadratic planning, measured >1 s/round on a 256-edge graph).
+    //    Fast, but blocks live on executors: an executor loss kills the job.
+    //  - checkpointDir set: RELIABLE checkpoint every `checkpointInterval`
+    //    rounds (survives executor loss — the right mode for a long cluster
+    //    job); persist+materialize between checkpoints, so lineage growth is
+    //    bounded by the interval and recompute after a failure replays at
+    //    most `checkpointInterval` rounds from HDFS/S3.
+    def truncate(df: DataFrame, round: Int): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint(true)
+      case Some(_) if round % checkpointInterval == 0 => df.checkpoint(true)
+      case Some(_) =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // materialize: the checksum below must not race the cache
+        p
+    }
+    val edges = truncate(edges0.coalesce(parts), 0)
     edges0.unpersist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = truncate(
+      edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")), 0)
     def checksum(df: DataFrame): Long =
       df.agg(sum("comp")).head().getLong(0)
     var sum0 = checksum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = labels.join(
-          edges
-            .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
-            .groupBy(col("src").as("id"))
-            .agg(min("nbr_comp").as("nbr_comp")),
-          Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+      val next = truncate(
+        labels.join(
+            edges
+              .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+              .groupBy(col("src").as("id"))
+              .agg(min("nbr_comp").as("nbr_comp")),
+            Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")),
+        iter + 1)
       // labels only ever decrease, so the label sum strictly decreases until
       // the fixpoint — one agg over the checkpointed frame replaces a diff join
       val sum1 = checksum(next)

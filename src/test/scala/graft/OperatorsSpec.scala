@@ -122,6 +122,29 @@ class OperatorsSpec extends SparkSpec {
       Seq(true, false, false, true, false))
   }
 
+  test("connected components: reliable-checkpoint mode reaches the same fixpoint") {
+    // a longer chain (diameter 4) forces several label-propagation rounds, so
+    // both the checkpoint round (iter % 3 == 0) and the persist-between
+    // branch are exercised
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val local = Dedup.connectedComponents(pairs).orderBy("id").collect()
+      val reliable = Dedup.connectedComponents(pairs,
+        checkpointDir = Some(dir), checkpointInterval = 3).orderBy("id").collect()
+      assert(reliable.toSeq == local.toSeq)
+      assert(reliable.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (8L, 8L), (9L, 8L)))
+      // the reliable mode actually wrote checkpoint data outside the executors
+      def anyFiles(p: java.io.File): Boolean =
+        p.isFile || Option(p.listFiles).exists(_.exists(anyFiles))
+      assert(anyFiles(new java.io.File(dir)), "no reliable checkpoint written")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("embedding near-dup within sign buckets") {
     val emb = Seq(
       (1L, Seq(1.0f, 2.0f, 0.5f)),
