@@ -61,15 +61,21 @@ object TextFunctions {
     when(n >= k, slice(joined, lit(1), n - (k - 1))).otherwise(array(t))
   }
 
-  /** Stopword-hit ratio against a fixed English list. */
+  /** Default English stopword list — deliberately small so the oracle SQL
+    * stays readable; production cleaners pass their own list (any size: the
+    * hit test compiles to an `IN` expression, and Catalyst converts large
+    * lists to a hash-set probe). */
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "to", "in", "and", "is", "it", "that")
 
-  def stopwordRatio(text: Column): Column = {
+  /** Stopword-hit ratio against a caller-supplied list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)
-    val hits = size(filter(toks, t => t.isin(Stopwords.map(lit): _*)))
+    val hits = size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
     when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(0.0)
   }
+
+  def stopwordRatio(text: Column): Column = stopwordRatio(text, Stopwords)
 
   /** Punctuation-character ratio of the raw text. */
   def punctRatio(text: Column): Column = {
@@ -89,9 +95,13 @@ object TextFunctions {
   /** Composite quality score in [0,1]: length band + stopword presence +
     * low punctuation + sane word length. Heuristic quality filter for
     * pretraining-style corpora. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = qualityScore(text, Stopwords)
+
+  /** As [[qualityScore]] with a caller-supplied stopword list (the stopword
+    * presence term is the only list-dependent component). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val lenOk = when(length(text).between(50, 10000), 0.4).otherwise(0.0)
-    val stopOk = when(stopwordRatio(text) > 0.01, 0.2).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text, stopwords) > 0.01, 0.2).otherwise(0.0)
     val punctOk = when(punctRatio(text) < 0.2, 0.2).otherwise(0.0)
     val wordOk = when(avgTokenLen(text).between(2.0, 12.0), 0.2).otherwise(0.0)
     lenOk + stopOk + punctOk + wordOk
@@ -99,7 +109,12 @@ object TextFunctions {
 
   /** Language-ID by marker-token votes (n-gram-free heuristic: counts hits of
     * per-language function words; highest hit count wins, ties by list order;
-    * no hits -> "und"). */
+    * no hits -> "und").
+    *
+    * The default marker table is deliberately tiny (deterministic gates, small
+    * oracle SQL); a production cleaner passes its own `markers` — more
+    * languages and bigger per-language lists change only the generated
+    * expression width, never the plan shape (still one scan-stage pass). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "with"),
     "es" -> Seq("el", "la", "de", "que", "y"),
@@ -107,17 +122,19 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "ist", "das"),
     "zh" -> Seq("de", "shi", "zai", "le", "he"))
 
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langId(text, LangMarkers)
+
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
     val toks = tokens(text)
     // hits per language as one array; winner = first index achieving the
     // max (array_position returns the first occurrence), which is exactly
     // "replace only on strictly greater" fold semantics. A when-chain
     // reduceLeft over structs would duplicate the accumulated tree at every
     // step — exponential expression size in the number of languages.
-    val hits = array(LangMarkers.map { case (_, markers) =>
-      size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    val hits = array(markers.map { case (_, ms) =>
+      size(filter(toks, t => t.isin(ms.map(lit): _*)))
     }: _*)
-    val langs = array(LangMarkers.map { case (lang, _) => lit(lang) }: _*)
+    val langs = array(markers.map { case (lang, _) => lit(lang) }: _*)
     val mx = array_max(hits)
     when(mx > 0, element_at(langs, array_position(hits, mx).cast("int")))
       .otherwise("und")

@@ -89,6 +89,33 @@ class FunctionsSpec extends SparkSpec {
     assert(lang.toSeq == Seq("en", "es", "und"))
   }
 
+  test("caller-supplied stopword and language-marker lists override the defaults") {
+    val df = Seq("ini adalah sebuah kalimat", "the cat sat").toDF("text")
+    // Indonesian function words are invisible to the default English list...
+    val defRatio = df.select(TextFunctions.stopwordRatio(col("text")))
+      .as[Double].collect()
+    assert(defRatio(0) == 0.0)
+    // ...but a caller-supplied list scores them
+    val id = Seq("ini", "adalah", "sebuah", "yang", "dan")
+    val idRatio = df.select(TextFunctions.stopwordRatio(col("text"), id))
+      .as[Double].collect()
+    assert(idRatio(0) == 0.75 && idRatio(1) == 0.0)
+    // langId with an Indonesian marker row; en row kept so English still wins
+    val markers = Seq(
+      "id" -> Seq("ini", "adalah", "yang", "dan", "di"),
+      "en" -> Seq("the", "and", "of", "is", "with"))
+    val lang = df.select(TextFunctions.langId(col("text"), markers))
+      .as[String].collect()
+    assert(lang.toSeq == Seq("id", "en"))
+    // qualityScore: the stopword presence term follows the injected list
+    val long = ("ini adalah sebuah kalimat panjang " * 3).trim
+    val qDef = Seq(long).toDF("text")
+      .select(TextFunctions.qualityScore(col("text"))).as[Double].head()
+    val qId = Seq(long).toDF("text")
+      .select(TextFunctions.qualityScore(col("text"), id)).as[Double].head()
+    assert(qId == qDef + 0.2)
+  }
+
   test("hamming64 native expression matches a reference popcount, via SQL too") {
     import graft.functions.Hamming64
     def ref(a: String, b: String): Long =
