@@ -728,12 +728,14 @@ object DocQueries {
       Some("""SELECT CAST('2025-01-01' AS DATE) AS date,
         |  CAST(25.0 AS DOUBLE) AS temp_min, CAST(26.5 AS DOUBLE) AS temp_max,
         |  CAST(0.1 AS DOUBLE) AS total_rain, CAST(15.0 AS DOUBLE) AS pm25_avg,
-        |  CAST(27.5 AS DOUBLE) AS pm10_avg, 'Sedang' AS pm25_category
+        |  CAST(27.5 AS DOUBLE) AS pm10_avg, 'Sedang' AS pm25_category,
+        |  CAST(NULL AS VARCHAR) AS sunrise, CAST(NULL AS VARCHAR) AS sunset
         |UNION ALL
         |SELECT CAST('2025-01-02' AS DATE),
         |  CAST(24.0 AS DOUBLE), CAST(24.0 AS DOUBLE),
         |  CAST(2.4 AS DOUBLE), CAST(40.0 AS DOUBLE),
-        |  CAST(60.0 AS DOUBLE), 'Tidak sehat (sensitif)'
+        |  CAST(60.0 AS DOUBLE), 'Tidak sehat (sensitif)',
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         |ORDER BY date""".stripMargin)),
 
     "q_weather_hourly" -> Q(

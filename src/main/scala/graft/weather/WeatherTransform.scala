@@ -82,14 +82,48 @@ object WeatherTransform {
       .orderBy("time")
   }
 
+  /** Optional daily-block sun times: the Open-Meteo `daily` struct
+    * {time[], sunrise[], sunset[]} pivoted to (date, sunrise, sunset) rows.
+    * The reference frontend consumes these per daily card (app.js:323-324,
+    * 788-792) but its backend never requests the fields (web.py:478-485), so
+    * the whole path is null-tolerant: an absent block yields zero rows, and a
+    * ragged or missing field array nulls only itself (the hourlyFrame
+    * discipline). Values stay raw ISO strings — that is what the frontend's
+    * `new Date(...)` parses. */
+  def sunTimes(raw: DataFrame): DataFrame = {
+    val dailyType = raw.schema.find(_.name == "daily").map(_.dataType) match {
+      case Some(s: StructType) => s
+      case _ => new StructType()
+    }
+    def arrOrNull(f: String): Column =
+      if (dailyType.fieldNames.contains(f)) col(s"daily.$f") else
+        lit(null).cast(ArrayType(StringType))
+    val time = coalesce(arrOrNull("time").cast("array<string>"),
+      lit(Array.empty[String]))
+    val guarded = Seq("sunrise", "sunset").map { f =>
+      val arr = arrOrNull(f)
+      when(size(arr.cast("array<string>")) === size(time), arr.cast("array<string>"))
+        .otherwise(array_repeat(lit(null).cast(StringType), size(time))).as(f)
+    }
+    raw.select(explode(arrays_zip((time.as("time") +: guarded): _*)).as("d"))
+      .select(to_date(col("d.time")).as("date"),
+        col("d.sunrise").as("sunrise"), col("d.sunset").as("sunset"))
+  }
+
   /** transform.run parity: raw weather + raw air -> daily rollup.
     * Columns: date, temp_min, temp_max, total_rain, pm25_avg, pm10_avg,
-    * pm25_category (transform.py:51-117; golden values FIXTURES.md §1.5). */
+    * pm25_category, plus nullable sunrise/sunset when the raw payload carries
+    * the optional daily block (transform.py:51-117; golden values
+    * FIXTURES.md §1.5). */
   def daily(rawWeather: DataFrame, rawAir: DataFrame): DataFrame = {
     val hw = hourlyFrame(rawWeather, DailyWeatherFields)
     val ha = hourlyFrame(rawAir, AirRenames)
     val hourly = mergeHourly(hw, ha, Seq("temp", "rain", "pm25", "pm10"))
+    // sun-times frame is |days|-bounded (one payload per city) — broadcast;
+    // the left join keeps sunrise/sunset nullable end-to-end
     dailyFromHourly(hourly)
+      .join(broadcast(sunTimes(rawWeather)), Seq("date"), "left_outer")
+      .orderBy("date")
   }
 
   /** A1/A3/A4/F2 over an hourly table: group by date; min/max temp, rain sum

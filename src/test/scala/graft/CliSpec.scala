@@ -38,6 +38,31 @@ class CliSpec extends SparkSpec {
     assert(html.contains("vega-lite/v5.json"))
   }
 
+  test("sunrise/sunset ride the pipeline when the sample payload carries them") {
+    val c = cfg()
+    // embedded fixture path (previous test) has no daily block -> nulls; here
+    // a samples-dir payload WITH the block must surface per-card sun times in
+    // the processed zone and the serving JSON (app.js:323-324 consumers)
+    val samples = Files.createTempDirectory("graft-samples")
+    Files.writeString(samples.resolve("bandung_weather.json"),
+      """{"hourly": {"time": ["2025-01-01T00:00", "2025-01-01T01:00"],
+        |  "temperature_2m": [25.0, 26.5], "precipitation": [0.0, 0.1]},
+        | "daily": {"time": ["2025-01-01"],
+        |  "sunrise": ["2025-01-01T05:58"], "sunset": ["2025-01-01T18:10"]}}""".stripMargin)
+    Files.writeString(samples.resolve("bandung_air.json"),
+      """{"hourly": {"time": ["2025-01-01T00:00", "2025-01-01T01:00"],
+        |  "pm2_5": [10.0, 20.0], "pm10": [25.0, 30.0]}}""".stripMargin)
+    WeatherCli.fetch(c, sampleDir = Some(samples.toString))
+    val daily = WeatherCli.transform(spark, c).collect()
+    assert(daily.length == 1)
+    assert(daily(0).getAs[String]("sunrise") == "2025-01-01T05:58")
+    assert(daily(0).getAs[String]("sunset") == "2025-01-01T18:10")
+    val served = spark.read.parquet(s"${c.processedDir}/bandung_daily.parquet")
+    val json = WeatherCli.recordsJson(served, "Bandung")
+    assert(json.contains(""""sunrise":"2025-01-01T05:58""""))
+    assert(json.contains(""""sunset":"2025-01-01T18:10""""))
+  }
+
   test("serveDaily is cache-or-compute: computes once, then serves the cache") {
     val c = cfg()
     val first = WeatherCli.serveDaily(spark, c) // no processed zone -> computes

@@ -20,10 +20,37 @@ class WeatherTransformSpec extends SparkSpec {
       raw(DocQueries.FixtureWeatherJson), raw(DocQueries.FixtureAirJson))
     val rows = daily.orderBy("date").collect()
     assert(daily.columns.toSeq == Seq("date", "temp_min", "temp_max",
-      "total_rain", "pm25_avg", "pm10_avg", "pm25_category"))
+      "total_rain", "pm25_avg", "pm10_avg", "pm25_category", "sunrise", "sunset"))
     assert(rows.length == 2)
-    assert(rows(0).toSeq == Seq(Date.valueOf("2025-01-01"), 25.0, 26.5, 0.1, 15.0, 27.5, "Sedang"))
-    assert(rows(1).toSeq == Seq(Date.valueOf("2025-01-02"), 24.0, 24.0, 2.4, 40.0, 60.0, "Tidak sehat (sensitif)"))
+    // fixture carries no daily block -> sunrise/sunset null (optional field)
+    assert(rows(0).toSeq == Seq(Date.valueOf("2025-01-01"), 25.0, 26.5, 0.1, 15.0, 27.5, "Sedang", null, null))
+    assert(rows(1).toSeq == Seq(Date.valueOf("2025-01-02"), 24.0, 24.0, 2.4, 40.0, 60.0, "Tidak sehat (sensitif)", null, null))
+  }
+
+  test("sunrise/sunset plumb through from the optional daily block") {
+    val withBlock = raw(
+      """{"hourly": {"time": ["2025-01-01T00:00", "2025-01-02T00:00"],
+        |  "temperature_2m": [25.0, 24.0], "precipitation": [0.0, 1.0]},
+        | "daily": {"time": ["2025-01-01", "2025-01-02"],
+        |  "sunrise": ["2025-01-01T05:58", "2025-01-02T05:59"],
+        |  "sunset": ["2025-01-01T18:10", "2025-01-02T18:11"]}}""".stripMargin)
+    val a = raw("""{"hourly": {"time": []}}""")
+    val rows = WeatherTransform.daily(withBlock, a).orderBy("date").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("sunrise")).toSeq ==
+      Seq("2025-01-01T05:58", "2025-01-02T05:59"))
+    assert(rows.map(_.getAs[String]("sunset")).toSeq ==
+      Seq("2025-01-01T18:10", "2025-01-02T18:11"))
+    // ragged sunset array nulls only itself; sunrise survives
+    val ragged = raw(
+      """{"hourly": {"time": ["2025-01-01T00:00"], "temperature_2m": [25.0],
+        |  "precipitation": [0.0]},
+        | "daily": {"time": ["2025-01-01"],
+        |  "sunrise": ["2025-01-01T05:58"], "sunset": []}}""".stripMargin)
+    val r = WeatherTransform.daily(ragged, a).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("sunrise") == "2025-01-01T05:58")
+    assert(r(0).getAs[String]("sunset") == null)
   }
 
   test("hourly output: full column order, missing fields null") {
