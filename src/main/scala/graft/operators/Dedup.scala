@@ -75,8 +75,18 @@ object Dedup {
     // race to populate it and can each recompute the full pipeline.
     val tok = tok0.persist(StorageLevel.MEMORY_AND_DISK)
     tok.count()
+    // shuffle_hash hints on every join of corpus-scaled frames: their cached
+    // size estimates straddle autoBroadcastJoinThreshold at bench SFs, so the
+    // planner otherwise FLIPS between broadcasting the whole token index and
+    // shuffle-joining it from run to run (observed as bimodal bench timings),
+    // and a broadcast whose build side grows with the corpus is never the
+    // plan we'd want at scale. shuffle_hash is also the cheap strategy here:
+    // the df-cut window already hash-partitioned the cache on tok, and
+    // per-partition build sides stay bounded by the same df cut.
+    val toks = tok.hint("shuffle_hash")
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-    val common = tok.as("a").join(tok.as("b"),
+      .hint("shuffle_hash")
+    val common = toks.as("a").join(toks.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("common"))
@@ -149,9 +159,11 @@ object Dedup {
     // signatures are expensive to build and the band frame is tiny (a few
     // rows per doc); persist it so the self-join doesn't recompute the
     // whole minhash pipeline for each side
-    val bands = minhashBands(minhashSig(docs, idCol, textCol, k, tokens), k, rowsPerBand)
+    val bands0 = minhashBands(minhashSig(docs, idCol, textCol, k, tokens), k, rowsPerBand)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    bands.count() // materialize before the self-join (see jaccardPairs note)
+    bands0.count() // materialize before the self-join (see jaccardPairs note)
+    // corpus-scaled frame: pin the join strategy (see jaccardPairs)
+    val bands = bands0.hint("shuffle_hash")
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -165,10 +177,12 @@ object Dedup {
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame,
                     tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
-    val sets = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+    val sets0 = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), tokens(col(textCol)).as("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK) // read twice (a-side + b-side)
-    sets.count() // materialize before the double join (see jaccardPairs note)
+    sets0.count() // materialize before the double join (see jaccardPairs note)
+    // corpus-scaled frame: pin the join strategy (see jaccardPairs)
+    val sets = sets0.hint("shuffle_hash")
     pairs
       .join(sets.select(col("doc_id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(sets.select(col("doc_id").as("id_b"), col("toks").as("toks_b")), "id_b")
@@ -230,7 +244,9 @@ object Dedup {
       // signature pipeline for each side
       .persist(StorageLevel.MEMORY_AND_DISK)
     bands.count() // materialize before the self-join (see jaccardPairs note)
-    val cand = bands.as("a").join(bands.as("b"),
+    // corpus-scaled frame: pin the join strategy (see jaccardPairs)
+    val b = bands.hint("shuffle_hash")
+    val cand = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("a.simhash").as("sig_a"),
@@ -337,7 +353,9 @@ object Dedup {
       // fanOut + bucket pipeline (the observed bimodal-timing failure mode)
       .persist(StorageLevel.MEMORY_AND_DISK)
     b.count()
-    b.as("a").join(b.as("b"),
+    // corpus-scaled frame: pin the join strategy (see jaccardPairs)
+    val bh = b.hint("shuffle_hash")
+    bh.as("a").join(bh.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
