@@ -80,7 +80,37 @@ object ScaleCheck {
       "multimodal_feat" -> (d =>
         graft.operators.Multimodal.fakeDecodeFeatures(
           graft.operators.Multimodal.fromText(
-            Tables.documents(spark, d), "doc_id", "text", "source"))))
+            Tables.documents(spark, d), "doc_id", "text", "source"))),
+      "repetition" -> (d => Tables.documents(spark, d).select(
+        TextFunctions.dupLineFraction(col("text")),
+        TextFunctions.dupBigramFraction(col("text")))),
+      "quantize_i8" -> { d =>
+        import graft.functions.VectorFunctions
+        Tables.embeddings(spark, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .withColumn("scale", VectorFunctions.quantScaleI8(col("v")))
+          .select(col("vec_id"), col("scale"),
+            VectorFunctions.quantizeI8(col("v"), col("scale")).as("q"))
+      },
+      "stratified_sample" -> (d =>
+        graft.operators.Sampling.stratifiedSampleByHash(
+          Tables.documents(spark, d), col("doc_id"), col("source"),
+          rates = Map("web" -> 50, "books" -> 100, "code" -> 80),
+          defaultPct = 25)),
+      // chart pipeline from raw rows: synthetic daily frame (lineitem rolled
+      // up by ship date) through the chart-series derivation. |days| is fixed
+      // under replication — what grows is rows-per-day into the rollup, which
+      // is where the distributed work lives; the window itself stays
+      // |days|-bounded by construction.
+      "chart_frame" -> { d =>
+        val daily = Tables.lineitem(spark, d)
+          .groupBy(to_date(col("l_shipdate")).as("date"))
+          .agg(min(col("l_quantity")).as("temp_min"),
+            max(col("l_quantity")).as("temp_max"),
+            sum(col("l_quantity")).as("total_rain"),
+            avg(col("l_extendedprice")).as("pm25_avg"))
+        graft.weather.WeatherViz.chartFrame(daily)
+      })
 
     // warm codegen/JIT once at 1x so both measured runs are hot
     cases.foreach { case (_, f) => f(base).write.format("noop").mode("overwrite").save() }

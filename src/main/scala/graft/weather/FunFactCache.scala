@@ -70,6 +70,29 @@ object FunFactCache {
     if (facts.isEmpty) None else Some(pick(facts))
   }
 
+  /** T3 — fast mode with async background refresh (web.py:234-239): when a
+    * cached variant exists, answer from it IMMEDIATELY and schedule a
+    * `fresh = true` regeneration on `executor` (FastAPI's
+    * `background_tasks.add_task` seam); with a cold cache, fall through to
+    * the synchronous path. Returns (fact, source) where source mirrors the
+    * reference's response tag: "cache-fast" for the fast path, "generated"
+    * otherwise. The executor is injected so servers choose their pool and
+    * tests run single-threaded-deterministic; background failures are
+    * swallowed exactly like the sync path (the cache file never breaks
+    * serving). */
+  def fastGet(path: String, city: String, supplier: () => Option[String],
+              executor: java.util.concurrent.Executor,
+              nowMs: Long = System.currentTimeMillis(),
+              pick: List[String] => String = _.last): (Option[String], String) =
+    cached(path, city, pick) match {
+      case some @ Some(_) =>
+        executor.execute(() =>
+          Try(get(path, city, supplier, fresh = true, nowMs, pick)): Unit)
+        (some, "cache-fast")
+      case None =>
+        (get(path, city, supplier, fresh = false, nowMs, pick), "generated")
+    }
+
   /** Cache-or-generate (get_city_fun_fact): serve cached unless `fresh`;
     * on generation, append-if-new, keep the last 7, persist. Supplier or IO
     * failure falls back to cache. */

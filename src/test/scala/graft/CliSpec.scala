@@ -122,6 +122,39 @@ class CliSpec extends SparkSpec {
     assert(FunFactCache.load(path).isEmpty)
   }
 
+  test("fun-fact fast mode: instant cache hit + background refresh (T3)") {
+    import graft.weather.FunFactCache
+    val path = s"${java.nio.file.Files.createTempDirectory("funfacts")}/ff.json"
+    var calls = 0
+    val gen = () => { calls += 1; Some(s"gen$calls") }
+    // deterministic "background": run inline so the refresh is observable
+    val inline: java.util.concurrent.Executor = _.run()
+    // queueing executor: proves the fast answer is computed BEFORE the
+    // refresh runs (the reference's background_tasks semantics)
+    val queued = new java.util.concurrent.ConcurrentLinkedQueue[Runnable]()
+    val deferred: java.util.concurrent.Executor = r => { queued.add(r): Unit }
+
+    // cold cache: synchronous generate, tagged "generated", nothing scheduled
+    val (f0, s0) = FunFactCache.fastGet(path, "Bandung", gen, deferred)
+    assert(f0.contains("gen1") && s0 == "generated" && queued.isEmpty)
+    // warm cache: answered from cache BEFORE any refresh work happens...
+    val (f1, s1) = FunFactCache.fastGet(path, "bandung", gen, deferred)
+    assert(f1.contains("gen1") && s1 == "cache-fast")
+    assert(calls == 1 && queued.size == 1)
+    // ...and the queued task regenerates a fresh variant into the cache
+    queued.poll().run()
+    assert(calls == 2)
+    assert(FunFactCache.cached(path, "bandung").contains("gen2"))
+    // inline executor: same observable end state in one call
+    val (f2, s2) = FunFactCache.fastGet(path, "bandung", gen, inline)
+    assert(f2.contains("gen2") && s2 == "cache-fast")
+    assert(FunFactCache.cached(path, "bandung").contains("gen3"))
+    // a failing background supplier must not disturb the cache
+    val (f3, _) = FunFactCache.fastGet(path, "bandung", () => None, inline)
+    assert(f3.contains("gen3"))
+    assert(FunFactCache.cached(path, "bandung").contains("gen3"))
+  }
+
   test("salted join returns exactly the plain join, spread over salts") {
     val big = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "v")
     val small = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "w")
