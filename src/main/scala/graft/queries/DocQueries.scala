@@ -320,6 +320,46 @@ object DocQueries {
         |  ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- PII redaction (scan-stage regex rewrite): the synthetic documents
+    //      carry no PII, so the gate INJECTS a deterministic email + IP +
+    //      phone per doc, redacts, and emits per-kind hit counts plus an md5
+    //      of the redacted text — both engines mirror the same RE2-safe
+    //      patterns (graft.functions.Redact is the pattern source of truth).
+    "q_text_redact" -> Q(
+      (s, d) => {
+        import graft.functions.Redact
+        val seeded = docsP(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com or +62 812 3"),
+            col("doc_id"), lit(" at 10.0.0."), pmod(col("doc_id"), lit(256)),
+            lit(" now")).as("text"))
+        val (ne, ni, np) = Redact.piiCounts(col("text"))
+        seeded.select(col("doc_id"),
+            ne.cast("bigint").as("n_email"), ni.cast("bigint").as("n_ip"),
+            np.cast("bigint").as("n_phone"),
+            md5(Redact.redactPii(col("text"))).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        import graft.functions.Redact
+        s"""WITH seeded AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or +62 812 3' ||
+        |  doc_id || ' at 10.0.0.' || (doc_id % 256) || ' now' AS text
+        |  FROM documents),
+        |st AS (SELECT doc_id, text,
+        |  regexp_replace(text, '${Redact.EmailPattern}', '[EMAIL]', 'g') AS after_email
+        |  FROM seeded),
+        |st2 AS (SELECT doc_id, text, after_email,
+        |  regexp_replace(after_email, '${Redact.Ipv4Pattern}', '[IP]', 'g') AS after_ip
+        |  FROM st)
+        |SELECT doc_id,
+        | len(regexp_extract_all(text, '${Redact.EmailPattern}')) AS n_email,
+        | len(regexp_extract_all(after_email, '${Redact.Ipv4Pattern}')) AS n_ip,
+        | len(regexp_extract_all(after_ip, '${Redact.PhonePattern}')) AS n_phone,
+        | md5(regexp_replace(after_ip, '${Redact.PhonePattern}', '[PHONE]', 'g')) AS redacted_md5
+        |FROM st2 ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- Deterministic hash-split: stable stratified train/valid/test
     //      assignment (membership is a pure function of doc_id + salt — the
     //      reproducible alternative to seeded Bernoulli sampling, which no

@@ -148,6 +148,29 @@ class FunctionsSpec extends SparkSpec {
       """<span class="highlight">a.c</span> literal"""))
   }
 
+  test("PII redaction: emails, IPs, phones, in contract order") {
+    import graft.functions.Redact
+    val df = Seq(
+      "mail a.user+tag@sub.example.co.id now",
+      "server at 192.168.1.17 responded",
+      "call +62 812-3456-7890 or (021) 555 0199 today",
+      "ip 10.0.0.1 then mail x@y.org then +62 811 222 333",
+      "clean text with the number 42").toDF("t")
+    val got = df.select(Redact.redactPii(col("t"))).as[String].collect()
+    assert(got(0) == "mail [EMAIL] now")
+    assert(got(1) == "server at [IP] responded")
+    assert(got(2) == "call [PHONE] or [PHONE] today")
+    assert(got(3) == "ip [IP] then mail [EMAIL] then [PHONE]")
+    assert(got(4) == "clean text with the number 42")
+    // counts respect the order: an IP is not double-counted as a phone
+    val (ne, ni, np) = Redact.piiCounts(col("t"))
+    val counts = df.select(ne, ni, np).as[(Int, Int, Int)].collect()
+    assert(counts(1) == ((0, 1, 0)))
+    assert(counts(2) == ((0, 0, 2)))
+    assert(counts(3) == ((1, 1, 1)))
+    assert(counts(4) == ((0, 0, 0)))
+  }
+
   test("rolling hash matches a reference fold") {
     val p = 2147483647L
     def ref(s: String): Long = s.foldLeft(0L)((a, c) => (a * 257 + c.toLong) % p)
