@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination: flag training documents whose n-gram content
+  * overlaps an evaluation/benchmark set (the standard pretraining hygiene
+  * step — a training corpus that contains the benchmark inflates every score
+  * computed on it).
+  *
+  * Definition: a document's contamination is the fraction of its DISTINCT
+  * word k-shingles that appear anywhere in the benchmark set; `threshold`
+  * turns the fraction into the `is_contaminated` flag.
+  *
+  * Scale shape (100 TB corpus, bounded benchmark):
+  *  - both sides reduce to (doc, shingle-fp60) edges — joins compare 60-bit
+  *    longs, never strings (see [[Dedup.tokenFp60]]);
+  *  - the benchmark collapses to its DISTINCT shingle set once (benchmarks
+  *    are MBs to low GBs — large enough that we never driver-collect it, and
+  *    the join is a left-semi on the fingerprint, which Spark can still
+  *    broadcast when the benchmark is genuinely small);
+  *  - per-document totals and matches are partial-aggregated before their
+  *    single shuffle, so shuffle bytes scale with |docs|, not |shingles|.
+  */
+object Decontaminate {
+
+  /** Per-document contamination against `benchmark`. Output:
+    * (doc_id, n_shingles, n_matched, contamination, is_contaminated). */
+  def fractions(corpus: DataFrame, benchmark: DataFrame,
+                idCol: String, textCol: String,
+                threshold: Double, shingleK: Int = 3): DataFrame = {
+    val feats: Column => Column =
+      t => array_distinct(TextFunctions.shingles(t, shingleK))
+    val corpusEdges = Dedup.tokenIndex(corpus, idCol, textCol, feats)
+      .select(col("doc_id"), Dedup.tokenFp60(col("tok")).as("fp"))
+    val benchFps = Dedup.tokenIndex(benchmark, idCol, textCol, feats)
+      .select(Dedup.tokenFp60(col("tok")).as("fp"))
+      .distinct()
+    // left-semi marks matched edges without duplicating them (a benchmark
+    // shingle appears once in benchFps by construction); counts then reduce
+    // map-side before the one shuffle on doc_id
+    val matched = corpusEdges.join(benchFps, Seq("fp"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
+    corpusEdges.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(matched, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+      .withColumn("contamination",
+        col("n_matched").cast("double") / col("n_shingles"))
+      .withColumn("is_contaminated", col("contamination") >= threshold)
+  }
+
+  /** The cleaning step: corpus rows whose contamination stays below
+    * `threshold` (inner join on the kept ids — no wide row carried through
+    * the aggregation). */
+  def clean(corpus: DataFrame, benchmark: DataFrame,
+            idCol: String, textCol: String,
+            threshold: Double, shingleK: Int = 3): DataFrame = {
+    val keep = fractions(corpus, benchmark, idCol, textCol, threshold, shingleK)
+      .filter(!col("is_contaminated"))
+      .select(col("doc_id").as(idCol))
+    corpus.join(keep, Seq(idCol), "left_semi")
+  }
+}

@@ -320,6 +320,33 @@ object DocQueries {
         |  ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- Benchmark decontamination: every 20th document plays the eval set;
+    //      the rest of the corpus is scored by the fraction of its distinct
+    //      word 3-shingles found anywhere in that set (fp60 semi-join — the
+    //      standard pretraining hygiene step before training).
+    "q_decontaminate" -> Q(
+      (s, d) => {
+        import graft.operators.Decontaminate
+        val docs = Tables.documents(s, d)
+        Decontaminate.fractions(
+            docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+            "doc_id", "text", threshold = 0.5, shingleK = ShingleK)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |c0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t WHERE doc_id % 20 != 0),
+        |c AS (SELECT doc_id, $TokenFp60Sql AS fp FROM c0),
+        |b0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t WHERE doc_id % 20 = 0),
+        |b AS (SELECT DISTINCT $TokenFp60Sql AS fp FROM b0),
+        |m AS (SELECT doc_id, count(*) AS n_matched FROM c
+        |  WHERE fp IN (SELECT fp FROM b) GROUP BY doc_id),
+        |s AS (SELECT doc_id, count(*) AS n_shingles FROM c GROUP BY doc_id)
+        |SELECT s.doc_id, n_shingles, coalesce(n_matched, 0) AS n_matched,
+        | CAST(coalesce(n_matched, 0) AS DOUBLE) / n_shingles AS contamination,
+        | (CAST(coalesce(n_matched, 0) AS DOUBLE) / n_shingles) >= 0.5 AS is_contaminated
+        |FROM s LEFT JOIN m ON s.doc_id = m.doc_id ORDER BY s.doc_id""".stripMargin)),
+
     // ---- PII redaction (scan-stage regex rewrite): the synthetic documents
     //      carry no PII, so the gate INJECTS a deterministic email + IP +
     //      phone per doc, redacts, and emits per-kind hit counts plus an md5

@@ -156,6 +156,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("decontamination flags benchmark overlap and clean() drops it") {
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = benchmark doc
+      (2L, "the quick brown fox sleeps all day long today"), // partial overlap
+      (3L, "completely unrelated text about spark plans"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val f = Decontaminate.fractions(corpus, bench, "doc_id", "text",
+      threshold = 0.5).orderBy("doc_id").collect()
+    assert(f.map(_.getAs[Double]("contamination")).head == 1.0) // exact copy
+    assert(f(1).getAs[Double]("contamination") > 0.0 &&
+      f(1).getAs[Double]("contamination") < 0.5) // shares "the quick brown" head
+    assert(f(2).getAs[Long]("n_matched") == 0L)
+    assert(f.map(_.getAs[Boolean]("is_contaminated")).toSeq ==
+      Seq(true, false, false))
+    val kept = Decontaminate.clean(corpus, bench, "doc_id", "text",
+      threshold = 0.5).select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
   test("hash split is stable, exhaustive, and salt-independent samples differ") {
     import graft.operators.Sampling
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
