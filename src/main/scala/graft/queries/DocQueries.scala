@@ -320,6 +320,31 @@ object DocQueries {
         |  ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- Sequence packing: token-budget bin assignment (shard-parallel
+    //      contiguous greedy fill — the batching step before writing packed
+    //      pre-training sequences). Shard and prefix sums are pure functions
+    //      of the rows, so both engines lay out identical bins.
+    "q_pack_bins" -> Q(
+      (s, d) => {
+        import graft.operators.Packing
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        Packing.packBins(docs, "doc_id", col("n_tokens"),
+            budgetTokens = 512L, shards = 8)
+          .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+            col("shard"), col("tokens_before"), col("bin"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM documents),
+        |p AS (SELECT doc_id, n_tokens, shard,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, shard, tokens_before,
+        | CAST(floor(tokens_before / 512.0) AS BIGINT) AS bin
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
     // ---- Benchmark decontamination: every 20th document plays the eval set;
     //      the rest of the corpus is scored by the fraction of its distinct
     //      word 3-shingles found anywhere in that set (fp60 semi-join — the

@@ -156,6 +156,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("sequence packing fills budget bins contiguously per shard") {
+    import graft.operators.Packing
+    val docs = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 6L), (5L, 2L))
+      .toDF("doc_id", "n_tokens")
+    // one shard -> a single deterministic layout in id order:
+    // prefix sums 0,4,9,12,18 -> bins 0,0,0,1,1 at budget 10
+    val packed = Packing.packBins(docs, "doc_id", col("n_tokens"),
+      budgetTokens = 10L, shards = 1).orderBy("doc_id")
+    assert(packed.select("bin").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 0L, 0L, 1L, 1L))
+    assert(packed.select("tokens_before").collect().map(_.getLong(0)).toSeq ==
+      Seq(0L, 4L, 9L, 12L, 18L))
+    val stats = Packing.binStats(packed, col("n_tokens"), budgetTokens = 10L)
+      .orderBy("bin").collect()
+    assert(stats.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("n_tokens"))).toSeq == Seq((0L, 3L, 12L), (1L, 2L, 8L)))
+    // a doc can straddle its bin boundary (bin 0 fills to 12/10); no doc is
+    // ever split and every doc lands in exactly one bin
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == 5)
+    // sharding is deterministic: same layout on re-evaluation
+    val again = Packing.packBins(docs, "doc_id", col("n_tokens"),
+      budgetTokens = 10L, shards = 4)
+    assert(again.collect().toSet == Packing.packBins(docs, "doc_id",
+      col("n_tokens"), budgetTokens = 10L, shards = 4).collect().toSet)
+  }
+
   test("decontamination flags benchmark overlap and clean() drops it") {
     import graft.operators.Decontaminate
     val corpus = Seq(
