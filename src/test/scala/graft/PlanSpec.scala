@@ -96,6 +96,48 @@ class PlanSpec extends SparkSpec {
       plan.contains("ShuffledHashJoin"), s"no hash join on the bucket key:\n$plan")
   }
 
+  test("dedup self-joins never broadcast their corpus-scaled side") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    // execute (AQE finalizes join strategies at runtime), then assert the
+    // shuffle_hash pin held: a broadcast whose build side grows with the
+    // corpus is the one plan that cannot survive 100x data — and an estimate
+    // straddling autoBroadcastJoinThreshold makes the planner FLIP between
+    // runs (the round-3/4 bimodal bench timings)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3,
+      maxTokenDf = 100L)
+    pairs.write.format("noop").mode("overwrite").save()
+    val plan = planOf(pairs)
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"corpus-scaled join got broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"shuffle_hash hint not honored:\n$plan")
+  }
+
+  test("decontamination marks matches with a semi join, aggregates partially") {
+    import graft.operators.Decontaminate
+    val docs = Tables.documents(spark, sf)
+    val plan = planOf(Decontaminate.fractions(
+      docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0),
+      "doc_id", "text", threshold = 0.5))
+    assert(plan.contains("LeftSemi"), s"benchmark probe not a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"degenerated to cartesian:\n$plan")
+  }
+
+  test("sequence packing shuffles once, on the shard key") {
+    import graft.operators.Packing
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+    val plan = planOf(
+      Packing.packBins(docs, "doc_id", col("n"), budgetTokens = 512L, shards = 8))
+    // one exchange for the shard window; a global (empty-partition) window
+    // would show a SinglePartition exchange instead
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(plan).nonEmpty,
+      s"window not partitioned by shard:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing fell into a global single-partition sort:\n$plan")
+  }
+
   test("multimodal decode stub stays a Column tree, no ExistingRDD scan") {
     val media = graft.operators.Multimodal.fromText(
       Tables.documents(spark, sf), "doc_id", "text", "source")
