@@ -320,6 +320,44 @@ object DocQueries {
         |  ELSE CAST(0.0 AS DOUBLE) END AS dup_bigram_frac
         |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // ---- Domain curation: URL-host extraction (deterministically injected
+    //      URLs, like the PII gate) and the per-key document cap.
+    "q_text_domains" -> Q(
+      (s, d) => {
+        import graft.operators.Curation
+        val seeded = docsP(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" see https://site"), pmod(col("doc_id"), lit(7)),
+            lit(".example.org/p/"), col("doc_id"),
+            lit(" and http://cdn"), pmod(col("doc_id"), lit(3)),
+            lit(".example.net/x")).as("text"))
+        Curation.domainEdges(seeded, "doc_id", "text")
+          .groupBy("domain").agg(count(lit(1)).as("n"))
+          .orderBy("domain")
+      },
+      Some(s"""WITH seeded AS (SELECT doc_id,
+        |  text || ' see https://site' || (doc_id % 7) || '.example.org/p/' ||
+        |  doc_id || ' and http://cdn' || (doc_id % 3) || '.example.net/x' AS text
+        |  FROM documents),
+        |e AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |  '${graft.operators.Curation.DomainPattern}', 1)) AS domain FROM seeded)
+        |SELECT domain, count(*) AS n FROM e GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    "q_curate_cap" -> Q(
+      (s, d) => {
+        import graft.operators.Curation
+        val capped = Curation.capPerKey(Tables.documents(s, d),
+          col("source"), n = 30, order = Seq(col("doc_id")))
+        capped.groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rk <= 30 GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- Sequence packing: token-budget bin assignment (shard-parallel
     //      contiguous greedy fill — the batching step before writing packed
     //      pre-training sequences). Shard and prefix sums are pure functions

@@ -156,6 +156,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("domain extraction and per-key cap") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "read https://a.example.org/x and http://b.example.net/y?z=1 now"),
+      (2L, "nothing here"),
+      (3L, "twice https://a.example.org/1 https://a.example.org/2"))
+      .toDF("doc_id", "text")
+    val edges = Curation.domainEdges(docs, "doc_id", "text")
+      .orderBy("doc_id", "domain").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(edges.toSeq == Seq(
+      (1L, "a.example.org"), (1L, "b.example.net"),
+      (3L, "a.example.org"), (3L, "a.example.org"))) // occurrences kept
+    // cap: at most 2 rows per key, lowest ids win, ties impossible (unique id)
+    val many = Seq((1L, "k1"), (2L, "k1"), (3L, "k1"), (4L, "k2"))
+      .toDF("doc_id", "k")
+    val capped = Curation.capPerKey(many, col("k"), n = 2, order = Seq(col("doc_id")))
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(capped.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("sequence packing fills budget bins contiguously per shard") {
     import graft.operators.Packing
     val docs = Seq((1L, 4L), (2L, 5L), (3L, 3L), (4L, 6L), (5L, 2L))
