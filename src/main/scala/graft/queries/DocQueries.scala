@@ -751,6 +751,34 @@ object DocQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // ---- Per-label centroids (mixture profiles): exact sequential-fold
+    //      means of the first 4 dims, in vec_id order on both engines (plain
+    //      double avg is partial-aggregation-order-dependent and would not
+    //      hash-match). The distributed fast path is Centroids.meanByKey;
+    //      OperatorsSpec asserts the two agree to 1e-9.
+    "q_v_centroid" -> Q(
+      (s, d) => {
+        import graft.operators.Centroids
+        val e = Tables.embeddings(s, d)
+          .select(col("label"), col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        e.groupBy("label").agg(
+            count(lit(1)).as("n_vecs"),
+            (1 to 4).map(i => Centroids.exactDimMean(col("vec_id"),
+              element_at(col("v"), i)).as(s"c$i")): _*)
+          .orderBy("label")
+      },
+      Some {
+        val dims = (1 to 4).map { i =>
+          s"list_dot_product(l$i, list_transform(l$i, x -> 1.0)) / len(l$i) AS c$i"
+        }.mkString(", ")
+        val lists = (1 to 4).map(i => s"list(v[$i] ORDER BY vec_id) AS l$i").mkString(", ")
+        s"""WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |g AS (SELECT label, count(*) AS n_vecs, $lists FROM e GROUP BY label)
+        |SELECT label, n_vecs, $dims FROM g ORDER BY label""".stripMargin
+      }),
+
     // Embedding L2-normalization (the preprocessing step before cosine/IP
     // search): unit norm + first two dims emitted as scalars (the oracle
     // harness can't sort raw array columns), all bit-exact via the shared

@@ -156,6 +156,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("label centroids: distributed mean agrees with the exact fold") {
+    import graft.operators.Centroids
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val fast = Centroids.meanByKey(
+        emb.withColumnRenamed("v", "embedding"), "label", "embedding")
+      .orderBy("key").collect()
+    assert(fast.map(_.getAs[scala.collection.Seq[Double]]("centroid").length).forall(_ == 64))
+    assert(fast.map(_.getAs[Long]("n_vecs")).sum == 500)
+    val dims = (1 to 4).map(i => Centroids.exactDimMean(col("vec_id"),
+      element_at(col("v"), i)).as(s"c$i"))
+    val exact = emb.groupBy("label").agg(dims.head, dims.tail: _*)
+      .orderBy("label").collect()
+    fast.zip(exact).foreach { case (f, e) =>
+      val c = f.getAs[scala.collection.Seq[Double]]("centroid")
+      (1 to 4).foreach { i =>
+        assert(math.abs(c(i - 1) - e.getAs[Double](s"c$i")) < 1e-9,
+          s"dim $i drifted for key ${f.get(0)}")
+      }
+    }
+  }
+
   test("domain extraction and per-key cap") {
     import graft.operators.Curation
     val docs = Seq(
