@@ -57,7 +57,32 @@ object Dedup {
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, maxTokenDf: Long = 0L,
-                   tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+                   tokens: Column => Column = TextFunctions.tokenSet): DataFrame =
+    pairCommonSizes(docs, idCol, textCol, maxTokenDf, tokens)
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Symmetric containment near-dup pairs: containment = common /
+    * min(|A|, |B|) — flags SUB-document duplication (one document quoted or
+    * embedded inside another) that Jaccard dilutes away when the containing
+    * document is much larger. Same inverted-index candidate generation as
+    * [[jaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, maxTokenDf: Long = 0L,
+                       tokens: Column => Column = TextFunctions.tokenSet): DataFrame =
+    pairCommonSizes(docs, idCol, textCol, maxTokenDf, tokens)
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+
+  /** Shared inverted-index pair statistics: (id_a < id_b, common, n_a, n_b)
+    * over the distinct feature sets of the two documents. */
+  private def pairCommonSizes(docs: DataFrame, idCol: String, textCol: String,
+                              maxTokenDf: Long,
+                              tokens: Column => Column): DataFrame = {
     val tok1 = tokenIndex(docs, idCol, textCol, tokens)
       .select(col("doc_id"), tokenFp60(col("tok")).as("tok"))
     // df cut as a WINDOW over tok, not a broadcast-joined df table: the
@@ -93,10 +118,6 @@ object Dedup {
     common
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** 2^31-1: every universal-hash intermediate a*x+b stays far below 2^63,

@@ -45,6 +45,22 @@ object Packing {
       .drop("__tokens")
   }
 
+  /** Materialize packed sequences: one row per (shard, bin) with the member
+    * documents concatenated in id order. Safe to assemble distributed — a
+    * bin's content is bounded by the token budget (+ one straddling doc), so
+    * the collect_list is budget-bounded, never corpus-bounded. */
+  def materialize(packed: DataFrame, idCol: String, textCol: String,
+                  sep: String = "\n\n"): DataFrame =
+    packed
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol).as("i"), col(textCol).as("t")))),
+            s => s.getField("t")),
+          sep).as("sequence"))
+
   /** Per-bin layout summary (what a sequence writer consumes): document
     * count, token fill, and fill ratio vs budget. */
   def binStats(packed: DataFrame, tokenCount: Column,

@@ -187,6 +187,22 @@ object DocQueries {
        |WHERE jaccard >= $threshold
        |ORDER BY c.id_a, c.id_b""".stripMargin
 
+  /** Inverted-index symmetric-containment oracle over shingles (same CTE
+    * layout as [[jaccardTailSql]], different final formula). */
+  private def containmentTailSql(threshold: Double): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh GROUP BY 1),
+       |common AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       | FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b,
+       | CAST(c.common AS DOUBLE) / least(sa.n_tok, sb.n_tok) AS containment
+       |FROM common c
+       | JOIN sizes sa ON sa.doc_id = c.id_a
+       | JOIN sizes sb ON sb.doc_id = c.id_b
+       |WHERE containment >= $threshold
+       |ORDER BY c.id_a, c.id_b""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ==================== text analysis ====================
@@ -382,6 +398,33 @@ object DocQueries {
         |SELECT doc_id, n_tokens, shard, tokens_before,
         | CAST(floor(tokens_before / 512.0) AS BIGINT) AS bin
         |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ---- Packed-sequence materialization: bins from q_pack_bins assembled
+    //      into training sequences (id-ordered concat, budget-bounded per
+    //      bin); compared via md5 so the oracle hashes the exact bytes.
+    "q_pack_sequences" -> Q(
+      (s, d) => {
+        import graft.operators.Packing
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        val packed = Packing.packBins(docs, "doc_id", col("n_tokens"),
+          budgetTokens = 2048L, shards = 8)
+        Packing.materialize(packed, "doc_id", "text")
+          .select(col("shard"), col("bin"), col("n_docs"),
+            md5(col("sequence")).as("seq_md5"))
+          .orderBy("shard", "bin")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM documents),
+        |p AS (SELECT doc_id, text, shard,
+        |  CAST(floor(CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) / 2048.0) AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT shard, bin, count(*) AS n_docs,
+        | md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5
+        |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin)),
 
     // ---- Benchmark decontamination: every 20th document plays the eval set;
     //      the rest of the corpus is scored by the fraction of its distinct
@@ -610,6 +653,21 @@ object DocQueries {
         |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
         |  WHERE df <= 100),
         |${jaccardTailSql(0.62, "")}""".stripMargin)),
+
+    // symmetric containment (common / min set size): flags sub-document
+    // duplication — a quoted or embedded document scores ~1.0 here while its
+    // jaccard against the larger container dilutes below any threshold.
+    "q_dedup_containment" -> Q(
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.6, maxTokenDf = 100L, tokens = shingleSet)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |sh AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+        |  WHERE df <= 100),
+        |${containmentTailSql(0.6)}""".stripMargin)),
 
     "q_dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",

@@ -86,6 +86,22 @@ class OperatorsSpec extends SparkSpec {
     assert(m.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("containment flags an embedded document that jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, small),
+      (2L, small + " " + (1 to 40).map(i => s"filler$i word$i").mkString(" ")),
+      (3L, "unrelated content entirely different here now")).toDF("id", "text")
+    // doc 1 is fully contained in doc 2 -> containment 1.0 on unigram sets
+    val c = Dedup.containmentPairs(docs, "id", "text", threshold = 0.9)
+      .collect()
+    assert(c.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(c(0).getAs[Double]("containment") == 1.0)
+    // ...while jaccard dilutes the same pair below any usable threshold
+    val j = Dedup.jaccardPairs(docs, "id", "text", threshold = 0.3).collect()
+    assert(j.isEmpty)
+  }
+
   test("simhash: identical docs get identical signatures, hamming 0") {
     val docs = Seq((1L, "spark shuffles at scale"), (2L, "spark shuffles at scale"),
       (3L, "unrelated text entirely here")).toDF("id", "text")
@@ -223,6 +239,15 @@ class OperatorsSpec extends SparkSpec {
       budgetTokens = 10L, shards = 4)
     assert(again.collect().toSet == Packing.packBins(docs, "doc_id",
       col("n_tokens"), budgetTokens = 10L, shards = 4).collect().toSet)
+    // materialize: id-ordered concatenation, one sequence per bin
+    val withText = docs.withColumn("text", concat(lit("d"), col("doc_id")))
+    val seqs = Packing.materialize(
+        Packing.packBins(withText, "doc_id", col("n_tokens"),
+          budgetTokens = 10L, shards = 1),
+        "doc_id", "text", sep = " ")
+      .orderBy("bin").collect()
+    assert(seqs.map(_.getAs[String]("sequence")).toSeq ==
+      Seq("d1 d2 d3", "d4 d5"))
   }
 
   test("decontamination flags benchmark overlap and clean() drops it") {
