@@ -319,17 +319,22 @@ object Dedup {
     //    job); persist+materialize between checkpoints, so lineage growth is
     //    bounded by the interval and recompute after a failure replays at
     //    most `checkpointInterval` rounds from HDFS/S3.
-    def truncate(df: DataFrame, round: Int): DataFrame = checkpointDir match {
-      case None => df.localCheckpoint(true)
-      case Some(_) if round % checkpointInterval == 0 => df.checkpoint(true)
-      case Some(_) =>
-        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        p.count() // materialize: the checksum below must not race the cache
-        p
-    }
-    val edges = truncate(edges0.coalesce(parts), 0)
+    // returns the truncated frame plus itself when persist-backed, so the
+    // loop can UNPERSIST it once the following round materializes — without
+    // the release, reliable mode pins one superseded label frame per round
+    // for the whole run
+    def truncate(df: DataFrame, round: Int): (DataFrame, Option[DataFrame]) =
+      checkpointDir match {
+        case None => (df.localCheckpoint(true), None)
+        case Some(_) if round % checkpointInterval == 0 => (df.checkpoint(true), None)
+        case Some(_) =>
+          val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count() // materialize: the checksum below must not race the cache
+          (p, Some(p))
+      }
+    val (edges, _) = truncate(edges0.coalesce(parts), 0)
     edges0.unpersist()
-    var labels = truncate(
+    var (labels, labelsPinned) = truncate(
       edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")), 0)
     def checksum(df: DataFrame): Long =
       df.agg(sum("comp")).head().getLong(0)
@@ -337,7 +342,7 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = truncate(
+      val (next, nextPinned) = truncate(
         labels.join(
             edges
               .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
@@ -350,6 +355,8 @@ object Dedup {
       // labels only ever decrease, so the label sum strictly decreases until
       // the fixpoint — one agg over the checkpointed frame replaces a diff join
       val sum1 = checksum(next)
+      labelsPinned.foreach(_.unpersist()) // superseded; next is materialized
+      labelsPinned = nextPinned
       labels = next
       converged = sum1 == sum0
       sum0 = sum1
