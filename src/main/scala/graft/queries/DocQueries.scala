@@ -310,6 +310,97 @@ object DocQueries {
            |WHERE is_keeper ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- Curation capstone: the full LLM-corpus preparation chain in one
+    //      query — quality/lang gate -> exact-dedup keeper -> benchmark
+    //      decontamination -> PII redaction -> per-source cap -> token-budget
+    //      packing. Output is the packed-bin layout of the curated corpus.
+    "q_pipeline_corpus_curate" -> Q(
+      (s, d) => {
+        import graft.functions.Redact
+        import graft.operators.{Curation, Decontaminate, Packing}
+        val scored = docsP(s, d).select(
+            col("doc_id"), col("text"), col("source"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            TextFunctions.langId(col("text")).as("lang"))
+          .filter(col("quality") >= 0.6 && col("lang") === "en")
+        val grp = Window.partitionBy(md5(col("text")))
+        val kept = scored
+          .withColumn("is_keeper", col("doc_id") === min("doc_id").over(grp))
+          .filter(col("is_keeper") && pmod(col("doc_id"), lit(20)) =!= 0)
+          .select("doc_id", "source", "text")
+        val bench = docsP(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select("doc_id", "text")
+        val decon = Decontaminate.fractions(kept, bench, "doc_id", "text",
+            threshold = 0.5, shingleK = ShingleK)
+          .filter(!col("is_contaminated"))
+          .select("doc_id")
+        val clean = kept.join(decon, Seq("doc_id"), "left_semi")
+          .withColumn("rtext", Redact.redactPii(col("text")))
+        val capped = Curation.capPerKey(clean, col("source"), n = 40,
+            order = Seq(col("doc_id")))
+          .withColumn("n_tokens", TextFunctions.tokenCount(col("rtext")).cast("bigint"))
+        Packing.binStats(
+            Packing.packBins(capped, "doc_id", col("n_tokens"),
+              budgetTokens = 1024L, shards = 4),
+            col("n_tokens"), budgetTokens = 1024L)
+          .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
+          .orderBy("shard", "bin")
+      },
+      Some {
+        import graft.functions.Redact
+        val langNames = TextFunctions.LangMarkers.map(_._1)
+        val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
+          s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$lang"
+        }.mkString(", ")
+        val greatest = s"greatest(${langNames.map("h_" + _).mkString(", ")})"
+        val langCase = langNames.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+        val rToksSql = ToksSql.replace("lower(text)", "lower(rtext)")
+        s"""WITH t AS (SELECT doc_id, text, source, $ToksSql AS toks FROM documents),
+           |h AS (SELECT *, $langHits FROM t),
+           |g AS (SELECT *, $greatest AS m FROM h),
+           |scored AS (SELECT doc_id, text, source,
+           | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality,
+           | CASE WHEN m = 0 THEN 'und' $langCase END AS lang
+           |FROM g),
+           |gated AS (SELECT * FROM scored WHERE quality >= 0.6 AND lang = 'en'),
+           |kept AS (SELECT doc_id, source, text FROM (
+           |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+           |  FROM gated) WHERE is_keeper AND doc_id % 20 != 0),
+           |kt AS (SELECT doc_id, $ToksSql AS toks FROM kept),
+           |csh AS (SELECT doc_id, $TokenFp60Sql AS fp FROM
+           |  (SELECT doc_id, unnest($ShinglesSql) AS tok FROM kt)),
+           |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE doc_id % 20 = 0),
+           |bsh AS (SELECT DISTINCT $TokenFp60Sql AS fp FROM
+           |  (SELECT doc_id, unnest($ShinglesSql) AS tok FROM bt)),
+           |cm AS (SELECT doc_id, count(*) AS n_matched FROM csh
+           |  WHERE fp IN (SELECT fp FROM bsh) GROUP BY 1),
+           |cs AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1),
+           |clean2 AS (SELECT k.doc_id, k.source, k.text FROM kept k
+           |  JOIN cs ON cs.doc_id = k.doc_id
+           |  LEFT JOIN cm ON cm.doc_id = k.doc_id
+           |  WHERE CAST(coalesce(cm.n_matched, 0) AS DOUBLE) / cs.n_sh < 0.5),
+           |red AS (SELECT doc_id, source,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '${Redact.EmailPattern}', '[EMAIL]', 'g'),
+           |    '${Redact.Ipv4Pattern}', '[IP]', 'g'),
+           |    '${Redact.PhonePattern}', '[PHONE]', 'g') AS rtext FROM clean2),
+           |capd AS (SELECT doc_id, source, rtext FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+           |  FROM red) WHERE rk <= 40),
+           |tok2 AS (SELECT doc_id, CAST(len($rToksSql) AS BIGINT) AS n_tokens,
+           |  ${fp60Sql("CAST(doc_id AS VARCHAR)")} % 4 AS shard FROM capd),
+           |p AS (SELECT doc_id, n_tokens, shard,
+           |  CAST(floor(CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+           |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS BIGINT) / 1024.0) AS BIGINT) AS bin
+           |  FROM tok2)
+           |SELECT shard, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
     // ---- Repetition quality signals (Gopher/C4-style): duplicate-line
     //      fraction and duplicated word-2-gram fraction — the boilerplate /
     //      loop detectors a pretraining cleaner runs beside qualityScore.
