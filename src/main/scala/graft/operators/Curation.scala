@@ -32,12 +32,26 @@ object Curation {
       .select(col("doc_id"), explode(extractDomains(col(textCol))).as("domain"))
 
   /** Keep at most `n` rows per key, in `order` order (deterministic — ties
-    * must be broken by a unique column). The standard "no single domain
-    * dominates the corpus" cap: one shuffle on the key; a pathologically hot
-    * key is still one window partition, which is exactly the bound the cap
-    * itself then enforces (only its first `n` rows are ever emitted). */
-  def capPerKey(df: DataFrame, key: Column, n: Int, order: Seq[Column]): DataFrame =
-    df.withColumn("__rank", row_number().over(Window.partitionBy(key).orderBy(order: _*)))
+    * must be broken by a unique column; the first order column is also used
+    * as the shard hash source). The standard "no single domain dominates the
+    * corpus" cap.
+    *
+    * Two-phase EXACT top-N: a single `Window.partitionBy(key)` would put a
+    * hot key's entire row set into one window partition (with a handful of
+    * sources or one mega-domain, that is the whole corpus through one task).
+    * Phase 1 ranks within (key, hash-shard) — every window partition is
+    * bounded by its shard; phase 2 re-ranks the <= n*shards survivors per
+    * key. The result is identical to the single global window: any row in
+    * the global top-n is necessarily in the top-n of its own shard. */
+  def capPerKey(df: DataFrame, key: Column, n: Int, order: Seq[Column],
+                shards: Int = 64): DataFrame = {
+    val shard = Sampling.hashBucket(order.head.cast("string"), shards, "capshard")
+    val w1 = Window.partitionBy(key, shard).orderBy(order: _*)
+    val w2 = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("__rank", row_number().over(w1))
+      .filter(col("__rank") <= n)
+      .withColumn("__rank", row_number().over(w2))
       .filter(col("__rank") <= n)
       .drop("__rank")
+  }
 }
