@@ -31,10 +31,17 @@ object Decontaminate {
   def fractions(corpus: DataFrame, benchmark: DataFrame,
                 idCol: String, textCol: String,
                 threshold: Double, shingleK: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val feats: Column => Column =
       t => array_distinct(TextFunctions.shingles(t, shingleK))
+    // read twice (matched branch + per-doc totals): persist + materialize so
+    // the tokenize+fingerprint pipeline runs once — same discipline as the
+    // Dedup self-joins (exchange reuse is unreliable, and unmaterialized
+    // branches race to populate the cache)
     val corpusEdges = Dedup.tokenIndex(corpus, idCol, textCol, feats)
       .select(col("doc_id"), Dedup.tokenFp60(col("tok")).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    corpusEdges.count()
     val benchFps = Dedup.tokenIndex(benchmark, idCol, textCol, feats)
       .select(Dedup.tokenFp60(col("tok")).as("fp"))
       .distinct()

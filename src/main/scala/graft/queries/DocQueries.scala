@@ -324,10 +324,14 @@ object DocQueries {
             TextFunctions.langId(col("text")).as("lang"))
           .filter(col("quality") >= 0.6 && col("lang") === "en")
         val grp = Window.partitionBy(md5(col("text")))
+        // read twice (decontamination edges + the final semi-join): persist
+        // so the quality/lang expression tree evaluates once
         val kept = scored
           .withColumn("is_keeper", col("doc_id") === min("doc_id").over(grp))
           .filter(col("is_keeper") && pmod(col("doc_id"), lit(20)) =!= 0)
           .select("doc_id", "source", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kept.count()
         val bench = docsP(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
           .select("doc_id", "text")
         val decon = Decontaminate.fractions(kept, bench, "doc_id", "text",
