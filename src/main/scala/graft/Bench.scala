@@ -8,17 +8,34 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst prune every column a query computes, noop materializes the
   * full result rows, so the timing covers the real work.
   *
-  * Every query runs twice and reports the second (hot) time: the first run
+  * Every query runs once warm, then `SPARK_GRAFT_REPS` (default 1) timed
+  * runs; the reported number is the MEDIAN of the timed runs. The warm run
   * pays one-off JVM/codegen/classload costs that are noise at bench scale
   * and irrelevant at production scale. The DataFrame cache is cleared
-  * between the runs so persisted intermediates (LSH band frames etc.) are
-  * rebuilt — the hot run re-executes all real work, it only skips the
+  * between every run so persisted intermediates (LSH band frames etc.) are
+  * rebuilt — each timed run re-executes all real work, it only skips the
   * compile-time fixed costs.
+  *
+  * Cache hygiene: after each query's runs the cache is cleared AND any RDD
+  * still registered in `sc.getPersistentRDDs` is unpersisted (ml internals
+  * can persist at the RDD layer, which `catalog.clearCache` does not cover).
+  * Leftovers are reported to stderr — a gate must not leak cache into its
+  * neighbors' timings (or their memory budget).
+  *
+  * Local-iteration knobs (the driver sets none of these):
+  *  - SPARK_GRAFT_REPS: timed runs per query (median reported)
+  *  - SPARK_GRAFT_BENCH_ONLY: comma-separated substrings; only matching
+  *    query names run.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(pats) => name => pats.split(',').exists(name.contains)
+      case None => _ => true
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,6 +46,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    def sweepCache(name: String): Unit = {
+      spark.catalog.clearCache()
+      val leftover = spark.sparkContext.getPersistentRDDs
+      if (leftover.nonEmpty) {
+        System.err.println(s"[bench] $name leaked ${leftover.size} RDD-level " +
+          s"persist(s): ${leftover.values.map(_.name).mkString(", ")}")
+        leftover.values.foreach(_.unpersist(blocking = false))
+      }
+    }
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -37,10 +63,18 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.inventory.map { case (name, q) =>
-      once(name, q.fn)          // warm: codegen + JIT + classloading
-      spark.catalog.clearCache() // drop persisted intermediates -> hot run redoes all real work
-      name -> once(name, q.fn)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = SparkEntry.inventory.filter(kv => only(kv._1)).map { case (name, q) =>
+      once(name, q.fn)  // warm: codegen + JIT + classloading
+      val timed = (1 to reps).map { _ =>
+        sweepCache(name) // drop persisted intermediates -> timed run redoes all real work
+        once(name, q.fn)
+      }
+      sweepCache(name)   // leave nothing cached for the next query
+      name -> median(timed)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

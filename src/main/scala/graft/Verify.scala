@@ -30,6 +30,15 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // cache hygiene: no gate may leak persisted frames (DataFrame- or
+        // RDD-level) into its neighbors' memory budget
+        spark.catalog.clearCache()
+        val leftover = spark.sparkContext.getPersistentRDDs
+        if (leftover.nonEmpty) {
+          System.err.println(s"[verify] $name leaked ${leftover.size} " +
+            s"RDD-level persist(s): ${leftover.values.map(_.name).mkString(", ")}")
+          leftover.values.foreach(_.unpersist(blocking = false))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -16,14 +16,31 @@ object Curation {
 
   /** RE2-safe URL pattern (no lookaround): scheme + non-space run. */
   val UrlPattern = "https?://[^ \\t\\n\\r]+"
-  /** Group 1 = host (up to the first slash / whitespace). */
+  /** Group 1 = raw authority (up to the first slash / whitespace): may still
+    * carry userinfo, port, and mixed case — see [[normalizeDomain]]. */
   val DomainPattern = "https?://([^/ \\t\\n\\r]+)"
 
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(UrlPattern), lit(0))
 
-  def extractDomains(text: Column): Column =
-    regexp_extract_all(text, lit(DomainPattern), lit(1))
+  /** Canonical domain from a raw URL authority: strip userinfo (`user@`) and
+    * port (`:8080`), lowercase, and (by default) fold a leading `www.` —
+    * a blocklist or per-domain cap keyed on the raw authority would count
+    * `Example.COM`, `example.com:8080`, and `user@example.com` as three
+    * different sites. Pure scan-stage regex, RE2-safe (anchored, no
+    * lookaround) so the oracle mirrors it verbatim. */
+  def normalizeDomain(auth: Column, foldWww: Boolean = true): Column = {
+    val host = lower(regexp_replace(
+      regexp_replace(auth, "^[^@/]*@", ""), ":[0-9]+$", ""))
+    if (foldWww) regexp_replace(host, "^www\\.", "") else host
+  }
+
+  /** All domains mentioned in `text`, normalized via [[normalizeDomain]].
+    * The transform lambda only touches its element (no captured outer
+    * expressions), so it evaluates once per extracted authority. */
+  def extractDomains(text: Column, foldWww: Boolean = true): Column =
+    transform(regexp_extract_all(text, lit(DomainPattern), lit(1)),
+      a => normalizeDomain(a, foldWww))
 
   /** (doc_id, domain) edge list — one row per URL occurrence (NOT distinct:
     * occurrence counts are the ranking signal). */
@@ -32,9 +49,15 @@ object Curation {
       .select(col("doc_id"), explode(extractDomains(col(textCol))).as("domain"))
 
   /** Keep at most `n` rows per key, in `order` order (deterministic — ties
-    * must be broken by a unique column; the first order column is also used
-    * as the shard hash source). The standard "no single domain dominates the
-    * corpus" cap.
+    * must be broken by a unique column, so `idCol` should appear last in
+    * `order`). The standard "no single domain dominates the corpus" cap.
+    *
+    * `idCol` is a UNIQUE row id and is the phase-1 shard hash source. It
+    * must be unique: hashing a low-cardinality column (a quality score, a
+    * label) would concentrate every tied value into one shard and silently
+    * re-create the hot partition this design exists to avoid — which is why
+    * the shard source is an explicit parameter and never inferred from
+    * `order` (a score-first `order` is the most natural call).
     *
     * Two-phase EXACT top-N: a single `Window.partitionBy(key)` would put a
     * hot key's entire row set into one window partition (with a handful of
@@ -44,8 +67,8 @@ object Curation {
     * key. The result is identical to the single global window: any row in
     * the global top-n is necessarily in the top-n of its own shard. */
   def capPerKey(df: DataFrame, key: Column, n: Int, order: Seq[Column],
-                shards: Int = 64): DataFrame = {
-    val shard = Sampling.hashBucket(order.head.cast("string"), shards, "capshard")
+                idCol: Column, shards: Int = 64): DataFrame = {
+    val shard = Sampling.hashBucket(idCol.cast("string"), shards, "capshard")
     val w1 = Window.partitionBy(key, shard).orderBy(order: _*)
     val w2 = Window.partitionBy(key).orderBy(order: _*)
     df.withColumn("__rank", row_number().over(w1))

@@ -29,20 +29,78 @@ object Packing {
   /** Bin assignment. Output: every input row plus (shard, bin, tokens_before)
     * where `bin` is shard-local and `tokens_before` is the exclusive prefix
     * sum inside the bin's shard — enough for a writer to lay out sequences
-    * deterministically. */
+    * deterministically.
+    *
+    * `order` picks the shard-local layout. Empty (default) = id order.
+    * Passing e.g. `Seq(desc("n_tokens"))` gives decreasing-length layout —
+    * the next-fit-decreasing packing heuristic, which raises fill ratio
+    * (long docs open bins, short docs top them up) at identical cost: the
+    * id is always appended as the final tie-break, so any `order` is total
+    * and the layout stays bit-deterministic across engines and runs. */
   def packBins(docs: DataFrame, idCol: String, tokenCount: Column,
                budgetTokens: Long, shards: Int = 1024,
-               salt: String = ""): DataFrame = {
+               salt: String = "", order: Seq[Column] = Nil): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val withShard = docs
       .withColumn("__tokens", tokenCount.cast("long"))
       .withColumn("shard", Sampling.hashBucket(col(idCol), shards, salt))
-    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    val w = Window.partitionBy("shard").orderBy(order :+ col(idCol): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     withShard
       .withColumn("tokens_before", coalesce(sum(col("__tokens")).over(w), lit(0L)))
       .withColumn("bin", floor(col("tokens_before") / budgetTokens))
       .drop("__tokens")
+  }
+
+  /** Capacity-constrained bin assignment: bins NEVER overflow — a document
+    * that does not fit in the current bin's remaining budget closes it and
+    * opens the next (a document alone larger than the budget still gets its
+    * own bin; documents are never split). This is next-fit packing; combined
+    * with `order = Seq(desc(tokenCountCol))` it is next-fit-decreasing, the
+    * classic fill-ratio upgrade (long documents open bins, the short tail
+    * tops them up — see the OperatorsSpec fixture for the measured gap).
+    *
+    * Unlike [[packBins]] (a pure window expression), the no-overflow
+    * recurrence is inherently sequential — bin boundaries depend on the
+    * accumulated waste of every earlier bin — so each shard is streamed
+    * once through a per-partition scan: repartition on the shard hash,
+    * sort within partitions (externally, spill-safe), then a single
+    * stateful pass. Same scale shape as the window variant: ONE shuffle,
+    * shard-bounded sequential work, no driver state.
+    *
+    * Output: input columns + (shard, bin). Deterministic: shard is a pure
+    * hash of the id, layout order is total (id appended as tie-break). */
+  def packBinsCapped(docs: DataFrame, idCol: String, tokenCount: Column,
+                     budgetTokens: Long, shards: Int = 1024,
+                     salt: String = "", order: Seq[Column] = Nil): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = docs.sparkSession
+    val withShard = docs
+      .withColumn("__tokens", tokenCount.cast("long"))
+      .withColumn("shard", Sampling.hashBucket(col(idCol), shards, salt))
+    val laid = withShard
+      .repartition(math.min(shards, spark.sessionState.conf.numShufflePartitions),
+        col("shard"))
+      .sortWithinPartitions(col("shard") +: order :+ col(idCol): _*)
+    val schema = laid.schema.add("bin", "long")
+    val shardIdx = laid.schema.fieldIndex("shard")
+    val tokIdx = laid.schema.fieldIndex("__tokens")
+    val out = laid.mapPartitions { rows =>
+      // a partition holds whole shards (hash-partitioned on shard) in layout
+      // order; reset the running (bin, fill) state at every shard boundary
+      var shard = Long.MinValue
+      var bin = 0L
+      var fill = 0L
+      rows.map { r =>
+        val s = r.getLong(shardIdx)
+        val t = r.getLong(tokIdx)
+        if (s != shard) { shard = s; bin = 0L; fill = t }
+        else if (fill + t <= budgetTokens) { fill += t }
+        else { bin += 1L; fill = t }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out.drop("__tokens")
   }
 
   /** Materialize packed sequences: one row per (shard, bin) with the member

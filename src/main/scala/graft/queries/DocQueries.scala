@@ -341,7 +341,7 @@ object DocQueries {
         val clean = kept.join(decon, Seq("doc_id"), "left_semi")
           .withColumn("rtext", Redact.redactPii(col("text")))
         val capped = Curation.capPerKey(clean, col("source"), n = 40,
-            order = Seq(col("doc_id")))
+            order = Seq(col("doc_id")), idCol = col("doc_id"))
           .withColumn("n_tokens", TextFunctions.tokenCount(col("rtext")).cast("bigint"))
         Packing.binStats(
             Packing.packBins(capped, "doc_id", col("n_tokens"),
@@ -432,33 +432,41 @@ object DocQueries {
         |FROM g ORDER BY doc_id""".stripMargin)),
 
     // ---- Domain curation: URL-host extraction (deterministically injected
-    //      URLs, like the PII gate) and the per-key document cap.
+    //      URLs, like the PII gate) and the per-key document cap. The
+    //      injected authorities deliberately carry mixed case, a www prefix,
+    //      a port, and userinfo — all of which must normalize away, or a
+    //      blocklist/cap keyed on the domain over/under-counts immediately.
     "q_text_domains" -> Q(
       (s, d) => {
         import graft.operators.Curation
         val seeded = docsP(s, d).select(col("doc_id"),
           concat(col("text"),
-            lit(" see https://site"), pmod(col("doc_id"), lit(7)),
-            lit(".example.org/p/"), col("doc_id"),
-            lit(" and http://cdn"), pmod(col("doc_id"), lit(3)),
+            lit(" see https://WWW.Site"), pmod(col("doc_id"), lit(7)),
+            lit(".Example.ORG:8080/p/"), col("doc_id"),
+            lit(" and http://u"), col("doc_id"),
+            lit("@cdn"), pmod(col("doc_id"), lit(3)),
             lit(".example.net/x")).as("text"))
         Curation.domainEdges(seeded, "doc_id", "text")
           .groupBy("domain").agg(count(lit(1)).as("n"))
           .orderBy("domain")
       },
       Some(s"""WITH seeded AS (SELECT doc_id,
-        |  text || ' see https://site' || (doc_id % 7) || '.example.org/p/' ||
-        |  doc_id || ' and http://cdn' || (doc_id % 3) || '.example.net/x' AS text
+        |  text || ' see https://WWW.Site' || (doc_id % 7) || '.Example.ORG:8080/p/' ||
+        |  doc_id || ' and http://u' || doc_id || '@cdn' || (doc_id % 3) ||
+        |  '.example.net/x' AS text
         |  FROM documents),
-        |e AS (SELECT doc_id, unnest(regexp_extract_all(text,
-        |  '${graft.operators.Curation.DomainPattern}', 1)) AS domain FROM seeded)
+        |e AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text,
+        |  '${graft.operators.Curation.DomainPattern}', 1),
+        |  a -> regexp_replace(lower(regexp_replace(regexp_replace(a,
+        |       '^[^@/]*@', ''), ':[0-9]+$$', '')), '^www\\.', ''))) AS domain
+        |  FROM seeded)
         |SELECT domain, count(*) AS n FROM e GROUP BY domain ORDER BY domain""".stripMargin)),
 
     "q_curate_cap" -> Q(
       (s, d) => {
         import graft.operators.Curation
         val capped = Curation.capPerKey(Tables.documents(s, d),
-          col("source"), n = 30, order = Seq(col("doc_id")))
+          col("source"), n = 30, order = Seq(col("doc_id")), idCol = col("doc_id"))
         capped.groupBy("source")
           .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_sum"))
           .orderBy("source")
@@ -493,6 +501,63 @@ object DocQueries {
         |SELECT doc_id, n_tokens, shard, tokens_before,
         | CAST(floor(tokens_before / 512.0) AS BIGINT) AS bin
         |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ---- Next-fit-decreasing packing: same machinery, shard-local layout
+    //      in token-count-descending order (id tie-break) — long docs open
+    //      bins, short docs top them up. Per-bin stats gate the layout; the
+    //      fill-ratio improvement over id order is asserted in OperatorsSpec.
+    "q_pack_bins_ffd" -> Q(
+      (s, d) => {
+        import graft.operators.Packing
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        val packed = Packing.packBins(docs, "doc_id", col("n_tokens"),
+          budgetTokens = 512L, shards = 8, order = Seq(desc("n_tokens")))
+        Packing.binStats(packed, col("n_tokens"), budgetTokens = 512L)
+          .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"))
+          .orderBy("shard", "bin")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM documents),
+        |p AS (SELECT doc_id, n_tokens, shard,
+        |  CAST(floor(CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY n_tokens DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) / 512.0) AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT shard, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Capacity-constrained (no-overflow) packing, decreasing-length
+    //      layout: bins close when the next doc does not fit — the variant
+    //      where layout order genuinely buys fill ratio. The sequential
+    //      per-shard recurrence is mirrored by a recursive CTE stepping one
+    //      row per shard per iteration (recursion depth = max shard size).
+    "q_pack_bins_capped" -> Q(
+      (s, d) => {
+        import graft.operators.Packing
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        Packing.packBinsCapped(docs, "doc_id", col("n_tokens"),
+            budgetTokens = 512L, shards = 8, order = Seq(desc("n_tokens")))
+          .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+            col("shard"), col("bin"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id,
+        |  CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM documents),
+        |s AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard
+        |  ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn FROM t),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+        |    n_tokens AS fill FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+        |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.bin ELSE r.bin + 1 END,
+        |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.fill + s.n_tokens
+        |         ELSE s.n_tokens END
+        |  FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
+        |SELECT doc_id, n_tokens, shard, bin FROM r ORDER BY doc_id""".stripMargin)),
 
     // ---- Packed-sequence materialization: bins from q_pack_bins assembled
     //      into training sequences (id-ordered concat, budget-bounded per

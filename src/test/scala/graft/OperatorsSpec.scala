@@ -210,9 +210,42 @@ class OperatorsSpec extends SparkSpec {
     // cap: at most 2 rows per key, lowest ids win, ties impossible (unique id)
     val many = Seq((1L, "k1"), (2L, "k1"), (3L, "k1"), (4L, "k2"))
       .toDF("doc_id", "k")
-    val capped = Curation.capPerKey(many, col("k"), n = 2, order = Seq(col("doc_id")))
+    val capped = Curation.capPerKey(many, col("k"), n = 2,
+        order = Seq(col("doc_id")), idCol = col("doc_id"))
       .orderBy("doc_id").collect().map(_.getLong(0))
     assert(capped.toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("capPerKey stays shard-bounded under a heavily-tied order column") {
+    import graft.operators.{Curation, Sampling}
+    // the natural "top-n highest-quality docs per domain" call: order leads
+    // with a low-cardinality score. The shard hash MUST come from the unique
+    // id — hashing the score would put every tied row into one shard and
+    // re-create the hot partition the two-phase design exists to avoid.
+    val shards = 16
+    val rows = (1L to 2000L).map(i => (i, "k", i % 3 * 0.1)) // 3 distinct scores
+    val df = rows.toDF("doc_id", "k", "score")
+    val order = Seq(desc("score"), col("doc_id"))
+    // phase-1 window partitions are (key, hashBucket(id)) groups: bounded
+    val sizes = df
+      .groupBy(col("k"), Sampling.hashBucket(col("doc_id").cast("string"), shards, "capshard"))
+      .count().collect().map(_.getAs[Long]("count"))
+    assert(sizes.length == shards, "unique-id hash must spread across all shards")
+    assert(sizes.max <= 2 * 2000 / shards,
+      s"phase-1 partition ${sizes.max} exceeds ~2x the ideal shard bound")
+    // and the tied hash source would NOT be bounded (the footgun, pinned):
+    val tied = df
+      .groupBy(col("k"), Sampling.hashBucket(col("score").cast("string"), shards, "capshard"))
+      .count().collect().map(_.getAs[Long]("count"))
+    assert(tied.max >= 2000 / 3, "score-hash concentrates ties (why idCol exists)")
+    // correctness under the tied order: identical to the single global window
+    val got = Curation.capPerKey(df, col("k"), n = 25, order = order,
+        idCol = col("doc_id"), shards = shards)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy(order: _*)
+    val want = df.withColumn("r", row_number().over(w)).filter(col("r") <= 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
   }
 
   test("sequence packing fills budget bins contiguously per shard") {
@@ -248,6 +281,44 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("bin").collect()
     assert(seqs.map(_.getAs[String]("sequence")).toSeq ==
       Seq("d1 d2 d3", "d4 d5"))
+  }
+
+  test("decreasing-length capped packing raises fill ratio, same determinism") {
+    import graft.operators.Packing
+    // alternating medium (240) and short (40) docs at budget 512: id-order
+    // next-fit closes every bin at 240+40 = 280 (the next 240 never fits);
+    // decreasing order pairs the 240s (480/bin) then runs the short tail at
+    // 12 x 40 = 480/bin — the classic next-fit-decreasing win
+    val docs = (1L to 120L)
+      .map(i => (i, if (i % 2 == 0) 240L else 40L)).toDF("doc_id", "n_tokens")
+    def meanFill(order: Seq[org.apache.spark.sql.Column]): Double = {
+      val packed = Packing.packBinsCapped(docs, "doc_id", col("n_tokens"),
+        budgetTokens = 512L, shards = 2, order = order)
+      Packing.binStats(packed, col("n_tokens"), budgetTokens = 512L)
+        .agg(avg("fill_ratio")).collect().head.getDouble(0)
+    }
+    val idFill = meanFill(Nil)
+    val nfdFill = meanFill(Seq(desc("n_tokens")))
+    assert(nfdFill > idFill,
+      f"length-desc layout should improve fill ($nfdFill%.3f vs $idFill%.3f)")
+    // capped bins never exceed budget (no doc here is itself over budget)
+    val stats = Packing.binStats(
+      Packing.packBinsCapped(docs, "doc_id", col("n_tokens"), budgetTokens = 512L,
+        shards = 2, order = Seq(desc("n_tokens"))),
+      col("n_tokens"), budgetTokens = 512L).collect()
+    assert(stats.forall(_.getAs[Long]("n_tokens") <= 512L))
+    // an over-budget doc still lands alone in its own bin, never split
+    val big = Seq((1L, 600L), (2L, 100L)).toDF("doc_id", "n_tokens")
+    val bigPacked = Packing.packBinsCapped(big, "doc_id", col("n_tokens"),
+      budgetTokens = 512L, shards = 1).collect()
+    assert(bigPacked.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("bin"))).toSet == Set((1L, 0L), (2L, 1L)))
+    // identical determinism: re-evaluating the ordered layout reproduces it
+    val a = Packing.packBinsCapped(docs, "doc_id", col("n_tokens"), budgetTokens = 512L,
+      shards = 2, order = Seq(desc("n_tokens"))).collect().toSet
+    val b = Packing.packBinsCapped(docs, "doc_id", col("n_tokens"), budgetTokens = 512L,
+      shards = 2, order = Seq(desc("n_tokens"))).collect().toSet
+    assert(a == b)
   }
 
   test("decontamination flags benchmark overlap and clean() drops it") {
