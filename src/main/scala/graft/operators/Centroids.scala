@@ -21,7 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Centroids {
 
-  /** (key, centroid: array<double>, n_vecs) — fast distributed path. */
+  /** (key, centroid: array<double>, n_vecs, dims_consistent) — fast
+    * distributed path.
+    *
+    * Ragged-dim contract: the per-dimension mean is only a group centroid if
+    * every vector in the group has the same length. When they don't (mixed
+    * embedding models, truncated rows), each dimension averages over a
+    * DIFFERENT subset — `dims_consistent` is false for such keys (some
+    * dimension's count differs from the group's max), `n_vecs` reports the
+    * max count seen, and the centroid values are still emitted so callers can
+    * inspect what mixed. Filter on `dims_consistent` before trusting the
+    * vector. */
   def meanByKey(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
     df.select(col(keyCol).as("key"),
         posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
@@ -31,7 +41,8 @@ object Centroids {
       .agg(
         transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"),
-        max(col("n")).as("n_vecs"))
+        max(col("n")).as("n_vecs"),
+        (min(col("n")) === max(col("n"))).as("dims_consistent"))
 
   /** Exact mean of `value` over the group, folded in `orderId` order —
     * identical arithmetic to a single-threaded left-to-right sum (DuckDB:

@@ -309,11 +309,19 @@ object Dedup {
       pairs.sparkSession.sparkContext.defaultParallelism,
       (nEdges / 500000L).toInt + 1))
     // Lineage management, selectable per deployment (the GraphFrames trade):
-    //  - default: eager localCheckpoint per round — not just persist —
-    //    TRUNCATES lineage (an iterative DataFrame loop otherwise
-    //    re-analyzes/re-optimizes a logical plan that grows by one join per
-    //    round: quadratic planning, measured >1 s/round on a 256-edge graph).
-    //    Fast, but blocks live on executors: an executor loss kills the job.
+    //  - default: eager per-round plan truncation — the materialized round is
+    //    re-wrapped as a scan of its own RDD, so the logical plan stays
+    //    constant-size (an iterative DataFrame loop otherwise re-analyzes/
+    //    re-optimizes a plan that grows by one join per round: quadratic
+    //    planning, measured >1 s/round on a 256-edge graph). Storage stays at
+    //    the DataFrame cache layer — unlike localCheckpoint, whose RDD-layer
+    //    persist is unreleasable without destroying the (lineage-less) data:
+    //    it pinned one RDD per round for the life of the session (observed as
+    //    leftover getPersistentRDDs entries in the bench sweep). Here every
+    //    superseded round is unpersisted in-loop and the final frame is
+    //    released by the caller's ordinary `clearCache` sweep; an evicted
+    //    entry recomputes through the captured child plan, so early release
+    //    degrades to recompute, never to data loss.
     //  - checkpointDir set: RELIABLE checkpoint every `checkpointInterval`
     //    rounds (survives executor loss — the right mode for a long cluster
     //    job); persist+materialize between checkpoints, so lineage growth is
@@ -321,18 +329,23 @@ object Dedup {
     //    most `checkpointInterval` rounds from HDFS/S3.
     // returns the truncated frame plus itself when persist-backed, so the
     // loop can UNPERSIST it once the following round materializes — without
-    // the release, reliable mode pins one superseded label frame per round
-    // for the whole run
+    // the release, one superseded label frame stays pinned per round for the
+    // whole run
     def truncate(df: DataFrame, round: Int): (DataFrame, Option[DataFrame]) =
       checkpointDir match {
-        case None => (df.localCheckpoint(true), None)
+        case None =>
+          val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count() // materialize before wrapping: the RDD scan below must
+                    // read the cache, not re-trigger the growing plan
+          val fresh = df.sparkSession.createDataFrame(p.rdd, p.schema)
+          (fresh, Some(p))
         case Some(_) if round % checkpointInterval == 0 => (df.checkpoint(true), None)
         case Some(_) =>
           val p = df.persist(StorageLevel.MEMORY_AND_DISK)
           p.count() // materialize: the checksum below must not race the cache
           (p, Some(p))
       }
-    val (edges, _) = truncate(edges0.coalesce(parts), 0)
+    val (edges, edgesPinned) = truncate(edges0.coalesce(parts), 0)
     edges0.unpersist()
     var (labels, labelsPinned) = truncate(
       edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")), 0)
@@ -362,6 +375,10 @@ object Dedup {
       sum0 = sum1
       iter += 1
     }
+    // the edge list is superseded once the final labels are materialized;
+    // only the final round's frame stays cached, for the caller to consume
+    // (and release with an ordinary cache sweep)
+    edgesPinned.foreach(_.unpersist())
     labels.select(col("id"), col("comp"), (col("id") === col("comp")).as("is_keeper"))
   }
 

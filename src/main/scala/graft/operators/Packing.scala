@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Null/uncastable token counts count as 0 tokens — every variant treats
+    * dirty rows identically (they ride along in whatever bin is open) instead
+    * of the stateful scans NPE-ing where the window variant tolerates. */
+  private def zeroIfNull(tokenCount: Column): Column =
+    coalesce(tokenCount.cast("long"), lit(0L))
+
   /** Bin assignment. Output: every input row plus (shard, bin, tokens_before)
     * where `bin` is shard-local and `tokens_before` is the exclusive prefix
     * sum inside the bin's shard — enough for a writer to lay out sequences
@@ -42,7 +48,7 @@ object Packing {
                salt: String = "", order: Seq[Column] = Nil): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val withShard = docs
-      .withColumn("__tokens", tokenCount.cast("long"))
+      .withColumn("__tokens", zeroIfNull(tokenCount))
       .withColumn("shard", Sampling.hashBucket(col(idCol), shards, salt))
     val w = Window.partitionBy("shard").orderBy(order :+ col(idCol): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -76,7 +82,7 @@ object Packing {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val spark = docs.sparkSession
     val withShard = docs
-      .withColumn("__tokens", tokenCount.cast("long"))
+      .withColumn("__tokens", zeroIfNull(tokenCount))
       .withColumn("shard", Sampling.hashBucket(col(idCol), shards, salt))
     val laid = withShard
       .repartition(math.min(shards, spark.sessionState.conf.numShufflePartitions),
@@ -98,6 +104,79 @@ object Packing {
         else if (fill + t <= budgetTokens) { fill += t }
         else { bin += 1L; fill = t }
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out.drop("__tokens")
+  }
+
+  /** TRUE first-fit bin assignment: each document goes into the FIRST open
+    * bin with room (bins never overflow, like [[packBinsCapped]]); only when
+    * no open bin fits does it open a new one. With
+    * `order = Seq(desc(tokenCount))` this is first-fit-decreasing — strictly
+    * tighter than next-fit-decreasing because earlier bins are REOPENED for
+    * the short tail instead of closing forever (FFD uses ≤ 11/9·OPT + 1 bins;
+    * next-fit has no constant-factor guarantee better than 2·OPT).
+    *
+    * Same distributed shape as [[packBinsCapped]]: one shard shuffle, then a
+    * per-partition scan. The scan state is the open-bin fill vector — one
+    * Long per bin opened so far in the shard, i.e. O(shard token mass /
+    * budget) heap: 8 MB per million bins, bounded by the caller's `shards`
+    * choice, never by the corpus. A max-residual shortcut skips the linear
+    * first-fit probe whenever the document cannot fit in ANY open bin (the
+    * common case once bins are tight), keeping the expected per-doc cost far
+    * below O(bins); a pathological input degrades to O(bins)/doc CPU inside
+    * one shard, not to more memory or shuffles.
+    *
+    * Output: input columns + (shard, bin). Deterministic: shard is a pure
+    * hash of the id, layout order is total (id appended as tie-break). */
+  def packBinsFirstFit(docs: DataFrame, idCol: String, tokenCount: Column,
+                       budgetTokens: Long, shards: Int = 1024,
+                       salt: String = "", order: Seq[Column] = Nil): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = docs.sparkSession
+    val withShard = docs
+      .withColumn("__tokens", zeroIfNull(tokenCount))
+      .withColumn("shard", Sampling.hashBucket(col(idCol), shards, salt))
+    val laid = withShard
+      .repartition(math.min(shards, spark.sessionState.conf.numShufflePartitions),
+        col("shard"))
+      .sortWithinPartitions(col("shard") +: order :+ col(idCol): _*)
+    val schema = laid.schema.add("bin", "long")
+    val shardIdx = laid.schema.fieldIndex("shard")
+    val tokIdx = laid.schema.fieldIndex("__tokens")
+    val out = laid.mapPartitions { rows =>
+      // whole shards per partition (hash-partitioned on shard), layout order;
+      // fills(i) = current token total of the shard's bin i. maxResidual is
+      // an UPPER BOUND on the largest remaining capacity across open bins:
+      // filling a bin only shrinks residuals (bound stays valid untightened);
+      // a probe that comes up empty retightens it from the scan just paid
+      // for. The bound lets the common can't-fit case append without probing.
+      val fills = new scala.collection.mutable.ArrayBuffer[Long]()
+      var shard = Long.MinValue
+      var maxResidual = 0L
+      rows.map { r =>
+        val s = r.getLong(shardIdx)
+        val t = r.getLong(tokIdx)
+        if (s != shard) { shard = s; fills.clear(); maxResidual = 0L }
+        var bin = -1
+        if (t <= maxResidual) {
+          var i = 0
+          while (i < fills.length && fills(i) + t > budgetTokens) i += 1
+          if (i < fills.length) { fills(i) += t; bin = i }
+          else {
+            var m = 0L; var j = 0
+            while (j < fills.length) {
+              if (budgetTokens - fills(j) > m) m = budgetTokens - fills(j); j += 1
+            }
+            maxResidual = m
+          }
+        }
+        if (bin < 0) {
+          fills += t
+          bin = fills.length - 1
+          maxResidual = math.max(maxResidual, budgetTokens - t)
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin.toLong)
       }
     }(org.apache.spark.sql.Encoders.row(schema))
     out.drop("__tokens")

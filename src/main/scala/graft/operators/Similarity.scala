@@ -117,6 +117,22 @@ object Similarity {
               nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame =
     searchIvf(buildIvf(corpus, nLists, seed), queries, k, nProbe)
 
+  private val ivfMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Long), IvfIndex]
+
+  /** Memoized build — the build-once/search-many path. Every caller in one
+    * session sharing (corpusKey, nLists, seed) gets the SAME trained
+    * quantizer; k-means never reruns per query batch. Results are identical
+    * to a fresh build (seeded training on a deterministic hash sample), so
+    * memoization only removes repeated work. `corpusKey` names the corpus
+    * (e.g. its path) — the caller owns the contract that the same key means
+    * the same data. Keyed per session so a dropped session can't leak stale
+    * frames into a new one. */
+  def sharedIvf(corpus: DataFrame, corpusKey: String,
+                nLists: Int = 16, seed: Long = 42L): IvfIndex =
+    ivfMemo.getOrElseUpdate((corpus.sparkSession, corpusKey, nLists, seed),
+      buildIvf(corpus, nLists, seed))
+
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,

@@ -929,11 +929,15 @@ object DocQueries {
     // construction — hash-matched against the same brute-force oracle. This
     // pins the IVF join/rank machinery itself; the approximate mode's recall
     // is asserted in SimilaritySpec.
+    // Both IVF gates share ONE memoized index build (same corpus, nLists,
+    // seed ⇒ identical centroids): training runs once per session, each gate
+    // only pays its own probe/search — the build-once/search-many shape
+    // IvfIndex exists for.
     "q_sim_topk_ivf_exact" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10,
-            nLists = 16, nProbe = 16)
+        Similarity.searchIvf(Similarity.sharedIvf(emb, corpusKey = d, nLists = 16),
+            emb.filter(col("vec_id") < 8), k = 10, nProbe = 16)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },
@@ -963,8 +967,8 @@ object DocQueries {
     "q_sim_topk_ivf" -> Q(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 10,
-            nLists = 16, nProbe = 4)
+        Similarity.searchIvf(Similarity.sharedIvf(emb, corpusKey = d, nLists = 16),
+            emb.filter(col("vec_id") < 8), k = 10, nProbe = 4)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       }),

@@ -194,6 +194,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("label centroids: ragged dims are flagged, consistent keys stay exact") {
+    import graft.operators.Centroids
+    val emb = Seq(
+      (1L, "ok", Seq(1.0, 2.0, 3.0)),
+      (2L, "ok", Seq(3.0, 4.0, 5.0)),
+      (3L, "ragged", Seq(1.0, 2.0, 3.0)),
+      (4L, "ragged", Seq(10.0, 20.0)), // one dim short: dim-3 mean covers 1 vec
+      (5L, "lone", Seq(7.0)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Centroids.meanByKey(emb, "label", "embedding")
+      .orderBy("key").collect()
+    val byKey = out.map(r => r.getString(0) ->
+      ((r.getAs[scala.collection.Seq[Double]]("centroid"),
+        r.getAs[Long]("n_vecs"), r.getAs[Boolean]("dims_consistent")))).toMap
+    assert(byKey("ok")._3 && byKey("lone")._3, "uniform groups must pass the guard")
+    assert(byKey("ok")._1 == Seq(2.0, 3.0, 4.0) && byKey("ok")._2 == 2L)
+    // the silent-wrong hazard the flag exists for: dim 3 averaged over ONE
+    // vector while dims 1-2 averaged over two — flagged, not hidden
+    assert(!byKey("ragged")._3, "mixed-length group must be flagged")
+    assert(byKey("ragged")._1 == Seq(5.5, 11.0, 3.0) && byKey("ragged")._2 == 2L)
+  }
+
   test("domain extraction and per-key cap") {
     import graft.operators.Curation
     val docs = Seq(
