@@ -126,12 +126,30 @@ object Similarity {
     * to a fresh build (seeded training on a deterministic hash sample), so
     * memoization only removes repeated work. `corpusKey` names the corpus
     * (e.g. its path) — the caller owns the contract that the same key means
-    * the same data. Keyed per session so a dropped session can't leak stale
-    * frames into a new one. */
+    * the same data. Keyed per session for correctness (a dropped session
+    * can't leak stale frames into a new one) AND for retention: stopped
+    * sessions are evicted on every lookup, so the map never pins a dead
+    * SparkSession or its frames past the next call.
+    *
+    * A shared harness (Bench/Verify) sweeps the whole DataFrame cache
+    * between gates, which silently unpersists the memoized index's
+    * assignment frame — without repair every later search would recompute
+    * the full corpus assignment scan uncached, contradicting
+    * build-once/search-many. The lookup re-registers persistence when it
+    * finds the storage level cleared (the quantizer itself lives in the
+    * plan literals and never retrains; only the one assignment scan
+    * re-materializes). */
   def sharedIvf(corpus: DataFrame, corpusKey: String,
-                nLists: Int = 16, seed: Long = 42L): IvfIndex =
-    ivfMemo.getOrElseUpdate((corpus.sparkSession, corpusKey, nLists, seed),
+                nLists: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.storage.StorageLevel
+    ivfMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val index = ivfMemo.getOrElseUpdate(
+      (corpus.sparkSession, corpusKey, nLists, seed),
       buildIvf(corpus, nLists, seed))
+    if (index.assigned.storageLevel == StorageLevel.NONE)
+      index.assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    index
+  }
 
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */

@@ -26,6 +26,26 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact, "nProbe = nLists should equal brute force")
   }
 
+  test("sharedIvf memoizes per key and re-persists after a cache sweep") {
+    import org.apache.spark.storage.StorageLevel
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.sharedIvf(emb, corpusKey = "spec-corpus", nLists = 8)
+    val b = Similarity.sharedIvf(emb, corpusKey = "spec-corpus", nLists = 8)
+    assert(a eq b, "same (session, key, nLists, seed) must return the memoized index")
+    assert(a.assigned.storageLevel != StorageLevel.NONE)
+    // the harness sweeps the whole cache between gates; the next lookup must
+    // repair persistence instead of recomputing the assignment scan uncached
+    spark.catalog.clearCache()
+    assert(a.assigned.storageLevel == StorageLevel.NONE)
+    val c = Similarity.sharedIvf(emb, corpusKey = "spec-corpus", nLists = 8)
+    assert((c eq a) && c.assigned.storageLevel != StorageLevel.NONE,
+      "post-sweep lookup must re-persist the memoized assignment frame")
+    // distinct keys build distinct indexes (caller owns key↔data contract)
+    val other = Similarity.sharedIvf(emb, corpusKey = "other-corpus", nLists = 8)
+    assert(!(other eq a))
+    spark.catalog.clearCache()
+  }
+
   test("hyperplane sign buckets stay balanced on the sf0.01 embeddings") {
     import graft.functions.VectorFunctions
     val emb = Tables.embeddings(spark, sf)
