@@ -216,6 +216,30 @@ class OperatorsSpec extends SparkSpec {
     assert(byKey("ragged")._1 == Seq(5.5, 11.0, 3.0) && byKey("ragged")._2 == 2L)
   }
 
+  test("label centroids: empty and NULL vectors trip the guard too") {
+    import graft.operators.Centroids
+    // posexplode alone emits NO rows for these — without the sentinel row
+    // count the group below would report dims_consistent=true with the
+    // NULL/empty members silently excluded from every dimension's mean
+    val emb = Seq(
+      (1L, "mixed", Seq(1.0, 2.0)),
+      (2L, "mixed", Seq(3.0, 4.0)),
+      (3L, "mixed", Seq.empty[Double]),
+      (4L, "allempty", Seq.empty[Double]))
+      .toDF("vec_id", "label", "embedding")
+      .union(Seq((5L, "mixed"), (6L, "allempty")).toDF("vec_id", "label")
+        .withColumn("embedding", lit(null).cast("array<double>")))
+    val byKey = Centroids.meanByKey(emb, "label", "embedding")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[scala.collection.Seq[Double]]("centroid"),
+          r.getAs[Long]("n_vecs"), r.getAs[Boolean]("dims_consistent")))).toMap
+    assert(!byKey("mixed")._3, "empty/NULL members must flag the group")
+    assert(byKey("mixed")._1 == Seq(2.0, 3.0) && byKey("mixed")._2 == 2L,
+      "centroid still emitted over the real vectors for inspection")
+    assert(!byKey("allempty")._3 && byKey("allempty")._2 == 0L &&
+      byKey("allempty")._1.isEmpty, "all-empty keys emit [] with n_vecs=0, flagged")
+  }
+
   test("domain extraction and per-key cap") {
     import graft.operators.Curation
     val docs = Seq(
@@ -341,6 +365,46 @@ class OperatorsSpec extends SparkSpec {
     val b = Packing.packBinsCapped(docs, "doc_id", col("n_tokens"), budgetTokens = 512L,
       shards = 2, order = Seq(desc("n_tokens"))).collect().toSet
     assert(a == b)
+  }
+
+  test("first-fit packing matches a naive sequential first-fit and never overflows") {
+    import graft.operators.Packing
+    // varied sizes incl. docs over budget; enough rows that the maxResidual
+    // probe-skip shortcut exercises both the hit and retighten paths
+    val docs = (1L to 400L)
+      .map(i => (i, (i * 2654435761L) % 600L + 1L)).toDF("doc_id", "n_tokens")
+    val budget = 512L
+    val order = Seq(desc("n_tokens"))
+    val out = Packing.packBinsFirstFit(docs, "doc_id", col("n_tokens"),
+        budgetTokens = budget, shards = 4, order = order)
+      .select("doc_id", "n_tokens", "shard", "bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // differential reference: per shard, lay out in (n_tokens desc, id) order
+    // and run plain sequential first-fit with no shortcut
+    val want: Map[Long, Long] = out.groupBy(_._3).toSeq.flatMap { case (_, rows) =>
+      val fills = scala.collection.mutable.ArrayBuffer[Long]()
+      rows.sortBy(r => (-r._2, r._1)).map { case (id, t, _, _) =>
+        val i = fills.indexWhere(_ + t <= budget)
+        if (i >= 0) { fills(i) += t; id -> i.toLong }
+        else { fills += t; id -> (fills.length - 1).toLong }
+      }
+    }.toMap
+    assert(out.forall { case (id, _, _, bin) => bin == want(id) },
+      "operator bins must equal the naive sequential first-fit per shard")
+    // no bin exceeds the budget except a single over-budget doc alone
+    val byBin = out.groupBy(r => (r._3, r._4)).values
+    assert(byBin.forall(rows =>
+      rows.map(_._2).sum <= budget || (rows.length == 1 && rows.head._2 > budget)))
+    // first-fit reopens earlier bins: strictly fewer bins than next-fit on a
+    // fixture built for it (300s open two bins, the 212s must come BACK)
+    val ffWins = Seq((1L, 300L), (2L, 300L), (3L, 212L), (4L, 212L))
+      .toDF("doc_id", "n_tokens")
+    def nBins(f: (org.apache.spark.sql.DataFrame, String, org.apache.spark.sql.Column,
+        Long, Int, String, Seq[org.apache.spark.sql.Column]) => org.apache.spark.sql.DataFrame) =
+      f(ffWins, "doc_id", col("n_tokens"), budget, 1, "", order)
+        .select("bin").distinct().count()
+    assert(nBins(Packing.packBinsFirstFit) == 2 && nBins(Packing.packBinsCapped) == 3,
+      "FFD must pack the 300/212 fixture into 2 bins where NFD needs 3")
   }
 
   test("decontamination flags benchmark overlap and clean() drops it") {
