@@ -506,7 +506,9 @@ object DocQueries {
     //      in token-count-descending order (id tie-break) — long docs open
     //      bins, short docs top them up. Per-bin stats gate the layout; the
     //      fill-ratio improvement over id order is asserted in OperatorsSpec.
-    "q_pack_bins_ffd" -> Q(
+    //      (Named nfd, not ffd: a bin closes forever once passed — first-fit,
+    //      which reopens earlier bins, is gated by q_pack_bins_firstfit.)
+    "q_pack_bins_nfd" -> Q(
       (s, d) => {
         import graft.operators.Packing
         val docs = Tables.documents(s, d)
@@ -557,6 +559,47 @@ object DocQueries {
         |    CASE WHEN r.fill + s.n_tokens <= 512 THEN r.fill + s.n_tokens
         |         ELSE s.n_tokens END
         |  FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1)
+        |SELECT doc_id, n_tokens, shard, bin FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- TRUE first-fit-decreasing packing: unlike next-fit, a document
+    //      probes ALL open bins in its shard and reopens the first with room
+    //      (FFD ≤ 11/9·OPT + 1 bins). The oracle steps the same recurrence
+    //      with a recursive CTE whose state is the open-bin fill LIST —
+    //      list_position over a list_transform finds the first fit (DuckDB
+    //      returns 0, not NULL, for "no fit"); slice/concat rebuilds the
+    //      updated fills vector.
+    "q_pack_bins_firstfit" -> Q(
+      (s, d) => {
+        import graft.operators.Packing
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        Packing.packBinsFirstFit(docs, "doc_id", col("n_tokens"),
+            budgetTokens = 512L, shards = 8, order = Seq(desc("n_tokens")))
+          .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+            col("shard"), col("bin"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id,
+        |  CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM documents),
+        |s AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard
+        |  ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS rn FROM t),
+        |r AS (
+        |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin,
+        |    [n_tokens] AS fills FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT shard, rn, doc_id, n_tokens,
+        |    CASE WHEN idx = 0 THEN CAST(len(fills) AS BIGINT) ELSE idx - 1 END,
+        |    CASE WHEN idx = 0 THEN list_append(fills, n_tokens)
+        |         ELSE list_concat(list_concat(
+        |             list_slice(fills, 1, CAST(idx AS INT) - 1),
+        |             [fills[CAST(idx AS INT)] + n_tokens]),
+        |           list_slice(fills, CAST(idx AS INT) + 1, len(fills))) END
+        |  FROM (
+        |    SELECT s.shard, s.rn, s.doc_id, s.n_tokens, r.fills,
+        |      CAST(list_position(list_transform(r.fills,
+        |        f -> f + s.n_tokens <= 512), true) AS BIGINT) AS idx
+        |    FROM r JOIN s ON s.shard = r.shard AND s.rn = r.rn + 1))
         |SELECT doc_id, n_tokens, shard, bin FROM r ORDER BY doc_id""".stripMargin)),
 
     // ---- Packed-sequence materialization: bins from q_pack_bins assembled
