@@ -97,6 +97,37 @@ object ScaleCheck {
           Tables.documents(spark, d), col("doc_id"), col("source"),
           rates = Map("web" -> 50, "books" -> 100, "code" -> 80),
           defaultPct = 25)),
+      // ---- curation-era operators (round 5+), same discipline expected:
+      // scan-stage ops ~1x, single-shuffle ops ~2x on 10x data / fixed cores
+      "redact" -> (d => Tables.documents(spark, d).select(col("doc_id"),
+        graft.functions.Redact.redactPii(col("text")).as("rtext"))),
+      "decontaminate" -> { d =>
+        val docs = Tables.documents(spark, d)
+        graft.operators.Decontaminate.fractions(
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          "doc_id", "text", threshold = 0.5, shingleK = 3)
+      },
+      "pack_capped" -> { d =>
+        val docs = Tables.documents(spark, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        graft.operators.Packing.packBinsCapped(docs, "doc_id", col("n_tokens"),
+          budgetTokens = 512L, shards = 64, order = Seq(desc("n_tokens")))
+      },
+      "pack_firstfit" -> { d =>
+        val docs = Tables.documents(spark, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        graft.operators.Packing.packBinsFirstFit(docs, "doc_id", col("n_tokens"),
+          budgetTokens = 512L, shards = 64, order = Seq(desc("n_tokens")))
+      },
+      "cap_per_key" -> (d => graft.operators.Curation.capPerKey(
+        Tables.documents(spark, d), col("source"), n = 40,
+        order = Seq(col("doc_id")), idCol = col("doc_id"))),
+      "centroids" -> (d => graft.operators.Centroids.meanByKey(
+        Tables.embeddings(spark, d), "label", "embedding")),
+      "containment" -> (d => Dedup.containmentPairs(Tables.documents(spark, d),
+        "doc_id", "text", threshold = 0.6, maxTokenDf = 100L,
+        tokens = shingleSet)),
       // chart pipeline from raw rows: synthetic daily frame (lineitem rolled
       // up by ship date) through the chart-series derivation. |days| is fixed
       // under replication — what grows is rows-per-day into the rollup, which

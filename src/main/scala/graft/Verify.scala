@@ -31,13 +31,25 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
         // cache hygiene: no gate may leak persisted frames (DataFrame- or
-        // RDD-level) into its neighbors' memory budget
+        // RDD-level) into its neighbors' memory budget. STRICT by default —
+        // a leaking gate is recorded as FAILED (its dump is deleted, so the
+        // driver's compare reports it) and the discipline can't erode
+        // silently; SPARK_GRAFT_LENIENT_CACHE=1 restores warn-and-clean for
+        // local archaeology.
         spark.catalog.clearCache()
         val leftover = spark.sparkContext.getPersistentRDDs
         if (leftover.nonEmpty) {
-          System.err.println(s"[verify] $name leaked ${leftover.size} " +
-            s"RDD-level persist(s): ${leftover.values.map(_.name).mkString(", ")}")
+          val what = leftover.values.map(_.name).mkString(", ")
           leftover.values.foreach(_.unpersist(blocking = false))
+          if (sys.env.get("SPARK_GRAFT_LENIENT_CACHE").contains("1"))
+            System.err.println(s"[verify] $name leaked ${leftover.size} " +
+              s"RDD-level persist(s): $what")
+          else {
+            System.err.println(s"[verify] $name failed: leaked " +
+              s"${leftover.size} RDD-level persist(s): $what")
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(s"$outDir/$name"))
+          }
         }
       }
     }

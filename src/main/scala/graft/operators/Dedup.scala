@@ -321,7 +321,11 @@ object Dedup {
     //    superseded round is unpersisted in-loop and the final frame is
     //    released by the caller's ordinary `clearCache` sweep; an evicted
     //    entry recomputes through the captured child plan, so early release
-    //    degrades to recompute, never to data loss.
+    //    degrades to recompute, never to data loss. The flip side: because
+    //    each round's only durable ancestor is the previous round's cache,
+    //    memory-pressure eviction MID-LOOP recomputes through the entire
+    //    round chain (an O(rounds) replay cliff localCheckpoint never had) —
+    //    for deep graphs under tight memory, prefer checkpointDir mode.
     //  - checkpointDir set: RELIABLE checkpoint every `checkpointInterval`
     //    rounds (survives executor loss — the right mode for a long cluster
     //    job); persist+materialize between checkpoints, so lineage growth is
