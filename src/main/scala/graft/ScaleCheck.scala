@@ -50,9 +50,33 @@ object ScaleCheck {
       val t0 = System.nanoTime()
       f(dir).write.format("noop").mode("overwrite").save()
       val s = (System.nanoTime() - t0) / 1e9
+      // measurements must not inherit a neighbor's persisted intermediates
+      // (jaccard/components cache frames internally)
+      spark.catalog.clearCache()
       println(f"SCALE $name @ $dir: $s%.2f s")
       s
     }
+
+    // document-frequency cut for the inverted-index pair generators, scaled
+    // with the replication factor: replication multiplies every token's df
+    // by 10, so a FIXED cut would drop tokens at 10x that survive at 1x —
+    // the two runs would do different-shaped work and the ratio would be
+    // meaningless. With the cut scaled, the surviving token set is identical
+    // across scales; the ratio then measures the genuine output growth
+    // (replicated docs are TRUE duplicates, so pair count per clique grows
+    // ~quadratically — expected SUPERLINEAR, excluded from the <=2x
+    // discipline; see SCALE.md).
+    def dfCut(dir: String): Long = if (dir == out) 1000L else 100L
+
+    // synthetic component graph with nontrivial depth: chains of up to 12
+    // docs (broken at doc_id % 12 == 0) — the adversarial shape for label
+    // propagation. Chain LENGTH is fixed under replication (ids offset per
+    // shard); chain COUNT scales with the corpus, so the ratio measures
+    // per-round scaling at a fixed round count.
+    def chainPairs(dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .filter(pmod(col("doc_id"), lit(12)) =!= 0)
+        .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
 
     val cases: Seq[(String, String => DataFrame)] = Seq(
       "daily_rollup" -> (d => Tables.lineitem(spark, d)
@@ -76,7 +100,7 @@ object ScaleCheck {
         Dedup.simhash(Tables.documents(spark, d), "doc_id", "text", shingleSet)),
       "jaccard_pairs" -> (d =>
         Dedup.jaccardPairs(Tables.documents(spark, d), "doc_id", "text",
-          threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)),
+          threshold = 0.3, maxTokenDf = dfCut(d), tokens = shingleSet)),
       "multimodal_feat" -> (d =>
         graft.operators.Multimodal.fakeDecodeFeatures(
           graft.operators.Multimodal.fromText(
@@ -126,8 +150,15 @@ object ScaleCheck {
       "centroids" -> (d => graft.operators.Centroids.meanByKey(
         Tables.embeddings(spark, d), "label", "embedding")),
       "containment" -> (d => Dedup.containmentPairs(Tables.documents(spark, d),
-        "doc_id", "text", threshold = 0.6, maxTokenDf = 100L,
+        "doc_id", "text", threshold = 0.6, maxTokenDf = dfCut(d),
         tokens = shingleSet)),
+      // components over chain graphs: star alternation (the default) vs the
+      // propagation fallback — same labels, different round counts (~5 vs
+      // ~13); both should scale near-linearly per round
+      "components_star" -> (d =>
+        Dedup.connectedComponents(chainPairs(d), maxIter = 64)),
+      "components_prop" -> (d =>
+        Dedup.connectedComponentsPropagation(chainPairs(d), maxIter = 64)),
       // chart pipeline from raw rows: synthetic daily frame (lineitem rolled
       // up by ship date) through the chart-series derivation. |days| is fixed
       // under replication — what grows is rows-per-day into the rollup, which

@@ -30,12 +30,16 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // cache hygiene: no gate may leak persisted frames (DataFrame- or
-        // RDD-level) into its neighbors' memory budget. STRICT by default —
-        // a leaking gate is recorded as FAILED (its dump is deleted, so the
-        // driver's compare reports it) and the discipline can't erode
-        // silently; SPARK_GRAFT_LENIENT_CACHE=1 restores warn-and-clean for
-        // local archaeology.
+        // cache hygiene between gates. DataFrame-level persists are swept
+        // SILENTLY by clearCache() — by design: memoized indexes (e.g.
+        // Similarity.sharedIvf) leave their frame cached for reuse and
+        // repair themselves after the sweep, so a DF-level entry here is
+        // legitimate. RDD-level persists have no such owner and would pin
+        // memory for the rest of the run, so they are STRICT by default: a
+        // gate that leaks one is recorded as FAILED (its dump is deleted,
+        // so the driver's compare reports it) and the discipline can't
+        // erode silently; SPARK_GRAFT_LENIENT_CACHE=1 restores
+        // warn-and-clean for local archaeology.
         spark.catalog.clearCache()
         val leftover = spark.sparkContext.getPersistentRDDs
         if (leftover.nonEmpty) {

@@ -282,84 +282,152 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Rounds executed by the most recent connectedComponents* call in this
+    * JVM. Instrumentation for specs/benchmarks only (harnesses run one
+    * operator at a time) — not part of any result contract. */
+  @volatile var lastRunRounds: Int = 0
+
+  /** Size-aware partition layout for an iterative edge frame: near-dup
+    * graphs are usually a sliver of the corpus, so a tiny edge list iterates
+    * on few partitions (per-round task overhead would otherwise dwarf the
+    * work); large graphs keep the parallel layout. */
+  private def edgeParts(pairs: DataFrame, nEdges: Long): Int =
+    math.max(1, math.min(
+      pairs.sparkSession.sparkContext.defaultParallelism,
+      (nEdges / 500000L).toInt + 1))
+
   /** Connected components over a near-dup pair graph: every doc in a
     * duplicate cluster gets the cluster's minimum doc id as its component
     * label (the canonical "keep one representative per cluster" step after
     * pair generation).
     *
-    * Min-label propagation: labels start as own id and each iteration takes
-    * the min over neighbors; converges in O(graph diameter) rounds. Each
-    * round is one shuffle-join — the standard large-scale formulation (near-
-    * dup graphs are overwhelmingly tiny cliques, so 3-5 rounds settle it);
-    * frames are persisted per round and the loop stops at a fixpoint.
+    * Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", public): each round
+    * relinks every node's larger neighbors (large-star) and then its smaller
+    * neighbors (small-star) to the minimum of the local neighborhood. The
+    * edge set converges to one star per component rooted at the component's
+    * minimum id in ~O(log n) rounds — vs O(graph diameter) for min-label
+    * propagation ([[connectedComponentsPropagation]]) — while every round
+    * stays a pair of shuffle-bounded groupBy+join steps with no driver
+    * state. On chain-shaped graphs the round count is the difference
+    * between log2(length) and length; on the tiny-clique graphs near-dup
+    * emits it still saves a barrier round or two.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None,
                           checkpointInterval: Int = 3): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
+    // orient src > dst (drops self-loops); both star steps preserve the
+    // orientation, so it is a loop invariant
+    val init0 = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = init0.count()
+    val parts = edgeParts(pairs, nEdges)
+    var (edges, pinned) = truncateRound(init0.coalesce(parts), 0,
+      checkpointDir, checkpointInterval)
+    init0.unpersist()
+    // Fixpoint = the edge set is unchanged by a full round. Set identity is
+    // checked by aggregate checksum — count plus wrapping sums of src and of
+    // xxhash64(src,dst) — one agg job instead of a per-round except() join;
+    // a false match needs a 64-bit hash-sum collision on top of equal count
+    // and src-sum (negligible, and the oracle gate pins end-to-end results).
+    def checksum(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("src")), sum(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var chk = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val (next, nextPinned) = truncateRound(smallStar(largeStar(edges)),
+        iter + 1, checkpointDir, checkpointInterval)
+      val chk1 = checksum(next)
+      pinned.foreach(_.unpersist()) // superseded; next is materialized
+      pinned = nextPinned
+      edges = next
+      converged = chk1 == chk
+      chk = chk1
+      iter += 1
+    }
+    lastRunRounds = iter
+    // converged state is a star forest: every non-root node carries an edge
+    // to its component's minimum id, so one min-over-neighbors agg labels
+    // every node (roots label themselves via least(id, min_nbr))
+    val sym = edges.select(col("src").as("id"), col("dst").as("nbr"))
+      .union(edges.select(col("dst").as("id"), col("src").as("nbr")))
+    sym.groupBy("id").agg(min(col("nbr")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
+      .select(col("id"), col("comp"), (col("id") === col("comp")).as("is_keeper"))
+  }
+
+  /** One large-star round: every node u links its strictly-larger neighbors
+    * to m = min(N(u) ∪ {u}). Every edge is re-emitted exactly once from its
+    * smaller endpoint's neighborhood, so the output is the complete next
+    * edge set; output keeps the src > dst orientation (m <= u < v). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+    val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // graph-scaled frames on both sides: pin the join strategy (the groupBy
+    // already hash-partitioned mins on u — see the jaccardPairs note)
+    nbrs.hint("shuffle_hash").join(mins.hint("shuffle_hash"), "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+  }
+
+  /** One small-star round over src > dst oriented edges: every node relinks
+    * its smaller neighbors (and itself) to m = min of that neighborhood.
+    * The one distinct() per full round keeps duplicate emissions (the same
+    * (v, m) from two different centers) from compounding across rounds. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("src").agg(min("dst").as("m"))
+    val moved = edges.hint("shuffle_hash").join(mins.hint("shuffle_hash"), "src")
+      .select(col("dst").as("src"), col("m").as("dst"))
+    moved.union(mins.select(col("src"), col("m").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Min-label propagation components — the O(graph diameter) fallback kept
+    * alongside [[connectedComponents]]: labels start as own id and each
+    * iteration takes the min over neighbors. One join + one agg per round
+    * (a shallower per-round plan than the star alternation), so it can edge
+    * out the alternation on bounded-diameter graphs; on deep graphs the
+    * O(diameter) round count loses to the alternation's O(log n).
+    * Identical output contract.
+    */
+  def connectedComponentsPropagation(pairs: DataFrame, maxIter: Int = 20,
+                                     checkpointDir: Option[String] = None,
+                                     checkpointInterval: Int = 3): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val edges0 = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges0.count() // materialize once; every iteration re-reads
-    // size-aware layout: near-dup graphs are usually a sliver of the corpus,
-    // so a tiny edge list iterates on few partitions (per-round task overhead
-    // would otherwise dwarf the work); large graphs keep the parallel layout
-    val parts = math.max(1, math.min(
-      pairs.sparkSession.sparkContext.defaultParallelism,
-      (nEdges / 500000L).toInt + 1))
-    // Lineage management, selectable per deployment (the GraphFrames trade):
-    //  - default: eager per-round plan truncation — the materialized round is
-    //    re-wrapped as a scan of its own RDD, so the logical plan stays
-    //    constant-size (an iterative DataFrame loop otherwise re-analyzes/
-    //    re-optimizes a plan that grows by one join per round: quadratic
-    //    planning, measured >1 s/round on a 256-edge graph). Storage stays at
-    //    the DataFrame cache layer — unlike localCheckpoint, whose RDD-layer
-    //    persist is unreleasable without destroying the (lineage-less) data:
-    //    it pinned one RDD per round for the life of the session (observed as
-    //    leftover getPersistentRDDs entries in the bench sweep). Here every
-    //    superseded round is unpersisted in-loop and the final frame is
-    //    released by the caller's ordinary `clearCache` sweep; an evicted
-    //    entry recomputes through the captured child plan, so early release
-    //    degrades to recompute, never to data loss. The flip side: because
-    //    each round's only durable ancestor is the previous round's cache,
-    //    memory-pressure eviction MID-LOOP recomputes through the entire
-    //    round chain (an O(rounds) replay cliff localCheckpoint never had) —
-    //    for deep graphs under tight memory, prefer checkpointDir mode.
-    //  - checkpointDir set: RELIABLE checkpoint every `checkpointInterval`
-    //    rounds (survives executor loss — the right mode for a long cluster
-    //    job); persist+materialize between checkpoints, so lineage growth is
-    //    bounded by the interval and recompute after a failure replays at
-    //    most `checkpointInterval` rounds from HDFS/S3.
-    // returns the truncated frame plus itself when persist-backed, so the
-    // loop can UNPERSIST it once the following round materializes — without
-    // the release, one superseded label frame stays pinned per round for the
-    // whole run
-    def truncate(df: DataFrame, round: Int): (DataFrame, Option[DataFrame]) =
-      checkpointDir match {
-        case None =>
-          val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-          p.count() // materialize before wrapping: the RDD scan below must
-                    // read the cache, not re-trigger the growing plan
-          val fresh = df.sparkSession.createDataFrame(p.rdd, p.schema)
-          (fresh, Some(p))
-        case Some(_) if round % checkpointInterval == 0 => (df.checkpoint(true), None)
-        case Some(_) =>
-          val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-          p.count() // materialize: the checksum below must not race the cache
-          (p, Some(p))
-      }
-    val (edges, edgesPinned) = truncate(edges0.coalesce(parts), 0)
+    val parts = edgeParts(pairs, nEdges)
+    val (edges, edgesPinned) = truncateRound(edges0.coalesce(parts), 0,
+      checkpointDir, checkpointInterval)
     edges0.unpersist()
-    var (labels, labelsPinned) = truncate(
-      edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")), 0)
+    var (labels, labelsPinned) = truncateRound(
+      edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")),
+      0, checkpointDir, checkpointInterval)
     def checksum(df: DataFrame): Long =
       df.agg(sum("comp")).head().getLong(0)
     var sum0 = checksum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val (next, nextPinned) = truncate(
+      val (next, nextPinned) = truncateRound(
         labels.join(
             edges
               .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
@@ -368,7 +436,7 @@ object Dedup {
             Seq("id"), "left_outer")
           .select(col("id"),
             least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")),
-        iter + 1)
+        iter + 1, checkpointDir, checkpointInterval)
       // labels only ever decrease, so the label sum strictly decreases until
       // the fixpoint — one agg over the checkpointed frame replaces a diff join
       val sum1 = checksum(next)
@@ -379,12 +447,60 @@ object Dedup {
       sum0 = sum1
       iter += 1
     }
+    lastRunRounds = iter
     // the edge list is superseded once the final labels are materialized;
     // only the final round's frame stays cached, for the caller to consume
     // (and release with an ordinary cache sweep)
     edgesPinned.foreach(_.unpersist())
     labels.select(col("id"), col("comp"), (col("id") === col("comp")).as("is_keeper"))
   }
+
+  /** Per-round lineage control shared by the iterative component loops.
+    * Selectable per deployment (the GraphFrames trade):
+    *  - default (no checkpointDir): eager per-round plan truncation — the
+    *    materialized round is re-wrapped as a scan of its own RDD, so the
+    *    logical plan stays constant-size (an iterative DataFrame loop
+    *    otherwise re-analyzes/re-optimizes a plan that grows by one join per
+    *    round: quadratic planning, measured >1 s/round on a 256-edge graph).
+    *    Storage stays at the DataFrame cache layer — unlike localCheckpoint,
+    *    whose RDD-layer persist is unreleasable without destroying the
+    *    (lineage-less) data: it pinned one RDD per round for the life of the
+    *    session (observed as leftover getPersistentRDDs entries in the bench
+    *    sweep). Every superseded round is unpersisted in-loop by the caller
+    *    and the final frame is released by an ordinary `clearCache` sweep;
+    *    an evicted entry recomputes through the captured child plan, so
+    *    early release degrades to recompute, never to data loss. The flip
+    *    side: because each round's only durable ancestor is the previous
+    *    round's cache, memory-pressure eviction MID-LOOP recomputes through
+    *    the entire round chain (an O(rounds) replay cliff localCheckpoint
+    *    never had) — for deep graphs under tight memory, prefer
+    *    checkpointDir mode.
+    *  - checkpointDir set: RELIABLE checkpoint every `checkpointInterval`
+    *    rounds (survives executor loss — the right mode for a long cluster
+    *    job); persist+materialize between checkpoints, so lineage growth is
+    *    bounded by the interval and recompute after a failure replays at
+    *    most `checkpointInterval` rounds from HDFS/S3.
+    * Returns the truncated frame plus itself when persist-backed, so the
+    * loop can UNPERSIST it once the following round materializes — without
+    * the release, one superseded frame stays pinned per round for the whole
+    * run. The count() before wrapping/returning materializes the cache so
+    * the subsequent RDD scan / checksum reads it instead of racing to
+    * re-trigger the un-truncated plan. */
+  private def truncateRound(df: DataFrame, round: Int,
+                            checkpointDir: Option[String],
+                            checkpointInterval: Int): (DataFrame, Option[DataFrame]) =
+    checkpointDir match {
+      case None =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        val fresh = df.sparkSession.createDataFrame(p.rdd, p.schema)
+        (fresh, Some(p))
+      case Some(_) if round % checkpointInterval == 0 => (df.checkpoint(true), None)
+      case Some(_) =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        (p, Some(p))
+    }
 
   /** Embedding-cosine near-duplicate pairs within sign-LSH buckets: vectors
     * only compare within their random-hyperplane sign bucket (see

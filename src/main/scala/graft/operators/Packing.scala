@@ -32,6 +32,48 @@ object Packing {
   private def zeroIfNull(tokenCount: Column): Column =
     coalesce(tokenCount.cast("long"), lit(0L))
 
+  /** Shared preamble of every packing variant: normalized token counts plus
+    * the md5 shard bucket (a pure function of the id — reproducible across
+    * engines, runs, and cluster sizes). */
+  private def sharded(docs: DataFrame, idCol: String, tokenCount: Column,
+                      shards: Int, salt: String): DataFrame =
+    docs
+      .withColumn("__tokens", zeroIfNull(tokenCount))
+      .withColumn("shard", Sampling.hashBucket(col(idCol), shards, salt))
+
+  /** Shared scaffold of the stateful packing scans ([[packBinsCapped]],
+    * [[packBinsFirstFit]]): shard, repartition on the shard hash, sort
+    * within partitions (externally, spill-safe) in the caller's layout
+    * order, then stream each partition once assigning a bin per row.
+    * `freshShard` returns a new tokens=>bin assignment closure at every
+    * shard boundary, so per-shard packing state can't leak between shards
+    * and the variants can't drift in their preamble. ONE shuffle,
+    * shard-bounded sequential work, no driver state. */
+  private def scanShards(docs: DataFrame, idCol: String, tokenCount: Column,
+                         shards: Int, salt: String, order: Seq[Column])
+                        (freshShard: () => Long => Long): DataFrame = {
+    val spark = docs.sparkSession
+    val laid = sharded(docs, idCol, tokenCount, shards, salt)
+      .repartition(math.min(shards, spark.sessionState.conf.numShufflePartitions),
+        col("shard"))
+      .sortWithinPartitions(col("shard") +: order :+ col(idCol): _*)
+    val schema = laid.schema.add("bin", "long")
+    val shardIdx = laid.schema.fieldIndex("shard")
+    val tokIdx = laid.schema.fieldIndex("__tokens")
+    val out = laid.mapPartitions { rows =>
+      // a partition holds whole shards (hash-partitioned on shard) in layout
+      // order; a fresh assignment closure resets state at shard boundaries
+      var shard = Long.MinValue
+      var assign: Long => Long = null
+      rows.map { r =>
+        val s = r.getLong(shardIdx)
+        if (s != shard) { shard = s; assign = freshShard() }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ assign(r.getLong(tokIdx)))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    out.drop("__tokens")
+  }
+
   /** Bin assignment. Output: every input row plus (shard, bin, tokens_before)
     * where `bin` is shard-local and `tokens_before` is the exclusive prefix
     * sum inside the bin's shard — enough for a writer to lay out sequences
@@ -47,12 +89,9 @@ object Packing {
                budgetTokens: Long, shards: Int = 1024,
                salt: String = "", order: Seq[Column] = Nil): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val withShard = docs
-      .withColumn("__tokens", zeroIfNull(tokenCount))
-      .withColumn("shard", Sampling.hashBucket(col(idCol), shards, salt))
     val w = Window.partitionBy("shard").orderBy(order :+ col(idCol): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    withShard
+    sharded(docs, idCol, tokenCount, shards, salt)
       .withColumn("tokens_before", coalesce(sum(col("__tokens")).over(w), lit(0L)))
       .withColumn("bin", floor(col("tokens_before") / budgetTokens))
       .drop("__tokens")
@@ -80,33 +119,19 @@ object Packing {
                      budgetTokens: Long, shards: Int = 1024,
                      salt: String = "", order: Seq[Column] = Nil): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val spark = docs.sparkSession
-    val withShard = docs
-      .withColumn("__tokens", zeroIfNull(tokenCount))
-      .withColumn("shard", Sampling.hashBucket(col(idCol), shards, salt))
-    val laid = withShard
-      .repartition(math.min(shards, spark.sessionState.conf.numShufflePartitions),
-        col("shard"))
-      .sortWithinPartitions(col("shard") +: order :+ col(idCol): _*)
-    val schema = laid.schema.add("bin", "long")
-    val shardIdx = laid.schema.fieldIndex("shard")
-    val tokIdx = laid.schema.fieldIndex("__tokens")
-    val out = laid.mapPartitions { rows =>
-      // a partition holds whole shards (hash-partitioned on shard) in layout
-      // order; reset the running (bin, fill) state at every shard boundary
-      var shard = Long.MinValue
+    scanShards(docs, idCol, tokenCount, shards, salt, order) { () =>
+      // running (bin, fill) state; the first doc always lands in bin 0 even
+      // when it alone exceeds the budget (docs are never split)
       var bin = 0L
       var fill = 0L
-      rows.map { r =>
-        val s = r.getLong(shardIdx)
-        val t = r.getLong(tokIdx)
-        if (s != shard) { shard = s; bin = 0L; fill = t }
+      var first = true
+      t => {
+        if (first) { first = false; fill = t }
         else if (fill + t <= budgetTokens) { fill += t }
         else { bin += 1L; fill = t }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+        bin
       }
-    }(org.apache.spark.sql.Encoders.row(schema))
-    out.drop("__tokens")
+    }
   }
 
   /** TRUE first-fit bin assignment: each document goes into the FIRST open
@@ -133,31 +158,15 @@ object Packing {
                        budgetTokens: Long, shards: Int = 1024,
                        salt: String = "", order: Seq[Column] = Nil): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
-    val spark = docs.sparkSession
-    val withShard = docs
-      .withColumn("__tokens", zeroIfNull(tokenCount))
-      .withColumn("shard", Sampling.hashBucket(col(idCol), shards, salt))
-    val laid = withShard
-      .repartition(math.min(shards, spark.sessionState.conf.numShufflePartitions),
-        col("shard"))
-      .sortWithinPartitions(col("shard") +: order :+ col(idCol): _*)
-    val schema = laid.schema.add("bin", "long")
-    val shardIdx = laid.schema.fieldIndex("shard")
-    val tokIdx = laid.schema.fieldIndex("__tokens")
-    val out = laid.mapPartitions { rows =>
-      // whole shards per partition (hash-partitioned on shard), layout order;
+    scanShards(docs, idCol, tokenCount, shards, salt, order) { () =>
       // fills(i) = current token total of the shard's bin i. maxResidual is
       // an UPPER BOUND on the largest remaining capacity across open bins:
       // filling a bin only shrinks residuals (bound stays valid untightened);
       // a probe that comes up empty retightens it from the scan just paid
       // for. The bound lets the common can't-fit case append without probing.
       val fills = new scala.collection.mutable.ArrayBuffer[Long]()
-      var shard = Long.MinValue
       var maxResidual = 0L
-      rows.map { r =>
-        val s = r.getLong(shardIdx)
-        val t = r.getLong(tokIdx)
-        if (s != shard) { shard = s; fills.clear(); maxResidual = 0L }
+      t => {
         var bin = -1
         if (t <= maxResidual) {
           var i = 0
@@ -176,10 +185,9 @@ object Packing {
           bin = fills.length - 1
           maxResidual = math.max(maxResidual, budgetTokens - t)
         }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin.toLong)
+        bin.toLong
       }
-    }(org.apache.spark.sql.Encoders.row(schema))
-    out.drop("__tokens")
+    }
   }
 
   /** Materialize packed sequences: one row per (shard, bin) with the member

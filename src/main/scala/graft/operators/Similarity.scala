@@ -140,12 +140,22 @@ object Similarity {
     * plan literals and never retrains; only the one assignment scan
     * re-materializes). */
   def sharedIvf(corpus: DataFrame, corpusKey: String,
-                nLists: Int = 16, seed: Long = 42L): IvfIndex = {
+                nLists: Int = 16, seed: Long = 42L): IvfIndex = ivfMemo.synchronized {
+    // synchronized: evict / lookup / repair are three steps on a shared
+    // process-global map — two concurrent callers could otherwise race into
+    // a duplicate buildIvf (wasted k-means fit) or a double-persist warning.
+    // The lock guards driver-side bookkeeping only (the k-means build inside
+    // getOrElseUpdate runs at most once per key either way).
     import org.apache.spark.storage.StorageLevel
     ivfMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val index = ivfMemo.getOrElseUpdate(
       (corpus.sparkSession, corpusKey, nLists, seed),
       buildIvf(corpus, nLists, seed))
+    // re-persist after a harness cache sweep: persist alone does not
+    // re-materialize, so the FIRST search after a sweep repays one uncached
+    // assignment scan while repopulating the cache. Acceptable: each search
+    // is the frame's single consumer, so there is no recompute race (unlike
+    // the self-join branches elsewhere that must count() after persist).
     if (index.assigned.storageLevel == StorageLevel.NONE)
       index.assigned.persist(StorageLevel.MEMORY_AND_DISK)
     index

@@ -138,6 +138,24 @@ class OperatorsSpec extends SparkSpec {
       Seq(true, false, false, true, false))
   }
 
+  test("star components match propagation and contract a chain in ~log rounds") {
+    // a 40-node path is the adversarial case for min-label propagation:
+    // labels crawl one hop per round (O(diameter) ≈ 40 rounds), while the
+    // large-star/small-star alternation contracts it in ~O(log n) rounds.
+    // Differential: both algorithms must emit identical labels.
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponents(pairs, maxIter = 64).orderBy("id").collect()
+    val starRounds = Dedup.lastRunRounds
+    val prop = Dedup.connectedComponentsPropagation(pairs, maxIter = 64)
+      .orderBy("id").collect()
+    val propRounds = Dedup.lastRunRounds
+    assert(star.toSeq == prop.toSeq)
+    assert(star.length == 40)
+    assert(star.forall(_.getLong(1) == 1L)) // one component rooted at the min
+    assert(propRounds >= 30, s"propagation finished in $propRounds rounds?")
+    assert(starRounds <= 10, s"alternation took $starRounds rounds")
+  }
+
   test("connected components: reliable-checkpoint mode reaches the same fixpoint") {
     // a longer chain (diameter 4) forces several label-propagation rounds, so
     // both the checkpoint round (iter % 3 == 0) and the persist-between
