@@ -21,6 +21,10 @@ object ScaleCheck {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // match the bench/verify harness config (ANSI off) — the point is to
+      // measure the same plans the gates run (the operators themselves are
+      // ANSI-safe; the components checksum found that out the hard way)
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -332,16 +332,21 @@ object Dedup {
       checkpointDir, checkpointInterval)
     init0.unpersist()
     // Fixpoint = the edge set is unchanged by a full round. Set identity is
-    // checked by aggregate checksum — count plus wrapping sums of src and of
+    // checked by aggregate checksum — count plus sums of src and of
     // xxhash64(src,dst) — one agg job instead of a per-round except() join;
-    // a false match needs a 64-bit hash-sum collision on top of equal count
-    // and src-sum (negligible, and the oracle gate pins end-to-end results).
-    def checksum(df: DataFrame): (Long, Long, Long) = {
+    // a false match needs a hash-sum collision on top of equal count and
+    // src-sum (negligible, and the oracle gate pins end-to-end results).
+    // The sums run in decimal(38,0): summing raw xxhash64 longs overflows
+    // int64 almost surely, which ANSI mode turns into a runtime error (and
+    // non-ANSI into a wrap — workable, but the decimal form is exact and
+    // mode-independent).
+    def checksum(df: DataFrame): (Long, String, String) = {
       val r = df.agg(count(lit(1)),
-        sum(col("src")), sum(xxhash64(col("src"), col("dst")))).head()
+        sum(col("src").cast("decimal(38,0)")),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
       (r.getLong(0),
-        if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2))
+        if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString,
+        if (r.isNullAt(2)) "0" else r.getDecimal(2).toPlainString)
     }
     var chk = checksum(edges)
     var iter = 0
@@ -421,8 +426,11 @@ object Dedup {
     var (labels, labelsPinned) = truncateRound(
       edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")),
       0, checkpointDir, checkpointInterval)
-    def checksum(df: DataFrame): Long =
-      df.agg(sum("comp")).head().getLong(0)
+    // decimal(38,0) like the star-alternation checksum: a long sum of ids
+    // overflows at ANSI-error (or wraps non-ANSI) on large graphs
+    def checksum(df: DataFrame): String =
+      df.agg(sum(col("comp").cast("decimal(38,0)")))
+        .head().getDecimal(0).toPlainString
     var sum0 = checksum(labels)
     var iter = 0
     var converged = false

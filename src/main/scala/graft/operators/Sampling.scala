@@ -37,6 +37,17 @@ object Sampling {
                    salt: String = ""): DataFrame =
     df.filter(hashBucket(key, 100, salt) < pct)
 
+  /** Leakage-free train/valid/test assignment: the bucket is hashed from a
+    * GROUP key (a dedup cluster label, a content hash, a source domain)
+    * instead of the row id, so every member of a group lands in the same
+    * split — near-duplicates of a training document can never leak into the
+    * eval split, the standard post-dedup splitting discipline. Membership
+    * stays a pure scan-stage function of the group column (any shuffle cost
+    * belongs to the upstream join that attached the group key). */
+  def splitByGroup(df: DataFrame, group: Column, trainPct: Int = 80,
+                   validPct: Int = 10, salt: String = ""): DataFrame =
+    df.withColumn("split", split(group, trainPct, validPct, salt))
+
   /** Per-group sampling rates — the deterministic analog of `sampleBy` for
     * domain-mixture curation (e.g. keep 50% of web text, 100% of books).
     * Groups absent from `rates` keep `defaultPct`. */

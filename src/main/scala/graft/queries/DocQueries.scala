@@ -737,6 +737,33 @@ object DocQueries {
         |  WHEN source = 'src1' THEN 40 ELSE 10 END)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Leakage-free group split: the bucket is hashed from the dedup
+    //      GROUP key (content hash) instead of the row id, so exact
+    //      duplicates can never straddle train/valid/test — the split
+    //      discipline a post-dedup corpus actually needs. n_groups counts
+    //      distinct groups per split; a group spanning two splits would
+    //      show up as the same grp under two split values (impossible by
+    //      construction — split is a function of grp — and the spec pins it).
+    "q_sample_split_group" -> Q(
+      (s, d) => {
+        val grouped = Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text")).as("grp"))
+        graft.operators.Sampling.splitByGroup(grouped, col("grp"), 80, 10, salt = ":g1")
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("grp")).as("n_groups"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("split")
+      },
+      Some(s"""WITH g AS (SELECT doc_id, md5(text) AS grp FROM documents),
+        |k AS (SELECT doc_id, grp, ${fp60Sql("grp || ':g1'")} % 100 AS b FROM g),
+        |sp AS (SELECT doc_id, grp,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        | FROM k)
+        |SELECT split, count(*) AS n_docs, count(DISTINCT grp) AS n_groups,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- capstone v2: same gates, but the dedup stage is NEAR-dup — word-
     //      shingle jaccard pairs -> connected components -> keep cluster
     //      keepers (min doc id) and unclustered docs. The full pipeline a

@@ -1258,6 +1258,42 @@ object RelationalQueries {
         | AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
         | AND l_quantity < 24""".stripMargin)),
 
+    // Q12: shipping-mode priority counts — orders ⋈ lineitem, two
+    // conditional counts per mode. Schema adaptation (the synthetic lineitem
+    // has no l_shipmode/l_commitdate/l_receiptdate): "mode" is l_returnflag
+    // and "late" is the q4/q21 convention, l_shipdate > o_orderdate +
+    // 60 days; the receipt-year window becomes a ship-year window. Both
+    // sides are fact-scale, so this is a plain shuffle join on the order
+    // key with the counts partially aggregated map-side after it.
+    "q_tpch_q12" -> Q(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val dt = li.schema("l_shipdate").dataType
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+          .join(li.filter(col("l_shipdate") >= lit("1997-01-01").cast(dt) &&
+              col("l_shipdate") < lit("1998-01-01").cast(dt) &&
+              col("l_returnflag").isin("A", "R"))
+              .select("l_orderkey", "l_returnflag", "l_shipdate"),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_returnflag").as("shipmode"))
+          .agg(count(when(hi, 1)).as("high_line_count"),
+            count(when(!hi, 1)).as("low_line_count"))
+          .orderBy("shipmode")
+      },
+      Some("""SELECT l_returnflag AS shipmode,
+        | count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 END) AS high_line_count,
+        | count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 END) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        | AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        | AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Time-series regularization: hourly bucket means densified to the
     //      full hour grid per user, gaps forward-filled.
     "q_t_resample_ffill" -> Q(

@@ -466,6 +466,20 @@ class OperatorsSpec extends SparkSpec {
     assert(overlap < s1, "salted samples should not coincide")
   }
 
+  test("group split is leakage-free: no group ever straddles two splits") {
+    import graft.operators.Sampling
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), md5(col("text")).as("grp"))
+    val sp = Sampling.splitByGroup(docs, col("grp"), salt = ":g1")
+    // exact duplicates share a grp; hashing the GROUP key means none of
+    // them can land on both sides of a train/eval boundary
+    val straddlers = sp.groupBy("grp")
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(straddlers == 0L)
+    val names = sp.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(names == Set("train", "valid", "test"))
+  }
+
   test("approx_percentile stays within 1% of exact on lineitem prices") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
     val r = li.agg(
