@@ -127,6 +127,26 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming curation pass — the scan-stage curation suite (quality score,
+    * language id, PII redaction, deterministic train/valid/test split)
+    * applied to an unbounded document stream. Entirely STATELESS: every
+    * expression is a pure function of the row, so this runs in append mode
+    * with no watermark and no state store, at ingest rate. The expressions
+    * are the very same Column trees the batch gates run — one definition of
+    * "clean" for both arrival modes, which is the point (a curation rule
+    * that disagrees between backfill and live ingest poisons the corpus). */
+  def curateStream(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", minQuality: Double = 0.6,
+                   lang: String = "en", salt: String = ""): DataFrame = {
+    import graft.functions.{Redact, TextFunctions}
+    docs
+      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("lang_guess", TextFunctions.langId(col(textCol)))
+      .filter(col("quality") >= minQuality && col("lang_guess") === lang)
+      .withColumn(textCol, Redact.redactPii(col(textCol)))
+      .withColumn("split", graft.operators.Sampling.split(col(idCol), salt = salt))
+  }
+
   /** Sink helper: append the streaming rollup to a partitioned parquet zone. */
   def writeDaily(rollup: DataFrame, outDir: String, checkpoint: String) =
     rollup.writeStream

@@ -138,6 +138,20 @@ class PlanSpec extends SparkSpec {
       s"packing fell into a global single-partition sort:\n$plan")
   }
 
+  test("tf-idf top-k pushes a partial group limit below the doc shuffle") {
+    val plan = planOf(graft.operators.TermWeights.tfIdfTopK(
+      Tables.documents(spark, sf), "doc_id", "text", k = 3))
+    // rank <= k over a window compiles to WindowGroupLimit; Catalyst plants
+    // one BEFORE the doc_id exchange (partition-local top-k) and one after —
+    // without the partial pass every (doc, term) row would cross the wire
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
+      s"no partial window group limit before the shuffle:\n$plan")
+    // df must be a window over the term key, never a broadcast join of the
+    // corpus-scaled term table; the only broadcast is the 1-row n_docs scalar
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"term table joined by broadcast hash join:\n$plan")
+  }
+
   test("multimodal decode stub stays a Column tree, no ExistingRDD scan") {
     val media = graft.operators.Multimodal.fromText(
       Tables.documents(spark, sf), "doc_id", "text", "source")

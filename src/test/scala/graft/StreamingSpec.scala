@@ -115,4 +115,28 @@ class StreamingSpec extends SparkSpec {
       assert(ids == Seq(1L, 2L, 5L), s"got $ids")
     } finally q.stop()
   }
+
+  test("streaming curation gates quality and language, redacts, splits — stateless append") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.curateStream(docs)
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val good = "the quick brown fox is with the lazy dog and plenty of words " +
+        "to clear the length gate easily contact bob@example.com for details"
+      mem.addData((1L, good), (2L, "hi")) // "hi" fails the length band
+      q.processAllAvailable()
+      // passes quality (0.8) but language-ids as Spanish -> filtered
+      mem.addData((3L, "el perro y la casa de que el parque y la calle de que el sol y la luna"))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT * FROM curate_stream ORDER BY doc_id").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L), s"got ${rows.toSeq}")
+      assert(rows(0).getAs[String]("text").contains("[EMAIL]"))
+      assert(Set("train", "valid", "test").contains(rows(0).getAs[String]("split")))
+    } finally q.stop()
+  }
 }
