@@ -156,6 +156,12 @@ object ScaleCheck {
       "containment" -> (d => Dedup.containmentPairs(Tables.documents(spark, d),
         "doc_id", "text", threshold = 0.6, maxTokenDf = dfCut(d),
         tokens = shingleSet)),
+      // tf-idf: one (doc, term) agg shuffle + a term-key window + the doc
+      // top-k window (partial WindowGroupLimit below the shuffle); the df
+      // distribution shifts under replication (every term's df rises 10x)
+      // but the row counts and plan shape are identical, so <=2x holds
+      "tfidf_topk" -> (d => graft.operators.TermWeights.tfIdfTopK(
+        Tables.documents(spark, d), "doc_id", "text", k = 3)),
       // components over chain graphs: star alternation (the default) vs the
       // propagation fallback — same labels, different round counts (~5 vs
       // ~13); both should scale near-linearly per round

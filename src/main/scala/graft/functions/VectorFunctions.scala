@@ -85,7 +85,7 @@ object VectorFunctions {
     val v = asD(a)
     concat(signPlanes(bits, dim, seed).map { p =>
       val proj = aggregate(
-        zip_with(v, array(p.map(x => lit(x.toDouble)): _*), (x, c) => x * c),
+        zip_with(v, array(p.toIndexedSeq.map(x => lit(x.toDouble)): _*), (x, c) => x * c),
         lit(0.0), (acc, t) => acc + t)
       when(proj >= 0.0, "+").otherwise("-")
     }: _*)

@@ -46,7 +46,7 @@ object Similarity {
     * never rerun per query batch. */
   case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]]) {
     private[Similarity] def nearestCells(v: Column, n: Int): Column = {
-      val scored = array(centroids.zipWithIndex.map { case (cent, i) =>
+      val scored = array(centroids.toIndexedSeq.zipWithIndex.map { case (cent, i) =>
         struct(dist2(v, cent).as("d"), lit(i).as("cell"))
       }: _*)
       slice(array_sort(scored), 1, n).getField("cell")
@@ -58,7 +58,7 @@ object Similarity {
   private def dist2(v: Column, cent: Array[Double]): Column =
     aggregate(
       zip_with(v.cast("array<double>"),
-        array(cent.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
+        array(cent.toIndexedSeq.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, d) => acc + d)
 
   /** Train the coarse quantizer and assign every corpus vector to its cell.

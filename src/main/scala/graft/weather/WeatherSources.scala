@@ -29,14 +29,14 @@ object WeatherSources {
   def emptyRaw(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.read.option("multiLine", "true")
-      .json(Seq("""{"hourly": {"time": []}}""").toDS)
+      .json(Seq("""{"hourly": {"time": []}}""").toDS())
   }
 
   /** Parse a raw payload already held as a string (embedded fixtures, HTTP
     * bodies handed over by the ingest client). */
   def rawFromJson(spark: SparkSession, json: String): DataFrame = {
     import spark.implicits._
-    spark.read.option("multiLine", "true").json(Seq(json).toDS)
+    spark.read.option("multiLine", "true").json(Seq(json).toDS())
   }
 
   /** S8 — snapshot + latest dual-write of a raw payload (driver-side, the
