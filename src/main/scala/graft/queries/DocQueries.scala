@@ -737,6 +737,26 @@ object DocQueries {
         |  WHEN source = 'src1' THEN 40 ELSE 10 END)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Context-window chunking: each document split into 64-token
+    //      windows overlapping by 16 (step 48) — the stage between cleaning
+    //      and sequence packing. Scan-stage only: tokenize, integer-exact
+    //      chunk count, explode, slice; zero shuffles.
+    "q_text_chunk" -> Q(
+      (s, d) => graft.operators.Chunking.chunkByTokens(
+          Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |p AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) <= 64 THEN 1
+        |   ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks FROM t),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM p)
+        |SELECT doc_id, chunk_id,
+        | array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
+        | len(toks[chunk_id*48+1 : chunk_id*48+64]) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // ---- TF-IDF top-k terms per document: tf partial-aggregates into one
     //      (doc, term) shuffle; df is a window over the term key (never a
     //      broadcast of the corpus-scaled term table); idf is the LINEAR

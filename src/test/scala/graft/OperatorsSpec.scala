@@ -494,6 +494,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 1, 2))
   }
 
+  test("chunking covers every token with the configured overlap") {
+    import graft.operators.Chunking
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = Chunking.chunkByTokens(
+        Seq((1L, doc), (2L, "short one")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_id").collect()
+    // 10 tokens, chunk 4, step 3 -> [1..4], [4..7], [7..10]
+    assert(out.filter(_.getLong(0) == 1L).map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(out.filter(_.getLong(0) == 1L).map(_.getAs[Long]("n_tokens")).toSeq ==
+      Seq(4L, 4L, 4L))
+    // a doc at or under the window is one whole chunk
+    assert(out.filter(_.getLong(0) == 2L).map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("short one"))
+  }
+
   test("rate-column sampling keeps nothing at rate 0 and everything at 100") {
     import graft.operators.Sampling
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
