@@ -757,6 +757,41 @@ object DocQueries {
         | len(toks[chunk_id*48+1 : chunk_id*48+64]) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // ---- capstone: chunk -> pack, the two stages composed the way a
+    //      sequence writer runs them — documents become overlapping
+    //      64-token windows, the windows pack into 256-token bins. The
+    //      chunk stage is scan-stage; packing adds the one shard-window
+    //      shuffle. Chunk identity is the composite doc:chunk key.
+    "q_pipeline_chunk_pack" -> Q(
+      (s, d) => {
+        import graft.operators.{Chunking, Packing}
+        val chunks = Chunking.chunkByTokens(
+            Tables.documents(s, d), "doc_id", "text",
+            chunkTokens = 64, overlapTokens = 16)
+          .select(concat_ws(":", col("doc_id"), col("chunk_id")).as("chunk_key"),
+            col("n_tokens"))
+        Packing.packBins(chunks, "chunk_key", col("n_tokens"),
+            budgetTokens = 256L, shards = 8)
+          .select(col("chunk_key"), col("n_tokens"), col("shard"),
+            col("tokens_before"), col("bin"))
+          .orderBy("chunk_key")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |p AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 64 THEN 1
+        |   ELSE (len(toks) - 64 + 47) // 48 + 1 END AS n_chunks FROM t),
+        |c AS (SELECT doc_id, toks,
+        |  unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM p),
+        |ch AS (SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR) AS chunk_key,
+        |  len(toks[chunk_id*48+1 : chunk_id*48+64]) AS n_tokens FROM c),
+        |sh AS (SELECT chunk_key, n_tokens, ${fp60Sql("chunk_key")} % 8 AS shard FROM ch),
+        |pk AS (SELECT chunk_key, n_tokens, shard,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY chunk_key
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM sh)
+        |SELECT chunk_key, n_tokens, shard, tokens_before,
+        | CAST(floor(tokens_before / 256.0) AS BIGINT) AS bin
+        |FROM pk ORDER BY chunk_key""".stripMargin)),
+
     // ---- TF-IDF top-k terms per document: tf partial-aggregates into one
     //      (doc, term) shuffle; df is a window over the term key (never a
     //      broadcast of the corpus-scaled term table); idf is the LINEAR
