@@ -156,6 +156,11 @@ object ScaleCheck {
       "containment" -> (d => Dedup.containmentPairs(Tables.documents(spark, d),
         "doc_id", "text", threshold = 0.6, maxTokenDf = dfCut(d),
         tokens = shingleSet)),
+      // chunking: scan-stage explode+slice; output rows scale with corpus
+      // tokens / step, expect ~1x on idle cores like the other scan ops
+      "chunk_64_16" -> (d => graft.operators.Chunking.chunkByTokens(
+        Tables.documents(spark, d), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)),
       // tf-idf: one (doc, term) agg shuffle + a term-key window + the doc
       // top-k window (partial WindowGroupLimit below the shuffle); the df
       // distribution shifts under replication (every term's df rises 10x)
