@@ -510,6 +510,71 @@ object Dedup {
         (p, Some(p))
     }
 
+  /** Exact INCREMENTAL dedup: the survivors of a new batch against an
+    * already-ingested corpus. A new document survives when its content hash
+    * matches no corpus document and it is the first occurrence (lowest id)
+    * of its hash within the batch.
+    *
+    * This is the production shape at scale: the corpus is 100 TB and
+    * already deduped — re-running batch dedup over corpus+increment would
+    * rescan everything, while this scans only the increment plus a
+    * hash-join probe of the corpus content hashes (in a deployed pipeline a
+    * stored index column; computed here when handed raw text). The corpus
+    * side is corpus-scaled, so the anti-join is pinned shuffle_hash — never
+    * a broadcast that grows with the corpus. */
+  def exactIncrement(newDocs: DataFrame, corpus: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    val grp = Window.partitionBy("content_hash")
+    val firstInBatch = newDocs
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("__first", min(col(idCol)).over(grp))
+      .filter(col(idCol) === col("__first"))
+      .drop("__first")
+    val corpusHashes = corpus
+      .select(md5(col(textCol)).as("content_hash")).distinct()
+    firstInBatch
+      .join(corpusHashes.hint("shuffle_hash"), Seq("content_hash"), "left_anti")
+      .select(col(idCol), col("content_hash"))
+  }
+
+  /** MinHash-LSH INCREMENTAL near-dup: candidate (new, corpus) pairs
+    * collide on >= 1 LSH band bucket of the corpus band index (in a
+    * deployed pipeline a stored index; derived here when handed raw text),
+    * then verify with exact feature-set Jaccard. Returns the matched pairs
+    * (id_new, id_corpus, jaccard >= threshold); the caller anti-joins on
+    * id_new to keep the increment's survivors. Only the increment is
+    * signature-hashed at ingest time — the corpus side is a bucket lookup,
+    * so per-batch cost scales with the batch, not the corpus. */
+  def minhashLshIncrement(newDocs: DataFrame, corpus: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int, rowsPerBand: Int, threshold: Double,
+                          tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    def bands(docs: DataFrame, side: String): DataFrame =
+      minhashBands(minhashSig(docs, idCol, textCol, k, tokens), k, rowsPerBand)
+        .withColumnRenamed("doc_id", side)
+    // both band frames are read once; the join is bucket-local on
+    // (band, band_hash) and pinned shuffle_hash like every corpus-scaled
+    // join in this file
+    val cand = bands(newDocs, "id_new").hint("shuffle_hash")
+      .join(bands(corpus, "id_corpus").hint("shuffle_hash"),
+        Seq("band", "band_hash"))
+      .select(col("id_new"), col("id_corpus"))
+      .distinct()
+    val nSets = Parallelism.fanOut(
+        newDocs.select(col(idCol).as("id_new"), col(textCol)))
+      .select(col("id_new"), tokens(col(textCol)).as("toks_new"))
+    val cSets = Parallelism.fanOut(
+        corpus.select(col(idCol).as("id_corpus"), col(textCol)))
+      .select(col("id_corpus"), tokens(col(textCol)).as("toks_corpus"))
+    cand
+      .join(nSets.hint("shuffle_hash"), "id_new")
+      .join(cSets.hint("shuffle_hash"), "id_corpus")
+      .select(col("id_new"), col("id_corpus"),
+        (size(array_intersect(col("toks_new"), col("toks_corpus"))).cast("double") /
+          size(array_union(col("toks_new"), col("toks_corpus")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Embedding-cosine near-duplicate pairs within sign-LSH buckets: vectors
     * only compare within their random-hyperplane sign bucket (see
     * [[graft.functions.VectorFunctions.hyperplaneBucket]]), so the pair join

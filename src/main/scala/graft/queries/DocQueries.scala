@@ -1018,6 +1018,62 @@ object DocQueries {
         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
         |${jaccardTailSql(0.3, "JOIN cand ON cand.id_a = c.id_a AND cand.id_b = c.id_b")}""".stripMargin)),
 
+    // ---- Incremental dedup: a new batch (doc_id % 20 = 0) deduped against
+    //      the already-ingested corpus (the rest) — the production shape:
+    //      the corpus is already deduped; only the increment is hashed and
+    //      the corpus side is an index probe. Exact variant emits the
+    //      batch's survivors; the LSH variant emits matched (new, corpus)
+    //      near-dup pairs for the caller to anti-join.
+    "q_dedup_exact_increment" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.exactIncrement(
+            docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH nw AS (SELECT doc_id, md5(text) AS content_hash
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |f AS (SELECT doc_id, content_hash,
+        |  min(doc_id) OVER (PARTITION BY content_hash) AS first_id FROM nw)
+        |SELECT doc_id, content_hash FROM f
+        |WHERE doc_id = first_id
+        | AND NOT EXISTS (SELECT 1 FROM documents c
+        |   WHERE c.doc_id % 20 <> 0 AND md5(c.text) = f.content_hash)
+        |ORDER BY doc_id""".stripMargin)),
+
+    "q_dedup_lsh_increment" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.minhashLshIncrement(
+            docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+            "doc_id", "text", k = 32, rowsPerBand = 4, threshold = 0.3,
+            tokens = shingleSet)
+          .orderBy("id_new", "id_corpus")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |fp AS (SELECT doc_id, $TokenFingerprintSql AS x FROM sh0),
+        |sig AS (SELECT doc_id, $minhashMinsSql FROM fp GROUP BY doc_id),
+        |bands AS (${minhashBandsSql(32, 4)}),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_hash = b.band_hash
+        |  WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh0 GROUP BY 1),
+        |common AS (SELECT c.id_new, c.id_corpus, count(*) AS common
+        |  FROM cand c JOIN sh0 a ON a.doc_id = c.id_new
+        |   JOIN sh0 b ON b.doc_id = c.id_corpus AND b.tok = a.tok
+        |  GROUP BY 1, 2)
+        |SELECT m.id_new, m.id_corpus,
+        | CAST(m.common AS DOUBLE) / (sa.n_tok + sb.n_tok - m.common) AS jaccard
+        |FROM common m
+        | JOIN sizes sa ON sa.doc_id = m.id_new
+        | JOIN sizes sb ON sb.doc_id = m.id_corpus
+        |WHERE jaccard >= 0.3 ORDER BY 1, 2""".stripMargin)),
+
     "q_dedup_simhash_sig" -> Q(
       (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text",
           tokens = shingleSet)

@@ -494,6 +494,30 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 1, 2))
   }
 
+  test("incremental exact dedup: survivors exclude corpus matches and in-batch dups") {
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
+    val batch = Seq((20L, "alpha text"), (40L, "gamma text"),
+      (60L, "gamma text"), (80L, "delta text")).toDF("doc_id", "text")
+    val out = Dedup.exactIncrement(batch, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // 20 matches corpus doc 1; 60 is an in-batch dup of 40
+    assert(out == Seq(40L, 80L))
+  }
+
+  test("incremental LSH near-dup matches the batch against the corpus only") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, base),
+      (2L, "completely different words about spark plans")).toDF("doc_id", "text")
+    val batch = Seq((20L, base + " extra"),
+      (40L, "unrelated fresh content nothing shared here")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshIncrement(batch, corpus, "doc_id", "text",
+        k = 32, rowsPerBand = 4, threshold = 0.3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((20L, 1L)))
+    assert(pairs.head.getAs[Double]("jaccard") > 0.8)
+  }
+
   test("chunking covers every token with the configured overlap") {
     import graft.operators.Chunking
     val doc = (1 to 10).map(i => s"t$i").mkString(" ")
