@@ -152,6 +152,19 @@ class PlanSpec extends SparkSpec {
       s"term table joined by broadcast hash join:\n$plan")
   }
 
+  test("incremental dedup probes the corpus with a shuffled join, never broadcast") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val plan = planOf(Dedup.exactIncrement(
+      docs.filter(col("doc_id") % 20 === 0),
+      docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text"))
+    // the corpus hash index grows with the corpus: a broadcast anti-join
+    // would ship it to every executor and eventually the driver OOMs
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"corpus hash index broadcast in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+  }
+
   test("multimodal decode stub stays a Column tree, no ExistingRDD scan") {
     val media = graft.operators.Multimodal.fromText(
       Tables.documents(spark, sf), "doc_id", "text", "source")
