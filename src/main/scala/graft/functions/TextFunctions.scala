@@ -163,6 +163,24 @@ object TextFunctions {
       .otherwise(0.0)
   }
 
+  /** Duplicate-line REMOVAL (the C4-style cleaner the [[dupLineFraction]]
+    * signal motivates): keep the first occurrence of every line, in order.
+    * Built as a linear fold over the split lines — `when(contains(acc, l),
+    * acc).otherwise(append)` — NOT as a positional filter against
+    * `array_position(lines, l)`, whose lambda would re-evaluate the captured
+    * split per ELEMENT (the O(n²)-per-row trap documented on [[shingles]]).
+    * Exact line match, no trimming: whitespace variants are different lines
+    * (same contract as [[dupLineFraction]]'s distinct count would suggest
+    * for trimmed lines — callers wanting trimmed semantics pre-trim). */
+  def dedupLines(text: Column): Column =
+    array_join(
+      aggregate(
+        split(text, "\n"),
+        array().cast("array<string>"),
+        (acc, l) => when(array_contains(acc, l), acc)
+          .otherwise(concat(acc, array(l)))),
+      "\n")
+
   /** Order-insensitive document fingerprint: md5 of the sorted distinct token
     * set (OpenRefine-style key collision fingerprint). Two documents with the
     * same bag of words collide. */

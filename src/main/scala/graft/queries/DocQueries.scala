@@ -757,6 +757,31 @@ object DocQueries {
         | len(toks[chunk_id*48+1 : chunk_id*48+64]) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // ---- Duplicate-line removal (C4-style cleaning, the REWRITE the
+    //      dup-line signal motivates): the gate seeds a guaranteed duplicate
+    //      block (text twice + a tail), then compares before/after line
+    //      counts and the md5 of the cleaned text. Scan-stage fold, zero
+    //      shuffles.
+    "q_text_dedup_lines" -> Q(
+      (s, d) => {
+        val seeded = docsP(s, d).select(col("doc_id"),
+          concat_ws("\n", col("text"), col("text"), lit("tail")).as("text"))
+        seeded.select(col("doc_id"),
+            size(split(col("text"), "\n")).cast("bigint").as("n_lines"),
+            size(array_distinct(split(col("text"), "\n"))).cast("bigint").as("n_unique"),
+            md5(TextFunctions.dedupLines(col("text"))).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH seeded AS (SELECT doc_id,
+        |  text || chr(10) || text || chr(10) || 'tail' AS text FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM seeded)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        | CAST(len(list_distinct(lines)) AS BIGINT) AS n_unique,
+        | md5(array_to_string(
+        |   list_filter(lines, (x, i) -> list_position(lines, x) = i),
+        |   chr(10))) AS clean_md5
+        |FROM l ORDER BY doc_id""".stripMargin)),
+
     // ---- capstone: chunk -> pack, the two stages composed the way a
     //      sequence writer runs them — documents become overlapping
     //      64-token windows, the windows pack into 256-token bins. The

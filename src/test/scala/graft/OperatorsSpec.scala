@@ -494,6 +494,15 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 1, 2))
   }
 
+  test("dedupLines keeps the first occurrence of each line, in order") {
+    import graft.functions.TextFunctions
+    val out = Seq("a\nb\na\nc\nb", "solo", "")
+      .toDF("text")
+      .select(TextFunctions.dedupLines(col("text")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("a\nb\nc", "solo", ""))
+  }
+
   test("incremental exact dedup: survivors exclude corpus matches and in-batch dups") {
     import graft.operators.Dedup
     val corpus = Seq((1L, "alpha text"), (2L, "beta text")).toDF("doc_id", "text")
