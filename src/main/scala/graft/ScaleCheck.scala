@@ -156,6 +156,26 @@ object ScaleCheck {
       "containment" -> (d => Dedup.containmentPairs(Tables.documents(spark, d),
         "doc_id", "text", threshold = 0.6, maxTokenDf = dfCut(d),
         tokens = shingleSet)),
+      // incremental dedup: batch = every 20th doc, corpus = the rest; the
+      // exact variant is one window + one anti-join probe, the LSH variant
+      // is the minhash pipeline on both sides + a bucket join
+      "exact_increment" -> { d =>
+        val docs = Tables.documents(spark, d)
+        Dedup.exactIncrement(
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0), "doc_id", "text")
+      },
+      "lsh_increment" -> { d =>
+        val docs = Tables.documents(spark, d)
+        Dedup.minhashLshIncrement(
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          "doc_id", "text", k = 32, rowsPerBand = 4, threshold = 0.3,
+          tokens = shingleSet)
+      },
+      // duplicate-line removal: scan-stage linear fold, zero shuffles
+      "dedup_lines" -> (d => Tables.documents(spark, d).select(col("doc_id"),
+        md5(TextFunctions.dedupLines(col("text"))).as("clean_md5"))),
       // chunking: scan-stage explode+slice; output rows scale with corpus
       // tokens / step, expect ~1x on idle cores like the other scan ops
       "chunk_64_16" -> (d => graft.operators.Chunking.chunkByTokens(
