@@ -329,8 +329,7 @@ object Dedup {
     val nEdges = init0.count()
     val parts = edgeParts(pairs, nEdges)
     var (edges, pinned) = truncateRound(init0.coalesce(parts), 0,
-      checkpointDir, checkpointInterval)
-    init0.unpersist()
+      checkpointDir, checkpointInterval, defer = true)
     // Fixpoint = the edge set is unchanged by a full round. Set identity is
     // checked by aggregate checksum — count plus sums of src and of
     // xxhash64(src,dst) — one agg job instead of a per-round except() join;
@@ -340,6 +339,10 @@ object Dedup {
     // int64 almost surely, which ANSI mode turns into a runtime error (and
     // non-ANSI into a wrap — workable, but the decimal form is exact and
     // mode-independent).
+    // The checksum doubles as the round's cache MATERIALIZER (truncateRound
+    // is called with defer = true): one agg job per round instead of a
+    // count() job plus a checksum job — on small near-dup graphs the
+    // per-round job latency, not the data, dominates the loop.
     def checksum(df: DataFrame): (Long, String, String) = {
       val r = df.agg(count(lit(1)),
         sum(col("src").cast("decimal(38,0)")),
@@ -348,12 +351,13 @@ object Dedup {
         if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString,
         if (r.isNullAt(2)) "0" else r.getDecimal(2).toPlainString)
     }
-    var chk = checksum(edges)
+    var chk = checksum(edges) // materializes the deferred round-0 frame
+    init0.unpersist()         // only after the truncated copy is cache-backed
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val (next, nextPinned) = truncateRound(smallStar(largeStar(edges)),
-        iter + 1, checkpointDir, checkpointInterval)
+        iter + 1, checkpointDir, checkpointInterval, defer = true)
       val chk1 = checksum(next)
       pinned.foreach(_.unpersist()) // superseded; next is materialized
       pinned = nextPinned
@@ -425,9 +429,11 @@ object Dedup {
     edges0.unpersist()
     var (labels, labelsPinned) = truncateRound(
       edges.select(col("src").as("id")).distinct().withColumn("comp", col("id")),
-      0, checkpointDir, checkpointInterval)
+      0, checkpointDir, checkpointInterval, defer = true)
     // decimal(38,0) like the star-alternation checksum: a long sum of ids
-    // overflows at ANSI-error (or wraps non-ANSI) on large graphs
+    // overflows at ANSI-error (or wraps non-ANSI) on large graphs.
+    // As in the star loop, the checksum is also the round's materializer
+    // (defer = true above and below): one agg job per round, no count().
     def checksum(df: DataFrame): String =
       df.agg(sum(col("comp").cast("decimal(38,0)")))
         .head().getDecimal(0).toPlainString
@@ -444,7 +450,7 @@ object Dedup {
             Seq("id"), "left_outer")
           .select(col("id"),
             least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp")),
-        iter + 1, checkpointDir, checkpointInterval)
+        iter + 1, checkpointDir, checkpointInterval, defer = true)
       // labels only ever decrease, so the label sum strictly decreases until
       // the fixpoint — one agg over the checkpointed frame replaces a diff join
       val sum1 = checksum(next)
@@ -491,22 +497,28 @@ object Dedup {
     * Returns the truncated frame plus itself when persist-backed, so the
     * loop can UNPERSIST it once the following round materializes — without
     * the release, one superseded frame stays pinned per round for the whole
-    * run. The count() before wrapping/returning materializes the cache so
-    * the subsequent RDD scan / checksum reads it instead of racing to
-    * re-trigger the un-truncated plan. */
+    * run. Materialization: by default a count() populates the cache before
+    * returning, so the subsequent RDD scan / checksum reads it instead of
+    * racing to re-trigger the un-truncated plan. With `defer = true` the
+    * count() is skipped and the CALLER's immediately-following single
+    * action (the convergence checksum in both loops) materializes instead
+    * — one job per round, not two; safe only because the loops are
+    * sequential single-consumer code, and the caller must not unpersist
+    * the frame's inputs until after that action. */
   private def truncateRound(df: DataFrame, round: Int,
                             checkpointDir: Option[String],
-                            checkpointInterval: Int): (DataFrame, Option[DataFrame]) =
+                            checkpointInterval: Int,
+                            defer: Boolean = false): (DataFrame, Option[DataFrame]) =
     checkpointDir match {
       case None =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        p.count()
+        if (!defer) p.count()
         val fresh = df.sparkSession.createDataFrame(p.rdd, p.schema)
         (fresh, Some(p))
       case Some(_) if round % checkpointInterval == 0 => (df.checkpoint(true), None)
       case Some(_) =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-        p.count()
+        if (!defer) p.count()
         (p, Some(p))
     }
 
