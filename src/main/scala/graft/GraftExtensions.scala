@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Hamming64Expression, SlugifyExpression}
+import graft.functions.{Hamming64Expression, SlugifyExpression, VecCosineExpression}
 
 /** SparkSessionExtensions entry point: registers the engine's native Catalyst
   * expressions so they are callable from SQL and `expr(...)`.
@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Hamming64Expression(children.head, children(1))
     ))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosineExpression].getName, "vec_cosine"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecCosineExpression(children.head, children(1))
+    ))
   }
 }
 
@@ -44,6 +50,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[Hamming64Expression].getName, "hamming64"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         Hamming64Expression(children.head, children(1))
+    )
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosineExpression].getName, "vec_cosine"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecCosineExpression(children.head, children(1))
     )
   }
 }

@@ -594,6 +594,7 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, bucketBits: Int = 8,
                        dim: Int = 64): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
     val b = Parallelism.fanOut(emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")))
       .select(col("vec_id"), col("v"),
         VectorFunctions.hyperplaneBucket(col("v"), bucketBits, dim).as("bucket"))
@@ -608,7 +609,7 @@ object Dedup {
     bh.as("a").join(bh.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+        graft.functions.VecCosine.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

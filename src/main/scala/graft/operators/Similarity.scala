@@ -20,12 +20,13 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. `queries` is assumed
     * small (it is broadcast); ties broken by neighbor id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
     val c = Parallelism.fanOut(
       corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        VectorFunctions.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -100,13 +101,14 @@ object Similarity {
 
   /** Probe the `nProbe` nearest cells per query and rank cell-local cosine. */
   def searchIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    graft.GraftExtensions.register(queries.sparkSession)
     val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
       .withColumn("cell", explode(index.nearestCells(col("q_v"), nProbe)))
     val scored = index.assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        VectorFunctions.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -165,6 +167,7 @@ object Similarity {
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                    bucketBits: Int = 8, dim: Int = 64): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
     val c = Parallelism.fanOut(
       corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
       .select(col("nbr_id"), col("nbr_v"),
@@ -174,7 +177,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
-        VectorFunctions.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

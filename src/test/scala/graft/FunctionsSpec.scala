@@ -202,4 +202,30 @@ class FunctionsSpec extends SparkSpec {
     // (1,2) dodges exact zeros — no ±1 combination of 1 and 2 sums to 0)
     assert(expect(Seq(1.0f, 2.0f)) != expect(Seq(-1.0f, -2.0f)))
   }
+
+  test("native vec_cosine is bit-identical to the Column-tree cosine") {
+    import graft.functions.{VecCosine, VectorFunctions}
+    graft.GraftExtensions.register(spark)
+    // awkward magnitudes so any accumulation-order difference would show up
+    // in the low bits; the assertion is EXACT equality, not a tolerance
+    val vecs = Seq(
+      (Seq(0.1f, 0.2f, 0.3f, 1e7f), Seq(1e-7f, 3.3f, -0.7f, 0.11f)),
+      (Seq(1.0f, 2.0f, 3.0f, 4.0f), Seq(4.0f, 3.0f, 2.0f, 1.0f)),
+      (Seq(-1.5f, 0.0f, 2.5f, -0.1f), Seq(0.9f, -0.9f, 0.9f, -0.9f)))
+      .toDF("a", "b")
+    val r = vecs.select(
+      VecCosine.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosine(col("a"), col("b")).as("tree")).collect()
+    r.foreach { row =>
+      assert(java.lang.Double.doubleToLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(row.getDouble(1)),
+        s"native=${row.getDouble(0)} tree=${row.getDouble(1)}")
+    }
+    // null semantics match zip_with padding: length mismatch -> NULL
+    val mismatched = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val m = mismatched.select(
+      VecCosine.cosine(col("a"), col("b")).as("native"),
+      VectorFunctions.cosine(col("a"), col("b")).as("tree")).head()
+    assert(m.isNullAt(0) && m.isNullAt(1))
+  }
 }
