@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{Hamming64Expression, SlugifyExpression, VecCosineExpression}
+import graft.functions.{Hamming64Expression, SlugifyExpression, VecCosineExpression, VecDist2Expression, VecDotExpression}
 
 /** SparkSessionExtensions entry point: registers the engine's native Catalyst
   * expressions so they are callable from SQL and `expr(...)`.
@@ -32,6 +32,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecCosineExpression(children.head, children(1))
     ))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpression].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDotExpression(children.head, children(1))
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dist2"),
+      new ExpressionInfo(classOf[VecDist2Expression].getName, "vec_dist2"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDist2Expression(children.head, children(1))
+    ))
   }
 }
 
@@ -56,6 +68,18 @@ object GraftExtensions {
       new ExpressionInfo(classOf[VecCosineExpression].getName, "vec_cosine"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecCosineExpression(children.head, children(1))
+    )
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpression].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDotExpression(children.head, children(1))
+    )
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("vec_dist2"),
+      new ExpressionInfo(classOf[VecDist2Expression].getName, "vec_dist2"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDist2Expression(children.head, children(1))
     )
   }
 }

@@ -32,6 +32,98 @@ object VecCosine {
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(
       "vec_cosine", a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Native dot product — the kernel inside [[VectorFunctions.hyperplaneBucket]]'s
+    * sign projections (bits × folds per SCAN row otherwise). */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "vec_dot", a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Native squared L2 distance — the kernel inside the IVF coarse
+    * quantizer's cell assignment (nLists folds per corpus row otherwise). */
+  def dist2(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "vec_dist2", a.cast("array<double>"), b.cast("array<double>"))
+}
+
+/** Shared loop template for the native vector kernels: one compiled pass,
+  * accumulating `combine(x, y)` left-to-right in IEEE double — the same
+  * order as the `aggregate`-over-`zip_with` Column trees these replace, so
+  * results are bit-identical. NULL on length mismatch or a null element
+  * (the zip_with padding contract). Children must already be
+  * `array<double>` — the [[VecCosine]] wrappers cast. */
+abstract class VecFoldExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  // null even on non-null inputs: length mismatch or a null element
+  override def nullable: Boolean = true
+
+  protected def combine(x: Double, y: Double): Double
+  /** Java source for the codegen path; `x`/`y` are double variable names. */
+  protected def combineJava(x: String, y: String): String
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += combine(a.getDouble(i), b.getDouble(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $n = $a.numElements();
+         |boolean $bad = ($n != $b.numElements());
+         |double $acc = 0.0;
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    final double $x = $a.getDouble($i);
+         |    final double $y = $b.getDouble($i);
+         |    $acc += ${combineJava(x, y)};
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+}
+
+case class VecDotExpression(left: Expression, right: Expression)
+    extends VecFoldExpression {
+  override def prettyName: String = "vec_dot"
+  override protected def combine(x: Double, y: Double): Double = x * y
+  override protected def combineJava(x: String, y: String): String = s"$x * $y"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class VecDist2Expression(left: Expression, right: Expression)
+    extends VecFoldExpression {
+  override def prettyName: String = "vec_dist2"
+  override protected def combine(x: Double, y: Double): Double = (x - y) * (x - y)
+  override protected def combineJava(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDist2Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Children must already be `array<double>` — the [[VecCosine.cosine]]

@@ -83,10 +83,13 @@ object VectorFunctions {
     * fixed rotation/scaling of the embedding space. */
   def hyperplaneBucket(a: Column, bits: Int, dim: Int, seed: Long = 42L): Column = {
     val v = asD(a)
+    // native vec_dot kernel: the zip_with+aggregate formulation is
+    // CodegenFallback, which put `bits` interpreted folds on every SCAN row
+    // of the corpus. Same left-to-right arithmetic — identical signs.
+    // Callers ensure GraftExtensions.register ran (the operators and the
+    // shared test session both do).
     concat(signPlanes(bits, dim, seed).map { p =>
-      val proj = aggregate(
-        zip_with(v, array(p.toIndexedSeq.map(x => lit(x.toDouble)): _*), (x, c) => x * c),
-        lit(0.0), (acc, t) => acc + t)
+      val proj = VecCosine.dot(v, array(p.toIndexedSeq.map(x => lit(x.toDouble)): _*))
       when(proj >= 0.0, "+").otherwise("-")
     }: _*)
   }

@@ -54,17 +54,18 @@ object Similarity {
     }
   }
 
-  /** Squared L2 distance to a literal centroid as a pure Column expression
-    * (stays codegen'd, no UDF; centroid tables are tiny by construction). */
+  /** Squared L2 distance to a literal centroid via the native vec_dist2
+    * kernel (the zip_with+aggregate formulation is CodegenFallback — nLists
+    * interpreted folds per corpus row during index assignment; same
+    * left-to-right arithmetic, so cell assignments are identical). */
   private def dist2(v: Column, cent: Array[Double]): Column =
-    aggregate(
-      zip_with(v.cast("array<double>"),
-        array(cent.toIndexedSeq.map(lit(_)): _*), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, d) => acc + d)
+    graft.functions.VecCosine.dist2(
+      v, array(cent.toIndexedSeq.map(lit(_)): _*))
 
   /** Train the coarse quantizer and assign every corpus vector to its cell.
     * The assignment frame is persisted: it is the reusable index. */
   def buildIvf(corpus: DataFrame, nLists: Int = 16, seed: Long = 42L): IvfIndex = {
+    graft.GraftExtensions.register(corpus.sparkSession) // vec_dist2 kernel
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.storage.StorageLevel

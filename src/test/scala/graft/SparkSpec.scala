@@ -17,6 +17,9 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the engine's native expressions (slugify, hamming64, vec_*) are part
+    // of the surface under test — register once for every suite
+    GraftExtensions.register(s)
     s
   }
 }
