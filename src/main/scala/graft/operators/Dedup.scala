@@ -85,28 +85,40 @@ object Dedup {
                               tokens: Column => Column): DataFrame = {
     val tok1 = tokenIndex(docs, idCol, textCol, tokens)
       .select(col("doc_id"), tokenFp60(col("tok")).as("tok"))
-    // df cut as a WINDOW over tok, not a broadcast-joined df table: the
-    // distinct-token table grows with the corpus (billions at 100 TB), so
-    // broadcasting it would overflow the driver — the window shuffles once
-    // on tok, the same partitioning the self-join below needs anyway
-    val tok0 = if (maxTokenDf > 0) {
-      tok1.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+    // df cut as a partial-aggregable groupBy + shuffle_hash semi-join, NOT a
+    // broadcast-joined df table (the distinct-token table grows with the
+    // corpus — billions at 100 TB — so broadcasting it would overflow the
+    // driver) and NOT a window over tok (token frequencies are zipfian, so a
+    // stopword's window partition is corpus-sized on one straggler task and
+    // AQE cannot split a window partition; the groupBy collapses each map
+    // partition to one row per token before the shuffle, and the semi-join's
+    // build side is the already-df-bounded qualifying-token set)
+    // the pre-cut index is read twice (the df aggregation + the semi-join
+    // left side): persist + materialize so tokenization/hashing runs once,
+    // then release it as soon as the cut frame below is cache-backed
+    val (tok0, preCut) = if (maxTokenDf > 0) {
+      val all = tok1.persist(StorageLevel.MEMORY_AND_DISK)
+      all.count()
+      val keep = all.groupBy("tok").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxTokenDf)
-        .drop("df")
-    } else tok1
+        .select("tok")
+      (all.hint("shuffle_hash")
+        .join(keep.hint("shuffle_hash"), Seq("tok"), "left_semi"), Some(all))
+    } else (tok1, None)
     // the edge list is read three times (self-join both sides + sizes);
     // persist so tokenization/hashing runs once, not three times. The
     // count() materializes the cache up front — otherwise the join branches
     // race to populate it and can each recompute the full pipeline.
     val tok = tok0.persist(StorageLevel.MEMORY_AND_DISK)
     tok.count()
+    preCut.foreach(_.unpersist())
     // shuffle_hash hints on every join of corpus-scaled frames: their cached
     // size estimates straddle autoBroadcastJoinThreshold at bench SFs, so the
     // planner otherwise FLIPS between broadcasting the whole token index and
     // shuffle-joining it from run to run (observed as bimodal bench timings),
     // and a broadcast whose build side grows with the corpus is never the
     // plan we'd want at scale. shuffle_hash is also the cheap strategy here:
-    // the df-cut window already hash-partitioned the cache on tok, and
+    // the df-cut semi-join already hash-partitioned the cache on tok, and
     // per-partition build sides stay bounded by the same df cut.
     val toks = tok.hint("shuffle_hash")
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
@@ -330,35 +342,20 @@ object Dedup {
     val parts = edgeParts(pairs, nEdges)
     var (edges, pinned) = truncateRound(init0.coalesce(parts), 0,
       checkpointDir, checkpointInterval, defer = true)
-    // Fixpoint = the edge set is unchanged by a full round. Set identity is
-    // checked by aggregate checksum — count plus sums of src and of
-    // xxhash64(src,dst) — one agg job instead of a per-round except() join;
-    // a false match needs a hash-sum collision on top of equal count and
-    // src-sum (negligible, and the oracle gate pins end-to-end results).
-    // The sums run in decimal(38,0): summing raw xxhash64 longs overflows
-    // int64 almost surely, which ANSI mode turns into a runtime error (and
-    // non-ANSI into a wrap — workable, but the decimal form is exact and
-    // mode-independent).
+    // Fixpoint = the edge set is unchanged by a full round, checked by
+    // [[edgeChecksum]] — one agg job instead of a per-round except() join.
     // The checksum doubles as the round's cache MATERIALIZER (truncateRound
     // is called with defer = true): one agg job per round instead of a
     // count() job plus a checksum job — on small near-dup graphs the
     // per-round job latency, not the data, dominates the loop.
-    def checksum(df: DataFrame): (Long, String, String) = {
-      val r = df.agg(count(lit(1)),
-        sum(col("src").cast("decimal(38,0)")),
-        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
-      (r.getLong(0),
-        if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString,
-        if (r.isNullAt(2)) "0" else r.getDecimal(2).toPlainString)
-    }
-    var chk = checksum(edges) // materializes the deferred round-0 frame
+    var chk = edgeChecksum(edges) // materializes the deferred round-0 frame
     init0.unpersist()         // only after the truncated copy is cache-backed
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val (next, nextPinned) = truncateRound(smallStar(largeStar(edges)),
         iter + 1, checkpointDir, checkpointInterval, defer = true)
-      val chk1 = checksum(next)
+      val chk1 = edgeChecksum(next)
       pinned.foreach(_.unpersist()) // superseded; next is materialized
       pinned = nextPinned
       edges = next
@@ -375,6 +372,27 @@ object Dedup {
     sym.groupBy("id").agg(min(col("nbr")).as("mn"))
       .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .select(col("id"), col("comp"), (col("id") === col("comp")).as("is_keeper"))
+  }
+
+  /** Edge-set identity checksum backing the star loop's convergence test:
+    * (count, sum(src), sum(xxhash64(src, dst))). A false fixpoint needs two
+    * DIFFERENT consecutive edge sets to collide on all three components at
+    * once — equal count and src-sum happen on crafted inputs (the spec
+    * builds one), but a simultaneous xxhash64-sum collision is negligible
+    * (and the oracle gate pins end-to-end results). The claim is pinned by
+    * `OperatorsSpec`: same-count same-src-sum edge sets with different
+    * pairings produce different checksums.
+    * The sums run in decimal(38,0): summing raw xxhash64 longs overflows
+    * int64 almost surely, which ANSI mode turns into a runtime error (and
+    * non-ANSI into a wrap — workable, but the decimal form is exact and
+    * mode-independent). */
+  private[graft] def edgeChecksum(df: DataFrame): (Long, String, String) = {
+    val r = df.agg(count(lit(1)),
+      sum(col("src").cast("decimal(38,0)")),
+      sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+    (r.getLong(0),
+      if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString,
+      if (r.isNullAt(2)) "0" else r.getDecimal(2).toPlainString)
   }
 
   /** One large-star round: every node u links its strictly-larger neighbors
@@ -434,9 +452,11 @@ object Dedup {
     // overflows at ANSI-error (or wraps non-ANSI) on large graphs.
     // As in the star loop, the checksum is also the round's materializer
     // (defer = true above and below): one agg job per round, no count().
-    def checksum(df: DataFrame): String =
-      df.agg(sum(col("comp").cast("decimal(38,0)")))
-        .head().getDecimal(0).toPlainString
+    def checksum(df: DataFrame): String = {
+      val r = df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+      // null on an empty label set (sum over zero rows), like the star loop
+      if (r.isNullAt(0)) "0" else r.getDecimal(0).toPlainString
+    }
     var sum0 = checksum(labels)
     var iter = 0
     var converged = false
@@ -549,38 +569,56 @@ object Dedup {
       .select(col(idCol), col("content_hash"))
   }
 
-  /** MinHash-LSH INCREMENTAL near-dup: candidate (new, corpus) pairs
-    * collide on >= 1 LSH band bucket of the corpus band index (in a
-    * deployed pipeline a stored index; derived here when handed raw text),
-    * then verify with exact feature-set Jaccard. Returns the matched pairs
-    * (id_new, id_corpus, jaccard >= threshold); the caller anti-joins on
-    * id_new to keep the increment's survivors. Only the increment is
-    * signature-hashed at ingest time — the corpus side is a bucket lookup,
-    * so per-batch cost scales with the batch, not the corpus. */
+  /** MinHash-LSH INCREMENTAL near-dup from RAW corpus text: derives the
+    * corpus band index and token sets on the fly, then delegates to
+    * [[minhashLshIncrementIndexed]]. Convenient for one-off runs and the
+    * oracle gate, but the derivation re-hashes the WHOLE corpus every call
+    * — per-batch cost scales with the corpus. A deployed pipeline stores
+    * the index once at ingest and calls the Indexed variant directly, which
+    * is the shape whose per-batch cost scales with the batch. */
   def minhashLshIncrement(newDocs: DataFrame, corpus: DataFrame,
                           idCol: String, textCol: String,
                           k: Int, rowsPerBand: Int, threshold: Double,
                           tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
-    def bands(docs: DataFrame, side: String): DataFrame =
-      minhashBands(minhashSig(docs, idCol, textCol, k, tokens), k, rowsPerBand)
-        .withColumnRenamed("doc_id", side)
-    // both band frames are read once; the join is bucket-local on
-    // (band, band_hash) and pinned shuffle_hash like every corpus-scaled
-    // join in this file
-    val cand = bands(newDocs, "id_new").hint("shuffle_hash")
-      .join(bands(corpus, "id_corpus").hint("shuffle_hash"),
-        Seq("band", "band_hash"))
+    val corpusBands =
+      minhashBands(minhashSig(corpus, idCol, textCol, k, tokens), k, rowsPerBand)
+        .withColumnRenamed("doc_id", "id_corpus")
+    val corpusSets = Parallelism.fanOut(
+        corpus.select(col(idCol).as("id_corpus"), col(textCol)))
+      .select(col("id_corpus"), tokens(col(textCol)).as("toks_corpus"))
+    minhashLshIncrementIndexed(newDocs, corpusBands, corpusSets,
+      idCol, textCol, k, rowsPerBand, threshold, tokens)
+  }
+
+  /** MinHash-LSH INCREMENTAL near-dup against a STORED corpus index:
+    * candidate (new, corpus) pairs collide on >= 1 LSH band bucket of
+    * `corpusBands` (`id_corpus`, `band`, `band_hash` — a persisted
+    * [[minhashBands]] output), then verify with exact feature-set Jaccard
+    * against `corpusSets` (`id_corpus`, `toks_corpus`). Returns the matched
+    * pairs (id_new, id_corpus, jaccard >= threshold); the caller anti-joins
+    * on id_new to keep the increment's survivors. Only the increment is
+    * signature-hashed at ingest time — the corpus side is a bucket-local
+    * index probe, so per-batch cost scales with the batch, not the corpus.
+    * Both probes are pinned shuffle_hash: the index grows with the corpus
+    * and must never broadcast. */
+  def minhashLshIncrementIndexed(newDocs: DataFrame, corpusBands: DataFrame,
+                                 corpusSets: DataFrame,
+                                 idCol: String, textCol: String,
+                                 k: Int, rowsPerBand: Int, threshold: Double,
+                                 tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    val newBands =
+      minhashBands(minhashSig(newDocs, idCol, textCol, k, tokens), k, rowsPerBand)
+        .withColumnRenamed("doc_id", "id_new")
+    val cand = newBands.hint("shuffle_hash")
+      .join(corpusBands.hint("shuffle_hash"), Seq("band", "band_hash"))
       .select(col("id_new"), col("id_corpus"))
       .distinct()
     val nSets = Parallelism.fanOut(
         newDocs.select(col(idCol).as("id_new"), col(textCol)))
       .select(col("id_new"), tokens(col(textCol)).as("toks_new"))
-    val cSets = Parallelism.fanOut(
-        corpus.select(col(idCol).as("id_corpus"), col(textCol)))
-      .select(col("id_corpus"), tokens(col(textCol)).as("toks_corpus"))
     cand
       .join(nSets.hint("shuffle_hash"), "id_new")
-      .join(cSets.hint("shuffle_hash"), "id_corpus")
+      .join(corpusSets.hint("shuffle_hash"), "id_corpus")
       .select(col("id_new"), col("id_corpus"),
         (size(array_intersect(col("toks_new"), col("toks_corpus"))).cast("double") /
           size(array_union(col("toks_new"), col("toks_corpus")))).as("jaccard"))

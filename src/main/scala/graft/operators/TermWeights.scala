@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.core.Parallelism
 import graft.functions.TextFunctions
@@ -14,10 +15,14 @@ import graft.functions.TextFunctions
   * Scale design (100 TB):
   *  - term frequencies partial-aggregate map-side before the one
   *    (doc, term) shuffle;
-  *  - document frequency is a WINDOW over the term key, not a broadcast
-  *    join: the distinct-term table grows with the corpus, so broadcasting
-  *    it would overflow the driver (same reasoning as the df cut in
-  *    [[Dedup.jaccardPairs]]);
+  *  - document frequency is a partial-aggregable groupBy joined back
+  *    shuffle_hash on the term key — never a broadcast join (the
+  *    distinct-term table grows with the corpus, so broadcasting it would
+  *    overflow the driver) and never a window over the term key (term
+  *    frequencies are zipfian, so a stopword's window partition is
+  *    corpus-sized on one task, and AQE cannot split a window partition —
+  *    it only splits join/agg shuffles; the groupBy collapses each map
+  *    partition to one row per term before anything moves);
   *  - the corpus size is the only driver-scale value, attached as a 1-row
   *    broadcast;
   *  - idf is the LINEAR ratio n_docs/df, not log(n_docs/df): per document
@@ -38,8 +43,17 @@ object TermWeights {
                 tokens: Column => Column = TextFunctions.tokens): DataFrame = {
     val toks = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    // tf is read twice below (the scored rows and the df aggregation);
+    // persist + materialize so the tokenize/explode pipeline runs once and
+    // the branches don't race to populate the cache (see Dedup.jaccardPairs)
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    tf.count()
+    // tf has one row per (doc, term), so counting rows per term IS the
+    // document frequency; see the scale note above for why this is a
+    // groupBy + shuffle_hash join and not a window or a broadcast
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val withDf = tf.hint("shuffle_hash").join(df.hint("shuffle_hash"), "tok")
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = withDf.crossJoin(broadcast(n)) // 1-row scalar, broadcast
       .withColumn("tf_idf", col("tf").cast("double") * col("n_docs") / col("df"))

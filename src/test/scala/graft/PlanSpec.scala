@@ -146,10 +146,32 @@ class PlanSpec extends SparkSpec {
     // without the partial pass every (doc, term) row would cross the wire
     assert("WindowGroupLimit".r.findAllIn(plan).size >= 2,
       s"no partial window group limit before the shuffle:\n$plan")
-    // df must be a window over the term key, never a broadcast join of the
-    // corpus-scaled term table; the only broadcast is the 1-row n_docs scalar
+    // df must never broadcast the corpus-scaled term table; the only
+    // broadcast is the 1-row n_docs scalar
     assert(!plan.contains("BroadcastHashJoin"),
       s"term table joined by broadcast hash join:\n$plan")
+    // df must be a partial-aggregable HashAggregate joined back shuffle_hash,
+    // NOT a window over the term key: token frequencies are zipfian, so a
+    // stopword's window partition is corpus-sized on one task and AQE cannot
+    // split a window partition. The rank window (per-doc, k-bounded) is the
+    // only WindowExec allowed in the plan.
+    assert("Window \\[".r.findAllIn(plan).size == 1,
+      s"df computed by a window over the zipfian term key:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"df join not pinned shuffle_hash:\n$plan")
+  }
+
+  test("jaccard df cut is a partial-agg semi-join, never a window over tok") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val plan = planOf(Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.3,
+      maxTokenDf = 100L))
+    // same zipf hazard as tf-idf df: a window partition per token cannot be
+    // split by AQE, while the groupBy partial-aggregates map-side and the
+    // semi-join's build side is the df-bounded qualifying-token set
+    assert(!plan.contains("Window ["),
+      s"df cut computed by a window over the zipfian token key:\n$plan")
+    assert(plan.contains("LeftSemi"), s"df cut not a semi-join:\n$plan")
   }
 
   test("incremental dedup probes the corpus with a shuffled join, never broadcast") {
