@@ -12,10 +12,15 @@ import graft.functions.TextFunctions
   * context window; it becomes ~25 overlapping 4k windows).
   *
   * Scale shape: entirely scan-stage — tokenize, compute the chunk count,
-  * explode a chunk-index sequence, slice. Zero shuffles; output rows scale
-  * with total corpus tokens / step, and every expression is a pure function
-  * of the row, so the operator parallelizes with the scan and never holds
-  * more than one document's tokens at a time.
+  * build the per-chunk token slices with a `transform` over the chunk-index
+  * sequence, explode the pre-sliced structs. Zero shuffles; output rows
+  * scale with total corpus tokens / step, and every expression is a pure
+  * function of the row, so the operator parallelizes with the scan.
+  * Slicing BEFORE the explode matters on mega-documents: exploding the
+  * index sequence first would duplicate the full token array once per chunk
+  * row (a 100k-token document amplified ~25× in the intermediate), while
+  * the pre-sliced structs together hold only chunk/step ≈ 1–1.3× the
+  * document's tokens.
   */
 object Chunking {
 
@@ -34,14 +39,19 @@ object Chunking {
     // so any engine mirrors it bit-for-bit (no double ceil at the boundary)
     val nChunks = when(col("n") <= chunkTokens, lit(1L))
       .otherwise(expr(s"(n - $chunkTokens + ${step - 1}) div $step") + lit(1L))
-    val start = (col("chunk_id") * step + 1).cast("int")
     Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
-      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+      // null text tokenizes to null; an empty token set keeps the "every
+      // document yields at least one chunk" contract for null-text rows too
+      .select(col("doc_id"),
+        coalesce(tokens(col(textCol)), typedLit(Seq.empty[String])).as("toks"))
       .withColumn("n", size(col("toks")))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0L), nChunks - 1L)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        array_join(slice(col("toks"), start, lit(chunkTokens)), " ").as("chunk_text"),
-        size(slice(col("toks"), start, lit(chunkTokens))).cast("bigint").as("n_tokens"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0L), nChunks - 1L), i =>
+          struct(i.as("chunk_id"),
+            slice(col("toks"), (i * step + 1).cast("int"), lit(chunkTokens))
+              .as("ctoks")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        array_join(col("c.ctoks"), " ").as("chunk_text"),
+        size(col("c.ctoks")).cast("bigint").as("n_tokens"))
   }
 }
