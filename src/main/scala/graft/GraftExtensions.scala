@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{Hamming64Expression, SlugifyExpression, VecCosineExpression, VecDist2Expression, VecDotExpression}
 
@@ -13,73 +13,39 @@ import graft.functions.{Hamming64Expression, SlugifyExpression, VecCosineExpress
   * or by calling [[GraftExtensions.register]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("slugify"),
-      new ExpressionInfo(classOf[SlugifyExpression].getName, "slugify"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SlugifyExpression(children.head)
-    ))
-    ext.injectFunction((
-      FunctionIdentifier("hamming64"),
-      new ExpressionInfo(classOf[Hamming64Expression].getName, "hamming64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Hamming64Expression(children.head, children(1))
-    ))
-    ext.injectFunction((
-      FunctionIdentifier("vec_cosine"),
-      new ExpressionInfo(classOf[VecCosineExpression].getName, "vec_cosine"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecCosineExpression(children.head, children(1))
-    ))
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDotExpression].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDotExpression(children.head, children(1))
-    ))
-    ext.injectFunction((
-      FunctionIdentifier("vec_dist2"),
-      new ExpressionInfo(classOf[VecDist2Expression].getName, "vec_dist2"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDist2Expression(children.head, children(1))
-    ))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
+  /** Builder with an arity guard: a SQL call with the wrong argument count
+    * fails with a named message instead of an IndexOutOfBoundsException
+    * from `children(1)`. */
+  private def build(name: String, n: Int, f: Seq[Expression] => Expression)
+                   (children: Seq[Expression]): Expression = {
+    require(children.size == n,
+      s"$name expects exactly $n argument(s), got ${children.size}")
+    f(children)
+  }
+
+  /** One registration table shared by the extensions hook and [[register]]
+    * (the two paths can't drift). */
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq[(String, Int, Seq[Expression] => Expression, Class[_])](
+      ("slugify", 1, c => SlugifyExpression(c.head), classOf[SlugifyExpression]),
+      ("hamming64", 2, c => Hamming64Expression(c.head, c(1)), classOf[Hamming64Expression]),
+      ("vec_cosine", 2, c => VecCosineExpression(c.head, c(1)), classOf[VecCosineExpression]),
+      ("vec_dot", 2, c => VecDotExpression(c.head, c(1)), classOf[VecDotExpression]),
+      ("vec_dist2", 2, c => VecDist2Expression(c.head, c(1)), classOf[VecDist2Expression])
+    ).map { case (name, n, f, cls) =>
+      (FunctionIdentifier(name), new ExpressionInfo(cls.getName, name),
+        build(name, n, f) _)
+    }
+
   /** Register the same functions on an already-created session (useful when
     * the session builder is owned by someone else, e.g. the test driver). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("slugify"),
-      new ExpressionInfo(classOf[SlugifyExpression].getName, "slugify"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SlugifyExpression(children.head)
-    )
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("hamming64"),
-      new ExpressionInfo(classOf[Hamming64Expression].getName, "hamming64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Hamming64Expression(children.head, children(1))
-    )
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vec_cosine"),
-      new ExpressionInfo(classOf[VecCosineExpression].getName, "vec_cosine"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecCosineExpression(children.head, children(1))
-    )
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDotExpression].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDotExpression(children.head, children(1))
-    )
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("vec_dist2"),
-      new ExpressionInfo(classOf[VecDist2Expression].getName, "vec_dist2"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VecDist2Expression(children.head, children(1))
-    )
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Cosine similarity between two `array<double>` vectors as a native
   * Catalyst expression (the ANN comparison kernel).
@@ -46,13 +47,33 @@ object VecCosine {
       "vec_dist2", a.cast("array<double>"), b.cast("array<double>"))
 }
 
+/** Analysis-time input validation shared by the native vector kernels: both
+  * children must already be `array<double>` (the [[VecCosine]] wrappers
+  * cast; `AbstractDataType`/`ImplicitCastInputTypes` are not accessible
+  * outside Spark's packages, so the check is spelled out). Without it, the
+  * SQL-registered surface (`expr("vec_cosine(...)")` on an `array<int>`)
+  * would reach `ArrayData.getDouble` on a 4-byte-element layout and return
+  * garbage instead of an analysis error. */
+trait VecArrayDoubleInputs { self: BinaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).filterNot {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+}
+
 /** Shared loop template for the native vector kernels: one compiled pass,
   * accumulating `combine(x, y)` left-to-right in IEEE double — the same
   * order as the `aggregate`-over-`zip_with` Column trees these replace, so
   * results are bit-identical. NULL on length mismatch or a null element
-  * (the zip_with padding contract). Children must already be
-  * `array<double>` — the [[VecCosine]] wrappers cast. */
-abstract class VecFoldExpression extends BinaryExpression {
+  * (the zip_with padding contract). Children must be `array<double>`,
+  * enforced at analysis time by [[VecArrayDoubleInputs]]. */
+abstract class VecFoldExpression extends BinaryExpression with VecArrayDoubleInputs {
   override def dataType: DataType = DoubleType
   // null even on non-null inputs: length mismatch or a null element
   override def nullable: Boolean = true
@@ -126,12 +147,10 @@ case class VecDist2Expression(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Children must already be `array<double>` — the [[VecCosine.cosine]]
-  * wrapper casts (the same trust contract as [[Hamming64Expression]]'s hex
-  * strings; `AbstractDataType` is not accessible outside Spark's packages,
-  * so `ImplicitCastInputTypes` cannot be mixed in from here). */
+/** Children must be `array<double>`, enforced at analysis time by
+  * [[VecArrayDoubleInputs]] — the [[VecCosine.cosine]] wrapper casts. */
 case class VecCosineExpression(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with VecArrayDoubleInputs {
   override def dataType: DataType = DoubleType
   // null even on non-null inputs: length mismatch or a null element
   override def nullable: Boolean = true

@@ -228,4 +228,29 @@ class FunctionsSpec extends SparkSpec {
       VectorFunctions.cosine(col("a"), col("b")).as("tree")).head()
     assert(m.isNullAt(0) && m.isNullAt(1))
   }
+
+  test("SQL-registered vec kernels reject bad argument types and arity") {
+    graft.GraftExtensions.register(spark)
+    // the Scala wrappers cast to array<double>, but the SQL surface used to
+    // be unguarded: an array<int> argument reaches ArrayData.getDouble on a
+    // 4-byte-element layout and silently returns garbage. Must now be an
+    // ANALYSIS error, for all three kernels.
+    for (fn <- Seq("vec_cosine", "vec_dot", "vec_dist2")) {
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $fn(array(1, 2), array(3, 4))").collect()
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT $fn(array('a'), array('b'))").collect()
+      }
+      // wrong arity: a named error from the builder guard, never an
+      // IndexOutOfBoundsException from children(1)
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $fn(array(1.0d))").collect()
+      }
+      assert(!e.isInstanceOf[IndexOutOfBoundsException])
+    }
+    // the guarded path still computes: 1*3 + 2*4
+    assert(spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head().getDouble(0) == 11.0)
+  }
 }
