@@ -544,6 +544,65 @@ class OperatorsSpec extends SparkSpec {
       Seq("short one"))
   }
 
+  test("star convergence checksum distinguishes same-count same-src-sum edge sets") {
+    // The star loop declares a fixpoint when (count, src-sum, xxhash64-sum)
+    // repeats. Equal count and equal src-sum collide by construction here —
+    // the same sources re-paired with swapped destinations — so only the
+    // xxhash64 pairing sum can tell the sets apart. If it could not, a star
+    // round that re-paired edges this way would short-circuit before the
+    // true fixpoint.
+    val e1 = Seq((5L, 1L), (6L, 2L)).toDF("src", "dst")
+    val e2 = Seq((5L, 2L), (6L, 1L)).toDF("src", "dst")
+    val c1 = Dedup.edgeChecksum(e1)
+    val c2 = Dedup.edgeChecksum(e2)
+    assert(c1._1 == c2._1 && c1._2 == c2._2, "fixture must collide on count+src-sum")
+    assert(c1 != c2, "checksum cannot distinguish re-paired edge sets")
+    // empty edge set hits the null-sum guards, not an NPE
+    assert(Dedup.edgeChecksum(Seq.empty[(Long, Long)].toDF("src", "dst")) ==
+      ((0L, "0", "0")))
+  }
+
+  test("both component loops accept an empty pair set without NPE") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() == 0L)
+    assert(Dedup.connectedComponentsPropagation(empty).count() == 0L)
+  }
+
+  test("indexed LSH increment matches the raw-text variant on a stored index") {
+    import graft.functions.TextFunctions
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, base),
+      (2L, "completely different words about spark plans")).toDF("doc_id", "text")
+    val batch = Seq((20L, base + " extra"),
+      (40L, "unrelated fresh content nothing shared here")).toDF("doc_id", "text")
+    // the deployed shape: bands + token sets persisted once at ingest, every
+    // batch probes them — identical results to re-deriving from raw text
+    val corpusBands = Dedup.minhashBands(
+        Dedup.minhashSig(corpus, "doc_id", "text", k = 32), k = 32, rowsPerBand = 4)
+      .withColumnRenamed("doc_id", "id_corpus")
+    val corpusSets = corpus.select(col("doc_id").as("id_corpus"),
+      TextFunctions.tokenSet(col("text")).as("toks_corpus"))
+    val indexed = Dedup.minhashLshIncrementIndexed(batch, corpusBands, corpusSets,
+      "doc_id", "text", k = 32, rowsPerBand = 4, threshold = 0.3).collect()
+    val raw = Dedup.minhashLshIncrement(batch, corpus, "doc_id", "text",
+      k = 32, rowsPerBand = 4, threshold = 0.3).collect()
+    assert(indexed.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((20L, 1L)))
+    assert(indexed.toSeq == raw.toSeq)
+  }
+
+  test("chunking yields one empty chunk for null-text documents") {
+    import graft.operators.Chunking
+    val out = Chunking.chunkByTokens(
+        Seq((1L, null.asInstanceOf[String]), (2L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id").collect()
+    // null text = empty token set = one empty chunk, per the operator doc
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getAs[String]("chunk_text") == "" &&
+      out(0).getAs[Long]("n_tokens") == 0L)
+    assert(out(1).getAs[String]("chunk_text") == "a b")
+  }
+
   test("rate-column sampling keeps nothing at rate 0 and everything at 100") {
     import graft.operators.Sampling
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
