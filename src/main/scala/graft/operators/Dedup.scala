@@ -625,6 +625,72 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-document repeated-span dedup (the substring-dedup family of
+    * C4 and Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): maximal token spans whose k-token shingles appear in
+    * at least one OTHER document. Doc-level exact/near dedup misses
+    * boilerplate repeated INSIDE otherwise-distinct documents — licenses,
+    * navigation chrome, quoted passages; this flags the spans themselves so
+    * callers can cut or down-weight them.
+    *
+    * Output: one row per (doc, maximal span) — `span_start` / `span_end`
+    * (1-based token indices, inclusive) and `n_tokens`. Flagged shingles
+    * whose start positions are <= k apart merge into one span (their
+    * duplicated windows overlap or touch), so a span may bridge up to k-1
+    * locally-unique tokens between two duplicated windows; a longer clean
+    * gap splits spans — the standard islands formulation. Documents shorter
+    * than k tokens contribute their whole text as one shingle (the
+    * [[TextFunctions.shingles]] short-doc contract), so exact short-doc
+    * duplicates surface as full-doc spans.
+    *
+    * Scale shape (100 TB):
+    *  - the (doc, pos, fp60) positional shingle edges are scan-stage;
+    *  - the cross-document shingle df is a partial-agg groupBy over the
+    *    DISTINCT (doc, fp) pairs — never a window over the zipfian fp key
+    *    (the jaccard df-cut rule: a boilerplate shingle's window partition
+    *    would be corpus-sized on one task) and never a driver collect;
+    *  - shared fps probe back into the edges with a shuffle_hash left-semi
+    *    join (the shared-fp table is corpus-scaled: never broadcast);
+    *  - span merging is one window per doc_id ordered by pos — partitions
+    *    are document-bounded, never corpus-bounded. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    // read twice (df aggregation + probe): persist + materialize so the
+    // tokenize/shingle/fingerprint pipeline runs once (see jaccardPairs)
+    val edges0 = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).as("n_toks"),
+        posexplode(TextFunctions.shingles(col(textCol), k)).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("n_toks"), col("pos"),
+        tokenFp60(col("tok")).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    edges0.count()
+    // a shingle repeated WITHIN one document does not make it shared — df
+    // counts distinct documents per fingerprint
+    val shared = edges0.select("doc_id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("fp")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val flagged = edges0.hint("shuffle_hash")
+      .join(shared.hint("shuffle_hash"), Seq("fp"), "left_semi")
+      // new island when the previous flagged shingle starts more than k
+      // positions back (its k-token window no longer touches this one);
+      // the null lag on each doc's first row falls to the no-break branch
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > k, lit(1)).otherwise(lit(0)))
+      .withColumn("island",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col("doc_id"), col("n_toks"), col("island"))
+      .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
+      .select(col("doc_id"),
+        (col("mn") + 1).cast("bigint").as("span_start"),
+        // the last shingle covers tokens [mx+1, mx+k], clamped for the
+        // whole-doc shingle of a shorter-than-k document
+        least(col("mx") + k, col("n_toks")).cast("bigint").as("span_end"))
+      .withColumn("n_tokens", col("span_end") - col("span_start") + 1L)
+  }
+
   /** Embedding-cosine near-duplicate pairs within sign-LSH buckets: vectors
     * only compare within their random-hyperplane sign bucket (see
     * [[graft.functions.VectorFunctions.hyperplaneBucket]]), so the pair join

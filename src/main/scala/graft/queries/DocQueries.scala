@@ -48,6 +48,18 @@ object DocQueries {
        |   i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))
        | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
 
+  /** Span-dedup shingle width: 8 tokens is the C4-ish "long enough to be
+    * boilerplate, short enough to catch it" middle ground at gate scale. */
+  private val SpanK = 8
+  /** POSITIONAL (non-distinct, in order) word `SpanK`-shingles of `toks` —
+    * mirrors TextFunctions.shingles(k) without the array_distinct, because
+    * span dedup needs every occurrence at its position. */
+  private val SpanShinglesSql =
+    s"""(CASE WHEN len(toks) >= $SpanK
+       | THEN list_transform(range(1, len(toks) - ${SpanK - 2}),
+       |   i -> array_to_string(toks[i:i+${SpanK - 1}], ' '))
+       | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+
   /** Sequential-fold cosine over DOUBLE[] lists (DuckDB's list_dot_product is
     * a left-to-right fold — bit-identical to VectorFunctions.cosine). */
   private def cosSql(a: String, b: String): String =
@@ -1098,6 +1110,36 @@ object DocQueries {
         | JOIN sizes sa ON sa.doc_id = m.id_new
         | JOIN sizes sb ON sb.doc_id = m.id_corpus
         |WHERE jaccard >= 0.3 ORDER BY 1, 2""".stripMargin)),
+
+    // cross-document repeated-span dedup (C4 / Lee et al. substring family):
+    // maximal token spans whose 8-token shingles appear in >= 2 documents.
+    // Positions are 1-based inclusive token indices; flagged shingle starts
+    // <= k apart merge into one span. The oracle mirrors the fp60 shingle
+    // arithmetic and the same lag/cumsum islands formulation.
+    "q_dedup_spans" -> Q(
+      (s, d) => Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          k = SpanK)
+        .orderBy("doc_id", "span_start"),
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |s0 AS (SELECT doc_id, len(toks) AS n_toks, $SpanShinglesSql AS sh FROM t),
+        |c AS (SELECT doc_id, n_toks, unnest(sh) AS tok,
+        |  unnest(range(1, len(sh) + 1)) AS pos FROM s0),
+        |f AS (SELECT doc_id, n_toks, pos, $TokenFp60Sql AS fp FROM c),
+        |shared AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM f)
+        |  GROUP BY fp HAVING count(*) >= 2),
+        |g AS (SELECT doc_id, n_toks, pos FROM f
+        |  WHERE fp IN (SELECT fp FROM shared)),
+        |b AS (SELECT doc_id, n_toks, pos, CASE WHEN pos - lag(pos) OVER
+        |  (PARTITION BY doc_id ORDER BY pos) > $SpanK THEN 1 ELSE 0 END AS brk
+        |  FROM g),
+        |i AS (SELECT doc_id, n_toks, pos, sum(brk) OVER (PARTITION BY doc_id
+        |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM b)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        | CAST(least(max(pos) + ${SpanK - 1}, n_toks) AS BIGINT) AS span_end,
+        | CAST(least(max(pos) + ${SpanK - 1}, n_toks) - min(pos) + 1 AS BIGINT)
+        |   AS n_tokens
+        |FROM i GROUP BY doc_id, n_toks, island
+        |ORDER BY doc_id, span_start""".stripMargin)),
 
     "q_dedup_simhash_sig" -> Q(
       (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text",

@@ -590,6 +590,26 @@ class OperatorsSpec extends SparkSpec {
     assert(indexed.toSeq == raw.toSeq)
   }
 
+  test("duplicate spans flag cross-doc runs, split on gaps, skip within-doc repeats") {
+    val docs = Seq(
+      (1L, "u1 u2 B1 B2 B3 B4 u3 u4"),       // boilerplate B1..B4 at tokens 3-6
+      (2L, "v1 B1 B2 B3 B4 v2 v3 v4 v5"),    // same run at tokens 2-5
+      (3L, "w1 w2 w3 x y z w1 w2 w3"),       // repeated only WITHIN one doc
+      (4L, "B1 B2 B3 d1 d2 d3 d4 d5 d6 d7 C1 C2 C3"), // two shared runs, long gap
+      (5L, "B1 B2 B3 e1 e2 e3 e4 e5 e6 e7 C1 C2 C3"),
+      (6L, "tiny doc"),                       // shorter than k: whole-doc shingle
+      (7L, "tiny doc")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 6L, 4L),                      // overlapping shingles merged
+      (2L, 2L, 5L, 4L),
+      (4L, 1L, 3L, 3L), (4L, 11L, 13L, 3L),  // gap > k splits the spans
+      (5L, 1L, 3L, 3L), (5L, 11L, 13L, 3L),
+      (6L, 1L, 2L, 2L), (7L, 1L, 2L, 2L)))   // doc 3 absent: within-doc only
+  }
+
   test("chunking yields one empty chunk for null-text documents") {
     import graft.operators.Chunking
     val out = Chunking.chunkByTokens(
