@@ -176,6 +176,15 @@ object ScaleCheck {
       // duplicate-line removal: scan-stage linear fold, zero shuffles
       "dedup_lines" -> (d => Tables.documents(spark, d).select(col("doc_id"),
         md5(TextFunctions.dedupLines(col("text"))).as("clean_md5"))),
+      // cross-doc span dedup: replication gives every document 9 true
+      // copies, so EVERY shingle becomes shared and every position is
+      // flagged — flagged rows jump from the natural overlap (~5% of docs)
+      // to 100% of corpus positions. Output-driven superlinear like
+      // jaccard_pairs; excluded from the <=2x discipline. The per-task
+      // bound is the point: df is a partial-agg groupBy and the islands
+      // window is per-doc, so no partition is ever corpus-sized.
+      "dedup_spans" -> (d => Dedup.duplicateSpans(
+        Tables.documents(spark, d), "doc_id", "text", k = 8)),
       // chunking: scan-stage explode+slice; output rows scale with corpus
       // tokens / step, expect ~1x on idle cores like the other scan ops
       "chunk_64_16" -> (d => graft.operators.Chunking.chunkByTokens(

@@ -691,6 +691,46 @@ object Dedup {
       .withColumn("n_tokens", col("span_end") - col("span_start") + 1L)
   }
 
+  /** The rewrite [[duplicateSpans]] motivates — the aggressive C4-style
+    * boilerplate strip: every token covered by a cross-document duplicated
+    * span is removed from EVERY document, so the repeated license block or
+    * navigation chrome disappears corpus-wide. Returns one row per document
+    * with `n_tokens` (before the cut), `n_removed`, and `text` rebuilt from
+    * the surviving tokens (single-space joined, lowercased by the
+    * tokenizer). Keeper-preserving cuts (remove all but one occurrence)
+    * need a cross-document choice of canonical copy — callers wanting that
+    * consume the span frame directly.
+    *
+    * Scale shape: spans collect per document (document-bounded arrays, one
+    * doc_id shuffle) and join back shuffle_hash (the span frame is
+    * corpus-scaled — never broadcast); the cut itself is a scan-stage
+    * higher-order filter, O(n_toks * n_spans_doc) per row. The nested HOFs
+    * are CodegenFallback, which is acceptable OFF the hot path — this runs
+    * once per curation pass, not once per candidate pair like the ANN
+    * kernels that earned native expressions. */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.select(col(idCol).as("doc_id"),
+        coalesce(TextFunctions.tokens(col(textCol)),
+          typedLit(Seq.empty[String])).as("toks"))
+      .join(spans.hint("shuffle_hash"), Seq("doc_id"), "left_outer")
+      // docs with no duplicated span keep every token (the null branch —
+      // a HOF over a null spans array would null out and drop the row's
+      // tokens instead)
+      .withColumn("kept",
+        when(col("spans").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, i) =>
+            !exists(col("spans"), s =>
+              (i + 1) >= s("span_start") && (i + 1) <= s("span_end")))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("bigint").as("n_removed"),
+        array_join(col("kept"), " ").as("text"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within sign-LSH buckets: vectors
     * only compare within their random-hyperplane sign bucket (see
     * [[graft.functions.VectorFunctions.hyperplaneBucket]]), so the pair join

@@ -60,6 +60,32 @@ object DocQueries {
        |   i -> array_to_string(toks[i:i+${SpanK - 1}], ' '))
        | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
 
+  /** Shared CTE chain mirroring Dedup.duplicateSpans — positional fp60
+    * shingles, cross-document df >= 2, lag/cumsum islands — ending in the
+    * per-span aggregate `sp0(doc_id, a, b)` with 1-based inclusive token
+    * bounds. Used by both the spans gate and the cut gate (one definition,
+    * the two oracles can't drift). Lazy: it interpolates `TokenFp60Sql`,
+    * which is declared further down the object — an eager val here would
+    * capture it as the string "null" (Scala initialization order). */
+  private lazy val SpanCtesSql =
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |s0 AS (SELECT doc_id, len(toks) AS n_toks, $SpanShinglesSql AS sh FROM t),
+       |c AS (SELECT doc_id, n_toks, unnest(sh) AS tok,
+       |  unnest(range(1, len(sh) + 1)) AS pos FROM s0),
+       |f AS (SELECT doc_id, n_toks, pos, $TokenFp60Sql AS fp FROM c),
+       |shared AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM f)
+       |  GROUP BY fp HAVING count(*) >= 2),
+       |g AS (SELECT doc_id, n_toks, pos FROM f
+       |  WHERE fp IN (SELECT fp FROM shared)),
+       |b AS (SELECT doc_id, n_toks, pos, CASE WHEN pos - lag(pos) OVER
+       |  (PARTITION BY doc_id ORDER BY pos) > $SpanK THEN 1 ELSE 0 END AS brk
+       |  FROM g),
+       |i AS (SELECT doc_id, n_toks, pos, sum(brk) OVER (PARTITION BY doc_id
+       |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM b),
+       |sp0 AS (SELECT doc_id, n_toks, min(pos) AS a,
+       |  least(max(pos) + ${SpanK - 1}, n_toks) AS b2
+       |  FROM i GROUP BY doc_id, n_toks, island)""".stripMargin
+
   /** Sequential-fold cosine over DOUBLE[] lists (DuckDB's list_dot_product is
     * a left-to-right fold — bit-identical to VectorFunctions.cosine). */
   private def cosSql(a: String, b: String): String =
@@ -1120,26 +1146,36 @@ object DocQueries {
       (s, d) => Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
           k = SpanK)
         .orderBy("doc_id", "span_start"),
-      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-        |s0 AS (SELECT doc_id, len(toks) AS n_toks, $SpanShinglesSql AS sh FROM t),
-        |c AS (SELECT doc_id, n_toks, unnest(sh) AS tok,
-        |  unnest(range(1, len(sh) + 1)) AS pos FROM s0),
-        |f AS (SELECT doc_id, n_toks, pos, $TokenFp60Sql AS fp FROM c),
-        |shared AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM f)
-        |  GROUP BY fp HAVING count(*) >= 2),
-        |g AS (SELECT doc_id, n_toks, pos FROM f
-        |  WHERE fp IN (SELECT fp FROM shared)),
-        |b AS (SELECT doc_id, n_toks, pos, CASE WHEN pos - lag(pos) OVER
-        |  (PARTITION BY doc_id ORDER BY pos) > $SpanK THEN 1 ELSE 0 END AS brk
-        |  FROM g),
-        |i AS (SELECT doc_id, n_toks, pos, sum(brk) OVER (PARTITION BY doc_id
-        |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM b)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        | CAST(least(max(pos) + ${SpanK - 1}, n_toks) AS BIGINT) AS span_end,
-        | CAST(least(max(pos) + ${SpanK - 1}, n_toks) - min(pos) + 1 AS BIGINT)
-        |   AS n_tokens
-        |FROM i GROUP BY doc_id, n_toks, island
-        |ORDER BY doc_id, span_start""".stripMargin)),
+      Some(s"""WITH $SpanCtesSql
+        |SELECT doc_id, CAST(a AS BIGINT) AS span_start,
+        | CAST(b2 AS BIGINT) AS span_end,
+        | CAST(b2 - a + 1 AS BIGINT) AS n_tokens
+        |FROM sp0 ORDER BY doc_id, span_start""".stripMargin)),
+
+    // the REWRITE the span frame motivates (aggressive C4-style boilerplate
+    // strip): every token covered by a cross-document duplicated span is cut
+    // from EVERY document — navigation chrome / license text disappears
+    // corpus-wide. The gate hashes the rewritten text.
+    "q_dedup_spans_cut" -> Q(
+      (s, d) => Dedup.cutSpans(Tables.documents(s, d), "doc_id", "text",
+          k = SpanK)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("text")).as("clean_md5"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $SpanCtesSql,
+        |sp AS (SELECT doc_id, list({'a': a, 'b': b2}) AS spans
+        |  FROM sp0 GROUP BY doc_id),
+        |j AS (SELECT t.doc_id, t.toks, sp.spans FROM t
+        |  LEFT JOIN sp ON t.doc_id = sp.doc_id),
+        |kept AS (SELECT doc_id, len(toks) AS n_tokens,
+        |  CASE WHEN spans IS NULL THEN toks
+        |   ELSE list_filter(toks, (x, i) ->
+        |     len(list_filter(spans, s -> i >= s.a AND i <= s.b)) = 0)
+        |  END AS kt FROM j)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
+        | md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
+        |FROM kept ORDER BY doc_id""".stripMargin)),
 
     "q_dedup_simhash_sig" -> Q(
       (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text",

@@ -610,6 +610,20 @@ class OperatorsSpec extends SparkSpec {
       (6L, 1L, 2L, 2L), (7L, 1L, 2L, 2L)))   // doc 3 absent: within-doc only
   }
 
+  test("cutSpans strips duplicated spans from every document, keeps the rest") {
+    val docs = Seq(
+      (1L, "u1 u2 b1 b2 b3 b4 u3 u4"),
+      (2L, "v1 b1 b2 b3 b4 v2 v3 v4 v5"),
+      (3L, "w1 w2 w3 x y z w1 w2 w3")).toDF("doc_id", "text")
+    val out = Dedup.cutSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 8L, 4L, "u1 u2 u3 u4"),            // shared b-run cut from BOTH docs
+      (2L, 9L, 4L, "v1 v2 v3 v4 v5"),
+      (3L, 9L, 0L, "w1 w2 w3 x y z w1 w2 w3"))) // within-doc repeat untouched
+  }
+
   test("chunking yields one empty chunk for null-text documents") {
     import graft.operators.Chunking
     val out = Chunking.chunkByTokens(
