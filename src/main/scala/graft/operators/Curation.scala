@@ -77,4 +77,34 @@ object Curation {
       .filter(col("__rank") <= n)
       .drop("__rank")
   }
+
+  /** TOKEN-budget per-key cap — the training-mixture discipline where each
+    * domain/source contributes at most `budget` TOKENS (how data recipes
+    * are actually specified), not at most n documents. Keeps each key's
+    * rows, in `order` order, while the cumulative token count of the PRIOR
+    * kept rows stays below `budget` — so every key keeps at least one row,
+    * and the row that crosses the budget is the last one kept.
+    *
+    * Same two-phase exact shape as [[capPerKey]] (and the same `idCol`
+    * uniqueness contract): phase 1 prefix-sums within (key, hash-shard),
+    * phase 2 re-runs the prefix sum per key over the survivors. Correct
+    * because a prefix cut is subset-monotone: a row inside the global
+    * budget prefix has even fewer prior tokens within its own shard, so
+    * phase 1 can only over-keep, never drop a global survivor; and each
+    * shard's survivors carry < budget + one row of tokens, so the phase-2
+    * partition is budget-bounded per shard, never corpus-bounded. */
+  def capTokensPerKey(df: DataFrame, key: Column, tokensCol: Column,
+                      budget: Long, order: Seq[Column],
+                      idCol: Column, shards: Int = 64): DataFrame = {
+    val shard = Sampling.hashBucket(idCol.cast("string"), shards, "capshard")
+    val w1 = Window.partitionBy(key, shard).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.partitionBy(key).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(tokensCol).over(w1))
+      .filter(col("__cum") - tokensCol < budget)
+      .withColumn("__cum", sum(tokensCol).over(w2))
+      .filter(col("__cum") - tokensCol < budget)
+      .drop("__cum")
+  }
 }

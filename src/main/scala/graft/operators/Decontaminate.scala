@@ -70,4 +70,37 @@ object Decontaminate {
       .select(col("doc_id").as(idCol))
     corpus.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** SPAN-level contamination: the maximal corpus-document token spans whose
+    * k-shingles appear anywhere in the benchmark set — [[fractions]] tells
+    * you WHICH documents quote the benchmark, this tells you WHERE, so the
+    * surgical fix ([[cutContaminated]]) can remove the quoted passage and
+    * keep the document. Same islands formulation as
+    * [[Dedup.duplicateSpans]] (shared machinery — 1-based inclusive bounds);
+    * the flagging side is the benchmark's distinct fingerprint set instead
+    * of a cross-corpus document frequency, so the corpus edges are read
+    * once and nothing needs a persist. The semi-join is left unhinted like
+    * the one in [[fractions]]: the benchmark is bounded, and Spark may
+    * broadcast it when it is genuinely small. */
+  def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        shingleK: Int = 3): DataFrame = {
+    val edges = Dedup.positionalShingleEdges(corpus, idCol, textCol, shingleK)
+    val benchFps = Dedup.positionalShingleEdges(benchmark, idCol, textCol, shingleK)
+      .select("fp").distinct()
+    Dedup.mergeSpans(edges.join(benchFps, Seq("fp"), "left_semi"), shingleK)
+  }
+
+  /** The surgical decontamination rewrite: cut every benchmark-overlapping
+    * span from the corpus text, keep the documents. Returns one row per
+    * corpus document — (doc_id, n_tokens, n_removed, text), the
+    * [[Dedup.cutSpans]] contract. Document-level [[clean]] remains the
+    * right call when a document is MOSTLY benchmark ([[fractions]]'s
+    * threshold); this is the fix for the long document that quotes one
+    * benchmark item. */
+  def cutContaminated(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String, textCol: String,
+                      shingleK: Int = 3): DataFrame =
+    Dedup.cutSpans(corpus, idCol, textCol,
+      contaminatedSpans(corpus, benchmark, idCol, textCol, shingleK))
 }

@@ -657,12 +657,7 @@ object Dedup {
                      k: Int): DataFrame = {
     // read twice (df aggregation + probe): persist + materialize so the
     // tokenize/shingle/fingerprint pipeline runs once (see jaccardPairs)
-    val edges0 = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
-      .select(col("doc_id"),
-        size(TextFunctions.tokens(col(textCol))).as("n_toks"),
-        posexplode(TextFunctions.shingles(col(textCol), k)).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("n_toks"), col("pos"),
-        tokenFp60(col("tok")).as("fp"))
+    val edges0 = positionalShingleEdges(docs, idCol, textCol, k)
       .persist(StorageLevel.MEMORY_AND_DISK)
     edges0.count()
     // a shingle repeated WITHIN one document does not make it shared — df
@@ -671,9 +666,30 @@ object Dedup {
       .groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select("fp")
+    mergeSpans(edges0.hint("shuffle_hash")
+      .join(shared.hint("shuffle_hash"), Seq("fp"), "left_semi"), k)
+  }
+
+  /** (doc_id, n_toks, pos, fp) positional shingle edges: pos is the 0-based
+    * shingle start, fp the 60-bit shingle fingerprint, n_toks the document's
+    * token count (for clamping the last span). Scan-stage. Shared by
+    * [[duplicateSpans]] and [[Decontaminate.contaminatedSpans]]. */
+  private[operators] def positionalShingleEdges(docs: DataFrame, idCol: String,
+                                                textCol: String, k: Int): DataFrame =
+    Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).as("n_toks"),
+        posexplode(TextFunctions.shingles(col(textCol), k)).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("n_toks"), col("pos"),
+        tokenFp60(col("tok")).as("fp"))
+
+  /** Merge flagged positional shingles (doc_id, n_toks, pos) into maximal
+    * 1-based inclusive spans — the lag + cumulative-sum islands step shared
+    * by the span-dedup and span-decontamination operators. Window partitions
+    * are per-document: document-bounded, never corpus-bounded. */
+  private[operators] def mergeSpans(flagged: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val flagged = edges0.hint("shuffle_hash")
-      .join(shared.hint("shuffle_hash"), Seq("fp"), "left_semi")
+    flagged
       // new island when the previous flagged shingle starts more than k
       // positions back (its k-token window no longer touches this one);
       // the null lag on each doc's first row falls to the no-break branch
@@ -681,7 +697,7 @@ object Dedup {
         when(col("pos") - lag("pos", 1).over(w) > k, lit(1)).otherwise(lit(0)))
       .withColumn("island",
         sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    flagged.groupBy(col("doc_id"), col("n_toks"), col("island"))
+      .groupBy(col("doc_id"), col("n_toks"), col("island"))
       .agg(min(col("pos")).as("mn"), max(col("pos")).as("mx"))
       .select(col("doc_id"),
         (col("mn") + 1).cast("bigint").as("span_start"),
@@ -709,11 +725,21 @@ object Dedup {
     * once per curation pass, not once per candidate pair like the ANN
     * kernels that earned native expressions. */
   def cutSpans(docs: DataFrame, idCol: String, textCol: String,
-               k: Int): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, k)
+               k: Int): DataFrame =
+    cutSpans(docs, idCol, textCol, duplicateSpans(docs, idCol, textCol, k))
+
+  /** Cut an EXPLICIT span frame (doc_id, span_start, span_end — 1-based
+    * inclusive) out of `docs` — the generalized rewrite behind the k-based
+    * overload, also the hook for keeper-preserving cuts (filter the span
+    * frame first) and for span-level decontamination
+    * ([[Decontaminate.cutContaminated]] feeds benchmark-overlap spans). */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+               spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
-    docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"), col(textCol))
+      .select(col("doc_id"),
         coalesce(TextFunctions.tokens(col(textCol)),
           typedLit(Seq.empty[String])).as("toks"))
       .join(spans.hint("shuffle_hash"), Seq("doc_id"), "left_outer")

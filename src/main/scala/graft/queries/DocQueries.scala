@@ -49,42 +49,90 @@ object DocQueries {
        | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
 
   /** Span-dedup shingle width: 8 tokens is the C4-ish "long enough to be
-    * boilerplate, short enough to catch it" middle ground at gate scale. */
+    * boilerplate, short enough to catch it" middle ground at gate scale.
+    * (The span-DECONTAMINATION gates use Decontaminate's shingleK = 3
+    * instead — benchmark overlap is deliberately a wider net.) */
   private val SpanK = 8
-  /** POSITIONAL (non-distinct, in order) word `SpanK`-shingles of `toks` —
+
+  /** POSITIONAL (non-distinct, in order) word k-shingles of `toks` —
     * mirrors TextFunctions.shingles(k) without the array_distinct, because
-    * span dedup needs every occurrence at its position. */
-  private val SpanShinglesSql =
-    s"""(CASE WHEN len(toks) >= $SpanK
-       | THEN list_transform(range(1, len(toks) - ${SpanK - 2}),
-       |   i -> array_to_string(toks[i:i+${SpanK - 1}], ' '))
+    * span operators need every occurrence at its position. */
+  private def spanShinglesSql(k: Int): String =
+    s"""(CASE WHEN len(toks) >= $k
+       | THEN list_transform(range(1, len(toks) - ${k - 2}),
+       |   i -> array_to_string(toks[i:i+${k - 1}], ' '))
        | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
 
-  /** Shared CTE chain mirroring Dedup.duplicateSpans — positional fp60
-    * shingles, cross-document df >= 2, lag/cumsum islands — ending in the
-    * per-span aggregate `sp0(doc_id, a, b)` with 1-based inclusive token
-    * bounds. Used by both the spans gate and the cut gate (one definition,
-    * the two oracles can't drift). Lazy: it interpolates `TokenFp60Sql`,
-    * which is declared further down the object — an eager val here would
-    * capture it as the string "null" (Scala initialization order). */
-  private lazy val SpanCtesSql =
+  /** CTE chain mirroring the Spark span machinery
+    * (Dedup.positionalShingleEdges + mergeSpans): positional fp60 shingles
+    * over the (optionally `docFilter`-restricted) documents, a caller-chosen
+    * `sharedCte` defining `shared(fp)` (cross-document df for span dedup,
+    * the benchmark fingerprint set for span decontamination), lag/cumsum
+    * islands, ending in `sp0(doc_id, n_toks, a, b2)` with 1-based inclusive
+    * span bounds. One definition feeds all four span oracles, so they can't
+    * drift. Defs, not vals: they interpolate `TokenFp60Sql`, declared
+    * further down the object — an eager val here would capture it as the
+    * string "null" (Scala initialization order; defs evaluate at gate-map
+    * construction, after every val). */
+  private def spanCteChain(k: Int, docFilter: String, sharedCte: String): String = {
+    val where = if (docFilter.isEmpty) "" else s" WHERE $docFilter"
     s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-       |s0 AS (SELECT doc_id, len(toks) AS n_toks, $SpanShinglesSql AS sh FROM t),
+       |s0 AS (SELECT doc_id, len(toks) AS n_toks, ${spanShinglesSql(k)} AS sh FROM t$where),
        |c AS (SELECT doc_id, n_toks, unnest(sh) AS tok,
        |  unnest(range(1, len(sh) + 1)) AS pos FROM s0),
        |f AS (SELECT doc_id, n_toks, pos, $TokenFp60Sql AS fp FROM c),
-       |shared AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM f)
-       |  GROUP BY fp HAVING count(*) >= 2),
+       |$sharedCte,
        |g AS (SELECT doc_id, n_toks, pos FROM f
        |  WHERE fp IN (SELECT fp FROM shared)),
        |b AS (SELECT doc_id, n_toks, pos, CASE WHEN pos - lag(pos) OVER
-       |  (PARTITION BY doc_id ORDER BY pos) > $SpanK THEN 1 ELSE 0 END AS brk
+       |  (PARTITION BY doc_id ORDER BY pos) > $k THEN 1 ELSE 0 END AS brk
        |  FROM g),
        |i AS (SELECT doc_id, n_toks, pos, sum(brk) OVER (PARTITION BY doc_id
        |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM b),
        |sp0 AS (SELECT doc_id, n_toks, min(pos) AS a,
-       |  least(max(pos) + ${SpanK - 1}, n_toks) AS b2
+       |  least(max(pos) + ${k - 1}, n_toks) AS b2
        |  FROM i GROUP BY doc_id, n_toks, island)""".stripMargin
+  }
+
+  /** shared(fp) for SPAN DEDUP: fingerprints in >= 2 distinct documents. */
+  private val DupSharedCte =
+    """shared AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM f)
+      |  GROUP BY fp HAVING count(*) >= 2)""".stripMargin
+
+  /** shared(fp) for SPAN DECONTAMINATION: the benchmark split's distinct
+    * shingle fingerprints (same doc_id % 20 = 0 split as q_decontaminate). */
+  private def benchSharedCte(k: Int): String =
+    s"""bs AS (SELECT doc_id, ${spanShinglesSql(k)} AS sh FROM t WHERE doc_id % 20 = 0),
+       |bc AS (SELECT unnest(sh) AS tok FROM bs),
+       |shared AS (SELECT DISTINCT $TokenFp60Sql AS fp FROM bc)""".stripMargin
+
+  /** Final select for the span-frame gates. */
+  private val SpanSelectTail =
+    """SELECT doc_id, CAST(a AS BIGINT) AS span_start,
+      | CAST(b2 AS BIGINT) AS span_end,
+      | CAST(b2 - a + 1 AS BIGINT) AS n_tokens
+      |FROM sp0 ORDER BY doc_id, span_start""".stripMargin
+
+  /** Cut tail: rebuild each (`docFilter`-restricted) document's text minus
+    * the flagged spans — mirrors Dedup.cutSpans. The coalesce covers
+    * DuckDB's array_to_string([]) = NULL vs Spark's array_join([]) = ''. */
+  private def spanCutTail(docFilter: String): String = {
+    val where = if (docFilter.isEmpty) "" else s" WHERE $docFilter"
+    s"""sp AS (SELECT doc_id, list({'a': a, 'b': b2}) AS spans
+       |  FROM sp0 GROUP BY doc_id),
+       |j AS (SELECT t2.doc_id, t2.toks, sp.spans
+       |  FROM (SELECT * FROM t$where) t2
+       |  LEFT JOIN sp ON t2.doc_id = sp.doc_id),
+       |kept AS (SELECT doc_id, len(toks) AS n_tokens,
+       |  CASE WHEN spans IS NULL THEN toks
+       |   ELSE list_filter(toks, (x, i) ->
+       |     len(list_filter(spans, s -> i >= s.a AND i <= s.b)) = 0)
+       |  END AS kt FROM j)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       | CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
+       | md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
+       |FROM kept ORDER BY doc_id""".stripMargin
+  }
 
   /** Sequential-fold cosine over DOUBLE[] lists (DuckDB's list_dot_product is
     * a left-to-right fold — bit-identical to VectorFunctions.cosine). */
@@ -514,6 +562,28 @@ object DocQueries {
         |  FROM documents)
         |SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM r WHERE rk <= 30 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // TOKEN-budget per-source cap — data recipes specify domain mixtures in
+    // tokens, not documents: each source keeps rows (in doc_id order) while
+    // the prior kept rows total < 700 tokens, so the row crossing the
+    // budget is the last one kept. The oracle runs the single global window
+    // the two-phase Spark shape must equal exactly.
+    "q_curate_token_budget" -> Q(
+      (s, d) => {
+        import graft.operators.Curation
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        Curation.capTokensPerKey(docs, col("source"), col("n_tokens"),
+            budget = 700L, order = Seq(col("doc_id")), idCol = col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+        |c AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        |w AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER (
+        |  PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT doc_id, source, n_tokens FROM w
+        |WHERE cum - n_tokens < 700 ORDER BY doc_id""".stripMargin)),
 
     // ---- Sequence packing: token-budget bin assignment (shard-parallel
     //      contiguous greedy fill — the batching step before writing packed
@@ -1146,11 +1216,7 @@ object DocQueries {
       (s, d) => Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
           k = SpanK)
         .orderBy("doc_id", "span_start"),
-      Some(s"""WITH $SpanCtesSql
-        |SELECT doc_id, CAST(a AS BIGINT) AS span_start,
-        | CAST(b2 AS BIGINT) AS span_end,
-        | CAST(b2 - a + 1 AS BIGINT) AS n_tokens
-        |FROM sp0 ORDER BY doc_id, span_start""".stripMargin)),
+      Some("WITH " + spanCteChain(SpanK, "", DupSharedCte) + "\n" + SpanSelectTail)),
 
     // the REWRITE the span frame motivates (aggressive C4-style boilerplate
     // strip): every token covered by a cross-document duplicated span is cut
@@ -1162,20 +1228,39 @@ object DocQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           md5(col("text")).as("clean_md5"))
         .orderBy("doc_id"),
-      Some(s"""WITH $SpanCtesSql,
-        |sp AS (SELECT doc_id, list({'a': a, 'b': b2}) AS spans
-        |  FROM sp0 GROUP BY doc_id),
-        |j AS (SELECT t.doc_id, t.toks, sp.spans FROM t
-        |  LEFT JOIN sp ON t.doc_id = sp.doc_id),
-        |kept AS (SELECT doc_id, len(toks) AS n_tokens,
-        |  CASE WHEN spans IS NULL THEN toks
-        |   ELSE list_filter(toks, (x, i) ->
-        |     len(list_filter(spans, s -> i >= s.a AND i <= s.b)) = 0)
-        |  END AS kt FROM j)
-        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        | CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
-        | md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
-        |FROM kept ORDER BY doc_id""".stripMargin)),
+      Some("WITH " + spanCteChain(SpanK, "", DupSharedCte) + ",\n" + spanCutTail(""))),
+
+    // SPAN-level decontamination (the surgical variant of q_decontaminate):
+    // WHERE the corpus quotes the benchmark, and the rewrite that removes
+    // the quoted passage while keeping the document. Same doc_id % 20 split
+    // and shingleK = 3 as the document-level gates.
+    "q_decontaminate_spans" -> Q(
+      (s, d) => {
+        import graft.operators.Decontaminate
+        val docs = Tables.documents(s, d)
+        Decontaminate.contaminatedSpans(
+            docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+            "doc_id", "text", shingleK = 3)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("WITH " + spanCteChain(3, "doc_id % 20 != 0", benchSharedCte(3)) +
+        "\n" + SpanSelectTail)),
+
+    "q_decontaminate_spans_cut" -> Q(
+      (s, d) => {
+        import graft.operators.Decontaminate
+        val docs = Tables.documents(s, d)
+        Decontaminate.cutContaminated(
+            docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+            "doc_id", "text", shingleK = 3)
+          .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+            md5(col("text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + spanCteChain(3, "doc_id % 20 != 0", benchSharedCte(3)) +
+        ",\n" + spanCutTail("doc_id % 20 != 0"))),
 
     "q_dedup_simhash_sig" -> Q(
       (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text",

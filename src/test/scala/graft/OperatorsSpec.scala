@@ -624,6 +624,39 @@ class OperatorsSpec extends SparkSpec {
       (3L, 9L, 0L, "w1 w2 w3 x y z w1 w2 w3"))) // within-doc repeat untouched
   }
 
+  test("span decontamination finds and cuts only the quoted benchmark passage") {
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, "intro words q1 q2 q3 q4 closing remarks here"), // quotes the benchmark
+      (2L, "nothing shared with any benchmark document")).toDF("doc_id", "text")
+    val bench = Seq((10L, "q1 q2 q3 q4")).toDF("doc_id", "text")
+    val spans = Decontaminate.contaminatedSpans(corpus, bench, "doc_id", "text",
+        shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((1L, 3L, 6L))) // exactly the quoted q1..q4 tokens
+    val cut = Decontaminate.cutContaminated(corpus, bench, "doc_id", "text",
+        shingleK = 3)
+      .orderBy("doc_id").collect()
+    assert(cut.map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq == Seq(
+      (1L, 4L, "intro words closing remarks here"), // document survives minus the quote
+      (2L, 0L, "nothing shared with any benchmark document")))
+  }
+
+  test("token-budget cap keeps the prefix through the crossing row, exact across shards") {
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L), (4L, "a", 300L),
+      (5L, "b", 2000L), (6L, "b", 1L), // over-budget first doc still kept
+      (7L, "c", 100L)).toDF("id", "k", "n")
+    val out = Curation.capTokensPerKey(rows, col("k"), col("n"), budget = 700L,
+        order = Seq(col("id")), idCol = col("id"), shards = 4)
+      .orderBy("id").collect().map(_.getLong(0))
+    // key a: prior-token sums 0/300/600/900 -> row 4 is past the budget;
+    // key b: row 5's prior sum is 0 (every key keeps >= 1 row), row 6's is
+    // 2000; the 4-shard two-phase result must equal the global window's
+    assert(out.toSeq == Seq(1L, 2L, 3L, 5L, 7L))
+  }
+
   test("chunking yields one empty chunk for null-text documents") {
     import graft.operators.Chunking
     val out = Chunking.chunkByTokens(
