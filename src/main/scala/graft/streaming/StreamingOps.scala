@@ -127,6 +127,28 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming INCREMENTAL exact dedup against a STATIC corpus index — the
+    * streaming twin of [[graft.operators.Dedup.exactIncrement]]: a document
+    * survives when its content hash matches no corpus document AND it is
+    * the first occurrence within the stream's watermark horizon.
+    * `corpusHashes` is a static `content_hash` frame (in a deployed
+    * pipeline the stored index column of the ingested corpus).
+    *
+    * The corpus probe runs BEFORE the stateful dedup, so corpus-matched
+    * documents never enter the state store — state stays O(distinct NEW
+    * hashes per horizon). The stream-static anti-join re-resolves the
+    * static side per micro-batch, so a periodically-compacted index parquet
+    * is picked up without a restart; per-batch cost scales with the batch,
+    * and the index side is never collected to the driver. */
+  def dedupStreamIncrement(docs: DataFrame, corpusHashes: DataFrame,
+                           tsCol: String, textCol: String,
+                           watermark: String = "1 day"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .join(corpusHashes, Seq("content_hash"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Streaming curation pass — the scan-stage curation suite (quality score,
     * language id, PII redaction, deterministic train/valid/test split)
     * applied to an unbounded document stream. Entirely STATELESS: every

@@ -174,6 +174,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"df cut not a semi-join:\n$plan")
   }
 
+  test("span dedup probes shared fps with a semi-join, never broadcast or cartesian") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 8)
+    spans.write.format("noop").mode("overwrite").save() // AQE finalizes joins
+    val plan = planOf(spans)
+    // the shared-fp table is corpus-scaled: a broadcast grows with the
+    // corpus; the probe must stay a shuffled semi-join, and the df must be
+    // aggregated (partial+final), never a window over the zipfian fp key
+    assert(plan.contains("LeftSemi"), s"shared-fp probe not a semi-join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"shared-fp table broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"degenerated to cartesian:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"df not partial-agg:\n$plan")
+  }
+
   test("incremental dedup probes the corpus with a shuffled join, never broadcast") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)

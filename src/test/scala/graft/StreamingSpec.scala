@@ -116,6 +116,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup drops corpus matches before the state store") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = Seq("alpha", "beta").toDF("text")
+      .select(org.apache.spark.sql.functions.md5($"text").as("content_hash"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.dedupStreamIncrement(docs, corpus, "ts", "text")
+      .writeStream.format("memory").queryName("dedup_increment")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, ts("2025-01-01 00:00:00"), "alpha"),   // corpus match -> dropped
+        (2L, ts("2025-01-01 00:01:00"), "gamma"),   // fresh -> kept
+        (3L, ts("2025-01-01 00:02:00"), "gamma"))   // in-stream dup -> dropped
+      q.processAllAvailable()
+      mem.addData(
+        (4L, ts("2025-01-01 01:00:00"), "beta"),    // corpus match, later batch
+        (5L, ts("2025-01-01 01:01:00"), "gamma"),   // cross-batch stream dup
+        (6L, ts("2025-01-01 01:02:00"), "delta"))   // fresh -> kept
+      q.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM dedup_increment ORDER BY doc_id")
+        .as[Long].collect().toSeq
+      assert(ids == Seq(2L, 6L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming curation gates quality and language, redacts, splits — stateless append") {
     val s = spark
     import s.implicits._
