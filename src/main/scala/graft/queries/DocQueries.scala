@@ -74,9 +74,10 @@ object DocQueries {
     * further down the object — an eager val here would capture it as the
     * string "null" (Scala initialization order; defs evaluate at gate-map
     * construction, after every val). */
-  private def spanCteChain(k: Int, docFilter: String, sharedCte: String): String = {
+  private def spanCteChain(k: Int, docFilter: String, sharedCte: String,
+                           from: String = "documents"): String = {
     val where = if (docFilter.isEmpty) "" else s" WHERE $docFilter"
-    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM $from),
        |s0 AS (SELECT doc_id, len(toks) AS n_toks, ${spanShinglesSql(k)} AS sh FROM t$where),
        |c AS (SELECT doc_id, n_toks, unnest(sh) AS tok,
        |  unnest(range(1, len(sh) + 1)) AS pos FROM s0),
@@ -113,26 +114,31 @@ object DocQueries {
       | CAST(b2 - a + 1 AS BIGINT) AS n_tokens
       |FROM sp0 ORDER BY doc_id, span_start""".stripMargin
 
-  /** Cut tail: rebuild each (`docFilter`-restricted) document's text minus
-    * the flagged spans — mirrors Dedup.cutSpans. The coalesce covers
-    * DuckDB's array_to_string([]) = NULL vs Spark's array_join([]) = ''. */
-  private def spanCutTail(docFilter: String): String = {
+  /** Cut CTEs: rebuild each (`docFilter`-restricted) document's tokens minus
+    * the flagged spans, ending in `cutk(doc_id, n_tokens, kt)` — mirrors
+    * Dedup.cutSpans. */
+  private def spanCutCtes(docFilter: String): String = {
     val where = if (docFilter.isEmpty) "" else s" WHERE $docFilter"
     s"""sp AS (SELECT doc_id, list({'a': a, 'b': b2}) AS spans
        |  FROM sp0 GROUP BY doc_id),
        |j AS (SELECT t2.doc_id, t2.toks, sp.spans
        |  FROM (SELECT * FROM t$where) t2
        |  LEFT JOIN sp ON t2.doc_id = sp.doc_id),
-       |kept AS (SELECT doc_id, len(toks) AS n_tokens,
+       |cutk AS (SELECT doc_id, len(toks) AS n_tokens,
        |  CASE WHEN spans IS NULL THEN toks
        |   ELSE list_filter(toks, (x, i) ->
        |     len(list_filter(spans, s -> i >= s.a AND i <= s.b)) = 0)
-       |  END AS kt FROM j)
+       |  END AS kt FROM j)""".stripMargin
+  }
+
+  /** Final select for the cut gates. The coalesce covers DuckDB's
+    * array_to_string([]) = NULL vs Spark's array_join([]) = ''. */
+  private def spanCutTail(docFilter: String): String =
+    s"""${spanCutCtes(docFilter)}
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        | CAST(n_tokens - len(kt) AS BIGINT) AS n_removed,
        | md5(coalesce(array_to_string(kt, ' '), '')) AS clean_md5
-       |FROM kept ORDER BY doc_id""".stripMargin
-  }
+       |FROM cutk ORDER BY doc_id""".stripMargin
 
   /** Sequential-fold cosine over DOUBLE[] lists (DuckDB's list_dot_product is
     * a left-to-right fold — bit-identical to VectorFunctions.cosine). */
@@ -494,6 +500,79 @@ object DocQueries {
     // ---- Repetition quality signals (Gopher/C4-style): duplicate-line
     //      fraction and duplicated word-2-gram fraction — the boilerplate /
     //      loop detectors a pretraining cleaner runs beside qualityScore.
+    // ---- Curation capstone v2: the round-11 operator chain end to end —
+    //      quality/lang gates -> exact-dedup keeper -> cross-document
+    //      SPAN-CUT rewrite (k=8 boilerplate strip over the kept corpus) ->
+    //      TOKEN-budget per-source mixture (600 tokens of REWRITTEN text per
+    //      source) -> per-source summary. Every stage is individually
+    //      oracle-proven; this gate proves the composition.
+    "q_pipeline_curate_v2" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, Dedup}
+        val scored = docsP(s, d).select(
+            col("doc_id"), col("text"), col("source"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            TextFunctions.langId(col("text")).as("lang"))
+          .filter(col("quality") >= 0.6 && col("lang") === "en")
+        val grp = Window.partitionBy(md5(col("text")))
+        // read three times (span edges, rebuild join, source join): persist
+        // so the gate expression tree evaluates once
+        val keptc = scored
+          .withColumn("is_keeper", col("doc_id") === min("doc_id").over(grp))
+          .filter(col("is_keeper"))
+          .select("doc_id", "source", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        keptc.count()
+        // n_tokens from cutSpans is the BEFORE-cut count, so kept tokens =
+        // n_tokens - n_removed (no re-tokenization of the rewritten text)
+        val sized = Dedup.cutSpans(keptc, "doc_id", "text", k = 8)
+          .join(keptc.select(col("doc_id"), col("source")), "doc_id")
+          .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+        val budgeted = Curation.capTokensPerKey(sized, col("source"),
+          col("n_kept"), budget = 600L, order = Seq(col("doc_id")),
+          idCol = col("doc_id"))
+        budgeted.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_kept").as("n_tokens"),
+            sum("n_removed").as("n_cut"))
+          .orderBy("source")
+      },
+      Some {
+        val langNames = TextFunctions.LangMarkers.map(_._1)
+        val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
+          s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$lang"
+        }.mkString(", ")
+        val greatest = s"greatest(${langNames.map("h_" + _).mkString(", ")})"
+        val langCase = langNames.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+        s"""WITH t0 AS (SELECT doc_id, text, source, $ToksSql AS toks FROM documents),
+           |h0 AS (SELECT *, $langHits FROM t0),
+           |g0 AS (SELECT *, $greatest AS m FROM h0),
+           |scored AS (SELECT doc_id, text, source,
+           | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality,
+           | CASE WHEN m = 0 THEN 'und' $langCase END AS lang
+           |FROM g0),
+           |gated AS (SELECT * FROM scored WHERE quality >= 0.6 AND lang = 'en'),
+           |keptc AS (SELECT doc_id, source, text FROM (
+           |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+           |  FROM gated) WHERE is_keeper),
+           |${spanCteChain(8, "", DupSharedCte, from = "keptc")},
+           |${spanCutCtes("")},
+           |sized AS (SELECT c.doc_id, kc.source,
+           |  CAST(len(c.kt) AS BIGINT) AS n_kept,
+           |  CAST(c.n_tokens - len(c.kt) AS BIGINT) AS n_removed
+           |  FROM cutk c JOIN keptc kc ON kc.doc_id = c.doc_id),
+           |w AS (SELECT *, sum(n_kept) OVER (PARTITION BY source
+           |  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sized),
+           |bud AS (SELECT * FROM w WHERE cum - n_kept < 600)
+           |SELECT source, count(*) AS n_docs,
+           | CAST(sum(n_kept) AS BIGINT) AS n_tokens,
+           | CAST(sum(n_removed) AS BIGINT) AS n_cut
+           |FROM bud GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     "q_text_repetition" -> Q(
       (s, d) => docsP(s, d).select(
         col("doc_id"),
