@@ -174,6 +174,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"df cut not a semi-join:\n$plan")
   }
 
+  test("token-budget cap windows are shard-bounded, never single-partition") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("bigint").as("n"))
+    val plan = planOf(Curation.capTokensPerKey(docs, col("source"), col("n"),
+      budget = 700L, order = Seq(col("doc_id")), idCol = col("doc_id"), shards = 8))
+    // phase 1 must partition by (key, hash-shard) so a hot key's prefix sum
+    // never funnels the corpus through one task; a global or unpartitioned
+    // window would show a SinglePartition exchange
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).nonEmpty,
+      s"cap window not partitioned by key:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"token cap fell into a single-partition window:\n$plan")
+  }
+
   test("span dedup probes shared fps with a semi-join, never broadcast or cartesian") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
