@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -162,6 +162,33 @@ object Similarity {
     if (index.assigned.storageLevel == StorageLevel.NONE)
       index.assigned.persist(StorageLevel.MEMORY_AND_DISK)
     index
+  }
+
+  /** Persist a built index under `dir` — the deployment shape where the
+    * index outlives the building job (ingest builds and saves once; every
+    * later query batch loads and probes). The assignment frame is written
+    * PARTITIONED BY cell, so a loaded index's probe join reads only the
+    * probed cells' files (nProbe/nLists of the index) instead of scanning
+    * all of it; the centroid table is a tiny (cell, centroid) parquet. */
+  def saveIvf(index: IvfIndex, dir: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Load an index persisted by [[saveIvf]]. The centroid table is tiny
+    * (nLists rows) — collecting it to the driver rebuilds the quantizer
+    * literals; the assignment frame stays a lazy partitioned scan, pruned
+    * to the probed cells by [[searchIvf]]'s cell equi-join. */
+  def loadIvf(spark: SparkSession, dir: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(spark.read.parquet(s"$dir/assigned"), cents)
   }
 
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH

@@ -46,6 +46,33 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("saved+loaded IVF index searches identically and prunes to probed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val built = Similarity.buildIvf(emb, nLists = 8, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      Similarity.saveIvf(built, dir)
+      val loaded = Similarity.loadIvf(spark, dir)
+      // the loaded quantizer is the same literal centroids, so searches are
+      // row-identical to the in-memory index
+      val a = Similarity.searchIvf(built, queries, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank").collect()
+      val b = Similarity.searchIvf(loaded, queries, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank").collect()
+      assert(a.toSeq == b.toSeq)
+      assert(a.nonEmpty)
+      // the index parquet is laid out one directory per cell, so a probe
+      // can prune to its cells' files at the scan
+      val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+        .filter(_.getName.startsWith("cell="))
+      assert(cellDirs.length == 8, s"got ${cellDirs.map(_.getName).toSeq}")
+    } finally {
+      built.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("hyperplane sign buckets stay balanced on the sf0.01 embeddings") {
     import graft.functions.VectorFunctions
     val emb = Tables.embeddings(spark, sf)
