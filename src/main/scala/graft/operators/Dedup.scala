@@ -707,6 +707,31 @@ object Dedup {
       .withColumn("n_tokens", col("span_end") - col("span_start") + 1L)
   }
 
+  /** WITHIN-document repeated spans: maximal token spans made of k-shingles
+    * that already occurred EARLIER in the same document — the C4
+    * "remove repeated three-sentence spans" rule generalized to token
+    * windows (and the span-shaped big sibling of
+    * [[graft.functions.TextFunctions.dedupLines]], which only catches exact
+    * whole-line repeats). First occurrences are never flagged, so cutting
+    * the returned frame with [[cutSpans]] keeps one copy of the repeated
+    * material and removes the echoes.
+    *
+    * Scale shape: flagging is a row_number window over (doc_id, fp) —
+    * partitions are bounded by a single document's occurrences of ONE
+    * shingle, far below even the per-document bound; the islands merge is
+    * the shared per-document machinery. No joins at all: everything is a
+    * function of one document, so the operator is scan + two
+    * document-bounded windows. */
+  def repeatedSpansWithinDoc(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int): DataFrame = {
+    val occ = Window.partitionBy("doc_id", "fp").orderBy("pos")
+    val flagged = positionalShingleEdges(docs, idCol, textCol, k)
+      .withColumn("occ", row_number().over(occ))
+      .filter(col("occ") > 1) // repeats only; the first occurrence stays
+      .drop("occ")
+    mergeSpans(flagged, k)
+  }
+
   /** The rewrite [[duplicateSpans]] motivates — the aggressive C4-style
     * boilerplate strip: every token covered by a cross-document duplicated
     * span is removed from EVERY document, so the repeated license block or

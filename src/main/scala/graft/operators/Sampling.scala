@@ -59,6 +59,26 @@ object Sampling {
                    validPct: Int = 10, salt: String = ""): DataFrame =
     df.withColumn("split", split(group, trainPct, validPct, salt))
 
+  /** Deterministic corpus shuffle for training order: a total order by the
+    * salted 60-bit hash of the stable key (ties — md5 collisions — broken
+    * by the key itself, so the order is total and engine-independent).
+    * Gradient-descent training wants documents in hash order, not crawl or
+    * ingest order (adjacent same-site pages correlate batches); a salted
+    * hash order is reproducible across runs AND resalts to a fresh
+    * independent order per epoch.
+    *
+    * Scale shape: `orderBy` is Spark's range-partitioned distributed sort —
+    * split points come from sampling the hash column, every partition sorts
+    * locally, no single-task sort. At 100 TB this is the one operator here
+    * that SHOULD be a full-corpus shuffle: that is what reordering means.
+    * The hash column is dropped after the sort. */
+  def shuffleByHash(df: DataFrame, key: Column, salt: String = ""): DataFrame =
+    df.withColumn("__ord",
+        conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+          .cast("long"))
+      .orderBy(col("__ord"), key)
+      .drop("__ord")
+
   /** Per-group sampling rates — the deterministic analog of `sampleBy` for
     * domain-mixture curation (e.g. keep 50% of web text, 100% of books).
     * Groups absent from `rates` keep `defaultPct`. */

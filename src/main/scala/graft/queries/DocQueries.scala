@@ -74,18 +74,21 @@ object DocQueries {
     * further down the object — an eager val here would capture it as the
     * string "null" (Scala initialization order; defs evaluate at gate-map
     * construction, after every val). */
-  private def spanCteChain(k: Int, docFilter: String, sharedCte: String,
-                           from: String = "documents"): String = {
+  /** Positional-edge CTEs t/s0/c/f ending in f(doc_id, n_toks, pos, fp) —
+    * mirrors Dedup.positionalShingleEdges over the `from` relation. */
+  private def spanEdgeCtes(k: Int, docFilter: String, from: String): String = {
     val where = if (docFilter.isEmpty) "" else s" WHERE $docFilter"
     s"""t AS (SELECT doc_id, $ToksSql AS toks FROM $from),
        |s0 AS (SELECT doc_id, len(toks) AS n_toks, ${spanShinglesSql(k)} AS sh FROM t$where),
        |c AS (SELECT doc_id, n_toks, unnest(sh) AS tok,
        |  unnest(range(1, len(sh) + 1)) AS pos FROM s0),
-       |f AS (SELECT doc_id, n_toks, pos, $TokenFp60Sql AS fp FROM c),
-       |$sharedCte,
-       |g AS (SELECT doc_id, n_toks, pos FROM f
-       |  WHERE fp IN (SELECT fp FROM shared)),
-       |b AS (SELECT doc_id, n_toks, pos, CASE WHEN pos - lag(pos) OVER
+       |f AS (SELECT doc_id, n_toks, pos, $TokenFp60Sql AS fp FROM c)""".stripMargin
+  }
+
+  /** Islands CTEs b/i/sp0 (mirrors Dedup.mergeSpans) — expects a CTE
+    * `g(doc_id, n_toks, pos)` of flagged positions. */
+  private def spanIslandCtes(k: Int): String =
+    s"""b AS (SELECT doc_id, n_toks, pos, CASE WHEN pos - lag(pos) OVER
        |  (PARTITION BY doc_id ORDER BY pos) > $k THEN 1 ELSE 0 END AS brk
        |  FROM g),
        |i AS (SELECT doc_id, n_toks, pos, sum(brk) OVER (PARTITION BY doc_id
@@ -93,7 +96,32 @@ object DocQueries {
        |sp0 AS (SELECT doc_id, n_toks, min(pos) AS a,
        |  least(max(pos) + ${k - 1}, n_toks) AS b2
        |  FROM i GROUP BY doc_id, n_toks, island)""".stripMargin
-  }
+
+  private def spanCteChain(k: Int, docFilter: String, sharedCte: String,
+                           from: String = "documents"): String =
+    s"""${spanEdgeCtes(k, docFilter, from)},
+       |$sharedCte,
+       |g AS (SELECT doc_id, n_toks, pos FROM f
+       |  WHERE fp IN (SELECT fp FROM shared)),
+       |${spanIslandCtes(k)}""".stripMargin
+
+  /** Seeded self-repeat relation for the within-doc span gates: each
+    * document's first 10 tokens appended to its end — mirrors the Spark
+    * side's concat_ws + slice seeding. */
+  private val SeededTailSql =
+    s"""sd AS (SELECT doc_id,
+       |  text || ' ' || array_to_string(($ToksSql)[1:10], ' ') AS text
+       |  FROM documents)""".stripMargin
+
+  /** Within-document variant: flags REPEAT occurrences of a shingle inside
+    * one document (first occurrence never flagged) — mirrors
+    * Dedup.repeatedSpansWithinDoc. */
+  private def spanWithinCteChain(k: Int, from: String): String =
+    s"""${spanEdgeCtes(k, "", from)},
+       |g AS (SELECT doc_id, n_toks, pos FROM (SELECT doc_id, n_toks, pos,
+       |  row_number() OVER (PARTITION BY doc_id, fp ORDER BY pos) AS occ
+       |  FROM f) WHERE occ > 1),
+       |${spanIslandCtes(k)}""".stripMargin
 
   /** shared(fp) for SPAN DEDUP: fingerprints in >= 2 distinct documents. */
   private val DupSharedCte =
@@ -887,6 +915,17 @@ object DocQueries {
     //      assignment (membership is a pure function of doc_id + salt — the
     //      reproducible alternative to seeded Bernoulli sampling, which no
     //      two engines agree on). Counts + id ranges per (source, split).
+    // deterministic training-order shuffle: the corpus re-ordered by a
+    // salted hash of the stable id — reproducible across engines and runs,
+    // resaltable per epoch. The result order IS the contract, so the gate
+    // has no trailing ORDER BY of its own: both engines emit the same total
+    // (hash, id) order.
+    "q_sample_shuffle" -> Q(
+      (s, d) => graft.operators.Sampling.shuffleByHash(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"), salt = ":ep0"),
+      Some(s"""SELECT doc_id FROM documents
+        |ORDER BY ${fp60Sql("(CAST(doc_id AS VARCHAR) || ':ep0')")}, doc_id""".stripMargin)),
+
     "q_sample_hash_split" -> Q(
       (s, d) => Tables.documents(s, d)
         .withColumn("split",
@@ -974,6 +1013,36 @@ object DocQueries {
     //      64-token windows, the windows pack into 256-token bins. The
     //      chunk stage is scan-stage; packing adds the one shard-window
     //      shuffle. Chunk identity is the composite doc:chunk key.
+    // ---- WITHIN-document repeated spans (C4's repeated-span rule at token
+    //      granularity; the span-shaped big sibling of dedup_lines). The
+    //      gate seeds a guaranteed repeat — each doc's first 10 tokens
+    //      appended to its end — on top of the corpus's natural repeats,
+    //      then marks and cuts the echoes (first occurrences stay).
+    "q_text_spans_within" -> Q(
+      (s, d) => {
+        val seeded = docsP(s, d).select(col("doc_id"),
+          concat_ws(" ", col("text"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 10), " ")).as("text"))
+        Dedup.repeatedSpansWithinDoc(seeded, "doc_id", "text", k = 3)
+          .orderBy("doc_id", "span_start")
+      },
+      Some("WITH " + SeededTailSql + ",\n" + spanWithinCteChain(3, "sd") +
+        "\n" + SpanSelectTail)),
+
+    "q_text_spans_within_cut" -> Q(
+      (s, d) => {
+        val seeded = docsP(s, d).select(col("doc_id"),
+          concat_ws(" ", col("text"),
+            array_join(slice(TextFunctions.tokens(col("text")), 1, 10), " ")).as("text"))
+        Dedup.cutSpans(seeded, "doc_id", "text",
+            Dedup.repeatedSpansWithinDoc(seeded, "doc_id", "text", k = 3))
+          .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+            md5(col("text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("WITH " + SeededTailSql + ",\n" + spanWithinCteChain(3, "sd") +
+        ",\n" + spanCutTail(""))),
+
     "q_pipeline_chunk_pack" -> Q(
       (s, d) => {
         import graft.operators.{Chunking, Packing}

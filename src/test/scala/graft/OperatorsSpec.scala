@@ -610,6 +610,31 @@ class OperatorsSpec extends SparkSpec {
       (6L, 1L, 2L, 2L), (7L, 1L, 2L, 2L)))   // doc 3 absent: within-doc only
   }
 
+  test("within-doc repeated spans flag only the echoes; cutting keeps one copy") {
+    val docs = Seq((1L, "a b c d a b c x")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpansWithinDoc(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only the SECOND "a b c" (tokens 5-7) is flagged; the first stays
+    assert(spans.toSeq == Seq((1L, 5L, 7L)))
+    val cut = Dedup.cutSpans(docs, "doc_id", "text",
+        Dedup.repeatedSpansWithinDoc(docs, "doc_id", "text", k = 3))
+      .head()
+    assert(cut.getAs[String]("text") == "a b c d x")
+    assert(cut.getAs[Long]("n_removed") == 3L)
+  }
+
+  test("hash shuffle is reproducible per salt, a permutation, and salt-sensitive") {
+    import graft.operators.Sampling
+    val ids = (1L to 200L).toDF("id")
+    def order(salt: String): Seq[Long] =
+      Sampling.shuffleByHash(ids, col("id"), salt).collect().map(_.getLong(0)).toSeq
+    val a = order("ep0")
+    assert(a == order("ep0"))               // same salt -> identical order
+    assert(a.sorted == (1L to 200L))        // a permutation, nothing lost
+    assert(a != (1L to 200L).toSeq)         // actually shuffled
+    assert(a != order("ep1"))               // resalt -> fresh epoch order
+  }
+
   test("cutSpans strips duplicated spans from every document, keeps the rest") {
     val docs = Seq(
       (1L, "u1 u2 b1 b2 b3 b4 u3 u4"),
