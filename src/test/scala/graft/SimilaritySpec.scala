@@ -46,6 +46,21 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("int8-quantized search keeps high recall vs exact top-10") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topSets(Similarity.bruteForceTopK(emb, queries, k = 10))
+    val quant = topSets(Similarity.bruteForceTopKQuantized(emb, queries, k = 10))
+    // int8 rounding perturbs scores by <= ~0.5/scale per element; the
+    // neighbor sets may differ at the tail but must overlap heavily
+    val recalls = exact.map { case (q, ids) => (quant(q) & ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean top-10 recall $mean")
+  }
+
   test("saved+loaded IVF index searches identically and prunes to probed cells") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 4)
