@@ -97,6 +97,18 @@ object Packing {
       .drop("__tokens")
   }
 
+  /** Training manifest for a [[packBins]] layout: each document's token
+    * OFFSET inside its bin — what a packed-sequence loader needs to reset
+    * position ids and attention-mask boundaries at document starts. In the
+    * floor-division layout a document starts where the shard's running
+    * total left off, so offset = tokens_before mod budget (a document
+    * straddling the budget boundary runs past the bin edge — packBins never
+    * splits documents; use the capped/first-fit variants when bins must not
+    * overflow). Pure column arithmetic on the packed frame: no extra
+    * shuffle, no extra pass. */
+  def packManifest(packed: DataFrame, budgetTokens: Long): DataFrame =
+    packed.withColumn("offset", pmod(col("tokens_before"), lit(budgetTokens)))
+
   /** Capacity-constrained bin assignment: bins NEVER overflow — a document
     * that does not fit in the current bin's remaining budget closes it and
     * opens the next (a document alone larger than the budget still gets its

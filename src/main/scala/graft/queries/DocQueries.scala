@@ -717,6 +717,31 @@ object DocQueries {
         | CAST(floor(tokens_before / 512.0) AS BIGINT) AS bin
         |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // the loader-facing manifest for the packed layout: each doc's token
+    // offset inside its bin (position-id / attention-boundary resets)
+    "q_pack_manifest" -> Q(
+      (s, d) => {
+        import graft.operators.Packing
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        Packing.packManifest(
+            Packing.packBins(docs, "doc_id", col("n_tokens"),
+              budgetTokens = 512L, shards = 8),
+            budgetTokens = 512L)
+          .select(col("doc_id"), col("shard"), col("bin"), col("offset"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM documents),
+        |p AS (SELECT doc_id, n_tokens, shard,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM t)
+        |SELECT doc_id, shard,
+        | CAST(floor(tokens_before / 512.0) AS BIGINT) AS bin,
+        | tokens_before % 512 AS offset
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
     // ---- Next-fit-decreasing packing: same machinery, shard-local layout
     //      in token-count-descending order (id tie-break) — long docs open
     //      bins, short docs top them up. Per-bin stats gate the layout; the
