@@ -81,5 +81,67 @@ class PropertySpec extends SparkSpec {
     }, n = 100)
   }
 
+  test("token-budget cap equals the sequential per-key prefix cut at ANY shard count") {
+    import graft.operators.Curation
+    // the two-phase correctness argument (a prefix cut is subset-monotone)
+    // must hold for every sharding — compare against a driver-side
+    // sequential reference on random rows
+    val rowGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 500L), Gen.oneOf("a", "b", "c"), Gen.choose(0L, 400L)))
+    check(Prop.forAll(rowGen, Gen.oneOf(1, 3, 16), Gen.choose(100L, 800L)) {
+      (rows0, shards, budget) =>
+        val rows = rows0.groupBy(_._1).map(_._2.head).toSeq // unique ids
+        val got = Curation.capTokensPerKey(rows.toDF("id", "k", "n"),
+            col("k"), col("n"), budget, Seq(col("id")), col("id"), shards)
+          .collect().map(_.getLong(0)).toSet
+        val want = rows.groupBy(_._2).values.flatMap { g =>
+          var cum = 0L
+          g.sortBy(_._1).flatMap { case (id, _, n) =>
+            val keep = cum < budget; cum += n; if (keep) Some(id) else None
+          }
+        }.toSet
+        got == want
+    }, n = 12)
+  }
+
+  test("span dedup: spans cover every shared shingle, stay disjoint, in bounds") {
+    import graft.operators.Dedup
+    val k = 3
+    val docGen = Gen.listOfN(6, Gen.choose(3, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c"))))
+    check(Prop.forAll(docGen) { tokenses =>
+      val docs = tokenses.zipWithIndex.map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      val spans = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).sortBy(_._1)).toMap
+      // naive reference: a position is flagged when its k-shingle (or the
+      // whole text for a short doc) appears in ANOTHER document
+      def shingles(ts: List[String]): Seq[String] =
+        if (ts.length < k) Seq(ts.mkString(" "))
+        else ts.sliding(k).map(_.mkString(" ")).toSeq
+      val all = tokenses.map(shingles)
+      val ok = tokenses.zipWithIndex.forall { case (ts, i) =>
+        val n = ts.length
+        val mine = all(i)
+        val others = all.zipWithIndex.filter(_._2 != i).flatMap(_._1).toSet
+        val flagged = mine.zipWithIndex.collect { case (s, p) if others(s) => p }
+        val got = spans.getOrElse(i.toLong, Array.empty[(Long, Long)]).toSeq
+        // every flagged shingle window lies inside some span, spans stay in
+        // [1, n], and consecutive spans never touch (maximality)
+        flagged.forall { p =>
+          got.exists { case (a, b) => a <= p + 1 && math.min(p + k, n) <= b }
+        } &&
+          got.forall { case (a, b) => a >= 1 && b <= n && a <= b } &&
+          got.sliding(2).forall {
+            case Seq((_, b1), (a2, _)) => a2 > b1 + 1
+            case _ => true
+          } &&
+          (flagged.nonEmpty || got.isEmpty)
+      }
+      ok
+    }, n = 10)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
