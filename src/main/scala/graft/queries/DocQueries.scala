@@ -159,6 +159,29 @@ object DocQueries {
        |  END AS kt FROM j)""".stripMargin
   }
 
+  /** CTE chain t0/h0/g0/scored mirroring TextFunctions.qualityScore +
+    * langId over `from` (must expose doc_id, text, source):
+    * scored(doc_id, text, source, n_toks, quality, lang). One definition
+    * for every oracle that gates on quality/language. */
+  private def qualityLangCtes(from: String): String = {
+    val langNames = TextFunctions.LangMarkers.map(_._1)
+    val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
+      s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$lang"
+    }.mkString(", ")
+    val greatest = s"greatest(${langNames.map("h_" + _).mkString(", ")})"
+    val langCase = langNames.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+    s"""t0 AS (SELECT doc_id, text, source, $ToksSql AS toks FROM $from),
+       |h0 AS (SELECT *, $langHits FROM t0),
+       |g0 AS (SELECT *, $greatest AS m FROM h0),
+       |scored AS (SELECT doc_id, text, source, CAST(len(toks) AS BIGINT) AS n_toks,
+       | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+       |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+       |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality,
+       | CASE WHEN m = 0 THEN 'und' $langCase END AS lang
+       |FROM g0)""".stripMargin
+  }
+
   /** Final select for the cut gates. The coalesce covers DuckDB's
     * array_to_string([]) = NULL vs Spark's array_join([]) = ''. */
   private def spanCutTail(docFilter: String): String =
@@ -326,6 +349,35 @@ object DocQueries {
   val all: Seq[(String, Q)] = Seq(
 
     // ==================== text analysis ====================
+
+    // per-source corpus report — the one-pass analytics sweep a curation
+    // run starts from: volume, median length, quality / language / exact-dup
+    // rates, all integer or interpolated-percentile outputs so both engines
+    // hash identically without exact-sum machinery.
+    "q_text_corpus_report" -> Q(
+      (s, d) => {
+        val scored = docsP(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"),
+          md5(col("text")).as("h"))
+        scored.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_toks").as("n_tokens"),
+            expr("percentile(n_toks, 0.5)").as("p50_tokens"),
+            sum(when(col("quality") >= 0.6, 1L).otherwise(0L)).as("n_quality_ok"),
+            sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+            (count(lit(1)) - countDistinct(col("h"))).as("n_dup"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${qualityLangCtes("documents")}
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        | quantile_cont(n_toks, 0.5) AS p50_tokens,
+        | CAST(sum(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        | CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin)),
 
     "q_text_stats" -> Q(
       (s, d) => docsP(s, d).select(
@@ -566,22 +618,7 @@ object DocQueries {
           .orderBy("source")
       },
       Some {
-        val langNames = TextFunctions.LangMarkers.map(_._1)
-        val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
-          s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$lang"
-        }.mkString(", ")
-        val greatest = s"greatest(${langNames.map("h_" + _).mkString(", ")})"
-        val langCase = langNames.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
-        s"""WITH t0 AS (SELECT doc_id, text, source, $ToksSql AS toks FROM documents),
-           |h0 AS (SELECT *, $langHits FROM t0),
-           |g0 AS (SELECT *, $greatest AS m FROM h0),
-           |scored AS (SELECT doc_id, text, source,
-           | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
-           |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
-           |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
-           |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality,
-           | CASE WHEN m = 0 THEN 'und' $langCase END AS lang
-           |FROM g0),
+        s"""WITH ${qualityLangCtes("documents")},
            |gated AS (SELECT * FROM scored WHERE quality >= 0.6 AND lang = 'en'),
            |keptc AS (SELECT doc_id, source, text FROM (
            |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
