@@ -143,5 +143,28 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("chunking emits exactly the sliced windows for any (chunk, overlap, length)") {
+    import graft.operators.Chunking
+    check(Prop.forAll(Gen.choose(2, 12), Gen.choose(0, 5), Gen.choose(0, 40)) {
+      (chunk, overlap0, n) =>
+        val overlap = math.min(overlap0, chunk - 1)
+        val step = chunk - overlap
+        val toks = (1 to n).map(i => s"t$i")
+        val out = Chunking.chunkByTokens(
+            Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+            "doc_id", "text", chunk, overlap)
+          .orderBy("chunk_id").collect()
+        // integer-exact chunk count, and chunk i is exactly the window
+        // starting at i*step — positional truth, no reconstruction tricks
+        val expectChunks = if (n <= chunk) 1 else ((n - chunk + step - 1) / step) + 1
+        out.length == expectChunks &&
+          out.zipWithIndex.forall { case (r, i) =>
+            val want = toks.slice(i * step, math.min(i * step + chunk, n))
+            r.getAs[String]("chunk_text") == want.mkString(" ") &&
+              r.getAs[Long]("n_tokens") == want.length.toLong
+          }
+    }, n = 25)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
