@@ -79,7 +79,30 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Self-reported artifact: the driver's stdout-capture of BENCH_r{N}.json
+    // has truncated mid-stream before (r11 kept 72/128 timings), losing the
+    // suite head for cross-round diffing. Write the complete record —
+    // per-query medians IN SUITE ORDER, reps, and the session knobs — to a
+    // round-stamped file so every bench run survives lossless. The round is
+    // inferred from the newest driver artifact already in the repo (this
+    // run's results belong to the round IN PROGRESS = newest BENCH_r + 1);
+    // override with SPARK_GRAFT_ROUND when running outside the repo root.
+    val round = sys.env.get("SPARK_GRAFT_ROUND").map(_.toInt).getOrElse {
+      val prev = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt))
+      if (prev.isEmpty) 0 else prev.max + 1
+    }
+    val self =
+      s"""{"round":$round,"reps":$reps,"cpus":$cpus,
+         |"suite_order":[${results.map("\"" + _._1 + "\"").mkString(",")}],
+         |${line.drop(1)}""".stripMargin.replace("\n", "")
+    val out = java.nio.file.Paths.get(s"bench_self_r$round.json")
+    java.nio.file.Files.write(out, self.getBytes("UTF-8"))
+    System.err.println(s"[bench] wrote $out")
     spark.stop()
   }
 }

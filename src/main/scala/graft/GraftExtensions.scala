@@ -19,12 +19,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   /** Builder with an arity guard: a SQL call with the wrong argument count
-    * fails with a named message instead of an IndexOutOfBoundsException
-    * from `children(1)`. */
+    * fails with Spark's standard WRONG_NUM_ARGS AnalysisException (the same
+    * error class the built-in FunctionRegistry raises, stable across Spark
+    * versions) instead of an IndexOutOfBoundsException from `children(1)`. */
   private def build(name: String, n: Int, f: Seq[Expression] => Expression)
                    (children: Seq[Expression]): Expression = {
-    require(children.size == n,
-      s"$name expects exactly $n argument(s), got ${children.size}")
+    if (children.size != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> children.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
     f(children)
   }
 

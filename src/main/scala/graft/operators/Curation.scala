@@ -92,19 +92,27 @@ object Curation {
     * budget prefix has even fewer prior tokens within its own shard, so
     * phase 1 can only over-keep, never drop a global survivor; and each
     * shard's survivors carry < budget + one row of tokens, so the phase-2
-    * partition is budget-bounded per shard, never corpus-bounded. */
+    * partition is budget-bounded per shard, never corpus-bounded.
+    *
+    * Subset-monotonicity requires every row's token count to be a
+    * non-negative number, so null or negative counts (e.g. Spark's legacy
+    * `size(null) = -1` leaking out of a token counter) are clamped to 0
+    * before the prefix sums: such rows spend none of the budget instead of
+    * nulling the cumulative sum (which would silently drop the row and
+    * everything after it in its key). */
   def capTokensPerKey(df: DataFrame, key: Column, tokensCol: Column,
                       budget: Long, order: Seq[Column],
                       idCol: Column, shards: Int = 64): DataFrame = {
     val shard = Sampling.hashBucket(idCol.cast("string"), shards, "capshard")
+    val toks = greatest(coalesce(tokensCol.cast("long"), lit(0L)), lit(0L))
     val w1 = Window.partitionBy(key, shard).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val w2 = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(tokensCol).over(w1))
-      .filter(col("__cum") - tokensCol < budget)
-      .withColumn("__cum", sum(tokensCol).over(w2))
-      .filter(col("__cum") - tokensCol < budget)
+    df.withColumn("__cum", sum(toks).over(w1))
+      .filter(col("__cum") - toks < budget)
+      .withColumn("__cum", sum(toks).over(w2))
+      .filter(col("__cum") - toks < budget)
       .drop("__cum")
   }
 }

@@ -171,18 +171,46 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band buckets from a minhashSig frame: one row per (doc, band) with
-    * band_hash = md5 over the band's signature slice. */
-  def minhashBands(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+  /** Per-ROW minhash signature columns h0..h{k-1} — the stateless twin of
+    * [[minhashSig]]: the same (a*x + b) mod P permutation minima, computed
+    * as array folds over the row's own token set instead of a min-groupBy
+    * over the exploded token index. Zero shuffles and zero state, so it
+    * runs per-row on an unbounded STREAM (the groupBy formulation is a
+    * stateful aggregation there). Values are identical to [[minhashSig]]
+    * for any non-empty token set — min over the same multiset. A doc with
+    * NO tokens (absent from minhashSig's grouped output entirely) yields
+    * null minima here; its bands hash a constant that can only collide
+    * with other empty docs, and exact-Jaccard verification (null on empty
+    * sets) then rejects the pair — so both formulations produce the same
+    * verified PAIRS. */
+  def minhashSigCols(textCol: Column, k: Int,
+                     tokens: Column => Column = TextFunctions.tokenSet): Seq[Column] = {
+    require(k <= HashParams.length, s"k <= ${HashParams.length}")
+    val toks = tokens(textCol)
+    (0 until k).map { i =>
+      val (a, b) = HashParams(i)
+      array_min(transform(toks,
+        t => pmod(lit(a) * tokenFingerprint(t) + lit(b), lit(HashPrime)))).as(s"h$i")
+    }
+  }
+
+  /** The banding expression shared by [[minhashBands]] and the streaming
+    * probes: an array of (band, band_hash) structs over signature columns
+    * h0..h{k-1}, band_hash = md5 over the band's signature slice. */
+  private[graft] def bandStructs(k: Int, rowsPerBand: Int): Column = {
     val nBands = k / rowsPerBand
-    val entries = (0 until nBands).map { b =>
+    array((0 until nBands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"h$i").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("band_hash"))
-    }
-    sig.select(col("doc_id"), explode(array(entries: _*)).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.band_hash"))
+    }: _*)
   }
+
+  /** LSH band buckets from a minhashSig frame: one row per (doc, band) with
+    * band_hash = md5 over the band's signature slice. */
+  def minhashBands(sig: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"), explode(bandStructs(k, rowsPerBand)).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.band_hash"))
 
   /** MinHash-LSH near-dup pairs: candidates collide on >=1 band bucket, then
     * are verified with the exact token-set Jaccard. */
@@ -635,10 +663,11 @@ object Dedup {
     *
     * Output: one row per (doc, maximal span) — `span_start` / `span_end`
     * (1-based token indices, inclusive) and `n_tokens`. Flagged shingles
-    * whose start positions are <= k apart merge into one span (their
-    * duplicated windows overlap or touch), so a span may bridge up to k-1
-    * locally-unique tokens between two duplicated windows; a longer clean
-    * gap splits spans — the standard islands formulation. Documents shorter
+    * whose start positions are <= k apart merge into one span: their
+    * duplicated k-token windows overlap or are exactly adjacent, so every
+    * token inside a span lies in some flagged window — a span never bridges
+    * unflagged tokens. A start-distance > k splits spans — the standard
+    * islands formulation. Documents shorter
     * than k tokens contribute their whole text as one shingle (the
     * [[TextFunctions.shingles]] short-doc contract), so exact short-doc
     * duplicates surface as full-doc spans.
@@ -666,8 +695,17 @@ object Dedup {
       .groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select("fp")
-    mergeSpans(edges0.hint("shuffle_hash")
-      .join(shared.hint("shuffle_hash"), Seq("fp"), "left_semi"), k)
+    // materialize the (small, output-sized) span frame so the (large,
+    // one-row-per-token) positional edge cache can be released before
+    // returning — otherwise every call leaves token-scaled MEMORY_AND_DISK
+    // residue for the session lifetime. The spans stay cached: downstream
+    // cut joins read them without re-running the shingle pipeline.
+    val spans = mergeSpans(edges0.hint("shuffle_hash")
+        .join(shared.hint("shuffle_hash"), Seq("fp"), "left_semi"), k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    spans.count()
+    edges0.unpersist()
+    spans
   }
 
   /** (doc_id, n_toks, pos, fp) positional shingle edges: pos is the 0-based

@@ -65,30 +65,66 @@ object Similarity {
     * The classic FAISS-style scale path: the expensive full scan becomes a
     * cell-local scan of ~nProbe/nLists of the corpus.
     *
-    * Scale shape: centroids are tiny (nLists x dim) — trained once, collected
-    * to the driver, broadcast into both assignment joins; the corpus is
-    * scanned once for assignment and the probe join is an equi-join on
-    * cell id. Recall rises with nProbe (nProbe = nLists is exact search).
+    * Scale shape: centroids live in a tiny (cell, centroid) DataFrame —
+    * trained once and BROADCAST-JOINED into assignment and probing (never
+    * embedded as plan literals: nLists x dim literal doubles per expression
+    * tree blow the 64 KB codegen method limit around a few hundred cells and
+    * fall back to interpreted evaluation, while a 100 TB index wants
+    * thousands of cells — the join's cost is independent of nLists). The
+    * corpus is scanned once for assignment and the probe join is an
+    * equi-join on cell id. Recall rises with nProbe (nProbe = nLists is
+    * exact search).
     */
   /** A built IVF index: corpus vectors with their cell assignment, plus the
-    * centroid table. Build once, search many times — training and assignment
-    * never rerun per query batch. */
-  case class IvfIndex(assigned: DataFrame, centroids: Array[Array[Double]]) {
-    private[Similarity] def nearestCells(v: Column, n: Int): Column = {
-      val scored = array(centroids.toIndexedSeq.zipWithIndex.map { case (cent, i) =>
-        struct(dist2(v, cent).as("d"), lit(i).as("cell"))
-      }: _*)
-      slice(array_sort(scored), 1, n).getField("cell")
-    }
+    * (cell, centroid) table — the same frame [[saveIvf]] persists, so built
+    * and loaded indexes share one code path. Build once, search many times —
+    * training and assignment never rerun per query batch. The assigned frame
+    * is either (nbr_id, nbr_v, cell) or, after [[quantizeIvf]],
+    * (nbr_id, codes, scale, cell). */
+  case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Nearest-cell assignment via a broadcast join against the centroid
+    * table: every (vector, centroid) pair is scored with the native codegen
+    * `vec_dist2` kernel in the scan stage, then `min_by` keeps each vector's
+    * closest cell (distance ties broken by cell id — a total order, so the
+    * winner is unique and the result deterministic under any partial-agg
+    * order). `vecs` must be (`nbr_id`, `nbr_v`) with unique ids.
+    *
+    * Scale shape: the broadcast side is nLists rows (tiny at any realistic
+    * nLists); the expression tree is CONSTANT-SIZED in nLists, so codegen
+    * never degrades as the cell count grows (asserted in SimilaritySpec at
+    * nLists = 256). The min_by groupBy partial-aggregates each map
+    * partition's xnLists expansion back to one row per vector before its
+    * single corpus-wide shuffle — paid once at BUILD time in the
+    * build-once/search-many lifecycle, never per query. */
+  def assignCells(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(vecs.sparkSession)
+    vecs.crossJoin(broadcast(centroids))
+      .groupBy(col("nbr_id"))
+      .agg(min_by(
+        struct(col("cell"), col("nbr_v")),
+        struct(graft.functions.VecCosine.dist2(col("nbr_v"), col("centroid")).as("d"),
+          col("cell"))).as("m"))
+      .select(col("nbr_id"), col("m.nbr_v").as("nbr_v"), col("m.cell").as("cell"))
   }
 
-  /** Squared L2 distance to a literal centroid via the native vec_dist2
-    * kernel (the zip_with+aggregate formulation is CodegenFallback — nLists
-    * interpreted folds per corpus row during index assignment; same
-    * left-to-right arithmetic, so cell assignments are identical). */
-  private def dist2(v: Column, cent: Array[Double]): Column =
-    graft.functions.VecCosine.dist2(
-      v, array(cent.toIndexedSeq.map(lit(_)): _*))
+  /** The query-side twin of [[assignCells]]: each query's `nProbe` nearest
+    * cells, one output row per (query, probed cell). Same broadcast join +
+    * native dist2; the rank filter collapses to WindowGroupLimit and the
+    * query set is small, so the window shuffle is negligible. Cell order
+    * (distance asc, cell id asc) matches the assignment tie-break. */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+                         nProbe: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(col("__d"), col("cell"))
+    queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__d",
+        graft.functions.VecCosine.dist2(col("q_v"), col("centroid")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("q_v"), col("cell"))
+  }
 
   /** Train the coarse quantizer and assign every corpus vector to its cell.
     * The assignment frame is persisted: it is the reusable index. */
@@ -122,25 +158,55 @@ object Similarity {
     // iteration is a full distributed pass
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(5)
       .setInitMode("random").fit(train)
-    val index = IvfIndex(null, model.clusterCenters.map(_.toArray))
-    val assigned = c.withColumn("cell", index.nearestCells(col("nbr_v"), 1).getItem(0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    index.copy(assigned = assigned)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.clusterCenters.toIndexedSeq.zipWithIndex
+      .map { case (cent, i) => (i, cent.toArray.toSeq) }
+      .toDF("cell", "centroid")
+    val assigned = assignCells(c, cents).persist(StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(assigned, cents)
   }
 
-  /** Probe the `nProbe` nearest cells per query and rank cell-local cosine. */
+  /** Probe the `nProbe` nearest cells per query and rank cell-local cosine.
+    * A [[quantizeIvf]]-compressed index dequantizes its int8 codes once per
+    * candidate row in the probe's scan stage (exact-roundable arithmetic —
+    * identical scores to quantized brute force); the pruned cell equi-join
+    * is the same either way. */
   def searchIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     graft.GraftExtensions.register(queries.sparkSession)
-    val probed = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
-      .withColumn("cell", explode(index.nearestCells(col("q_v"), nProbe)))
-    val scored = index.assigned.join(broadcast(probed), Seq("cell"))
+    val probed = probeCells(queries, index.centroids, nProbe)
+    val store =
+      if (index.assigned.columns.contains("codes"))
+        index.assigned.select(col("cell"), col("nbr_id"),
+          VectorFunctions.dequantizeI8(col("codes"), col("scale")).as("nbr_v"))
+      else index.assigned
+    val scored = store.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Compress a built index to the int8 deployment shape: the assigned frame
+    * stores 1-byte codes plus one scale per vector (~8x smaller than float64
+    * — the actual memory shape of a compressed ANN index at 100 TB) instead
+    * of raw vectors. Quantization matches [[bruteForceTopKQuantized]]'s
+    * exact-roundable arithmetic bit for bit, so a quantized-IVF search at
+    * nProbe = nLists equals quantized brute force row for row (the oracle
+    * gate), and its recall vs exact search is bounded by the same int8
+    * rounding error. Composes with [[saveIvf]]/[[loadIvf]]/[[appendIvf]]
+    * unchanged — the codes/scale columns ride the same cell-partitioned
+    * layout. */
+  def quantizeIvf(index: IvfIndex): IvfIndex = {
+    val a = index.assigned
+      .withColumn("__v", col("nbr_v").cast("array<double>"))
+      .withColumn("scale", VectorFunctions.quantScaleI8(col("__v")))
+      .select(col("nbr_id"),
+        VectorFunctions.quantizeI8(col("__v"), col("scale")).as("codes"),
+        col("scale"), col("cell"))
+    index.copy(assigned = a)
   }
 
   /** Convenience: build + search in one call. */
@@ -167,8 +233,8 @@ object Similarity {
     * assignment frame — without repair every later search would recompute
     * the full corpus assignment scan uncached, contradicting
     * build-once/search-many. The lookup re-registers persistence when it
-    * finds the storage level cleared (the quantizer itself lives in the
-    * plan literals and never retrains; only the one assignment scan
+    * finds the storage level cleared (the quantizer itself is the tiny
+    * local centroid frame and never retrains; only the one assignment scan
     * re-materializes). */
   def sharedIvf(corpus: DataFrame, corpusKey: String,
                 nLists: Int = 16, seed: Long = 42L): IvfIndex = ivfMemo.synchronized {
@@ -201,22 +267,42 @@ object Similarity {
   def saveIvf(index: IvfIndex, dir: String): Unit = {
     index.assigned.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/assigned")
-    val spark = index.assigned.sparkSession
-    import spark.implicits._
-    index.centroids.toIndexedSeq.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "centroid")
+    index.centroids
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
-  /** Load an index persisted by [[saveIvf]]. The centroid table is tiny
-    * (nLists rows) — collecting it to the driver rebuilds the quantizer
-    * literals; the assignment frame stays a lazy partitioned scan, pruned
-    * to the probed cells by [[searchIvf]]'s cell equi-join. */
-  def loadIvf(spark: SparkSession, dir: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    IvfIndex(spark.read.parquet(s"$dir/assigned"), cents)
+  /** Load an index persisted by [[saveIvf]]. Both halves stay lazy scans —
+    * the centroid table (nLists rows) broadcasts into assignment/probe
+    * joins without ever touching the driver, and the assignment frame is a
+    * partitioned scan pruned to the probed cells by [[searchIvf]]'s cell
+    * equi-join. */
+  def loadIvf(spark: SparkSession, dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/assigned"),
+      spark.read.parquet(s"$dir/centroids"))
+
+  /** INCREMENTAL index maintenance — the ANN twin of
+    * [[Dedup.exactIncrement]]: assign a NEW document batch against the
+    * existing index's centroids (the quantizer is never retrained per
+    * ingest batch — retraining would re-cell the whole corpus) and APPEND
+    * the assigned rows to `dir/assigned`. Dynamic partition append writes
+    * files only under the cells the batch actually lands in; every other
+    * cell's files are untouched (asserted in SimilaritySpec), so per-batch
+    * write cost scales with the batch, not the index. A quantized index
+    * ([[quantizeIvf]]) appends in its own codes/scale shape, keeping the
+    * stored layout homogeneous. `loadIvf(dir)` after append is
+    * row-identical to a fresh assignment of the unioned corpus under the
+    * same centroids — assignment is a pure per-row function of
+    * (vector, centroid table). */
+  def appendIvf(index: IvfIndex, newBatch: DataFrame, dir: String): Unit = {
+    val fresh = IvfIndex(
+      assignCells(Parallelism.fanOut(
+          newBatch.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"))),
+        index.centroids),
+      index.centroids)
+    val shaped =
+      if (index.assigned.columns.contains("codes")) quantizeIvf(fresh).assigned
+      else fresh.assigned
+    shaped.write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH

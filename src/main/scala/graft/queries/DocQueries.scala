@@ -313,6 +313,27 @@ object DocQueries {
        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Quantized cosine top-10 for query vectors vec_id < 8 — mirrors
+    * quantize -> dequantize -> cosine with the same exact-roundable
+    * arithmetic as the Spark int8 path, so scores and ranks hash bit-exact.
+    * Shared by the quantized brute-force gate and the quantized-IVF gate in
+    * exact mode (nProbe = nLists probes every cell). */
+  private lazy val QuantTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sc AS (SELECT vec_id, v,
+       |  CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0.0
+       |   THEN CAST(127.0 AS DOUBLE) / list_max(list_transform(v, x -> abs(x)))
+       |   ELSE CAST(1.0 AS DOUBLE) END AS scale FROM e),
+       |dq AS (SELECT vec_id AS nbr_id,
+       |  list_transform(v, x -> CAST(CAST(round(x * scale) AS TINYINT) AS DOUBLE) / scale) AS nbr_v
+       |  FROM sc),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |scored AS (SELECT query_id, nbr_id, ${cosSql("qv", "nbr_v")} AS cosine
+       |  FROM dq CROSS JOIN q WHERE nbr_id != query_id)
+       |SELECT query_id, nbr_id, cosine,
+       | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+       |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** Inverted-index Jaccard oracle over shingles, optionally restricted to an
     * LSH candidate CTE named `cand(id_a, id_b)`. */
   private def jaccardTailSql(threshold: Double, candJoin: String): String =
@@ -1565,20 +1586,25 @@ object DocQueries {
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |sc AS (SELECT vec_id, v,
-        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0.0
-        |   THEN CAST(127.0 AS DOUBLE) / list_max(list_transform(v, x -> abs(x)))
-        |   ELSE CAST(1.0 AS DOUBLE) END AS scale FROM e),
-        |dq AS (SELECT vec_id AS nbr_id,
-        |  list_transform(v, x -> CAST(CAST(round(x * scale) AS TINYINT) AS DOUBLE) / scale) AS nbr_v
-        |  FROM sc),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-        |scored AS (SELECT query_id, nbr_id, ${cosSql("qv", "nbr_v")} AS cosine
-        |  FROM dq CROSS JOIN q WHERE nbr_id != query_id)
-        |SELECT query_id, nbr_id, cosine,
-        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
-        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+      Some(QuantTopKSql)),
+
+    // quantized IVF — the composed compressed-index shape (int8 codes inside
+    // cell-partitioned lists, dequantized once in the probe scan). At
+    // nProbe = nLists it probes every cell, so it equals quantized brute
+    // force bit for bit and shares its oracle; the approximate mode's recall
+    // is asserted in SimilaritySpec. Shares the memoized index build with
+    // the other IVF gates (quantization is a projection over the cached
+    // assignment frame).
+    "q_sim_topk_ivf_quantized" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.searchIvf(
+            Similarity.quantizeIvf(Similarity.sharedIvf(emb, corpusKey = d, nLists = 16)),
+            emb.filter(col("vec_id") < 8), k = 10, nProbe = 16)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(QuantTopKSql)),
 
     // IVF with nProbe = nLists probes every cell, so it is exact search by
     // construction — hash-matched against the same brute-force oracle. This

@@ -242,12 +242,14 @@ class FunctionsSpec extends SparkSpec {
       intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(s"SELECT $fn(array('a'), array('b'))").collect()
       }
-      // wrong arity: a named error from the builder guard, never an
+      // wrong arity: Spark's standard WRONG_NUM_ARGS analysis error from
+      // the builder guard — a stable, named error class, never an
       // IndexOutOfBoundsException from children(1)
-      val e = intercept[Exception] {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(s"SELECT $fn(array(1.0d))").collect()
       }
-      assert(!e.isInstanceOf[IndexOutOfBoundsException])
+      assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        s"unexpected error class: ${e.getCondition} (${e.getMessage})")
     }
     // the guarded path still computes: 1*3 + 2*4
     assert(spark.sql(

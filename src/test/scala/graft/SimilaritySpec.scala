@@ -69,8 +69,8 @@ class SimilaritySpec extends SparkSpec {
     try {
       Similarity.saveIvf(built, dir)
       val loaded = Similarity.loadIvf(spark, dir)
-      // the loaded quantizer is the same literal centroids, so searches are
-      // row-identical to the in-memory index
+      // the loaded quantizer is the same (cell, centroid) table, so searches
+      // are row-identical to the in-memory index
       val a = Similarity.searchIvf(built, queries, k = 5, nProbe = 2)
         .orderBy("query_id", "rank").collect()
       val b = Similarity.searchIvf(loaded, queries, k = 5, nProbe = 2)
@@ -86,6 +86,105 @@ class SimilaritySpec extends SparkSpec {
       built.assigned.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
+  }
+
+  test("IVF assignment stays codegen at nLists >= 256 (no plan-literal centroids)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val emb = Tables.embeddings(spark, sf)
+    def fallbacks(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case p => p.expressions.flatMap(_.collect {
+          case e: CodegenFallback => e.getClass.getSimpleName
+        })
+      }.flatten
+    // the centroid table is data, not plan literals: the assignment
+    // expression tree is constant-sized in nLists, so a 256-cell quantizer
+    // (past the point where literal trees blow the 64 KB codegen method
+    // limit) still evaluates fully codegen'd
+    val idx = Similarity.buildIvf(emb, nLists = 256, seed = 7L)
+    try {
+      val assignPlan = Similarity.assignCells(
+        emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")),
+        idx.centroids)
+      assert(fallbacks(assignPlan).isEmpty,
+        s"CodegenFallback in assignment plan: ${fallbacks(assignPlan)}")
+      val search = Similarity.searchIvf(idx, emb.filter(col("vec_id") < 4),
+        k = 5, nProbe = 8)
+      assert(fallbacks(search).isEmpty,
+        s"CodegenFallback in probe plan: ${fallbacks(search)}")
+      // the index is real at this width: every vector lands in exactly one
+      // cell and searches return ranked rows
+      assert(idx.assigned.count() == 500)
+      assert(search.count() > 0)
+    } finally idx.assigned.unpersist()
+  }
+
+  test("appendIvf assigns with frozen centroids; only the batch's cells gain files") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+    val built = Similarity.buildIvf(base, nLists = 8, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    try {
+      Similarity.saveIvf(built, dir)
+      def filesPerCell: Map[String, Set[String]] =
+        new java.io.File(s"$dir/assigned").listFiles()
+          .filter(_.getName.startsWith("cell=")).map { d =>
+            d.getName -> d.listFiles().map(_.getName).toSet
+          }.toMap
+      val before = filesPerCell
+      Similarity.appendIvf(built, batch, dir)
+      val after = filesPerCell
+      // cells the batch does not land in keep their exact file set
+      val batchCells = Similarity.assignCells(
+          batch.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")),
+          built.centroids)
+        .select("cell").distinct().collect().map(r => s"cell=${r.get(0)}").toSet
+      val untouched = before.keySet -- batchCells
+      assert(untouched.forall(c => before(c) == after(c)),
+        s"files changed outside batch cells $batchCells")
+      assert(batchCells.forall(c => after.getOrElse(c, Set()).size > before.getOrElse(c, Set()).size),
+        "every batch cell must gain at least one file")
+      // append + load ≡ fresh assignment of the union under the same
+      // centroids (assignment is a pure per-row function of the centroids)
+      val loaded = Similarity.loadIvf(spark, dir)
+      val viaAppend = loaded.assigned
+        .select("nbr_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val fresh = Similarity.assignCells(
+          base.unionByName(batch)
+            .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")),
+          built.centroids)
+        .select("nbr_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(viaAppend == fresh)
+    } finally {
+      built.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("quantized IVF at nProbe=nLists equals quantized brute force; recall holds at nProbe=4") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val built = Similarity.buildIvf(emb, nLists = 16, seed = 42L)
+    val idx = Similarity.quantizeIvf(built)
+    try {
+      assert(idx.assigned.columns.toSet == Set("nbr_id", "codes", "scale", "cell"))
+      val full = Similarity.searchIvf(idx, queries, k = 10, nProbe = 16)
+        .select("query_id", "nbr_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = Similarity.bruteForceTopKQuantized(emb, queries, k = 10)
+        .select("query_id", "nbr_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // probing every cell recovers quantized brute force bit-for-bit (same
+      // dequantize arithmetic, same candidate set, same tie-break)
+      assert(full == brute)
+      val approx = Similarity.searchIvf(idx, queries, k = 10, nProbe = 4)
+        .select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteIds = brute.map(t => (t._1, t._2))
+      val recall = (approx intersect bruteIds).size.toDouble / bruteIds.size
+      assert(recall >= 0.5, s"quantized-IVF recall too low: $recall")
+    } finally built.assigned.unpersist()
   }
 
   test("hyperplane sign buckets stay balanced on the sf0.01 embeddings") {
