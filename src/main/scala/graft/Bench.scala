@@ -100,9 +100,13 @@ object Bench {
       s"""{"round":$round,"reps":$reps,"cpus":$cpus,
          |"suite_order":[${results.map("\"" + _._1 + "\"").mkString(",")}],
          |${line.drop(1)}""".stripMargin.replace("\n", "")
-    val out = java.nio.file.Paths.get(s"bench_self_r$round.json")
-    java.nio.file.Files.write(out, self.getBytes("UTF-8"))
-    System.err.println(s"[bench] wrote $out")
+    // filtered local runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the
+    // full-suite record
+    if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty) {
+      val out = java.nio.file.Paths.get(s"bench_self_r$round.json")
+      java.nio.file.Files.write(out, self.getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $out")
+    }
     spark.stop()
   }
 }

@@ -684,28 +684,27 @@ object Dedup {
     *    are document-bounded, never corpus-bounded. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
-    // read twice (df aggregation + probe): persist + materialize so the
-    // tokenize/shingle/fingerprint pipeline runs once (see jaccardPairs)
+    // The positional edge frame feeds two branches (df aggregation + probe)
+    // but is deliberately NOT persisted: it is token-scaled (one row per
+    // shingle position — the largest frame in the operator), so caching it
+    // either pins corpus-sized memory/disk for the session (the leak the
+    // r11 review flagged) or costs an extra materialization pass to cache
+    // and release. Recomputing it per branch is two SCAN-STAGE passes of
+    // tokenize/shingle/md5 — embarrassingly parallel, no shuffle. Measured
+    // at sf0.1 (REPS=3 medians, SCALE.md r12): recompute 1.87 s ≈
+    // cache-then-release 1.98 s, both ~0.5 s over the leaking persist —
+    // the price of zero residue; at 100 TB the trade inverts entirely,
+    // since caching a token-scaled frame would spill ~corpus-sized data
+    // per call while a second scan pass just rides the input.
     val edges0 = positionalShingleEdges(docs, idCol, textCol, k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    edges0.count()
     // a shingle repeated WITHIN one document does not make it shared — df
     // counts distinct documents per fingerprint
     val shared = edges0.select("doc_id", "fp").distinct()
       .groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select("fp")
-    // materialize the (small, output-sized) span frame so the (large,
-    // one-row-per-token) positional edge cache can be released before
-    // returning — otherwise every call leaves token-scaled MEMORY_AND_DISK
-    // residue for the session lifetime. The spans stay cached: downstream
-    // cut joins read them without re-running the shingle pipeline.
-    val spans = mergeSpans(edges0.hint("shuffle_hash")
-        .join(shared.hint("shuffle_hash"), Seq("fp"), "left_semi"), k)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    spans.count()
-    edges0.unpersist()
-    spans
+    mergeSpans(edges0.hint("shuffle_hash")
+      .join(shared.hint("shuffle_hash"), Seq("fp"), "left_semi"), k)
   }
 
   /** (doc_id, n_toks, pos, fp) positional shingle edges: pos is the 0-based

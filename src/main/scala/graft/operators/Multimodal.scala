@@ -49,9 +49,18 @@ object Multimodal {
     * stand-in keeps whole-stage codegen — the shape a real vectorized kernel
     * should inherit — and is exactly mirrorable in oracle SQL. A real decode
     * would swap the per-lane fold for a typed `Dataset.mapPartitions` over
-    * the codec, keeping the same schema contract. */
-  def fakeDecodeFeatures(media: DataFrame): DataFrame = {
-    val len = length(col("payload")) // byte count for a binary column
+    * the codec, keeping the same schema contract.
+    *
+    * `maxBytes` bounds the scan-stage blowup: the hex staging string is 2x
+    * and the per-byte double array ~8x the DECODED bytes per row, so an
+    * uncapped multi-GB payload would transiently amplify ~10x inside one
+    * task. Only the first `maxBytes` of the payload feed the folds (feature
+    * values for larger payloads are those of the capped prefix — spec'd);
+    * `meta.byte_len` keeps the full length. */
+  def fakeDecodeFeatures(media: DataFrame, maxBytes: Int = 1 << 20): DataFrame = {
+    require(maxBytes >= 8, "maxBytes must cover at least one 8-byte lane pass")
+    val capped = substring(col("payload"), 1, maxBytes)
+    val len = length(capped) // byte count for a binary column
     val scale = greatest(lit(1L), floor(len / 8)).cast("double")
     // all payload bytes as doubles in [0, 1], materialized ONCE per row into
     // a projected column: regexp splits the hex into 2-char chunks in one
@@ -59,7 +68,7 @@ object Multimodal {
     // instead of substr-ing the hex string per byte (O(len) each — that
     // variant measured O(len²)/row and 30× slower on long documents)
     val bytes = transform(
-      regexp_extract_all(hex(col("payload")), lit(".."), lit(0)),
+      regexp_extract_all(hex(capped), lit(".."), lit(0)),
       h => conv(h, 16, 10).cast("double") / 255.0)
     // collision-free staging column: an input frame that already carries a
     // column by this name must not be silently clobbered and dropped.

@@ -218,6 +218,42 @@ object Packing {
             s => s.getField("t")),
           sep).as("sequence"))
 
+  /** Per-bin LOADER contract — the artifact a packed-sequence dataloader
+    * consumes next to [[materialize]]'s concatenated text: for every
+    * (shard, bin), the member documents' start offsets and token lengths
+    * inside the ASSEMBLED sequence, sorted in layout order. `doc_starts`
+    * are exactly the position-id reset points, and consecutive
+    * (start, start + n_tokens) pairs are the attention-mask boundaries —
+    * doc_starts(0) = 0, doc_starts(i+1) = doc_starts(i) + doc_tokens(i),
+    * and the last boundary closes at `fill`, so the spans partition
+    * [0, fill) for every layout (property-tested in OperatorsSpec).
+    *
+    * Offsets here are WITHIN-BIN prefix sums (position inside the
+    * materialized sequence), not [[packManifest]]'s global-stream
+    * `tokens_before mod budget`: the two coincide on [[packBins]] bins
+    * that start on a budget boundary but differ after an overflowing doc,
+    * and only the within-bin form describes what [[materialize]] actually
+    * assembles — which is what the loader indexes into.
+    *
+    * Scale shape: the offset window and the collect_list are both
+    * (shard, bin)-partitioned — budget-bounded, never corpus-bounded (the
+    * same argument as [[materialize]]); one shuffle on the grouping key. */
+  def loaderBoundaries(packed: DataFrame, idCol: String, tokenCount: Column,
+                       order: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy("shard", "bin").orderBy(order :+ col(idCol): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packed
+      .withColumn("__t", tokenCount.cast("long"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("fill"),
+        array_sort(collect_list(struct(col("__off").as("o"),
+          col(idCol).as("i"), col("__t").as("t")))).as("__b"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("fill"),
+        transform(col("__b"), b => b.getField("o")).as("doc_starts"),
+        transform(col("__b"), b => b.getField("t")).as("doc_tokens"))
+  }
+
   /** Per-bin layout summary (what a sequence writer consumes): document
     * count, token fill, and fill ratio vs budget. */
   def binStats(packed: DataFrame, tokenCount: Column,

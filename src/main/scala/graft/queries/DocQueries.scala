@@ -927,6 +927,41 @@ object DocQueries {
         | md5(string_agg(text, chr(10) || chr(10) ORDER BY doc_id)) AS seq_md5
         |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin)),
 
+    // ---- Loader contract for the q_pack_sequences layout: per-bin document
+    //      start offsets (position-id reset points) and token lengths
+    //      (attention-mask boundaries) inside the assembled sequence —
+    //      within-bin prefix sums, arrays comma-joined for the hash compare.
+    "q_pack_loader" -> Q(
+      (s, d) => {
+        import graft.operators.Packing
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        val packed = Packing.packBins(docs, "doc_id", col("n_tokens"),
+          budgetTokens = 2048L, shards = 8)
+        Packing.loaderBoundaries(packed, "doc_id", col("n_tokens"))
+          .select(col("shard"), col("bin"), col("n_docs"), col("fill"),
+            array_join(col("doc_starts"), ",").as("doc_starts"),
+            array_join(col("doc_tokens"), ",").as("doc_tokens"))
+          .orderBy("shard", "bin")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM documents),
+        |p AS (SELECT doc_id, n_tokens, shard,
+        |  CAST(floor(CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) / 2048.0) AS BIGINT) AS bin
+        |  FROM t),
+        |b AS (SELECT doc_id, n_tokens, shard, bin,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard, bin
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS off
+        |  FROM p)
+        |SELECT shard, bin, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS fill,
+        | array_to_string(list(off ORDER BY off, doc_id), ',') AS doc_starts,
+        | array_to_string(list(n_tokens ORDER BY off, doc_id), ',') AS doc_tokens
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin)),
+
     // ---- Benchmark decontamination: every 20th document plays the eval set;
     //      the rest of the corpus is scored by the fraction of its distinct
     //      word 3-shingles found anywhere in that set (fp60 semi-join — the

@@ -2,10 +2,13 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
 
 /** Structured Streaming formulations of the engine's incremental semantics
   * (SURVEY §2.9): the reference's raw zone is append-only (snapshot dual-
@@ -148,6 +151,118 @@ object StreamingOps {
       .join(corpusHashes, Seq("content_hash"), "left_anti")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming INCREMENTAL MinHash-LSH near-dup MATCHES against a STORED
+    * corpus index — the streaming twin of
+    * [[graft.operators.Dedup.minhashLshIncrementIndexed]]: each arriving
+    * document's LSH bands probe the persisted band index
+    * (`corpusBands`: id_corpus, band, band_hash) and band collisions verify
+    * with exact token-set Jaccard against `corpusSets`
+    * (id_corpus, toks_corpus). Emits the verified pairs
+    * (id_new, id_corpus, jaccard >= threshold) plus the stream's own
+    * columns; callers drop matched ids or route them to a quarantine sink.
+    *
+    * ENTIRELY STATELESS: signatures are per-row array folds
+    * ([[graft.operators.Dedup.minhashSigCols]] — the groupBy formulation
+    * batch uses would be a stateful aggregation here), banding is a
+    * bounded explode (k/rowsPerBand rows per doc), and both probes are
+    * stream-static equi-joins, re-resolved per micro-batch — so per-batch
+    * cost scales with the batch, a periodically-compacted index parquet is
+    * picked up without restart, and the corpus side is never collected or
+    * broadcast. A pair colliding in multiple bands emits once per colliding
+    * band: the batch twin's candidate `.distinct()` is a shuffle the
+    * stateless stream omits; set-semantics callers dedupe downstream (the
+    * parity spec compares distinct pair sets). */
+  def nearDupStreamMatches(docs: DataFrame, corpusBands: DataFrame,
+                           corpusSets: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int, rowsPerBand: Int, threshold: Double,
+                           tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    val sig = docs.select(
+      col(idCol).as("id_new") +: tokens(col(textCol)).as("toks_new") +:
+        Dedup.minhashSigCols(col(textCol), k, tokens): _*)
+    val banded = sig
+      .select(col("id_new"), col("toks_new"),
+        explode(Dedup.bandStructs(k, rowsPerBand)).as("e"))
+      .select(col("id_new"), col("toks_new"), col("e.band"), col("e.band_hash"))
+    banded
+      .join(corpusBands, Seq("band", "band_hash"))
+      .join(corpusSets, Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        (size(array_intersect(col("toks_new"), col("toks_corpus"))).cast("double") /
+          size(array_union(col("toks_new"), col("toks_corpus")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Streaming INCREMENTAL near-dup SURVIVORS — the LSH twin of
+    * [[dedupStreamIncrement]]: a document survives when (a) no stored-index
+    * corpus document verifies as its near-dup and (b) no earlier stream
+    * document within the watermark horizon carries its exact minhash
+    * signature. Composition, in probe-before-state order:
+    *
+    *  1. per-row signature + banding (stateless — see
+    *     [[nearDupStreamMatches]]);
+    *  2. within-stream signature dedup: `dropDuplicatesWithinWatermark` on
+    *     the full-signature hash — identical-signature docs are the
+    *     degenerate (all-rows-agree) LSH match, the only near-dup relation
+    *     decidable with O(1) state per doc; sub-identical stream-internal
+    *     pairs are batch jobs' business ([[graft.operators.Dedup.minhashLshPairs]]
+    *     over the landed corpus), not the ingest path's;
+    *  3. corpus probe: LEFT OUTER stream-static joins against the stored
+    *     band index + token sets, `matched` = any band row verifying
+    *     Jaccard >= threshold;
+    *  4. the exists-collapse back to one row per doc: an event-time-window
+    *     aggregation (all of a doc's band rows share its timestamp, so
+    *     (window, id, ts, text) groups exactly one doc) — append mode
+    *     emits a doc once the watermark passes its window, and state holds
+    *     only the horizon's pending docs.
+    *
+    * State is bounded by the watermark at both stateful steps (signature
+    * hashes in step 2, pending per-doc aggregates in step 4) — never by the
+    * corpus, which lives behind the re-resolved static joins. Emission
+    * latency is the watermark delay: the price of exact
+    * survivor-set-equals-batch semantics in append mode. */
+  def nearDupStreamIncrement(docs: DataFrame, corpusBands: DataFrame,
+                             corpusSets: DataFrame,
+                             tsCol: String, idCol: String, textCol: String,
+                             k: Int, rowsPerBand: Int, threshold: Double,
+                             watermark: String = "1 day",
+                             tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    val sigCols = (0 until k).map(i => col(s"h$i"))
+    val deduped = docs
+      .select(col(idCol) +: col(tsCol) +: col(textCol) +:
+        tokens(col(textCol)).as("__toks") +:
+        Dedup.minhashSigCols(col(textCol), k, tokens): _*)
+      .withColumn("__sig_hash", md5(concat_ws(",", sigCols.map(_.cast("string")): _*)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig_hash")
+    val probed = deduped
+      .select(col(idCol), col(tsCol), col(textCol), col("__toks"),
+        explode(Dedup.bandStructs(k, rowsPerBand)).as("e"))
+      .select(col(idCol), col(tsCol), col(textCol), col("__toks"),
+        col("e.band"), col("e.band_hash"))
+      .join(corpusBands, Seq("band", "band_hash"), "left_outer")
+      .join(corpusSets, Seq("id_corpus"), "left_outer")
+      // the null test must be explicit: on unmatched left-outer rows
+      // toks_corpus is null, and legacy size(null) = -1 would make the
+      // jaccard ratio (-1)/(-1) = 1.0 — silently flagging EVERY document
+      // as a corpus match
+      .withColumn("__matched", when(col("toks_corpus").isNull, lit(false))
+        .otherwise(
+          (size(array_intersect(col("__toks"), col("toks_corpus"))).cast("double") /
+            size(array_union(col("__toks"), col("toks_corpus")))) >= threshold))
+    // group by (event-time window, id) only: keeping the raw ts in the key
+    // would leave TWO watermarked columns in the output (the window plus the
+    // still-tagged ts attribute), which stateful downstream ops reject; the
+    // aggregate outputs below are fresh attributes with no event-time tag
+    probed
+      .groupBy(window(col(tsCol), "1 second"), col(idCol))
+      .agg(max(col(tsCol)).as("__ts"),
+        any_value(col(textCol)).as("__text"),
+        max(col("__matched")).as("__matched"))
+      .filter(!col("__matched"))
+      .select(col(idCol), col("__ts").as(tsCol), col("__text").as(textCol))
+  }
 
   /** Streaming curation pass — the scan-stage curation suite (quality score,
     * language id, PII redaction, deterministic train/valid/test split)

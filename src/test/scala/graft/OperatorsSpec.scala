@@ -527,6 +527,22 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("per-row minhash signature equals the groupBy formulation on real docs") {
+    import graft.operators.Dedup
+    val k = 32
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01").limit(200)
+    val grouped = Dedup.minhashSig(docs, "doc_id", "text", k)
+    val perRow = docs.select(
+      (col("doc_id") +: Dedup.minhashSigCols(col("text"), k)): _*)
+    // the stateless (streaming-safe) array-fold signature must be value-
+    // identical to the batch groupBy-min signature for every doc with tokens
+    val joined = grouped.as("g").join(perRow.as("r"), "doc_id")
+    val disagree = joined.filter(
+      (0 until k).map(i => col(s"g.h$i") =!= col(s"r.h$i")).reduce(_ || _))
+    assert(grouped.count() == 200)
+    assert(disagree.count() == 0)
+  }
+
   test("chunking covers every token with the configured overlap") {
     import graft.operators.Chunking
     val doc = (1 to 10).map(i => s"t$i").mkString(" ")

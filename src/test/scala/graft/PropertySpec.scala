@@ -166,5 +166,38 @@ class PropertySpec extends SparkSpec {
     }, n = 25)
   }
 
+  test("loader boundaries partition [0, fill) for every packing layout") {
+    import graft.operators.Packing
+    val layouts: Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      ("bins", d => Packing.packBins(d, "doc_id", col("n_tokens"), 50L, shards = 4)),
+      ("capped", d => Packing.packBinsCapped(d, "doc_id", col("n_tokens"), 50L, shards = 4)),
+      ("firstfit", d => Packing.packBinsFirstFit(d, "doc_id", col("n_tokens"), 50L, shards = 4)))
+    check(Prop.forAll(Gen.listOfN(40, Gen.choose(1L, 60L))) { toks: List[Long] =>
+      val docs = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "n_tokens")
+      layouts.forall { case (tag, layout) =>
+        val rows = Packing.loaderBoundaries(layout(docs), "doc_id", col("n_tokens"))
+          .collect()
+        // every bin's spans must tile [0, fill): first start 0, each next
+        // start = previous start + previous length, last boundary = fill —
+        // exactly the position-id-reset / attention-boundary contract
+        val tiled = rows.forall { r =>
+          val starts = r.getAs[scala.collection.Seq[Long]]("doc_starts")
+          val lens = r.getAs[scala.collection.Seq[Long]]("doc_tokens")
+          starts.length == lens.length &&
+            starts.length == r.getAs[Long]("n_docs") &&
+            starts.head == 0L &&
+            (0 until starts.length - 1).forall(i => starts(i + 1) == starts(i) + lens(i)) &&
+            starts.last + lens.last == r.getAs[Long]("fill")
+        }
+        // and no document may be lost or duplicated across bins (sized off
+        // the generated list — shrinking produces shorter ones)
+        val covered = rows.map(_.getAs[Long]("n_docs")).sum == toks.length.toLong
+        if (!(tiled && covered)) println(s"loader boundary violation in $tag")
+        tiled && covered
+      }
+    }, n = 5)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

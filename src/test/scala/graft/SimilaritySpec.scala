@@ -234,4 +234,25 @@ class SimilaritySpec extends SparkSpec {
     val r = resized.select("meta.target_w", "meta.target_h", "meta.byte_len").head()
     assert(r.getInt(0) == 224 && r.getInt(1) == 224 && r.getLong(2) > 0)
   }
+
+  test("decode cap bounds the scan blowup: oversize payload == its capped prefix") {
+    val docs = Tables.documents(spark, sf).limit(5)
+    val media = Multimodal.fromText(docs, "doc_id", "text", "source")
+    // features of a payload larger than maxBytes are the features OF the
+    // first maxBytes — the staging hex/array cost stays O(maxBytes)/row
+    // however large the payload
+    val capped = Multimodal.fakeDecodeFeatures(media, maxBytes = 16)
+      .select("media_id", "features").collect().toSeq
+    val prefixed = Multimodal.fakeDecodeFeatures(
+        media.withColumn("payload",
+          org.apache.spark.sql.functions.substring(col("payload"), 1, 16)))
+      .select("media_id", "features").collect().toSeq
+    assert(capped == prefixed)
+    // the default cap leaves the gate payloads (document text) untouched
+    val full = Multimodal.fakeDecodeFeatures(media)
+      .select("media_id", "features").collect().toSeq
+    val uncapped = Multimodal.fakeDecodeFeatures(media, maxBytes = Int.MaxValue)
+      .select("media_id", "features").collect().toSeq
+    assert(full == uncapped)
+  }
 }

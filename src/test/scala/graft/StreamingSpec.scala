@@ -167,4 +167,114 @@ class StreamingSpec extends SparkSpec {
       assert(Set("train", "valid", "test").contains(rows(0).getAs[String]("split")))
     } finally q.stop()
   }
+
+  // shared fixture for the streaming near-dup tests: a tiny corpus with its
+  // stored LSH index (bands + token sets), built by the BATCH index builders
+  // — the persisted artifacts a deployed ingest pipeline probes
+  private val ndK = 16
+  private val ndRpb = 4
+  private val ndThreshold = 0.5
+  private def ndIndex = {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")).toDF("doc_id", "text")
+    import graft.operators.Dedup
+    val bands = Dedup.minhashBands(
+        Dedup.minhashSig(corpus, "doc_id", "text", ndK), ndK, ndRpb)
+      .withColumnRenamed("doc_id", "id_corpus")
+    val sets = corpus.select($"doc_id".as("id_corpus"),
+      graft.functions.TextFunctions.tokenSet($"text").as("toks_corpus"))
+    (bands, sets)
+  }
+  // the stream's documents, also as a static frame for batch-parity checks:
+  // 1 = exact corpus dup, 2 = high-overlap near-dup, 3/5 = fresh,
+  // 4 = identical text to 3 (in-stream signature dup)
+  private val ndDocs = Seq(
+    (1L, ts("2025-01-01 00:00:00"), "alpha beta gamma delta epsilon zeta"),
+    (2L, ts("2025-01-01 00:01:00"), "alpha beta gamma delta epsilon eta"),
+    (3L, ts("2025-01-01 00:02:00"), "totally fresh unrelated content words here"),
+    (4L, ts("2025-01-01 01:00:00"), "totally fresh unrelated content words here"),
+    (5L, ts("2025-01-01 01:01:00"), "another brand new document entirely distinct"))
+
+  test("streaming near-dup matches equal the batch stored-index variant") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Dedup
+    val (bands, sets) = ndIndex
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.nearDupStreamMatches(docs, bands, sets,
+        "doc_id", "text", ndK, ndRpb, ndThreshold)
+      .writeStream.format("memory").queryName("neardup_matches")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ndDocs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(ndDocs.drop(3): _*)
+      q.processAllAvailable()
+      val streamPairs = s.sql(
+          "SELECT DISTINCT id_new, id_corpus FROM neardup_matches")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batchPairs = Dedup.minhashLshIncrementIndexed(
+          ndDocs.toDF("doc_id", "ts", "text"), bands, sets,
+          "doc_id", "text", ndK, ndRpb, ndThreshold)
+        .select("id_new", "id_corpus")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamPairs == batchPairs,
+        s"stream $streamPairs != batch $batchPairs")
+      // the exact corpus dup must be among them (all bands collide at j=1.0)
+      assert(streamPairs.contains((1L, 100L)))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup increment: corpus matches and same-signature stream dups dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Dedup
+    val (bands, sets) = ndIndex
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.nearDupStreamIncrement(docs, bands, sets,
+        "ts", "doc_id", "text", ndK, ndRpb, ndThreshold,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("neardup_increment")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ndDocs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(ndDocs.drop(3): _*)
+      q.processAllAvailable()
+      // flush: push the watermark far past every doc's window so the
+      // append-mode aggregation finalizes them (the sentinels stay pending)
+      mem.addData((98L, ts("2025-01-03 00:00:00"), "late flush sentinel row"))
+      q.processAllAvailable()
+      mem.addData((99L, ts("2025-01-04 00:00:00"), "later flush sentinel row"))
+      q.processAllAvailable()
+      // sentinel 98's window is itself finalized once 99 advances the
+      // watermark; compare only the scenario docs
+      val streamIds = s.sql("SELECT doc_id FROM neardup_increment")
+        .as[Long].collect().toSet.filter(_ < 90L)
+      // expected survivors from the BATCH formulation on the same rows:
+      // first occurrence per minhash signature, minus stored-index matches
+      val static = ndDocs.toDF("doc_id", "ts", "text")
+      val matched = Dedup.minhashLshIncrementIndexed(static, bands, sets,
+          "doc_id", "text", ndK, ndRpb, ndThreshold)
+        .select("id_new").distinct().as[Long].collect().toSet
+      val firstPerSig = static
+        .select($"doc_id", md5(concat_ws(",",
+          Dedup.minhashSigCols($"text", ndK).map(_.cast("string")): _*)).as("sig"))
+        .groupBy("sig").agg(min("doc_id").as("doc_id"))
+        .select("doc_id").as[Long].collect().toSet
+      val expected = firstPerSig -- matched
+      assert(streamIds == expected, s"stream $streamIds != batch $expected")
+      // sanity on the scenario itself: the exact corpus dup (1) and the
+      // in-stream signature dup (4) are dropped, the fresh docs survive
+      assert(!streamIds.contains(1L) && !streamIds.contains(4L))
+      assert(streamIds.contains(3L) && streamIds.contains(5L))
+    } finally q.stop()
+  }
 }
