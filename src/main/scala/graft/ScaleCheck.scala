@@ -203,6 +203,37 @@ object ScaleCheck {
         Dedup.connectedComponents(chainPairs(d), maxIter = 64)),
       "components_prop" -> (d =>
         Dedup.connectedComponentsPropagation(chainPairs(d), maxIter = 64)),
+      // IVF search at 10x corpus: build (kmeans on a hash sample + ONE
+      // broadcast-centroid assignment scan) then probe nProbe/nLists of the
+      // index for a fixed query set. The assignment expression is constant-
+      // sized in nLists (broadcast join, not plan literals), so the ratio
+      // measures pure data scaling of the assignment scan + pruned probe.
+      "ivf_search" -> { d =>
+        val emb = Tables.embeddings(spark, d)
+        val idx = graft.operators.Similarity.buildIvf(emb, nLists = 16, seed = 42L)
+        graft.operators.Similarity.searchIvf(idx,
+          emb.filter(col("vec_id") % 1000L === 0L), k = 10, nProbe = 2)
+      },
+      // loader boundaries: (shard, bin)-bounded window + collect — one
+      // shuffle on the grouping key, arrays budget-bounded
+      "pack_loader" -> { d =>
+        val docs = Tables.documents(spark, d)
+          .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        graft.operators.Packing.loaderBoundaries(
+          graft.operators.Packing.packBins(docs, "doc_id", col("n_tokens"),
+            budgetTokens = 2048L, shards = 32),
+          "doc_id", col("n_tokens"))
+      },
+      // per-row minhash signature (the streaming probe kernel): pure
+      // scan-stage array folds with the fingerprint staged once per row —
+      // expect ~1x on idle cores like text_stats
+      "sig_row" -> (d => Dedup.withMinhashSigCols(
+        Tables.documents(spark, d).select(col("doc_id"), col("text")),
+        col("text"), 32, shingleSet).drop("text")),
+      // temperature mixture: one count agg + broadcast rate join + scan
+      // filter — the same single-shuffle shape as daily_rollup
+      "temp_sample" -> (d => graft.operators.Sampling.temperatureSample(
+        Tables.documents(spark, d), col("doc_id"), "source", temperature = 2.0)),
       // chart pipeline from raw rows: synthetic daily frame (lineitem rolled
       // up by ship date) through the chart-series derivation. |days| is fixed
       // under replication — what grows is rows-per-day into the rollup, which

@@ -171,7 +171,7 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
   }
 
-  /** Per-ROW minhash signature columns h0..h{k-1} — the stateless twin of
+  /** Per-ROW minhash signature h0..h{k-1} — the stateless twin of
     * [[minhashSig]]: the same (a*x + b) mod P permutation minima, computed
     * as array folds over the row's own token set instead of a min-groupBy
     * over the exploded token index. Zero shuffles and zero state, so it
@@ -182,16 +182,29 @@ object Dedup {
     * null minima here; its bands hash a constant that can only collide
     * with other empty docs, and exact-Jaccard verification (null on empty
     * sets) then rejects the pair — so both formulations produce the same
-    * verified PAIRS. */
-  def minhashSigCols(textCol: Column, k: Int,
-                     tokens: Column => Column = TextFunctions.tokenSet): Seq[Column] = {
+    * verified PAIRS.
+    *
+    * The token fingerprints are STAGED in their own projection (one md5
+    * per token), and only the cheap (a*x + b) mod P folds repeat per
+    * permutation. Inlining the fingerprint into each permutation lambda
+    * instead costs k md5s per token — measured 40x slower at k = 32
+    * (ScaleCheck sig_row, SCALE.md r12) — and the two projections stay
+    * separate precisely because CollapseProject refuses to duplicate a
+    * non-cheap alias referenced k times. */
+  def withMinhashSigCols(df: DataFrame, textCol: Column, k: Int,
+                         tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
     require(k <= HashParams.length, s"k <= ${HashParams.length}")
-    val toks = tokens(textCol)
-    (0 until k).map { i =>
+    val taken = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val fpsCol = Iterator.from(0).map(i => s"__graft_fps_$i")
+      .find(n => !taken.contains(n)).get
+    val sigs = (0 until k).map { i =>
       val (a, b) = HashParams(i)
-      array_min(transform(toks,
-        t => pmod(lit(a) * tokenFingerprint(t) + lit(b), lit(HashPrime)))).as(s"h$i")
+      array_min(transform(col(fpsCol),
+        x => pmod(lit(a) * x + lit(b), lit(HashPrime)))).as(s"h$i")
     }
+    df.withColumn(fpsCol, transform(tokens(textCol), t => tokenFingerprint(t)))
+      .select(col("*") +: sigs: _*)
+      .drop(fpsCol)
   }
 
   /** The banding expression shared by [[minhashBands]] and the streaming

@@ -90,4 +90,42 @@ object Sampling {
     }
     df.filter(hashBucket(key, 100, salt) < rateCol)
   }
+
+  /** Temperature-rebalanced per-source keep rates — the multi-source /
+    * multilingual resampling rule (mBERT/XLM-R style: target share of
+    * source s ∝ (n_s)^(1/T)): with alpha = 1/T, the maximal downsampling-
+    * only realization of the rebalanced distribution keeps source s at
+    * rate_pct = 100 * n_s^(alpha-1) / max_u(n_u^(alpha-1)) — the smallest
+    * source keeps 100 % and heavier sources are cut toward the flattened
+    * share. T = 1 keeps everything (proportional is a no-op), T > 1
+    * flattens toward uniform, T < 1 sharpens the head (then the LARGEST
+    * source keeps 100 %).
+    *
+    * Scale shape: one count aggregation over the corpus; the max reduces
+    * the per-source frame (|sources|, tiny) via a 1-row broadcast scalar —
+    * never a corpus-scaled window. Output: (source, n_docs, rate_pct). */
+  def temperatureRates(df: DataFrame, sourceCol: String,
+                       temperature: Double): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    val a = 1.0 / temperature
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_docs"))
+    val weight = pow(col("n_docs").cast("double"), lit(a - 1.0))
+    val m = counts.agg(max(weight).as("__max_w"))
+    counts.crossJoin(broadcast(m))
+      .withColumn("rate_pct", weight / col("__max_w") * 100.0)
+      .drop("__max_w")
+  }
+
+  /** Apply [[temperatureRates]] as a deterministic hash sample: each row's
+    * keep decision is a pure function of (key, salt, its source's rate), so
+    * the mixture is reproducible across runs and cluster sizes. The rate
+    * frame is per-source (tiny) and broadcast back onto the corpus. */
+  def temperatureSample(df: DataFrame, key: Column, sourceCol: String,
+                        temperature: Double, salt: String = ""): DataFrame = {
+    val rates = temperatureRates(df, sourceCol, temperature)
+      .select(col(sourceCol), col("rate_pct"))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(hashBucket(key, 100, salt) < col("rate_pct"))
+      .drop("rate_pct")
+  }
 }

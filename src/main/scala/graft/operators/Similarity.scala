@@ -209,6 +209,36 @@ object Similarity {
     index.copy(assigned = a)
   }
 
+  /** TWO-STAGE search — the standard compressed-index serving pattern
+    * (FAISS's IVF+refine): a cheap first stage over the (typically
+    * [[quantizeIvf]]-compressed) index proposes `kCandidates` per query,
+    * then only those candidates are re-scored against the FULL-precision
+    * `corpus` vectors and the top `k` re-ranked exactly. Buys back the
+    * quantization ranking error while touching k'/|corpus| of the raw
+    * store per query.
+    *
+    * Scale shape: the candidate frame is |queries| x kCandidates rows —
+    * tiny — so BOTH rerank joins broadcast it against the corpus scan; the
+    * raw store is read once, pruned by the broadcast hash join, and the
+    * final window ranks |queries| x kCandidates rows. The expensive
+    * full-vector store is never shuffled. */
+  def searchIvfRerank(index: IvfIndex, corpus: DataFrame, queries: DataFrame,
+                      k: Int, kCandidates: Int, nProbe: Int): DataFrame = {
+    require(kCandidates >= k, "kCandidates must be >= k")
+    val cand = searchIvf(index, queries, kCandidates, nProbe)
+      .select(col("query_id"), col("nbr_id"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+    val c = Parallelism.fanOut(
+      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
+    val rescored = c.join(broadcast(cand), Seq("nbr_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Convenience: build + search in one call. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame =
@@ -303,6 +333,29 @@ object Similarity {
       if (index.assigned.columns.contains("codes")) quantizeIvf(fresh).assigned
       else fresh.assigned
     shaped.write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
+  /** Compact an appended index layout: every [[appendIvf]] (or streaming
+    * [[graft.streaming.StreamingOps.ivfIngest]] micro-batch) adds files
+    * under the cells it touches, so a long-lived index accumulates many
+    * small files per cell — the classic streaming-ingest small-file
+    * problem, paid by every later probe as open/seek overhead. Compaction
+    * rewrites `dir/assigned` with one file per cell partition (coalesced
+    * inside each cell by the partitioned writer; rows unchanged — asserted
+    * in SimilaritySpec) via a temp-dir swap, since a partitioned overwrite
+    * cannot read its own input. Centroids are untouched. Run it on the
+    * cadence appends dictate; readers pick the compacted layout up on
+    * their next [[loadIvf]]. */
+  def compactIvf(spark: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/assigned__compacting"
+    spark.read.parquet(s"$dir/assigned")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/assigned")
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH

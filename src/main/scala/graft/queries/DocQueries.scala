@@ -601,6 +601,63 @@ object DocQueries {
     // ---- Repetition quality signals (Gopher/C4-style): duplicate-line
     //      fraction and duplicated word-2-gram fraction — the boilerplate /
     //      loop detectors a pretraining cleaner runs beside qualityScore.
+    // ---- Mixture capstone (round 12): the data-recipe chain end to end —
+    //      temperature-rebalanced source mixture (T=2 downsample toward
+    //      flattened shares) -> per-source TOKEN budget (3000 tokens) ->
+    //      packed training bins (512-token budget) -> per-source layout
+    //      summary (docs kept, tokens, bins touched). Every stage is
+    //      individually oracle-proven; this gate proves the composition.
+    "q_pipeline_mixture" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, Packing, Sampling}
+        // same head-heavy source fold as q_sample_temperature, so the
+        // mixture stage genuinely downsamples (uniform sources would pass
+        // everything through)
+        val docs = Tables.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) < 2, lit("mega"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit("mid"))
+            .otherwise(col("source")).as("source"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        val mixed = Sampling.temperatureSample(docs, col("doc_id"), "source",
+          temperature = 2.0, salt = ":mx1")
+        val capped = Curation.capTokensPerKey(mixed, col("source"),
+          col("n_tokens"), budget = 3000L, order = Seq(col("doc_id")),
+          idCol = col("doc_id"))
+        Packing.packBins(capped, "doc_id", col("n_tokens"),
+            budgetTokens = 512L, shards = 8)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            countDistinct(col("shard") * lit(100000L) + col("bin")).as("n_bins"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 < 2 THEN 'mega'
+        |       WHEN doc_id % 4 = 2 THEN 'mid' ELSE source END AS source,
+        |  CAST(len($ToksSql) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM t GROUP BY 1),
+        |r AS (SELECT source,
+        |  pow(CAST(n AS DOUBLE), CAST(-0.5 AS DOUBLE))
+        |    / max(pow(CAST(n AS DOUBLE), CAST(-0.5 AS DOUBLE))) OVER ()
+        |    * CAST(100.0 AS DOUBLE) AS rate_pct FROM c),
+        |k AS (SELECT t.* FROM t JOIN r USING (source)
+        |  WHERE ${fp60Sql("CAST(doc_id AS VARCHAR) || ':mx1'")} % 100 < rate_pct),
+        |cap AS (SELECT doc_id, source, n_tokens FROM (
+        |  SELECT doc_id, source, n_tokens, sum(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM k) WHERE cum - n_tokens < 3000),
+        |p AS (SELECT doc_id, source, n_tokens,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM cap),
+        |b AS (SELECT source, n_tokens, shard,
+        |  CAST(floor(CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) / 512.0) AS BIGINT) AS bin
+        |  FROM p)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(count(DISTINCT shard * 100000 + bin) AS BIGINT) AS n_bins
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Curation capstone v2: the round-11 operator chain end to end —
     //      quality/lang gates -> exact-dedup keeper -> cross-document
     //      SPAN-CUT rewrite (k=8 boilerplate strip over the kept corpus) ->
@@ -1241,6 +1298,47 @@ object DocQueries {
         | min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM k WHERE b < quality * 100 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Temperature-rebalanced source mixture: keep rates ∝ n^(1/T - 1)
+    //      normalized so the smallest source keeps 100% (downsampling-only
+    //      realization of the (n_s)^(1/T) target shares at T=2). Counts per
+    //      source are the compared contract; the rate itself stays out of
+    //      the row (pow last-ulp differences between engines would fail an
+    //      exact double compare, while a bucket-boundary flip needs a rate
+    //      within 1 ulp of an integer — not a realizable corpus).
+    "q_sample_temperature" -> Q(
+      (s, d) => {
+        import graft.operators.Sampling
+        // the synthetic sources are uniform, which would make every rate
+        // 100% and the gate vacuous — fold them into a head-heavy mixture
+        // (half "mega", a quarter "mid", the tail the real sources) so the
+        // temperature cut actually fires
+        val skewed = Tables.documents(s, d).select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) < 2, lit("mega"))
+            .when(pmod(col("doc_id"), lit(4)) === 2, lit("mid"))
+            .otherwise(col("source")).as("source"))
+        Sampling.temperatureSample(skewed,
+            col("doc_id"), "source", temperature = 2.0, salt = ":tmp1")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+          .orderBy("source")
+      },
+      Some(s"""WITH s0 AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 < 2 THEN 'mega'
+        |       WHEN doc_id % 4 = 2 THEN 'mid' ELSE source END AS source
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM s0 GROUP BY 1),
+        |r AS (SELECT source,
+        |  pow(CAST(n AS DOUBLE), CAST(-0.5 AS DOUBLE))
+        |    / max(pow(CAST(n AS DOUBLE), CAST(-0.5 AS DOUBLE))) OVER ()
+        |    * CAST(100.0 AS DOUBLE) AS rate_pct FROM c),
+        |k AS (SELECT d.doc_id, d.source, r.rate_pct,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':tmp1'")} % 100 AS b
+        |  FROM s0 d JOIN r USING (source))
+        |SELECT source, count(*) AS n_kept,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM k WHERE b < rate_pct GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Leakage-free group split: the bucket is hashed from the dedup
     //      GROUP key (content hash) instead of the row id, so exact
     //      duplicates can never straddle train/valid/test — the split
@@ -1640,6 +1738,42 @@ object DocQueries {
           .orderBy("query_id", "rank")
       },
       Some(QuantTopKSql)),
+
+    // Two-stage search: quantized-IVF candidates (top-20 at nProbe = nLists,
+    // so the candidate set is exactly quantized brute-force top-20) re-ranked
+    // by exact full-precision cosine — FAISS-style IVF+refine. The oracle
+    // mirrors both stages; final scores are the EXACT cosines.
+    "q_sim_topk_rerank" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.searchIvfRerank(
+            Similarity.quantizeIvf(Similarity.sharedIvf(emb, corpusKey = d, nLists = 16)),
+            emb, emb.filter(col("vec_id") < 8),
+            k = 10, kCandidates = 20, nProbe = 16)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, v,
+        |  CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0.0
+        |   THEN CAST(127.0 AS DOUBLE) / list_max(list_transform(v, x -> abs(x)))
+        |   ELSE CAST(1.0 AS DOUBLE) END AS scale FROM e),
+        |dq AS (SELECT vec_id AS nbr_id,
+        |  list_transform(v, x -> CAST(CAST(round(x * scale) AS TINYINT) AS DOUBLE) / scale) AS nbr_v
+        |  FROM sc),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |qs AS (SELECT query_id, nbr_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ${cosSql("qv", "nbr_v")} DESC, nbr_id) AS qrank
+        |  FROM dq CROSS JOIN q WHERE nbr_id != query_id),
+        |cand AS (SELECT query_id, nbr_id FROM qs WHERE qrank <= 20),
+        |re AS (SELECT c.query_id, c.nbr_id,
+        |  ${cosSql("q.qv", "n.v")} AS cosine
+        |  FROM cand c JOIN e n ON n.vec_id = c.nbr_id
+        |  JOIN q ON q.query_id = c.query_id)
+        |SELECT query_id, nbr_id, cosine,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+        |FROM re QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // IVF with nProbe = nLists probes every cell, so it is exact search by
     // construction — hash-matched against the same brute-force oracle. This

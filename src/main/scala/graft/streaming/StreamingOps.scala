@@ -163,7 +163,7 @@ object StreamingOps {
     * columns; callers drop matched ids or route them to a quarantine sink.
     *
     * ENTIRELY STATELESS: signatures are per-row array folds
-    * ([[graft.operators.Dedup.minhashSigCols]] — the groupBy formulation
+    * ([[graft.operators.Dedup.withMinhashSigCols]] — the groupBy formulation
     * batch uses would be a stateful aggregation here), banding is a
     * bounded explode (k/rowsPerBand rows per doc), and both probes are
     * stream-static equi-joins, re-resolved per micro-batch — so per-batch
@@ -178,9 +178,10 @@ object StreamingOps {
                            idCol: String, textCol: String,
                            k: Int, rowsPerBand: Int, threshold: Double,
                            tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
-    val sig = docs.select(
-      col(idCol).as("id_new") +: tokens(col(textCol)).as("toks_new") +:
-        Dedup.minhashSigCols(col(textCol), k, tokens): _*)
+    val sig = Dedup.withMinhashSigCols(
+      docs.select(col(idCol).as("id_new"),
+        tokens(col(textCol)).as("toks_new"), col(textCol)),
+      col(textCol), k, tokens).drop(textCol)
     val banded = sig
       .select(col("id_new"), col("toks_new"),
         explode(Dedup.bandStructs(k, rowsPerBand)).as("e"))
@@ -229,10 +230,10 @@ object StreamingOps {
                              watermark: String = "1 day",
                              tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
     val sigCols = (0 until k).map(i => col(s"h$i"))
-    val deduped = docs
-      .select(col(idCol) +: col(tsCol) +: col(textCol) +:
-        tokens(col(textCol)).as("__toks") +:
-        Dedup.minhashSigCols(col(textCol), k, tokens): _*)
+    val deduped = Dedup.withMinhashSigCols(
+        docs.select(col(idCol), col(tsCol), col(textCol),
+          tokens(col(textCol)).as("__toks")),
+        col(textCol), k, tokens)
       .withColumn("__sig_hash", md5(concat_ws(",", sigCols.map(_.cast("string")): _*)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__sig_hash")
@@ -263,6 +264,29 @@ object StreamingOps {
       .filter(!col("__matched"))
       .select(col(idCol), col("__ts").as(tsCol), col("__text").as(textCol))
   }
+
+  /** Streaming ANN index ingest — the live twin of
+    * [[graft.operators.Similarity.appendIvf]], completing the
+    * build-once/ingest-forever lifecycle: each micro-batch of
+    * (vec_id, embedding) rows is assigned under the index's FROZEN
+    * centroids (the quantizer never retrains on ingest — retraining would
+    * re-cell the whole corpus) and appended to the cell-partitioned layout
+    * at `dir`, touching only the cells the batch lands in. Per-batch cost
+    * scales with the batch; searchers pick up appended rows on their next
+    * `loadIvf`. foreachBatch is the right seam because the sink is a
+    * partitioned-append parquet write driven by a batch assignment join —
+    * not a row-at-a-time sink — and appendIvf is idempotent per batch
+    * content, not per delivery: a replayed micro-batch appends duplicate
+    * rows, so exactly-once deployments dedup on vec_id at read or compact
+    * periodically (noted, not hidden). */
+  def ivfIngest(docs: DataFrame, index: graft.operators.Similarity.IvfIndex,
+                dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.appendIvf(index, batch.toDF(), dir)
+      }
 
   /** Streaming curation pass — the scan-stage curation suite (quality score,
     * language id, PII redaction, deterministic train/valid/test split)

@@ -466,6 +466,35 @@ class OperatorsSpec extends SparkSpec {
     assert(overlap < s1, "salted samples should not coincide")
   }
 
+  test("temperature mixture: T=1 keeps all, T>1 flattens, smallest source at 100%") {
+    import graft.operators.Sampling
+    // sources with 400 / 100 / 25 docs — a 16:4:1 head-heavy mixture
+    val docs = ((1 to 400).map(i => (i.toLong, "web")) ++
+      (401 to 500).map(i => (i.toLong, "books")) ++
+      (501 to 525).map(i => (i.toLong, "code"))).toDF("doc_id", "source")
+    def rates(t: Double): Map[String, Double] =
+      Sampling.temperatureRates(docs, "source", t).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("rate_pct")).toMap
+    // T = 1: proportional sampling is a no-op — every source keeps 100%
+    assert(rates(1.0).values.forall(v => math.abs(v - 100.0) < 1e-9))
+    // T = 2 (alpha = .5): rate ∝ 1/sqrt(n) — smallest keeps 100%, web keeps
+    // sqrt(25/400) = 25%, books sqrt(25/100) = 50%
+    val r2 = rates(2.0)
+    assert(math.abs(r2("code") - 100.0) < 1e-9)
+    assert(math.abs(r2("web") - 25.0) < 1e-9 && math.abs(r2("books") - 50.0) < 1e-9)
+    // flattening is monotone in T: higher temperature cuts the head harder
+    // (T=4: 16^(-0.75) = 12.5% < 25%)
+    assert(rates(4.0)("web") < r2("web"))
+    // the sample realizes the rates deterministically and only ever drops
+    val kept = Sampling.temperatureSample(docs, col("doc_id"), "source", 2.0, ":t")
+    val counts = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("code") == 25L) // 100% rate keeps every row
+    assert(counts("web") < 400L && counts("books") < 100L)
+    val again = Sampling.temperatureSample(docs, col("doc_id"), "source", 2.0, ":t")
+    assert(kept.orderBy("doc_id").collect().toSeq == again.orderBy("doc_id").collect().toSeq)
+  }
+
   test("group split is leakage-free: no group ever straddles two splits") {
     import graft.operators.Sampling
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
@@ -532,8 +561,8 @@ class OperatorsSpec extends SparkSpec {
     val k = 32
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01").limit(200)
     val grouped = Dedup.minhashSig(docs, "doc_id", "text", k)
-    val perRow = docs.select(
-      (col("doc_id") +: Dedup.minhashSigCols(col("text"), k)): _*)
+    val perRow = Dedup.withMinhashSigCols(
+      docs.select(col("doc_id"), col("text")), col("text"), k).drop("text")
     // the stateless (streaming-safe) array-fold signature must be value-
     // identical to the batch groupBy-min signature for every doc with tokens
     val joined = grouped.as("g").join(perRow.as("r"), "doc_id")

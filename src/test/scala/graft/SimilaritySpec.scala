@@ -187,6 +187,98 @@ class SimilaritySpec extends SparkSpec {
     } finally built.assigned.unpersist()
   }
 
+  test("two-stage rerank recovers exact ranking once candidates cover the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val built = Similarity.buildIvf(emb, nLists = 16, seed = 42L)
+    val qidx = Similarity.quantizeIvf(built)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("query_id", "nbr_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      // candidates = whole corpus (kCandidates = |corpus|, every cell
+      // probed): the exact re-rank IS exact brute force, scores included
+      val full = ids(Similarity.searchIvfRerank(qidx, emb, queries,
+        k = 10, kCandidates = 500, nProbe = 16))
+      val exact = ids(Similarity.bruteForceTopK(emb, queries, k = 10))
+      assert(full == exact)
+      // narrow candidates: re-ranking quantized top-20 by exact cosine
+      // must not lose recall vs serving the quantized ranking directly
+      def recall(got: Set[(Long, Long)]): Double = {
+        val want = exact.map(t => (t._1, t._2))
+        (got intersect want).size.toDouble / want.size
+      }
+      val rr = ids(Similarity.searchIvfRerank(qidx, emb, queries,
+        k = 10, kCandidates = 20, nProbe = 16)).map(t => (t._1, t._2))
+      val quant = ids(Similarity.bruteForceTopKQuantized(emb, queries, k = 10))
+        .map(t => (t._1, t._2))
+      assert(recall(rr) >= recall(quant))
+      assert(recall(rr) >= 0.9, s"rerank recall ${recall(rr)}")
+    } finally built.assigned.unpersist()
+  }
+
+  test("compaction rewrites an appended layout to one file per cell, rows unchanged") {
+    val emb = Tables.embeddings(spark, sf)
+    val built = Similarity.buildIvf(emb.filter(col("vec_id") < 400), nLists = 8, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_c").toString
+    try {
+      Similarity.saveIvf(built, dir)
+      Similarity.appendIvf(built, emb.filter(col("vec_id") >= 400 && col("vec_id") < 430), dir)
+      Similarity.appendIvf(built, emb.filter(col("vec_id") >= 430 && col("vec_id") < 460), dir)
+      def parquetsPerCell: Map[String, Int] =
+        new java.io.File(s"$dir/assigned").listFiles()
+          .filter(_.getName.startsWith("cell=")).map { d =>
+            d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+          }.toMap
+      val before = Similarity.loadIvf(spark, dir).assigned
+        .select("nbr_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(parquetsPerCell.values.exists(_ > 1), "appends should fragment cells")
+      Similarity.compactIvf(spark, dir)
+      assert(parquetsPerCell.values.forall(_ == 1), s"not compacted: $parquetsPerCell")
+      val after = Similarity.loadIvf(spark, dir).assigned
+        .select("nbr_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(after == before)
+    } finally {
+      built.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("quantized index rides save/load/append in its codes shape") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 450)
+    val batch = emb.filter(col("vec_id") >= 450 && col("vec_id") < 470)
+    val built = Similarity.buildIvf(base, nLists = 8, seed = 42L)
+    val qidx = Similarity.quantizeIvf(built)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+    try {
+      Similarity.saveIvf(qidx, dir)
+      Similarity.appendIvf(qidx, batch, dir)
+      val loaded = Similarity.loadIvf(spark, dir)
+      // the stored layout stays homogeneous int8: codes + scale, no raw vecs
+      assert(loaded.assigned.columns.toSet == Set("nbr_id", "codes", "scale", "cell"))
+      // loaded quantized search == in-memory quantized search over the union
+      val queries = emb.filter(col("vec_id") < 4)
+      val fresh = Similarity.quantizeIvf(
+        Similarity.IvfIndex(
+          Similarity.assignCells(
+            base.unionByName(batch)
+              .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")),
+            built.centroids),
+          built.centroids))
+      val a = Similarity.searchIvf(loaded, queries, k = 5, nProbe = 8)
+        .select("query_id", "nbr_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = Similarity.searchIvf(fresh, queries, k = 5, nProbe = 8)
+        .select("query_id", "nbr_id", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b && a.nonEmpty)
+    } finally {
+      built.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("hyperplane sign buckets stay balanced on the sf0.01 embeddings") {
     import graft.functions.VectorFunctions
     val emb = Tables.embeddings(spark, sf)

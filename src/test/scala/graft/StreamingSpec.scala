@@ -264,9 +264,9 @@ class StreamingSpec extends SparkSpec {
       val matched = Dedup.minhashLshIncrementIndexed(static, bands, sets,
           "doc_id", "text", ndK, ndRpb, ndThreshold)
         .select("id_new").distinct().as[Long].collect().toSet
-      val firstPerSig = static
+      val firstPerSig = Dedup.withMinhashSigCols(static, $"text", ndK)
         .select($"doc_id", md5(concat_ws(",",
-          Dedup.minhashSigCols($"text", ndK).map(_.cast("string")): _*)).as("sig"))
+          (0 until ndK).map(i => col(s"h$i").cast("string")): _*)).as("sig"))
         .groupBy("sig").agg(min("doc_id").as("doc_id"))
         .select("doc_id").as[Long].collect().toSet
       val expected = firstPerSig -- matched
@@ -276,5 +276,46 @@ class StreamingSpec extends SparkSpec {
       assert(!streamIds.contains(1L) && !streamIds.contains(4L))
       assert(streamIds.contains(3L) && streamIds.contains(5L))
     } finally q.stop()
+  }
+
+  test("streaming IVF ingest appends micro-batches under frozen centroids") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Similarity
+    val emb = graft.core.Tables.embeddings(s, "/root/testdata/sf0.01")
+    val base = emb.filter(col("vec_id") < 400)
+    val built = Similarity.buildIvf(base, nLists = 8, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString
+    try {
+      Similarity.saveIvf(built, dir)
+      val rows = emb.filter(col("vec_id") >= 400 && col("vec_id") < 440)
+        .select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect()
+      val mem = MemoryStream[(Long, Array[Float])]
+      val docs = mem.toDF().toDF("vec_id", "embedding")
+      val q = StreamingOps.ivfIngest(docs, built, dir).start()
+      try {
+        mem.addData(rows.take(20).toIndexedSeq: _*)
+        q.processAllAvailable()
+        mem.addData(rows.drop(20).toIndexedSeq: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      // ingested index == a fresh assignment of the union under the same
+      // centroids — streaming delivery changes nothing about the layout
+      val loaded = Similarity.loadIvf(s, dir)
+      val got = loaded.assigned.select("nbr_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val want = Similarity.assignCells(
+          emb.filter(col("vec_id") < 440)
+            .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")),
+          built.centroids)
+        .select("nbr_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == want)
+    } finally {
+      built.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 }
