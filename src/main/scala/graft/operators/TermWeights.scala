@@ -62,4 +62,23 @@ object TermWeights {
       .filter(col("rank") <= k)
       .select("doc_id", "tok", "tf", "df", "tf_idf", "rank")
   }
+
+  /** Corpus-wide top-k word n-grams by occurrence count — the vocabulary-
+    * induction primitive (wordpiece/BPE seeding, stopword discovery,
+    * boilerplate n-gram lists all start from this frequency table). Every
+    * OCCURRENCE counts (positional shingles, not per-doc distinct); ties
+    * break lexicographically for a total output order.
+    *
+    * Scale shape: the count is a partial-aggregable groupBy — map-side
+    * combine collapses each task's zipfian head before the ONE shuffle on
+    * the n-gram — and the global top-k compiles to TakeOrderedAndProject
+    * (pinned in PlanSpec): each partition ships only its local top-k to a
+    * driver-side k-row heap, never a sort of the whole vocabulary. The
+    * driver holds k rows — a parameter, not a corpus scale. */
+  def ngramTopK(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    Parallelism.fanOut(docs.select(col(textCol)))
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col("ngram"))
+      .limit(k)
 }

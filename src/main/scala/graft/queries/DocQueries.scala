@@ -1270,6 +1270,17 @@ object DocQueries {
         |SELECT doc_id, tok, tf, df, tf_idf, rank
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
 
+    // ---- Vocabulary induction: corpus-wide top-50 word bigrams by
+    //      occurrence count (partial-agg groupBy + TakeOrderedAndProject —
+    //      PlanSpec pins that the global top-k never sorts the vocabulary).
+    "q_text_ngram_topk" -> Q(
+      (s, d) => graft.operators.TermWeights.ngramTopK(
+        Tables.documents(s, d), "text", n = 2, k = 50),
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |g AS (SELECT unnest(${spanShinglesSql(2)}) AS ngram FROM t)
+        |SELECT ngram, count(*) AS n_occurrences FROM g
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 50""".stripMargin)),
+
     // ---- Quality-weighted sampling: keep probability proportional to the
     //      document's quality score (hash bucket < quality*100) — the
     //      numeric generalization of the stratified gate; membership stays

@@ -227,4 +227,49 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("DeserializeToObject"),
       s"decode stub forces object serialization:\n$plan")
   }
+
+  test("vocab top-k is a partial agg + TakeOrdered, never a vocabulary sort") {
+    val plan = planOf(graft.operators.TermWeights.ngramTopK(
+      Tables.documents(spark, sf), "text", n = 2, k = 50))
+    // global top-k must compile to TakeOrderedAndProject (per-partition
+    // k-row heaps -> driver merge of k rows), not a global Sort: sorting
+    // the whole n-gram vocabulary shuffles corpus-scaled rows for k outputs
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k not TakeOrdered:\n$plan")
+    assert(!"(?m)^\\s*\\+?-?\\s*Sort ".r.findAllIn(plan).hasNext,
+      s"vocabulary globally sorted:\n$plan")
+    // the count must partial-aggregate map-side before its one shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation before the n-gram shuffle:\n$plan")
+  }
+
+  test("temperature mixture broadcasts rates; the corpus is never windowed or shuffled") {
+    val plan = planOf(graft.operators.Sampling.temperatureSample(
+      Tables.documents(spark, sf), col("doc_id"), "source", temperature = 2.0))
+    // the per-source rate frame joins back by BROADCAST (it is |sources|
+    // rows); a shuffle join here would hash-partition the whole corpus to
+    // attach one double per row
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus shuffled to pick up rates:\n$plan")
+    // the normalizing max is a 1-row broadcast scalar, not a window over
+    // the source key
+    assert(!plan.contains("Window"),
+      s"rate normalizer computed by window:\n$plan")
+  }
+
+  test("two-stage rerank broadcasts candidates onto one raw-store scan") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val idx = Similarity.sharedIvf(emb, corpusKey = "plan-rerank", nLists = 16)
+    val plan = planOf(Similarity.searchIvfRerank(
+      Similarity.quantizeIvf(idx), emb, emb.filter(col("vec_id") < 4),
+      k = 5, kCandidates = 10, nProbe = 16))
+    // the candidate and query frames broadcast onto the corpus scan — the
+    // full-precision store must never be shuffled for a rerank
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"rerank joins not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"raw store shuffled for rerank:\n$plan")
+  }
 }
