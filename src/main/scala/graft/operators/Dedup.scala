@@ -465,6 +465,65 @@ object Dedup {
       .distinct()
   }
 
+  /** INCREMENTAL connected components — fold a batch of NEW edges into an
+    * existing labeling without recomputing the graph: the clustering twin
+    * of [[exactIncrement]]/[[minhashLshIncrementIndexed]] (whose matched
+    * pairs are exactly such edge batches), completing the incremental
+    * near-dup chain.
+    *
+    * `labels` is a prior (id, comp) labeling — e.g. a persisted
+    * [[connectedComponents]] output; `newEdges` is the increment
+    * (id_a, id_b), mixing known and unseen ids freely. Because every
+    * existing label IS the min id of its component, collapsing components
+    * to their labels loses nothing: both endpoints of every new edge
+    * project onto label space (unseen ids stay themselves), the star
+    * alternation runs on that PROJECTED graph — bounded by the increment,
+    * never the corpus — and the merged minima are the true minima over the
+    * union's original ids. Untouched components keep their labels.
+    *
+    * Scale shape (100 TB corpus, bounded increment): the corpus-scaled
+    * `labels` frame is only ever SCANNED — once to look up touched
+    * endpoints (inner join against the broadcast edge-id set) and once for
+    * the final relabel (left-outer against the broadcast merge mapping);
+    * zero corpus shuffles and zero corpus-sized loop state. A corpus-sized
+    * "increment" is a rebuild — use [[connectedComponents]].
+    *
+    * Output: (id, comp, is_keeper) for every id in `labels` plus every id
+    * in `newEdges` — the [[connectedComponents]] contract. Isolated NEW
+    * documents (no edges) are their own components by definition; union
+    * them as (id, id) if the output must list them. */
+  def componentsIncrement(labels: DataFrame, newEdges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val l = labels.select(col("id"), col("comp"))
+    val edges = newEdges.select(col("id_a"), col("id_b"))
+    val ids = edges.select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id"))).distinct()
+    // touched endpoints' prior labels: ONE corpus scan, increment-bounded out
+    val touched = l.join(broadcast(ids), Seq("id"))
+    val projected = edges
+      .join(broadcast(touched.select(col("id").as("id_a"), col("comp").as("ca"))),
+        Seq("id_a"), "left_outer")
+      .join(broadcast(touched.select(col("id").as("id_b"), col("comp").as("cb"))),
+        Seq("id_b"), "left_outer")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")) // intra-component edges are no-ops
+    // merged labeling of the projected (increment-bounded) graph
+    val merged = connectedComponents(projected, maxIter).select("id", "comp")
+    // endpoints with no prior label = genuinely new documents (derived from
+    // the already-bounded frames — never an anti-join against the corpus)
+    val newRows = ids.join(broadcast(touched.select("id")), Seq("id"), "left_anti")
+      .join(broadcast(merged), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    // a prior label is itself a NODE of the projected graph; components it
+    // did not touch fall through the coalesce unchanged
+    val mapping = merged.select(col("id").as("comp"), col("comp").as("__m"))
+    val oldRows = l.join(broadcast(mapping), Seq("comp"), "left_outer")
+      .select(col("id"), coalesce(col("__m"), col("comp")).as("comp"))
+    oldRows.unionByName(newRows)
+      .select(col("id"), col("comp"), (col("id") === col("comp")).as("is_keeper"))
+  }
+
   /** Min-label propagation components — the O(graph diameter) fallback kept
     * alongside [[connectedComponents]]: labels start as own id and each
     * iteration takes the min over neighbors. One join + one agg per round

@@ -1694,6 +1694,56 @@ object DocQueries {
         | FROM reach GROUP BY src)
         |SELECT id, comp, id = comp AS is_keeper FROM comp ORDER BY id""".stripMargin)),
 
+    // ---- INCREMENTAL components against the same oracle: the near-dup
+    //      pairs are hash-split ~80/20 into a "landed corpus" and an
+    //      "ingest batch"; the Spark side labels the base then folds the
+    //      increment in via componentsIncrement (projected increment graph,
+    //      zero corpus shuffles). Edge delivery order must not matter, so
+    //      the oracle is the SAME full-union recursive CTE the batch gate
+    //      uses — incremental ≡ batch, bit for bit.
+    "q_dedup_components_increment" -> Q(
+      (s, d) => {
+        // the pair frame feeds two branches (base labeling + increment);
+        // materialize it once or the whole jaccard pipeline runs twice
+        val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+            threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)
+          .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        val split = graft.operators.Sampling.hashBucket(
+          concat_ws(":", col("id_a"), col("id_b")), 100, "cinc") < 80
+        Dedup.componentsIncrement(
+            Dedup.connectedComponents(pairs.filter(split)),
+            pairs.filter(!split))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |sh AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+        |  WHERE df <= 100),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT c.id_a, c.id_b
+        | FROM common c
+        | JOIN sizes sa ON sa.doc_id = c.id_a
+        | JOIN sizes sb ON sb.doc_id = c.id_b
+        | WHERE CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common) >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+        | FROM reach GROUP BY src)
+        |SELECT id, comp, id = comp AS is_keeper FROM comp ORDER BY id""".stripMargin)),
+
     "q_dedup_embedding" -> Q(
       (s, d) => Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
           "embedding", threshold = 0.35, bucketBits = 8, dim = 64)

@@ -556,6 +556,41 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("incremental components equal a full recompute over the union") {
+    import graft.operators.Dedup
+    def lbl(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+      df.select("id", "comp", "is_keeper").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // base: chain {1,2,3}, pair {10,11}, pair {20,21}
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    // increment exercises every shape at once: (3,10) merges two existing
+    // components; (11,100)+(100,101) hangs a NEW chain off an old node
+    // (transitively joining the merged cluster); (200,201) is a fully new
+    // pair; (20,21) re-delivers a known intra-component edge (no-op)
+    val inc = Seq((3L, 10L), (11L, 100L), (100L, 101L), (200L, 201L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val incremental = lbl(Dedup.componentsIncrement(
+      Dedup.connectedComponents(base), inc))
+    val full = lbl(Dedup.connectedComponents(base.unionByName(inc)))
+    assert(incremental == full, s"inc $incremental != full $full")
+    // the merge really happened: everything from both old clusters and the
+    // new chain shares component 1
+    assert(incremental.filter(_._2 == 1L).map(_._1) ==
+      Set(1L, 2L, 3L, 10L, 11L, 100L, 101L))
+    // randomized: any base/increment split of a random graph agrees with
+    // the full recompute
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+    val (b, i) = pairs.partition(_ => rnd.nextBoolean())
+    val incR = lbl(Dedup.componentsIncrement(
+      Dedup.connectedComponents(b.toDF("id_a", "id_b")), i.toDF("id_a", "id_b")))
+    val fullR = lbl(Dedup.connectedComponents(pairs.toDF("id_a", "id_b")))
+    // the incremental output also covers base nodes whose edges were all
+    // re-delivered... both sides see every endpoint, so sets match exactly
+    assert(incR == fullR)
+  }
+
   test("per-row minhash signature equals the groupBy formulation on real docs") {
     import graft.operators.Dedup
     val k = 32
