@@ -228,6 +228,22 @@ class PlanSpec extends SparkSpec {
       s"decode stub forces object serialization:\n$plan")
   }
 
+  test("incremental components never shuffle the corpus label frame") {
+    import graft.operators.Dedup
+    // a "corpus" of labels with a small increment: the relabel join must
+    // broadcast the increment-sized mapping against a plain label scan —
+    // a sort-merge/shuffled-hash join here would hash-partition the whole
+    // corpus to apply a bounded increment
+    val labels = Tables.documents(spark, sf)
+      .select(col("doc_id").as("id"), (col("doc_id") % 10).as("comp"))
+    val inc = { import spark.implicits._; Seq((1L, 2L), (3L, 500L)).toDF("id_a", "id_b") }
+    val plan = planOf(Dedup.componentsIncrement(labels, inc))
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus labels sort-merge joined for an increment:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"increment mapping not broadcast:\n$plan")
+  }
+
   test("vocab top-k is a partial agg + TakeOrdered, never a vocabulary sort") {
     val plan = planOf(graft.operators.TermWeights.ngramTopK(
       Tables.documents(spark, sf), "text", n = 2, k = 50))
