@@ -163,6 +163,48 @@ object TextFunctions {
       .otherwise(0.0)
   }
 
+  /** Gopher-style structural quality signals (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A1.1 data filtering): cheap boilerplate
+    * detectors a pretraining cleaner runs beside [[qualityScore]]. All pure
+    * scan-stage ratios of integer counts — exactly mirrorable in oracle
+    * SQL with zero floating-point drift. */
+
+  /** (# of '#' characters + # of "..."/"…" ellipses) per word — Gopher's
+    * symbol-to-word ratio (cut above 0.1). */
+  def symbolWordRatio(text: Column): Column = {
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ell = size(regexp_extract_all(text, lit("\\.\\.\\.|…"), lit(0)))
+    val n = tokenCount(text)
+    when(n > 0, (hashes + ell).cast("double") / n).otherwise(0.0)
+  }
+
+  /** Fraction of non-empty lines starting with a bullet marker
+    * (Gopher cuts documents with > 90 % bullet lines). */
+  def bulletLineFraction(text: Column): Column =
+    lineFraction(text, l => trim(l).rlike("^[-*•]"))
+
+  /** Fraction of non-empty lines ending in an ellipsis (truncated
+    * previews / "read more" boilerplate; Gopher cuts > 30 %). */
+  def ellipsisLineFraction(text: Column): Column =
+    lineFraction(text, l => trim(l).rlike("(\\.\\.\\.|…)$"))
+
+  /** Fraction of words containing at least one ASCII letter (Gopher keeps
+    * documents with >= 80 % alphabetic words). */
+  def alphaWordFraction(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / size(toks))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of non-empty lines matching `p` (0.0 on empty docs). */
+  private def lineFraction(text: Column, p: Column => Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    when(size(lines) > 0,
+      size(filter(lines, p)).cast("double") / size(lines))
+      .otherwise(0.0)
+  }
+
   /** Duplicate-line REMOVAL (the C4-style cleaner the [[dupLineFraction]]
     * signal motivates): keep the first occurrence of every line, in order.
     * Built as a linear fold over the split lines — `when(contains(acc, l),

@@ -31,6 +31,21 @@ object Dedup {
       count(lit(1)).over(grp).as("dup_count"))
   }
 
+  /** Keeper POLICY over any clustering — exact groups, LSH clusters, or
+    * [[connectedComponents]] labels: within each cluster keep the row with
+    * the BEST `score` (ties to the smallest id), instead of the default
+    * min-id keeper. This is the curation move that makes dedup quality-
+    * aware: when near-duplicates differ in extraction quality, the cluster
+    * should contribute its best exemplar, not its oldest. Window partitions
+    * are cluster-bounded, never corpus-bounded — the same scale argument as
+    * every per-doc window in the suite. */
+  def clusterKeepersBy(labeled: DataFrame, idCol: Column, clusterCol: Column,
+                       score: Column): DataFrame = {
+    val w = Window.partitionBy(clusterCol).orderBy(score.desc, idCol.asc)
+    labeled.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1).drop("__r")
+  }
+
   /** (doc_id, token) inverted-index edge list over distinct features of the
     * text. `tokens` picks the feature space: unigram token sets by default;
     * pass `t => array_distinct(TextFunctions.shingles(t, k))` for word

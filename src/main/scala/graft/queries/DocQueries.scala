@@ -716,6 +716,38 @@ object DocQueries {
            |FROM bud GROUP BY source ORDER BY source""".stripMargin
       }),
 
+    // ---- Gopher-style structural quality signals (Rae et al. 2021 §A1.1):
+    //      symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    //      alphabetic-word fraction. Pure integer-count ratios — zero
+    //      floating-point drift between engines.
+    "q_text_gopher_quality" -> Q(
+      (s, d) => docsP(s, d).select(
+        col("doc_id"),
+        TextFunctions.symbolWordRatio(col("text")).as("symbol_word_ratio"),
+        TextFunctions.bulletLineFraction(col("text")).as("bullet_line_frac"),
+        TextFunctions.ellipsisLineFraction(col("text")).as("ellipsis_line_frac"),
+        TextFunctions.alphaWordFraction(col("text")).as("alpha_word_frac"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+        |l AS (SELECT doc_id, text, toks,
+        |  list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS lines
+        |  FROM t)
+        |SELECT doc_id,
+        | CASE WHEN len(toks) > 0 THEN
+        |  CAST(length(text) - length(replace(text, '#', ''))
+        |   + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(toks)
+        |  ELSE CAST(0.0 AS DOUBLE) END AS symbol_word_ratio,
+        | CASE WHEN len(lines) > 0 THEN
+        |  CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•]'))) AS DOUBLE)
+        |   / len(lines) ELSE CAST(0.0 AS DOUBLE) END AS bullet_line_frac,
+        | CASE WHEN len(lines) > 0 THEN
+        |  CAST(len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$$'))) AS DOUBLE)
+        |   / len(lines) ELSE CAST(0.0 AS DOUBLE) END AS ellipsis_line_frac,
+        | CASE WHEN len(toks) > 0 THEN
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        |   / len(toks) ELSE CAST(0.0 AS DOUBLE) END AS alpha_word_frac
+        |FROM l ORDER BY doc_id""".stripMargin)),
+
     "q_text_repetition" -> Q(
       (s, d) => docsP(s, d).select(
         col("doc_id"),
@@ -1458,6 +1490,26 @@ object DocQueries {
         | doc_id = min(doc_id) OVER (PARTITION BY md5(source)) AS is_keeper,
         | count(*) OVER (PARTITION BY md5(source)) AS dup_count
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Quality-aware keeper policy: within each duplicate group keep
+    //      the BEST-quality exemplar (ties to min id) instead of the oldest
+    //      — the policy layer clusterKeepersBy adds over any clustering.
+    "q_dedup_keeper_quality" -> Q(
+      (s, d) => {
+        val docs = docsP(s, d).select(col("doc_id"),
+          md5(col("source")).as("content_hash"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        Dedup.clusterKeepersBy(docs, col("doc_id"), col("content_hash"),
+            col("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${qualityLangCtes("documents")},
+        |g AS (SELECT s.doc_id, md5(s.source) AS content_hash, s.quality,
+        |  row_number() OVER (PARTITION BY md5(s.source)
+        |    ORDER BY s.quality DESC, s.doc_id) AS rn
+        |  FROM scored s)
+        |SELECT doc_id, content_hash, quality FROM g
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
 
     // df <= 100 cut (maxTokenDf) mirrored on both engines: a single high-df
     // shingle would make one inverted-index bucket quadratic at scale, so the

@@ -229,6 +229,31 @@ class FunctionsSpec extends SparkSpec {
     assert(m.isNullAt(0) && m.isNullAt(1))
   }
 
+  test("gopher structural signals count symbols, bullets, ellipses, alpha words") {
+    import graft.functions.TextFunctions._
+    val text = Seq(
+      "# heading one\n- bullet a\n- bullet b\nplain line ends here...\n\n* third bullet…"
+    ).toDF("text")
+    val r = text.select(
+      symbolWordRatio(col("text")).as("sym"),
+      bulletLineFraction(col("text")).as("bullet"),
+      ellipsisLineFraction(col("text")).as("ell"),
+      alphaWordFraction(col("text")).as("alpha")).head()
+    // 16 whitespace tokens; one '#' + one '...' + one '…' = 3 symbols
+    assert(math.abs(r.getDouble(0) - 3.0 / 16) < 1e-12)
+    // 5 non-empty lines; 3 start with a bullet marker
+    assert(math.abs(r.getDouble(1) - 3.0 / 5) < 1e-12)
+    // 2 of 5 lines end in an ellipsis ("here..." and "bullet…")
+    assert(math.abs(r.getDouble(2) - 2.0 / 5) < 1e-12)
+    // tokens without a letter are '#', '-', '-', '*': 12 alpha of 16
+    assert(math.abs(r.getDouble(3) - 12.0 / 16) < 1e-12)
+    // empty doc: all zero, no division blowups
+    val z = Seq("").toDF("text").select(
+      symbolWordRatio(col("text")), bulletLineFraction(col("text")),
+      ellipsisLineFraction(col("text")), alphaWordFraction(col("text"))).head()
+    assert((0 to 3).forall(i => z.getDouble(i) == 0.0))
+  }
+
   test("SQL-registered vec kernels reject bad argument types and arity") {
     graft.GraftExtensions.register(spark)
     // the Scala wrappers cast to array<double>, but the SQL surface used to
