@@ -278,6 +278,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("live ingest pipeline: exact drop, near-dup edges, cluster state, doc append") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Dedup
+    val (bands, sets) = ndIndex
+    val corpusHashes = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six seven").toDF("text")
+      .select(md5($"text").as("content_hash"))
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    // seed: the corpus labeling (both docs their own component)
+    Seq((100L, 100L, true), (101L, 101L, true)).toDF("id", "comp", "is_keeper")
+      .write.parquet(s"$stateDir/labels")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.ingestDedupPipeline(docs, corpusHashes, bands, sets,
+      stateDir, "doc_id", "text", ndK, ndRpb, ndThreshold).start()
+    val batch1 = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta"),       // exact corpus dup
+      (1002L, "alpha beta gamma delta epsilon zeta extra"), // near-dup of 100
+      (1003L, "totally fresh unrelated content words here"))
+    val batch2 = Seq(
+      (1004L, "one two three four five six seven more"),    // near-dup of 101
+      (1005L, "another brand new document entirely distinct"))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // exact dup dropped, everything else appended once
+    val docIds = s.read.parquet(s"$stateDir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(docIds == Set(1002L, 1003L, 1004L, 1005L))
+    // labels cover corpus + survivors exactly once, keeper flag = (id==comp)
+    val labels = s.read.parquet(s"$stateDir/labels")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(labels.map(_._1).sorted.toSeq ==
+      Seq(100L, 101L, 1002L, 1003L, 1004L, 1005L))
+    assert(labels.forall { case (id, comp, k) => k == (id == comp) })
+    // parity with the batch formulation: both batches probed the SAME
+    // static index, so the expected end state is one incremental fold of
+    // all survivor edges over the seed, singletons as themselves
+    val survivors = (batch1.drop(1) ++ batch2).toDF("doc_id", "text")
+    val edges = Dedup.minhashLshIncrementIndexed(survivors, bands, sets,
+        "doc_id", "text", ndK, ndRpb, ndThreshold)
+      .select($"id_new".as("id_a"), $"id_corpus".as("id_b"))
+    val seed = Seq((100L, 100L), (101L, 101L)).toDF("id", "comp")
+    val matchedIds = edges.select("id_a").as[Long].collect().toSet
+    val expected = Dedup.componentsIncrement(seed, edges)
+      .select("id", "comp", "is_keeper").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet ++
+      Set(1002L, 1003L, 1004L, 1005L).diff(matchedIds)
+        .map(id => (id, id, true))
+    assert(labels.toSet == expected, s"got ${labels.toSet} want $expected")
+    // the scenario is non-trivial: at least one near-dup edge verified, so
+    // at least one survivor clusters under a corpus component
+    assert(matchedIds.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stateDir))
+  }
+
   test("streaming IVF ingest appends micro-batches under frozen centroids") {
     val s = spark
     import s.implicits._
