@@ -1313,6 +1313,103 @@ object DocQueries {
         |SELECT ngram, count(*) AS n_occurrences FROM g
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 50""".stripMargin)),
 
+    // ---- CCNet-style LM quality scoring: a stupid-backoff bigram model
+    //      trained on the :lm1 80% hash split ranks every document by
+    //      average log-probability / perplexity. Per-token log-probs are
+    //      rounded to 9 decimals and summed as DECIMAL(28,9), so the
+    //      per-doc sum is partition-order-independent and the oracle
+    //      hash-matches bit-for-bit (ln/exp agree across engines on these
+    //      rational inputs; a raw double sum would not be order-stable).
+    "q_text_perplexity" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(graft.operators.Sampling.split(
+          col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        graft.operators.LanguageModel.perplexityAgainst(
+            docs, ref, "doc_id", "text", vocabCap = 256, bigramCap = 2048)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |ref AS (SELECT tk.* FROM tk
+        |  WHERE ${fp60Sql("CAST(doc_id AS VARCHAR) || ':lm1'")} % 100 < 80),
+        |re AS (SELECT doc_id, unnest(toks) AS tok FROM ref),
+        |uraw AS (SELECT tok, count(*) AS c FROM re GROUP BY 1),
+        |tot AS (SELECT COALESCE(sum(c), 0) AS n FROM uraw),
+        |vocab AS (SELECT tok, c FROM uraw ORDER BY c DESC, tok LIMIT 256),
+        |vs AS (SELECT count(*) AS u, COALESCE(sum(c), 0) AS cs FROM vocab),
+        |uni0 AS (SELECT tok, c FROM vocab UNION ALL
+        |  SELECT '<unk>', (SELECT n FROM tot) - (SELECT cs FROM vs)),
+        |uni AS (SELECT tok, sum(c) AS c FROM uni0 GROUP BY 1),
+        |rp AS (SELECT doc_id, unnest(toks) AS tok,
+        |  unnest(range(1, len(toks) + 1)) AS pos FROM ref),
+        |rn AS (SELECT rp.doc_id, rp.pos,
+        |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE rp.tok END AS w
+        |  FROM rp LEFT JOIN vocab v ON v.tok = rp.tok),
+        |big AS (SELECT a.w AS prev, b.w AS w, count(*) AS cb
+        |  FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2 ORDER BY cb DESC, prev, w LIMIT 2048),
+        |ep AS (SELECT doc_id, unnest(toks) AS tok,
+        |  unnest(range(1, len(toks) + 1)) AS pos FROM tk),
+        |en AS (SELECT ep.doc_id, ep.pos,
+        |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE ep.tok END AS w
+        |  FROM ep LEFT JOIN vocab v ON v.tok = ep.tok),
+        |es AS (SELECT cur.doc_id, cur.pos, cur.w, prv.w AS prev
+        |  FROM en cur LEFT JOIN en prv
+        |  ON prv.doc_id = cur.doc_id AND prv.pos = cur.pos - 1),
+        |sc AS (SELECT es.doc_id,
+        |  CAST(round(ln(CASE
+        |    WHEN es.prev IS NULL THEN (CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
+        |      / CAST((SELECT n FROM tot) + (SELECT u FROM vs) + 1 AS DOUBLE)
+        |    WHEN b.cb IS NOT NULL AND u2.c > 0
+        |      THEN CAST(b.cb AS DOUBLE) / CAST(u2.c AS DOUBLE)
+        |    ELSE 0.4 * ((CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
+        |      / CAST((SELECT n FROM tot) + (SELECT u FROM vs) + 1 AS DOUBLE))
+        |  END), 9) AS DECIMAL(28,9)) AS lp
+        |  FROM es LEFT JOIN big b ON b.prev = es.prev AND b.w = es.w
+        |  LEFT JOIN uni u1 ON u1.tok = es.w
+        |  LEFT JOIN uni u2 ON u2.tok = es.prev)
+        |SELECT doc_id, count(*) AS n_scored,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp,
+        |  round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS ppl
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- DSIR importance resampling: hashed-unigram likelihood-ratio
+    //      weights toward the src0/src1 target domain, Gumbel top-k
+    //      selection derandomized through the doc-id hash. Per-token
+    //      log-ratios are rounded once in the 4096-bucket model and summed
+    //      as DECIMAL(28,9) — partition-order-independent, bit-mirrorable.
+    "q_sample_dsir" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Importance.resampleTopK(
+          docs, docs.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text", k = 100, buckets = 4096)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+        |te AS (SELECT ${fp60Sql("tok || ':ds1'")} % 4096 AS b FROM
+        |  (SELECT unnest(toks) AS tok FROM tk WHERE source IN ('src0', 'src1'))),
+        |bt AS (SELECT b, count(*) AS ct FROM te GROUP BY 1),
+        |re0 AS (SELECT doc_id, ${fp60Sql("tok || ':ds1'")} % 4096 AS b FROM
+        |  (SELECT doc_id, unnest(toks) AS tok FROM tk)),
+        |br AS (SELECT b, count(*) AS cr FROM re0 GROUP BY 1),
+        |nt AS (SELECT COALESCE(sum(ct), 0) AS n FROM bt),
+        |nr AS (SELECT COALESCE(sum(cr), 0) AS n FROM br),
+        |m AS (SELECT br.b, CAST(round(ln(
+        |    ((CAST(COALESCE(bt.ct, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / CAST((SELECT n FROM nt) + 4096 AS DOUBLE))
+        |    / ((CAST(COALESCE(br.cr, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / CAST((SELECT n FROM nr) + 4096 AS DOUBLE))), 9)
+        |  AS DECIMAL(28,9)) AS lr
+        |  FROM br LEFT JOIN bt ON bt.b = br.b),
+        |w AS (SELECT doc_id, count(*) AS n_tokens, sum(lr) AS slw
+        |  FROM re0 JOIN m ON m.b = re0.b GROUP BY 1)
+        |SELECT doc_id, n_tokens, round(CAST(slw AS DOUBLE), 6) AS logw,
+        |  round(CAST(slw AS DOUBLE) + -ln(-ln(
+        |    (CAST(${fp60Sql("CAST(doc_id AS VARCHAR) || ':dsg1'")} AS DOUBLE)
+        |      + CAST(0.5 AS DOUBLE)) / CAST(1152921504606846976 AS DOUBLE))), 6)
+        |  AS score
+        |FROM w ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
+
     // ---- Quality-weighted sampling: keep probability proportional to the
     //      document's quality score (hash bucket < quality*100) — the
     //      numeric generalization of the stratified gate; membership stays

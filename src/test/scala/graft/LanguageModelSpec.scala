@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LanguageModel
+
+/** Stupid-backoff bigram LM: hand-computed model counts and scores. */
+class LanguageModelSpec extends SparkSpec {
+
+  private def refDocs = {
+    import spark.implicits._
+    Seq((1L, "a b a b c"), (2L, "a b d")).toDF("doc_id", "text")
+  }
+
+  test("training: capped vocab, unk mass, normalized bigram counts") {
+    val lm = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",
+      vocabCap = 3, bigramCap = 10)
+    assert(lm.totalTokens == 8L)
+    assert(lm.vocabTypes == 3L)
+    // top-3 by (count desc, token asc): a(3), b(3), c(1); d falls to <unk>
+    val uni = lm.unigrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("a" -> 3L, "b" -> 3L, "c" -> 1L, LanguageModel.Unk -> 1L))
+    // normalized streams: d1 = a b a b c, d2 = a b <unk>
+    val big = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(big == Map(("a", "b") -> 3L, ("b", "a") -> 1L,
+      ("b", "c") -> 1L, ("b", LanguageModel.Unk) -> 1L))
+  }
+
+  test("scoring: bigram hit, stupid backoff, unigram head, OOV -> unk") {
+    import spark.implicits._
+    val lm = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",
+      vocabCap = 3, bigramCap = 10)
+    // denom = N + U + 1 = 12
+    // "a b z": pos1 a -> (3+1)/12 = 1/3; (a,b) -> 3/3 = 1; (b, z->unk) -> 1/3
+    // "c c":   pos1 c -> (1+1)/12 = 1/6; (c,c) unseen -> 0.4 * 2/12 = 1/15
+    val out = LanguageModel.perplexity(
+      Seq((10L, "a b z"), (11L, "c c")).toDF("doc_id", "text"),
+      "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    def lp(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    // mirror the operator's arithmetic: exact decimal sum, then DOUBLE
+    // division by n, then round-6
+    def avg6(parts: Seq[Double]): Double =
+      BigDecimal(parts.map(lp).sum.toDouble / parts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (n1, avg1, ppl1) = out(10L)
+    assert(n1 == 3L)
+    assert(avg1 == avg6(Seq(1.0 / 3, 1.0, 1.0 / 3)))
+    assert(math.abs(ppl1 - math.exp(-avg1)) < 2e-4)
+    val (n2, avg2, _) = out(11L)
+    assert(n2 == 2L)
+    assert(avg2 == avg6(Seq(1.0 / 6, 1.0 / 15)))
+  }
+
+  test("empty and null texts produce no score row; self-scored ref is most fluent") {
+    import spark.implicits._
+    val lm = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",
+      vocabCap = 3, bigramCap = 10)
+    val out = LanguageModel.perplexity(
+      Seq((20L, ""), (21L, null.asInstanceOf[String]), (22L, "a b a b c"))
+        .toDF("doc_id", "text"), // 22L scores the training text itself
+      "doc_id", "text", lm)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(22L))
+    // the training document must score better (higher avg logp) than an
+    // all-backoff stranger
+    val strangers = LanguageModel.perplexity(
+      Seq((30L, "z z z z z")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().head.getDouble(2)
+    assert(rows.head.getDouble(2) > strangers)
+  }
+}
