@@ -931,4 +931,57 @@ object Dedup {
         graft.functions.VecCosine.cosine(col("a.v"), col("b.v")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication through a coarse
+    * clustering — vectors are assigned to their nearest centroid, cosine
+    * near-duplicate pairs are found CELL-LOCALLY, duplicate groups are the
+    * connected components of that pair graph, and each group keeps the
+    * vector FARTHEST from its cluster centroid (the paper's
+    * diversity-preserving choice; ties break to the lowest id).
+    *
+    * `centroids` is any (cell, centroid) frame — k-means trained via
+    * [[Similarity.buildIvf]]'s quantizer in production, or any deterministic
+    * assignment (the oracle gate uses exact per-hash-bucket dimension
+    * means). Output: (vec_id, cell, component, d2c, keep) — `component` is
+    * the duplicate-group id (singletons label themselves), `d2c` the
+    * squared distance to the assigned centroid.
+    *
+    * Scale shape: assignment is [[Similarity.assignCells]]'s broadcast
+    * join (plan constant-sized in the cell count); the pair join is
+    * cell-local (never all-pairs — the cell plays the role the sign-LSH
+    * bucket plays in [[embeddingNearDup]]); components run on the
+    * near-dup edges only (output-sized, not corpus-sized); the keeper
+    * window partitions by duplicate group, which is clique-bounded. The
+    * assigned frame stays DataFrame-persisted for its consumers (edge
+    * join + labeling join + the caller's action) like
+    * [[embeddingNearDup]]'s bucket frame — without it each self-join
+    * branch recomputes the full assignment pipeline; the harness sweeps
+    * DF-level caches between gates. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    graft.GraftExtensions.register(emb.sparkSession)
+    val assigned = Similarity.assignCells(
+        Parallelism.fanOut(emb.select(col(idCol).as("nbr_id"),
+          col(vecCol).cast("array<double>").as("nbr_v"))),
+        centroids)
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("nbr_id"), col("nbr_v"), col("cell"),
+        graft.functions.VecCosine.dist2(col("nbr_v"), col("centroid")).as("d2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // materialize: two consumers below must not race
+    val a = assigned.hint("shuffle_hash") // corpus-scaled self-join: pin
+    val edges = a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.nbr_id") < col("y.nbr_id"))
+      .select(col("x.nbr_id").as("id_a"), col("y.nbr_id").as("id_b"),
+        graft.functions.VecCosine.cosine(col("x.nbr_v"), col("y.nbr_v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val labels = connectedComponents(edges.select("id_a", "id_b"))
+    val lab = assigned
+      .join(labels.select(col("id").as("nbr_id"), col("comp")), Seq("nbr_id"), "left")
+      .select(col("nbr_id").as("vec_id"), col("cell"),
+        coalesce(col("comp"), col("nbr_id")).as("component"),
+        col("d2").as("d2c"))
+    val w = Window.partitionBy("component").orderBy(desc("d2c"), asc("vec_id"))
+    lab.withColumn("keep", row_number().over(w) === 1)
+  }
 }

@@ -196,6 +196,13 @@ object DocQueries {
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
+  /** Sequential-fold squared distance — mirrors the native `vec_dist2`
+    * kernel (left-to-right sum of (x-y)*(x-y); the diff list is built with
+    * DuckDB's 1-BASED index lambda, then dotted with itself). */
+  private def d2Sql(a: String, b: String): String =
+    s"list_dot_product(list_transform($a, (x, i) -> x - $b[i]), " +
+      s"list_transform($a, (x, i) -> x - $b[i]))"
+
   /** Sign-LSH bucket from random ±1 hyperplane projections — mirrors
     * VectorFunctions.hyperplaneBucket: the SAME seeded signPlanes constants
     * generate both sides, and DuckDB's list_dot_product is a left-to-right
@@ -1904,6 +1911,61 @@ object DocQueries {
         | ${cosSql("a.v", "b2.v")} AS cosine
         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
         |WHERE cosine >= 0.35 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- SemDeDup: centroid-cell-local cosine near-dup, duplicate groups
+    //      via connected components, keeper = farthest-from-centroid. The
+    //      gate's centroids are exact per-hash-bucket dimension means so
+    //      the whole chain (assignment min_by, cell-local pairs, recursive
+    //      components, keeper window) is bit-mirrorable; production trains
+    //      them with k-means (see SimilaritySpec's recall case).
+    "q_dedup_semantic" -> Q(
+      (s, d) => {
+        import graft.operators.Centroids
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          pmod(Dedup.tokenFp60(concat(col("vec_id").cast("string"), lit(":sc1"))),
+            lit(8L)).as("cell0"))
+        val cents = e.groupBy("cell0").agg(
+            array((1 to 64).map(i =>
+              Centroids.exactDimMean(col("vec_id"), element_at(col("v"), i))): _*)
+              .as("centroid"))
+          .select(col("cell0").as("cell"), col("centroid"))
+        Dedup.semanticDedup(e, "vec_id", "v", cents, threshold = 0.35)
+          .orderBy("vec_id")
+      },
+      Some {
+        val lists = (1 to 64)
+          .map(i => s"list(v[$i] ORDER BY vec_id) AS l$i").mkString(", ")
+        val dims = (1 to 64)
+          .map(i => s"list_dot_product(l$i, list_transform(l$i, x -> 1.0)) / len(l$i)")
+          .mkString(", ")
+        s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  ${fp60Sql("CAST(vec_id AS VARCHAR) || ':sc1'")} % 8 AS cell0
+        |  FROM embeddings),
+        |g AS (SELECT cell0, $lists FROM e GROUP BY cell0),
+        |c AS (SELECT cell0 AS cell, [$dims] AS centroid FROM g),
+        |asg0 AS (SELECT e.vec_id, e.v, c.cell,
+        |  ${d2Sql("e.v", "c.centroid")} AS d2 FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, cell, d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+        |    AS rn FROM asg0) WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.35 AS DOUBLE)),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (SELECT src, dst FROM edges
+        |  UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+        |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+        |  FROM reach GROUP BY src),
+        |lab AS (SELECT asg.vec_id, asg.cell,
+        |  COALESCE(comp.comp, asg.vec_id) AS component, asg.d2 AS d2c
+        |  FROM asg LEFT JOIN comp ON comp.id = asg.vec_id)
+        |SELECT vec_id, cell, component, d2c,
+        |  (row_number() OVER (PARTITION BY component ORDER BY d2c DESC, vec_id))
+        |    = 1 AS keep
+        |FROM lab ORDER BY vec_id""".stripMargin
+      }),
 
     // ==================== similarity search ====================
     // (BruteTopKSql — the exact cosine top-10 oracle — is shared by the

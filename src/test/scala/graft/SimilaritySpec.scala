@@ -347,4 +347,46 @@ class SimilaritySpec extends SparkSpec {
       .select("media_id", "features").collect().toSeq
     assert(full == uncapped)
   }
+
+  test("semanticDedup with k-means centroids collapses planted duplicates") {
+    import graft.operators.Dedup
+    val base = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    // plant exact duplicates: id+1000 carries an identical vector, so the
+    // pair shares a nearest cell (deterministic tie-break) whatever the
+    // clustering quality, and cosine(a, dup) = 1
+    val withDups = base.unionByName(
+      base.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 1000))
+    val cents = Similarity.buildIvf(withDups, nLists = 4).centroids
+    val out = Dedup.semanticDedup(withDups, "vec_id", "embedding",
+        cents, threshold = 0.999)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(4))).toMap
+    (0L until 10L).foreach { i =>
+      val (compA, keepA) = out(i)
+      val (compB, keepB) = out(i + 1000)
+      assert(compA == compB, s"dup pair $i split across components")
+      // identical vectors tie on centroid distance -> lowest id kept
+      assert(keepA && !keepB, s"expected keeper $i, got ($keepA, $keepB)")
+    }
+    // non-duplicated vectors are their own component and kept
+    assert((10L until 100L).forall { i => out(i) == ((i, true)) })
+  }
+
+  test("semanticDedup keeper is the vector farthest from its centroid") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.0)), // near-dups, same direction
+      (3L, Seq(0.0, 2.0))                        // unrelated
+    ).toDF("vec_id", "v")
+    val cents = Seq((0L, Seq(0.0, 0.0))).toDF("cell", "centroid")
+    val out = Dedup.semanticDedup(vecs, "vec_id", "v", cents, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    // {1, 2} duplicate-group; 1 is farther from the origin centroid (d2 1.0
+    // vs 0.81) so it is the diversity-preserving keeper
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(out(3L) == ((3L, true)))
+  }
 }
