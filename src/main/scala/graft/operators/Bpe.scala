@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+
+import graft.core.Parallelism
+import graft.functions.TextFunctions
+
+/** Byte-pair-encoding tokenizer training and application (Sennrich et al.
+  * 2016) — the subword vocabulary step of a training-data pipeline, replacing
+  * the [[TextFunctions.bpeTokenCount]] proxy with a real learned segmenter.
+  *
+  * Scale design: the only corpus-scale work is ONE word-count aggregation
+  * (map-side combined groupBy). Merge training then runs on the capped
+  * (word, count) table — `wordCap` rows of bounded metadata, the same
+  * driver-bounded shape as a trained k-means centroid set: every real-world
+  * BPE trainer (subword-nmt, SentencePiece, tokenizers) iterates argmax over
+  * exactly this table, because pair statistics are fully determined by word
+  * counts. Application is an embarrassingly parallel per-partition encoder
+  * with the merge ranks broadcast and a per-partition word memo (words
+  * repeat; each distinct word is encoded once per partition) — the justified
+  * `mapPartitions` shape shared with the stateful packing scans, since a
+  * rank-ordered merge loop is imperative by nature and a real deployment
+  * swaps in a trie encoder here.
+  *
+  * Determinism: pair argmax ties break by (count desc, left asc, right asc)
+  * — a total order, so the merge table is reproducible for any partitioning;
+  * training initializes words as character sequences WITHOUT an end-of-word
+  * marker (merges never cross word boundaries; documents reconstruct as
+  * `join(words, ' ')`).
+  */
+object Bpe {
+
+  /** Learned merge table schema: rank (0-based application order), the two
+    * merged symbols, and the weighted pair count at merge time. */
+  val MergeSchema: StructType = StructType(Seq(
+    StructField("rank", LongType, nullable = false),
+    StructField("left", StringType, nullable = false),
+    StructField("right", StringType, nullable = false),
+    StructField("pair_count", LongType, nullable = false)))
+
+  /** Distributed (word, count) table capped to the `wordCap` most frequent
+    * words (ties by word asc — deterministic TakeOrdered). */
+  def wordCounts(docs: DataFrame, idCol: String, textCol: String,
+                 wordCap: Int): DataFrame =
+    Parallelism.fanOut(docs.select(
+        TextFunctions.tokens(col(textCol)).as("toks")))
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("word")).limit(wordCap)
+
+  /** Classic BPE merge loop over a (word, count) table. Pure function of
+    * the table — exposed for testing; [[trainBpe]] feeds it the distributed
+    * counts. Stops early when no adjacent pair occurs at least twice. */
+  private[graft] def mergesFromCounts(counts: Seq[(String, Long)],
+                                          numMerges: Int): Seq[(Long, String, String, Long)] = {
+    var vocab: Vector[(Array[String], Long)] =
+      counts.iterator.map { case (w, c) => (w.map(_.toString).toArray, c) }.toVector
+    val out = Vector.newBuilder[(Long, String, String, Long)]
+    var rank = 0L
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      val candidates = pairCounts.filter(_._2 >= 2L)
+      if (candidates.isEmpty) done = true
+      else {
+        val ((l, r), c) = candidates.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank, l, r, c))
+        vocab = vocab.map { case (syms, cnt) => (mergeOnce(syms, l, r), cnt) }
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** One merge pass: replace adjacent (l, r) with l+r, leftmost-first,
+    * non-overlapping — the BPE application rule. */
+  private def mergeOnce(syms: Array[String], l: String, r: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        b += (l + r); i += 2
+      } else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Train `numMerges` BPE merges on a corpus: one distributed word count,
+    * then the merge loop on the collected cap-bounded table. Returns the
+    * merge table as a DataFrame ([[MergeSchema]]). */
+  def trainBpe(docs: DataFrame, idCol: String, textCol: String,
+               numMerges: Int, wordCap: Int = 1 << 17): DataFrame = {
+    val spark = docs.sparkSession
+    val counts = wordCounts(docs, idCol, textCol, wordCap)
+      .collect().iterator.map(r => (r.getString(0), r.getLong(1))).toSeq
+    val rows = mergesFromCounts(counts, numMerges).map {
+      case (rank, l, r, c) => Row(rank, l, r, c)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), MergeSchema)
+  }
+
+  /** Encode a word with a rank-indexed merge map: repeatedly apply the
+    * LOWEST-RANK merge present among adjacent pairs (the standard BPE
+    * encoding rule — application order is merge priority, not left-to-right
+    * discovery). */
+  private[graft] def encodeWord(word: String,
+                                    ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var go = syms.length > 1
+    while (go) {
+      var best = Int.MaxValue
+      var at = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; at = i }
+        i += 1
+      }
+      if (at < 0) go = false
+      else {
+        syms = mergeOnce(syms, syms(at), syms(at + 1))
+        go = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Apply a trained merge table: (doc_id, words) where `words` is the
+    * in-order array of (word, subtokens). The merge map is broadcast; each
+    * partition memoizes distinct-word encodings (bounded at `memoCap`
+    * entries — cleared, not LRU, to keep the hot loop allocation-free).
+    * Scan-stage parallel; no shuffle. */
+  def applyBpe(docs: DataFrame, idCol: String, textCol: String,
+               merges: DataFrame, memoCap: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    val ranks = merges.select("rank", "left", "right").collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(0).toInt).toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val in = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks")))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", in.schema("doc_id").dataType, nullable = true),
+      StructField("words", ArrayType(StructType(Seq(
+        StructField("word", StringType, nullable = true),
+        StructField("subtokens", ArrayType(StringType, containsNull = false),
+          nullable = false))), containsNull = false), nullable = true)))
+    in.mapPartitions { it =>
+      val memo = new scala.collection.mutable.HashMap[String, Array[String]]
+      val r = bc.value
+      it.map { row =>
+        val toks = row.getSeq[String](1)
+        val words =
+          if (toks == null) null
+          else toks.map { w =>
+            if (memo.size > memoCap) memo.clear()
+            val subs = memo.getOrElseUpdate(w, encodeWord(w, r))
+            Row(w, subs.toSeq)
+          }
+        Row(row.get(0), words)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Per-doc subtoken count under a trained merge table. */
+  def subtokenCount(docs: DataFrame, idCol: String, textCol: String,
+                    merges: DataFrame): DataFrame =
+    applyBpe(docs, idCol, textCol, merges)
+      .select(col("doc_id"),
+        coalesce(aggregate(col("words"), lit(0L),
+          (acc, w) => acc + size(w.getField("subtokens"))), lit(0L))
+          .as("n_subtokens"))
+}

@@ -1417,6 +1417,33 @@ object DocQueries {
         |  AS score
         |FROM w ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- BPE round trip: merges trained on the :bpe1 80% split, applied
+    //      to every document; the compared contract is LOSSLESSNESS — each
+    //      word must reconstruct exactly from its subtokens, so the md5 of
+    //      the re-joined text equals the md5 of the tokenized original
+    //      (which IS SQL-expressible even though the learned segmentation
+    //      isn't). Segmentation itself is pinned by BpeSpec's hand example.
+    "q_text_bpe_roundtrip" -> Q(
+      (s, d) => {
+        import graft.operators.Bpe
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(graft.operators.Sampling.split(
+          col("doc_id"), 80, 10, salt = ":bpe1") === "train")
+        val merges = Bpe.trainBpe(ref, "doc_id", "text", numMerges = 100)
+        Bpe.applyBpe(docs, "doc_id", "text", merges)
+          .select(col("doc_id"),
+            when(col("words").isNull, lit(0L))
+              .otherwise(size(col("words")).cast("bigint")).as("n_words"),
+            md5(coalesce(concat_ws(" ",
+              transform(col("words"), w => concat_ws("", w.getField("subtokens")))),
+              lit(""))).as("recon_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        |  COALESCE(len($ToksSql), 0) AS n_words,
+        |  md5(COALESCE(array_to_string($ToksSql, ' '), '')) AS recon_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- Quality-weighted sampling: keep probability proportional to the
     //      document's quality score (hash bucket < quality*100) — the
     //      numeric generalization of the stratified gate; membership stays
