@@ -58,10 +58,15 @@ object LanguageModel {
     def vocab: DataFrame = unigrams.filter(col("tok") =!= Unk).select("tok", "c")
   }
 
-  /** (doc_id, toks) with the compute-dense-stage parallelism guard. */
-  private def tokFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("toks")))
+  /** (doc_id, extra..., toks) with the compute-dense-stage parallelism
+    * guard (skipped for streaming inputs — repartition is not applicable
+    * to an unbound source; micro-batch parallelism follows the source). */
+  private def tokFrame(docs: DataFrame, idCol: String, textCol: String,
+                       extra: Seq[String] = Nil): DataFrame = {
+    val sel = docs.select((col(idCol).as("doc_id") +: extra.map(col)) :+
+      TextFunctions.tokens(col(textCol)).as("toks"): _*)
+    if (docs.isStreaming) sel else Parallelism.fanOut(sel)
+  }
 
   /** The normalized (doc_id, pos, prev, w) token stream: `w` is the token
     * (vocab member or `<unk>`), `prev` its normalized predecessor (null at
@@ -69,26 +74,29 @@ object LanguageModel {
     * copy BEFORE exploding — scan-stage only; a lag() window would add a
     * corpus shuffle on doc_id for the same result. Both membership lookups
     * are broadcast joins against the cap-bounded vocab. */
-  private def normStream(toks: DataFrame, vocab: DataFrame): DataFrame = {
+  private def normStream(toks: DataFrame, vocab: DataFrame,
+                         extra: Seq[String] = Nil): DataFrame = {
     val prevs = when(size(col("toks")) >= 1,
       concat(array(lit(null).cast("string")),
         slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0)))))
       .otherwise(col("toks"))
     val z = toks
-      .select(col("doc_id"),
+      .select((col("doc_id") +: extra.map(col)) :+
         posexplode(zip_with(col("toks"), prevs,
-          (t, p) => struct(t.as("t"), p.as("p")))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"),
-        col("col.t").as("tok"), col("col.p").as("prevRaw"))
+          (t, p) => struct(t.as("t"), p.as("p")))): _*)
+      .select((col("doc_id") +: extra.map(col)) ++ Seq(
+        (col("pos") + 1).as("pos"),
+        col("col.t").as("tok"), col("col.p").as("prevRaw")): _*)
     val invW = broadcast(vocab.select(col("tok").as("__vw"), lit(1).as("__mw")))
     val invP = broadcast(vocab.select(col("tok").as("__vp"), lit(1).as("__mp")))
     z.join(invW, col("tok") === col("__vw"), "left")
       .join(invP, col("prevRaw") === col("__vp"), "left")
-      .select(col("doc_id"), col("pos"),
+      .select((col("doc_id") +: extra.map(col)) ++ Seq(
+        col("pos"),
         when(col("prevRaw").isNull, lit(null).cast("string"))
           .when(col("__mp").isNotNull, col("prevRaw"))
           .otherwise(lit(Unk)).as("prev"),
-        when(col("__mw").isNotNull, col("tok")).otherwise(lit(Unk)).as("w"))
+        when(col("__mw").isNotNull, col("tok")).otherwise(lit(Unk)).as("w")): _*)
   }
 
   /** Train a stupid-backoff bigram model on a reference corpus.
@@ -144,8 +152,29 @@ object LanguageModel {
     * model frames are static broadcasts; only the final per-doc sum is an
     * aggregation). */
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
-                 lm: BigramLm): DataFrame = {
-    val ns = normStream(tokFrame(docs, idCol, textCol), lm.vocab)
+                 lm: BigramLm): DataFrame =
+    tokenLogProbs(docs, idCol, textCol, lm)
+      .groupBy("doc_id")
+      .agg(pplAggs.head, pplAggs.tail: _*)
+
+  /** The shared scoring aggregate list: token count, rounded avg log-prob,
+    * perplexity (see [[perplexity]] for the rounding contract). */
+  private def pplAggs: Seq[org.apache.spark.sql.Column] = {
+    val avg = sum("lp").cast("double") / count(lit(1))
+    Seq(count(lit(1)).as("n_scored"),
+      round(sum("lp").cast("double") / count(lit(1)), 6).as("avg_logp"),
+      round(exp(-avg), 4).as("ppl"))
+  }
+
+  /** Per-token rounded log-probabilities: (doc_id, extra..., lp) — the
+    * stateless part of scoring (scan-stage stream + three broadcast model
+    * lookups), shared by batch [[perplexity]] and the streaming scorer in
+    * [[graft.streaming.StreamingOps]]. `extra` columns (e.g. the event-time
+    * column a streaming aggregation needs) pass through untouched. */
+  private[graft] def tokenLogProbs(docs: DataFrame, idCol: String,
+                                   textCol: String, lm: BigramLm,
+                                   extra: Seq[String] = Nil): DataFrame = {
+    val ns = normStream(tokFrame(docs, idCol, textCol, extra), lm.vocab, extra)
     val uniW = broadcast(lm.unigrams.select(col("tok").as("__uw"), col("c").as("cu")))
     val uniP = broadcast(lm.unigrams.select(col("tok").as("__up"), col("c").as("cprev")))
     val big = broadcast(lm.bigrams.select(
@@ -159,13 +188,13 @@ object LanguageModel {
     ns.join(big, col("prev") === col("__bp") && col("w") === col("__bw"), "left")
       .join(uniW, col("w") === col("__uw"), "left")
       .join(uniP, col("prev") === col("__up"), "left")
-      .select(col("doc_id"), round(log(s), 9).cast("decimal(28,9)").as("lp"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_scored"), sum("lp").as("slp"))
-      .select(col("doc_id"), col("n_scored"),
-        round(col("slp").cast("double") / col("n_scored"), 6).as("avg_logp"),
-        round(exp(-(col("slp").cast("double") / col("n_scored"))), 4).as("ppl"))
+      .select((col("doc_id") +: extra.map(col)) :+
+        round(log(s), 9).cast("decimal(28,9)").as("lp"): _*)
   }
+
+  /** Streaming scoring aggregates for a (window, doc_id) group — exposed
+    * for the streaming twin, which owns watermarking and windowing. */
+  private[graft] def streamingPplAggs: Seq[org.apache.spark.sql.Column] = pplAggs
 
   /** Train-and-score convenience: model on `ref`, scores over `docs`. */
   def perplexityAgainst(docs: DataFrame, ref: DataFrame,

@@ -387,4 +387,32 @@ object StreamingOps {
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)
       .partitionBy("city")
+
+  /** Streaming LM quality scoring — the live-ingest twin of
+    * [[graft.operators.LanguageModel.perplexity]]: each arriving document
+    * is scored against a STATIC pre-trained bigram model (the CCNet
+    * deployment shape: the reference model is trained offline once; ingest
+    * only scores). Output: (window, doc_id, n_scored, avg_logp, ppl) in
+    * append mode once the watermark passes the window.
+    *
+    * Scale/state shape: the token explosion and the three model lookups are
+    * STATELESS stream-static broadcast joins re-resolved per micro-batch;
+    * the only state is the (window, doc_id) aggregation, which the
+    * watermark bounds to the horizon — one state row per document per
+    * uncompleted window, evicted on watermark passage. A document's tokens
+    * all carry its single event time, so every group completes within one
+    * window; grouping is by the WINDOW only, never additionally by the raw
+    * timestamp (which would double-tag event time and stall emission). */
+  def perplexityStream(docs: DataFrame,
+                       lm: graft.operators.LanguageModel.BigramLm,
+                       idCol: String, tsCol: String, textCol: String,
+                       watermark: String = "1 hour",
+                       windowDur: String = "1 hour"): DataFrame = {
+    val aggs = graft.operators.LanguageModel.streamingPplAggs
+    graft.operators.LanguageModel
+      .tokenLogProbs(docs.withWatermark(tsCol, watermark),
+        idCol, textCol, lm, extra = Seq(tsCol))
+      .groupBy(window(col(tsCol), windowDur).as("win"), col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }
