@@ -203,6 +203,53 @@ object DocQueries {
     s"list_dot_product(list_transform($a, (x, i) -> x - $b[i]), " +
       s"list_transform($a, (x, i) -> x - $b[i]))"
 
+  /** Bigram-LM scoring CTE chain — mirrors LanguageModel train + score
+    * (stupid backoff, capped vocab/bigrams, <unk> normalization, per-token
+    * log-probs rounded to 9 decimals as DECIMAL(28,9)). Expects a caller
+    * CTE `tk(doc_id, ..., toks)` over the scorable documents; trains on the
+    * `salt` 80% hash split of tk and ends in `sc(doc_id, lp)` — one row per
+    * scored token. One definition feeds the perplexity gate and the
+    * curation capstone, so the mirrors cannot drift. */
+  private def pplCtes(vocabCap: Int, bigramCap: Int, salt: String): String =
+    s"""ref AS (SELECT tk.* FROM tk
+       |  WHERE ${fp60Sql(s"CAST(doc_id AS VARCHAR) || '$salt'")} % 100 < 80),
+       |re AS (SELECT doc_id, unnest(toks) AS tok FROM ref),
+       |uraw AS (SELECT tok, count(*) AS c FROM re GROUP BY 1),
+       |tot AS (SELECT COALESCE(sum(c), 0) AS n FROM uraw),
+       |vocab AS (SELECT tok, c FROM uraw ORDER BY c DESC, tok LIMIT $vocabCap),
+       |vs AS (SELECT count(*) AS u, COALESCE(sum(c), 0) AS cs FROM vocab),
+       |uni0 AS (SELECT tok, c FROM vocab UNION ALL
+       |  SELECT '<unk>', (SELECT n FROM tot) - (SELECT cs FROM vs)),
+       |uni AS (SELECT tok, sum(c) AS c FROM uni0 GROUP BY 1),
+       |rp AS (SELECT doc_id, unnest(toks) AS tok,
+       |  unnest(range(1, len(toks) + 1)) AS pos FROM ref),
+       |rn AS (SELECT rp.doc_id, rp.pos,
+       |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE rp.tok END AS w
+       |  FROM rp LEFT JOIN vocab v ON v.tok = rp.tok),
+       |big AS (SELECT a.w AS prev, b.w AS w, count(*) AS cb
+       |  FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2 ORDER BY cb DESC, prev, w LIMIT $bigramCap),
+       |ep AS (SELECT doc_id, unnest(toks) AS tok,
+       |  unnest(range(1, len(toks) + 1)) AS pos FROM tk),
+       |en AS (SELECT ep.doc_id, ep.pos,
+       |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE ep.tok END AS w
+       |  FROM ep LEFT JOIN vocab v ON v.tok = ep.tok),
+       |es AS (SELECT cur.doc_id, cur.pos, cur.w, prv.w AS prev
+       |  FROM en cur LEFT JOIN en prv
+       |  ON prv.doc_id = cur.doc_id AND prv.pos = cur.pos - 1),
+       |sc AS (SELECT es.doc_id,
+       |  CAST(round(ln(CASE
+       |    WHEN es.prev IS NULL THEN (CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
+       |      / CAST((SELECT n FROM tot) + (SELECT u FROM vs) + 1 AS DOUBLE)
+       |    WHEN b.cb IS NOT NULL AND u2.c > 0
+       |      THEN CAST(b.cb AS DOUBLE) / CAST(u2.c AS DOUBLE)
+       |    ELSE 0.4 * ((CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
+       |      / CAST((SELECT n FROM tot) + (SELECT u FROM vs) + 1 AS DOUBLE))
+       |  END), 9) AS DECIMAL(28,9)) AS lp
+       |  FROM es LEFT JOIN big b ON b.prev = es.prev AND b.w = es.w
+       |  LEFT JOIN uni u1 ON u1.tok = es.w
+       |  LEFT JOIN uni u2 ON u2.tok = es.prev)""".stripMargin
+
   /** Sign-LSH bucket from random ±1 hyperplane projections — mirrors
     * VectorFunctions.hyperplaneBucket: the SAME seeded signPlanes constants
     * generate both sides, and DuckDB's list_dot_product is a left-to-right
@@ -1337,44 +1384,7 @@ object DocQueries {
           .orderBy("doc_id")
       },
       Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-        |ref AS (SELECT tk.* FROM tk
-        |  WHERE ${fp60Sql("CAST(doc_id AS VARCHAR) || ':lm1'")} % 100 < 80),
-        |re AS (SELECT doc_id, unnest(toks) AS tok FROM ref),
-        |uraw AS (SELECT tok, count(*) AS c FROM re GROUP BY 1),
-        |tot AS (SELECT COALESCE(sum(c), 0) AS n FROM uraw),
-        |vocab AS (SELECT tok, c FROM uraw ORDER BY c DESC, tok LIMIT 256),
-        |vs AS (SELECT count(*) AS u, COALESCE(sum(c), 0) AS cs FROM vocab),
-        |uni0 AS (SELECT tok, c FROM vocab UNION ALL
-        |  SELECT '<unk>', (SELECT n FROM tot) - (SELECT cs FROM vs)),
-        |uni AS (SELECT tok, sum(c) AS c FROM uni0 GROUP BY 1),
-        |rp AS (SELECT doc_id, unnest(toks) AS tok,
-        |  unnest(range(1, len(toks) + 1)) AS pos FROM ref),
-        |rn AS (SELECT rp.doc_id, rp.pos,
-        |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE rp.tok END AS w
-        |  FROM rp LEFT JOIN vocab v ON v.tok = rp.tok),
-        |big AS (SELECT a.w AS prev, b.w AS w, count(*) AS cb
-        |  FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |  GROUP BY 1, 2 ORDER BY cb DESC, prev, w LIMIT 2048),
-        |ep AS (SELECT doc_id, unnest(toks) AS tok,
-        |  unnest(range(1, len(toks) + 1)) AS pos FROM tk),
-        |en AS (SELECT ep.doc_id, ep.pos,
-        |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE ep.tok END AS w
-        |  FROM ep LEFT JOIN vocab v ON v.tok = ep.tok),
-        |es AS (SELECT cur.doc_id, cur.pos, cur.w, prv.w AS prev
-        |  FROM en cur LEFT JOIN en prv
-        |  ON prv.doc_id = cur.doc_id AND prv.pos = cur.pos - 1),
-        |sc AS (SELECT es.doc_id,
-        |  CAST(round(ln(CASE
-        |    WHEN es.prev IS NULL THEN (CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
-        |      / CAST((SELECT n FROM tot) + (SELECT u FROM vs) + 1 AS DOUBLE)
-        |    WHEN b.cb IS NOT NULL AND u2.c > 0
-        |      THEN CAST(b.cb AS DOUBLE) / CAST(u2.c AS DOUBLE)
-        |    ELSE 0.4 * ((CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
-        |      / CAST((SELECT n FROM tot) + (SELECT u FROM vs) + 1 AS DOUBLE))
-        |  END), 9) AS DECIMAL(28,9)) AS lp
-        |  FROM es LEFT JOIN big b ON b.prev = es.prev AND b.w = es.w
-        |  LEFT JOIN uni u1 ON u1.tok = es.w
-        |  LEFT JOIN uni u2 ON u2.tok = es.prev)
+        |${pplCtes(vocabCap = 256, bigramCap = 2048, salt = ":lm1")}
         |SELECT doc_id, count(*) AS n_scored,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp,
         |  round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS ppl
@@ -1443,6 +1453,45 @@ object DocQueries {
         |  COALESCE(len($ToksSql), 0) AS n_words,
         |  md5(COALESCE(array_to_string($ToksSql, ' '), '')) AS recon_md5
         |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Curation capstone v3: LM-fluency-gated token budget. Documents
+    //      passing the perplexity cut (ppl <= 30 under the :lm1 reference
+    //      model — the CCNet keep rule with a fixed threshold) fill each
+    //      source's token budget MOST-FLUENT-FIRST (order by ppl, then
+    //      doc_id), composing the scorer with the two-phase budget cut.
+    "q_pipeline_curate_v3" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, LanguageModel, Sampling}
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(Sampling.split(
+          col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        val scored = LanguageModel.perplexityAgainst(
+          docs, ref, "doc_id", "text", vocabCap = 256, bigramCap = 2048)
+        val fluent = docs.join(
+            scored.filter(col("ppl") <= 30.0).select("doc_id", "ppl"),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("ppl"),
+            TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        Curation.capTokensPerKey(fluent, col("source"), col("n_tokens"),
+            budget = 500L, order = Seq(col("ppl"), col("doc_id")),
+            idCol = col("doc_id"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |${pplCtes(vocabCap = 256, bigramCap = 2048, salt = ":lm1")},
+        |sd AS (SELECT doc_id,
+        |  round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS ppl
+        |  FROM sc GROUP BY 1),
+        |fl AS (SELECT d.doc_id, d.source, sd.ppl,
+        |  CAST(len(tk.toks) AS BIGINT) AS n_tokens
+        |  FROM documents d JOIN tk ON tk.doc_id = d.doc_id
+        |  JOIN sd ON sd.doc_id = d.doc_id
+        |  WHERE sd.ppl <= CAST(30.0 AS DOUBLE)),
+        |w AS (SELECT doc_id, source, ppl, n_tokens, sum(n_tokens) OVER (
+        |  PARTITION BY source ORDER BY ppl, doc_id ROWS UNBOUNDED PRECEDING)
+        |  AS cum FROM fl)
+        |SELECT doc_id, source, ppl, n_tokens FROM w
+        |WHERE cum - n_tokens < 500 ORDER BY doc_id""".stripMargin)),
 
     // ---- Quality-weighted sampling: keep probability proportional to the
     //      document's quality score (hash bucket < quality*100) — the
