@@ -247,11 +247,53 @@ object ScaleCheck {
             sum(col("l_quantity")).as("total_rain"),
             avg(col("l_extendedprice")).as("pm25_avg"))
         graft.weather.WeatherViz.chartFrame(daily)
+      },
+
+      // bigram-LM scoring: train on the 80% split, score everything. Model
+      // caps bound the broadcasts; the corpus is only shuffled by the
+      // per-doc sum
+      "perplexity" -> { d =>
+        val docs = Tables.documents(spark, d)
+        val ref = docs.filter(graft.operators.Sampling.split(
+          col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        graft.operators.LanguageModel.perplexityAgainst(
+          docs, ref, "doc_id", "text", vocabCap = 4096, bigramCap = 1 << 16)
+      },
+      // DSIR hashed-unigram weights toward a 2-source target domain
+      "dsir_weights" -> { d =>
+        val docs = Tables.documents(spark, d)
+        graft.operators.Importance.importanceWeights(docs,
+          docs.filter(col("source").isin("src0", "src1")), "doc_id", "text")
+      },
+      // SemDeDup under k-means cells. The replicated corpus is 10 TRUE
+      // copies of every vector, so duplicate cliques (and the pair space
+      // inside each cell) grow quadratically at 10x — output-driven
+      // superlinearity like jaccard_pairs, not a plan defect
+      "semantic_dedup" -> { d =>
+        val emb = Tables.embeddings(spark, d)
+        graft.operators.Dedup.semanticDedup(emb, "vec_id", "embedding",
+          graft.operators.Similarity.buildIvf(emb, nLists = 16).centroids,
+          threshold = 0.999)
+      },
+      // BPE: train (one word-count pass + driver merge loop) + encode
+      "bpe_apply" -> { d =>
+        val docs = Tables.documents(spark, d)
+        val merges = graft.operators.Bpe.trainBpe(docs, "doc_id", "text",
+          numMerges = 200, wordCap = 1 << 16)
+        graft.operators.Bpe.subtokenCount(docs, "doc_id", "text", merges)
       })
 
+    // optional arg: comma-separated substrings — run only matching cases
+    // (local iteration on newly added operators)
+    val picked = args.headOption match {
+      case Some(pats) =>
+        cases.filter { case (n, _) => pats.split(',').exists(n.contains) }
+      case None => cases
+    }
+
     // warm codegen/JIT once at 1x so both measured runs are hot
-    cases.foreach { case (_, f) => f(base).write.format("noop").mode("overwrite").save() }
-    val results = cases.map { case (name, f) =>
+    picked.foreach { case (_, f) => f(base).write.format("noop").mode("overwrite").save() }
+    val results = picked.map { case (name, f) =>
       val t1 = time(name, base)(f)
       val t10 = time(name, out)(f)
       (name, t1, t10)

@@ -960,21 +960,10 @@ object Dedup {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
-    val assigned = Similarity.assignCells(
-        Parallelism.fanOut(emb.select(col(idCol).as("nbr_id"),
-          col(vecCol).cast("array<double>").as("nbr_v"))),
-        centroids)
-      .join(broadcast(centroids), Seq("cell"))
-      .select(col("nbr_id"), col("nbr_v"), col("cell"),
-        graft.functions.VecCosine.dist2(col("nbr_v"), col("centroid")).as("d2"))
+    val assigned = semanticAssign(emb, idCol, vecCol, centroids)
       .persist(StorageLevel.MEMORY_AND_DISK)
     assigned.count() // materialize: two consumers below must not race
-    val a = assigned.hint("shuffle_hash") // corpus-scaled self-join: pin
-    val edges = a.as("x").join(a.as("y"),
-        col("x.cell") === col("y.cell") && col("x.nbr_id") < col("y.nbr_id"))
-      .select(col("x.nbr_id").as("id_a"), col("y.nbr_id").as("id_b"),
-        graft.functions.VecCosine.cosine(col("x.nbr_v"), col("y.nbr_v")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    val edges = semanticPairs(assigned, threshold)
     val labels = connectedComponents(edges.select("id_a", "id_b"))
     val lab = assigned
       .join(labels.select(col("id").as("nbr_id"), col("comp")), Seq("nbr_id"), "left")
@@ -983,5 +972,31 @@ object Dedup {
         col("d2").as("d2c"))
     val w = Window.partitionBy("component").orderBy(desc("d2c"), asc("vec_id"))
     lab.withColumn("keep", row_number().over(w) === 1)
+  }
+
+  /** [[semanticDedup]]'s assignment stage, exposed unpersisted so the plan
+    * spec can pin the pair join below it (the operator itself caches this
+    * frame, which hides the join inside an InMemoryTableScan). */
+  private[graft] def semanticAssign(emb: DataFrame, idCol: String,
+                                    vecCol: String,
+                                    centroids: DataFrame): DataFrame =
+    Similarity.assignCells(
+        Parallelism.fanOut(emb.select(col(idCol).as("nbr_id"),
+          col(vecCol).cast("array<double>").as("nbr_v"))),
+        centroids)
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("nbr_id"), col("nbr_v"), col("cell"),
+        graft.functions.VecCosine.dist2(col("nbr_v"), col("centroid")).as("d2"))
+
+  /** [[semanticDedup]]'s cell-local pair stage: a corpus-scaled self-join,
+    * equi-keyed on the cell and pinned shuffle_hash (see [[jaccardPairs]]). */
+  private[graft] def semanticPairs(assigned: DataFrame,
+                                   threshold: Double): DataFrame = {
+    val a = assigned.hint("shuffle_hash")
+    a.as("x").join(a.as("y"),
+        col("x.cell") === col("y.cell") && col("x.nbr_id") < col("y.nbr_id"))
+      .select(col("x.nbr_id").as("id_a"), col("y.nbr_id").as("id_b"),
+        graft.functions.VecCosine.cosine(col("x.nbr_v"), col("y.nbr_v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 }

@@ -288,4 +288,74 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"raw store shuffled for rerank:\n$plan")
   }
+
+  test("LM scoring broadcasts the model; the corpus shuffles only for the doc sum") {
+    import graft.operators.LanguageModel
+    val docs = Tables.documents(spark, sf)
+    val lm = LanguageModel.trainBigramLm(docs, "doc_id", "text",
+      vocabCap = 64, bigramCap = 256)
+    val plan = planOf(LanguageModel.perplexity(docs, "doc_id", "text", lm))
+    // vocab membership (x2 in the norm stream) + bigram + two unigram
+    // lookups are all cap-bounded broadcasts; a shuffle join here would
+    // hash-partition every token row to look up megabyte-scale tables
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5,
+      s"model lookups not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"token stream shuffled for a model lookup:\n$plan")
+    // the per-doc sum partial-aggregates map-side before its one shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation before the doc shuffle:\n$plan")
+  }
+
+  test("DSIR weights broadcast the bucket model; selection is TakeOrdered") {
+    import graft.operators.Importance
+    val docs = Tables.documents(spark, sf)
+    val target = docs.filter(col("source") === "src0")
+    val wPlan = planOf(Importance.importanceWeights(docs, target, "doc_id", "text"))
+    assert(wPlan.contains("BroadcastHashJoin"),
+      s"bucket model not broadcast:\n$wPlan")
+    assert(!wPlan.contains("SortMergeJoin"),
+      s"token stream shuffled against the bucket model:\n$wPlan")
+    val sPlan = planOf(Importance.resampleTopK(docs, target, "doc_id", "text", k = 10))
+    // Gumbel top-k must be per-partition heaps, never a global sort of the
+    // scored corpus
+    assert(sPlan.contains("TakeOrderedAndProject"),
+      s"resample not TakeOrdered:\n$sPlan")
+  }
+
+  test("BPE word counts partial-aggregate and TakeOrdered, never sort the vocab") {
+    val plan = planOf(graft.operators.Bpe.wordCounts(
+      Tables.documents(spark, sf), "doc_id", "text", wordCap = 1000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"word cap not TakeOrdered:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation before the word shuffle:\n$plan")
+  }
+
+  test("semanticDedup pairs join shuffled on cell, never cartesian") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cents = Seq((0L, Seq(0.1, 0.2)), (1L, Seq(0.9, 0.8)))
+      .toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast(ArrayType(DoubleType)).as("centroid"))
+    val narrowed = emb.select(col("vec_id"), slice(col("embedding"), 1, 2).as("v"))
+    // the operator persists its assignment frame, which hides the pair join
+    // inside an InMemoryTableScan — pin the unpersisted pair stage directly
+    val pairPlan = planOf(Dedup.semanticPairs(
+      Dedup.semanticAssign(narrowed, "vec_id", "v", cents), threshold = 0.9))
+    // the only nested-loop join allowed is the broadcast centroid cross
+    // join (nLists rows); the corpus-x-corpus pair join must stay a
+    // cell-key equi-join on the pinned shuffle_hash strategy
+    assert(pairPlan.contains("ShuffledHashJoin"),
+      s"cell pair join lost its shuffle_hash pin:\n$pairPlan")
+    assert(!pairPlan.contains("CartesianProduct"),
+      s"corpus-scaled cartesian product in the pair stage:\n$pairPlan")
+    val fullPlan = planOf(Dedup.semanticDedup(
+      narrowed, "vec_id", "v", cents, threshold = 0.9))
+    assert(!fullPlan.contains("CartesianProduct"),
+      s"corpus-scaled cartesian product:\n$fullPlan")
+  }
 }
