@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Parallelism, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Bloom, Dedup, Multimodal, Similarity}
 import graft.weather.{WeatherSources, WeatherTransform}
 
 /** Training-data-pipeline half of the operator inventory: text analysis,
@@ -277,6 +277,15 @@ object DocQueries {
     }.mkString("(", " + ", ")")
 
   private val TokenFp60Sql: String = fp60Sql("tok")
+
+  /** Bloom gate sizing: 2^17 bits / 5 hashes ≈ 1 % FP at the sf0.01 corpus
+    * (~13 bits/key), still sub-50 % at sf0.1. */
+  private val BloomBits = 1 << 17
+  private val BloomK = 5
+  /** Bit position of `key` for seed column `s` — mirrors Bloom.position
+    * (Sampling.hashBucket with salt ":bloom" + seed). */
+  private val bloomPosSql: String =
+    s"(${fp60Sql("concat(key, ':bloom', s)")} % $BloomBits)"
 
   // ---------- MinHash SQL mirrors (generated to match Dedup.minhashSig) ----
   /** 28-bit big-endian token fingerprint from md5(tok)'s first 7 nibbles,
@@ -1782,6 +1791,49 @@ object DocQueries {
         | AND NOT EXISTS (SELECT 1 FROM documents c
         |   WHERE c.doc_id % 20 <> 0 AND md5(c.text) = f.content_hash)
         |ORDER BY doc_id""".stripMargin)),
+
+    // Bloom-gated increment probe: the broadcast bit-array pre-filter that
+    // lets a 100 TB ingest skip the exact anti-join for definitely-new
+    // documents. Same 1-in-20 increment split as q_dedup_exact_increment;
+    // output carries both the filter's answer and exact membership, so the
+    // gate also hash-pins the no-false-negative property (is_member=true
+    // rows must all say might_contain=true) and the measured FP set.
+    "q_dedup_bloom_probe" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+          .select(md5(col("text")).as("key")).distinct()
+        val filter = Bloom.build(corpus, col("key"), BloomBits, BloomK)
+        val probe = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select(col("doc_id"), md5(col("text")).as("key"))
+        Bloom.mightContain(probe, col("key"), filter, BloomBits, BloomK,
+            "might_contain")
+          .join(corpus.withColumn("is_member", lit(true)), Seq("key"), "left")
+          .select(col("doc_id"), col("might_contain"),
+            coalesce(col("is_member"), lit(false)).as("is_member"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (SELECT DISTINCT md5(text) AS key
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |sd AS (SELECT key, ${bloomPosSql} AS p
+        |  FROM corpus CROSS JOIN range($BloomK) t(s)),
+        |words AS (SELECT CAST(floor(p / 32) AS BIGINT) AS word,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+        |  FROM sd GROUP BY 1),
+        |probe AS (SELECT doc_id, md5(text) AS key
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |pp AS (SELECT doc_id, key, ${bloomPosSql} AS p
+        |  FROM probe CROSS JOIN range($BloomK) t(s)),
+        |hit AS (SELECT doc_id, key,
+        |  bool_and((coalesce(bits, 0) &
+        |      (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))) =
+        |    (CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER))) AS might_contain
+        |  FROM pp LEFT JOIN words
+        |    ON CAST(floor(p / 32) AS BIGINT) = words.word
+        |  GROUP BY doc_id, key)
+        |SELECT doc_id, might_contain,
+        | key IN (SELECT key FROM corpus) AS is_member
+        |FROM hit ORDER BY doc_id""".stripMargin)),
 
     "q_dedup_lsh_increment" -> Q(
       (s, d) => {

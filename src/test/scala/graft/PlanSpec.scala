@@ -332,6 +332,23 @@ class PlanSpec extends SparkSpec {
       s"no partial aggregation before the word shuffle:\n$plan")
   }
 
+  test("bloom probe is k broadcast joins; the increment is never shuffled") {
+    import graft.operators.Bloom
+    val docs = Tables.documents(spark, sf)
+    val filter = Bloom.build(
+      docs.select(md5(col("text")).as("key")), col("key"), 1 << 14, 5)
+    val plan = planOf(Bloom.mightContain(
+      docs.select(col("doc_id"), md5(col("text")).as("key")),
+      col("key"), filter, 1 << 14, 5, "hit"))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 5,
+      s"bloom lookups not broadcast:\n$plan")
+    // the only exchanges allowed are inside the filter-build subtree (its
+    // bit_or groupBy) and the broadcasts themselves — the probe side must
+    // ride its scan stage, so no sort-merge or shuffled-hash join anywhere
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"probe side shuffled for a filter lookup:\n$plan")
+  }
+
   test("semanticDedup pairs join shuffled on cell, never cartesian") {
     import graft.operators.Dedup
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
