@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Parallelism
+import graft.functions.TextFunctions
+
+/** Trained quality classification: a hashed-unigram Naive-Bayes log-odds
+  * scorer in the role fastText/logistic-regression filters play in the
+  * published pretraining pipelines (GPT-3's WebText-vs-CommonCrawl filter,
+  * CCNet's linear model, LLaMA's Wikipedia-reference classifier): train on
+  * a labeled good/bad split, then score EVERY document with a calibrated
+  * keep/drop verdict.
+  *
+  * This completes the quality-filter family: [[graft.functions.TextFunctions]]
+  * is the hand-written heuristic tier, [[LanguageModel]] the fluency tier,
+  * [[Importance]] the distribution-matching tier — this is the trained
+  * DISCRIMINATIVE tier, and its usual deployment is weak supervision: label
+  * the training split with the cheap heuristic (exactly what the gate
+  * does), train, and let the smoothed token-likelihood model generalize
+  * past the heuristic's blind spots.
+  *
+  * Model: add-one-smoothed class-conditional distributions over
+  * [[Importance.tokenBucket]] hashed-unigram features. A document's score
+  * is `ln(nPos+1 / nNeg+1)` (the doc-count prior, +1-smoothed so a
+  * single-class training set stays finite) plus the sum over tokens of
+  * `ln(p(b|pos) / p(b|neg))`; `keep = score > 0` is the MAP decision.
+  *
+  * Scale design (same shape as [[Importance]]): the model is one
+  * buckets-bounded frame built by two map-side-combined count
+  * aggregations; scoring explodes tokens in the scan stage, LEFT-joins the
+  * broadcast model (a bucket unseen in BOTH classes falls back to the
+  * constant smoothed ratio, so any document is scorable), and aggregates
+  * once per document. Token-less documents keep their prior-only verdict
+  * via a final left join — every input row gets a verdict, which is what a
+  * filter stage needs.
+  *
+  * Oracle parity: per-bucket log-ratios are rounded to 9 decimals once and
+  * summed as decimal(28,9) (order-independent, exact); the prior is
+  * rounded the same way and added in decimal; only the final score rounds
+  * to 6 as a double.
+  */
+object QualityClassifier {
+
+  /** Trained model: the sparse (b, llr) frame plus the two constant terms.
+    * `defaultLlr`/`prior` are constant-foldable expressions (not collected
+    * doubles) so both engines compute the same ln through the same path. */
+  case class NbModel(llr: DataFrame, defaultLlr: Column, prior: Column,
+                     buckets: Int, salt: String)
+
+  private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,
+                           buckets: Int, salt: String): DataFrame =
+    Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks")))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"),
+        Importance.tokenBucket(col("tok"), buckets, salt).as("b"))
+
+  private def dec9(c: Column): Column = round(c, 9).cast("decimal(28,9)")
+
+  /** Train on a labeled split. Four train-once metadata aggregates (two
+    * token totals, two doc counts) run eagerly; the per-bucket model stays
+    * a DataFrame bounded by `buckets` rows. */
+  def train(pos: DataFrame, neg: DataFrame, idCol: String, textCol: String,
+            buckets: Int = 4096, salt: String = ":nb1"): NbModel = {
+    val bp = tokenBuckets(pos, idCol, textCol, buckets, salt)
+      .groupBy("b").agg(count(lit(1)).as("cp"))
+    val bn = tokenBuckets(neg, idCol, textCol, buckets, salt)
+      .groupBy("b").agg(count(lit(1)).as("cn"))
+    val np = Option(bp.agg(sum("cp")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val nn = Option(bn.agg(sum("cn")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val dP = lit((np + buckets).toDouble)
+    val dN = lit((nn + buckets).toDouble)
+    val pPos = (coalesce(col("cp"), lit(0L)).cast("double") + lit(1.0)) / dP
+    val pNeg = (coalesce(col("cn"), lit(0L)).cast("double") + lit(1.0)) / dN
+    // buckets-bounded full outer; shuffle_hash skips the pointless sort
+    val llr = bp.hint("shuffle_hash").join(bn, Seq("b"), "full")
+      .select(col("b"), dec9(log(pPos / pNeg)).as("llr"))
+    NbModel(llr,
+      defaultLlr = dec9(log(dN / dP)),
+      prior = dec9(log(lit((pos.count() + 1).toDouble) /
+        lit((neg.count() + 1).toDouble))),
+      buckets, salt)
+  }
+
+  /** Score every document: (doc_id, n_tokens, log_odds, keep). Token-less
+    * documents score the prior alone. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            m: NbModel): DataFrame = {
+    val perDoc = tokenBuckets(docs, idCol, textCol, m.buckets, m.salt)
+      .join(broadcast(m.llr), Seq("b"), "left")
+      .select(col("doc_id"), coalesce(col("llr"), m.defaultLlr).as("llr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("llr").as("sllr"))
+    // both sides are corpus-scaled (one row per doc): pin shuffle_hash so
+    // neither side sorts (see jaccardPairs)
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        // round to 6 while still DECIMAL (half-away-from-zero in both
+        // engines — a double-path round() diverges on exact …5 ties, and a
+        // decimal downscale CAST truncates in DuckDB). The sum must be
+        // narrowed to (28,9) first: Spark types sum(decimal(28,9)) as
+        // (38,9), and (38,9)+(28,9) overflows precision 38, silently
+        // dropping to scale 8 — a double-rounding that flips …499 rows
+        round(coalesce(col("sllr").cast("decimal(28,9)"),
+            lit(0).cast("decimal(28,9)")) + m.prior, 6)
+          .cast("double").as("log_odds"))
+      .withColumn("keep", col("log_odds") > 0.0)
+  }
+}

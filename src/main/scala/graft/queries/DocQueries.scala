@@ -1436,6 +1436,54 @@ object DocQueries {
         |  AS score
         |FROM w ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
 
+    // Trained NB quality filter, weak-supervision style: the heuristic
+    // quality score labels the training split, the smoothed hashed-unigram
+    // model scores every document (token-less docs get the prior verdict).
+    "q_text_nb_quality" -> Q(
+      (s, d) => {
+        import graft.operators.QualityClassifier
+        val docs = Tables.documents(s, d)
+        val lab = docs.withColumn("__q",
+          graft.functions.TextFunctions.qualityScore(col("text")))
+        val m = QualityClassifier.train(
+          lab.filter(col("__q") >= 0.6), lab.filter(col("__q") < 0.6),
+          "doc_id", "text", buckets = 4096, salt = ":nb1")
+        QualityClassifier.score(docs, "doc_id", "text", m).orderBy("doc_id")
+      },
+      Some(s"""WITH ${qualityLangCtes("documents")},
+        |e AS (SELECT s.doc_id, s.quality,
+        |    ${fp60Sql("tok || ':nb1'")} % 4096 AS b
+        |  FROM (SELECT doc_id, quality FROM scored) s JOIN
+        |    (SELECT doc_id, unnest(toks) AS tok FROM t0) u USING (doc_id)),
+        |bp AS (SELECT b, count(*) AS cp FROM e WHERE quality >= 0.6 GROUP BY 1),
+        |bn AS (SELECT b, count(*) AS cn FROM e WHERE quality < 0.6 GROUP BY 1),
+        |np AS (SELECT COALESCE(sum(cp), 0) AS n FROM bp),
+        |nn AS (SELECT COALESCE(sum(cn), 0) AS n FROM bn),
+        |m AS (SELECT COALESCE(bp.b, bn.b) AS b, CAST(round(ln(
+        |    ((CAST(COALESCE(cp, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / CAST((SELECT n FROM np) + 4096 AS DOUBLE))
+        |    / ((CAST(COALESCE(cn, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / CAST((SELECT n FROM nn) + 4096 AS DOUBLE))), 9)
+        |  AS DECIMAL(28,9)) AS llr
+        |  FROM bp FULL JOIN bn ON bp.b = bn.b),
+        |dflt AS (SELECT CAST(round(ln(
+        |    CAST((SELECT n FROM nn) + 4096 AS DOUBLE)
+        |    / CAST((SELECT n FROM np) + 4096 AS DOUBLE)), 9)
+        |  AS DECIMAL(28,9)) AS v),
+        |pri AS (SELECT CAST(round(ln(
+        |    CAST((SELECT count(*) FROM scored WHERE quality >= 0.6) + 1 AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM scored WHERE quality < 0.6) + 1 AS DOUBLE)), 9)
+        |  AS DECIMAL(28,9)) AS v),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens,
+        |    sum(COALESCE(m.llr, (SELECT v FROM dflt))) AS sllr
+        |  FROM e LEFT JOIN m ON m.b = e.b GROUP BY 1),
+        |sc AS (SELECT d.doc_id, COALESCE(pd.n_tokens, 0) AS n_tokens,
+        |    CAST(round(COALESCE(pd.sllr, 0) + (SELECT v FROM pri), 6)
+        |      AS DOUBLE) AS log_odds
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+        |SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin)),
+
     // ---- BPE round trip: merges trained on the :bpe1 80% split, applied
     //      to every document; the compared contract is LOSSLESSNESS — each
     //      word must reconstruct exactly from its subtokens, so the md5 of

@@ -332,6 +332,26 @@ class PlanSpec extends SparkSpec {
       s"no partial aggregation before the word shuffle:\n$plan")
   }
 
+  test("NB scoring broadcasts the model; the back-join stays shuffle_hash") {
+    import graft.operators.QualityClassifier
+    val docs = Tables.documents(spark, sf)
+    val m = QualityClassifier.train(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", buckets = 256)
+    val plan = planOf(QualityClassifier.score(docs, "doc_id", "text", m))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket model not broadcast:\n$plan")
+    // the token stream must never shuffle against the model; the one
+    // corpus-x-corpus join (docs back onto per-doc scores) is pinned
+    // shuffle_hash so neither corpus-sized side sorts
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-scaled sort-merge join:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"back-join lost its shuffle_hash pin:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation before the doc shuffle:\n$plan")
+  }
+
   test("bloom probe is k broadcast joins; the increment is never shuffled") {
     import graft.operators.Bloom
     val docs = Tables.documents(spark, sf)
