@@ -93,4 +93,26 @@ object VectorFunctions {
       when(proj >= 0.0, "+").otherwise("-")
     }: _*)
   }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with a
+    * ±1 (Achlioptas) matrix: out_j = (v · plane_j) / sqrt(outDim). The
+    * standard cheap compression in front of ANN at scale — 100 TB of
+    * 4096-dim embeddings shrink 64-256× in the scan stage (zero shuffles,
+    * native codegen'd dot kernels) while approximately preserving pairwise
+    * distances, so the candidate search runs on the small vectors and only
+    * re-ranking (see `Similarity.searchIvfRerank`) touches the originals.
+    *
+    * Same determinism story as [[hyperplaneBucket]]: seeded ±1 rows make
+    * every output an exact sign-flipped sequential fold of the input —
+    * bit-reproducible on any engine (sqrt(outDim) is one IEEE op). The
+    * projection matrix is outDim×dim plan literals — both are MODEL
+    * constants (unlike a data-scaled centroid set), so the plan stays
+    * constant-sized at any corpus scale. */
+  def randomProject(a: Column, outDim: Int, dim: Int, seed: Long = 42L): Column = {
+    val v = asD(a)
+    val scale = sqrt(lit(outDim.toDouble))
+    array(signPlanes(outDim, dim, seed).map { p =>
+      VecCosine.dot(v, array(p.toIndexedSeq.map(x => lit(x.toDouble)): _*)) / scale
+    }: _*)
+  }
 }

@@ -260,6 +260,14 @@ object DocQueries {
       s"(CASE WHEN list_dot_product($v, $arr) >= 0 THEN '+' ELSE '-' END)"
     }.mkString(" || ")
 
+  /** The full JL ±1 projection as a DuckDB list literal-dot chain —
+    * mirrors VectorFunctions.randomProject (same seeded signPlanes rows). */
+  private def projectSql(v: String, outDim: Int, dim: Int): String =
+    VectorFunctions.signPlanes(outDim, dim).map { p =>
+      val arr = p.map(x => s"$x.0").mkString("[", ", ", "]")
+      s"list_dot_product($v, $arr) / sqrt(CAST($outDim AS DOUBLE))"
+    }.mkString("[", ", ", "]")
+
   private val StopListSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
   private val StopRatioSql =
     s"""(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ($StopListSql))) AS DOUBLE) / len(toks) ELSE 0.0 END)"""
@@ -2320,6 +2328,28 @@ object DocQueries {
         |SELECT vec_id, sqrt(list_dot_product(nv, nv)) AS unit_norm,
         | nv[1] AS x0, nv[2] AS x1
         |FROM u ORDER BY vec_id""".stripMargin)),
+
+    // JL random projection 64→16: three components and the projected norm,
+    // every value an exact sign-flipped sequential fold (the projection
+    // matrix constants generate both plans).
+    "q_v_random_project" -> Q(
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            VectorFunctions.randomProject(col("embedding"), 16, 64).as("pv"))
+          .select(col("vec_id"),
+            element_at(col("pv"), 1).as("p0"),
+            element_at(col("pv"), 2).as("p1"),
+            element_at(col("pv"), 3).as("p2"),
+            VectorFunctions.norm2(col("pv")).as("pnorm"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id, ${projectSql("v", 16, 64)} AS pv FROM e)
+        |SELECT vec_id, pv[1] AS p0, pv[2] AS p1, pv[3] AS p2,
+        | sqrt(list_dot_product(pv, pv)) AS pnorm
+        |FROM p ORDER BY vec_id""".stripMargin)),
 
     // int8 scalar quantization round-trip: scale, two codes, and the max
     // reconstruction error per vector — all exact-mirrorable arithmetic

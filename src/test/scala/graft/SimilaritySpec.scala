@@ -389,4 +389,56 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((1L, false)))
     assert(out(3L) == ((3L, true)))
   }
+
+  test("random projection keeps planted near-duplicates findable by ANN") {
+    import graft.functions.VectorFunctions
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // plant a perturbed twin for each of 30 base vectors: cosine(base, twin)
+    // ~ 0.995 while unrelated random pairs sit near 0 — the structure an
+    // embedding near-dup corpus actually has. The uniform synthetic corpus
+    // itself has NO neighborhood structure (all cosines ~ 0), so top-k
+    // recall straight on it measures noise, not the projection.
+    val bases = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val twins = bases.map { case (id, v) =>
+      (id + 100000L, v.zipWithIndex.map { case (x, i) =>
+        (x + (if (((id + i) % 3) == 0) 0.05 else -0.05)).toFloat }.toSeq)
+    }.toSeq.toDF("vec_id", "embedding")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(twins.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding")))
+    val queries = emb.filter(col("vec_id") < 30)
+    def top1Twins(c: org.apache.spark.sql.DataFrame,
+                  q: org.apache.spark.sql.DataFrame): Int =
+      Similarity.bruteForceTopK(c, q, k = 1)
+        .filter(col("nbr_id") === col("query_id") + 100000L).collect().length
+    // sanity: full-dimension search finds every twin
+    assert(top1Twins(corpus, queries) === 30)
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      VectorFunctions.randomProject(col("embedding"), 16, 64)
+        .cast("array<float>").as("embedding"))
+    val hits = top1Twins(proj(corpus), proj(queries))
+    assert(hits >= 27, s"only $hits/30 planted twins survive the projection")
+  }
+
+  test("random projection is deterministic and norm-concentrated") {
+    import graft.functions.VectorFunctions
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val p1 = emb.select(col("vec_id"),
+      VectorFunctions.randomProject(col("embedding"), 16, 64).as("pv"))
+    val p2 = emb.select(col("vec_id"),
+      VectorFunctions.randomProject(col("embedding"), 16, 64).as("pv"))
+    assert(p1.exceptAll(p2).count() === 0)
+    // JL concentration: the projected norm tracks the original norm for
+    // almost every vector (ratio within [0.5, 2] for >= 90% of rows)
+    val ratios = emb.select(
+        (VectorFunctions.norm2(VectorFunctions.randomProject(col("embedding"), 16, 64)) /
+          VectorFunctions.norm2(col("embedding"))).as("r"))
+      .collect().map(_.getDouble(0))
+    val ok = ratios.count(r => r >= 0.5 && r <= 2.0)
+    assert(ok.toDouble / ratios.length >= 0.9,
+      s"only $ok of ${ratios.length} inside [0.5, 2]")
+  }
 }
