@@ -684,6 +684,39 @@ object Dedup {
       .select(col(idCol), col("content_hash"))
   }
 
+  /** [[exactIncrement]] with a Bloom pre-filter on the corpus probe — the
+    * 100 TB ingest shape: a broadcast bit-array built once over the corpus
+    * content hashes answers "definitely new" in the increment's scan stage,
+    * and only the might-contain fraction (true duplicates + the filter's
+    * ~1 % false positives) pays the corpus-sized anti-join shuffle. Because
+    * false negatives are impossible, the result is IDENTICAL to
+    * [[exactIncrement]] — the gate pins that equivalence against the same
+    * oracle. In deployment the filter is built at index-update time and
+    * reused across batches (build it with [[Bloom.build]] over the stored
+    * hash index and pass it in); handed raw corpus text, this derives it. */
+  def exactIncrementBloomGated(newDocs: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               numBits: Int = 1 << 20, k: Int = 5,
+                               filter: DataFrame = null): DataFrame = {
+    val grp = Window.partitionBy("content_hash")
+    val firstInBatch = newDocs
+      .select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("__first", min(col(idCol)).over(grp))
+      .filter(col(idCol) === col("__first"))
+      .drop("__first")
+    val corpusHashes = corpus
+      .select(md5(col(textCol)).as("content_hash")).distinct()
+    val bloom = Option(filter).getOrElse(
+      Bloom.build(corpusHashes, col("content_hash"), numBits, k))
+    val probed = Bloom.mightContain(firstInBatch, col("content_hash"),
+      bloom, numBits, k, "__might")
+    val definiteNew = probed.filter(!col("__might")).drop("__might")
+    val needExact = probed.filter(col("__might")).drop("__might")
+      .join(corpusHashes.hint("shuffle_hash"), Seq("content_hash"), "left_anti")
+    definiteNew.unionByName(needExact)
+      .select(col(idCol), col("content_hash"))
+  }
+
   /** MinHash-LSH INCREMENTAL near-dup from RAW corpus text: derives the
     * corpus band index and token sets on the fly, then delegates to
     * [[minhashLshIncrementIndexed]]. Convenient for one-off runs and the

@@ -1848,6 +1848,29 @@ object DocQueries {
         |   WHERE c.doc_id % 20 <> 0 AND md5(c.text) = f.content_hash)
         |ORDER BY doc_id""".stripMargin)),
 
+    // Bloom-gated exact increment: must be row-identical to the plain
+    // anti-join formulation (no false negatives ⇒ the gate shares
+    // q_dedup_exact_increment's oracle verbatim) while only the
+    // might-contain fraction ever reaches the corpus-sized shuffle.
+    "q_dedup_bloom_increment" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.exactIncrementBloomGated(
+            docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+            docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+            "doc_id", "text", numBits = BloomBits, k = BloomK)
+          .orderBy("doc_id")
+      },
+      Some("""WITH nw AS (SELECT doc_id, md5(text) AS content_hash
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |f AS (SELECT doc_id, content_hash,
+        |  min(doc_id) OVER (PARTITION BY content_hash) AS first_id FROM nw)
+        |SELECT doc_id, content_hash FROM f
+        |WHERE doc_id = first_id
+        | AND NOT EXISTS (SELECT 1 FROM documents c
+        |   WHERE c.doc_id % 20 <> 0 AND md5(c.text) = f.content_hash)
+        |ORDER BY doc_id""".stripMargin)),
+
     // Bloom-gated increment probe: the broadcast bit-array pre-filter that
     // lets a 100 TB ingest skip the exact anti-join for definitely-new
     // documents. Same 1-in-20 increment split as q_dedup_exact_increment;

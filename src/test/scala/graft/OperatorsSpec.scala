@@ -543,6 +543,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq(40L, 80L))
   }
 
+  test("bloom-gated increment equals the plain anti-join even when the filter saturates") {
+    import graft.operators.Dedup
+    val corpus = (1L to 40L).map(i => (i, s"corpus doc number $i")).toDF("doc_id", "text")
+    val batch = (Seq((200L, "corpus doc number 7"), (201L, "fresh a"),
+      (202L, "fresh a"), (203L, "fresh b")) ++
+      (210L to 260L).map(i => (i, s"fresh bulk $i"))).toDF("doc_id", "text")
+    val plain = Dedup.exactIncrement(batch, corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // a 64-bit filter for 40 keys is heavily saturated — most probes answer
+    // might-contain, so the equivalence can't be an artifact of zero FPs
+    val gated = Dedup.exactIncrementBloomGated(batch, corpus, "doc_id", "text",
+        numBits = 64, k = 3)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(gated == plain)
+    // and with a well-sized filter too
+    val sized = Dedup.exactIncrementBloomGated(batch, corpus, "doc_id", "text",
+        numBits = 1 << 12, k = 5)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(sized == plain)
+  }
+
   test("incremental LSH near-dup matches the batch against the corpus only") {
     import graft.operators.Dedup
     val base = "the quick brown fox jumps over the lazy dog again and again today"
