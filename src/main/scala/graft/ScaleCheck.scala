@@ -281,6 +281,35 @@ object ScaleCheck {
         val merges = graft.operators.Bpe.trainBpe(docs, "doc_id", "text",
           numMerges = 200, wordCap = 1 << 16)
         graft.operators.Bpe.subtokenCount(docs, "doc_id", "text", merges)
+      },
+
+      // bloom-gated increment: build over the 95% corpus, probe the 5%
+      // batch. At scale both halves grow 10x, but the probe stays k
+      // broadcast joins and only might-contain rows shuffle
+      "bloom_increment" -> { d =>
+        val docs = Tables.documents(spark, d)
+        graft.operators.Dedup.exactIncrementBloomGated(
+          docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+          "doc_id", "text", numBits = 1 << 20, k = 5)
+      },
+      // NB classifier: heuristic-labeled train + score-all, model broadcast
+      "nb_quality" -> { d =>
+        val docs = Tables.documents(spark, d)
+        val lab = docs.withColumn("__q",
+          graft.functions.TextFunctions.qualityScore(col("text")))
+        val m = graft.operators.QualityClassifier.train(
+          lab.filter(col("__q") >= 0.6), lab.filter(col("__q") < 0.6),
+          "doc_id", "text", buckets = 4096)
+        graft.operators.QualityClassifier.score(docs, "doc_id", "text", m)
+      },
+      // JL projection: pure scan-stage native dot kernels
+      "random_project" -> { d =>
+        graft.GraftExtensions.register(spark)
+        val emb = Tables.embeddings(spark, d)
+        emb.select(col("vec_id"),
+          graft.functions.VectorFunctions.randomProject(
+            col("embedding"), 16, 64).as("pv"))
       })
 
     // optional arg: comma-separated substrings — run only matching cases
