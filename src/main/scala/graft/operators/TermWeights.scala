@@ -81,4 +81,93 @@ object TermWeights {
       .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
       .orderBy(desc("n_occurrences"), col("ngram"))
       .limit(k)
+
+  /** Okapi BM25 retrieval: the top-k corpus documents per query, scored by
+    * the standard saturated-tf formula
+    * `sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))` with
+    * `idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)`. This is the
+    * data-selection retrieval primitive: fetch the corpus documents most
+    * similar to a benchmark prompt (retrieval-based decontamination) or to
+    * a target-domain seed set (retrieval-augmented data curation).
+    *
+    * `queries` is a BOUNDED frame (benchmark prompts / seed set — a recipe
+    * input, not a corpus scale) of (`queryIdCol`, `queryTextCol`).
+    *
+    * Scale shape (100 TB corpus, bounded query set):
+    *  - tf / dl / df come from the same partial-agg groupBys as
+    *    [[tfIdfTopK]] (one (doc, term) shuffle; df joined back
+    *    shuffle_hash on the term, never broadcast and never a window over
+    *    the zipfian term key);
+    *  - the query-term table IS broadcast — it is the one genuinely small
+    *    side — so matching costs no extra shuffle of the corpus;
+    *  - per-(query, doc) scores partial-aggregate map-side before the one
+    *    (query, doc) shuffle;
+    *  - the final per-query top-k uses the two-phase exact rank of
+    *    [[Curation.capPerKey]]: a single `Window.partitionBy(query_id)`
+    *    would funnel every matching document of one query through one
+    *    task (with few queries, that is the whole corpus); phase 1 ranks
+    *    within (query, hash-shard of doc_id), phase 2 re-ranks the
+    *    <= shards*k survivors.
+    *
+    * Oracle parity: each term contribution is computed as doubles in one
+    * fixed parenthesization, rounded to 9 decimals, and summed as
+    * decimal(28,9) — exact, commutative addition, so the per-(query, doc)
+    * score is partition-order-independent and ln is the only
+    * transcendental (bit-stable across engines on these rational inputs,
+    * see LanguageModel). Ranks tie-break by doc_id. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, queryIdCol: String, queryTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75,
+               tokens: Column => Column = TextFunctions.tokens,
+               shards: Int = 64): DataFrame = {
+    val toks = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    // tf feeds three consumers (df, dl, scoring); persist + materialize so
+    // the tokenize/explode pipeline runs once (see tfIdfTopK)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    tf.count()
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // N counts ALL docs (token-less docs have no tf rows but belong in N
+    // and in avgdl's denominator); avgdl = total tokens / N in one exact
+    // IEEE division. 1-row scalar -> broadcast.
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(coalesce(sum("tf"), lit(0L)).as("total_toks")))
+      .select(col("n_docs"),
+        (col("total_toks").cast("double") / col("n_docs")).as("avgdl"))
+    val qterms = queries
+      .select(col(queryIdCol).as("query_id"), col(queryTextCol).as("qtext"))
+      .select(col("query_id"), explode(tokens(col("qtext"))).as("tok"))
+      .distinct()
+    val matched = tf
+      .join(broadcast(qterms), "tok")
+      .hint("shuffle_hash").join(df.hint("shuffle_hash"), "tok")
+      .hint("shuffle_hash").join(dl.hint("shuffle_hash"), "doc_id")
+      .crossJoin(broadcast(stats))
+    val idf = log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val sat = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val perQueryDoc = matched
+      .select(col("query_id"), col("doc_id"),
+        round(idf * sat, 9).cast("decimal(28,9)").as("contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("contrib").cast("decimal(28,9)").as("score_d"))
+    val shard = Sampling.hashBucket(col("doc_id").cast("string"), shards, "bm25shard")
+    val order = Seq(desc("score_d"), col("doc_id"))
+    val w1 = Window.partitionBy(col("query_id"), shard).orderBy(order: _*)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    perQueryDoc
+      .withColumn("rank", row_number().over(w1)).filter(col("rank") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("n_terms"),
+        // round to 6 while still DECIMAL (half-away-from-zero in both
+        // engines), then cast: a +/-1e6-scale 6-decimal value converts to
+        // double exactly, so the cast itself cannot diverge (see
+        // QualityClassifier for the full rationale)
+        round(col("score_d"), 6).cast("double").as("score"), col("rank"))
+  }
 }

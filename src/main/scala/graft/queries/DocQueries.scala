@@ -1384,6 +1384,55 @@ object DocQueries {
         |SELECT ngram, count(*) AS n_occurrences FROM g
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 50""".stripMargin)),
 
+    // ---- Okapi BM25 retrieval: top-10 corpus docs per benchmark query —
+    //      the retrieval-based data-selection / decontamination primitive.
+    //      Corpus-side stats reuse the tf-idf partial-agg shape; the bounded
+    //      query-term table is the only broadcast; the per-query top-k is
+    //      the two-phase exact rank (no corpus-sized window partition).
+    //      Term contributions are rounded to 9 decimals and summed as
+    //      decimal(28,9) so the score is partition-order-independent and
+    //      hash-stable (ln is the only transcendental; see q_text_perplexity).
+    "q_text_bm25_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val queries = Seq(
+          (1L, "spark window agg"),
+          (2L, "hash join merge table"),
+          (3L, "vector scan stream")).toDF("query_id", "qtext")
+        graft.operators.TermWeights.bm25TopK(
+            Tables.documents(s, d), "doc_id", "text",
+            queries, "query_id", "qtext", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM e GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  CAST((SELECT COALESCE(sum(tf), 0) FROM tf) AS DOUBLE)
+        |    / (SELECT count(*) FROM documents) AS avgdl),
+        |q AS (SELECT CAST(1 AS BIGINT) AS query_id, 'spark window agg' AS qtext
+        |  UNION ALL SELECT 2, 'hash join merge table'
+        |  UNION ALL SELECT 3, 'vector scan stream'),
+        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(
+        |  string_split_regex(lower(qtext), '\\s+'), x -> len(x) > 0)) AS tok FROM q),
+        |m AS (SELECT qt.query_id, tf.doc_id, CAST(round(
+        |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |    * ((CAST(tf AS DOUBLE) * ${1.2 + 1.0}) / (CAST(tf AS DOUBLE)
+        |       + ${1.2} * (${1.0 - 0.75} + ${0.75} * (CAST(dl AS DOUBLE) / avgdl)))),
+        |    9) AS DECIMAL(28,9)) AS contrib
+        |  FROM tf JOIN qt ON qt.tok = tf.tok JOIN df ON df.tok = tf.tok
+        |    JOIN dl ON dl.doc_id = tf.doc_id, st),
+        |sc AS (SELECT query_id, doc_id, count(*) AS n_terms,
+        |  CAST(sum(contrib) AS DECIMAL(28,9)) AS score_d FROM m GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, n_terms, score_d,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_d DESC, doc_id) AS INTEGER) AS rank FROM sc)
+        |SELECT query_id, doc_id, n_terms,
+        |  CAST(round(score_d, 6) AS DOUBLE) AS score, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- CCNet-style LM quality scoring: a stupid-backoff bigram model
     //      trained on the :lm1 80% hash split ranks every document by
     //      average log-probability / perplexity. Per-token log-probs are

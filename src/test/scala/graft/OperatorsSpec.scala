@@ -523,6 +523,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 1, 2))
   }
 
+  test("bm25 ranks saturated tf and rare terms sensibly") {
+    import graft.operators.TermWeights
+    val docs = Seq(
+      (1L, "spark spark spark spark spark spark spark spark filler filler filler filler filler filler"),
+      (2L, "spark agg"),
+      (3L, "filler noise rows")).toDF("doc_id", "text")
+    val qs = Seq((1L, "spark agg")).toDF("query_id", "qtext")
+    val r = TermWeights.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext", k = 3)
+      .orderBy("rank").collect()
+    // doc 2 matches BOTH query terms (incl. the rarer "agg") and is short;
+    // doc 1's eight "spark"s saturate (tf term is bounded by k1+1) and its
+    // length dilutes — multi-term match beats repeated single-term match
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L, 1L))
+    assert(r(0).getAs[Long]("n_terms") == 2L && r(1).getAs[Long]("n_terms") == 1L)
+    assert(r.forall(_.getAs[Double]("score") > 0.0))
+    assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+  }
+
   test("dedupLines keeps the first occurrence of each line, in order") {
     import graft.functions.TextFunctions
     val out = Seq("a\nb\na\nc\nb", "solo", "")

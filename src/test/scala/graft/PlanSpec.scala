@@ -161,6 +161,31 @@ class PlanSpec extends SparkSpec {
       s"df join not pinned shuffle_hash:\n$plan")
   }
 
+  test("bm25 broadcasts only the query terms; df/dl join shuffle_hash; two-phase rank") {
+    val s = spark
+    import s.implicits._
+    val qs = Seq((1L, "spark window agg")).toDF("query_id", "qtext")
+    val plan = planOf(graft.operators.TermWeights.bm25TopK(
+      Tables.documents(spark, sf), "doc_id", "text", qs, "query_id", "qtext", k = 10))
+    // the bounded query-term table is the ONE hash-broadcast side; the
+    // corpus-scaled df and dl frames must join shuffle_hash (a broadcast
+    // whose build side grows with the corpus is never right at scale)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1,
+      s"expected exactly the query-term broadcast:\n$plan")
+    assert("ShuffledHashJoin".r.findAllIn(plan).size >= 2,
+      s"df/dl joins not pinned shuffle_hash:\n$plan")
+    // two-phase exact top-k: the phase-1 window partitions by
+    // (query, shard) so no window partition is corpus-sized
+    assert("Window \\[".r.findAllIn(plan).size == 2,
+      s"expected exactly the two rank windows:\n$plan")
+    // the shard expression is folded into the upstream projection (it
+    // prints as _w0), so pin the sharding via the window's partition spec:
+    // exactly one window keyed (query_id, shard) and one keyed query_id-only
+    assert("Window \\[[^\\n]*\\], \\[query_id#\\d+L, _w0#\\d+L?\\]".r
+      .findAllIn(plan).nonEmpty,
+      s"phase-1 rank window not sharded by (query_id, shard):\n$plan")
+  }
+
   test("jaccard df cut is a partial-agg semi-join, never a window over tok") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
