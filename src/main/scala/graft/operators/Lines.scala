@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cross-document line-level deduplication and boilerplate removal — the
+  * CCNet-style cleaners (Wenzek et al. 2019, "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data") that strip repeated navigation
+  * chrome, footers, and license text from a web corpus. Complements the
+  * WITHIN-document `TextFunctions.dedupLines` (a scan-stage fold) with the
+  * corpus-wide contracts a crawl pipeline actually needs.
+  *
+  * Scale design (100 TB):
+  *  - line keys are zipfian (boilerplate IS the heavy tail) — both operators
+  *    therefore avoid any per-line window or line-keyed probe-side shuffle:
+  *  - [[dedupLinesAcrossDocs]] reduces first-occurrence selection to a
+  *    partial-aggregable `min(struct(id, idx))` groupBy — a heavy line's
+  *    millions of occurrences combine MAP-SIDE to one candidate per input
+  *    partition, so the line-keyed shuffle carries ~distinct-lines rows, and
+  *    the kept rows come straight out of the aggregate (no join back against
+  *    the occurrence frame);
+  *  - [[dropBoilerplate]]'s heavy set is bounded by
+  *    total-line-occurrences / minDocs (each heavy line needs >= minDocs
+  *    distinct docs), and in practice tiny — it is BROADCAST and the corpus
+  *    is cleaned with a broadcast anti-join, never shuffled on the line key;
+  *  - document reassembly groups on the UNIFORM doc id (collect_list +
+  *    array_sort — per-doc state is bounded by document size, not corpus).
+  */
+object Lines {
+
+  /** (id, idx, line) for every non-blank line, idx = 0-based position in the
+    * split. Blank (all-whitespace) segments are dropped — they carry no
+    * content and would otherwise dominate the duplicate-line space; kept
+    * lines are NOT trimmed (whitespace variants are distinct lines, the same
+    * contract as `TextFunctions.dedupLines`). */
+  def explodeLines(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("idx", "line")))
+      .filter(length(trim(col("line"))) > 0)
+
+  /** Per-doc count of non-blank lines, as a scan-stage column over `textCol`
+    * (no explode, no shuffle). */
+  private def nLinesCol = {
+    val segs = split(coalesce(col("text_orig"), lit("")), "\n")
+    size(filter(segs, l => length(trim(l)) > 0)).cast("long")
+  }
+
+  /** Corpus-wide line dedup: every line keeps only its globally FIRST
+    * occurrence (lowest (id, idx)); documents are reassembled from their
+    * surviving lines in original order. Returns
+    * (idCol, text, n_lines, n_kept) — `text` is '' and `n_kept` 0 for a
+    * document whose every line occurred earlier elsewhere.
+    *
+    * First-occurrence selection is `groupBy(line).agg(min(struct(id, idx)))`
+    * — the aggregate's output IS the kept-line frame, so no occurrence-frame
+    * join ever happens on the zipfian line key (see object doc). */
+  def dedupLinesAcrossDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val kept = explodeLines(docs, idCol, textCol)
+      .groupBy("line")
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+      .select(col("first.id").as("id"), col("first.idx").as("idx"), col("line"))
+    reassemble(docs, idCol, textCol, kept, "n_kept")
+      .select(col(idCol), col("text"), col("n_lines"), col("n_kept"))
+  }
+
+  /** The boilerplate set: lines occurring in at least `minDocs` DISTINCT
+    * documents, with their document frequency. Bounded by
+    * occurrences / minDocs rows; both aggregation phases partial-agg. */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                       minDocs: Long): DataFrame =
+    explodeLines(docs, idCol, textCol)
+      .groupBy("line").agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Frequency-threshold boilerplate removal: every occurrence of a line
+    * appearing in >= `minDocs` distinct documents is cut from EVERY document
+    * (C4 drops the "any line seen in >= 3 pages" chrome this way). Returns
+    * (idCol, text, n_lines, n_removed). The small heavy set is broadcast and
+    * the corpus cleaned with a broadcast anti-join — the occurrence frame is
+    * never shuffled on the line key. */
+  def dropBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                      minDocs: Long): DataFrame = {
+    val heavy = boilerplateLines(docs, idCol, textCol, minDocs).select("line")
+    val light = explodeLines(docs, idCol, textCol)
+      .join(broadcast(heavy), Seq("line"), "left_anti")
+    reassemble(docs, idCol, textCol, light, "n_kept")
+      .select(col(idCol), col("text"), col("n_lines"),
+        (col("n_lines") - col("n_kept")).as("n_removed"))
+  }
+
+  /** Rebuild (idCol, text, n_lines, `keptCountName`) from a kept-line frame
+    * (id, idx, line): per-doc collect + sort by idx + join back to the full
+    * doc list so line-less documents survive with text = ''. Both the
+    * groupBy and the join key on the uniform doc id. */
+  private def reassemble(docs: DataFrame, idCol: String, textCol: String,
+                         kept: DataFrame, keptCountName: String): DataFrame = {
+    val rebuilt = kept.groupBy("id")
+      .agg(count(lit(1)).as(keptCountName),
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x.getField("line"))).as("text"))
+    docs.select(col(idCol), col(textCol).as("text_orig"))
+      .withColumn("n_lines", nLinesCol)
+      .join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"),
+        col("n_lines"), coalesce(col(keptCountName), lit(0L)).as(keptCountName))
+  }
+}

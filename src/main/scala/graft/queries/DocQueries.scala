@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Parallelism, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Bloom, Dedup, Multimodal, Similarity}
+import graft.operators.{Bloom, Dedup, Lines, Multimodal, Similarity}
 import graft.weather.{WeatherSources, WeatherTransform}
 
 /** Training-data-pipeline half of the operator inventory: text analysis,
@@ -34,6 +34,34 @@ object DocQueries {
   private val ShingleK = 3
   private def shingleSet(t: Column): Column =
     array_distinct(TextFunctions.shingles(t, ShingleK))
+
+  /** Deterministic multi-line "pages" for the line-dedup gates: the corpus
+    * text has no newlines, so 25 pages are assembled from the documents
+    * (lines ordered by doc_id). Every doc_id % 3 == 0 document contributes
+    * the same boilerplate footer line; the rest their 8-token prefix —
+    * giving the line space a real zipfian heavy tail. */
+  private val BoilerLine = "all rights reserved boilerplate footer"
+  private def linePages(s: SparkSession, d: String): DataFrame =
+    docsP(s, d).select((col("doc_id") % 25).as("page_id"), col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit(BoilerLine))
+          .otherwise(array_join(slice(split(col("text"), " "), 1, 8), " ")).as("line"))
+      .groupBy("page_id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("doc_id"), col("line")))),
+          x => x.getField("line"))).as("text"))
+
+  /** DuckDB mirror of [[linePages]] + the exploded non-blank line frame
+    * (idx is 1-based on the oracle side — only its ORDER is consumed). */
+  private val LinePagesSql =
+    s"""pg AS (SELECT doc_id % 25 AS page_id, doc_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN '$BoilerLine'
+       |    ELSE array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+       |    END AS line FROM documents),
+       |pages AS (SELECT page_id, string_agg(line, chr(10) ORDER BY doc_id) AS text
+       |  FROM pg GROUP BY 1),
+       |ls0 AS (SELECT page_id, unnest(string_split(text, chr(10))) AS line,
+       |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx FROM pages),
+       |ls AS (SELECT * FROM ls0 WHERE length(trim(line)) > 0)""".stripMargin
 
   // ---------- shared DuckDB SQL fragments (mirror the Spark expressions) ----
   /** tokens: lower, split on \s+, drop empties — mirrors TextFunctions.tokens. */
@@ -1993,6 +2021,54 @@ object DocQueries {
         | JOIN sizes sa ON sa.doc_id = m.id_new
         | JOIN sizes sb ON sb.doc_id = m.id_corpus
         |WHERE jaccard >= 0.3 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- CCNet-style CROSS-document line dedup: the corpus has no newlines,
+    //      so both engines first build deterministic multi-line "pages"
+    //      (25 pages, lines ordered by doc_id; every doc_id % 3 == 0 doc
+    //      contributes a shared boilerplate footer line, the rest their
+    //      8-token prefix). Global first-occurrence selection is a
+    //      partial-agg min(struct) groupBy on the Spark side — no window or
+    //      join over the zipfian line key (see operators.Lines).
+    "q_dedup_lines_global" -> Q(
+      (s, d) => Lines.dedupLinesAcrossDocs(linePages(s, d), "page_id", "text")
+        .select(col("page_id"), md5(col("text")).as("text_md5"),
+          col("n_lines"), col("n_kept"))
+        .orderBy("page_id"),
+      Some(s"""WITH $LinePagesSql,
+        |keep AS (SELECT page_id, idx, line FROM ls
+        |  QUALIFY row_number() OVER (PARTITION BY line ORDER BY page_id, idx) = 1),
+        |reb AS (SELECT page_id, count(*) AS n_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY idx)) AS text_md5
+        |  FROM keep GROUP BY 1),
+        |base AS (SELECT page_id, len(list_filter(string_split(text, chr(10)),
+        |  l -> length(trim(l)) > 0)) AS n_lines FROM pages)
+        |SELECT b.page_id, coalesce(r.text_md5, md5('')) AS text_md5,
+        |  b.n_lines, coalesce(r.n_kept, 0) AS n_kept
+        |FROM base b LEFT JOIN reb r USING (page_id) ORDER BY page_id""".stripMargin)),
+
+    // C4-style frequency-threshold boilerplate removal over the same pages:
+    // every occurrence of a line seen in >= 5 distinct pages is cut
+    // everywhere (the footer dies corpus-wide; one-page lines survive). The
+    // Spark side broadcasts the small heavy set and anti-joins — the
+    // occurrence frame is never shuffled on the line key.
+    "q_dedup_lines_boilerplate" -> Q(
+      (s, d) => Lines.dropBoilerplate(linePages(s, d), "page_id", "text", minDocs = 5)
+        .select(col("page_id"), md5(col("text")).as("text_md5"),
+          col("n_lines"), col("n_removed"))
+        .orderBy("page_id"),
+      Some(s"""WITH $LinePagesSql,
+        |hv AS (SELECT line FROM ls GROUP BY line
+        |  HAVING count(DISTINCT page_id) >= 5),
+        |keep AS (SELECT page_id, idx, line FROM ls
+        |  WHERE line NOT IN (SELECT line FROM hv)),
+        |reb AS (SELECT page_id, count(*) AS n_kept,
+        |  md5(string_agg(line, chr(10) ORDER BY idx)) AS text_md5
+        |  FROM keep GROUP BY 1),
+        |base AS (SELECT page_id, len(list_filter(string_split(text, chr(10)),
+        |  l -> length(trim(l)) > 0)) AS n_lines FROM pages)
+        |SELECT b.page_id, coalesce(r.text_md5, md5('')) AS text_md5,
+        |  b.n_lines, b.n_lines - coalesce(r.n_kept, 0) AS n_removed
+        |FROM base b LEFT JOIN reb r USING (page_id) ORDER BY page_id""".stripMargin)),
 
     // cross-document repeated-span dedup (C4 / Lee et al. substring family):
     // maximal token spans whose 8-token shingles appear in >= 2 documents.

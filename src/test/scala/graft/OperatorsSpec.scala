@@ -541,6 +541,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
   }
 
+  test("dedupLinesAcrossDocs keeps only globally-first line occurrences") {
+    import graft.operators.Lines
+    val docs = Seq(
+      (1L, "a\nb\n \na"), // blank line dropped; trailing "a" is a within-doc dup
+      (2L, "b\nc"),
+      (3L, "a")).toDF("doc_id", "text")
+    val r = Lines.dedupLinesAcrossDocs(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("text"),
+        x.getAs[Long]("n_lines"), x.getAs[Long]("n_kept"))).toSeq
+    assert(r == Seq((1L, "a\nb", 3L, 2L), (2L, "c", 2L, 1L), (3L, "", 1L, 0L)))
+  }
+
+  test("dropBoilerplate cuts >= minDocs lines everywhere, keeps the rest") {
+    import graft.operators.Lines
+    val docs = Seq(
+      (1L, "x\nfoot"), (2L, "y\nfoot"), (3L, "foot\nz\nfoot"))
+      .toDF("doc_id", "text")
+    val r = Lines.dropBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("text"),
+        x.getAs[Long]("n_lines"), x.getAs[Long]("n_removed"))).toSeq
+    assert(r == Seq((1L, "x", 2L, 1L), (2L, "y", 2L, 1L), (3L, "z", 3L, 2L)))
+    // below threshold nothing is cut
+    val keep = Lines.dropBoilerplate(docs, "doc_id", "text", minDocs = 4)
+      .agg(sum("n_removed")).collect()(0).getLong(0)
+    assert(keep == 0L)
+  }
+
   test("dedupLines keeps the first occurrence of each line, in order") {
     import graft.functions.TextFunctions
     val out = Seq("a\nb\na\nc\nb", "solo", "")

@@ -186,6 +186,26 @@ class PlanSpec extends SparkSpec {
       s"phase-1 rank window not sharded by (query_id, shard):\n$plan")
   }
 
+  test("line dedup never windows/joins on the zipfian line key; boilerplate cut broadcasts") {
+    import graft.operators.Lines
+    val docs = Tables.documents(spark, sf)
+    // first-occurrence selection must be a partial-agg min(struct) groupBy:
+    // a heavy boilerplate line combines map-side, and the kept rows come out
+    // of the aggregate — no window and no join keyed on the line column
+    val p1 = planOf(Lines.dedupLinesAcrossDocs(docs, "doc_id", "text"))
+    assert(!p1.contains("Window ["), s"window over line key:\n$p1")
+    assert("Join \\[line#".r.findAllIn(p1).isEmpty &&
+      "Join \\[coalesce\\(line".r.findAllIn(p1).isEmpty,
+      s"join keyed on the zipfian line column:\n$p1")
+    assert(p1.contains("partial_min"), s"min(struct) not partial-agged:\n$p1")
+    // boilerplate removal: the bounded heavy set is the BROADCAST side of a
+    // LeftAnti — the corpus-scaled occurrence frame is never line-shuffled
+    val p2 = planOf(Lines.dropBoilerplate(docs, "doc_id", "text", minDocs = 5))
+    assert("BroadcastHashJoin \\[line#\\d+\\], \\[line#\\d+\\], LeftAnti".r
+      .findAllIn(p2).nonEmpty,
+      s"heavy-line cut not a broadcast anti-join:\n$p2")
+  }
+
   test("jaccard df cut is a partial-agg semi-join, never a window over tok") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
