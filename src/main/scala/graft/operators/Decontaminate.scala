@@ -103,4 +103,79 @@ object Decontaminate {
                       shingleK: Int = 3): DataFrame =
     Dedup.cutSpans(corpus, idCol, textCol,
       contaminatedSpans(corpus, benchmark, idCol, textCol, shingleK))
+
+  /** SEMANTIC decontamination: flag corpus documents whose EMBEDDING is
+    * close to any benchmark embedding — catches the paraphrased/translated
+    * benchmark copies the n-gram operators above cannot see (the rephrasing
+    * family of contamination studied around GPT-4-era eval hygiene). Output:
+    * (idCol, nearest_bench_id, max_cosine, is_contaminated).
+    *
+    * Scale shape: the benchmark embedding set is BOUNDED (an eval suite,
+    * not a corpus) and broadcast; each corpus partition scores its rows
+    * against it in the scan stage and the per-document max partial-aggregates
+    * before the one shuffle on the unique doc id — the |corpus| x |bench|
+    * pair frame is never shuffled or materialized. For benchmark sets too
+    * large to scan per row, [[semanticFlagsIvf]] prunes with the IVF cell
+    * structure instead. Ties on cosine break to the smallest bench id
+    * (max over struct(cosine, -bench_id)) so the flag frame is
+    * deterministic on both engines. */
+  def semanticFlags(corpus: DataFrame, idCol: String, vecCol: String,
+                    bench: DataFrame, benchIdCol: String, benchVecCol: String,
+                    threshold: Double): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession) // vec_cosine kernel
+    val c = graft.core.Parallelism.fanOut(
+      corpus.select(col(idCol).as("__cid"), col(vecCol).cast("array<double>").as("__cv")))
+    val b = bench.select(col(benchIdCol).as("__bid"),
+      col(benchVecCol).cast("array<double>").as("__bv"))
+    c.crossJoin(broadcast(b))
+      .select(col("__cid"), col("__bid"),
+        graft.functions.VecCosine.cosine(col("__cv"), col("__bv")).as("cosine"))
+      .groupBy("__cid")
+      .agg(max(struct(col("cosine"), (-col("__bid")).as("nb"))).as("best"))
+      .select(col("__cid").as(idCol), (-col("best.nb")).as("nearest_bench_id"),
+        col("best.cosine").as("max_cosine"),
+        (col("best.cosine") >= threshold).as("is_contaminated"))
+  }
+
+  /** [[semanticFlags]] pruned by an IVF index over the CORPUS embeddings:
+    * each benchmark query probes its `nProbe` nearest cells and only
+    * cell-local corpus vectors are scored — the standard
+    * retrieval-then-flag shape when the benchmark set is itself large.
+    * Approximate: a corpus vector in no probed cell is not flagged (and not
+    * returned); at nProbe = nLists the output equals [[semanticFlags]] over
+    * the indexed corpus (the oracle gate). Works on a
+    * [[Similarity.quantizeIvf]]-compressed index (codes dequantize in the
+    * probe scan, same as [[Similarity.searchIvf]]). */
+  def semanticFlagsIvf(index: Similarity.IvfIndex, bench: DataFrame,
+                       benchIdCol: String, benchVecCol: String,
+                       threshold: Double, nProbe: Int): DataFrame = {
+    graft.GraftExtensions.register(bench.sparkSession)
+    val probed = Similarity.probeCells(
+      bench.select(col(benchIdCol).as("vec_id"),
+        col(benchVecCol).cast("array<double>").as("embedding")),
+      index.centroids, nProbe)
+    val store =
+      if (index.assigned.columns.contains("codes"))
+        index.assigned.select(col("cell"), col("nbr_id"),
+          graft.functions.VectorFunctions.dequantizeI8(col("codes"), col("scale")).as("nbr_v"))
+      else index.assigned
+    store.join(broadcast(probed), Seq("cell"))
+      .select(col("nbr_id"), col("query_id"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+      .groupBy("nbr_id")
+      .agg(max(struct(col("cosine"), (-col("query_id")).as("nb"))).as("best"))
+      .select(col("nbr_id").as("vec_id"), (-col("best.nb")).as("nearest_bench_id"),
+        col("best.cosine").as("max_cosine"),
+        (col("best.cosine") >= threshold).as("is_contaminated"))
+  }
+
+  /** Drop the [[semanticFlags]]-contaminated documents (anti-join on the
+    * unique doc id). */
+  def semanticClean(corpus: DataFrame, idCol: String, vecCol: String,
+                    bench: DataFrame, benchIdCol: String, benchVecCol: String,
+                    threshold: Double): DataFrame =
+    corpus.join(
+      semanticFlags(corpus, idCol, vecCol, bench, benchIdCol, benchVecCol, threshold)
+        .filter(col("is_contaminated")).select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

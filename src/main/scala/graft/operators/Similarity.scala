@@ -113,7 +113,7 @@ object Similarity {
     * native dist2; the rank filter collapses to WindowGroupLimit and the
     * query set is small, so the window shuffle is negligible. Cell order
     * (distance asc, cell id asc) matches the assignment tie-break. */
-  private def probeCells(queries: DataFrame, centroids: DataFrame,
+  private[operators] def probeCells(queries: DataFrame, centroids: DataFrame,
                          nProbe: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("__d"), col("cell"))
     queries

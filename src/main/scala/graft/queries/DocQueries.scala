@@ -2125,6 +2125,72 @@ object DocQueries {
       Some("WITH " + spanCteChain(3, "doc_id % 20 != 0", benchSharedCte(3)) +
         ",\n" + spanCutTail("doc_id % 20 != 0"))),
 
+    // ---- SEMANTIC decontamination: embedding-cosine proximity to the
+    //      benchmark set (vec_id % 20 == 0) — catches paraphrased benchmark
+    //      copies n-gram overlap misses. The bounded bench set is broadcast;
+    //      the per-vector max partial-aggregates before the one unique-id
+    //      shuffle; ties break to the smallest bench id on both engines.
+    "q_decontaminate_semantic" -> Q(
+      (s, d) => {
+        import graft.operators.Decontaminate
+        val e = Tables.embeddings(s, d)
+        Decontaminate.semanticFlags(
+            e.filter(pmod(col("vec_id"), lit(20)) =!= 0), "vec_id", "embedding",
+            e.filter(pmod(col("vec_id"), lit(20)) === 0), "vec_id", "embedding",
+            threshold = 0.3)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 != 0),
+        |b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |sc AS (SELECT c.vec_id, b.bench_id, ${cosSql("c.v", "b.bv")} AS cosine
+        |  FROM c, b),
+        |r AS (SELECT vec_id, bench_id, cosine, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn FROM sc)
+        |SELECT vec_id, bench_id AS nearest_bench_id, cosine AS max_cosine,
+        |  cosine >= CAST(0.3 AS DOUBLE) AS is_contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
+    // the IVF-pruned variant at nProbe = nLists over deterministic
+    // exact-mean centroids (the q_dedup_semantic trick): every cell is
+    // probed, so the output equals the exact gate row for row — the same
+    // exact-twin pattern as q_sim_topk_ivf_exact. At production scale
+    // nProbe << nLists prunes the scored pairs to the neighbor cells.
+    "q_decontaminate_semantic_ivf" -> Q(
+      (s, d) => {
+        import graft.operators.{Centroids, Decontaminate, Similarity}
+        val e = Tables.embeddings(s, d)
+        val corpus = e.filter(pmod(col("vec_id"), lit(20)) =!= 0)
+        val bench = e.filter(pmod(col("vec_id"), lit(20)) === 0)
+        val c = corpus.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          pmod(Dedup.tokenFp60(concat(col("vec_id").cast("string"), lit(":sd1"))),
+            lit(8L)).as("cell0"))
+        val cents = c.groupBy("cell0").agg(
+            array((1 to 64).map(i =>
+              Centroids.exactDimMean(col("vec_id"), element_at(col("v"), i))): _*)
+              .as("centroid"))
+          .select(col("cell0").as("cell"), col("centroid"))
+        val assigned = Similarity.assignCells(
+          corpus.select(col("vec_id").as("nbr_id"),
+            col("embedding").cast("array<double>").as("nbr_v")), cents)
+        Decontaminate.semanticFlagsIvf(Similarity.IvfIndex(assigned, cents),
+            bench, "vec_id", "embedding", threshold = 0.3, nProbe = 8)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 != 0),
+        |b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |sc AS (SELECT c.vec_id, b.bench_id, ${cosSql("c.v", "b.bv")} AS cosine
+        |  FROM c, b),
+        |r AS (SELECT vec_id, bench_id, cosine, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn FROM sc)
+        |SELECT vec_id, bench_id AS nearest_bench_id, cosine AS max_cosine,
+        |  cosine >= CAST(0.3 AS DOUBLE) AS is_contaminated
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
     "q_dedup_simhash_sig" -> Q(
       (s, d) => Dedup.simhash(Tables.documents(s, d), "doc_id", "text",
           tokens = shingleSet)

@@ -541,6 +541,49 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
   }
 
+  test("semanticFlags flags near-benchmark vectors, ties to smallest bench id") {
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.6, 0.8)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, Seq(1.0, 0.0)), (101L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val r = Decontaminate.semanticFlags(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.95)
+      .orderBy("vec_id").collect()
+      .map(x => (x.getAs[Long]("vec_id"), x.getAs[Long]("nearest_bench_id"),
+        math.round(x.getAs[Double]("max_cosine") * 1e6) / 1e6,
+        x.getAs[Boolean]("is_contaminated"))).toSeq
+    assert(r == Seq((1L, 100L, 1.0, true), (2L, 101L, 1.0, true),
+      (3L, 101L, 0.8, false)))
+    // clean drops exactly the flagged ids
+    val kept = Decontaminate.semanticClean(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.95)
+      .orderBy("vec_id").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(kept == Seq(3L))
+  }
+
+  test("semanticFlagsIvf at full probe equals semanticFlags") {
+    import graft.operators.{Decontaminate, Similarity}
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.1)), (2L, Seq(0.1, 1.0)), (3L, Seq(0.7, 0.7)),
+      (4L, Seq(-1.0, 0.2))).toDF("vec_id", "embedding")
+    val bench = Seq((100L, Seq(0.9, 0.0)), (101L, Seq(0.0, 0.9)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("cell", "centroid")
+    val assigned = Similarity.assignCells(
+      corpus.select(col("vec_id").as("nbr_id"),
+        col("embedding").cast("array<double>").as("nbr_v")), cents)
+    val ivf = Decontaminate.semanticFlagsIvf(Similarity.IvfIndex(assigned, cents),
+        bench, "vec_id", "embedding", threshold = 0.9, nProbe = 2)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val exact = Decontaminate.semanticFlags(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(ivf == exact)
+  }
+
   test("dedupLinesAcrossDocs keeps only globally-first line occurrences") {
     import graft.operators.Lines
     val docs = Seq(

@@ -206,6 +206,32 @@ class PlanSpec extends SparkSpec {
       s"heavy-line cut not a broadcast anti-join:\n$p2")
   }
 
+  test("semantic decontamination broadcasts the bench set; per-doc max partial-aggs") {
+    import graft.operators.{Decontaminate, Similarity}
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    // exact path: the bounded bench side rides a broadcast cross join; the
+    // |corpus| x |bench| frame partial-aggregates in the scan stage — the
+    // only shuffle is the per-id final agg
+    val p1 = planOf(Decontaminate.semanticFlags(emb, "vec_id", "embedding",
+      emb.limit(10), "vec_id", "embedding", threshold = 0.5))
+    assert(p1.contains("BroadcastNestedLoopJoin"), s"bench not broadcast:\n$p1")
+    assert(p1.contains("partial_max"), s"per-doc max not partial-agged:\n$p1")
+    assert(!p1.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p1")
+    // IVF path: probed bench cells broadcast against the cell-keyed store
+    val cents = Seq((0L, Seq.fill(64)(0.1)), (1L, Seq.fill(64)(-0.1)))
+      .toDF("cell", "centroid")
+    val assigned = Similarity.assignCells(
+      emb.select(col("vec_id").as("nbr_id"),
+        col("embedding").cast("array<double>").as("nbr_v")), cents)
+    val p2 = planOf(Decontaminate.semanticFlagsIvf(
+      Similarity.IvfIndex(assigned, cents), emb.limit(10), "vec_id", "embedding",
+      threshold = 0.5, nProbe = 1))
+    assert("BroadcastHashJoin \\[cell#".r.findAllIn(p2).nonEmpty,
+      s"probe join not broadcast on cell:\n$p2")
+  }
+
   test("jaccard df cut is a partial-agg semi-join, never a window over tok") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
