@@ -115,4 +115,34 @@ object Curation {
       .filter(col("__cum") - toks < budget)
       .drop("__cum")
   }
+
+  /** ADAPTIVE per-source quality cut: keep each row whose `score` is at or
+    * above its own source's p-th percentile — a fixed global threshold
+    * over-prunes clean sources and under-prunes noisy ones (the CCNet
+    * per-shard perplexity-tercile idea, generalized). Returns the kept rows
+    * with a `threshold` column appended.
+    *
+    * Scale shape (100 TB):
+    *  - the per-source thresholds are ONE aggregation; `exact` percentile
+    *    keeps per-group value-count state, which is bounded ONLY for
+    *    discrete scores (the 16-valued rule score; an int tier) — for
+    *    continuous scores (NB probability, perplexity) pass
+    *    `approx = true` for sketch-state `percentile_approx`;
+    *  - sources are a bounded dimension, so the threshold frame is
+    *    BROADCAST and the cut runs in the corpus scan stage — the corpus
+    *    itself is never shuffled (the aggregation shuffles per-partition
+    *    partial states, not rows);
+    *  - no window anywhere: a rank-per-source formulation would funnel
+    *    each source's whole corpus slice through one task. */
+  def thresholdBySource(df: DataFrame, sourceCol: String, score: Column,
+                        p: Double, approx: Boolean = false): DataFrame = {
+    val scored = df.withColumn("__score", score)
+    val agg =
+      if (approx) percentile_approx(col("__score"), lit(p), lit(10000))
+      else percentile(col("__score"), lit(p))
+    val th = scored.groupBy(col(sourceCol)).agg(agg.as("threshold"))
+    scored.join(broadcast(th), Seq(sourceCol))
+      .filter(col("__score") >= col("threshold"))
+      .drop("__score")
+  }
 }

@@ -938,6 +938,34 @@ object DocQueries {
         |SELECT doc_id, source, n_tokens FROM w
         |WHERE cum - n_tokens < 700 ORDER BY doc_id""".stripMargin)),
 
+    // ---- Adaptive per-source quality cut: keep docs at/above their own
+    //      source's 25th quality percentile (CCNet's per-shard tercile idea,
+    //      generalized). Thresholds are one exact-percentile aggregation over
+    //      the 16-valued rule score, broadcast back; the cut runs in the
+    //      corpus scan stage — no window, no corpus shuffle. Values are
+    //      rounded to 9 decimals in the OUTPUT only (interpolated thresholds
+    //      can differ in the last ulp across engines); membership compares
+    //      the unrounded values, which sit >= 1/(4(n-1)) of a 0.2 quality
+    //      step away from any threshold ulp zone.
+    "q_curate_quality_threshold" -> Q(
+      (s, d) => {
+        import graft.operators.Curation
+        val scored = docsP(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        Curation.thresholdBySource(scored, "source", col("quality"), p = 0.25)
+          .select(col("doc_id"), col("source"),
+            round(col("quality"), 9).as("quality_r"),
+            round(col("threshold"), 9).as("threshold_r"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${qualityLangCtes("documents")},
+        |th AS (SELECT source, quantile_cont(quality, 0.25) AS threshold
+        |  FROM scored GROUP BY 1)
+        |SELECT sc.doc_id, sc.source, round(sc.quality, 9) AS quality_r,
+        |  round(th.threshold, 9) AS threshold_r
+        |FROM scored sc JOIN th USING (source) WHERE sc.quality >= th.threshold
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- Sequence packing: token-budget bin assignment (shard-parallel
     //      contiguous greedy fill — the batching step before writing packed
     //      pre-training sequences). Shard and prefix sums are pure functions

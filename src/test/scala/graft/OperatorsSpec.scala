@@ -541,6 +541,26 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
   }
 
+  test("thresholdBySource cuts each source at its own percentile") {
+    import graft.operators.Curation
+    val df = Seq(
+      ("a", 1L, 0.0), ("a", 2L, 0.4), ("a", 3L, 0.8), ("a", 4L, 1.0),
+      ("b", 5L, 0.0), ("b", 6L, 0.0), ("b", 7L, 0.2), ("b", 8L, 0.2))
+      .toDF("source", "doc_id", "q")
+    // p=0.5: source a threshold = 0.6 (interp 0.4..0.8) keeps {3,4};
+    // source b threshold = 0.1 keeps {7,8} — a global cut could not do both
+    val r = Curation.thresholdBySource(df, "source", col("q"), p = 0.5)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("threshold"))).toSeq
+    assert(r.map(_._1) == Seq(3L, 4L, 7L, 8L))
+    assert(math.abs(r(0)._2 - 0.6) < 1e-12 && math.abs(r(2)._2 - 0.1) < 1e-12)
+    // approx path: same contract (kept rows all clear their threshold)
+    val ra = Curation.thresholdBySource(df, "source", col("q"), p = 0.5,
+      approx = true).collect()
+    assert(ra.nonEmpty && ra.forall(x =>
+      x.getAs[Double]("q") >= x.getAs[Double]("threshold")))
+  }
+
   test("semanticFlags flags near-benchmark vectors, ties to smallest bench id") {
     import graft.operators.Decontaminate
     val corpus = Seq(

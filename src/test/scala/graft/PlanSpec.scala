@@ -206,6 +206,18 @@ class PlanSpec extends SparkSpec {
       s"heavy-line cut not a broadcast anti-join:\n$p2")
   }
 
+  test("thresholdBySource broadcasts thresholds; no window; percentile partial-aggs") {
+    import graft.operators.Curation
+    import graft.functions.TextFunctions
+    val scored = Tables.documents(spark, sf).select(col("doc_id"), col("source"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    val plan = planOf(Curation.thresholdBySource(scored, "source", col("quality"), 0.25))
+    assert(!plan.contains("Window ["), s"rank-style window over source:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"threshold frame not broadcast:\n$plan")
+    assert(plan.contains("partial_percentile"),
+      s"percentile not partial-agged (corpus rows would shuffle):\n$plan")
+  }
+
   test("semantic decontamination broadcasts the bench set; per-doc max partial-aggs") {
     import graft.operators.{Decontaminate, Similarity}
     val s = spark
