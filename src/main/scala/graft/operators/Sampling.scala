@@ -128,4 +128,48 @@ object Sampling {
       .filter(hashBucket(key, 100, salt) < col("rate_pct"))
       .drop("rate_pct")
   }
+
+  /** Epoch-capped data-mixture plan (the Llama-style training recipe step):
+    * given target mixture `weights` (source, weight — any positive scale,
+    * normalized internally) and a total token `budgetTokens`, compute per
+    * source how many epochs (repeats, fractional) of its data the run
+    * consumes — `epochs = min(maxEpochs, target_share * budget / n_tokens)`
+    * — and the realized mixture after the cap binds (an over-weighted small
+    * source saturates at `maxEpochs` and the realized share falls short;
+    * the report makes that visible instead of silently over-repeating).
+    * Output: (sourceCol, n_docs, n_tokens, target_w, epochs, tokens_planned,
+    * realized_w), one row per source with data.
+    *
+    * Scale shape: ONE partial-agg count/sum pass over the corpus; weights
+    * and both normalization totals are bounded per-source frames (broadcast
+    * scalar cross joins, the [[temperatureRates]] pattern). Cross-engine
+    * determinism: both totals sum 9-decimal-rounded DECIMAL(28,9) terms —
+    * order-independent exact addition — and every double division has one
+    * fixed parenthesization. */
+  def mixturePlan(df: DataFrame, sourceCol: String, tokens: Column,
+                  weights: DataFrame, budgetTokens: Long,
+                  maxEpochs: Double): DataFrame = {
+    require(budgetTokens > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    val counts = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(greatest(coalesce(tokens.cast("long"), lit(0L)), lit(0L))).as("n_tokens"))
+    val w9 = round(col("weight"), 9).cast("decimal(28,9)")
+    val wTot = weights.agg(sum(w9).as("w_tot"))
+    val wn = weights.crossJoin(broadcast(wTot))
+      .select(col(sourceCol),
+        (w9.cast("double") / col("w_tot").cast("double")).as("target_w"))
+    val planned = counts.join(broadcast(wn), Seq(sourceCol))
+      .withColumn("epochs", when(col("n_tokens") > 0,
+        least(lit(maxEpochs),
+          (col("target_w") * lit(budgetTokens.toDouble)) / col("n_tokens").cast("double")))
+        .otherwise(lit(0.0)))
+      .withColumn("planned9",
+        round(col("epochs") * col("n_tokens").cast("double"), 9).cast("decimal(28,9)"))
+    val tot = planned.agg(sum(col("planned9")).as("total_p"))
+    planned.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("target_w"),
+        col("epochs"), col("planned9").cast("double").as("tokens_planned"),
+        (col("planned9").cast("double") / col("total_p").cast("double"))
+          .as("realized_w"))
+  }
 }

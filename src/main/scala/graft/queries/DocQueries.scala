@@ -966,6 +966,45 @@ object DocQueries {
         |FROM scored sc JOIN th USING (source) WHERE sc.quality >= th.threshold
         |ORDER BY doc_id""".stripMargin)),
 
+    // ---- Epoch-capped mixture plan: target weights (deterministic
+    //      per-source formula so both engines derive them) + a 100k-token
+    //      budget + a 4-epoch repeat cap -> per-source epochs and the
+    //      realized mixture once the cap binds. Both normalization totals
+    //      sum 9-decimal DECIMAL(28,9) terms (order-independent); every
+    //      double division has one parenthesization on both engines.
+    "q_curate_mixture_plan" -> Q(
+      (s, d) => {
+        import graft.operators.Sampling
+        val docs = docsP(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"))
+        val weights = docs.select("source").distinct()
+          .select(col("source"),
+            ((length(col("source")) % 5) + 1).cast("double").as("weight"))
+        Sampling.mixturePlan(docs, "source", col("n_toks"), weights,
+            budgetTokens = 100000L, maxEpochs = 4.0)
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |w AS (SELECT source, CAST((length(source) % 5) + 1 AS DOUBLE) AS weight
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |wt AS (SELECT sum(CAST(round(weight, 9) AS DECIMAL(28,9))) AS w_tot FROM w),
+        |wn AS (SELECT source, CAST(CAST(round(weight, 9) AS DECIMAL(28,9)) AS DOUBLE)
+        |    / CAST(w_tot AS DOUBLE) AS target_w FROM w, wt),
+        |p AS (SELECT c.source, n_docs, n_tokens, target_w,
+        |  CASE WHEN n_tokens > 0 THEN least(CAST(4.0 AS DOUBLE),
+        |    (target_w * CAST(100000 AS DOUBLE)) / CAST(n_tokens AS DOUBLE))
+        |    ELSE CAST(0.0 AS DOUBLE) END AS epochs
+        |  FROM c JOIN wn USING (source)),
+        |p2 AS (SELECT *, CAST(round(epochs * CAST(n_tokens AS DOUBLE), 9)
+        |  AS DECIMAL(28,9)) AS planned9 FROM p),
+        |tp AS (SELECT sum(planned9) AS total_p FROM p2)
+        |SELECT source, n_docs, n_tokens, target_w, epochs,
+        |  CAST(planned9 AS DOUBLE) AS tokens_planned,
+        |  CAST(planned9 AS DOUBLE) / CAST(total_p AS DOUBLE) AS realized_w
+        |FROM p2, tp ORDER BY source""".stripMargin)),
+
     // ---- Sequence packing: token-budget bin assignment (shard-parallel
     //      contiguous greedy fill — the batching step before writing packed
     //      pre-training sequences). Shard and prefix sums are pure functions

@@ -541,6 +541,32 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
   }
 
+  test("mixturePlan caps epochs and reports the realized mixture") {
+    import graft.operators.Sampling
+    // source a: 100 tokens, b: 1000 tokens; targets 50/50 of a 2000 budget.
+    // a would need 10 epochs -> capped at 4 (400 planned); b takes 1 epoch
+    // (1000 planned): realized mixture shifts to ~0.286/0.714.
+    val docs = Seq(("a", 1L, 100L), ("b", 2L, 400L), ("b", 3L, 600L))
+      .toDF("source", "doc_id", "n_toks")
+    val weights = Seq(("a", 1.0), ("b", 1.0)).toDF("source", "weight")
+    val r = Sampling.mixturePlan(docs, "source", col("n_toks"), weights,
+        budgetTokens = 2000L, maxEpochs = 4.0)
+      .orderBy("source").collect()
+    val a = r(0); val b = r(1)
+    assert(a.getAs[Double]("epochs") == 4.0 &&
+      a.getAs[Double]("tokens_planned") == 400.0)
+    assert(b.getAs[Double]("epochs") == 1.0 &&
+      b.getAs[Double]("tokens_planned") == 1000.0)
+    assert(math.abs(a.getAs[Double]("realized_w") - 400.0 / 1400.0) < 1e-12)
+    assert(math.abs(a.getAs[Double]("target_w") - 0.5) < 1e-12)
+    // uncapped when the budget fits: epochs follow the targets exactly
+    val r2 = Sampling.mixturePlan(docs, "source", col("n_toks"), weights,
+        budgetTokens = 200L, maxEpochs = 4.0)
+      .orderBy("source").collect()
+    assert(math.abs(r2(0).getAs[Double]("epochs") - 1.0) < 1e-12 &&
+      math.abs(r2(1).getAs[Double]("realized_w") - 0.5) < 1e-12)
+  }
+
   test("thresholdBySource cuts each source at its own percentile") {
     import graft.operators.Curation
     val df = Seq(
