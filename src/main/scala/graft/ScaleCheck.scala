@@ -82,6 +82,20 @@ object ScaleCheck {
         .filter(pmod(col("doc_id"), lit(12)) =!= 0)
         .select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"))
 
+    // fixed-size 20-line pages for the line-dedup cases (page count scales
+    // with the corpus; reassembly state stays page-bounded)
+    def scalePages(dir: String): DataFrame =
+      Tables.documents(spark, dir)
+        .select((col("doc_id") / 20L).cast("long").as("page_id"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("all rights reserved boilerplate footer"))
+            .otherwise(array_join(slice(split(col("text"), " "), 1, 8), " "))
+            .as("line"))
+        .groupBy("page_id")
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("doc_id"), col("line")))),
+            x => x.getField("line"))).as("text"))
+
     val cases: Seq[(String, String => DataFrame)] = Seq(
       "daily_rollup" -> (d => Tables.lineitem(spark, d)
         .groupBy(to_date(col("l_shipdate")).as("day"))
@@ -310,6 +324,59 @@ object ScaleCheck {
         emb.select(col("vec_id"),
           graft.functions.VectorFunctions.randomProject(
             col("embedding"), 16, 64).as("pv"))
+      },
+
+      // BM25 retrieval: tf/df/dl are the tfidf agg shapes, the bounded
+      // query-term set is the one broadcast, per-query top-k is the
+      // two-phase sharded rank — expect tfidf-like <=2x
+      "bm25_topk" -> { d =>
+        val s2 = spark
+        import s2.implicits._
+        val qs = Seq((1L, "spark window agg"), (2L, "hash join merge table"),
+          (3L, "vector scan stream")).toDF("query_id", "qtext")
+        graft.operators.TermWeights.bm25TopK(Tables.documents(spark, d),
+          "doc_id", "text", qs, "query_id", "qtext", k = 10)
+      },
+      // cross-doc line dedup over synthetic fixed-size pages (page COUNT
+      // scales, page size fixed at 20 lines; doc_id % 3 == 0 rows inject a
+      // shared boilerplate line): first-occurrence selection is a
+      // partial-agg min(struct) groupBy, so the heavy line combines
+      // map-side — the shuffle carries ~distinct lines
+      "lines_global" -> (d => graft.operators.Lines.dedupLinesAcrossDocs(
+        scalePages(d), "page_id", "text")),
+      // boilerplate cut: the bounded heavy set broadcasts into a LeftAnti;
+      // the corpus line frame is never line-shuffled
+      "lines_boilerplate" -> (d => graft.operators.Lines.dropBoilerplate(
+        scalePages(d), "page_id", "text", minDocs = 5)),
+      // semantic decontamination: FIXED bench set (from the 1x table, the
+      // deployment shape — benchmarks don't scale with the corpus) vs a
+      // 10x corpus; |corpus| x |bench| scoring is scan-stage and the
+      // per-id max partial-aggs before the one unique-id shuffle
+      "semantic_decont" -> { d =>
+        val bench = Tables.embeddings(spark, base)
+          .filter(col("vec_id") % 100L === 0L)
+        graft.operators.Decontaminate.semanticFlags(
+          Tables.embeddings(spark, d), "vec_id", "embedding",
+          bench, "vec_id", "embedding", threshold = 0.3)
+      },
+      // per-source percentile threshold: one bounded agg (discrete-score
+      // exact percentile partial-aggs) + broadcast + scan-stage cut
+      "quality_threshold" -> { d =>
+        val scored = Tables.documents(spark, d).select(col("doc_id"),
+          col("source"), TextFunctions.qualityScore(col("text")).as("quality"))
+        graft.operators.Curation.thresholdBySource(scored, "source",
+          col("quality"), 0.25)
+      },
+      // mixture plan: one corpus count/sum pass + bounded per-source math
+      "mixture_plan" -> { d =>
+        val docs = Tables.documents(spark, d).select(col("doc_id"),
+          col("source"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"))
+        val weights = docs.select("source").distinct()
+          .select(col("source"),
+            ((length(col("source")) % 5) + 1).cast("double").as("weight"))
+        graft.operators.Sampling.mixturePlan(docs, "source", col("n_toks"),
+          weights, budgetTokens = 100000L, maxEpochs = 4.0)
       })
 
     // optional arg: comma-separated substrings — run only matching cases
