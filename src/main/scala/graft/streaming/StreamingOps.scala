@@ -288,6 +288,43 @@ object StreamingOps {
           graft.operators.Similarity.appendIvf(index, batch.toDF(), dir)
       }
 
+  /** Streaming SEMANTIC decontamination — the live twin of
+    * [[graft.operators.Decontaminate.semanticFlags]]: each micro-batch's
+    * embeddings are scored against the STATIC benchmark embedding frame
+    * (bounded and broadcast, re-resolved per batch so a refreshed benchmark
+    * parquet is picked up without restart), and each document emits its
+    * nearest-benchmark flag row once the watermark passes its event-time
+    * window. The scoring join is stateless; the only state is the per-doc
+    * collapse aggregate within the watermark horizon (the
+    * [[nearDupStreamIncrement]] shape — a doc's |bench| scored rows share
+    * its timestamp, so (window, id) groups exactly one doc; the aggregate's
+    * outputs are fresh attributes with no event-time tag). Ties on cosine
+    * break to the smallest bench id, matching the batch operator. Output:
+    * (idCol, tsCol, nearest_bench_id, max_cosine, is_contaminated);
+    * callers filter or quarantine on the flag. */
+  def semanticDecontStream(docs: DataFrame, bench: DataFrame,
+                           tsCol: String, idCol: String, vecCol: String,
+                           benchIdCol: String, benchVecCol: String,
+                           threshold: Double,
+                           watermark: String = "1 day"): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    val b = broadcast(bench.select(col(benchIdCol).as("__bid"),
+      col(benchVecCol).cast("array<double>").as("__bv")))
+    docs.select(col(idCol), col(tsCol), col(vecCol).cast("array<double>").as("__v"))
+      .withWatermark(tsCol, watermark)
+      .crossJoin(b)
+      .select(col(idCol), col(tsCol),
+        graft.functions.VecCosine.cosine(col("__v"), col("__bv")).as("cosine"),
+        col("__bid"))
+      .groupBy(window(col(tsCol), "1 second"), col(idCol))
+      .agg(max(col(tsCol)).as("__ts"),
+        max(struct(col("cosine"), (-col("__bid")).as("nb"))).as("best"))
+      .select(col(idCol), col("__ts").as(tsCol),
+        (-col("best.nb")).as("nearest_bench_id"),
+        col("best.cosine").as("max_cosine"),
+        (col("best.cosine") >= threshold).as("is_contaminated"))
+  }
+
   /** LIVE INGEST CAPSTONE — one foreachBatch pipeline composing the
     * incremental dedup chain end to end, the streaming twin of the batch
     * corpus capstones: per micro-batch,

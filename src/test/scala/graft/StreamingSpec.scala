@@ -230,6 +230,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic decontamination equals the batch flags") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Decontaminate
+    val bench = Seq((100L, Seq(1.0, 0.0)), (101L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val rows = Seq(
+      (1L, ts("2025-01-01 00:00:00"), Seq(1.0, 0.1)),
+      (2L, ts("2025-01-01 00:00:01"), Seq(0.1, 1.0)),
+      (3L, ts("2025-01-01 00:00:02"), Seq(0.7, 0.7)),
+      (4L, ts("2025-01-01 00:00:03"), Seq(-1.0, 0.2)))
+    val mem = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val docs = mem.toDF().toDF("vec_id", "ts", "embedding")
+    val q = StreamingOps.semanticDecontStream(docs, bench,
+        "ts", "vec_id", "embedding", "vec_id", "embedding",
+        threshold = 0.9, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sem_decont")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      // flush: advance the watermark past every doc's window
+      mem.addData((98L, ts("2025-01-03 00:00:00"), Seq(1.0, 0.0)))
+      q.processAllAvailable()
+      mem.addData((99L, ts("2025-01-04 00:00:00"), Seq(1.0, 0.0)))
+      q.processAllAvailable()
+      val stream = s.sql(
+          """SELECT vec_id, nearest_bench_id, round(max_cosine, 9) AS c,
+            |  is_contaminated FROM sem_decont WHERE vec_id < 90""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      val batch = Decontaminate.semanticFlags(
+          rows.toDF("vec_id", "ts", "embedding"), "vec_id", "embedding",
+          bench, "vec_id", "embedding", threshold = 0.9)
+        .select(col("vec_id"), col("nearest_bench_id"),
+          round(col("max_cosine"), 9).as("c"), col("is_contaminated"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      assert(stream == batch, s"stream $stream != batch $batch")
+      assert(stream.exists(x => x._1 == 1L && x._4) &&
+        stream.exists(x => x._1 == 4L && !x._4))
+    } finally q.stop()
+  }
+
   test("streaming near-dup increment: corpus matches and same-signature stream dups dropped") {
     val s = spark
     import s.implicits._
