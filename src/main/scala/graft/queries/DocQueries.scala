@@ -1702,6 +1702,58 @@ object DocQueries {
         |SELECT doc_id, source, ppl, n_tokens FROM w
         |WHERE cum - n_tokens < 500 ORDER BY doc_id""".stripMargin)),
 
+    // ---- Curation capstone v4 (round-12 wave composed): drop documents
+    //      whose EMBEDDING sits near the benchmark set (semantic
+    //      decontamination — vec_id aligns 1:1 with doc_id), cut each
+    //      source at its own 25th quality percentile, then spend a
+    //      500-token budget per source best-quality-first. Every stage is
+    //      the gated operator: broadcast bench scoring + partial-agg max,
+    //      broadcast percentile thresholds, two-phase exact budget cut.
+    "q_pipeline_curate_v4" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, Decontaminate}
+        val docs = Tables.documents(s, d)
+        val e = Tables.embeddings(s, d)
+        val clean = docs.join(
+          Decontaminate.semanticFlags(
+              e.filter(pmod(col("vec_id"), lit(20)) =!= 0), "vec_id", "embedding",
+              e.filter(pmod(col("vec_id"), lit(20)) === 0), "vec_id", "embedding",
+              threshold = 0.3)
+            .filter(!col("is_contaminated"))
+            .select(col("vec_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        val scored = Parallelism.fanOut(clean).select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        val kept = Curation.thresholdBySource(scored, "source", col("quality"),
+          p = 0.25).drop("threshold")
+        Curation.capTokensPerKey(kept, col("source"), col("n_tokens"),
+            budget = 500L, order = Seq(desc("quality"), col("doc_id")),
+            idCol = col("doc_id"))
+          .select(col("doc_id"), col("source"),
+            round(col("quality"), 9).as("quality_r"), col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id % 20 != 0),
+        |be AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |mc AS (SELECT ce.vec_id, max(${cosSql("ce.v", "be.bv")}) AS m
+        |  FROM ce, be GROUP BY 1),
+        |fl AS (SELECT vec_id FROM mc WHERE m < CAST(0.3 AS DOUBLE)),
+        |${qualityLangCtes("documents")},
+        |q1 AS (SELECT sc.doc_id, sc.source, sc.quality,
+        |  sc.n_toks AS n_tokens FROM scored sc JOIN fl ON fl.vec_id = sc.doc_id),
+        |th AS (SELECT source, quantile_cont(quality, 0.25) AS threshold
+        |  FROM q1 GROUP BY 1),
+        |q2 AS (SELECT q1.* FROM q1 JOIN th USING (source)
+        |  WHERE quality >= threshold),
+        |w AS (SELECT doc_id, source, quality, n_tokens, sum(n_tokens) OVER (
+        |  PARTITION BY source ORDER BY quality DESC, doc_id
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM q2)
+        |SELECT doc_id, source, round(quality, 9) AS quality_r, n_tokens
+        |FROM w WHERE cum - n_tokens < 500 ORDER BY doc_id""".stripMargin)),
+
     // ---- Quality-weighted sampling: keep probability proportional to the
     //      document's quality score (hash bucket < quality*100) — the
     //      numeric generalization of the stratified gate; membership stays
