@@ -24,6 +24,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Local-iteration knobs (the driver sets none of these):
   *  - SPARK_GRAFT_REPS: timed runs per query (median reported)
+  *  - SPARK_GRAFT_WARMUP: untimed warm runs per query (default 1; use ~3
+  *    for solo runs on a fresh JVM so HotSpot compilation isn't timed)
   *  - SPARK_GRAFT_BENCH_ONLY: comma-separated substrings; only matching
   *    query names run.
   */
@@ -32,6 +34,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt.max(1)
+    // Warm (untimed) runs per query. Default 1 for suite runs, where the JVM
+    // is already JIT-hot from prior gates; SOLO runs on a fresh JVM need ~3
+    // to stop measuring HotSpot compilation instead of the plan.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt.max(1)
     val only: String => Boolean = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(pats) => name => pats.split(',').exists(name.contains)
       case None => _ => true
@@ -55,6 +61,12 @@ object Bench {
         leftover.values.foreach(_.unpersist(blocking = false))
       }
     }
+    // A gate family = the q_<token> prefix (q_weather, q_dedup, q_sim, ...).
+    // Between families the heap gets a full GC on top of the cache sweep:
+    // residue from ~150 prior gates (old-gen churn, codegen caches) was
+    // measured inflating tail-family timings 2.6–4.5x on untouched code
+    // (VERDICT r12). GC runs before t0, so it costs wall-clock, not timings.
+    def family(name: String): String = name.split('_').take(2).mkString("_")
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -67,13 +79,20 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = SparkEntry.inventory.filter(kv => only(kv._1)).map { case (name, q) =>
-      once(name, q.fn)  // warm: codegen + JIT + classloading
+    val suite = SparkEntry.inventory.filter(kv => only(kv._1))
+    var prevFamily = ""
+    val results = suite.map { case (name, q) =>
+      if (family(name) != prevFamily) { System.gc(); prevFamily = family(name) }
+      (1 to warmups).foreach { _ =>  // warm: codegen + JIT + classloading
+        once(name, q.fn); sweepCache(name)
+      }
       val timed = (1 to reps).map { _ =>
         sweepCache(name) // drop persisted intermediates -> timed run redoes all real work
         once(name, q.fn)
       }
       sweepCache(name)   // leave nothing cached for the next query
+      if (reps > 1) System.err.println(
+        f"[bench] $name reps: ${timed.map(t => f"$t%.3f").mkString(" ")}")
       name -> median(timed)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -10,8 +10,19 @@ import graft.queries.{DocQueries, Q, RelationalQueries, WeatherQueries}
   * DuckDB oracle whose arithmetic is written to hash-match bit-for-bit.
   */
 object SparkEntry {
+  /** Suite order is a measurement decision: the weather gates are the
+    * cross-round comparison anchors, and r10–r12 all diagnosed their tail
+    * timings inflating 2.6–4.5x with suite position behind ~150 gates of
+    * doc-pipeline cache/GC residue. Running them FIRST overcorrects the
+    * other way — solo fresh-JVM medians read 0.45–0.7 s for gates whose
+    * hot-JVM cost is ~0.26 s, because HotSpot takes tens of seconds of
+    * execution to fully compile the Spark stack. So: the ~60 light
+    * relational gates run first (a JIT warm phase that is itself useful
+    * signal), the weather anchors read on a hot, residue-free JVM, and the
+    * heavy doc pipelines — the only family that builds real cache/GC
+    * residue — run last, where they contaminate nobody but themselves. */
   val inventory: Seq[(String, Q)] =
-    RelationalQueries.all ++ DocQueries.all ++ WeatherQueries.all
+    RelationalQueries.all ++ WeatherQueries.all ++ DocQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises scan → join → hash-agg → window-rank in one plan (A9+W4). */

@@ -50,10 +50,94 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("word")).limit(wordCap)
 
-  /** Classic BPE merge loop over a (word, count) table. Pure function of
-    * the table — exposed for testing; [[trainBpe]] feeds it the distributed
-    * counts. Stops early when no adjacent pair occurs at least twice. */
+  /** BPE merge loop over a (word, count) table with INCREMENTAL pair
+    * maintenance — the subword-nmt/SentencePiece trainer shape. Pure
+    * function of the table — exposed for testing; [[trainBpe]] feeds it the
+    * distributed counts. Stops early when no adjacent pair occurs at least
+    * twice.
+    *
+    * Complexity: a naive trainer rescans every word per merge —
+    * O(numMerges × Σ|word|), hours of driver time at a real tokenizer's
+    * 32k–100k merges. Here each merge touches ONLY the words containing the
+    * merged pair (an inverted index pair → word-ids), subtracting the old
+    * word's pair counts and adding the re-segmented word's — so total work
+    * is O(Σ affected-word lengths), which shrinks geometrically as pair
+    * frequencies follow the zipfian tail. The argmax is a lazy max-heap:
+    * every count change pushes a fresh (count, pair) entry; pops are
+    * validated against the live count and stale entries discarded. Ordering
+    * is (count desc, left asc, right asc) — the same total order as the
+    * recompute reference, so merge tables are bit-identical
+    * (BpeSpec pins incremental ≡ recompute). */
   private[graft] def mergesFromCounts(counts: Seq[(String, Long)],
+                                          numMerges: Int): Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] =
+      counts.iterator.map(_._1.map(_.toString).toArray).toArray
+    val wcount: Array[Long] = counts.iterator.map(_._2).toArray
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // Max-heap on (count, then lexicographically SMALLEST pair wins ties):
+    // reverse the string legs so the priority queue's max element is the
+    // recompute loop's minBy((-n, a, b)) choice.
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse)
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)]
+    def bump(k: (String, String), delta: Long): Unit = {
+      val next = stats.getOrElse(k, 0L) + delta
+      if (next <= 0L) { stats.remove(k); () }
+      else { stats.update(k, next); heap.enqueue((next, k._1, k._2)) }
+    }
+    def eachPair(syms: Array[String])(f: ((String, String)) => Unit): Unit = {
+      var i = 0
+      while (i < syms.length - 1) { f((syms(i), syms(i + 1))); i += 1 }
+    }
+    words.indices.foreach { wi =>
+      eachPair(words(wi)) { k =>
+        bump(k, wcount(wi))
+        where.getOrElseUpdate(k, mutable.HashSet.empty) += wi
+      }
+    }
+    val out = Vector.newBuilder[(Long, String, String, Long)]
+    var rank = 0L
+    var done = false
+    while (rank < numMerges && !done) {
+      // Pop until a live entry surfaces: an entry is live iff its recorded
+      // count equals the pair's current count (every change re-enqueued a
+      // fresh entry, so the true max is always present; stale shadows above
+      // it validate false and drop).
+      var best: (String, String) = null
+      var bestCount = 0L
+      while (best == null && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (stats.getOrElse((l, r), 0L) == c) { best = (l, r); bestCount = c }
+      }
+      if (best == null || bestCount < 2L) done = true
+      else {
+        val (l, r) = best
+        out += ((rank, l, r, bestCount))
+        val affected = where.getOrElse(best, mutable.HashSet.empty).toArray
+        affected.foreach { wi =>
+          val old = words(wi)
+          eachPair(old) { k => bump(k, -wcount(wi)); where.get(k).foreach(_ -= wi) }
+          val merged = mergeOnce(old, l, r)
+          words(wi) = merged
+          eachPair(merged) { k =>
+            bump(k, wcount(wi))
+            where.getOrElseUpdate(k, mutable.HashSet.empty) += wi
+          }
+        }
+        stats.remove(best)
+        where.remove(best)
+        rank += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Reference recompute trainer — rebuilds the full pair-count table every
+    * merge. Quadratic in merges; kept ONLY as the equivalence oracle for
+    * the incremental trainer (BpeSpec asserts identical merge tables). */
+  private[graft] def mergesFromCountsRecompute(counts: Seq[(String, Long)],
                                           numMerges: Int): Seq[(Long, String, String, Long)] = {
     var vocab: Vector[(Array[String], Long)] =
       counts.iterator.map { case (w, c) => (w.map(_.toString).toArray, c) }.toVector

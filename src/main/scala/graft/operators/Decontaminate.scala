@@ -30,7 +30,9 @@ object Decontaminate {
     * (doc_id, n_shingles, n_matched, contamination, is_contaminated). */
   def fractions(corpus: DataFrame, benchmark: DataFrame,
                 idCol: String, textCol: String,
-                threshold: Double, shingleK: Int = 3): DataFrame = {
+                threshold: Double, shingleK: Int = 3,
+                scope: graft.core.CacheScope.Handle =
+                  graft.core.CacheScope.detached): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val feats: Column => Column =
       t => array_distinct(TextFunctions.shingles(t, shingleK))
@@ -38,9 +40,10 @@ object Decontaminate {
     // the tokenize+fingerprint pipeline runs once — same discipline as the
     // Dedup self-joins (exchange reuse is unreliable, and unmaterialized
     // branches race to populate the cache)
-    val corpusEdges = Dedup.tokenIndex(corpus, idCol, textCol, feats)
-      .select(col("doc_id"), Dedup.tokenFp60(col("tok")).as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusEdges = scope.pin(
+      Dedup.tokenIndex(corpus, idCol, textCol, feats)
+        .select(col("doc_id"), Dedup.tokenFp60(col("tok")).as("fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     corpusEdges.count()
     val benchFps = Dedup.tokenIndex(benchmark, idCol, textCol, feats)
       .select(Dedup.tokenFp60(col("tok")).as("fp"))

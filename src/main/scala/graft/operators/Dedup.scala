@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.core.Parallelism
+import graft.core.{CacheScope, Parallelism}
 import graft.functions.{TextFunctions, VectorFunctions}
 
 /** Deduplication operators for training-data pipelines.
@@ -72,8 +72,9 @@ object Dedup {
 
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, maxTokenDf: Long = 0L,
-                   tokens: Column => Column = TextFunctions.tokenSet): DataFrame =
-    pairCommonSizes(docs, idCol, textCol, maxTokenDf, tokens)
+                   tokens: Column => Column = TextFunctions.tokenSet,
+                   scope: CacheScope.Handle = CacheScope.detached): DataFrame =
+    pairCommonSizes(docs, idCol, textCol, maxTokenDf, tokens, scope)
       .withColumn("jaccard",
         col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -86,8 +87,9 @@ object Dedup {
     * [[jaccardPairs]]. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        threshold: Double, maxTokenDf: Long = 0L,
-                       tokens: Column => Column = TextFunctions.tokenSet): DataFrame =
-    pairCommonSizes(docs, idCol, textCol, maxTokenDf, tokens)
+                       tokens: Column => Column = TextFunctions.tokenSet,
+                       scope: CacheScope.Handle = CacheScope.detached): DataFrame =
+    pairCommonSizes(docs, idCol, textCol, maxTokenDf, tokens, scope)
       .withColumn("containment",
         col("common").cast("double") / least(col("n_a"), col("n_b")))
       .filter(col("containment") >= threshold)
@@ -97,7 +99,8 @@ object Dedup {
     * over the distinct feature sets of the two documents. */
   private def pairCommonSizes(docs: DataFrame, idCol: String, textCol: String,
                               maxTokenDf: Long,
-                              tokens: Column => Column): DataFrame = {
+                              tokens: Column => Column,
+                              scope: CacheScope.Handle): DataFrame = {
     val tok1 = tokenIndex(docs, idCol, textCol, tokens)
       .select(col("doc_id"), tokenFp60(col("tok")).as("tok"))
     // df cut as a partial-aggregable groupBy + shuffle_hash semi-join, NOT a
@@ -124,7 +127,7 @@ object Dedup {
     // persist so tokenization/hashing runs once, not three times. The
     // count() materializes the cache up front — otherwise the join branches
     // race to populate it and can each recompute the full pipeline.
-    val tok = tok0.persist(StorageLevel.MEMORY_AND_DISK)
+    val tok = scope.pin(tok0.persist(StorageLevel.MEMORY_AND_DISK))
     tok.count()
     preCut.foreach(_.unpersist())
     // shuffle_hash hints on every join of corpus-scaled frames: their cached
@@ -244,12 +247,14 @@ object Dedup {
     * are verified with the exact token-set Jaccard. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, rowsPerBand: Int, threshold: Double,
-                      tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+                      tokens: Column => Column = TextFunctions.tokenSet,
+                      scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
     // signatures are expensive to build and the band frame is tiny (a few
     // rows per doc); persist it so the self-join doesn't recompute the
     // whole minhash pipeline for each side
-    val bands0 = minhashBands(minhashSig(docs, idCol, textCol, k, tokens), k, rowsPerBand)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands0 = scope.pin(
+      minhashBands(minhashSig(docs, idCol, textCol, k, tokens), k, rowsPerBand)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     bands0.count() // materialize before the self-join (see jaccardPairs note)
     // corpus-scaled frame: pin the join strategy (see jaccardPairs)
     val bands = bands0.hint("shuffle_hash")
@@ -258,17 +263,19 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val verified = jaccardVerify(docs, idCol, textCol, cand, tokens)
+    val verified = jaccardVerify(docs, idCol, textCol, cand, tokens, scope)
     verified.filter(col("jaccard") >= threshold)
   }
 
   /** Exact Jaccard restricted to a candidate-pair set (verification step). */
   def jaccardVerify(docs: DataFrame, idCol: String, textCol: String,
                     pairs: DataFrame,
-                    tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
-    val sets0 = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
-      .select(col("doc_id"), tokens(col(textCol)).as("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // read twice (a-side + b-side)
+                    tokens: Column => Column = TextFunctions.tokenSet,
+                    scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
+    val sets0 = scope.pin(
+      Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+        .select(col("doc_id"), tokens(col(textCol)).as("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)) // read twice (a-side + b-side)
     sets0.count() // materialize before the double join (see jaccardPairs note)
     // corpus-scaled frame: pin the join strategy (see jaccardPairs)
     val sets = sets0.hint("shuffle_hash")
@@ -323,15 +330,16 @@ object Dedup {
     * 16-bit bands (4 hex chars), verified by full 64-bit hamming distance. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int,
-                   tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+                   tokens: Column => Column = TextFunctions.tokenSet,
+                   scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
     val sig = simhash(docs, idCol, textCol, tokens)
-    val bands = sig.select(col("doc_id"), col("simhash"),
+    val bands = scope.pin(sig.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"), substring(col("simhash"), 1 + 4 * b, 4).as("bh"))): _*)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bh"))
       // tiny (4 rows/doc); persist so the self-join doesn't rebuild the
       // signature pipeline for each side
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     bands.count() // materialize before the self-join (see jaccardPairs note)
     // corpus-scaled frame: pin the join strategy (see jaccardPairs)
     val b = bands.hint("shuffle_hash")
@@ -383,7 +391,8 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None,
-                          checkpointInterval: Int = 3): DataFrame = {
+                          checkpointInterval: Int = 3,
+                          scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
     // orient src > dst (drops self-loops); both star steps preserve the
@@ -420,6 +429,9 @@ object Dedup {
       iter += 1
     }
     lastRunRounds = iter
+    // the final round's frame backs the lazy labeling below for the life of
+    // the caller's action — pin it so a scoped caller can release it
+    pinned.foreach(scope.pin)
     // converged state is a star forest: every non-root node carries an edge
     // to its component's minimum id, so one min-over-neighbors agg labels
     // every node (roots label themselves via least(id, min_nbr))
@@ -549,7 +561,8 @@ object Dedup {
     */
   def connectedComponentsPropagation(pairs: DataFrame, maxIter: Int = 20,
                                      checkpointDir: Option[String] = None,
-                                     checkpointInterval: Int = 3): DataFrame = {
+                                     checkpointInterval: Int = 3,
+                                     scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
     val fwd = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -599,8 +612,9 @@ object Dedup {
     lastRunRounds = iter
     // the edge list is superseded once the final labels are materialized;
     // only the final round's frame stays cached, for the caller to consume
-    // (and release with an ordinary cache sweep)
+    // (released via the scope handle, or an ordinary cache sweep)
     edgesPinned.foreach(_.unpersist())
+    labelsPinned.foreach(scope.pin)
     labels.select(col("id"), col("comp"), (col("id") === col("comp")).as("is_keeper"))
   }
 
@@ -945,16 +959,18 @@ object Dedup {
     * is bucket-local instead of O(n^2). */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, bucketBits: Int = 8,
-                       dim: Int = 64): DataFrame = {
+                       dim: Int = 64,
+                       scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
-    val b = Parallelism.fanOut(emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")))
-      .select(col("vec_id"), col("v"),
-        VectorFunctions.hyperplaneBucket(col("v"), bucketBits, dim).as("bucket"))
-      // persist + materialize like every other self-join in this file:
-      // exchange reuse is unreliable, and without the count() the two join
-      // branches race to populate the cache and can each recompute the full
-      // fanOut + bucket pipeline (the observed bimodal-timing failure mode)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val b = scope.pin(
+      Parallelism.fanOut(emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")))
+        .select(col("vec_id"), col("v"),
+          VectorFunctions.hyperplaneBucket(col("v"), bucketBits, dim).as("bucket"))
+        // persist + materialize like every other self-join in this file:
+        // exchange reuse is unreliable, and without the count() the two join
+        // branches race to populate the cache and can each recompute the full
+        // fanOut + bucket pipeline (the observed bimodal-timing failure mode)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     b.count()
     // corpus-scaled frame: pin the join strategy (see jaccardPairs)
     val bh = b.hint("shuffle_hash")
@@ -991,13 +1007,14 @@ object Dedup {
     * branch recomputes the full assignment pipeline; the harness sweeps
     * DF-level caches between gates. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    centroids: DataFrame, threshold: Double): DataFrame = {
+                    centroids: DataFrame, threshold: Double,
+                    scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
     graft.GraftExtensions.register(emb.sparkSession)
-    val assigned = semanticAssign(emb, idCol, vecCol, centroids)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val assigned = scope.pin(semanticAssign(emb, idCol, vecCol, centroids)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     assigned.count() // materialize: two consumers below must not race
     val edges = semanticPairs(assigned, threshold)
-    val labels = connectedComponents(edges.select("id_a", "id_b"))
+    val labels = connectedComponents(edges.select("id_a", "id_b"), scope = scope)
     val lab = assigned
       .join(labels.select(col("id").as("nbr_id"), col("comp")), Seq("nbr_id"), "left")
       .select(col("nbr_id").as("vec_id"), col("cell"),

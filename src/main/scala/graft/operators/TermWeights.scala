@@ -40,14 +40,16 @@ object TermWeights {
     * term), `tf_idf` = tf * n_docs / df, and the 1-based `rank` within the
     * document (ties broken by term for determinism). */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int,
-                tokens: Column => Column = TextFunctions.tokens): DataFrame = {
+                tokens: Column => Column = TextFunctions.tokens,
+                scope: graft.core.CacheScope.Handle =
+                  graft.core.CacheScope.detached): DataFrame = {
     val toks = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), explode(tokens(col(textCol))).as("tok"))
     // tf is read twice below (the scored rows and the df aggregation);
     // persist + materialize so the tokenize/explode pipeline runs once and
     // the branches don't race to populate the cache (see Dedup.jaccardPairs)
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tf = scope.pin(toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     tf.count()
     // tf has one row per (doc, term), so counting rows per term IS the
     // document frequency; see the scale note above for why this is a

@@ -1648,7 +1648,7 @@ object DocQueries {
         val docs = Tables.documents(s, d)
         val ref = docs.filter(graft.operators.Sampling.split(
           col("doc_id"), 80, 10, salt = ":bpe1") === "train")
-        val merges = Bpe.trainBpe(ref, "doc_id", "text", numMerges = 100)
+        val merges = Bpe.trainBpe(ref, "doc_id", "text", numMerges = 1000)
         Bpe.applyBpe(docs, "doc_id", "text", merges)
           .select(col("doc_id"),
             when(col("words").isNull, lit(0L))

@@ -19,6 +19,56 @@ class BpeSpec extends SparkSpec {
       (2L, "l", "o", 7L), (3L, "lo", "w", 7L), (4L, "e", "w", 6L)))
   }
 
+  test("incremental trainer matches the recompute reference exactly") {
+    // Hand example, exhaustively (more merges than exist -> early stop too)
+    assert(Bpe.mergesFromCounts(counts, 50) ==
+      Bpe.mergesFromCountsRecompute(counts, 50))
+    // Pseudo-random corpora: seeded LCG so the case is reproducible.
+    var seed = 0x2545F4914F6CDD1DL
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    (1 to 5).foreach { _ =>
+      val alphabet = "abcdef"
+      val words = (1 to 60).map { _ =>
+        val len = 1 + nextInt(8)
+        (1 to len).map(_ => alphabet(nextInt(alphabet.length))).mkString
+      }.distinct
+      val rand = words.map(w => (w, 1L + nextInt(9).toLong))
+      val inc = Bpe.mergesFromCounts(rand, 40)
+      val ref = Bpe.mergesFromCountsRecompute(rand, 40)
+      assert(inc == ref, s"diverged on corpus $rand")
+    }
+  }
+
+  test("incremental trainer handles repeated-symbol runs like the reference") {
+    // aaaa-style words stress overlapping-pair bookkeeping: mergeOnce is
+    // leftmost-nonoverlapping, so (a,a) in "aaaa" counts 3 adjacencies but
+    // merges to [aa, aa] — the delta update must agree with a full rescan.
+    val runs = Seq(("aaaa", 5L), ("aaa", 4L), ("aa", 3L), ("abab", 2L),
+      ("aabb", 2L), ("bbbb", 7L))
+    assert(Bpe.mergesFromCounts(runs, 20) ==
+      Bpe.mergesFromCountsRecompute(runs, 20))
+  }
+
+  test("incremental trainer sustains 1000+ merges") {
+    // A corpus rich enough to yield >1000 distinct merges: numbered words
+    // with shared prefixes. The recompute reference would do 1000 full
+    // vocab rescans here; the incremental trainer touches only affected
+    // words per merge. Equivalence is spot-checked on the first 200 ranks
+    // (the recompute cost at 1000 is exactly what this trainer removes).
+    val big = (0 until 3000).map(i => (s"w${i}x${i % 37}y", (i % 13 + 2).toLong))
+    val t0 = System.nanoTime()
+    val inc = Bpe.mergesFromCounts(big, 1200)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(inc.size >= 1000, s"only ${inc.size} merges found")
+    assert(inc.map(_._1) == inc.indices.map(_.toLong))
+    assert(secs < 30.0, f"incremental trainer took $secs%.1f s")
+    val ref = Bpe.mergesFromCountsRecompute(big, 200)
+    assert(inc.take(200) == ref)
+  }
+
   test("encodeWord applies merges by rank priority") {
     val ranks = Bpe.mergesFromCounts(counts, 5)
       .map { case (r, l, rr, _) => (l, rr) -> r.toInt }.toMap
