@@ -62,6 +62,42 @@ object Decontaminate {
       .withColumn("is_contaminated", col("contamination") >= threshold)
   }
 
+  /** N-gram-COLLISION decontamination — the GPT-3 appendix-C / Llama rule:
+    * flag a document when ANY of its word k-shingles (13-grams in the
+    * original recipe) appears anywhere in the benchmark set, instead of
+    * thresholding an overlap fraction. One colliding 13-gram is already
+    * decisive evidence of verbatim benchmark text (a 13-token exact match
+    * does not happen by chance), which is why the big-model recipes use
+    * collision, not fraction, for their eval-set hygiene. Output:
+    * (doc_id, n_shingles, n_collisions, is_contaminated).
+    *
+    * Same scale shape as [[fractions]] (it IS fractions' pipeline — fp60
+    * edges, benchmark distinct set, left-semi mark, partial-agg counts);
+    * only the verdict differs: `n_collisions >= 1`. Documents shorter than
+    * k tokens collapse to one whole-text shingle ([[TextFunctions.shingles]])
+    * — they collide only on an exact short-text match, the rule's natural
+    * degenerate case. */
+  def ngramCollisions(corpus: DataFrame, benchmark: DataFrame,
+                      idCol: String, textCol: String, shingleK: Int = 13,
+                      scope: graft.core.CacheScope.Handle =
+                        graft.core.CacheScope.detached): DataFrame =
+    fractions(corpus, benchmark, idCol, textCol, threshold = 1.0, shingleK,
+        scope)
+      .select(col("doc_id"), col("n_shingles"),
+        col("n_matched").as("n_collisions"),
+        (col("n_matched") >= 1L).as("is_contaminated"))
+
+  /** Drop every [[ngramCollisions]]-flagged document (left-anti on the
+    * unique doc id) — the deployed form of the collision rule. */
+  def ngramClean(corpus: DataFrame, benchmark: DataFrame,
+                 idCol: String, textCol: String,
+                 shingleK: Int = 13): DataFrame =
+    corpus.join(
+      ngramCollisions(corpus, benchmark, idCol, textCol, shingleK)
+        .filter(col("is_contaminated"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** The cleaning step: corpus rows whose contamination stays below
     * `threshold` (inner join on the kept ids — no wide row carried through
     * the aggregation). */

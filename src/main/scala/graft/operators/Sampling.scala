@@ -172,4 +172,37 @@ object Sampling {
         (col("planned9").cast("double") / col("total_p").cast("double"))
           .as("realized_w"))
   }
+
+  /** Materialize a [[mixturePlan]] into data — the step that turns the
+    * (source, epochs) report into the actual training corpus. Each source's
+    * rows are replicated `floor(epochs)` times (the full passes), and the
+    * fractional remainder becomes ONE more deterministic hash-sampled pass:
+    * a row joins the partial epoch iff its 10000-bucket hash (key + salt)
+    * falls below `frac * 10000` — so the partial pass is a reproducible
+    * subset, not a seeded random one, and resalting gives an independent
+    * subset. Output: the input columns plus `epoch` (0-based pass index;
+    * epochs `0 .. floor-1` are complete, epoch `floor` is the partial one).
+    *
+    * Scale shape: the plan is per-source (tiny — always broadcast); the
+    * replication is a scan-stage `explode(sequence(...))` whose output size
+    * is exactly the planned token budget — there is no shuffle here at all,
+    * and downstream packing/shuffling sees epoch-tagged rows it can treat
+    * like any others. Epoch counts are bounded by the plan's `maxEpochs`,
+    * so the explode fan-out is a small constant, never data-dependent
+    * skew. Determinism: `epochs` arrives from the plan as the same double
+    * both engines computed; the fractional threshold `(epochs -
+    * floor(epochs)) * 10000.0` has one parenthesization. */
+  def realizeMixture(df: DataFrame, sourceCol: String, key: Column,
+                     plan: DataFrame, salt: String = ""): DataFrame = {
+    val p = plan.select(col(sourceCol), col("epochs"))
+    val full = floor(col("epochs")).cast("long")
+    val fracBp = (col("epochs") - floor(col("epochs"))) * lit(10000.0)
+    val copies = full +
+      when(hashBucket(key, 10000, salt).cast("double") < fracBp, 1L).otherwise(0L)
+    df.join(broadcast(p), Seq(sourceCol))
+      .withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies", "epochs")
+  }
 }

@@ -70,11 +70,16 @@ object DocQueries {
 
   /** Distinct word 3-shingles of `toks` — mirrors TextFunctions.shingles(3)
     * followed by array_distinct. */
-  private val ShinglesSql =
-    s"""list_distinct(CASE WHEN len(toks) >= $ShingleK
-       | THEN list_transform(range(1, len(toks) - ${ShingleK - 2}),
-       |   i -> array_to_string(toks[i:i+${ShingleK - 1}], ' '))
+  /** DISTINCT word k-shingles of `toks` — mirrors
+    * `array_distinct(TextFunctions.shingles(text, k))` including the
+    * short-document collapse to one whole-text shingle. */
+  private def shinglesSqlK(k: Int): String =
+    s"""list_distinct(CASE WHEN len(toks) >= $k
+       | THEN list_transform(range(1, len(toks) - ${k - 2}),
+       |   i -> array_to_string(toks[i:i+${k - 1}], ' '))
        | ELSE [array_to_string(toks, ' ')] END)""".stripMargin
+
+  private val ShinglesSql = shinglesSqlK(ShingleK)
 
   /** Span-dedup shingle width: 8 tokens is the C4-ish "long enough to be
     * boilerplate, short enough to catch it" middle ground at gate scale.
@@ -1005,6 +1010,57 @@ object DocQueries {
         |  CAST(planned9 AS DOUBLE) / CAST(total_p AS DOUBLE) AS realized_w
         |FROM p2, tp ORDER BY source""".stripMargin)),
 
+    // ---- Mixture-plan REALIZATION (round 13): the solver's (source,
+    //      epochs) report turned into epoch-tagged data — floor(epochs)
+    //      full passes per source plus a deterministic 10000-bucket
+    //      hash-sampled partial pass for the fractional remainder.
+    //      Summarized per (source, epoch) with an id checksum so the hash
+    //      gate pins row-level replication, not just counts.
+    "q_pipeline_mixture_realized" -> Q(
+      (s, d) => {
+        import graft.operators.Sampling
+        val docs = docsP(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"))
+        val weights = docs.select("source").distinct()
+          .select(col("source"),
+            ((length(col("source")) % 5) + 1).cast("double").as("weight"))
+        val plan = Sampling.mixturePlan(docs, "source", col("n_toks"), weights,
+          budgetTokens = 100000L, maxEpochs = 4.0)
+        Sampling.realizeMixture(docs, "source", col("doc_id"), plan,
+            salt = ":rx1")
+          .groupBy("source", "epoch")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").as("n_tokens"),
+            sum("doc_id").as("id_sum"))
+          .orderBy("source", "epoch")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source,
+        |  CAST(len($ToksSql) AS BIGINT) AS n_toks FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |w AS (SELECT source, CAST((length(source) % 5) + 1 AS DOUBLE) AS weight
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |wt AS (SELECT sum(CAST(round(weight, 9) AS DECIMAL(28,9))) AS w_tot FROM w),
+        |wn AS (SELECT source, CAST(CAST(round(weight, 9) AS DECIMAL(28,9)) AS DOUBLE)
+        |    / CAST(w_tot AS DOUBLE) AS target_w FROM w, wt),
+        |p AS (SELECT c.source,
+        |  CASE WHEN n_tokens > 0 THEN least(CAST(4.0 AS DOUBLE),
+        |    (target_w * CAST(100000 AS DOUBLE)) / CAST(n_tokens AS DOUBLE))
+        |    ELSE CAST(0.0 AS DOUBLE) END AS epochs
+        |  FROM c JOIN wn USING (source)),
+        |r AS (SELECT t.doc_id, t.source, t.n_toks,
+        |  CAST(floor(epochs) AS BIGINT)
+        |    + CASE WHEN CAST(${fp60Sql("CAST(doc_id AS VARCHAR) || ':rx1'")} % 10000
+        |        AS DOUBLE) < (epochs - floor(epochs)) * 10000.0
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM t JOIN p USING (source)),
+        |e AS (SELECT doc_id, source, n_toks, unnest(range(n_copies)) AS epoch
+        |  FROM r WHERE n_copies > 0)
+        |SELECT source, epoch, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- Sequence packing: token-budget bin assignment (shard-parallel
     //      contiguous greedy fill — the batching step before writing packed
     //      pre-training sequences). Shard and prefix sums are pure functions
@@ -1242,6 +1298,37 @@ object DocQueries {
         |SELECT s.doc_id, n_shingles, coalesce(n_matched, 0) AS n_matched,
         | CAST(coalesce(n_matched, 0) AS DOUBLE) / n_shingles AS contamination,
         | (CAST(coalesce(n_matched, 0) AS DOUBLE) / n_shingles) >= 0.5 AS is_contaminated
+        |FROM s LEFT JOIN m ON s.doc_id = m.doc_id ORDER BY s.doc_id""".stripMargin)),
+
+    // ---- N-gram-collision decontamination (round 13): the GPT-3/Llama
+    //      rule — ONE shared 13-gram with the benchmark set flags the
+    //      document. To give the gate real collisions, every 10th document
+    //      plays the eval set (so exact-duplicate documents land on both
+    //      sides at sf scale); the short-doc whole-text-shingle collapse is
+    //      mirrored in shinglesSqlK(13).
+    "q_decontaminate_ngram" -> Q(
+      (s, d) => {
+        import graft.operators.Decontaminate
+        val docs = Tables.documents(s, d)
+        Decontaminate.ngramCollisions(
+            docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+            "doc_id", "text", shingleK = 13)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |c0 AS (SELECT doc_id, unnest(${shinglesSqlK(13)}) AS tok FROM t
+        |  WHERE doc_id % 10 != 0),
+        |c AS (SELECT doc_id, $TokenFp60Sql AS fp FROM c0),
+        |b0 AS (SELECT doc_id, unnest(${shinglesSqlK(13)}) AS tok FROM t
+        |  WHERE doc_id % 10 = 0),
+        |b AS (SELECT DISTINCT $TokenFp60Sql AS fp FROM b0),
+        |m AS (SELECT doc_id, count(*) AS n_matched FROM c
+        |  WHERE fp IN (SELECT fp FROM b) GROUP BY doc_id),
+        |s AS (SELECT doc_id, count(*) AS n_shingles FROM c GROUP BY doc_id)
+        |SELECT s.doc_id, n_shingles,
+        | coalesce(n_matched, 0) AS n_collisions,
+        | coalesce(n_matched, 0) >= 1 AS is_contaminated
         |FROM s LEFT JOIN m ON s.doc_id = m.doc_id ORDER BY s.doc_id""".stripMargin)),
 
     // ---- PII redaction (scan-stage regex rewrite): the synthetic documents

@@ -447,6 +447,34 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L))
   }
 
+  test("n-gram collision rule: one shared 13-gram flags the document") {
+    import graft.operators.Decontaminate
+    val benchSentence = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliett kilo lima mike" // exactly 13 tokens
+    val corpus = Seq(
+      (1L, s"intro words then $benchSentence and a long trailing tail here"),
+      (2L, "no overlap with the benchmark at all in this document text body " +
+        "that runs well past thirteen tokens to form real shingles"),
+      (3L, "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
+        "kilo lima DIFFERENT so the window never matches anywhere"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"some context $benchSentence closing words"))
+      .toDF("doc_id", "text")
+    val r = Decontaminate.ngramCollisions(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(r.map(_.getAs[Boolean]("is_contaminated")).toSeq ==
+      Seq(true, false, false))
+    assert(r.head.getAs[Long]("n_collisions") >= 1L)
+    // fraction rule at 0.5 would MISS doc 1 (one 13-gram in a long doc);
+    // the collision rule exists precisely for that case
+    val frac = Decontaminate.fractions(corpus, bench, "doc_id", "text",
+      threshold = 0.5, shingleK = 13).orderBy("doc_id").collect()
+    assert(!frac.head.getAs[Boolean]("is_contaminated"))
+    val kept = Decontaminate.ngramClean(corpus, bench, "doc_id", "text")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
   test("hash split is stable, exhaustive, and salt-independent samples differ") {
     import graft.operators.Sampling
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
@@ -565,6 +593,41 @@ class OperatorsSpec extends SparkSpec {
       .orderBy("source").collect()
     assert(math.abs(r2(0).getAs[Double]("epochs") - 1.0) < 1e-12 &&
       math.abs(r2(1).getAs[Double]("realized_w") - 0.5) < 1e-12)
+  }
+
+  test("realizeMixture replicates integer epochs and hash-samples the fraction") {
+    import graft.operators.Sampling
+    val docs = (1L to 40L).map(i => (if (i <= 20) "a" else "b", i, 10L))
+      .toDF("source", "doc_id", "n_toks")
+    // a: epochs = 2.5 -> every a-row twice plus a deterministic half-rate
+    // partial pass; b: epochs = 1.0 exactly -> one copy, no partial pass
+    val plan = Seq(("a", 2.5), ("b", 1.0)).toDF("source", "epochs")
+    val out = Sampling.realizeMixture(docs, "source", col("doc_id"), plan,
+      salt = ":t")
+    val rows = out.collect().map(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    val byDoc = rows.groupBy(_._2).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // every a-doc appears in epochs {0,1} or {0,1,2}; every b-doc exactly {0}
+    (1L to 20L).foreach { i =>
+      assert(byDoc(i) == Seq(0L, 1L) || byDoc(i) == Seq(0L, 1L, 2L),
+        s"doc $i got epochs ${byDoc(i)}")
+    }
+    (21L to 40L).foreach(i => assert(byDoc(i) == Seq(0L)))
+    // the partial pass is close to half of source a (hash-binomial, 20 docs)
+    val partial = rows.count { case (s, _, e) => s == "a" && e == 2L }
+    assert(partial > 2 && partial < 18, s"partial pass took $partial/20")
+    // deterministic: same salt -> identical realization; salt change -> the
+    // integer passes hold and only the partial-pass membership moves
+    assert(Sampling.realizeMixture(docs, "source", col("doc_id"), plan,
+      salt = ":t").collect().map(_.toSeq).toSet == out.collect().map(_.toSeq).toSet)
+    val other = Sampling.realizeMixture(docs, "source", col("doc_id"), plan,
+      salt = ":u").collect().map(r =>
+        (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("epoch")))
+    assert(other.count(_._3 < 2L) == rows.count(_._3 < 2L))
+    // zero-epoch sources vanish entirely
+    val none = Sampling.realizeMixture(docs, "source", col("doc_id"),
+      Seq(("a", 0.0), ("b", 0.0)).toDF("source", "epochs"), salt = ":t")
+    assert(none.count() == 0)
   }
 
   test("thresholdBySource cuts each source at its own percentile") {
