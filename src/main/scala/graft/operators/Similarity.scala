@@ -358,6 +358,131 @@ object Similarity {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
   }
 
+  // ==================== product quantization (IVF+PQ) ====================
+
+  /** Trained PQ codebooks: `m` subspaces of `dim / m` dims each, `nCodes`
+    * codewords per subspace (≤ 256 so a code fits one biased byte).
+    * `codebooks` is (subspace, code, codeword: array<double>) — any
+    * deterministic construction works (per-subspace k-means via [[trainPq]]
+    * in production; the oracle gate uses exact hash-bucket subvector means,
+    * the same swap [[Dedup.semanticDedup]] makes for its centroids). */
+  case class PqCodebooks(m: Int, dim: Int, nCodes: Int, codebooks: DataFrame) {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    require(nCodes <= 256, s"nCodes $nCodes exceeds one byte per code")
+    def subDim: Int = dim / m
+  }
+
+  /** Train PQ codebooks: one k-means per subspace over a deterministic hash
+    * sample (same sampling/iteration discipline as [[buildIvf]]'s coarse
+    * quantizer — codebook quality needs subvector diversity, not the full
+    * corpus, and the m fits run on the SAME bounded sample). The driver
+    * loop is over m (≤ dozens), never over data. */
+  def trainPq(corpus: DataFrame, m: Int, nCodes: Int = 256,
+              seed: Long = 42L): PqCodebooks = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = Parallelism.fanOut(
+      corpus.select(col("vec_id").as("nbr_id"),
+        col("embedding").cast("array<double>").as("nbr_v")))
+    val dim = c.select(size(col("nbr_v"))).head.getInt(0)
+    val sub = dim / m
+    val n = c.count()
+    val targetRows = nCodes.toLong * 100L
+    val pct = math.min(100, math.max(1,
+      math.ceil(targetRows * 100.0 / math.max(n, 1L)).toInt))
+    val train = Sampling.sampleByHash(c, col("nbr_id"), pct, salt = s"pq$seed")
+      .select(col("nbr_v")).repartition(4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    train.count()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = (0 until m).flatMap { j =>
+      val model = new KMeans().setK(nCodes).setSeed(seed + j).setMaxIter(5)
+        .setInitMode("random")
+        .fit(train.select(
+          array_to_vector(slice(col("nbr_v"), j * sub + 1, sub)).as("features")))
+      model.clusterCenters.toIndexedSeq.zipWithIndex.map {
+        case (cent, i) => (j, i, cent.toArray.toSeq)
+      }
+    }
+    train.unpersist()
+    PqCodebooks(m, dim, nCodes, rows.toDF("subspace", "code", "codeword"))
+  }
+
+  /** Encode a built index's vectors to PQ codes: each subvector is assigned
+    * its nearest codeword ([[assignCells]]'s broadcast + min_by shape, per
+    * subspace; distance ties break to the lowest code). The assigned frame
+    * becomes (nbr_id, pq_codes: array<tinyint>, cell) — m BYTES per vector
+    * (codes stored biased by -128), the 16–64x compression step beyond
+    * [[quantizeIvf]]'s int8 (dim bytes). Build-time cost: one explode to
+    * (vector, subspace) rows, a broadcast codebook join, and two
+    * partial-agg groupBys — paid once in the build-once/search-many
+    * lifecycle, like assignment itself. */
+  def encodePq(index: IvfIndex, pq: PqCodebooks): IvfIndex = {
+    graft.GraftExtensions.register(index.assigned.sparkSession)
+    val sub = pq.subDim
+    val exploded = index.assigned
+      .select(col("nbr_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(pq.m - 1)),
+          j => slice(col("nbr_v").cast("array<double>"), j * sub + 1, lit(sub)))))
+      .select(col("nbr_id"), col("cell"),
+        col("pos").as("subspace"), col("col").as("subvec"))
+    val codes = exploded.join(broadcast(pq.codebooks), Seq("subspace"))
+      .groupBy("nbr_id", "cell", "subspace")
+      .agg(min_by(col("code"),
+        struct(graft.functions.VecCosine.dist2(col("subvec"), col("codeword")).as("d"),
+          col("code"))).as("code"))
+      .groupBy("nbr_id", "cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => (s.getField("code") - lit(128)).cast("byte")).as("pq_codes"))
+    IvfIndex(codes.select(col("nbr_id"), col("pq_codes"), col("cell")),
+      index.centroids)
+  }
+
+  /** Probe a PQ-coded index: candidates come from the `nProbe` nearest
+    * cells (same [[probeCells]] equi-join), and each candidate's score is
+    * the cosine between the full-precision query and the candidate's PQ
+    * RECONSTRUCTION — decoded IN THE PROBE SCAN by indexing a nested
+    * [subspace][code] -> codeword array that rides a one-row broadcast
+    * (codebooks are DATA in a joined row, never plan literals, so codegen
+    * is constant-sized in m x nCodes — the same blowup [[assignCells]]
+    * avoids for centroids). This is ADC by reconstruction: cosine(q,
+    * concat_j cw_j) — scores are a deterministic left-to-right fold, so
+    * the nProbe = nLists mode hash-matches a brute-force oracle over the
+    * same reconstructions (the table-lookup ADC variant precomputes
+    * per-query partial dots; its sum order over subspaces is engine-
+    * dependent, which is why the reconstruction form is the gated one).
+    * At production nProbe << nLists the scan touches nProbe/nLists of an
+    * index that is m bytes per vector. Recall vs exact search is bounded
+    * in SimilaritySpec. */
+  def searchIvfPq(index: IvfIndex, pq: PqCodebooks, queries: DataFrame,
+                  k: Int, nProbe: Int): DataFrame = {
+    graft.GraftExtensions.register(queries.sparkSession)
+    val probed = probeCells(queries, index.centroids, nProbe)
+    // nested [subspace][code] -> codeword value (one row, metadata-sized):
+    // inner sort by code, outer by subspace — both deterministic
+    val nested = pq.codebooks
+      .groupBy("subspace")
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("codeword")))),
+        s => s.getField("codeword")).as("cb"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("cb")))),
+        s => s.getField("cb")).as("cb"))
+    val store = index.assigned.crossJoin(broadcast(nested))
+      .select(col("cell"), col("nbr_id"),
+        flatten(transform(col("pq_codes"), (c, j) =>
+          element_at(element_at(col("cb"), j + lit(1)),
+            c.cast("int") + lit(129)))).as("nbr_v"))
+    val scored = store.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,

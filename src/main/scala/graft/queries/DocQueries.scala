@@ -2615,6 +2615,75 @@ object DocQueries {
       },
       Some(QuantTopKSql)),
 
+    // IVF+PQ — product-quantized index: m=8 subspaces x 16 codewords, codes
+    // stored as biased bytes (8 bytes/vector vs 64 int8 bytes vs 512 float64
+    // — the 100 TB in-memory ANN shape). At nProbe = nLists every cell is
+    // probed, so the coarse k-means cells cannot affect the result and only
+    // the CODEBOOKS must be cross-engine deterministic: the gate swaps
+    // k-means codebooks for exact hash-bucket subvector means (the
+    // q_dedup_semantic trick), and the oracle mirrors encode (argmin d2,
+    // ties to lowest code), reconstruction (flatten in subspace order), and
+    // cosine bit for bit. The k-means-trained path's recall is bounded in
+    // SimilaritySpec.
+    "q_sim_topk_ivf_pq" -> Q(
+      (s, d) => {
+        import graft.operators.{Centroids, Dedup}
+        val emb = Tables.embeddings(s, d)
+        val e = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        val (m, sub, nCodes) = (8, 8, 16)
+        val cb = (0 until m).map { j =>
+          e.select(col("vec_id"),
+              pmod(Dedup.tokenFp60(concat(col("vec_id").cast("string"),
+                lit(s":pq$j"))), lit(nCodes.toLong)).as("code"),
+              slice(col("v"), j * sub + 1, sub).as("sv"))
+            .groupBy("code")
+            .agg(array((1 to sub).map(i =>
+              Centroids.exactDimMean(col("vec_id"), element_at(col("sv"), i))): _*)
+              .as("codeword"))
+            .select(lit(j).as("subspace"), col("code").cast("int").as("code"),
+              col("codeword"))
+        }.reduce(_ unionByName _)
+        val pq = Similarity.PqCodebooks(m, 64, nCodes, cb)
+        val coded = Similarity.encodePq(
+          Similarity.sharedIvf(emb, corpusKey = d, nLists = 16), pq)
+        Similarity.searchIvfPq(coded, pq, emb.filter(col("vec_id") < 8),
+            k = 10, nProbe = 16)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val cbUnion = (0 until 8).map { j =>
+          val dims = (1 to 8).map { i =>
+            val g = j * 8 + i
+            s"list_dot_product(list(v[$g] ORDER BY vec_id), " +
+              s"list_transform(list(v[$g] ORDER BY vec_id), x -> 1.0)) " +
+              s"/ len(list(v[$g] ORDER BY vec_id))"
+          }.mkString(", ")
+          s"""SELECT $j AS subspace, code, [$dims] AS codeword FROM (
+             |  SELECT vec_id, v,
+             |    ${fp60Sql(s"CAST(vec_id AS VARCHAR) || ':pq$j'")} % 16 AS code
+             |  FROM e) GROUP BY code""".stripMargin
+        }.mkString("\n UNION ALL\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb AS ($cbUnion),
+        |enc0 AS (SELECT e.vec_id, cb.subspace, cb.code, cb.codeword,
+        |  ${d2Sql("e.v[(cb.subspace * 8 + 1):(cb.subspace * 8 + 8)]", "cb.codeword")} AS d2
+        |  FROM e CROSS JOIN cb),
+        |enc AS (SELECT vec_id, subspace, codeword FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+        |    ORDER BY d2, code) AS rn FROM enc0) WHERE rn = 1),
+        |recon AS (SELECT vec_id AS nbr_id,
+        |  flatten(list(codeword ORDER BY subspace)) AS nbr_v
+        |  FROM enc GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT query_id, nbr_id, ${cosSql("qv", "nbr_v")} AS cosine
+        |  FROM recon CROSS JOIN q WHERE nbr_id != query_id)
+        |SELECT query_id, nbr_id, cosine,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+      }),
+
     // Two-stage search: quantized-IVF candidates (top-20 at nProbe = nLists,
     // so the candidate set is exactly quantized brute-force top-20) re-ranked
     // by exact full-precision cosine — FAISS-style IVF+refine. The oracle

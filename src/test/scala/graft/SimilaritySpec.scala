@@ -26,6 +26,51 @@ class SimilaritySpec extends SparkSpec {
     assert(full == exact, "nProbe = nLists should equal brute force")
   }
 
+  test("IVF+PQ: trained codebooks compress to m bytes and keep usable recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 10
+    // real training path: per-subspace k-means (m=16 subspaces x 64 codes
+    // over 64 dims -> 16 bytes/vector vs 512 for float64; the synthetic
+    // embeddings are near-uniform, the hardest case for PQ, so the spec
+    // uses the finer 4-dim subspaces a random-ish corpus needs)
+    val pq = Similarity.trainPq(emb, m = 16, nCodes = 64, seed = 7L)
+    assert(pq.subDim == 4)
+    val cbRows = pq.codebooks.collect()
+    assert(cbRows.length == 16 * 64)
+    assert(cbRows.forall(_.getSeq[Double](2).length == 4))
+    val index = Similarity.sharedIvf(emb, corpusKey = "pq-spec", nLists = 16)
+    val coded = Similarity.encodePq(index, pq)
+    // compression shape: m byte-typed codes per vector, one row per vector
+    val schema = coded.assigned.schema("pq_codes").dataType
+    assert(schema == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false) ||
+      schema.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    val codeRows = coded.assigned.select("pq_codes").collect()
+    assert(codeRows.forall(_.getSeq[Byte](0).length == 16))
+    assert(coded.assigned.count() == emb.count())
+    def resultSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = resultSet(Similarity.bruteForceTopK(emb, queries, k))
+    // nProbe = nLists: every pair is scored, so the remaining error is pure
+    // quantization — recall must be well above chance (10/500 = 0.02)
+    val full = resultSet(Similarity.searchIvfPq(coded, pq, queries, k, nProbe = 16))
+    val fullRecalls = exact.map { case (q, ids) => (full(q) & ids).size.toDouble / ids.size }
+    val fullMean = fullRecalls.sum / fullRecalls.size
+    assert(fullMean >= 0.4, s"PQ full-probe mean recall $fullMean")
+    // pruned probe loses at most the cell-miss recall on top
+    val pruned = resultSet(Similarity.searchIvfPq(coded, pq, queries, k, nProbe = 4))
+    val prunedRecalls = exact.map { case (q, ids) =>
+      (pruned.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size }
+    val prunedMean = prunedRecalls.sum / prunedRecalls.size
+    assert(prunedMean >= 0.25, s"PQ nProbe=4 mean recall $prunedMean")
+    assert(fullMean >= prunedMean - 1e-9,
+      "probing every cell cannot lose recall vs pruned probing")
+    spark.catalog.clearCache()
+  }
+
   test("sharedIvf memoizes per key and re-persists after a cache sweep") {
     import org.apache.spark.storage.StorageLevel
     val emb = Tables.embeddings(spark, sf)
