@@ -377,6 +377,43 @@ object ScaleCheck {
             ((length(col("source")) % 5) + 1).cast("double").as("weight"))
         graft.operators.Sampling.mixturePlan(docs, "source", col("n_toks"),
           weights, budgetTokens = 100000L, maxEpochs = 4.0)
+      },
+      // mixture REALIZATION: broadcast plan + scan-stage explode; budget
+      // scales with the corpus so per-source epochs stay comparable and
+      // output rows grow ~linearly with input
+      "mixture_realized" -> { d =>
+        val docs = Tables.documents(spark, d).select(col("doc_id"),
+          col("source"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"))
+        val weights = docs.select("source").distinct()
+          .select(col("source"),
+            ((length(col("source")) % 5) + 1).cast("double").as("weight"))
+        val budget = if (d == base) 100000L else 1000000L
+        val plan = graft.operators.Sampling.mixturePlan(docs, "source",
+          col("n_toks"), weights, budgetTokens = budget, maxEpochs = 4.0)
+        graft.operators.Sampling.realizeMixture(docs, "source",
+          col("doc_id"), plan, salt = ":rx")
+      },
+      // 13-gram collision decontamination: FIXED bench set vs 10x corpus —
+      // same fp60-edge + semi-join + partial-agg shape as `decontaminate`,
+      // wider shingles, verdict instead of fraction
+      "ngram_decont" -> { d =>
+        val bench = Tables.documents(spark, base)
+          .filter(col("doc_id") % 20L === 0L)
+        graft.operators.Decontaminate.ngramCollisions(
+          Tables.documents(spark, d), bench, "doc_id", "text", shingleK = 13)
+      },
+      // IVF+PQ: build/train/encode once per scale (the build-once cost),
+      // probe with a fixed bounded query set; the index the probe scans is
+      // m bytes/vector, cell-pruned
+      "ivf_pq_search" -> { d =>
+        val emb = Tables.embeddings(spark, d)
+        val idx = graft.operators.Similarity.buildIvf(emb, nLists = 16, seed = 42L)
+        val pq = graft.operators.Similarity.trainPq(emb, m = 16, nCodes = 64,
+          seed = 7L)
+        val coded = graft.operators.Similarity.encodePq(idx, pq)
+        graft.operators.Similarity.searchIvfPq(coded, pq,
+          emb.filter(col("vec_id") % 1000L === 0L), k = 10, nProbe = 2)
       })
 
     // optional arg: comma-separated substrings — run only matching cases

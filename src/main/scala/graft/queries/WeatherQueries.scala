@@ -122,5 +122,50 @@ object WeatherQueries {
         |  FROM g)
         |SELECT city AS top_city, avg_value AS top_avg, next_avg AS second_avg,
         | (avg_value - next_avg) / abs(next_avg) * 100.0 AS pct_diff
-        |FROM r WHERE rank = 1 AND next_avg IS NOT NULL""".stripMargin)))
+        |FROM r WHERE rank = 1 AND next_avg IS NOT NULL""".stripMargin)),
+
+    // ---- Weather-transform fixture parity (P1/A1-A4 over the reference's
+    //      minimal fixtures; literal-value oracles). Moved here from the
+    //      DocQueries tail so the whole weather family occupies one suite
+    //      position — these two spent r10-r12 at the very end of the
+    //      154-gate suite, where the bench kept reading them through ~150
+    //      gates of doc-pipeline residue.
+    "q_weather_daily" -> Q(
+      (s, _) => WeatherTransform.daily(
+          WeatherSources.rawFromJson(s, DocQueries.FixtureWeatherJson),
+          WeatherSources.rawFromJson(s, DocQueries.FixtureAirJson))
+        .orderBy("date"),
+      Some("""SELECT CAST('2025-01-01' AS DATE) AS date,
+        |  CAST(25.0 AS DOUBLE) AS temp_min, CAST(26.5 AS DOUBLE) AS temp_max,
+        |  CAST(0.1 AS DOUBLE) AS total_rain, CAST(15.0 AS DOUBLE) AS pm25_avg,
+        |  CAST(27.5 AS DOUBLE) AS pm10_avg, 'Sedang' AS pm25_category,
+        |  CAST(NULL AS VARCHAR) AS sunrise, CAST(NULL AS VARCHAR) AS sunset
+        |UNION ALL
+        |SELECT CAST('2025-01-02' AS DATE),
+        |  CAST(24.0 AS DOUBLE), CAST(24.0 AS DOUBLE),
+        |  CAST(2.4 AS DOUBLE), CAST(40.0 AS DOUBLE),
+        |  CAST(60.0 AS DOUBLE), 'Tidak sehat (sensitif)',
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |ORDER BY date""".stripMargin)),
+
+    "q_weather_hourly" -> Q(
+      (s, _) => WeatherTransform.hourly(
+          WeatherSources.rawFromJson(s, DocQueries.FixtureWeatherJson),
+          WeatherSources.rawFromJson(s, DocQueries.FixtureAirJson))
+        .withColumn("time", col("time").cast("timestamp_ntz"))
+        .orderBy("time"),
+      Some {
+        val rows = Seq(
+          ("2025-01-01 00:00:00", "25.0", "0.0", "10.0", "25.0", "2025-01-01"),
+          ("2025-01-01 01:00:00", "26.5", "0.1", "20.0", "30.0", "2025-01-01"),
+          ("2025-01-02 00:00:00", "24.0", "2.4", "40.0", "60.0", "2025-01-02"))
+        rows.map { case (t, temp, rain, pm25, pm10, dt) =>
+          s"""SELECT CAST('$t' AS TIMESTAMP) AS time, CAST($temp AS DOUBLE) AS temp,
+             | CAST($rain AS DOUBLE) AS rain, CAST(NULL AS DOUBLE) AS rh,
+             | CAST(NULL AS DOUBLE) AS wind, CAST(NULL AS DOUBLE) AS feels_like,
+             | CAST(NULL AS DOUBLE) AS wcode, CAST(NULL AS DOUBLE) AS dew_point,
+             | CAST(NULL AS DOUBLE) AS wind_dir, CAST($pm25 AS DOUBLE) AS pm25,
+             | CAST($pm10 AS DOUBLE) AS pm10, CAST('$dt' AS DATE) AS date""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY time")
+      }))
 }
