@@ -452,6 +452,67 @@ class PlanSpec extends SparkSpec {
       s"probe side shuffled for a filter lookup:\n$plan")
   }
 
+  test("realizeMixture broadcasts the plan; the corpus is never shuffled") {
+    import graft.operators.Sampling
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val plan = Seq(("web", 2.5), ("books", 1.0)).toDF("source", "epochs")
+    val p = planOf(Sampling.realizeMixture(docs, "source", col("doc_id"), plan))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"plan frame not broadcast:\n$p")
+    // replication is explode over a broadcast join in the scan stage: the
+    // only exchange allowed is the broadcast of the per-source plan
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"corpus shuffled for the plan join:\n$p")
+    assert(p.contains("Generate"), s"no explode stage:\n$p")
+  }
+
+  test("ngram decontamination semi-joins fp60 edges; corpus never broadcast") {
+    import graft.operators.Decontaminate
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 20L === 0L)
+    val p = planOf(Decontaminate.ngramCollisions(
+      docs.filter(col("doc_id") % 20L =!= 0L), bench, "doc_id", "text",
+      shingleK = 13))
+    assert(p.contains("LeftSemi"), s"no semi-join mark stage:\n$p")
+    // the corpus edge frame (token-scaled) must never be a broadcast build
+    // side; the bounded benchmark MAY broadcast
+    assert(!p.contains("CartesianProduct"), s"cartesian in decontamination:\n$p")
+  }
+
+  test("PQ probe decodes via one-row broadcast; the coded store is never built-side") {
+    import graft.operators.Similarity
+    val s = spark
+    import s.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val cents = Seq((0L, Seq(0.1, 0.2)), (1L, Seq(0.9, 0.8)))
+      .toDF("cell", "centroid")
+      .select(col("cell"),
+        col("centroid").cast("array<double>").as("centroid"))
+    val narrowed = emb.select(col("vec_id").as("nbr_id"),
+      slice(col("embedding"), 1, 2).cast("array<double>").as("nbr_v"))
+    val cb = Seq((0, 0, Seq(0.1, 0.1)), (0, 1, Seq(0.9, 0.9)))
+      .toDF("subspace", "code", "codeword")
+      .select(col("subspace"), col("code"),
+        col("codeword").cast("array<double>").as("codeword"))
+    val pq = Similarity.PqCodebooks(1, 2, 2, cb)
+    val coded = Similarity.encodePq(
+      Similarity.IvfIndex(Similarity.assignCells(narrowed, cents), cents), pq)
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id"), slice(col("embedding"), 1, 2)
+        .cast("array<double>").as("embedding"))
+    val p = planOf(Similarity.searchIvfPq(coded, pq, queries, k = 3, nProbe = 1))
+    // the nested codebook and the probed query frame are the only broadcast
+    // sides; the coded corpus store must stream through the join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"nested codebook not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus-scaled cartesian in PQ probe:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe join fell back to a corpus sort:\n$p")
+  }
+
   test("semanticDedup pairs join shuffled on cell, never cartesian") {
     import graft.operators.Dedup
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
