@@ -325,6 +325,44 @@ object StreamingOps {
         (col("best.cosine") >= threshold).as("is_contaminated"))
   }
 
+  /** Streaming N-GRAM-COLLISION decontamination — the live twin of
+    * [[graft.operators.Decontaminate.ngramCollisions]] (the GPT-3/Llama
+    * rule: one shared k-gram with the benchmark set flags the document).
+    * Each micro-batch's documents explode to their DISTINCT shingle
+    * fingerprints in the scan stage and LEFT-OUTER join the STATIC
+    * benchmark fingerprint set (bounded; re-resolved per batch, so a
+    * refreshed benchmark parquet is picked up without restart) — a
+    * stateless stream-static join, exactly the [[nearDupStreamMatches]]
+    * probe shape. The only state is the per-doc (window, id) collapse
+    * within the watermark horizon that counts shingles and hits (the
+    * [[semanticDecontStream]] aggregate — a doc's shingle rows share its
+    * timestamp, so each group is one doc). Output per document once its
+    * window closes: (idCol, tsCol, n_shingles, n_collisions,
+    * is_contaminated) — the batch operator's row, plus the event time. */
+  def ngramDecontStream(docs: DataFrame, bench: DataFrame,
+                        tsCol: String, idCol: String, textCol: String,
+                        shingleK: Int = 13,
+                        watermark: String = "1 day"): DataFrame = {
+    val feats: Column => Column =
+      t => array_distinct(TextFunctions.shingles(t, shingleK))
+    val benchFps = Dedup.tokenIndex(bench, idCol, textCol, feats)
+      .select(Dedup.tokenFp60(col("tok")).as("fp"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    docs.select(col(idCol), col(tsCol), col(textCol))
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), explode(feats(col(textCol))).as("tok"))
+      .select(col(idCol), col(tsCol), Dedup.tokenFp60(col("tok")).as("fp"))
+      .join(benchFps, Seq("fp"), "left_outer")
+      .groupBy(window(col(tsCol), "1 second"), col(idCol))
+      .agg(max(col(tsCol)).as("__ts"),
+        count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_collisions"))
+      .select(col(idCol), col("__ts").as(tsCol),
+        col("n_shingles"), col("n_collisions"),
+        (col("n_collisions") >= 1L).as("is_contaminated"))
+  }
+
   /** LIVE INGEST CAPSTONE — one foreachBatch pipeline composing the
     * incremental dedup chain end to end, the streaming twin of the batch
     * corpus capstones: per micro-batch,

@@ -277,6 +277,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming n-gram collision decontamination equals the batch verdicts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Decontaminate
+    val benchSentence = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliett kilo lima mike" // exactly 13 tokens
+    val bench = Seq((100L, s"context $benchSentence closing"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, ts("2025-01-01 00:00:00"),
+        s"intro words then $benchSentence and a trailing tail here"),
+      (2L, ts("2025-01-01 00:00:01"),
+        "no overlap with the benchmark at all in this document text body " +
+          "that runs well past thirteen tokens to form real shingles"),
+      (3L, ts("2025-01-01 00:00:02"),
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliett " +
+          "kilo lima DIFFERENT so the window never matches anywhere"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.ngramDecontStream(docs, bench,
+        "ts", "doc_id", "text", shingleK = 13, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ngram_decont")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      // flush: advance the watermark past every doc's window
+      mem.addData((98L, ts("2025-01-03 00:00:00"), "late flush doc one"))
+      q.processAllAvailable()
+      mem.addData((99L, ts("2025-01-04 00:00:00"), "late flush doc two"))
+      q.processAllAvailable()
+      val stream = s.sql(
+          """SELECT doc_id, n_shingles, n_collisions, is_contaminated
+            |FROM ngram_decont WHERE doc_id < 90""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      val batch = Decontaminate.ngramCollisions(
+          rows.toDF("doc_id", "ts", "text"), bench, "doc_id", "text",
+          shingleK = 13)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(stream == batch, s"stream $stream != batch $batch")
+      assert(stream.exists(x => x._1 == 1L && x._4) &&
+        stream.exists(x => x._1 == 3L && !x._4))
+    } finally q.stop()
+  }
+
   test("streaming near-dup increment: corpus matches and same-signature stream dups dropped") {
     val s = spark
     import s.implicits._
