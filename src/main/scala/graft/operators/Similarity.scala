@@ -483,6 +483,47 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Persist trained PQ codebooks beside a [[saveIvf]] index — the
+    * deployment needs both halves to probe (codes are meaningless without
+    * their codebooks, exactly as cells are without centroids). The codebook
+    * frame is metadata-sized (m x nCodes rows); the shape scalars ride a
+    * one-row meta parquet so [[loadPq]] reconstructs the case class without
+    * inferring from data (empty codes under a sparse deterministic
+    * construction would corrupt an inferred nCodes). */
+  def savePq(pq: PqCodebooks, dir: String): Unit = {
+    val spark = pq.codebooks.sparkSession
+    import spark.implicits._
+    pq.codebooks.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((pq.m, pq.dim, pq.nCodes)).toDF("m", "dim", "n_codes")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_meta")
+  }
+
+  /** Load codebooks persisted by [[savePq]]. Both halves stay lazy scans. */
+  def loadPq(spark: SparkSession, dir: String): PqCodebooks = {
+    val meta = spark.read.parquet(s"$dir/pq_meta")
+      .select("m", "dim", "n_codes").head
+    PqCodebooks(meta.getInt(0), meta.getInt(1), meta.getInt(2),
+      spark.read.parquet(s"$dir/codebooks"))
+  }
+
+  /** [[appendIvf]] for a PQ-coded index: the new batch is assigned under
+    * the FROZEN centroids and encoded under the FROZEN codebooks (neither
+    * retrains per ingest — retraining would re-cell / re-code the whole
+    * corpus), then appended into the same cell-partitioned layout. Load
+    * after append is row-identical to a fresh encode of the unioned corpus
+    * under the same centroids + codebooks (both are pure per-row functions
+    * of frozen model frames — asserted in SimilaritySpec). */
+  def appendIvfPq(index: IvfIndex, pq: PqCodebooks, newBatch: DataFrame,
+                  dir: String): Unit = {
+    val fresh = IvfIndex(
+      assignCells(Parallelism.fanOut(
+          newBatch.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"))),
+        index.centroids),
+      index.centroids)
+    encodePq(fresh, pq).assigned
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
+  }
+
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,

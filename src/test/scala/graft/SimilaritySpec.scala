@@ -71,6 +71,71 @@ class SimilaritySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("PQ index + codebooks persist, append with frozen models, and shrink the store") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val pq = Similarity.trainPq(base, m = 16, nCodes = 32, seed = 11L)
+    val built = Similarity.buildIvf(base, nLists = 8, seed = 42L)
+    val coded = Similarity.encodePq(built, pq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    def bytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).fold(0L)(_.map(walk).sum)
+        else f.length()
+      walk(new java.io.File(d))
+    }
+    try {
+      // save both halves; loaded search == in-memory search row for row
+      Similarity.saveIvf(coded, dir)
+      Similarity.savePq(pq, dir)
+      val loadedPq = Similarity.loadPq(spark, dir)
+      assert((loadedPq.m, loadedPq.dim, loadedPq.nCodes) == ((16, 64, 32)))
+      val loaded = Similarity.loadIvf(spark, dir)
+      val a = Similarity.searchIvfPq(coded, pq, queries, k = 5, nProbe = 3)
+        .orderBy("query_id", "rank").collect()
+      val b = Similarity.searchIvfPq(loaded, loadedPq, queries, k = 5, nProbe = 3)
+        .orderBy("query_id", "rank").collect()
+      assert(a.toSeq == b.toSeq)
+      assert(a.nonEmpty)
+      // frozen-model append: load-after-append == fresh encode of the union
+      Similarity.appendIvfPq(coded, pq, batch, dir)
+      val after = Similarity.loadIvf(spark, dir).assigned
+        .select("nbr_id", "pq_codes", "cell").collect()
+        .map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq,
+          r.getAs[Number]("cell").longValue)).toSet
+      val freshUnion = Similarity.encodePq(
+          Similarity.IvfIndex(Similarity.assignCells(
+            graft.core.Parallelism.fanOut(emb.select(col("vec_id").as("nbr_id"),
+              col("embedding").as("nbr_v"))), built.centroids), built.centroids), pq)
+        .assigned.select("nbr_id", "pq_codes", "cell").collect()
+        .map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq,
+          r.getAs[Number]("cell").longValue)).toSet
+      assert(after == freshUnion, "append diverged from fresh union encode")
+      // the compression story, measured on disk over the SAME rows and the
+      // SAME layout (one unpartitioned file each): PQ codes (m bytes/vector)
+      // vs int8 (dim bytes + scale) vs raw float vectors
+      val cmpDir = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+      try {
+        built.assigned.coalesce(1)
+          .write.mode("overwrite").parquet(s"$cmpDir/raw")
+        Similarity.quantizeIvf(built).assigned.coalesce(1)
+          .write.mode("overwrite").parquet(s"$cmpDir/i8")
+        coded.assigned.coalesce(1)
+          .write.mode("overwrite").parquet(s"$cmpDir/pq")
+        val (raw, i8, pqB) =
+          (bytes(s"$cmpDir/raw"), bytes(s"$cmpDir/i8"), bytes(s"$cmpDir/pq"))
+        assert(i8 < raw, s"int8 $i8 not smaller than raw $raw")
+        assert(pqB < i8, s"pq $pqB not smaller than int8 $i8")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cmpDir))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("sharedIvf memoizes per key and re-persists after a cache sweep") {
     import org.apache.spark.storage.StorageLevel
     val emb = Tables.embeddings(spark, sf)
