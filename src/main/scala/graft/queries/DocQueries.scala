@@ -1841,6 +1841,92 @@ object DocQueries {
         |SELECT doc_id, source, round(quality, 9) AS quality_r, n_tokens
         |FROM w WHERE cum - n_tokens < 500 ORDER BY doc_id""".stripMargin)),
 
+    // ---- Curation capstone v5 (round-13 wave composed): the full recipe
+    //      from raw corpus to packed training bins — drop documents sharing
+    //      ANY 13-gram with the eval set (collision rule), cut each source
+    //      at its own 25th quality percentile, solve the epoch-capped
+    //      mixture over the survivors, REALIZE it (integer passes + the
+    //      deterministic fractional pass), and pack the epoch-tagged rows
+    //      into 512-token bins. Every stage is the individually-gated
+    //      operator; the per-source layout summary pins the composition.
+    "q_pipeline_curate_v5" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, Decontaminate, Packing, Sampling}
+        val docs = Tables.documents(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val clean = Decontaminate.ngramClean(corpus, bench, "doc_id", "text",
+          shingleK = 13)
+        val scored = Parallelism.fanOut(clean).select(
+          col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"))
+        val kept = Curation.thresholdBySource(scored, "source", col("quality"),
+          p = 0.25)
+        val weights = kept.select("source").distinct()
+          .select(col("source"),
+            ((length(col("source")) % 5) + 1).cast("double").as("weight"))
+        val plan = Sampling.mixturePlan(kept, "source", col("n_toks"), weights,
+          budgetTokens = 50000L, maxEpochs = 3.0)
+        val realized = Sampling.realizeMixture(kept, "source", col("doc_id"),
+            plan, salt = ":v5")
+          .withColumn("pack_id", col("doc_id") * 10 + col("epoch"))
+        Packing.packBins(realized, "pack_id", col("n_toks"),
+            budgetTokens = 512L, shards = 8)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("n_toks").as("n_tokens"),
+            countDistinct(col("shard") * lit(100000L) + col("bin")).as("n_bins"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |c0 AS (SELECT doc_id, unnest(${shinglesSqlK(13)}) AS tok FROM tk
+        |  WHERE doc_id % 10 != 0),
+        |cfp AS (SELECT doc_id, $TokenFp60Sql AS fp FROM c0),
+        |b0 AS (SELECT doc_id, unnest(${shinglesSqlK(13)}) AS tok FROM tk
+        |  WHERE doc_id % 10 = 0),
+        |bfp AS (SELECT DISTINCT $TokenFp60Sql AS fp FROM b0),
+        |bad AS (SELECT DISTINCT doc_id FROM cfp
+        |  WHERE fp IN (SELECT fp FROM bfp)),
+        |clean AS (SELECT * FROM documents WHERE doc_id % 10 != 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)),
+        |${qualityLangCtes("clean")},
+        |th AS (SELECT source, quantile_cont(quality, 0.25) AS threshold
+        |  FROM scored GROUP BY 1),
+        |kept AS (SELECT sc.doc_id, sc.source, sc.n_toks FROM scored sc
+        |  JOIN th USING (source) WHERE sc.quality >= th.threshold),
+        |cc AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM kept GROUP BY 1),
+        |w AS (SELECT source, CAST((length(source) % 5) + 1 AS DOUBLE) AS weight
+        |  FROM (SELECT DISTINCT source FROM kept)),
+        |wt AS (SELECT sum(CAST(round(weight, 9) AS DECIMAL(28,9))) AS w_tot FROM w),
+        |wn AS (SELECT source, CAST(CAST(round(weight, 9) AS DECIMAL(28,9)) AS DOUBLE)
+        |    / CAST(w_tot AS DOUBLE) AS target_w FROM w, wt),
+        |p AS (SELECT cc.source,
+        |  CASE WHEN n_tokens > 0 THEN least(CAST(3.0 AS DOUBLE),
+        |    (target_w * CAST(50000 AS DOUBLE)) / CAST(n_tokens AS DOUBLE))
+        |    ELSE CAST(0.0 AS DOUBLE) END AS epochs
+        |  FROM cc JOIN wn USING (source)),
+        |r AS (SELECT k.doc_id, k.source, k.n_toks,
+        |  CAST(floor(epochs) AS BIGINT)
+        |    + CASE WHEN CAST(${fp60Sql("CAST(doc_id AS VARCHAR) || ':v5'")} % 10000
+        |        AS DOUBLE) < (epochs - floor(epochs)) * 10000.0
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM kept k JOIN p USING (source)),
+        |e0 AS (SELECT doc_id, source, n_toks, unnest(range(n_copies)) AS epoch
+        |  FROM r WHERE n_copies > 0),
+        |e AS (SELECT source, n_toks, doc_id * 10 + epoch AS pack_id FROM e0),
+        |ps AS (SELECT source, n_toks, pack_id,
+        |  ${fp60Sql("CAST(pack_id AS VARCHAR)")} % 8 AS shard FROM e),
+        |b AS (SELECT source, n_toks, shard,
+        |  CAST(floor(CAST(coalesce(sum(n_toks) OVER (PARTITION BY shard
+        |    ORDER BY pack_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) / 512.0) AS BIGINT) AS bin
+        |  FROM ps)
+        |SELECT source, count(*) AS n_rows, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        | CAST(count(DISTINCT shard * 100000 + bin) AS BIGINT) AS n_bins
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Quality-weighted sampling: keep probability proportional to the
     //      document's quality score (hash bucket < quality*100) — the
     //      numeric generalization of the stratified gate; membership stays
