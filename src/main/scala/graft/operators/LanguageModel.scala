@@ -202,4 +202,125 @@ object LanguageModel {
                         vocabCap: Int = 65536, bigramCap: Int = 1 << 20): DataFrame =
     perplexity(docs, idCol, textCol,
       trainBigramLm(ref, idCol, textCol, vocabCap, bigramCap))
+
+  // ==================== trigram order ====================
+
+  /** A trained TRIGRAM stupid-backoff model: the [[BigramLm]] plus a capped
+    * (prev2, prev, w, ct) table. A higher order matters for the CCNet role:
+    * the production filter is a 5-gram KenLM, and each added order sharpens
+    * the fluency signal (a bigram model cannot tell "the the the" prose
+    * from real syntax beyond adjacent pairs). The trigram frame is
+    * `trigramCap`-bounded — broadcastable by construction, like the other
+    * model frames. */
+  case class TrigramLm(base: BigramLm, trigrams: DataFrame) {
+    def unigrams: DataFrame = base.unigrams
+    def bigrams: DataFrame = base.bigrams
+  }
+
+  /** The (doc_id, pos, prev2, prev, w) normalized stream — [[normStream]]
+    * with a second 2-shifted predecessor (null at positions 1-2). Built by
+    * zipping the token array with both shifted copies BEFORE exploding —
+    * still scan-stage only; two lag() windows would shuffle the corpus
+    * twice for the same result. */
+  private def normStream3(toks: DataFrame, vocab: DataFrame): DataFrame = {
+    val n = size(col("toks"))
+    val nullS = lit(null).cast("string")
+    val prev1 = when(n >= 1,
+      concat(array(nullS), slice(col("toks"), lit(1), greatest(n - 1, lit(0)))))
+      .otherwise(col("toks"))
+    val prev2 = when(n >= 2,
+      concat(array(nullS, nullS),
+        slice(col("toks"), lit(1), greatest(n - 2, lit(0)))))
+      .otherwise(transform(col("toks"), _ => nullS))
+    val zipped = zip_with(
+      zip_with(col("toks"), prev1, (t, p) => struct(t.as("t"), p.as("p1"))),
+      prev2,
+      (s, p2) => struct(s.getField("t").as("t"), s.getField("p1").as("p1"),
+        p2.as("p2")))
+    val z = toks.select(col("doc_id"), posexplode(zipped))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        col("col.t").as("tok"), col("col.p1").as("prev1Raw"),
+        col("col.p2").as("prev2Raw"))
+    def member(name: String) = broadcast(
+      vocab.select(col("tok").as(s"__v$name"), lit(1).as(s"__m$name")))
+    def norm(raw: org.apache.spark.sql.Column, m: org.apache.spark.sql.Column) =
+      when(raw.isNull, lit(null).cast("string"))
+        .when(m.isNotNull, raw).otherwise(lit(Unk))
+    z.join(member("w"), col("tok") === col("__vw"), "left")
+      .join(member("p"), col("prev1Raw") === col("__vp"), "left")
+      .join(member("q"), col("prev2Raw") === col("__vq"), "left")
+      .select(col("doc_id"), col("pos"),
+        norm(col("prev2Raw"), col("__mq")).as("prev2"),
+        norm(col("prev1Raw"), col("__mp")).as("prev"),
+        when(col("__mw").isNotNull, col("tok")).otherwise(lit(Unk)).as("w"))
+  }
+
+  /** Train the trigram model: the bigram training pass plus ONE more
+    * groupBy-count over the 3-token stream and one more distributed top-k
+    * cut (count desc, then keys asc — a total order, deterministic at tie
+    * boundaries like the other caps). */
+  def trainTrigramLm(ref: DataFrame, idCol: String, textCol: String,
+                     vocabCap: Int = 65536, bigramCap: Int = 1 << 20,
+                     trigramCap: Int = 1 << 22): TrigramLm = {
+    val base = trainBigramLm(ref, idCol, textCol, vocabCap, bigramCap)
+    val toks = tokFrame(ref, idCol, textCol)
+    val tri = normStream3(toks, base.vocab)
+      .filter(col("prev2").isNotNull)
+      .groupBy("prev2", "prev", "w").agg(count(lit(1)).as("ct"))
+      .orderBy(desc("ct"), asc("prev2"), asc("prev"), asc("w"))
+      .limit(trigramCap)
+    TrigramLm(base, tri)
+  }
+
+  /** Per-document perplexity under a trigram model. Token score S:
+    *  - position 1: add-one-smoothed unigram (as the bigram model);
+    *  - position 2: the bigram chain (`c(prev,w)/c(prev)` when the bigram
+    *    survived its cap, else `0.4 x` smoothed unigram);
+    *  - position >= 3: `c(prev2,prev,w) / c(prev2,prev)` when BOTH the
+    *    trigram and its context pair survived their caps (the cap plays
+    *    the role count>0 plays in uncapped stupid backoff — one documented
+    *    contract for every order), else `0.4 x` the bigram chain (which
+    *    itself backs off, so the full fallback is `0.16 x` unigram).
+    * Same rounding/decimal-sum parity contract as [[perplexity]]. */
+  def perplexityTrigram(docs: DataFrame, idCol: String, textCol: String,
+                        lm: TrigramLm): DataFrame = {
+    val ns = normStream3(tokFrame(docs, idCol, textCol), lm.base.vocab)
+    val uniW = broadcast(lm.unigrams.select(col("tok").as("__uw"), col("c").as("cu")))
+    val uniP = broadcast(lm.unigrams.select(col("tok").as("__up"), col("c").as("cprev")))
+    val big = broadcast(lm.bigrams.select(
+      col("prev").as("__bp"), col("w").as("__bw"), col("cb")))
+    val bigCtx = broadcast(lm.bigrams.select(
+      col("prev").as("__cp"), col("w").as("__cw"), col("cb").as("cbc")))
+    val tri = broadcast(lm.trigrams.select(
+      col("prev2").as("__t2"), col("prev").as("__t1"), col("w").as("__tw"),
+      col("ct")))
+    val denom = lit((lm.base.totalTokens + lm.base.vocabTypes + 1).toDouble)
+    val sUni = (coalesce(col("cu"), lit(0L)).cast("double") + lit(1.0)) / denom
+    val sBi = when(col("cb").isNotNull && col("cprev") > 0,
+        col("cb").cast("double") / col("cprev").cast("double"))
+      .otherwise(lit(Backoff) * sUni)
+    val s = when(col("prev").isNull, sUni)
+      .when(col("prev2").isNull, sBi)
+      .when(col("ct").isNotNull && col("cbc").isNotNull,
+        col("ct").cast("double") / col("cbc").cast("double"))
+      .otherwise(lit(Backoff) * sBi)
+    ns.join(tri, col("prev2") === col("__t2") && col("prev") === col("__t1") &&
+        col("w") === col("__tw"), "left")
+      .join(bigCtx, col("prev2") === col("__cp") && col("prev") === col("__cw"), "left")
+      .join(big, col("prev") === col("__bp") && col("w") === col("__bw"), "left")
+      .join(uniW, col("w") === col("__uw"), "left")
+      .join(uniP, col("prev") === col("__up"), "left")
+      .select(col("doc_id"),
+        round(log(s), 9).cast("decimal(28,9)").as("lp"))
+      .groupBy("doc_id")
+      .agg(pplAggs.head, pplAggs.tail: _*)
+  }
+
+  /** Train-and-score convenience for the trigram order. */
+  def perplexityTrigramAgainst(docs: DataFrame, ref: DataFrame,
+                               idCol: String, textCol: String,
+                               vocabCap: Int = 65536, bigramCap: Int = 1 << 20,
+                               trigramCap: Int = 1 << 22): DataFrame =
+    perplexityTrigram(docs, idCol, textCol,
+      trainTrigramLm(ref, idCol, textCol, vocabCap, bigramCap, trigramCap))
 }

@@ -283,6 +283,66 @@ object DocQueries {
        |  LEFT JOIN uni u1 ON u1.tok = es.w
        |  LEFT JOIN uni u2 ON u2.tok = es.prev)""".stripMargin
 
+  /** Trigram-LM scoring CTE chain — mirrors LanguageModel.trainTrigramLm +
+    * perplexityTrigram (the pplCtes contract, one order higher: trigram
+    * counts from a double pos-shift self-join, scoring backs off trigram →
+    * bigram chain → 0.16 × smoothed unigram; the caps play the role
+    * count>0 plays in uncapped stupid backoff). Ends in `sc(doc_id, lp)`. */
+  private def ppl3Ctes(vocabCap: Int, bigramCap: Int, trigramCap: Int,
+                       salt: String): String = {
+    val sUni = s"""((CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
+       |      / CAST((SELECT n FROM tot) + (SELECT u FROM vs) + 1 AS DOUBLE))""".stripMargin
+    val sBi = s"""(CASE WHEN b.cb IS NOT NULL AND u2.c > 0
+       |      THEN CAST(b.cb AS DOUBLE) / CAST(u2.c AS DOUBLE)
+       |      ELSE 0.4 * $sUni END)""".stripMargin
+    s"""ref AS (SELECT tk.* FROM tk
+       |  WHERE ${fp60Sql(s"CAST(doc_id AS VARCHAR) || '$salt'")} % 100 < 80),
+       |re AS (SELECT doc_id, unnest(toks) AS tok FROM ref),
+       |uraw AS (SELECT tok, count(*) AS c FROM re GROUP BY 1),
+       |tot AS (SELECT COALESCE(sum(c), 0) AS n FROM uraw),
+       |vocab AS (SELECT tok, c FROM uraw ORDER BY c DESC, tok LIMIT $vocabCap),
+       |vs AS (SELECT count(*) AS u, COALESCE(sum(c), 0) AS cs FROM vocab),
+       |uni0 AS (SELECT tok, c FROM vocab UNION ALL
+       |  SELECT '<unk>', (SELECT n FROM tot) - (SELECT cs FROM vs)),
+       |uni AS (SELECT tok, sum(c) AS c FROM uni0 GROUP BY 1),
+       |rp AS (SELECT doc_id, unnest(toks) AS tok,
+       |  unnest(range(1, len(toks) + 1)) AS pos FROM ref),
+       |rn AS (SELECT rp.doc_id, rp.pos,
+       |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE rp.tok END AS w
+       |  FROM rp LEFT JOIN vocab v ON v.tok = rp.tok),
+       |big AS (SELECT a.w AS prev, b.w AS w, count(*) AS cb
+       |  FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  GROUP BY 1, 2 ORDER BY cb DESC, prev, w LIMIT $bigramCap),
+       |tri AS (SELECT a.w AS prev2, b.w AS prev, c.w AS w, count(*) AS ct
+       |  FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN rn c ON b.doc_id = c.doc_id AND c.pos = b.pos + 1
+       |  GROUP BY 1, 2, 3 ORDER BY ct DESC, prev2, prev, w LIMIT $trigramCap),
+       |ep AS (SELECT doc_id, unnest(toks) AS tok,
+       |  unnest(range(1, len(toks) + 1)) AS pos FROM tk),
+       |en AS (SELECT ep.doc_id, ep.pos,
+       |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE ep.tok END AS w
+       |  FROM ep LEFT JOIN vocab v ON v.tok = ep.tok),
+       |es3 AS (SELECT cur.doc_id, cur.pos, cur.w, p1.w AS prev, p2.w AS prev2
+       |  FROM en cur LEFT JOIN en p1
+       |  ON p1.doc_id = cur.doc_id AND p1.pos = cur.pos - 1
+       |  LEFT JOIN en p2 ON p2.doc_id = cur.doc_id AND p2.pos = cur.pos - 2),
+       |sc AS (SELECT es3.doc_id,
+       |  CAST(round(ln(CASE
+       |    WHEN es3.prev IS NULL THEN $sUni
+       |    WHEN es3.prev2 IS NULL THEN $sBi
+       |    WHEN t.ct IS NOT NULL AND bc.cb IS NOT NULL
+       |      THEN CAST(t.ct AS DOUBLE) / CAST(bc.cb AS DOUBLE)
+       |    ELSE 0.4 * $sBi
+       |  END), 9) AS DECIMAL(28,9)) AS lp
+       |  FROM es3
+       |  LEFT JOIN tri t ON t.prev2 = es3.prev2 AND t.prev = es3.prev
+       |    AND t.w = es3.w
+       |  LEFT JOIN big bc ON bc.prev = es3.prev2 AND bc.w = es3.prev
+       |  LEFT JOIN big b ON b.prev = es3.prev AND b.w = es3.w
+       |  LEFT JOIN uni u1 ON u1.tok = es3.w
+       |  LEFT JOIN uni u2 ON u2.tok = es3.prev)""".stripMargin
+  }
+
   /** Sign-LSH bucket from random ±1 hyperplane projections — mirrors
     * VectorFunctions.hyperplaneBucket: the SAME seeded signPlanes constants
     * generate both sides, and DuckDB's list_dot_product is a left-to-right
@@ -1633,6 +1693,29 @@ object DocQueries {
       },
       Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
         |${pplCtes(vocabCap = 256, bigramCap = 2048, salt = ":lm1")}
+        |SELECT doc_id, count(*) AS n_scored,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp,
+        |  round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS ppl
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- TRIGRAM perplexity (round 13): one order up from the bigram
+    //      model — the production CCNet filter is a 5-gram KenLM, and each
+    //      added order sharpens the fluency signal. Scoring backs off
+    //      trigram -> bigram chain -> 0.16 x smoothed unigram; the caps
+    //      play the role count>0 plays in uncapped stupid backoff. Same
+    //      decimal-sum bit-parity contract as the bigram gate.
+    "q_text_perplexity_trigram" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(graft.operators.Sampling.split(
+          col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        graft.operators.LanguageModel.perplexityTrigramAgainst(
+            docs, ref, "doc_id", "text",
+            vocabCap = 256, bigramCap = 2048, trigramCap = 4096)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |${ppl3Ctes(vocabCap = 256, bigramCap = 2048, trigramCap = 4096, salt = ":lm1")}
         |SELECT doc_id, count(*) AS n_scored,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp,
         |  round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS ppl

@@ -55,6 +55,43 @@ class LanguageModelSpec extends SparkSpec {
     assert(avg2 == avg6(Seq(1.0 / 6, 1.0 / 15)))
   }
 
+  test("trigram order: hand-computed counts, backoff chain, sharper than bigram") {
+    import spark.implicits._
+    val lm3 = LanguageModel.trainTrigramLm(refDocs, "doc_id", "text",
+      vocabCap = 3, bigramCap = 10, trigramCap = 10)
+    // normalized streams: d1 = a b a b c, d2 = a b <unk>
+    val tri = lm3.trigrams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    assert(tri == Map(("a", "b", "a") -> 1L, ("b", "a", "b") -> 1L,
+      ("a", "b", "c") -> 1L, ("a", "b", LanguageModel.Unk) -> 1L))
+    def lp(x: Double): BigDecimal =
+      BigDecimal(math.log(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def avg6(parts: Seq[Double]): Double =
+      BigDecimal(parts.map(lp).sum.toDouble / parts.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = LanguageModel.perplexityTrigram(
+      Seq((10L, "a b a b c"), (11L, "c c c")).toDF("doc_id", "text"),
+      "doc_id", "text", lm3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // d10 "a b a b c" (the training text): unigram 1/3, bigram 3/3,
+    // then trigram hits 1/3, 1/1, 1/3 — denominators are the CONTEXT
+    // bigram counts (a,b)=3, (b,a)=1, (a,b)=3
+    assert(out(10L)._1 == 5L)
+    assert(out(10L)._2 == avg6(Seq(1.0 / 3, 1.0, 1.0 / 3, 1.0, 1.0 / 3)))
+    // d11 "c c c": unigram (1+1)/12, bigram miss -> 0.4 x 2/12,
+    // trigram AND bigram miss -> 0.4 x (0.4 x 2/12)
+    assert(out(11L)._1 == 3L)
+    assert(out(11L)._2 == avg6(Seq(1.0 / 6, 0.4 * (1.0 / 6), 0.4 * (0.4 * (1.0 / 6)))))
+    // the trigram order scores the training text at least as fluently as
+    // the bigram order (its hits replace 0.4-discounted backoffs)
+    val lm2 = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",
+      vocabCap = 3, bigramCap = 10)
+    val bi = LanguageModel.perplexity(
+      Seq((10L, "a b a b c")).toDF("doc_id", "text"), "doc_id", "text", lm2)
+      .collect().head.getDouble(2)
+    assert(out(10L)._2 >= bi)
+  }
+
   test("empty and null texts produce no score row; self-scored ref is most fluent") {
     import spark.implicits._
     val lm = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",
