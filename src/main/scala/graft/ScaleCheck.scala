@@ -403,6 +403,24 @@ object ScaleCheck {
         graft.operators.Decontaminate.ngramCollisions(
           Tables.documents(spark, d), bench, "doc_id", "text", shingleK = 13)
       },
+      // trigram LM: one extra groupBy-count + top-k cut at train, two extra
+      // broadcast lookups at score — the corpus still shuffles only for the
+      // per-doc sum
+      "perplexity3" -> { d =>
+        val docs = Tables.documents(spark, d)
+        val ref = docs.filter(graft.operators.Sampling.split(
+          col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        graft.operators.LanguageModel.perplexityTrigramAgainst(
+          docs, ref, "doc_id", "text",
+          vocabCap = 256, bigramCap = 2048, trigramCap = 4096)
+      },
+      // bottom-k per key: two shard-bounded windows; phase-2 partitions
+      // carry <= k x shards rows per key at any corpus size
+      "bottom_k" -> { d =>
+        graft.operators.Sampling.bottomKPerKey(
+          Tables.documents(spark, d).select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"), k = 100, salt = ":bk")
+      },
       // IVF+PQ: build/train/encode once per scale (the build-once cost),
       // probe with a fixed bounded query set; the index the probe scans is
       // m bytes/vector, cell-pruned

@@ -173,6 +173,43 @@ object Sampling {
           .as("realized_w"))
   }
 
+  /** Deterministic per-key uniform sample WITHOUT replacement: keep the
+    * `k` rows with the SMALLEST salted 60-bit hashes within each group —
+    * the bottom-k sketch, which is exactly a uniform k-subset when the
+    * hash is uniform, and REPRODUCIBLE (same rows on every run, engine,
+    * and partitioning) where `df.sample`/reservoir methods are not. The
+    * per-key twin of [[sampleByHash]]: rate-based sampling cannot promise
+    * "exactly 1000 docs per domain"; bottom-k can. Resalting draws an
+    * independent sample; k >= group size returns the whole group. Output:
+    * the input rows plus `sample_rank` (1-based position in the group's
+    * hash order — a stable sub-sample handle: rank <= j IS the bottom-j
+    * sample of the same salt).
+    *
+    * Scale shape: the same two-phase trick as `capPerKey` — phase 1 ranks
+    * within (key, hash-shard) so no partition exceeds shard size, phase 2
+    * ranks the <= k x shards survivors per key. Correct because bottom-k
+    * is subset-monotone: a row in the global bottom-k is in its shard's
+    * bottom-k, so phase 1 can only over-keep. The heavy-key hazard of a
+    * single per-key window (one task owning a whole domain's corpus
+    * slice) never materializes. `idCol` must be unique per row (it salts
+    * the hash and breaks md5-collision ties, making the order total). */
+  def bottomKPerKey(df: DataFrame, key: Column, idCol: Column, k: Int,
+                    salt: String = "", shards: Int = 64): DataFrame = {
+    require(k > 0 && shards > 0, "k and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+    val shard = hashBucket(idCol.cast("string"), shards, salt + ":shard")
+    val w1 = Window.partitionBy(key, col("__shard")).orderBy(col("__h"), idCol)
+    val w2 = Window.partitionBy(key).orderBy(col("__h"), idCol)
+    df.withColumn("__h", h).withColumn("__shard", shard)
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .withColumn("sample_rank", row_number().over(w2))
+      .filter(col("sample_rank") <= k)
+      .drop("__h", "__shard", "__r1")
+  }
+
   /** Materialize a [[mixturePlan]] into data — the step that turns the
     * (source, epochs) report into the actual training corpus. Each source's
     * rows are replicated `floor(epochs)` times (the full passes), and the

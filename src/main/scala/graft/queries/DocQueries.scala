@@ -1483,6 +1483,27 @@ object DocQueries {
         |  WHEN source = 'src1' THEN 40 ELSE 10 END)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Deterministic per-key bottom-k sample (round 13): exactly 5
+    //      docs per source, the smallest salted hashes winning — the
+    //      "sample N per domain" primitive rate-based sampling cannot
+    //      express. The oracle ranks with ONE per-key window; the operator
+    //      runs the two-phase shard-bounded form, whose final set is
+    //      identical (bottom-k is subset-monotone).
+    "q_sample_bottom_k" -> Q(
+      (s, d) => graft.operators.Sampling.bottomKPerKey(
+          docsP(s, d).select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"), k = 5, salt = ":bk1")
+        .select(col("doc_id"), col("source"),
+          col("sample_rank").cast("bigint").as("sample_rank"))
+        .orderBy("doc_id"),
+      Some(s"""WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY ${fp60Sql("CAST(doc_id AS VARCHAR) || ':bk1'")}, doc_id)
+        |    AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, source, sample_rank FROM r
+        |WHERE sample_rank <= 5 ORDER BY doc_id""".stripMargin)),
+
     // ---- Context-window chunking: each document split into 64-token
     //      windows overlapping by 16 (step 48) — the stage between cleaning
     //      and sequence packing. Scan-stage only: tokenize, integer-exact

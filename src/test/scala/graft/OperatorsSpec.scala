@@ -595,6 +595,49 @@ class OperatorsSpec extends SparkSpec {
       math.abs(r2(1).getAs[Double]("realized_w") - 0.5) < 1e-12)
   }
 
+  test("bottomKPerKey: exact k per key, shard-invariant, resalt-independent") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("source"))
+    val k = 7
+    val out = Sampling.bottomKPerKey(docs, col("source"), col("doc_id"), k,
+      salt = ":t1")
+    val counts = out.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      assert(counts(s) == math.min(n, k.toLong), s"source $s got ${counts(s)}")
+    }
+    // the two-phase shard form equals the single-window definition exactly
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":t1"))),
+      1, 15), 16, 10).cast("long")
+    val direct = docs
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy("source").orderBy(h, col("doc_id"))))
+      .filter(col("sample_rank") <= k)
+    assert(out.select("doc_id", "source", "sample_rank").collect().toSet ==
+      direct.select("doc_id", "source", "sample_rank").collect().toSet)
+    // shards is an implementation knob, not a semantics knob
+    val oneShard = Sampling.bottomKPerKey(docs, col("source"), col("doc_id"), k,
+      salt = ":t1", shards = 1)
+    assert(oneShard.select("doc_id").collect().toSet ==
+      out.select("doc_id").collect().toSet)
+    // a different salt draws a (very likely) different sample of equal shape
+    val other = Sampling.bottomKPerKey(docs, col("source"), col("doc_id"), k,
+      salt = ":t2")
+    assert(other.count() == out.count())
+    assert(other.select("doc_id").collect().toSet !=
+      out.select("doc_id").collect().toSet)
+    // rank <= j is itself the bottom-j sample of the same salt
+    val j = 3
+    val sub = Sampling.bottomKPerKey(docs, col("source"), col("doc_id"), j,
+      salt = ":t1")
+    assert(sub.select("doc_id").collect().toSet ==
+      out.filter(col("sample_rank") <= j).select("doc_id").collect().toSet)
+  }
+
   test("realizeMixture replicates integer epochs and hash-samples the fraction") {
     import graft.operators.Sampling
     val docs = (1L to 40L).map(i => (if (i <= 20) "a" else "b", i, 10L))
