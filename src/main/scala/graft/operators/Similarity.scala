@@ -524,6 +524,38 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
+  /** HARD-NEGATIVE mining for contrastive/retrieval training: each query's
+    * top-k highest-cosine corpus vectors EXCLUDING its own near-duplicate
+    * component — the gradient-rich negatives (in-batch random negatives
+    * are easy; a near-duplicate mislabeled as a negative actively poisons
+    * the loss, which is why the dup labeling must be composed in, not
+    * bolted on after ranking). `labeled` is (vec_id, embedding, component)
+    * — [[Dedup.semanticDedup]]'s output joined back onto the vectors, or
+    * any clustering with the same shape; `queries` is a bounded subset of
+    * it (broadcast).
+    *
+    * Scale shape: one corpus scan with the query frame broadcast into the
+    * pair join (the component exclusion rides the join predicate, so
+    * excluded pairs never materialize), then the standard per-query rank
+    * window over |queries| x |candidates| rows. The corpus is never
+    * shuffled; swap the scan for [[searchIvfPq]]-style cell pruning when
+    * the corpus outgrows full scans. */
+  def hardNegativeTopK(labeled: DataFrame, queries: DataFrame,
+                       k: Int): DataFrame = {
+    graft.GraftExtensions.register(labeled.sparkSession)
+    val c = Parallelism.fanOut(labeled.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("nbr_v"), col("component").as("nbr_comp")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_v"), col("component").as("q_comp"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("nbr_id") && col("nbr_comp") =!= col("q_comp"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,

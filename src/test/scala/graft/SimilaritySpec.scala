@@ -136,6 +136,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives exclude the query's duplicate component, not its near misses") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 1 and 2 are exact duplicates (one component); 3 is a high-cosine NEAR
+    // MISS below the dup threshold; 4 is unrelated
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.9, 0.3)), (4L, Seq(0.0, 2.0)))
+      .toDF("vec_id", "v")
+    val cents = Seq((0L, Seq(0.0, 0.0))).toDF("cell", "centroid")
+    val labeled = vecs.select(col("vec_id"), col("v").as("embedding"))
+      .join(Dedup.semanticDedup(vecs, "vec_id", "v", cents, threshold = 0.999)
+        .select("vec_id", "component"), Seq("vec_id"))
+    val out = Similarity.hardNegativeTopK(labeled,
+        labeled.filter(col("vec_id") === 1L), k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toSeq.sortBy(_._2)
+    // the exact duplicate (2) is OUT; the near miss (3) leads the ranking —
+    // precisely the gradient-rich pair; plain topK would have ranked 2 first
+    assert(out.map(_._1) == Seq(3L, 4L), s"got $out")
+    val plain = Similarity.bruteForceTopK(
+        vecs.select(col("vec_id"), col("v").as("embedding")),
+        vecs.filter(col("vec_id") === 1L)
+          .select(col("vec_id"), col("v").as("embedding")), k = 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(plain.head == 2L)
+  }
+
   test("sharedIvf memoizes per key and re-persists after a cache sweep") {
     import org.apache.spark.storage.StorageLevel
     val emb = Tables.embeddings(spark, sf)
