@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level diagnostics a mixture designer reads before committing a
+  * 100 TB training run: per-source distribution drift (KL divergence),
+  * vocabulary shape (Zipf slope), sketch-based heavy hitters (Count-Min),
+  * and duplicate-cluster structure.
+  *
+  * Scale discipline shared by every operator here:
+  *  - token statistics are ONE explode + partial-agg groupBy — the corpus is
+  *    scanned once and only (token, count) partial states shuffle;
+  *  - everything downstream of the vocabulary cap is bounded by `vocabSize`
+  *    (or depth×width for the sketch), so the analysis joins are broadcasts
+  *    of fixed-size frames against bounded tables, never corpus shuffles;
+  *  - double arithmetic that feeds an aggregate is rounded to 9 decimals and
+  *    summed as decimal(28,9), so results are partition-order-independent
+  *    and bit-identical to a single-threaded oracle (`ln` is the only
+  *    transcendental — same IEEE libm contract as the BM25/perplexity ops).
+  */
+object Diagnostics {
+
+  /** Corpus unigram counts: (tok, cnt). One explode, partial-agg combine. */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** Top-`v` vocabulary by (count desc, token) — the bounded frame every
+    * downstream diagnostic joins against. Global top-k plans as
+    * TakeOrderedAndProject: the vocabulary is never fully sorted. */
+  def topVocab(counts: DataFrame, v: Int): DataFrame =
+    counts.orderBy(col("cnt").desc, col("tok")).limit(v)
+
+  /** Per-source unigram KL divergence KL(source ‖ corpus) in nats over the
+    * top-`vocabSize` corpus vocabulary plus a lumped out-of-vocabulary
+    * bucket, with add-one smoothing — the standard drift measure for "which
+    * source is least like the mixture" when designing data mixtures.
+    *
+    * Output: (source, n_tokens, oov_tokens, kl_nats) ordered by source.
+    *
+    * Shape: per-(source, token) counts partial-agg once; corpus counts fold
+    * from them (no second scan); the (sources × vocab) grid is bounded
+    * (|sources| is a dimension, vocab is capped) so the scoring join is a
+    * broadcast and the corpus itself never reshuffles. */
+  def unigramKlBySource(docs: DataFrame, sourceCol: String, textCol: String,
+                        vocabSize: Int): DataFrame = {
+    val srcCounts = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val corpusCounts = srcCounts.groupBy("tok").agg(sum("cnt").as("qcnt"))
+    val vocab = corpusCounts.orderBy(col("qcnt").desc, col("tok")).limit(vocabSize)
+
+    val srcTotals = srcCounts.groupBy("source").agg(sum("cnt").as("total"))
+    // corpus-side scalars: total tokens, in-vocab tokens, realized vocab size
+    val corpusTotals = srcTotals.agg(sum("total").as("q_total"))
+      .crossJoin(vocab.agg(sum("qcnt").as("q_invocab"),
+        count(lit(1)).as("v_n")))
+
+    val grid = srcTotals.crossJoin(broadcast(vocab))
+      .join(srcCounts, Seq("source", "tok"), "left")
+      .withColumn("c", coalesce(col("cnt"), lit(0L)))
+    val srcInVocab = grid.groupBy("source")
+      .agg(sum("c").as("invocab"), first("total").as("total"))
+      .withColumn("oov", col("total") - col("invocab"))
+
+    // V vocab entries per source plus one lumped OOV entry per source
+    val entries = grid.select(col("source"), col("total"), col("c"), col("qcnt"))
+      .unionByName(srcInVocab.crossJoin(corpusTotals)
+        .select(col("source"), col("total"), col("oov").as("c"),
+          (col("q_total") - col("q_invocab")).as("qcnt")))
+
+    val scored = entries.crossJoin(broadcast(corpusTotals.select("q_total", "v_n")))
+      .withColumn("p", (col("c") + lit(1)).cast("double")
+        / (col("total") + col("v_n") + lit(1)).cast("double"))
+      .withColumn("q", (col("qcnt") + lit(1)).cast("double")
+        / (col("q_total") + col("v_n") + lit(1)).cast("double"))
+      .withColumn("term",
+        round(col("p") * log(col("p") / col("q")), 9).cast("decimal(28,9)"))
+
+    scored.groupBy("source")
+      .agg(first("total").as("n_tokens"),
+        round(sum("term").cast("double"), 6).as("kl_nats"))
+      .join(broadcast(srcInVocab.select(col("source"), col("oov").as("oov_tokens"))),
+        Seq("source"))
+      .select(col("source"), col("n_tokens"), col("oov_tokens"), col("kl_nats"))
+      .orderBy("source")
+  }
+
+  /** Zipf rank-frequency slope over the top-`vocabSize` vocabulary: the OLS
+    * slope/intercept of ln(count) on ln(rank). A healthy natural-language
+    * corpus reads ≈ −1; a pile of templated boilerplate reads much shallower
+    * — a one-row corpus health check.
+    *
+    * Output: one row (n_terms, slope, intercept).
+    *
+    * The regression runs entirely on the `vocabSize`-bounded top frame (the
+    * single-partition rank window is over ≤ vocabSize rows, never the
+    * corpus); per-row regression terms are rounded to 9 decimals and summed
+    * as decimals, then the closed-form OLS arithmetic runs on the exact sums
+    * in one fixed order on both engines. */
+  def zipfSlope(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    val ranked = topVocab(tokenCounts(docs, textCol), vocabSize)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+    val terms = ranked
+      .withColumn("x", round(log(col("rank").cast("double")), 9))
+      .withColumn("y", round(log(col("cnt").cast("double")), 9))
+      .select(
+        col("x").cast("decimal(28,9)").as("xd"),
+        col("y").cast("decimal(28,9)").as("yd"),
+        round(col("x") * col("y"), 9).cast("decimal(28,9)").as("xyd"),
+        round(col("x") * col("x"), 9).cast("decimal(28,9)").as("x2d"))
+    terms.agg(
+        count(lit(1)).as("n_terms"),
+        sum("xd").cast("double").as("sx"),
+        sum("yd").cast("double").as("sy"),
+        sum("xyd").cast("double").as("sxy"),
+        sum("x2d").cast("double").as("sx2"))
+      .select(col("n_terms"),
+        round((col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_terms") * col("sx2") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n_terms") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_terms") * col("sx2") - col("sx") * col("sx")) * col("sx"))
+          / col("n_terms"), 6).as("intercept"))
+  }
+
+  /** CMS cell position of `tok` for sketch row `r`: the shared md5-fp60
+    * keyed with a per-row salt, mod `width`. Integer end to end, so the
+    * sketch is exactly reproducible by any engine mirroring the hash. */
+  private def cmsCol(tok: Column, r: Int, width: Int): Column =
+    pmod(Dedup.tokenFp60(concat(tok, lit(s":cms$r"))), lit(width.toLong))
+
+  /** Count-Min sketch of the corpus unigram stream: `depth`×`width` integer
+    * counters, built as ONE partial-agg groupBy over (row, col) cell keys —
+    * the sketch is mergeable across partitions/shards by construction (cell
+    * counts add), which is the whole point at 100 TB: each executor folds
+    * its split into ≤ depth×width partial cells and only those merge. */
+  def cmsCells(docs: DataFrame, textCol: String,
+               depth: Int, width: Int): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsCol(col("tok"), r, width).as("c"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cell_cnt"))
+
+  /** Point-estimate `candidates`' counts from a CMS: probe each candidate's
+    * `depth` cells against the BROADCAST sketch (bounded at depth×width
+    * rows) and take the row-wise minimum — the classic min-of-counters
+    * estimate, an overestimate by construction (collisions only add). */
+  def cmsEstimate(cells: DataFrame, candidates: DataFrame, tokCol: String,
+                  depth: Int, width: Int): DataFrame =
+    candidates
+      .select(col(tokCol).as("tok"),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), cmsCol(col(tokCol), r, width).as("c"))): _*)).as("rc"))
+      .select(col("tok"), col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(broadcast(cells), Seq("r", "c"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("cell_cnt"), lit(0L))).as("est_cnt"))
+
+  /** Sketch-vs-truth heavy-hitter report: top-`k` corpus tokens by CMS
+    * estimate, with the exact count beside the estimate (est ≥ exact always;
+    * equality whenever the token's cells are collision-free). The exact side
+    * is the audit column — the sketch alone is what ships at scale, where
+    * the candidate set comes from per-shard pre-aggregation, not a full
+    * vocabulary scan. */
+  def cmsTopK(docs: DataFrame, textCol: String,
+              depth: Int, width: Int, k: Int): DataFrame = {
+    val exact = tokenCounts(docs, textCol)
+    val cells = cmsCells(docs, textCol, depth, width)
+    cmsEstimate(cells, exact.select("tok"), "tok", depth, width)
+      .join(exact, Seq("tok"))
+      .select(col("tok"), col("est_cnt"), col("cnt").as("exact_cnt"))
+      .orderBy(col("est_cnt").desc, col("tok"))
+      .limit(k)
+  }
+
+  /** Duplicate-cluster size histogram from a component labeling
+    * (`connectedComponents` output): how much of the dup mass sits in a few
+    * giant cliques vs a long tail of pairs — the number that decides whether
+    * near-dup removal is worth its cost on a corpus. Partial-agg twice
+    * (label → size, size → histogram); nothing here scales past |clusters|.
+    *
+    * Output: (cluster_size, n_clusters, n_docs) ordered by size. */
+  def clusterSizeHistogram(labels: DataFrame, compCol: String = "comp"): DataFrame =
+    labels.groupBy(col(compCol))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+}

@@ -210,6 +210,61 @@ object Sampling {
       .drop("__h", "__shard", "__r1")
   }
 
+  /** Curriculum ordering with interleave: bucket the corpus into `nBuckets`
+    * difficulty bands by exact score percentiles, then emit a global
+    * round-robin order across bands (1st-easiest, 1st-medium, …, 2nd-easiest,
+    * …) — the curriculum/anti-curriculum data-ordering step, where strict
+    * easy→hard sorting destroys batch diversity and pure shuffle destroys
+    * the curriculum; interleaving bands keeps both. WITHIN a band the order
+    * is a deterministic hash shuffle (diversity inside each difficulty
+    * band), keyed like [[shuffleByHash]].
+    *
+    * Output: input columns plus (bucket, pos) where `pos` is the 0-based
+    * rank within the bucket by (hash(id ++ salt), id); the curriculum order
+    * is ORDER BY (pos, bucket).
+    *
+    * Scale shape: thresholds are `nBuckets-1` exact percentiles — one
+    * aggregate, broadcast back, bucket assignment in the scan stage. The
+    * global within-bucket rank is EXACT yet never windows a corpus-scale
+    * partition: the shard is the hash's TOP bits (`h >> (60-log2 shards)`),
+    * so shard ranges are contiguous in h and ordering by (shard, h, id)
+    * IS ordering by (h, id) — rank within (bucket, shard) plus the
+    * BROADCAST per-(bucket, shard) count offsets reproduces the global
+    * rank bit-for-bit (the two-phase sharded-rank shape; a modulo shard
+    * would interleave hash ranges and break the equivalence). */
+  def curriculumInterleave(df: DataFrame, idCol: Column, score: Column,
+                           nBuckets: Int, shards: Int = 8,
+                           salt: String = ""): DataFrame = {
+    require(nBuckets > 1, "nBuckets must be > 1")
+    require(shards > 0 && (shards & (shards - 1)) == 0 && shards <= (1 << 20),
+      "shards must be a power of two (shard = top bits of the 60-bit hash)")
+    import org.apache.spark.sql.expressions.Window
+    val ths = df.agg(percentile(score, lit(1.0 / nBuckets)).as("__t1"),
+      (2 until nBuckets).map(i =>
+        percentile(score, lit(i.toDouble / nBuckets)).as(s"__t$i")): _*)
+    val bucket = (1 until nBuckets)
+      .map(i => when(score > col(s"__t$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val shardShift = 60 - (31 - Integer.numberOfLeadingZeros(shards))
+    val scored = df.crossJoin(broadcast(ths))
+      .withColumn("bucket", bucket)
+      .drop((1 until nBuckets).map(i => s"__t$i"): _*)
+      .withColumn("__h", Dedup.tokenFp60(concat(idCol.cast("string"), lit(salt))))
+      .withColumn("__shard", shiftright(col("__h"), shardShift))
+    val wS = Window.partitionBy(col("bucket"), col("__shard"))
+      .orderBy(col("__h"), idCol)
+    val ranked = scored.withColumn("__r", row_number().over(wS) - 1)
+    val wOff = Window.partitionBy(col("bucket")).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy("bucket", "__shard")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .drop("__n")
+    ranked.join(broadcast(offsets), Seq("bucket", "__shard"))
+      .withColumn("pos", col("__off") + col("__r"))
+      .drop("__h", "__shard", "__r", "__off")
+  }
+
   /** Materialize a [[mixturePlan]] into data — the step that turns the
     * (source, epochs) report into the actual training corpus. Each source's
     * rows are replicated `floor(epochs)` times (the full passes), and the

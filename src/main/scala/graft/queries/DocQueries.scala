@@ -3122,6 +3122,178 @@ object DocQueries {
         |   i -> abs(v[i] - CAST(q[i] AS DOUBLE) / scale))) AS max_err
         |FROM qz ORDER BY vec_id""".stripMargin)),
 
+    // ==================== corpus diagnostics ====================
+
+    // ---- Per-source unigram KL divergence vs the corpus mixture over the
+    //      top-256 vocabulary + lumped OOV, add-one smoothed — the drift
+    //      measure a mixture designer reads before weighting sources. One
+    //      explode/partial-agg pass; everything after the vocab cap is
+    //      (sources × 256)-bounded. Terms are 9-decimal-rounded decimal
+    //      sums (order-independent; ln is the only transcendental).
+    "q_text_kl_by_source" -> Q(
+      (s, d) => graft.operators.Diagnostics.unigramKlBySource(
+        Tables.documents(s, d), "source", "text", vocabSize = 256),
+      Some(s"""WITH t AS (SELECT source, $ToksSql AS toks FROM documents),
+        |e AS (SELECT source, unnest(toks) AS tok FROM t),
+        |sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1, 2),
+        |cc AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS qcnt FROM sc GROUP BY 1),
+        |vocab AS (SELECT tok, qcnt FROM cc ORDER BY qcnt DESC, tok LIMIT 256),
+        |st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total FROM sc GROUP BY 1),
+        |ct AS (SELECT CAST((SELECT sum(total) FROM st) AS BIGINT) AS q_total,
+        |  CAST((SELECT sum(qcnt) FROM vocab) AS BIGINT) AS q_invocab,
+        |  CAST((SELECT count(*) FROM vocab) AS BIGINT) AS v_n),
+        |grid AS (SELECT st.source, st.total, v.tok, v.qcnt,
+        |  CAST(coalesce(sc.cnt, 0) AS BIGINT) AS c
+        |  FROM st CROSS JOIN vocab v
+        |  LEFT JOIN sc ON sc.source = st.source AND sc.tok = v.tok),
+        |siv AS (SELECT source, any_value(total) AS total,
+        |  CAST(sum(c) AS BIGINT) AS invocab FROM grid GROUP BY 1),
+        |entries AS (
+        |  SELECT source, total, c, qcnt FROM grid
+        |  UNION ALL
+        |  SELECT siv.source, siv.total, siv.total - siv.invocab AS c,
+        |    ct.q_total - ct.q_invocab AS qcnt FROM siv CROSS JOIN ct),
+        |scored AS (SELECT source, total,
+        |  CAST(round(
+        |    (CAST(c + 1 AS DOUBLE) / CAST(total + v_n + 1 AS DOUBLE))
+        |    * ln((CAST(c + 1 AS DOUBLE) / CAST(total + v_n + 1 AS DOUBLE))
+        |        / (CAST(qcnt + 1 AS DOUBLE) / CAST(q_total + v_n + 1 AS DOUBLE))),
+        |    9) AS DECIMAL(28,9)) AS term
+        |  FROM entries CROSS JOIN ct)
+        |SELECT s2.source, any_value(s2.total) AS n_tokens,
+        |  CAST(any_value(siv.total - siv.invocab) AS BIGINT) AS oov_tokens,
+        |  CAST(round(sum(s2.term), 6) AS DOUBLE) AS kl_nats
+        |FROM scored s2 JOIN siv ON siv.source = s2.source
+        |GROUP BY s2.source ORDER BY s2.source""".stripMargin)),
+
+    // ---- Zipf rank-frequency slope over the top-512 vocabulary: OLS of
+    //      ln(count) on ln(rank) from exact decimal sums — corpus health in
+    //      one row (natural text ≈ -1; templated boilerplate much shallower).
+    "q_text_zipf_slope" -> Q(
+      (s, d) => graft.operators.Diagnostics.zipfSlope(
+        Tables.documents(s, d), "text", vocabSize = 512),
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |e AS (SELECT unnest(toks) AS tok FROM t),
+        |cc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+        |v AS (SELECT tok, cnt FROM cc ORDER BY cnt DESC, tok LIMIT 512),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM v),
+        |x AS (SELECT round(ln(CAST(rank AS DOUBLE)), 9) AS xr,
+        |  round(ln(CAST(cnt AS DOUBLE)), 9) AS yr FROM r),
+        |dm AS (SELECT CAST(xr AS DECIMAL(28,9)) AS xd, CAST(yr AS DECIMAL(28,9)) AS yd,
+        |  CAST(round(xr * yr, 9) AS DECIMAL(28,9)) AS xyd,
+        |  CAST(round(xr * xr, 9) AS DECIMAL(28,9)) AS x2d FROM x),
+        |sm AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(xd) AS DOUBLE) AS sx, CAST(sum(yd) AS DOUBLE) AS sy,
+        |  CAST(sum(xyd) AS DOUBLE) AS sxy, CAST(sum(x2d) AS DOUBLE) AS sx2 FROM dm)
+        |SELECT n_terms,
+        |  CAST(round((n_terms * sxy - sx * sy) / (n_terms * sx2 - sx * sx), 6)
+        |    AS DOUBLE) AS slope,
+        |  CAST(round((sy - (n_terms * sxy - sx * sy) / (n_terms * sx2 - sx * sx) * sx)
+        |    / n_terms, 6) AS DOUBLE) AS intercept
+        |FROM sm""".stripMargin)),
+
+    // ---- Count-Min sketch heavy hitters: a 4×1024 integer counter matrix
+    //      (mergeable partial-agg cells — the 100 TB shape: each executor
+    //      folds its split into ≤ d×w cells and only those merge), probed
+    //      for the top-40 tokens by min-of-counters estimate with the exact
+    //      count as the audit column. The sketch is all-integer over the
+    //      shared md5-fp60, so the approximation itself is bit-exact
+    //      reproducible — an approx operator with a FULL hash oracle.
+    "q_text_cms_topk" -> Q(
+      (s, d) => graft.operators.Diagnostics.cmsTopK(
+        Tables.documents(s, d), "text", depth = 4, width = 1024, k = 40),
+      Some {
+        val probe = (0 until 4).map { r =>
+          s"SELECT tok, $r AS r, ${fp60Sql(s"(tok || ':cms$r')")} % 1024 AS c FROM exact"
+        }.mkString("", " UNION ALL ", "")
+        s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |e AS (SELECT unnest(toks) AS tok FROM t),
+        |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY 1),
+        |probes AS ($probe),
+        |cells AS (SELECT p2.r, p2.c, CAST(sum(e2.cnt) AS BIGINT) AS cell_cnt
+        |  FROM probes p2 JOIN exact e2 ON e2.tok = p2.tok GROUP BY 1, 2),
+        |est AS (SELECT p.tok, CAST(min(coalesce(cl.cell_cnt, 0)) AS BIGINT) AS est_cnt
+        |  FROM probes p LEFT JOIN cells cl ON cl.r = p.r AND cl.c = p.c
+        |  GROUP BY 1)
+        |SELECT est.tok, est.est_cnt, exact.cnt AS exact_cnt
+        |FROM est JOIN exact ON exact.tok = est.tok
+        |ORDER BY est.est_cnt DESC, est.tok LIMIT 40""".stripMargin
+      }),
+
+    // ---- Duplicate-cluster size histogram over the Jaccard component
+    //      labeling — the "is near-dup removal worth its cost" number: how
+    //      much dup mass sits in giant cliques vs a pair tail. Two
+    //      partial-agg folds past the labeling; oracle reuses the recursive
+    //      connected-components CTE.
+    "q_dedup_cluster_stats" -> Q(
+      (s, d) => graft.operators.Diagnostics.clusterSizeHistogram(
+        Dedup.connectedComponents(
+          Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+            threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet))),
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |sh AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+        |  WHERE df <= 100),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT c.id_a, c.id_b
+        | FROM common c
+        | JOIN sizes sa ON sa.doc_id = c.id_a
+        | JOIN sizes sb ON sb.doc_id = c.id_b
+        | WHERE CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common) >= 0.3),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        | UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        | SELECT src, dst FROM edges
+        | UNION
+        | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+        | FROM reach GROUP BY src),
+        |cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+        | FROM comp GROUP BY 1)
+        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        | CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Curriculum interleave: 4 difficulty bands by exact token-count
+    //      percentiles, hash-shuffled within band, round-robin across bands
+    //      via ORDER BY (pos, bucket). The within-band rank is globally
+    //      exact yet two-phase sharded (shard = hash top bits, so shard
+    //      ranges are contiguous in the shuffle key — see
+    //      Sampling.curriculumInterleave); the oracle uses the plain
+    //      single-threaded window the sharded plan must reproduce.
+    "q_sample_curriculum" -> Q(
+      (s, d) => {
+        val scored = docsP(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("score"))
+        graft.operators.Sampling.curriculumInterleave(
+            scored, col("doc_id"), col("score"), nBuckets = 4, shards = 8,
+            salt = ":cur1")
+          .select(col("doc_id"), col("score"), col("bucket").cast("int").as("bucket"),
+            col("pos"))
+          .orderBy("pos", "bucket")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS score FROM t),
+        |th AS (SELECT quantile_cont(score, 0.25) AS t1,
+        |  quantile_cont(score, 0.5) AS t2, quantile_cont(score, 0.75) AS t3 FROM sc),
+        |b AS (SELECT doc_id, score,
+        |  (CASE WHEN score > t1 THEN 1 ELSE 0 END
+        |   + CASE WHEN score > t2 THEN 1 ELSE 0 END
+        |   + CASE WHEN score > t3 THEN 1 ELSE 0 END) AS bucket,
+        |  ${fp60Sql("(CAST(doc_id AS VARCHAR) || ':cur1')")} AS h
+        |  FROM sc CROSS JOIN th)
+        |SELECT doc_id, score, CAST(bucket AS INT) AS bucket,
+        |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM b ORDER BY pos, bucket""".stripMargin)),
+
     // ==================== multimodal plumbing ====================
 
     "q_multimodal_meta" -> Q(

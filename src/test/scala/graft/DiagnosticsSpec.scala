@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Diagnostics, Sampling}
+
+class DiagnosticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  test("KL divergence: non-negative, and a skewed source reads higher than a representative one") {
+    // corpus is dominated by a/b; src_rep mirrors that, src_skew is all-c
+    val docs = docsOf(
+      (1L, "src_rep", "a a a b b a a b"),
+      (2L, "src_rep", "a b a a b a a b"),
+      (3L, "src_skew", "c c c c c c c c"))
+    val out = Diagnostics.unigramKlBySource(docs, "source", "text", vocabSize = 8)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_nats")).toMap
+    assert(out.keySet == Set("src_rep", "src_skew"))
+    assert(out.values.forall(_ >= 0.0))
+    assert(out("src_skew") > out("src_rep"))
+  }
+
+  test("KL divergence: OOV mass is the per-source total minus in-vocab tokens") {
+    // vocab cap 1 keeps only the corpus-top token "a"; src2's 3 b's are OOV
+    val docs = docsOf((1L, "src1", "a a a a"), (2L, "src2", "a b b b"))
+    val out = Diagnostics.unigramKlBySource(docs, "source", "text", vocabSize = 1)
+      .collect().map(r => (r.getAs[String]("source"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("oov_tokens"))).toSet
+    assert(out == Set(("src1", 4L, 0L), ("src2", 4L, 3L)))
+  }
+
+  test("zipf slope reads ~-1 on an exact power-law vocabulary") {
+    // token t_i appears floor(120/i) times, i = 1..12 — counts 120,60,40,...
+    val words = (1 to 12).flatMap(i => Seq.fill(120 / i)(f"t$i%02d"))
+    val docs = Seq((1L, "s", words.mkString(" "))).toDF("doc_id", "source", "text")
+    val row = Diagnostics.zipfSlope(docs, "text", vocabSize = 64).collect().head
+    assert(row.getAs[Long]("n_terms") == 12L)
+    assert(math.abs(row.getAs[Double]("slope") - (-1.0)) < 0.05)
+  }
+
+  test("CMS: estimate >= exact always; tiny width forces a strict overestimate somewhere") {
+    val docs = docsOf(
+      (1L, "s", "a a a a b b c d e f g h"),
+      (2L, "s", "b c d i j k l m n o p q"))
+    val wide = Diagnostics.cmsTopK(docs, "text", depth = 2, width = 4096, k = 100)
+      .collect()
+    assert(wide.forall(r => r.getAs[Long]("est_cnt") == r.getAs[Long]("exact_cnt")))
+    val tight = Diagnostics.cmsTopK(docs, "text", depth = 2, width = 2, k = 100)
+      .collect()
+    assert(tight.forall(r => r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt")))
+    assert(tight.exists(r => r.getAs[Long]("est_cnt") > r.getAs[Long]("exact_cnt")))
+  }
+
+  test("CMS cells are mergeable: sketch(A ++ B) == cell-wise sum of sketch(A) and sketch(B)") {
+    val a = docsOf((1L, "s", "a a b c"), (2L, "s", "d e f a"))
+    val b = docsOf((3L, "s", "b b c g"), (4L, "s", "a h i j"))
+    val (d0, w0) = (3, 8)
+    val merged = Diagnostics.cmsCells(a.unionByName(b), "text", d0, w0)
+      .collect().map(r => (r.getAs[Int]("r"), r.getAs[Long]("c")) -> r.getAs[Long]("cell_cnt")).toMap
+    val summed = (Diagnostics.cmsCells(a, "text", d0, w0).collect() ++
+        Diagnostics.cmsCells(b, "text", d0, w0).collect())
+      .groupBy(r => (r.getAs[Int]("r"), r.getAs[Long]("c")))
+      .view.mapValues(_.map(_.getAs[Long]("cell_cnt")).sum).toMap
+    assert(merged == summed)
+  }
+
+  test("cluster size histogram folds a labeling into (size, n_clusters, n_docs)") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L),
+      (10L, 10L), (11L, 10L)).toDF("id", "comp")
+    val out = Diagnostics.clusterSizeHistogram(labels).collect()
+      .map(r => (r.getAs[Long]("cluster_size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs"))).toSeq
+    assert(out == Seq((2L, 2L, 4L), (3L, 1L, 3L)))
+  }
+
+  test("curriculum interleave: sharded two-phase pos equals the plain global per-bucket rank") {
+    val docs = (1L to 97L).map(i => (i, (i * 37 % 23 + 1).toString * 3))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), length(col("text")).cast("long").as("score"))
+    val out = Sampling.curriculumInterleave(
+      docs, col("doc_id"), col("score"), nBuckets = 3, shards = 4, salt = ":t1")
+    // expected: single global window per bucket over the same shuffle hash
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.tokenFp60(concat(col("doc_id").cast("string"), lit(":t1")))
+    val expected = out.select(col("doc_id"), col("bucket"))
+      .withColumn("__h", h)
+      .withColumn("want_pos", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("__h"), col("doc_id"))) - 1)
+    val joined = out.join(expected.select("doc_id", "want_pos"), "doc_id")
+    assert(joined.filter(col("pos") =!= col("want_pos")).isEmpty)
+    // (pos, bucket) is a total order: unique pairs, buckets interleave
+    assert(out.select("pos", "bucket").distinct().count() == 97L)
+  }
+
+  test("curriculum interleave rejects a non-power-of-two shard count") {
+    val docs = Seq((1L, 3L)).toDF("doc_id", "score")
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumInterleave(docs, col("doc_id"), col("score"),
+        nBuckets = 2, shards = 3)
+    }
+  }
+}
