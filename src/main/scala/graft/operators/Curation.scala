@@ -145,4 +145,18 @@ object Curation {
       .filter(col("__score") >= col("threshold"))
       .drop("__score")
   }
+
+  /** First-fail verdict over an ordered stage list: the label of the FIRST
+    * stage whose fail-predicate holds, else `keptLabel` — the per-document
+    * "why was this dropped" column of a curation audit. Later predicates are
+    * only reached when every earlier stage passed, so each may assume its
+    * predecessors' invariants (e.g. a dup-keeper flag left-joined from a
+    * subpopulation is non-null by the time its stage is evaluated). Pure
+    * scan-stage expression — the audit costs whatever producing the stage
+    * flags cost, nothing more. */
+  def firstFailVerdict(stages: Seq[(String, Column)],
+                       keptLabel: String = "kept"): Column =
+    stages.foldRight(lit(keptLabel): Column) { case ((label, failed), rest) =>
+      when(failed, label).otherwise(rest)
+    }
 }

@@ -3294,6 +3294,110 @@ object DocQueries {
         |    AS BIGINT) AS pos
         |FROM b ORDER BY pos, bucket""".stripMargin)),
 
+    // ---- Curation audit log: per-document FIRST-drop-reason verdict over
+    //      the q_pipeline_corpus_curate chain (quality → lang → exact-dup
+    //      keeper → benchmark holdout → decontamination → source cap) — the
+    //      "why is this document not in my training set" explainability
+    //      surface; the kept-side of every stage is the capstone gate, this
+    //      is its inverse with receipts. Stage flags are left-joined
+    //      subpopulation frames (all doc_id equi-joins); the verdict itself
+    //      is one scan-stage first-fail expression.
+    "q_pipeline_audit" -> Q(
+      (s, d) => {
+        import graft.operators.{Curation, Decontaminate}
+        val base = docsP(s, d).select(
+          col("doc_id"), col("text"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"))
+        val gated = base.filter(col("quality") >= 0.6 && col("lang") === "en")
+        val grp = Window.partitionBy(md5(col("text")))
+        val keepers = gated
+          .withColumn("is_keeper", col("doc_id") === min("doc_id").over(grp))
+          .select(col("doc_id"), col("is_keeper"))
+        val kept = gated
+          .join(keepers.filter(col("is_keeper")), Seq("doc_id"), "left_semi")
+          .filter(pmod(col("doc_id"), lit(20)) =!= 0)
+          .select("doc_id", "source", "text")
+        val bench = docsP(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select("doc_id", "text")
+        val decon = Decontaminate.fractions(kept, bench, "doc_id", "text",
+            threshold = 0.5, shingleK = ShingleK)
+          .select(col("doc_id"), col("is_contaminated"))
+        val clean = kept.join(
+          decon.filter(!col("is_contaminated")), Seq("doc_id"), "left_semi")
+        val inCap = Curation.capPerKey(clean, col("source"), n = 40,
+            order = Seq(col("doc_id")), idCol = col("doc_id"))
+          .select(col("doc_id"), lit(true).as("in_cap"))
+        base
+          .join(keepers, Seq("doc_id"), "left")
+          .join(decon, Seq("doc_id"), "left")
+          .join(inCap, Seq("doc_id"), "left")
+          .withColumn("verdict", Curation.firstFailVerdict(Seq(
+            "low_quality" -> (col("quality") < 0.6),
+            "lang_other" -> (col("lang") =!= "en"),
+            "exact_dup" -> !col("is_keeper"),
+            "bench_holdout" -> (pmod(col("doc_id"), lit(20)) === 0),
+            "contaminated" -> coalesce(col("is_contaminated"), lit(false)),
+            "source_capped" -> !coalesce(col("in_cap"), lit(false)))))
+          .select(col("doc_id"), col("source"), col("verdict"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val langNames = TextFunctions.LangMarkers.map(_._1)
+        val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
+          s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$lang"
+        }.mkString(", ")
+        val greatestH = s"greatest(${langNames.map("h_" + _).mkString(", ")})"
+        val langCase = langNames.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+        s"""WITH t AS (SELECT doc_id, text, source, $ToksSql AS toks FROM documents),
+           |h AS (SELECT *, $langHits FROM t),
+           |g AS (SELECT *, $greatestH AS m FROM h),
+           |scored AS (SELECT doc_id, text, source,
+           | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality,
+           | CASE WHEN m = 0 THEN 'und' $langCase END AS lang
+           |FROM g),
+           |gated AS (SELECT * FROM scored WHERE quality >= 0.6 AND lang = 'en'),
+           |keepers AS (SELECT doc_id,
+           |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+           |  FROM gated),
+           |kept AS (SELECT g2.doc_id, g2.source, g2.text FROM gated g2
+           |  JOIN keepers k2 ON k2.doc_id = g2.doc_id
+           |  WHERE k2.is_keeper AND g2.doc_id % 20 != 0),
+           |kt AS (SELECT doc_id, $ToksSql AS toks FROM kept),
+           |csh AS (SELECT doc_id, $TokenFp60Sql AS fp FROM
+           |  (SELECT doc_id, unnest($ShinglesSql) AS tok FROM kt)),
+           |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE doc_id % 20 = 0),
+           |bsh AS (SELECT DISTINCT $TokenFp60Sql AS fp FROM
+           |  (SELECT doc_id, unnest($ShinglesSql) AS tok FROM bt)),
+           |cm AS (SELECT doc_id, count(*) AS n_matched FROM csh
+           |  WHERE fp IN (SELECT fp FROM bsh) GROUP BY 1),
+           |cs AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1),
+           |contam AS (SELECT cs.doc_id,
+           |  CAST(coalesce(cm.n_matched, 0) AS DOUBLE) / cs.n_sh >= 0.5 AS is_contaminated
+           |  FROM cs LEFT JOIN cm ON cm.doc_id = cs.doc_id),
+           |clean AS (SELECT k3.doc_id, k3.source FROM kept k3
+           |  JOIN contam c3 ON c3.doc_id = k3.doc_id WHERE NOT c3.is_contaminated),
+           |capd AS (SELECT doc_id FROM (
+           |  SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+           |  FROM clean) WHERE rk <= 40)
+           |SELECT s.doc_id, s.source, CASE
+           | WHEN s.quality < 0.6 THEN 'low_quality'
+           | WHEN s.lang != 'en' THEN 'lang_other'
+           | WHEN NOT k.is_keeper THEN 'exact_dup'
+           | WHEN s.doc_id % 20 = 0 THEN 'bench_holdout'
+           | WHEN c.is_contaminated THEN 'contaminated'
+           | WHEN cp.doc_id IS NULL THEN 'source_capped'
+           | ELSE 'kept' END AS verdict
+           |FROM scored s
+           |LEFT JOIN keepers k ON k.doc_id = s.doc_id
+           |LEFT JOIN contam c ON c.doc_id = s.doc_id
+           |LEFT JOIN capd cp ON cp.doc_id = s.doc_id
+           |ORDER BY s.doc_id""".stripMargin
+      }),
+
     // ==================== multimodal plumbing ====================
 
     "q_multimodal_meta" -> Q(

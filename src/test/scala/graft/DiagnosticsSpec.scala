@@ -95,6 +95,15 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out.select("pos", "bucket").distinct().count() == 97L)
   }
 
+  test("firstFailVerdict labels by the FIRST failing stage, kept fallback") {
+    import graft.operators.Curation
+    val df = Seq(-5, 5, 50).toDF("x")
+      .withColumn("v", Curation.firstFailVerdict(Seq(
+        "neg" -> (col("x") < 0), "small" -> (col("x") < 10))))
+      .orderBy("x")
+    assert(df.select("v").as[String].collect().toSeq == Seq("neg", "small", "kept"))
+  }
+
   test("curriculum interleave rejects a non-power-of-two shard count") {
     val docs = Seq((1L, 3L)).toDF("doc_id", "score")
     intercept[IllegalArgumentException] {
