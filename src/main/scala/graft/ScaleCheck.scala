@@ -432,6 +432,86 @@ object ScaleCheck {
         val coded = graft.operators.Similarity.encodePq(idx, pq)
         graft.operators.Similarity.searchIvfPq(coded, pq,
           emb.filter(col("vec_id") % 1000L === 0L), k = 10, nProbe = 2)
+      },
+      // KL drift: one explode/partial-agg pass; past the 256-token vocab
+      // cap everything is (sources x V)-bounded broadcasts
+      "kl_by_source" -> (d => graft.operators.Diagnostics.unigramKlBySource(
+        Tables.documents(spark, d), "source", "text", vocabSize = 256)),
+      // Zipf slope: same count pass; regression is V-bounded
+      "zipf_slope" -> (d => graft.operators.Diagnostics.zipfSlope(
+        Tables.documents(spark, d), "text", vocabSize = 512)),
+      // CMS heavy hitters: 4x token-stream explode into <= d*w partial-agg
+      // cells; probe joins against the broadcast (bounded) sketch
+      "cms_topk" -> (d => graft.operators.Diagnostics.cmsTopK(
+        Tables.documents(spark, d), "text", depth = 4, width = 1024, k = 40)),
+      // cluster histogram fold in isolation (the labeling chains are
+      // measured by the components cases): two partial-agg folds
+      "cluster_hist" -> (d => graft.operators.Diagnostics.clusterSizeHistogram(
+        Tables.documents(spark, d)
+          .select(col("doc_id").as("id"), (col("doc_id") / 5L).as("comp")))),
+      // curriculum: broadcast percentile thresholds + two-phase exact rank
+      // over (buckets x shards)-bounded window partitions
+      "curriculum" -> { d =>
+        val scored = Tables.documents(spark, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("score"))
+        graft.operators.Sampling.curriculumInterleave(
+          scored, col("doc_id"), col("score"), nBuckets = 4, shards = 32,
+          salt = ":sc")
+      },
+      // Moore-Lewis: two cap-bounded-broadcast scoring streams + one
+      // doc_id join + TakeOrdered top-k
+      "ce_select" -> { d =>
+        val docs = Tables.documents(spark, d)
+        graft.operators.LanguageModel.crossEntropySelect(docs, "doc_id", "text",
+          targetRef = docs.filter(col("source").isin("src0", "src1", "src2")),
+          generalRef = docs.filter(graft.operators.Sampling.split(
+            col("doc_id"), 80, 10, salt = ":lm1") === "train"),
+          vocabCap = 256, bigramCap = 2048, k = 100)
+      },
+      // embedding drift: one posexplode partial-agg into (sources x dims)
+      // decimal cells; global centroid folds from the cells
+      "emb_drift" -> (d => graft.operators.Diagnostics.embeddingDriftBySource(
+        Tables.documents(spark, d), Tables.embeddings(spark, d),
+        "source", "doc_id", "vec_id", "embedding")),
+      // audit: the full curate chain plus four doc_id equi-joins and a
+      // scan-stage first-fail verdict — measures the explainability tax
+      // over the capstone it mirrors
+      "pipeline_audit" -> { d =>
+        import graft.operators.{Curation, Decontaminate}
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(spark, d).select(
+          col("doc_id"), col("text"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"))
+        val gated = base.filter(col("quality") >= 0.6 && col("lang") === "en")
+        val keepers = gated
+          .withColumn("is_keeper",
+            col("doc_id") === min("doc_id").over(Window.partitionBy(md5(col("text")))))
+          .select(col("doc_id"), col("is_keeper"))
+        val kept = gated
+          .join(keepers.filter(col("is_keeper")), Seq("doc_id"), "left_semi")
+          .filter(pmod(col("doc_id"), lit(20)) =!= 0)
+          .select("doc_id", "source", "text")
+        val bench = Tables.documents(spark, d)
+          .filter(pmod(col("doc_id"), lit(20)) === 0).select("doc_id", "text")
+        val decon = Decontaminate.fractions(kept, bench, "doc_id", "text",
+            threshold = 0.5, shingleK = 3)
+          .select(col("doc_id"), col("is_contaminated"))
+        val clean = kept.join(
+          decon.filter(!col("is_contaminated")), Seq("doc_id"), "left_semi")
+        val inCap = Curation.capPerKey(clean, col("source"), n = 10000,
+            order = Seq(col("doc_id")), idCol = col("doc_id"))
+          .select(col("doc_id"), lit(true).as("in_cap"))
+        base.join(keepers, Seq("doc_id"), "left")
+          .join(decon, Seq("doc_id"), "left")
+          .join(inCap, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), Curation.firstFailVerdict(Seq(
+            "low_quality" -> (col("quality") < 0.6),
+            "lang_other" -> (col("lang") =!= "en"),
+            "exact_dup" -> !col("is_keeper"),
+            "bench_holdout" -> (pmod(col("doc_id"), lit(20)) === 0),
+            "contaminated" -> coalesce(col("is_contaminated"), lit(false)),
+            "source_capped" -> !coalesce(col("in_cap"), lit(false)))).as("verdict"))
       })
 
     // optional arg: comma-separated substrings — run only matching cases

@@ -180,6 +180,51 @@ object Diagnostics {
       .limit(k)
   }
 
+  /** Per-source embedding-centroid drift vs the corpus centroid — the
+    * SEMANTIC sibling of [[unigramKlBySource]]: cosine between each
+    * source's mean embedding and the global mean. Low cosine = the source
+    * occupies a different region of embedding space than the mixture.
+    *
+    * Output: (source, n_vecs, cos_centroid, drift = 1 − cos) by source.
+    *
+    * Scale shape: one posexplode of the joined (source, vector) frame into
+    * (source, dim) partial-agg decimal sums — the corpus is scanned once
+    * and only (sources × dims) cells shuffle; the global centroid FOLDS
+    * from the per-source cells (no second scan); all double arithmetic
+    * downstream runs on the (sources × dims)-bounded frame with
+    * 9-decimal-rounded decimal dot/norm sums, so the cosine is bit-exact
+    * reproducible (unlike a float `avg`, whose partition order leaks into
+    * the low bits). */
+  def embeddingDriftBySource(docs: DataFrame, embeddings: DataFrame,
+                             sourceCol: String, docIdCol: String,
+                             vecIdCol: String, vecCol: String): DataFrame = {
+    val joined = docs.select(col(docIdCol).as("__id"), col(sourceCol).as("source"))
+      .join(embeddings.select(col(vecIdCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v")), Seq("__id"))
+    val cells = joined
+      .select(col("source"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .select(col("source"), col("pos"),
+        round(col("x"), 9).cast("decimal(28,9)").as("xd"))
+      .groupBy("source", "pos")
+      .agg(sum("xd").as("sx"), count(lit(1)).as("n"))
+    val global = cells.groupBy("pos")
+      .agg(sum("sx").as("gx"), sum("n").as("gn"))
+    val dims = cells.join(global, Seq("pos"))
+      .withColumn("mi", col("sx").cast("double") / col("n"))
+      .withColumn("gi", col("gx").cast("double") / col("gn"))
+      .select(col("source"), col("n"),
+        round(col("mi") * col("gi"), 9).cast("decimal(28,9)").as("dotd"),
+        round(col("mi") * col("mi"), 9).cast("decimal(28,9)").as("nad"),
+        round(col("gi") * col("gi"), 9).cast("decimal(28,9)").as("nbd"))
+    dims.groupBy("source")
+      .agg(max("n").as("n_vecs"),
+        round(sum("dotd").cast("double")
+          / (sqrt(sum("nad").cast("double")) * sqrt(sum("nbd").cast("double"))),
+          6).as("cos_centroid"))
+      .withColumn("drift", round(lit(1.0) - col("cos_centroid"), 6))
+      .orderBy("source")
+  }
+
   /** Duplicate-cluster size histogram from a component labeling
     * (`connectedComponents` output): how much of the dup mass sits in a few
     * giant cliques vs a long tail of pairs — the number that decides whether

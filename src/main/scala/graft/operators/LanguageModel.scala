@@ -203,6 +203,34 @@ object LanguageModel {
     perplexity(docs, idCol, textCol,
       trainBigramLm(ref, idCol, textCol, vocabCap, bigramCap))
 
+  /** Moore–Lewis cross-entropy-difference selection: score every document
+    * under an IN-DOMAIN model (trained on `targetRef`) and a GENERAL model
+    * (trained on `generalRef`), rank by the gap `avg_logp_target −
+    * avg_logp_general`, keep the top `k` — the classic "looks like my
+    * target domain, not just generically fluent" data-selection rule
+    * (perplexity alone keeps fluent-but-off-domain text; the difference
+    * cancels generic fluency).
+    *
+    * Output: (doc_id, logp_target, logp_general, gap) — top-k by
+    * (gap desc, doc_id).
+    *
+    * Scale shape: both scorers are the [[perplexity]] scan-stage stream
+    * with cap-bounded broadcast models; the only added work is one doc_id
+    * equi-join of two per-doc score frames and a global top-k
+    * (TakeOrdered, never a full sort). */
+  def crossEntropySelect(docs: DataFrame, idCol: String, textCol: String,
+                         targetRef: DataFrame, generalRef: DataFrame,
+                         vocabCap: Int, bigramCap: Int, k: Int): DataFrame = {
+    val t = perplexityAgainst(docs, targetRef, idCol, textCol, vocabCap, bigramCap)
+      .select(col("doc_id"), col("avg_logp").as("logp_target"))
+    val g = perplexityAgainst(docs, generalRef, idCol, textCol, vocabCap, bigramCap)
+      .select(col("doc_id"), col("avg_logp").as("logp_general"))
+    t.join(g, Seq("doc_id"))
+      .withColumn("gap", round(col("logp_target") - col("logp_general"), 6))
+      .orderBy(col("gap").desc, col("doc_id"))
+      .limit(k)
+  }
+
   // ==================== trigram order ====================
 
   /** A trained TRIGRAM stupid-backoff model: the [[BigramLm]] plus a capped

@@ -244,44 +244,53 @@ object DocQueries {
     * scored token. One definition feeds the perplexity gate and the
     * curation capstone, so the mirrors cannot drift. */
   private def pplCtes(vocabCap: Int, bigramCap: Int, salt: String): String =
-    s"""ref AS (SELECT tk.* FROM tk
-       |  WHERE ${fp60Sql(s"CAST(doc_id AS VARCHAR) || '$salt'")} % 100 < 80),
-       |re AS (SELECT doc_id, unnest(toks) AS tok FROM ref),
-       |uraw AS (SELECT tok, count(*) AS c FROM re GROUP BY 1),
-       |tot AS (SELECT COALESCE(sum(c), 0) AS n FROM uraw),
-       |vocab AS (SELECT tok, c FROM uraw ORDER BY c DESC, tok LIMIT $vocabCap),
-       |vs AS (SELECT count(*) AS u, COALESCE(sum(c), 0) AS cs FROM vocab),
-       |uni0 AS (SELECT tok, c FROM vocab UNION ALL
-       |  SELECT '<unk>', (SELECT n FROM tot) - (SELECT cs FROM vs)),
-       |uni AS (SELECT tok, sum(c) AS c FROM uni0 GROUP BY 1),
-       |rp AS (SELECT doc_id, unnest(toks) AS tok,
-       |  unnest(range(1, len(toks) + 1)) AS pos FROM ref),
-       |rn AS (SELECT rp.doc_id, rp.pos,
-       |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE rp.tok END AS w
-       |  FROM rp LEFT JOIN vocab v ON v.tok = rp.tok),
-       |big AS (SELECT a.w AS prev, b.w AS w, count(*) AS cb
-       |  FROM rn a JOIN rn b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    pplCtesWhere(vocabCap, bigramCap,
+      s"${fp60Sql(s"CAST(doc_id AS VARCHAR) || '$salt'")} % 100 < 80", sfx = "")
+
+  /** [[pplCtes]] with a parameterized reference-set predicate and a CTE
+    * name suffix — two instances (e.g. an in-domain and a general model)
+    * can coexist in one oracle (see the cross-entropy-selection gate).
+    * Ends in `sc$sfx(doc_id, lp)`. */
+  private def pplCtesWhere(vocabCap: Int, bigramCap: Int, refWhere: String,
+                           sfx: String): String =
+    s"""ref$sfx AS (SELECT tk.* FROM tk
+       |  WHERE $refWhere),
+       |re$sfx AS (SELECT doc_id, unnest(toks) AS tok FROM ref$sfx),
+       |uraw$sfx AS (SELECT tok, count(*) AS c FROM re$sfx GROUP BY 1),
+       |tot$sfx AS (SELECT COALESCE(sum(c), 0) AS n FROM uraw$sfx),
+       |vocab$sfx AS (SELECT tok, c FROM uraw$sfx ORDER BY c DESC, tok LIMIT $vocabCap),
+       |vs$sfx AS (SELECT count(*) AS u, COALESCE(sum(c), 0) AS cs FROM vocab$sfx),
+       |uni0$sfx AS (SELECT tok, c FROM vocab$sfx UNION ALL
+       |  SELECT '<unk>', (SELECT n FROM tot$sfx) - (SELECT cs FROM vs$sfx)),
+       |uni$sfx AS (SELECT tok, sum(c) AS c FROM uni0$sfx GROUP BY 1),
+       |rp$sfx AS (SELECT doc_id, unnest(toks) AS tok,
+       |  unnest(range(1, len(toks) + 1)) AS pos FROM ref$sfx),
+       |rn$sfx AS (SELECT rp$sfx.doc_id, rp$sfx.pos,
+       |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE rp$sfx.tok END AS w
+       |  FROM rp$sfx LEFT JOIN vocab$sfx v ON v.tok = rp$sfx.tok),
+       |big$sfx AS (SELECT a.w AS prev, b.w AS w, count(*) AS cb
+       |  FROM rn$sfx a JOIN rn$sfx b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
        |  GROUP BY 1, 2 ORDER BY cb DESC, prev, w LIMIT $bigramCap),
-       |ep AS (SELECT doc_id, unnest(toks) AS tok,
+       |ep$sfx AS (SELECT doc_id, unnest(toks) AS tok,
        |  unnest(range(1, len(toks) + 1)) AS pos FROM tk),
-       |en AS (SELECT ep.doc_id, ep.pos,
-       |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE ep.tok END AS w
-       |  FROM ep LEFT JOIN vocab v ON v.tok = ep.tok),
-       |es AS (SELECT cur.doc_id, cur.pos, cur.w, prv.w AS prev
-       |  FROM en cur LEFT JOIN en prv
+       |en$sfx AS (SELECT ep$sfx.doc_id, ep$sfx.pos,
+       |  CASE WHEN v.tok IS NULL THEN '<unk>' ELSE ep$sfx.tok END AS w
+       |  FROM ep$sfx LEFT JOIN vocab$sfx v ON v.tok = ep$sfx.tok),
+       |es$sfx AS (SELECT cur.doc_id, cur.pos, cur.w, prv.w AS prev
+       |  FROM en$sfx cur LEFT JOIN en$sfx prv
        |  ON prv.doc_id = cur.doc_id AND prv.pos = cur.pos - 1),
-       |sc AS (SELECT es.doc_id,
+       |sc$sfx AS (SELECT es$sfx.doc_id,
        |  CAST(round(ln(CASE
-       |    WHEN es.prev IS NULL THEN (CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
-       |      / CAST((SELECT n FROM tot) + (SELECT u FROM vs) + 1 AS DOUBLE)
+       |    WHEN es$sfx.prev IS NULL THEN (CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
+       |      / CAST((SELECT n FROM tot$sfx) + (SELECT u FROM vs$sfx) + 1 AS DOUBLE)
        |    WHEN b.cb IS NOT NULL AND u2.c > 0
        |      THEN CAST(b.cb AS DOUBLE) / CAST(u2.c AS DOUBLE)
        |    ELSE 0.4 * ((CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
-       |      / CAST((SELECT n FROM tot) + (SELECT u FROM vs) + 1 AS DOUBLE))
+       |      / CAST((SELECT n FROM tot$sfx) + (SELECT u FROM vs$sfx) + 1 AS DOUBLE))
        |  END), 9) AS DECIMAL(28,9)) AS lp
-       |  FROM es LEFT JOIN big b ON b.prev = es.prev AND b.w = es.w
-       |  LEFT JOIN uni u1 ON u1.tok = es.w
-       |  LEFT JOIN uni u2 ON u2.tok = es.prev)""".stripMargin
+       |  FROM es$sfx LEFT JOIN big$sfx b ON b.prev = es$sfx.prev AND b.w = es$sfx.w
+       |  LEFT JOIN uni$sfx u1 ON u1.tok = es$sfx.w
+       |  LEFT JOIN uni$sfx u2 ON u2.tok = es$sfx.prev)""".stripMargin
 
   /** Trigram-LM scoring CTE chain — mirrors LanguageModel.trainTrigramLm +
     * perplexityTrigram (the pplCtes contract, one order higher: trigram
@@ -3293,6 +3302,77 @@ object DocQueries {
         |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1
         |    AS BIGINT) AS pos
         |FROM b ORDER BY pos, bucket""".stripMargin)),
+
+    // ---- Moore–Lewis cross-entropy-difference selection: an in-domain
+    //      bigram LM (trained on the src0-2 slice) vs the :lm1 general
+    //      model; keep the top-100 docs by avg-logprob GAP — "looks like my
+    //      target domain, not just generically fluent". Both scorers are
+    //      the cap-bounded-broadcast perplexity stream; the gate adds one
+    //      doc_id join and a TakeOrdered top-k.
+    "q_sample_ce_select" -> Q(
+      (s, d) => {
+        import graft.operators.{LanguageModel, Sampling}
+        val docs = Tables.documents(s, d)
+        val target = docs.filter(col("source").isin("src0", "src1", "src2"))
+        val general = docs.filter(
+          Sampling.split(col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        LanguageModel.crossEntropySelect(docs, "doc_id", "text",
+          targetRef = target, generalRef = general,
+          vocabCap = 256, bigramCap = 2048, k = 100)
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |${pplCtesWhere(256, 2048,
+          "doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1', 'src2'))",
+          "_t")},
+        |${pplCtes(256, 2048, ":lm1")},
+        |a_t AS (SELECT doc_id,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logp_target
+        |  FROM sc_t GROUP BY 1),
+        |a_g AS (SELECT doc_id,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logp_general
+        |  FROM sc GROUP BY 1)
+        |SELECT a_t.doc_id, a_t.logp_target, a_g.logp_general,
+        |  round(a_t.logp_target - a_g.logp_general, 6) AS gap
+        |FROM a_t JOIN a_g ON a_g.doc_id = a_t.doc_id
+        |ORDER BY gap DESC, a_t.doc_id LIMIT 100""".stripMargin)),
+
+    // ---- Per-source embedding-centroid drift vs the corpus centroid —
+    //      the SEMANTIC sibling of q_text_kl_by_source: cosine between each
+    //      source's mean embedding and the global mean, from
+    //      (sources × dims)-bounded decimal partial-agg sums (a float avg
+    //      would leak partition order into the low bits).
+    "q_text_embedding_drift" -> Q(
+      (s, d) => graft.operators.Diagnostics.embeddingDriftBySource(
+        Tables.documents(s, d), Tables.embeddings(s, d),
+        "source", "doc_id", "vec_id", "embedding"),
+      Some("""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |dd AS (SELECT doc_id AS id, source FROM documents),
+        |j AS (SELECT dd.source, e.v FROM dd JOIN e ON e.id = dd.id),
+        |pe0 AS (SELECT source, unnest(v) AS x,
+        |  unnest(range(1, len(v) + 1)) AS pos FROM j),
+        |pe AS (SELECT source, pos,
+        |  CAST(round(x, 9) AS DECIMAL(28,9)) AS xd FROM pe0),
+        |ps AS (SELECT source, pos, CAST(sum(xd) AS DECIMAL(38,9)) AS sx,
+        |  CAST(count(*) AS BIGINT) AS n FROM pe GROUP BY 1, 2),
+        |g AS (SELECT pos, CAST(sum(sx) AS DECIMAL(38,9)) AS gx,
+        |  CAST(sum(n) AS BIGINT) AS gn FROM ps GROUP BY 1),
+        |m AS (SELECT ps.source, ps.n,
+        |  CAST(ps.sx AS DOUBLE) / ps.n AS mi,
+        |  CAST(g.gx AS DOUBLE) / g.gn AS gi
+        |  FROM ps JOIN g ON g.pos = ps.pos),
+        |t2 AS (SELECT source, n,
+        |  CAST(round(mi * gi, 9) AS DECIMAL(28,9)) AS dotd,
+        |  CAST(round(mi * mi, 9) AS DECIMAL(28,9)) AS nad,
+        |  CAST(round(gi * gi, 9) AS DECIMAL(28,9)) AS nbd FROM m),
+        |f AS (SELECT source, max(n) AS n_vecs,
+        |  round(CAST(sum(dotd) AS DOUBLE)
+        |    / (sqrt(CAST(sum(nad) AS DOUBLE)) * sqrt(CAST(sum(nbd) AS DOUBLE))),
+        |    6) AS cos_centroid
+        |  FROM t2 GROUP BY 1)
+        |SELECT source, n_vecs, cos_centroid,
+        |  round(1.0 - cos_centroid, 6) AS drift
+        |FROM f ORDER BY source""".stripMargin)),
 
     // ---- Curation audit log: per-document FIRST-drop-reason verdict over
     //      the q_pipeline_corpus_curate chain (quality → lang → exact-dup

@@ -95,6 +95,48 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out.select("pos", "bucket").distinct().count() == 97L)
   }
 
+  test("CMS cells build incrementally over a stream and equal the batch sketch") {
+    // cell counts ADD, so the batch operator runs unchanged as a streaming
+    // Complete-mode aggregation — the per-microbatch update IS the merge
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = Diagnostics.cmsCells(stream, "text", depth = 3, width = 16)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData((1L, "a a b c"), (2L, "d e f a"))
+      q.processAllAvailable()
+      mem.addData((3L, "b b c g"), (4L, "a h i j"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM cms_stream").collect()
+        .map(r => (r.getAs[Int]("r"), r.getAs[Long]("c")) -> r.getAs[Long]("cell_cnt")).toMap
+      val want = Diagnostics.cmsCells(
+          Seq((1L, "a a b c"), (2L, "d e f a"), (3L, "b b c g"), (4L, "a h i j"))
+            .toDF("doc_id", "text"), "text", depth = 3, width = 16)
+        .collect().map(r => (r.getAs[Int]("r"), r.getAs[Long]("c")) -> r.getAs[Long]("cell_cnt")).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("embedding drift: a source matching the global direction reads cos 1, an orthogonal one lower") {
+    val docs = Seq((1L, "aligned"), (2L, "aligned"), (3L, "ortho"))
+      .toDF("doc_id", "source")
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Diagnostics.embeddingDriftBySource(
+        docs, emb, "source", "doc_id", "vec_id", "embedding")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("cos_centroid"))).toMap
+    // global centroid = (2/3, 1/3); aligned centroid (1,0) → cos = 2/sqrt(5)
+    assert(out("aligned")._1 == 2L)
+    assert(math.abs(out("aligned")._2 - 2.0 / math.sqrt(5.0)) < 1e-6)
+    assert(out("ortho")._2 < out("aligned")._2)
+  }
+
   test("firstFailVerdict labels by the FIRST failing stage, kept fallback") {
     import graft.operators.Curation
     val df = Seq(-5, 5, 50).toDF("x")

@@ -92,6 +92,29 @@ class LanguageModelSpec extends SparkSpec {
     assert(out(10L)._2 >= bi)
   }
 
+  test("cross-entropy selection ranks target-domain text above generic text") {
+    import spark.implicits._
+    // target domain: legal-ish bigrams; general: the rest of the corpus
+    val target = Seq((101L, "party agrees party agrees terms"),
+      (102L, "agrees terms party terms")).toDF("doc_id", "text")
+    val general = Seq((201L, "rain falls on the hills"),
+      (202L, "the hills see rain"), (203L, "wind and rain on hills"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "party agrees terms"), // target-like
+      (2L, "rain on the hills"), // general-like
+      (3L, "party terms agrees party")) // target-like
+      .toDF("doc_id", "text")
+    val out = LanguageModel.crossEntropySelect(docs, "doc_id", "text",
+        targetRef = target, generalRef = general,
+        vocabCap = 64, bigramCap = 256, k = 3)
+      .collect()
+    // ordered by gap desc: both target-like docs before the general-like one
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    assert(out.last.getAs[Long]("doc_id") == 2L)
+    assert(out.take(2).forall(r => r.getAs[Double]("gap") > out.last.getAs[Double]("gap")))
+  }
+
   test("empty and null texts produce no score row; self-scored ref is most fluent") {
     import spark.implicits._
     val lm = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",
