@@ -458,6 +458,17 @@ object ScaleCheck {
           scored, col("doc_id"), col("score"), nBuckets = 4, shards = 32,
           salt = ":sc")
       },
+      // MMR: k unrolled steps, every frame (queries x candidates)-bounded
+      // and query-partitioned; corpus appears only in the retrieval pass
+      "mmr_select" -> { d =>
+        val emb = Tables.embeddings(spark, d)
+        val cand = graft.operators.Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") % 1000L === 0L), k = 25)
+          .join(emb.select(col("vec_id").as("nbr_id"),
+            col("embedding").as("nbr_v")), Seq("nbr_id"))
+          .select("query_id", "nbr_id", "cosine", "nbr_v")
+        graft.operators.Similarity.mmrSelect(cand, k = 5, lambda = 0.7)
+      },
       // Moore-Lewis: two cap-bounded-broadcast scoring streams + one
       // doc_id join + TakeOrdered top-k
       "ce_select" -> { d =>

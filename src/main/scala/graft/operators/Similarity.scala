@@ -575,4 +575,62 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Maximal-marginal-relevance selection over per-query candidate lists —
+    * the diversity-aware re-rank after ANN retrieval: pure top-k returns k
+    * near-copies of the same neighborhood; MMR greedily picks the candidate
+    * maximizing `λ·relevance − (1−λ)·max_similarity_to_already_selected`,
+    * trading relevance against redundancy (λ=1 is plain top-k, λ=0 pure
+    * diversity). The standard step when building contrastive batches or
+    * eval panels from a retrieval pass.
+    *
+    * `candidates` carries (query_id, nbr_id, cosine, nbr_v) — e.g.
+    * [[bruteForceTopK]]/[[searchIvf]] output joined back to its vectors.
+    * Output: (query_id, sel_rank 1..k, nbr_id, cosine, mmr_score).
+    *
+    * Shape: the greedy loop unrolls into k plan steps; EVERY frame in every
+    * step is bounded by |queries| × candidate-list-length and partitioned
+    * by query_id (anti-join vs selected, pair-sim join, per-query groupBy
+    * max, per-query argmax window) — the corpus never reappears, so the
+    * cost is the retrieval pass's output size times k, independent of
+    * corpus size. Plan depth grows with k (selections chain by
+    * construction — MMR is inherently sequential in k); for k beyond ~20
+    * persist or checkpoint `candidates` upstream and keep λ-selection
+    * lists short, which is how MMR is used in practice.
+    *
+    * Determinism: pair sims use the native sequential-fold cosine kernel,
+    * the per-step score is rounded to 9 decimals before the argmax, and
+    * ties break on nbr_id — bit-identical on any engine mirroring the fold. */
+  def mmrSelect(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    graft.GraftExtensions.register(candidates.sparkSession)
+    val lam = lit(lambda)
+    val om = lit(1.0 - lambda)
+    val cand = candidates.select("query_id", "nbr_id", "cosine", "nbr_v")
+    def pick(scored: DataFrame, i: Int): DataFrame =
+      scored.withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("mmr_score").desc, col("nbr_id"))))
+        .filter(col("__rn") === 1).drop("__rn")
+        .withColumn("sel_rank", lit(i))
+    var selected =
+      pick(cand.withColumn("mmr_score", round(lam * col("cosine"), 9)), 1)
+    for (i <- 2 to k) {
+      val rem = cand.join(selected.select("query_id", "nbr_id"),
+        Seq("query_id", "nbr_id"), "left_anti")
+      val scored = rem
+        .join(selected.select(col("query_id"), col("nbr_v").as("__sel_v")),
+          Seq("query_id"))
+        .withColumn("__sim",
+          graft.functions.VecCosine.cosine(col("nbr_v"), col("__sel_v")))
+        .groupBy("query_id", "nbr_id")
+        .agg(first("cosine").as("cosine"), first("nbr_v").as("nbr_v"),
+          max("__sim").as("__simmax"))
+        .withColumn("mmr_score",
+          round(lam * col("cosine") - om * col("__simmax"), 9))
+        .drop("__simmax")
+      selected = selected.unionByName(pick(scored, i))
+    }
+    selected.select("query_id", "sel_rank", "nbr_id", "cosine", "mmr_score")
+  }
 }

@@ -486,6 +486,52 @@ object DocQueries {
        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** Unrolled MMR greedy-selection oracle (k = 5, λ = 0.7 over the top-25
+    * brute-force candidates of query vectors vec_id < 8) — one CTE pair per
+    * greedy step: remaining = candidates minus selected, score =
+    * λ·relevance − (1−λ)·max pair-cosine vs selected (rounded to 9 before
+    * the argmax, ties on nbr_id), selection accumulates by UNION ALL.
+    * Literals interpolate the exact Scala doubles (1−0.7 is
+    * 0.30000000000000004 in IEEE — the mirror must use the same value). */
+  private lazy val MmrSql: String = {
+    val lam = s"CAST(${MmrLambda} AS DOUBLE)"
+    val om = s"CAST(${1.0 - MmrLambda} AS DOUBLE)"
+    val steps = (2 to MmrK).map { i =>
+      s"""rem$i AS (SELECT c.* FROM cand c LEFT JOIN sel${i - 1} s
+         |  ON s.query_id = c.query_id AND s.nbr_id = c.nbr_id
+         |  WHERE s.nbr_id IS NULL),
+         |mx$i AS (SELECT r.query_id, r.nbr_id, any_value(r.cosine) AS cosine,
+         |  any_value(r.nbr_v) AS nbr_v,
+         |  max(${cosSql("r.nbr_v", "s.nbr_v")}) AS simmax
+         |  FROM rem$i r JOIN sel${i - 1} s ON s.query_id = r.query_id
+         |  GROUP BY 1, 2),
+         |s$i AS (SELECT query_id, nbr_id, cosine, nbr_v,
+         |  round($lam * cosine - $om * simmax, 9) AS mmr_score,
+         |  $i AS sel_rank FROM mx$i
+         |  QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round($lam * cosine - $om * simmax, 9) DESC, nbr_id) = 1),
+         |sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |sc0 AS (SELECT query_id, e.vec_id AS nbr_id,
+       |  ${cosSql("qv", "e.v")} AS cosine, e.v AS nbr_v
+       |  FROM e CROSS JOIN q WHERE e.vec_id != query_id),
+       |cand AS (SELECT query_id, nbr_id, cosine, nbr_v FROM sc0
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, nbr_id) <= $MmrCandidates),
+       |sel1 AS (SELECT query_id, nbr_id, cosine, nbr_v,
+       |  round($lam * cosine, 9) AS mmr_score, 1 AS sel_rank FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY round($lam * cosine, 9) DESC, nbr_id) = 1),
+       |$steps
+       |SELECT query_id, sel_rank, nbr_id, cosine, mmr_score
+       |FROM sel$MmrK ORDER BY query_id, sel_rank""".stripMargin
+  }
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+  private val MmrCandidates = 25
+
   /** Quantized cosine top-10 for query vectors vec_id < 8 — mirrors
     * quantize -> dequantize -> cosine with the same exact-roundable
     * arithmetic as the Spark int8 path, so scores and ranks hash bit-exact.
@@ -2782,6 +2828,25 @@ object DocQueries {
           .orderBy("query_id", "rank")
       },
       Some(BruteTopKSql)),
+
+    // ---- MMR diverse re-rank: greedy λ-tradeoff selection of 5 from the
+    //      top-25 retrieval candidates per query — the diversity step after
+    //      ANN (pure top-k returns near-copies of one neighborhood). Every
+    //      frame in every unrolled step is (queries × candidates)-bounded
+    //      and query-partitioned; the oracle unrolls the same 5 greedy
+    //      steps as plain CTEs.
+    "q_sim_mmr_select" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cand = Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") < 8), k = 25)
+          .join(emb.select(col("vec_id").as("nbr_id"),
+            col("embedding").as("nbr_v")), Seq("nbr_id"))
+          .select("query_id", "nbr_id", "cosine", "nbr_v")
+        Similarity.mmrSelect(cand, k = 5, lambda = 0.7)
+          .orderBy("query_id", "sel_rank")
+      },
+      Some(MmrSql)),
 
     // int8-quantized index variant: same search machinery over the ~8x
     // smaller dequantized store. The oracle mirrors quantize -> dequantize

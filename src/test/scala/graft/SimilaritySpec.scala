@@ -578,4 +578,34 @@ class SimilaritySpec extends SparkSpec {
     assert(ok.toDouble / ratios.length >= 0.9,
       s"only $ok of ${ratios.length} inside [0.5, 2]")
   }
+
+  test("MMR at lambda=1 is plain top-k; lower lambda breaks up a planted redundant pair") {
+    import spark.implicits._
+    // query q looks for (1,0); candidates: two near-identical high-relevance
+    // vectors a1/a2, one moderately-relevant orthogonal-ish vector b
+    val cand = Seq(
+      (0L, 10L, 0.99, Seq(1.0f, 0.1f, 0.0f)), // a1
+      (0L, 11L, 0.98, Seq(1.0f, 0.11f, 0.0f)), // a2 ~ duplicate of a1
+      (0L, 12L, 0.80, Seq(0.3f, 0.0f, 1.0f))) // b, diverse
+      .toDF("query_id", "nbr_id", "cosine", "nbr_v")
+    val topk = Similarity.mmrSelect(cand, k = 3, lambda = 1.0)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("nbr_id")).toSeq
+    assert(topk == Seq(10L, 11L, 12L)) // pure relevance order
+    val diverse = Similarity.mmrSelect(cand, k = 2, lambda = 0.5)
+      .orderBy("sel_rank").collect().map(_.getAs[Long]("nbr_id")).toSeq
+    // first pick is still the relevance argmax; second skips the near-copy
+    assert(diverse == Seq(10L, 12L))
+  }
+
+  test("MMR selects at most min(k, candidates) per query and ranks are dense from 1") {
+    import spark.implicits._
+    val cand = Seq(
+      (0L, 1L, 0.9, Seq(1.0f, 0.0f)), (0L, 2L, 0.8, Seq(0.0f, 1.0f)),
+      (1L, 3L, 0.7, Seq(1.0f, 1.0f)))
+      .toDF("query_id", "nbr_id", "cosine", "nbr_v")
+    val out = Similarity.mmrSelect(cand, k = 5, lambda = 0.7)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("sel_rank"))).toSeq
+    assert(out.filter(_._1 == 0L).map(_._2).sorted == Seq(1, 2))
+    assert(out.filter(_._1 == 1L).map(_._2) == Seq(1))
+  }
 }
