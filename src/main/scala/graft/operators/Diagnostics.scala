@@ -61,8 +61,13 @@ object Diagnostics {
       .crossJoin(vocab.agg(sum("qcnt").as("q_invocab"),
         count(lit(1)).as("v_n")))
 
+    // restrict per-source counts to the vocab FIRST (broadcast semi on the
+    // V-bounded token set, scan-stage) so the grid's left join has a
+    // (sources × V)-bounded build side — left-joining the full counts frame
+    // would sort-merge a vocabulary-scaled table at corpus scale
+    val srcInV = srcCounts.join(broadcast(vocab.select("tok")), Seq("tok"), "left_semi")
     val grid = srcTotals.crossJoin(broadcast(vocab))
-      .join(srcCounts, Seq("source", "tok"), "left")
+      .join(broadcast(srcInV), Seq("source", "tok"), "left")
       .withColumn("c", coalesce(col("cnt"), lit(0L)))
     val srcInVocab = grid.groupBy("source")
       .agg(sum("c").as("invocab"), first("total").as("total"))

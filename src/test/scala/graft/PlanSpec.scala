@@ -513,6 +513,61 @@ class PlanSpec extends SparkSpec {
       s"probe join fell back to a corpus sort:\n$p")
   }
 
+  test("KL drift: everything past the vocab cap is broadcast; no vocab sort-merge") {
+    import graft.operators.Diagnostics
+    val p = planOf(Diagnostics.unigramKlBySource(
+      Tables.documents(spark, sf), "source", "text", vocabSize = 64))
+    assert(p.contains("BroadcastExchange"), s"vocab/grid frames not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a vocabulary-scaled join fell back to sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in KL plan:\n$p")
+    assert(p.contains("TakeOrdered"), s"vocab cap is not a TakeOrdered:\n$p")
+  }
+
+  test("CMS probe joins the broadcast sketch; cells partial-aggregate") {
+    import graft.operators.Diagnostics
+    val docs = Tables.documents(spark, sf)
+    val cells = Diagnostics.cmsCells(docs, "text", depth = 2, width = 64)
+    val cand = docs.select(explode(split(lower(col("text")), "\\s+")).as("tok")).distinct()
+    val p = planOf(Diagnostics.cmsEstimate(cells, cand, "tok", depth = 2, width = 64))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"sketch not broadcast into the probe:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe fell back to sort-merge:\n$p")
+    // the cell build must partial-aggregate (partial_count before the exchange)
+    assert(planOf(cells).contains("partial_count"),
+      s"cells not map-side combined:\n${planOf(cells)}")
+  }
+
+  test("curriculum windows partition by (bucket, shard), never one corpus partition") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("score"))
+    val p = planOf(Sampling.curriculumInterleave(
+      docs, col("doc_id"), col("score"), nBuckets = 4, shards = 8))
+    val rankWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("row_number")).toSeq
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("__shard")),
+      s"corpus rank window not sharded:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"thresholds/offsets not broadcast:\n$p")
+  }
+
+  test("MMR steps never go cartesian; selection windows stay per-query") {
+    import graft.operators.Similarity
+    val s = spark
+    import s.implicits._
+    val cand = Seq(
+      (0L, 1L, 0.9, Seq(1.0f, 0.0f)), (0L, 2L, 0.8, Seq(0.0f, 1.0f)),
+      (1L, 3L, 0.7, Seq(1.0f, 1.0f)))
+      .toDF("query_id", "nbr_id", "cosine", "nbr_v")
+    val p = planOf(Similarity.mmrSelect(cand, k = 3, lambda = 0.7))
+    assert(!p.contains("CartesianProduct"), s"cartesian in an MMR step:\n$p")
+    val selWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("row_number")).toSeq
+    assert(selWindows.nonEmpty && selWindows.forall(_.contains("query_id")),
+      s"an MMR argmax window lost its query partition:\n$p")
+  }
+
   test("semanticDedup pairs join shuffled on cell, never cartesian") {
     import graft.operators.Dedup
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
