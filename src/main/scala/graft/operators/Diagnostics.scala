@@ -230,6 +230,40 @@ object Diagnostics {
       .orderBy("source")
   }
 
+  /** Cross-source duplication matrix: for every pair of sources, how many
+    * duplicate PAIRS share a content key — the provenance-overlap report
+    * ("how much of source A is already in source B") that decides whether
+    * two feeds are worth ingesting separately. `key` is any content key:
+    * md5 of the full text for exact dups, a normalized-prefix or shingle
+    * fingerprint for near-dup-ish overlap.
+    *
+    * Output: (source_a ≤ source_b, n_pairs, n_groups) ordered.
+    *
+    * Scale shape: ONE partial-agg groupBy to (key, source, count), then a
+    * per-key self-join whose per-key row count is bounded by |sources| (a
+    * dimension) — pair counts come from count PRODUCTS (`ca·cb`, `C(ca,2)`),
+    * so a million-copy viral document costs one row per source, never a
+    * materialized quadratic pair space. The self-join carries the dedup
+    * family's shuffle_hash pin (broadcasting a corpus-keyed side is never
+    * right at scale). */
+  def crossSourceDupMatrix(df: DataFrame, key: Column,
+                           sourceCol: String): DataFrame = {
+    val counts = df.select(key.as("k"), col(sourceCol).as("source"))
+      .groupBy("k", "source").agg(count(lit(1)).as("c"))
+    val a = counts.select(col("k"), col("source").as("source_a"), col("c").as("ca"))
+    val b = counts.select(col("k"), col("source").as("source_b"), col("c").as("cb"))
+    a.join(b.hint("shuffle_hash"), Seq("k"))
+      .filter(col("source_a") <= col("source_b"))
+      .withColumn("pairs",
+        when(col("source_a") === col("source_b"),
+          (col("ca") * (col("ca") - 1) / lit(2)).cast("long"))
+        .otherwise(col("ca") * col("cb")))
+      .filter(col("pairs") > 0)
+      .groupBy("source_a", "source_b")
+      .agg(sum("pairs").as("n_pairs"), count(lit(1)).as("n_groups"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Duplicate-cluster size histogram from a component labeling
     * (`connectedComponents` output): how much of the dup mass sits in a few
     * giant cliques vs a long tail of pairs — the number that decides whether

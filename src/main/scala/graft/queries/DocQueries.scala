@@ -3368,6 +3368,70 @@ object DocQueries {
         |    AS BIGINT) AS pos
         |FROM b ORDER BY pos, bucket""".stripMargin)),
 
+    // ---- Cross-source duplication matrix on the 5-token-prefix content
+    //      key — the provenance-overlap report. Pair counts come from
+    //      per-(key, source) count products, so a viral duplicate costs one
+    //      row per source, never a quadratic pair space.
+    "q_dedup_cross_source" -> Q(
+      (s, d) => graft.operators.Diagnostics.crossSourceDupMatrix(
+        docsP(s, d),
+        md5(array_join(slice(TextFunctions.tokens(col("text")), 1, 5), " ")),
+        "source"),
+      Some(s"""WITH t AS (SELECT source, $ToksSql AS toks FROM documents),
+        |ks AS (SELECT source,
+        |  md5(coalesce(array_to_string(toks[1:5], ' '), '')) AS k FROM t),
+        |cnt AS (SELECT k, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM ks GROUP BY 1, 2),
+        |px AS (SELECT a.source AS source_a, b.source AS source_b,
+        |  CASE WHEN a.source = b.source THEN a.c * (a.c - 1) // 2
+        |       ELSE a.c * b.c END AS pairs
+        |  FROM cnt a JOIN cnt b ON a.k = b.k AND a.source <= b.source)
+        |SELECT source_a, source_b, CAST(sum(pairs) AS BIGINT) AS n_pairs,
+        |  CAST(count(*) AS BIGINT) AS n_groups
+        |FROM px WHERE pairs > 0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Contamination rate by source: the per-feed slice of the
+    //      decontamination verdict — which ingest feed is leaking benchmark
+    //      text. Same fractions machinery, one groupBy more.
+    "q_decontaminate_by_source" -> Q(
+      (s, d) => {
+        import graft.operators.Decontaminate
+        val docs = docsP(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+          .select("doc_id", "source", "text")
+        val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select("doc_id", "text")
+        Decontaminate.fractions(corpus, bench, "doc_id", "text",
+            threshold = 0.5, shingleK = ShingleK)
+          .join(corpus.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+          .withColumn("rate",
+            round(col("n_contaminated").cast("double") / col("n_docs"), 6))
+          .orderBy("source")
+      },
+      Some(s"""WITH ct AS (SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id % 20 != 0),
+        |kt AS (SELECT doc_id, $ToksSql AS toks FROM ct),
+        |csh AS (SELECT doc_id, $TokenFp60Sql AS fp FROM
+        |  (SELECT doc_id, unnest($ShinglesSql) AS tok FROM kt)),
+        |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents WHERE doc_id % 20 = 0),
+        |bsh AS (SELECT DISTINCT $TokenFp60Sql AS fp FROM
+        |  (SELECT doc_id, unnest($ShinglesSql) AS tok FROM bt)),
+        |cm AS (SELECT doc_id, count(*) AS n_matched FROM csh
+        |  WHERE fp IN (SELECT fp FROM bsh) GROUP BY 1),
+        |cs AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1),
+        |fr AS (SELECT cs.doc_id,
+        |  CAST(coalesce(cm.n_matched, 0) AS DOUBLE) / cs.n_sh >= 0.5 AS is_c
+        |  FROM cs LEFT JOIN cm ON cm.doc_id = cs.doc_id)
+        |SELECT ct.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN fr.is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  round(CAST(sum(CASE WHEN fr.is_c THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS rate
+        |FROM fr JOIN ct ON ct.doc_id = fr.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Moore–Lewis cross-entropy-difference selection: an in-domain
     //      bigram LM (trained on the src0-2 slice) vs the :lm1 general
     //      model; keep the top-100 docs by avg-logprob GAP — "looks like my

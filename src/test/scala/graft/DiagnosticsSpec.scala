@@ -67,6 +67,16 @@ class DiagnosticsSpec extends SparkSpec {
     assert(merged == summed)
   }
 
+  test("cross-source dup matrix counts pair products per shared key") {
+    // key k1: A×2, B×1 → AA C(2,2)=1, AB 2·1=2; key k2: B×2 → BB 1
+    val df = Seq(("k1", "A"), ("k1", "A"), ("k1", "B"), ("k2", "B"), ("k2", "B"),
+      ("k3", "A")).toDF("k", "source")
+    val out = Diagnostics.crossSourceDupMatrix(df, col("k"), "source")
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_groups"))).toSeq
+    assert(out == Seq(("A", "A", 1L, 1L), ("A", "B", 2L, 1L), ("B", "B", 1L, 1L)))
+  }
+
   test("cluster size histogram folds a labeling into (size, n_clusters, n_docs)") {
     val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 3L),
       (10L, 10L), (11L, 10L)).toDF("id", "comp")
