@@ -458,6 +458,12 @@ object ScaleCheck {
           scored, col("doc_id"), col("score"), nBuckets = 4, shards = 32,
           salt = ":sc")
       },
+      // cross-source matrix: partial-agg counts + per-key self-join bounded
+      // by the source dimension; pair counts are products, never rows
+      "cross_source" -> (d => graft.operators.Diagnostics.crossSourceDupMatrix(
+        Tables.documents(spark, d),
+        md5(array_join(slice(split(lower(col("text")), "\\s+"), 1, 5), " ")),
+        "source")),
       // MMR: k unrolled steps, every frame (queries x candidates)-bounded
       // and query-partitioned; corpus appears only in the retrieval pass
       "mmr_select" -> { d =>

@@ -199,5 +199,47 @@ class PropertySpec extends SparkSpec {
     }, n = 5)
   }
 
+  test("curriculum pos is a dense permutation of 0..n-1 per bucket at ANY shard count") {
+    import graft.operators.Sampling
+    val rowGen = Gen.listOfN(60, Gen.zip(Gen.choose(1L, 300L), Gen.choose(0L, 50L)))
+    check(Prop.forAll(rowGen, Gen.oneOf(1, 2, 8), Gen.oneOf(2, 3, 5)) {
+      (rows0, shards, buckets) =>
+        val rows = rows0.groupBy(_._1).map(_._2.head).toSeq
+        val out = Sampling.curriculumInterleave(rows.toDF("id", "score"),
+            col("id"), col("score"), buckets, shards)
+          .collect().map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("pos")))
+        // per bucket: positions are exactly 0..size-1 (dense, no gaps/dups)
+        out.groupBy(_._1).forall { case (_, g) =>
+          g.map(_._2).sorted.toSeq == (0L until g.size).toSeq
+        }
+    }, n = 12)
+  }
+
+  test("CMS estimate >= exact count for arbitrary corpora at any width") {
+    import graft.operators.Diagnostics
+    val docGen = Gen.listOfN(8, Gen.listOfN(10, Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" ")))
+    check(Prop.forAll(docGen, Gen.oneOf(2, 7, 64)) { (texts, width) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      Diagnostics.cmsTopK(docs, "text", depth = 2, width = width, k = 100)
+        .collect().forall(r => r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"))
+    }, n = 10)
+  }
+
+  test("cross-source matrix total pairs == sum of C(group_size, 2) over keys") {
+    import graft.operators.Diagnostics
+    val rowGen = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("k1", "k2", "k3", "k4"), Gen.oneOf("A", "B", "C")))
+    check(Prop.forAll(rowGen) { rows =>
+      val got = Diagnostics.crossSourceDupMatrix(
+          rows.toDF("k", "source"), col("k"), "source")
+        .collect().map(_.getAs[Long]("n_pairs")).sum
+      val want = rows.groupBy(_._1).values
+        .map(g => g.size.toLong * (g.size - 1) / 2).sum
+      got == want
+    }, n = 10)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

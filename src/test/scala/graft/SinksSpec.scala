@@ -84,4 +84,32 @@ class SinksSpec extends SparkSpec {
     // partition filter applied at the source, not post-scan
     assert(scan.contains("PartitionFilters: [") && scan.contains("city"))
   }
+
+  test("JSONL sharded export: stable shards, ordered rows, byte-identical re-export") {
+    import graft.sources.Export
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val docs = (1L to 37L).map(i => (i, s"doc $i text", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val out1 = tmpDir("jsonl1").toString
+    val manifest = Export.jsonlSharded(docs, col("doc_id"), shards = 4, out1)
+      .collect()
+    // manifest accounts for every row; shards are the hash buckets
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == 37L)
+    val back = spark.read.text(out1)
+      .select(col("value"), input_file_name().as("f"))
+    assert(back.count() == 37L)
+    // every line parses back to the original row set
+    val parsed = spark.read.json(back.select("value").as[String])
+      .select("doc_id", "text", "source")
+    assert(parsed.collect().map(r => r.getLong(0)).sorted.toSeq == (1L to 37L))
+    // deterministic delivery: a second export writes byte-identical shards
+    val out2 = tmpDir("jsonl2").toString
+    Export.jsonlSharded(docs, col("doc_id"), shards = 4, out2)
+    def shardBytes(dir: String): Map[String, String] =
+      spark.read.text(dir).select(input_file_name().as("f"), col("value"))
+        .collect().groupBy(r => r.getString(0).replaceAll(".*shard=", "shard=")
+          .replaceAll("/[^/]*$", ""))
+        .view.mapValues(_.map(_.getString(1)).mkString("\n")).toMap
+    assert(shardBytes(out1) == shardBytes(out2))
+  }
 }
