@@ -490,6 +490,33 @@ object ScaleCheck {
       "emb_drift" -> (d => graft.operators.Diagnostics.embeddingDriftBySource(
         Tables.documents(spark, d), Tables.embeddings(spark, d),
         "source", "doc_id", "vec_id", "embedding")),
+      // capstone v6: gate -> CE-select (top 5% scaled) -> curriculum ->
+      // curriculum-ordered packed bins; the two LM scorer passes dominate
+      "curate_v6" -> { d =>
+        import graft.operators.{Curation, LanguageModel, Packing, Sampling}
+        val base = Tables.documents(spark, d).select(
+          col("doc_id"), col("text"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"))
+        val gated = base.filter(col("quality") >= 0.6 && col("lang") === "en")
+          .select("doc_id", "text", "source")
+        // corpus-proportional selection goes through the percentile-cut
+        // path (threshold broadcast, scan-stage filter) — a TakeOrdered at
+        // k = frac*corpus merges k rows per partition on the driver
+        val ce = LanguageModel.crossEntropyCut(gated, "doc_id", "text",
+          targetRef = gated.filter(col("source").isin("src0", "src1", "src2")),
+          generalRef = gated.filter(
+            Sampling.split(col("doc_id"), 80, 10, salt = ":lm1") === "train"),
+          vocabCap = 256, bigramCap = 2048, keepFrac = 0.75)
+        val cur = Sampling.curriculumInterleave(ce, col("doc_id"), col("gap"),
+          nBuckets = 4, shards = 32, salt = ":v6")
+        val withTok = cur.join(gated.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+          Seq("doc_id"))
+        Packing.packBins(withTok, "doc_id", col("n_tokens"),
+          budgetTokens = 512L, shards = 32, salt = ":v6p",
+          order = Seq(col("bucket"), col("pos")))
+      },
       // audit: the full curate chain plus four doc_id equi-joins and a
       // scan-stage first-fail verdict — measures the explainability tax
       // over the capstone it mirrors

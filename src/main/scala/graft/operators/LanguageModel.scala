@@ -111,15 +111,17 @@ object LanguageModel {
     * count over [[normStream]] (scan-stage zip + broadcast membership, one
     * groupBy). */
   def trainBigramLm(ref: DataFrame, idCol: String, textCol: String,
-                    vocabCap: Int = 65536, bigramCap: Int = 1 << 20): BigramLm = {
+                    vocabCap: Int = 65536, bigramCap: Int = 1 << 20,
+                    scope: graft.core.CacheScope.Handle =
+                      graft.core.CacheScope.detached): BigramLm = {
     val spark = ref.sparkSession
     import spark.implicits._
     val toks = tokFrame(ref, idCol, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val uraw = toks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val vocab = uraw.orderBy(desc("c"), asc("tok")).limit(vocabCap)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = scope.pin(uraw.orderBy(desc("c"), asc("tok")).limit(vocabCap)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     // two metadata scalars (single-row aggregates, not data collects)
     val n = Option(uraw.agg(sum("c")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
     val vRow = vocab.agg(count(lit(1)), coalesce(sum("c"), lit(0L))).head
@@ -199,9 +201,11 @@ object LanguageModel {
   /** Train-and-score convenience: model on `ref`, scores over `docs`. */
   def perplexityAgainst(docs: DataFrame, ref: DataFrame,
                         idCol: String, textCol: String,
-                        vocabCap: Int = 65536, bigramCap: Int = 1 << 20): DataFrame =
+                        vocabCap: Int = 65536, bigramCap: Int = 1 << 20,
+                        scope: graft.core.CacheScope.Handle =
+                          graft.core.CacheScope.detached): DataFrame =
     perplexity(docs, idCol, textCol,
-      trainBigramLm(ref, idCol, textCol, vocabCap, bigramCap))
+      trainBigramLm(ref, idCol, textCol, vocabCap, bigramCap, scope))
 
   /** Moore–Lewis cross-entropy-difference selection: score every document
     * under an IN-DOMAIN model (trained on `targetRef`) and a GENERAL model
@@ -229,6 +233,41 @@ object LanguageModel {
       .withColumn("gap", round(col("logp_target") - col("logp_general"), 6))
       .orderBy(col("gap").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Corpus-proportional variant of [[crossEntropySelect]]: keep the top
+    * `keepFrac` of documents by gap via a PERCENTILE THRESHOLD (one
+    * aggregate, broadcast scalar, scan-stage filter ≥) instead of a top-k.
+    * Use THIS when the selection scales with the corpus: a TakeOrdered at
+    * k = frac·|corpus| merges k candidates per partition on the driver,
+    * which is exactly the driver-side funnel the rest of the engine
+    * avoids. Ties at the threshold are kept, so the realized fraction can
+    * exceed `keepFrac` by the tie mass.
+    *
+    * Output: (doc_id, logp_target, logp_general, gap), unranked. */
+  def crossEntropyCut(docs: DataFrame, idCol: String, textCol: String,
+                      targetRef: DataFrame, generalRef: DataFrame,
+                      vocabCap: Int, bigramCap: Int, keepFrac: Double,
+                      scope: graft.core.CacheScope.Handle =
+                        graft.core.CacheScope.detached): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
+    val t = perplexityAgainst(docs, targetRef, idCol, textCol, vocabCap,
+        bigramCap, scope)
+      .select(col("doc_id"), col("avg_logp").as("logp_target"))
+    val g = perplexityAgainst(docs, generalRef, idCol, textCol, vocabCap,
+        bigramCap, scope)
+      .select(col("doc_id"), col("avg_logp").as("logp_general"))
+    // read twice (threshold aggregate + the cut): persist + materialize so
+    // the two LM scoring passes run ONCE — same discipline as the Dedup
+    // self-joins (unmaterialized branches would recompute both models)
+    val scored = scope.pin(t.join(g, Seq("doc_id"))
+      .withColumn("gap", round(col("logp_target") - col("logp_general"), 6))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    scored.count()
+    val th = scored.agg(percentile(col("gap"), lit(1.0 - keepFrac)).as("__th"))
+    scored.crossJoin(broadcast(th))
+      .filter(col("gap") >= col("__th"))
+      .drop("__th")
   }
 
   // ==================== trigram order ====================

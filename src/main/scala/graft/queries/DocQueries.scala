@@ -3196,6 +3196,101 @@ object DocQueries {
         |   i -> abs(v[i] - CAST(q[i] AS DOUBLE) / scale))) AS max_err
         |FROM qz ORDER BY vec_id""".stripMargin)),
 
+    // ---- Curation capstone v6 (round 13): the SELECTION-first recipe —
+    //      quality/lang gate → Moore–Lewis cross-entropy top-300 (in-domain
+    //      vs general LM gap) → curriculum interleave over the gap →
+    //      curriculum-ORDERED packed bins (packBins' order hook lays each
+    //      shard out by (bucket, pos), so a loader streaming bins in order
+    //      replays the curriculum) → per-band layout summary. Every stage
+    //      is individually oracle-proven; this gate proves the composition.
+    "q_pipeline_curate_v6" -> Q(
+      (s, d) => {
+        import graft.operators.{LanguageModel, Packing, Sampling}
+        val base = docsP(s, d).select(col("doc_id"), col("text"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"))
+        val gated = base.filter(col("quality") >= 0.6 && col("lang") === "en")
+          .select("doc_id", "text", "source")
+        val ce = LanguageModel.crossEntropySelect(gated, "doc_id", "text",
+          targetRef = gated.filter(col("source").isin("src0", "src1", "src2")),
+          generalRef = gated.filter(
+            Sampling.split(col("doc_id"), 80, 10, salt = ":lm1") === "train"),
+          vocabCap = 256, bigramCap = 2048, k = 300)
+        val cur = Sampling.curriculumInterleave(ce, col("doc_id"), col("gap"),
+          nBuckets = 4, shards = 8, salt = ":v6")
+        val withTok = cur.join(gated.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+          Seq("doc_id"))
+        Packing.packBins(withTok, "doc_id", col("n_tokens"),
+            budgetTokens = 512L, shards = 4, salt = ":v6p",
+            order = Seq(col("bucket"), col("pos")))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+            countDistinct(col("shard") * lit(100000L) + col("bin")).as("n_bins"))
+          .select(col("bucket").cast("int").as("bucket"), col("n_docs"),
+            col("n_tokens"), col("n_bins"))
+          .orderBy("bucket")
+      },
+      Some {
+        val langNames = TextFunctions.LangMarkers.map(_._1)
+        val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
+          s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$lang"
+        }.mkString(", ")
+        val greatestH = s"greatest(${langNames.map("h_" + _).mkString(", ")})"
+        val langCase = langNames.map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+        s"""WITH t AS (SELECT doc_id, text, source, $ToksSql AS toks FROM documents),
+           |h AS (SELECT *, $langHits FROM t),
+           |g AS (SELECT *, $greatestH AS m FROM h),
+           |scored AS (SELECT doc_id,
+           | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+           |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+           |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality,
+           | CASE WHEN m = 0 THEN 'und' $langCase END AS lang
+           |FROM g),
+           |gt AS (SELECT doc_id FROM scored WHERE quality >= 0.6 AND lang = 'en'),
+           |tk AS (SELECT t.doc_id, t.toks FROM t JOIN gt ON gt.doc_id = t.doc_id),
+           |${pplCtesWhere(256, 2048,
+              "doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1', 'src2'))",
+              "_t")},
+           |${pplCtes(256, 2048, ":lm1")},
+           |a_t AS (SELECT doc_id,
+           |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logp_target
+           |  FROM sc_t GROUP BY 1),
+           |a_g AS (SELECT doc_id,
+           |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logp_general
+           |  FROM sc GROUP BY 1),
+           |sel AS (SELECT a_t.doc_id,
+           |  round(a_t.logp_target - a_g.logp_general, 6) AS gap
+           |  FROM a_t JOIN a_g ON a_g.doc_id = a_t.doc_id
+           |  QUALIFY row_number() OVER (ORDER BY gap DESC, a_t.doc_id) <= 300),
+           |th AS (SELECT quantile_cont(gap, 0.25) AS t1,
+           |  quantile_cont(gap, 0.5) AS t2, quantile_cont(gap, 0.75) AS t3 FROM sel),
+           |b AS (SELECT doc_id, gap,
+           |  (CASE WHEN gap > t1 THEN 1 ELSE 0 END
+           |   + CASE WHEN gap > t2 THEN 1 ELSE 0 END
+           |   + CASE WHEN gap > t3 THEN 1 ELSE 0 END) AS bucket,
+           |  ${fp60Sql("(CAST(doc_id AS VARCHAR) || ':v6')")} AS hh
+           |  FROM sel CROSS JOIN th),
+           |cur AS (SELECT doc_id, bucket,
+           |  row_number() OVER (PARTITION BY bucket ORDER BY hh, doc_id) - 1 AS pos
+           |  FROM b),
+           |nt AS (SELECT tk.doc_id, CAST(len(tk.toks) AS BIGINT) AS n_tokens
+           |  FROM tk JOIN sel ON sel.doc_id = tk.doc_id),
+           |pk AS (SELECT cur.doc_id, cur.bucket, cur.pos, nt.n_tokens,
+           |  ${fp60Sql("(CAST(cur.doc_id AS VARCHAR) || ':v6p')")} % 4 AS shard
+           |  FROM cur JOIN nt ON nt.doc_id = cur.doc_id),
+           |pb AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+           |  ORDER BY bucket, pos, doc_id
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           |  AS tokens_before FROM pk),
+           |pf AS (SELECT *, CAST(floor(tokens_before / 512.0) AS BIGINT) AS bin FROM pb)
+           |SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(count(DISTINCT shard * 100000 + bin) AS BIGINT) AS n_bins
+           |FROM pf GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // ==================== corpus diagnostics ====================
 
     // ---- Per-source unigram KL divergence vs the corpus mixture over the
@@ -3464,6 +3559,40 @@ object DocQueries {
         |  round(a_t.logp_target - a_g.logp_general, 6) AS gap
         |FROM a_t JOIN a_g ON a_g.doc_id = a_t.doc_id
         |ORDER BY gap DESC, a_t.doc_id LIMIT 100""".stripMargin)),
+
+    // ---- Fraction-cut variant of the Moore–Lewis selection: keep the top
+    //      25 % by gap via a broadcast percentile threshold — the
+    //      corpus-proportional shape (a TakeOrdered at k = frac·corpus
+    //      would merge k rows per partition on the driver). Ties at the
+    //      threshold are kept.
+    "q_sample_ce_cut" -> Q(
+      (s, d) => {
+        import graft.operators.{LanguageModel, Sampling}
+        val docs = Tables.documents(s, d)
+        LanguageModel.crossEntropyCut(docs, "doc_id", "text",
+            targetRef = docs.filter(col("source").isin("src0", "src1", "src2")),
+            generalRef = docs.filter(
+              Sampling.split(col("doc_id"), 80, 10, salt = ":lm1") === "train"),
+            vocabCap = 256, bigramCap = 2048, keepFrac = 0.25)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |${pplCtesWhere(256, 2048,
+          "doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1', 'src2'))",
+          "_t")},
+        |${pplCtes(256, 2048, ":lm1")},
+        |a_t AS (SELECT doc_id,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logp_target
+        |  FROM sc_t GROUP BY 1),
+        |a_g AS (SELECT doc_id,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS logp_general
+        |  FROM sc GROUP BY 1),
+        |sg AS (SELECT a_t.doc_id, a_t.logp_target, a_g.logp_general,
+        |  round(a_t.logp_target - a_g.logp_general, 6) AS gap
+        |  FROM a_t JOIN a_g ON a_g.doc_id = a_t.doc_id),
+        |th AS (SELECT quantile_cont(gap, 0.75) AS t FROM sg)
+        |SELECT doc_id, logp_target, logp_general, gap
+        |FROM sg CROSS JOIN th WHERE gap >= t ORDER BY doc_id""".stripMargin)),
 
     // ---- Per-source embedding-centroid drift vs the corpus centroid —
     //      the SEMANTIC sibling of q_text_kl_by_source: cosine between each

@@ -123,6 +123,17 @@ class CacheScopeSpec extends SparkSpec {
     }
   }
 
+  test("crossEntropyCut releases its scored frame") {
+    import graft.operators.LanguageModel
+    val n = assertReleased("crossEntropyCut") { scope =>
+      LanguageModel.crossEntropyCut(docs, "doc_id", "text",
+        targetRef = docs.filter(col("doc_id") <= 2),
+        generalRef = docs.filter(col("doc_id") >= 3),
+        vocabCap = 64, bigramCap = 256, keepFrac = 0.5, scope = scope)
+    }
+    assert(n > 0)
+  }
+
   test("release degrades to recompute, never to data loss") {
     sweep()
     val scope = CacheScope.handle()

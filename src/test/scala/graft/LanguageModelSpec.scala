@@ -115,6 +115,25 @@ class LanguageModelSpec extends SparkSpec {
     assert(out.take(2).forall(r => r.getAs[Double]("gap") > out.last.getAs[Double]("gap")))
   }
 
+  test("cross-entropy cut keeps exactly the top-gap docs when gaps are distinct") {
+    import spark.implicits._
+    val target = Seq((101L, "party agrees party agrees terms"),
+      (102L, "agrees terms party terms")).toDF("doc_id", "text")
+    val general = Seq((201L, "rain falls on the hills"),
+      (202L, "the hills see rain"), (203L, "wind and rain on hills"))
+      .toDF("doc_id", "text")
+    val docs = Seq((1L, "party agrees terms"), (2L, "rain on the hills"),
+      (3L, "party terms agrees party"), (4L, "hills and wind"))
+      .toDF("doc_id", "text")
+    val topk = LanguageModel.crossEntropySelect(docs, "doc_id", "text",
+        target, general, vocabCap = 64, bigramCap = 256, k = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val cut = LanguageModel.crossEntropyCut(docs, "doc_id", "text",
+        target, general, vocabCap = 64, bigramCap = 256, keepFrac = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(cut == topk) // same selection when no ties straddle the threshold
+  }
+
   test("empty and null texts produce no score row; self-scored ref is most fluent") {
     import spark.implicits._
     val lm = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",
