@@ -185,6 +185,66 @@ object Diagnostics {
       .limit(k)
   }
 
+  /** Reference unigram "surprise" model for drift monitoring: a
+    * broadcastable (tok, lnq) table over the top-`vocabSize` reference
+    * vocabulary (add-one smoothed, 9-decimal-rounded log-probs) plus the
+    * lumped OOV log-prob and the model scalars. Feeding a stream's tokens
+    * through it yields the cross-entropy of live data against the
+    * reference distribution — rising avg-NLL or OOV rate = the feed
+    * drifted. Two single-row metadata scalars are read on the driver
+    * (the [[graft.operators.LanguageModel.trainBigramLm]] precedent);
+    * everything else stays distributed and cap-bounded. */
+  case class SurpriseModel(lnq: DataFrame, lnqOov: Double,
+                           vocabTypes: Long, totalTokens: Long)
+
+  def surpriseModel(reference: DataFrame, textCol: String,
+                    vocabSize: Int): SurpriseModel = {
+    val counts = tokenCounts(reference, textCol)
+    val vocab = topVocab(counts, vocabSize)
+    val tot = Option(counts.agg(sum("cnt")).head.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val vRow = vocab.agg(count(lit(1)), coalesce(sum("cnt"), lit(0L))).head
+    val (vn, inMass) = (vRow.getLong(0), vRow.getLong(1))
+    val denom = (tot + vn + 1).toDouble
+    val lnq = vocab.select(col("tok"),
+      round(log((col("cnt") + 1).cast("double") / lit(denom)), 9).as("lnq"))
+    val lnqOov = BigDecimal(math.log((tot - inMass + 1).toDouble / denom))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    SurpriseModel(lnq, lnqOov, vn, tot)
+  }
+
+  /** Shared scoring stream for the drift monitor: one token per row with
+    * its rounded reference log-prob (decimal) and OOV flag — a scan-stage
+    * broadcast lookup, reused by the batch scorer and the streaming twin. */
+  private[graft] def surpriseTokens(docs: DataFrame, textCol: String,
+                                    model: SurpriseModel,
+                                    extra: Seq[String]): DataFrame =
+    docs.select(extra.map(col) :+
+        explode(TextFunctions.tokens(col(textCol))).as("tok"): _*)
+      .join(broadcast(model.lnq), Seq("tok"), "left")
+      .select(extra.map(col) ++ Seq(
+        col("lnq").isNull.as("is_oov"),
+        coalesce(col("lnq"), lit(model.lnqOov))
+          .cast("decimal(28,9)").as("lp")): _*)
+
+  /** Aggregates for one drift-monitor group: token count, OOV rate, and
+    * avg negative log-likelihood vs the reference (cross-entropy, nats). */
+  private[graft] def surpriseAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_tokens"),
+    round(sum(when(col("is_oov"), 1L).otherwise(0L)).cast("double")
+      / count(lit(1)), 6).as("oov_rate"),
+    round(-(sum(col("lp")).cast("double")) / count(lit(1)), 6).as("avg_nll"))
+
+  /** Batch drift report: per-source cross-entropy + OOV rate against a
+    * reference [[SurpriseModel]] — the static twin of
+    * [[graft.streaming.StreamingOps.driftMonitorStream]]. */
+  def surpriseBySource(docs: DataFrame, sourceCol: String, textCol: String,
+                       model: SurpriseModel): DataFrame =
+    surpriseTokens(docs.withColumnRenamed(sourceCol, "source"), textCol,
+        model, Seq("source"))
+      .groupBy("source")
+      .agg(surpriseAggs.head, surpriseAggs.tail: _*)
+      .orderBy("source")
+
   /** Per-source embedding-centroid drift vs the corpus centroid — the
     * SEMANTIC sibling of [[unigramKlBySource]]: cosine between each
     * source's mean embedding and the global mean. Low cosine = the source

@@ -3335,6 +3335,43 @@ object DocQueries {
         |FROM scored s2 JOIN siv ON siv.source = s2.source
         |GROUP BY s2.source ORDER BY s2.source""".stripMargin)),
 
+    // ---- Per-source drift report: cross-entropy (avg NLL) + OOV rate of
+    //      each source against the :lm1-split reference unigram model —
+    //      the batch twin of the streaming drift monitor (rising avg-NLL /
+    //      OOV on a feed = distribution drift). Scan-stage broadcast
+    //      lookup per token; decimal log-prob sums.
+    "q_text_surprise_by_source" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(graft.operators.Sampling.split(
+          col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        graft.operators.Diagnostics.surpriseBySource(docs, "source", "text",
+          graft.operators.Diagnostics.surpriseModel(ref, "text", vocabSize = 256))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+        |ref AS (SELECT * FROM t
+        |  WHERE ${fp60Sql("CAST(doc_id AS VARCHAR) || ':lm1'")} % 100 < 80),
+        |re AS (SELECT unnest(toks) AS tok FROM ref),
+        |uraw AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM re GROUP BY 1),
+        |tot AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n FROM uraw),
+        |vocab AS (SELECT tok, c FROM uraw ORDER BY c DESC, tok LIMIT 256),
+        |vs AS (SELECT CAST(count(*) AS BIGINT) AS u,
+        |  CAST(COALESCE(sum(c), 0) AS BIGINT) AS cs FROM vocab),
+        |lq AS (SELECT tok, round(ln(CAST(c + 1 AS DOUBLE)
+        |  / CAST((SELECT n FROM tot) + (SELECT u FROM vs) + 1 AS DOUBLE)), 9) AS lnq
+        |  FROM vocab),
+        |ov AS (SELECT round(ln(CAST(n - cs + 1 AS DOUBLE)
+        |  / CAST(n + u + 1 AS DOUBLE)), 9) AS lnq_oov FROM tot, vs),
+        |e AS (SELECT source, unnest(toks) AS tok FROM t),
+        |sc2 AS (SELECT e.source,
+        |  CASE WHEN v.lnq IS NULL THEN 1 ELSE 0 END AS oov,
+        |  CAST(COALESCE(v.lnq, (SELECT lnq_oov FROM ov)) AS DECIMAL(28,9)) AS lp
+        |  FROM e LEFT JOIN lq v ON v.tok = e.tok)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate,
+        |  round(-(CAST(sum(lp) AS DOUBLE)) / count(*), 6) AS avg_nll
+        |FROM sc2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- Zipf rank-frequency slope over the top-512 vocabulary: OLS of
     //      ln(count) on ln(rank) from exact decimal sums — corpus health in
     //      one row (natural text ≈ -1; templated boilerplate much shallower).

@@ -490,4 +490,29 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowDur).as("win"), col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Streaming DRIFT MONITOR — the live twin of
+    * [[graft.operators.Diagnostics.surpriseBySource]]: per event-time
+    * window and source, the cross-entropy (avg negative log-likelihood)
+    * and OOV rate of the incoming token stream against a FROZEN reference
+    * [[graft.operators.Diagnostics.SurpriseModel]]. Rising avg-NLL or OOV
+    * rate on a feed = that feed's distribution has drifted from the
+    * reference corpus — the alarm a continuous-ingest pipeline watches.
+    *
+    * Scan-stage broadcast lookup per token, then ONE windowed streaming
+    * aggregation (decimal log-prob sums — order-independent, so closed
+    * windows match the batch twin bit for bit; spec-pinned). */
+  def driftMonitorStream(docs: DataFrame, tsCol: String, sourceCol: String,
+                         textCol: String,
+                         model: graft.operators.Diagnostics.SurpriseModel,
+                         watermark: String = "1 hour",
+                         windowDur: String = "1 hour"): DataFrame =
+    graft.operators.Diagnostics
+      .surpriseTokens(
+        docs.withWatermark(tsCol, watermark)
+          .withColumnRenamed(sourceCol, "source"),
+        textCol, model, extra = Seq(tsCol, "source"))
+      .groupBy(window(col(tsCol), windowDur).as("win"), col("source"))
+      .agg(graft.operators.Diagnostics.surpriseAggs.head,
+        graft.operators.Diagnostics.surpriseAggs.tail: _*)
 }
