@@ -458,6 +458,15 @@ object ScaleCheck {
           scored, col("doc_id"), col("score"), nBuckets = 4, shards = 32,
           salt = ":sc")
       },
+      // drift report: model build (two driver scalars + top-V) + one
+      // broadcast-lookup scan + per-source decimal aggregation
+      "surprise_drift" -> { d =>
+        val docs = Tables.documents(spark, d)
+        val ref = docs.filter(graft.operators.Sampling.split(
+          col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        graft.operators.Diagnostics.surpriseBySource(docs, "source", "text",
+          graft.operators.Diagnostics.surpriseModel(ref, "text", vocabSize = 256))
+      },
       // cross-source matrix: partial-agg counts + per-key self-join bounded
       // by the source dimension; pair counts are products, never rows
       "cross_source" -> (d => graft.operators.Diagnostics.crossSourceDupMatrix(
