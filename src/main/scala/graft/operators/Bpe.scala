@@ -194,6 +194,18 @@ object Bpe {
       spark.sparkContext.parallelize(rows, 1), MergeSchema)
   }
 
+  /** Persist a trained merge table (the tokenizer artifact: train once on
+    * the reference corpus, every encode job loads the same ranked merges —
+    * retraining would silently change every token boundary downstream). */
+  def saveMerges(merges: DataFrame, dir: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Load a merge table persisted by [[saveMerges]]; [[applyBpe]] against
+    * it encodes identically to the in-memory original (the ranked rows ARE
+    * the tokenizer). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** Encode a word with a rank-indexed merge map: repeatedly apply the
     * LOWEST-RANK merge present among adjacent pairs (the standard BPE
     * encoding rule — application order is merge priority, not left-to-right

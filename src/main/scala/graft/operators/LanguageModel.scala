@@ -207,6 +207,31 @@ object LanguageModel {
     perplexity(docs, idCol, textCol,
       trainBigramLm(ref, idCol, textCol, vocabCap, bigramCap, scope))
 
+  /** Persist a trained model under `dir` — the deployment shape: the
+    * reference model trains once (on the curated reference corpus) and
+    * every later scoring job loads it; retraining per job would both waste
+    * the reference pass and let the filter drift run to run. Frames are
+    * cap-bounded parquet; the two scalars ride a one-row meta table. */
+  def saveLm(lm: BigramLm, dir: String): Unit = {
+    val spark = lm.unigrams.sparkSession
+    import spark.implicits._
+    lm.unigrams.coalesce(1).write.mode("overwrite").parquet(s"$dir/unigrams")
+    lm.bigrams.coalesce(1).write.mode("overwrite").parquet(s"$dir/bigrams")
+    Seq((lm.totalTokens, lm.vocabTypes)).toDF("total_tokens", "vocab_types")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a model persisted by [[saveLm]]; scoring against it is
+    * bit-identical to scoring against the in-memory original (the frames
+    * hold the same rows; the scalars are exact longs). */
+  def loadLm(spark: org.apache.spark.sql.SparkSession, dir: String): BigramLm = {
+    val meta = spark.read.parquet(s"$dir/meta").head
+    BigramLm(spark.read.parquet(s"$dir/unigrams"),
+      spark.read.parquet(s"$dir/bigrams"),
+      totalTokens = meta.getAs[Long]("total_tokens"),
+      vocabTypes = meta.getAs[Long]("vocab_types"))
+  }
+
   /** Moore–Lewis cross-entropy-difference selection: score every document
     * under an IN-DOMAIN model (trained on `targetRef`) and a GENERAL model
     * (trained on `generalRef`), rank by the gap `avg_logp_target −

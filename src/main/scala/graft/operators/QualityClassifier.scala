@@ -84,6 +84,31 @@ object QualityClassifier {
       buckets, salt)
   }
 
+  /** Persist a trained model under `dir` (train-once / score-many: the
+    * labeled seed sets live with the curation team, scoring jobs only need
+    * the bucket table). `defaultLlr`/`prior` are constant-foldable decimal
+    * expressions — evaluating them to store is value-preserving because
+    * dec9 already rounded them to decimal(28,9), so the reloaded literal
+    * scores bit-identically. */
+  def save(m: NbModel, dir: String): Unit = {
+    val spark = m.llr.sparkSession
+    m.llr.coalesce(1).write.mode("overwrite").parquet(s"$dir/llr")
+    spark.range(1).select(m.defaultLlr.as("default_llr"), m.prior.as("prior"),
+        lit(m.buckets).as("buckets"), lit(m.salt).as("salt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a model persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): NbModel = {
+    val meta = spark.read.parquet(s"$dir/meta").head
+    NbModel(spark.read.parquet(s"$dir/llr"),
+      defaultLlr = lit(meta.getAs[java.math.BigDecimal]("default_llr"))
+        .cast("decimal(28,9)"),
+      prior = lit(meta.getAs[java.math.BigDecimal]("prior"))
+        .cast("decimal(28,9)"),
+      buckets = meta.getAs[Int]("buckets"), salt = meta.getAs[String]("salt"))
+  }
+
   /** Score every document: (doc_id, n_tokens, log_odds, keep). Token-less
     * documents score the prior alone. */
   def score(docs: DataFrame, idCol: String, textCol: String,

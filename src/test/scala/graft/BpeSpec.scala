@@ -108,4 +108,19 @@ class BpeSpec extends SparkSpec {
     assert(n(4L) == 0L)
     assert(n(2L) == enc(2L).get.map(_.getSeq[String](1).size).sum)
   }
+
+  test("persisted merges encode identically to the in-memory table") {
+    import spark.implicits._
+    val docs = Seq((1L, "low lower lowest newest new"), (2L, "the newest low"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainBpe(docs, "doc_id", "text", numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString + "/m"
+    Bpe.saveMerges(merges, dir)
+    val direct = Bpe.subtokenCount(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loaded = Bpe.subtokenCount(docs, "doc_id", "text",
+        Bpe.loadMerges(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct == loaded)
+  }
 }

@@ -151,4 +151,18 @@ class LanguageModelSpec extends SparkSpec {
       .collect().head.getDouble(2)
     assert(rows.head.getDouble(2) > strangers)
   }
+
+  test("persisted LM scores bit-identically to the in-memory one") {
+    import spark.implicits._
+    val lm = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",
+      vocabCap = 8, bigramCap = 32)
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString + "/m"
+    LanguageModel.saveLm(lm, dir)
+    val docs = Seq((10L, "a b c d"), (11L, "d a b")).toDF("doc_id", "text")
+    def scored(m: LanguageModel.BigramLm) =
+      LanguageModel.perplexity(docs, "doc_id", "text", m)
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("avg_logp"),
+          r.getAs[Double]("ppl"))).toSet
+    assert(scored(lm) == scored(LanguageModel.loadLm(spark, dir)))
+  }
 }

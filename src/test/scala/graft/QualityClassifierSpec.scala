@@ -66,4 +66,18 @@ class QualityClassifierSpec extends SparkSpec {
     assert(r(0).getAs[Boolean]("keep"), "good-token doc dropped")
     assert(!r(1).getAs[Boolean]("keep"), "bad-token doc kept")
   }
+
+  test("persisted model scores bit-identically to the in-memory one") {
+    val pos = df(Seq((1L, "good clean prose here"), (2L, "clean good text")))
+    val neg = df(Seq((3L, "spam spam buy now"), (4L, "buy spam click")))
+    val m = QualityClassifier.train(pos, neg, "doc_id", "text", buckets = B)
+    val dir = java.nio.file.Files.createTempDirectory("nb").toString + "/m"
+    QualityClassifier.save(m, dir)
+    val docs = df(Seq((10L, "good clean buy"), (11L, "spam click now"), (12L, "")))
+    def scored(model: QualityClassifier.NbModel) =
+      QualityClassifier.score(docs, "doc_id", "text", model)
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("log_odds"),
+          r.getAs[Boolean]("keep"))).toSet
+    assert(scored(m) == scored(QualityClassifier.load(spark, dir)))
+  }
 }
