@@ -2300,6 +2300,60 @@ object DocQueries {
         |  WHERE df <= 100),
         |${jaccardTailSql(0.3, "")}""".stripMargin)),
 
+    // ---- Split-leakage audit: near-dup pairs that STRADDLE the
+    //      train/valid/test hash split — the in-corpus train-test
+    //      contamination check (a near-copy of a training doc in the eval
+    //      split silently inflates eval). Same inverted-index pair
+    //      generation; two split lookups and a fold.
+    "q_dedup_split_leakage" -> Q(
+      (s, d) => {
+        import graft.operators.Sampling
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+          threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)
+        val sp = docs.select(col("doc_id"),
+          Sampling.split(col("doc_id"), 80, 10, salt = ":sp1").as("split"))
+        pairs
+          .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+          .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+          .filter(col("sa") =!= col("sb"))
+          .select(least(col("sa"), col("sb")).as("split_a"),
+            greatest(col("sa"), col("sb")).as("split_b"), col("jaccard"))
+          .groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            round(max(col("jaccard")), 6).as("max_jaccard"))
+          .orderBy("split_a", "split_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |sh AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+        |  WHERE df <= 100),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh GROUP BY 1),
+        |common AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        | FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |jp AS (SELECT c.id_a, c.id_b,
+        | CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common) AS jaccard
+        | FROM common c
+        | JOIN sizes sa ON sa.doc_id = c.id_a
+        | JOIN sizes sb ON sb.doc_id = c.id_b
+        | WHERE CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common) >= 0.3),
+        |sp AS (SELECT doc_id, CASE
+        |  WHEN ${fp60Sql("CAST(doc_id AS VARCHAR) || ':sp1'")} % 100 < 80 THEN 'train'
+        |  WHEN ${fp60Sql("CAST(doc_id AS VARCHAR) || ':sp1'")} % 100 < 90 THEN 'valid'
+        |  ELSE 'test' END AS split FROM documents)
+        |SELECT least(pa.split, pb.split) AS split_a,
+        | greatest(pa.split, pb.split) AS split_b,
+        | CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(max(jp.jaccard), 6) AS max_jaccard
+        |FROM jp JOIN sp pa ON pa.doc_id = jp.id_a
+        | JOIN sp pb ON pb.doc_id = jp.id_b
+        |WHERE pa.split != pb.split
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // character-5-gram variant of the jaccard near-dup (tokenization-robust
     // feature space for short/noisy text); tighter threshold because char
     // n-gram overlap runs higher than word-shingle overlap.
