@@ -46,6 +46,46 @@ object Dedup {
       .filter(col("__r") === 1).drop("__r")
   }
 
+  /** SOFT dedup labeling: every document gets its near-dup cluster label,
+    * the cluster's size, and a resampling weight 1/|cluster| — the
+    * "downweight, don't drop" alternative to keeper selection (Muennighoff
+    * et al., "Scaling Data-Constrained Language Models", use repeated data
+    * at reduced weight rather than discarding it; cluster-size reweighting
+    * is the standard soft variant). Documents in no pair are singleton
+    * clusters with weight 1. Dropping duplicates loses paraphrase diversity;
+    * weighting keeps every surface form while restoring the content's
+    * effective frequency to ~1.
+    *
+    * Scale shape: labels come from the star-contraction loop (edge-bounded);
+    * cluster sizes are a partial-agg groupBy over the LABEL frame (cluster-
+    * count-sized), joined back — the corpus is touched by exactly one left
+    * join against clustered-doc-sized frames, never windowed. */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+                       pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+      .select(col("id").as("__sd_id"), col("comp").as("__sd_comp"))
+    val labeled = docs.join(labels, docs(idCol) === col("__sd_id"), "left")
+      .withColumn("comp", coalesce(col("__sd_comp"), docs(idCol)))
+      .drop("__sd_id", "__sd_comp")
+    val sizes = labeled.groupBy(col("comp").as("__sz_comp"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, col("comp") === col("__sz_comp")).drop("__sz_comp")
+      .withColumn("weight", lit(1.0) / col("cluster_size"))
+  }
+
+  /** Realize [[softDedupWeights]] as a deterministic sample: keep each row
+    * iff hashBucket(id, 2^20, salt) * cluster_size < 2^20 — pure integer
+    * arithmetic, so P(keep) ≈ 1/cluster_size exactly reproducibly (a
+    * cluster of n contributes ~1 expected document), and any engine
+    * computing the same md5-prefix bucket draws the identical sample. The
+    * `kept` flag is emitted rather than filtered so callers can audit what
+    * a pipeline would drop. */
+  def softDedupSample(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      salt: String = ""): DataFrame =
+    softDedupWeights(docs, idCol, pairs).withColumn("kept",
+      Sampling.hashBucket(col(idCol), 1 << 20, salt) * col("cluster_size")
+        < lit(1L << 20))
+
   /** (doc_id, token) inverted-index edge list over distinct features of the
     * text. `tokens` picks the feature space: unigram token sets by default;
     * pass `t => array_distinct(TextFunctions.shingles(t, k))` for word

@@ -59,6 +59,32 @@ object Sampling {
                    validPct: Int = 10, salt: String = ""): DataFrame =
     df.withColumn("split", split(group, trainPct, validPct, salt))
 
+  /** Leakage-free splits when the group structure is a near-duplicate GRAPH
+    * rather than a precomputed key: label the corpus by connected component
+    * of `pairs` (an (id_a, id_b) near-dup pair frame from any of the Dedup
+    * candidate generators), then hash-split on the component label via
+    * [[splitByGroup]]. Documents untouched by any pair are their own
+    * singleton component (comp = id), so the whole corpus is assigned. The
+    * guarantee composes transitively: if A~B and B~C, all three share a
+    * component and therefore a split, even though A and C were never paired
+    * — exactly the closure a pairwise `splitByGroup(md5(text))` cannot give.
+    *
+    * Scale shape: the component labeling is the star-contraction loop
+    * (edge-bounded shuffles, see [[Dedup.connectedComponents]]); attaching
+    * labels to the corpus is ONE left join against the (clustered docs)-
+    * sized label frame — the corpus itself is never re-shuffled for the
+    * split, which stays a scan-stage hash of the attached label. */
+  def splitByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+                        trainPct: Int = 80, validPct: Int = 10,
+                        salt: String = ""): DataFrame = {
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
+    val labeled = df.join(labels, df(idCol) === col("__cc_id"), "left")
+      .withColumn("comp", coalesce(col("__cc_comp"), df(idCol)))
+      .drop("__cc_id", "__cc_comp")
+    splitByGroup(labeled, col("comp"), trainPct, validPct, salt)
+  }
+
   /** Deterministic corpus shuffle for training order: a total order by the
     * salted 60-bit hash of the stable key (ties — md5 collisions — broken
     * by the key itself, so the order is total and engine-independent).

@@ -388,6 +388,40 @@ object DocQueries {
 
   private val TokenFp60Sql: String = fp60Sql("tok")
 
+  /** Shared near-dup component CTE chain (word-3-shingle jaccard >= 0.3,
+    * maxTokenDf 100, recursive closure) ending in `pairs(id_a, id_b)` and
+    * `comp(id, comp)` — the same chain the q_dedup_components oracle pins;
+    * one definition feeds the leakage-free-split and soft-dedup oracles so
+    * the mirrors cannot drift. A def (not val): it interpolates
+    * TokenFp60Sql, declared above, but defs dodge the init-order trap
+    * documented at [[spanEdgeCtes]]. */
+  private def compCtes: String =
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+       |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+       |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+       |sh AS (SELECT doc_id, tok FROM (
+       |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+       |  WHERE df <= 100),
+       |sizes AS (SELECT doc_id, count(*) AS n_tok FROM sh GROUP BY 1),
+       |common AS (
+       | SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+       | FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       | GROUP BY 1, 2),
+       |pairs AS (
+       | SELECT c.id_a, c.id_b
+       | FROM common c
+       | JOIN sizes sa ON sa.doc_id = c.id_a
+       | JOIN sizes sb ON sb.doc_id = c.id_b
+       | WHERE CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common) >= 0.3),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       | UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(src, dst) AS (
+       | SELECT src, dst FROM edges
+       | UNION
+       | SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+       | FROM reach GROUP BY src)""".stripMargin
+
   /** Bloom gate sizing: 2^17 bits / 5 hashes ≈ 1 % FP at the sf0.01 corpus
     * (~13 bits/key), still sub-50 % at sf0.1. */
   private val BloomBits = 1 << 17
@@ -3874,6 +3908,91 @@ object DocQueries {
         | substr(hx, CAST(frame_no*16+1 AS INT), 16) AS frame_hex,
         | CAST(length(substr(hx, CAST(frame_no*16+1 AS INT), 16)) // 2 AS BIGINT) AS frame_len
         |FROM f ORDER BY media_id, frame_no""".stripMargin)),
+
+    // ---- leakage-free splits over the near-dup GRAPH: components of the
+    //      jaccard pair frame become the split-hash key, so transitively-
+    //      connected near-duplicates always share a split — the closure a
+    //      pairwise content-hash split cannot give. The gate also AUDITS the
+    //      guarantee: the cross-split near-dup pair count is computed from
+    //      the same pair frame and must be 0 by construction.
+    "q_sample_split_leakfree" -> Q(
+      (s, d) => {
+        import graft.operators.Sampling
+        val docs = Tables.documents(s, d)
+        // the pair frame feeds two branches (component labeling + the leak
+        // audit); materialize it once or the jaccard pipeline runs twice
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+            threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)
+          .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        val sp = Sampling.splitByComponents(docs, "doc_id", pairs,
+            80, 10, salt = ":lf1")
+          .select(col("doc_id"), col("comp"), col("split"))
+        val leak = pairs
+          .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+          .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+          .filter(col("sa") =!= col("sb"))
+          .agg(count(lit(1)).as("n_leak_pairs"))
+        sp.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("comp")).as("n_comps"))
+          .crossJoin(broadcast(leak))
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE $compCtes,
+        |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |sp AS (SELECT doc_id, comp,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        | FROM (SELECT doc_id, comp,
+        |   ${fp60Sql("CAST(comp AS VARCHAR) || ':lf1'")} % 100 AS b FROM lab)),
+        |leak AS (SELECT count(*) AS n_leak_pairs FROM pairs p
+        |  JOIN sp a ON a.doc_id = p.id_a
+        |  JOIN sp b ON b.doc_id = p.id_b
+        |  WHERE a.split != b.split)
+        |SELECT split, count(*) AS n_docs, count(DISTINCT comp) AS n_comps,
+        |  (SELECT n_leak_pairs FROM leak) AS n_leak_pairs
+        |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- SOFT dedup: downweight duplicates instead of dropping them —
+    //      every document carries weight 1/|near-dup cluster| and a
+    //      deterministic integer-arithmetic Bernoulli keep at that rate
+    //      (b * size < 2^20), so a cluster of n contributes ~1 expected
+    //      exemplar while keeping surface diversity available. Per-source
+    //      report: effective corpus size (decimal-exact weight sum) vs kept
+    //      counts.
+    "q_dedup_soft" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+            threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)
+          .select("id_a", "id_b")
+        Dedup.softDedupSample(docs, "doc_id", pairs, salt = ":sd1")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("kept"), lit(1))).as("n_kept"),
+            sum(when(col("cluster_size") > 1, lit(1L)).otherwise(lit(0L)))
+              .as("n_clustered"),
+            round(sum(round(col("weight"), 9).cast("decimal(28,9)"))
+              .cast("double"), 6).as("eff_docs"))
+          .orderBy("source")
+      },
+      Some(s"""WITH RECURSIVE $compCtes,
+        |lab AS (SELECT d.doc_id, d.source, COALESCE(c.comp, d.doc_id) AS comp
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |sz AS (SELECT comp, count(*) AS cluster_size FROM lab GROUP BY 1),
+        |w AS (SELECT lab.doc_id, lab.source, lab.comp, sz.cluster_size,
+        |  CAST(1 AS DOUBLE) / sz.cluster_size AS weight,
+        |  ${fp60Sql("CAST(lab.doc_id AS VARCHAR) || ':sd1'")} % ${1L << 20} AS b
+        | FROM lab JOIN sz ON sz.comp = lab.comp)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN b * cluster_size < ${1L << 20} THEN 1 END) AS n_kept,
+        |  CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clustered,
+        |  round(CAST(sum(CAST(round(weight, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+        |    AS eff_docs
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the

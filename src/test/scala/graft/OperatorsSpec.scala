@@ -537,6 +537,45 @@ class OperatorsSpec extends SparkSpec {
     assert(names == Set("train", "valid", "test"))
   }
 
+  test("component split closes the pair graph transitively; singletons keep their own label") {
+    import graft.operators.Sampling
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
+      .toDF("doc_id", "text")
+    // chain 1~2, 2~3: 1 and 3 were never paired but must share a split
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val sp = Sampling.splitByComponents(docs, "doc_id", pairs, salt = ":cs1")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("comp"), r.getAs[String]("split"))).toMap
+    assert(Seq(1L, 2L, 3L).map(sp(_)._1).distinct == Seq(1L)) // comp = min id
+    assert(Seq(1L, 2L, 3L).map(sp(_)._2).distinct.size == 1)  // one split
+    assert(sp(9L)._1 == 9L) // unpaired doc is its own singleton component
+    // deterministic: a rerun draws the identical assignment
+    val again = Sampling.splitByComponents(docs, "doc_id", pairs, salt = ":cs1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(sp.map { case (k, v) => k -> v._2 } == again)
+  }
+
+  test("soft dedup weights sum to 1 per cluster and the keep rule is the integer hash law") {
+    import graft.operators.Sampling
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val r = Dedup.softDedupSample(docs, "doc_id", pairs, salt = ":sw1").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cluster_size"), x.getAs[Double]("weight"),
+          x.getAs[Boolean]("kept"))).toMap
+    assert(Seq(1L, 2L, 3L).forall(id => r(id)._1 == 3L && r(id)._2 == 1.0 / 3))
+    assert(r(9L)._1 == 1L && r(9L)._2 == 1.0 && r(9L)._3) // singletons always keep
+    // kept is exactly bucket(id) * size < 2^20 — reproducible, engine-free
+    val buckets = docs.select(col("doc_id"),
+        Sampling.hashBucket(col("doc_id"), 1 << 20, ":sw1").as("b"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.foreach { case (id, (size, _, kept)) =>
+      assert(kept == (buckets(id) * size < (1L << 20)), s"doc $id") }
+    // cluster weight mass: each near-dup cluster contributes ~1 effective doc
+    assert(math.abs(Seq(1L, 2L, 3L).map(r(_)._2).sum - 1.0) < 1e-12)
+  }
+
   test("tf-idf top-k ranks rare terms above common ones") {
     import graft.operators.TermWeights
     val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"))
