@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+
 /** Web-corpus curation primitives: URL/domain signals and per-key caps.
   *
   * A crawled training corpus is curated per DOMAIN as much as per document —
@@ -41,6 +43,37 @@ object Curation {
   def extractDomains(text: Column, foldWww: Boolean = true): Column =
     transform(regexp_extract_all(text, lit(DomainPattern), lit(1)),
       a => normalizeDomain(a, foldWww))
+
+  /** Blocklist term screening: every document gains token-level hit counts
+    * against a TERM FRAME (n_tokens, n_blocked, blocked_frac, has_blocked) —
+    * the badwords/policy filter of web-corpus pipelines (C4 drops any
+    * document containing a listed term; fraction-threshold variants keep
+    * documents where the list is incidental). Flags are emitted, not
+    * filtered, so one pass feeds both policies and the drop audit.
+    *
+    * The blocklist is a DataFrame, not a literal Seq: real lists run to tens
+    * of thousands of phrases across languages and live in object storage —
+    * at that size an `isin`/when-chain expression stops codegenning, while a
+    * broadcast join is indifferent to list length. Shape: one explode,
+    * broadcast inner join on the term (terms are deduped lowercase), doc-id
+    * partial-agg, one bounded left join back — hit rows are the only thing
+    * shuffled, the corpus text is scanned once. */
+  def blocklistFlags(docs: DataFrame, idCol: String, textCol: String,
+                     terms: DataFrame): DataFrame = {
+    val termCol = terms.columns.head
+    val t = terms.select(lower(col(termCol)).as("tok")).distinct()
+    val hits = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .join(broadcast(t), Seq("tok"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_blocked"))
+    docs.withColumn("n_tokens", TextFunctions.tokenCount(col(textCol)))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("n_blocked", coalesce(col("n_blocked"), lit(0L)))
+      .withColumn("blocked_frac",
+        when(col("n_tokens") > 0,
+          col("n_blocked").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("has_blocked", col("n_blocked") > 0)
+  }
 
   /** (doc_id, domain) edge list — one row per URL occurrence (NOT distinct:
     * occurrence counts are the ranking signal). */

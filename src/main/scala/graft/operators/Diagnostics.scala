@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Parallelism
 import graft.functions.TextFunctions
 
 /** Corpus-level diagnostics a mixture designer reads before committing a
@@ -34,6 +35,33 @@ object Diagnostics {
     * TakeOrderedAndProject: the vocabulary is never fully sorted. */
   def topVocab(counts: DataFrame, v: Int): DataFrame =
     counts.orderBy(col("cnt").desc, col("tok")).limit(v)
+
+  /** Distinct-n diversity per source: total positional n-grams, distinct
+    * n-grams, and their ratio — the distinct-n metric ("how much of this
+    * source is self-repetition at phrase granularity"). A boilerplate-heavy
+    * or template-generated source scores low; diverse prose scores near 1.
+    * Complements the WITHIN-document repetition stats: a source whose
+    * documents are individually clean but mutually templated only shows up
+    * at corpus granularity.
+    *
+    * Shape: one explode of positional n-grams (short docs collapse to one
+    * whole-text shingle, the [[graft.functions.TextFunctions.shingles]]
+    * contract), fingerprinted to longs before the (source, fp) partial-agg
+    * groupBy; the distinct count folds from that bounded-per-key frame with
+    * a second partial agg — the n-gram STRINGS never shuffle, and no
+    * count-distinct expansion touches the corpus twice. */
+  def distinctNgramRatio(docs: DataFrame, sourceCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val e = Parallelism.fanOut(docs.select(col(sourceCol).as("source"),
+        TextFunctions.shingles(col(textCol), n).as("__sh")))
+      .select(col("source"), explode(col("__sh")).as("__tok"))
+      .select(col("source"), Dedup.tokenFp60(col("__tok")).as("fp"))
+    e.groupBy("source", "fp").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_ngrams"), count(lit(1)).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_ngrams"), 6))
+  }
 
   /** Per-source unigram KL divergence KL(source ‖ corpus) in nats over the
     * top-`vocabSize` corpus vocabulary plus a lumped out-of-vocabulary

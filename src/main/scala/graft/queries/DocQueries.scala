@@ -3994,6 +3994,60 @@ object DocQueries {
         |    AS eff_docs
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- blocklist screening: token hits against a broadcast term frame,
+    //      reported per source under both standard policies (drop-on-any —
+    //      the C4 rule — and fraction-threshold). The blocked-fraction mass
+    //      is decimal-summed for order independence.
+    "q_curate_blocklist" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val terms = Seq("slow", "dup", "noise").toDF("term")
+        graft.operators.Curation.blocklistFlags(
+            Tables.documents(s, d), "doc_id", "text", terms)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("has_blocked"), lit(1))).as("n_any"),
+            count(when(col("blocked_frac") > 0.05, lit(1))).as("n_over_frac"),
+            sum(col("n_blocked")).as("blocked_tokens"),
+            round(sum(round(col("blocked_frac"), 9).cast("decimal(28,9)"))
+              .cast("double"), 6).as("frac_mass"))
+          .orderBy("source")
+      },
+      Some(s"""WITH bl AS (SELECT unnest(['slow', 'dup', 'noise']) AS tok),
+        |t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+        |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |h AS (SELECT e.doc_id, count(*) AS n_blocked
+        |  FROM e JOIN bl ON bl.tok = e.tok GROUP BY 1),
+        |f AS (SELECT t.doc_id, t.source, len(toks) AS n_tokens,
+        |  COALESCE(h.n_blocked, 0) AS n_blocked,
+        |  CASE WHEN len(toks) > 0
+        |    THEN CAST(COALESCE(h.n_blocked, 0) AS DOUBLE) / len(toks)
+        |    ELSE CAST(0 AS DOUBLE) END AS blocked_frac
+        | FROM t LEFT JOIN h ON h.doc_id = t.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN n_blocked > 0 THEN 1 END) AS n_any,
+        |  count(CASE WHEN blocked_frac > 0.05 THEN 1 END) AS n_over_frac,
+        |  CAST(sum(n_blocked) AS BIGINT) AS blocked_tokens,
+        |  round(CAST(sum(CAST(round(blocked_frac, 9) AS DECIMAL(28,9)))
+        |    AS DOUBLE), 6) AS frac_mass
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- distinct-n corpus diversity: per-source positional-bigram totals
+    //      vs distinct counts — low ratios expose mutually-templated sources
+    //      that per-document repetition stats cannot see.
+    "q_text_distinct_ngrams" -> Q(
+      (s, d) => graft.operators.Diagnostics.distinctNgramRatio(
+          Tables.documents(s, d), "source", "text", n = 2)
+        .orderBy("source"),
+      Some(s"""WITH t AS (SELECT source, $ToksSql AS toks FROM documents),
+        |s0 AS (SELECT source, unnest(${spanShinglesSql(2)}) AS tok FROM t),
+        |f AS (SELECT source, $TokenFp60Sql AS fp FROM s0),
+        |g AS (SELECT source, fp, count(*) AS c FROM f GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_ngrams,
+        |  count(*) AS n_distinct,
+        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the
     // suite tail through r12, which is exactly where the bench-contamination

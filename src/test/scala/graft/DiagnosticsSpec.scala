@@ -10,6 +10,25 @@ class DiagnosticsSpec extends SparkSpec {
   private def docsOf(rows: (Long, String, String)*) =
     rows.toDF("doc_id", "source", "text")
 
+  test("distinct-n ratio: templated source scores below a diverse one; counts are exact") {
+    val docs = docsOf(
+      (1L, "tmpl", "click here to buy"), (2L, "tmpl", "click here to buy"),
+      (3L, "tmpl", "click here to win"),
+      (4L, "prose", "alpha beta gamma delta"), (5L, "prose", "epsilon zeta eta theta"))
+    val r = Diagnostics.distinctNgramRatio(docs, "source", "text", n = 2)
+      .collect().map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_ngrams"), x.getAs[Long]("n_distinct"),
+          x.getAs[Double]("distinct_ratio"))).toMap
+    // tmpl: 3 docs x 3 bigrams = 9 positional, distinct {click-here, here-to,
+    // to-buy, to-win} = 4; prose: 6 positional, all distinct
+    assert(r("tmpl") == ((9L, 4L, round6(4.0 / 9))))
+    assert(r("prose") == ((6L, 6L, 1.0)))
+    assert(r("tmpl")._3 < r("prose")._3)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("KL divergence: non-negative, and a skewed source reads higher than a representative one") {
     // corpus is dominated by a/b; src_rep mirrors that, src_skew is all-c
     val docs = docsOf(

@@ -732,6 +732,22 @@ class OperatorsSpec extends SparkSpec {
       x.getAs[Double]("q") >= x.getAs[Double]("threshold")))
   }
 
+  test("blocklistFlags counts repeated hits, case-folds terms, and leaves clean docs at zero") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "spam spam and more spam"),     // 3 hits of 5 tokens
+      (2L, "perfectly clean document"),    // 0 hits
+      (3L, "one Scam here")).toDF("doc_id", "text")
+    val terms = Seq("SPAM", "scam", "spam").toDF("term") // dupes + case fold
+    val r = Curation.blocklistFlags(docs, "doc_id", "text", terms)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Long]("n_blocked"),
+          x.getAs[Double]("blocked_frac"), x.getAs[Boolean]("has_blocked"))).toMap
+    assert(r(1L) == ((5L, 3L, 0.6, true)))
+    assert(r(2L) == ((3L, 0L, 0.0, false)))
+    assert(r(3L) == ((3L, 1L, 1.0 / 3, true))) // "Scam" folds to the term
+  }
+
   test("semanticFlags flags near-benchmark vectors, ties to smallest bench id") {
     import graft.operators.Decontaminate
     val corpus = Seq(
