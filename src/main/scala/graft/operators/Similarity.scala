@@ -633,4 +633,40 @@ object Similarity {
     }
     selected.select("query_id", "sel_rank", "nbr_id", "cosine", "mmr_score")
   }
+
+  /** Reciprocal-rank fusion of several per-query rankings — the standard
+    * HYBRID-retrieval combiner (Cormack et al., SIGIR 2009): candidate
+    * scores from different retrievers (BM25 lexical, embedding ANN, ...)
+    * are incomparable, but ranks are not, so each list contributes
+    * 1/(c + rank) and the fused order is the contribution sum. c = 60 is
+    * the published default (dampens the top-1 dominance of any one list).
+    *
+    * Inputs: each frame carries (query_id, nbr_id, rank); candidates
+    * missing from a list simply contribute nothing. Output: (query_id,
+    * nbr_id, n_lists, rrf_score, rank) — top `k` per query.
+    *
+    * Scale shape: every input is already (queries × per-list k)-bounded by
+    * its retriever, so fusion never touches the corpus: one unionByName,
+    * one partial-agg groupBy on (query_id, nbr_id), and a window whose
+    * partitions hold at most Σ per-list k rows per query. Per-list
+    * contributions are rounded to 9 decimals and summed as decimal(28,9),
+    * so the fused score (and the ranks it orders) is independent of which
+    * list's rows arrive first. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && c >= 0, "k must be positive, c non-negative")
+    val u = rankings
+      .map(_.select(col("query_id"), col("nbr_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = u.groupBy("query_id", "nbr_id")
+      .agg(count(lit(1)).as("n_lists"),
+        sum(round(lit(1.0) / (lit(c) + col("rank")), 9).cast("decimal(28,9)"))
+          .as("__score_d"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__score_d").desc, col("nbr_id"))
+    fused.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .withColumn("rrf_score", round(col("__score_d").cast("double"), 6))
+      .select("query_id", "nbr_id", "n_lists", "rrf_score", "rank")
+  }
 }

@@ -4048,6 +4048,75 @@ object DocQueries {
         |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- hybrid retrieval: BM25 lexical top-20 and embedding-cosine
+    //      top-20 fused by reciprocal rank (c = 60). Queries are the first 8
+    //      documents (text + their embedding under the shared id space);
+    //      the corpus is the id >= 8 remainder on BOTH retrievers so the
+    //      two candidate sets are drawn from the same pool and self-matches
+    //      are excluded symmetrically. The oracle recomputes both rankings
+    //      and the fusion arithmetic end to end.
+    "q_sim_hybrid_rrf" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val corpus = docs.filter(col("doc_id") >= 8)
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+        val lex = graft.operators.TermWeights.bm25TopK(
+            corpus, "doc_id", "text", queries, "query_id", "qtext", k = 20)
+          .select(col("query_id"), col("doc_id").as("nbr_id"), col("rank"))
+        val vec = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8), k = 20)
+          .select(col("query_id"), col("nbr_id"), col("rank"))
+        Similarity.rrfFuse(Seq(lex, vec), k = 10, c = 60)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents
+        |  WHERE doc_id >= 8),
+        |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM e GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM documents WHERE doc_id >= 8) AS n_docs,
+        |  CAST((SELECT COALESCE(sum(tf), 0) FROM tf) AS DOUBLE)
+        |    / (SELECT count(*) FROM documents WHERE doc_id >= 8) AS avgdl),
+        |q AS (SELECT doc_id AS query_id, $ToksSql AS toks FROM documents
+        |  WHERE doc_id < 8),
+        |qt AS (SELECT DISTINCT query_id, unnest(toks) AS tok FROM q),
+        |m AS (SELECT qt.query_id, tf.doc_id, CAST(round(
+        |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+        |    * ((CAST(tf AS DOUBLE) * ${1.2 + 1.0}) / (CAST(tf AS DOUBLE)
+        |       + ${1.2} * (${1.0 - 0.75} + ${0.75} * (CAST(dl AS DOUBLE) / avgdl)))),
+        |    9) AS DECIMAL(28,9)) AS contrib
+        |  FROM tf JOIN qt ON qt.tok = tf.tok JOIN df ON df.tok = tf.tok
+        |    JOIN dl ON dl.doc_id = tf.doc_id, st),
+        |bs AS (SELECT query_id, doc_id,
+        |  CAST(sum(contrib) AS DECIMAL(28,9)) AS score_d FROM m GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id AS nbr_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_d DESC, doc_id) AS rank FROM bs
+        |  QUALIFY rank <= 20),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, v AS qv FROM ev WHERE vec_id < 8),
+        |sv AS (SELECT query_id, ev.vec_id AS nbr_id, ${cosSql("qv", "ev.v")} AS cosine
+        |  FROM ev CROSS JOIN qv WHERE ev.vec_id >= 8),
+        |vr AS (SELECT query_id, nbr_id,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, nbr_id) AS rank FROM sv
+        |  QUALIFY rank <= 20),
+        |u AS (SELECT query_id, nbr_id, rank FROM lex
+        |  UNION ALL SELECT query_id, nbr_id, rank FROM vr),
+        |f AS (SELECT query_id, nbr_id, count(*) AS n_lists,
+        |  sum(CAST(round(CAST(1 AS DOUBLE) / (60 + rank), 9)
+        |    AS DECIMAL(28,9))) AS score_d
+        | FROM u GROUP BY 1, 2),
+        |rr AS (SELECT query_id, nbr_id, n_lists,
+        |  CAST(round(score_d, 6) AS DOUBLE) AS rrf_score,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_d DESC, nbr_id) AS rank FROM f)
+        |SELECT query_id, nbr_id, n_lists, rrf_score, rank
+        |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the
     // suite tail through r12, which is exactly where the bench-contamination

@@ -608,4 +608,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(_._1 == 0L).map(_._2).sorted == Seq(1, 2))
     assert(out.filter(_._1 == 1L).map(_._2) == Seq(1))
   }
+
+  test("RRF fusion: consensus candidates outrank single-list winners; scores follow 1/(c+r)") {
+    import spark.implicits._
+    // lexical list: A first, B second; vector list: B first, C second.
+    // B appears in both -> 1/61 + 1/62 beats A's 1/61 and C's 1/62.
+    val lex = Seq((0L, 100L, 1), (0L, 101L, 2)).toDF("query_id", "nbr_id", "rank")
+    val vec = Seq((0L, 101L, 1), (0L, 102L, 2)).toDF("query_id", "nbr_id", "rank")
+    val r = Similarity.rrfFuse(Seq(lex, vec), k = 10).orderBy("rank").collect()
+      .map(x => (x.getAs[Long]("nbr_id"), x.getAs[Long]("n_lists"),
+        x.getAs[Double]("rrf_score"), x.getAs[Long]("rank")))
+    assert(r.map(_._1).toSeq == Seq(101L, 100L, 102L))
+    assert(r.map(_._2).toSeq == Seq(2L, 1L, 1L))
+    def c(rank: Int) = BigDecimal(1.0 / (60 + rank))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def s(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0)._3 == s(c(1) + c(2)) && r(1)._3 == s(c(1)) && r(2)._3 == s(c(2)))
+    // k bounds the fused list per query
+    assert(Similarity.rrfFuse(Seq(lex, vec), k = 1).count() == 1L)
+  }
 }
