@@ -108,6 +108,56 @@ object Similarity {
       .select(col("nbr_id"), col("m.nbr_v").as("nbr_v"), col("m.cell").as("cell"))
   }
 
+  /** Full-corpus Lloyd refinement of a centroid table: `iters` rounds of
+    * assign-to-nearest ([[assignCells]]) followed by per-cell mean — the
+    * step [[buildIvf]] deliberately skips (its sample-trained quantizer
+    * only needs diversity) but a QUALITY clustering needs: topic modeling
+    * over embeddings, SemDeDup cell structure, and IVF recall all improve
+    * when centroids see the whole corpus, and the sample-train +
+    * full-refine split is exactly how large-scale k-means is run (the
+    * sample gives a good seed cheaply; each refine round is one linear
+    * corpus pass).
+    *
+    * Input contract: `vecs` carries (nbr_id, nbr_v), `init` carries
+    * (cell, centroid). Output: (cell, centroid: array<double>, n_vecs).
+    * A cell that captures no vectors in a round drops out (its mass moved
+    * to better seeds); callers needing fixed k should re-seed from the
+    * output.
+    *
+    * Scale shape per round: the assignment is the broadcast-centroid
+    * min_by (corpus scanned once, nothing corpus-sized shuffled); the mean
+    * is a posexplode into (cell, pos) rows that partial-aggregate map-side
+    * before the (cells × dim)-bounded shuffle — the same shape as
+    * [[graft.operators.Centroids.meanByKey]]. The loop unrolls into the
+    * plan, so keep `iters` small (2-5) or checkpoint between rounds.
+    *
+    * Determinism: per-dimension values are rounded to 9 decimals and
+    * summed as decimal(28,9) (order-independent), the mean re-enters
+    * double arithmetic via one exact cast-and-divide, and assignment ties
+    * break on cell id — bit-reproducible on any engine mirroring the
+    * sequential-fold distance. */
+  def refineCentroids(vecs: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one refinement round")
+    var cents = init.select(col("cell"),
+      col("centroid").cast("array<double>").as("centroid"))
+    var out: DataFrame = null
+    for (_ <- 1 to iters) {
+      out = assignCells(vecs, cents)
+        .select(col("cell"),
+          posexplode(col("nbr_v").cast("array<double>")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("v"), 9).cast("decimal(28,9)")).as("s"),
+          count(lit(1)).as("n"))
+        .withColumn("m", col("s").cast("double") / col("n"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("centroid"),
+          max(col("n")).as("n_vecs"))
+      cents = out.select("cell", "centroid")
+    }
+    out
+  }
+
   /** The query-side twin of [[assignCells]]: each query's `nProbe` nearest
     * cells, one output row per (query, probed cell). Same broadcast join +
     * native dist2; the rank filter collapses to WindowGroupLimit and the

@@ -4117,6 +4117,58 @@ object DocQueries {
         |SELECT query_id, nbr_id, n_lists, rrf_score, rank
         |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- full-corpus Lloyd k-means refinement: 2 assign+mean rounds from
+    //      a deterministic seed (the first 8 vectors), per-dimension means
+    //      decimal-summed so every centroid value is bit-reproducible. The
+    //      oracle unrolls both rounds with the same sequential-fold
+    //      distance and argmin tie-break.
+    "q_v_kmeans_refine" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"))
+        val init = emb.filter(col("nbr_id") < 8)
+          .select(col("nbr_id").cast("int").as("cell"),
+            col("nbr_v").cast("array<double>").as("centroid"))
+        Similarity.refineCentroids(emb, init, iters = 2)
+          .select(col("cell"), col("n_vecs"),
+            round(element_at(col("centroid"), 1), 6).as("c_first"),
+            round(element_at(col("centroid"), 32), 6).as("c_mid"),
+            round(element_at(col("centroid"), 64), 6).as("c_last"),
+            round(aggregate(col("centroid"), lit(0.0),
+              (a, x) => a + x * x), 6).as("norm2"))
+          .orderBy("cell")
+      },
+      Some {
+        def iter(i: Int): String = {
+          val prev = s"c${i - 1}"
+          s"""a$i AS (SELECT nbr_id, v, cell FROM (
+             |  SELECT e.nbr_id, e.v, c.cell,
+             |    row_number() OVER (PARTITION BY e.nbr_id
+             |      ORDER BY ${d2Sql("e.v", "c.centroid")}, c.cell) AS rn
+             |  FROM ev e CROSS JOIN $prev c) WHERE rn = 1),
+             |m$i AS (SELECT cell, pos,
+             |  CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+             |    / count(*) AS m, count(*) AS n
+             | FROM (SELECT cell, unnest(v) AS x,
+             |   unnest(range(1, len(v) + 1)) AS pos FROM a$i)
+             | GROUP BY 1, 2),
+             |c$i AS (SELECT cell, list(m ORDER BY pos) AS centroid,
+             |  max(n) AS n_vecs FROM m$i GROUP BY 1)""".stripMargin
+        }
+        s"""WITH ev AS (SELECT vec_id AS nbr_id,
+           |  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |c0 AS (SELECT CAST(nbr_id AS INT) AS cell, v AS centroid
+           |  FROM ev WHERE nbr_id < 8),
+           |${iter(1)},
+           |${iter(2)}
+           |SELECT cell, CAST(n_vecs AS BIGINT) AS n_vecs,
+           |  round(centroid[1], 6) AS c_first,
+           |  round(centroid[32], 6) AS c_mid,
+           |  round(centroid[64], 6) AS c_last,
+           |  round(list_dot_product(centroid, centroid), 6) AS norm2
+           |FROM c2 ORDER BY cell""".stripMargin
+      }),
+
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the
     // suite tail through r12, which is exactly where the bench-contamination

@@ -609,6 +609,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).map(_._2) == Seq(1))
   }
 
+  test("Lloyd refinement converges planted clusters in one round and drops empty cells") {
+    import spark.implicits._
+    // two tight planted clusters around (0,0) and (10,10); seeds start
+    // inside ONE cluster plus a far-off seed that captures nothing
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.2f)), (2L, Seq(0.2f, 0.0f)), (3L, Seq(-0.2f, 0.0f)),
+      (4L, Seq(10.0f, 10.2f)), (5L, Seq(10.2f, 10.0f)), (6L, Seq(9.8f, 10.0f)))
+      .toDF("nbr_id", "nbr_v")
+    val init = Seq(
+      (0, Seq(0.1, 0.1)), (1, Seq(9.0, 9.0)), (2, Seq(500.0, 500.0)))
+      .toDF("cell", "centroid")
+    val r = Similarity.refineCentroids(vecs, init, iters = 1)
+      .collect().map(x => x.getAs[Int]("cell") ->
+        (x.getAs[Long]("n_vecs"), x.getAs[scala.collection.Seq[Double]]("centroid").toSeq)).toMap
+    assert(r.keySet == Set(0, 1)) // the 500,500 seed captured nothing
+    assert(r(0)._1 == 3L && r(1)._1 == 3L)
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-6 }
+    assert(close(r(0)._2, Seq(0.0, 0.2 / 3)))    // mean of cluster A
+    assert(close(r(1)._2, Seq(10.0, 30.2 / 3)))  // mean of cluster B
+    // a second round is a fixpoint: assignments no longer move
+    val r2 = Similarity.refineCentroids(vecs, init, iters = 2)
+      .collect().map(x => x.getAs[Int]("cell") ->
+        x.getAs[scala.collection.Seq[Double]]("centroid").toSeq).toMap
+    assert(close(r2(0), r(0)._2) && close(r2(1), r(1)._2))
+  }
+
   test("RRF fusion: consensus candidates outrank single-list winners; scores follow 1/(c+r)") {
     import spark.implicits._
     // lexical list: A first, B second; vector list: B first, C second.
