@@ -4169,6 +4169,38 @@ object DocQueries {
            |FROM c2 ORDER BY cell""".stripMargin
       }),
 
+    // ---- Z-order layout key: 8-bit fixed-range buckets of (l_partkey,
+    //      l_suppkey) bit-interleaved into the Morton z-value that
+    //      repartitionByRange clusters files by. The gate pins the VALUE
+    //      arithmetic (bounds pass, bucketization, interleave) — the
+    //      physical re-layout's file-range tightness is spec-pinned, since
+    //      range-partition split points are sampled, not deterministic.
+    "q_o_zorder" -> Q(
+      (s, d) => graft.operators.Layout.withZValue(
+          Tables.lineitem(s, d), Seq("l_partkey", "l_suppkey"), bits = 8)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+        .limit(50),
+      Some {
+        def bucket(c: String, lo: String, hi: String): String =
+          s"""CASE WHEN (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)) > 0
+             | THEN least(greatest(CAST(floor(
+             |   (CAST($c AS DOUBLE) - CAST($lo AS DOUBLE))
+             |   / (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)) * 256) AS BIGINT),
+             |  0), 255) ELSE 0 END""".stripMargin
+        val z = (for (b <- 0 until 8; j <- 0 to 1)
+          yield s"(((b$j >> $b) & 1) << ${b * 2 + j})").mkString(" | ")
+        s"""WITH st AS (SELECT min(l_partkey) AS lo0, max(l_partkey) AS hi0,
+           |  min(l_suppkey) AS lo1, max(l_suppkey) AS hi1 FROM lineitem),
+           |b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           |  ${bucket("l_partkey", "lo0", "hi0")} AS b0,
+           |  ${bucket("l_suppkey", "lo1", "hi1")} AS b1
+           | FROM lineitem, st)
+           |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, ($z) AS z
+           |FROM b ORDER BY z, l_orderkey, l_linenumber LIMIT 50""".stripMargin
+      }),
+
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the
     // suite tail through r12, which is exactly where the bench-contamination

@@ -732,6 +732,53 @@ class OperatorsSpec extends SparkSpec {
       x.getAs[Double]("q") >= x.getAs[Double]("threshold")))
   }
 
+  test("z-value arithmetic: bucket edges clamp and bit interleave matches the Morton law") {
+    import graft.operators.Layout
+    val df = Seq((0L, 7L), (5L, 3L), (10L, 7L), (10L, 0L))
+      .toDF("a", "b")
+    // bucket: lo -> 0, hi -> top bucket, interior proportional
+    val bk = df.select(
+      Layout.rangeBucket(col("a"), lit(0L), lit(10L), 3).as("ba"),
+      Layout.rangeBucket(col("a"), lit(4L), lit(4L), 3).as("const"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bk.map(_._1).toSeq == Seq(0L, 4L, 7L, 7L))
+    assert(bk.forall(_._2 == 0L)) // degenerate range collapses to bucket 0
+    // interleave b0=0b101, b1=0b011 at 3 bits: z bits (lsb first) are
+    // b0[0],b1[0],b0[1],b1[1],b0[2],b1[2] = 1,1,0,1,1,0 -> 0b011011 = 27
+    val z = df.limit(1).select(
+      Layout.interleaveBits(Seq(lit(5L), lit(3L)), 3).as("z"))
+      .collect().head.getLong(0)
+    assert(z == 27L)
+  }
+
+  test("z-order layout bounds per-partition ranges on BOTH dims; single-key sort does not") {
+    import graft.operators.Layout
+    val li = graft.core.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_partkey", "l_suppkey")
+    val Seq(lo0, hi0, lo1, hi1) = li
+      .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .collect().head.toSeq.map(_.asInstanceOf[Long].toDouble)
+    def avgSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val parts = df.groupBy(spark_partition_id().as("p"))
+        .agg(min("l_partkey").as("a0"), max("l_partkey").as("a1"),
+          min("l_suppkey").as("b0"), max("l_suppkey").as("b1"))
+        .collect()
+      val s0 = parts.map(r => (r.getAs[Long]("a1") - r.getAs[Long]("a0")) / (hi0 - lo0))
+      val s1 = parts.map(r => (r.getAs[Long]("b1") - r.getAs[Long]("b0")) / (hi1 - lo1))
+      (s0.sum / s0.length, s1.sum / s1.length)
+    }
+    val (za, zb) = avgSpans(Layout.zOrder(li, Seq("l_partkey", "l_suppkey"),
+      bits = 8, numPartitions = 16))
+    val (sa, sb) = avgSpans(
+      li.repartitionByRange(16, col("l_partkey")).sortWithinPartitions("l_partkey"))
+    // lexicographic layout: first key prunes tightly, second key spans the world
+    assert(sa < 0.3, s"sorted layout first-key span $sa")
+    assert(sb > 0.9, s"sorted layout second-key span $sb")
+    // z-order: BOTH keys' per-partition ranges are bounded fractions
+    assert(za < 0.7, s"z-order partkey span $za")
+    assert(zb < 0.7, s"z-order suppkey span $zb")
+  }
+
   test("blocklistFlags counts repeated hits, case-folds terms, and leaves clean docs at zero") {
     import graft.operators.Curation
     val docs = Seq(
