@@ -565,7 +565,43 @@ object ScaleCheck {
             "bench_holdout" -> (pmod(col("doc_id"), lit(20)) === 0),
             "contaminated" -> coalesce(col("is_contaminated"), lit(false)),
             "source_capped" -> !coalesce(col("in_cap"), lit(false)))).as("verdict"))
-      })
+      },
+      // blocklist screening: explode + broadcast term join + doc partial-agg
+      "blocklist" -> { d =>
+        val spark0 = spark; import spark0.implicits._
+        graft.operators.Curation.blocklistFlags(Tables.documents(spark, d),
+          "doc_id", "text", Seq("slow", "dup", "noise").toDF("term"))
+      },
+      // distinct-n diversity: positional bigram explode, fp60, two-phase agg
+      "distinct_ngrams" -> (d => graft.operators.Diagnostics.distinctNgramRatio(
+        Tables.documents(spark, d), "source", "text", n = 2)),
+      // hybrid RRF: BM25 top-20 + vector top-20 + bounded fusion
+      "rrf_hybrid" -> { d =>
+        val docs = Tables.documents(spark, d)
+        val emb = Tables.embeddings(spark, d)
+        val corpus = docs.filter(col("doc_id") >= 8)
+        val queries = docs.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+        val lex = graft.operators.TermWeights.bm25TopK(
+            corpus, "doc_id", "text", queries, "query_id", "qtext", k = 20)
+          .select(col("query_id"), col("doc_id").as("nbr_id"), col("rank"))
+        val vec = graft.operators.Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8), k = 20)
+          .select(col("query_id"), col("nbr_id"), col("rank"))
+        graft.operators.Similarity.rrfFuse(Seq(lex, vec), k = 10)
+      },
+      // Lloyd refinement: 2 assign+mean rounds over the full vector set
+      "kmeans_refine" -> { d =>
+        val emb = Tables.embeddings(spark, d)
+          .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"))
+        val init = emb.filter(col("nbr_id") < 8)
+          .select(col("nbr_id").cast("int").as("cell"),
+            col("nbr_v").cast("array<double>").as("centroid"))
+        graft.operators.Similarity.refineCentroids(emb, init, iters = 2)
+      },
+      // z-order re-layout: bounds agg + scan-stage interleave + range shuffle
+      "zorder" -> (d => graft.operators.Layout.zOrder(Tables.lineitem(spark, d),
+        Seq("l_partkey", "l_suppkey"), bits = 8, numPartitions = 32)))
 
     // optional arg: comma-separated substrings — run only matching cases
     // (local iteration on newly added operators)

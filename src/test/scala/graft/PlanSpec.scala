@@ -568,6 +568,64 @@ class PlanSpec extends SparkSpec {
       s"an MMR argmax window lost its query partition:\n$p")
   }
 
+  test("blocklist term join broadcasts the list; the corpus is never the build side") {
+    import graft.operators.Curation
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("slow", "dup", "noise").toDF("term")
+    val p = planOf(Curation.blocklistFlags(docs, "doc_id", "text", terms))
+    assert(p.contains("BroadcastHashJoin"), s"term join did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in blocklist:\n$p")
+    // the term frame, not the exploded corpus, must be the broadcast side
+    val b = p.linesIterator.filter(_.contains("BroadcastExchange")).mkString
+    assert(!b.contains("documents"), s"corpus on the broadcast side:\n$p")
+  }
+
+  test("RRF fusion plans with no join at all and per-query windows") {
+    import graft.operators.Similarity
+    val s = spark
+    import s.implicits._
+    val lex = Seq((0L, 1L, 1)).toDF("query_id", "nbr_id", "rank")
+    val vec = Seq((0L, 2L, 1)).toDF("query_id", "nbr_id", "rank")
+    val p = planOf(Similarity.rrfFuse(Seq(lex, vec), k = 5))
+    assert(!p.contains("Join"), s"fusion introduced a join:\n$p")
+    val w = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(w.nonEmpty && w.forall(_.contains("query_id")),
+      s"fused rank window lost its query partition:\n$p")
+  }
+
+  test("Lloyd refinement: broadcast assignment, partial-agg means, no cartesian") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"))
+    val init = emb.filter(col("nbr_id") < 4)
+      .select(col("nbr_id").cast("int").as("cell"),
+        col("nbr_v").cast("array<double>").as("centroid"))
+    val p = planOf(Similarity.refineCentroids(emb, init, iters = 2))
+    assert(!p.contains("CartesianProduct"), s"cartesian in refinement:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment lost its broadcast:\n$p")
+    // the per-dimension mean must partial-aggregate (two HashAggregate
+    // levels around the (cell,pos) exchange), never window over the corpus
+    assert(!p.contains("Window"), s"corpus window in the mean stage:\n$p")
+  }
+
+  test("z-order pays exactly one corpus shuffle: the range repartition") {
+    import graft.operators.Layout
+    val li = Tables.lineitem(spark, sf)
+    val p = planOf(Layout.zOrder(li, Seq("l_partkey", "l_suppkey"),
+      bits = 8, numPartitions = 8))
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"re-layout lost its range partition:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"unexpected join in the layout plan:\n$p")
+    // bounds come from ONE aggregation: a single-row broadcast, so the only
+    // exchanges are the stats singleton and the range repartition itself
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).size
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$p")
+  }
+
   test("semanticDedup pairs join shuffled on cell, never cartesian") {
     import graft.operators.Dedup
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
