@@ -395,8 +395,8 @@ object DocQueries {
     * the mirrors cannot drift. A def (not val): it interpolates
     * TokenFp60Sql, declared above, but defs dodge the init-order trap
     * documented at [[spanEdgeCtes]]. */
-  private def compCtes: String =
-    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+  private def compCtes(from: String = "documents"): String =
+    s"""t AS (SELECT doc_id, $ToksSql AS toks FROM $from),
        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
        |sh AS (SELECT doc_id, tok FROM (
@@ -3940,7 +3940,7 @@ object DocQueries {
           .crossJoin(broadcast(leak))
           .orderBy("split")
       },
-      Some(s"""WITH RECURSIVE $compCtes,
+      Some(s"""WITH RECURSIVE ${compCtes()},
         |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
         |sp AS (SELECT doc_id, comp,
@@ -3978,7 +3978,7 @@ object DocQueries {
               .cast("double"), 6).as("eff_docs"))
           .orderBy("source")
       },
-      Some(s"""WITH RECURSIVE $compCtes,
+      Some(s"""WITH RECURSIVE ${compCtes()},
         |lab AS (SELECT d.doc_id, d.source, COALESCE(c.comp, d.doc_id) AS comp
         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
         |sz AS (SELECT comp, count(*) AS cluster_size FROM lab GROUP BY 1),
@@ -4200,6 +4200,62 @@ object DocQueries {
            |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, ($z) AS z
            |FROM b ORDER BY z, l_orderkey, l_linenumber LIMIT 50""".stripMargin
       }),
+
+    // ---- capstone v7: this round's additions composed into the pipeline a
+    //      policy-screened, softly-deduped, leakage-free-split corpus runs —
+    //      blocklist fraction screen -> near-dup soft-dedup sample ->
+    //      component-hash split -> per-(split, source) doc/token accounting.
+    //      One components closure feeds both the soft-dedup weights and the
+    //      split key (the sample's comp column IS the split group).
+    "q_pipeline_curate_v7" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{Curation, Sampling}
+        val docs = Tables.documents(s, d)
+        val terms = Seq("slow", "dup", "noise").toDF("term")
+        val screened = Curation.blocklistFlags(docs, "doc_id", "text", terms)
+          .filter(col("blocked_frac") <= 0.05)
+          .select("doc_id", "source", "text")
+        val pairs = Dedup.jaccardPairs(screened, "doc_id", "text",
+            threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)
+          .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        val soft = Dedup.softDedupSample(screened, "doc_id", pairs, salt = ":v7")
+          .filter(col("kept"))
+        Sampling.splitByGroup(soft, col("comp"), 80, 10, salt = ":v7s")
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .orderBy("split", "source")
+      },
+      Some(s"""WITH RECURSIVE bl AS (SELECT unnest(['slow', 'dup', 'noise']) AS tok),
+        |t0 AS (SELECT doc_id, source, text, $ToksSql AS toks FROM documents),
+        |e0 AS (SELECT doc_id, unnest(toks) AS tok FROM t0),
+        |h AS (SELECT e0.doc_id, count(*) AS n_blocked
+        |  FROM e0 JOIN bl ON bl.tok = e0.tok GROUP BY 1),
+        |scr AS (SELECT t0.doc_id, t0.source, t0.text
+        | FROM t0 LEFT JOIN h ON h.doc_id = t0.doc_id
+        | WHERE (CASE WHEN len(toks) > 0
+        |   THEN CAST(COALESCE(h.n_blocked, 0) AS DOUBLE) / len(toks)
+        |   ELSE CAST(0 AS DOUBLE) END) <= 0.05),
+        |${compCtes("scr")},
+        |lab AS (SELECT s.doc_id, s.source, s.text,
+        |  COALESCE(c.comp, s.doc_id) AS comp
+        | FROM scr s LEFT JOIN comp c ON c.id = s.doc_id),
+        |sz AS (SELECT comp, count(*) AS cluster_size FROM lab GROUP BY 1),
+        |kept AS (SELECT lab.doc_id, lab.source, lab.text, lab.comp
+        | FROM lab JOIN sz ON sz.comp = lab.comp
+        | WHERE (${fp60Sql("CAST(lab.doc_id AS VARCHAR) || ':v7'")} % ${1L << 20})
+        |   * sz.cluster_size < ${1L << 20}),
+        |sp AS (SELECT doc_id, source, text,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+        |    ELSE 'test' END AS split
+        | FROM (SELECT kept.*,
+        |   ${fp60Sql("CAST(comp AS VARCHAR) || ':v7s'")} % 100 AS b FROM kept))
+        |SELECT split, source, count(*) AS n_docs,
+        |  CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the

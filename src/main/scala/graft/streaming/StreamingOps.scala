@@ -515,4 +515,35 @@ object StreamingOps {
       .groupBy(window(col(tsCol), windowDur).as("win"), col("source"))
       .agg(graft.operators.Diagnostics.surpriseAggs.head,
         graft.operators.Diagnostics.surpriseAggs.tail: _*)
+
+  /** Streaming BLOCKLIST screen — the live twin of
+    * [[graft.operators.Curation.blocklistFlags]]. The batch operator's
+    * explode + per-doc groupBy would need a state store on a stream; this
+    * twin instead collapses the (static, bounded) term frame into ONE
+    * array row at plan-build time and counts hits with a scan-stage
+    * `filter(tokens, array_contains(...))` — a pure function of the row,
+    * so it runs append-mode, stateless, at ingest rate, and the derived
+    * columns (n_tokens, n_blocked, blocked_frac, has_blocked) carry the
+    * batch operator's exact semantics (repeat hits counted, terms deduped
+    * lowercase; spec-pinned ≡ batch). The array lookup is per-token linear
+    * in the list — right for policy lists up to a few thousand terms; a
+    * list big enough to need the broadcast-join shape is too big to check
+    * per-row on a stream anyway (screen it in the batch backfill). */
+  def blocklistStream(docs: DataFrame, textCol: String,
+                      terms: DataFrame): DataFrame = {
+    val termCol = terms.columns.head
+    val bl = broadcast(terms
+      .select(lower(col(termCol)).as("t")).distinct()
+      .agg(collect_list(col("t")).as("__bl")))
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    docs.crossJoin(bl)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_blocked",
+        size(filter(toks, t => array_contains(col("__bl"), t))).cast("long"))
+      .withColumn("blocked_frac",
+        when(col("n_tokens") > 0,
+          col("n_blocked").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("has_blocked", col("n_blocked") > 0)
+      .drop("__bl")
+  }
 }

@@ -168,6 +168,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming blocklist screen equals the batch flags row for row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Curation
+    val terms = Seq("SPAM", "scam", "spam").toDF("term")
+    val rows = Seq(
+      (1L, "spam spam and more spam"),
+      (2L, "perfectly clean document"),
+      (3L, "one Scam here"))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.blocklistStream(docs, "text", terms)
+      .writeStream.format("memory").queryName("blocklist_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*) // split across micro-batches
+      q.processAllAvailable()
+      val cols = Seq("doc_id", "n_tokens", "n_blocked", "blocked_frac", "has_blocked")
+      val streamed = s.sql("SELECT * FROM blocklist_stream")
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      val batch = Curation.blocklistFlags(rows.toDF("doc_id", "text"),
+          "doc_id", "text", terms)
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.map(_.getAs[Long]("n_blocked")).toSeq == Seq(3L, 0L, 1L))
+    } finally q.stop()
+  }
+
   // shared fixture for the streaming near-dup tests: a tiny corpus with its
   // stored LSH index (bands + token sets), built by the BATCH index builders
   // — the persisted artifacts a deployed ingest pipeline probes
