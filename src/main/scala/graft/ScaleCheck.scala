@@ -601,7 +601,37 @@ object ScaleCheck {
       },
       // z-order re-layout: bounds agg + scan-stage interleave + range shuffle
       "zorder" -> (d => graft.operators.Layout.zOrder(Tables.lineitem(spark, d),
-        Seq("l_partkey", "l_suppkey"), bits = 8, numPartitions = 32)))
+        Seq("l_partkey", "l_suppkey"), bits = 8, numPartitions = 32)),
+      // cross-corpus linkage: two inverted indexes, union df-cut, A x B join
+      "link_across" -> { d =>
+        val docs = Tables.documents(spark, d)
+        Dedup.jaccardJoinAcross(
+          docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text", threshold = 0.3, maxTokenDf = 100L,
+          tokens = shingleSet)
+      },
+      // capstone v7: blocklist screen -> soft-dedup sample -> component split
+      "curate_v7" -> { d =>
+        val spark0 = spark; import spark0.implicits._
+        import graft.operators.{Curation, Sampling}
+        val docs = Tables.documents(spark, d)
+        val screened = Curation.blocklistFlags(docs, "doc_id", "text",
+            Seq("slow", "dup", "noise").toDF("term"))
+          .filter(col("blocked_frac") <= 0.05)
+          .select("doc_id", "source", "text")
+        val pairs = Dedup.jaccardPairs(screened, "doc_id", "text",
+            threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)
+          .select("id_a", "id_b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count()
+        val soft = Dedup.softDedupSample(screened, "doc_id", pairs, salt = ":v7")
+          .filter(col("kept"))
+        Sampling.splitByGroup(soft, col("comp"), 80, 10, salt = ":v7s")
+          .groupBy("split", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      })
 
     // optional arg: comma-separated substrings — run only matching cases
     // (local iteration on newly added operators)

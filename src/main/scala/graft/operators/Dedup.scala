@@ -120,6 +120,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** CROSS-CORPUS Jaccard linkage: near-duplicate pairs BETWEEN two
+    * document frames (id_left from `left`, id_right from `right`) — the
+    * record-linkage / corpus-alignment shape: match a fresh crawl against a
+    * curated corpus, align two dump versions, or score a vendor delivery
+    * against what you already hold. The self-join variant
+    * ([[jaccardPairs]]) cannot express this: its `id_a < id_b` orientation
+    * assumes one id space, and a unioned corpus would also pay for
+    * within-side pairs nobody asked for.
+    *
+    * Same scale discipline as the self-join: both sides become fp60
+    * inverted indexes; the document-frequency cut is computed over the
+    * UNION of the two token streams (a token ubiquitous in either corpus
+    * makes the join bucket quadratic, so both occurrences must go);
+    * candidates come from the tok equi-join (shuffle_hash-pinned — either
+    * side may be corpus-scaled), partial-agg to (id_left, id_right,
+    * common), and sizes join back from the post-cut per-doc counts. */
+  def jaccardJoinAcross(left: DataFrame, right: DataFrame, idCol: String,
+                        textCol: String, threshold: Double,
+                        maxTokenDf: Long = 0L,
+                        tokens: Column => Column = TextFunctions.tokenSet,
+                        scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
+    val tl0 = tokenIndex(left, idCol, textCol, tokens)
+      .select(col("doc_id"), tokenFp60(col("tok")).as("tok"))
+    val tr0 = tokenIndex(right, idCol, textCol, tokens)
+      .select(col("doc_id"), tokenFp60(col("tok")).as("tok"))
+    // each side's index feeds the df union, the candidate join, and its
+    // sizes agg: persist + materialize once (released via the caller's scope)
+    val tl = scope.pin(tl0.persist(StorageLevel.MEMORY_AND_DISK))
+    val tr = scope.pin(tr0.persist(StorageLevel.MEMORY_AND_DISK))
+    tl.count(); tr.count()
+    val (cl, cr) = if (maxTokenDf > 0) {
+      val keep = tl.select("tok").unionAll(tr.select("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxTokenDf)
+        .select("tok")
+      (tl.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("tok"), "left_semi"),
+        tr.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("tok"), "left_semi"))
+    } else (tl, tr)
+    val sizesL = cl.groupBy("doc_id").agg(count(lit(1)).as("n_l"))
+      .withColumnRenamed("doc_id", "id_left").hint("shuffle_hash")
+    val sizesR = cr.groupBy("doc_id").agg(count(lit(1)).as("n_r"))
+      .withColumnRenamed("doc_id", "id_right").hint("shuffle_hash")
+    val common = cl.as("a").hint("shuffle_hash")
+      .join(cr.as("b").hint("shuffle_hash"), col("a.tok") === col("b.tok"))
+      .groupBy(col("a.doc_id").as("id_left"), col("b.doc_id").as("id_right"))
+      .agg(count(lit(1)).as("common"))
+    common.join(sizesL, "id_left").join(sizesR, "id_right")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n_l") + col("n_r") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_left", "id_right", "jaccard")
+  }
+
   /** Symmetric containment near-dup pairs: containment = common /
     * min(|A|, |B|) — flags SUB-document duplication (one document quoted or
     * embedded inside another) that Jaccard dilutes away when the containing

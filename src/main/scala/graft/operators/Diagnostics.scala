@@ -63,6 +63,34 @@ object Diagnostics {
         round(col("n_distinct").cast("double") / col("n_ngrams"), 6))
   }
 
+  /** Corpus SNAPSHOT DIFF: classify every document id across two corpus
+    * versions as added / removed / modified / retained (by content hash) —
+    * the dataset-versioning report a pipeline emits between dump refreshes
+    * ("what did the new crawl actually change?") and the audit trail a
+    * training-data freeze needs. `source` is taken from the NEW side where
+    * the id survives, the old side where it was removed.
+    *
+    * Shape: each side reduces to (id, md5, source) in its scan stage; one
+    * full-outer equi-join on the id (both sides corpus-scaled — a sort-
+    * merge/shuffle join on the join key is the correct plan and the only
+    * shuffle); the verdict is a scan-stage CASE. Output is one row per id —
+    * aggregate downstream (the gate rolls up per (status, source)). */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                 textCol: String, sourceCol: String): DataFrame = {
+    val a = oldDocs.select(col(idCol).as("id"),
+      md5(col(textCol)).as("__h_old"), col(sourceCol).as("__src_old"))
+    val b = newDocs.select(col(idCol).as("id"),
+      md5(col(textCol)).as("__h_new"), col(sourceCol).as("__src_new"))
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__h_old").isNull, "added")
+          .when(col("__h_new").isNull, "removed")
+          .when(col("__h_old") =!= col("__h_new"), "modified")
+          .otherwise("retained"))
+      .withColumn("source", coalesce(col("__src_new"), col("__src_old")))
+      .select(col("id"), col("status"), col("source"))
+  }
+
   /** Per-source unigram KL divergence KL(source ‖ corpus) in nats over the
     * top-`vocabSize` corpus vocabulary plus a lumped out-of-vocabulary
     * bucket, with add-one smoothing — the standard drift measure for "which

@@ -4257,6 +4257,84 @@ object DocQueries {
         |  CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens
         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- cross-corpus near-dup linkage: jaccard pairs BETWEEN two id
+    //      spaces (the doc_id % 3 split plays "fresh crawl" vs "held
+    //      corpus"), df-cut over the union of both token streams.
+    "q_dedup_link_across" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.jaccardJoinAcross(
+            docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+            docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+            "doc_id", "text", threshold = 0.3, maxTokenDf = 100L,
+            tokens = shingleSet)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+          .orderBy("id_left", "id_right")
+      },
+      Some(s"""WITH tA AS (SELECT doc_id, $ToksSql AS toks FROM documents
+        |  WHERE doc_id % 3 != 0),
+        |a0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM tA),
+        |a1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM a0),
+        |tB AS (SELECT doc_id, $ToksSql AS toks FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |b0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM tB),
+        |b1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM b0),
+        |u AS (SELECT tok FROM a1 UNION ALL SELECT tok FROM b1),
+        |keep AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS df FROM u GROUP BY 1) WHERE df <= 100),
+        |sA AS (SELECT a1.doc_id, a1.tok FROM a1 JOIN keep ON keep.tok = a1.tok),
+        |sB AS (SELECT b1.doc_id, b1.tok FROM b1 JOIN keep ON keep.tok = b1.tok),
+        |szA AS (SELECT doc_id, count(*) AS n_l FROM sA GROUP BY 1),
+        |szB AS (SELECT doc_id, count(*) AS n_r FROM sB GROUP BY 1),
+        |c AS (SELECT sA.doc_id AS id_left, sB.doc_id AS id_right,
+        |  count(*) AS common
+        | FROM sA JOIN sB ON sA.tok = sB.tok GROUP BY 1, 2),
+        |j AS (SELECT c.id_left, c.id_right,
+        |  CAST(common AS DOUBLE) / (szA.n_l + szB.n_r - common) AS jaccard
+        | FROM c JOIN szA ON szA.doc_id = c.id_left
+        |  JOIN szB ON szB.doc_id = c.id_right)
+        |SELECT id_left, id_right, round(jaccard, 6) AS jaccard
+        |FROM j WHERE jaccard >= 0.3 ORDER BY id_left, id_right""".stripMargin)),
+
+    // ---- corpus snapshot diff: the dump-refresh audit — a synthetic "old"
+    //      version drops the % 10 = 1 ids (added in new), rewrites the
+    //      % 10 = 2 texts (modified), and carries shifted extra ids
+    //      (removed); the diff classifies every id by content hash.
+    "q_text_corpus_diff" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val old = docs.filter(pmod(col("doc_id"), lit(10)) =!= 1)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(10)) === 2,
+              concat(col("text"), lit(" v1"))).otherwise(col("text")))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 3)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        graft.operators.Diagnostics.corpusDiff(old, docs,
+            "doc_id", "text", "source")
+          .groupBy("status", "source").agg(count(lit(1)).as("n_docs"))
+          .orderBy("status", "source")
+      },
+      Some("""WITH old0 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 10 = 2 THEN text || ' v1'
+        |    ELSE text END AS text, source
+        |  FROM documents WHERE doc_id % 10 != 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents
+        |  WHERE doc_id % 10 = 3),
+        |a AS (SELECT doc_id AS id, md5(text) AS h_old, source AS src_old
+        |  FROM old0),
+        |b AS (SELECT doc_id AS id, md5(text) AS h_new, source AS src_new
+        |  FROM documents),
+        |v AS (SELECT
+        |  CASE WHEN h_old IS NULL THEN 'added'
+        |    WHEN h_new IS NULL THEN 'removed'
+        |    WHEN h_old != h_new THEN 'modified'
+        |    ELSE 'retained' END AS status,
+        |  COALESCE(src_new, src_old) AS source
+        | FROM a FULL OUTER JOIN b ON a.id = b.id)
+        |SELECT status, source, count(*) AS n_docs
+        |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the
     // suite tail through r12, which is exactly where the bench-contamination

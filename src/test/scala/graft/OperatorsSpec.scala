@@ -576,6 +576,44 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(Seq(1L, 2L, 3L).map(r(_)._2).sum - 1.0) < 1e-12)
   }
 
+  test("cross-corpus linkage pairs only across frames; union df-cut drops shared stopwords") {
+    import graft.operators.Dedup
+    val left = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // within-left dup: must NOT pair
+      (3L, "one two three four")).toDF("doc_id", "text")
+    val right = Seq(
+      (10L, "alpha beta gamma epsilon"), // near-dup of 1 and 2 across frames
+      (11L, "five six seven eight")).toDF("doc_id", "text")
+    val r = Dedup.jaccardJoinAcross(left, right, "doc_id", "text",
+        threshold = 0.5).collect()
+      .map(x => (x.getAs[Long]("id_left"), x.getAs[Long]("id_right"))).toSet
+    assert(r == Set((1L, 10L), (2L, 10L))) // both lefts link to the one right
+    // a token frequent across BOTH sides is cut by the union df: with
+    // maxTokenDf = 1 every shared token dies and no pair survives
+    val cut = Dedup.jaccardJoinAcross(left, right, "doc_id", "text",
+      threshold = 0.1, maxTokenDf = 1L)
+    assert(cut.count() == 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("corpus diff classifies added, removed, modified, retained by content hash") {
+    import graft.operators.Diagnostics
+    val old = Seq(
+      (1L, "same text", "web"), (2L, "old version", "web"),
+      (3L, "gone soon", "books")).toDF("doc_id", "text", "source")
+    val neu = Seq(
+      (1L, "same text", "web"), (2L, "new version", "web"),
+      (4L, "brand new", "code")).toDF("doc_id", "text", "source")
+    val r = Diagnostics.corpusDiff(old, neu, "doc_id", "text", "source")
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[String]("status"), x.getAs[String]("source"))).toMap
+    assert(r(1L) == (("retained", "web")))
+    assert(r(2L) == (("modified", "web")))
+    assert(r(3L) == (("removed", "books"))) // source falls back to the old side
+    assert(r(4L) == (("added", "code")))
+  }
+
   test("tf-idf top-k ranks rare terms above common ones") {
     import graft.operators.TermWeights
     val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"))
