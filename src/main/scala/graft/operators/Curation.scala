@@ -44,6 +44,59 @@ object Curation {
     transform(regexp_extract_all(text, lit(DomainPattern), lit(1)),
       a => normalizeDomain(a, foldWww))
 
+  /** Per-source RANK NORMALIZATION: every row gains its exact 0-based rank
+    * and percentile rank of `score` WITHIN its source — the calibration
+    * step before cross-source score comparisons (a 0.7 from a classifier
+    * trained on books and a 0.7 from a web-quality heuristic are not the
+    * same quantity; their percentiles are). Downstream, one global
+    * threshold on `pct_rank` cuts every source at the same quantile —
+    * [[thresholdBySource]] without re-deriving thresholds per use.
+    *
+    * Scale shape: the rank is EXACT but never windows a corpus-scale
+    * partition — the same two-phase sharded-rank shape as the curriculum
+    * operator, with score-quantile shards instead of hash shards: per-source
+    * shard thresholds come from one percentile aggregation (broadcast,
+    * (sources × shards)-bounded), shard membership is a scan-stage
+    * comparison chain, ranks window only (source, shard) slices (~1/shards
+    * of a source by construction), and broadcast per-shard count offsets
+    * reassemble the global per-source rank bit-for-bit (ties at a shard
+    * threshold all land in one shard — `score > t` is strict — so shard
+    * ranges stay contiguous in (score, id)). */
+  def rankNormalizeBySource(df: DataFrame, sourceCol: String, score: Column,
+                            idCol: Column, shards: Int = 8): DataFrame = {
+    require(shards > 1, "shards must be > 1")
+    val ths = df.groupBy(col(sourceCol).as("__rn_src"))
+      .agg(percentile(score, lit(1.0 / shards)).as("__t1"),
+        (2 until shards).map(i =>
+          percentile(score, lit(i.toDouble / shards)).as(s"__t$i")): _*)
+    val shard = (1 until shards)
+      .map(i => when(score > col(s"__t$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = df
+      .join(broadcast(ths), col(sourceCol) === col("__rn_src"))
+      .withColumn("__shard", shard)
+      .drop("__rn_src").drop((1 until shards).map(i => s"__t$i"): _*)
+    val wS = Window.partitionBy(col(sourceCol), col("__shard"))
+      .orderBy(score, idCol)
+    val ranked = scored.withColumn("__r", row_number().over(wS) - 1)
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranked.groupBy(col(sourceCol), col("__shard"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+    val totals = offsets.groupBy(col(sourceCol)).agg(sum("__n").as("src_n"))
+    ranked
+      .join(broadcast(offsets.select(col(sourceCol), col("__shard"), col("__off"))),
+        Seq(sourceCol, "__shard"))
+      .join(broadcast(totals), Seq(sourceCol))
+      .withColumn("src_rank", col("__off") + col("__r"))
+      .withColumn("pct_rank",
+        when(col("src_n") > 1,
+          col("src_rank").cast("double") / (col("src_n") - 1))
+          .otherwise(lit(0.0)))
+      .drop("__shard", "__r", "__off")
+  }
+
   /** Blocklist term screening: every document gains token-level hit counts
     * against a TERM FRAME (n_tokens, n_blocked, blocked_frac, has_blocked) —
     * the badwords/policy filter of web-corpus pipelines (C4 drops any

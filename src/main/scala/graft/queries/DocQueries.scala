@@ -4335,6 +4335,37 @@ object DocQueries {
         |SELECT status, source, count(*) AS n_docs
         |FROM v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- per-source rank normalization: exact percentile ranks of the
+    //      quality score within each source via the two-phase quantile-
+    //      sharded rank — one global pct_rank threshold then cuts every
+    //      source at the same quantile. Oracle = a plain per-source
+    //      (row_number - 1) / (n - 1) window, which the sharded
+    //      reassembly must reproduce bit for bit.
+    "q_curate_rank_normalize" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        graft.operators.Curation.rankNormalizeBySource(
+            docs, "source", col("quality"), col("doc_id"), shards = 8)
+          .select(col("doc_id"), col("source"), col("quality"),
+            col("src_rank"), col("src_n"),
+            round(col("pct_rank"), 6).as("pct_rank"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${qualityLangCtes("documents")},
+        |r AS (SELECT doc_id, source, quality,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) - 1
+        |    AS src_rank,
+        |  count(*) OVER (PARTITION BY source) AS src_n
+        | FROM scored)
+        |SELECT doc_id, source, quality, src_rank,
+        |  CAST(src_n AS BIGINT) AS src_n,
+        |  round(CASE WHEN src_n > 1
+        |    THEN CAST(src_rank AS DOUBLE) / (src_n - 1)
+        |    ELSE CAST(0 AS DOUBLE) END, 6) AS pct_rank
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the
     // suite tail through r12, which is exactly where the bench-contamination

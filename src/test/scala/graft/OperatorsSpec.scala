@@ -833,6 +833,34 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L) == ((3L, 1L, 1.0 / 3, true))) // "Scam" folds to the term
   }
 
+  test("rank normalization: sharded reassembly equals the plain window rank, ties and all") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.expressions.Window
+    // 2 sources x 40 rows with HEAVY ties (score = id % 4) so tie-breaks
+    // and shard-boundary ties are actually exercised
+    val df = (0L until 80L).map(i =>
+        (i, if (i < 40) "a" else "b", (i % 4).toDouble))
+      .toDF("doc_id", "source", "score")
+    val r = Curation.rankNormalizeBySource(df, "source", col("score"),
+        col("doc_id"), shards = 4)
+      .select("doc_id", "src_rank", "src_n", "pct_rank").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    val w = Window.partitionBy("source").orderBy(col("score"), col("doc_id"))
+    val plain = df.withColumn("rk", row_number().over(w) - 1)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Int]("rk")).toMap
+    (0L until 80L).foreach { id =>
+      assert(r(id)._1 == plain(id).toLong, s"doc $id sharded != window rank")
+      assert(r(id)._2 == 40L)
+      assert(math.abs(r(id)._3 - plain(id) / 39.0) < 1e-12)
+    }
+    // a single global pct threshold cuts each source at its own quantile
+    val cut = Curation.rankNormalizeBySource(df, "source", col("score"),
+        col("doc_id"), shards = 4)
+      .filter(col("pct_rank") >= 0.75)
+    assert(cut.groupBy("source").count().collect()
+      .map(x => x.getLong(1)).toSeq == Seq(10L, 10L))
+  }
+
   test("semanticFlags flags near-benchmark vectors, ties to smallest bench id") {
     import graft.operators.Decontaminate
     val corpus = Seq(
