@@ -63,12 +63,20 @@ object Curation {
     * threshold all land in one shard — `score > t` is strict — so shard
     * ranges stay contiguous in (score, id)). */
   def rankNormalizeBySource(df: DataFrame, sourceCol: String, score: Column,
-                            idCol: Column, shards: Int = 8): DataFrame = {
+                            idCol: Column, shards: Int = 8,
+                            approx: Boolean = false): DataFrame = {
     require(shards > 1, "shards must be > 1")
+    // shard thresholds only need to be MONOTONE — shard contiguity in
+    // (score, id), not quantile exactness, is the reassembly invariant — so
+    // `approx = true` swaps exact percentile (which buffers a per-source
+    // value histogram in the agg) for the sketch-based percentile_approx
+    // with IDENTICAL output ranks; only shard balance degrades slightly.
+    def th(p: Double): Column =
+      if (approx) percentile_approx(score, lit(p), lit(10000))
+      else percentile(score, lit(p))
     val ths = df.groupBy(col(sourceCol).as("__rn_src"))
-      .agg(percentile(score, lit(1.0 / shards)).as("__t1"),
-        (2 until shards).map(i =>
-          percentile(score, lit(i.toDouble / shards)).as(s"__t$i")): _*)
+      .agg(th(1.0 / shards).as("__t1"),
+        (2 until shards).map(i => th(i.toDouble / shards).as(s"__t$i")): _*)
     val shard = (1 until shards)
       .map(i => when(score > col(s"__t$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -76,16 +84,18 @@ object Curation {
       .join(broadcast(ths), col(sourceCol) === col("__rn_src"))
       .withColumn("__shard", shard)
       .drop("__rn_src").drop((1 until shards).map(i => s"__t$i"): _*)
-    val wS = Window.partitionBy(col(sourceCol), col("__shard"))
-      .orderBy(score, idCol)
-    val ranked = scored.withColumn("__r", row_number().over(wS) - 1)
+    // offsets/totals need only per-(source, shard) COUNTS — fold them from
+    // the pre-window frame so the rank window is evaluated once, in the
+    // output branch, not re-executed inside each broadcast
     val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranked.groupBy(col(sourceCol), col("__shard"))
+    val offsets = scored.groupBy(col(sourceCol), col("__shard"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
     val totals = offsets.groupBy(col(sourceCol)).agg(sum("__n").as("src_n"))
-    ranked
+    val wS = Window.partitionBy(col(sourceCol), col("__shard"))
+      .orderBy(score, idCol)
+    scored.withColumn("__r", row_number().over(wS) - 1)
       .join(broadcast(offsets.select(col(sourceCol), col("__shard"), col("__off"))),
         Seq(sourceCol, "__shard"))
       .join(broadcast(totals), Seq(sourceCol))

@@ -62,29 +62,37 @@ object Dedup {
     * join against clustered-doc-sized frames, never windowed. */
   def softDedupWeights(docs: DataFrame, idCol: String,
                        pairs: DataFrame): DataFrame = {
+    // sizes fold from the LABEL frame (clustered docs only — bounded by the
+    // pair graph), never from the labeled corpus: a corpus-side groupBy
+    // would emit one row per singleton and turn both the agg and the
+    // back-join into corpus-wide shuffles. Singletons take size 1 by
+    // coalesce instead.
     val labels = connectedComponents(pairs)
       .select(col("id").as("__sd_id"), col("comp").as("__sd_comp"))
-    val labeled = docs.join(labels, docs(idCol) === col("__sd_id"), "left")
+    val sizes = labels.groupBy(col("__sd_comp"))
+      .agg(count(lit(1)).as("__sd_n"))
+    val withSizes = labels.join(sizes, Seq("__sd_comp"))
+    docs.join(withSizes, docs(idCol) === col("__sd_id"), "left")
       .withColumn("comp", coalesce(col("__sd_comp"), docs(idCol)))
-      .drop("__sd_id", "__sd_comp")
-    val sizes = labeled.groupBy(col("comp").as("__sz_comp"))
-      .agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, col("comp") === col("__sz_comp")).drop("__sz_comp")
+      .withColumn("cluster_size", coalesce(col("__sd_n"), lit(1L)))
+      .drop("__sd_id", "__sd_comp", "__sd_n")
       .withColumn("weight", lit(1.0) / col("cluster_size"))
   }
 
   /** Realize [[softDedupWeights]] as a deterministic sample: keep each row
-    * iff hashBucket(id, 2^20, salt) * cluster_size < 2^20 — pure integer
-    * arithmetic, so P(keep) ≈ 1/cluster_size exactly reproducibly (a
-    * cluster of n contributes ~1 expected document), and any engine
-    * computing the same md5-prefix bucket draws the identical sample. The
-    * `kept` flag is emitted rather than filtered so callers can audit what
-    * a pipeline would drop. */
+    * iff its raw 60-bit hash falls below floor(2^60 / cluster_size) — pure
+    * integer arithmetic, so the expected exemplar count per cluster is
+    * size·floor(2^60/size)/2^60 ∈ (1 − size/2^60, 1] at ANY cluster size
+    * (a bucket-space-bounded rule like b·size < 2^20 would floor P(keep) at
+    * 2^-20 and over-keep giant boilerplate cliques linearly), and any
+    * engine computing the same md5-prefix hash draws the identical sample.
+    * The `kept` flag is emitted rather than filtered so callers can audit
+    * what a pipeline would drop. */
   def softDedupSample(docs: DataFrame, idCol: String, pairs: DataFrame,
                       salt: String = ""): DataFrame =
     softDedupWeights(docs, idCol, pairs).withColumn("kept",
-      Sampling.hashBucket(col(idCol), 1 << 20, salt) * col("cluster_size")
-        < lit(1L << 20))
+      tokenFp60(concat(col(idCol).cast("string"), lit(salt)))
+        < expr(s"${1L << 60}L div cluster_size"))
 
   /** (doc_id, token) inverted-index edge list over distinct features of the
     * text. `tokens` picks the feature space: unigram token sets by default;
@@ -145,19 +153,31 @@ object Dedup {
       .select(col("doc_id"), tokenFp60(col("tok")).as("tok"))
     val tr0 = tokenIndex(right, idCol, textCol, tokens)
       .select(col("doc_id"), tokenFp60(col("tok")).as("tok"))
-    // each side's index feeds the df union, the candidate join, and its
-    // sizes agg: persist + materialize once (released via the caller's scope)
-    val tl = scope.pin(tl0.persist(StorageLevel.MEMORY_AND_DISK))
-    val tr = scope.pin(tr0.persist(StorageLevel.MEMORY_AND_DISK))
+    // each side feeds two consumers (candidate join + its sizes agg), and
+    // with a df cut the pre-cut index additionally feeds the union-df
+    // aggregation: persist the frame each consumer actually reads — the
+    // POST-cut one when cutting (and release the pre-cut cache once the cut
+    // frame is materialized, the pairCommonSizes discipline), the raw index
+    // otherwise. Without this the union-df shuffle and both semi-joins
+    // would re-execute once per consumer.
+    val tl = tl0.persist(StorageLevel.MEMORY_AND_DISK)
+    val tr = tr0.persist(StorageLevel.MEMORY_AND_DISK)
     tl.count(); tr.count()
     val (cl, cr) = if (maxTokenDf > 0) {
       val keep = tl.select("tok").unionAll(tr.select("tok"))
         .groupBy("tok").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxTokenDf)
         .select("tok")
-      (tl.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("tok"), "left_semi"),
-        tr.hint("shuffle_hash").join(keep.hint("shuffle_hash"), Seq("tok"), "left_semi"))
-    } else (tl, tr)
+      val l = scope.pin(tl.hint("shuffle_hash")
+        .join(keep.hint("shuffle_hash"), Seq("tok"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+      val r = scope.pin(tr.hint("shuffle_hash")
+        .join(keep.hint("shuffle_hash"), Seq("tok"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+      l.count(); r.count()
+      tl.unpersist(); tr.unpersist()
+      (l, r)
+    } else (scope.pin(tl), scope.pin(tr))
     val sizesL = cl.groupBy("doc_id").agg(count(lit(1)).as("n_l"))
       .withColumnRenamed("doc_id", "id_left").hint("shuffle_hash")
     val sizesR = cr.groupBy("doc_id").agg(count(lit(1)).as("n_r"))

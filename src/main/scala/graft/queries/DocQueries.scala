@@ -3984,10 +3984,10 @@ object DocQueries {
         |sz AS (SELECT comp, count(*) AS cluster_size FROM lab GROUP BY 1),
         |w AS (SELECT lab.doc_id, lab.source, lab.comp, sz.cluster_size,
         |  CAST(1 AS DOUBLE) / sz.cluster_size AS weight,
-        |  ${fp60Sql("CAST(lab.doc_id AS VARCHAR) || ':sd1'")} % ${1L << 20} AS b
+        |  ${fp60Sql("CAST(lab.doc_id AS VARCHAR) || ':sd1'")} AS b
         | FROM lab JOIN sz ON sz.comp = lab.comp)
         |SELECT source, count(*) AS n_docs,
-        |  count(CASE WHEN b * cluster_size < ${1L << 20} THEN 1 END) AS n_kept,
+        |  count(CASE WHEN b < ${1L << 60} // cluster_size THEN 1 END) AS n_kept,
         |  CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_clustered,
         |  round(CAST(sum(CAST(round(weight, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
@@ -4246,8 +4246,8 @@ object DocQueries {
         |sz AS (SELECT comp, count(*) AS cluster_size FROM lab GROUP BY 1),
         |kept AS (SELECT lab.doc_id, lab.source, lab.text, lab.comp
         | FROM lab JOIN sz ON sz.comp = lab.comp
-        | WHERE (${fp60Sql("CAST(lab.doc_id AS VARCHAR) || ':v7'")} % ${1L << 20})
-        |   * sz.cluster_size < ${1L << 20}),
+        | WHERE ${fp60Sql("CAST(lab.doc_id AS VARCHAR) || ':v7'")}
+        |   < ${1L << 60} // sz.cluster_size),
         |sp AS (SELECT doc_id, source, text,
         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
         |    ELSE 'test' END AS split

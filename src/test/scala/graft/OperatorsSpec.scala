@@ -566,12 +566,14 @@ class OperatorsSpec extends SparkSpec {
           x.getAs[Boolean]("kept"))).toMap
     assert(Seq(1L, 2L, 3L).forall(id => r(id)._1 == 3L && r(id)._2 == 1.0 / 3))
     assert(r(9L)._1 == 1L && r(9L)._2 == 1.0 && r(9L)._3) // singletons always keep
-    // kept is exactly bucket(id) * size < 2^20 — reproducible, engine-free
-    val buckets = docs.select(col("doc_id"),
-        Sampling.hashBucket(col("doc_id"), 1 << 20, ":sw1").as("b"))
+    // kept is exactly fp60(id ++ salt) < floor(2^60 / size) — reproducible,
+    // engine-free, and P(keep) tracks 1/size at ANY cluster size (no
+    // bucket-space floor that would over-keep giant cliques)
+    val fps = docs.select(col("doc_id"),
+        Dedup.tokenFp60(concat(col("doc_id").cast("string"), lit(":sw1"))).as("b"))
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     r.foreach { case (id, (size, _, kept)) =>
-      assert(kept == (buckets(id) * size < (1L << 20)), s"doc $id") }
+      assert(kept == (fps(id) < (1L << 60) / size), s"doc $id") }
     // cluster weight mass: each near-dup cluster contributes ~1 effective doc
     assert(math.abs(Seq(1L, 2L, 3L).map(r(_)._2).sum - 1.0) < 1e-12)
   }
@@ -859,6 +861,15 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("pct_rank") >= 0.75)
     assert(cut.groupBy("source").count().collect()
       .map(x => x.getLong(1)).toSeq == Seq(10L, 10L))
+    // approx thresholds move only shard boundaries, never ranks: the
+    // reassembled output is bit-identical to the exact-percentile path
+    val ap = Curation.rankNormalizeBySource(df, "source", col("score"),
+        col("doc_id"), shards = 4, approx = true)
+      .select("doc_id", "src_rank", "pct_rank").orderBy("doc_id").collect().toSeq
+    val ex = Curation.rankNormalizeBySource(df, "source", col("score"),
+        col("doc_id"), shards = 4)
+      .select("doc_id", "src_rank", "pct_rank").orderBy("doc_id").collect().toSeq
+    assert(ap == ex)
   }
 
   test("semanticFlags flags near-benchmark vectors, ties to smallest bench id") {
