@@ -241,5 +241,67 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("Morton interleave is a bijection: dimension buckets decode back from z") {
+    import graft.operators.Layout
+    import org.apache.spark.sql.functions.lit
+    val bits = 4
+    check(Prop.forAll(Gen.listOfN(12,
+        Gen.zip(Gen.choose(0L, 15L), Gen.choose(0L, 15L)))) { pts =>
+      val rows = pts.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "a", "b")
+        .select(col("id"), col("a"), col("b"),
+          Layout.interleaveBits(Seq(col("a"), col("b")), bits).as("z"))
+        .collect()
+      rows.forall { r =>
+        val (a, b, z) = (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("z"))
+        val da = (0 until bits).map(i => ((z >> (2 * i)) & 1) << i).sum
+        val db = (0 until bits).map(i => ((z >> (2 * i + 1)) & 1) << i).sum
+        da == a && db == b && z < (1L << (2 * bits))
+      }
+    }, n = 10)
+  }
+
+  test("RRF never ranks a strict-consensus loser above a winner; scores bounded") {
+    import graft.operators.Similarity
+    // random rank lists over a small candidate pool, 2 retrievers
+    val listGen = Gen.listOfN(5, Gen.choose(100L, 107L)).map(_.distinct)
+    check(Prop.forAll(listGen, listGen) { (l1, l2) =>
+      val lex = l1.zipWithIndex.map { case (id, i) => (0L, id, i + 1) }
+        .toDF("query_id", "nbr_id", "rank")
+      val vec = l2.zipWithIndex.map { case (id, i) => (0L, id, i + 1) }
+        .toDF("query_id", "nbr_id", "rank")
+      val out = Similarity.rrfFuse(Seq(lex, vec), k = 20)
+        .collect().map(r => r.getAs[Long]("nbr_id") ->
+          (r.getAs[Long]("rank"), r.getAs[Double]("rrf_score"))).toMap
+      val r1 = l1.zipWithIndex.toMap; val r2 = l2.zipWithIndex.toMap
+      // strict dominance: better or equal in both lists, strictly better in
+      // one, and PRESENT in both (a missing list contributes nothing)
+      val dominancePairs = for {
+        a <- out.keys; b <- out.keys
+        if a != b && r1.contains(a) && r2.contains(a)
+        if r1.getOrElse(b, 99) >= r1(a) && r2.getOrElse(b, 99) >= r2(a) &&
+          (r1.getOrElse(b, 99) > r1(a) || r2.getOrElse(b, 99) > r2(a))
+      } yield out(a)._1 < out(b)._1
+      dominancePairs.forall(identity) &&
+        out.values.forall { case (_, s) => s > 0.0 && s <= 2.0 / 61.0 + 1e-6 }
+    }, n = 10)
+  }
+
+  test("rank normalization is a permutation: ranks are exactly 0..n-1 per source") {
+    import graft.operators.Curation
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0.0, 3.0)))
+    check(Prop.forAll(rowGen, Gen.oneOf(2, 4, 8)) { (rows, shards) =>
+      val df = rows.zipWithIndex.map { case ((s, q), i) => (i.toLong, s, q) }
+        .toDF("doc_id", "source", "score")
+      val out = Curation.rankNormalizeBySource(df, "source", col("score"),
+          col("doc_id"), shards = shards)
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("src_rank")))
+      out.groupBy(_._1).forall { case (_, g) =>
+        g.map(_._2).sorted.toSeq == (0L until g.size.toLong)
+      }
+    }, n = 10)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
