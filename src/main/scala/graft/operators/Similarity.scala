@@ -636,52 +636,120 @@ object Similarity {
     *
     * `candidates` carries (query_id, nbr_id, cosine, nbr_v) — e.g.
     * [[bruteForceTopK]]/[[searchIvf]] output joined back to its vectors.
-    * Output: (query_id, sel_rank 1..k, nbr_id, cosine, mmr_score).
+    * Ids are normalized to bigint; rows with a null id/score/vector or a
+    * null vector element are dropped (a scoreless candidate can never be
+    * selected ahead of a complete one). Output: (query_id, sel_rank 1..k,
+    * nbr_id, cosine, mmr_score).
     *
-    * Shape: the greedy loop unrolls into k plan steps; EVERY frame in every
-    * step is bounded by |queries| × candidate-list-length and partitioned
-    * by query_id (anti-join vs selected, pair-sim join, per-query groupBy
-    * max, per-query argmax window) — the corpus never reappears, so the
-    * cost is the retrieval pass's output size times k, independent of
-    * corpus size. Plan depth grows with k (selections chain by
-    * construction — MMR is inherently sequential in k); for k beyond ~20
-    * persist or checkpoint `candidates` upstream and keep λ-selection
-    * lists short, which is how MMR is used in practice.
+    * Shape: MMR is inherently sequential in k but each query's candidate
+    * list is bounded by the upstream retrieval k — a per-group sequential
+    * kernel over a bounded group, which is exactly the `flatMapGroups`
+    * case. ONE shuffle on query_id moves each (queries × per-list k)
+    * candidate list into a single task; the greedy loop runs there with
+    * incremental max-sim maintenance (O(list² · dim) per query, microseconds
+    * at practical list sizes). The corpus never reappears, plan depth is
+    * constant in k, and nothing is recomputed — the unrolled-plan
+    * alternative re-evaluates the retrieval lineage per step (exponentially
+    * without checkpoints), which is the wrong trade at any scale.
     *
-    * Determinism: pair sims use the native sequential-fold cosine kernel,
-    * the per-step score is rounded to 9 decimals before the argmax, and
-    * ties break on nbr_id — bit-identical on any engine mirroring the fold. */
+    * Determinism: pair sims replay [[graft.functions.VecCosine]]'s exact
+    * arithmetic (left-to-right IEEE-double folds, dot / (√na·√nb)), the
+    * per-step score is rounded to 9 decimals HALF_UP (Spark `round`
+    * semantics, NaN/Inf passed through) before the argmax, and ties break
+    * on nbr_id with java.lang.Double total order (NaN largest) — matching
+    * the equivalent DataFrame window plan and any engine mirroring the
+    * fold, bit for bit. */
   def mmrSelect(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
     require(k > 0, "k must be positive")
     require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
-    graft.GraftExtensions.register(candidates.sparkSession)
-    val lam = lit(lambda)
-    val om = lit(1.0 - lambda)
-    val cand = candidates.select("query_id", "nbr_id", "cosine", "nbr_v")
-    def pick(scored: DataFrame, i: Int): DataFrame =
-      scored.withColumn("__rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("mmr_score").desc, col("nbr_id"))))
-        .filter(col("__rn") === 1).drop("__rn")
-        .withColumn("sel_rank", lit(i))
-    var selected =
-      pick(cand.withColumn("mmr_score", round(lam * col("cosine"), 9)), 1)
-    for (i <- 2 to k) {
-      val rem = cand.join(selected.select("query_id", "nbr_id"),
-        Seq("query_id", "nbr_id"), "left_anti")
-      val scored = rem
-        .join(selected.select(col("query_id"), col("nbr_v").as("__sel_v")),
-          Seq("query_id"))
-        .withColumn("__sim",
-          graft.functions.VecCosine.cosine(col("nbr_v"), col("__sel_v")))
-        .groupBy("query_id", "nbr_id")
-        .agg(first("cosine").as("cosine"), first("nbr_v").as("nbr_v"),
-          max("__sim").as("__simmax"))
-        .withColumn("mmr_score",
-          round(lam * col("cosine") - om * col("__simmax"), 9))
-        .drop("__simmax")
-      selected = selected.unionByName(pick(scored, i))
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val om = 1.0 - lambda
+    val cand = candidates
+      .select(col("query_id").cast("bigint"), col("nbr_id").cast("bigint"),
+        col("cosine").cast("double"), col("nbr_v").cast("array<double>"))
+      .filter(col("query_id").isNotNull && col("nbr_id").isNotNull &&
+        col("cosine").isNotNull && col("nbr_v").isNotNull &&
+        forall(col("nbr_v"), e => e.isNotNull))
+      .as[(Long, Long, Double, Array[Double])]
+    cand.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Double])]) =>
+        val cs = it.toArray.sortBy(_._2) // candidate-list-bounded; id order for stable ties
+        val n = cs.length
+        val taken = new Array[Boolean](n)
+        val simmax = Array.fill(n)(0.0)
+        val simSeen = new Array[Boolean](n) // false until a non-null pair sim exists
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Int, Long, Double, Double)](math.min(k, n))
+        var step = 1
+        while (step <= k && step <= n) {
+          var best = -1
+          var bestScore = 0.0
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              val scored = step == 1 || simSeen(i)
+              if (scored) {
+                val s =
+                  if (step == 1) round9(lambda * cs(i)._3)
+                  else round9(lambda * cs(i)._3 - om * simmax(i))
+                // desc by score (Double total order: NaN largest), asc nbr_id
+                if (best < 0 || java.lang.Double.compare(s, bestScore) > 0) {
+                  best = i; bestScore = s
+                }
+              }
+            }
+            i += 1
+          }
+          if (best < 0) { step = k + 1 } // only scoreless candidates remain
+          else {
+            taken(best) = true
+            out += ((qid, step, cs(best)._2, cs(best)._3, bestScore))
+            // incremental max-sim update vs the newly selected vector
+            val sv = cs(best)._4
+            var j = 0
+            while (j < n) {
+              // length-mismatch pairs are null under the zip_with contract and
+              // a max over doubles skips nulls (while NaN compares largest) —
+              // so only same-length sims participate
+              if (!taken(j) && sameLen(cs(j)._4, sv)) {
+                val s = cosineFold(cs(j)._4, sv)
+                if (!simSeen(j) || java.lang.Double.compare(s, simmax(j)) > 0)
+                  simmax(j) = s
+                simSeen(j) = true
+              }
+              j += 1
+            }
+            step += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("query_id", "sel_rank", "nbr_id", "cosine", "mmr_score")
+  }
+
+  /** Spark `round(col, 9)` on DoubleType: BigDecimal HALF_UP, NaN/Inf pass
+    * through unchanged. */
+  private def round9(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def sameLen(a: Array[Double], b: Array[Double]): Boolean =
+    a.length == b.length
+
+  /** [[graft.functions.VecCosine]]'s exact arithmetic: three accumulators
+    * summed left-to-right in IEEE double, dot / (sqrt(na) * sqrt(nb)).
+    * Callers guard the length-mismatch (null-in-plan) case via [[sameLen]]. */
+  private def cosineFold(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      i += 1
     }
-    selected.select("query_id", "sel_rank", "nbr_id", "cosine", "mmr_score")
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Reciprocal-rank fusion of several per-query rankings — the standard

@@ -552,7 +552,7 @@ class PlanSpec extends SparkSpec {
       s"thresholds/offsets not broadcast:\n$p")
   }
 
-  test("MMR steps never go cartesian; selection windows stay per-query") {
+  test("MMR is one query-keyed shuffle into a per-group kernel — no joins, no unrolled steps") {
     import graft.operators.Similarity
     val s = spark
     import s.implicits._
@@ -561,11 +561,13 @@ class PlanSpec extends SparkSpec {
       (1L, 3L, 0.7, Seq(1.0f, 1.0f)))
       .toDF("query_id", "nbr_id", "cosine", "nbr_v")
     val p = planOf(Similarity.mmrSelect(cand, k = 3, lambda = 0.7))
-    assert(!p.contains("CartesianProduct"), s"cartesian in an MMR step:\n$p")
-    val selWindows = p.linesIterator.filter(l =>
-      l.contains("Window") && l.contains("row_number")).toSeq
-    assert(selWindows.nonEmpty && selWindows.forall(_.contains("query_id")),
-      s"an MMR argmax window lost its query partition:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in MMR:\n$p")
+    assert(!p.contains("Join"), s"the kernel form must not join at all:\n$p")
+    // the greedy loop runs inside MapGroups; exactly one exchange feeds it,
+    // keyed on the query — plan depth must not grow with k
+    assert(p.contains("MapGroups"), s"expected a flatMapGroups kernel:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1, s"expected exactly one group-key exchange:\n$p")
   }
 
   test("blocklist term join broadcasts the list; the corpus is never the build side") {
