@@ -473,8 +473,51 @@ object ScaleCheck {
         Tables.documents(spark, d),
         md5(array_join(slice(split(lower(col("text")), "\\s+"), 1, 5), " ")),
         "source")),
-      // MMR: k unrolled steps, every frame (queries x candidates)-bounded
-      // and query-partitioned; corpus appears only in the retrieval pass
+      // C4 rule cleaning: pure scan-stage Column trees (zero shuffles) —
+      // the ratio is the parallel-scan ratio
+      "c4_rules" -> { d =>
+        val words = split(col("text"), " ")
+        def line(start: Int, len: Int, tail: String) =
+          concat(array_join(slice(words, start, len), " "), lit(tail))
+        val page = concat_ws("\n", line(1, 6, "."), line(7, 3, "."),
+          lit("please enable javascript to view this page."),
+          line(10, 7, ""), line(4, 8, " done!"), line(12, 7, " right?"))
+        graft.operators.Lines.c4Clean(
+          Tables.documents(spark, d).select(col("doc_id"), page.as("text")),
+          "doc_id", "text")
+      },
+      // weighted WOR sampling: scan-stage ES keys + the two-phase sharded
+      // rank (WindowGroupLimit bounds both phases at k per partition)
+      "weighted_wor" -> { d =>
+        val docs = Tables.documents(spark, d).select(col("doc_id"),
+          col("source"), length(col("text")).cast("double").as("w"))
+        graft.operators.Sampling.weightedBottomKPerKey(docs, col("source"),
+          col("doc_id"), col("w"), k = 1000, salt = ":sw")
+      },
+      // URL dedup: scan-stage canonicalization + partial-agg keeper fold +
+      // ONE AQE-splittable shuffle_hash verdict join on the canonical key
+      "url_dedup" -> { d =>
+        val docs = Tables.documents(spark, d).select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0, lit("HTTP://User@WWW.Example.COM:80"))
+              .otherwise(lit("https://cdn.example.net:443")),
+            lit("/page/"), (col("doc_id") % 9973).cast("string"),
+            when(col("doc_id") % 3 === 0, lit("?utm_source=f&q=1")).otherwise(lit("")))
+            .as("url"))
+        graft.operators.Curation.dedupByUrl(docs, "doc_id", "url")
+      },
+      // domain screen: partial-agg (count, decimal mean) per domain + one
+      // shuffle_hash verdict join back on the domain key
+      "domain_screen" -> { d =>
+        val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"),
+          concat(lit("site"), (col("doc_id") % 9973).cast("string"),
+            lit(".example")).as("domain"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        graft.operators.Curation.screenDomains(docs, "doc_id", "domain",
+          col("quality"), maxDocsPerDomain = 15L, minAvgQuality = 0.55)
+      },
+      // MMR: one query-keyed shuffle into the per-group greedy kernel;
+      // corpus appears only in the retrieval pass
       "mmr_select" -> { d =>
         val emb = Tables.embeddings(spark, d)
         val cand = graft.operators.Similarity.bruteForceTopK(

@@ -144,6 +144,82 @@ object Curation {
     graft.core.Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
       .select(col("doc_id"), explode(extractDomains(col(textCol))).as("domain"))
 
+  /** Canonical form of a CRAWL url — the dedup key a web pipeline uses
+    * before any content hash exists (the same page is fetched as
+    * `HTTP://Example.com/a?utm_source=x#top` and `http://example.com/a`):
+    *   - fragment stripped
+    *   - tracking params dropped (`utm_*`, `gclid`, `fbclid`, `ref`),
+    *     remaining query order preserved; an emptied query disappears
+    *   - scheme+authority lowercased, userinfo stripped, default port
+    *     stripped (`:80` on http, `:443` on https)
+    *   - one trailing slash stripped
+    * Pure scan-stage regex/array ops, RE2-safe (no lookaround, non-greedy
+    * only), so the oracle mirrors every step verbatim. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = substring_index(noFrag, "?", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val kept = filter(split(query, "&"), p =>
+      length(p) > 0 && !p.rlike("^(utm_[^=]*|gclid|fbclid|ref)(=|$)"))
+    val q2 = array_join(kept, "&")
+    val auth0 = lower(regexp_extract(base, "(?i)^(https?://[^/]+)", 1))
+    val auth1 = regexp_replace(auth0, "^(https?://)[^@/]*@", "$1")
+    val auth = regexp_replace(
+      regexp_replace(auth1, "^(http://[^/]*?):80$", "$1"),
+      "^(https://[^/]*?):443$", "$1")
+    val path = regexp_replace(
+      regexp_replace(base, "(?i)^https?://[^/]+", ""), "/$", "")
+    concat(auth, path,
+      when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
+  }
+
+  /** URL-keyed exact dedup: one keeper (min id) per [[canonicalizeUrl]]
+    * key. Returns the input plus (canonical_url, dup_count, is_keeper).
+    *
+    * Scale shape: the per-URL aggregate is a partial-agg groupBy (a hot
+    * URL's million fetches combine map-side to one row per input
+    * partition), and the corpus re-acquires its verdict through ONE join on
+    * the canonical key — a shuffle join AQE can skew-split, deliberately
+    * NOT a window (a window partition on a hot URL cannot be split). The
+    * `shuffle_hash` hint keeps the planner from broadcasting the
+    * URL-distinct frame, which grows with the corpus. */
+  def dedupByUrl(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val withC = docs.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+    val agg = withC.groupBy("canonical_url")
+      .agg(min(col(idCol)).as("__keep_id"), count(lit(1)).as("dup_count"))
+    withC.join(agg.hint("shuffle_hash"), Seq("canonical_url"))
+      .withColumn("is_keeper", col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
+  /** DOMAIN-level screening (the RefinedWeb/Dolma move: curate the SITE,
+    * not just the document — a spam domain's every page is spam): fold
+    * per-domain (doc count, exact-decimal mean quality), flag domains that
+    * exceed `maxDocsPerDomain` (SEO farms / crawler traps) or fall below
+    * `minAvgQuality`, and hand every document its domain verdict. Returns
+    * the input plus (domain_docs, domain_avg_quality, domain_flagged).
+    *
+    * Scale shape: the stats fold is a partial-agg groupBy on the domain
+    * (map-side combine absorbs hot domains); the corpus takes its verdict
+    * from ONE AQE-splittable shuffle join on the domain key, shuffle_hash-
+    * pinned because the domain-distinct frame grows with the corpus. The
+    * decimal mean keeps the per-domain average order-independent, so the
+    * verdict is reproducible bit-for-bit on any partitioning. */
+  def screenDomains(docs: DataFrame, idCol: String, domainCol: String,
+                    quality: Column, maxDocsPerDomain: Long,
+                    minAvgQuality: Double): DataFrame = {
+    require(maxDocsPerDomain > 0, "maxDocsPerDomain must be positive")
+    val stats = docs.select(col(domainCol).as("__dom"), quality.as("__q"))
+      .groupBy("__dom")
+      .agg(count(lit(1)).as("domain_docs"),
+        graft.functions.ExactAgg.avgD(col("__q"), 6).as("domain_avg_quality"))
+      .withColumn("domain_flagged",
+        col("domain_docs") > maxDocsPerDomain ||
+          col("domain_avg_quality") < minAvgQuality)
+    docs.join(stats.hint("shuffle_hash"),
+      col(domainCol) === col("__dom")).drop("__dom")
+  }
+
   /** Keep at most `n` rows per key, in `order` order (deterministic — ties
     * must be broken by a unique column, so `idCol` should appear last in
     * `order`). The standard "no single domain dominates the corpus" cap.

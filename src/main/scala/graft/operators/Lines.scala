@@ -88,6 +88,58 @@ object Lines {
         (col("n_lines") - col("n_kept")).as("n_removed"))
   }
 
+  /** C4-style rule cleaning (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning...", §2.2 — the C4 corpus recipe; reference behavior,
+    * not reference code). Line rules (applied to the trimmed line):
+    *   - keep only lines ending in a terminal punctuation mark (. ! ? ")
+    *   - keep only lines with at least `minWordsPerLine` whitespace words
+    *   - drop lines mentioning "javascript" (enable-JS chrome)
+    *   - drop lines carrying a cookie/policy phrase ("terms of use",
+    *     "privacy policy", "cookie policy", "uses cookies", "use of
+    *     cookies", "use cookies")
+    * Document rules: flag (keep_doc = false) any page whose ORIGINAL text
+    * contains "{" (code), contains "lorem ipsum" (filler), or whose CLEANED
+    * text has fewer than `minSentences` sentence enders ([.!?] count — the
+    * usual cheap proxy for C4's >= 3 sentences).
+    *
+    * Unlike the frequency cleaners above, every rule is a pure function of
+    * the single document: the whole operator is scan-stage Column trees over
+    * `split(text, "\n")` — ZERO shuffles at any corpus size, and it composes
+    * in front of [[dropBoilerplate]] / the dedup family for free. Returns
+    * (idCol, keep_doc, n_lines, n_kept, n_sentences, text) with `text` the
+    * cleaned reassembly (trimmed kept lines joined by \n; '' when nothing
+    * survives). Verdict stays a flag, not a filter — callers choose drop vs
+    * audit, like [[Curation.firstFailVerdict]]. */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minWordsPerLine: Int = 5, minSentences: Int = 3): DataFrame = {
+    require(minWordsPerLine > 0 && minSentences >= 0,
+      "minWordsPerLine must be positive, minSentences non-negative")
+    val policyPhrases = Seq("terms of use", "privacy policy", "cookie policy",
+      "uses cookies", "use of cookies", "use cookies")
+    val segs = split(coalesce(col("text_orig"), lit("")), "\n")
+    val keptArr = filter(segs, l => {
+      val t = trim(l)
+      val lc = lower(t)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minWordsPerLine &&
+        !lc.contains("javascript") &&
+        policyPhrases.map(p => !lc.contains(p)).reduce(_ && _)
+    })
+    val cleaned = array_join(transform(keptArr, l => trim(l)), "\n")
+    docs.select(col(idCol), col(textCol).as("text_orig"))
+      .withColumn("n_lines", nLinesCol)
+      .withColumn("n_kept", size(keptArr).cast("long"))
+      .withColumn("text", cleaned)
+      .withColumn("n_sentences",
+        length(regexp_replace(col("text"), "[^.!?]", "")).cast("long"))
+      .withColumn("keep_doc",
+        !coalesce(col("text_orig"), lit("")).contains("{") &&
+          !lower(coalesce(col("text_orig"), lit(""))).contains("lorem ipsum") &&
+          col("n_sentences") >= minSentences)
+      .select(col(idCol), col("keep_doc"), col("n_lines"), col("n_kept"),
+        col("n_sentences"), col("text"))
+  }
+
   /** Rebuild (idCol, text, n_lines, `keptCountName`) from a kept-line frame
     * (id, idx, line): per-doc collect + sort by idx + join back to the full
     * doc list so line-less documents survive with text = ''. Both the

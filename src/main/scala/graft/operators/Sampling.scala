@@ -236,6 +236,54 @@ object Sampling {
       .drop("__h", "__shard", "__r1")
   }
 
+  /** Deterministic per-key WEIGHTED sample without replacement
+    * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    * reservoir"): each row draws the exponential key `-ln(u) / w` from its
+    * salted hash uniform `u = (h + 1) / 2^60` and every group keeps its `k`
+    * SMALLEST keys — exactly a weighted k-subset without replacement
+    * (inclusion intuition: E[-ln(u)/w] = 1/w, so a doubled weight halves the
+    * expected key), and REPRODUCIBLE like [[bottomKPerKey]] (same rows on
+    * every run, engine, and partitioning; resalting draws an independent
+    * sample). The quality-weighted twin of bottom-k: "keep 1000 docs per
+    * domain, preferring high quality" is this with w = quality.
+    *
+    * The key is rounded to 9 decimals before ranking (the repo's
+    * cross-engine ln contract — see LanguageModel) with (hash, id) as the
+    * total tie-break. Rows whose weight is null or <= 0 get key +Infinity:
+    * they rank after every positively-weighted row and are only kept when a
+    * group has fewer than `k` such rows (the "k >= group size returns the
+    * whole group" contract, preserved).
+    *
+    * Scale shape: identical to [[bottomKPerKey]] — bottom-k by ANY total
+    * order is subset-monotone, so phase 1 ranks within (key, hash-shard)
+    * (no partition exceeds shard size; a heavy domain never lands on one
+    * task) and phase 2 ranks the <= k x shards survivors per key. Output:
+    * the input rows plus `sample_rank` (1-based in the group's key order —
+    * rank <= j IS the weighted bottom-j sample of the same salt). */
+  def weightedBottomKPerKey(df: DataFrame, key: Column, idCol: Column,
+                            weight: Column, k: Int, salt: String = "",
+                            shards: Int = 64): DataFrame = {
+    require(k > 0 && shards > 0, "k and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(idCol.cast("string"), lit(salt))), 1, 15),
+      16, 10).cast("long")
+    val u = (col("__h").cast("double") + lit(1.0)) / lit(1152921504606846976.0) // 2^60
+    val w = weight.cast("double")
+    val esKey = when(w.isNotNull && w > 0.0, round(-log(u) / w, 9))
+      .otherwise(lit(Double.PositiveInfinity))
+    val shard = hashBucket(idCol.cast("string"), shards, salt + ":shard")
+    val w1 = Window.partitionBy(key, col("__shard"))
+      .orderBy(col("__esk"), col("__h"), idCol)
+    val w2 = Window.partitionBy(key).orderBy(col("__esk"), col("__h"), idCol)
+    df.withColumn("__h", h).withColumn("__esk", esKey)
+      .withColumn("__shard", shard)
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .withColumn("sample_rank", row_number().over(w2))
+      .filter(col("sample_rank") <= k)
+      .drop("__h", "__esk", "__shard", "__r1")
+  }
+
   /** Curriculum ordering with interleave: bucket the corpus into `nBuckets`
     * difficulty bands by exact score percentiles, then emit a global
     * round-robin order across bands (1st-easiest, 1st-medium, …, 2nd-easiest,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Parallelism, Tables}
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{ExactAgg, TextFunctions, VectorFunctions}
 import graft.operators.{Bloom, Dedup, Lines, Multimodal, Similarity}
 
 
@@ -1593,6 +1593,34 @@ object DocQueries {
         |SELECT doc_id, source, sample_rank FROM r
         |WHERE sample_rank <= 5 ORDER BY doc_id""".stripMargin)),
 
+    // ---- WEIGHTED sample without replacement (Efraimidis-Spirakis): per
+    //      source, keep the 5 smallest exponential keys -ln(u)/w with
+    //      u = (fp60(doc_id ++ salt) + 1) / 2^60 and w = document length —
+    //      the quality/length-proportional version of the bottom-k gate.
+    //      The key is round(..., 9)-pinned like every cross-engine ln; the
+    //      oracle replays the identical arithmetic.
+    "q_sample_weighted_wor" -> Q(
+      (s, d) => graft.operators.Sampling.weightedBottomKPerKey(
+          docsP(s, d).select(col("doc_id"), col("source"),
+            length(col("text")).cast("double").as("w")),
+          col("source"), col("doc_id"), col("w"), k = 5, salt = ":ww1")
+        .select(col("doc_id"), col("source"),
+          col("sample_rank").cast("bigint").as("sample_rank"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, source,
+        |  CAST(length(text) AS DOUBLE) AS w FROM documents),
+        |r AS (SELECT doc_id, source, w,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':ww1'")} AS h FROM t),
+        |k AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY
+        |    CASE WHEN w > 0 THEN round(
+        |      -ln((CAST(h AS DOUBLE) + CAST(1 AS DOUBLE))
+        |          / CAST(1152921504606846976 AS DOUBLE)) / w, 9)
+        |     ELSE CAST('Infinity' AS DOUBLE) END, h, doc_id) AS sample_rank
+        |  FROM r)
+        |SELECT doc_id, source, sample_rank FROM k
+        |WHERE sample_rank <= 5 ORDER BY doc_id""".stripMargin)),
+
     // ---- Context-window chunking: each document split into 64-token
     //      windows overlapping by 16 (step 48) — the stage between cleaning
     //      and sequence packing. Scan-stage only: tokenize, integer-exact
@@ -2608,6 +2636,83 @@ object DocQueries {
         |SELECT b.page_id, coalesce(r.text_md5, md5('')) AS text_md5,
         |  b.n_lines, b.n_lines - coalesce(r.n_kept, 0) AS n_removed
         |FROM base b LEFT JOIN reb r USING (page_id) ORDER BY page_id""".stripMargin)),
+
+    // ---- C4 rule cleaning (Raffel et al. 2020 §2.2): line rules (terminal
+    //      punctuation, >= 5 words, javascript / policy-phrase screens) and
+    //      doc verdicts (brace page, lorem ipsum, >= 3 sentence enders in
+    //      the CLEANED text) over synthetic multi-line pages built from the
+    //      word soup (7 rule-exercising lines per doc; every 7th doc gets a
+    //      lorem line, every 11th a brace line). Entirely scan-stage Column
+    //      trees — zero shuffles at any corpus size.
+    "q_text_c4_rules" -> Q(
+      (s, d) => {
+        val words = split(col("text"), " ")
+        def line(start: Int, len: Int, tail: String) =
+          concat(array_join(slice(words, start, len), " "), lit(tail))
+        val page = concat(
+          concat_ws("\n",
+            line(1, 6, "."),
+            line(7, 3, "."),
+            lit("please enable javascript to view this page."),
+            lit("we use cookies; see our privacy policy for details."),
+            line(10, 7, ""),
+            line(4, 8, " done!"),
+            line(12, 7, " right?")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur elite prose."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nif (x) { return y; } this line is code chrome."))
+            .otherwise(lit("")))
+        Lines.c4Clean(docsP(s, d).select(col("doc_id"), page.as("text")),
+            "doc_id", "text")
+          .select(col("doc_id"), col("keep_doc"), col("n_lines"), col("n_kept"),
+            col("n_sentences"), md5(col("text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pg AS (SELECT doc_id,
+        |  concat(
+        |    concat_ws(chr(10),
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),1,6),' '),'') || '.',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),7,9),' '),'') || '.',
+        |      'please enable javascript to view this page.',
+        |      'we use cookies; see our privacy policy for details.',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),10,16),' '),''),
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),4,11),' '),'') || ' done!',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),12,18),' '),'') || ' right?'),
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || 'lorem ipsum dolor sit amet consectetur elite prose.'
+        |      ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN chr(10) || 'if (x) { return y; } this line is code chrome.'
+        |      ELSE '' END) AS t0
+        |  FROM documents),
+        |f AS (SELECT doc_id, t0,
+        |  list_transform(list_filter(string_split(t0, chr(10)), s ->
+        |    regexp_matches(trim(s), '[.!?"]$$')
+        |    AND len(string_split_regex(trim(s), '\\s+')) >= 5
+        |    AND NOT contains(lower(trim(s)), 'javascript')
+        |    AND NOT contains(lower(trim(s)), 'terms of use')
+        |    AND NOT contains(lower(trim(s)), 'privacy policy')
+        |    AND NOT contains(lower(trim(s)), 'cookie policy')
+        |    AND NOT contains(lower(trim(s)), 'uses cookies')
+        |    AND NOT contains(lower(trim(s)), 'use of cookies')
+        |    AND NOT contains(lower(trim(s)), 'use cookies')
+        |  ), s -> trim(s)) AS kept,
+        |  len(list_filter(string_split(t0, chr(10)),
+        |    l -> length(trim(l)) > 0)) AS n_lines
+        |  FROM pg),
+        |g AS (SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS ct, t0 FROM f),
+        |h AS (SELECT doc_id, n_lines, n_kept,
+        |  CAST(length(regexp_replace(ct, '[^.!?]', '', 'g')) AS BIGINT)
+        |    AS n_sentences, ct, t0 FROM g)
+        |SELECT doc_id,
+        |  (NOT contains(t0,'{') AND NOT contains(lower(t0),'lorem ipsum')
+        |    AND n_sentences >= 3) AS keep_doc,
+        |  n_lines, n_kept, n_sentences, md5(ct) AS clean_md5
+        |FROM h ORDER BY doc_id""".stripMargin)),
 
     // cross-document repeated-span dedup (C4 / Lee et al. substring family):
     // maximal token spans whose 8-token shingles appear in >= 2 documents.
@@ -4032,6 +4137,104 @@ object DocQueries {
         |    AS DOUBLE), 6) AS frac_mass
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- crawl-URL canonicalization + URL-keyed dedup: fragment / tracking
+    //      params / userinfo / default port / trailing slash all fold away,
+    //      then one keeper per canonical key (min doc_id) with dup_count —
+    //      the pre-content-hash dedup a web pipeline runs first. Synthetic
+    //      urls exercise every rule; the oracle mirrors each regex verbatim
+    //      (Spark $1 = DuckDB \\1 backrefs).
+    "q_curate_url_canonical" -> Q(
+      (s, d) => {
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://User@WWW.Example.COM:80"))
+            .otherwise(lit("https://cdn.example.net:443")),
+          lit("/page/"), (col("doc_id") % 17).cast("string"),
+          when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?utm_source=feed&q="), (col("doc_id") % 7).cast("string"),
+              lit("&gclid=zz"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))
+        graft.operators.Curation.dedupByUrl(
+            docsP(s, d).select(col("doc_id"), url.as("url")),
+            "doc_id", "url")
+          .select(col("doc_id"), col("canonical_url"), col("dup_count"),
+            col("is_keeper"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://User@WWW.Example.COM:80'
+        |        ELSE 'https://cdn.example.net:443' END)
+        |  || '/page/' || CAST(doc_id % 17 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 3 = 0
+        |        THEN '?utm_source=feed&q=' || CAST(doc_id % 7 AS VARCHAR) || '&gclid=zz'
+        |        ELSE '' END)
+        |  || (CASE WHEN doc_id % 4 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(url, '#.*$$', '') AS nf FROM u),
+        |b AS (SELECT doc_id, nf,
+        |  CASE WHEN instr(nf, '?') > 0 THEN substr(nf, 1, instr(nf, '?') - 1)
+        |       ELSE nf END AS base,
+        |  regexp_extract(nf, '\\?(.*)$$', 1) AS q FROM c),
+        |p AS (SELECT doc_id, base,
+        |  coalesce(array_to_string(list_filter(string_split(q, '&'), x ->
+        |    len(x) > 0 AND NOT regexp_matches(x,
+        |      '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '') AS q2
+        |  FROM b),
+        |n AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    regexp_replace(lower(regexp_extract(base, '(?i)^(https?://[^/]+)', 1)),
+        |      '^(https?://)[^@/]*@', '\\1'),
+        |    '^(http://[^/]*?):80$$', '\\1'), '^(https://[^/]*?):443$$', '\\1')
+        |  || regexp_replace(regexp_replace(base, '(?i)^https?://[^/]+', ''), '/$$', '')
+        |  || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canonical_url
+        |  FROM p),
+        |a AS (SELECT canonical_url, min(doc_id) AS keep_id,
+        |  count(*) AS dup_count FROM n GROUP BY 1)
+        |SELECT n.doc_id, n.canonical_url, a.dup_count,
+        |  n.doc_id = a.keep_id AS is_keeper
+        |FROM n JOIN a USING (canonical_url) ORDER BY doc_id""".stripMargin)),
+
+    // ---- domain-level screening (RefinedWeb-style: curate the SITE): per-
+    //      domain doc counts + exact-decimal mean quality, domains over the
+    //      doc cap or under the quality floor flagged, every doc handed its
+    //      domain verdict through one AQE-splittable shuffle_hash join.
+    "q_curate_domain_screen" -> Q(
+      (s, d) => {
+        val docs = docsP(s, d).select(col("doc_id"), col("source"),
+          concat(lit("site"), (col("doc_id") % 37).cast("string"), lit(".example"))
+            .as("domain"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        graft.operators.Curation.screenDomains(docs, "doc_id", "domain",
+            col("quality"), maxDocsPerDomain = 15L, minAvgQuality = 0.55)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("domain_flagged"), lit(1))).as("n_flagged"),
+            countDistinct(when(col("domain_flagged"), col("domain")))
+              .as("n_flagged_domains"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text, $ToksSql AS toks FROM documents),
+        |q AS (SELECT doc_id, source,
+        |  'site' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS domain,
+        | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+        |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+        |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality
+        | FROM t),
+        |st AS (SELECT domain, count(*) AS domain_docs,
+        |  ${ExactAgg.avgSql("quality", 6)} AS domain_avg_quality
+        |  FROM q GROUP BY 1),
+        |v AS (SELECT q.doc_id, q.source, q.domain,
+        |  (st.domain_docs > 15 OR st.domain_avg_quality < 0.55) AS domain_flagged
+        |  FROM q JOIN st USING (domain))
+        |SELECT source, count(*) AS n_docs,
+        |  count(CASE WHEN domain_flagged THEN 1 END) AS n_flagged,
+        |  count(DISTINCT CASE WHEN domain_flagged THEN domain END)
+        |    AS n_flagged_domains
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- distinct-n corpus diversity: per-source positional-bigram totals
     //      vs distinct counts — low ratios expose mutually-templated sources
     //      that per-document repetition stats cannot see.
@@ -4256,6 +4459,143 @@ object DocQueries {
         |SELECT split, source, count(*) AS n_docs,
         |  CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens
         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Web-crawl front-end capstone (the RefinedWeb-style chain): crawl
+    //      rows (synthetic url + multi-line page) -> URL-keyed dedup (first
+    //      fetch wins) -> C4 rule cleaning (keep_doc pages only) -> domain
+    //      screening on an upstream classifier score -> blocklist any-hit
+    //      drop on the CLEANED text -> per-source survivors + token mass.
+    //      Every stage is an already-gated operator; the oracle chains the
+    //      same mirrors.
+    "q_pipeline_web_curate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{Curation, Lines}
+        val words = split(col("text"), " ")
+        def line(st: Int, ln: Int, tail: String) =
+          concat(array_join(slice(words, st, ln), " "), lit(tail))
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://User@WWW.Example.COM:80"))
+            .otherwise(lit("https://cdn.example.net:443")),
+          lit("/page/"), (col("doc_id") % 211).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed&q=7&gclid=zz"))
+            .otherwise(lit("")))
+        val page = concat(
+          concat_ws("\n",
+            line(1, 6, "."),
+            line(7, 3, "."),
+            lit("please enable javascript to view this page."),
+            line(10, 7, ""),
+            line(4, 8, " done!"),
+            line(12, 7, " right?")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur elite prose."))
+            .otherwise(lit("")))
+        val crawl = docsP(s, d).select(col("doc_id"), col("source"),
+          url.as("url"), page.as("page"))
+        val fetched = Curation.dedupByUrl(crawl, "doc_id", "url")
+          .filter(col("is_keeper")).select("doc_id", "source", "page")
+        val c4 = Lines.c4Clean(fetched, "doc_id", "page").filter(col("keep_doc"))
+          .select(col("doc_id"), col("text"))
+          .join(fetched.select("doc_id", "source"), Seq("doc_id"))
+        val dom = Curation.screenDomains(
+            c4.withColumn("domain",
+              concat(lit("site"), (col("doc_id") % 37).cast("string"),
+                lit(".example"))),
+            "doc_id", "domain",
+            (col("doc_id") % 100).cast("double") / 100.0,
+            maxDocsPerDomain = 1000000L, minAvgQuality = 0.5)
+          .filter(!col("domain_flagged"))
+        val terms = Seq("slow", "dup", "noise").toDF("term")
+        Curation.blocklistFlags(dom, "doc_id", "text", terms)
+          .filter(!col("has_blocked"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .orderBy("source")
+      },
+      Some {
+        val ctToks = ToksSql.replace("lower(text)", "lower(ct)")
+        s"""WITH u AS (SELECT doc_id, source, text,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://User@WWW.Example.COM:80'
+        |        ELSE 'https://cdn.example.net:443' END)
+        |  || '/page/' || CAST(doc_id % 211 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&q=7&gclid=zz'
+        |        ELSE '' END) AS url
+        |  FROM documents),
+        |cn AS (SELECT doc_id, source, text,
+        |  CASE WHEN instr(regexp_replace(url, '#.*$$', ''), '?') > 0
+        |    THEN substr(regexp_replace(url, '#.*$$', ''), 1,
+        |      instr(regexp_replace(url, '#.*$$', ''), '?') - 1)
+        |    ELSE regexp_replace(url, '#.*$$', '') END AS base,
+        |  regexp_extract(regexp_replace(url, '#.*$$', ''), '\\?(.*)$$', 1) AS q
+        |  FROM u),
+        |cu AS (SELECT doc_id, source, text,
+        |  regexp_replace(regexp_replace(
+        |    regexp_replace(lower(regexp_extract(base, '(?i)^(https?://[^/]+)', 1)),
+        |      '^(https?://)[^@/]*@', '\\1'),
+        |    '^(http://[^/]*?):80$$', '\\1'), '^(https://[^/]*?):443$$', '\\1')
+        |  || regexp_replace(regexp_replace(base, '(?i)^https?://[^/]+', ''), '/$$', '')
+        |  || CASE WHEN coalesce(array_to_string(list_filter(string_split(q, '&'),
+        |       x -> len(x) > 0 AND NOT regexp_matches(x,
+        |         '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '') <> ''
+        |     THEN '?' || coalesce(array_to_string(list_filter(string_split(q, '&'),
+        |       x -> len(x) > 0 AND NOT regexp_matches(x,
+        |         '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '')
+        |     ELSE '' END AS canonical_url
+        |  FROM cn),
+        |fk AS (SELECT doc_id, source, text FROM cu
+        |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY canonical_url)),
+        |pg AS (SELECT doc_id, source,
+        |  concat(
+        |    concat_ws(chr(10),
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),1,6),' '),'') || '.',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),7,9),' '),'') || '.',
+        |      'please enable javascript to view this page.',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),10,16),' '),''),
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),4,11),' '),'') || ' done!',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),12,18),' '),'') || ' right?'),
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || 'lorem ipsum dolor sit amet consectetur elite prose.'
+        |      ELSE '' END) AS t0
+        |  FROM fk),
+        |c4 AS (SELECT doc_id, source, t0,
+        |  list_transform(list_filter(string_split(t0, chr(10)), s2 ->
+        |    regexp_matches(trim(s2), '[.!?"]$$')
+        |    AND len(string_split_regex(trim(s2), '\\s+')) >= 5
+        |    AND NOT contains(lower(trim(s2)), 'javascript')
+        |    AND NOT contains(lower(trim(s2)), 'terms of use')
+        |    AND NOT contains(lower(trim(s2)), 'privacy policy')
+        |    AND NOT contains(lower(trim(s2)), 'cookie policy')
+        |    AND NOT contains(lower(trim(s2)), 'uses cookies')
+        |    AND NOT contains(lower(trim(s2)), 'use of cookies')
+        |    AND NOT contains(lower(trim(s2)), 'use cookies')
+        |  ), s2 -> trim(s2)) AS kept FROM pg),
+        |cc AS (SELECT doc_id, source, t0,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS ct FROM c4),
+        |cv AS (SELECT doc_id, source, ct FROM cc
+        |  WHERE NOT contains(t0, '{') AND NOT contains(lower(t0), 'lorem ipsum')
+        |    AND length(regexp_replace(ct, '[^.!?]', '', 'g')) >= 3),
+        |dm AS (SELECT doc_id, source, ct,
+        |  'site' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS domain,
+        |  CAST(doc_id % 100 AS DOUBLE) / CAST(100 AS DOUBLE) AS quality FROM cv),
+        |ds AS (SELECT domain, count(*) AS domain_docs,
+        |  ${ExactAgg.avgSql("quality", 6)} AS domain_avg_quality
+        |  FROM dm GROUP BY 1),
+        |dv AS (SELECT dm.doc_id, dm.source, dm.ct
+        |  FROM dm JOIN ds USING (domain)
+        |  WHERE NOT (ds.domain_docs > 1000000 OR ds.domain_avg_quality < 0.5)),
+        |bl AS (SELECT unnest(['slow', 'dup', 'noise']) AS tok),
+        |e0 AS (SELECT doc_id, unnest($ctToks) AS tok FROM dv),
+        |hb AS (SELECT e0.doc_id, count(*) AS n_blocked
+        |  FROM e0 JOIN bl ON bl.tok = e0.tok GROUP BY 1),
+        |fin AS (SELECT dv.doc_id, dv.source, dv.ct
+        |  FROM dv LEFT JOIN hb ON hb.doc_id = dv.doc_id
+        |  WHERE COALESCE(hb.n_blocked, 0) = 0)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len($ctToks)) AS BIGINT) AS n_tokens
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // ---- cross-corpus near-dup linkage: jaccard pairs BETWEEN two id
     //      spaces (the doc_id % 3 split plays "fresh crawl" vs "held

@@ -717,6 +717,56 @@ class OperatorsSpec extends SparkSpec {
       out.filter(col("sample_rank") <= j).select("doc_id").collect().toSet)
   }
 
+  test("weightedBottomKPerKey: ES sampling prefers weight, matches the single-window form") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % 10 + 1).cast("double").as("w"))
+    val k = 7
+    val out = Sampling.weightedBottomKPerKey(docs, col("source"), col("doc_id"),
+      col("w"), k, salt = ":w1")
+    val counts = out.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .foreach { case (s, n) => assert(counts(s) == math.min(n, k.toLong)) }
+    // the two-phase shard form equals the single-window ES definition exactly
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":w1"))),
+      1, 15), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+    val key = when(col("w") > 0, round(-log(u) / col("w"), 9))
+      .otherwise(lit(Double.PositiveInfinity))
+    val direct = docs
+      .withColumn("sample_rank",
+        row_number().over(Window.partitionBy("source").orderBy(key, h, col("doc_id"))))
+      .filter(col("sample_rank") <= k)
+    assert(out.select("doc_id", "source", "sample_rank").collect().toSet ==
+      direct.select("doc_id", "source", "sample_rank").collect().toSet)
+    // shards is an implementation knob, not a semantics knob
+    val oneShard = Sampling.weightedBottomKPerKey(docs, col("source"),
+      col("doc_id"), col("w"), k, salt = ":w1", shards = 1)
+    assert(oneShard.select("doc_id").collect().toSet ==
+      out.select("doc_id").collect().toSet)
+    // a 1000x weight dominates k=1 draws across independent salts
+    val s2 = spark
+    import s2.implicits._
+    val skew = (0L until 60L).map(i => (i, if (i == 0L) 1000.0 else 1.0))
+      .toDF("id", "w").withColumn("g", lit("g"))
+    val wins = (1 to 12).count { t =>
+      Sampling.weightedBottomKPerKey(skew, col("g"), col("id"), col("w"), 1,
+        salt = s":s$t").collect()(0).getAs[Long]("id") == 0L
+    }
+    assert(wins >= 8, s"heavy row won only $wins of 12 draws")
+    // null / non-positive weights rank strictly after positive ones
+    val zw = Seq((1L, Some(0.0)), (2L, None), (3L, Some(-2.0)), (4L, Some(0.5)))
+      .toDF("id", "w").withColumn("g", lit("g"))
+    val ranked = Sampling.weightedBottomKPerKey(zw, col("g"), col("id"),
+      col("w"), 4, salt = ":z").orderBy("sample_rank")
+      .collect().map(_.getAs[Long]("id"))
+    assert(ranked.head == 4L, s"positive-weight row must rank first: ${ranked.toSeq}")
+  }
+
   test("realizeMixture replicates integer epochs and hash-samples the fraction") {
     import graft.operators.Sampling
     val docs = (1L to 40L).map(i => (if (i <= 20) "a" else "b", i, 10L))
@@ -942,6 +992,80 @@ class OperatorsSpec extends SparkSpec {
     val keep = Lines.dropBoilerplate(docs, "doc_id", "text", minDocs = 4)
       .agg(sum("n_removed")).collect()(0).getLong(0)
     assert(keep == 0L)
+  }
+
+  test("canonicalizeUrl folds fragment/tracking/userinfo/port/slash; dedupByUrl keeps min id") {
+    import graft.operators.Curation
+    val urls = Seq(
+      (1L, "HTTP://User@WWW.Example.COM:80/A/b?utm_source=x&q=1&gclid=z#top"),
+      (2L, "http://www.example.com/A/b?q=1"),          // same canonical as 1
+      (3L, "https://Example.com:443/"),                 // -> https://example.com
+      (4L, "https://example.com"),                      // same canonical as 3
+      (5L, "http://example.com:8080/a?ref=nav"),        // non-default port kept
+      (6L, "https://example.com/a?utm_medium=m&utm_campaign=c")) // query dies
+      .toDF("doc_id", "url")
+    val out = Curation.dedupByUrl(urls, "doc_id", "url")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("canonical_url"),
+        r.getAs[Long]("dup_count"), r.getAs[Boolean]("is_keeper"))).toSeq
+    assert(out(0) == (1L, "http://www.example.com/A/b?q=1", 2L, true))
+    assert(out(1) == (2L, "http://www.example.com/A/b?q=1", 2L, false))
+    assert(out(2) == (3L, "https://example.com", 2L, true))
+    assert(out(3) == (4L, "https://example.com", 2L, false))
+    assert(out(4) == (5L, "http://example.com:8080/a", 1L, true))
+    assert(out(5) == (6L, "https://example.com/a", 1L, true))
+  }
+
+  test("screenDomains flags over-cap and low-quality domains, not the rest") {
+    import graft.operators.Curation
+    val docs = Seq(
+      // big.example: 3 docs (over cap 2), good quality
+      (1L, "big.example", 0.9), (2L, "big.example", 0.9), (3L, "big.example", 0.9),
+      // spam.example: 2 docs, low mean quality
+      (4L, "spam.example", 0.1), (5L, "spam.example", 0.3),
+      // ok.example: under cap, good quality
+      (6L, "ok.example", 0.8))
+      .toDF("doc_id", "domain", "q")
+    val out = Curation.screenDomains(docs, "doc_id", "domain", col("q"),
+        maxDocsPerDomain = 2L, minAvgQuality = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("domain_docs"),
+        r.getAs[Boolean]("domain_flagged"))).toSeq
+    assert(out.count(_._1 == "big.example") == 3 &&
+      out.filter(_._1 == "big.example").forall(x => x._2 == 3L && x._3))
+    assert(out.filter(_._1 == "spam.example").forall(_._3))
+    assert(out.filter(_._1 == "ok.example").forall(!_._3))
+  }
+
+  test("c4Clean applies the C4 line rules and document verdicts") {
+    import graft.operators.Lines
+    val good = "the quick brown fox jumps high."
+    val short = "too few words."
+    val noPunct = "this line has no terminal punctuation at all"
+    val js = "please enable javascript to see the content."
+    val policy = "by using this site you accept our privacy policy."
+    val s2 = "another proper sentence with enough words here!"
+    val s3 = "is this a third full sentence with words?"
+    val docs = Seq(
+      (1L, Seq(good, short, noPunct, js, policy, s2, s3).mkString("\n")),
+      (2L, Seq(good, s2).mkString("\n")), // only 2 sentences -> drop
+      (3L, Seq(good, "lorem ipsum dolor sit amet.", s2, s3).mkString("\n")),
+      (4L, Seq(good, s2, s3).mkString("\n") + "\nint f() { }")
+    ).toDF("doc_id", "text")
+    val r = Lines.c4Clean(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Boolean]("keep_doc"),
+        x.getAs[Long]("n_kept"), x.getAs[Long]("n_sentences"),
+        x.getAs[String]("text"))).toSeq
+    // doc 1: js/policy/short/no-punct lines all cut, 3 sentences survive
+    assert(r(0) == (1L, true, 3L, 3L, Seq(good, s2, s3).mkString("\n")))
+    // doc 2: clean lines but < 3 sentences
+    assert(r(1)._2 == false && r(1)._3 == 2L)
+    // doc 3: lorem ipsum page-level drop (its 5-word lorem line even passes
+    // the line rules — the verdict is the page rule, not the line rule)
+    assert(r(2)._2 == false && r(2)._3 == 4L)
+    // doc 4: brace page-level drop; the brace line itself dies on word count
+    assert(r(3)._2 == false && r(3)._3 == 3L)
   }
 
   test("dedupLines keeps the first occurrence of each line, in order") {

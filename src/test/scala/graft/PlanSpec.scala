@@ -206,6 +206,53 @@ class PlanSpec extends SparkSpec {
       s"heavy-line cut not a broadcast anti-join:\n$p2")
   }
 
+  test("c4Clean is pure scan stage: zero exchanges, zero windows, zero joins") {
+    import graft.operators.Lines
+    val p = planOf(Lines.c4Clean(Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"C4 rule cleaning must not shuffle:\n$p")
+    assert(!p.contains("Window [") && !p.contains("Join"),
+      s"C4 rule cleaning must stay per-row:\n$p")
+  }
+
+  test("weightedBottomKPerKey phase-1 window is (key, shard)-sharded") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), length(col("text")).as("w"))
+    val p = planOf(Sampling.weightedBottomKPerKey(docs, col("source"),
+      col("doc_id"), col("w"), k = 5))
+    // two rank windows (sharded phase 1, survivor phase 2); the phase-1
+    // partition spec must carry the shard column so no window partition is
+    // ever one whole group
+    assert("Window \\[".r.findAllIn(p).size == 2,
+      s"expected exactly the two-phase rank windows:\n$p")
+    assert("Window \\[[^\\n]*\\], \\[source#\\d+, __shard#\\d+L?\\]".r
+      .findAllIn(p).nonEmpty,
+      s"phase-1 window not sharded by (source, shard):\n$p")
+  }
+
+  test("dedupByUrl and screenDomains verdict joins are shuffle_hash, aggs partial") {
+    import graft.operators.Curation
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        concat(lit("https://h"), col("doc_id") % 7, lit(".example/p")).as("url"),
+        (col("doc_id") % 10).cast("double").as("q"))
+    // url dedup: the URL-distinct agg frame grows with the corpus — it must
+    // never be broadcast, and the keeper agg must combine map-side
+    val p1 = planOf(Curation.dedupByUrl(docs, "doc_id", "url"))
+    assert(p1.contains("ShuffledHashJoin"), s"url verdict join not shuffle_hash:\n$p1")
+    assert(!p1.contains("BroadcastHashJoin"), s"corpus-scaled frame broadcast:\n$p1")
+    assert(p1.contains("partial_min"), s"keeper agg not partial:\n$p1")
+    assert(!p1.contains("Window ["), s"window on the zipfian url key:\n$p1")
+    val p2 = planOf(Curation.screenDomains(docs, "doc_id", "source", col("q"),
+      maxDocsPerDomain = 100L, minAvgQuality = 0.5))
+    assert(p2.contains("ShuffledHashJoin"), s"domain verdict join not shuffle_hash:\n$p2")
+    assert(!p2.contains("BroadcastHashJoin"), s"domain stats broadcast:\n$p2")
+    assert(p2.contains("partial_count") || p2.contains("partial_sum"),
+      s"domain stats not partial-agged:\n$p2")
+  }
+
   test("thresholdBySource broadcasts thresholds; no window; percentile partial-aggs") {
     import graft.operators.Curation
     import graft.functions.TextFunctions

@@ -199,6 +199,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("C4 rule cleaning runs stateless on a stream and equals the batch rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Lines
+    val rows = Seq(
+      (1L, "the quick brown fox jumps high.\ntoo few words.\nanother proper sentence with enough words here!\nis this a third full sentence with words?"),
+      (2L, "please enable javascript to see it.\nlong enough line without terminal punctuation here"),
+      (3L, "lorem ipsum dolor sit amet this page dies."))
+    val mem = MemoryStream[(Long, String)]
+    // c4Clean is a pure function of the row — the SAME operator runs on the
+    // stream unmodified (no twin needed), append-mode, stateless
+    val q = Lines.c4Clean(mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(1): _*)
+      q.processAllAvailable()
+      val cols = Seq("doc_id", "keep_doc", "n_lines", "n_kept", "n_sentences", "text")
+      val streamed = s.sql("SELECT * FROM c4_stream")
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      val batch = Lines.c4Clean(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.map(_.getAs[Boolean]("keep_doc")) == Seq(true, false, false))
+    } finally q.stop()
+  }
+
   // shared fixture for the streaming near-dup tests: a tiny corpus with its
   // stored LSH index (bands + token sets), built by the BATCH index builders
   // — the persisted artifacts a deployed ingest pipeline probes
