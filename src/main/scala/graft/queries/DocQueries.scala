@@ -653,6 +653,30 @@ object DocQueries {
         | CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup
         |FROM scored GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- Shannon char entropy (native codegen'd expression): the cheap
+    //      gibberish/boilerplate signal. Contributions are round12-pinned
+    //      and decimal-summed, so the value is order-independent and the
+    //      oracle mirrors it from per-char group counts — bit-exact.
+    "q_text_entropy" -> Q(
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        docsP(s, d).select(col("doc_id"),
+            graft.functions.Entropy.charEntropy(col("text")).as("entropy"))
+          .withColumn("is_low_entropy", col("entropy") < 3.5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ch AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '[\\s\\S]')) AS c FROM documents),
+        |g AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS L FROM g GROUP BY 1),
+        |e AS (SELECT g.doc_id,
+        |  CAST(sum(CAST(round(-((n / L) * ln(n / L) / ln(2)), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS entropy
+        |  FROM g JOIN tot USING (doc_id) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(e.entropy, CAST(0 AS DOUBLE)) AS entropy,
+        |  coalesce(e.entropy, CAST(0 AS DOUBLE)) < 3.5 AS is_low_entropy
+        |FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     "q_text_stats" -> Q(
       (s, d) => docsP(s, d).select(
         col("doc_id"),

@@ -25,6 +25,31 @@ class FunctionsSpec extends SparkSpec {
     assert(out == "sao-paulo")
   }
 
+  test("char_entropy: known values, degenerate inputs, SQL surface, type check") {
+    import graft.functions.Entropy
+    import org.apache.spark.unsafe.types.UTF8String
+    def e(s: String): Double = Entropy.compute(UTF8String.fromString(s))
+    assert(e("") == 0.0)
+    assert(e("aaaa") == 0.0)                      // single-symbol string
+    assert(math.abs(e("ab") - 1.0) < 1e-9)        // one fair bit
+    assert(math.abs(e("abcd") - 2.0) < 1e-9)      // two fair bits
+    // uneven: p = [3/4, 1/4] -> 0.75*log2(4/3) + 0.25*2 ~ 0.811278
+    assert(math.abs(e("aaab") - 0.8112781245) < 1e-6)
+    // order independence: same multiset of chars, same bits
+    assert(e("abacabad") == e("dabacaba"))
+    // prose sits well above repeated filler
+    assert(e("the quick brown fox jumps over the lazy dog") > 3.0)
+    assert(e("aaaaaaaaaaaaaaaaaaaaaab") < 0.5)
+    GraftExtensions.register(spark)
+    val out = spark.sql("SELECT char_entropy('abcd') AS h").as[Double].head()
+    assert(out == 2.0)
+    assert(spark.sql("SELECT char_entropy(NULL)").collect()(0).isNullAt(0))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_entropy(42)").collect()
+    }
+    assert(err.getMessage.contains("char_entropy"))
+  }
+
   test("pm25 categorizer boundary table") {
     val cases = Seq[(Option[Double], String)](
       (None, "Tidak diketahui"),

@@ -60,6 +60,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
   }
 
+  test("char_entropy stays inside a WholeStageCodegen span") {
+    graft.GraftExtensions.register(spark)
+    val df = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.Entropy.charEntropy(col("text")).as("h"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("*(1)"), s"entropy kernel fell out of codegen:\n$plan")
+  }
+
   test("Q17 decorrelates to one window, no lineitem self-join (TPC-H)") {
     val plan = planOf(run("q_tpch_q17"))
     assert(plan.contains("Window"), s"no window decorrelation:\n$plan")
