@@ -1645,6 +1645,48 @@ object DocQueries {
         |SELECT doc_id, source, sample_rank FROM k
         |WHERE sample_rank <= 5 ORDER BY doc_id""".stripMargin)),
 
+    // ---- RECENCY-weighted sampling: the time-decay curation policy (keep
+    //      fresh data with higher probability, exponential half-life) as
+    //      weighted WOR with w = exp(-age_days/30) against the corpus max
+    //      timestamp. Ages are integer epoch-seconds (floored per row
+    //      BEFORE the max, so both engines aggregate identical longs);
+    //      the ES key carries the repo's round9 ln contract.
+    "q_sample_recency_wor" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            // ntz -> timestamp is a UTC reinterpretation under the session's
+            // UTC zone, then epoch seconds — matching DuckDB's epoch(ts)
+            col("ts").cast("timestamp").cast("long").as("ts_s"))
+        val ref = ev.agg(max("ts_s").as("ref_s"))
+        val weighted = ev.crossJoin(broadcast(ref))
+          .withColumn("w",
+            exp(-((col("ref_s") - col("ts_s")).cast("double") / 86400.0 / 30.0)))
+        graft.operators.Sampling.weightedBottomKPerKey(weighted,
+            col("event_type"), col("event_id"), col("w"), k = 20, salt = ":rw1")
+          .select(col("event_id"), col("event_type"),
+            col("sample_rank").cast("bigint").as("sample_rank"))
+          .orderBy("event_id")
+      },
+      Some(s"""WITH ev AS (SELECT event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |m AS (SELECT max(ts_s) AS ref_s FROM ev),
+        |t AS (SELECT event_id, event_type,
+        |  exp(-(CAST(ref_s - ts_s AS DOUBLE) / CAST(86400 AS DOUBLE)
+        |        / CAST(30 AS DOUBLE))) AS w
+        |  FROM ev, m),
+        |r AS (SELECT event_id, event_type, w,
+        |  ${fp60Sql("CAST(event_id AS VARCHAR) || ':rw1'")} AS h FROM t),
+        |k AS (SELECT event_id, event_type,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY
+        |    CASE WHEN w > 0 THEN round(
+        |      -ln((CAST(h AS DOUBLE) + CAST(1 AS DOUBLE))
+        |          / CAST(1152921504606846976 AS DOUBLE)) / w, 9)
+        |     ELSE CAST('Infinity' AS DOUBLE) END, h, event_id) AS sample_rank
+        |  FROM r)
+        |SELECT event_id, event_type, sample_rank FROM k
+        |WHERE sample_rank <= 20 ORDER BY event_id""".stripMargin)),
+
     // ---- Context-window chunking: each document split into 64-token
     //      windows overlapping by 16 (step 48) — the stage between cleaning
     //      and sequence packing. Scan-stage only: tokenize, integer-exact
@@ -1967,6 +2009,94 @@ object DocQueries {
         |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
         |SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin)),
+
+    // ---- NB classifier CALIBRATION report (reliability curve): per-token
+    //      log-odds (the length-normalized score — raw doc log-odds
+    //      saturate any sigmoid), equal-mass decile bins from EXACT
+    //      percentile thresholds (one agg, broadcast back, scan-stage
+    //      binning — the thresholdBySource shape, never a global ntile
+    //      window), each bin's mean sigmoid probability vs pseudo-label
+    //      rate — the "is 0.8 really 80%?" check a learned quality filter
+    //      needs before its threshold means anything.
+    "q_text_nb_calibration" -> Q(
+      (s, d) => {
+        import graft.operators.QualityClassifier
+        val docs = Tables.documents(s, d)
+        val lab = docs.withColumn("__q",
+          graft.functions.TextFunctions.qualityScore(col("text")))
+        val m = QualityClassifier.train(
+          lab.filter(col("__q") >= 0.6), lab.filter(col("__q") < 0.6),
+          "doc_id", "text", buckets = 4096, salt = ":nb1")
+        val scored = QualityClassifier.score(docs, "doc_id", "text", m)
+          .join(lab.select(col("doc_id"), (col("__q") >= 0.6).as("is_pos")),
+            Seq("doc_id"))
+          .withColumn("v",
+            round(col("log_odds") / greatest(col("n_tokens"), lit(1L)), 9))
+          .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("v"))), 9))
+        val ths = scored.agg(expr(
+          "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("t"))
+        scored.crossJoin(broadcast(ths))
+          .withColumn("bin",
+            (1 to 9).map(i => when(col("v") > element_at(col("t"), i), 1L)
+              .otherwise(0L)).reduce(_ + _))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(ExactAgg.avgD(col("p"), 9), 6).as("mean_p"),
+            sum(when(col("is_pos"), 1L).otherwise(0L)).as("n_pos"))
+          .withColumn("frac_pos",
+            col("n_pos").cast("double") / col("n").cast("double"))
+          .orderBy("bin")
+      },
+      Some(s"""WITH ${qualityLangCtes("documents")},
+        |e AS (SELECT s.doc_id, s.quality,
+        |    ${fp60Sql("tok || ':nb1'")} % 4096 AS b
+        |  FROM (SELECT doc_id, quality FROM scored) s JOIN
+        |    (SELECT doc_id, unnest(toks) AS tok FROM t0) u USING (doc_id)),
+        |bp AS (SELECT b, count(*) AS cp FROM e WHERE quality >= 0.6 GROUP BY 1),
+        |bn AS (SELECT b, count(*) AS cn FROM e WHERE quality < 0.6 GROUP BY 1),
+        |np AS (SELECT COALESCE(sum(cp), 0) AS n FROM bp),
+        |nn AS (SELECT COALESCE(sum(cn), 0) AS n FROM bn),
+        |m AS (SELECT COALESCE(bp.b, bn.b) AS b, CAST(round(ln(
+        |    ((CAST(COALESCE(cp, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / CAST((SELECT n FROM np) + 4096 AS DOUBLE))
+        |    / ((CAST(COALESCE(cn, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / CAST((SELECT n FROM nn) + 4096 AS DOUBLE))), 9)
+        |  AS DECIMAL(28,9)) AS llr
+        |  FROM bp FULL JOIN bn ON bp.b = bn.b),
+        |dflt AS (SELECT CAST(round(ln(
+        |    CAST((SELECT n FROM nn) + 4096 AS DOUBLE)
+        |    / CAST((SELECT n FROM np) + 4096 AS DOUBLE)), 9)
+        |  AS DECIMAL(28,9)) AS v),
+        |pri AS (SELECT CAST(round(ln(
+        |    CAST((SELECT count(*) FROM scored WHERE quality >= 0.6) + 1 AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM scored WHERE quality < 0.6) + 1 AS DOUBLE)), 9)
+        |  AS DECIMAL(28,9)) AS v),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens,
+        |    sum(COALESCE(m.llr, (SELECT v FROM dflt))) AS sllr
+        |  FROM e LEFT JOIN m ON m.b = e.b GROUP BY 1),
+        |sc AS (SELECT d.doc_id, COALESCE(pd.n_tokens, 0) AS n_tokens,
+        |    CAST(round(COALESCE(pd.sllr, 0) + (SELECT v FROM pri), 6)
+        |      AS DOUBLE) AS log_odds
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+        |pb AS (SELECT sc.doc_id,
+        |    round(log_odds / greatest(n_tokens, 1), 9) AS v,
+        |    (s2.quality >= 0.6) AS is_pos
+        |  FROM sc JOIN scored s2 ON s2.doc_id = sc.doc_id),
+        |pp AS (SELECT doc_id, v,
+        |    round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-v)), 9) AS p,
+        |    is_pos FROM pb),
+        |th AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+        |    AS t FROM pp),
+        |bi AS (SELECT doc_id, p, is_pos,
+        |    ${(1 to 9).map(i => s"(CASE WHEN v > th.t[$i] THEN 1 ELSE 0 END)")
+                 .mkString("(", " + ", ")")}::BIGINT AS bin
+        |  FROM pp, th)
+        |SELECT bin, count(*) AS n,
+        |  round(${ExactAgg.avgSql("p", 9)}, 6) AS mean_p,
+        |  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS frac_pos
+        |FROM bi GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- BPE round trip: merges trained on the :bpe1 80% split, applied
     //      to every document; the compared contract is LOSSLESSNESS — each
