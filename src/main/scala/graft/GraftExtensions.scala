@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharEntropyExpression, Hamming64Expression, SlugifyExpression, VecCosineExpression, VecDist2Expression, VecDotExpression}
+import graft.functions.{CharEntropyExpression, Hamming64Expression, NfcNormalizeExpression, SlugifyExpression, VecCosineExpression, VecDist2Expression, VecDotExpression}
 
 /** SparkSessionExtensions entry point: registers the engine's native Catalyst
   * expressions so they are callable from SQL and `expr(...)`.
@@ -41,6 +41,7 @@ object GraftExtensions {
     Seq[(String, Int, Seq[Expression] => Expression, Class[_])](
       ("slugify", 1, c => SlugifyExpression(c.head), classOf[SlugifyExpression]),
       ("char_entropy", 1, c => CharEntropyExpression(c.head), classOf[CharEntropyExpression]),
+      ("nfc_normalize", 1, c => NfcNormalizeExpression(c.head), classOf[NfcNormalizeExpression]),
       ("hamming64", 2, c => Hamming64Expression(c.head, c(1)), classOf[Hamming64Expression]),
       ("vec_cosine", 2, c => VecCosineExpression(c.head, c(1)), classOf[VecCosineExpression]),
       ("vec_dot", 2, c => VecDotExpression(c.head, c(1)), classOf[VecDotExpression]),

@@ -276,4 +276,45 @@ object Bpe {
         coalesce(aggregate(col("words"), lit(0L),
           (acc, w) => acc + size(w.getField("subtokens"))), lit(0L))
           .as("n_subtokens"))
+
+  /** TOKENIZER-FIT report: per group, word count, subtoken count, FERTILITY
+    * (subtokens per word — the standard "does this tokenizer fit this
+    * corpus" number; a vocabulary trained on English prose shows inflated
+    * fertility on code or another language), and the single-character
+    * subtoken fraction (the byte-fallback proxy: chars the merge table
+    * never lifts into larger units). Ratios divide exact longs, so they are
+    * bit-reproducible without decimal machinery.
+    *
+    * Scale shape: the encode pass is [[applyBpe]]'s scan-stage kernel; per
+    * doc the counts collapse in the same scan via `aggregate` folds, and
+    * the group report is one partial-agg groupBy over (groups)-bounded
+    * output. Fertility is spec-pinned (the learned segmentation is not
+    * SQL-expressible — same contract as the roundtrip gate). */
+  def fertilityByGroup(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, merges: DataFrame): DataFrame = {
+    val enc = applyBpe(docs, idCol, textCol, merges)
+      .join(docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp")),
+        Seq("doc_id"))
+      .select(col("grp"),
+        coalesce(size(col("words")), lit(0)).cast("long").as("n_words"),
+        coalesce(aggregate(col("words"), lit(0L),
+          (acc, w) => acc + size(w.getField("subtokens"))), lit(0L))
+          .as("n_subtokens"),
+        coalesce(aggregate(col("words"), lit(0L),
+          (acc, w) => acc + size(filter(w.getField("subtokens"),
+            t => length(t) === 1))), lit(0L)).as("n_single"))
+    enc.groupBy("grp")
+      .agg(sum("n_words").as("n_words"),
+        sum("n_subtokens").as("n_subtokens"),
+        sum("n_single").as("n_single_char"))
+      .withColumn("fertility",
+        when(col("n_words") > 0,
+          col("n_subtokens").cast("double") / col("n_words").cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("single_char_frac",
+        when(col("n_subtokens") > 0,
+          col("n_single_char").cast("double") / col("n_subtokens").cast("double"))
+          .otherwise(lit(null).cast("double")))
+      .withColumnRenamed("grp", groupCol)
+  }
 }

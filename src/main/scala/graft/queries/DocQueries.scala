@@ -677,6 +677,39 @@ object DocQueries {
         |  coalesce(e.entropy, CAST(0 AS DOUBLE)) < 3.5 AS is_low_entropy
         |FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ---- Unicode NFC normalization (native expression, SQL nfc_normalize
+    //      — DuckDB ships the same-named function, which IS the oracle):
+    //      the canonicalize-before-hash step. Synthetic text carries a
+    //      decomposed e+U+0301 (composes, length shrinks), a precomposed
+    //      U+00E9 (no-op), and the U+FB01 ligature (NFC leaves it alone —
+    //      the NFC/NFKC distinction, pinned).
+    "q_text_normalize" -> Q(
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val raw = concat(
+          array_join(slice(split(col("text"), " "), 1, 4), " "),
+          lit(" caf"), lit("e\u0301"),   // decomposed: NFC composes
+          lit(" \u00e9clair"),         // precomposed: no-op
+          lit(" \ufb01nal"))           // fi ligature: NFC keeps (NFKC would fold)
+        docsP(s, d).select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).cast("bigint").as("len_raw"),
+            length(graft.functions.TextNormalize.nfcNormalize(col("raw")))
+              .cast("bigint").as("len_nfc"),
+            md5(graft.functions.TextNormalize.nfcNormalize(col("raw")))
+              .as("nfc_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH r AS (SELECT doc_id,
+        |  coalesce(array_to_string(list_slice(string_split(text, ' '), 1, 4), ' '), '')
+        |  || ' caf' || chr(101) || chr(769)
+        |  || ' ' || chr(233) || 'clair'
+        |  || ' ' || chr(64257) || 'nal' AS raw FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        |  md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
     "q_text_stats" -> Q(
       (s, d) => docsP(s, d).select(
         col("doc_id"),

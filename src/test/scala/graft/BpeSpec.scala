@@ -109,6 +109,35 @@ class BpeSpec extends SparkSpec {
     assert(n(2L) == enc(2L).get.map(_.getSeq[String](1).size).sum)
   }
 
+  test("fertilityByGroup: exact counts, fertility falls as merges grow") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "low lower lowest newest new", "a"),
+      (2L, "the newest low", "a"),
+      (3L, "low low lowest", "b"),
+      (4L, "", "b"))
+      .toDF("doc_id", "text", "source")
+    val merges = Bpe.trainBpe(docs, "doc_id", "text", numMerges = 6)
+    val rep = Bpe.fertilityByGroup(docs, "doc_id", "text", "source", merges)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_subtokens"),
+          r.getAs[Double]("fertility"))).toMap
+    assert(rep("a")._1 == 8L && rep("b")._1 == 3L)
+    // counts agree with the per-doc operator
+    val perDoc = Bpe.subtokenCount(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep("a")._2 == perDoc(1L) + perDoc(2L))
+    assert(rep("b")._2 == perDoc(3L) + perDoc(4L))
+    // fertility >= 1 whenever words exist; empty docs contribute nothing
+    assert(rep("a")._3 >= 1.0 && rep("b")._3 >= 1.0)
+    // a larger merge table can only tighten segmentation
+    val merges0 = Bpe.trainBpe(docs, "doc_id", "text", numMerges = 1)
+    val loose = Bpe.fertilityByGroup(docs, "doc_id", "text", "source", merges0)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("fertility")).toMap
+    assert(loose("a") > rep("a")._3 && loose("b") > rep("b")._3)
+  }
+
   test("persisted merges encode identically to the in-memory table") {
     import spark.implicits._
     val docs = Seq((1L, "low lower lowest newest new"), (2L, "the newest low"))

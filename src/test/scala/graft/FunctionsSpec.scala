@@ -50,6 +50,20 @@ class FunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("char_entropy"))
   }
 
+  test("nfc_normalize composes canonical equivalents, keeps compatibility forms") {
+    import graft.functions.TextNormalize
+    assert(TextNormalize.nfc("é") == "é")          // composes
+    assert(TextNormalize.nfc("é") == "é")            // already NFC
+    assert(TextNormalize.nfc("ﬁnal") == "ﬁnal")      // NFC != NFKC
+    assert(TextNormalize.nfc("ascii only") == "ascii only")
+    GraftExtensions.register(spark)
+    // the dedup-key motivation: both spellings hash identical after NFC
+    val r = spark.sql(
+      "SELECT md5(nfc_normalize('café')) = md5(nfc_normalize('café')) AS same," +
+        " nfc_normalize(NULL) AS n").collect()(0)
+    assert(r.getBoolean(0) && r.isNullAt(1))
+  }
+
   test("pm25 categorizer boundary table") {
     val cases = Seq[(Option[Double], String)](
       (None, "Tidak diketahui"),
