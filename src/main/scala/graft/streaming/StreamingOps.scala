@@ -152,6 +152,27 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming URL-keyed dedup at INGEST time — the streaming twin of
+    * [[graft.operators.Curation.dedupByUrl]]'s keeper semantics: an
+    * arriving fetch survives when its [[graft.operators.Curation.canonicalizeUrl]]
+    * key matches no already-ingested corpus URL (`corpusUrls`: a static
+    * `canonical_url` frame, in deployment the stored index column of the
+    * crawl store) AND it is the first fetch of that URL inside the
+    * watermark horizon. Same shape as [[dedupStreamIncrement]]: the
+    * canonicalization is scan-stage regex, the corpus probe is a
+    * stream-static anti-join that runs BEFORE the stateful dedup (refetches
+    * of known URLs never enter the state store), and state stays
+    * O(distinct new URLs per horizon). */
+  def urlDedupStream(docs: DataFrame, corpusUrls: DataFrame,
+                     tsCol: String, urlCol: String,
+                     watermark: String = "1 day"): DataFrame =
+    docs
+      .withColumn("canonical_url",
+        graft.operators.Curation.canonicalizeUrl(col(urlCol)))
+      .join(corpusUrls, Seq("canonical_url"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Streaming INCREMENTAL MinHash-LSH near-dup MATCHES against a STORED
     * corpus index — the streaming twin of
     * [[graft.operators.Dedup.minhashLshIncrementIndexed]]: each arriving

@@ -144,6 +144,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming URL dedup: corpus probe before state, canonical variants collapse") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // stored crawl index holds the canonical form of an already-seen page
+    val corpus = Seq("https://example.com/a").toDF("canonical_url")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "url")
+    val q = StreamingOps.urlDedupStream(docs, corpus, "ts", "url")
+      .writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        // corpus match through canonicalization (tracking params + fragment)
+        (1L, ts("2025-01-01 00:00:00"), "HTTPS://example.com:443/a?utm_source=x#f"),
+        (2L, ts("2025-01-01 00:01:00"), "https://example.com/b"),   // fresh
+        (3L, ts("2025-01-01 00:02:00"), "https://example.com/b/"))  // stream dup
+      q.processAllAvailable()
+      mem.addData(
+        (4L, ts("2025-01-01 01:00:00"), "https://example.com/b?fbclid=z"), // cross-batch dup
+        (5L, ts("2025-01-01 01:01:00"), "https://example.com/c?q=1"))      // fresh
+      q.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM url_dedup_stream ORDER BY doc_id")
+        .as[Long].collect().toSeq
+      assert(ids == Seq(2L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming curation gates quality and language, redacts, splits — stateless append") {
     val s = spark
     import s.implicits._
