@@ -46,4 +46,37 @@ object Export {
         sum(length(col("__json")).cast("long") + lit(1L)).as("n_bytes"))
       .orderBy("shard")
   }
+
+  /** Loader side of [[jsonlSharded]]: read the shard directories back into
+    * rows of `schema` plus the `shard` column (recovered from the
+    * `shard=N/` partition layout by the text source — no re-hashing).
+    * `columnNameOfCorruptRecord` rows surface as all-null rows under
+    * PERMISSIVE parsing; use [[validateShards]] to catch them against the
+    * manifest rather than silently training on nulls. */
+  def readJsonlSharded(spark: org.apache.spark.sql.SparkSession, path: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.text(path)
+      .select(col("shard").cast("long").as("shard"),
+        from_json(col("value"), schema).as("row"))
+      .select(col("shard"), col("row.*"))
+
+  /** Manifest validation: per-shard row counts of a re-read export vs the
+    * manifest [[jsonlSharded]] returned (or persisted). Returns
+    * (shard, expected_rows, actual_rows, ok) with a full-outer join so a
+    * MISSING shard directory and an UNEXPECTED extra shard both surface
+    * (expected/actual null-padded to 0). The check is one partial-agg count
+    * over the re-read frame against the shards-bounded manifest — the
+    * pre-flight a training job runs before touching the data. */
+  def validateShards(readBack: DataFrame, manifest: DataFrame): DataFrame = {
+    val actual = readBack.groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("actual_rows"))
+    manifest.select(col("shard").cast("long").as("shard"),
+        col("n_rows").as("expected_rows"))
+      .join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("expected_rows"), lit(0L)).as("expected_rows"),
+        coalesce(col("actual_rows"), lit(0L)).as("actual_rows"))
+      .withColumn("ok", col("expected_rows") === col("actual_rows"))
+      .orderBy("shard")
+  }
 }
