@@ -208,16 +208,52 @@ object Curation {
   def screenDomains(docs: DataFrame, idCol: String, domainCol: String,
                     quality: Column, maxDocsPerDomain: Long,
                     minAvgQuality: Double): DataFrame = {
-    require(maxDocsPerDomain > 0, "maxDocsPerDomain must be positive")
-    val stats = docs.select(col(domainCol).as("__dom"), quality.as("__q"))
-      .groupBy("__dom")
+    val stats =
+      domainVerdicts(domainStats(docs, domainCol, quality),
+        maxDocsPerDomain, minAvgQuality)
+        .withColumnRenamed("domain", "__dom")
+    docs.join(stats.hint("shuffle_hash"),
+      col(domainCol) === col("__dom")).drop("__dom")
+  }
+
+  /** MERGEABLE per-domain stats: (domain, domain_docs, q_sum decimal,
+    * n_q) — the sufficient statistics behind [[screenDomains]]'s verdict,
+    * split out so a continuously-ingesting crawl can MAINTAIN its domain
+    * reputations instead of rescanning the corpus: fold the new batch with
+    * [[domainStats]], [[mergeDomainStats]] it into the stored frame, and
+    * re-derive verdicts with [[domainVerdicts]] — per-update cost scales
+    * with the batch plus the domain dimension, never the corpus. Decimal
+    * sums make the merge EXACT (associative, order-free), so incremental ≡
+    * full-recompute bit-for-bit, which is precisely what the gate checks.
+    * `q_sum` is pinned to decimal(28,6) so the schema is a fixed point of
+    * merging (Spark widens sum(decimal) per aggregation otherwise). */
+  def domainStats(docs: DataFrame, domainCol: String,
+                  quality: Column): DataFrame =
+    docs.select(col(domainCol).as("domain"), quality.as("__q"))
+      .groupBy("domain")
       .agg(count(lit(1)).as("domain_docs"),
-        graft.functions.ExactAgg.avgD(col("__q"), 6).as("domain_avg_quality"))
+        sum(col("__q").cast("decimal(18,6)")).cast("decimal(28,6)").as("q_sum"),
+        count(col("__q")).as("n_q"))
+
+  /** Fold two stats frames (stored + increment) into one. Partial-agg
+    * groupBy over (domains)-bounded inputs. */
+  def mergeDomainStats(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("domain")
+      .agg(sum("domain_docs").as("domain_docs"),
+        sum("q_sum").cast("decimal(28,6)").as("q_sum"),
+        sum("n_q").as("n_q"))
+
+  /** Verdicts from a stats frame: the avg is q_sum/n_q in double — the
+    * exact arithmetic [[graft.functions.ExactAgg.avgD]] produces, so a
+    * merged-stats verdict is bit-identical to a full-recompute one. */
+  def domainVerdicts(stats: DataFrame, maxDocsPerDomain: Long,
+                     minAvgQuality: Double): DataFrame = {
+    require(maxDocsPerDomain > 0, "maxDocsPerDomain must be positive")
+    stats.select(col("domain"), col("domain_docs"),
+        (col("q_sum").cast("double") / col("n_q")).as("domain_avg_quality"))
       .withColumn("domain_flagged",
         col("domain_docs") > maxDocsPerDomain ||
           col("domain_avg_quality") < minAvgQuality)
-    docs.join(stats.hint("shuffle_hash"),
-      col(domainCol) === col("__dom")).drop("__dom")
   }
 
   /** Keep at most `n` rows per key, in `order` order (deterministic — ties

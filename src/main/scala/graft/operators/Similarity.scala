@@ -606,6 +606,48 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Contrastive TRIPLET builder — (anchor, positive, hard negatives) from
+    * a near-dup-labeled corpus, the data-construction step for embedding /
+    * retrieval training: the POSITIVE is the anchor's most-similar
+    * SAME-component neighbor (a true paraphrase/near-copy, not a random
+    * augmentation), the negatives are [[hardNegativeTopK]]'s
+    * component-excluded top-k (high-cosine but genuinely different
+    * content — a near-dup mislabeled as negative poisons the loss).
+    * Queries with no same-component mate emit nothing (no positive
+    * exists). Output: (query_id, pos_id, pos_cosine, neg_rank 1..kNeg,
+    * neg_id, neg_cosine) — one row per negative.
+    *
+    * Shape: ONE corpus scan scores both streams (the same/diff flag is a
+    * column, not two scans by construction; the ranked frame feeds both
+    * filters and Spark's exchange reuse dedups the shuffle), one window
+    * partitioned by (query, same-flag), and a (queries × kNeg)-bounded
+    * join. The corpus is never shuffled. */
+  def contrastivePairs(labeled: DataFrame, queries: DataFrame,
+                       kNeg: Int): DataFrame = {
+    require(kNeg > 0, "kNeg must be positive")
+    graft.GraftExtensions.register(labeled.sparkSession)
+    val c = Parallelism.fanOut(labeled.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("nbr_v"), col("component").as("nbr_comp")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_v"), col("component").as("q_comp"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (col("nbr_comp") === col("q_comp")).as("same"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id", "same")
+      .orderBy(desc("cosine"), asc("nbr_id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    val pos = ranked.filter(col("same") && col("rank") === 1)
+      .select(col("query_id"), col("nbr_id").as("pos_id"),
+        col("cosine").as("pos_cosine"))
+    val neg = ranked.filter(!col("same") && col("rank") <= kNeg)
+      .select(col("query_id"), col("rank").as("neg_rank"),
+        col("nbr_id").as("neg_id"), col("cosine").as("neg_cosine"))
+    pos.join(neg, Seq("query_id"))
+      .select("query_id", "pos_id", "pos_cosine", "neg_rank", "neg_id",
+        "neg_cosine")
+  }
+
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,

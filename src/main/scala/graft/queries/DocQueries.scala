@@ -3393,6 +3393,80 @@ object DocQueries {
         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
       }),
 
+    // ---- Contrastive triplet builder: anchors (vec_id < 8), positive =
+    //      most-similar SAME near-dup-component neighbor, negatives = the
+    //      component-excluded top-5 — the (anchor, positive, hard-negatives)
+    //      training-pair construction over the same exact-centroid
+    //      semanticDedup labeling as the hard-negatives gate. Queries with
+    //      no component mate emit nothing.
+    "q_sim_contrastive_pairs" -> Q(
+      (s, d) => {
+        import graft.operators.Centroids
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"),
+          pmod(Dedup.tokenFp60(concat(col("vec_id").cast("string"), lit(":sc1"))),
+            lit(8L)).as("cell0"))
+        val cents = e.groupBy("cell0").agg(
+            array((1 to 64).map(i =>
+              Centroids.exactDimMean(col("vec_id"), element_at(col("v"), i))): _*)
+              .as("centroid"))
+          .select(col("cell0").as("cell"), col("centroid"))
+        val labeled = e.select(col("vec_id"), col("v").as("embedding"))
+          .join(Dedup.semanticDedup(e, "vec_id", "v", cents, threshold = 0.35)
+            .select("vec_id", "component"), Seq("vec_id"))
+        Similarity.contrastivePairs(labeled,
+            labeled.filter(col("vec_id") < 64), kNeg = 5)
+          .withColumn("neg_rank", col("neg_rank").cast("bigint"))
+          .orderBy("query_id", "neg_rank")
+      },
+      Some {
+        val lists = (1 to 64)
+          .map(i => s"list(v[$i] ORDER BY vec_id) AS l$i").mkString(", ")
+        val dims = (1 to 64)
+          .map(i => s"list_dot_product(l$i, list_transform(l$i, x -> 1.0)) / len(l$i)")
+          .mkString(", ")
+        s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  ${fp60Sql("CAST(vec_id AS VARCHAR) || ':sc1'")} % 8 AS cell0
+        |  FROM embeddings),
+        |g AS (SELECT cell0, $lists FROM e GROUP BY cell0),
+        |c AS (SELECT cell0 AS cell, [$dims] AS centroid FROM g),
+        |asg0 AS (SELECT e.vec_id, e.v, c.cell,
+        |  ${d2Sql("e.v", "c.centroid")} AS d2 FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, cell, d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+        |    AS rn FROM asg0) WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.35 AS DOUBLE)),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (SELECT src, dst FROM edges
+        |  UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+        |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+        |  FROM reach GROUP BY src),
+        |lab AS (SELECT asg.vec_id, asg.v,
+        |  COALESCE(comp.comp, asg.vec_id) AS component
+        |  FROM asg LEFT JOIN comp ON comp.id = asg.vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv, component AS qc
+        |  FROM lab WHERE vec_id < 64),
+        |scored AS (SELECT query_id, n.vec_id AS nbr_id,
+        |  (n.component = qc) AS same, ${cosSql("qv", "n.v")} AS cosine
+        |  FROM lab n CROSS JOIN q
+        |  WHERE n.vec_id != query_id),
+        |pos AS (SELECT query_id, nbr_id AS pos_id, cosine AS pos_cosine
+        |  FROM scored WHERE same
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, nbr_id) = 1),
+        |neg AS (SELECT query_id, nbr_id AS neg_id, cosine AS neg_cosine,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, nbr_id) AS neg_rank
+        |  FROM scored WHERE NOT same QUALIFY neg_rank <= 5)
+        |SELECT p2.query_id, p2.pos_id, p2.pos_cosine, n2.neg_rank,
+        |  n2.neg_id, n2.neg_cosine
+        |FROM pos p2 JOIN neg n2 USING (query_id)
+        |ORDER BY query_id, neg_rank""".stripMargin
+      }),
+
     // Two-stage search: quantized-IVF candidates (top-20 at nProbe = nLists,
     // so the candidate set is exactly quantized brute-force top-20) re-ranked
     // by exact full-precision cosine — FAISS-style IVF+refine. The oracle
@@ -4421,6 +4495,42 @@ object DocQueries {
         |  count(DISTINCT CASE WHEN domain_flagged THEN domain END)
         |    AS n_flagged_domains
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- INCREMENTAL domain-stats maintenance: the Spark side folds a new
+    //      crawl batch (doc_id % 4 == 0) into the stored stats of the rest
+    //      via mergeDomainStats and derives verdicts from the MERGED frame;
+    //      the oracle recomputes flat over the full corpus — equality IS
+    //      the increment-correctness proof (decimal sums make the merge
+    //      exact and order-free).
+    "q_curate_domain_screen_increment" -> Q(
+      (s, d) => {
+        import graft.operators.Curation
+        val all = docsP(s, d).select(col("doc_id"),
+          concat(lit("site"), (col("doc_id") % 37).cast("string"), lit(".example"))
+            .as("domain"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        val base = all.filter(col("doc_id") % 4 =!= 0)
+        val inc = all.filter(col("doc_id") % 4 === 0)
+        val merged = Curation.mergeDomainStats(
+          Curation.domainStats(base, "domain", col("quality")),
+          Curation.domainStats(inc, "domain", col("quality")))
+        Curation.domainVerdicts(merged, maxDocsPerDomain = 15L,
+            minAvgQuality = 0.55)
+          .orderBy("domain")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, text, $ToksSql AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |  'site' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS domain,
+        | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+        |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+        |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+        |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality
+        | FROM t)
+        |SELECT domain, count(*) AS domain_docs,
+        |  ${ExactAgg.avgSql("quality", 6)} AS domain_avg_quality,
+        |  (count(*) > 15 OR ${ExactAgg.avgSql("quality", 6)} < 0.55)
+        |    AS domain_flagged
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- distinct-n corpus diversity: per-source positional-bigram totals
     //      vs distinct counts — low ratios expose mutually-templated sources

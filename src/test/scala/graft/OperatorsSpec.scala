@@ -1037,6 +1037,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(_._1 == "ok.example").forall(!_._3))
   }
 
+  test("domain stats merge exactly: incremental fold == flat recompute, schema stable") {
+    import graft.operators.Curation
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"),
+        concat(lit("d"), (col("doc_id") % 11).cast("string")).as("domain"),
+        (col("doc_id") % 7).cast("double").as("q"))
+    val flat = Curation.domainStats(docs, "domain", col("q"))
+    val parts = (0 to 2).map(i =>
+      Curation.domainStats(docs.filter(col("doc_id") % 3 === i), "domain", col("q")))
+    val folded = parts.reduce(Curation.mergeDomainStats)
+    // exact equality including the decimal sum, in any fold order
+    assert(folded.orderBy("domain").collect().toSeq ==
+      flat.orderBy("domain").collect().toSeq)
+    assert(parts.reverse.reduce(Curation.mergeDomainStats)
+      .orderBy("domain").collect().toSeq ==
+      flat.orderBy("domain").collect().toSeq)
+    // the (name, type) schema is a fixed point of merging — no decimal
+    // widening creep (nullability legitimately differs: sum vs count)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(folded) == shape(flat))
+    assert(shape(Curation.mergeDomainStats(folded, flat)) == shape(flat))
+    // verdicts from merged stats == verdicts from flat stats
+    val vm = Curation.domainVerdicts(folded, 100L, 3.0).orderBy("domain").collect()
+    val vf = Curation.domainVerdicts(flat, 100L, 3.0).orderBy("domain").collect()
+    assert(vm.toSeq == vf.toSeq)
+  }
+
   test("c4Clean applies the C4 line rules and document verdicts") {
     import graft.operators.Lines
     val good = "the quick brown fox jumps high."

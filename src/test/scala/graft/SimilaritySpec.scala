@@ -579,6 +579,31 @@ class SimilaritySpec extends SparkSpec {
       s"only $ok of ${ratios.length} inside [0.5, 2]")
   }
 
+  test("contrastivePairs: positive from own component, negatives exclude it, mateless anchors drop") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // component 100: anchor + its paraphrase; component 200: a hard negative
+    // pointing nearly the same way; component 300: an easy negative; vec 5
+    // is a singleton anchor with no mate
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 100L),  // anchor
+      (1L, Seq(0.95f, 0.1f, 0.0f), 100L), // paraphrase (positive)
+      (2L, Seq(0.9f, 0.2f, 0.0f), 200L),  // hard negative
+      (3L, Seq(0.0f, 0.0f, 1.0f), 300L),  // easy negative
+      (5L, Seq(0.5f, 0.5f, 0.0f), 500L))  // mateless anchor
+      .toDF("vec_id", "embedding", "component")
+    val out = Similarity.contrastivePairs(labeled,
+        labeled.filter(col("vec_id").isin(0L, 5L)), kNeg = 3)
+      .orderBy("query_id", "neg_rank").collect()
+    // anchor 5 has no same-component mate -> no rows at all
+    assert(out.forall(_.getAs[Long]("query_id") == 0L))
+    assert(out.forall(_.getAs[Long]("pos_id") == 1L))
+    // negatives: hard one first, never the positive, never self
+    val negs = out.map(_.getAs[Long]("neg_id")).toSeq
+    assert(negs.head == 2L && !negs.contains(1L) && !negs.contains(0L))
+    assert(negs.toSet == Set(2L, 3L, 5L)) // kNeg=3 over the 3 other-component vecs
+  }
+
   test("MMR at lambda=1 is plain top-k; lower lambda breaks up a planted redundant pair") {
     import spark.implicits._
     // query q looks for (1,0); candidates: two near-identical high-relevance
