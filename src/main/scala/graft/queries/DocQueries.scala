@@ -2513,6 +2513,41 @@ object DocQueries {
         | count(*) OVER (PARTITION BY md5(source)) AS dup_count
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Exact dedup on the NFC-NORMALIZED text: the canonicalize-before-
+    //      hash composition the nfc_normalize expression exists for. Every
+    //      doc gets a unicode suffix whose spelling alternates between the
+    //      decomposed (e + U+0301) and precomposed (U+00E9) form by parity
+    //      — raw md5 sees two variants per text, NFC-keyed dedup folds
+    //      them (oracle: DuckDB's nfc_normalize, bit for bit).
+    "q_dedup_normalized" -> Q(
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val variant = when(col("doc_id") % 3 === 0, lit(" caf\u00e9"))
+          .otherwise(lit(" cafe\u0301"))
+        val docs = docsP(s, d).select(col("doc_id"),
+          concat(col("source"), variant).as("text_u"))
+        val keyed = docs.withColumn("norm_hash",
+          md5(graft.functions.TextNormalize.nfcNormalize(col("text_u"))))
+        val agg = keyed.groupBy("norm_hash")
+          .agg(min("doc_id").as("__keep"), count(lit(1)).as("dup_count"),
+            countDistinct(md5(col("text_u"))).as("raw_variants"))
+        keyed.join(agg.hint("shuffle_hash"), Seq("norm_hash"))
+          .select(col("doc_id"), col("norm_hash"), col("dup_count"),
+            col("raw_variants"),
+            (col("doc_id") === col("__keep")).as("is_keeper"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH dv AS (SELECT doc_id,
+        |  source || (CASE WHEN doc_id % 3 = 0 THEN ' caf' || chr(233)
+        |    ELSE ' cafe' || chr(769) END) AS text_u FROM documents),
+        |k AS (SELECT doc_id, text_u,
+        |  md5(nfc_normalize(text_u)) AS norm_hash FROM dv),
+        |a AS (SELECT norm_hash, min(doc_id) AS keep_id, count(*) AS dup_count,
+        |  count(DISTINCT md5(text_u)) AS raw_variants FROM k GROUP BY 1)
+        |SELECT k.doc_id, k.norm_hash, a.dup_count, a.raw_variants,
+        |  k.doc_id = a.keep_id AS is_keeper
+        |FROM k JOIN a USING (norm_hash) ORDER BY doc_id""".stripMargin)),
+
     // ---- Quality-aware keeper policy: within each duplicate group keep
     //      the BEST-quality exemplar (ties to min id) instead of the oldest
     //      — the policy layer clusterKeepersBy adds over any clustering.
