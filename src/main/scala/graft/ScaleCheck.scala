@@ -494,6 +494,51 @@ object ScaleCheck {
         graft.operators.Sampling.weightedBottomKPerKey(docs, col("source"),
           col("doc_id"), col("w"), k = 1000, salt = ":sw")
       },
+      // char entropy: native codegen'd kernel, pure scan stage
+      "entropy" -> { d =>
+        graft.GraftExtensions.register(spark)
+        Tables.documents(spark, d).select(col("doc_id"),
+          graft.functions.Entropy.charEntropy(col("text")).as("h"))
+      },
+      // web capstone: url dedup -> C4 -> domain screen -> blocklist chain
+      // (each stage measured solo above; the chain adds verdict filters)
+      "web_curate" -> { d =>
+        val words = split(col("text"), " ")
+        def line(st: Int, ln: Int, tail: String) =
+          concat(array_join(slice(words, st, ln), " "), lit(tail))
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://User@WWW.Example.COM:80"))
+            .otherwise(lit("https://cdn.example.net:443")),
+          lit("/page/"), (col("doc_id") % 211).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed&q=7&gclid=zz"))
+            .otherwise(lit("")))
+        val page = concat_ws("\n", line(1, 6, "."), line(7, 3, "."),
+          lit("please enable javascript to view this page."),
+          line(10, 7, ""), line(4, 8, " done!"), line(12, 7, " right?"))
+        val crawl = Tables.documents(spark, d).select(col("doc_id"),
+          col("source"), url.as("url"), page.as("page"))
+        val fetched = graft.operators.Curation.dedupByUrl(crawl, "doc_id", "url")
+          .filter(col("is_keeper")).select("doc_id", "source", "page")
+        val c4 = graft.operators.Lines.c4Clean(fetched, "doc_id", "page")
+          .filter(col("keep_doc")).select(col("doc_id"), col("text"))
+          .join(fetched.select("doc_id", "source"), Seq("doc_id"))
+        val dom = graft.operators.Curation.screenDomains(
+            c4.withColumn("domain", concat(lit("site"),
+              (col("doc_id") % 9973).cast("string"), lit(".example"))),
+            "doc_id", "domain", (col("doc_id") % 100).cast("double") / 100.0,
+            maxDocsPerDomain = 1000000L, minAvgQuality = 0.5)
+          .filter(!col("domain_flagged"))
+        val terms = {
+          val s2 = spark
+          import s2.implicits._
+          Seq("slow", "dup", "noise").toDF("term")
+        }
+        graft.operators.Curation.blocklistFlags(dom, "doc_id", "text", terms)
+          .filter(!col("has_blocked"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+      },
       // URL dedup: scan-stage canonicalization + partial-agg keeper fold +
       // ONE AQE-splittable shuffle_hash verdict join on the canonical key
       "url_dedup" -> { d =>
