@@ -303,5 +303,58 @@ class PropertySpec extends SparkSpec {
     }, n = 10)
   }
 
+  test("canonicalizeUrl is idempotent and structurally canonical on random URLs") {
+    import graft.operators.Curation
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "Https")
+      user <- Gen.option(Gen.alphaLowerStr.map(_.take(5)).suchThat(_.nonEmpty))
+      host <- Gen.oneOf("Example.COM", "www.Site.org", "a.b.example")
+      port <- Gen.option(Gen.oneOf(80, 443, 8080))
+      segs <- Gen.listOfN(2, Gen.alphaNumStr.map(_.take(4)))
+      slash <- Gen.oneOf("", "/")
+      params <- Gen.someOf("utm_source=x", "q=1", "ref=nav", "id=9", "gclid=z")
+      frag <- Gen.option(Gen.alphaLowerStr.map(_.take(4)))
+    } yield {
+      val auth = user.map(_ + "@").getOrElse("") + host +
+        port.map(":" + _).getOrElse("")
+      val path = segs.filter(_.nonEmpty).map("/" + _).mkString
+      val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+      s"$scheme://$auth$path$slash$q${frag.map("#" + _).getOrElse("")}"
+    }
+    check(Prop.forAll(Gen.listOfN(40, urlGen)) { urls =>
+      val rows = urls.toDF("url")
+        .select(Curation.canonicalizeUrl(col("url")).as("c"))
+        .withColumn("cc", Curation.canonicalizeUrl(col("c")))
+        .collect()
+      rows.forall { r =>
+        val c = r.getString(0)
+        // scheme://authority runs to the path slash (or query, or end)
+        val pathStart = c.indexOf('/', c.indexOf("://") + 3)
+        val qStart = c.indexOf('?')
+        val authEnd = Seq(pathStart, qStart, c.length).filter(_ >= 0).min
+        val schemeAuth = c.substring(0, authEnd)
+        c == r.getString(1) && // idempotent: canonical of canonical is itself
+          !c.contains("#") && !c.contains("utm_") && !c.contains("gclid") &&
+          !c.contains("@") && !c.endsWith("/") &&
+          schemeAuth == schemeAuth.toLowerCase
+      }
+    }, n = 6)
+  }
+
+  test("char entropy: permutation- and replication-invariant, log2-alphabet bounded") {
+    import graft.functions.Entropy
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String) = Entropy.compute(UTF8String.fromString(s))
+    check(Prop.forAll(Gen.alphaNumStr.map(_.take(64)), Gen.long) { (s, seed) =>
+      val perm = new String(new scala.util.Random(seed).shuffle(s.toList).toArray)
+      val hs = h(s)
+      val distinct = s.distinct.length
+      hs == h(perm) && // decimal summation makes order genuinely irrelevant
+        hs == h(s + s) && // doubled counts, identical distribution -> exact
+        hs >= 0.0 &&
+        (s.isEmpty || hs <= math.log(distinct.max(1)) / math.log(2) + 1e-9)
+    }, n = 30)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
