@@ -192,6 +192,34 @@ object Curation {
       .drop("__keep_id")
   }
 
+  /** Robots-style URL-PREFIX screening: flag any document whose
+    * [[canonicalizeUrl canonical]] crawl URL starts with a blocked prefix —
+    * the path-level sibling of [[blocklistFlags]] (entire sections of a
+    * site excluded: `/login`, `/search`, a partner's `Disallow:` list).
+    * Returns the input plus (canonical_url, url_blocked).
+    *
+    * The bounded prefix list collapses to ONE broadcast array row at
+    * plan-build time and matching is a scan-stage `exists(startsWith)` —
+    * a pure function of the row, so the SAME operator runs append-mode on
+    * a stream (the [[graft.streaming.StreamingOps.blocklistStream]]
+    * shape). Per-row cost is linear in the list; a list big enough to need
+    * an index is screened in the batch backfill. BOTH sides canonicalize
+    * (prefixes are URL-shaped), so `HTTP://Example.com/login#x` cannot
+    * dodge an `http://Example.COM/login` rule while path case stays
+    * significant. */
+  def screenUrlPrefixes(docs: DataFrame, urlCol: String,
+                        prefixes: DataFrame): DataFrame = {
+    val pCol = prefixes.columns.head
+    val p = broadcast(prefixes
+      .select(canonicalizeUrl(col(pCol)).as("__p")).distinct()
+      .agg(collect_list(col("__p")).as("__ps")))
+    docs.crossJoin(p)
+      .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("url_blocked",
+        exists(col("__ps"), x => col("canonical_url").startsWith(x)))
+      .drop("__ps")
+  }
+
   /** DOMAIN-level screening (the RefinedWeb/Dolma move: curate the SITE,
     * not just the document — a spam domain's every page is spam): fold
     * per-domain (doc count, exact-decimal mean quality), flag domains that

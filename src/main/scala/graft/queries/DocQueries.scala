@@ -4492,6 +4492,57 @@ object DocQueries {
         |  n.doc_id = a.keep_id AS is_keeper
         |FROM n JOIN a USING (canonical_url) ORDER BY doc_id""".stripMargin)),
 
+    // ---- robots-style URL-prefix screening: the path-level blocklist
+    //      (whole site sections excluded). BOTH sides canonicalize — the
+    //      gate's prefixes arrive uppercase/userinfo'd/with default ports
+    //      and still match — and the verdict is a scan-stage
+    //      exists(startsWith) over one broadcast array row.
+    "q_curate_url_prefix_screen" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://User@WWW.Example.COM:80"))
+            .otherwise(lit("https://cdn.example.net:443")),
+          lit("/page/"), (col("doc_id") % 17).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed&q=1")).otherwise(lit("")))
+        val prefixes = Seq("HTTPS://CDN.example.net:443/page/1",
+          "http://User@WWW.Example.COM/page/3").toDF("prefix")
+        graft.operators.Curation.screenUrlPrefixes(
+            docsP(s, d).select(col("doc_id"), url.as("url")), "url", prefixes)
+          .select(col("doc_id"), col("canonical_url"), col("url_blocked"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://User@WWW.Example.COM:80'
+        |        ELSE 'https://cdn.example.net:443' END)
+        |  || '/page/' || CAST(doc_id % 17 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&q=1'
+        |        ELSE '' END) AS url
+        |  FROM documents),
+        |cn AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf FROM u),
+        |b AS (SELECT doc_id, nf,
+        |  CASE WHEN instr(nf, '?') > 0 THEN substr(nf, 1, instr(nf, '?') - 1)
+        |       ELSE nf END AS base,
+        |  regexp_extract(nf, '\\?(.*)$$', 1) AS q FROM cn),
+        |p AS (SELECT doc_id, base,
+        |  coalesce(array_to_string(list_filter(string_split(q, '&'), x ->
+        |    len(x) > 0 AND NOT regexp_matches(x,
+        |      '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '') AS q2
+        |  FROM b),
+        |n AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    regexp_replace(lower(regexp_extract(base, '(?i)^(https?://[^/]+)', 1)),
+        |      '^(https?://)[^@/]*@', '\\1'),
+        |    '^(http://[^/]*?):80$$', '\\1'), '^(https://[^/]*?):443$$', '\\1')
+        |  || regexp_replace(regexp_replace(base, '(?i)^https?://[^/]+', ''), '/$$', '')
+        |  || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canonical_url
+        |  FROM p)
+        |SELECT doc_id, canonical_url,
+        |  (starts_with(canonical_url, 'https://cdn.example.net/page/1')
+        |   OR starts_with(canonical_url, 'http://www.example.com/page/3'))
+        |    AS url_blocked
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
     // ---- domain-level screening (RefinedWeb-style: curate the SITE): per-
     //      domain doc counts + exact-decimal mean quality, domains over the
     //      doc cap or under the quality floor flagged, every doc handed its

@@ -172,6 +172,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("domain stats build as a Complete-mode streaming aggregation, equal to batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Curation
+    // domainStats' counts and decimal sums are mergeable, so the micro-batch
+    // update IS the merge — the batch operator runs unchanged (CMS pattern)
+    val rows = Seq((1L, "a", 0.5), (2L, "a", 0.25), (3L, "b", 1.0),
+      (4L, "b", 0.75), (5L, "a", 0.125))
+    val mem = MemoryStream[(Long, String, Double)]
+    val docs = mem.toDF().toDF("doc_id", "domain", "q")
+    val q = Curation.domainStats(docs, "domain", col("q"))
+      .writeStream.format("memory").queryName("domain_stats_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = s.sql("SELECT * FROM domain_stats_stream")
+        .orderBy("domain").collect().toSeq
+      val batch = Curation.domainStats(rows.toDF("doc_id", "domain", "q"),
+          "domain", col("q"))
+        .orderBy("domain").collect().toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // and the verdicts derived from the streamed stats match too
+      assert(Curation.domainVerdicts(
+          s.sql("SELECT * FROM domain_stats_stream"), 2L, 0.5)
+        .orderBy("domain").collect().toSeq ==
+        Curation.domainVerdicts(rows.toDF("doc_id", "domain", "q")
+          .transform(d => Curation.domainStats(d, "domain", col("q"))), 2L, 0.5)
+        .orderBy("domain").collect().toSeq)
+    } finally q.stop()
+  }
+
   test("streaming curation gates quality and language, redacts, splits — stateless append") {
     val s = spark
     import s.implicits._
