@@ -385,6 +385,47 @@ object Similarity {
     shaped.write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
+  /** DELETE documents from a persisted index — the remaining index
+    * life-cycle op beside [[appendIvf]]/[[compactIvf]] (retention wipes,
+    * takedowns, re-ingest corrections). Eager, tombstone-free: the cells
+    * HOLDING deleted ids are found with a semi-join (a cell list, bounded
+    * by nLists — the one driver-side collect), ONLY those cells' surviving
+    * rows are rewritten (anti-join) through a temp-dir swap (a partitioned
+    * write cannot read its own target — the [[compactIvf]] contract), and
+    * a cell left empty simply has no replacement directory. Untouched
+    * cells' files are never opened or moved, so per-delete cost scales
+    * with the touched cells, not the index — asserted in SimilaritySpec,
+    * along with load-after-delete ≡ fresh assignment of the surviving
+    * corpus. */
+  def deleteFromIvf(spark: SparkSession, dir: String,
+                    deleteIds: DataFrame): Unit = {
+    val idCol = deleteIds.columns.head
+    val ids = deleteIds.select(col(idCol).as("nbr_id")).distinct()
+    val assigned = spark.read.parquet(s"$dir/assigned")
+    val touched = assigned
+      .join(ids.hint("shuffle_hash"), Seq("nbr_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return
+    val tmp = s"$dir/assigned__deleting"
+    assigned.filter(col("cell").isin(touched: _*))
+      .join(ids, Seq("nbr_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$dir/assigned"), spark.sparkContext.hadoopConfiguration)
+    val rewritten = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .map(_.getPath.getName).filter(_.startsWith("cell=")).toSet
+    touched.foreach { c =>
+      val cellDir = s"cell=$c"
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/assigned/$cellDir"), true)
+      if (rewritten(cellDir))
+        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$cellDir"),
+          new org.apache.hadoop.fs.Path(s"$dir/assigned/$cellDir"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    // this session's file-status cache still lists the replaced files
+    spark.catalog.refreshByPath(s"$dir/assigned")
+  }
+
   /** Compact an appended index layout: every [[appendIvf]] (or streaming
     * [[graft.streaming.StreamingOps.ivfIngest]] micro-batch) adds files
     * under the cells it touches, so a long-lived index accumulates many

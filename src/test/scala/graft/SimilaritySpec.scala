@@ -256,6 +256,66 @@ class SimilaritySpec extends SparkSpec {
     } finally idx.assigned.unpersist()
   }
 
+  test("deleteFromIvf rewrites only touched cells; emptied cells vanish; search forgets the rows") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 400)
+    val built = Similarity.buildIvf(base, nLists = 8, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    try {
+      Similarity.saveIvf(built, dir)
+      def filesPerCell: Map[String, Set[String]] =
+        new java.io.File(s"$dir/assigned").listFiles()
+          .filter(_.getName.startsWith("cell=")).map { d =>
+            d.getName -> d.listFiles().map(_.getName).toSet
+          }.toMap
+      val before = filesPerCell
+      // delete every row of one cell (it must vanish) plus a few rows of
+      // whatever cells they live in
+      val assigned = Similarity.loadIvf(spark, dir).assigned
+      val victimCell = assigned.groupBy("cell").count()
+        .orderBy("count", "cell").collect()(0).get(0)
+      val wholeCell = assigned.filter(col("cell") === victimCell)
+        .select(col("nbr_id")).collect().map(_.getLong(0)).toSet
+      val extra = Set(1L, 2L, 3L) -- wholeCell
+      val delIds = (wholeCell ++ extra).toSeq
+      val touched = assigned // materialized BEFORE the files move underneath
+        .filter(col("nbr_id").isin(delIds: _*))
+        .select("cell").distinct().collect().map(r => s"cell=${r.get(0)}").toSet
+      val s2 = spark
+      import s2.implicits._
+      Similarity.deleteFromIvf(spark, dir, delIds.toDF("vec_id"))
+      val after = filesPerCell
+      // the emptied cell's directory is gone
+      assert(!after.contains(s"cell=$victimCell"),
+        s"emptied cell=$victimCell still present: ${after.keySet}")
+      val untouched = before.keySet -- touched
+      assert(untouched.forall(c => before(c) == after(c)),
+        s"files changed outside touched cells $touched")
+      // load-after-delete ≡ fresh assignment of the surviving corpus
+      val loaded = Similarity.loadIvf(spark, dir)
+      val survivors = base.filter(!col("vec_id").isin(delIds: _*))
+      val viaDelete = loaded.assigned.select("nbr_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val fresh = Similarity.assignCells(
+          survivors.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")),
+          built.centroids)
+        .select("nbr_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(viaDelete == fresh)
+      // and the deleted rows are unfindable: exact-mode search over the
+      // index equals brute force over the survivors
+      val queries = emb.filter(col("vec_id") < 4)
+      val viaIndex = Similarity.searchIvf(loaded, queries, k = 5, nProbe = 8)
+        .select("query_id", "rank", "nbr_id").collect().map(_.toSeq).toSet
+      val brute = Similarity.bruteForceTopK(survivors, queries, k = 5)
+        .select("query_id", "rank", "nbr_id").collect().map(_.toSeq).toSet
+      assert(viaIndex == brute)
+      // deleting ids nobody has is a no-op
+      val snap = filesPerCell
+      Similarity.deleteFromIvf(spark, dir, Seq(999999L).toDF("vec_id"))
+      assert(filesPerCell == snap)
+    } finally built.assigned.unpersist()
+  }
+
   test("appendIvf assigns with frozen centroids; only the batch's cells gain files") {
     val emb = Tables.embeddings(spark, sf)
     val base = emb.filter(col("vec_id") < 400)
