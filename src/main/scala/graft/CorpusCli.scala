@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Dedup}
+import graft.sources.Export
+
+/** One-command corpus curation — the chain the capstone gates verify, as a
+  * runnable user-facing artifact: `documents.parquet` in `--in` becomes a
+  * screened, deduplicated, token-budgeted corpus delivered as sharded JSONL
+  * under `--out`, with the loader manifest, a per-document drop-reason
+  * audit, and a read-back validation pre-flight.
+  *
+  * ```
+  * sbt "runMain graft.CorpusCli --in /root/testdata/sf0.001 --out /tmp/corpus \
+  *      --shards 4 --budget-tokens 20000 --min-quality 0.4"
+  * ```
+  *
+  * Stages (each an already-gated operator; flags feed the audit, filters
+  * feed the corpus):
+  *   1. quality + language screen (scan-stage Column trees)
+  *   2. exact dedup, first occurrence kept
+  *   3. per-source token budget, best-quality-first (two-phase exact cut)
+  *   4. sharded JSONL export + manifest (stable hash shards)
+  *   5. manifest validation of the re-read export (fail loud, not at
+  *      training time)
+  * Writes `out/audit` (every input doc_id + its first failed stage or
+  * "kept"), `out/manifest`, `out/corpus/shard=N/...`; prints one JSON
+  * summary line and exits nonzero if validation fails.
+  */
+object CorpusCli {
+
+  final case class Summary(nDocs: Long, nKept: Long, byVerdict: Map[String, Long],
+                           shardsOk: Boolean)
+
+  def curate(spark: SparkSession, inDir: String, outDir: String,
+             shards: Int = 8, budgetTokensPerSource: Long = 50000L,
+             minQuality: Double = 0.4, lang: String = "en"): Summary = {
+    val docs = Tables.documents(spark, inDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("lang", TextFunctions.langId(col("text")))
+
+    // stage flags (computed for EVERY doc — the audit's raw material)
+    val qualityFail = col("quality") < minQuality
+    val langFail = col("lang") =!= lang
+    val withDup = Dedup.exact(docs, "doc_id", "text")
+      .select(col("doc_id"), col("is_keeper"))
+      .join(docs, Seq("doc_id"))
+    val dupFail = !col("is_keeper")
+
+    // budget is evaluated only over docs surviving the earlier screens —
+    // a budget computed over to-be-dropped rows would under-fill sources
+    val screened = withDup.filter(!qualityFail && !langFail && !dupFail)
+    val kept = Curation.capTokensPerKey(screened, col("source"),
+      col("n_tokens"), budgetTokensPerSource,
+      order = Seq(col("quality").desc, col("doc_id")), idCol = col("doc_id"))
+
+    val verdict = withDup
+      .join(kept.select(col("doc_id"), lit(true).as("__in_budget")),
+        Seq("doc_id"), "left")
+      .withColumn("verdict", Curation.firstFailVerdict(Seq(
+        "quality" -> qualityFail,
+        "lang" -> langFail,
+        "duplicate" -> dupFail,
+        "over_budget" -> col("__in_budget").isNull)))
+      .select(col("doc_id"), col("source"), col("verdict"))
+    verdict.write.mode("overwrite").parquet(s"$outDir/audit")
+
+    val manifest = Export.jsonlSharded(
+      kept.select("doc_id", "source", "text", "n_tokens", "quality"),
+      col("doc_id"), shards, s"$outDir/corpus")
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+
+    val check = Export.validateShards(
+      Export.readJsonlSharded(spark, s"$outDir/corpus",
+        kept.select("doc_id", "source", "text", "n_tokens", "quality").schema),
+      spark.read.parquet(s"$outDir/manifest"))
+    val shardsOk = check.collect().forall(_.getAs[Boolean]("ok"))
+
+    val byVerdict = verdict.groupBy("verdict").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Summary(docs.count(), byVerdict.getOrElse("kept", 0L), byVerdict, shardsOk)
+  }
+
+  def main(args: Array[String]): Unit = {
+    def arg(name: String, default: String): String =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }.getOrElse(default)
+    val inDir = arg("--in", "/root/testdata/sf0.001")
+    val outDir = arg("--out", "/tmp/graft_corpus")
+    val spark = core.GraftSession.local("corpus-cli")
+    try {
+      val s = curate(spark, inDir, outDir,
+        shards = arg("--shards", "8").toInt,
+        budgetTokensPerSource = arg("--budget-tokens", "50000").toLong,
+        minQuality = arg("--min-quality", "0.4").toDouble,
+        lang = arg("--lang", "en"))
+      val verdicts = s.byVerdict.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      println(s"""{"n_docs":${s.nDocs},"n_kept":${s.nKept},""" +
+        s""""verdicts":$verdicts,"shards_ok":${s.shardsOk},"out":"$outDir"}""")
+      if (!s.shardsOk) sys.exit(2)
+    } finally spark.stop()
+  }
+}

@@ -164,4 +164,40 @@ class CliSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
     assert(!salted.head.schema.fieldNames.contains("__salt"))
   }
+
+  test("CorpusCli.curate delivers a validated sharded corpus with a full audit") {
+    val out = Files.createTempDirectory("graft-corpus").toString
+    val budget = 2000L
+    val s = CorpusCli.curate(spark, "/root/testdata/sf0.001", out,
+      shards = 4, budgetTokensPerSource = budget, minQuality = 0.4)
+    assert(s.shardsOk, "manifest validation must pass on a fresh export")
+    // the audit covers EVERY input document exactly once
+    assert(s.byVerdict.values.sum == s.nDocs)
+    val audit = spark.read.parquet(s"$out/audit")
+    assert(audit.count() == s.nDocs &&
+      audit.select("doc_id").distinct().count() == s.nDocs)
+    // the exported corpus is exactly the kept set
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("quality",
+        org.apache.spark.sql.types.DoubleType)))
+    val corpus = graft.sources.Export.readJsonlSharded(spark, s"$out/corpus", schema)
+    assert(corpus.count() == s.nKept && s.nKept > 0 && s.nKept < s.nDocs)
+    // per-source token budget respected (cap contract: cum - toks < budget)
+    val maxDoc = corpus.agg(max("n_tokens")).collect()(0).getLong(0)
+    corpus.groupBy("source").agg(sum("n_tokens").as("t")).collect()
+      .foreach(r => assert(r.getLong(1) <= budget + maxDoc,
+        s"source ${r.getString(0)} over budget: ${r.getLong(1)}"))
+    // kept ids in the audit are exactly the exported ids
+    val keptAudit = audit.filter(col("verdict") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAudit == corpus.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
 }
