@@ -608,6 +608,28 @@ class PlanSpec extends SparkSpec {
       s"thresholds/offsets not broadcast:\n$p")
   }
 
+  test("contrastivePairs: one scan scores both streams; windows stay (query, flag)-keyed") {
+    import graft.operators.Similarity
+    val s = spark
+    import s.implicits._
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f), 1L), (1L, Seq(0.9f, 0.1f), 1L),
+      (2L, Seq(0.0f, 1.0f), 2L))
+      .toDF("vec_id", "embedding", "component")
+    val p = planOf(Similarity.contrastivePairs(labeled,
+      labeled.filter(col("vec_id") === 0L), kNeg = 2))
+    assert(!p.contains("CartesianProduct"), s"cartesian in pair scoring:\n$p")
+    // the query side is the only broadcast; the rank windows carry the
+    // query AND the same/diff flag so neither stream re-windows the other
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query side not broadcast:\n$p")
+    val ws = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("row_number")).toSeq
+    assert(ws.nonEmpty && ws.forall(l =>
+      l.contains("query_id") && l.contains("same")),
+      s"rank window lost the (query, flag) partition:\n$p")
+  }
+
   test("MMR is one query-keyed shuffle into a per-group kernel — no joins, no unrolled steps") {
     import graft.operators.Similarity
     val s = spark
