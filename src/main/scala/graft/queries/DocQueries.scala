@@ -2050,7 +2050,11 @@ object DocQueries {
     //      binning — the thresholdBySource shape, never a global ntile
     //      window), each bin's mean sigmoid probability vs pseudo-label
     //      rate — the "is 0.8 really 80%?" check a learned quality filter
-    //      needs before its threshold means anything.
+    //      needs before its threshold means anything. The EXACT percentile
+    //      buffers a value sketch on the merge side; at true corpus scale
+    //      swap in percentile_approx exactly as rankNormalizeBySource's
+    //      `approx` flag does (bin boundaries only need monotonicity —
+    //      the gate keeps the exact form for the bit-exact oracle).
     "q_text_nb_calibration" -> Q(
       (s, d) => {
         import graft.operators.QualityClassifier
