@@ -44,6 +44,38 @@ object Curation {
     transform(regexp_extract_all(text, lit(DomainPattern), lit(1)),
       a => normalizeDomain(a, foldWww))
 
+  /** HTML → text extraction — step ZERO of a web pipeline (everything
+    * upstream of [[graft.operators.Lines.c4Clean]] assumes extracted
+    * text): drop script/style bodies and comments, turn block-level tags
+    * into line breaks (paragraph structure must survive as lines — the
+    * line-based cleaners key on it), strip remaining tags, single-pass
+    * unescape of the common entities (&amp; LAST, so `&amp;lt;` correctly
+    * becomes the literal `&lt;` and never double-unescapes), and normalize
+    * whitespace (runs collapse, lines trim, blank runs fold). Pure
+    * scan-stage regex chains, RE2-safe ((?is) flags + non-greedy only), so
+    * the oracle mirrors every step and a stream runs it unmodified.
+    *
+    * Deliberately a lightweight extractor, not a DOM parser: boilerplate
+    * REMOVAL is the job of the downstream cleaners ([[Lines.c4Clean]],
+    * [[Lines.dropBoilerplate]], the span family) — this stage only has to
+    * be deterministic, cheap, and lossless about visible text. */
+  def htmlToText(html: Column): Column = {
+    val h0 = coalesce(html, lit(""))
+    val noScript = regexp_replace(h0, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(p|div|br|li|ul|ol|tr|table|h[1-6])\\b[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]+>", " ")
+    val unescaped = Seq( // none of these entities contains a regex metachar
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val spaces = regexp_replace(unescaped, "[ \\t\\f\\r]+", " ")
+    val nl = regexp_replace(spaces, " ?\\n ?", "\n")
+    trim(regexp_replace(nl, "\\n{2,}", "\n"))
+  }
+
   /** Per-source RANK NORMALIZATION: every row gains its exact 0-based rank
     * and percentile rank of `score` WITHIN its source — the calibration
     * step before cross-source score comparisons (a 0.7 from a classifier

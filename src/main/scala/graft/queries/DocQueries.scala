@@ -4496,6 +4496,76 @@ object DocQueries {
         |  n.doc_id = a.keep_id AS is_keeper
         |FROM n JOIN a USING (canonical_url) ORDER BY doc_id""".stripMargin)),
 
+    // ---- HTML -> text extraction (step ZERO of the web chain): synthetic
+    //      pages with script/style bodies, comments, block tags, attributes
+    //      and the common entities, built from the word soup; the oracle
+    //      replays the identical RE2-safe regex chain ('g' flags — Spark
+    //      regexp_replace is global by default). Block tags must become
+    //      line breaks: the line-based cleaners downstream key on that.
+    "q_curate_html_extract" -> Q(
+      (s, d) => {
+        val words = split(col("text"), " ")
+        def seg(st: Int, ln: Int) = array_join(slice(words, st, ln), " ")
+        val html = concat(
+          lit("<html><head><title>"), seg(1, 2),
+          lit("</title><style>p{c:red}</style>"),
+          lit("<script>var a=\"<p>\";</script></head><body><h1>"), seg(3, 3),
+          lit("</h1><p>"), seg(6, 4), lit(" &amp; "), seg(10, 2),
+          lit("</p><!-- "), seg(12, 2), lit(" --><div class=\"x\">"), seg(14, 3),
+          lit("&nbsp;[&#39;q&#39;]</div><ul><li>"), seg(17, 2),
+          lit("</li></ul></body></html>"))
+        docsP(s, d).select(col("doc_id"), html.as("html"))
+          .select(col("doc_id"),
+            graft.operators.Curation.htmlToText(col("html")).as("text"))
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            (size(split(col("text"), "\n"))).cast("bigint").as("n_lines"),
+            length(col("text")).cast("bigint").as("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |h AS (SELECT doc_id,
+        |  '<html><head><title>'
+        |  || coalesce(array_to_string(list_slice(ws, 1, 2), ' '), '')
+        |  || '</title><style>p{c:red}</style>'
+        |  || '<script>var a="<p>";</script></head><body><h1>'
+        |  || coalesce(array_to_string(list_slice(ws, 3, 5), ' '), '')
+        |  || '</h1><p>'
+        |  || coalesce(array_to_string(list_slice(ws, 6, 9), ' '), '')
+        |  || ' &amp; '
+        |  || coalesce(array_to_string(list_slice(ws, 10, 11), ' '), '')
+        |  || '</p><!-- '
+        |  || coalesce(array_to_string(list_slice(ws, 12, 13), ' '), '')
+        |  || ' --><div class="x">'
+        |  || coalesce(array_to_string(list_slice(ws, 14, 16), ' '), '')
+        |  || '&nbsp;[&#39;q&#39;]</div><ul><li>'
+        |  || coalesce(array_to_string(list_slice(ws, 17, 18), ' '), '')
+        |  || '</li></ul></body></html>' AS html
+        |  FROM w),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)</?(p|div|br|li|ul|ol|tr|table|h[1-6])\\b[^>]*>', chr(10), 'g')
+        |  AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(t,
+        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g')
+        |  AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, '[ \\t\\f\\r]+', ' ', 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM s7),
+        |s9 AS (SELECT doc_id,
+        |  trim(regexp_replace(t, '\\n{2,}', chr(10), 'g')) AS t FROM s8)
+        |SELECT doc_id, md5(t) AS text_md5,
+        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(length(t) AS BIGINT) AS n_chars
+        |FROM s9 ORDER BY doc_id""".stripMargin)),
+
     // ---- robots-style URL-prefix screening: the path-level blocklist
     //      (whole site sections excluded). BOTH sides canonicalize — the
     //      gate's prefixes arrive uppercase/userinfo'd/with default ports

@@ -994,6 +994,35 @@ class OperatorsSpec extends SparkSpec {
     assert(keep == 0L)
   }
 
+  test("htmlToText: scripts/styles/comments die, blocks become lines, entities unescape once") {
+    import graft.operators.Curation
+    val html =
+      """<html><head><title>T</title><style>p{c:red}</style>
+        |<script>var a = "<p>hidden</p>";</script></head>
+        |<body><h1 class="big">Head Line</h1><p>para one &amp; more</p>
+        |<!-- secret comment --><div>second&nbsp;para</div>
+        |<pre>kept inline</pre><ul><li>item A</li></ul>
+        |tail &amp;lt; stays literal</body></html>""".stripMargin.replace("\n", "")
+    val out = Seq(html).toDF("h")
+      .select(Curation.htmlToText(col("h")).as("t")).collect()(0).getString(0)
+    assert(!out.contains("hidden") && !out.contains("c:red") &&
+      !out.contains("secret"))
+    val lines = out.split("\n").toSeq
+    assert(lines.contains("Head Line"))
+    assert(lines.contains("para one & more"))      // &amp; unescaped
+    assert(lines.contains("second para"))          // &nbsp; -> space
+    assert(lines.contains("item A"))
+    // single-pass unescape: &amp;lt; becomes the LITERAL &lt;
+    assert(out.contains("tail &lt; stays literal"))
+    // <pre> is NOT a block tag (the \b boundary): its text stays inline
+    assert(out.contains("kept inline"))
+    // null -> '' and plain text passes through trimmed
+    val plain = Seq((1L, null.asInstanceOf[String]), (2L, "  just text  "))
+      .toDF("id", "h").select(col("id"), Curation.htmlToText(col("h")).as("t"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(plain == Seq("", "just text"))
+  }
+
   test("canonicalizeUrl folds fragment/tracking/userinfo/port/slash; dedupByUrl keeps min id") {
     import graft.operators.Curation
     val urls = Seq(
