@@ -5054,6 +5054,124 @@ object DocQueries {
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // ---- Web capstone v2 — the PARSE-and-clean chain, starting from raw
+    //      HTML: htmlToText (script/style chrome dies, <p>/<div> blocks
+    //      become the lines C4 keys on) -> C4 rule cleaning -> blocklist
+    //      any-hit drop -> per-source 200-token budget (first-come cut).
+    //      Complements q_pipeline_web_curate (which starts at crawl
+    //      metadata); every stage's mirror is already gate-proven solo.
+    "q_pipeline_web_curate_v2" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{Curation, Lines}
+        val words = split(col("text"), " ")
+        def line(st: Int, ln: Int, tail: String) =
+          concat(array_join(slice(words, st, ln), " "), lit(tail))
+        def pTag(c: Column) = concat(lit("<p>"), c, lit("</p>"))
+        val html = concat(
+          lit("<html><head><script>nav();</script><style>.m{}</style></head><body>"),
+          pTag(line(1, 6, ".")),
+          pTag(line(7, 3, ".")),
+          pTag(lit("please enable javascript to view this page.")),
+          concat(lit("<div>"), line(10, 7, ""), lit("</div>")),
+          pTag(line(4, 8, " done!")),
+          pTag(line(12, 7, " right?")),
+          when(col("doc_id") % 7 === 0,
+            pTag(lit("lorem ipsum dolor sit amet consectetur elite prose.")))
+            .otherwise(lit("")),
+          lit("</body></html>"))
+        val parsed = docsP(s, d).select(col("doc_id"), col("source"),
+          Curation.htmlToText(html).as("page"))
+        val c4 = Lines.c4Clean(parsed, "doc_id", "page").filter(col("keep_doc"))
+          .select(col("doc_id"), col("text"))
+          .join(parsed.select("doc_id", "source"), Seq("doc_id"))
+        val terms = Seq("slow", "dup", "noise").toDF("term")
+        val screened = Curation.blocklistFlags(c4, "doc_id", "text", terms)
+          .filter(!col("has_blocked"))
+          .select(col("doc_id"), col("source"), col("n_tokens").cast("bigint")
+            .as("n_tokens"))
+        Curation.capTokensPerKey(screened, col("source"), col("n_tokens"),
+            budget = 200L, order = Seq(col("doc_id")), idCol = col("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tokens").cast("bigint").as("n_tokens"))
+          .orderBy("source")
+      },
+      Some {
+        val seg = (a: Int, b: Int) =>
+          s"coalesce(array_to_string(list_slice(ws, $a, $b), ' '), '')"
+        val ctToks = ToksSql.replace("lower(text)", "lower(ct)")
+        s"""WITH w0 AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |h AS (SELECT doc_id, source,
+        |  '<html><head><script>nav();</script><style>.m{}</style></head><body>'
+        |  || '<p>' || ${seg(1, 6)} || '.' || '</p>'
+        |  || '<p>' || ${seg(7, 9)} || '.' || '</p>'
+        |  || '<p>please enable javascript to view this page.</p>'
+        |  || '<div>' || ${seg(10, 16)} || '</div>'
+        |  || '<p>' || ${seg(4, 11)} || ' done!' || '</p>'
+        |  || '<p>' || ${seg(12, 18)} || ' right?' || '</p>'
+        |  || (CASE WHEN doc_id % 7 = 0
+        |      THEN '<p>lorem ipsum dolor sit amet consectetur elite prose.</p>'
+        |      ELSE '' END)
+        |  || '</body></html>' AS html FROM w0),
+        |x1 AS (SELECT doc_id, source, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |x2 AS (SELECT doc_id, source, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM x1),
+        |x3 AS (SELECT doc_id, source, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM x2),
+        |x4 AS (SELECT doc_id, source, regexp_replace(t,
+        |  '(?i)</?(p|div|br|li|ul|ol|tr|table|h[1-6])\\b[^>]*>', chr(10), 'g')
+        |  AS t FROM x3),
+        |x5 AS (SELECT doc_id, source, regexp_replace(t, '<[^>]+>', ' ', 'g')
+        |  AS t FROM x4),
+        |x6 AS (SELECT doc_id, source,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(t,
+        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g')
+        |  AS t FROM x5),
+        |x7 AS (SELECT doc_id, source,
+        |  regexp_replace(t, '[ \\t\\f\\r]+', ' ', 'g') AS t FROM x6),
+        |x8 AS (SELECT doc_id, source,
+        |  regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM x7),
+        |pgv AS (SELECT doc_id, source,
+        |  trim(regexp_replace(t, '\\n{2,}', chr(10), 'g')) AS t0 FROM x8),
+        |c4 AS (SELECT doc_id, source, t0,
+        |  list_transform(list_filter(string_split(t0, chr(10)), s2 ->
+        |    regexp_matches(trim(s2), '[.!?"]$$')
+        |    AND len(string_split_regex(trim(s2), '\\s+')) >= 5
+        |    AND NOT contains(lower(trim(s2)), 'javascript')
+        |    AND NOT contains(lower(trim(s2)), 'terms of use')
+        |    AND NOT contains(lower(trim(s2)), 'privacy policy')
+        |    AND NOT contains(lower(trim(s2)), 'cookie policy')
+        |    AND NOT contains(lower(trim(s2)), 'uses cookies')
+        |    AND NOT contains(lower(trim(s2)), 'use of cookies')
+        |    AND NOT contains(lower(trim(s2)), 'use cookies')
+        |  ), s2 -> trim(s2)) AS kept FROM pgv),
+        |cc AS (SELECT doc_id, source, t0,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS ct FROM c4),
+        |cv AS (SELECT doc_id, source, ct FROM cc
+        |  WHERE NOT contains(t0, '{') AND NOT contains(lower(t0), 'lorem ipsum')
+        |    AND length(regexp_replace(ct, '[^.!?]', '', 'g')) >= 3),
+        |bl AS (SELECT unnest(['slow', 'dup', 'noise']) AS tok),
+        |e0 AS (SELECT doc_id, unnest($ctToks) AS tok FROM cv),
+        |hb AS (SELECT e0.doc_id, count(*) AS n_blocked
+        |  FROM e0 JOIN bl ON bl.tok = e0.tok GROUP BY 1),
+        |scr AS (SELECT cv.doc_id, cv.source,
+        |  CAST(len($ctToks) AS BIGINT) AS n_tokens
+        |  FROM cv LEFT JOIN hb ON hb.doc_id = cv.doc_id
+        |  WHERE COALESCE(hb.n_blocked, 0) = 0),
+        |cw AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER (
+        |  PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM scr)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM cw WHERE cum - n_tokens < 200
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // ---- cross-corpus near-dup linkage: jaccard pairs BETWEEN two id
     //      spaces (the doc_id % 3 split plays "fresh crawl" vs "held
     //      corpus"), df-cut over the union of both token streams.
