@@ -223,6 +223,14 @@ class PlanSpec extends SparkSpec {
       s"C4 rule cleaning must stay per-row:\n$p")
   }
 
+  test("htmlToText is pure scan stage: zero exchanges, zero windows, zero joins") {
+    import graft.operators.Curation
+    val p = planOf(Tables.documents(spark, sf)
+      .select(col("doc_id"), Curation.htmlToText(col("text")).as("t")))
+    assert(!p.contains("Exchange") && !p.contains("Window [") &&
+      !p.contains("Join"), s"HTML extraction must stay per-row:\n$p")
+  }
+
   test("weightedBottomKPerKey phase-1 window is (key, shard)-sharded") {
     import graft.operators.Sampling
     val docs = Tables.documents(spark, sf)
