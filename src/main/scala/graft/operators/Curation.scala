@@ -139,6 +139,33 @@ object Curation {
       .drop("__shard", "__r", "__off")
   }
 
+  /** Rank-averaged score ENSEMBLE — the multi-scorer combine for data
+    * filtering (a heuristic 0.7, an NB log-odds 42, and an entropy 4.1 are
+    * incomparable; their per-source percentile ranks are): every score in
+    * `scores` is [[rankNormalizeBySource rank-normalized]] within its
+    * source, and `ensemble_score` is the MEAN of the percentile ranks —
+    * rank averaging, robust to any monotone rescaling of any member.
+    * Output: the input plus one `pct_<name>` per scorer and
+    * `ensemble_score`; threshold it globally like any pct_rank.
+    *
+    * Scale shape: k independent applications of the two-phase sharded rank
+    * (each exact, no corpus-scale window partitions — see
+    * [[rankNormalizeBySource]]); the mean is a scan-stage k-term sum with
+    * a fixed summation order, so the combined score is bit-reproducible. */
+  def ensembleRank(df: DataFrame, sourceCol: String, idCol: Column,
+                   scores: Seq[(String, Column)], shards: Int = 8,
+                   approx: Boolean = false): DataFrame = {
+    require(scores.nonEmpty, "need at least one score")
+    val ranked = scores.foldLeft(df) { case (acc, (name, sc)) =>
+      rankNormalizeBySource(acc, sourceCol, sc, idCol, shards, approx)
+        .withColumnRenamed("pct_rank", s"pct_$name")
+        .drop("src_rank", "src_n")
+    }
+    ranked.withColumn("ensemble_score",
+      scores.map { case (n, _) => col(s"pct_$n") }.reduce(_ + _)
+        / lit(scores.size.toDouble))
+  }
+
   /** Blocklist term screening: every document gains token-level hit counts
     * against a TERM FRAME (n_tokens, n_blocked, blocked_frac, has_blocked) —
     * the badwords/policy filter of web-corpus pipelines (C4 drops any

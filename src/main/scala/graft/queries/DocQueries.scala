@@ -5256,6 +5256,61 @@ object DocQueries {
     //      source at the same quantile. Oracle = a plain per-source
     //      (row_number - 1) / (n - 1) window, which the sharded
     //      reassembly must reproduce bit for bit.
+    // ---- Rank-averaged score ensemble: heuristic quality, token count,
+    //      and char entropy — three incomparable scales — combined as the
+    //      mean of their per-source percentile ranks (robust to any
+    //      monotone rescaling of any member). The oracle replays three
+    //      one-window rank chains and the same fixed-order mean.
+    "q_curate_ensemble_rank" -> Q(
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).cast("double").as("len_score"),
+          graft.functions.Entropy.charEntropy(col("text")).as("ent"))
+        graft.operators.Curation.ensembleRank(docs, "source", col("doc_id"),
+            Seq("quality" -> col("quality"), "length" -> col("len_score"),
+              "entropy" -> col("ent")))
+          .select(col("doc_id"), col("source"),
+            round(col("pct_quality"), 6).as("pct_quality"),
+            round(col("pct_length"), 6).as("pct_length"),
+            round(col("pct_entropy"), 6).as("pct_entropy"),
+            round(col("ensemble_score"), 6).as("ensemble_score"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${qualityLangCtes("documents")},
+        |ch AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(text, '[\\s\\S]')) AS c FROM documents),
+        |g AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(n) AS DOUBLE) AS L FROM g GROUP BY 1),
+        |e AS (SELECT g.doc_id,
+        |  CAST(sum(CAST(round(-((n / L) * ln(n / L) / ln(2)), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS ent
+        |  FROM g JOIN tot USING (doc_id) GROUP BY 1),
+        |base AS (SELECT s0.doc_id, s0.source, s0.quality,
+        |  CAST(s0.n_toks AS DOUBLE) AS len_score,
+        |  coalesce(e.ent, CAST(0 AS DOUBLE)) AS ent
+        |  FROM scored s0 LEFT JOIN e USING (doc_id)),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) - 1
+        |    AS rq,
+        |  row_number() OVER (PARTITION BY source ORDER BY len_score, doc_id) - 1
+        |    AS rl,
+        |  row_number() OVER (PARTITION BY source ORDER BY ent, doc_id) - 1
+        |    AS re,
+        |  count(*) OVER (PARTITION BY source) AS n FROM base),
+        |pp AS (SELECT doc_id, source,
+        |  CASE WHEN n > 1 THEN CAST(rq AS DOUBLE) / (n - 1)
+        |    ELSE CAST(0 AS DOUBLE) END AS pq,
+        |  CASE WHEN n > 1 THEN CAST(rl AS DOUBLE) / (n - 1)
+        |    ELSE CAST(0 AS DOUBLE) END AS pl,
+        |  CASE WHEN n > 1 THEN CAST(re AS DOUBLE) / (n - 1)
+        |    ELSE CAST(0 AS DOUBLE) END AS pe FROM r)
+        |SELECT doc_id, source, round(pq, 6) AS pct_quality,
+        |  round(pl, 6) AS pct_length, round(pe, 6) AS pct_entropy,
+        |  round(((pq + pl) + pe) / CAST(3 AS DOUBLE), 6) AS ensemble_score
+        |FROM pp ORDER BY doc_id""".stripMargin)),
+
     "q_curate_rank_normalize" -> Q(
       (s, d) => {
         val docs = Tables.documents(s, d).select(

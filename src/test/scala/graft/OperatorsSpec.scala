@@ -1066,6 +1066,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter(_._1 == "ok.example").forall(!_._3))
   }
 
+  test("ensembleRank: mean of pct ranks, invariant to monotone member rescaling") {
+    import graft.operators.Curation
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % 13).cast("double").as("a"),
+        (col("doc_id") % 7).cast("double").as("b"))
+    val two = Curation.ensembleRank(docs, "source", col("doc_id"),
+        Seq("a" -> col("a"), "b" -> col("b")))
+      .select(col("doc_id"), col("pct_a"), col("pct_b"), col("ensemble_score"))
+      .collect()
+    two.foreach { r =>
+      assert(r.getDouble(3) == (r.getDouble(1) + r.getDouble(2)) / 2.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // a monotone rescale of a member (exp) changes nothing: ranks are ranks
+    val rescaled = Curation.ensembleRank(docs, "source", col("doc_id"),
+        Seq("a" -> exp(col("a")), "b" -> col("b")))
+      .select(col("doc_id"), col("ensemble_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = two.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rescaled == plain)
+  }
+
   test("domain stats merge exactly: incremental fold == flat recompute, schema stable") {
     import graft.operators.Curation
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
