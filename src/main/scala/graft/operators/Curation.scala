@@ -148,20 +148,27 @@ object Curation {
     * Output: the input plus one `pct_<name>` per scorer and
     * `ensemble_score`; threshold it globally like any pct_rank.
     *
-    * Scale shape: k independent applications of the two-phase sharded rank
+    * Scale shape: k INDEPENDENT applications of the two-phase sharded rank
     * (each exact, no corpus-scale window partitions — see
-    * [[rankNormalizeBySource]]); the mean is a scan-stage k-term sum with
-    * a fixed summation order, so the combined score is bit-reproducible. */
+    * [[rankNormalizeBySource]]), each reading the base frame directly and
+    * rejoined on the unique id — NOT a fold that feeds chain k the output
+    * of chain k-1, which would re-evaluate every earlier chain's lineage
+    * (k²/2 plan cost; the same recompute trap the MMR rewrite removed).
+    * The id joins are uniform-key equi-joins; the mean is a scan-stage
+    * k-term sum with a fixed summation order, bit-reproducible. */
   def ensembleRank(df: DataFrame, sourceCol: String, idCol: Column,
                    scores: Seq[(String, Column)], shards: Int = 8,
                    approx: Boolean = false): DataFrame = {
     require(scores.nonEmpty, "need at least one score")
-    val ranked = scores.foldLeft(df) { case (acc, (name, sc)) =>
-      rankNormalizeBySource(acc, sourceCol, sc, idCol, shards, approx)
-        .withColumnRenamed("pct_rank", s"pct_$name")
-        .drop("src_rank", "src_n")
+    val rankFrames = scores.map { case (name, sc) =>
+      rankNormalizeBySource(df, sourceCol, sc, idCol, shards, approx)
+        .select(idCol.as("__er_id"), col("pct_rank").as(s"pct_$name"))
     }
-    ranked.withColumn("ensemble_score",
+    val joined = rankFrames
+      .foldLeft(df.withColumn("__er_id", idCol)) { (acc, r) =>
+        acc.join(r, Seq("__er_id"))
+      }
+    joined.drop("__er_id").withColumn("ensemble_score",
       scores.map { case (n, _) => col(s"pct_$n") }.reduce(_ + _)
         / lit(scores.size.toDouble))
   }
