@@ -494,6 +494,17 @@ object ScaleCheck {
         graft.operators.Sampling.weightedBottomKPerKey(docs, col("source"),
           col("doc_id"), col("w"), k = 1000, salt = ":sw")
       },
+      // rank-averaged ensemble: 3 independent two-phase rank chains over
+      // the base frame + uniform-id equi-joins (never a fold)
+      "ensemble_rank" -> { d =>
+        graft.GraftExtensions.register(spark)
+        val docs = Tables.documents(spark, d).select(col("doc_id"),
+          col("source"), TextFunctions.qualityScore(col("text")).as("q"),
+          TextFunctions.tokenCount(col("text")).cast("double").as("l"),
+          graft.functions.Entropy.charEntropy(col("text")).as("e"))
+        graft.operators.Curation.ensembleRank(docs, "source", col("doc_id"),
+          Seq("q" -> col("q"), "l" -> col("l"), "e" -> col("e")))
+      },
       // char entropy: native codegen'd kernel, pure scan stage
       "entropy" -> { d =>
         graft.GraftExtensions.register(spark)
