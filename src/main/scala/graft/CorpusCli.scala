@@ -21,6 +21,8 @@ import graft.sources.Export
   *
   * Stages (each an already-gated operator; flags feed the audit, filters
   * feed the corpus):
+  *   0. with `--from-html`: HTML → text extraction (the text column is raw
+  *      markup — script/style chrome dies, blocks become lines)
   *   1. quality + language screen (scan-stage Column trees)
   *   2. exact dedup, first occurrence kept
   *   3. per-source token budget, best-quality-first (two-phase exact cut)
@@ -38,9 +40,16 @@ object CorpusCli {
 
   def curate(spark: SparkSession, inDir: String, outDir: String,
              shards: Int = 8, budgetTokensPerSource: Long = 50000L,
-             minQuality: Double = 0.4, lang: String = "en"): Summary = {
-    val docs = Tables.documents(spark, inDir)
+             minQuality: Double = 0.4, lang: String = "en",
+             fromHtml: Boolean = false): Summary = {
+    // --from-html: the text column is raw markup — run the extraction
+    // stage (capstone-v2's step zero) before any text operator sees it
+    val raw = Tables.documents(spark, inDir)
       .select(col("doc_id"), col("source"), col("text"))
+    val extracted =
+      if (fromHtml) raw.withColumn("text", Curation.htmlToText(col("text")))
+      else raw
+    val docs = extracted
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
       .withColumn("lang", TextFunctions.langId(col("text")))
@@ -98,7 +107,8 @@ object CorpusCli {
         shards = arg("--shards", "8").toInt,
         budgetTokensPerSource = arg("--budget-tokens", "50000").toLong,
         minQuality = arg("--min-quality", "0.4").toDouble,
-        lang = arg("--lang", "en"))
+        lang = arg("--lang", "en"),
+        fromHtml = args.contains("--from-html"))
       val verdicts = s.byVerdict.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       println(s"""{"n_docs":${s.nDocs},"n_kept":${s.nKept},""" +

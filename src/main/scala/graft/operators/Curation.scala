@@ -73,7 +73,9 @@ object Curation {
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
     val spaces = regexp_replace(unescaped, "[ \\t\\f\\r]+", " ")
     val nl = regexp_replace(spaces, " ?\\n ?", "\n")
-    trim(regexp_replace(nl, "\\n{2,}", "\n"))
+    val squeezed = regexp_replace(nl, "\\n{2,}", "\n")
+    // trim() strips spaces only — boundary newline runs go by regex
+    trim(regexp_replace(squeezed, "^\\n+|\\n+$", ""))
   }
 
   /** Per-source RANK NORMALIZATION: every row gains its exact 0-based rank

@@ -4560,7 +4560,8 @@ object DocQueries {
         |s7 AS (SELECT doc_id, regexp_replace(t, '[ \\t\\f\\r]+', ' ', 'g') AS t FROM s6),
         |s8 AS (SELECT doc_id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM s7),
         |s9 AS (SELECT doc_id,
-        |  trim(regexp_replace(t, '\\n{2,}', chr(10), 'g')) AS t FROM s8)
+        |  trim(regexp_replace(regexp_replace(t, '\\n{2,}', chr(10), 'g'),
+        |    '^\\n+|\\n+$$', '', 'g')) AS t FROM s8)
         |SELECT doc_id, md5(t) AS text_md5,
         |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
         |  CAST(length(t) AS BIGINT) AS n_chars
@@ -5137,7 +5138,8 @@ object DocQueries {
         |x8 AS (SELECT doc_id, source,
         |  regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM x7),
         |pgv AS (SELECT doc_id, source,
-        |  trim(regexp_replace(t, '\\n{2,}', chr(10), 'g')) AS t0 FROM x8),
+        |  trim(regexp_replace(regexp_replace(t, '\\n{2,}', chr(10), 'g'),
+        |    '^\\n+|\\n+$$', '', 'g')) AS t0 FROM x8),
         |c4 AS (SELECT doc_id, source, t0,
         |  list_transform(list_filter(string_split(t0, chr(10)), s2 ->
         |    regexp_matches(trim(s2), '[.!?"]$$')

@@ -200,4 +200,33 @@ class CliSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptAudit == corpus.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
+
+  test("CorpusCli --from-html extracts first and lands on the plain-text result") {
+    // stage an input whose text column is raw markup wrapping the same words
+    val htmlDir = Files.createTempDirectory("graft-corpus-html").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("text", concat(
+        lit("<html><head><script>nav();</script></head><body><p>"),
+        col("text"), lit("</p></body></html>")))
+      .write.mode("overwrite").parquet(s"$htmlDir/documents.parquet")
+    val outH = Files.createTempDirectory("graft-corpus-h").toString
+    val outP = Files.createTempDirectory("graft-corpus-p").toString
+    val fromHtml = CorpusCli.curate(spark, htmlDir, outH,
+      shards = 4, budgetTokensPerSource = 2000L, fromHtml = true)
+    val plain = CorpusCli.curate(spark, "/root/testdata/sf0.001", outP,
+      shards = 4, budgetTokensPerSource = 2000L)
+    // extraction recovers the wrapped text exactly, so every downstream
+    // verdict — and the delivered corpus — is identical
+    assert(fromHtml.byVerdict == plain.byVerdict && fromHtml.shardsOk)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def texts(o: String) = graft.sources.Export
+      .readJsonlSharded(spark, s"$o/corpus", schema)
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(outH) == texts(outP))
+  }
 }
