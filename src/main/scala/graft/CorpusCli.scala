@@ -57,10 +57,18 @@ object CorpusCli {
     // stage flags (computed for EVERY doc — the audit's raw material)
     val qualityFail = col("quality") < minQuality
     val langFail = col("lang") =!= lang
-    val withDup = Dedup.exact(docs, "doc_id", "text")
-      .select(col("doc_id"), col("is_keeper"))
-      .join(docs, Seq("doc_id"))
-    val dupFail = !col("is_keeper")
+    // dedup AFTER the quality/lang screen: a group whose min-id copy fails
+    // quality would otherwise lose every copy (the keeper audited as a
+    // quality drop, the passing copies as duplicates) — deduping the
+    // surviving population keeps each group's first PASSING exemplar.
+    // Screen-failed docs have no keeper row (is_keeper null); the verdict's
+    // first-fail order reports them as quality/lang, never as duplicates.
+    val prescreened = docs.filter(!qualityFail && !langFail)
+    val withDup = docs.join(
+      Dedup.exact(prescreened, "doc_id", "text")
+        .select(col("doc_id"), col("is_keeper")),
+      Seq("doc_id"), "left")
+    val dupFail = !coalesce(col("is_keeper"), lit(true))
 
     // budget is evaluated only over docs surviving the earlier screens —
     // a budget computed over to-be-dropped rows would under-fill sources
@@ -85,10 +93,11 @@ object CorpusCli {
       col("doc_id"), shards, s"$outDir/corpus")
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
 
-    val check = Export.validateShards(
-      Export.readJsonlSharded(spark, s"$outDir/corpus",
-        kept.select("doc_id", "source", "text", "n_tokens", "quality").schema),
-      spark.read.parquet(s"$outDir/manifest"))
+    // full pre-flight: rows AND byte totals AND null-required-field count —
+    // a count-only check cannot see PERMISSIVE-corrupt lines
+    val check = Export.validateShardsBytes(spark, s"$outDir/corpus",
+      kept.select("doc_id", "source", "text", "n_tokens", "quality").schema,
+      spark.read.parquet(s"$outDir/manifest"), requiredCol = "doc_id")
     val shardsOk = check.collect().forall(_.getAs[Boolean]("ok"))
 
     val byVerdict = verdict.groupBy("verdict").count()

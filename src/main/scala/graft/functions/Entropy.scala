@@ -11,14 +11,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * base64 blobs sit near log2(alphabet); keyboard-mash and repeated-char
   * filler sits far below typical prose at ~4.0-4.5 bits for English).
   *
-  * Definition: counts over UTF-16 code units; entropy =
+  * Definition: counts over Unicode CODE POINTS (L = code-point count) —
+  * matching both Spark's own `length` semantics and regex-per-character
+  * engines (a supplementary-plane char like an emoji is ONE symbol, not
+  * two surrogate halves); entropy =
   * Σ_c round12(-(n_c/L)·ln(n_c/L)/ln 2), the per-character contributions
   * each rounded to 12 decimals and summed EXACTLY (decimal accumulation).
   * Rounding the contributions (the repo's cross-engine `ln` contract) and
   * summing them exactly makes the result ORDER-INDEPENDENT and
   * bit-reproducible on any engine: a DuckDB mirror is
   * `sum(CAST(round(-(n/L)*ln(n/L)/ln(2), 12) AS DECIMAL(28,12)))` over the
-  * per-character group counts. Empty string -> 0.0; null -> null.
+  * per-code-point group counts (`regexp_extract_all(text, '[\s\S]')`
+  * extracts code points, so the mirror agrees on non-BMP text too).
+  * Empty string -> 0.0; null -> null.
   */
 object Entropy {
   /** Column surface (native expression; registered as SQL `char_entropy`
@@ -28,25 +33,27 @@ object Entropy {
 
   private val Ln2 = math.log(2.0)
 
-  /** Kernel: one pass to count code units, one ordered-map-free exact
+  /** Kernel: one pass to count code points, one ordered-map-free exact
     * decimal fold over the distinct-char contributions. Alphabet size
-    * bounds the fold (≤ distinct code units), so cost is O(len + alphabet)
+    * bounds the fold (≤ distinct code points), so cost is O(len + alphabet)
     * per row. */
   def compute(s: UTF8String): Double = {
     val str = s.toString
     val len = str.length
     if (len == 0) return 0.0
-    val counts = new java.util.HashMap[Character, Int]()
+    val counts = new java.util.HashMap[Integer, Int]()
     var i = 0
+    var nCp = 0
     while (i < len) {
-      val ch = str.charAt(i)
-      val prev = counts.get(ch)
-      counts.put(ch, if (prev == null) 1 else prev + 1)
-      i += 1
+      val cp = str.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1 else prev + 1)
+      i += Character.charCount(cp)
+      nCp += 1
     }
     var acc = java.math.BigDecimal.ZERO
     val it = counts.values().iterator()
-    val dl = len.toDouble
+    val dl = nCp.toDouble
     while (it.hasNext) {
       val p = it.next().toDouble / dl
       val contrib = -(p * math.log(p) / Ln2)

@@ -164,17 +164,33 @@ object Similarity {
     * query set is small, so the window shuffle is negligible. Cell order
     * (distance asc, cell id asc) matches the assignment tie-break. */
   private[operators] def probeCells(queries: DataFrame, centroids: DataFrame,
-                         nProbe: Int): DataFrame = {
+                         nProbe: Int): DataFrame =
+    probeCellsExtra(queries, centroids, nProbe, Nil)
+
+  /** [[probeCells]] carrying extra query-side columns (e.g. a component
+    * label) through the probe — same broadcast join + native dist2. */
+  private[operators] def probeCellsExtra(queries: DataFrame, centroids: DataFrame,
+                         nProbe: Int, extra: Seq[String]): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("__d"), col("cell"))
     queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+      .select(Seq(col("vec_id").as("query_id"), col("embedding").as("q_v")) ++
+        extra.map(col): _*)
       .crossJoin(broadcast(centroids))
       .withColumn("__d",
         graft.functions.VecCosine.dist2(col("q_v"), col("centroid")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= nProbe)
-      .select(col("query_id"), col("q_v"), col("cell"))
+      .select(Seq(col("query_id"), col("q_v"), col("cell")) ++ extra.map(col): _*)
   }
+
+  /** The candidate store of an index for probe joins: a quantized index's
+    * codes dequantize once per row in the scan stage; a raw index scans
+    * as-is. */
+  private def probeStore(index: IvfIndex): DataFrame =
+    if (index.assigned.columns.contains("codes"))
+      index.assigned.select(col("cell"), col("nbr_id"),
+        VectorFunctions.dequantizeI8(col("codes"), col("scale")).as("nbr_v"))
+    else index.assigned.select(col("cell"), col("nbr_id"), col("nbr_v"))
 
   /** Train the coarse quantizer and assign every corpus vector to its cell.
     * The assignment frame is persisted: it is the reusable index. */
@@ -225,12 +241,7 @@ object Similarity {
   def searchIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
     graft.GraftExtensions.register(queries.sparkSession)
     val probed = probeCells(queries, index.centroids, nProbe)
-    val store =
-      if (index.assigned.columns.contains("codes"))
-        index.assigned.select(col("cell"), col("nbr_id"),
-          VectorFunctions.dequantizeI8(col("codes"), col("scale")).as("nbr_v"))
-      else index.assigned
-    val scored = store.join(broadcast(probed), Seq("cell"))
+    val scored = probeStore(index).join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
@@ -396,7 +407,17 @@ object Similarity {
     * cells' files are never opened or moved, so per-delete cost scales
     * with the touched cells, not the index — asserted in SimilaritySpec,
     * along with load-after-delete ≡ fresh assignment of the surviving
-    * corpus. */
+    * corpus.
+    *
+    * Crash safety: nothing is DELETED until every touched cell has been
+    * swapped — each original cell dir is renamed ASIDE into the temp dir
+    * (`replaced__cell=N`) before its rewrite is renamed in, so a failure at
+    * any point leaves every row recoverable on disk. If a crashed run left
+    * `assigned__deleting` behind: finish by moving its remaining `cell=N`
+    * dirs into `assigned` (replacing any `replaced__` twin's slot), or roll
+    * back by moving the `replaced__cell=N` dirs back; then delete the temp
+    * dir and rerun. Like [[compactIvf]], the swap itself is maintenance
+    * that assumes a quiesced index (no concurrent readers mid-rename). */
   def deleteFromIvf(spark: SparkSession, dir: String,
                     deleteIds: DataFrame): Unit = {
     val idCol = deleteIds.columns.head
@@ -416,7 +437,11 @@ object Similarity {
       .map(_.getPath.getName).filter(_.startsWith("cell=")).toSet
     touched.foreach { c =>
       val cellDir = s"cell=$c"
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/assigned/$cellDir"), true)
+      // move the original ASIDE (never delete-first): both copies stay on
+      // disk until the temp dir is dropped at the end, so a crash anywhere
+      // in the loop loses nothing — see the recovery note in the scaladoc
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/assigned/$cellDir"),
+        new org.apache.hadoop.fs.Path(s"$tmp/replaced__$cellDir"))
       if (rewritten(cellDir))
         fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$cellDir"),
           new org.apache.hadoop.fs.Path(s"$dir/assigned/$cellDir"))
@@ -672,6 +697,85 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_v"), col("component").as("q_comp"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        (col("nbr_comp") === col("q_comp")).as("same"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id", "same")
+      .orderBy(desc("cosine"), asc("nbr_id"))
+    val ranked = scored.withColumn("rank", row_number().over(w))
+    val pos = ranked.filter(col("same") && col("rank") === 1)
+      .select(col("query_id"), col("nbr_id").as("pos_id"),
+        col("cosine").as("pos_cosine"))
+    val neg = ranked.filter(!col("same") && col("rank") <= kNeg)
+      .select(col("query_id"), col("rank").as("neg_rank"),
+        col("nbr_id").as("neg_id"), col("cosine").as("neg_cosine"))
+    pos.join(neg, Seq("query_id"))
+      .select("query_id", "pos_id", "pos_cosine", "neg_rank", "neg_id",
+        "neg_cosine")
+  }
+
+  /** [[hardNegativeTopK]] routed through a persisted IVF index — retires
+    * the engine's last O(corpus × queries) scan: candidate generation IS
+    * the cell equi-join (each query scores only its `nProbe` nearest
+    * cells' vectors), and the same-component exclusion rides the candidate
+    * join's predicate, so excluded pairs never materialize. `components`
+    * is the (vec_id, component) labeling ([[Dedup.semanticDedup]] output);
+    * it joins the INDEX side by id — one shuffle of two id-partitioned
+    * frames, independent of the query count (in deployment the label
+    * column is co-written into the index layout at [[appendIvf]] time and
+    * the join disappears). Works on a [[quantizeIvf]]-compressed index
+    * (codes dequantize in the probe scan).
+    *
+    * At nProbe = nLists every cell is probed and the output equals
+    * [[hardNegativeTopK]] row for row (the oracle gate); at production
+    * nProbe << nLists each query touches nProbe/nLists of the corpus and
+    * recall vs exact is bounded in SimilaritySpec. */
+  def hardNegativeTopKIvf(index: IvfIndex, components: DataFrame,
+                          queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    graft.GraftExtensions.register(queries.sparkSession)
+    val probed = probeCellsExtra(
+      queries.select(col("vec_id"), col("embedding"),
+        col("component").as("q_comp")),
+      index.centroids, nProbe, Seq("q_comp"))
+    val store = probeStore(index).join(
+      components.select(col("vec_id").as("nbr_id"),
+        col("component").as("nbr_comp")),
+      Seq("nbr_id"))
+    val scored = store.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id") &&
+        col("nbr_comp") =!= col("q_comp"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[contrastivePairs]] routed through a persisted IVF index — the same
+    * cell-pruned candidate generation as [[hardNegativeTopKIvf]], with the
+    * positive (most-similar SAME-component neighbor) and the negatives
+    * (component-excluded top-kNeg) both drawn from the probed cells: ONE
+    * cell-pruned scan scores both streams (the same/diff flag is a column),
+    * one window partitioned by (query, same-flag), and a
+    * (queries × kNeg)-bounded join. A query's positive is its nearest
+    * near-duplicate, so it lives in the query's nearest cells with the
+    * same locality that makes IVF retrieval work — at nProbe = nLists the
+    * output equals [[contrastivePairs]] row for row (the oracle gate);
+    * recall at nProbe < nLists is bounded in SimilaritySpec. */
+  def contrastivePairsIvf(index: IvfIndex, components: DataFrame,
+                          queries: DataFrame, kNeg: Int, nProbe: Int): DataFrame = {
+    require(kNeg > 0, "kNeg must be positive")
+    graft.GraftExtensions.register(queries.sparkSession)
+    val probed = probeCellsExtra(
+      queries.select(col("vec_id"), col("embedding"),
+        col("component").as("q_comp")),
+      index.centroids, nProbe, Seq("q_comp"))
+    val store = probeStore(index).join(
+      components.select(col("vec_id").as("nbr_id"),
+        col("component").as("nbr_comp")),
+      Seq("nbr_id"))
+    val scored = store.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
         (col("nbr_comp") === col("q_comp")).as("same"),
         graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))

@@ -620,6 +620,119 @@ object DocQueries {
        |WHERE containment >= $threshold
        |ORDER BY c.id_a, c.id_b""".stripMargin
 
+  /** Shared labeling for the contrastive/hard-negative gate family: the
+    * deterministic q_dedup_semantic chain (hash cells + exact-mean
+    * centroids + recursive components) joined back onto the double-cast
+    * embeddings — (vec_id, embedding, component). */
+  private def semanticLabeled(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Centroids
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"),
+      pmod(Dedup.tokenFp60(concat(col("vec_id").cast("string"), lit(":sc1"))),
+        lit(8L)).as("cell0"))
+    val cents = e.groupBy("cell0").agg(
+        array((1 to 64).map(i =>
+          Centroids.exactDimMean(col("vec_id"), element_at(col("v"), i))): _*)
+          .as("centroid"))
+      .select(col("cell0").as("cell"), col("centroid"))
+    e.select(col("vec_id"), col("v").as("embedding"))
+      .join(Dedup.semanticDedup(e, "vec_id", "v", cents, threshold = 0.35)
+        .select("vec_id", "component"), Seq("vec_id"))
+  }
+
+  /** Oracle for the hard-negative gates (brute and IVF-at-nProbe=nLists
+    * compute the same rows, so both share it): re-runs the semantic
+    * labeling chain and ranks the component-excluded pairs. */
+  private lazy val HardNegativesOracleSql: String = {
+    val lists = (1 to 64)
+      .map(i => s"list(v[$i] ORDER BY vec_id) AS l$i").mkString(", ")
+    val dims = (1 to 64)
+      .map(i => s"list_dot_product(l$i, list_transform(l$i, x -> 1.0)) / len(l$i)")
+      .mkString(", ")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    |  ${fp60Sql("CAST(vec_id AS VARCHAR) || ':sc1'")} % 8 AS cell0
+    |  FROM embeddings),
+    |g AS (SELECT cell0, $lists FROM e GROUP BY cell0),
+    |c AS (SELECT cell0 AS cell, [$dims] AS centroid FROM g),
+    |asg0 AS (SELECT e.vec_id, e.v, c.cell,
+    |  ${d2Sql("e.v", "c.centroid")} AS d2 FROM e CROSS JOIN c),
+    |asg AS (SELECT vec_id, v, cell, d2 FROM (
+    |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+    |    AS rn FROM asg0) WHERE rn = 1),
+    |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b
+    |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+    |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.35 AS DOUBLE)),
+    |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+    |  UNION ALL SELECT id_b, id_a FROM p),
+    |reach(src, dst) AS (SELECT src, dst FROM edges
+    |  UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+    |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+    |  FROM reach GROUP BY src),
+    |lab AS (SELECT asg.vec_id, asg.v,
+    |  COALESCE(comp.comp, asg.vec_id) AS component
+    |  FROM asg LEFT JOIN comp ON comp.id = asg.vec_id),
+    |q AS (SELECT vec_id AS query_id, v AS qv, component AS qc
+    |  FROM lab WHERE vec_id < 8),
+    |scored AS (SELECT query_id, n.vec_id AS nbr_id,
+    |  ${cosSql("qv", "n.v")} AS cosine
+    |  FROM lab n CROSS JOIN q
+    |  WHERE n.vec_id != query_id AND n.component != qc)
+    |SELECT query_id, nbr_id, cosine,
+    | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+    |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle for the contrastive-triplet gates (brute and
+    * IVF-at-nProbe=nLists share it): same labeling chain; positive =
+    * same-component top-1, negatives = component-excluded top-5. */
+  private lazy val ContrastivePairsOracleSql: String = {
+    val lists = (1 to 64)
+      .map(i => s"list(v[$i] ORDER BY vec_id) AS l$i").mkString(", ")
+    val dims = (1 to 64)
+      .map(i => s"list_dot_product(l$i, list_transform(l$i, x -> 1.0)) / len(l$i)")
+      .mkString(", ")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+    |  ${fp60Sql("CAST(vec_id AS VARCHAR) || ':sc1'")} % 8 AS cell0
+    |  FROM embeddings),
+    |g AS (SELECT cell0, $lists FROM e GROUP BY cell0),
+    |c AS (SELECT cell0 AS cell, [$dims] AS centroid FROM g),
+    |asg0 AS (SELECT e.vec_id, e.v, c.cell,
+    |  ${d2Sql("e.v", "c.centroid")} AS d2 FROM e CROSS JOIN c),
+    |asg AS (SELECT vec_id, v, cell, d2 FROM (
+    |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
+    |    AS rn FROM asg0) WHERE rn = 1),
+    |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b
+    |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+    |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.35 AS DOUBLE)),
+    |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+    |  UNION ALL SELECT id_b, id_a FROM p),
+    |reach(src, dst) AS (SELECT src, dst FROM edges
+    |  UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
+    |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
+    |  FROM reach GROUP BY src),
+    |lab AS (SELECT asg.vec_id, asg.v,
+    |  COALESCE(comp.comp, asg.vec_id) AS component
+    |  FROM asg LEFT JOIN comp ON comp.id = asg.vec_id),
+    |q AS (SELECT vec_id AS query_id, v AS qv, component AS qc
+    |  FROM lab WHERE vec_id < 64),
+    |scored AS (SELECT query_id, n.vec_id AS nbr_id,
+    |  (n.component = qc) AS same, ${cosSql("qv", "n.v")} AS cosine
+    |  FROM lab n CROSS JOIN q
+    |  WHERE n.vec_id != query_id),
+    |pos AS (SELECT query_id, nbr_id AS pos_id, cosine AS pos_cosine
+    |  FROM scored WHERE same
+    |  QUALIFY row_number() OVER (PARTITION BY query_id
+    |    ORDER BY cosine DESC, nbr_id) = 1),
+    |neg AS (SELECT query_id, nbr_id AS neg_id, cosine AS neg_cosine,
+    |  row_number() OVER (PARTITION BY query_id
+    |    ORDER BY cosine DESC, nbr_id) AS neg_rank
+    |  FROM scored WHERE NOT same QUALIFY neg_rank <= 5)
+    |SELECT p2.query_id, p2.pos_id, p2.pos_cosine, n2.neg_rank,
+    |  n2.neg_id, n2.neg_cosine
+    |FROM pos p2 JOIN neg n2 USING (query_id)
+    |ORDER BY query_id, neg_rank""".stripMargin
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ==================== text analysis ====================
@@ -3375,62 +3488,32 @@ object DocQueries {
     // oracle re-runs it and ranks the component-excluded pairs.
     "q_sim_hard_negatives" -> Q(
       (s, d) => {
-        import graft.operators.Centroids
-        val e = Tables.embeddings(s, d).select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v"),
-          pmod(Dedup.tokenFp60(concat(col("vec_id").cast("string"), lit(":sc1"))),
-            lit(8L)).as("cell0"))
-        val cents = e.groupBy("cell0").agg(
-            array((1 to 64).map(i =>
-              Centroids.exactDimMean(col("vec_id"), element_at(col("v"), i))): _*)
-              .as("centroid"))
-          .select(col("cell0").as("cell"), col("centroid"))
-        val labeled = e.select(col("vec_id"), col("v").as("embedding"))
-          .join(Dedup.semanticDedup(e, "vec_id", "v", cents, threshold = 0.35)
-            .select("vec_id", "component"), Seq("vec_id"))
+        val labeled = semanticLabeled(s, d)
         Similarity.hardNegativeTopK(labeled,
             labeled.filter(col("vec_id") < 8), k = 10)
           .withColumn("rank", col("rank").cast("bigint"))
           .orderBy("query_id", "rank")
       },
-      Some {
-        val lists = (1 to 64)
-          .map(i => s"list(v[$i] ORDER BY vec_id) AS l$i").mkString(", ")
-        val dims = (1 to 64)
-          .map(i => s"list_dot_product(l$i, list_transform(l$i, x -> 1.0)) / len(l$i)")
-          .mkString(", ")
-        s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |  ${fp60Sql("CAST(vec_id AS VARCHAR) || ':sc1'")} % 8 AS cell0
-        |  FROM embeddings),
-        |g AS (SELECT cell0, $lists FROM e GROUP BY cell0),
-        |c AS (SELECT cell0 AS cell, [$dims] AS centroid FROM g),
-        |asg0 AS (SELECT e.vec_id, e.v, c.cell,
-        |  ${d2Sql("e.v", "c.centroid")} AS d2 FROM e CROSS JOIN c),
-        |asg AS (SELECT vec_id, v, cell, d2 FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
-        |    AS rn FROM asg0) WHERE rn = 1),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b
-        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.35 AS DOUBLE)),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION ALL SELECT id_b, id_a FROM p),
-        |reach(src, dst) AS (SELECT src, dst FROM edges
-        |  UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
-        |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
-        |  FROM reach GROUP BY src),
-        |lab AS (SELECT asg.vec_id, asg.v,
-        |  COALESCE(comp.comp, asg.vec_id) AS component
-        |  FROM asg LEFT JOIN comp ON comp.id = asg.vec_id),
-        |q AS (SELECT vec_id AS query_id, v AS qv, component AS qc
-        |  FROM lab WHERE vec_id < 8),
-        |scored AS (SELECT query_id, n.vec_id AS nbr_id,
-        |  ${cosSql("qv", "n.v")} AS cosine
-        |  FROM lab n CROSS JOIN q
-        |  WHERE n.vec_id != query_id AND n.component != qc)
-        |SELECT query_id, nbr_id, cosine,
-        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
-        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
-      }),
+      Some(HardNegativesOracleSql)),
+
+    // The same mining routed through the persisted IVF index (round 14 —
+    // retires the engine's last O(corpus x queries) scan): candidates come
+    // from the query's probed cells, the component exclusion rides the
+    // candidate join. At nProbe = nLists (this gate) every cell is probed,
+    // so the result is bit-identical to the brute twin and shares its
+    // oracle; the nProbe < nLists recall bound lives in SimilaritySpec.
+    "q_sim_hard_negatives_ivf" -> Q(
+      (s, d) => {
+        val labeled = semanticLabeled(s, d)
+        val index = Similarity.sharedIvf(Tables.embeddings(s, d),
+          corpusKey = d, nLists = 16)
+        Similarity.hardNegativeTopKIvf(index,
+            labeled.select("vec_id", "component"),
+            labeled.filter(col("vec_id") < 8), k = 10, nProbe = 16)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(HardNegativesOracleSql)),
 
     // ---- Contrastive triplet builder: anchors (vec_id < 8), positive =
     //      most-similar SAME near-dup-component neighbor, negatives = the
@@ -3440,71 +3523,29 @@ object DocQueries {
     //      no component mate emit nothing.
     "q_sim_contrastive_pairs" -> Q(
       (s, d) => {
-        import graft.operators.Centroids
-        val e = Tables.embeddings(s, d).select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v"),
-          pmod(Dedup.tokenFp60(concat(col("vec_id").cast("string"), lit(":sc1"))),
-            lit(8L)).as("cell0"))
-        val cents = e.groupBy("cell0").agg(
-            array((1 to 64).map(i =>
-              Centroids.exactDimMean(col("vec_id"), element_at(col("v"), i))): _*)
-              .as("centroid"))
-          .select(col("cell0").as("cell"), col("centroid"))
-        val labeled = e.select(col("vec_id"), col("v").as("embedding"))
-          .join(Dedup.semanticDedup(e, "vec_id", "v", cents, threshold = 0.35)
-            .select("vec_id", "component"), Seq("vec_id"))
+        val labeled = semanticLabeled(s, d)
         Similarity.contrastivePairs(labeled,
             labeled.filter(col("vec_id") < 64), kNeg = 5)
           .withColumn("neg_rank", col("neg_rank").cast("bigint"))
           .orderBy("query_id", "neg_rank")
       },
-      Some {
-        val lists = (1 to 64)
-          .map(i => s"list(v[$i] ORDER BY vec_id) AS l$i").mkString(", ")
-        val dims = (1 to 64)
-          .map(i => s"list_dot_product(l$i, list_transform(l$i, x -> 1.0)) / len(l$i)")
-          .mkString(", ")
-        s"""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |  ${fp60Sql("CAST(vec_id AS VARCHAR) || ':sc1'")} % 8 AS cell0
-        |  FROM embeddings),
-        |g AS (SELECT cell0, $lists FROM e GROUP BY cell0),
-        |c AS (SELECT cell0 AS cell, [$dims] AS centroid FROM g),
-        |asg0 AS (SELECT e.vec_id, e.v, c.cell,
-        |  ${d2Sql("e.v", "c.centroid")} AS d2 FROM e CROSS JOIN c),
-        |asg AS (SELECT vec_id, v, cell, d2 FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell)
-        |    AS rn FROM asg0) WHERE rn = 1),
-        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM asg a JOIN asg b
-        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE ${cosSql("a.v", "b.v")} >= CAST(0.35 AS DOUBLE)),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-        |  UNION ALL SELECT id_b, id_a FROM p),
-        |reach(src, dst) AS (SELECT src, dst FROM edges
-        |  UNION SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src),
-        |comp AS (SELECT src AS id, least(src, min(dst)) AS comp
-        |  FROM reach GROUP BY src),
-        |lab AS (SELECT asg.vec_id, asg.v,
-        |  COALESCE(comp.comp, asg.vec_id) AS component
-        |  FROM asg LEFT JOIN comp ON comp.id = asg.vec_id),
-        |q AS (SELECT vec_id AS query_id, v AS qv, component AS qc
-        |  FROM lab WHERE vec_id < 64),
-        |scored AS (SELECT query_id, n.vec_id AS nbr_id,
-        |  (n.component = qc) AS same, ${cosSql("qv", "n.v")} AS cosine
-        |  FROM lab n CROSS JOIN q
-        |  WHERE n.vec_id != query_id),
-        |pos AS (SELECT query_id, nbr_id AS pos_id, cosine AS pos_cosine
-        |  FROM scored WHERE same
-        |  QUALIFY row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, nbr_id) = 1),
-        |neg AS (SELECT query_id, nbr_id AS neg_id, cosine AS neg_cosine,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, nbr_id) AS neg_rank
-        |  FROM scored WHERE NOT same QUALIFY neg_rank <= 5)
-        |SELECT p2.query_id, p2.pos_id, p2.pos_cosine, n2.neg_rank,
-        |  n2.neg_id, n2.neg_cosine
-        |FROM pos p2 JOIN neg n2 USING (query_id)
-        |ORDER BY query_id, neg_rank""".stripMargin
-      }),
+      Some(ContrastivePairsOracleSql)),
+
+    // IVF-routed triplet builder (round 14): positives and negatives both
+    // drawn from the probed cells; at nProbe = nLists bit-identical to the
+    // brute twin (shared oracle). See q_sim_hard_negatives_ivf.
+    "q_sim_contrastive_pairs_ivf" -> Q(
+      (s, d) => {
+        val labeled = semanticLabeled(s, d)
+        val index = Similarity.sharedIvf(Tables.embeddings(s, d),
+          corpusKey = d, nLists = 16)
+        Similarity.contrastivePairsIvf(index,
+            labeled.select("vec_id", "component"),
+            labeled.filter(col("vec_id") < 64), kNeg = 5, nProbe = 16)
+          .withColumn("neg_rank", col("neg_rank").cast("bigint"))
+          .orderBy("query_id", "neg_rank")
+      },
+      Some(ContrastivePairsOracleSql)),
 
     // Two-stage search: quantized-IVF candidates (top-20 at nProbe = nLists,
     // so the candidate set is exactly quantized brute-force top-20) re-ranked

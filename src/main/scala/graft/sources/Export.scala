@@ -50,9 +50,11 @@ object Export {
   /** Loader side of [[jsonlSharded]]: read the shard directories back into
     * rows of `schema` plus the `shard` column (recovered from the
     * `shard=N/` partition layout by the text source — no re-hashing).
-    * `columnNameOfCorruptRecord` rows surface as all-null rows under
-    * PERMISSIVE parsing; use [[validateShards]] to catch them against the
-    * manifest rather than silently training on nulls. */
+    * Corrupt lines surface as all-null rows under PERMISSIVE parsing — and
+    * still occupy one line each, so [[validateShards]]'s row counts CANNOT
+    * see them; run [[validateShardsBytes]] (which also checks the
+    * manifest's byte totals and counts null required fields) before
+    * training on a re-read export. */
   def readJsonlSharded(spark: org.apache.spark.sql.SparkSession, path: String,
                        schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.text(path)
@@ -77,6 +79,50 @@ object Export {
         coalesce(col("expected_rows"), lit(0L)).as("expected_rows"),
         coalesce(col("actual_rows"), lit(0L)).as("actual_rows"))
       .withColumn("ok", col("expected_rows") === col("actual_rows"))
+      .orderBy("shard")
+  }
+
+  /** FULL pre-flight — the validation [[validateShards]]'s row counts alone
+    * cannot give: a PERMISSIVE-corrupt JSON line still occupies one line,
+    * so per-shard counts match while the all-null row trains silently, and
+    * a truncated file can even keep its line count. This variant re-reads
+    * the export RAW (one text scan, no second pass) and checks, per shard:
+    *
+    *  - row count vs the manifest's `n_rows`;
+    *  - CONTENT total vs the manifest's `n_bytes` (line length + newline,
+    *    exactly [[jsonlSharded]]'s accounting — catches truncation and
+    *    padding that preserve line counts);
+    *  - `n_bad`: lines whose `requiredCol` parses to null under `schema`
+    *    (catches in-place corruption that preserves length — a corrupt
+    *    line parses to all-nulls, and a training row needs its id).
+    *
+    * Output: (shard, expected_rows, actual_rows, expected_bytes,
+    * actual_bytes, n_bad, ok) — full-outer against the manifest so missing
+    * and unexpected shards both surface; `ok` requires all three checks. */
+  def validateShardsBytes(spark: org.apache.spark.sql.SparkSession, path: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          manifest: DataFrame, requiredCol: String): DataFrame = {
+    val raw = spark.read.text(path)
+      .select(col("shard").cast("long").as("shard"),
+        (length(col("value")).cast("long") + lit(1L)).as("__bytes"),
+        from_json(col("value"), schema).getField(requiredCol).isNull.as("__bad"))
+    val actual = raw.groupBy("shard")
+      .agg(count(lit(1)).as("actual_rows"),
+        sum(col("__bytes")).as("actual_bytes"),
+        sum(when(col("__bad"), lit(1L)).otherwise(lit(0L))).as("n_bad"))
+    manifest.select(col("shard").cast("long").as("shard"),
+        col("n_rows").as("expected_rows"), col("n_bytes").as("expected_bytes"))
+      .join(actual, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        coalesce(col("expected_rows"), lit(0L)).as("expected_rows"),
+        coalesce(col("actual_rows"), lit(0L)).as("actual_rows"),
+        coalesce(col("expected_bytes"), lit(0L)).as("expected_bytes"),
+        coalesce(col("actual_bytes"), lit(0L)).as("actual_bytes"),
+        coalesce(col("n_bad"), lit(0L)).as("n_bad"))
+      .withColumn("ok",
+        col("expected_rows") === col("actual_rows") &&
+          col("expected_bytes") === col("actual_bytes") &&
+          col("n_bad") === 0L)
       .orderBy("shard")
   }
 }

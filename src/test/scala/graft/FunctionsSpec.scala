@@ -40,6 +40,13 @@ class FunctionsSpec extends SparkSpec {
     // prose sits well above repeated filler
     assert(e("the quick brown fox jumps over the lazy dog") > 3.0)
     assert(e("aaaaaaaaaaaaaaaaaaaaaab") < 0.5)
+    // supplementary-plane chars count as ONE code point, not two surrogate
+    // halves: a string of one repeated emoji is single-symbol (0 bits), and
+    // "a🙂" is one fair bit — matching the DuckDB per-code-point mirror
+    assert(e("🙂🙂🙂") == 0.0)
+    assert(math.abs(e("a🙂") - 1.0) < 1e-9)
+    // mixed BMP + astral: p = [2/4, 1/4, 1/4] -> 1.5 bits over L=4 symbols
+    assert(math.abs(e("🙂🙂ab") - 1.5) < 1e-9)
     GraftExtensions.register(spark)
     val out = spark.sql("SELECT char_entropy('abcd') AS h").as[Double].head()
     assert(out == 2.0)

@@ -664,6 +664,68 @@ class SimilaritySpec extends SparkSpec {
     assert(negs.toSet == Set(2L, 3L, 5L)) // kNeg=3 over the 3 other-component vecs
   }
 
+  test("IVF-routed hard negatives: nProbe=nLists equals brute; pruning keeps exclusion and monotone recall") {
+    val emb = Tables.embeddings(spark, sf)
+    // any labeling exercises the contract; a coarse mod-component makes
+    // same-component exclusions actually occur among the top candidates
+    val labeled = emb.select(col("vec_id"), col("embedding"),
+      pmod(col("vec_id"), lit(7L)).as("component"))
+    val queries = labeled.filter(col("vec_id") < 8)
+    val comps = labeled.select("vec_id", "component")
+    val index = Similarity.buildIvf(emb, nLists = 8)
+    try {
+      val exact = Similarity.hardNegativeTopK(labeled, queries, k = 10)
+        .select("query_id", "nbr_id", "cosine", "rank")
+      // exhaustive probe = brute force, row for row
+      val full = Similarity.hardNegativeTopKIvf(index, comps, queries,
+        k = 10, nProbe = 8).select("query_id", "nbr_id", "cosine", "rank")
+      assert(full.exceptAll(exact).count() == 0 &&
+        exact.exceptAll(full).count() == 0)
+      val exactPairs = exact.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val compOf = comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def prunedPairs(nProbe: Int): Set[(Long, Long)] = {
+        val rows = Similarity.hardNegativeTopKIvf(index, comps, queries,
+          k = 10, nProbe = nProbe).collect()
+        // exclusion survives pruning; every pair's cosine is the true cosine
+        rows.foreach { r =>
+          val (q, n) = (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))
+          assert(compOf(q) != compOf(n), s"same-component pair ($q,$n)")
+        }
+        rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("nbr_id"))).toSet
+      }
+      // candidate supersets can only improve agreement with exact top-k
+      val r2 = prunedPairs(2).intersect(exactPairs).size.toDouble / exactPairs.size
+      val r4 = prunedPairs(4).intersect(exactPairs).size.toDouble / exactPairs.size
+      assert(r4 >= r2, s"recall must be monotone in nProbe: $r2 -> $r4")
+      assert(r4 > 0.0, "nProbe=4 of 8 must recover some exact negatives")
+    } finally index.assigned.unpersist()
+  }
+
+  test("contrastivePairsIvf at nProbe=nLists matches contrastivePairs incl. mateless drop") {
+    import spark.implicits._
+    val labeled = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 100L),
+      (1L, Seq(0.95f, 0.1f, 0.0f), 100L),
+      (2L, Seq(0.9f, 0.2f, 0.0f), 200L),
+      (3L, Seq(0.0f, 0.0f, 1.0f), 300L),
+      (5L, Seq(0.5f, 0.5f, 0.0f), 500L))
+      .toDF("vec_id", "embedding", "component")
+    val index = Similarity.buildIvf(
+      labeled.select("vec_id", "embedding"), nLists = 2)
+    try {
+      val brute = Similarity.contrastivePairs(labeled,
+        labeled.filter(col("vec_id").isin(0L, 5L)), kNeg = 3)
+      val ivf = Similarity.contrastivePairsIvf(index,
+        labeled.select("vec_id", "component"),
+        labeled.filter(col("vec_id").isin(0L, 5L)), kNeg = 3, nProbe = 2)
+      assert(ivf.exceptAll(brute).count() == 0 &&
+        brute.exceptAll(ivf).count() == 0)
+      // the mateless anchor (5) emits nothing through the IVF path either
+      assert(ivf.filter(col("query_id") === 5L).count() == 0)
+    } finally index.assigned.unpersist()
+  }
+
   test("MMR at lambda=1 is plain top-k; lower lambda breaks up a planted redundant pair") {
     import spark.implicits._
     // query q looks for (1,0); candidates: two near-identical high-relevance

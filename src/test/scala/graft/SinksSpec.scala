@@ -151,4 +151,58 @@ class SinksSpec extends SparkSpec {
     assert(badShard >= 0 && !v2(badShard) && v2.count(!_._2) == 1,
       s"exactly the tampered shard ($badShard) must fail: $v2")
   }
+
+  test("validateShardsBytes catches same-line-count corruption that row counts cannot") {
+    import graft.sources.Export
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 37L).map(i => (i, s"doc $i text", s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val out = tmpDir("jsonl5").toString
+    val manifest = Export.jsonlSharded(docs, col("doc_id"), shards = 4, out)
+      .persist()
+    manifest.count()
+    // pristine export: all three checks green
+    val v0 = Export.validateShardsBytes(spark, out, docs.schema, manifest, "doc_id")
+    assert(v0.collect().forall(r =>
+      r.getAs[Boolean]("ok") && r.getAs[Long]("n_bad") == 0L))
+    // tamper two ways that BOTH preserve per-shard line counts:
+    //  - shard A: corrupt one line in place, SAME length (JSON no longer
+    //    parses -> doc_id null) — only n_bad can see it
+    //  - shard B: truncate one line by a byte (still valid-length line set?
+    //    no — broken JSON AND short bytes) — bytes and n_bad both see it
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    def firstPart(d: java.io.File) =
+      d.listFiles().filter(_.getName.startsWith("part-")).head
+    val pa = firstPart(dirs(0)).toPath
+    val la = java.nio.file.Files.readAllLines(pa)
+    la.set(0, "x" * la.get(0).length) // same length, unparseable
+    java.nio.file.Files.write(pa, la)
+    val pb = firstPart(dirs(1)).toPath
+    val lb = java.nio.file.Files.readAllLines(pb)
+    lb.set(0, lb.get(0).dropRight(1)) // one byte short, line count intact
+    java.nio.file.Files.write(pb, lb)
+    // drop the local-FS checksum sidecars: the tamper simulates a corrupt
+    // DELIVERY (no crc files on the loader side), not a torn local write
+    dirs.take(2).foreach(_.listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete()))
+    spark.catalog.refreshByPath(out)
+    val shardA = dirs(0).getName.stripPrefix("shard=").toLong
+    val shardB = dirs(1).getName.stripPrefix("shard=").toLong
+    // row-count-only validation is blind to both
+    val weak = Export.validateShards(
+      Export.readJsonlSharded(spark, out, docs.schema), manifest)
+    assert(weak.collect().forall(_.getAs[Boolean]("ok")),
+      "row counts must NOT catch same-line-count corruption (that's the hole)")
+    val v = Export.validateShardsBytes(spark, out, docs.schema, manifest, "doc_id")
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(!v(shardA).getAs[Boolean]("ok") && v(shardA).getAs[Long]("n_bad") == 1L)
+    assert(v(shardA).getAs[Long]("expected_bytes") ==
+      v(shardA).getAs[Long]("actual_bytes"), "in-place corruption keeps bytes")
+    assert(!v(shardB).getAs[Boolean]("ok") &&
+      v(shardB).getAs[Long]("actual_bytes") ==
+        v(shardB).getAs[Long]("expected_bytes") - 1L)
+    assert(v.values.count(!_.getAs[Boolean]("ok")) == 2)
+    manifest.unpersist()
+  }
 }
