@@ -4214,10 +4214,16 @@ object DocQueries {
     "q_pipeline_audit" -> Q(
       (s, d) => {
         import graft.operators.{Curation, Decontaminate}
+        // the quality/lang scan roots FIVE consumers (gated -> keepers /
+        // kept / decon / inCap plus the final verdict join): persist it —
+        // and the two other twice-read stages — or each branch re-runs the
+        // full upstream scan (measured 12.6 s solo unpinned, r13 verdict)
         val base = docsP(s, d).select(
-          col("doc_id"), col("text"), col("source"),
-          TextFunctions.qualityScore(col("text")).as("quality"),
-          TextFunctions.langId(col("text")).as("lang"))
+            col("doc_id"), col("text"), col("source"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            TextFunctions.langId(col("text")).as("lang"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        base.count()
         val gated = base.filter(col("quality") >= 0.6 && col("lang") === "en")
         val grp = Window.partitionBy(md5(col("text")))
         val keepers = gated
@@ -4227,11 +4233,15 @@ object DocQueries {
           .join(keepers.filter(col("is_keeper")), Seq("doc_id"), "left_semi")
           .filter(pmod(col("doc_id"), lit(20)) =!= 0)
           .select("doc_id", "source", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kept.count()
         val bench = docsP(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
           .select("doc_id", "text")
         val decon = Decontaminate.fractions(kept, bench, "doc_id", "text",
             threshold = 0.5, shingleK = ShingleK)
           .select(col("doc_id"), col("is_contaminated"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        decon.count()
         val clean = kept.join(
           decon.filter(!col("is_contaminated")), Seq("doc_id"), "left_semi")
         val inCap = Curation.capPerKey(clean, col("source"), n = 40,
@@ -5396,4 +5406,16 @@ object DocQueries {
     """{"hourly": {"time": ["2025-01-01T00:00", "2025-01-01T01:00", "2025-01-02T00:00"],
       | "pm2_5": [10.0, 20.0, 40.0],
       | "pm10": [25.0, 30.0, 60.0]}}""".stripMargin
+
+  /** [[FixtureWeatherJson]] plus the OPTIONAL Open-Meteo `daily` block the
+    * reference frontend consumes but its backend never requests
+    * (app.js:323-324,788-792 vs web.py:478-485) — exercises the non-null
+    * sunrise/sunset path end to end. */
+  val FixtureWeatherSunJson: String =
+    """{"hourly": {"time": ["2025-01-01T00:00", "2025-01-01T01:00", "2025-01-02T00:00"],
+      | "temperature_2m": [25.0, 26.5, 24.0],
+      | "precipitation": [0.0, 0.1, 2.4]},
+      | "daily": {"time": ["2025-01-01", "2025-01-02"],
+      | "sunrise": ["2025-01-01T05:58", "2025-01-02T05:59"],
+      | "sunset": ["2025-01-01T18:05", "2025-01-02T18:06"]}}""".stripMargin
 }

@@ -148,6 +148,28 @@ object WeatherQueries {
         |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         |ORDER BY date""".stripMargin)),
 
+    // ---- §2.6 optional gap closed at the oracle level: a payload WITH the
+    //      daily block emits real sunrise/sunset strings on the daily rows
+    //      (the null path is q_weather_daily; the ragged-array guard is
+    //      spec'd in WeatherTransformSpec).
+    "q_weather_daily_sun" -> Q(
+      (s, _) => WeatherTransform.daily(
+          WeatherSources.rawFromJson(s, DocQueries.FixtureWeatherSunJson),
+          WeatherSources.rawFromJson(s, DocQueries.FixtureAirJson))
+        .orderBy("date"),
+      Some("""SELECT CAST('2025-01-01' AS DATE) AS date,
+        |  CAST(25.0 AS DOUBLE) AS temp_min, CAST(26.5 AS DOUBLE) AS temp_max,
+        |  CAST(0.1 AS DOUBLE) AS total_rain, CAST(15.0 AS DOUBLE) AS pm25_avg,
+        |  CAST(27.5 AS DOUBLE) AS pm10_avg, 'Sedang' AS pm25_category,
+        |  '2025-01-01T05:58' AS sunrise, '2025-01-01T18:05' AS sunset
+        |UNION ALL
+        |SELECT CAST('2025-01-02' AS DATE),
+        |  CAST(24.0 AS DOUBLE), CAST(24.0 AS DOUBLE),
+        |  CAST(2.4 AS DOUBLE), CAST(40.0 AS DOUBLE),
+        |  CAST(60.0 AS DOUBLE), 'Tidak sehat (sensitif)',
+        |  '2025-01-02T05:59', '2025-01-02T18:06'
+        |ORDER BY date""".stripMargin)),
+
     "q_weather_hourly" -> Q(
       (s, _) => WeatherTransform.hourly(
           WeatherSources.rawFromJson(s, DocQueries.FixtureWeatherJson),

@@ -346,6 +346,70 @@ object StreamingOps {
         (col("best.cosine") >= threshold).as("is_contaminated"))
   }
 
+  /** [[semanticDecontStream]] pruned by an IVF index over the BENCHMARK
+    * embeddings — the streaming twin of the batch
+    * [[graft.operators.Decontaminate.semanticFlagsIvf]] pruning, for
+    * benchmark sets too large to score in full per document: each arriving
+    * doc ranks the index's centroids IN THE SCAN STAGE (the centroid table
+    * collapses to a one-row broadcast array at plan-build time — a
+    * streaming plan cannot run [[graft.operators.Similarity.probeCells]]'s
+    * rank window, and nLists is bounded, so the per-row sort is the
+    * stream-safe formulation of the same probe; distance ties break to the
+    * lower cell id, matching the batch assignment), explodes to its
+    * `nProbe` nearest cells, and scores ONLY those cells' benchmark
+    * vectors through a stream-static equi-join on cell id — per-doc cost
+    * is nProbe/nLists of the benchmark, and the join re-resolves per batch
+    * so a refreshed index parquet is picked up without restart. The only
+    * state is the same (window, id) collapse as the full variant.
+    *
+    * Approximate by design: a benchmark vector outside the probed cells is
+    * not scored, so `max_cosine` can only be ≤ the full variant's (a doc is
+    * never flagged that full scoring would clear). At nProbe = nLists every
+    * cell is probed and closed windows equal [[semanticDecontStream]] row
+    * for row (spec-pinned); a doc probing only EMPTY cells emits nothing.
+    * Works on a [[graft.operators.Similarity.quantizeIvf]]-compressed
+    * index (codes dequantize in the probe scan). */
+  def semanticDecontStreamIvf(docs: DataFrame,
+                              benchIndex: graft.operators.Similarity.IvfIndex,
+                              tsCol: String, idCol: String, vecCol: String,
+                              threshold: Double, nProbe: Int,
+                              watermark: String = "1 day"): DataFrame = {
+    graft.GraftExtensions.register(docs.sparkSession)
+    import graft.functions.{VecCosine, VectorFunctions}
+    // one-row broadcast: [(cell, centroid)] sorted by cell — metadata-sized
+    val nested = benchIndex.centroids
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("cell"), col("centroid"))))
+        .as("__cents"))
+    val store =
+      if (benchIndex.assigned.columns.contains("codes"))
+        benchIndex.assigned.select(col("cell"), col("nbr_id"),
+          VectorFunctions.dequantizeI8(col("codes"), col("scale")).as("nbr_v"))
+      else benchIndex.assigned.select(col("cell"), col("nbr_id"), col("nbr_v"))
+    // scan-stage probe: rank (dist2, cell) pairs per row, keep nProbe cells
+    val probedCells = slice(
+      array_sort(transform(col("__cents"), c =>
+        struct(VecCosine.dist2(col("__v"), c.getField("centroid")).as("d"),
+          c.getField("cell").as("cell")))),
+      1, nProbe)
+    docs.select(col(idCol), col(tsCol), col(vecCol).cast("array<double>").as("__v"))
+      .withWatermark(tsCol, watermark)
+      .crossJoin(broadcast(nested))
+      .select(col(idCol), col(tsCol), col("__v"),
+        explode(transform(probedCells, s => s.getField("cell"))).as("cell"))
+      .join(store, Seq("cell"))
+      .select(col(idCol), col(tsCol),
+        VecCosine.cosine(col("__v"), col("nbr_v")).as("cosine"),
+        col("nbr_id"))
+      .groupBy(window(col(tsCol), "1 second"), col(idCol))
+      .agg(max(col(tsCol)).as("__ts"),
+        max(struct(col("cosine"), (-col("nbr_id")).as("nb"))).as("best"))
+      .select(col(idCol), col("__ts").as(tsCol),
+        (-col("best.nb")).as("nearest_bench_id"),
+        col("best.cosine").as("max_cosine"),
+        (col("best.cosine") >= threshold).as("is_contaminated"))
+  }
+
   /** Streaming N-GRAM-COLLISION decontamination — the live twin of
     * [[graft.operators.Decontaminate.ngramCollisions]] (the GPT-3/Llama
     * rule: one shared k-gram with the benchmark set flags the document).

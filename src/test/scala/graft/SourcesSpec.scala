@@ -62,6 +62,61 @@ class SourcesSpec extends SparkSpec {
     assert(calls == 1) // propagated on first throw, no backoff loop
   }
 
+  // ---------------------------- real HTTP client ---------------------------
+
+  test("HttpFetcher against a local stub: params/UA on the wire, status errors retry, body returns") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenQuery: String = null
+    @volatile var seenUa: String = null
+    var flakyCalls = 0
+    def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+    server.createContext("/ok", (ex: HttpExchange) => {
+      seenQuery = ex.getRequestURI.getRawQuery
+      seenUa = ex.getRequestHeaders.getFirst("User-Agent")
+      respond(ex, 200, """{"hourly":{"time":[]}}""")
+    })
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      flakyCalls += 1
+      if (flakyCalls < 3) respond(ex, 503, "unavailable")
+      else respond(ex, 200, """{"ok":true}""")
+    })
+    server.createContext("/down", (ex: HttpExchange) => respond(ex, 500, "boom"))
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val f = new Ingest.HttpFetcher()
+      // params are URL-encoded onto the GET; the UA header is the engine's
+      val body = f.get(s"$base/ok", Seq("hourly" -> "pm2_5,pm10", "days" -> "7"))
+      assert(body == """{"hourly":{"time":[]}}""")
+      assert(seenQuery == "hourly=pm2_5%2Cpm10&days=7")
+      assert(seenUa == Ingest.UserAgent)
+      // non-2xx flows through the SAME retry loop as transport errors:
+      // two 503s then success, with the 0.8 s x1.6 schedule (sleep stubbed)
+      var delays = Vector.empty[Long]
+      val ok = Ingest.fetchJson(f, s"$base/flaky", sleep = d => delays :+= d)
+      assert(ok == """{"ok":true}""" && flakyCalls == 3)
+      assert(delays == Vector(800L, 1280L))
+      // exhaustion wraps the last HttpStatusError in NetworkError
+      val err = intercept[Ingest.NetworkError] {
+        Ingest.fetchJson(f, s"$base/down", sleep = _ => ())
+      }
+      assert(err.getCause.isInstanceOf[Ingest.HttpStatusError] &&
+        err.getCause.asInstanceOf[Ingest.HttpStatusError].status == 500)
+      // transport-level failure (nothing listening) also becomes NetworkError
+      server.stop(0)
+      val dead = intercept[Ingest.NetworkError] {
+        Ingest.fetchJson(f, s"$base/ok", sleep = _ => ())
+      }
+      assert(dead.getCause.isInstanceOf[java.io.IOException])
+    } finally server.stop(0)
+  }
+
   // ---------------------------- fan-out guard ------------------------------
 
   test("fanOut repartitions only scans-narrow inputs, from metadata alone") {

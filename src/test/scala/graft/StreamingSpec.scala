@@ -401,6 +401,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IVF-pruned streaming semantic decon: nProbe=nLists equals full scoring; pruning only lowers max_cosine") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Similarity
+    // benchmark in two well-separated clusters so the 2-cell quantizer
+    // splits them; docs aim at one cluster each
+    val bench = Seq(
+      (100L, Seq(1.0, 0.0)), (101L, Seq(0.9, 0.1)),
+      (102L, Seq(0.0, 1.0)), (103L, Seq(0.1, 0.9)))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.buildIvf(bench, nLists = 2)
+    val rows = Seq(
+      (1L, ts("2025-01-01 00:00:00"), Seq(1.0, 0.05)),
+      (2L, ts("2025-01-01 00:00:01"), Seq(0.05, 1.0)),
+      (3L, ts("2025-01-01 00:00:02"), Seq(0.7, 0.7)),
+      (4L, ts("2025-01-01 00:00:03"), Seq(-1.0, 0.2)))
+    def run(nProbe: Int, qn: String): Set[(Long, Long, Double, Boolean)] = {
+      val mem = MemoryStream[(Long, Timestamp, Seq[Double])]
+      val docs = mem.toDF().toDF("vec_id", "ts", "embedding")
+      val q = StreamingOps.semanticDecontStreamIvf(docs, index,
+          "ts", "vec_id", "embedding", threshold = 0.9, nProbe = nProbe,
+          watermark = "10 minutes")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        // flush: advance the watermark past every doc's window
+        mem.addData((99L, ts("2025-01-04 00:00:00"), Seq(1.0, 0.0)))
+        q.processAllAvailable()
+        s.sql(s"""SELECT vec_id, nearest_bench_id, round(max_cosine, 9) AS c,
+            |  is_contaminated FROM $qn WHERE vec_id < 90""".stripMargin)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getBoolean(3))).toSet
+      } finally q.stop()
+    }
+    try {
+      // full-probe stream == unpruned stream twin on closed windows
+      val memF = MemoryStream[(Long, Timestamp, Seq[Double])]
+      val docsF = memF.toDF().toDF("vec_id", "ts", "embedding")
+      val qf = StreamingOps.semanticDecontStream(docsF, bench,
+          "ts", "vec_id", "embedding", "vec_id", "embedding",
+          threshold = 0.9, watermark = "10 minutes")
+        .writeStream.format("memory").queryName("sem_decont_full")
+        .outputMode(OutputMode.Append()).start()
+      val full = try {
+        memF.addData(rows: _*)
+        qf.processAllAvailable()
+        memF.addData((99L, ts("2025-01-04 00:00:00"), Seq(1.0, 0.0)))
+        qf.processAllAvailable()
+        s.sql("""SELECT vec_id, nearest_bench_id, round(max_cosine, 9) AS c,
+            |  is_contaminated FROM sem_decont_full WHERE vec_id < 90""".stripMargin)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getBoolean(3))).toSet
+      } finally qf.stop()
+      val exhaustive = run(nProbe = 2, qn = "sem_decont_ivf2")
+      assert(exhaustive == full, s"nProbe=nLists $exhaustive != full $full")
+      assert(exhaustive.exists(x => x._1 == 1L && x._4) &&
+        exhaustive.exists(x => x._1 == 4L && !x._4))
+      // pruned: every emitted doc's max_cosine <= the full variant's, and
+      // no doc is flagged that full scoring would clear
+      val pruned = run(nProbe = 1, qn = "sem_decont_ivf1")
+      val fullC = full.map(x => x._1 -> x._3).toMap
+      pruned.foreach { case (id, _, c, flag) =>
+        assert(c <= fullC(id) + 1e-12, s"doc $id pruned cosine $c above full")
+        assert(!flag || full.exists(x => x._1 == id && x._4))
+      }
+    } finally index.assigned.unpersist()
+  }
+
   test("streaming n-gram collision decontamination equals the batch verdicts") {
     val s = spark
     import s.implicits._
