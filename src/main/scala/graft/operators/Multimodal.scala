@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * pattern for petabyte media corpora (payload stays columnar/compressed in
   * parquet, metadata is filterable without touching bytes).
   *
-  * The decode/feature kernels are STUBBED (deliberately): the container has
-  * no image/audio codecs, so `fakeDecodeFeatures` derives a deterministic
-  * fake feature vector from the payload bytes. The Spark-side contract —
-  * schema, partition-preserving mapPartitions batch shape, metadata columns —
-  * is real and tested; swapping the kernel for a real codec changes one
-  * function.
+  * Compressed-format kernels (JPEG/audio/video) are STUBBED (deliberately):
+  * the container has no codec libraries, so `fakeDecodeFeatures` derives a
+  * deterministic fake feature vector from the payload bytes. The Spark-side
+  * contract — schema, partition-preserving mapPartitions batch shape,
+  * metadata columns — is real and tested; swapping a stub for a real codec
+  * changes one function, and [[decodePpmFeatures]] IS that swap for the one
+  * raster format needing no library: a genuine binary P6 PPM parser
+  * (header + RGB plane) with per-channel feature means, oracle-gated.
   */
 object Multimodal {
 
@@ -87,6 +89,112 @@ object Multimodal {
       .withColumn(bytesCol, bytes)
       .withColumn("features", array((0 until 8).map(lane): _*))
       .drop(bytesCol)
+  }
+
+  /** Build REAL P6 (binary) PPM images from the payload bytes — the honest
+    * media corpus for [[decodePpmFeatures]]: width 4, height = the number
+    * of complete 12-byte pixel rows in the payload (min 1 — a short payload
+    * zero-pads its single row), header `P6\n4 <h>\n255\n`, then the raw
+    * RGB plane. Pure Column tree, so the corpus builder stays scan-stage
+    * and analytically mirrorable in oracle SQL; the DECODER never assumes
+    * this construction — it parses whatever header it finds. Meta is
+    * refreshed to describe the new payload. */
+  def encodePpm(media: DataFrame): DataFrame = {
+    val len = length(col("payload")).cast("long")
+    val hRows = greatest(lit(1L), floor(len / 12).cast("long"))
+    val zeros12 = lit(Array.fill[Byte](12)(0: Byte))
+    val pixels = when(len >= 12,
+        col("payload").substr(lit(1), (hRows * 12).cast("int")))
+      .otherwise(concat(coalesce(col("payload"), lit(Array.empty[Byte])),
+        zeros12.substr(lit(1), (lit(12L) - coalesce(len, lit(0L))).cast("int"))))
+    val ppm = concat(
+      lit("P6\n4 ").cast("binary"),
+      hRows.cast("string").cast("binary"),
+      lit("\n255\n").cast("binary"),
+      pixels)
+    media.withColumn("payload", ppm)
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        col("meta.source").as("source")))
+  }
+
+  /** One decoded image's features: header fields plus per-channel byte
+    * means (integer-exact sums, one final division — bit-reproducible on
+    * any engine). `is_valid` = false rows carry zeroed features. */
+  case class PpmFeatures(media_id: Long, width: Int, height: Int, maxval: Int,
+                         mean_r: Double, mean_g: Double, mean_b: Double,
+                         is_valid: Boolean)
+
+  /** REAL image decode kernel — the un-stubbed counterpart of
+    * [[fakeDecodeFeatures]] for the one raster format that needs no codec
+    * library: parses the P6 binary header byte-for-byte (magic,
+    * whitespace/`#`-comment skipping per the netpbm spec, ASCII
+    * width/height/maxval, the single whitespace byte before the plane) and
+    * folds the RGB plane into per-channel means. Malformed, truncated, or
+    * null payloads yield `is_valid = false` with zeroed features instead of
+    * throwing — fail-soft like every ingest surface.
+    *
+    * Shape: typed `mapPartitions` — per-row imperative byte parsing is the
+    * contract a Column tree cannot express cleanly (the scaladoc on
+    * [[fakeDecodeFeatures]] promised exactly this swap). Partition-local
+    * map, no shuffle, fixed output schema; the payload bytes never leave
+    * the scan task. */
+  def decodePpmFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodePpm(id, payload) })
+      .toDF()
+  }
+
+  private[graft] def decodePpm(id: Long, b: Array[Byte]): PpmFeatures = {
+    def bad = PpmFeatures(id, 0, 0, 0, 0.0, 0.0, 0.0, is_valid = false)
+    if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '6') return bad
+    var i = 2
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    // netpbm token separator: whitespace, with '#' comments running to EOL
+    def skipSeparator(): Boolean = {
+      var progressed = false
+      var go = true
+      while (go && i < b.length) {
+        if (isWs(b(i))) { i += 1; progressed = true }
+        else if (b(i) == '#') {
+          while (i < b.length && b(i) != '\n') i += 1
+          progressed = true
+        } else go = false
+      }
+      progressed
+    }
+    def readAsciiInt(): Int = {
+      if (!skipSeparator()) return -1 // tokens must be separated
+      var v = 0L
+      var digits = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); digits += 1; i += 1
+        if (v > Int.MaxValue) return -1
+      }
+      if (digits == 0) -1 else v.toInt
+    }
+    val w = readAsciiInt(); val h = readAsciiInt(); val maxval = readAsciiInt()
+    // maxval > 255 would mean 2-byte samples (P6 allows up to 65535); this
+    // kernel supports the 1-byte plane only and flags the rest invalid
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return bad
+    // exactly ONE whitespace byte after maxval, then the binary plane
+    if (i >= b.length || !isWs(b(i))) return bad
+    i += 1
+    val nPixels = w.toLong * h
+    if (nPixels > Int.MaxValue / 4 || b.length - i < nPixels * 3) return bad
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0L
+    while (p < nPixels) {
+      val o = i + (p * 3).toInt
+      sr += b(o) & 0xff; sg += b(o + 1) & 0xff; sb += b(o + 2) & 0xff
+      p += 1
+    }
+    PpmFeatures(id, w, h, maxval, sr.toDouble / nPixels,
+      sg.toDouble / nPixels, sb.toDouble / nPixels, is_valid = true)
   }
 
   /** STUB resize kernel: a real implementation decodes `payload`, resizes to

@@ -4345,6 +4345,36 @@ object DocQueries {
         | ${(0 until 8).map(featureLaneSql).mkString(",\n ")}
         |FROM b ORDER BY media_id""".stripMargin)),
 
+    // REAL image decode (round 14): documents become genuine binary P6 PPM
+    // payloads (width 4, full 12-byte pixel rows, zero-padded min row), and
+    // the mapPartitions kernel PARSES them — magic, ASCII dims, maxval,
+    // RGB plane — into per-channel byte means. The oracle never sees the
+    // decoder: it mirrors the construction analytically from the text
+    // bytes, so a parser bug (wrong header length, channel off-by-one)
+    // hash-fails. Integer-exact sums, one division — bit-identical.
+    "q_multimodal_ppm_decode" -> Q(
+      (s, d) => Multimodal.decodePpmFeatures(Multimodal.encodePpm(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text", "source")))
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        def chanMean(c: Int) =
+          s"""CAST(list_sum(list_transform(range(0, h*4),
+             |   k -> CASE WHEN k*3 + ${c + 1} <= len THEN ${byteAt(s"k*3 + ${c + 1}")} ELSE 0 END)) AS DOUBLE)
+             | / CAST(h*4 AS DOUBLE)""".stripMargin
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 12) AS h FROM m)
+        |SELECT media_id, 4 AS width, CAST(h AS INT) AS height, 255 AS maxval,
+        | ${chanMean(0)} AS mean_r,
+        | ${chanMean(1)} AS mean_g,
+        | ${chanMean(2)} AS mean_b,
+        | true AS is_valid
+        |FROM d ORDER BY media_id""".stripMargin
+      }),
+
     // Frame sampling: the generator shape (rows out >> rows in, no shuffle)
     // hash-checked — DuckDB mirrors the deterministic payload slices with
     // blob substrings.

@@ -503,6 +503,69 @@ class SimilaritySpec extends SparkSpec {
     assert(one.forall(_.getAs[Array[Byte]](0).length <= 8))
   }
 
+  test("PPM kernel: decodes a hand-written image, skips comments, flags every malformed shape") {
+    import graft.operators.Multimodal.decodePpm
+    // 2x2 image, known channel bytes: means r=(10+30+50+70)/4=40,
+    // g=(41+61+81+121)/4=76, b=(72+92+112+32)/4=77
+    val plane = Array[Int](
+      10, 41, 72,  30, 61, 92,
+      50, 81, 112, 70, 121, 32).map(_.toByte)
+    val ok = decodePpm(1L, "P6\n2 2\n255\n".getBytes("US-ASCII") ++ plane)
+    assert(ok.is_valid && ok.width == 2 && ok.height == 2 && ok.maxval == 255)
+    assert(ok.mean_r == 40.0 && ok.mean_g == 76.0 && ok.mean_b == 77.0)
+    // netpbm comments and mixed whitespace in the header parse identically
+    val commented = decodePpm(2L,
+      "P6 # a comment\n# another\n 2\t2 #dims\n255\n".getBytes("US-ASCII") ++ plane)
+    assert(commented.copy(media_id = 1L) == ok)
+    // malformed shapes all fail soft, never throw
+    val badShapes = Seq[Array[Byte]](
+      null,
+      Array[Byte](),
+      "P5\n2 2\n255\n".getBytes("US-ASCII") ++ plane,      // wrong magic
+      "P6\n2 2\n255\n".getBytes("US-ASCII") ++ plane.take(11), // truncated plane
+      "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ plane,    // 2-byte samples
+      "P6\n0 2\n255\n".getBytes("US-ASCII") ++ plane,      // zero dim
+      "P6\n2 x\n255\n".getBytes("US-ASCII") ++ plane,      // non-numeric
+      "P62 2\n255\n".getBytes("US-ASCII") ++ plane)        // missing separator
+    badShapes.zipWithIndex.foreach { case (bs, j) =>
+      val r = decodePpm(j.toLong, bs)
+      assert(!r.is_valid && r.mean_r == 0.0, s"shape $j must fail soft")
+    }
+  }
+
+  test("encodePpm -> decodePpmFeatures roundtrip recovers dims and channel means") {
+    // filter, not limit: limit's single-partition collapse is an Exchange,
+    // which would trip the shuffle-free plan assertion below
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val media = Multimodal.encodePpm(
+      Multimodal.fromText(docs, "doc_id", "text", "source"))
+    // the encoded payloads are REAL PPMs: every one decodes valid
+    val out = Multimodal.decodePpmFeatures(media).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Boolean]("is_valid")))
+    assert(out.forall(_.getAs[Int]("width") == 4))
+    // height and means match an independent jvm-side re-derivation
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val bytes = texts(r.getAs[Long]("media_id")).getBytes("UTF-8")
+      val h = math.max(1, bytes.length / 12)
+      assert(r.getAs[Int]("height") == h)
+      val px = bytes.padTo(h * 12, 0: Byte).take(h * 12)
+      def mean(c: Int) =
+        px.indices.filter(_ % 3 == c).map(i => (px(i) & 0xff).toLong).sum
+          .toDouble / (h * 4)
+      assert(r.getAs[Double]("mean_r") == mean(0) &&
+        r.getAs[Double]("mean_g") == mean(1) &&
+        r.getAs[Double]("mean_b") == mean(2))
+    }
+    // meta describes the new payload, and the plan stays shuffle-free
+    val m = media.select("meta.byte_len", "payload").head()
+    assert(m.getLong(0) == m.getAs[Array[Byte]](1).length)
+    val plan = Multimodal.decodePpmFeatures(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+  }
+
   test("decode staging column never clobbers a caller column of the same name") {
     val media = Multimodal.fromText(
         Tables.documents(spark, sf).limit(3), "doc_id", "text", "source")
