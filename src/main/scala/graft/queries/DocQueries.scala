@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Parallelism, Tables}
 import graft.functions.{ExactAgg, TextFunctions, VectorFunctions}
-import graft.operators.{Bloom, Dedup, Lines, Multimodal, Similarity}
+import graft.operators.{Bloom, Dedup, Lines, Multimodal, RetrievalEval, Similarity}
 
 
 /** Training-data-pipeline half of the operator inventory: text analysis,
@@ -619,6 +619,51 @@ object DocQueries {
        | JOIN sizes sb ON sb.doc_id = c.id_b
        |WHERE containment >= $threshold
        |ORDER BY c.id_a, c.id_b""".stripMargin
+
+  /** Per-query retrieval-metric CTE chain shared by the eval gates: exact
+    * top-10 ranking (the [[BruteTopKSql]] shape), deterministic graded
+    * qrels, DCG/IDCG as round12 decimal sums, metrics as single divisions
+    * of exact operands. `tail` selects from the final `pq` CTE. */
+  private def RetrievalEvalSql(tail: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+       |scored AS (SELECT query_id, e.vec_id AS nbr_id,
+       |  ${cosSql("qv", "e.v")} AS cosine
+       |  FROM e CROSS JOIN q WHERE e.vec_id != query_id),
+       |r AS (SELECT query_id, nbr_id, rank FROM (
+       |  SELECT query_id, nbr_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, nbr_id) AS rank FROM scored) WHERE rank <= 10),
+       |qr AS (SELECT q.query_id, e.vec_id AS nbr_id,
+       |  CAST((e.vec_id % 3) + 1 AS DOUBLE) AS rel
+       |  FROM e CROSS JOIN q WHERE (q.query_id * 31 + e.vec_id) % 11 = 0),
+       |ret AS (SELECT r.query_id,
+       |  CAST(count(*) AS BIGINT) AS n_retrieved,
+       |  CAST(sum(CASE WHEN qr.rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  min(CASE WHEN qr.rel IS NOT NULL THEN r.rank END) AS first_hit,
+       |  sum(coalesce(CAST(round(qr.rel / log2(r.rank + 1), 12) AS DECIMAL(28,12)),
+       |    CAST(0 AS DECIMAL(28,12)))) AS dcg
+       |  FROM r LEFT JOIN qr ON qr.query_id = r.query_id AND qr.nbr_id = r.nbr_id
+       |  GROUP BY 1),
+       |ideal AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant,
+       |  sum(CASE WHEN ir <= 10
+       |    THEN CAST(round(rel / log2(ir + 1), 12) AS DECIMAL(28,12))
+       |    ELSE CAST(0 AS DECIMAL(28,12)) END) AS idcg
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, nbr_id) AS ir FROM qr)
+       |  GROUP BY 1),
+       |pq AS (SELECT coalesce(ret.query_id, ideal.query_id) AS query_id,
+       |  coalesce(n_relevant, 0) AS n_relevant,
+       |  coalesce(n_retrieved, 0) AS n_retrieved,
+       |  coalesce(n_hits, 0) AS n_hits,
+       |  CASE WHEN n_relevant IS NOT NULL
+       |    THEN CAST(coalesce(n_hits, 0) AS DOUBLE) / n_relevant END AS recall_at_k,
+       |  CAST(coalesce(n_hits, 0) AS DOUBLE) / CAST(10 AS DOUBLE) AS precision_at_k,
+       |  coalesce(CAST(1 AS DOUBLE) / first_hit, CAST(0 AS DOUBLE)) AS mrr,
+       |  CASE WHEN n_relevant IS NOT NULL
+       |    THEN round(CAST(coalesce(dcg, CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(idcg AS DOUBLE), 9) END AS ndcg_at_k
+       |  FROM ret FULL OUTER JOIN ideal ON ret.query_id = ideal.query_id)
+       |$tail""".stripMargin
 
   /** Shared labeling for the contrastive/hard-negative gate family: the
     * deterministic q_dedup_semantic chain (hash cells + exact-mean
@@ -3479,6 +3524,53 @@ object DocQueries {
         | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
       }),
+
+    // ---- Retrieval evaluation (round 14): recall@k / precision@k / MRR /
+    //      nDCG@k of the exact retriever against deterministic graded
+    //      qrels ((q*31 + doc) % 11 == 0 is relevant, gain = doc%3 + 1 —
+    //      pure integer arithmetic, so the label set needs no shared
+    //      fixture). DCG/IDCG are round12 decimal sums; every ratio is one
+    //      IEEE division of exact operands — hash-identical.
+    "q_eval_retrieval" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ranking = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 8), k = 10)
+        val qrels = emb.select(col("vec_id").as("doc_id"))
+          .crossJoin(emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id")))
+          .filter((col("query_id") * 31 + col("doc_id")) % 11 === 0)
+          .withColumn("rel", (col("doc_id") % 3 + 1).cast("double"))
+        RetrievalEval.perQuery(ranking, qrels, k = 10).orderBy("query_id")
+      },
+      Some(RetrievalEvalSql(
+        "SELECT query_id, n_relevant, n_retrieved, n_hits, recall_at_k, " +
+          "precision_at_k, mrr, ndcg_at_k FROM pq ORDER BY query_id"))),
+
+    "q_eval_retrieval_summary" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ranking = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 8), k = 10)
+        val qrels = emb.select(col("vec_id").as("doc_id"))
+          .crossJoin(emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id")))
+          .filter((col("query_id") * 31 + col("doc_id")) % 11 === 0)
+          .withColumn("rel", (col("doc_id") % 3 + 1).cast("double"))
+        RetrievalEval.summary(RetrievalEval.perQuery(ranking, qrels, k = 10))
+      },
+      Some(RetrievalEvalSql(
+        """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+          | CAST(sum(CASE WHEN recall_at_k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_evaluable,
+          | CAST(sum(CAST(round(recall_at_k, 12) AS DECIMAL(28,12))) AS DOUBLE)
+          |  / sum(CASE WHEN recall_at_k IS NOT NULL THEN 1 ELSE 0 END) AS mean_recall,
+          | CAST(sum(CAST(round(precision_at_k, 12) AS DECIMAL(28,12))) AS DOUBLE)
+          |  / count(*) AS mean_precision,
+          | CAST(sum(CAST(round(mrr, 12) AS DECIMAL(28,12))) AS DOUBLE)
+          |  / count(*) AS mean_mrr,
+          | CAST(sum(CAST(round(ndcg_at_k, 12) AS DECIMAL(28,12))) AS DOUBLE)
+          |  / sum(CASE WHEN ndcg_at_k IS NOT NULL THEN 1 ELSE 0 END) AS mean_ndcg
+          |FROM pq""".stripMargin))),
 
     // Hard-negative mining (round 13): each query's top-10 highest-cosine
     // vectors EXCLUDING its own near-duplicate component — the contrastive-

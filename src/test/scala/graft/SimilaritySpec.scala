@@ -493,6 +493,58 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.length >= 48, s"only ${counts.length} buckets occupied")
   }
 
+  test("retrieval eval: hand-computed metrics, undefined-vs-zero edge cases, perfect ranking") {
+    import spark.implicits._
+    import graft.operators.RetrievalEval
+    // q0: relevant {10(rel 2), 11(rel 1), 12(rel 3)}; retrieved 10@1, 99@2, 11@3
+    // q1: relevant {20}; retrieved 20@1 (perfect)
+    // q2: NO relevant docs; retrieved 30@1
+    // q3: relevant {40}; never retrieved
+    val ranking = Seq(
+      (0L, 10L, 1L), (0L, 99L, 2L), (0L, 11L, 3L),
+      (1L, 20L, 1L), (2L, 30L, 1L))
+      .toDF("query_id", "nbr_id", "rank")
+    val qrels = Seq(
+      (0L, 10L, 2.0), (0L, 11L, 1.0), (0L, 12L, 3.0),
+      (1L, 20L, 1.0), (3L, 40L, 1.0), (3L, 41L, 0.0)) // rel=0 rows ignored
+      .toDF("query_id", "doc_id", "rel")
+    val out = RetrievalEval.perQuery(ranking, qrels, k = 10)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    // q0: hits 2/3, first hit rank 1, dcg = 2/log2(2) + 1/log2(4) = 2.5;
+    //     idcg = 3/log2(2) + 2/log2(3) + 1/log2(4)
+    val idcg0 = 3.0 + BigDecimal(2.0 / (math.log(3) / math.log(2)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.5
+    assert(out(0L).getAs[Long]("n_relevant") == 3 &&
+      out(0L).getAs[Long]("n_hits") == 2)
+    assert(out(0L).getAs[Double]("recall_at_k") == 2.0 / 3.0)
+    assert(out(0L).getAs[Double]("precision_at_k") == 0.2)
+    assert(out(0L).getAs[Double]("mrr") == 1.0)
+    assert(math.abs(out(0L).getAs[Double]("ndcg_at_k") - 2.5 / idcg0) < 1e-9)
+    // q1: perfect single-relevant retrieval -> everything 1 except precision
+    assert(out(1L).getAs[Double]("recall_at_k") == 1.0 &&
+      out(1L).getAs[Double]("mrr") == 1.0 &&
+      out(1L).getAs[Double]("ndcg_at_k") == 1.0)
+    // q2: no relevant docs -> recall/ndcg UNDEFINED (null), not zero
+    assert(out(2L).isNullAt(out(2L).fieldIndex("recall_at_k")) &&
+      out(2L).isNullAt(out(2L).fieldIndex("ndcg_at_k")) &&
+      out(2L).getAs[Double]("mrr") == 0.0)
+    // q3: relevant but never retrieved -> hard zeros
+    assert(out(3L).getAs[Long]("n_retrieved") == 0 &&
+      out(3L).getAs[Double]("recall_at_k") == 0.0 &&
+      out(3L).getAs[Double]("ndcg_at_k") == 0.0 &&
+      out(3L).getAs[Double]("mrr") == 0.0)
+    // summary: means over DEFINED metrics only (recall over q0,q1,q3)
+    val s = RetrievalEval.summary(RetrievalEval.perQuery(ranking, qrels, k = 10)).head()
+    assert(s.getAs[Long]("n_queries") == 4 && s.getAs[Long]("n_evaluable") == 3)
+    assert(math.abs(s.getAs[Double]("mean_recall") - (2.0 / 3.0 + 1.0 + 0.0) / 3) < 1e-9)
+    assert(s.getAs[Double]("mean_mrr") == 0.5)
+    // rank > k rows are ignored: a deeper ranking scores identically
+    val deeper = ranking.unionByName(Seq((0L, 12L, 11L)).toDF("query_id", "nbr_id", "rank"))
+    val again = RetrievalEval.perQuery(deeper, qrels, k = 10)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(again(0L) == 2)
+  }
+
   test("frame sampling explodes deterministic pseudo-frames per media row") {
     val media = Multimodal.fromText(
       Tables.documents(spark, sf).limit(5), "doc_id", "text", "source", kind = "video")
