@@ -199,6 +199,74 @@ object Sampling {
           .as("realized_w"))
   }
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023): spread a total
+    * token budget as UNIFORMLY as possible across sources while capping
+    * every source at `maxEpochs` passes over its data — the
+    * fairness-motivated alternative to [[mixturePlan]]'s explicit weights
+    * and [[temperatureRates]]' power law (temperature sampling still
+    * over-repeats tail sources; UniMax gives every source the same token
+    * count until its epoch cap binds, then re-spreads the surplus among
+    * the uncapped — water-filling).
+    *
+    * Closed form, no driver loop: in cap-ascending order (ties by source),
+    * source i is capped iff `cap_i * rem_i <= budget - cumBefore_i` where
+    * rem_i counts sources from i on — valid at every position, before AND
+    * after the water line, because caps are sorted (the uniform share
+    * never drops below an already-capped source's cap, and never reaches
+    * an uncapped one's). Uncapped sources split the remaining budget
+    * evenly. Caps accumulate as round-6 DECIMAL(28,6) — exact, order
+    * independent — and each alloc is one IEEE division, so the output
+    * hash-matches any engine mirroring the window.
+    *
+    * Output: (sourceCol, n_docs, n_tokens, cap_tokens, is_capped,
+    * alloc_tokens, epochs, realized_w). Σ alloc = min(budget, Σ caps) — a
+    * corpus too small for the budget shows the shortfall in the allocs
+    * rather than silently over-repeating.
+    *
+    * Scale shape: ONE partial-agg pass over the corpus; everything after
+    * is windows over the sources-bounded aggregate (single-partition
+    * windows, deliberate — source counts are metadata-sized). */
+  def unimaxPlan(df: DataFrame, sourceCol: String, tokens: Column,
+                 budgetTokens: Long, maxEpochs: Double): DataFrame = {
+    require(budgetTokens > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(sourceCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(greatest(coalesce(tokens.cast("long"), lit(0L)), lit(0L))).as("n_tokens"))
+    val capD = round(col("n_tokens").cast("double") * lit(maxEpochs), 6)
+      .cast("decimal(28,6)")
+    val wOrd = Window.orderBy(col("__cap"), col(sourceCol))
+    val wAll = Window.partitionBy(lit(1))
+    val budD = lit(budgetTokens).cast("decimal(28,6)")
+    val staged = counts
+      .withColumn("__cap", capD)
+      .withColumn("__cum_before",
+        coalesce(sum(col("__cap")).over(
+            wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0).cast("decimal(28,6)")))
+      .withColumn("__rem", count(lit(1)).over(wAll) -
+        row_number().over(wOrd) + 1)
+      .withColumn("is_capped",
+        col("__cap") * col("__rem") <= budD - col("__cum_before"))
+    val leveled = staged
+      .withColumn("__capped_sum", coalesce(
+        sum(when(col("is_capped"), col("__cap"))).over(wAll),
+        lit(0).cast("decimal(28,6)")))
+      .withColumn("__n_uncapped",
+        sum(when(col("is_capped"), lit(0L)).otherwise(lit(1L))).over(wAll))
+      .withColumn("alloc_tokens",
+        when(col("is_capped"), col("__cap").cast("double"))
+          .otherwise((budD - col("__capped_sum")).cast("double") /
+            col("__n_uncapped").cast("double")))
+    leveled.select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        col("__cap").cast("double").as("cap_tokens"), col("is_capped"),
+        col("alloc_tokens"),
+        when(col("n_tokens") > 0,
+            col("alloc_tokens") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("epochs"),
+        (col("alloc_tokens") / lit(budgetTokens.toDouble)).as("realized_w"))
+  }
+
   /** Deterministic per-key uniform sample WITHOUT replacement: keep the
     * `k` rows with the SMALLEST salted 60-bit hashes within each group —
     * the bottom-k sketch, which is exactly a uniform k-subset when the

@@ -668,7 +668,10 @@ object DocQueries {
   /** Shared labeling for the contrastive/hard-negative gate family: the
     * deterministic q_dedup_semantic chain (hash cells + exact-mean
     * centroids + recursive components) joined back onto the double-cast
-    * embeddings — (vec_id, embedding, component). */
+    * embeddings — (vec_id, embedding, component). PERSISTED (and
+    * materialized) before return: every consumer reads it twice — once as
+    * the corpus/component side, once filtered to the query set — and the
+    * semantic-dedup chain would otherwise run once per branch. */
   private def semanticLabeled(s: SparkSession, d: String): DataFrame = {
     import graft.operators.Centroids
     val e = Tables.embeddings(s, d).select(col("vec_id"),
@@ -680,9 +683,12 @@ object DocQueries {
           Centroids.exactDimMean(col("vec_id"), element_at(col("v"), i))): _*)
           .as("centroid"))
       .select(col("cell0").as("cell"), col("centroid"))
-    e.select(col("vec_id"), col("v").as("embedding"))
+    val labeled = e.select(col("vec_id"), col("v").as("embedding"))
       .join(Dedup.semanticDedup(e, "vec_id", "v", cents, threshold = 0.35)
         .select("vec_id", "component"), Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labeled.count()
+    labeled
   }
 
   /** Oracle for the hard-negative gates (brute and IVF-at-nProbe=nLists
@@ -1373,6 +1379,60 @@ object DocQueries {
         |  CAST(planned9 AS DOUBLE) AS tokens_planned,
         |  CAST(planned9 AS DOUBLE) / CAST(total_p AS DOUBLE) AS realized_w
         |FROM p2, tp ORDER BY source""".stripMargin)),
+
+    // ---- UniMax allocation (round 14, Chung et al. ICLR 2023): the
+    //      fairness-motivated mixture — uniform token budget per source
+    //      until the epoch cap binds, surplus water-filled among the
+    //      uncapped. Closed form via one cap-ascending window (capped iff
+    //      cap*rem <= budget - cum_before — valid at every position since
+    //      caps are sorted); decimal cap accumulation, single-division
+    //      allocs. Budget 50000 against ~27k corpus tokens at 2 epochs
+    //      exercises BOTH branches (small sources cap, the rest split).
+    "q_sample_unimax" -> Q(
+      (s, d) => {
+        import graft.operators.Sampling
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"))
+        Sampling.unimaxPlan(docs, "source", col("n_toks"),
+            budgetTokens = 50000L, maxEpochs = 2.0)
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $ToksSql AS toks FROM documents),
+        |c AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |st AS (SELECT source, n_docs, n_tokens,
+        |  CAST(round(CAST(n_tokens AS DOUBLE) * CAST(2.0 AS DOUBLE), 6)
+        |    AS DECIMAL(28,6)) AS cap,
+        |  coalesce(sum(CAST(round(CAST(n_tokens AS DOUBLE) * CAST(2.0 AS DOUBLE), 6)
+        |      AS DECIMAL(28,6)))
+        |    OVER (ORDER BY CAST(round(CAST(n_tokens AS DOUBLE) * CAST(2.0 AS DOUBLE), 6)
+        |      AS DECIMAL(28,6)), source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    CAST(0 AS DECIMAL(28,6))) AS cum_before,
+        |  count(*) OVER () -
+        |    row_number() OVER (ORDER BY CAST(round(CAST(n_tokens AS DOUBLE)
+        |      * CAST(2.0 AS DOUBLE), 6) AS DECIMAL(28,6)), source) + 1 AS rem
+        |  FROM c),
+        |fl AS (SELECT *,
+        |  cap * rem <= CAST(50000 AS DECIMAL(28,6)) - cum_before AS is_capped
+        |  FROM st),
+        |lv AS (SELECT *,
+        |  coalesce(sum(CASE WHEN is_capped THEN cap END) OVER (),
+        |    CAST(0 AS DECIMAL(28,6))) AS capped_sum,
+        |  sum(CASE WHEN is_capped THEN 0 ELSE 1 END) OVER () AS n_uncapped
+        |  FROM fl),
+        |a AS (SELECT source, n_docs, n_tokens,
+        |  CAST(cap AS DOUBLE) AS cap_tokens, is_capped,
+        |  CASE WHEN is_capped THEN CAST(cap AS DOUBLE)
+        |    ELSE CAST(CAST(50000 AS DECIMAL(28,6)) - capped_sum AS DOUBLE)
+        |      / CAST(n_uncapped AS DOUBLE) END AS alloc_tokens
+        |  FROM lv)
+        |SELECT source, n_docs, n_tokens, cap_tokens, is_capped, alloc_tokens,
+        |  CASE WHEN n_tokens > 0
+        |    THEN alloc_tokens / CAST(n_tokens AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS epochs,
+        |  alloc_tokens / CAST(50000 AS DOUBLE) AS realized_w
+        |FROM a ORDER BY source""".stripMargin)),
 
     // ---- Mixture-plan REALIZATION (round 13): the solver's (source,
     //      epochs) report turned into epoch-tagged data — floor(epochs)

@@ -674,6 +674,41 @@ class OperatorsSpec extends SparkSpec {
       math.abs(r2(1).getAs[Double]("realized_w") - 0.5) < 1e-12)
   }
 
+  test("unimaxPlan water-fills: small sources cap, the rest split evenly, budget conserved") {
+    import graft.operators.Sampling
+    // sources a/b/c with 100/500/1000 tokens, cap 2 epochs, budget 1800:
+    // uniform share 600 -> a caps at 200; remaining 1600 over 2 -> 800 each
+    // -> b caps at 1000? no: b's cap is 1000 > 800 -> b uncapped at 800.
+    val docs = Seq(
+      ("a", 1L, 100L), ("b", 2L, 500L), ("c", 3L, 400L), ("c", 4L, 600L))
+      .toDF("source", "doc_id", "n_toks")
+    val r = Sampling.unimaxPlan(docs, "source", col("n_toks"),
+        budgetTokens = 1800L, maxEpochs = 2.0)
+      .orderBy("source").collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("a").getAs[Boolean]("is_capped") &&
+      r("a").getAs[Double]("alloc_tokens") == 200.0 &&
+      r("a").getAs[Double]("epochs") == 2.0)
+    assert(!r("b").getAs[Boolean]("is_capped") &&
+      r("b").getAs[Double]("alloc_tokens") == 800.0)
+    assert(!r("c").getAs[Boolean]("is_capped") &&
+      r("c").getAs[Double]("alloc_tokens") == 800.0)
+    // budget conserved exactly when the corpus can absorb it
+    assert(r.values.map(_.getAs[Double]("alloc_tokens")).sum == 1800.0)
+    // budget exceeding every cap: all sources cap, shortfall is visible
+    val r2 = Sampling.unimaxPlan(docs, "source", col("n_toks"),
+        budgetTokens = 100000L, maxEpochs = 2.0)
+      .orderBy("source").collect()
+    assert(r2.forall(_.getAs[Boolean]("is_capped")))
+    assert(r2.map(_.getAs[Double]("alloc_tokens")).sum == 3200.0) // 2 * 1600
+    // tiny budget: nobody caps, pure uniform thirds
+    val r3 = Sampling.unimaxPlan(docs, "source", col("n_toks"),
+        budgetTokens = 300L, maxEpochs = 2.0)
+      .orderBy("source").collect()
+    assert(r3.forall(!_.getAs[Boolean]("is_capped")))
+    assert(r3.forall(x => math.abs(x.getAs[Double]("alloc_tokens") - 100.0) < 1e-9))
+  }
+
   test("bottomKPerKey: exact k per key, shard-invariant, resalt-independent") {
     import graft.operators.Sampling
     import org.apache.spark.sql.expressions.Window
