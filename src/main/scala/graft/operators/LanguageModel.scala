@@ -415,4 +415,101 @@ object LanguageModel {
                                trigramCap: Int = 1 << 22): DataFrame =
     perplexityTrigram(docs, idCol, textCol,
       trainTrigramLm(ref, idCol, textCol, vocabCap, bigramCap, trigramCap))
+
+  // ==================== interpolated Kneser–Ney ====================
+
+  /** Absolute-discount value (the standard fixed choice; 0.75 is exact in
+    * binary, so discounted numerators are reproducible arithmetic). */
+  val KnDiscount = 0.75
+
+  /** An interpolated Kneser–Ney bigram model — the CANONICAL n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999 found the
+    * interpolated form best-in-class), kept beside stupid backoff because
+    * the two disagree exactly where quality filtering cares: backoff
+    * scores a word after an unseen context by its RAW frequency, KN by its
+    * CONTINUATION frequency — "Francisco" is frequent but follows almost
+    * nothing except "San", so KN correctly distrusts it in fresh contexts.
+    *
+    * Frames (all cap-bounded, broadcastable): `vocab` (tok, c) raw top
+    * types; `bigrams` (prev, w, cb) the capped normalized pair counts;
+    * `ctx` (prev, cv, n1v) per-context totals and distinct-continuation
+    * counts; `cont` (w, n1w) per-word distinct-context counts — ctx/cont
+    * derive from the CAPPED pair table, so the pruned model is internally
+    * consistent (Σ_w P(w|v) = 1 over its own support, the standard
+    * pruned-KN convention). `bigramTypes`/`vocabTypes` feed the smoothed
+    * continuation denominator. */
+  case class KneserNeyLm(vocab: DataFrame, bigrams: DataFrame,
+                         ctx: DataFrame, cont: DataFrame,
+                         bigramTypes: Long, vocabTypes: Long)
+
+  /** Train an interpolated-KN bigram model: one raw unigram count for the
+    * vocab cut, one normalized pair count (the [[trainBigramLm]] shape),
+    * then two groupBys over the CAP-BOUNDED pair table for the context and
+    * continuation statistics — model-sized work after the two corpus
+    * passes. */
+  def trainKneserNey(ref: DataFrame, idCol: String, textCol: String,
+                     vocabCap: Int = 65536, bigramCap: Int = 1 << 20,
+                     scope: graft.core.CacheScope.Handle =
+                       graft.core.CacheScope.detached): KneserNeyLm = {
+    val toks = tokFrame(ref, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = scope.pin(
+      toks.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("tok")).limit(vocabCap)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val big = scope.pin(
+      normStream(toks, vocab).filter(col("prev").isNotNull)
+        .groupBy("prev", "w").agg(count(lit(1)).as("cb"))
+        .orderBy(desc("cb"), asc("prev"), asc("w")).limit(bigramCap)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val ctx = big.groupBy(col("prev"))
+      .agg(sum("cb").as("cv"), count(lit(1)).as("n1v"))
+    val cont = big.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+    val meta = big.agg(count(lit(1))).head.getLong(0)
+    val u = vocab.agg(count(lit(1))).head.getLong(0)
+    val lm = KneserNeyLm(vocab, big, ctx, cont, bigramTypes = meta, vocabTypes = u)
+    toks.unpersist()
+    lm
+  }
+
+  /** Per-document perplexity under interpolated Kneser–Ney. Token score:
+    *
+    *  - smoothed continuation unigram
+    *    `pc(w) = (n1w + 1) / (T + U + 1)` (add-one over continuation
+    *    TYPES — always positive, so ln is defined for any token,
+    *    including `<unk>` in a corpus where it never continues anything);
+    *  - position 1 or unseen context: `pc(w)`;
+    *  - seen context: `max(cb − D, 0)/cv + ((D · n1v)/cv) · pc(w)` — the
+    *    interpolated form, with the fixed parenthesization both engines
+    *    replay.
+    *
+    * Output shape matches [[perplexity]]: (doc_id, n_scored, avg_logp,
+    * ppl), round-9 decimal log sums. Shape: the same scan-stage stream +
+    * FOUR broadcast lookups (pair, context, continuation, vocab) + one
+    * groupBy(doc). */
+  def perplexityKneserNey(docs: DataFrame, idCol: String, textCol: String,
+                          lm: KneserNeyLm): DataFrame = {
+    val ns = normStream(tokFrame(docs, idCol, textCol), lm.vocab.select("tok"))
+    val big = broadcast(lm.bigrams.select(
+      col("prev").as("__bp"), col("w").as("__bw"), col("cb")))
+    val ctx = broadcast(lm.ctx.select(
+      col("prev").as("__cp"), col("cv"), col("n1v")))
+    val cont = broadcast(lm.cont.select(col("w").as("__cw"), col("n1w")))
+    val denom = lit((lm.bigramTypes + lm.vocabTypes + 1).toDouble)
+    val pc = (coalesce(col("n1w"), lit(0L)).cast("double") + lit(1.0)) / denom
+    val d = lit(KnDiscount)
+    val s = when(col("prev").isNull || col("cv").isNull, pc)
+      .otherwise(
+        greatest(coalesce(col("cb"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("cv").cast("double") +
+          ((d * col("n1v").cast("double")) / col("cv").cast("double")) * pc)
+    ns.join(big, col("prev") === col("__bp") && col("w") === col("__bw"), "left")
+      .join(ctx, col("prev") === col("__cp"), "left")
+      .join(cont, col("w") === col("__cw"), "left")
+      .select(col("doc_id"),
+        round(log(s), 9).cast("decimal(28,9)").as("lp"))
+      .groupBy("doc_id")
+      .agg(pplAggs.head, pplAggs.tail: _*)
+  }
 }

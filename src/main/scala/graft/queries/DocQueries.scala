@@ -2176,6 +2176,49 @@ object DocQueries {
         |  round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS ppl
         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // ---- Interpolated Kneser-Ney perplexity (round 14): the canonical
+    //      n-gram smoothing beside the stupid-backoff gates — unseen
+    //      contexts score by CONTINUATION frequency (how many contexts a
+    //      word completes), not raw frequency. Context/continuation stats
+    //      derive from the capped pair table (pruned-KN convention);
+    //      D = 0.75 exact in binary; add-one continuation smoothing keeps
+    //      ln defined; same round-9 decimal-sum bit-parity contract.
+    "q_text_perplexity_kn" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(graft.operators.Sampling.split(
+          col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        val lm = graft.operators.LanguageModel.trainKneserNey(
+          ref, "doc_id", "text", vocabCap = 256, bigramCap = 2048)
+        graft.operators.LanguageModel
+          .perplexityKneserNey(docs, "doc_id", "text", lm)
+          .orderBy("doc_id")
+      },
+      Some {
+        val pcSql = """((CAST(COALESCE(cn.n1w, 0) AS DOUBLE) + 1.0)
+          |    / CAST((SELECT t FROM ktk) + (SELECT u FROM vs) + 1 AS DOUBLE))""".stripMargin
+        s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |${pplCtes(vocabCap = 256, bigramCap = 2048, salt = ":lm1")},
+        |ctxk AS (SELECT prev, sum(cb) AS cv, count(*) AS n1v FROM big GROUP BY 1),
+        |contk AS (SELECT w, count(*) AS n1w FROM big GROUP BY 1),
+        |ktk AS (SELECT count(*) AS t FROM big),
+        |sck AS (SELECT es.doc_id,
+        |  CAST(round(ln(CASE
+        |    WHEN es.prev IS NULL OR cx.cv IS NULL THEN $pcSql
+        |    ELSE greatest(CAST(COALESCE(b.cb, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |        CAST(0 AS DOUBLE)) / CAST(cx.cv AS DOUBLE)
+        |      + ((CAST(0.75 AS DOUBLE) * CAST(cx.n1v AS DOUBLE))
+        |        / CAST(cx.cv AS DOUBLE)) * $pcSql
+        |  END), 9) AS DECIMAL(28,9)) AS lp
+        |  FROM es LEFT JOIN big b ON b.prev = es.prev AND b.w = es.w
+        |  LEFT JOIN ctxk cx ON cx.prev = es.prev
+        |  LEFT JOIN contk cn ON cn.w = es.w)
+        |SELECT doc_id, count(*) AS n_scored,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp,
+        |  round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS ppl
+        |FROM sck GROUP BY 1 ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- DSIR importance resampling: hashed-unigram likelihood-ratio
     //      weights toward the src0/src1 target domain, Gumbel top-k
     //      selection derandomized through the doc-id hash. Per-token

@@ -152,6 +152,46 @@ class LanguageModelSpec extends SparkSpec {
     assert(rows.head.getDouble(2) > strangers)
   }
 
+  test("Kneser-Ney: hand-computed stats, interpolated score, continuation beats raw frequency") {
+    import spark.implicits._
+    val lm = LanguageModel.trainKneserNey(refDocs, "doc_id", "text",
+      vocabCap = 3, bigramCap = 10)
+    // pair table (normalized streams a b a b c / a b <unk>):
+    // (a,b)=3 (b,a)=1 (b,c)=1 (b,<unk>)=1 -> T=4 types
+    assert(lm.bigramTypes == 4L && lm.vocabTypes == 3L)
+    val ctx = lm.ctx.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ctx == Map("a" -> (3L, 1L), "b" -> (3L, 3L)))
+    val cont = lm.cont.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cont == Map("b" -> 1L, "a" -> 1L, "c" -> 1L, LanguageModel.Unk -> 1L))
+    // score "a b": pos1 a -> pc(a) = (1+1)/(4+3+1) = 0.25;
+    // "b" after "a": max(3-0.75,0)/3 + (0.75*1/3)*pc(b)=0.25*0.25
+    val pcA = 0.25
+    val pB = 2.25 / 3.0 + 0.25 * 0.25
+    val expected = BigDecimal(math.log(pcA)).setScale(9, BigDecimal.RoundingMode.HALF_UP) +
+      BigDecimal(math.log(pB)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val r = LanguageModel.perplexityKneserNey(
+        Seq((10L, "a b")).toDF("doc_id", "text"), "doc_id", "text", lm)
+      .collect().head
+    assert(r.getAs[Long]("n_scored") == 2L)
+    assert(r.getAs[Double]("avg_logp") ==
+      (expected / 2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the KN signal: after an UNSEEN context, a versatile continuation
+    // outranks an equally-frequent single-context one. Corpus: "x c" four
+    // times (c frequent, always after x) vs b appearing after varied
+    // contexts — score "q c" vs "q b" (q is OOV -> unseen context).
+    val kn2 = LanguageModel.trainKneserNey(
+      Seq((1L, "x c x c x c x c"), (2L, "a b d b e b")).toDF("doc_id", "text"),
+      "doc_id", "text", vocabCap = 8, bigramCap = 32)
+    def ppl(t: String) = LanguageModel.perplexityKneserNey(
+        Seq((9L, t)).toDF("doc_id", "text"), "doc_id", "text", kn2)
+      .collect().head.getAs[Double]("ppl")
+    // c continues only x (n1w=1); b continues a/d/e (n1w=3): same raw
+    // counts region, but KN trusts b more in a fresh context
+    assert(ppl("q b") < ppl("q c"),
+      s"continuation-frequent token must score better: b=${ppl("q b")} c=${ppl("q c")}")
+  }
+
   test("persisted LM scores bit-identically to the in-memory one") {
     import spark.implicits._
     val lm = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",
