@@ -24,11 +24,15 @@ import graft.sources.Export
   *   0. with `--from-html`: HTML → text extraction (the text column is raw
   *      markup — script/style chrome dies, blocks become lines)
   *   1. quality + language screen (scan-stage Column trees)
-  *   2. exact dedup, first occurrence kept
-  *   3. per-source token budget, best-quality-first (two-phase exact cut)
-  *   4. sharded JSONL export + manifest (stable hash shards)
-  *   5. manifest validation of the re-read export (fail loud, not at
-  *      training time)
+  *   2. exact dedup over the survivors, first occurrence kept
+  *   3. with `--neardup`: MinHash-LSH near-dup clustering, best-quality
+  *      exemplar kept per cluster
+  *   4. with `--decon-bench <parquet>`: n-gram decontamination against the
+  *      benchmark set (≥50% shingle overlap drops the document)
+  *   5. per-source token budget, best-quality-first (two-phase exact cut)
+  *   6. sharded JSONL export + manifest (stable hash shards)
+  *   7. manifest validation of the re-read export — rows, byte totals, and
+  *      corrupt-line count (fail loud, not at training time)
   * Writes `out/audit` (every input doc_id + its first failed stage or
   * "kept"), `out/manifest`, `out/corpus/shard=N/...`; prints one JSON
   * summary line and exits nonzero if validation fails.
@@ -41,7 +45,8 @@ object CorpusCli {
   def curate(spark: SparkSession, inDir: String, outDir: String,
              shards: Int = 8, budgetTokensPerSource: Long = 50000L,
              minQuality: Double = 0.4, lang: String = "en",
-             fromHtml: Boolean = false): Summary = {
+             fromHtml: Boolean = false, nearDup: Boolean = false,
+             deconBenchDir: Option[String] = None): Summary = {
     // --from-html: the text column is raw markup — run the extraction
     // stage (capstone-v2's step zero) before any text operator sees it
     val raw = Tables.documents(spark, inDir)
@@ -70,20 +75,64 @@ object CorpusCli {
       Seq("doc_id"), "left")
     val dupFail = !coalesce(col("is_keeper"), lit(true))
 
+    val afterExact = withDup.filter(!qualityFail && !langFail && !dupFail)
+
+    // --neardup: MinHash-LSH pairs over the exact-dedup survivors,
+    // connected components, and each cluster keeps its BEST-QUALITY
+    // exemplar (ties to the lowest id); edge-less docs are singleton
+    // keepers. The flag frame marks every surviving keeper.
+    val ndKeepFlag: DataFrame =
+      if (!nearDup)
+        afterExact.select(col("doc_id"), lit(true).as("__nd_keeper"))
+      else {
+        val pairs = Dedup.minhashLshPairs(afterExact, "doc_id", "text",
+          k = 32, rowsPerBand = 4, threshold = 0.5)
+        val labels = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+          .select(col("id").as("doc_id"), col("comp"))
+        val clusterKeep = Dedup.clusterKeepersBy(
+            afterExact.join(labels, Seq("doc_id")),
+            col("doc_id"), col("comp"), col("quality"))
+          .select("doc_id")
+        afterExact.join(labels, Seq("doc_id"), "left_anti").select("doc_id")
+          .unionByName(clusterKeep)
+          .select(col("doc_id"), lit(true).as("__nd_keeper"))
+      }
+    val afterNd = afterExact.join(ndKeepFlag, Seq("doc_id"), "left_semi")
+
+    // --decon-bench: document-level n-gram decontamination against the
+    // benchmark parquet (>= 50% of a doc's shingles appearing anywhere in
+    // the benchmark set drops it)
+    val deconFlag: DataFrame = deconBenchDir match {
+      case None => afterNd.select(col("doc_id"),
+        lit(false).as("__contaminated"))
+      case Some(benchDir) =>
+        val bench = spark.read.parquet(benchDir).select("doc_id", "text")
+        graft.operators.Decontaminate.fractions(afterNd, bench,
+            "doc_id", "text", threshold = 0.5)
+          .select(col("doc_id"), col("is_contaminated").as("__contaminated"))
+    }
+    val clean = afterNd.join(
+      deconFlag.filter(!col("__contaminated")), Seq("doc_id"), "left_semi")
+
     // budget is evaluated only over docs surviving the earlier screens —
     // a budget computed over to-be-dropped rows would under-fill sources
-    val screened = withDup.filter(!qualityFail && !langFail && !dupFail)
-    val kept = Curation.capTokensPerKey(screened, col("source"),
+    val kept = Curation.capTokensPerKey(clean, col("source"),
       col("n_tokens"), budgetTokensPerSource,
       order = Seq(col("quality").desc, col("doc_id")), idCol = col("doc_id"))
 
     val verdict = withDup
+      .join(ndKeepFlag, Seq("doc_id"), "left")
+      .join(deconFlag, Seq("doc_id"), "left")
       .join(kept.select(col("doc_id"), lit(true).as("__in_budget")),
         Seq("doc_id"), "left")
       .withColumn("verdict", Curation.firstFailVerdict(Seq(
+        // flags of docs dropped at an earlier stage are null; the
+        // first-fail order shields them, so coalesce polarity is free
         "quality" -> qualityFail,
         "lang" -> langFail,
         "duplicate" -> dupFail,
+        "near_duplicate" -> !coalesce(col("__nd_keeper"), lit(false)),
+        "contaminated" -> coalesce(col("__contaminated"), lit(false)),
         "over_budget" -> col("__in_budget").isNull)))
       .select(col("doc_id"), col("source"), col("verdict"))
     verdict.write.mode("overwrite").parquet(s"$outDir/audit")
@@ -117,7 +166,9 @@ object CorpusCli {
         budgetTokensPerSource = arg("--budget-tokens", "50000").toLong,
         minQuality = arg("--min-quality", "0.4").toDouble,
         lang = arg("--lang", "en"),
-        fromHtml = args.contains("--from-html"))
+        fromHtml = args.contains("--from-html"),
+        nearDup = args.contains("--neardup"),
+        deconBenchDir = Option(arg("--decon-bench", null)))
       val verdicts = s.byVerdict.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       println(s"""{"n_docs":${s.nDocs},"n_kept":${s.nKept},""" +

@@ -201,6 +201,80 @@ class CliSpec extends SparkSpec {
     assert(keptAudit == corpus.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("CorpusCli --neardup and --decon-bench drop planted near-dups and benchmark leaks") {
+    val spark2 = spark
+    import spark2.implicits._
+    // plant: for each of 5 docs, a near-copy (same text + short tail, new
+    // id above the originals) -> near-dup clusters of 2; the ORIGINAL has
+    // equal quality and the lower id, so it is the kept exemplar
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val maxId = base.agg(max("doc_id")).head().getLong(0)
+    val copies = base.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + maxId + 1)
+      .withColumn("text", concat(col("text"), lit(" extra tail words")))
+    val inDir = Files.createTempDirectory("graft-nd-in").toString
+    base.unionByName(copies)
+      .write.mode("overwrite").parquet(s"$inDir/documents.parquet")
+    // pass 1 (no decon): learn which docs the screen+dedup chain keeps
+    val out0 = Files.createTempDirectory("graft-nd-out0").toString
+    CorpusCli.curate(spark, inDir, out0,
+      shards = 4, budgetTokensPerSource = 100000L, minQuality = 0.0,
+      nearDup = true)
+    val kept0 = spark.read.parquet(s"$out0/audit")
+      .filter(col("verdict") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // benchmark: the exact texts of 3 docs pass 1 KEPT — with decon on,
+    // exactly these must flip kept -> contaminated (nothing upstream of
+    // the decon stage changes between the runs)
+    val benchIds = kept0.toSeq.sorted.take(3).toSet
+    assert(benchIds.size == 3, s"pass 1 must keep >= 3 docs, kept ${kept0.size}")
+    val benchDir = Files.createTempDirectory("graft-nd-bench").toString
+    base.unionByName(copies).filter(col("doc_id").isin(benchIds.toSeq: _*))
+      .select(col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(benchDir)
+    val out = Files.createTempDirectory("graft-nd-out").toString
+    val s = CorpusCli.curate(spark, inDir, out,
+      shards = 4, budgetTokensPerSource = 100000L, minQuality = 0.0,
+      nearDup = true, deconBenchDir = Some(benchDir))
+    assert(s.shardsOk && s.byVerdict.values.sum == s.nDocs)
+    val audit = spark.read.parquet(s"$out/audit")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // a planted pair that passed the screens cannot BOTH survive near-dup
+    // clustering (its cluster may also contain natural corpus near-dups,
+    // so which member — or a third doc — wins the best-quality keeper slot
+    // is the operator's business; the audit-level invariant is that the
+    // pair loses at least one member)
+    (0L until 5L).foreach { id =>
+      val pair = Seq(audit(id), audit(id + maxId + 1))
+      if (!pair.exists(Set("quality", "lang")))
+        assert(pair.count(_ == "near_duplicate") >= 1,
+          s"pair of $id audited as $pair — at least one must drop as near-dup")
+    }
+    assert(audit.values.count(_ == "near_duplicate") >= 1)
+    // the STRONG guarantee, implementation-independent: the delivered
+    // corpus contains NO near-dup pair at the CLI's own threshold
+    val keptIds = audit.filter(_._2 == "kept").keys.toSeq.toDF("doc_id")
+    val residual = graft.operators.Dedup.minhashLshPairs(
+      base.unionByName(copies).join(keptIds, Seq("doc_id"), "left_semi"),
+      "doc_id", "text", k = 32, rowsPerBand = 4, threshold = 0.5)
+    assert(residual.count() == 0, "delivered corpus still holds near-dups")
+    // decon flips EXACTLY the benchmark docs from kept to contaminated
+    // (everything upstream of the decon stage is identical between runs,
+    // so no other verdict may move)
+    val contaminated = audit.filter(_._2 == "contaminated").keys.toSet
+    assert(contaminated == benchIds,
+      s"expected exactly $benchIds contaminated, got $contaminated")
+    assert(audit.filter(_._2 == "kept").keys.toSet == kept0 -- benchIds)
+    // the delivered corpus contains no audited-drop ids
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType)))
+    val delivered = graft.sources.Export
+      .readJsonlSharded(spark, s"$out/corpus", schema)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(delivered == audit.filter(_._2 == "kept").keys.toSet)
+  }
+
   test("CorpusCli --from-html extracts first and lands on the plain-text result") {
     // stage an input whose text column is raw markup wrapping the same words
     val htmlDir = Files.createTempDirectory("graft-corpus-html").toString
