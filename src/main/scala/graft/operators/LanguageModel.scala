@@ -489,8 +489,20 @@ object LanguageModel {
     * FOUR broadcast lookups (pair, context, continuation, vocab) + one
     * groupBy(doc). */
   def perplexityKneserNey(docs: DataFrame, idCol: String, textCol: String,
-                          lm: KneserNeyLm): DataFrame = {
-    val ns = normStream(tokFrame(docs, idCol, textCol), lm.vocab.select("tok"))
+                          lm: KneserNeyLm): DataFrame =
+    knTokenLogProbs(docs, idCol, textCol, lm)
+      .groupBy("doc_id")
+      .agg(pplAggs.head, pplAggs.tail: _*)
+
+  /** The stateless half of KN scoring — (doc_id, extra..., lp): scan-stage
+    * stream + four broadcast model lookups, shared by the batch scorer and
+    * the streaming twin ([[graft.streaming.StreamingOps.perplexityKnStream]]),
+    * mirroring [[tokenLogProbs]]'s contract. */
+  private[graft] def knTokenLogProbs(docs: DataFrame, idCol: String,
+                                     textCol: String, lm: KneserNeyLm,
+                                     extra: Seq[String] = Nil): DataFrame = {
+    val ns = normStream(tokFrame(docs, idCol, textCol, extra),
+      lm.vocab.select("tok"), extra)
     val big = broadcast(lm.bigrams.select(
       col("prev").as("__bp"), col("w").as("__bw"), col("cb")))
     val ctx = broadcast(lm.ctx.select(
@@ -507,9 +519,34 @@ object LanguageModel {
     ns.join(big, col("prev") === col("__bp") && col("w") === col("__bw"), "left")
       .join(ctx, col("prev") === col("__cp"), "left")
       .join(cont, col("w") === col("__cw"), "left")
-      .select(col("doc_id"),
-        round(log(s), 9).cast("decimal(28,9)").as("lp"))
-      .groupBy("doc_id")
-      .agg(pplAggs.head, pplAggs.tail: _*)
+      .select((col("doc_id") +: extra.map(col)) :+
+        round(log(s), 9).cast("decimal(28,9)").as("lp"): _*)
+  }
+
+  /** Persist a trained KN model under `dir` ([[saveLm]]'s deployment
+    * contract, one order of statistics richer): four cap-bounded frames
+    * plus the two scalars on a one-row meta table. */
+  def saveKn(lm: KneserNeyLm, dir: String): Unit = {
+    val spark = lm.vocab.sparkSession
+    import spark.implicits._
+    lm.vocab.coalesce(1).write.mode("overwrite").parquet(s"$dir/vocab")
+    lm.bigrams.coalesce(1).write.mode("overwrite").parquet(s"$dir/bigrams")
+    lm.ctx.coalesce(1).write.mode("overwrite").parquet(s"$dir/ctx")
+    lm.cont.coalesce(1).write.mode("overwrite").parquet(s"$dir/cont")
+    Seq((lm.bigramTypes, lm.vocabTypes)).toDF("bigram_types", "vocab_types")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a model persisted by [[saveKn]]; scoring against it is
+    * bit-identical to the in-memory original. */
+  def loadKn(spark: org.apache.spark.sql.SparkSession, dir: String): KneserNeyLm = {
+    val meta = spark.read.parquet(s"$dir/meta").head
+    KneserNeyLm(
+      spark.read.parquet(s"$dir/vocab"),
+      spark.read.parquet(s"$dir/bigrams"),
+      spark.read.parquet(s"$dir/ctx"),
+      spark.read.parquet(s"$dir/cont"),
+      bigramTypes = meta.getAs[Long]("bigram_types"),
+      vocabTypes = meta.getAs[Long]("vocab_types"))
   }
 }

@@ -576,6 +576,25 @@ object StreamingOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming Kneser–Ney scoring — [[perplexityStream]]'s twin for the
+    * interpolated-KN model: the same stateless scan-stage token stream
+    * (four static broadcast model lookups, re-resolved per micro-batch)
+    * with the one watermark-bounded (window, doc_id) aggregation. Closed
+    * windows match batch [[graft.operators.LanguageModel.perplexityKneserNey]]
+    * bit for bit (decimal log sums; spec-pinned). */
+  def perplexityKnStream(docs: DataFrame,
+                         lm: graft.operators.LanguageModel.KneserNeyLm,
+                         idCol: String, tsCol: String, textCol: String,
+                         watermark: String = "1 hour",
+                         windowDur: String = "1 hour"): DataFrame = {
+    val aggs = graft.operators.LanguageModel.streamingPplAggs
+    graft.operators.LanguageModel
+      .knTokenLogProbs(docs.withWatermark(tsCol, watermark),
+        idCol, textCol, lm, extra = Seq(tsCol))
+      .groupBy(window(col(tsCol), windowDur).as("win"), col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Streaming DRIFT MONITOR — the live twin of
     * [[graft.operators.Diagnostics.surpriseBySource]]: per event-time
     * window and source, the cross-entropy (avg negative log-likelihood)

@@ -204,5 +204,15 @@ class LanguageModelSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getAs[Double]("avg_logp"),
           r.getAs[Double]("ppl"))).toSet
     assert(scored(lm) == scored(LanguageModel.loadLm(spark, dir)))
+    // same contract for the KN order
+    val kn = LanguageModel.trainKneserNey(refDocs, "doc_id", "text",
+      vocabCap = 8, bigramCap = 32)
+    val knDir = java.nio.file.Files.createTempDirectory("kn").toString + "/m"
+    LanguageModel.saveKn(kn, knDir)
+    def scoredKn(m: LanguageModel.KneserNeyLm) =
+      LanguageModel.perplexityKneserNey(docs, "doc_id", "text", m)
+        .collect().map(r => (r.getLong(0), r.getAs[Double]("avg_logp"),
+          r.getAs[Double]("ppl"))).toSet
+    assert(scoredKn(kn) == scoredKn(LanguageModel.loadKn(spark, knDir)))
   }
 }

@@ -705,4 +705,38 @@ class StreamingSpec extends SparkSpec {
       assert(got == want, s"stream $got != batch $want")
     } finally q.stop()
   }
+
+  test("streaming Kneser-Ney scoring equals batch once windows close") {
+    import graft.operators.LanguageModel
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val lm = LanguageModel.trainKneserNey(
+      Seq((1L, "a b a b c"), (2L, "a b d")).toDF("doc_id", "text"),
+      "doc_id", "text", vocabCap = 3, bigramCap = 10)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamingOps.perplexityKnStream(docs, lm, "doc_id", "ts", "text")
+      .writeStream.format("memory").queryName("ppl_kn_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (10L, ts("2025-01-01 00:10:00"), "a b z"),
+        (11L, ts("2025-01-01 00:20:00"), "c c"))
+      q.processAllAvailable()
+      mem.addData((99L, ts("2025-01-01 05:00:00"), "a"))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val got = s.sql("""SELECT doc_id, n_scored, avg_logp, ppl
+          FROM ppl_kn_stream WHERE doc_id < 99 ORDER BY doc_id""")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      val want = LanguageModel.perplexityKneserNey(
+          Seq((10L, "a b z"), (11L, "c c")).toDF("doc_id", "text"),
+          "doc_id", "text", lm)
+        .orderBy("doc_id").collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      assert(got == want, s"stream $got != batch $want")
+    } finally q.stop()
+  }
 }
