@@ -793,6 +793,43 @@ object Similarity {
         "neg_cosine")
   }
 
+  /** Recall-vs-nProbe TUNING REPORT for a built index — the curve an
+    * operator reads to pick nProbe: for each probe depth, the index's
+    * ranking is scored against EXACT search via
+    * [[RetrievalEval.perQuery]] (qrels = the exact top-k, gain 1), and the
+    * macro-averaged metrics land one row per depth. Output:
+    * (n_probe, n_queries, n_evaluable, mean_recall, mean_precision,
+    * mean_mrr, mean_ndcg); mean_recall is non-decreasing in nProbe and
+    * exactly 1.0 at nProbe = nLists (candidate supersets can only improve
+    * agreement with the exact top-k — spec-pinned).
+    *
+    * Scale shape: ONE exact pass over the corpus builds the qrels (the
+    * expensive step, paid once for the whole curve); each probed ranking
+    * is the [[searchIvf]] cell-pruned scan, and every eval frame is
+    * (queries × k)-bounded. The driver loop is over probe DEPTHS (a
+    * handful), never over data. */
+  def ivfRecallReport(index: IvfIndex, corpus: DataFrame, queries: DataFrame,
+                      k: Int, nProbes: Seq[Int],
+                      scope: graft.core.CacheScope.Handle =
+                        graft.core.CacheScope.detached): DataFrame = {
+    require(nProbes.nonEmpty, "need at least one probe depth")
+    // the exact pass feeds every depth's eval: persist (pinned for the
+    // caller's release) and materialize before the per-depth fan-out
+    val qrels = scope.pin(bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("nbr_id").as("doc_id"),
+        lit(1.0).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    qrels.count()
+    val rows = nProbes.map { np =>
+      RetrievalEval.summary(RetrievalEval.perQuery(
+          searchIvf(index, queries, k, np), qrels, k))
+        .withColumn("n_probe", lit(np))
+    }
+    rows.reduce(_ unionByName _)
+      .select("n_probe", "n_queries", "n_evaluable", "mean_recall",
+        "mean_precision", "mean_mrr", "mean_ndcg")
+  }
+
   /** Bucketed ANN: neighbors are only searched inside the query's sign-LSH
     * bucket. Same output shape as bruteForceTopK; recall < 1 by design. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,

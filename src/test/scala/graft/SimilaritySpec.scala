@@ -493,6 +493,25 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.length >= 48, s"only ${counts.length} buckets occupied")
   }
 
+  test("ivfRecallReport: recall monotone in nProbe, exactly 1.0 at full probe") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val index = Similarity.buildIvf(emb, nLists = 8)
+    try {
+      val rows = Similarity.ivfRecallReport(index, emb, queries,
+          k = 10, nProbes = Seq(1, 2, 4, 8))
+        .orderBy("n_probe").collect()
+      assert(rows.map(_.getAs[Int]("n_probe")).toSeq == Seq(1, 2, 4, 8))
+      val recalls = rows.map(_.getAs[Double]("mean_recall")).toSeq
+      assert(recalls == recalls.sorted, s"recall must be monotone: $recalls")
+      assert(recalls.last == 1.0, s"full probe must be exact: $recalls")
+      assert(rows.last.getAs[Double]("mean_mrr") == 1.0 &&
+        rows.last.getAs[Double]("mean_ndcg") == 1.0)
+      assert(rows.forall(_.getAs[Long]("n_queries") == 8L))
+    } finally index.assigned.unpersist()
+  }
+
   test("retrieval eval: hand-computed metrics, undefined-vs-zero edge cases, perfect ranking") {
     import spark.implicits._
     import graft.operators.RetrievalEval
