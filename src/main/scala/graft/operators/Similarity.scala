@@ -793,6 +793,40 @@ object Similarity {
         "neg_cosine")
   }
 
+  /** FILTERED ANN search — "nearest neighbors among documents satisfying a
+    * predicate" (lang = en, quality ≥ τ, licence allow-listed...), the
+    * query shape every retrieval deployment actually serves. Semantics are
+    * PRE-FILTER within the probed cells: `attrs` (nbr_id + metadata
+    * columns) joins the candidate store and `pred` drops candidates BEFORE
+    * the rank, so each query returns its true filtered top-k over the
+    * probed cells — never a post-filtered shortlist that can starve below
+    * k when the predicate is selective (the classic post-filter failure).
+    * At nProbe = nLists the result is exactly brute force over the
+    * filtered corpus (the oracle gate).
+    *
+    * Scale shape: [[searchIvf]]'s cell-pruned scan plus ONE id-keyed join
+    * of the attribute frame against the store — independent of the query
+    * count, and gone entirely in deployments that co-write the filter
+    * columns into the index layout ([[appendIvf]] carries any extra
+    * columns the assigned frame holds). The predicate evaluates in the
+    * scan stage; selectivity only shrinks the window input. */
+  def searchIvfFiltered(index: IvfIndex, attrs: DataFrame, queries: DataFrame,
+                        k: Int, nProbe: Int,
+                        pred: Column): DataFrame = {
+    graft.GraftExtensions.register(queries.sparkSession)
+    val probed = probeCells(queries, index.centroids, nProbe)
+    val store = probeStore(index)
+      .join(attrs.withColumnRenamed(attrs.columns.head, "nbr_id"), Seq("nbr_id"))
+      .filter(pred)
+    val scored = store.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Recall-vs-nProbe TUNING REPORT for a built index — the curve an
     * operator reads to pick nProbe: for each probe depth, the index's
     * ranking is scored against EXACT search via

@@ -3628,6 +3628,34 @@ object DocQueries {
         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
       }),
 
+    // ---- Filtered ANN (round 14): nearest neighbors AMONG documents
+    //      passing a metadata predicate (here label < 5 — the "only en /
+    //      licensed / high-quality" retrieval shape). PRE-filter within
+    //      probed cells, so the filtered top-k never starves; at
+    //      nProbe = nLists it equals brute force over the filtered corpus,
+    //      which is exactly what the oracle computes.
+    "q_sim_topk_filtered" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.searchIvfFiltered(
+            Similarity.sharedIvf(emb, corpusKey = d, nLists = 16),
+            emb.select("vec_id", "label"),
+            emb.filter(col("vec_id") < 8),
+            k = 10, nProbe = 16, pred = col("label") < 5)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT query_id, e.vec_id AS nbr_id,
+        |  ${cosSql("qv", "e.v")} AS cosine
+        |  FROM e CROSS JOIN q
+        |  WHERE e.vec_id != query_id AND e.label < 5)
+        |SELECT query_id, nbr_id, cosine,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // ---- Retrieval evaluation (round 14): recall@k / precision@k / MRR /
     //      nDCG@k of the exact retriever against deterministic graded
     //      qrels ((q*31 + doc) % 11 == 0 is relevant, gain = doc%3 + 1 —

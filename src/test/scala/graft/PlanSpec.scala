@@ -740,4 +740,78 @@ class PlanSpec extends SparkSpec {
     assert(!fullPlan.contains("CartesianProduct"),
       s"corpus-scaled cartesian product:\n$fullPlan")
   }
+
+  test("IVF-routed negative mining: probed queries broadcast, corpus never crossed with them") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val labeled = emb.select(col("vec_id"), col("embedding"),
+      pmod(col("vec_id"), lit(7L)).as("component"))
+    val index = Similarity.buildIvf(emb, nLists = 4)
+    try {
+      val p = planOf(Similarity.hardNegativeTopKIvf(index,
+        labeled.select("vec_id", "component"),
+        labeled.filter(col("vec_id") < 8), k = 5, nProbe = 2))
+      // the probed-query frame joins the store as a BROADCAST on cell; the
+      // corpus side appears in exactly one cell-keyed broadcast join, never
+      // a corpus x query nested loop
+      assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+      // nested-loop joins may only be the (queries x nLists) centroid
+      // probe: every one must build its broadcast on the bounded right
+      // side (the probe subtree can print twice under AQE, so the shape —
+      // not the count — is the invariant)
+      val nested = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(nested.forall(_.contains("BuildRight")),
+        s"nested-loop join building on the corpus side:\n$p")
+    } finally index.assigned.unpersist()
+  }
+
+  test("retrieval eval: qrels partial-aggregate; no corpus-shaped window or cartesian") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.RetrievalEval
+    val ranking = Seq((0L, 1L, 1L), (0L, 2L, 2L), (1L, 3L, 1L))
+      .toDF("query_id", "nbr_id", "rank")
+    val qrels = Seq((0L, 1L, 1.0), (1L, 4L, 2.0))
+      .toDF("query_id", "doc_id", "rel")
+    val p = planOf(RetrievalEval.perQuery(ranking, qrels, k = 10))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pair space must stay an equi-join:\n$p")
+    // the ideal-ranking window partitions by query_id (label-bounded groups)
+    assert(p.contains("partial"), s"aggregates must partial-combine:\n$p")
+  }
+
+  test("unimax plan: one corpus aggregation, windows only over the sources-bounded frame") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_toks"))
+    val p = planOf(Sampling.unimaxPlan(docs, "source", col("n_toks"),
+      budgetTokens = 10000L, maxEpochs = 2.0))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the corpus contributes exactly one hash aggregate (partial+final on
+    // source); everything downstream operates on the sources-bounded frame
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"corpus count must partial-aggregate:\n$p")
+  }
+
+  test("filtered ANN keeps the predicate in the scan side of the rank window") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val index = Similarity.buildIvf(emb, nLists = 4)
+    try {
+      val p = planOf(Similarity.searchIvfFiltered(index,
+        emb.select("vec_id", "label"), emb.filter(col("vec_id") < 4),
+        k = 5, nProbe = 4, pred = col("label") < 5))
+      // the predicate must run BEFORE the window (pre-filter semantics):
+      // the Filter on label sits under the rank window, not above it
+      val lines = p.linesIterator.toSeq
+      val winIdx = lines.indexWhere(_.contains("Window"))
+      val predIdx = lines.indexWhere(l => l.contains("label") && l.contains("Filter"))
+      assert(winIdx >= 0 && predIdx > winIdx,
+        s"label filter must be below the rank window (win@$winIdx, pred@$predIdx):\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    } finally index.assigned.unpersist()
+  }
 }

@@ -493,6 +493,36 @@ class SimilaritySpec extends SparkSpec {
     assert(counts.length >= 48, s"only ${counts.length} buckets occupied")
   }
 
+  test("filtered ANN pre-filters: every hit passes the predicate, no starvation below k") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val index = Similarity.buildIvf(emb, nLists = 8)
+    try {
+      val out = Similarity.searchIvfFiltered(index,
+        emb.select("vec_id", "label"), queries,
+        k = 10, nProbe = 8, pred = col("label") === 3)
+      val labelOf = emb.select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val rows = out.collect()
+      // predicate holds on every returned neighbor
+      assert(rows.nonEmpty && rows.forall(r => labelOf(r.getLong(1)) == 3))
+      // full probe + selective predicate still fills k per query (label 3
+      // holds ~47 of 500 rows >> k) — the post-filter starvation this
+      // operator exists to avoid
+      val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+      assert(perQ.values.forall(_ == 10), s"starved: ${perQ.toMap}")
+      // equals brute force over the pre-filtered corpus at full probe
+      val brute = Similarity.bruteForceTopK(
+        emb.filter(col("label") === 3), queries, k = 10)
+      val a = out.select("query_id", "nbr_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val b = brute.select("query_id", "nbr_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(a == b)
+    } finally index.assigned.unpersist()
+  }
+
   test("ivfRecallReport: recall monotone in nProbe, exactly 1.0 at full probe") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf)
