@@ -394,4 +394,60 @@ object Diagnostics {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
       .orderBy("cluster_size")
+
+  /** Pairwise AGREEMENT MATRIX between binary quality filters — the design
+    * check before ensembling them ([[graft.operators.Curation.ensembleRank]],
+    * majority gates): two filters with near-total agreement are redundant
+    * (one's cost buys nothing), near-zero kappa means they measure
+    * different things (good ensemble members), and kappa is the right
+    * statistic because raw agreement is inflated by imbalance (two filters
+    * that both pass 95% of a corpus agree 90%+ by chance alone).
+    *
+    * `verdicts` are (name, boolean Column) pairs evaluated per document in
+    * ONE scan; output one row per unordered pair: the 2×2 contingency
+    * (n11, n10, n01, n00), observed agreement `p_o`, chance agreement
+    * `p_e` (from the marginals), and Cohen's
+    * `kappa = (p_o − p_e) / (1 − p_e)` — null when the pair is degenerate
+    * (p_e = 1: both filters constant). Every ratio is a fixed
+    * parenthesization over exact counts, so any engine mirrors the values
+    * bit for bit.
+    *
+    * Scale shape: one partial-agg pass computes ALL pairs' cells (k(k−1)/2
+    * sums in a single aggregate over the corpus scan); the per-pair
+    * arithmetic runs on the resulting ONE-ROW frame. Nothing is shuffled
+    * but the aggregate's partials. */
+  def filterAgreementMatrix(docs: DataFrame,
+                            verdicts: Seq[(String, Column)]): DataFrame = {
+    require(verdicts.size >= 2, "need at least two filters to compare")
+    val flags = docs.select(verdicts.map { case (n, c) =>
+      c.cast("boolean").as(n) }: _*)
+    val pairs = for {
+      i <- verdicts.indices; j <- (i + 1) until verdicts.size
+    } yield (i, j)
+    def cell(i: Int, j: Int, a: Boolean, b: Boolean): Column = {
+      val (ni, nj) = (verdicts(i)._1, verdicts(j)._1)
+      sum(when((if (a) col(ni) else !col(ni)) &&
+          (if (b) col(nj) else !col(nj)), lit(1L)).otherwise(lit(0L)))
+        .as(s"c_${i}_${j}_${if (a) 1 else 0}${if (b) 1 else 0}")
+    }
+    val aggCols = count(lit(1)).as("__n") +: pairs.flatMap { case (i, j) =>
+      Seq(cell(i, j, true, true), cell(i, j, true, false),
+        cell(i, j, false, true), cell(i, j, false, false))
+    }
+    val g = flags.agg(aggCols.head, aggCols.tail: _*)
+    val rows = pairs.map { case (i, j) =>
+      val (n11, n10, n01, n00) = (col(s"c_${i}_${j}_11"), col(s"c_${i}_${j}_10"),
+        col(s"c_${i}_${j}_01"), col(s"c_${i}_${j}_00"))
+      val n = col("__n").cast("double")
+      val po = (n11 + n00).cast("double") / n
+      val pe = ((n11 + n10).cast("double") / n) * ((n11 + n01).cast("double") / n) +
+        ((n01 + n00).cast("double") / n) * ((n10 + n00).cast("double") / n)
+      g.select(
+        lit(verdicts(i)._1).as("filter_a"), lit(verdicts(j)._1).as("filter_b"),
+        n11.as("n11"), n10.as("n10"), n01.as("n01"), n00.as("n00"),
+        po.as("p_o"), pe.as("p_e"),
+        when(lit(1.0) - pe =!= 0.0, (po - pe) / (lit(1.0) - pe)).as("kappa"))
+    }
+    rows.reduce(_ unionByName _)
+  }
 }

@@ -3628,6 +3628,64 @@ object DocQueries {
         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
       }),
 
+    // ---- Filter-agreement matrix (round 14): Cohen's kappa between the
+    //      quality / lang / entropy screens — the redundancy check before
+    //      ensembling filters (raw agreement is inflated by imbalance;
+    //      kappa corrects via the marginals). One partial-agg pass fills
+    //      every pair's 2x2 contingency; ratios are fixed-parenthesization
+    //      arithmetic over exact counts — hash-identical.
+    "q_text_filter_agreement" -> Q(
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        graft.operators.Diagnostics.filterAgreementMatrix(docsP(s, d), Seq(
+            "quality" -> (TextFunctions.qualityScore(col("text")) >= 0.6),
+            "lang_en" -> (TextFunctions.langId(col("text")) === "en"),
+            "entropy" -> (graft.functions.Entropy.charEntropy(col("text")) >= 3.5)))
+          .orderBy("filter_a", "filter_b")
+      },
+      Some {
+        def cells(a: String, b: String) = Seq("11" -> (true, true),
+          "10" -> (true, false), "01" -> (false, true), "00" -> (false, false))
+          .map { case (tag, (x, y)) =>
+            s"CAST(sum(CASE WHEN ${if (x) a else s"NOT $a"} AND ${if (y) b else s"NOT $b"} THEN 1 ELSE 0 END) AS BIGINT) AS c_${a}_${b}_$tag"
+          }.mkString(",\n  ")
+        def pairRow(a: String, b: String, an: String, bn: String) =
+          s"""SELECT '$an' AS filter_a, '$bn' AS filter_b,
+             |  c_${a}_${b}_11 AS n11, c_${a}_${b}_10 AS n10,
+             |  c_${a}_${b}_01 AS n01, c_${a}_${b}_00 AS n00,
+             |  CAST(c_${a}_${b}_11 + c_${a}_${b}_00 AS DOUBLE) / CAST(n AS DOUBLE) AS p_o,
+             |  (CAST(c_${a}_${b}_11 + c_${a}_${b}_10 AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * (CAST(c_${a}_${b}_11 + c_${a}_${b}_01 AS DOUBLE) / CAST(n AS DOUBLE))
+             |  + (CAST(c_${a}_${b}_01 + c_${a}_${b}_00 AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * (CAST(c_${a}_${b}_10 + c_${a}_${b}_00 AS DOUBLE) / CAST(n AS DOUBLE)) AS p_e
+             |FROM a""".stripMargin
+        s"""WITH ${qualityLangCtes("documents")},
+        |ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS c
+        |  FROM documents),
+        |ge AS (SELECT doc_id, c, count(*) AS cn FROM ch GROUP BY 1, 2),
+        |te AS (SELECT doc_id, CAST(sum(cn) AS DOUBLE) AS L FROM ge GROUP BY 1),
+        |ent AS (SELECT ge.doc_id,
+        |  CAST(sum(CAST(round(-((cn / L) * ln(cn / L) / ln(2)), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS entropy
+        |  FROM ge JOIN te USING (doc_id) GROUP BY 1),
+        |f AS (SELECT s.doc_id,
+        |  s.quality >= CAST(0.6 AS DOUBLE) AS fq, s.lang = 'en' AS fl,
+        |  coalesce(e.entropy, CAST(0 AS DOUBLE)) >= CAST(3.5 AS DOUBLE) AS fe
+        |  FROM scored s LEFT JOIN ent e ON e.doc_id = s.doc_id),
+        |a AS (SELECT count(*) AS n,
+        |  ${cells("fq", "fl")},
+        |  ${cells("fq", "fe")},
+        |  ${cells("fl", "fe")}
+        |  FROM f),
+        |m AS (${pairRow("fq", "fl", "quality", "lang_en")}
+        | UNION ALL ${pairRow("fq", "fe", "quality", "entropy")}
+        | UNION ALL ${pairRow("fl", "fe", "lang_en", "entropy")})
+        |SELECT filter_a, filter_b, n11, n10, n01, n00, p_o, p_e,
+        |  CASE WHEN 1.0 - p_e != 0.0
+        |    THEN (p_o - p_e) / (CAST(1.0 AS DOUBLE) - p_e) END AS kappa
+        |FROM m ORDER BY filter_a, filter_b""".stripMargin
+      }),
+
     // ---- Filtered ANN (round 14): nearest neighbors AMONG documents
     //      passing a metadata predicate (here label < 5 — the "only en /
     //      licensed / high-quality" retrieval shape). PRE-filter within

@@ -221,4 +221,39 @@ class DiagnosticsSpec extends SparkSpec {
         nBuckets = 2, shards = 3)
     }
   }
+
+  test("filter agreement: kappa 1 on identical, hand-value on partial, null on degenerate") {
+    import graft.operators.Diagnostics
+    import spark.implicits._
+    // 8 docs, two scores: f1 = s1 > 0, f2 = s2 > 0, f3 ≡ f1, f4 always true
+    // contingency f1/f2: n11=3, n10=1, n01=1, n00=3 -> po=6/8,
+    // pe = (4/8)(4/8)+(4/8)(4/8) = 1/2, kappa = (0.75-0.5)/0.5 = 0.5
+    val docs = Seq(
+      (1, 1), (1, 1), (1, 1), (1, -1),
+      (-1, 1), (-1, -1), (-1, -1), (-1, -1))
+      .toDF("s1", "s2")
+    val out = Diagnostics.filterAgreementMatrix(docs, Seq(
+        "f1" -> (col("s1") > 0), "f2" -> (col("s2") > 0),
+        "f3" -> (col("s1") > 0), "f4" -> lit(true)))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val f12 = out(("f1", "f2"))
+    assert((f12.getLong(2), f12.getLong(3), f12.getLong(4), f12.getLong(5)) ==
+      ((3L, 1L, 1L, 3L)))
+    assert(f12.getAs[Double]("p_o") == 0.75 && f12.getAs[Double]("p_e") == 0.5)
+    assert(f12.getAs[Double]("kappa") == 0.5)
+    // identical filters: perfect agreement
+    assert(out(("f1", "f3")).getAs[Double]("kappa") == 1.0)
+    // degenerate pair (f4 constant true vs itself impossible here, but
+    // f4 against f1 has pe < 1 -> defined; a constant-vs-constant pair is
+    // the null case, exercised by comparing f4 with an all-true clone
+    val deg = Diagnostics.filterAgreementMatrix(docs, Seq(
+        "a" -> lit(true), "b" -> lit(true)))
+      .collect().head
+    assert(deg.getAs[Double]("p_e") == 1.0 &&
+      deg.isNullAt(deg.fieldIndex("kappa")))
+    // one pass, all pairs: 4 filters -> 6 rows
+    assert(Diagnostics.filterAgreementMatrix(docs, Seq(
+      "f1" -> (col("s1") > 0), "f2" -> (col("s2") > 0),
+      "f3" -> (col("s1") > 0), "f4" -> lit(true))).count() == 6)
+  }
 }
