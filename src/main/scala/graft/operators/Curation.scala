@@ -288,6 +288,86 @@ object Curation {
       .drop("__ps")
   }
 
+  /** Parse robots.txt payloads into per-agent Disallow prefix rules —
+    * (domain, agent, prefix), the missing producer for
+    * [[screenUrlPrefixes]]-style path screening on a polite crawl front
+    * end. Grammar subset, documented: `User-agent:` / `Disallow:` lines
+    * (case-insensitive field names), `#` comments and blank lines
+    * stripped, CONSECUTIVE User-agent lines form one group whose Disallow
+    * rules apply to every listed agent (the RFC 9309 group rule), an empty
+    * `Disallow:` (allow-all) emits no rule, and `Allow:` lines are ignored
+    * — Disallow-only screening is the conservative C4-style posture (never
+    * fetch what any matching rule forbids).
+    *
+    * Scale shape: one posexplode over the robots corpus (KB-sized files),
+    * two windows PER DOMAIN (a domain's robots file bounds the partition —
+    * never corpus-wide), and a within-(domain, group) equi-join of agents
+    * × rules. Agents lowercase; rule paths keep their case (robots paths
+    * are case-significant). */
+  def parseRobots(robots: DataFrame, domainCol: String,
+                  txtCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cleaned = robots
+      .select(col(domainCol).as("domain"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("line", trim(regexp_replace(col("line"), "#.*$", "")))
+      .withColumn("kind", lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("value", trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
+      .filter(col("kind").isin("user-agent", "disallow"))
+    val wOrd = Window.partitionBy("domain").orderBy("pos")
+    val grouped = cleaned
+      .withColumn("__start", (col("kind") === "user-agent" &&
+          coalesce(lag(col("kind"), 1).over(wOrd) =!= "user-agent", lit(true)))
+        .cast("long"))
+      .withColumn("group_id", sum(col("__start")).over(wOrd))
+    val agents = grouped.filter(col("kind") === "user-agent")
+      .select(col("domain"), col("group_id"), lower(col("value")).as("agent"))
+    val rules = grouped.filter(col("kind") === "disallow" && col("value") =!= "")
+      .select(col("domain"), col("group_id"), col("value").as("prefix"))
+    agents.join(rules, Seq("domain", "group_id"))
+      .select("domain", "agent", "prefix")
+  }
+
+  /** Apply [[parseRobots]] rules to a crawl frame for one crawler
+    * identity: per RFC 9309 precedence, a domain with any group naming
+    * `agent` exactly uses ONLY those rules (the `*` groups are ignored
+    * there); domains with only `*` groups fall back to them; unlisted
+    * domains allow everything. A URL is blocked when its canonical
+    * path-and-query starts with any applicable Disallow prefix. Returns
+    * the input plus (canonical_url, robots_blocked).
+    *
+    * Scale shape: rules collapse to one (domain → sorted prefix array) row
+    * per domain — robots-corpus-bounded, broadcast into the scan — and the
+    * match is a scan-stage `exists(startsWith)` on the canonical host key,
+    * so the corpus is never shuffled (the [[screenUrlPrefixes]] shape,
+    * domain-keyed). */
+  def robotsVerdicts(docs: DataFrame, urlCol: String, rules: DataFrame,
+                     agent: String): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val r = rules.filter(col("agent").isin(a, "*"))
+    val hasExact = r.groupBy("domain")
+      .agg(max((col("agent") === a).cast("int")).as("__he"))
+    val applied = r.join(hasExact, Seq("domain"))
+      .filter(when(col("__he") === 1, col("agent") === a)
+        .otherwise(col("agent") === "*"))
+    val byDomain = applied.groupBy("domain")
+      .agg(array_sort(collect_list(col("prefix"))).as("__prefixes"))
+      .withColumnRenamed("domain", "__host")
+    docs
+      .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("__host",
+        regexp_extract(col("canonical_url"), "^https?://([^/:]+)", 1))
+      .withColumn("__path", {
+        val p = regexp_replace(col("canonical_url"), "^https?://[^/]+", "")
+        when(p === "", lit("/")).otherwise(p)
+      })
+      .join(broadcast(byDomain), Seq("__host"), "left")
+      .withColumn("robots_blocked",
+        coalesce(exists(col("__prefixes"), p => col("__path").startsWith(p)),
+          lit(false)))
+      .drop("__prefixes", "__host", "__path")
+  }
+
   /** DOMAIN-level screening (the RefinedWeb/Dolma move: curate the SITE,
     * not just the document — a spam domain's every page is spam): fold
     * per-domain (doc count, exact-decimal mean quality), flag domains that

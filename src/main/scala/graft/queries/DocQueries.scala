@@ -3628,6 +3628,60 @@ object DocQueries {
         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
       }),
 
+    // ---- Robots screening (round 14): parse literal robots.txt payloads
+    //      into per-agent Disallow rules and screen synthesized crawl URLs
+    //      for agent "graftbot" — exact group beats '*' (a.com's allow-all
+    //      star rule is IGNORED for graftbot), unlisted domains allow.
+    //      The parse itself is spec-pinned (OperatorsSpec hand cases); the
+    //      oracle mirrors the canonicalization + the hand-derived rule
+    //      set, so the verdict join and prefix semantics hash-check.
+    "q_curate_robots_screen" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Curation
+        val robots = Seq(
+          ("a.com", "User-agent: graftbot\nDisallow: /private/\n" +
+            "Disallow: /tmp\n\nUser-agent: *\nDisallow: /"),
+          ("b.net", "User-agent: *\nDisallow: /search"))
+          .toDF("domain", "txt")
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("http://User@A.com:80"))
+            .otherwise(lit("https://b.net")),
+          element_at(array(lit("/private/"), lit("/tmp"), lit("/search"),
+            lit("/p/")), (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+          (col("doc_id") % 9).cast("string"))
+        Curation.robotsVerdicts(
+            docsP(s, d).select(col("doc_id"), url.as("url")),
+            "url", Curation.parseRobots(robots, "domain", "txt"),
+            agent = "graftbot")
+          .select(col("doc_id"), col("canonical_url"), col("robots_blocked"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'http://User@A.com:80'
+        |        ELSE 'https://b.net' END)
+        |  || (['/private/', '/tmp', '/search', '/p/'])[(doc_id % 4) + 1]
+        |  || CAST(doc_id % 9 AS VARCHAR) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    regexp_replace(lower(regexp_extract(url, '(?i)^(https?://[^/]+)', 1)),
+        |      '^(https?://)[^@/]*@', '\\1'),
+        |    '^(http://[^/]*?):80$$', '\\1'), '^(https://[^/]*?):443$$', '\\1')
+        |  || regexp_replace(regexp_replace(url, '(?i)^https?://[^/]+', ''), '/$$', '')
+        |  AS canonical_url
+        |  FROM u),
+        |p AS (SELECT doc_id, canonical_url,
+        |  regexp_extract(canonical_url, '^https?://([^/:]+)', 1) AS host,
+        |  CASE WHEN regexp_replace(canonical_url, '^https?://[^/]+', '') = ''
+        |    THEN '/' ELSE regexp_replace(canonical_url, '^https?://[^/]+', '')
+        |  END AS path
+        |  FROM n)
+        |SELECT doc_id, canonical_url,
+        |  (host = 'a.com' AND (path LIKE '/private/%' OR path LIKE '/tmp%'))
+        |  OR (host = 'b.net' AND path LIKE '/search%') AS robots_blocked
+        |FROM p ORDER BY doc_id""".stripMargin)),
+
     // ---- Filter-agreement matrix (round 14): Cohen's kappa between the
     //      quality / lang / entropy screens — the redundancy check before
     //      ensembling filters (raw agreement is inflated by imbalance;

@@ -1491,4 +1491,62 @@ class OperatorsSpec extends SparkSpec {
         s"${r.getString(0)}: approx=$a exact=$e relErr=$relErr")
     }
   }
+
+  test("parseRobots: groups, comments, multi-UA, empty disallow, Allow ignored") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val robots = Seq(
+      ("a.com",
+        """# crawler policy
+          |User-agent: graftbot
+          |Disallow: /private/
+          |Disallow: /tmp   # trailing comment
+          |
+          |User-agent: *
+          |User-agent: otherbot
+          |Disallow: /
+          |Allow: /public
+          |Disallow:
+          |""".stripMargin),
+      ("b.net", "User-agent: *\nDisallow: /search"))
+      .toDF("domain", "txt")
+    val rules = Curation.parseRobots(robots, "domain", "txt")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rules == Set(
+      ("a.com", "graftbot", "/private/"),
+      ("a.com", "graftbot", "/tmp"),
+      // the second group lists TWO agents; both get its one real rule;
+      // the empty Disallow emits nothing and Allow is ignored
+      ("a.com", "*", "/"), ("a.com", "otherbot", "/"),
+      ("b.net", "*", "/search")))
+  }
+
+  test("robotsVerdicts: exact group beats *, unlisted domain allows, prefix semantics") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val rules = Seq(
+      ("a.com", "graftbot", "/private/"), ("a.com", "graftbot", "/tmp"),
+      ("a.com", "*", "/"),
+      ("b.net", "*", "/search"))
+      .toDF("domain", "agent", "prefix")
+    val docs = Seq(
+      (1L, "http://A.com:80/private/x"),   // exact group: blocked
+      (2L, "http://a.com/tmp9"),           // prefix match /tmp -> blocked
+      (3L, "http://a.com/public"),         // exact group exists -> * "/"
+                                           // is IGNORED -> allowed
+      (4L, "https://b.net/search?q=1"),    // * group: blocked
+      (5L, "https://b.net/about"),         // allowed
+      (6L, "https://c.org/anything"))      // unlisted domain: allowed
+      .toDF("doc_id", "url")
+    val out = Curation.robotsVerdicts(docs, "url", rules, agent = "GraftBot")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("robots_blocked")).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false, 6L -> false))
+    // a crawler with no exact group on a.com falls back to its * rules
+    val other = Curation.robotsVerdicts(docs, "url", rules, agent = "newbot")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("robots_blocked")).toMap
+    assert(other(3L) && other(1L) && !other(6L)) // "/" blocks all of a.com
+  }
 }
