@@ -5471,6 +5471,159 @@ object DocQueries {
         |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
       }),
 
+    // ---- Web capstone v3 (round 14) — the POLITE-crawl chain: robots
+    //      screening (parsed rules, exact-agent precedence) leads the
+    //      pipeline, then URL dedup → C4 page cleaning → domain screen →
+    //      blocklist → per-source summary. Same synthesized crawl as the
+    //      v1 capstone; the robots stage's rule set is hand-derived in the
+    //      oracle from the same literal robots.txt payloads.
+    "q_pipeline_web_curate_v3" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{Curation, Lines}
+        val words = split(col("text"), " ")
+        def line(st: Int, ln: Int, tail: String) =
+          concat(array_join(slice(words, st, ln), " "), lit(tail))
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://User@WWW.Example.COM:80"))
+            .otherwise(lit("https://cdn.example.net:443")),
+          lit("/page/"), (col("doc_id") % 211).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed&q=7&gclid=zz"))
+            .otherwise(lit("")))
+        val page = concat(
+          concat_ws("\n",
+            line(1, 6, "."),
+            line(7, 3, "."),
+            lit("please enable javascript to view this page."),
+            line(10, 7, ""),
+            line(4, 8, " done!"),
+            line(12, 7, " right?")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur elite prose."))
+            .otherwise(lit("")))
+        val robots = Seq(
+          ("www.example.com", "User-agent: graftbot\nDisallow: /page/1\n\n" +
+            "User-agent: *\nDisallow: /"),
+          ("cdn.example.net", "User-agent: *\nDisallow: /page/20"))
+          .toDF("domain", "txt")
+        val crawl = docsP(s, d).select(col("doc_id"), col("source"),
+          url.as("url"), page.as("page"))
+        val polite = Curation.robotsVerdicts(crawl, "url",
+            Curation.parseRobots(robots, "domain", "txt"), agent = "graftbot")
+          .filter(!col("robots_blocked"))
+          .select("doc_id", "source", "url", "page")
+        val fetched = Curation.dedupByUrl(polite, "doc_id", "url")
+          .filter(col("is_keeper")).select("doc_id", "source", "page")
+        val c4 = Lines.c4Clean(fetched, "doc_id", "page").filter(col("keep_doc"))
+          .select(col("doc_id"), col("text"))
+          .join(fetched.select("doc_id", "source"), Seq("doc_id"))
+        val dom = Curation.screenDomains(
+            c4.withColumn("domain",
+              concat(lit("site"), (col("doc_id") % 37).cast("string"),
+                lit(".example"))),
+            "doc_id", "domain",
+            (col("doc_id") % 100).cast("double") / 100.0,
+            maxDocsPerDomain = 1000000L, minAvgQuality = 0.5)
+          .filter(!col("domain_flagged"))
+        val terms = Seq("slow", "dup", "noise").toDF("term")
+        Curation.blocklistFlags(dom, "doc_id", "text", terms)
+          .filter(!col("has_blocked"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
+          .orderBy("source")
+      },
+      Some {
+        val ctToks = ToksSql.replace("lower(text)", "lower(ct)")
+        s"""WITH u AS (SELECT doc_id, source, text,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://User@WWW.Example.COM:80'
+        |        ELSE 'https://cdn.example.net:443' END)
+        |  || '/page/' || CAST(doc_id % 211 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&q=7&gclid=zz'
+        |        ELSE '' END) AS url
+        |  FROM documents),
+        |cn AS (SELECT doc_id, source, text,
+        |  CASE WHEN instr(regexp_replace(url, '#.*$$', ''), '?') > 0
+        |    THEN substr(regexp_replace(url, '#.*$$', ''), 1,
+        |      instr(regexp_replace(url, '#.*$$', ''), '?') - 1)
+        |    ELSE regexp_replace(url, '#.*$$', '') END AS base,
+        |  regexp_extract(regexp_replace(url, '#.*$$', ''), '\\?(.*)$$', 1) AS q
+        |  FROM u),
+        |cu AS (SELECT doc_id, source, text,
+        |  regexp_replace(regexp_replace(
+        |    regexp_replace(lower(regexp_extract(base, '(?i)^(https?://[^/]+)', 1)),
+        |      '^(https?://)[^@/]*@', '\\1'),
+        |    '^(http://[^/]*?):80$$', '\\1'), '^(https://[^/]*?):443$$', '\\1')
+        |  || regexp_replace(regexp_replace(base, '(?i)^https?://[^/]+', ''), '/$$', '')
+        |  || CASE WHEN coalesce(array_to_string(list_filter(string_split(q, '&'),
+        |       x -> len(x) > 0 AND NOT regexp_matches(x,
+        |         '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '') <> ''
+        |     THEN '?' || coalesce(array_to_string(list_filter(string_split(q, '&'),
+        |       x -> len(x) > 0 AND NOT regexp_matches(x,
+        |         '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '')
+        |     ELSE '' END AS canonical_url
+        |  FROM cn),
+        |rb AS (SELECT doc_id, source, text, canonical_url FROM (
+        |  SELECT *, regexp_extract(canonical_url, '^https?://([^/:]+)', 1) AS h,
+        |    CASE WHEN regexp_replace(canonical_url, '^https?://[^/]+', '') = ''
+        |      THEN '/'
+        |      ELSE regexp_replace(canonical_url, '^https?://[^/]+', '') END AS pth
+        |  FROM cu)
+        |  WHERE NOT ((h = 'www.example.com' AND pth LIKE '/page/1%')
+        |    OR (h = 'cdn.example.net' AND pth LIKE '/page/20%'))),
+        |fk AS (SELECT doc_id, source, text FROM rb
+        |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY canonical_url)),
+        |pg AS (SELECT doc_id, source,
+        |  concat(
+        |    concat_ws(chr(10),
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),1,6),' '),'') || '.',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),7,9),' '),'') || '.',
+        |      'please enable javascript to view this page.',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),10,16),' '),''),
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),4,11),' '),'') || ' done!',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),12,18),' '),'') || ' right?'),
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || 'lorem ipsum dolor sit amet consectetur elite prose.'
+        |      ELSE '' END) AS t0
+        |  FROM fk),
+        |c4 AS (SELECT doc_id, source, t0,
+        |  list_transform(list_filter(string_split(t0, chr(10)), s2 ->
+        |    regexp_matches(trim(s2), '[.!?"]$$')
+        |    AND len(string_split_regex(trim(s2), '\\s+')) >= 5
+        |    AND NOT contains(lower(trim(s2)), 'javascript')
+        |    AND NOT contains(lower(trim(s2)), 'terms of use')
+        |    AND NOT contains(lower(trim(s2)), 'privacy policy')
+        |    AND NOT contains(lower(trim(s2)), 'cookie policy')
+        |    AND NOT contains(lower(trim(s2)), 'uses cookies')
+        |    AND NOT contains(lower(trim(s2)), 'use of cookies')
+        |    AND NOT contains(lower(trim(s2)), 'use cookies')
+        |  ), s2 -> trim(s2)) AS kept FROM pg),
+        |cc AS (SELECT doc_id, source, t0,
+        |  coalesce(array_to_string(kept, chr(10)), '') AS ct FROM c4),
+        |cv AS (SELECT doc_id, source, ct FROM cc
+        |  WHERE NOT contains(t0, '{') AND NOT contains(lower(t0), 'lorem ipsum')
+        |    AND length(regexp_replace(ct, '[^.!?]', '', 'g')) >= 3),
+        |dm AS (SELECT doc_id, source, ct,
+        |  'site' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS domain,
+        |  CAST(doc_id % 100 AS DOUBLE) / CAST(100 AS DOUBLE) AS quality FROM cv),
+        |ds AS (SELECT domain, count(*) AS domain_docs,
+        |  ${ExactAgg.avgSql("quality", 6)} AS domain_avg_quality
+        |  FROM dm GROUP BY 1),
+        |dv AS (SELECT dm.doc_id, dm.source, dm.ct
+        |  FROM dm JOIN ds USING (domain)
+        |  WHERE NOT (ds.domain_docs > 1000000 OR ds.domain_avg_quality < 0.5)),
+        |bl AS (SELECT unnest(['slow', 'dup', 'noise']) AS tok),
+        |e0 AS (SELECT doc_id, unnest($ctToks) AS tok FROM dv),
+        |hb AS (SELECT e0.doc_id, count(*) AS n_blocked
+        |  FROM e0 JOIN bl ON bl.tok = e0.tok GROUP BY 1),
+        |fin AS (SELECT dv.doc_id, dv.source, dv.ct
+        |  FROM dv LEFT JOIN hb ON hb.doc_id = dv.doc_id
+        |  WHERE COALESCE(hb.n_blocked, 0) = 0)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len($ctToks)) AS BIGINT) AS n_tokens
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // ---- Web capstone v2 — the PARSE-and-clean chain, starting from raw
     //      HTML: htmlToText (script/style chrome dies, <p>/<div> blocks
     //      become the lines C4 keys on) -> C4 rule cleaning -> blocklist
