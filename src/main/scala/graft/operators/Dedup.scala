@@ -356,6 +356,62 @@ object Dedup {
     sig.select(col("doc_id"), explode(bandStructs(k, rowsPerBand)).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.band_hash"))
 
+  /** Recall/cost TUNING REPORT for MinHash-LSH configurations — the
+    * dedup-family twin of [[Similarity.ivfRecallReport]]: for each
+    * (k, rowsPerBand) config, the fraction of TRUE ≥-threshold Jaccard
+    * pairs the banded candidate generation recovers (recall — the
+    * missed-duplicate risk) beside the candidate-pair count (the
+    * verification-cost side). The curve an operator reads before fixing a
+    * production banding: more, narrower bands raise recall AND cost; this
+    * measures both on the actual corpus instead of trusting the
+    * 1−(1−s^r)^b formula's uniformity assumptions.
+    *
+    * Ground truth is [[jaccardPairs]] under the same tokenizer and df cut
+    * — computed ONCE for the whole curve (CacheScope-pinned). An exact
+    * duplicate (jaccard 1) collides in every band, so its pair is
+    * recovered at any config — recall is 1.0 on identical-pair truth
+    * (spec-pinned). Per config: one signature pass, the banded self-join,
+    * and two counts; all frames are pair-bounded past the scans. */
+  def lshRecallReport(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, configs: Seq[(Int, Int)],
+                      maxTokenDf: Long = 0L,
+                      tokens: Column => Column = TextFunctions.tokenSet,
+                      scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
+    require(configs.nonEmpty, "need at least one (k, rowsPerBand) config")
+    val truth = scope.pin(
+      jaccardPairs(docs, idCol, textCol, threshold, maxTokenDf, tokens, scope)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    truth.count()
+    val tAgg = truth.agg(count(lit(1)).as("n_true_pairs"))
+    configs.map { case (k, rpb) =>
+      require(k % rpb == 0, s"k=$k not divisible by rowsPerBand=$rpb")
+      val bands = minhashBands(
+          minhashSig(docs, idCol, textCol, k, tokens), k, rpb)
+        .hint("shuffle_hash")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      scope.pin(cand)
+      cand.count() // two consumers below — materialize before they race
+      val cAgg = cand.agg(count(lit(1)).as("n_candidates"))
+      val rAgg = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_recovered"))
+      tAgg.crossJoin(cAgg).crossJoin(rAgg)
+        .select(lit(k).as("k"), lit(rpb).as("rows_per_band"),
+          lit(k / rpb).as("n_bands"),
+          col("n_true_pairs"), col("n_candidates"), col("n_recovered"),
+          when(col("n_true_pairs") > 0,
+              col("n_recovered").cast("double") /
+                col("n_true_pairs").cast("double"))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** MinHash-LSH near-dup pairs: candidates collide on >=1 band bucket, then
     * are verified with the exact token-set Jaccard. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,

@@ -2954,6 +2954,61 @@ object DocQueries {
         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
         |${jaccardTailSql(0.3, "JOIN cand ON cand.id_a = c.id_a AND cand.id_b = c.id_b")}""".stripMargin)),
 
+    // ---- LSH recall/cost report (round 14): for each (k, rowsPerBand)
+    //      banding, the fraction of true >= 0.3-jaccard pairs the banded
+    //      candidates recover and the candidate count — measured on the
+    //      corpus, not assumed from the 1-(1-s^r)^b formula. Narrower
+    //      bands (4 rows x 8 bands) must recall at least as much as wider
+    //      ones here; both configs share one signature table.
+    "q_dedup_lsh_recall" -> Q(
+      (s, d) => Dedup.lshRecallReport(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.3, configs = Seq((32, 4), (32, 8)),
+          maxTokenDf = 100L, tokens = shingleSet)
+        .orderBy("rows_per_band"),
+      Some {
+        def candSql(b: String) =
+          s"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM $b a JOIN $b b
+             |  ON a.band = b.band AND a.band_hash = b.band_hash
+             |    AND a.doc_id < b.doc_id""".stripMargin
+        def rowSql(rpb: Int, cand: String) =
+          s"""SELECT 32 AS k, $rpb AS rows_per_band, ${32 / rpb} AS n_bands,
+             |  (SELECT n_true_pairs FROM tc) AS n_true_pairs,
+             |  (SELECT count(*) FROM $cand) AS n_candidates,
+             |  (SELECT count(*) FROM truth t JOIN $cand c
+             |     ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_recovered,
+             |  CASE WHEN (SELECT n_true_pairs FROM tc) > 0
+             |    THEN CAST((SELECT count(*) FROM truth t JOIN $cand c
+             |        ON t.id_a = c.id_a AND t.id_b = c.id_b) AS DOUBLE)
+             |      / CAST((SELECT n_true_pairs FROM tc) AS DOUBLE) END AS recall""".stripMargin
+        s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |jt AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+        |  WHERE df <= 100),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM jt GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM jt a JOIN jt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT c.id_a, c.id_b FROM common c
+        |  JOIN sizes sa ON sa.doc_id = c.id_a
+        |  JOIN sizes sb ON sb.doc_id = c.id_b
+        |  WHERE CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common)
+        |    >= CAST(0.3 AS DOUBLE)),
+        |tc AS (SELECT count(*) AS n_true_pairs FROM truth),
+        |fp AS (SELECT doc_id, $TokenFingerprintSql AS x FROM sh0),
+        |sig AS (SELECT doc_id, $minhashMinsSql FROM fp GROUP BY doc_id),
+        |bands4 AS (${minhashBandsSql(32, 4)}),
+        |cand4 AS (${candSql("bands4")}),
+        |bands8 AS (${minhashBandsSql(32, 8)}),
+        |cand8 AS (${candSql("bands8")})
+        |${rowSql(4, "cand4")}
+        |UNION ALL
+        |${rowSql(8, "cand8")}
+        |ORDER BY rows_per_band""".stripMargin
+      }),
+
     // ---- Incremental dedup: a new batch (doc_id % 20 = 0) deduped against
     //      the already-ingested corpus (the rest) — the production shape:
     //      the corpus is already deduped; only the increment is hashed and

