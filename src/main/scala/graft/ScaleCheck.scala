@@ -730,7 +730,72 @@ object ScaleCheck {
           .groupBy("split", "source")
           .agg(count(lit(1)).as("n_docs"),
             sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
-      })
+      },
+      // ---- round-14 operators ----
+      // real PPM decode: Column-tree encode + partition-local parse kernel,
+      // zero shuffles — expect ~1x
+      "ppm_decode" -> (d => graft.operators.Multimodal.decodePpmFeatures(
+        graft.operators.Multimodal.encodePpm(
+          graft.operators.Multimodal.fromText(
+            Tables.documents(spark, d), "doc_id", "text", "source")))),
+      // UniMax: one corpus partial-agg + sources-bounded windows — ~1x
+      "unimax" -> (d => graft.operators.Sampling.unimaxPlan(
+        Tables.documents(spark, d).select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).as("n_toks")),
+        "source", col("n_toks"), budgetTokens = 500000L, maxEpochs = 2.0)),
+      // retrieval eval incl. the exact-ranking pass: one corpus scan per
+      // query batch, everything downstream (queries x k)-bounded
+      "retrieval_eval" -> { d =>
+        val emb = Tables.embeddings(spark, d)
+        val ranking = graft.operators.Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 8), k = 10)
+        val qrels = emb.select(col("vec_id").as("doc_id"))
+          .crossJoin(emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id")))
+          .filter((col("query_id") * 31 + col("doc_id")) % 11 === 0)
+          .withColumn("rel", (col("doc_id") % 3 + 1).cast("double"))
+        graft.operators.RetrievalEval.perQuery(ranking, qrels, k = 10)
+      },
+      // robots screening: scan-stage canonicalize + broadcast rule join — ~1x
+      "robots_screen" -> { d =>
+        val spark0 = spark; import spark0.implicits._
+        import graft.operators.Curation
+        val robots = Seq(
+          ("a.com", "User-agent: graftbot\nDisallow: /page/1"),
+          ("b.net", "User-agent: *\nDisallow: /page/20"))
+          .toDF("domain", "txt")
+        val url = concat(
+          when(col("doc_id") % 2 === 0, lit("http://a.com")).otherwise(lit("https://b.net")),
+          lit("/page/"), (col("doc_id") % 211).cast("string"))
+        Curation.robotsVerdicts(
+          Tables.documents(spark, d).select(col("doc_id"), url.as("url")),
+          "url", Curation.parseRobots(robots, "domain", "txt"), "graftbot")
+      },
+      // Kneser-Ney train+score: two corpus passes + cap-bounded model
+      // broadcasts + scan-stage scoring — the perplexity family's shape
+      "kn_perplexity" -> { d =>
+        val docs = Tables.documents(spark, d)
+        val lm = graft.operators.LanguageModel.trainKneserNey(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+          vocabCap = 4096, bigramCap = 1 << 16)
+        graft.operators.LanguageModel.perplexityKneserNey(docs, "doc_id", "text", lm)
+      },
+      // kappa matrix: ONE partial-agg pass fills every pair's contingency
+      "filter_agreement" -> { d =>
+        graft.GraftExtensions.register(spark)
+        graft.operators.Diagnostics.filterAgreementMatrix(
+          Tables.documents(spark, d), Seq(
+            "quality" -> (TextFunctions.qualityScore(col("text")) >= 0.6),
+            "lang_en" -> (TextFunctions.langId(col("text")) === "en"),
+            "entropy" -> (graft.functions.Entropy.charEntropy(col("text")) >= 3.5)))
+      },
+      // LSH recall report: truth is the inverted-index pair generator
+      // (documented output-driven superlinear class, df cut scaled); the
+      // banding/candidate side is one sig pass + a bucket self-join
+      "lsh_recall" -> (d => Dedup.lshRecallReport(
+        Tables.documents(spark, d), "doc_id", "text",
+        threshold = 0.3, configs = Seq((32, 8)),
+        maxTokenDf = dfCut(d), tokens = shingleSet)))
 
     // optional arg: comma-separated substrings — run only matching cases
     // (local iteration on newly added operators)

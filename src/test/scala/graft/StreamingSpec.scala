@@ -706,6 +706,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("robots screening is row-pure: the batch operator runs on a stream unmodified") {
+    import graft.operators.Curation
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rules = Curation.parseRobots(Seq(
+        ("a.com", "User-agent: graftbot\nDisallow: /private/"),
+        ("b.net", "User-agent: *\nDisallow: /search"))
+        .toDF("domain", "txt"), "domain", "txt")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "url")
+    val q = Curation.robotsVerdicts(docs, "url", rules, agent = "graftbot")
+      .writeStream.format("memory").queryName("robots_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "http://A.com/private/x"), (2L, "http://a.com/ok"),
+        (3L, "https://b.net/search?q=1"), (4L, "https://c.org/free"))
+      q.processAllAvailable()
+      val got = s.sql("SELECT doc_id, robots_blocked FROM robots_stream")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    } finally q.stop()
+  }
+
   test("streaming Kneser-Ney scoring equals batch once windows close") {
     import graft.operators.LanguageModel
     val s = spark
