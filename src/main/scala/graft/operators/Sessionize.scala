@@ -41,4 +41,69 @@ object Sessionize {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Ordered FUNNEL analysis — the product-analytics staple over an event
+    * log: for each user, how far through `steps` they progressed IN ORDER
+    * (each step's event must occur STRICTLY after the previous step's
+    * matched time). Matching is greedy-earliest, which is optimal: taking
+    * the earliest qualifying occurrence of step i can only enlarge the
+    * window in which step i+1 may qualify, so greedy reaches the maximum
+    * depth any matching could.
+    *
+    * Output: (userCol, t_1..t_k nullable match times, steps_reached).
+    * t_i non-null implies t_{i−1} non-null by construction, so
+    * `steps_reached` is simply the non-null count.
+    *
+    * Scale shape: one filtered partial-agg + one user-keyed join PER STEP
+    * (k is small and fixed); the event-type filter pushes into each scan,
+    * so step i reads only its own events. No windows, no per-user event
+    * collection — a user with a million events costs map-side combine,
+    * never a fat window partition. */
+  def funnelPerUser(events: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val users = events.select(col(userCol)).distinct()
+    val matched = steps.zipWithIndex.foldLeft(users) {
+      case (acc, (step, i)) =>
+        val tPrev = if (i == 0) lit(null) else col(s"t_$i")
+        val cand = events.filter(col(typeCol) === step)
+          .select(col(userCol), col(tsCol).as("__ts"))
+        val scoped =
+          if (i == 0) cand
+          else cand.join(acc.select(col(userCol), tPrev.as("__prev"))
+              .filter(col("__prev").isNotNull), Seq(userCol))
+            .filter(col("__ts") > col("__prev"))
+        val ti = scoped.groupBy(col(userCol))
+          .agg(min(col("__ts")).as(s"t_${i + 1}"))
+        acc.join(ti, Seq(userCol), "left")
+    }
+    matched.withColumn("steps_reached",
+      steps.indices.map(i => when(col(s"t_${i + 1}").isNotNull, 1L)
+        .otherwise(0L)).reduce(_ + _))
+  }
+
+  /** The funnel scoreboard: one row per step with the users reaching it,
+    * conversion from the funnel head, and conversion from the previous
+    * step — single divisions over exact counts (null at the head / on an
+    * empty funnel, never a division blowup). Built from ONE aggregation
+    * over [[funnelPerUser]]'s bounded output. */
+  def funnelReport(perUser: DataFrame, steps: Seq[String]): DataFrame = {
+    val g = perUser.agg(
+      count(lit(1)).as("__n"),
+      steps.indices.map(i =>
+        sum(when(col(s"t_${i + 1}").isNotNull, 1L).otherwise(0L))
+          .as(s"__r_${i + 1}")): _*)
+    steps.zipWithIndex.map { case (step, i) =>
+      val n = col(s"__r_${i + 1}")
+      val head = col("__r_1")
+      val prev = if (i == 0) lit(null) else col(s"__r_$i")
+      g.select(
+        lit(i + 1).as("step"), lit(step).as("event_type"),
+        n.as("n_users"),
+        when(head > 0, n.cast("double") / head.cast("double"))
+          .as("conversion_from_head"),
+        when(prev.isNotNull && prev > 0, n.cast("double") / prev.cast("double"))
+          .as("conversion_from_prev"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -522,6 +522,70 @@ object RelationalQueries {
         | max(ts) AS session_end, count(*) AS n_events
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- Ordered funnel (round 14): view -> click -> purchase, each step
+    //      STRICTLY after the previous step's matched time,
+    //      greedy-earliest matching (provably maximal depth). One filtered
+    //      partial-agg + user join per step; no windows.
+    "q_t_funnel_users" -> Q(
+      (s, d) => Sessionize.funnelPerUser(Tables.events(s, d),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id"),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_3 FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1)
+        |SELECT u.user_id, s1.t_1, s2.t_2, s3.t_3,
+        |  CAST((CASE WHEN s1.t_1 IS NULL THEN 0 ELSE 1 END)
+        |   + (CASE WHEN s2.t_2 IS NULL THEN 0 ELSE 1 END)
+        |   + (CASE WHEN s3.t_3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS steps_reached
+        |FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+        |LEFT JOIN s2 ON s2.user_id = u.user_id
+        |LEFT JOIN s3 ON s3.user_id = u.user_id
+        |ORDER BY u.user_id""".stripMargin)),
+
+    "q_t_funnel_report" -> Q(
+      (s, d) => Sessionize.funnelReport(
+        Sessionize.funnelPerUser(Tables.events(s, d),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase")),
+        Seq("view", "click", "purchase")),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t_2 FROM events e
+        |  JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t_3 FROM events e
+        |  JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(s1.t_1) AS BIGINT) AS r1,
+        |  CAST(count(s2.t_2) AS BIGINT) AS r2,
+        |  CAST(count(s3.t_3) AS BIGINT) AS r3
+        |  FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+        |  LEFT JOIN s2 ON s2.user_id = u.user_id
+        |  LEFT JOIN s3 ON s3.user_id = u.user_id)
+        |SELECT 1 AS step, 'view' AS event_type, r1 AS n_users,
+        |  CASE WHEN r1 > 0 THEN CAST(r1 AS DOUBLE) / CAST(r1 AS DOUBLE) END
+        |    AS conversion_from_head,
+        |  CAST(NULL AS DOUBLE) AS conversion_from_prev FROM g
+        |UNION ALL
+        |SELECT 2, 'click', r2,
+        |  CASE WHEN r1 > 0 THEN CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE) END,
+        |  CASE WHEN r1 > 0 THEN CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE) END
+        |  FROM g
+        |UNION ALL
+        |SELECT 3, 'purchase', r3,
+        |  CASE WHEN r1 > 0 THEN CAST(r3 AS DOUBLE) / CAST(r1 AS DOUBLE) END,
+        |  CASE WHEN r2 > 0 THEN CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE) END
+        |  FROM g
+        |ORDER BY step""".stripMargin)),
+
     // ---- S6 analog: tolerant semi-structured extraction (JSON props).
     "q_s6_json_extract" -> Q(
       (s, d) => Tables.events(s, d)

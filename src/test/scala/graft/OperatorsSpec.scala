@@ -1492,6 +1492,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("funnel: strict ordering, greedy-earliest matching, out-of-order events don't count") {
+    import graft.operators.Sessionize
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // A: clean view -> click -> purchase
+      (1L, ts("2025-01-01 10:00:00"), "view"),
+      (1L, ts("2025-01-01 10:01:00"), "click"),
+      (1L, ts("2025-01-01 10:02:00"), "purchase"),
+      // B: purchase BEFORE the click — click matches, purchase does not
+      (2L, ts("2025-01-01 10:00:00"), "view"),
+      (2L, ts("2025-01-01 10:01:00"), "purchase"),
+      (2L, ts("2025-01-01 10:02:00"), "click"),
+      // C: click with no prior view — reaches nothing
+      (3L, ts("2025-01-01 10:00:00"), "click"),
+      // D: click at the SAME ts as view — strictness rejects it; a later
+      //    click then a purchase completes the funnel (greedy takes the
+      //    EARLIEST qualifying click, leaving room for the purchase)
+      (4L, ts("2025-01-01 10:00:00"), "view"),
+      (4L, ts("2025-01-01 10:00:00"), "click"),
+      (4L, ts("2025-01-01 10:05:00"), "click"),
+      (4L, ts("2025-01-01 10:06:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Sessionize.funnelPerUser(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("steps_reached")).toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 0L, 4L -> 3L))
+    val report = Sessionize.funnelReport(
+        Sessionize.funnelPerUser(events, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase")),
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+    assert(report.map(_.getAs[Long]("n_users")).toSeq == Seq(3L, 3L, 2L))
+    assert(report(2).getAs[Double]("conversion_from_head") == 2.0 / 3.0)
+    assert(report(0).isNullAt(report(0).fieldIndex("conversion_from_prev")))
+  }
+
   test("lshRecallReport: exact-dup truth recovered at every config; cost counted") {
     import graft.operators.Dedup
     import spark.implicits._
