@@ -275,6 +275,46 @@ class CliSpec extends SparkSpec {
     assert(delivered == audit.filter(_._2 == "kept").keys.toSet)
   }
 
+  test("IngestCli: builds indexes once, ingests files exactly once, rerun-safe") {
+    val s2 = spark
+    import s2.implicits._
+    val corpusDir = Files.createTempDirectory("graft-ing-corpus").toString
+    Seq((100L, "alpha beta gamma delta epsilon zeta"),
+        (101L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val inDir = Files.createTempDirectory("graft-ing-in").toString
+    val stateDir = Files.createTempDirectory("graft-ing-state").toString + "/st"
+    def writeJsonl(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(inDir, name),
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    writeJsonl("b1.jsonl", Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta"),        // exact corpus dup
+      (1002L, "alpha beta gamma delta epsilon zeta extra"),  // near-dup of 100
+      (1003L, "totally fresh unrelated content words here")))
+    val r1 = IngestCli.run(spark, corpusDir, inDir, stateDir)
+    assert(r1.nDocs == 2 && r1.nCorpus == 2,
+      s"exact dup must drop, survivors append: $r1")
+    assert(r1.nLabels == 4) // 2 corpus + 2 survivors
+    // the near-dup survivor clustered under its corpus component
+    val labels = spark.read.parquet(s"$stateDir/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1002L) == 100L && labels(1003L) == 1003L)
+    // rerun with NOTHING new: the checkpoint makes it a no-op
+    val r2 = IngestCli.run(spark, corpusDir, inDir, stateDir)
+    assert(r2 == r1, s"rerun must be exactly-once: $r2 vs $r1")
+    // a new file lands; only it is processed
+    writeJsonl("b2.jsonl", Seq(
+      (1004L, "another brand new document entirely distinct")))
+    val r3 = IngestCli.run(spark, corpusDir, inDir, stateDir)
+    assert(r3.nDocs == 3 && r3.nLabels == 5, s"increment only: $r3")
+    val ids = spark.read.parquet(s"$stateDir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1002L, 1003L, 1004L))
+  }
+
   test("CorpusCli --from-html extracts first and lands on the plain-text result") {
     // stage an input whose text column is raw markup wrapping the same words
     val htmlDir = Files.createTempDirectory("graft-corpus-html").toString
