@@ -3683,6 +3683,93 @@ object DocQueries {
         |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
       }),
 
+    // ---- Dataset DATASHEET (round 14): the per-source one-stop card a
+    //      corpus ships with — volume, exact mean quality, language share,
+    //      exact-dup rate, benchmark-contamination rate, mean char entropy
+    //      — one row per source, every number the composition of an
+    //      already-gated signal. Corpus = doc_id % 20 != 0 (the holdout
+    //      rows are the benchmark the contamination column measures
+    //      against, the decontaminate-gate convention). One scan computes
+    //      all scalar signals; contamination adds the fractions semi-join;
+    //      the card itself is a partial-agg groupBy.
+    "q_pipeline_datasheet" -> Q(
+      (s, d) => {
+        import graft.operators.Decontaminate
+        graft.GraftExtensions.register(s)
+        val docs = docsP(s, d)
+        val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+        val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select("doc_id", "text")
+        val scored = corpus.select(col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.langId(col("text")).as("lang"),
+          graft.functions.Entropy.charEntropy(col("text")).as("ent"),
+          md5(col("text")).as("h"))
+        val decon = Decontaminate.fractions(corpus, bench, "doc_id", "text",
+            threshold = 0.5, shingleK = ShingleK)
+          .select(col("doc_id"), col("is_contaminated"))
+        scored.join(decon, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            ExactAgg.avgD(col("quality"), 6).as("mean_quality"),
+            (sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L)))
+              .cast("double") / count(lit(1))).as("en_frac"),
+            ((count(lit(1)) - countDistinct(col("h"))).cast("double") /
+              count(lit(1))).as("dup_rate"),
+            (sum(when(coalesce(col("is_contaminated"), lit(false)), lit(1L))
+              .otherwise(lit(0L))).cast("double") / count(lit(1)))
+              .as("contaminated_frac"),
+            (sum(round(col("ent"), 12).cast("decimal(28,12)")).cast("double") /
+              count(lit(1))).as("mean_entropy"))
+          .orderBy("source")
+      },
+      Some {
+        val qlc = qualityLangCtes("(SELECT * FROM documents WHERE doc_id % 20 != 0)")
+        s"""WITH $qlc,
+        |ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS c
+        |  FROM documents WHERE doc_id % 20 != 0),
+        |ge AS (SELECT doc_id, c, count(*) AS cn FROM ch GROUP BY 1, 2),
+        |te AS (SELECT doc_id, CAST(sum(cn) AS DOUBLE) AS L FROM ge GROUP BY 1),
+        |ent AS (SELECT ge.doc_id,
+        |  CAST(sum(CAST(round(-((cn / L) * ln(cn / L) / ln(2)), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS entropy
+        |  FROM ge JOIN te USING (doc_id) GROUP BY 1),
+        |kt AS (SELECT doc_id, $ToksSql AS toks FROM documents
+        |  WHERE doc_id % 20 != 0),
+        |csh AS (SELECT doc_id, $TokenFp60Sql AS fp FROM
+        |  (SELECT doc_id, unnest($ShinglesSql) AS tok FROM kt)),
+        |bt AS (SELECT doc_id, $ToksSql AS toks FROM documents
+        |  WHERE doc_id % 20 = 0),
+        |bsh AS (SELECT DISTINCT $TokenFp60Sql AS fp FROM
+        |  (SELECT doc_id, unnest($ShinglesSql) AS tok FROM bt)),
+        |cm AS (SELECT doc_id, count(*) AS n_matched FROM csh
+        |  WHERE fp IN (SELECT fp FROM bsh) GROUP BY 1),
+        |cs AS (SELECT doc_id, count(*) AS n_sh FROM csh GROUP BY 1),
+        |contam AS (SELECT cs.doc_id,
+        |  CAST(coalesce(cm.n_matched, 0) AS DOUBLE) / cs.n_sh >= 0.5
+        |    AS is_contaminated
+        |  FROM cs LEFT JOIN cm ON cm.doc_id = cs.doc_id)
+        |SELECT s.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(s.n_toks) AS BIGINT) AS n_tokens,
+        |  ${ExactAgg.avgSql("s.quality", 6)} AS mean_quality,
+        |  CAST(sum(CASE WHEN s.lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS en_frac,
+        |  CAST(count(*) - count(DISTINCT md5(s.text)) AS DOUBLE)
+        |    / count(*) AS dup_rate,
+        |  CAST(sum(CASE WHEN coalesce(c2.is_contaminated, false)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS contaminated_frac,
+        |  CAST(sum(CAST(round(coalesce(e2.entropy, CAST(0 AS DOUBLE)), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean_entropy
+        |FROM scored s
+        |LEFT JOIN contam c2 ON c2.doc_id = s.doc_id
+        |LEFT JOIN ent e2 ON e2.doc_id = s.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
     // ---- Robots screening (round 14): parse literal robots.txt payloads
     //      into per-agent Disallow rules and screen synthesized crawl URLs
     //      for agent "graftbot" — exact group beats '*' (a.com's allow-all
