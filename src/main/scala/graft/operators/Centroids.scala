@@ -68,4 +68,99 @@ object Centroids {
     aggregate(transform(sorted, s => s.getField("v")), lit(0.0),
       (acc, x) => acc + x) / size(sorted)
   }
+
+  /** Exact UPPER-TRIANGLE covariance of an embedding corpus — (i, j, cov)
+    * with 0-based dims, i ≤ j: the sufficient statistic behind the
+    * spectral diagnostics ([[topPrincipalComponent]]) and whitening.
+    * Population covariance (divide by n), means and cell sums both as
+    * round-9 decimal accumulations — order-independent, so the matrix is
+    * bit-reproducible on any engine and partitioning.
+    *
+    * Scale shape: one dim-wise pass for the means (partial-agg, dim-bounded
+    * shuffle), then one scan exploding each row to its dim(dim+1)/2 pair
+    * products, partial-aggregated map-side before the (dim²)-bounded
+    * shuffle. Nothing corpus-sized is shuffled; the output is model-sized
+    * by construction. Rows whose vector length ≠ `dim` are dropped (a
+    * ragged row would corrupt every cell it touches). */
+  def covarianceUpper(embeddings: DataFrame, vecCol: String,
+                      dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val e = embeddings
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .filter(size(col("__v")) === dim &&
+        forall(col("__v"), x => x.isNotNull))
+    val mu = e.select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg((sum(round(col("x"), 9).cast("decimal(28,9)")).cast("double") /
+        count(lit(1))).as("mu"))
+    val muArr = mu.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
+        s => s.getField("mu")).as("__mu"))
+    e.crossJoin(broadcast(muArr))
+      .select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(i, lit(dim - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            ((element_at(col("__v"), i + lit(1)) -
+                element_at(col("__mu"), i + lit(1))) *
+              (element_at(col("__v"), j + lit(1)) -
+                element_at(col("__mu"), j + lit(1)))).as("p")))))).as("c"))
+      .select(col("c.i").cast("long").as("i"),
+        col("c.j").cast("long").as("j"), col("c.p").as("p"))
+      .groupBy("i", "j")
+      .agg((sum(round(col("p"), 9).cast("decimal(28,9)")).cast("double") /
+        count(lit(1))).as("cov"))
+  }
+
+  /** TOP PRINCIPAL COMPONENT of an embedding corpus by the power method —
+    * the spectral health check a representation pipeline watches: a
+    * dominant component carrying most of the variance means embeddings
+    * collapse toward a line (anisotropy — the known failure mode of
+    * untuned sentence embeddings), and its loadings say which dimensions
+    * dominate retrieval distances.
+    *
+    * The corpus-scaled work is the [[covarianceUpper]] pass; the dim×dim
+    * matrix then COLLECTS (model-sized, like centroid tables) and the
+    * fixed-`iters` power iteration runs locally with arithmetic an engine
+    * can replay exactly: v₀ = 1/√dim, each matvec entry a round-9 decimal
+    * sum of round-9 products, each norm the √ of a round-9 decimal sum of
+    * round-9 squares, one division per entry. No convergence test — a
+    * FIXED iteration count is what makes the result a pure function of
+    * the input (the oracle unrolls the same ten steps).
+    *
+    * Output: one row per dimension (i, loading, eigenvalue,
+    * variance_share) — `eigenvalue` is the final matvec norm (the Rayleigh
+    * estimate under power iteration), `variance_share` divides it by the
+    * trace. */
+  def topPrincipalComponent(embeddings: DataFrame, vecCol: String, dim: Int,
+                            iters: Int = 10): DataFrame = {
+    require(iters >= 1, "need at least one power iteration")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    def round9(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    def decSum(xs: Seq[Double]): Double =
+      xs.map(x => java.math.BigDecimal.valueOf(round9(x))
+          .setScale(9, java.math.RoundingMode.HALF_UP))
+        .foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue()
+    // model-sized collect: dim(dim+1)/2 cells, the centroid-table contract
+    val cells = covarianceUpper(embeddings, vecCol, dim).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val c = Array.ofDim[Double](dim, dim)
+    cells.foreach { case (i, j, v) => c(i)(j) = v; c(j)(i) = v }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        decSum((0 until dim).map(j => c(i)(j) * v(j))))
+      lambda = math.sqrt(decSum(w.map(x => x * x)))
+      v = w.map(_ / lambda)
+    }
+    val trace = decSum((0 until dim).map(i => c(i)(i)))
+    val share = if (trace != 0.0) lambda / trace else Double.NaN
+    v.toIndexedSeq.zipWithIndex
+      .map { case (l, i) => (i.toLong, l, lambda, share) }
+      .toDF("i", "loading", "eigenvalue", "variance_share")
+  }
 }

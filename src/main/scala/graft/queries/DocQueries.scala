@@ -665,6 +665,58 @@ object DocQueries {
        |  FROM ret FULL OUTER JOIN ideal ON ret.query_id = ideal.query_id)
        |$tail""".stripMargin
 
+  /** Covariance CTE chain shared by the spectral gates: round-9 decimal
+    * means and cell sums over the 64-dim embeddings — ends in
+    * `covu(i, j, cov)` (upper triangle, 0-based). */
+  private val CovarianceCtes: String =
+    s"""e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE len(embedding) = 64),
+       |ex AS (SELECT v, unnest(range(1, 65)) AS i FROM e),
+       |mu AS (SELECT i - 1 AS i,
+       |  CAST(sum(CAST(round(v[i], 9) AS DECIMAL(28,9))) AS DOUBLE)
+       |    / count(*) AS mu
+       |  FROM ex GROUP BY 1),
+       |pr AS (SELECT e.v, r1.i AS i1, r2.j AS j1
+       |  FROM e, range(1, 65) r1(i), range(1, 65) r2(j)
+       |  WHERE r1.i <= r2.j),
+       |pp AS (SELECT i1 - 1 AS i, j1 - 1 AS j,
+       |  (v[i1] - mi.mu) * (v[j1] - mj.mu) AS p
+       |  FROM pr JOIN mu mi ON mi.i = i1 - 1 JOIN mu mj ON mj.i = j1 - 1),
+       |covu AS MATERIALIZED (SELECT i, j,
+       |  CAST(sum(CAST(round(p, 9) AS DECIMAL(28,9))) AS DOUBLE)
+       |    / count(*) AS cov
+       |  FROM pp GROUP BY 1, 2)""".stripMargin
+
+  /** Unrolled power-iteration oracle for [[q_v_pca_top]]: `iters` exact
+    * matvec/normalize steps over the mirrored full matrix. */
+  private def PcaTopOracleSql(dim: Int, iters: Int): String = {
+    // every step MATERIALIZED: the w/n/v chain references each level twice,
+    // and a planner that re-inlines CTEs would re-expand the whole chain
+    // 2^iters times (observed: DuckDB ground for minutes on the inlined
+    // form; materialized it is instant)
+    val iterCtes = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT c.i,
+         |  CAST(sum(CAST(round(c.cov * v.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS w
+         |  FROM covf c JOIN v${k - 1} v ON v.i = c.j GROUP BY 1),
+         |n$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(round(w * w, 9)
+         |  AS DECIMAL(28,9))) AS DOUBLE)) AS nrm FROM w$k),
+         |v$k AS MATERIALIZED (SELECT i, w / (SELECT nrm FROM n$k) AS x
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $CovarianceCtes,
+       |covf AS MATERIALIZED (SELECT i, j, cov FROM covu
+       |  UNION ALL SELECT j, i, cov FROM covu WHERE i != j),
+       |v0 AS MATERIALIZED (SELECT DISTINCT i,
+       |  CAST(1 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS x FROM covf),
+       |$iterCtes,
+       |tr AS (SELECT CAST(sum(CAST(round(cov, 9) AS DECIMAL(28,9))) AS DOUBLE)
+       |  AS t FROM covu WHERE i = j)
+       |SELECT v.i, v.x AS loading,
+       |  (SELECT nrm FROM n$iters) AS eigenvalue,
+       |  (SELECT nrm FROM n$iters) / (SELECT t FROM tr) AS variance_share
+       |FROM v$iters v ORDER BY i""".stripMargin
+  }
+
   /** Shared labeling for the contrastive/hard-negative gate family: the
     * deterministic q_dedup_semantic chain (hash cells + exact-mean
     * centroids + recursive components) joined back onto the double-cast
@@ -4113,6 +4165,31 @@ object DocQueries {
     //      double avg is partial-aggregation-order-dependent and would not
     //      hash-match). The distributed fast path is Centroids.meanByKey;
     //      OperatorsSpec asserts the two agree to 1e-9.
+    // ---- Exact covariance (round 14): the sufficient statistic for the
+    //      spectral diagnostics — round-9 decimal means and cell sums, so
+    //      the dim(dim+1)/2 upper triangle is bit-reproducible under any
+    //      partitioning. One scan explodes each row into its pair
+    //      products; everything shuffled is (dim^2)-bounded.
+    "q_v_covariance" -> Q(
+      (s, d) => graft.operators.Centroids.covarianceUpper(
+          Tables.embeddings(s, d), "embedding", dim = 64)
+        .orderBy("i", "j"),
+      Some(s"""WITH $CovarianceCtes
+        |SELECT i, j, cov FROM covu ORDER BY i, j""".stripMargin)),
+
+    // ---- Top principal component (round 14): the anisotropy check — a
+    //      dominant eigenvalue means the embeddings collapse toward a
+    //      line. Fixed ten power iterations with replayable arithmetic
+    //      (round-9 decimal matvecs/norms, v0 = 1/sqrt(dim)); the oracle
+    //      unrolls the same ten steps over the mirrored matrix. The
+    //      corpus-scaled work is the covariance pass; the iteration is
+    //      model-sized driver math (the centroid-table contract).
+    "q_v_pca_top" -> Q(
+      (s, d) => graft.operators.Centroids.topPrincipalComponent(
+          Tables.embeddings(s, d), "embedding", dim = 64, iters = 10)
+        .orderBy("i"),
+      Some(PcaTopOracleSql(dim = 64, iters = 10))),
+
     "q_v_centroid" -> Q(
       (s, d) => {
         import graft.operators.Centroids

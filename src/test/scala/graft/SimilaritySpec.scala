@@ -542,6 +542,35 @@ class SimilaritySpec extends SparkSpec {
     } finally index.assigned.unpersist()
   }
 
+  test("top principal component recovers a planted dominant direction") {
+    import spark.implicits._
+    import graft.operators.Centroids
+    // vectors spread widely along e0 (+noise-free small e1 wiggle): the top
+    // component must align with dim 0 and carry almost all the variance
+    val rows = (0 until 40).map { n =>
+      val t = (n - 20).toDouble
+      (n.toLong, Seq(t * 10.0, if (n % 2 == 0) 0.5 else -0.5, 0.0, 0.0))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Centroids.topPrincipalComponent(emb, "embedding", dim = 4)
+      .orderBy("i").collect()
+    assert(out.length == 4)
+    val loadings = out.map(_.getAs[Double]("loading"))
+    assert(math.abs(math.abs(loadings(0)) - 1.0) < 1e-6,
+      s"dim 0 must dominate: ${loadings.toSeq}")
+    assert(loadings.drop(1).forall(l => math.abs(l) < 1e-3))
+    // unit vector; eigenvalue ~ var of the planted axis; share ~ 1
+    val norm = math.sqrt(loadings.map(l => l * l).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+    assert(out.head.getAs[Double]("variance_share") > 0.99)
+    // covariance sanity: symmetric storage upper triangle, diag positive
+    val cov = Centroids.covarianceUpper(emb, "embedding", dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cov.keys.forall { case (i, j) => i <= j })
+    assert(cov((0L, 0L)) > cov((1L, 1L)) && cov((1L, 1L)) > 0.0)
+    assert(cov((2L, 2L)) == 0.0 && cov((3L, 3L)) == 0.0)
+  }
+
   test("retrieval eval: hand-computed metrics, undefined-vs-zero edge cases, perfect ranking") {
     import spark.implicits._
     import graft.operators.RetrievalEval
