@@ -163,4 +163,40 @@ object Centroids {
       .map { case (l, i) => (i.toLong, l, lambda, share) }
       .toDF("i", "loading", "eigenvalue", "variance_share")
   }
+
+  /** ALL-BUT-THE-TOP post-processing (Mu & Viswanath, ICLR 2018): subtract
+    * the corpus mean and project out the top principal component — the
+    * standard fix for anisotropic embeddings (the dominant direction is
+    * shared energy that drowns cosine distances; removing it measurably
+    * improves retrieval). Composes [[covarianceUpper]]'s means and
+    * [[topPrincipalComponent]]'s direction; both are MODEL-SIZED, so the
+    * rewrite itself is pure scan-stage arithmetic: per row,
+    * `x' = (x − μ) − round9(v·(x − μ)) · v` with the dot product a
+    * sequential left-to-right fold — bit-reproducible, oracle-gated.
+    * Output: the input's id column plus `embedding` (the processed
+    * vector, one `round(·, 9)` per element so both engines emit identical
+    * parquet doubles). Rows whose vector length ≠ dim pass through
+    * unprocessed=NULL (they never entered the statistics either). */
+  def removeTopComponent(embeddings: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, iters: Int = 10): DataFrame = {
+    val stats = topPrincipalComponent(embeddings, vecCol, dim, iters)
+      .orderBy("i").collect().map(_.getAs[Double]("loading"))
+    // per-dim means, model-sized, the covariance pass's exact arithmetic
+    val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val mu = e.filter(size(col("__v")) === dim)
+      .select(posexplode(col("__v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg((sum(round(col("x"), 9).cast("decimal(28,9)")).cast("double") /
+        count(lit(1))).as("mu"))
+      .orderBy("i").collect().map(_.getAs[Double]("mu"))
+    val vLit = array(stats.map(lit): _*)
+    val muLit = array(mu.map(lit): _*)
+    val centered = zip_with(col("__v"), muLit, (x, m) => x - m)
+    // sequential fold dot product, round-9 pinned (the cross-engine contract)
+    val dot = round(aggregate(
+      zip_with(centered, vLit, (a, b) => a * b), lit(0.0), (acc, x) => acc + x), 9)
+    val out = zip_with(centered, vLit, (c, vv) => round(c - dot * vv, 9))
+    e.select(col(idCol),
+      when(size(col("__v")) === dim, out).as("embedding"))
+  }
 }

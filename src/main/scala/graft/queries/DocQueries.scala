@@ -687,13 +687,12 @@ object DocQueries {
        |    / count(*) AS cov
        |  FROM pp GROUP BY 1, 2)""".stripMargin
 
-  /** Unrolled power-iteration oracle for [[q_v_pca_top]]: `iters` exact
-    * matvec/normalize steps over the mirrored full matrix. */
-  private def PcaTopOracleSql(dim: Int, iters: Int): String = {
-    // every step MATERIALIZED: the w/n/v chain references each level twice,
-    // and a planner that re-inlines CTEs would re-expand the whole chain
-    // 2^iters times (observed: DuckDB ground for minutes on the inlined
-    // form; materialized it is instant)
+  /** Power-iteration CTE chain through `v$iters` over the covariance
+    * upper triangle. Every step MATERIALIZED: the w/n/v chain references
+    * each level twice, and a planner that re-inlines CTEs would re-expand
+    * the whole chain 2^iters times (observed: DuckDB ground for minutes on
+    * the inlined form; materialized it is instant). */
+  private def pcaChainCtes(dim: Int, iters: Int): String = {
     val iterCtes = (1 to iters).map { k =>
       s"""w$k AS MATERIALIZED (SELECT c.i,
          |  CAST(sum(CAST(round(c.cov * v.x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS w
@@ -703,19 +702,46 @@ object DocQueries {
          |v$k AS MATERIALIZED (SELECT i, w / (SELECT nrm FROM n$k) AS x
          |  FROM w$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $CovarianceCtes,
+    s"""$CovarianceCtes,
        |covf AS MATERIALIZED (SELECT i, j, cov FROM covu
        |  UNION ALL SELECT j, i, cov FROM covu WHERE i != j),
        |v0 AS MATERIALIZED (SELECT DISTINCT i,
        |  CAST(1 AS DOUBLE) / sqrt(CAST($dim AS DOUBLE)) AS x FROM covf),
-       |$iterCtes,
+       |$iterCtes""".stripMargin
+  }
+
+  /** Unrolled power-iteration oracle for [[q_v_pca_top]]: `iters` exact
+    * matvec/normalize steps over the mirrored full matrix. */
+  private def PcaTopOracleSql(dim: Int, iters: Int): String =
+    s"""WITH ${pcaChainCtes(dim, iters)},
        |tr AS (SELECT CAST(sum(CAST(round(cov, 9) AS DECIMAL(28,9))) AS DOUBLE)
        |  AS t FROM covu WHERE i = j)
        |SELECT v.i, v.x AS loading,
        |  (SELECT nrm FROM n$iters) AS eigenvalue,
        |  (SELECT nrm FROM n$iters) / (SELECT t FROM tr) AS variance_share
        |FROM v$iters v ORDER BY i""".stripMargin
-  }
+
+  /** All-but-the-top oracle: the PCA chain's direction + the covariance
+    * means applied per row — `x' = (x − μ) − round9(v·(x − μ))·v`, the dot
+    * a sequential fold, one round-9 per output element. */
+  private def AbttOracleSql(dim: Int, iters: Int): String =
+    s"""WITH ${pcaChainCtes(dim, iters)},
+       |muv AS MATERIALIZED (SELECT list(mu ORDER BY i) AS m FROM mu),
+       |vv AS MATERIALIZED (SELECT list(x ORDER BY i) AS tv FROM v$iters),
+       |rows0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE len(embedding) = $dim),
+       |cen AS (SELECT vec_id, m, tv,
+       |  list_transform(range(1, ${dim + 1}), q -> v[q] - m[q]) AS c
+       |  FROM rows0, muv, vv),
+       |dt AS (SELECT vec_id, c, tv,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(range(1, ${dim + 1}),
+       |      q -> c[q] * tv[q])), (acc, x) -> acc + x), 9) AS d
+       |  FROM cen)
+       |SELECT dt.vec_id, r.q - 1 AS i,
+       |  round(c[r.q] - d * tv[r.q], 9) AS x
+       |FROM dt, range(1, ${dim + 1}) r(q)
+       |ORDER BY vec_id, i""".stripMargin
 
   /** Shared labeling for the contrastive/hard-negative gate family: the
     * deterministic q_dedup_semantic chain (hash cells + exact-mean
@@ -4189,6 +4215,20 @@ object DocQueries {
           Tables.embeddings(s, d), "embedding", dim = 64, iters = 10)
         .orderBy("i"),
       Some(PcaTopOracleSql(dim = 64, iters = 10))),
+
+    // ---- All-but-the-top (round 14, Mu & Viswanath ICLR 2018): subtract
+    //      the mean, project out the top component — the anisotropy FIX
+    //      the q_v_pca_top diagnostic motivates. The model (mean +
+    //      direction) is driver-computed and rides the plan as literal
+    //      arrays; the rewrite is pure scan-stage arithmetic, exploded to
+    //      (vec_id, i, x) so the harness can hash it.
+    "q_v_remove_top" -> Q(
+      (s, d) => graft.operators.Centroids.removeTopComponent(
+          Tables.embeddings(s, d), "vec_id", "embedding", dim = 64)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .withColumn("i", col("i").cast("long"))
+        .orderBy("vec_id", "i"),
+      Some(AbttOracleSql(dim = 64, iters = 10))),
 
     "q_v_centroid" -> Q(
       (s, d) => {

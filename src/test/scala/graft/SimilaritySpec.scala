@@ -571,6 +571,37 @@ class SimilaritySpec extends SparkSpec {
     assert(cov((2L, 2L)) == 0.0 && cov((3L, 3L)) == 0.0)
   }
 
+  test("all-but-the-top kills the planted dominant direction") {
+    import spark.implicits._
+    import graft.operators.Centroids
+    val rows = (0 until 40).map { n =>
+      val t = (n - 20).toDouble
+      (n.toLong, Seq(t * 10.0 + 3.0, if (n % 2 == 0) 0.5 else -0.5,
+        t * 0.1, 0.0))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val before = Centroids.topPrincipalComponent(emb, "embedding", dim = 4)
+      .head().getAs[Double]("variance_share")
+    val processed = Centroids.removeTopComponent(emb, "vec_id", "embedding", dim = 4)
+    val after = Centroids.topPrincipalComponent(processed, "embedding", dim = 4)
+      .head().getAs[Double]("variance_share")
+    assert(before > 0.99, s"planted direction must dominate before: $before")
+    // post-processing, dim 0's energy is gone: along it everything is ~0
+    val dim0 = processed.select(element_at(col("embedding"), 1))
+      .collect().map(_.getDouble(0))
+    // tolerance reflects the round-9 contract: values up to ~200 on the
+    // planted axis leave residue at the 1e-4 absolute scale after the
+    // quantized projection
+    assert(dim0.forall(x => math.abs(x) < 1e-3), s"dim0 residue: ${dim0.take(3).toSeq}")
+    // the new dominant direction carries the REMAINING variance, which is
+    // orders of magnitude smaller than the planted axis carried
+    assert(after < 1.0 && !after.isNaN)
+    // mean removal: per-dim means of the output are ~0
+    val means = processed.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg("x").as("m")).collect().map(_.getAs[Double]("m"))
+    assert(means.forall(m => math.abs(m) < 1e-6))
+  }
+
   test("retrieval eval: hand-computed metrics, undefined-vs-zero edge cases, perfect ranking") {
     import spark.implicits._
     import graft.operators.RetrievalEval
