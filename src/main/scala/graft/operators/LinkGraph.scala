@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority scoring for web-crawl curation.
+  *
+  * Web pipelines rank DOMAINS before they rank documents: a crawl frontier
+  * is prioritized (and a screened corpus re-weighted) by link authority,
+  * because inlink structure is the one quality signal that exists before any
+  * content is fetched. The reference has no graph operators (its web layer
+  * serves city data, web.py:344-377); this family extends the engine's
+  * web-curation front end (Curation.domainEdges / screenDomains) the way a
+  * 100 TB crawl needs — the public precedent is CommonCrawl's domain-level
+  * ranking releases (PageRank + harmonic centrality over the domain graph).
+  *
+  * Scale shape: PageRank here is the standard iterative dataflow form —
+  * edges are pre-aggregated to (src, dst, weight) once (one shuffle),
+  * out-degrees ride a second small aggregate, and each iteration is ONE
+  * shuffle join (ranks ⋈ edges on src, both sides partitioned by the join
+  * key) plus one aggregation by dst. The rank frame is |domains|-sized —
+  * orders of magnitude smaller than the document corpus. Each iteration's
+  * ranks are persisted and MATERIALIZED before the previous iteration's
+  * cache is dropped (the persist-swap loop), so no iteration ever recomputes
+  * its predecessors; internal persists pin into the caller's
+  * [[graft.core.CacheScope]] handle per the engine-wide release contract.
+  * Curation ranking runs a handful of iterations, so plan nesting stays
+  * shallow; a long-horizon run (50+ iterations) should swap the persist for
+  * `checkpoint` to cut lineage and survive driver restarts — noted here
+  * rather than defaulted, because checkpointing needs a cluster-visible
+  * directory the operator cannot invent.
+  *
+  * Determinism contract: ranks are rounded to 9 decimals each iteration (the
+  * engine-wide round9 fold convention, see DocQueries). Two inflow
+  * aggregation modes:
+  *  - `orderIndependent = true` (production default): per-edge contributions
+  *    cast to DECIMAL(38,18) and summed — exact decimal addition is
+  *    associative/commutative, so partial aggregation (map-side combine)
+  *    stays enabled and the result is identical under any partitioning; at
+  *    web scale a hub domain's million inlinks fold map-side.
+  *  - `orderIndependent = false`: a sequential double fold over
+  *    contributions ordered by source domain — the bit-reproducible-on-any-
+  *    engine shape the DuckDB oracle mirrors (list_reduce ORDER BY src).
+  *    Collects each destination's contribution list into one row, so it is
+  *    the GATE path, not the hub-scale path.
+  * Both modes agree to well below the round9 grain on real graphs; the gate
+  * pins the fold path, LinkGraphSpec pins mode agreement.
+  *
+  * Dangling mass: nodes with no out-edges simply stop contributing (their
+  * mass is dropped, not redistributed) — the simplified PageRank variant;
+  * ranks then need not sum to 1, which is irrelevant for ordering. Documented
+  * rather than hidden: redistribution needs an extra global sum per
+  * iteration and changes no ordering on link graphs whose dangling tail is
+  * thin.
+  */
+object LinkGraph {
+
+  /** PageRank over an edge LIST (src, dst) — duplicate rows are weight
+    * (occurrence counts are the signal, matching Curation.domainEdges).
+    * Returns (domain, rank) — one row per node appearing as src or dst.
+    *
+    * @param iters   fixed iteration count (curation ranking converges for
+    *                ordering purposes in a handful of iterations; CommonCrawl
+    *                publishes fixed-iteration runs too)
+    * @param damping the standard 0.85 */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               orderIndependent: Boolean = true,
+               scope: graft.core.CacheScope.Handle =
+                 graft.core.CacheScope.detached): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val w = edges.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+      .persist()
+    val nodes = w.select(col("src").as("node"))
+      .union(w.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count() // one scalar: the node-universe cardinality
+    val outdeg = w.groupBy("src").agg(sum("weight").as("outdeg"))
+    val wd = w.join(outdeg, "src") // (src, dst, weight, outdeg)
+      .persist()
+    var ranks = nodes.select(col("node"),
+      round(lit(1.0) / lit(n.toDouble), 9).as("rank"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val contribs = wd.join(ranks, wd("src") === ranks("node"))
+        .select(col("dst"), col("src"),
+          (col("rank") / col("outdeg") * col("weight")).as("contrib"))
+      val inflow =
+        if (orderIndependent)
+          contribs.groupBy("dst").agg(
+            sum(col("contrib").cast("decimal(38,18)")).cast("double").as("inflow"))
+        else
+          contribs.groupBy("dst").agg(
+            aggregate(
+              transform(
+                array_sort(collect_list(struct(col("src"), col("contrib")))),
+                x => x.getField("contrib")),
+              lit(0.0), (acc: Column, x: Column) => acc + x).as("inflow"))
+      val next = scope.pin(
+        nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+          .select(col("node"),
+            round(lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
+          .persist())
+      next.count() // materialize BEFORE dropping the previous iteration
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(next)
+      ranks = next
+    }
+    // the final ranks frame is materialized: every upstream cache can go;
+    // the last iteration's persist stays pinned in `scope` for the caller
+    w.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    wd.unpersist(blocking = false)
+    ranks.select(col("node").as("domain"), col("rank"))
+  }
+
+  /** In/out degree + weighted-rank join surface: the rank table decorated
+    * with the degree signals a frontier scheduler consumes alongside it. */
+  def degreeProfile(edges: DataFrame): DataFrame = {
+    val w = edges.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+    val out = w.groupBy(col("src").as("domain"))
+      .agg(sum("weight").as("out_weight"),
+        count(lit(1)).as("out_degree"))
+    val in = w.groupBy(col("dst").as("domain"))
+      .agg(sum("weight").as("in_weight"),
+        count(lit(1)).as("in_degree"))
+    out.join(in, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("in_weight"), lit(0L)).as("in_weight"))
+  }
+}

@@ -6166,6 +6166,84 @@ object DocQueries {
         |    ELSE CAST(0 AS DOUBLE) END, 6) AS pct_rank
         |FROM r ORDER BY doc_id""".stripMargin)),
 
+    // ---- link-graph authority (LinkGraph.pageRank): a deterministic
+    //      synthetic domain graph from doc_id arithmetic — 20 domains, two
+    //      modular outlinks plus a hub link concentrating inlinks on d0..d3.
+    //      3 unrolled iterations, round9 per iteration, fold inflow ordered
+    //      by src (the oracle-exact mode; the production decimal-sum mode is
+    //      pinned equal in LinkGraphSpec).
+    "q_web_pagerank" -> Q(
+      (s, d) => {
+        def dom(e: Column) = concat(lit("d"), e.cast("string"))
+        val edges = docsP(s, d).select(
+          dom(col("doc_id") % 20).as("src"),
+          explode(array(
+            dom((col("doc_id") * 7 + 3) % 20),
+            dom((col("doc_id") * 13 + 5) % 20),
+            dom(col("doc_id") % 4))).as("dst"))
+        graft.operators.LinkGraph.pageRank(edges, iters = 3,
+            damping = 0.85, orderIndependent = false)
+          .orderBy("domain")
+      },
+      Some(s"""WITH e0 AS (
+        |  SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |    'd' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'd' || CAST(doc_id % 20 AS VARCHAR),
+        |    'd' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'd' || CAST(doc_id % 20 AS VARCHAR),
+        |    'd' || CAST(doc_id % 4 AS VARCHAR) FROM documents),
+        |w AS (SELECT src, dst, count(*) AS weight FROM e0 GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |od AS (SELECT src, sum(weight) AS outdeg FROM w GROUP BY 1),
+        |r0 AS (SELECT node, round(1.0 / n, 9) AS rank FROM nodes CROSS JOIN nn),
+        |${(1 to 3).map { i =>
+             s"""c$i AS (SELECT w.dst,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list((r.rank / od.outdeg) * w.weight ORDER BY w.src)),
+             |    (acc, x) -> acc + x) AS inflow
+             |  FROM w JOIN r${i - 1} r ON r.node = w.src
+             |  JOIN od ON od.src = w.src GROUP BY w.dst),
+             |r$i AS (SELECT node,
+             |  round((1 - 0.85) / n + 0.85 * coalesce(inflow, CAST(0 AS DOUBLE)), 9)
+             |    AS rank
+             |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.node)"""
+               .stripMargin }.mkString(",\n")}
+        |SELECT node AS domain, rank FROM r3 ORDER BY domain""".stripMargin)),
+
+    // ---- frontier degree profile (LinkGraph.degreeProfile) over the same
+    //      synthetic graph: distinct-neighbor degrees + occurrence weights.
+    "q_web_degree_profile" -> Q(
+      (s, d) => {
+        def dom(e: Column) = concat(lit("d"), e.cast("string"))
+        val edges = docsP(s, d).select(
+          dom(col("doc_id") % 20).as("src"),
+          explode(array(
+            dom((col("doc_id") * 7 + 3) % 20),
+            dom((col("doc_id") * 13 + 5) % 20),
+            dom(col("doc_id") % 4))).as("dst"))
+        graft.operators.LinkGraph.degreeProfile(edges).orderBy("domain")
+      },
+      Some(s"""WITH e0 AS (
+        |  SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) AS src,
+        |    'd' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents
+        |  UNION ALL SELECT 'd' || CAST(doc_id % 20 AS VARCHAR),
+        |    'd' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) FROM documents
+        |  UNION ALL SELECT 'd' || CAST(doc_id % 20 AS VARCHAR),
+        |    'd' || CAST(doc_id % 4 AS VARCHAR) FROM documents),
+        |w AS (SELECT src, dst, count(*) AS weight FROM e0 GROUP BY 1, 2),
+        |o AS (SELECT src AS domain, sum(weight) AS out_weight,
+        |  count(*) AS out_degree FROM w GROUP BY 1),
+        |i AS (SELECT dst AS domain, sum(weight) AS in_weight,
+        |  count(*) AS in_degree FROM w GROUP BY 1)
+        |SELECT coalesce(o.domain, i.domain) AS domain,
+        |  CAST(coalesce(out_degree, 0) AS BIGINT) AS out_degree,
+        |  CAST(coalesce(out_weight, 0) AS BIGINT) AS out_weight,
+        |  CAST(coalesce(in_degree, 0) AS BIGINT) AS in_degree,
+        |  CAST(coalesce(in_weight, 0) AS BIGINT) AS in_weight
+        |FROM o FULL OUTER JOIN i ON o.domain = i.domain
+        |ORDER BY domain""".stripMargin)),
+
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the
     // suite tail through r12, which is exactly where the bench-contamination

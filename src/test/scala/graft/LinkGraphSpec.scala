@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LinkGraph
+
+/** Link-graph authority ops: hand-computed PageRank on a known graph, the
+  * production (decimal-sum) vs gate (ordered fold) mode agreement, dangling
+  * semantics, and the degree profile. */
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a -> b, a -> c, b -> c, c -> a : classic 3-node cycle with a double-out a
+  private def triangle = Seq(
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+
+  test("one iteration matches the hand-computed update") {
+    val r = LinkGraph.pageRank(triangle, iters = 1, orderIndependent = false)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // r0 = 1/3 each (round9: 0.333333333). base = 0.15/3 = 0.05.
+    // a: inflow from c (outdeg 1): 0.333333333 -> 0.05 + 0.85*0.333333333
+    val third = BigDecimal(1.0 / 3).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    def expect(inflow: Double) =
+      BigDecimal(0.15 / 3 + 0.85 * inflow)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r("a") == expect(third))
+    assert(r("b") == expect(third / 2))
+    assert(r("c") == expect(third / 2 + third))
+    assert(r.size == 3)
+  }
+
+  test("production decimal-sum mode equals the ordered-fold gate mode") {
+    // a denser deterministic graph incl. parallel edges (weights) and a hub
+    val edges = spark.range(0, 400).select(
+      concat(lit("d"), (col("id") % 23).cast("string")).as("src"),
+      explode(array(
+        concat(lit("d"), ((col("id") * 7 + 3) % 23).cast("string")),
+        concat(lit("d"), ((col("id") * 11 + 1) % 23).cast("string")),
+        concat(lit("d"), (col("id") % 3).cast("string")))).as("dst"))
+    val exact = LinkGraph.pageRank(edges, iters = 4, orderIndependent = false)
+    val prod = LinkGraph.pageRank(edges, iters = 4, orderIndependent = true)
+    val joined = exact.withColumnRenamed("rank", "r_fold")
+      .join(prod.withColumnRenamed("rank", "r_sum"), "domain")
+    assert(joined.count() == 23)
+    // round9 is applied per iteration in both modes; with contributions well
+    // above the grain the two aggregation orders agree exactly here
+    assert(joined.filter(col("r_fold") =!= col("r_sum")).count() == 0)
+  }
+
+  test("dangling nodes keep the base rank; mass is dropped not redistributed") {
+    val edges = Seq(("a", "b"), ("b", "sink")).toDF("src", "dst")
+    val r = LinkGraph.pageRank(edges, iters = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // sink has no out-edges: it receives but never contributes; a receives
+    // nothing -> base only after iter 1
+    assert(r("sink") > r("a"))
+    assert(r("a") == BigDecimal(0.15 / 3)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // total mass < 1: the sink's inflow leaked out (documented contract)
+    assert(r.values.sum < 1.0)
+  }
+
+  test("hub domains outrank leaf domains; ranks positive") {
+    val edges = spark.range(0, 300).select(
+      concat(lit("d"), (col("id") % 30).cast("string")).as("src"),
+      concat(lit("hub"), (col("id") % 2).cast("string")).as("dst"))
+    val r = LinkGraph.pageRank(edges, iters = 3)
+    val hub = r.filter(col("domain").startsWith("hub"))
+      .agg(min("rank")).head.getDouble(0)
+    val leaf = r.filter(!col("domain").startsWith("hub"))
+      .agg(max("rank")).head.getDouble(0)
+    assert(hub > leaf)
+    assert(r.filter(col("rank") <= 0).count() == 0)
+  }
+
+  test("degreeProfile counts distinct neighbors and occurrence weights") {
+    val edges = Seq(
+      ("a", "b"), ("a", "b"), ("a", "c"), ("c", "a")).toDF("src", "dst")
+    val m = LinkGraph.degreeProfile(edges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(m("a") == ((2L, 3L, 1L, 1L))) // out: {b(w2), c(w1)}; in: {c(w1)}
+    assert(m("b") == ((0L, 0L, 1L, 2L)))
+    assert(m("c") == ((1L, 1L, 1L, 1L)))
+  }
+}
