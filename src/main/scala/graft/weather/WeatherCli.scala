@@ -94,6 +94,18 @@ object WeatherCli {
     spark.read.parquet(processed)
   }
 
+  /** T1 — the /data/hourly read path (web.py:356-363): same cache-or-compute
+    * contract as [[serveDaily]] over the hourly processed table. */
+  def serveHourly(spark: SparkSession, cfg: Config, refresh: Boolean = false): DataFrame = {
+    val slug = WeatherSources.slug(cfg.city)
+    val processed = s"${cfg.processedDir}/${slug}_hourly.parquet"
+    if (refresh || !Files.exists(Paths.get(processed))) {
+      fetch(cfg)
+      transform(spark, cfg)
+    }
+    spark.read.parquet(processed)
+  }
+
   /** S12 — JSON records payload {city, count, data} (web.py:376-377). The
     * `collect` here is the serving boundary, not a data-path collect: the
     * frame is one city's daily rows. */
