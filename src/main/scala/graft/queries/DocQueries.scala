@@ -6244,6 +6244,32 @@ object DocQueries {
         |FROM o FULL OUTER JOIN i ON o.domain = i.domain
         |ORDER BY domain""".stripMargin)),
 
+    // ---- big-big fuzzy join (FuzzyJoin.join): typo-tolerant key matching
+    //      of a probe subset against the whole corpus on the first-word key.
+    //      The Spark side runs the length-band blocked equi-join; the oracle
+    //      is the UNBLOCKED all-pairs semantics — hash equality proves the
+    //      blocking sound (a lost pair would change the result set).
+    "q_text_fuzzy_pairs" -> Q(
+      (s, d) => {
+        val fkey = substring(regexp_replace(
+          lower(substring_index(col("text"), " ", 1)), "[^a-z0-9]", ""), 1, 10)
+        val keyed = docsP(s, d).select(col("doc_id"), fkey.as("fkey"))
+        val probes = keyed.filter(col("doc_id") < 30)
+        graft.operators.FuzzyJoin.join(probes, keyed, "doc_id", "fkey", 2)
+          .filter(col("id_l") =!= col("id_r"))
+          .orderBy("id_l", "id_r")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+        |  substr(regexp_replace(lower(split_part(text, ' ', 1)),
+        |    '[^a-z0-9]', '', 'g'), 1, 10) AS fkey FROM documents),
+        |p AS (SELECT * FROM k WHERE doc_id < 30)
+        |SELECT p.doc_id AS id_l, k.doc_id AS id_r,
+        |  p.fkey AS key_l, k.fkey AS key_r,
+        |  CAST(levenshtein(p.fkey, k.fkey) AS BIGINT) AS dist
+        |FROM p JOIN k ON p.doc_id != k.doc_id
+        |  AND levenshtein(p.fkey, k.fkey) <= 2
+        |ORDER BY id_l, id_r""".stripMargin)),
+
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the
     // suite tail through r12, which is exactly where the bench-contamination

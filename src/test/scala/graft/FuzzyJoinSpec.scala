@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+
+/** Length-band blocked edit-distance joins: soundness vs a brute-force
+  * cross join, the self-join pair contract, and the band arithmetic edges
+  * (empty keys, threshold 0). */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def names = Seq(
+    (1L, "jakarta"), (2L, "jakarta"), (3L, "jakartha"), (4L, "bandung"),
+    (5L, "bandungg"), (6L, "surabaya"), (7L, "jkarta"), (8L, "")
+  ).toDF("id", "key")
+
+  test("join equals the unblocked cross-join semantics") {
+    val got = FuzzyJoin.join(names, names, "id", "key", 2)
+      .filter(col("id_l") =!= col("id_r"))
+      .select("id_l", "id_r", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = names.select(col("id").as("a"), col("key").as("ka"))
+      .crossJoin(names.select(col("id").as("b"), col("key").as("kb")))
+      .filter(col("a") =!= col("b") &&
+        levenshtein(col("ka"), col("kb")) <= 2)
+      .select(col("a"), col("b"),
+        levenshtein(col("ka"), col("kb")).cast("bigint"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    // sanity on content: the jakarta cluster links its typo variants
+    assert(got.contains((1L, 3L, 1L)) && got.contains((1L, 7L, 1L)))
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(4L, 6L) })
+  }
+
+  test("selfJoin emits each unordered pair once, id_a < id_b") {
+    val pairs = FuzzyJoin.selfJoin(names, "id", "key", 2)
+    val rows = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (a, b) => a < b })
+    assert(rows.distinct.length == rows.length)
+    // exact dups are dist 0
+    assert(pairs.filter(col("id_a") === 1 && col("id_b") === 2)
+      .head.getAs[Long]("dist") == 0L)
+  }
+
+  test("threshold 0 degenerates to exact key equality") {
+    val got = FuzzyJoin.selfJoin(names, "id", "key", 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((1L, 2L)))
+  }
+
+  test("empty keys band-match each other and nothing longer than maxDist") {
+    val df = Seq((1L, ""), (2L, ""), (3L, "ab"), (4L, "abc")).toDF("id", "key")
+    val got = FuzzyJoin.selfJoin(df, "id", "key", 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // "" vs "" dist 0; "" vs "ab" dist 2; "" vs "abc" dist 3 excluded
+    assert(got == Set((1L, 2L, 0L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (3L, 4L, 1L)))
+  }
+}
