@@ -9,14 +9,15 @@ import org.apache.spark.sql.types._
   * pattern for petabyte media corpora (payload stays columnar/compressed in
   * parquet, metadata is filterable without touching bytes).
   *
-  * Compressed-format kernels (JPEG/audio/video) are STUBBED (deliberately):
+  * Compressed-format kernels (JPEG/MP3/video) are STUBBED (deliberately):
   * the container has no codec libraries, so `fakeDecodeFeatures` derives a
   * deterministic fake feature vector from the payload bytes. The Spark-side
   * contract — schema, partition-preserving mapPartitions batch shape,
   * metadata columns — is real and tested; swapping a stub for a real codec
-  * changes one function, and [[decodePpmFeatures]] IS that swap for the one
-  * raster format needing no library: a genuine binary P6 PPM parser
-  * (header + RGB plane) with per-channel feature means, oracle-gated.
+  * changes one function, and TWO formats needing no library have that swap
+  * done and oracle-gated: [[decodePpmFeatures]] (binary P6 PPM — header +
+  * RGB plane into per-channel means) and [[decodeWavFeatures]] (RIFF/WAVE
+  * PCM — chunk walk + 16-bit plane into signal stats).
   */
 object Multimodal {
 
@@ -195,6 +196,134 @@ object Multimodal {
     }
     PpmFeatures(id, w, h, maxval, sr.toDouble / nPixels,
       sg.toDouble / nPixels, sb.toDouble / nPixels, is_valid = true)
+  }
+
+  /** Little-endian byte encoding of an integer Column — the RIFF container's
+    * number format. Integer shifts + hex + unhex only: scan-stage, exact. */
+  private def leBytes(v: Column, n: Int): Column =
+    unhex(concat((0 until n).map { i =>
+      lpad(hex(shiftright(v.cast("long"), 8 * i).bitwiseAND(lit(255L))), 2, "0")
+    }: _*))
+
+  /** Build REAL RIFF/WAVE files (mono, 16-bit PCM) from the payload bytes —
+    * the honest audio corpus for [[decodeWavFeatures]], the audio analogue
+    * of [[encodePpm]]: the payload's first `2·n` bytes become `n` 16-bit
+    * little-endian samples (n = floor(len/2), min 1 — a short payload
+    * zero-pads its single sample), wrapped in the canonical 44-byte header
+    * (RIFF size, `fmt ` chunk: PCM, 1 channel, `sampleRate`, 16 bits, the
+    * derived byte-rate/block-align, `data` chunk size). Pure Column tree —
+    * constant header parts are driver-built literals, the two per-row sizes
+    * ride [[leBytes]] — so the corpus builder stays scan-stage and the
+    * oracle mirrors the construction analytically. The DECODER never
+    * assumes this construction: it walks whatever chunk list it finds. */
+  def encodeWav(media: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    def le(value: Int, n: Int): Array[Byte] =
+      (0 until n).map(i => ((value >> (8 * i)) & 0xff).toByte).toArray
+    val fmtChunk = "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++
+      le(1, 2) ++ le(1, 2) ++ le(sampleRate, 4) ++ le(sampleRate * 2, 4) ++
+      le(2, 2) ++ le(16, 2)
+    val len = coalesce(length(col("payload")).cast("long"), lit(0L))
+    val nSamples = greatest(lit(1L), floor(len / 2).cast("long"))
+    val dataSize = nSamples * 2
+    val plane = when(len >= 2,
+        col("payload").substr(lit(1), dataSize.cast("int")))
+      .otherwise(concat(
+        coalesce(col("payload"), lit(Array.empty[Byte])),
+        lit(Array.fill[Byte](2)(0: Byte))
+          .substr(lit(1), (lit(2L) - len).cast("int"))))
+    val wav = concat(
+      lit("RIFF".getBytes("US-ASCII")), leBytes(dataSize + 36, 4),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit(fmtChunk),
+      lit("data".getBytes("US-ASCII")), leBytes(dataSize, 4),
+      plane)
+    media.withColumn("payload", wav)
+      .withColumn("kind", lit("audio"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        col("meta.source").as("source")))
+  }
+
+  /** One decoded clip's features: format fields plus integer-exact signal
+    * stats (abs-sum / square-sum folds, one division, one sqrt — bit-
+    * reproducible on any engine). `is_valid` = false rows carry zeros. */
+  case class WavFeatures(media_id: Long, sample_rate: Int, n_channels: Int,
+                         bits: Int, n_samples: Long, duration_s: Double,
+                         mean_abs: Double, rms: Double, peak: Int,
+                         zero_crossings: Long, is_valid: Boolean)
+
+  /** REAL audio decode kernel — the second un-stubbed media format (after
+    * [[decodePpmFeatures]]), again needing no codec library: a byte-for-byte
+    * RIFF container walk (magic, WAVE form type, generic chunk iteration
+    * with the odd-size pad rule, `fmt ` fields, `data` payload) feeding
+    * integer-exact signal features over the 16-bit little-endian PCM plane.
+    * Mono 16-bit PCM only — compressed/stereo/8-bit forms flag
+    * `is_valid = false` (zeroed features) rather than throwing, fail-soft
+    * like every ingest surface.
+    *
+    * Shape: typed `mapPartitions`, partition-local, no shuffle; the payload
+    * never leaves the scan task (same contract as the PPM kernel). */
+  def decodeWavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => decodeWav(id, payload) })
+      .toDF()
+  }
+
+  private[graft] def decodeWav(id: Long, b: Array[Byte]): WavFeatures = {
+    def bad = WavFeatures(id, 0, 0, 0, 0L, 0.0, 0.0, 0.0, 0, 0L,
+      is_valid = false)
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
+    if (b == null || b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
+      return bad
+    // generic chunk walk: chunks may appear in any order with strangers
+    // (LIST, fact, ...) between them; odd-sized chunks carry one pad byte
+    var i = 12
+    var fmtAt = -1; var dataAt = -1; var dataLen = 0L
+    while (i + 8 <= b.length && (fmtAt < 0 || dataAt < 0)) {
+      val id4 = tag(i); val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz > b.length) return bad
+      if (id4 == "fmt " && fmtAt < 0) fmtAt = i + 8
+      else if (id4 == "data" && dataAt < 0) { dataAt = i + 8; dataLen = sz }
+      i += 8 + sz.toInt + (sz % 2).toInt
+    }
+    if (fmtAt < 0 || dataAt < 0 || fmtAt + 16 > b.length) return bad
+    val audioFormat = le16(fmtAt)
+    val channels = le16(fmtAt + 2)
+    val rate = le32(fmtAt + 4)
+    val bits = le16(fmtAt + 14)
+    // this kernel's honest scope: uncompressed mono 16-bit only
+    if (audioFormat != 1 || channels != 1 || bits != 16 || rate <= 0 ||
+      rate > Int.MaxValue) return bad
+    val n = dataLen / 2
+    if (n == 0) return WavFeatures(id, rate.toInt, 1, 16, 0L, 0.0, 0.0, 0.0,
+      0, 0L, is_valid = true)
+    var sumAbs = 0L; var sumSq = 0L; var peak = 0; var zc = 0L
+    var prevNeg = false
+    var k = 0L
+    while (k < n) {
+      val o = dataAt + (k * 2).toInt
+      val v = le16(o)
+      val s = if (v >= 0x8000) v - 0x10000 else v
+      val a = math.abs(s)
+      sumAbs += a; sumSq += s.toLong * s
+      if (a > peak) peak = a
+      val neg = s < 0
+      if (k > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      k += 1
+    }
+    WavFeatures(id, rate.toInt, 1, 16, n, n.toDouble / rate,
+      sumAbs.toDouble / n, math.sqrt(sumSq.toDouble / n), peak, zc,
+      is_valid = true)
   }
 
   /** STUB resize kernel: a real implementation decodes `payload`, resizes to

@@ -4969,6 +4969,46 @@ object DocQueries {
         |FROM d ORDER BY media_id""".stripMargin
       }),
 
+    // REAL audio decode (round 14, second honest media kernel): documents
+    // become genuine RIFF/WAVE mono 16-bit PCM payloads and the
+    // mapPartitions kernel WALKS the container — magic, chunk list, fmt
+    // fields, data plane — into integer-exact signal features. As with the
+    // PPM gate the oracle never sees the decoder: it derives every feature
+    // analytically from the text bytes (16-bit LE samples, abs/square sums,
+    // sign-flip count), so a header-offset or endianness bug hash-fails.
+    "q_multimodal_wav_decode" -> Q(
+      (s, d) => Multimodal.decodeWavFeatures(Multimodal.encodeWav(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text", "source")))
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 2) AS n FROM m),
+        |sm AS (SELECT media_id, n, list_transform(range(0, n), k ->
+        |  (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256 +
+        |  (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END)) AS us
+        |  FROM d),
+        |sg AS (SELECT media_id, n, list_transform(us,
+        |  v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS ss FROM sm)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+        | CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+        | CAST(n AS BIGINT) AS n_samples,
+        | CAST(n AS DOUBLE) / 8000 AS duration_s,
+        | CAST(list_sum(list_transform(ss, v -> CAST(abs(v) AS BIGINT)))
+        |   AS DOUBLE) / n AS mean_abs,
+        | sqrt(CAST(list_sum(list_transform(ss, v -> CAST(v AS BIGINT) * v))
+        |   AS DOUBLE) / n) AS rms,
+        | CAST(list_max(list_transform(ss, v -> abs(v))) AS INT) AS peak,
+        | CAST(coalesce(list_sum(list_transform(range(1, n), k ->
+        |   CASE WHEN (ss[k] < 0) != (ss[k+1] < 0) THEN 1 ELSE 0 END)), 0)
+        |   AS BIGINT) AS zero_crossings,
+        | true AS is_valid
+        |FROM sg ORDER BY media_id""".stripMargin
+      }),
+
     // Frame sampling: the generator shape (rows out >> rows in, no shuffle)
     // hash-checked — DuckDB mirrors the deterministic payload slices with
     // blob substrings.

@@ -727,6 +727,87 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
   }
 
+  test("WAV kernel: decodes a hand-built clip, walks stranger chunks, flags malformed forms") {
+    import graft.operators.Multimodal.decodeWav
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def fmt(audioFormat: Int = 1, channels: Int = 1, rate: Int = 8000,
+            bits: Int = 16): Array[Byte] =
+      "fmt ".getBytes ++ le(16, 4) ++ le(audioFormat, 2) ++ le(channels, 2) ++
+        le(rate, 4) ++ le(rate * channels * bits / 8, 4) ++
+        le(channels * bits / 8, 2) ++ le(bits, 2)
+    def wav(chunks: Array[Byte]*): Array[Byte] = {
+      val body = "WAVE".getBytes ++ chunks.flatten
+      "RIFF".getBytes ++ le(body.length.toLong, 4) ++ body
+    }
+    // samples 100, -200, 0, 300: sumAbs=600, sumSq=140000, peak=300, zc=2
+    // (+,-) then (-,+ via 0 counted non-negative); rms=sqrt(35000)
+    val samples = Seq(100, -200, 0, 300)
+      .flatMap(s => le(s.toLong & 0xffffL, 2)).toArray
+    val data = "data".getBytes ++ le(samples.length.toLong, 4) ++ samples
+    val ok = decodeWav(1L, wav(fmt(), data))
+    assert(ok.is_valid && ok.sample_rate == 8000 && ok.n_samples == 4L)
+    assert(ok.mean_abs == 150.0 && ok.peak == 300 && ok.zero_crossings == 2L)
+    assert(ok.rms == math.sqrt(35000.0) && ok.duration_s == 4.0 / 8000)
+    // a stranger chunk (odd size -> one pad byte) before fmt parses the same
+    val stranger = "LIST".getBytes ++ le(3, 4) ++ Array[Byte](1, 2, 3, 0)
+    assert(decodeWav(2L, wav(stranger, fmt(), data)).copy(media_id = 1L) == ok)
+    // zero-length data chunk: valid, empty stats
+    val empty = decodeWav(3L, wav(fmt(), "data".getBytes ++ le(0, 4)))
+    assert(empty.is_valid && empty.n_samples == 0L && empty.rms == 0.0)
+    // malformed / out-of-scope forms all fail soft, never throw
+    val badForms = Seq[Array[Byte]](
+      null,
+      Array[Byte](),
+      "RIFX".getBytes ++ le(4, 4) ++ "WAVE".getBytes,          // wrong magic
+      "RIFF".getBytes ++ le(4, 4) ++ "AVI ".getBytes,          // wrong form
+      wav(fmt(), "data".getBytes ++ le(64, 4) ++ samples),     // size overruns
+      wav(fmt()),                                              // no data chunk
+      wav(data),                                               // no fmt chunk
+      wav(fmt(channels = 2), data),                            // stereo
+      wav(fmt(bits = 8), data),                                // 8-bit
+      wav(fmt(audioFormat = 3), data))                         // float PCM
+    badForms.zipWithIndex.foreach { case (bs, j) =>
+      val r = decodeWav(j.toLong, bs)
+      assert(!r.is_valid && r.rms == 0.0, s"form $j must fail soft")
+    }
+  }
+
+  test("encodeWav -> decodeWavFeatures roundtrip matches a jvm-side re-derivation") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val media = Multimodal.encodeWav(
+      Multimodal.fromText(docs, "doc_id", "text", "source"))
+    val out = Multimodal.decodeWavFeatures(media).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Boolean]("is_valid")))
+    assert(out.forall(_.getAs[Int]("sample_rate") == 8000))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val bytes = texts(r.getAs[Long]("media_id")).getBytes("UTF-8")
+      val n = math.max(1, bytes.length / 2)
+      val padded = bytes.padTo(2 * n, 0: Byte)
+      val ss = (0 until n).map { k =>
+        val v = (padded(2 * k) & 0xff) | ((padded(2 * k + 1) & 0xff) << 8)
+        if (v >= 0x8000) v - 0x10000 else v
+      }
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Double]("mean_abs") ==
+        ss.map(s => math.abs(s).toLong).sum.toDouble / n)
+      assert(r.getAs[Double]("rms") ==
+        math.sqrt(ss.map(s => s.toLong * s).sum.toDouble / n))
+      assert(r.getAs[Int]("peak") == ss.map(math.abs).max)
+      assert(r.getAs[Long]("zero_crossings") ==
+        ss.sliding(2).count(p => p.length == 2 && (p(0) < 0) != (p(1) < 0)))
+    }
+    // meta describes the wrapped payload; the kernel plan stays shuffle-free
+    val m = media.select("meta.byte_len", "payload", "kind").head()
+    assert(m.getLong(0) == m.getAs[Array[Byte]](1).length)
+    assert(m.getString(2) == "audio")
+    val plan = Multimodal.decodeWavFeatures(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+  }
+
   test("decode staging column never clobbers a caller column of the same name") {
     val media = Multimodal.fromText(
         Tables.documents(spark, sf).limit(3), "doc_id", "text", "source")
