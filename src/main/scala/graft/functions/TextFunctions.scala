@@ -92,6 +92,44 @@ object TextFunctions {
     ).otherwise(0.0)
   }
 
+  /** Sentence count: non-blank segments between [.!?]+ runs, min 1 (text
+    * with no terminator is one sentence). Scan-stage. */
+  def sentenceCount(text: Column): Column =
+    greatest(lit(1),
+      size(filter(split(text, "[.!?]+"), s => length(trim(s)) > 0)))
+
+  /** Heuristic syllable count: vowel-group ([aeiouy]+) runs per token, min 1
+    * per token, summed exactly (integer fold — order-independent). The
+    * standard dictionary-free approximation readability formulas are
+    * calibrated against. */
+  def syllableCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) =>
+      acc + greatest(lit(1), size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))))
+
+  /** Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Counts are integer-exact; the two ratios and
+    * the affine combination are evaluated in this literal order on every
+    * engine, so the double is reproducible. Empty text scores null-free 0. */
+  def fleschReadingEase(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    when(w > 0,
+      lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w))
+      .otherwise(lit(0.0))
+  }
+
+  /** Flesch–Kincaid grade level: 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59 (same reproducibility contract). */
+  def fkGradeLevel(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCount(text).cast("double")
+    when(w > 0,
+      lit(0.39) * (w / s) + lit(11.8) * (sy / w) - lit(15.59))
+      .otherwise(lit(0.0))
+  }
+
   /** Composite quality score in [0,1]: length band + stopword presence +
     * low punctuation + sane word length. Heuristic quality filter for
     * pretraining-style corpora. */

@@ -6310,6 +6310,58 @@ object DocQueries {
         |  AND levenshtein(p.fkey, k.fkey) <= 2
         |ORDER BY id_l, id_r""".stripMargin)),
 
+    // ---- readability scoring (Flesch / Flesch–Kincaid): the corpus text
+    //      has no punctuation, so the gate synthesizes sentence boundaries
+    //      deterministically (a period every 8 words) in BOTH engines, then
+    //      scores the sentenced text — integer-exact counts, two ratios,
+    //      literal-order affine combination, round6 insurance.
+    "q_text_readability" -> Q(
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nc = greatest(lit(1),
+          ceil(size(toks).cast("double") / 8).cast("int"))
+        val sentenced = concat(array_join(
+          transform(sequence(lit(1), nc),
+            c => array_join(slice(toks, (c - 1) * 8 + 1, lit(8)), " ")), ". "),
+          lit("."))
+        docsP(s, d).select(col("doc_id"), sentenced.as("sent"))
+          .select(col("doc_id"),
+            TextFunctions.sentenceCount(col("sent")).as("n_sentences"),
+            TextFunctions.tokenCount(col("sent")).as("n_words"),
+            TextFunctions.syllableCount(col("sent")).as("n_syllables"),
+            round(TextFunctions.fleschReadingEase(col("sent")), 6).as("flesch"),
+            round(TextFunctions.fkGradeLevel(col("sent")), 6).as("fk_grade"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  greatest(1, CAST(ceil(len(toks) / CAST(8 AS DOUBLE)) AS INT)) AS nc
+        |  FROM t),
+        |sen AS (SELECT doc_id, array_to_string(list_transform(range(1, nc + 1),
+        |    c2 -> array_to_string(toks[(c2-1)*8+1 : (c2-1)*8+8], ' ')), '. ')
+        |    || '.' AS sent FROM c),
+        |k AS (SELECT doc_id,
+        |  greatest(1, len(list_filter(string_split_regex(sent, '[.!?]+'),
+        |    x -> len(trim(x)) > 0))) AS n_sent,
+        |  list_filter(string_split_regex(lower(sent), '\\s+'),
+        |    x -> len(x) > 0) AS wtoks FROM sen),
+        |f AS (SELECT doc_id, n_sent, len(wtoks) AS n_words,
+        |  list_sum(list_transform(wtoks, w ->
+        |    CAST(greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))) AS BIGINT)))
+        |    AS n_syll FROM k)
+        |SELECT doc_id, CAST(n_sent AS INT) AS n_sentences,
+        |  CAST(n_words AS INT) AS n_words,
+        |  CAST(n_syll AS BIGINT) AS n_syllables,
+        |  round(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    6) AS flesch,
+        |  round(CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |    + CAST(11.8 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+        |FROM f ORDER BY doc_id""".stripMargin)),
+
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the
     // suite tail through r12, which is exactly where the bench-contamination

@@ -326,4 +326,34 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head().getDouble(0) == 11.0)
   }
+
+  test("readability: sentence/syllable counts and the Flesch formulas") {
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    val df = Seq(
+      // 2 sentences, 6 words; syllables: the(1) cat(1) sat(1) it(1) was(1)
+      // happy(2) = 7
+      "The cat sat. It was happy!",
+      "word",             // no terminator: 1 sentence, 1 word, 1 syllable
+      "shh"               // no vowels: syllable floor of 1 per token
+    ).toDF("text").select(
+      sentenceCount(col("text")).as("s"),
+      tokenCount(col("text")).as("w"),
+      syllableCount(col("text")).as("sy"),
+      fleschReadingEase(col("text")).as("fre"),
+      fkGradeLevel(col("text")).as("fk"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 2 && rows(0).getInt(1) == 6 &&
+      rows(0).getLong(2) == 7L)
+    assert(rows(0).getDouble(3) ==
+      206.835 - 1.015 * (6.0 / 2) - 84.6 * (7.0 / 6))
+    assert(rows(0).getDouble(4) ==
+      0.39 * (6.0 / 2) + 11.8 * (7.0 / 6) - 15.59)
+    assert(rows(1).getInt(0) == 1 && rows(1).getLong(2) == 1L)
+    assert(rows(2).getLong(2) == 1L)
+    // empty text: well-defined zeros, no div-by-zero nulls
+    val empty = Seq("").toDF("text")
+      .select(fleschReadingEase(col("text")), fkGradeLevel(col("text"))).head()
+    assert(empty.getDouble(0) == 0.0 && empty.getDouble(1) == 0.0)
+  }
 }
