@@ -795,7 +795,49 @@ object ScaleCheck {
       "lsh_recall" -> (d => Dedup.lshRecallReport(
         Tables.documents(spark, d), "doc_id", "text",
         threshold = 0.3, configs = Seq((32, 8)),
-        maxTokenDf = dfCut(d), tokens = shingleSet)))
+        maxTokenDf = dfCut(d), tokens = shingleSet)),
+
+      // link-graph PageRank (production decimal-sum mode): node count and
+      // edge count both scale with the corpus (per-13-block and per-97-block
+      // hub links keep edges within a replication shard), 3 iterations —
+      // the ratio measures the per-iteration shuffle join at 10x nodes+edges
+      "pagerank" -> { d =>
+        val ids = Tables.documents(spark, d).select(col("doc_id"))
+        val edges = ids.select(
+          concat(lit("n"), col("doc_id").cast("string")).as("src"),
+          explode(array(
+            concat(lit("n"), (col("doc_id") - pmod(col("doc_id"), lit(13)))
+              .cast("string")),
+            concat(lit("n"), (col("doc_id") - pmod(col("doc_id"), lit(97)))
+              .cast("string")))).as("dst"))
+        graft.operators.LinkGraph.pageRank(edges, iters = 3)
+      },
+
+      // big-big fuzzy join: FIXED 30-probe set (shard 0 only under the id
+      // offset) against a corpus growing 10x — the ratio isolates the
+      // length-band candidate scan
+      "fuzzy_join" -> { d =>
+        val fkey = substring(regexp_replace(
+          lower(substring_index(col("text"), " ", 1)), "[^a-z0-9]", ""), 1, 10)
+        val keyed = Tables.documents(spark, d)
+          .select(col("doc_id"), fkey.as("fkey"))
+        graft.operators.FuzzyJoin.join(
+          keyed.filter(col("doc_id") < 30), keyed, "doc_id", "fkey", 2)
+      },
+
+      // real audio kernel: encode + chunk-walk decode, pure scan stage
+      "wav_decode" -> (d => graft.operators.Multimodal.decodeWavFeatures(
+        graft.operators.Multimodal.encodeWav(
+          graft.operators.Multimodal.fromText(
+            Tables.documents(spark, d), "doc_id", "text", "source")))),
+
+      // readability formulas: scan-stage Column trees
+      "readability" -> (d => Tables.documents(spark, d).select(
+        col("doc_id"),
+        TextFunctions.sentenceCount(col("text")),
+        TextFunctions.syllableCount(col("text")),
+        TextFunctions.fleschReadingEase(col("text")),
+        TextFunctions.fkGradeLevel(col("text")))))
 
     // optional arg: comma-separated substrings — run only matching cases
     // (local iteration on newly added operators)

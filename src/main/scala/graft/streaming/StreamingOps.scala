@@ -173,6 +173,36 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("canonical_url")
 
+  /** Streaming FUZZY-KEY matches against a stored corpus key frame — the
+    * streaming twin of [[graft.operators.FuzzyJoin.join]] for typo-tolerant
+    * ingest screening (an arriving title/key within edit distance
+    * `maxDist` of an already-ingested one is a fuzzy duplicate). ENTIRELY
+    * STATELESS: each arriving row explodes to its 2·maxDist+1 admissible
+    * key lengths (the sound length band — dist <= t forces the lengths
+    * within t) and equi-joins the static corpus side on length, so the
+    * per-batch cost is batch-sized, the corpus is never broadcast or
+    * collected, and a recompacted key parquet is picked up without restart.
+    * Candidates confirm with the codegen'd levenshtein in the same stage.
+    * Emits (id_new, key_new, id_corpus, key_corpus, dist); callers
+    * anti-join or quarantine downstream. */
+  def fuzzyKeyStreamMatches(docs: DataFrame, corpusKeys: DataFrame,
+                            idCol: String, keyCol: String,
+                            maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val probes = docs
+      .select(col(idCol).as("id_new"), col(keyCol).as("key_new"))
+      .withColumn("len_band",
+        explode(sequence(length(col("key_new")) - maxDist,
+          length(col("key_new")) + maxDist)))
+    val store = corpusKeys.select(col("id_corpus"), col("key_corpus"),
+      length(col("key_corpus")).as("len_corpus"))
+    probes.join(store, col("len_band") === col("len_corpus"))
+      .withColumn("dist", levenshtein(col("key_new"), col("key_corpus")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_new"), col("key_new"), col("id_corpus"),
+        col("key_corpus"), col("dist").cast("bigint").as("dist"))
+  }
+
   /** Streaming INCREMENTAL MinHash-LSH near-dup MATCHES against a STORED
     * corpus index — the streaming twin of
     * [[graft.operators.Dedup.minhashLshIncrementIndexed]]: each arriving

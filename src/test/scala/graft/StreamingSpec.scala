@@ -354,6 +354,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fuzzy-key matches equal the batch length-band join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val corpus = Seq((100L, "jakarta"), (101L, "bandung"), (102L, "surabaya"))
+      .toDF("id_corpus", "key_corpus")
+    val arrivals = Seq((1L, "jakartha"), (2L, "bandungg"), (3L, "medan"),
+      (4L, "jkarta"))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "fkey")
+    val q = StreamingOps.fuzzyKeyStreamMatches(docs, corpus,
+        "doc_id", "fkey", maxDist = 2)
+      .writeStream.format("memory").queryName("fuzzy_matches")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      val streamPairs = s.sql(
+          "SELECT id_new, id_corpus, dist FROM fuzzy_matches")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batchPairs = graft.operators.FuzzyJoin.join(
+          arrivals.toDF("doc_id", "fkey"), corpus.select(
+            $"id_corpus".as("doc_id"), $"key_corpus".as("fkey")),
+          "doc_id", "fkey", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Long]("dist"))).toSet
+      assert(streamPairs == batchPairs,
+        s"stream $streamPairs != batch $batchPairs")
+      // typo arrivals hit their corpus originals; the novel key matches none
+      assert(streamPairs.contains((1L, 100L, 1L)) &&
+        streamPairs.contains((4L, 100L, 1L)))
+      assert(!streamPairs.exists(_._1 == 3L))
+    } finally q.stop()
+  }
+
   test("streaming semantic decontamination equals the batch flags") {
     val s = spark
     import s.implicits._
