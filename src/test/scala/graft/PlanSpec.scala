@@ -814,4 +814,46 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     } finally index.assigned.unpersist()
   }
+
+  test("fuzzy join is a length-band equi-join: no cartesian, no nested loop") {
+    import graft.operators.FuzzyJoin
+    val keyed = Tables.documents(spark, sf).select(col("doc_id"),
+      substring(col("text"), 1, 10).as("fkey"))
+    val p = planOf(FuzzyJoin.join(
+      keyed.filter(col("doc_id") < 30), keyed, "doc_id", "fkey", 2))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // the levenshtein confirm runs as a post-join filter, not a join
+    // condition evaluated by a nested loop
+    assert(p.contains("levenshtein"), s"no levenshtein stage:\n$p")
+  }
+
+  test("readability scoring stays one scan stage: no shuffle, pruned read") {
+    import graft.functions.TextFunctions
+    val p = planOf(Tables.documents(spark, sf).select(col("doc_id"),
+      TextFunctions.fleschReadingEase(col("text")).as("fre"),
+      TextFunctions.fkGradeLevel(col("text")).as("fk")))
+    assert(!p.contains("Exchange"), s"readability must not shuffle:\n$p")
+    // only the two consumed columns reach the parquet scan
+    assert(p.contains("ReadSchema") &&
+      p.linesIterator.exists(l => l.contains("ReadSchema") &&
+        l.contains("doc_id") && l.contains("text") && !l.contains("source")),
+      s"scan must prune to (doc_id, text):\n$p")
+  }
+
+  test("pageRank iteration: rank-side equi-joins only, no cartesian, no corpus window") {
+    import graft.operators.LinkGraph
+    val edges = Tables.documents(spark, sf).select(
+      concat(lit("d"), (col("doc_id") % 20).cast("string")).as("src"),
+      concat(lit("d"), (col("doc_id") % 7).cast("string")).as("dst"))
+    val ranks = LinkGraph.pageRank(edges, iters = 2)
+    try {
+      val p = planOf(ranks)
+      assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+      // production inflow mode is a partial aggregation (map-side combine),
+      // never a Window over collected contribution lists
+      assert(!p.contains("Window"), s"no window belongs in the rank loop:\n$p")
+    } finally spark.catalog.clearCache()
+  }
 }
