@@ -862,6 +862,53 @@ object DocQueries {
     |ORDER BY query_id, neg_rank""".stripMargin
   }
 
+  /** Deterministic synthetic domain-link graph from doc_id arithmetic — 20
+    * domains, two modular outlinks plus a hub link concentrating inlinks on
+    * d0..d3. ONE definition feeds the pagerank/degree gates and the v4
+    * capstone on both engines, so the mirrors cannot drift. */
+  private def synthDomainEdges(docs: DataFrame): DataFrame = {
+    def dom(e: Column) = concat(lit("d"), e.cast("string"))
+    docs.select(
+      dom(col("doc_id") % 20).as("src"),
+      explode(array(
+        dom((col("doc_id") * 7 + 3) % 20),
+        dom((col("doc_id") * 13 + 5) % 20),
+        dom(col("doc_id") % 4))).as("dst"))
+  }
+
+  /** DuckDB mirror of [[synthDomainEdges]] + edge-weight aggregation. */
+  private val SynthEdgesSql: String =
+    s"""e0 AS (
+       |  SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) AS src,
+       |    'd' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents
+       |  UNION ALL SELECT 'd' || CAST(doc_id % 20 AS VARCHAR),
+       |    'd' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) FROM documents
+       |  UNION ALL SELECT 'd' || CAST(doc_id % 20 AS VARCHAR),
+       |    'd' || CAST(doc_id % 4 AS VARCHAR) FROM documents),
+       |w AS (SELECT src, dst, count(*) AS weight FROM e0 GROUP BY 1, 2)""".stripMargin
+
+  /** PageRank CTE chain over [[SynthEdgesSql]]'s `w` — `iters` unrolled
+    * iterations mirroring LinkGraph.pageRank's fold mode (inflow ordered by
+    * src, round9 per step, dangling mass dropped). Ends in
+    * `r<iters>(node, rank)`. */
+  private def pageRankCtes(iters: Int): String =
+    s"""nodes AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, sum(weight) AS outdeg FROM w GROUP BY 1),
+       |r0 AS (SELECT node, round(1.0 / n, 9) AS rank FROM nodes CROSS JOIN nn),
+       |${(1 to iters).map { i =>
+            s"""c$i AS (SELECT w.dst,
+            |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            |    list((r.rank / od.outdeg) * w.weight ORDER BY w.src)),
+            |    (acc, x) -> acc + x) AS inflow
+            |  FROM w JOIN r${i - 1} r ON r.node = w.src
+            |  JOIN od ON od.src = w.src GROUP BY w.dst),
+            |r$i AS (SELECT node,
+            |  round((1 - 0.85) / n + 0.85 * coalesce(inflow, CAST(0 AS DOUBLE)), 9)
+            |    AS rank
+            |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.node)"""
+              .stripMargin }.mkString(",\n")}""".stripMargin
+
   val all: Seq[(String, Q)] = Seq(
 
     // ==================== text analysis ====================
@@ -6213,65 +6260,20 @@ object DocQueries {
     //      by src (the oracle-exact mode; the production decimal-sum mode is
     //      pinned equal in LinkGraphSpec).
     "q_web_pagerank" -> Q(
-      (s, d) => {
-        def dom(e: Column) = concat(lit("d"), e.cast("string"))
-        val edges = docsP(s, d).select(
-          dom(col("doc_id") % 20).as("src"),
-          explode(array(
-            dom((col("doc_id") * 7 + 3) % 20),
-            dom((col("doc_id") * 13 + 5) % 20),
-            dom(col("doc_id") % 4))).as("dst"))
-        graft.operators.LinkGraph.pageRank(edges, iters = 3,
-            damping = 0.85, orderIndependent = false)
-          .orderBy("domain")
-      },
-      Some(s"""WITH e0 AS (
-        |  SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) AS src,
-        |    'd' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents
-        |  UNION ALL SELECT 'd' || CAST(doc_id % 20 AS VARCHAR),
-        |    'd' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) FROM documents
-        |  UNION ALL SELECT 'd' || CAST(doc_id % 20 AS VARCHAR),
-        |    'd' || CAST(doc_id % 4 AS VARCHAR) FROM documents),
-        |w AS (SELECT src, dst, count(*) AS weight FROM e0 GROUP BY 1, 2),
-        |nodes AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |od AS (SELECT src, sum(weight) AS outdeg FROM w GROUP BY 1),
-        |r0 AS (SELECT node, round(1.0 / n, 9) AS rank FROM nodes CROSS JOIN nn),
-        |${(1 to 3).map { i =>
-             s"""c$i AS (SELECT w.dst,
-             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             |    list((r.rank / od.outdeg) * w.weight ORDER BY w.src)),
-             |    (acc, x) -> acc + x) AS inflow
-             |  FROM w JOIN r${i - 1} r ON r.node = w.src
-             |  JOIN od ON od.src = w.src GROUP BY w.dst),
-             |r$i AS (SELECT node,
-             |  round((1 - 0.85) / n + 0.85 * coalesce(inflow, CAST(0 AS DOUBLE)), 9)
-             |    AS rank
-             |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.node)"""
-               .stripMargin }.mkString(",\n")}
+      (s, d) => graft.operators.LinkGraph.pageRank(
+          synthDomainEdges(docsP(s, d)), iters = 3,
+          damping = 0.85, orderIndependent = false)
+        .orderBy("domain"),
+      Some(s"""WITH $SynthEdgesSql,
+        |${pageRankCtes(3)}
         |SELECT node AS domain, rank FROM r3 ORDER BY domain""".stripMargin)),
 
     // ---- frontier degree profile (LinkGraph.degreeProfile) over the same
     //      synthetic graph: distinct-neighbor degrees + occurrence weights.
     "q_web_degree_profile" -> Q(
-      (s, d) => {
-        def dom(e: Column) = concat(lit("d"), e.cast("string"))
-        val edges = docsP(s, d).select(
-          dom(col("doc_id") % 20).as("src"),
-          explode(array(
-            dom((col("doc_id") * 7 + 3) % 20),
-            dom((col("doc_id") * 13 + 5) % 20),
-            dom(col("doc_id") % 4))).as("dst"))
-        graft.operators.LinkGraph.degreeProfile(edges).orderBy("domain")
-      },
-      Some(s"""WITH e0 AS (
-        |  SELECT 'd' || CAST(doc_id % 20 AS VARCHAR) AS src,
-        |    'd' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst FROM documents
-        |  UNION ALL SELECT 'd' || CAST(doc_id % 20 AS VARCHAR),
-        |    'd' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) FROM documents
-        |  UNION ALL SELECT 'd' || CAST(doc_id % 20 AS VARCHAR),
-        |    'd' || CAST(doc_id % 4 AS VARCHAR) FROM documents),
-        |w AS (SELECT src, dst, count(*) AS weight FROM e0 GROUP BY 1, 2),
+      (s, d) => graft.operators.LinkGraph.degreeProfile(
+          synthDomainEdges(docsP(s, d))).orderBy("domain"),
+      Some(s"""WITH $SynthEdgesSql,
         |o AS (SELECT src AS domain, sum(weight) AS out_weight,
         |  count(*) AS out_degree FROM w GROUP BY 1),
         |i AS (SELECT dst AS domain, sum(weight) AS in_weight,
@@ -6361,6 +6363,48 @@ object DocQueries {
         |    + CAST(11.8 AS DOUBLE) * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
         |    - CAST(15.59 AS DOUBLE), 6) AS fk_grade
         |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // ---- web capstone v4: link AUTHORITY in front of the quality screen —
+    //      the crawl-curation step the earlier capstones lacked (rank the
+    //      domain graph, floor on authority, then quality-screen survivors;
+    //      per-domain scoreboard). PageRank runs the oracle-exact fold mode;
+    //      authority and quality thresholds are literal doubles.
+    "q_pipeline_web_curate_v4" -> Q(
+      (s, d) => {
+        def dom(e: Column) = concat(lit("d"), e.cast("string"))
+        val docs = docsP(s, d)
+        val pr = graft.operators.LinkGraph.pageRank(
+          synthDomainEdges(docs), iters = 3,
+          damping = 0.85, orderIndependent = false)
+        val scored = docs.select(col("doc_id"),
+          dom(col("doc_id") % 20).as("domain"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_toks"))
+        scored.join(broadcast(pr.withColumnRenamed("domain", "pr_domain")),
+            col("domain") === col("pr_domain"))
+          .groupBy("domain")
+          .agg(
+            max(col("rank")).as("domain_rank"),
+            count(lit(1)).as("n_docs"),
+            count(when(col("rank") >= 0.05 && col("quality") >= 0.6, lit(1)))
+              .as("n_kept"),
+            sum(when(col("rank") >= 0.05 && col("quality") >= 0.6,
+              col("n_toks")).otherwise(lit(0L))).as("kept_tokens"))
+          .orderBy("domain")
+      },
+      Some(s"""WITH ${qualityLangCtes("documents")},
+        |$SynthEdgesSql,
+        |${pageRankCtes(3)},
+        |lab AS (SELECT doc_id, 'd' || CAST(doc_id % 20 AS VARCHAR) AS domain,
+        |  quality, n_toks FROM scored),
+        |j AS (SELECT lab.*, r3.rank FROM lab JOIN r3 ON r3.node = lab.domain)
+        |SELECT domain, max(rank) AS domain_rank, count(*) AS n_docs,
+        |  count(CASE WHEN rank >= CAST(0.05 AS DOUBLE)
+        |    AND quality >= CAST(0.6 AS DOUBLE) THEN 1 END) AS n_kept,
+        |  CAST(sum(CASE WHEN rank >= CAST(0.05 AS DOUBLE)
+        |    AND quality >= CAST(0.6 AS DOUBLE) THEN n_toks ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens
+        |FROM j GROUP BY 1 ORDER BY domain""".stripMargin)),
 
     // (weather-transform fixture parity gates live in WeatherQueries so the
     // whole weather family shares one suite position — they sat here at the
