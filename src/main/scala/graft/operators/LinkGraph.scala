@@ -66,18 +66,56 @@ object LinkGraph {
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                orderIndependent: Boolean = true,
                scope: graft.core.CacheScope.Handle =
-                 graft.core.CacheScope.detached): DataFrame = {
+                 graft.core.CacheScope.detached): DataFrame =
+    pageRankLoop(edges, iters, damping, orderIndependent, scope, teleport = None)
+
+  /** PERSONALIZED PageRank — the focused-crawl variant: the teleport
+    * distribution concentrates on `seeds` (node, weight; weights should sum
+    * to 1) instead of spreading uniformly, so rank measures authority AS
+    * SEEN FROM the seed topic/domains. r0 = round9(seedWeight) and the base
+    * term is (1−d)·seedWeight(v) — zero for non-seeds, which therefore rank
+    * only through inlink mass. Same iteration shape, modes, and dangling
+    * contract as [[pageRank]]; the seed frame is seed-list-sized and joins
+    * the node universe once up front. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
+                           damping: Double = 0.85,
+                           orderIndependent: Boolean = true,
+                           scope: graft.core.CacheScope.Handle =
+                             graft.core.CacheScope.detached): DataFrame =
+    pageRankLoop(edges, iters, damping, orderIndependent, scope,
+      teleport = Some(seeds.select(col("node"), col("weight"))))
+
+  private def pageRankLoop(edges: DataFrame, iters: Int, damping: Double,
+                           orderIndependent: Boolean,
+                           scope: graft.core.CacheScope.Handle,
+                           teleport: Option[DataFrame]): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val w = edges.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
       .persist()
-    val nodes = w.select(col("src").as("node"))
-      .union(w.select(col("dst").as("node"))).distinct().persist()
+    val nodes0 = w.select(col("src").as("node"))
+      .union(w.select(col("dst").as("node"))).distinct()
+    // per-node teleport mass: uniform 1/n, or the seed weights (0 elsewhere)
+    val nodes = teleport match {
+      case Some(sd) => nodes0
+        .join(sd.withColumnRenamed("node", "seed_node"),
+          nodes0("node") === col("seed_node"), "left")
+        .select(col("node"),
+          coalesce(col("weight").cast("double"), lit(0.0)).as("tele"))
+        .persist()
+      case None => nodes0.withColumn("tele", lit(Double.NaN)).persist()
+    }
     val n = nodes.count() // one scalar: the node-universe cardinality
+    // r0 mass and the per-iteration base term; the uniform case keeps the
+    // original single-division arithmetic ((1−d)/n, not (1−d)·(1/n)) so the
+    // unrolled oracle mirrors stay bit-identical
+    val (tele, base) = teleport match {
+      case Some(_) => (col("tele"), lit(1.0 - damping) * col("tele"))
+      case None => (lit(1.0) / n, lit((1.0 - damping) / n))
+    }
     val outdeg = w.groupBy("src").agg(sum("weight").as("outdeg"))
     val wd = w.join(outdeg, "src") // (src, dst, weight, outdeg)
       .persist()
-    var ranks = nodes.select(col("node"),
-      round(lit(1.0) / lit(n.toDouble), 9).as("rank"))
+    var ranks = nodes.select(col("node"), round(tele, 9).as("rank"))
     var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val contribs = wd.join(ranks, wd("src") === ranks("node"))
@@ -97,7 +135,7 @@ object LinkGraph {
       val next = scope.pin(
         nodes.join(inflow, nodes("node") === inflow("dst"), "left")
           .select(col("node"),
-            round(lit((1.0 - damping) / n) +
+            round(base +
               lit(damping) * coalesce(col("inflow"), lit(0.0)), 9).as("rank"))
           .persist())
       next.count() // materialize BEFORE dropping the previous iteration

@@ -890,12 +890,36 @@ object DocQueries {
   /** PageRank CTE chain over [[SynthEdgesSql]]'s `w` — `iters` unrolled
     * iterations mirroring LinkGraph.pageRank's fold mode (inflow ordered by
     * src, round9 per step, dangling mass dropped). Ends in
-    * `r<iters>(node, rank)`. */
-  private def pageRankCtes(iters: Int): String =
+    * `r<iters>(node, rank)`. With `personalized = true` the caller must
+    * define `sd(node, w)` (the seed teleport weights) and the chain
+    * mirrors personalizedPageRank: r0 = round9(seed weight), base term
+    * (1 − 0.85)·seedWeight — the damping literal CAST to DOUBLE so the
+    * multiply matches Spark's double arithmetic exactly (the uniform
+    * chain's decimal (1 − 0.85)/n deviation sits below the round9 grain,
+    * but a seed-weight multiply deserves the explicit cast). */
+  private def pageRankCtes(iters: Int, personalized: Boolean = false): String = {
+    val r0 =
+      if (personalized)
+        """r0 AS (SELECT nodes.node, round(coalesce(sd.w, CAST(0 AS DOUBLE)), 9)
+          |  AS rank FROM nodes LEFT JOIN sd ON sd.node = nodes.node)""".stripMargin
+      else
+        "r0 AS (SELECT node, round(1.0 / n, 9) AS rank FROM nodes CROSS JOIN nn)"
+    def base(i: Int) =
+      if (personalized)
+        s"""r$i AS (SELECT nodes.node,
+           |  round((1 - CAST(0.85 AS DOUBLE)) * coalesce(sd.w, CAST(0 AS DOUBLE))
+           |    + 0.85 * coalesce(inflow, CAST(0 AS DOUBLE)), 9) AS rank
+           |  FROM nodes LEFT JOIN sd ON sd.node = nodes.node
+           |  LEFT JOIN c$i ON c$i.dst = nodes.node)""".stripMargin
+      else
+        s"""r$i AS (SELECT node,
+           |  round((1 - 0.85) / n + 0.85 * coalesce(inflow, CAST(0 AS DOUBLE)), 9)
+           |    AS rank
+           |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.node)""".stripMargin
     s"""nodes AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |od AS (SELECT src, sum(weight) AS outdeg FROM w GROUP BY 1),
-       |r0 AS (SELECT node, round(1.0 / n, 9) AS rank FROM nodes CROSS JOIN nn),
+       |$r0,
        |${(1 to iters).map { i =>
             s"""c$i AS (SELECT w.dst,
             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -903,11 +927,8 @@ object DocQueries {
             |    (acc, x) -> acc + x) AS inflow
             |  FROM w JOIN r${i - 1} r ON r.node = w.src
             |  JOIN od ON od.src = w.src GROUP BY w.dst),
-            |r$i AS (SELECT node,
-            |  round((1 - 0.85) / n + 0.85 * coalesce(inflow, CAST(0 AS DOUBLE)), 9)
-            |    AS rank
-            |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.dst = nodes.node)"""
-              .stripMargin }.mkString(",\n")}""".stripMargin
+            |${base(i)}""".stripMargin }.mkString(",\n")}""".stripMargin
+  }
 
   val all: Seq[(String, Q)] = Seq(
 
@@ -6266,6 +6287,25 @@ object DocQueries {
         .orderBy("domain"),
       Some(s"""WITH $SynthEdgesSql,
         |${pageRankCtes(3)}
+        |SELECT node AS domain, rank FROM r3 ORDER BY domain""".stripMargin)),
+
+    // ---- PERSONALIZED PageRank (focused crawling): teleport concentrates
+    //      on two seed domains, so rank is authority as seen from the seed
+    //      topic; non-seeds rank only through inlink mass. Same unrolled
+    //      fold-mode oracle with the seeded r0/base chain.
+    "q_web_pagerank_personalized" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val seeds = Seq(("d0", 0.6), ("d1", 0.4)).toDF("node", "weight")
+        graft.operators.LinkGraph.personalizedPageRank(
+            synthDomainEdges(docsP(s, d)), seeds, iters = 3,
+            damping = 0.85, orderIndependent = false)
+          .orderBy("domain")
+      },
+      Some(s"""WITH $SynthEdgesSql,
+        |sd(node, w) AS (VALUES ('d0', CAST(0.6 AS DOUBLE)),
+        |  ('d1', CAST(0.4 AS DOUBLE))),
+        |${pageRankCtes(3, personalized = true)}
         |SELECT node AS domain, rank FROM r3 ORDER BY domain""".stripMargin)),
 
     // ---- frontier degree profile (LinkGraph.degreeProfile) over the same

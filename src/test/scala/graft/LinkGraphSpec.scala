@@ -74,6 +74,44 @@ class LinkGraphSpec extends SparkSpec {
     assert(r.filter(col("rank") <= 0).count() == 0)
   }
 
+  test("personalized PageRank: zero-teleport non-seeds rank only via inlinks") {
+    // seeds: a only. Graph: a -> b, b -> c, c has no outlinks (dangling).
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val seeds = Seq(("a", 1.0)).toDF("node", "weight")
+    val r = LinkGraph.personalizedPageRank(edges, seeds, iters = 2,
+        orderIndependent = false)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    def r9(v: Double) =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // r0: a=1, b=0, c=0. iter1: a = 0.15*1; b = 0.15*0 + 0.85*(1/1) = 0.85;
+    // c = 0.85*0 = 0. iter2: a = 0.15; b = 0.85*0.15; c = 0.85*0.85.
+    assert(r("a") == r9(0.15 * 1.0))
+    assert(r("b") == r9(0.85 * 0.15))
+    assert(r("c") == r9(0.85 * 0.85))
+    // seed-free dead ends hold zero rank, unlike uniform PageRank's floor
+    val noSeedPath = LinkGraph.personalizedPageRank(
+        Seq(("x", "y"), ("a", "b")).toDF("src", "dst"),
+        seeds, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(noSeedPath("x") == 0.0 && noSeedPath("y") == 0.0)
+    assert(noSeedPath("a") > 0 && noSeedPath("b") > 0)
+  }
+
+  test("personalized modes agree like the uniform ones") {
+    val edges = spark.range(0, 300).select(
+      concat(lit("d"), (col("id") % 19).cast("string")).as("src"),
+      explode(array(
+        concat(lit("d"), ((col("id") * 5 + 2) % 19).cast("string")),
+        concat(lit("d"), (col("id") % 4).cast("string")))).as("dst"))
+    val seeds = Seq(("d0", 0.5), ("d1", 0.5)).toDF("node", "weight")
+    val fold = LinkGraph.personalizedPageRank(edges, seeds, iters = 3,
+      orderIndependent = false).withColumnRenamed("rank", "r_fold")
+    val prod = LinkGraph.personalizedPageRank(edges, seeds, iters = 3,
+      orderIndependent = true).withColumnRenamed("rank", "r_sum")
+    val joined = fold.join(prod, "domain")
+    assert(joined.filter(col("r_fold") =!= col("r_sum")).count() == 0)
+  }
+
   test("degreeProfile counts distinct neighbors and occurrence weights") {
     val edges = Seq(
       ("a", "b"), ("a", "b"), ("a", "c"), ("c", "a")).toDF("src", "dst")
