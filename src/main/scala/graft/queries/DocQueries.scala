@@ -6352,6 +6352,32 @@ object DocQueries {
         |  AND levenshtein(p.fkey, k.fkey) <= 2
         |ORDER BY id_l, id_r""".stripMargin)),
 
+    // ---- the same fuzzy-pair semantics through SEGMENT (pigeonhole)
+    //      blocking — the PassJoin-family scheme that subdivides dense
+    //      length bands by content. SAME unblocked oracle: hash equality is
+    //      the recall proof that no pair is lost by the ±t segment windows.
+    "q_text_fuzzy_pairs_seg" -> Q(
+      (s, d) => {
+        val fkey = substring(regexp_replace(
+          lower(substring_index(col("text"), " ", 1)), "[^a-z0-9]", ""), 1, 10)
+        val keyed = docsP(s, d).select(col("doc_id"), fkey.as("fkey"))
+        val probes = keyed.filter(col("doc_id") < 30)
+        graft.operators.FuzzyJoin.joinSegments(probes, keyed,
+            "doc_id", "fkey", 2)
+          .filter(col("id_l") =!= col("id_r"))
+          .orderBy("id_l", "id_r")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+        |  substr(regexp_replace(lower(split_part(text, ' ', 1)),
+        |    '[^a-z0-9]', '', 'g'), 1, 10) AS fkey FROM documents),
+        |p AS (SELECT * FROM k WHERE doc_id < 30)
+        |SELECT p.doc_id AS id_l, k.doc_id AS id_r,
+        |  p.fkey AS key_l, k.fkey AS key_r,
+        |  CAST(levenshtein(p.fkey, k.fkey) AS BIGINT) AS dist
+        |FROM p JOIN k ON p.doc_id != k.doc_id
+        |  AND levenshtein(p.fkey, k.fkey) <= 2
+        |ORDER BY id_l, id_r""".stripMargin)),
+
     // ---- readability scoring (Flesch / Flesch–Kincaid): the corpus text
     //      has no punctuation, so the gate synthesizes sentence boundaries
     //      deterministically (a period every 8 words) in BOTH engines, then

@@ -50,6 +50,43 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got.toSet == Set((1L, 2L)))
   }
 
+  test("segment blocking equals the band path and brute force exactly") {
+    // adversarial shapes for the pigeonhole windows: substitutions,
+    // insertions/deletions at the front (max shift), middle, and tail;
+    // keys shorter than t+1 (short path); duplicates; an empty key
+    val df = Seq(
+      (1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "Xbcdefgh"),
+      (4L, "abcdeYgh"), (5L, "bcdefgh"), (6L, "zabcdefgh"),
+      (7L, "abcdefghij"), (8L, "ab"), (9L, "ac"), (10L, ""),
+      (11L, "abcdzfgh"), (12L, "hgfedcba"), (13L, "abcdefgX"),
+      (14L, "aabcdefghz")
+    ).toDF("id", "key")
+    for (t <- 1 to 3) {
+      val seg = FuzzyJoin.selfJoinSegments(df, "id", "key", t)
+        .select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val band = FuzzyJoin.selfJoin(df, "id", "key", t)
+        .select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(seg == band, s"t=$t: segment ${seg.diff(band)} missing ${band.diff(seg)}")
+    }
+  }
+
+  test("segment blocking on generated keys: no pair lost at any threshold") {
+    // 300 keys derived from a small alphabet with systematic mutations —
+    // dense length bands, the regime segment blocking exists for
+    val base = spark.range(0, 300).select(col("id"),
+      concat(lit("key"), (col("id") % 37).cast("string"),
+        when(col("id") % 5 === 0, lit("x")).otherwise(lit("")),
+        when(col("id") % 7 === 0, lit("qz")).otherwise(lit(""))).as("key"))
+    val seg = FuzzyJoin.selfJoinSegments(base, "id", "key", 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val band = FuzzyJoin.selfJoin(base, "id", "key", 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seg == band, s"missing=${band.diff(seg).take(5)} extra=${seg.diff(band).take(5)}")
+    assert(seg.nonEmpty)
+  }
+
   test("empty keys band-match each other and nothing longer than maxDist") {
     val df = Seq((1L, ""), (2L, ""), (3L, "ab"), (4L, "abc")).toDF("id", "key")
     val got = FuzzyJoin.selfJoin(df, "id", "key", 2)
