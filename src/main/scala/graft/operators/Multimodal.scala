@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * deterministic fake feature vector from the payload bytes. The Spark-side
   * contract — schema, partition-preserving mapPartitions batch shape,
   * metadata columns — is real and tested; swapping a stub for a real codec
-  * changes one function, and TWO formats needing no library have that swap
-  * done and oracle-gated: [[decodePpmFeatures]] (binary P6 PPM — header +
-  * RGB plane into per-channel means) and [[decodeWavFeatures]] (RIFF/WAVE
-  * PCM — chunk walk + 16-bit plane into signal stats).
+  * changes one function, and THREE formats needing no library have that
+  * swap done and oracle-gated — one per modality: [[decodePpmFeatures]]
+  * (image: binary P6 PPM — header + RGB plane into per-channel means),
+  * [[decodeWavFeatures]] (audio: RIFF/WAVE PCM — chunk walk + 16-bit plane
+  * into signal stats) and [[decodeY4mFrames]] (video: YUV4MPEG2 — stream
+  * header + frame walk into sampled per-frame luma stats).
   */
 object Multimodal {
 
@@ -336,10 +338,156 @@ object Multimodal {
       col("meta.byte_len"), col("meta.sha256"), col("meta.source"),
       lit(w).as("target_w"), lit(h).as("target_h")))
 
+  /** Build REAL YUV4MPEG2 (Y4M) video streams from the payload bytes — the
+    * honest video corpus for [[decodeY4mFrames]], completing the
+    * image/audio/video triple beside [[encodePpm]] and [[encodeWav]]. Y4M is
+    * the uncompressed interchange format mplayer/ffmpeg speak: an ASCII
+    * stream header `YUV4MPEG2 W<w> H<h> F<n>:<d> Ip A1:1 Cmono\n`, then per
+    * frame an ASCII `FRAME\n` marker followed by the raw plane bytes —
+    * header + raw payload, no codec library needed. `Cmono` (luma-only, one
+    * `w·h`-byte plane per frame) keeps the plane math exact and mirrorable.
+    *
+    * Frames are 4×4, so each carries 16 payload bytes;
+    * `n = max(1, floor(len/16))` frames (a short payload zero-pads its
+    * single frame). Pure Column tree — the per-frame interleave is one
+    * `aggregate` fold over the frame index — so the corpus builder stays
+    * scan-stage and the oracle mirrors the construction analytically. The
+    * DECODER never assumes this construction: it parses whatever header
+    * tags and frame list it finds. */
+  def encodeY4m(media: DataFrame): DataFrame = {
+    val len = coalesce(length(col("payload")).cast("long"), lit(0L))
+    val nFrames = greatest(lit(1L), floor(len / 16).cast("long"))
+    val plane = when(len >= 16,
+        col("payload").substr(lit(1), (nFrames * 16).cast("int")))
+      .otherwise(concat(
+        coalesce(col("payload"), lit(Array.empty[Byte])),
+        lit(Array.fill[Byte](16)(0: Byte))
+          .substr(lit(1), (lit(16L) - len).cast("int"))))
+    val y4m = concat(
+      lit("YUV4MPEG2 W4 H4 F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII")),
+      aggregate(sequence(lit(0L), nFrames - 1), lit(Array.empty[Byte]),
+        (acc, k) => concat(acc, lit("FRAME\n".getBytes("US-ASCII")),
+          plane.substr((k * 16 + 1).cast("int"), lit(16)))))
+    media.withColumn("payload", y4m)
+      .withColumn("kind", lit("video"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha256"),
+        col("meta.source").as("source")))
+  }
+
+  /** One sampled frame's features: stream-header fields plus integer-exact
+    * luma stats over the frame's Y plane (byte sum, one division; min/max).
+    * An invalid container yields ONE row with `frame_no = -1`,
+    * `is_valid = false`, zeroed fields. */
+  case class Y4mFrame(media_id: Long, frame_no: Int, width: Int, height: Int,
+                      colorspace: String, mean_y: Double, min_y: Int,
+                      max_y: Int, is_valid: Boolean)
+
+  /** REAL video frame-sampling kernel — the un-stubbed counterpart of
+    * [[frameSample]] for the one video format needing no codec library:
+    * parses the Y4M stream header byte-for-byte (magic, space-separated
+    * `W`/`H`/`F`/`I`/`A`/`C`/`X` tag-parameters in any order, colorspace
+    * defaulting to 4:2:0 per the spec), sizes the per-frame plane from the
+    * colorspace (`mono` = w·h, `444` = 3·w·h, `422` = 2·w·h, `420*` =
+    * w·h + 2·(w/2)·(h/2)), then walks the frame list — each an ASCII
+    * `FRAME[ params]\n` marker plus the raw planes — emitting every
+    * `every`-th frame's luma stats. Other colorspaces, a bad magic, missing
+    * `W`/`H`, or a null payload flag `is_valid = false` (one zeroed row)
+    * instead of throwing — fail-soft like every ingest surface. A truncated
+    * or malformed frame header mid-stream ends the walk; frames already
+    * parsed keep their rows (documented partial-decode contract).
+    *
+    * Shape: typed `mapPartitions` flatMap — a GENERATOR (rows out >> rows
+    * in) with no shuffle; payload bytes never leave the scan task. Sampling
+    * every k-th frame inside the kernel is the 100 TB point: the unsampled
+    * frames' bytes are skipped by offset arithmetic, never materialized. */
+  def decodeY4mFrames(media: DataFrame, every: Int = 1): DataFrame = {
+    require(every >= 1, "every must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeY4m(id, payload, every)
+      })
+      .toDF()
+  }
+
+  private[graft] def decodeY4m(id: Long, b: Array[Byte],
+                               every: Int): Seq[Y4mFrame] = {
+    def bad = Seq(Y4mFrame(id, -1, 0, 0, "", 0.0, 0, 0, is_valid = false))
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    if (b == null || b.length < magic.length + 1) return bad
+    if (!magic.indices.forall(i => b(i) == magic(i))) return bad
+    // stream header: everything to the first '\n'; tags are space-separated
+    var hEnd = magic.length
+    while (hEnd < b.length && b(hEnd) != '\n') hEnd += 1
+    if (hEnd >= b.length) return bad
+    val header = new String(b, 0, hEnd, "US-ASCII")
+    var w = -1; var h = -1; var cs = "420" // spec default when C is absent
+    header.split(' ').drop(1).filter(_.nonEmpty).foreach { tag =>
+      val v = tag.drop(1)
+      tag.head match {
+        case 'W' => w = v.toIntOption.getOrElse(-1)
+        case 'H' => h = v.toIntOption.getOrElse(-1)
+        case 'C' => cs = v
+        case _ => // F/I/A/X tags don't affect plane sizing
+      }
+    }
+    if (w <= 0 || h <= 0) return bad
+    val frameSize: Long = cs match {
+      case "mono" => w.toLong * h
+      case "444" => 3L * w * h
+      case "422" => 2L * w * h
+      case c if c.startsWith("420") => w.toLong * h + 2L * (w / 2) * (h / 2)
+      case _ => -1L
+    }
+    if (frameSize <= 0 || frameSize > Int.MaxValue) return bad
+    val marker = "FRAME".getBytes("US-ASCII")
+    val out = Seq.newBuilder[Y4mFrame]
+    var i = hEnd + 1
+    var frameNo = 0
+    var go = true
+    while (go && i < b.length) {
+      // frame header: FRAME[ params...]\n — anything else ends the walk
+      if (i + marker.length > b.length ||
+        !marker.indices.forall(k => b(i + k) == marker(k))) go = false
+      else {
+        var j = i + marker.length
+        while (j < b.length && b(j) != '\n') j += 1
+        if (j >= b.length || b.length - (j + 1) < frameSize) go = false
+        else {
+          val planeAt = j + 1
+          if (frameNo % every == 0) {
+            // luma stats over the Y plane (first w·h bytes of every layout)
+            val ny = w * h
+            var sum = 0L; var mn = 255; var mx = 0
+            var k = 0
+            while (k < ny) {
+              val v = b(planeAt + k) & 0xff
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              k += 1
+            }
+            out += Y4mFrame(id, frameNo, w, h, cs, sum.toDouble / ny, mn, mx,
+              is_valid = true)
+          }
+          i = planeAt + frameSize.toInt
+          frameNo += 1
+        }
+      }
+    }
+    out.result()
+  }
+
   /** STUB frame sampler for video payloads: a real kernel emits one row per
     * sampled frame; the stub derives `nFrames` deterministic pseudo-frames
     * (payload slices) per media row. Generator shape (explode) is the real
-    * contract: output rows >> input rows with no shuffle. */
+    * contract: output rows >> input rows with no shuffle. The un-stubbed
+    * counterpart is [[decodeY4mFrames]] — a real Y4M container walk with
+    * the same generator shape. */
   def frameSample(media: DataFrame, nFrames: Int): DataFrame =
     media
       .select(col("media_id"), col("kind"), col("meta"),

@@ -5097,6 +5097,41 @@ object DocQueries {
         | CAST(length(substr(hx, CAST(frame_no*16+1 AS INT), 16)) // 2 AS BIGINT) AS frame_len
         |FROM f ORDER BY media_id, frame_no""".stripMargin)),
 
+    // REAL video decode (third honest media kernel — the triple is now
+    // image/audio/video): documents become genuine YUV4MPEG2 streams
+    // (ASCII stream header + FRAME markers + raw 4×4 mono luma planes) and
+    // the flatMap kernel WALKS the container, emitting every 2nd frame's
+    // integer-exact luma stats. As with the PPM/WAV gates the oracle never
+    // sees the decoder: every feature derives analytically from the text
+    // bytes (16-byte frame slices, zero-padded singleton for short docs),
+    // so a header-tag, frame-offset, or sampling-stride bug hash-fails.
+    "q_multimodal_y4m_decode" -> Q(
+      (s, d) => Multimodal.decodeY4mFrames(Multimodal.encodeY4m(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text", "source")),
+          every = 2)
+        .orderBy("media_id", "frame_no"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 16) AS nf FROM m),
+        |f AS (SELECT media_id, hx, len, unnest(range(0, nf)) AS k FROM d),
+        |s AS (SELECT media_id, CAST(k AS INT) AS frame_no,
+        |  list_transform(range(0, 16), j ->
+        |    CASE WHEN k*16 + j + 1 <= len THEN ${byteAt("k*16 + j + 1")}
+        |         ELSE 0 END) AS ys
+        |  FROM f WHERE k % 2 = 0)
+        |SELECT media_id, frame_no, 4 AS width, 4 AS height,
+        | 'mono' AS colorspace,
+        | CAST(list_sum(ys) AS DOUBLE) / 16 AS mean_y,
+        | CAST(list_min(ys) AS INT) AS min_y,
+        | CAST(list_max(ys) AS INT) AS max_y,
+        | true AS is_valid
+        |FROM s ORDER BY media_id, frame_no""".stripMargin
+      }),
+
     // ---- leakage-free splits over the near-dup GRAPH: components of the
     //      jaccard pair frame become the split-hash key, so transitively-
     //      connected near-duplicates always share a split — the closure a

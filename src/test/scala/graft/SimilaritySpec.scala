@@ -808,6 +808,87 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
   }
 
+  test("Y4M kernel: decodes a hand-built stream, tolerates tag order and frame params, flags malformed shapes") {
+    import graft.operators.Multimodal.decodeY4m
+    def hdr(s: String) = s.getBytes("US-ASCII")
+    // mono 2x2: three frames of known luma; means 10, 20, 130
+    val f0 = Array[Int](0, 10, 20, 10).map(_.toByte)
+    val f1 = Array[Int](20, 20, 20, 20).map(_.toByte)
+    val f2 = Array[Int](255, 0, 255, 10).map(_.toByte)
+    val stream = hdr("YUV4MPEG2 W2 H2 F30:1 Cmono\n") ++
+      hdr("FRAME\n") ++ f0 ++ hdr("FRAME\n") ++ f1 ++ hdr("FRAME\n") ++ f2
+    val all = decodeY4m(1L, stream, every = 1)
+    assert(all.map(_.frame_no) == Seq(0, 1, 2))
+    assert(all.forall(f => f.is_valid && f.width == 2 && f.height == 2 &&
+      f.colorspace == "mono"))
+    assert(all.map(_.mean_y) == Seq(10.0, 20.0, 130.0))
+    assert(all.map(_.min_y) == Seq(0, 20, 0) && all.map(_.max_y) == Seq(20, 20, 255))
+    // sampling stride keeps original frame numbers and skips the rest
+    assert(decodeY4m(1L, stream, every = 2).map(_.frame_no) == Seq(0, 2))
+    // tag order is free; unknown X tags and FRAME params are skipped; a
+    // C444 frame carries 3 planes (luma stats read the first)
+    val s444 = hdr("YUV4MPEG2 C444 H2 Xy4m-spec W2 A1:1\n") ++
+      hdr("FRAME Ip\n") ++ f0 ++ f1 ++ f2
+    val c444 = decodeY4m(2L, s444, every = 1)
+    assert(c444.map(f => (f.frame_no, f.colorspace, f.mean_y)) == Seq((0, "444", 10.0)))
+    // default colorspace is 4:2:0: 2x2 frame = 4 + 2*1 = 6 bytes
+    val s420 = hdr("YUV4MPEG2 W2 H2\n") ++ hdr("FRAME\n") ++ f1 ++ Array[Byte](7, 9)
+    assert(decodeY4m(3L, s420, every = 1)
+      .map(f => (f.colorspace, f.mean_y)) == Seq(("420", 20.0)))
+    // a truncated tail frame ends the walk; parsed frames keep their rows
+    val truncated = decodeY4m(4L, stream.dropRight(1), every = 1)
+    assert(truncated.map(_.frame_no) == Seq(0, 1))
+    // malformed containers all fail soft as ONE invalid row, never throw
+    val badShapes = Seq[Array[Byte]](
+      null,
+      Array[Byte](),
+      hdr("JUV4MPEG2 W2 H2 Cmono\n") ++ hdr("FRAME\n") ++ f0, // wrong magic
+      hdr("YUV4MPEG2 W2 Cmono\n") ++ hdr("FRAME\n") ++ f0,    // missing H
+      hdr("YUV4MPEG2 W2 Hx Cmono\n") ++ hdr("FRAME\n") ++ f0, // non-numeric
+      hdr("YUV4MPEG2 W2 H2 Crgb\n") ++ hdr("FRAME\n") ++ f0,  // unknown C
+      hdr("YUV4MPEG2 W2 H2 Cmono"))                           // no header \n
+    badShapes.zipWithIndex.foreach { case (bs, j) =>
+      val r = decodeY4m(j.toLong, bs, every = 1)
+      assert(r.map(f => (f.frame_no, f.is_valid, f.mean_y)) ==
+        Seq((-1, false, 0.0)), s"shape $j must fail soft")
+    }
+  }
+
+  test("encodeY4m -> decodeY4mFrames roundtrip matches a jvm-side re-derivation") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 20)
+    val media = Multimodal.encodeY4m(
+      Multimodal.fromText(docs, "doc_id", "text", "source"))
+    val out = Multimodal.decodeY4mFrames(media, every = 2).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Boolean]("is_valid")))
+    assert(out.forall(r => r.getAs[Int]("width") == 4 &&
+      r.getAs[Int]("height") == 4 && r.getAs[String]("colorspace") == "mono"))
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = out.groupBy(_.getAs[Long]("media_id"))
+    assert(byDoc.keySet == texts.keySet)
+    byDoc.foreach { case (id, rows) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      val nf = math.max(1, bytes.length / 16)
+      val plane = bytes.padTo(16, 0: Byte)
+      val want = (0 until nf).filter(_ % 2 == 0).map { k =>
+        val ys = (0 until 16).map(j => plane(k * 16 + j) & 0xff)
+        (k, ys.sum.toDouble / 16, ys.min, ys.max)
+      }
+      val got = rows.sortBy(_.getAs[Int]("frame_no")).map { r =>
+        (r.getAs[Int]("frame_no"), r.getAs[Double]("mean_y"),
+          r.getAs[Int]("min_y"), r.getAs[Int]("max_y"))
+      }.toSeq
+      assert(got == want, s"doc $id")
+    }
+    // meta describes the wrapped payload; the kernel plan stays shuffle-free
+    val m = media.select("meta.byte_len", "payload", "kind").head()
+    assert(m.getLong(0) == m.getAs[Array[Byte]](1).length)
+    assert(m.getString(2) == "video")
+    val plan = Multimodal.decodeY4mFrames(media, every = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decode must not shuffle:\n$plan")
+  }
+
   test("decode staging column never clobbers a caller column of the same name") {
     val media = Multimodal.fromText(
         Tables.documents(spark, sf).limit(3), "doc_id", "text", "source")
