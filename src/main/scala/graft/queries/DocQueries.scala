@@ -2542,6 +2542,95 @@ object DocQueries {
         |    / CAST(count(*) AS DOUBLE) AS frac_pos
         |FROM bi GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- NB classifier DISCRIMINATION report (ROC-AUC + average
+    //      precision, per source): the threshold-free half of filter
+    //      acceptance beside the calibration gate — does the per-token
+    //      log-odds ORDER documents by the pseudo-label at all, and does
+    //      that hold on every source? Metrics stay exact under ties: AUC
+    //      as the integer Mann-Whitney 2U statistic (one final division),
+    //      AP as decimal-summed threshold-sweep terms — both order-free,
+    //      so the sharded distributed fold hash-matches DuckDB's window
+    //      cumsums bit-for-bit (see ClassifierEval's scaladoc for the
+    //      no-global-window scale shape).
+    "q_eval_classifier_auc" -> Q(
+      (s, d) => {
+        import graft.operators.{ClassifierEval, QualityClassifier}
+        val docs = Tables.documents(s, d)
+        val lab = docs.withColumn("__q",
+          graft.functions.TextFunctions.qualityScore(col("text")))
+        val m = QualityClassifier.train(
+          lab.filter(col("__q") >= 0.6), lab.filter(col("__q") < 0.6),
+          "doc_id", "text", buckets = 4096, salt = ":nb1")
+        val scored = QualityClassifier.score(docs, "doc_id", "text", m)
+          .join(lab.select(col("doc_id"), col("source"),
+            (col("__q") >= 0.6).as("is_pos")), Seq("doc_id"))
+          .withColumn("v",
+            round(col("log_odds") / greatest(col("n_tokens"), lit(1L)), 9))
+        ClassifierEval.binaryMetricsBy(scored, "source", col("v"),
+            col("is_pos"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${qualityLangCtes("documents")},
+        |e AS (SELECT s.doc_id, s.quality,
+        |    ${fp60Sql("tok || ':nb1'")} % 4096 AS b
+        |  FROM (SELECT doc_id, quality FROM scored) s JOIN
+        |    (SELECT doc_id, unnest(toks) AS tok FROM t0) u USING (doc_id)),
+        |bp AS (SELECT b, count(*) AS cp FROM e WHERE quality >= 0.6 GROUP BY 1),
+        |bn AS (SELECT b, count(*) AS cn FROM e WHERE quality < 0.6 GROUP BY 1),
+        |np AS (SELECT COALESCE(sum(cp), 0) AS n FROM bp),
+        |nn AS (SELECT COALESCE(sum(cn), 0) AS n FROM bn),
+        |m AS (SELECT COALESCE(bp.b, bn.b) AS b, CAST(round(ln(
+        |    ((CAST(COALESCE(cp, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / CAST((SELECT n FROM np) + 4096 AS DOUBLE))
+        |    / ((CAST(COALESCE(cn, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / CAST((SELECT n FROM nn) + 4096 AS DOUBLE))), 9)
+        |  AS DECIMAL(28,9)) AS llr
+        |  FROM bp FULL JOIN bn ON bp.b = bn.b),
+        |dflt AS (SELECT CAST(round(ln(
+        |    CAST((SELECT n FROM nn) + 4096 AS DOUBLE)
+        |    / CAST((SELECT n FROM np) + 4096 AS DOUBLE)), 9)
+        |  AS DECIMAL(28,9)) AS v),
+        |pri AS (SELECT CAST(round(ln(
+        |    CAST((SELECT count(*) FROM scored WHERE quality >= 0.6) + 1 AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM scored WHERE quality < 0.6) + 1 AS DOUBLE)), 9)
+        |  AS DECIMAL(28,9)) AS v),
+        |pd AS (SELECT doc_id, count(*) AS n_tokens,
+        |    sum(COALESCE(m.llr, (SELECT v FROM dflt))) AS sllr
+        |  FROM e LEFT JOIN m ON m.b = e.b GROUP BY 1),
+        |sc AS (SELECT d.doc_id, COALESCE(pd.n_tokens, 0) AS n_tokens,
+        |    CAST(round(COALESCE(pd.sllr, 0) + (SELECT v FROM pri), 6)
+        |      AS DOUBLE) AS log_odds
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id),
+        |pb AS (SELECT sc.doc_id, d2.source,
+        |    round(log_odds / greatest(n_tokens, 1), 9) AS v,
+        |    (s2.quality >= 0.6) AS is_pos
+        |  FROM sc JOIN scored s2 ON s2.doc_id = sc.doc_id
+        |  JOIN documents d2 ON d2.doc_id = sc.doc_id),
+        |g AS (SELECT source, v,
+        |    CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS gnp,
+        |    CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS gnn
+        |  FROM pb GROUP BY 1, 2),
+        |t AS (SELECT source, CAST(sum(gnp) AS BIGINT) AS tnp,
+        |    CAST(sum(gnn) AS BIGINT) AS tnn FROM g GROUP BY 1),
+        |c AS (SELECT source, v, gnp, gnn,
+        |    COALESCE(sum(gnn) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb,
+        |    COALESCE(sum(gnp) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpb
+        |  FROM g),
+        |u AS (SELECT c.source, tnp, tnn,
+        |    gnp * (2*cnb + gnn) AS u2,
+        |    CAST(round(gnp * (tnp - cpb) / ((tnp - cpb) + (tnn - cnb)), 12)
+        |      AS DECIMAL(38,12)) AS apt
+        |  FROM c JOIN t USING (source))
+        |SELECT source, CAST(tnp + tnn AS BIGINT) AS n,
+        | CAST(tnp AS BIGINT) AS n_pos, CAST(tnn AS BIGINT) AS n_neg,
+        | CASE WHEN tnp > 0 AND tnn > 0 THEN
+        |   round(CAST(sum(u2) AS DOUBLE) / (2.0 * tnp * tnn), 9) END AS auc_roc,
+        | CASE WHEN tnp > 0 THEN
+        |   round(CAST(sum(apt) AS DOUBLE) / tnp, 9) END AS avg_precision
+        |FROM u GROUP BY source, tnp, tnn ORDER BY source""".stripMargin)),
+
     // ---- BPE round trip: merges trained on the :bpe1 80% split, applied
     //      to every document; the compared contract is LOSSLESSNESS — each
     //      word must reconstruct exactly from its subtokens, so the md5 of

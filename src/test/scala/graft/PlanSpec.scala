@@ -856,4 +856,24 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"), s"no window belongs in the rank loop:\n$p")
     } finally spark.catalog.clearCache()
   }
+
+  test("binary AUC/AP metrics: sharded cumsums, broadcast reassembly, no corpus window") {
+    import graft.operators.ClassifierEval
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        (length(col("text")) % 97).cast("double").as("v"),
+        (col("doc_id") % 3 === 0).as("y"))
+    val p = planOf(ClassifierEval.binaryMetricsBy(docs, "source", col("v"), col("y")))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // offsets and totals re-attach as broadcasts, never a shuffled join
+    assert(p.contains("BroadcastHashJoin"), s"reassembly must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffled join belongs here:\n$p")
+    // every window partitions by (or orders over) the shard column — no
+    // window ever spans a whole group's distinct-score frame unsharded
+    val unsharded = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition") && !l.contains("__shard"))
+      .toSeq
+    assert(unsharded.isEmpty, s"unsharded window(s):\n${unsharded.mkString("\n")}")
+  }
 }

@@ -80,4 +80,49 @@ class QualityClassifierSpec extends SparkSpec {
           r.getAs[Boolean]("keep"))).toSet
     assert(scored(m) == scored(QualityClassifier.load(spark, dir)))
   }
+
+  test("binary metrics: hand-computed AUC/AP, tie credit, and single-class nulls") {
+    import graft.operators.ClassifierEval
+    val s = spark
+    import s.implicits._
+    // g1: pos@{0.9,0.7} neg@{0.8,0.6} -> 3 of 4 pairs ordered: AUC 0.75;
+    //     AP thresholds desc: P=1 at R=1/2, P=2/3 at R=1 -> 1/2 + 1/3
+    // g2: every score tied -> AUC exactly 0.5 (pure tie credit)
+    // g3: single class -> AUC null, AP 1.0 (every threshold is precision 1)
+    val df = Seq(
+      ("g1", 0.9, true), ("g1", 0.8, false), ("g1", 0.7, true), ("g1", 0.6, false),
+      ("g2", 0.5, true), ("g2", 0.5, false), ("g2", 0.5, true), ("g2", 0.5, false),
+      ("g3", 0.4, true), ("g3", 0.2, true)
+    ).toDF("src", "v", "y")
+    val got = ClassifierEval.binaryMetricsBy(df, "src", col("v"), col("y"))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))).toSeq
+    def d(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      ("g1", 4L, 2L, 2L, Some(0.75), Some(d(0.5 + 1.0 / 3))),
+      ("g2", 4L, 2L, 2L, Some(0.5), Some(0.5)),
+      ("g3", 2L, 2L, 0L, None, Some(1.0))))
+  }
+
+  test("binary metrics match a brute-force pair count across many shards") {
+    import graft.operators.ClassifierEval
+    // 400 rows, scores on a coarse grid so ties span shard thresholds
+    val df = spark.range(0, 400).select(
+      lit("g").as("src"),
+      ((col("id") * 37 % 21).cast("double") / 20).as("v"),
+      ((col("id") * 13 % 7) < 3).as("y"))
+    val rows = df.select("v", "y").collect()
+      .map(r => (r.getDouble(0), r.getBoolean(1)))
+    val pos = rows.filter(_._2).map(_._1); val neg = rows.filterNot(_._2).map(_._1)
+    val u = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val want = BigDecimal(u / (pos.length.toLong * neg.length))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (shards <- Seq(2, 8, 32)) {
+      val got = ClassifierEval.binaryMetricsBy(df, "src", col("v"), col("y"),
+        shards = shards).select("auc_roc").head().getDouble(0)
+      assert(got == want, s"shards=$shards: $got != $want")
+    }
+  }
 }
