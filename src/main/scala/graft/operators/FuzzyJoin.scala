@@ -162,4 +162,38 @@ object FuzzyJoin {
       .filter(col("id_l") < col("id_r"))
       .select(col("id_l").as("id_a"), col("id_r").as("id_b"),
         col("key_l").as("key_a"), col("key_r").as("key_b"), col("dist"))
+
+  // ---------- record linkage: 1:1 assignment over a scored pair frame ----
+
+  /** MUTUAL-BEST-MATCH record linkage: reduce a scored candidate-pair frame
+    * (any blocking scheme's output — [[join]], [[joinSegments]], an LSH
+    * bucket join) to 1:1 links where each side is the OTHER side's best
+    * candidate. The parallel-safe core of entity resolution: a greedy
+    * global assignment is inherently sequential, but every greedy round's
+    * FIRST accepted links are exactly the mutual bests, and in practice
+    * they carry almost all true matches — duplicate-merge pipelines run
+    * this op, route the (rare) leftovers to review.
+    *
+    * "Best" = the lexicographic minimum of (`distCol`, partner id) — fully
+    * deterministic under ties, computed as ONE `min(struct(...))` partial
+    * aggregate per side (map-side combinable, never a per-key window).
+    * Output: one row per mutual pair with both ids and the winning
+    * distance; each id appears at most once per side by construction.
+    *
+    * Scale shape: two partial-agg shuffles over the pair frame (bounded by
+    * candidate count, itself bounded by the blocking scheme) and one
+    * equi-join of the two per-id best frames on the LINK key — no window,
+    * no cartesian, skew-safe under AQE. */
+  def bestMatch(pairs: DataFrame, leftId: String = "id_l",
+                rightId: String = "id_r",
+                distCol: String = "dist"): DataFrame = {
+    val bl = pairs.groupBy(col(leftId))
+      .agg(min(struct(col(distCol), col(rightId))).as("__b"))
+      .select(col(leftId), col(s"__b.$rightId").as(rightId),
+        col(s"__b.$distCol").as(distCol))
+    val br = pairs.groupBy(col(rightId))
+      .agg(min(struct(col(distCol), col(leftId))).as("__b"))
+      .select(col(s"__b.$leftId").as(leftId), col(rightId))
+    bl.join(br, Seq(leftId, rightId))
+  }
 }

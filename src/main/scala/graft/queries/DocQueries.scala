@@ -6476,6 +6476,44 @@ object DocQueries {
         |  AND levenshtein(p.fkey, k.fkey) <= 2
         |ORDER BY id_l, id_r""".stripMargin)),
 
+    // ---- RECORD LINKAGE on top of the fuzzy candidates: mutual-best-match
+    //      1:1 assignment — each probe linked to its nearest corpus key and
+    //      vice versa, ties broken (dist, partner id)-lexicographically.
+    //      The oracle re-derives both argmins with min-over-the-min-dist
+    //      joins, so the struct-min tie-break is hash-checked exactly.
+    "q_text_fuzzy_link" -> Q(
+      (s, d) => {
+        val fkey = substring(regexp_replace(
+          lower(substring_index(col("text"), " ", 1)), "[^a-z0-9]", ""), 1, 10)
+        val keyed = docsP(s, d).select(col("doc_id"), fkey.as("fkey"))
+        val probes = keyed.filter(col("doc_id") < 30)
+        val pairs = graft.operators.FuzzyJoin.join(probes, keyed,
+            "doc_id", "fkey", 2)
+          .filter(col("id_l") =!= col("id_r"))
+        graft.operators.FuzzyJoin.bestMatch(pairs)
+          .select("id_l", "id_r", "dist")
+          .orderBy("id_l", "id_r")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+        |  substr(regexp_replace(lower(split_part(text, ' ', 1)),
+        |    '[^a-z0-9]', '', 'g'), 1, 10) AS fkey FROM documents),
+        |p AS (SELECT * FROM k WHERE doc_id < 30),
+        |pr AS (SELECT p.doc_id AS id_l, k.doc_id AS id_r,
+        |  CAST(levenshtein(p.fkey, k.fkey) AS BIGINT) AS dist
+        |  FROM p JOIN k ON p.doc_id != k.doc_id
+        |    AND levenshtein(p.fkey, k.fkey) <= 2),
+        |blm AS (SELECT id_l, min(dist) AS md FROM pr GROUP BY 1),
+        |bl AS (SELECT pr.id_l, min(pr.id_r) AS id_r, min(pr.dist) AS dist
+        |  FROM pr JOIN blm ON pr.id_l = blm.id_l AND pr.dist = blm.md
+        |  GROUP BY 1),
+        |brm AS (SELECT id_r, min(dist) AS md FROM pr GROUP BY 1),
+        |br AS (SELECT min(pr.id_l) AS id_l, pr.id_r
+        |  FROM pr JOIN brm ON pr.id_r = brm.id_r AND pr.dist = brm.md
+        |  GROUP BY pr.id_r)
+        |SELECT bl.id_l, bl.id_r, bl.dist
+        |FROM bl JOIN br ON bl.id_l = br.id_l AND bl.id_r = br.id_r
+        |ORDER BY 1, 2""".stripMargin)),
+
     // ---- the same fuzzy-pair semantics through SEGMENT (pigeonhole)
     //      blocking — the PassJoin-family scheme that subdivides dense
     //      length bands by content. SAME unblocked oracle: hash equality is

@@ -87,6 +87,23 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(seg.nonEmpty)
   }
 
+  test("mutual best match links only reciprocal argmins with deterministic ties") {
+    // left 1 ties A/B at d=1 -> picks A (smaller partner id); A's best left
+    // ties 1/2 at d=1 -> picks 1, so (1,A) links and 2 is left unmatched.
+    // C prefers 4 (d=1) over 3 (d=2): (4,C) links, 3 unmatched.
+    val pairs = Seq(
+      (1L, 100L, 1L), (1L, 101L, 1L), (2L, 100L, 1L),
+      (3L, 102L, 2L), (4L, 102L, 1L)
+    ).toDF("id_l", "id_r", "dist")
+    val got = FuzzyJoin.bestMatch(pairs).select("id_l", "id_r", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 100L, 1L), (4L, 102L, 1L)))
+    // 1:1 by construction: each id at most once per side
+    val links = got.toSeq
+    assert(links.map(_._1).distinct.size == links.size)
+    assert(links.map(_._2).distinct.size == links.size)
+  }
+
   test("empty keys band-match each other and nothing longer than maxDist") {
     val df = Seq((1L, ""), (2L, ""), (3L, "ab"), (4L, "abc")).toDF("id", "key")
     val got = FuzzyJoin.selfJoin(df, "id", "key", 2)
