@@ -151,6 +151,75 @@ object LinkGraph {
     ranks.select(col("node").as("domain"), col("rank"))
   }
 
+  /** HITS hubs-and-authorities over an edge LIST (src, dst; duplicates are
+    * weight) — the second classic link metric beside [[pageRank]], and the
+    * complementary one for crawl curation: PageRank finds globally endorsed
+    * domains, HITS separates DIRECTORY-like hubs (link out to good content)
+    * from CONTENT authorities (linked from good hubs) — a frontier
+    * scheduler wants to fetch from hubs and keep documents from
+    * authorities. Returns (domain, authority, hub), one row per node.
+    *
+    * Arithmetic contract (bit-reproducible on any engine, no fold mode
+    * needed): each half-step's per-edge contribution is `round9(score ·
+    * weight)` cast to DECIMAL(38,9) and summed — exact, associative, so
+    * map-side combine stays on and the result is partitioning-independent;
+    * scores are L1-normalized (divide by the exact decimal total, one
+    * double division) and rounded to 9 each half-step. L1 instead of
+    * Kleinberg's L2 norm: the induced RANKING is identical (normalization
+    * is a positive scalar per step), and it keeps every intermediate a
+    * 9-decimal value — no sqrt, no unroundable doubles for the oracle to
+    * chase. Dangling sides score 0 through the norm, never NULL.
+    *
+    * Scale shape: same dataflow as [[pageRank]] — the weighted edge frame
+    * is aggregated once; each half-step is ONE shuffle join (edges ⋈
+    * scores on the propagating side) + a partial aggregation, plus a
+    * 1-row total broadcast back for the norm; the score frames are
+    * |domains|-sized. Persist-swap per iteration, pinned in the caller's
+    * CacheScope; same checkpoint note as PageRank for long horizons. */
+  def hits(edges: DataFrame, iters: Int,
+           scope: graft.core.CacheScope.Handle =
+             graft.core.CacheScope.detached): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val w = edges.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+      .persist()
+    val nodes = w.select(col("src").as("node"))
+      .union(w.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    // half-step: propagate `scores` across edges from `from` to `to`,
+    // L1-normalize, land on the full node universe
+    def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
+      val raw = w.join(scores, w(from) === scores("node"))
+        .groupBy(w(to).as("__to"))
+        .agg(sum(round(col("score") * col("weight"), 9)
+          .cast("decimal(38,9)")).as("__raw"))
+      val tot = raw.agg(sum("__raw").as("__tot"))
+      nodes.join(raw, nodes("node") === col("__to"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(coalesce(col("__raw").cast("double"), lit(0.0)) /
+            col("__tot").cast("double"), 9).as("score"))
+    }
+    var hub = nodes.select(col("node"), round(lit(1.0) / n, 9).as("score"))
+    var auth: DataFrame = null
+    var prevA: Option[DataFrame] = None
+    var prevH: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val nextA = scope.pin(halfStep(hub, "src", "dst").persist())
+      nextA.count()
+      prevA.foreach(_.unpersist(blocking = false))
+      prevA = Some(nextA); auth = nextA
+      val nextH = scope.pin(halfStep(auth, "dst", "src").persist())
+      nextH.count()
+      prevH.foreach(_.unpersist(blocking = false))
+      prevH = Some(nextH); hub = nextH
+    }
+    w.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    auth.select(col("node").as("domain"), col("score").as("authority"))
+      .join(hub.select(col("node").as("domain"), col("score").as("hub")),
+        Seq("domain"))
+  }
+
   /** In/out degree + weighted-rank join surface: the rank table decorated
     * with the degree signals a frontier scheduler consumes alongside it. */
   def degreeProfile(edges: DataFrame): DataFrame = {

@@ -930,6 +930,31 @@ object DocQueries {
             |${base(i)}""".stripMargin }.mkString(",\n")}""".stripMargin
   }
 
+  /** HITS CTE chain over [[SynthEdgesSql]]'s `w` — `iters` unrolled
+    * authority/hub half-steps mirroring LinkGraph.hits exactly: per-edge
+    * contributions round9 then DECIMAL(38,9)-summed (order-free, so no
+    * fold mode is needed), L1 norm via one double division, round9 per
+    * half-step. Ends in `a<iters>` / `h<iters>` (node, score). */
+  private def hitsCtes(iters: Int): String = {
+    def half(i: Int, out: String, from: String, to: String, src: String) =
+      s"""$out${i}r AS (SELECT w.$to AS nd,
+         |  sum(CAST(round(s.score * w.weight, 9) AS DECIMAL(38,9))) AS raw
+         |  FROM w JOIN $src s ON s.node = w.$from GROUP BY 1),
+         |$out${i}s AS (SELECT sum(raw) AS tot FROM $out${i}r),
+         |$out$i AS (SELECT nodes.node,
+         |  round(coalesce(CAST(raw AS DOUBLE), CAST(0 AS DOUBLE))
+         |    / CAST(tot AS DOUBLE), 9) AS score
+         |  FROM nodes LEFT JOIN $out${i}r ON $out${i}r.nd = nodes.node
+         |  CROSS JOIN $out${i}s)""".stripMargin
+    s"""nodes AS (SELECT src AS node FROM w UNION SELECT dst FROM w),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |h0 AS (SELECT node, round(1.0 / n, 9) AS score
+       |  FROM nodes CROSS JOIN nn),
+       |${(1 to iters).map { i =>
+            half(i, "a", "src", "dst", s"h${i - 1}") + ",\n" +
+              half(i, "h", "dst", "src", s"a$i") }.mkString(",\n")}""".stripMargin
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ==================== text analysis ====================
@@ -6431,6 +6456,20 @@ object DocQueries {
         |  ('d1', CAST(0.4 AS DOUBLE))),
         |${pageRankCtes(3, personalized = true)}
         |SELECT node AS domain, rank FROM r3 ORDER BY domain""".stripMargin)),
+
+    // ---- HITS hubs & authorities over the same synthetic graph: the
+    //      complementary link metric to PageRank for frontier scheduling
+    //      (fetch FROM hubs, keep documents FROM authorities). Order-free
+    //      decimal contribution sums mean the oracle needs no fold mode —
+    //      the unrolled half-step chain is mirrored arithmetic-exactly.
+    "q_web_hits" -> Q(
+      (s, d) => graft.operators.LinkGraph.hits(
+          synthDomainEdges(docsP(s, d)), iters = 2)
+        .orderBy("domain"),
+      Some(s"""WITH $SynthEdgesSql,
+        |${hitsCtes(2)}
+        |SELECT a2.node AS domain, a2.score AS authority, h2.score AS hub
+        |FROM a2 JOIN h2 ON h2.node = a2.node ORDER BY 1""".stripMargin)),
 
     // ---- frontier degree profile (LinkGraph.degreeProfile) over the same
     //      synthetic graph: distinct-neighbor degrees + occurrence weights.

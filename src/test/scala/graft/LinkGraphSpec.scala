@@ -122,4 +122,55 @@ class LinkGraphSpec extends SparkSpec {
     assert(m("b") == ((0L, 0L, 1L, 2L)))
     assert(m("c") == ((1L, 1L, 1L, 1L)))
   }
+
+  /** JVM mirror of one HITS run with the operator's exact arithmetic:
+    * round9 via BigDecimal HALF_UP (Spark's round), exact BigDecimal
+    * contribution sums (the DECIMAL(38,9) fold), double division. */
+  private def hitsRef(edges: Seq[(String, String)], iters: Int)
+  : Map[String, (Double, Double)] = {
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w = edges.groupBy(identity).map { case ((s, d), es) => (s, d, es.size.toLong) }.toSeq
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> r9(1.0 / nodes.size)).toMap
+    var auth = hub
+    def half(scores: Map[String, Double], fromSrc: Boolean): Map[String, Double] = {
+      val raw = w.groupBy(e => if (fromSrc) e._2 else e._1)
+        .map { case (nd, es) =>
+          nd -> es.map { case (s, d, wt) =>
+            BigDecimal(r9(scores(if (fromSrc) s else d) * wt)) }.sum
+        }
+      val tot = raw.values.sum.toDouble
+      nodes.map(nd => nd ->
+        r9(raw.get(nd).map(_.toDouble).getOrElse(0.0) / tot)).toMap
+    }
+    for (_ <- 1 to iters) {
+      auth = half(hub, fromSrc = true)
+      hub = half(auth, fromSrc = false)
+    }
+    nodes.map(nd => nd -> ((auth(nd), hub(nd)))).toMap
+  }
+
+  test("HITS: hubs and authorities separate on a bipartite-ish graph; matches the jvm mirror") {
+    // 1 and 2 point at {3, 4}; 3 points at 4 - so 1/2 are pure hubs,
+    // 4 the strongest authority; duplicate edge (1->3) is weight
+    val edges = Seq(("h1", "c3"), ("h1", "c3"), ("h1", "c4"),
+      ("h2", "c3"), ("h2", "c4"), ("c3", "c4"))
+    val got = LinkGraph.hits(edges.toDF("src", "dst"), iters = 3).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == hitsRef(edges, 3))
+    // structure: pure hubs have zero authority; c4 beats c3 in authority
+    // is false (c3 carries the duplicate inlink) - assert the real order
+    assert(got("h1")._1 == 0.0 && got("h2")._1 == 0.0)
+    assert(got("c4")._2 == 0.0) // sink: no out-edges, zero hub
+    assert(got("h1")._2 > got("c3")._2, "dup-weighted hub must lead")
+    assert(got.values.forall { case (a, h) => a >= 0 && h >= 0 })
+  }
+
+  test("HITS leaves no persistent RDDs behind (detached scope)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    LinkGraph.hits(edges, iters = 2).collect()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
 }
