@@ -837,7 +837,83 @@ object ScaleCheck {
         TextFunctions.sentenceCount(col("text")),
         TextFunctions.syllableCount(col("text")),
         TextFunctions.fleschReadingEase(col("text")),
-        TextFunctions.fkGradeLevel(col("text")))))
+        TextFunctions.fkGradeLevel(col("text")))),
+
+      // segment (pigeonhole) fuzzy blocking: same fixed 30-probe set as
+      // fuzzy_join — the ratio isolates the segment index build over the
+      // growing corpus vs the band path's per-length candidate scan
+      "fuzzy_join_seg" -> { d =>
+        val fkey = substring(regexp_replace(
+          lower(substring_index(col("text"), " ", 1)), "[^a-z0-9]", ""), 1, 10)
+        val keyed = Tables.documents(spark, d)
+          .select(col("doc_id"), fkey.as("fkey"))
+        graft.operators.FuzzyJoin.joinSegments(
+          keyed.filter(col("doc_id") < 30), keyed, "doc_id", "fkey", 2)
+      },
+
+      // mutual-best-match linkage over the banded candidates: two
+      // partial-agg argmins + one equi-join on the pair frame
+      "fuzzy_link" -> { d =>
+        val fkey = substring(regexp_replace(
+          lower(substring_index(col("text"), " ", 1)), "[^a-z0-9]", ""), 1, 10)
+        val keyed = Tables.documents(spark, d)
+          .select(col("doc_id"), fkey.as("fkey"))
+        graft.operators.FuzzyJoin.bestMatch(graft.operators.FuzzyJoin.join(
+          keyed.filter(col("doc_id") < 30), keyed, "doc_id", "fkey", 2)
+          .filter(col("id_l") =!= col("id_r")))
+      },
+
+      // real video kernel: Y4M encode + frame-walk decode at stride 2,
+      // pure scan stage (generator: rows out >> rows in, no shuffle)
+      "y4m_decode" -> (d => graft.operators.Multimodal.decodeY4mFrames(
+        graft.operators.Multimodal.encodeY4m(
+          graft.operators.Multimodal.fromText(
+            Tables.documents(spark, d), "doc_id", "text", "source")),
+        every = 2)),
+
+      // HITS on the same hub-shaped graph as pagerank (nodes AND edges
+      // scale with the corpus): two shuffle joins + two partial aggs +
+      // two 1-row norm broadcasts per iteration
+      "hits" -> { d =>
+        val ids = Tables.documents(spark, d).select(col("doc_id"))
+        val edges = ids.select(
+          concat(lit("n"), col("doc_id").cast("string")).as("src"),
+          explode(array(
+            concat(lit("n"), (col("doc_id") - pmod(col("doc_id"), lit(13)))
+              .cast("string")),
+            concat(lit("n"), (col("doc_id") - pmod(col("doc_id"), lit(97)))
+              .cast("string")))).as("dst"))
+        graft.operators.LinkGraph.hits(edges, iters = 3)
+      },
+
+      // label propagation on the hub-shaped graph: one shuffle join + one
+      // (node, label) partial agg + one min-struct argmax per iteration
+      "label_prop" -> { d =>
+        val s = spark
+        import s.implicits._
+        val ids = Tables.documents(spark, d).select(col("doc_id"))
+        val edges = ids.select(
+          concat(lit("n"), col("doc_id").cast("string")).as("src"),
+          explode(array(
+            concat(lit("n"), (col("doc_id") - pmod(col("doc_id"), lit(13)))
+              .cast("string")),
+            concat(lit("n"), (col("doc_id") - pmod(col("doc_id"), lit(97)))
+              .cast("string")))).as("dst"))
+        val seeds = Seq(("n0", "news"), ("n97", "forum"), ("n194", "spam"))
+          .toDF("node", "label")
+        graft.operators.LinkGraph.labelPropagation(edges, seeds, iters = 3)
+      },
+
+      // grouped ROC-AUC/AP: one corpus partial-agg to distinct-score class
+      // counts, then sharded cumsums over the distinct-score frame only
+      "classifier_auc" -> { d =>
+        val docs = Tables.documents(spark, d).select(
+          col("doc_id"), col("source"),
+          round(TextFunctions.qualityScore(col("text")), 3).as("v"),
+          (col("doc_id") % 3 === 0).as("y"))
+        graft.operators.ClassifierEval.binaryMetricsBy(
+          docs, "source", col("v"), col("y"))
+      })
 
     // optional arg: comma-separated substrings — run only matching cases
     // (local iteration on newly added operators)

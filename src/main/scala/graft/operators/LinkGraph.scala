@@ -220,6 +220,66 @@ object LinkGraph {
         Seq("domain"))
   }
 
+  /** Semi-supervised LABEL PROPAGATION over the (symmetrized) link graph —
+    * the taxonomy bootstrapper for crawl curation: hand-label a few seed
+    * domains (news / reference / forum / spam…), propagate along links,
+    * and every reachable domain gets the topic its neighborhood votes
+    * for — labels documents by domain before any content classifier
+    * exists. Seeds stay CLAMPED; a non-seed takes the label with the
+    * highest summed (undirected, multiplicity-weighted) edge weight among
+    * its labeled neighbors, ties broken by the SMALLEST label string —
+    * integer vote weights + a total tie order make every iteration fully
+    * deterministic, so the unrolled oracle hash-checks the whole schedule.
+    * Nodes with no labeled neighbor stay unlabeled (null) until the
+    * frontier reaches them; `iters` bounds the propagation radius.
+    *
+    * Scale shape: edges aggregate once to (a, b, weight) in both
+    * directions (one shuffle); each iteration is ONE shuffle join
+    * (labels ⋈ edges on the labeled side) + one (node, label) partial
+    * aggregation + one min-struct argmax per node — no windows, no
+    * cartesian; label frames are |domains|-sized, persist-swapped like
+    * [[pageRank]]. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame, iters: Int,
+                       scope: graft.core.CacheScope.Handle =
+                         graft.core.CacheScope.detached): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    // undirected voting: each edge list row counts once per direction
+    val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(edges.select(col("dst").as("a"), col("src").as("b")))
+    val w = sym.groupBy("a", "b").agg(count(lit(1)).as("weight")).persist()
+    val nodes = w.select(col("a").as("node")).distinct().persist()
+    val sd = seeds.select(col("node").as("seed_node"), col("label").as("seed_label"))
+    var labels = nodes
+      .join(broadcast(sd), nodes("node") === col("seed_node"), "left")
+      .select(col("node"), col("seed_label").as("label"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      // votes: labeled neighbors of b vote (label, summed weight)
+      val votes = w.join(labels, w("a") === labels("node"))
+        .filter(col("label").isNotNull)
+        .groupBy(col("b"), col("label"))
+        .agg(sum("weight").as("__w"))
+      // argmax with (weight desc, label asc) total order
+      val winner = votes.groupBy(col("b"))
+        .agg(min(struct((-col("__w")).as("nw"), col("label").as("l")))
+          .as("__best"))
+        .select(col("b"), col("__best.l").as("win_label"))
+      val next = scope.pin(nodes
+        .join(winner, nodes("node") === col("b"), "left")
+        .join(broadcast(sd), nodes("node") === col("seed_node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("win_label")).as("label"))
+        .persist())
+      next.count()
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(next)
+      labels = next
+    }
+    w.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    labels.select(col("node").as("domain"), col("label"))
+  }
+
   /** In/out degree + weighted-rank join surface: the rank table decorated
     * with the degree signals a frontier scheduler consumes alongside it. */
   def degreeProfile(edges: DataFrame): DataFrame = {

@@ -6471,6 +6471,42 @@ object DocQueries {
         |SELECT a2.node AS domain, a2.score AS authority, h2.score AS hub
         |FROM a2 JOIN h2 ON h2.node = a2.node ORDER BY 1""".stripMargin)),
 
+    // ---- semi-supervised LABEL PROPAGATION (taxonomy bootstrap): three
+    //      seed domains vote their topics outward along the symmetrized
+    //      weighted graph; integer vote weights + (weight desc, label asc)
+    //      tie order make every unrolled round hash-exact. Seeds clamp;
+    //      unreached domains stay null.
+    "q_web_label_prop" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val seeds = Seq(("d0", "news"), ("d7", "forum"), ("d13", "spam"))
+          .toDF("node", "label")
+        graft.operators.LinkGraph.labelPropagation(
+            synthDomainEdges(docsP(s, d)), seeds, iters = 2)
+          .orderBy("domain")
+      },
+      Some(s"""WITH $SynthEdgesSql,
+        |sym AS (SELECT src AS a, dst AS b FROM e0
+        |  UNION ALL SELECT dst, src FROM e0),
+        |wu AS (SELECT a, b, count(*) AS weight FROM sym GROUP BY 1, 2),
+        |nodes2 AS (SELECT DISTINCT a AS node FROM wu),
+        |sd(node, label) AS (VALUES ('d0', 'news'), ('d7', 'forum'),
+        |  ('d13', 'spam')),
+        |l0 AS (SELECT n.node, sd.label FROM nodes2 n
+        |  LEFT JOIN sd ON sd.node = n.node),
+        |${(1 to 2).map { i =>
+             s"""v$i AS (SELECT wu.b, l.label, sum(weight) AS vw
+             |  FROM wu JOIN l${i - 1} l ON l.node = wu.a
+             |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+             |m$i AS (SELECT b, max(vw) AS mw FROM v$i GROUP BY 1),
+             |wn$i AS (SELECT v.b, min(v.label) AS win FROM v$i v
+             |  JOIN m$i m ON m.b = v.b AND v.vw = m.mw GROUP BY 1),
+             |l$i AS (SELECT n.node, coalesce(sd.label, wn.win) AS label
+             |  FROM nodes2 n LEFT JOIN sd ON sd.node = n.node
+             |  LEFT JOIN wn$i wn ON wn.b = n.node)""".stripMargin
+           }.mkString(",\n")}
+        |SELECT node AS domain, label FROM l2 ORDER BY domain""".stripMargin)),
+
     // ---- frontier degree profile (LinkGraph.degreeProfile) over the same
     //      synthetic graph: distinct-neighbor degrees + occurrence weights.
     "q_web_degree_profile" -> Q(

@@ -167,6 +167,34 @@ class LinkGraphSpec extends SparkSpec {
     assert(got.values.forall { case (a, h) => a >= 0 && h >= 0 })
   }
 
+  test("label propagation: frontier radius, clamped seeds, weight votes, smallest-label ties") {
+    // chain a-b-c-d seeded at both ends; isolated pair e-f unreached
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("e", "f"),
+      // g sits between two single-weight labeled neighbors -> label tie;
+      // h gets a double-weight edge from d's side -> weight beats count
+      ("a", "g"), ("d", "g"), ("d", "h"), ("d", "h"), ("a", "h")
+    ).toDF("src", "dst")
+    val seeds = Seq(("a", "x"), ("d", "y")).toDF("node", "label")
+    def run(iters: Int) = LinkGraph.labelPropagation(edges, seeds, iters)
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val one = run(1)
+    // radius 1: b sees a, c sees d, g ties x/y -> smallest 'x',
+    // h: weight 2 from d beats 1 from a -> 'y'; e/f unlabeled
+    assert(one("b").contains("x") && one("c").contains("y"))
+    assert(one("g").contains("x"), "tie must break to the smallest label")
+    assert(one("h").contains("y"), "weight 2 must beat weight 1")
+    assert(one("e").isEmpty && one("f").isEmpty)
+    // seeds clamp under any pressure
+    assert(one("a").contains("x") && one("d").contains("y"))
+    val two = run(2)
+    // synchronous update: c now sees b(x,1) vs d(y,1) - a tie, so the
+    // deterministic smallest-label rule flips it to x (the documented
+    // LPA tie schedule; the oracle unrolls the identical rounds)
+    assert(two("b").contains("x") && two("c").contains("x"))
+    assert(two("h").contains("y"), "weighted vote stays stable")
+    assert(two("e").isEmpty && two("f").isEmpty, "disconnected stays null")
+  }
+
   test("HITS leaves no persistent RDDs behind (detached scope)") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
     LinkGraph.hits(edges, iters = 2).collect()
