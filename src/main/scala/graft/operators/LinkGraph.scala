@@ -186,30 +186,41 @@ object LinkGraph {
       .union(w.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
     // half-step: propagate `scores` across edges from `from` to `to`,
-    // L1-normalize, land on the full node universe
+    // L1-normalize, land on the full node universe. `raw` roots BOTH the
+    // norm total and the node join, so it is pinned for the step — without
+    // the pin the edge join+agg would run twice per half-step (measured
+    // ~2x the whole operator's cost at sf0.1). The norm total comes back
+    // as a 1-row driver scalar (bounded, like `n` above) rather than a
+    // broadcast-crossJoin branch: a second plan branch over `raw` doubles
+    // the captured plan tree per half-step, which compounds to an
+    // exponentially-sized plan string across iterations (AQE's plan-update
+    // explain OOMed the driver before any task ran)
     def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
       val raw = w.join(scores, w(from) === scores("node"))
         .groupBy(w(to).as("__to"))
         .agg(sum(round(col("score") * col("weight"), 9)
           .cast("decimal(38,9)")).as("__raw"))
-      val tot = raw.agg(sum("__raw").as("__tot"))
-      nodes.join(raw, nodes("node") === col("__to"), "left")
-        .crossJoin(broadcast(tot))
+        .persist()
+      // materializes the raw cache; exact decimal total, one double cast
+      val tot = raw.agg(sum("__raw")).head.getDecimal(0)
+      val next = scope.pin(nodes.join(raw, nodes("node") === col("__to"), "left")
         .select(col("node"),
           round(coalesce(col("__raw").cast("double"), lit(0.0)) /
-            col("__tot").cast("double"), 9).as("score"))
+            lit(tot).cast("double"), 9).as("score"))
+        .persist())
+      next.count() // materialize, then the step-local raw pin can go
+      raw.unpersist(blocking = false)
+      next
     }
     var hub = nodes.select(col("node"), round(lit(1.0) / n, 9).as("score"))
     var auth: DataFrame = null
     var prevA: Option[DataFrame] = None
     var prevH: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val nextA = scope.pin(halfStep(hub, "src", "dst").persist())
-      nextA.count()
+      val nextA = halfStep(hub, "src", "dst")
       prevA.foreach(_.unpersist(blocking = false))
       prevA = Some(nextA); auth = nextA
-      val nextH = scope.pin(halfStep(auth, "dst", "src").persist())
-      nextH.count()
+      val nextH = halfStep(auth, "dst", "src")
       prevH.foreach(_.unpersist(blocking = false))
       prevH = Some(nextH); hub = nextH
     }
