@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DocQueries, Q, RelationalQueries, WeatherQueries}
+import graft.queries.{ChatQueries, DocQueries, Q, RelationalQueries, WeatherQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     * heavy doc pipelines — the only family that builds real cache/GC
     * residue — run last, where they contaminate nobody but themselves. */
   val inventory: Seq[(String, Q)] =
-    RelationalQueries.all ++ WeatherQueries.all ++ DocQueries.all
+    RelationalQueries.all ++ WeatherQueries.all ++ DocQueries.all ++
+      ChatQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises scan → join → hash-agg → window-rank in one plan (A9+W4). */

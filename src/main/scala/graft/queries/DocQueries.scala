@@ -65,7 +65,7 @@ object DocQueries {
 
   // ---------- shared DuckDB SQL fragments (mirror the Spark expressions) ----
   /** tokens: lower, split on \s+, drop empties — mirrors TextFunctions.tokens. */
-  private val ToksSql =
+  private[queries] val ToksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
   /** Distinct word 3-shingles of `toks` — mirrors TextFunctions.shingles(3)
