@@ -148,6 +148,78 @@ object ChatQueries {
         |  min(conv_id) AS keeper_conv
         |FROM pk GROUP BY 1 ORDER BY prompt_h""".stripMargin)),
 
+    // ---- the SFT training layout end-to-end: validate -> render -> pack
+    //      valid conversations into token-budget bins (packBins layout,
+    //      8 shards, budget 256) -> re-offset every loss-mask span into its
+    //      PACKED sequence (bin text = renders joined by one newline, conv
+    //      order). What a masked-LM loader actually consumes: one row per
+    //      assistant turn with global [g_start, g_end) char offsets.
+    "q_chat_sft_pack" -> Q(
+      (s, d) => {
+        import graft.operators.Packing
+        import org.apache.spark.sql.expressions.Window
+        val turns = chatTurns(s, d)
+        val valid = Chat.validate(turns)
+          .filter(col("is_valid")).select("conv_id")
+        val rendered = Chat.render(turns).join(valid, Seq("conv_id"))
+        val packed = Packing.packBins(rendered, "conv_id",
+          TextFunctions.tokenCount(col("text")), budgetTokens = 256L,
+          shards = 8)
+        val wb = Window.partitionBy("shard", "bin").orderBy("conv_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = packed.withColumn("chars_before",
+          coalesce(sum(col("n_chars") + lit(1L)).over(wb), lit(0L)))
+        offsets.join(Chat.lossMaskSpans(turns), Seq("conv_id"))
+          .select(col("shard"), col("bin"), col("conv_id"), col("turn_idx"),
+            (col("chars_before") + col("start_char")).as("g_start"),
+            (col("chars_before") + col("end_char")).as("g_end"))
+          .orderBy("conv_id", "turn_idx")
+      },
+      Some(s"""WITH $RenderSql,
+        |nsys AS (SELECT conv_id, turn_idx, role,
+        |  lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+        |  FROM turns WHERE role <> 'system'),
+        |adj AS (SELECT conv_id,
+        |  sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS n_adjacent_same
+        |  FROM nsys GROUP BY 1),
+        |conv AS (SELECT conv_id, max_by(role, turn_idx) AS last_role,
+        |  sum(CASE WHEN length(trim(content)) = 0 THEN 1 ELSE 0 END) AS n_empty
+        |  FROM turns GROUP BY 1),
+        |valid AS (SELECT conv.conv_id FROM conv LEFT JOIN adj USING (conv_id)
+        |  WHERE coalesce(n_adjacent_same, 0) = 0 AND last_role = 'assistant'
+        |    AND n_empty = 0),
+        |rv AS (SELECT r.conv_id, r.text,
+        |  CAST(length(r.text) AS BIGINT) AS n_chars,
+        |  CAST(len(list_filter(string_split_regex(lower(r.text), '\\s+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  ${DocQueries.fp60Sql("CAST(r.conv_id AS VARCHAR)")} % 8 AS shard
+        |  FROM r JOIN valid USING (conv_id)),
+        |pk AS (SELECT conv_id, n_chars, shard,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY conv_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |  FROM rv),
+        |po AS (SELECT conv_id, shard,
+        |  CAST(floor(tokens_before / 256.0) AS BIGINT) AS bin, n_chars FROM pk),
+        |off AS (SELECT conv_id, shard, bin,
+        |  CAST(coalesce(sum(n_chars + 1) OVER (PARTITION BY shard, bin
+        |    ORDER BY conv_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  0) AS BIGINT) AS chars_before FROM po),
+        |seg AS (SELECT conv_id, turn_idx, role, content,
+        |  CAST(length(role) + 5 + length(content) AS BIGINT) AS seg_len
+        |  FROM turns),
+        |cum AS (SELECT *, coalesce(sum(seg_len) OVER (PARTITION BY conv_id
+        |    ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  0) + turn_idx AS st FROM seg),
+        |sp AS (SELECT conv_id, turn_idx,
+        |  CAST(st + length(role) + 5 AS BIGINT) AS start_char,
+        |  CAST(st + length(role) + 5 + length(content) AS BIGINT) AS end_char
+        |  FROM cum WHERE role = 'assistant')
+        |SELECT off.shard, off.bin, off.conv_id, sp.turn_idx,
+        |  chars_before + start_char AS g_start,
+        |  chars_before + end_char AS g_end
+        |FROM off JOIN sp USING (conv_id)
+        |ORDER BY conv_id, turn_idx""".stripMargin)),
+
     // ---- transcript-exact dedup over the rendered corpus
     "q_chat_dedup_transcripts" -> Q(
       (s, d) => Chat.dedupTranscripts(Chat.render(chatTurns(s, d)))

@@ -381,7 +381,7 @@ object DocQueries {
   /** 60-bit big-endian fingerprint (first 15 md5 nibbles) of any SQL string
     * expression — mirrors Dedup.tokenFp60 / Sampling.hashBucket. Largest
     * term 15*16^14 < 2^60: exact in BIGINT. */
-  private def fp60Sql(e: String): String =
+  private[queries] def fp60Sql(e: String): String =
     (1 to 15).map { j =>
       s"(instr('0123456789abcdef', substr(md5($e), $j, 1)) - 1) * ${1L << (4 * (15 - j))}"
     }.mkString("(", " + ", ")")

@@ -101,6 +101,43 @@ class ChatSpec extends SparkSpec {
     assert(d(0L) && d(2L) && d(3L) && d(4L) && d(5L))
   }
 
+  test("packed loss-mask spans cut exact content from the materialized bins") {
+    import graft.operators.Packing
+    import graft.functions.TextFunctions
+    import graft.queries.ChatQueries
+    val turns = ChatQueries.chatTurns(spark, "/root/testdata/sf0.001")
+    val valid = Chat.validate(turns).filter($"is_valid").select("conv_id")
+    val rendered = Chat.render(turns).join(valid, Seq("conv_id"))
+    val packed = Packing.packBins(rendered, "conv_id",
+      TextFunctions.tokenCount($"text"), budgetTokens = 256L, shards = 8)
+    // materialize each bin exactly as the gate's layout contract says:
+    // renders joined by one newline in conv_id order
+    val bins = packed.groupBy("shard", "bin")
+      .agg(concat_ws("\n", transform(
+        array_sort(collect_list(struct($"conv_id", $"text"))),
+        x => x.getField("text"))).as("bin_text"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "bin").orderBy("conv_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = packed.withColumn("chars_before",
+      coalesce(sum($"n_chars" + lit(1L)).over(wb), lit(0L)))
+    val global = offsets.join(Chat.lossMaskSpans(turns), Seq("conv_id"))
+      .select($"shard", $"bin", $"conv_id", $"turn_idx",
+        ($"chars_before" + $"start_char").as("g_start"),
+        ($"chars_before" + $"end_char").as("g_end"))
+    val rows = global.join(bins, Seq("shard", "bin"))
+      .join(turns.select($"conv_id", $"turn_idx", $"content"),
+        Seq("conv_id", "turn_idx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[String]("bin_text")
+      assert(t.substring(r.getAs[Long]("g_start").toInt,
+        r.getAs[Long]("g_end").toInt) == r.getAs[String]("content"),
+        s"conv ${r.getAs[Long]("conv_id")} turn ${r.getAs[Int]("turn_idx")}")
+    }
+  }
+
   test("synthesized turns: roles alternate, injections land where documented") {
     val turns = graft.queries.ChatQueries.chatTurns(
       spark, "/root/testdata/sf0.001")
