@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ChatQueries, DocQueries, Q, RelationalQueries, WeatherQueries}
+import graft.queries.{ChatQueries, DocQueries, PreferenceQueries, Q, RelationalQueries, WeatherQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
     * residue — run last, where they contaminate nobody but themselves. */
   val inventory: Seq[(String, Q)] =
     RelationalQueries.all ++ WeatherQueries.all ++ DocQueries.all ++
-      ChatQueries.all
+      ChatQueries.all ++ PreferenceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises scan → join → hash-agg → window-rank in one plan (A9+W4). */

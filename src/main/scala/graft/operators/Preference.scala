@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheScope
+
+/** Preference-data construction and fitting — the RLHF/DPO half of a
+  * training-data pipeline: turn scored candidate completions into
+  * chosen/rejected pairs, and fit Bradley–Terry strengths over the pairwise
+  * outcomes (the standard "which source/model wins head-to-head" ranking).
+  *
+  * Scale shape: [[preferencePairs]] is one window over the prompt key
+  * (candidate sets are small per prompt — skew-free by construction);
+  * [[bradleyTerry]] is `iters` rounds of join + partial-agg over the
+  * (item, item) comparison matrix, whose size is items², not corpus-sized —
+  * the corpus-scaled work is the single pass that built the comparisons.
+  */
+object Preference {
+
+  /** Chosen/rejected pairs per prompt: the top-scored candidate (ties to
+    * the smallest id — deterministic on any engine) is chosen against every
+    * other candidate whose margin `chosen_score - score >= minMargin`.
+    * Output: (promptCol, chosen_id, rejected_id, margin) plus any `carry`
+    * columns taken from the REJECTED row (e.g. its source/model label).
+    * One window, no self-pairs, prompts with a single candidate drop out. */
+  def preferencePairs(cands: DataFrame, promptCol: String, idCol: String,
+                      scoreCol: String, minMargin: Double = 0.0,
+                      carry: Seq[String] = Nil,
+                      carryChosen: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(promptCol)
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val carryCols = carry.map(c => col(c))
+    val chosenCols = carryChosen.map(c => col(s"chosen_$c"))
+    val withChosen = carryChosen.foldLeft(
+      cands
+        .withColumn("__chosen_id", first(col(idCol)).over(w))
+        .withColumn("__chosen_score", first(col(scoreCol)).over(w))) {
+      (df, c) => df.withColumn(s"chosen_$c", first(col(c)).over(w))
+    }
+    withChosen
+      .filter(col(idCol) =!= col("__chosen_id"))
+      .withColumn("margin", col("__chosen_score") - col(scoreCol))
+      .filter(col("margin") >= minMargin)
+      .select(Seq(col(promptCol), col("__chosen_id").as("chosen_id"),
+        col(idCol).as("rejected_id"), col("margin")) ++
+        carryCols ++ chosenCols: _*)
+  }
+
+  /** Bradley–Terry strength fit over (winner, loser) comparison rows via
+    * the classic MM update,
+    *
+    *   pi_i <- W_i / sum_j n_ij / (pi_i + pi_j),   normalized to sum 1,
+    *
+    * run for a FIXED `iters` with the engine's reproducibility discipline:
+    * every division rounded to 9 decimals, every sum an exact
+    * DECIMAL(38,9) fold, the normalizer a driver scalar (items-bounded,
+    * like the HITS/PageRank norms) — so any SQL engine unrolling the same
+    * iterations hashes bit-identically.
+    *
+    * `alpha` adds Laplace pseudo-counts to BOTH directions of every
+    * observed pair (w'_ij = w_ij + alpha), keeping every met item's
+    * strength positive even with a lopsided win matrix — without it a
+    * never-winning item hits 0 and poisons later denominators.
+    * Self-comparisons (winner == loser) are dropped. Output: (item,
+    * strength), uniform start 1/|items|. */
+  def bradleyTerry(comparisons: DataFrame, winnerCol: String, loserCol: String,
+                   iters: Int = 3, alpha: Double = 1.0,
+                   scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val sym = comparisons
+      .filter(col(winnerCol) =!= col(loserCol))
+      .select(col(winnerCol).as("i"), col(loserCol).as("j"))
+    // n_ij (total meetings, symmetric): each ordered (i, j) counts wins in
+    // both roles; + 2*alpha smoothing
+    val nm = scope.pin(sym.union(sym.select(col("j").as("i"), col("i").as("j")))
+      .groupBy("i", "j")
+      .agg((count(lit(1)).cast("double") + lit(2.0 * alpha)).as("n"))
+      .persist())
+    nm.count()
+    // W_i = observed wins + alpha per distinct opponent met
+    val wins = sym.groupBy("i").agg(count(lit(1)).cast("double").as("__w"))
+    val deg = nm.groupBy("i").agg(count(lit(1)).cast("double").as("__deg"))
+    val W = scope.pin(deg.join(wins, Seq("i"), "left")
+      .select(col("i"),
+        (coalesce(col("__w"), lit(0.0)) + lit(alpha) * col("__deg")).as("W"))
+      .persist())
+    val nItems = W.count()
+    var pi = W.select(col("i"), round(lit(1.0) / nItems, 9).as("s"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val terms = nm
+        .join(pi.select(col("i").as("__ii"), col("s").as("__si")),
+          nm("i") === col("__ii"))
+        .join(pi.select(col("i").as("__jj"), col("s").as("__sj")),
+          nm("j") === col("__jj"))
+        .select(nm("i").as("i"),
+          round(col("n") / (col("__si") + col("__sj")), 9)
+            .cast("decimal(38,9)").as("t"))
+      val denom = terms.groupBy("i").agg(sum("t").as("den"))
+      val raw = scope.pin(W.join(denom, Seq("i"))
+        .select(col("i"), round(col("W") / col("den").cast("double"), 9).as("r"))
+        .persist())
+      // items-bounded driver scalar (the HITS-fix pattern: a second plan
+      // branch per iteration compounds the captured plan exponentially)
+      val tot = raw.agg(sum(col("r").cast("decimal(38,9)"))).head.getDecimal(0)
+      val next = scope.pin(raw
+        .select(col("i"), round(col("r") / lit(tot).cast("double"), 9).as("s"))
+        .persist())
+      next.count()
+      raw.unpersist(blocking = false)
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(next); pi = next
+    }
+    pi.select(col("i").as("item"), col("s").as("strength"))
+  }
+}

@@ -196,7 +196,7 @@ object DocQueries {
     * langId over `from` (must expose doc_id, text, source):
     * scored(doc_id, text, source, n_toks, quality, lang). One definition
     * for every oracle that gates on quality/language. */
-  private def qualityLangCtes(from: String): String = {
+  private[queries] def qualityLangCtes(from: String): String = {
     val langNames = TextFunctions.LangMarkers.map(_._1)
     val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
       s"len(list_filter(toks, x -> x IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS h_$lang"

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Parallelism, Tables}
+import graft.functions.TextFunctions
+import graft.operators.Preference
+
+/** Preference-data gates over [[graft.operators.Preference]].
+  *
+  * Candidate sets are synthesized deterministically from `documents`:
+  * prompt key `doc_id % 50` groups the corpus into 50 prompts with the
+  * corpus-size-scaled candidate count per prompt, scored by the engine's
+  * quality heuristic. [[Preference.preferencePairs]] turns each prompt's
+  * top candidate into chosen/rejected rows; the pairs' (chosen source,
+  * rejected source) outcomes feed the Bradley–Terry fit — "which source
+  * wins head-to-head quality comparisons", the pairwise-rank view of the
+  * corpus the per-source mean can't give (BT weighs who you beat, not how
+  * often you win).
+  */
+object PreferenceQueries {
+
+  private val NPrompts = 50
+  private val MinMargin = 0.05
+  private val BtIters = 3
+  private val BtAlpha = 1.0
+
+  private def docsP(s: SparkSession, d: String): DataFrame =
+    Parallelism.fanOut(Tables.documents(s, d))
+
+  /** Candidates scored by type-token ratio (lexical diversity): the
+    * continuous score a preference margin needs — the corpus's rule-based
+    * quality score steps in 0.2 increments and is nearly constant across
+    * documents, which would leave the pair space empty. */
+  private def candidates(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    docsP(s, d).select(
+      (col("doc_id") % NPrompts).as("prompt"),
+      col("doc_id").as("cand_id"),
+      col("source"),
+      when(size(toks) > 0,
+        size(array_distinct(toks)).cast("double") / size(toks))
+        .otherwise(lit(0.0)).as("quality"))
+  }
+
+  /** Candidate CTE (ends in `cand`), mirroring [[candidates]]. */
+  private lazy val CandSql =
+    s"""tq AS (SELECT doc_id, source, ${DocQueries.ToksSql} AS toks
+       |  FROM documents),
+       |cand AS (SELECT doc_id % $NPrompts AS prompt, doc_id AS cand_id,
+       |  source,
+       |  CASE WHEN len(toks) > 0
+       |    THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS quality
+       |  FROM tq)""".stripMargin
+
+  /** Chosen/rejected pair CTE (ends in `pairs`), mirroring
+    * [[Preference.preferencePairs]] incl. the (score DESC, id ASC)
+    * deterministic tie-break. */
+  private lazy val PairsSql =
+    s"""$CandSql,
+       |pr AS (SELECT prompt, cand_id, source, quality,
+       |  first_value(cand_id) OVER wx AS chosen_id,
+       |  first_value(quality) OVER wx AS chosen_q,
+       |  first_value(source) OVER wx AS chosen_source
+       |  FROM cand
+       |  WINDOW wx AS (PARTITION BY prompt ORDER BY quality DESC, cand_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |pairs AS (SELECT prompt, chosen_id, cand_id AS rejected_id,
+       |  chosen_q - quality AS margin, source, chosen_source
+       |  FROM pr WHERE cand_id <> chosen_id
+       |    AND chosen_q - quality >= CAST($MinMargin AS DOUBLE))""".stripMargin
+
+  /** Unrolled Bradley–Terry MM iterations over a `pairs` CTE exposing
+    * (chosen_source, source) outcomes — mirrors [[Preference.bradleyTerry]]
+    * arithmetic exactly (9-decimal rounds, DECIMAL(38,9) folds). */
+  private def btCtes(iters: Int, alpha: Double): String = {
+    def iter(k: Int): String =
+      s"""t$k AS (SELECT nm.i,
+         |  sum(CAST(round(nm.n / (bi.s + bj.s), 9) AS DECIMAL(38,9))) AS den
+         |  FROM nm JOIN b${k - 1} bi ON bi.i = nm.i
+         |    JOIN b${k - 1} bj ON bj.i = nm.j GROUP BY 1),
+         |r$k AS (SELECT wt.i, round(wt.W / CAST(den AS DOUBLE), 9) AS r
+         |  FROM wt JOIN t$k ON t$k.i = wt.i),
+         |s$k AS (SELECT sum(CAST(r AS DECIMAL(38,9))) AS tot FROM r$k),
+         |b$k AS (SELECT i, round(r / CAST(tot AS DOUBLE), 9) AS s
+         |  FROM r$k CROSS JOIN s$k)""".stripMargin
+    s"""sym AS (SELECT chosen_source AS i, source AS j FROM pairs
+       |  WHERE chosen_source <> source),
+       |nm AS (SELECT i, j,
+       |  CAST(count(*) AS DOUBLE) + CAST(${2.0 * alpha} AS DOUBLE) AS n
+       |  FROM (SELECT i, j FROM sym UNION ALL SELECT j AS i, i AS j FROM sym)
+       |  GROUP BY 1, 2),
+       |wv AS (SELECT i, CAST(count(*) AS DOUBLE) AS w_obs FROM sym GROUP BY 1),
+       |dg AS (SELECT i, CAST(count(*) AS DOUBLE) AS deg FROM nm GROUP BY 1),
+       |wt AS (SELECT dg.i,
+       |  coalesce(w_obs, CAST(0.0 AS DOUBLE)) + CAST($alpha AS DOUBLE) * deg AS W
+       |  FROM dg LEFT JOIN wv ON wv.i = dg.i),
+       |ni AS (SELECT count(*) AS n_items FROM wt),
+       |b0 AS (SELECT i, round(CAST(1.0 AS DOUBLE) / n_items, 9) AS s
+       |  FROM wt CROSS JOIN ni),
+       |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---- chosen/rejected preference pairs: top candidate per prompt vs
+    //      every candidate at least MinMargin below it
+    "q_pref_pairs" -> Q(
+      (s, d) => Preference.preferencePairs(candidates(s, d),
+          "prompt", "cand_id", "quality", minMargin = MinMargin,
+          carry = Seq("source"), carryChosen = Seq("source"))
+        .orderBy("prompt", "rejected_id"),
+      Some(s"""WITH $PairsSql
+        |SELECT prompt, chosen_id, rejected_id, margin, source, chosen_source
+        |FROM pairs ORDER BY prompt, rejected_id""".stripMargin)),
+
+    // ---- Bradley–Terry source strengths over the pair outcomes
+    "q_pref_bradley_terry" -> Q(
+      (s, d) => {
+        val pairs = Preference.preferencePairs(candidates(s, d),
+          "prompt", "cand_id", "quality", minMargin = MinMargin,
+          carry = Seq("source"), carryChosen = Seq("source"))
+        Preference.bradleyTerry(pairs, "chosen_source", "source",
+            iters = BtIters, alpha = BtAlpha)
+          .orderBy("item")
+      },
+      Some(s"""WITH $PairsSql,
+        |${btCtes(BtIters, BtAlpha)}
+        |SELECT i AS item, s AS strength FROM b$BtIters ORDER BY item""".stripMargin))
+  )
+}
