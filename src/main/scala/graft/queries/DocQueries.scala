@@ -6509,6 +6509,34 @@ object DocQueries {
 
     // ---- frontier degree profile (LinkGraph.degreeProfile) over the same
     //      synthetic graph: distinct-neighbor degrees + occurrence weights.
+    // ---- per-node triangle count + local clustering coefficient: the
+    //      community-vs-link-farm signal beside degree (a spam hub has huge
+    //      degree and near-zero clustering). Engine side runs the
+    //      degree-ordered node-iterator (wedges only at each triangle's
+    //      lowest-degree apex — O(sqrt|E|)-bounded out-degrees); the oracle
+    //      enumerates ordered triangles directly, which is equivalent on
+    //      the simple undirected graph.
+    "q_web_triangles" -> Q(
+      (s, d) => graft.operators.LinkGraph.triangles(
+          synthDomainEdges(docsP(s, d))).orderBy("domain"),
+      Some(s"""WITH $SynthEdgesSql,
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM w WHERE src <> dst),
+        |dg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree FROM
+        |  (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM
+        |  (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT dg.n AS domain, degree, coalesce(t, 0) AS n_triangles,
+        |  CASE WHEN degree > 1
+        |    THEN (CAST(2.0 AS DOUBLE) * coalesce(t, 0))
+        |      / CAST(degree * (degree - 1) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS clustering
+        |FROM dg LEFT JOIN pn ON pn.n = dg.n ORDER BY domain""".stripMargin)),
+
     "q_web_degree_profile" -> Q(
       (s, d) => graft.operators.LinkGraph.degreeProfile(
           synthDomainEdges(docsP(s, d))).orderBy("domain"),

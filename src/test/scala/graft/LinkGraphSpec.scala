@@ -195,6 +195,57 @@ class LinkGraphSpec extends SparkSpec {
     assert(two("e").isEmpty && two("f").isEmpty, "disconnected stays null")
   }
 
+  test("triangles: K4 fully clustered, star at zero, mixed graph exact") {
+    // K4: every node degree 3, 3 triangles each, clustering 1.0
+    val k4 = (for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b
+    } yield (a, b)).toDF("src", "dst")
+    val t4 = LinkGraph.triangles(k4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(t4.size == 4)
+    t4.values.foreach { case (deg, t, c) =>
+      assert(deg == 3L && t == 3L && c == 1.0)
+    }
+    // star: hub degree n, zero triangles, zero clustering everywhere
+    val star = (1 to 6).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    LinkGraph.triangles(star).collect().foreach { r =>
+      assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+    }
+    // mixed: triangle a-b-c plus pendant d on a; direction, multi-edges
+    // and self-loops must not change the simple-graph answer
+    val mixed = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+      ("a", "d"), ("a", "a")).toDF("src", "dst")
+    val tm = LinkGraph.triangles(mixed).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(tm("a") == ((3L, 1L, 1.0 * 2 / 6)))
+    assert(tm("b") == ((2L, 1L, 1.0)))
+    assert(tm("c") == ((2L, 1L, 1.0)))
+    assert(tm("d") == ((1L, 0L, 0.0)))
+  }
+
+  test("triangles: degree-ordered enumeration matches the naive count") {
+    // circulant graph (i, i+1) + (i, i+2) mod 23 — every i closes the
+    // triangle {i, i+1, i+2} — plus deterministic chord noise
+    val edges = ((0 until 23).flatMap { i =>
+      Seq((s"n$i", s"n${(i + 1) % 23}"), (s"n$i", s"n${(i + 2) % 23}"))
+    } ++ (0 until 40).map { k =>
+      (s"n${(k * 7 + 1) % 23}", s"n${(k * 11 + 5) % 23}")
+    }).toDF("src", "dst")
+    val got = LinkGraph.triangles(edges)
+      .agg(sum($"n_triangles")).head.getLong(0)
+    // naive: distinct ordered a<b<c closures, each triangle counted once,
+    // times 3 for the per-node sum
+    val und = edges.filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+      .distinct()
+    val naive = und.as("e1")
+      .join(und.as("e2"), col("e2.a") === col("e1.b"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"), "left_semi")
+      .count() * 3
+    assert(got == naive && got > 0)
+  }
+
   test("HITS leaves no persistent RDDs behind (detached scope)") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
     LinkGraph.hits(edges, iters = 2).collect()
