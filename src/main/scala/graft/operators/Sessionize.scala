@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,5 +105,38 @@ object Sessionize {
         when(prev.isNotNull && prev > 0, n.cast("double") / prev.cast("double"))
           .as("conversion_from_prev"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Weekly retention-cohort matrix — the classic product-analytics
+    * triangle. A user's cohort is the Monday-truncated week of their FIRST
+    * event matching `cohortWhen`; they count as retained at `week_age` k if
+    * any event matching `activeWhen` falls in cohort_week + k weeks.
+    * Output: (cohort_week, week_age, n_active, cohort_size, retention),
+    * with age 0 = the cohort week itself; pre-cohort activity is dropped.
+    *
+    * Scale shape: one partial-agg for cohorts (min per user), one distinct
+    * on (user, week) for activity — both shuffles on the user key — then a
+    * cells-sized matrix agg. Distinct-before-join keeps the join input
+    * |users × weeks|-bounded, not event-bounded. */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+                       cohortWhen: Column, activeWhen: Column): DataFrame = {
+    val week = trunc(to_date(col(tsCol)), "week")
+    val cohorts = events.filter(cohortWhen)
+      .groupBy(col(userCol)).agg(min(week).as("__cw"))
+    val active = events.filter(activeWhen)
+      .select(col(userCol), week.as("__aw")).distinct()
+    val sizes = cohorts.groupBy(col("__cw").as("cohort_week"))
+      .agg(count(lit(1)).cast("long").as("cohort_size"))
+    val mat = active.join(cohorts, Seq(userCol))
+      .withColumn("week_age",
+        (datediff(col("__aw"), col("__cw")) / 7).cast("int"))
+      .filter(col("week_age") >= 0)
+      .groupBy(col("__cw").as("cohort_week"), col("week_age"))
+      .agg(count(lit(1)).cast("long").as("n_active"))
+    mat.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_age"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
   }
 }

@@ -503,6 +503,32 @@ object RelationalQueries {
         | count(*) AS n, ${ExactAgg.sumSql("value")} AS value_sum
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // ---- Weekly retention-cohort triangle: cohort = Monday week of a
+    //      user's first purchase, retained at age k if they purchased in
+    //      cohort_week + k. Distinct-before-join keeps the join
+    //      |users x weeks|-bounded, not event-bounded.
+    "q_t_retention_cohorts" -> Q(
+      (s, d) => Sessionize.retentionCohorts(Tables.events(s, d),
+          "user_id", "ts",
+          col("event_type") === "purchase", col("event_type") === "purchase")
+        .orderBy("cohort_week", "week_age"),
+      Some("""WITH c AS (SELECT user_id,
+        |  min(CAST(date_trunc('week', ts) AS DATE)) AS cw
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw
+        | FROM events WHERE event_type = 'purchase'),
+        |sz AS (SELECT cw AS cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+        | FROM c GROUP BY 1),
+        |m AS (SELECT cw AS cohort_week,
+        |  CAST(date_diff('day', cw, aw) // 7 AS INT) AS week_age,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        | FROM a JOIN c USING (user_id)
+        | WHERE date_diff('day', cw, aw) >= 0 GROUP BY 1, 2)
+        |SELECT m.cohort_week, week_age, n_active, cohort_size,
+        | CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+        |FROM m JOIN sz ON sz.cohort_week = m.cohort_week
+        |ORDER BY m.cohort_week, week_age""".stripMargin)),
+
     // ---- Sessionization (gap 30 min) — batch twin of the streaming
     //      mapGroupsWithState operator.
     "q_t_sessionize" -> Q(

@@ -1530,6 +1530,35 @@ class OperatorsSpec extends SparkSpec {
     assert(report(0).isNullAt(report(0).fieldIndex("conversion_from_prev")))
   }
 
+  test("retention cohorts: weekly triangle, pre-cohort activity dropped") {
+    import graft.operators.Sessionize
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday. u1 cohort wk0, active wk0+wk2; u2 cohort wk0,
+    // active wk0 only (plus PRE-cohort signup that must not count);
+    // u3 cohort wk1, active wk1+wk2; non-matching event types are ignored.
+    val events = Seq(
+      (1L, ts("2024-01-02 10:00:00"), "purchase"),
+      (1L, ts("2024-01-16 10:00:00"), "purchase"),
+      (2L, ts("2023-12-25 10:00:00"), "signup"),
+      (2L, ts("2024-01-03 10:00:00"), "purchase"),
+      (2L, ts("2024-01-04 10:00:00"), "purchase"), // same week, one hit
+      (3L, ts("2024-01-10 10:00:00"), "purchase"),
+      (3L, ts("2024-01-17 10:00:00"), "purchase"),
+      (3L, ts("2024-01-18 10:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Sessionize.retentionCohorts(events, "user_id", "ts",
+        $"event_type" === "purchase", $"event_type" === "purchase")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 2) -> ((1L, 2L, 0.5)),
+      ("2024-01-08", 0) -> ((1L, 1L, 1.0)),
+      ("2024-01-08", 1) -> ((1L, 1L, 1.0))))
+  }
+
   test("lshRecallReport: exact-dup truth recovered at every config; cost counted") {
     import graft.operators.Dedup
     import spark.implicits._
