@@ -722,6 +722,42 @@ object RelationalQueries {
         |JOIN lineitem ON l_shipdate >= w_start AND l_shipdate <= w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Geo nearest-neighbor join: every customer point matched to its
+    //      3 closest nation "stations" by haversine. Broadcast dimension +
+    //      map-side-combining per-point top-k (state bounded by
+    //      |stations|); distances rounded to mm BEFORE ranking with a name
+    //      tie-break, so libm ulp differences between engines cannot flip
+    //      a near-tie.
+    "q_j_geo_nearest" -> Q(
+      (s, d) => {
+        val pts = Tables.customer(s, d).select(col("c_custkey").as("id"),
+          (lit(-10.0) + (col("c_custkey") % 40) * 0.5).as("lat"),
+          (lit(93.0) + (col("c_custkey") % 30) * 0.9).as("lon"))
+        val st = GeocodeSource.fromNations(Tables.nation(s, d))
+          .select(col("name"), col("lat"), col("lon"))
+        graft.operators.GeoJoin.nearestK(pts, "id", st, k = 3)
+          .orderBy("id", "rank")
+      },
+      Some("""WITH pt AS (SELECT c_custkey AS id,
+        |  CAST(-10.0 AS DOUBLE) + (c_custkey % 40) * CAST(0.5 AS DOUBLE) AS lat,
+        |  CAST(93.0 AS DOUBLE) + (c_custkey % 30) * CAST(0.9 AS DOUBLE) AS lon
+        | FROM customer),
+        |st AS (SELECT n_name AS st_name,
+        |  CAST(-8.0 AS DOUBLE) + n_nationkey * CAST(0.7 AS DOUBLE) AS st_lat,
+        |  CAST(95.0 AS DOUBLE) + n_nationkey * CAST(1.3 AS DOUBLE) AS st_lon
+        | FROM nation),
+        |dd AS (SELECT id,  st_name,
+        |  round(CAST(2.0 AS DOUBLE) * CAST(6371.0 AS DOUBLE) * asin(sqrt(
+        |    sin(radians(st_lat - lat) / 2) * sin(radians(st_lat - lat) / 2)
+        |    + cos(radians(lat)) * cos(radians(st_lat))
+        |      * (sin(radians(st_lon - lon) / 2) * sin(radians(st_lon - lon) / 2))
+        |  )), 6) AS dist_km
+        | FROM pt CROSS JOIN st),
+        |rk AS (SELECT id, st_name, dist_km, CAST(row_number() OVER
+        |  (PARTITION BY id ORDER BY dist_km, st_name) AS INT) AS rank FROM dd)
+        |SELECT id, rank, st_name AS station, dist_km FROM rk
+        |WHERE rank <= 3 ORDER BY id, rank""".stripMargin)),
+
     // ---- Histogram/binning: fixed-width price buckets. The bucket formula
     //      is a plain floor-division (identical double arithmetic on both
     //      engines) rather than width_bucket, whose internal arithmetic

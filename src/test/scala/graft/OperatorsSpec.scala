@@ -1530,6 +1530,29 @@ class OperatorsSpec extends SparkSpec {
     assert(report(0).isNullAt(report(0).fieldIndex("conversion_from_prev")))
   }
 
+  test("geo nearestK: known distances, deterministic tie-break, k clamp") {
+    import graft.operators.GeoJoin
+    import spark.implicits._
+    val pts = Seq((1L, 0.0, 0.0), (2L, 10.0, 10.0)).toDF("id", "lat", "lon")
+    // b and c are symmetric about point 1 -> identical distance, name breaks
+    val st = Seq(("a", 0.0, 1.0), ("b", 1.0, 0.0), ("c", -1.0, 0.0))
+      .toDF("name", "lat", "lon")
+    val out = GeoJoin.nearestK(pts, "id", st, k = 2)
+      .orderBy("id", "rank").collect()
+    val p1 = out.filter(_.getLong(0) == 1L)
+    // one degree of latitude = pi/180 * 6371 km = 111.194927 km; a sits
+    // one degree of longitude away ON the equator - same arc
+    assert(p1(0).getAs[String]("station") == "a")
+    assert(math.abs(p1(0).getAs[Double]("dist_km") - 111.194927) < 1e-6)
+    assert(p1(1).getAs[String]("station") == "b",
+      "equal distances must tie-break on name")
+    assert(p1(0).getAs[Double]("dist_km") == p1(1).getAs[Double]("dist_km"))
+    // k larger than the dimension yields all stations, ranked
+    val all = GeoJoin.nearestK(pts, "id", st, k = 10)
+      .filter($"id" === 2L).collect()
+    assert(all.length == 3 && all.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("retention cohorts: weekly triangle, pre-cohort activity dropped") {
     import graft.operators.Sessionize
     import spark.implicits._
