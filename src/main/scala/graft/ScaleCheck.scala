@@ -45,6 +45,7 @@ object ScaleCheck {
     replicate("lineitem", Seq("l_orderkey"), 10)
     replicate("orders", Seq("o_orderkey"), 10)
     replicate("embeddings", Seq("vec_id"), 10)
+    replicate("events", Seq("event_id"), 10)
     println("SCALE replicated 10x into " + out)
 
     val shingleSet =
@@ -913,6 +914,96 @@ object ScaleCheck {
           (col("doc_id") % 3 === 0).as("y"))
         graft.operators.ClassifierEval.binaryMetricsBy(
           docs, "source", col("v"), col("y"))
+      },
+
+      // ---- round-14 second batch ----
+      // SFT chain: synthesize turns, validate, render, re-offset mask spans
+      // into packed bins — conv_id-keyed shuffles with conversation-bounded
+      // state throughout
+      "chat_sft" -> { d =>
+        import graft.operators.{Chat, Packing}
+        val sys = col("conv_id") % 5 === 0
+        val turns = Tables.documents(spark, d)
+          .select(col("doc_id").as("conv_id"),
+            TextFunctions.tokens(col("text")).as("toks"))
+          .withColumn("n_turns", least(lit(6), greatest(lit(1),
+            floor((size(col("toks")) + lit(11)) / lit(12)).cast("int"))))
+          .select(col("conv_id"), col("n_turns"), col("toks"),
+            explode(sequence(lit(0), col("n_turns") - 1)).as("turn_idx"))
+          .withColumn("role",
+            when(sys && col("turn_idx") === 0, lit("system"))
+              .when(((col("turn_idx") - when(sys, 1).otherwise(0)) % 2) === 0,
+                lit("user"))
+              .otherwise(lit("assistant")))
+          .withColumn("content",
+            array_join(slice(col("toks"), col("turn_idx") * 12 + 1, lit(12)), " "))
+          .select("conv_id", "turn_idx", "role", "content")
+        val valid = Chat.validate(turns).filter(col("is_valid")).select("conv_id")
+        val rendered = Chat.render(turns).join(valid, Seq("conv_id"))
+        val packed = Packing.packBins(rendered, "conv_id",
+          TextFunctions.tokenCount(col("text")), budgetTokens = 256L, shards = 64)
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard", "bin").orderBy("conv_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        packed.withColumn("chars_before",
+            coalesce(sum(col("n_chars") + lit(1L)).over(wb), lit(0L)))
+          .join(Chat.lossMaskSpans(turns), Seq("conv_id"))
+          .select(col("shard"), col("bin"), col("conv_id"), col("turn_idx"),
+            (col("chars_before") + col("start_char")).as("g_start"),
+            (col("chars_before") + col("end_char")).as("g_end"))
+      },
+
+      // preference pairs + Bradley-Terry: one corpus window for pairs, then
+      // iterations over the items^2-bounded comparison matrix
+      "bradley_terry" -> { d =>
+        import graft.operators.Preference
+        val toks = TextFunctions.tokens(col("text"))
+        val cands = Tables.documents(spark, d).select(
+          (col("doc_id") % 50).as("prompt"), col("doc_id").as("cand_id"),
+          col("source"),
+          when(size(toks) > 0,
+            size(array_distinct(toks)).cast("double") / size(toks))
+            .otherwise(lit(0.0)).as("q"))
+        val pairs = Preference.preferencePairs(cands, "prompt", "cand_id",
+          "q", minMargin = 0.05, carry = Seq("source"),
+          carryChosen = Seq("source"))
+        Preference.bradleyTerry(pairs, "chosen_source", "source",
+          iters = 3, alpha = 1.0)
+      },
+
+      // degree-ordered triangles on the hub-shaped graph (nodes AND edges
+      // scale with the corpus): distinct + degree agg + oriented wedge join
+      "triangles" -> { d =>
+        val ids = Tables.documents(spark, d).select(col("doc_id"))
+        val edges = ids.select(
+          concat(lit("n"), col("doc_id").cast("string")).as("src"),
+          explode(array(
+            concat(lit("n"), (col("doc_id") - pmod(col("doc_id"), lit(13)))
+              .cast("string")),
+            concat(lit("n"), (col("doc_id") - pmod(col("doc_id"), lit(97)))
+              .cast("string")),
+            concat(lit("n"), (col("doc_id") - pmod(col("doc_id"), lit(5)))
+              .cast("string")))).as("dst"))
+        graft.operators.LinkGraph.triangles(edges)
+      },
+
+      // weekly retention cohorts over the replicated event log: two
+      // user-keyed partial aggs + a cells-sized matrix join
+      "retention" -> (d => graft.operators.Sessionize.retentionCohorts(
+        Tables.events(spark, d), "user_id", "ts",
+        col("event_type") === "purchase", col("event_type") === "purchase")),
+
+      // geo nearest-k: broadcast station dim + map-side-combining top-k;
+      // points scale with the corpus, stations fixed
+      "geo_nearest" -> { d =>
+        val pts = Tables.documents(spark, d).select(col("doc_id").as("id"),
+          (lit(-10.0) + (col("doc_id") % 40) * 0.5).as("lat"),
+          (lit(93.0) + (col("doc_id") % 30) * 0.9).as("lon"))
+        val st = spark.range(50).select(
+          concat(lit("st"), col("id")).as("name"),
+          (lit(-8.0) + col("id") * 0.7).as("lat"),
+          (lit(95.0) + col("id") * 1.3).as("lon"))
+        graft.operators.GeoJoin.nearestK(pts, "id", st, k = 3)
       })
 
     // optional arg: comma-separated substrings — run only matching cases

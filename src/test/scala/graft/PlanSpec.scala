@@ -876,4 +876,68 @@ class PlanSpec extends SparkSpec {
       .toSeq
     assert(unsharded.isEmpty, s"unsharded window(s):\n${unsharded.mkString("\n")}")
   }
+
+  test("chat prep: conv-keyed shuffles only, partial aggs, no unpartitioned window") {
+    import graft.operators.Chat
+    val turns = graft.queries.ChatQueries.chatTurns(spark, sf)
+    for (df <- Seq(Chat.validate(turns), Chat.render(turns),
+        Chat.lossMaskSpans(turns), Chat.promptGroups(turns))) {
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+      // every window partitions by conv_id — none spans the corpus
+      val bad = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition") && !l.contains("conv_id")).toSeq
+      assert(bad.isEmpty, s"window not keyed by conv_id:\n${bad.mkString("\n")}")
+    }
+    // render's collect_list aggregates partially before its one shuffle
+    val rp = planOf(Chat.render(turns))
+    assert("ObjectHashAggregate".r.findAllIn(rp).size >= 2 ||
+      "SortAggregate".r.findAllIn(rp).size >= 2, s"no partial agg:\n$rp")
+  }
+
+  test("geo nearestK: stations broadcast onto the point scan; top-k agg partial") {
+    import graft.operators.GeoJoin
+    val s = spark
+    import s.implicits._
+    val pts = Tables.customer(spark, sf).select(col("c_custkey").as("id"),
+      (col("c_custkey") % 40 * 0.5).as("lat"), (col("c_custkey") % 30 * 0.9).as("lon"))
+    val st = Seq(("a", 0.0, 1.0), ("b", 1.0, 0.0)).toDF("name", "lat", "lon")
+    val p = planOf(GeoJoin.nearestK(pts, "id", st, k = 3))
+    // the cross join must realize as a broadcast nested loop BUILDING the
+    // station side, never shuffling or building on the point corpus
+    val nested = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nested.nonEmpty && nested.forall(_.contains("BuildRight")),
+      s"station dim not broadcast-built:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"points shuffled for a dimension lookup:\n$p")
+    // per-point top-k combines map-side (partial + final object hash agg)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"no partial top-k agg:\n$p")
+    assert(!p.contains("Window"), s"no window belongs in the top-k path:\n$p")
+  }
+
+  test("triangles: equi-joins only — no cartesian, no corpus-side nested loop") {
+    import graft.operators.LinkGraph
+    val edges = Tables.documents(spark, sf).select(
+      concat(lit("n"), (col("doc_id") % 13).cast("string")).as("src"),
+      concat(lit("n"), (col("doc_id") % 7).cast("string")).as("dst"))
+    try {
+      val p = planOf(LinkGraph.triangles(edges))
+      assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"wedge closure must stay an equi-join:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("retention cohorts: activity distinct-aggregates before the user join") {
+    import graft.operators.Sessionize
+    val p = planOf(Sessionize.retentionCohorts(Tables.events(spark, sf),
+      "user_id", "ts",
+      col("event_type") === "purchase", col("event_type") === "purchase"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"matrix must build from equi-joins:\n$p")
+    // the (user, week) distinct and the per-user min are partial aggs: at
+    // least 4 HashAggregate nodes (partial+final for each)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, s"aggs not partial:\n$p")
+  }
 }
