@@ -50,6 +50,11 @@ object StreamingOps {
         col("pm25_avg"), col("pm10_avg"))
 
   case class Event(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Stream-element shape for [[chatIngestStream]] (and its specs): one
+    * whole conversation per record. */
+  case class Turn(turn_idx: Int, role: String, content: String)
+  case class Conv(conv_id: Long, ts: Timestamp, turns: Seq[Turn])
   case class SessionState(start: Long, end: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long, value_sum: Double)
@@ -679,5 +684,62 @@ object StreamingOps {
           col("n_blocked").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
       .withColumn("has_blocked", col("n_blocked") > 0)
       .drop("__bl")
+  }
+
+  /** Streaming SFT conversation intake — the live twin of the
+    * [[graft.operators.Chat]] chain (validate -> render -> transcript
+    * dedup). The stream element is a whole CONVERSATION — (conv_id, ts,
+    * turns: array<struct<turn_idx, role, content>>) — because that is the
+    * ingest unit a chat API delivers; with the turns nested, validation
+    * and rendering become pure scan-stage array expressions (zero
+    * shuffles, no state), re-expressing the batch operators' exact
+    * semantics:
+    *
+    *  - alternation: same-role adjacency among NON-system turns
+    *    (zip_with over the filtered array — the batch lag-window, folded)
+    *  - ends-assistant, empty-content, first-turn-system checks
+    *  - rendering under the batch template contract (segments in turn_idx
+    *    order, one newline join)
+    *
+    * Only the DEDUP is stateful: invalid conversations are dropped, the
+    * stored-corpus probe (`corpusTranscripts`, a static `transcript_h`
+    * frame) anti-joins BEFORE the state store — matches never enter
+    * state — and first-occurrence-within-horizon runs as
+    * `dropDuplicatesWithinWatermark`, exactly the
+    * [[dedupStreamIncrement]] scale shape: state O(distinct new
+    * transcripts per horizon). `ChatSpec`/`StreamingSpec` pin stream ≡
+    * batch on the same conversations. */
+  def chatIngestStream(convs: DataFrame, corpusTranscripts: DataFrame,
+                       tsCol: String = "ts",
+                       watermark: String = "1 day"): DataFrame = {
+    val sorted = array_sort(col("turns")) // struct's first field is turn_idx
+    val nonSys = filter(sorted, t => t.getField("role") =!= "system")
+    val adjSame = zip_with(
+      slice(nonSys, lit(1), greatest(size(nonSys) - 1, lit(0))),
+      slice(nonSys, lit(2), greatest(size(nonSys) - 1, lit(0))),
+      (a, b) => a.getField("role") === b.getField("role"))
+    val rendered = concat_ws("\n", transform(sorted,
+      t => concat(lit("<|"), t.getField("role"), lit("|>\n"),
+        t.getField("content"))))
+    convs
+      .withColumn("text", rendered)
+      .withColumn("n_turns", size(col("turns")).cast("int"))
+      .withColumn("has_system",
+        element_at(sorted, 1).getField("role") === "system")
+      .withColumn("n_adjacent_same",
+        size(filter(adjSame, x => x)).cast("long"))
+      .withColumn("n_empty", size(filter(sorted,
+        t => length(trim(t.getField("content"))) === 0)).cast("long"))
+      .withColumn("ends_assistant",
+        element_at(sorted, -1).getField("role") === "assistant")
+      .filter(col("n_adjacent_same") === 0 && col("ends_assistant") &&
+        col("n_empty") === 0)
+      .withColumn("transcript_h",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .join(corpusTranscripts, Seq("transcript_h"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("transcript_h")
+      .select("conv_id", tsCol, "transcript_h", "text", "n_turns",
+        "has_system")
   }
 }

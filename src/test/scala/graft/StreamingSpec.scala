@@ -801,4 +801,51 @@ class StreamingSpec extends SparkSpec {
       assert(got == want, s"stream $got != batch $want")
     } finally q.stop()
   }
+
+  test("streaming chat intake: scan-stage validation, corpus probe, cross-batch transcript dedup, render == batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import StreamingOps.{Conv, Turn}
+    def ua(q: String, a: String) =
+      Seq(Turn(0, "user", q), Turn(1, "assistant", a))
+    // stored corpus already contains the transcript of ("hello", "world")
+    val corpus = Seq("<|user|>\nhello\n<|assistant|>\nworld").toDF("t")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.lower(
+            org.apache.spark.sql.functions.trim($"t")), "\\s+", " "))
+        .as("transcript_h"))
+    val mem = MemoryStream[Conv]
+    val q = StreamingOps.chatIngestStream(mem.toDF(), corpus)
+      .writeStream.format("memory").queryName("chat_intake")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Conv(1L, ts("2025-01-01 00:00:00"), ua("what is spark", "an engine")),
+        Conv(2L, ts("2025-01-01 00:01:00"),
+          Seq(Turn(0, "user", "dangling"), Turn(1, "assistant", "ok"),
+            Turn(2, "user", "bye"))),                   // ends on user -> invalid
+        Conv(3L, ts("2025-01-01 00:02:00"),
+          ua("what is  SPARK", "an engine")))           // same normalized transcript as 1 -> dropped
+      q.processAllAvailable()
+      mem.addData(
+        Conv(4L, ts("2025-01-01 01:00:00"), ua("what is spark", "an engine")), // cross-batch dup
+        Conv(5L, ts("2025-01-01 01:01:00"), ua("hello", "world")),             // corpus match
+        Conv(6L, ts("2025-01-01 01:02:00"),
+          Seq(Turn(1, "assistant", "out of order"), Turn(0, "user", "sorted?"))))
+      q.processAllAvailable()
+      val rows = s.sql("SELECT conv_id, text FROM chat_intake ORDER BY conv_id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet == Set(1L, 6L), s"got ${rows.keySet}")
+      // out-of-order turn array renders in turn_idx order
+      assert(rows(6L) == "<|user|>\nsorted?\n<|assistant|>\nout of order")
+      // stream render == batch Chat.render on the exploded turns
+      val batchText = graft.operators.Chat.render(
+          Seq((1L, 0, "user", "what is spark"), (1L, 1, "assistant", "an engine"))
+            .toDF("conv_id", "turn_idx", "role", "content"))
+        .collect()(0).getAs[String]("text")
+      assert(rows(1L) == batchText)
+    } finally q.stop()
+  }
 }
