@@ -1045,4 +1045,77 @@ object Similarity {
       .withColumn("rrf_score", round(col("__score_d").cast("double"), 6))
       .select("query_id", "nbr_id", "n_lists", "rrf_score", "rank")
   }
+
+  /** Cross-corpus top-k (the two-sided sibling of [[bruteForceTopK]]): rank
+    * `corpus` rows against each `queries` row WITHOUT the same-id
+    * self-exclusion — the id spaces are different corpora. Queries
+    * broadcast; for two corpus-scale sides route each direction through a
+    * persisted index instead ([[searchIvf]] — [[bitextMineIvf]] does). */
+  def crossTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.GraftExtensions.register(corpus.sparkSession)
+    val c = Parallelism.fanOut(
+      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Margin-criterion bitext/pair mining (Artetxe & Schwenk ratio margin —
+    * the LASER/CCMatrix alignment rule): given FORWARD rankings (side X
+    * queried against corpus Y) and BACKWARD rankings (Y against X), a
+    * candidate pair is each x's rank-1 y; its margin normalizes the pair
+    * cosine by the mean of both endpoints' k-NN neighborhoods,
+    *
+    *   margin(x, y) = cos(x, y) / ((avgK(x) + avgK(y)) / 2),
+    *
+    * and survivors must be MUTUAL best matches (y's rank-1 is x) with
+    * margin >= `minMargin` — the filter that kills hub vectors whose
+    * neighborhoods are uniformly close. Neighborhood means fold as
+    * round-9 DECIMAL(38,9) sums over the k-bounded lists (order-free,
+    * engine-exact); margins round to 9.
+    *
+    * Scale shape: everything downstream of the rankings is
+    * (|X| + |Y|) x k-bounded — two partial aggs and three equi-joins. */
+  def bitextMarginPairs(fwd: DataFrame, bwd: DataFrame,
+                        minMargin: Double): DataFrame = {
+    def avgK(r: DataFrame, out: String) = r.groupBy(col("query_id"))
+      .agg((sum(round(col("cosine"), 9).cast("decimal(38,9)")).cast("double") /
+        count(lit(1))).as(out))
+    val fwdBest = fwd.filter(col("rank") === 1)
+      .select(col("query_id").as("src_id"), col("nbr_id").as("tgt_id"),
+        col("cosine"))
+    val bwdBest = bwd.filter(col("rank") === 1)
+      .select(col("query_id").as("tgt_id"), col("nbr_id").as("src_id"))
+    fwdBest
+      .join(bwdBest, Seq("src_id", "tgt_id")) // mutual best only
+      .join(avgK(fwd, "__ax").withColumnRenamed("query_id", "src_id"),
+        Seq("src_id"))
+      .join(avgK(bwd, "__ay").withColumnRenamed("query_id", "tgt_id"),
+        Seq("tgt_id"))
+      .withColumn("margin", round(round(col("cosine"), 9) /
+        ((col("__ax") + col("__ay")) / lit(2.0)), 9))
+      .filter(col("margin") >= minMargin)
+      .select("src_id", "tgt_id", "cosine", "margin")
+  }
+
+  /** Brute bitext mining (the oracle-able baseline): both directions via
+    * [[crossTopK]]. */
+  def bitextMine(xs: DataFrame, ys: DataFrame, k: Int,
+                 minMargin: Double): DataFrame =
+    bitextMarginPairs(crossTopK(ys, xs, k), crossTopK(xs, ys, k), minMargin)
+
+  /** Index-routed bitext mining — the corpus-scale path: each direction
+    * probes the OTHER side's persisted IVF index, so neither side is
+    * broadcast and the pair space is cell-pruned. Equals [[bitextMine]] at
+    * nProbe = nLists (both sides' id spaces disjoint, so searchIvf's
+    * self-exclusion never fires). */
+  def bitextMineIvf(indexX: IvfIndex, indexY: IvfIndex,
+                    xs: DataFrame, ys: DataFrame, k: Int,
+                    minMargin: Double, nProbe: Int): DataFrame =
+    bitextMarginPairs(searchIvf(indexY, xs, k, nProbe),
+      searchIvf(indexX, ys, k, nProbe), minMargin)
 }

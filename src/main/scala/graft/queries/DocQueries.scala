@@ -5641,6 +5641,52 @@ object DocQueries {
         |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- margin-criterion bitext mining (LASER/CCMatrix alignment rule):
+    //      the even-id half of the embedding corpus mined against the odd
+    //      half — forward/backward k-NN (k=4), ratio margin normalizing the
+    //      pair cosine by both endpoints' neighborhood means, MUTUAL-best
+    //      filter, margin >= 1.05. At gate scale both directions are brute
+    //      crossTopK; the corpus-scale path is bitextMineIvf (each side
+    //      probing the other's persisted index — SimilaritySpec pins
+    //      equality at nProbe = nLists).
+    "q_sim_bitext_mine" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bitextMine(
+            emb.filter(col("vec_id") % 2 === 0),
+            emb.filter(col("vec_id") % 2 === 1),
+            k = 4, minMargin = 1.05)
+          .orderBy("src_id")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |xs AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % 2 = 0),
+        |ys AS (SELECT vec_id AS nid, v AS nv FROM e WHERE vec_id % 2 = 1),
+        |fs AS (SELECT qid, nid, c, row_number() OVER
+        |  (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+        |  FROM (SELECT qid, nid, ${cosSql("v", "nv")} AS c
+        |    FROM xs CROSS JOIN ys)),
+        |f AS (SELECT * FROM fs WHERE rank <= 4),
+        |bs AS (SELECT nid AS qid2, qid AS nid2, c, row_number() OVER
+        |  (PARTITION BY nid ORDER BY c DESC, qid) AS rank
+        |  FROM (SELECT qid, nid, ${cosSql("v", "nv")} AS c
+        |    FROM xs CROSS JOIN ys)),
+        |b AS (SELECT * FROM bs WHERE rank <= 4),
+        |ax AS (SELECT qid,
+        |  CAST(sum(CAST(round(c, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_x
+        |  FROM f GROUP BY 1),
+        |ay AS (SELECT qid2,
+        |  CAST(sum(CAST(round(c, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*) AS avg_y
+        |  FROM b GROUP BY 1),
+        |fb AS (SELECT qid AS x, nid AS y, c FROM f WHERE rank = 1),
+        |bb AS (SELECT qid2 AS y, nid2 AS x FROM b WHERE rank = 1),
+        |m AS (SELECT x, y, c, round(round(c, 9)
+        |    / ((avg_x + avg_y) / CAST(2.0 AS DOUBLE)), 9) AS margin
+        |  FROM fb JOIN bb USING (x, y)
+        |  JOIN ax ON ax.qid = x JOIN ay ON ay.qid2 = y)
+        |SELECT x AS src_id, y AS tgt_id, c AS cosine, margin FROM m
+        |WHERE margin >= CAST(1.05 AS DOUBLE) ORDER BY src_id""".stripMargin)),
+
     // ---- hybrid retrieval: BM25 lexical top-20 and embedding-cosine
     //      top-20 fused by reciprocal rank (c = 60). Queries are the first 8
     //      documents (text + their embedding under the shared id space);

@@ -1187,4 +1187,49 @@ class SimilaritySpec extends SparkSpec {
     // k bounds the fused list per query
     assert(Similarity.rrfFuse(Seq(lex, vec), k = 1).count() == 1L)
   }
+
+  test("bitext mining: mutual-best only, hub killed by margin, crafted pair found") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*) = xs.toArray
+    // x0<->y1 a clean aligned pair; x2 is a HUB equally close to everything
+    // (uniform neighborhood -> margin ~1 -> filtered); y3/y5 fillers
+    val xs = Seq(
+      (0L, v(1.0, 0.0, 0.0)),
+      (2L, v(0.5, 0.5, 0.5))).toDF("vec_id", "embedding")
+    val ys = Seq(
+      (1L, v(0.98, 0.1, 0.0)),
+      (3L, v(0.0, 1.0, 0.0)),
+      (5L, v(0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMine(xs, ys, k = 3, minMargin = 1.05)
+      .collect()
+    assert(mined.length == 1)
+    assert(mined(0).getAs[Long]("src_id") == 0L &&
+      mined(0).getAs[Long]("tgt_id") == 1L)
+    assert(mined(0).getAs[Double]("margin") > 1.05)
+    // with no margin floor, pairs are still MUTUAL best matches only:
+    // each src and each tgt appears at most once
+    val all = Similarity.bitextMine(xs, ys, k = 3, minMargin = 0.0).collect()
+    assert(all.map(_.getAs[Long]("src_id")).distinct.length == all.length)
+    assert(all.map(_.getAs[Long]("tgt_id")).distinct.length == all.length)
+  }
+
+  test("bitextMineIvf at nProbe = nLists equals brute bitextMine") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val xs = emb.filter(col("vec_id") % 2 === 0)
+    val ys = emb.filter(col("vec_id") % 2 === 1)
+    val ix = Similarity.buildIvf(xs, nLists = 4, seed = 42L)
+    val iy = Similarity.buildIvf(ys, nLists = 4, seed = 43L)
+    try {
+      val brute = Similarity.bitextMine(xs, ys, k = 4, minMargin = 1.0)
+        .orderBy("src_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      val ivf = Similarity.bitextMineIvf(ix, iy, xs, ys, k = 4,
+          minMargin = 1.0, nProbe = 4)
+        .orderBy("src_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      assert(brute.nonEmpty && ivf == brute,
+        s"ivf (${ivf.length}) != brute (${brute.length})")
+    } finally spark.catalog.clearCache()
+  }
 }
