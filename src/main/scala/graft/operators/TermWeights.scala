@@ -172,4 +172,41 @@ object TermWeights {
         // QualityClassifier for the full rationale)
         round(col("score_d"), 6).cast("double").as("score"), col("rank"))
   }
+
+  /** TextRank keyword extraction — corpus-level keyword ranking via
+    * PageRank over the token CO-OCCURRENCE graph (Mihalcea & Tarau):
+    * stopwords and sub-`minLen` tokens drop first, the FILTERED token
+    * sequence contributes its adjacent pairs in both directions, and
+    * [[LinkGraph.pageRank]] (fold mode for the oracle gates) ranks the
+    * vocabulary graph. Output: top-`k` (token, rank) by (rank DESC, token).
+    *
+    * Scale shape: edge generation is scan-stage (zip over the filtered
+    * array); the graph the iterations run on is VOCABULARY-sized, not
+    * corpus-sized — the corpus term is the one pre-aggregation of edge
+    * weights inside pageRank. */
+  def textRankKeywords(docs: DataFrame, textCol: String, k: Int,
+                       iters: Int = 2, minLen: Int = 3,
+                       stopwords: Seq[String] =
+                         graft.functions.TextFunctions.Stopwords,
+                       orderIndependent: Boolean = true): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val stopArr = array(stopwords.map(lit): _*)
+    val kept = filter(toks,
+      t => length(t) >= minLen && !array_contains(stopArr, t))
+    val n1 = greatest(size(col("__kt")) - 1, lit(0))
+    val pairs = Parallelism.fanOut(docs)
+      .select(kept.as("__kt"))
+      .select(explode(zip_with(
+        slice(col("__kt"), lit(1), n1), slice(col("__kt"), lit(2), n1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = pairs.union(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    LinkGraph.pageRank(edges, iters = iters,
+        orderIndependent = orderIndependent)
+      .orderBy(desc("rank"), asc("domain"))
+      .limit(k)
+      .select(col("domain").as("token"), col("rank"))
+  }
 }

@@ -370,7 +370,7 @@ object DocQueries {
       s"list_dot_product($v, $arr) / sqrt(CAST($outDim AS DOUBLE))"
     }.mkString("[", ", ", "]")
 
-  private val StopListSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
+  private[queries] val StopListSql = TextFunctions.Stopwords.map(w => s"'$w'").mkString(", ")
   private val StopRatioSql =
     s"""(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> t IN ($StopListSql))) AS DOUBLE) / len(toks) ELSE 0.0 END)"""
   private val PunctRatioSql =
@@ -897,7 +897,7 @@ object DocQueries {
     * multiply matches Spark's double arithmetic exactly (the uniform
     * chain's decimal (1 − 0.85)/n deviation sits below the round9 grain,
     * but a seed-weight multiply deserves the explicit cast). */
-  private def pageRankCtes(iters: Int, personalized: Boolean = false): String = {
+  private[queries] def pageRankCtes(iters: Int, personalized: Boolean = false): String = {
     val r0 =
       if (personalized)
         """r0 AS (SELECT nodes.node, round(coalesce(sd.w, CAST(0 AS DOUBLE)), 9)
@@ -2218,6 +2218,28 @@ object DocQueries {
         |SELECT chunk_key, n_tokens, shard, tokens_before,
         | CAST(floor(tokens_before / 256.0) AS BIGINT) AS bin
         |FROM pk ORDER BY chunk_key""".stripMargin)),
+
+    // ---- TextRank corpus keywords: PageRank over the token co-occurrence
+    //      graph (stopword/short-token filter, adjacent pairs of the
+    //      FILTERED sequence, both directions). Edge generation is
+    //      scan-stage; the iterations run on the vocabulary-sized graph.
+    //      Oracle reuses the shared unrolled pageRankCtes chain (fold
+    //      mode), so the TextRank mirror cannot drift from the link-graph
+    //      mirrors.
+    "q_text_textrank" -> Q(
+      (s, d) => graft.operators.TermWeights.textRankKeywords(
+        docsP(s, d), "text", k = 30, iters = 2, orderIndependent = false),
+      Some(s"""WITH tk AS (SELECT list_filter($ToksSql,
+        |  t -> length(t) >= 3 AND t NOT IN ($StopListSql)) AS kt
+        |  FROM documents),
+        |p0 AS (SELECT unnest(kt[1:len(kt)-1]) AS src,
+        |  unnest(kt[2:len(kt)]) AS dst FROM tk),
+        |p1 AS (SELECT src, dst FROM p0 WHERE src <> dst),
+        |e0 AS (SELECT src, dst FROM p1 UNION ALL SELECT dst, src FROM p1),
+        |w AS (SELECT src, dst, count(*) AS weight FROM e0 GROUP BY 1, 2),
+        |${pageRankCtes(2)}
+        |SELECT node AS token, rank FROM r2
+        |ORDER BY rank DESC, token LIMIT 30""".stripMargin)),
 
     // ---- TF-IDF top-k terms per document: tf partial-aggregates into one
     //      (doc, term) shuffle; df is a window over the term key (never a

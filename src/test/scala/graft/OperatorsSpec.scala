@@ -1530,6 +1530,30 @@ class OperatorsSpec extends SparkSpec {
     assert(report(0).isNullAt(report(0).fieldIndex("conversion_from_prev")))
   }
 
+  test("textrank: hub token outranks leaves, stopwords and short tokens excluded") {
+    import graft.operators.TermWeights
+    import spark.implicits._
+    // "core" co-occurs with every other content token; "the" is a
+    // stopword and "ab" is sub-minLen — neither may appear as a node
+    val docs = Seq(
+      "the core alpha ab core beta",
+      "core gamma the core delta",
+      "alpha beta").toDF("text")
+    val out = TermWeights.textRankKeywords(docs, "text", k = 10, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val toks = out.map(_._1).toSet
+    assert(!toks.contains("the") && !toks.contains("ab"))
+    assert(out.head._1 == "core", s"hub must rank first: ${out.toSeq}")
+    assert(out.map(_._2).sorted.reverse.toSeq == out.map(_._2).toSeq,
+      "output must be rank-descending")
+    // the filtered-adjacency weights matter: gamma sits next to core
+    // TWICE ("core gamma" + "gamma core" after the stopword drop), delta
+    // once — so gamma collects strictly more rank mass
+    val m = out.toMap
+    assert(m("gamma") > m("delta"))
+    assert(out.forall(_._2 > 0.0))
+  }
+
   test("geo nearestK: known distances, deterministic tie-break, k clamp") {
     import graft.operators.GeoJoin
     import spark.implicits._
