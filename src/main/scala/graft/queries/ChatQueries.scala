@@ -220,6 +220,83 @@ object ChatQueries {
         |FROM off JOIN sp USING (conv_id)
         |ORDER BY conv_id, turn_idx""".stripMargin)),
 
+    // ---- chat curation capstone: structural validation -> per-turn PII
+    //      redaction (emails/IPs/phones, engine contract order) ->
+    //      assistant-substance floor (>= 20 redacted assistant chars) ->
+    //      render, with per-conversation PII hit counts for the audit
+    //      trail. PII is seeded into every 7th conversation's assistant
+    //      turns so the redaction path has real work, mirrored in the
+    //      oracle.
+    "q_chat_curate" -> Q(
+      (s, d) => {
+        import graft.functions.Redact
+        val seeded = chatTurns(s, d).withColumn("content",
+          when(col("role") === "assistant" && col("conv_id") % 7 === 0,
+            concat(col("content"), lit(" contact user"), col("conv_id"),
+              lit("@example.com")))
+            .otherwise(col("content")))
+        val valid = Chat.validate(seeded)
+          .filter(col("is_valid")).select("conv_id")
+        val (ne, ni, np) = Redact.piiCounts(col("content"))
+        val red = seeded
+          .withColumn("__n_pii", (ne + ni + np).cast("long"))
+          .withColumn("content", Redact.redactPii(col("content")))
+        val audit = red.groupBy("conv_id").agg(
+          sum(when(col("role") === "assistant", length(col("content")))
+            .otherwise(0)).cast("long").as("__a_chars"),
+          sum(col("__n_pii")).as("n_pii"))
+        Chat.render(red.drop("__n_pii"))
+          .join(valid, Seq("conv_id"))
+          .join(audit.filter(col("__a_chars") >= 20).drop("__a_chars"),
+            Seq("conv_id"))
+          .select("conv_id", "n_turns", "n_pii", "text")
+          .orderBy("conv_id")
+      },
+      Some {
+        import graft.functions.Redact
+        val E = Redact.EmailPattern
+        val I = Redact.Ipv4Pattern
+        val P = Redact.PhonePattern
+        s"""WITH $TurnsSql,
+        |seeded AS (SELECT conv_id, turn_idx, role,
+        |  CASE WHEN role = 'assistant' AND conv_id % 7 = 0
+        |    THEN content || ' contact user' || conv_id || '@example.com'
+        |    ELSE content END AS content FROM turns),
+        |nsys AS (SELECT conv_id, turn_idx, role,
+        |  lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+        |  FROM seeded WHERE role <> 'system'),
+        |adj AS (SELECT conv_id,
+        |  sum(CASE WHEN role = prev THEN 1 ELSE 0 END) AS n_adjacent_same
+        |  FROM nsys GROUP BY 1),
+        |conv AS (SELECT conv_id, max_by(role, turn_idx) AS last_role,
+        |  sum(CASE WHEN length(trim(content)) = 0 THEN 1 ELSE 0 END) AS n_empty
+        |  FROM seeded GROUP BY 1),
+        |valid AS (SELECT conv.conv_id FROM conv LEFT JOIN adj USING (conv_id)
+        |  WHERE coalesce(n_adjacent_same, 0) = 0 AND last_role = 'assistant'
+        |    AND n_empty = 0),
+        |red AS (SELECT conv_id, turn_idx, role,
+        |  regexp_replace(regexp_replace(regexp_replace(content,
+        |    '$E', '[EMAIL]', 'g'), '$I', '[IP]', 'g'), '$P', '[PHONE]', 'g')
+        |    AS content,
+        |  len(regexp_extract_all(content, '$E'))
+        |   + len(regexp_extract_all(
+        |       regexp_replace(content, '$E', '[EMAIL]', 'g'), '$I'))
+        |   + len(regexp_extract_all(regexp_replace(regexp_replace(content,
+        |       '$E', '[EMAIL]', 'g'), '$I', '[IP]', 'g'), '$P')) AS n_pii
+        |  FROM seeded),
+        |audit AS (SELECT conv_id,
+        |  CAST(sum(CASE WHEN role = 'assistant' THEN length(content)
+        |    ELSE 0 END) AS BIGINT) AS a_chars,
+        |  CAST(sum(n_pii) AS BIGINT) AS n_pii FROM red GROUP BY 1),
+        |rr AS (SELECT conv_id,
+        |  string_agg('<|' || role || '|>' || chr(10) || content, chr(10)
+        |    ORDER BY turn_idx) AS text,
+        |  CAST(count(*) AS INT) AS n_turns FROM red GROUP BY 1)
+        |SELECT rr.conv_id, n_turns, n_pii, text
+        |FROM rr JOIN valid USING (conv_id) JOIN audit USING (conv_id)
+        |WHERE a_chars >= 20 ORDER BY rr.conv_id""".stripMargin
+      }),
+
     // ---- transcript-exact dedup over the rendered corpus
     "q_chat_dedup_transcripts" -> Q(
       (s, d) => Chat.dedupTranscripts(Chat.render(chatTurns(s, d)))

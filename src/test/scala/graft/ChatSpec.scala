@@ -138,6 +138,29 @@ class ChatSpec extends SparkSpec {
     }
   }
 
+  test("chat curate gate: PII redacted with counts, invalid conversations absent") {
+    val out = graft.queries.ChatQueries.all.toMap.apply("q_chat_curate")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("conv_id")
+      val text = r.getAs[String]("text")
+      assert(!text.contains("@example.com"), s"unredacted PII in conv $id")
+      if (id % 7 == 0) {
+        assert(r.getAs[Long]("n_pii") > 0, s"conv $id seeded but uncounted")
+        assert(text.contains("[EMAIL]"), s"conv $id seeded but no token")
+      }
+    }
+    // every surviving conversation is structurally valid on the SEEDED turns
+    val ids = out.map(_.getAs[Long]("conv_id")).toSet
+    val turns = graft.queries.ChatQueries.chatTurns(spark, "/root/testdata/sf0.001")
+    val invalid = Chat.validate(turns).filter(!$"is_valid")
+      .collect().map(_.getAs[Long]("conv_id"))
+      .filter(id => id % 7 != 0) // seeding can only change %7 convs' flags
+      .toSet
+    assert(invalid.intersect(ids).isEmpty)
+  }
+
   test("synthesized turns: roles alternate, injections land where documented") {
     val turns = graft.queries.ChatQueries.chatTurns(
       spark, "/root/testdata/sf0.001")
