@@ -48,6 +48,71 @@ object Preference {
         carryCols ++ chosenCols: _*)
   }
 
+  /** Group-relative advantage normalization (the GRPO/RLOO reward shape):
+    * each candidate's reward is z-scored WITHIN its prompt group,
+    *
+    *   advantage = (r - mean_prompt) / (std_prompt + eps),
+    *
+    * so a prompt whose candidates all score high contributes the same
+    * gradient scale as a hard prompt — the normalization that makes
+    * group-sampled RL rewards comparable across prompts. The mean folds as
+    * a round-9 DECIMAL(38,9) sum and the variance as a round-12
+    * DECIMAL(38,12) sum of raw squared deviations (order-free,
+    * engine-exact — see the in-body note on the rounding lattice);
+    * population variance (÷ n); single-candidate groups get advantage 0
+    * (std 0, centered 0). Output: input columns + (mean_r, std_r,
+    * advantage). One prompt-keyed partial agg + a broadcast-size join back. */
+  def groupAdvantage(cands: DataFrame, promptCol: String, rewardCol: String,
+                     eps: Double = 1e-6): DataFrame = {
+    val r9 = round(col(rewardCol), 9).cast("decimal(38,9)")
+    val stats = cands.groupBy(col(promptCol)).agg(
+      (sum(r9).cast("double") / count(lit(1))).as("mean_r"),
+      count(lit(1)).as("__n"))
+    val withMean = cands.join(stats, Seq(promptCol))
+    // square the RAW deviation and round at 12: rounding the deviation
+    // first quantizes it to a 9-decimal lattice whose squares sit exactly
+    // on .5 rounding boundaries, where engines' round() implementations
+    // disagree in the last ulp (observed on 10/450 gate rows); the raw
+    // product is off-lattice, so a 12-decimal round has no ties to break
+    val dev2 = {
+      val d = col(rewardCol) - col("mean_r")
+      round(d * d, 12).cast("decimal(38,12)")
+    }
+    val varF = withMean.groupBy(col(promptCol)).agg(
+      (sum(dev2).cast("double") / count(lit(1))).as("__var"))
+    withMean.join(varF, Seq(promptCol))
+      .withColumn("std_r", sqrt(col("__var")))
+      .withColumn("advantage",
+        round((col(rewardCol) - col("mean_r")) / (col("std_r") + lit(eps)), 9))
+      .drop("__n", "__var")
+  }
+
+  /** DPO pair screen — the data-quality guards applied to chosen/rejected
+    * pairs before preference training: drop NEAR-IDENTICAL pairs (token-set
+    * jaccard >= `maxJaccard` — no learnable contrast) and LENGTH-SKEWED
+    * pairs (longer/shorter token ratio > `maxLenRatio` — the model would
+    * learn length, not quality). Expects the pair frame joined with both
+    * sides' texts as `chosen_text` / `rejected_text`; emits the diagnostic
+    * columns and a `keep` verdict, all scan-stage. */
+  def screenPairs(pairs: DataFrame, maxJaccard: Double = 0.9,
+                  maxLenRatio: Double = 3.0): DataFrame = {
+    val ta = array_distinct(graft.functions.TextFunctions.tokens(col("chosen_text")))
+    val tb = array_distinct(graft.functions.TextFunctions.tokens(col("rejected_text")))
+    val inter = size(array_intersect(ta, tb))
+    val uni = size(array_union(ta, tb))
+    val la = size(graft.functions.TextFunctions.tokens(col("chosen_text")))
+    val lb = size(graft.functions.TextFunctions.tokens(col("rejected_text")))
+    pairs
+      .withColumn("jaccard",
+        when(uni > 0, inter.cast("double") / uni).otherwise(lit(1.0)))
+      .withColumn("len_ratio",
+        when(least(la, lb) > 0,
+          greatest(la, lb).cast("double") / least(la, lb))
+          .otherwise(lit(Double.MaxValue)))
+      .withColumn("keep",
+        col("jaccard") < maxJaccard && col("len_ratio") <= maxLenRatio)
+  }
+
   /** Bradley–Terry strength fit over (winner, loser) comparison rows via
     * the classic MM update,
     *

@@ -116,6 +116,74 @@ object PreferenceQueries {
         |SELECT prompt, chosen_id, rejected_id, margin, source, chosen_source
         |FROM pairs ORDER BY prompt, rejected_id""".stripMargin)),
 
+    // ---- GRPO-style group-relative advantages: per-prompt z-scored
+    //      rewards (decimal mean/variance folds, population variance,
+    //      eps guard) — the normalization that makes
+    //      group-sampled RL rewards comparable across prompts
+    "q_pref_grpo_advantage" -> Q(
+      (s, d) => Preference.groupAdvantage(candidates(s, d), "prompt", "quality")
+        .orderBy("prompt", "cand_id"),
+      Some(s"""WITH $CandSql,
+        |st AS (SELECT prompt,
+        |  CAST(sum(CAST(round(quality, 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |    / count(*) AS mean_r
+        |  FROM cand GROUP BY 1),
+        |wm AS (SELECT cand.*, mean_r FROM cand JOIN st USING (prompt)),
+        |vr AS (SELECT prompt,
+        |  CAST(sum(CAST(round((quality - mean_r) * (quality - mean_r), 12)
+        |    AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS v
+        |  FROM wm GROUP BY 1)
+        |SELECT wm.prompt, cand_id, source, quality, mean_r,
+        |  sqrt(v) AS std_r,
+        |  round((quality - mean_r) / (sqrt(v) + CAST(1e-6 AS DOUBLE)), 9)
+        |    AS advantage
+        |FROM wm JOIN vr ON vr.prompt = wm.prompt
+        |ORDER BY wm.prompt, cand_id""".stripMargin)),
+
+    // ---- DPO pair screen: drop near-identical pairs (token-set jaccard
+    //      >= 0.9 — no learnable contrast; the corpus's exact-dup pairs
+    //      land here) and length-skewed pairs (ratio > 3 — the model would
+    //      learn length, not quality)
+    "q_pref_screen" -> Q(
+      (s, d) => {
+        val docs = docsP(s, d).select(col("doc_id"), col("text"))
+        val pairs = Preference.preferencePairs(candidates(s, d),
+          "prompt", "cand_id", "quality", minMargin = MinMargin,
+          carry = Seq("source"), carryChosen = Seq("source"))
+        val withTexts = pairs
+          .join(docs.select(col("doc_id").as("chosen_id"),
+            col("text").as("chosen_text")), Seq("chosen_id"))
+          .join(docs.select(col("doc_id").as("rejected_id"),
+            col("text").as("rejected_text")), Seq("rejected_id"))
+        Preference.screenPairs(withTexts)
+          .select("prompt", "chosen_id", "rejected_id", "jaccard",
+            "len_ratio", "keep")
+          .orderBy("prompt", "rejected_id")
+      },
+      Some(s"""WITH $PairsSql,
+        |ct AS (SELECT doc_id, ${DocQueries.ToksSql} AS tk FROM documents),
+        |j AS (SELECT p.prompt, p.chosen_id, p.rejected_id,
+        |  list_distinct(a.tk) AS ta, list_distinct(b.tk) AS tb,
+        |  len(a.tk) AS la, len(b.tk) AS lb
+        |  FROM pairs p JOIN ct a ON a.doc_id = p.chosen_id
+        |  JOIN ct b ON b.doc_id = p.rejected_id),
+        |m AS (SELECT prompt, chosen_id, rejected_id, la, lb,
+        |  len(list_filter(ta, t -> list_contains(tb, t))) AS inter,
+        |  len(ta) + len(tb) - len(list_filter(ta, t -> list_contains(tb, t)))
+        |    AS uni
+        |  FROM j),
+        |sc AS (SELECT prompt, chosen_id, rejected_id,
+        |  CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+        |    ELSE CAST(1.0 AS DOUBLE) END AS jaccard,
+        |  CASE WHEN least(la, lb) > 0
+        |    THEN CAST(greatest(la, lb) AS DOUBLE) / least(la, lb)
+        |    ELSE CAST(1.7976931348623157e308 AS DOUBLE) END AS len_ratio
+        |  FROM m)
+        |SELECT prompt, chosen_id, rejected_id, jaccard, len_ratio,
+        |  (jaccard < CAST(0.9 AS DOUBLE) AND len_ratio <= CAST(3.0 AS DOUBLE))
+        |    AS keep
+        |FROM sc ORDER BY prompt, rejected_id""".stripMargin)),
+
     // ---- Bradley–Terry source strengths over the pair outcomes
     "q_pref_bradley_terry" -> Q(
       (s, d) => {

@@ -90,6 +90,40 @@ class PreferenceSpec extends SparkSpec {
     assert(got("a") > got("b"))
   }
 
+  test("groupAdvantage: z-scores within prompt, zero for singletons") {
+    val cands = Seq(
+      (1L, 10L, 1.0), (1L, 11L, 2.0), (1L, 12L, 3.0), // mean 2, std sqrt(2/3)
+      (2L, 20L, 5.0)                                  // singleton
+    ).toDF("prompt", "cand_id", "reward")
+    val out = Preference.groupAdvantage(cands, "prompt", "reward")
+      .collect().map(r => r.getAs[Long]("cand_id") ->
+        ((r.getAs[Double]("mean_r"), r.getAs[Double]("std_r"),
+          r.getAs[Double]("advantage")))).toMap
+    assert(out(11L)._1 == 2.0 && math.abs(out(11L)._3) < 1e-8)
+    assert(math.abs(out(10L)._2 - math.sqrt(2.0 / 3.0)) < 1e-9)
+    assert(out(10L)._3 < 0 && out(12L)._3 > 0)
+    assert(math.abs(out(10L)._3 + out(12L)._3) < 1e-8, "symmetric deviations")
+    // singleton: std 0, centered 0 -> advantage 0 (eps guard, no NaN)
+    assert(out(20L)._2 == 0.0 && out(20L)._3 == 0.0)
+  }
+
+  test("screenPairs: near-identical and length-skewed pairs flagged, clean pair kept") {
+    val pairs = Seq(
+      (1L, 10L, 11L, "alpha beta gamma delta", "alpha beta gamma delta"),
+      (1L, 10L, 12L, "alpha beta gamma delta", "epsilon zeta"),
+      (2L, 20L, 21L, "one two three four five six seven eight nine", "one two"),
+      (3L, 30L, 31L, "", "")
+    ).toDF("prompt", "chosen_id", "rejected_id", "chosen_text", "rejected_text")
+    val out = Preference.screenPairs(pairs)
+      .collect().map(r => r.getAs[Long]("rejected_id") ->
+        ((r.getAs[Double]("jaccard"), r.getAs[Double]("len_ratio"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(11L)._1 == 1.0 && !out(11L)._3, "identical pair must drop")
+    assert(out(12L)._1 == 0.0 && out(12L)._2 == 2.0 && out(12L)._3)
+    assert(out(21L)._2 == 4.5 && !out(21L)._3, "length skew must drop")
+    assert(out(31L)._1 == 1.0 && !out(31L)._3, "empty-vs-empty drops")
+  }
+
   test("bradleyTerry leaves no pinned caches after release") {
     val scope = CacheScope.handle()
     Preference.bradleyTerry(Seq(("a", "b"), ("b", "a")).toDF("w", "l"),
