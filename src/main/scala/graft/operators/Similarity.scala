@@ -1108,6 +1108,39 @@ object Similarity {
                  minMargin: Double): DataFrame =
     bitextMarginPairs(crossTopK(ys, xs, k), crossTopK(xs, ys, k), minMargin)
 
+  /** Matryoshka truncation recall report — the evaluation behind
+    * MRL-style embedding deployment: how much of the FULL-dimension top-k
+    * survives when vectors are truncated to their first `m` dims (cosine
+    * renormalizes implicitly, so truncation needs no re-scaling pass).
+    * One row per (m, query): n_hits = overlap of the truncated top-k with
+    * the full top-k, recall = n_hits / k — the curve that picks the
+    * serving dimension (storage and ANN cost scale linearly in m, recall
+    * does not).
+    *
+    * Scale shape: one ranking pass per probed dimension over the same
+    * corpus scan shape as [[bruteForceTopK]]; overlap and recall are
+    * (queries × k)-bounded. Swap the ranking fn for [[searchIvf]] probes
+    * at corpus scale — recall semantics are identical. */
+  def matryoshkaRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                       dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation dim")
+    val full = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("nbr_id"))
+    val qids = queries.select(col("vec_id").as("query_id"))
+    dims.map { m =>
+      def trunc(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, m).as("embedding"))
+      val hits = bruteForceTopK(trunc(corpus), trunc(queries), k)
+        .select(col("query_id"), col("nbr_id"))
+        .join(full, Seq("query_id", "nbr_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).cast("long").as("n_hits"))
+      qids.join(hits, Seq("query_id"), "left")
+        .select(lit(m).as("m"), col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Index-routed bitext mining — the corpus-scale path: each direction
     * probes the OTHER side's persisted IVF index, so neither side is
     * broadcast and the pair space is cell-pruned. Equals [[bitextMine]] at

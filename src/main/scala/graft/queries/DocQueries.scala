@@ -5663,6 +5663,48 @@ object DocQueries {
         |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Matryoshka truncation recall: how much of the full-dim top-10
+    //      survives at 8/16/32 of the 64 dims (cosine renormalizes
+    //      implicitly) — the curve that picks an MRL serving dimension.
+    "q_sim_matryoshka_recall" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.matryoshkaRecall(emb, emb.filter(col("vec_id") < 8),
+            k = 10, dims = Seq(8, 16, 32))
+          .orderBy("m", "query_id")
+      },
+      Some {
+        val per = Seq(8, 16, 32).map { m =>
+          s"""sc$m AS (SELECT query_id, e.vec_id AS nbr_id,
+             |  ${cosSql(s"qv[1:$m]", s"e.v[1:$m]")} AS cosine
+             |  FROM e CROSS JOIN q WHERE e.vec_id != query_id),
+             |tm$m AS (SELECT query_id, nbr_id FROM (SELECT query_id, nbr_id,
+             |  row_number() OVER (PARTITION BY query_id
+             |    ORDER BY cosine DESC, nbr_id) AS rank FROM sc$m)
+             |  WHERE rank <= 10),
+             |h$m AS (SELECT tm$m.query_id, count(*) AS n_hits
+             |  FROM tm$m JOIN f USING (query_id, nbr_id) GROUP BY 1),
+             |r$m AS (SELECT $m AS m, q.query_id,
+             |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+             |  CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
+             |  FROM q LEFT JOIN h$m ON h$m.query_id = q.query_id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+           |sf AS (SELECT query_id, e.vec_id AS nbr_id,
+           |  ${cosSql("qv", "e.v")} AS cosine
+           |  FROM e CROSS JOIN q WHERE e.vec_id != query_id),
+           |f AS (SELECT query_id, nbr_id FROM (SELECT query_id, nbr_id,
+           |  row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, nbr_id) AS rank FROM sf)
+           |  WHERE rank <= 10),
+           |$per
+           |SELECT * FROM r8 UNION ALL SELECT * FROM r16
+           |UNION ALL SELECT * FROM r32
+           |ORDER BY m, query_id""".stripMargin
+      }),
+
     // ---- margin-criterion bitext mining (LASER/CCMatrix alignment rule):
     //      the even-id half of the embedding corpus mined against the odd
     //      half — forward/backward k-NN (k=4), ratio margin normalizing the

@@ -1214,6 +1214,25 @@ class SimilaritySpec extends SparkSpec {
     assert(all.map(_.getAs[Long]("tgt_id")).distinct.length == all.length)
   }
 
+  test("matryoshkaRecall: full-dim self-recall 1.0, monotone-ish curve, zero-hit floor") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val out = Similarity.matryoshkaRecall(emb,
+        emb.filter(col("vec_id") < 4), k = 5, dims = Seq(2, dim))
+      .collect().map(r => (r.getAs[Int]("m"), r.getAs[Long]("query_id")) ->
+        r.getAs[Double]("recall")).toMap
+    // truncating to the FULL dimension is a no-op: recall exactly 1
+    emb.filter(col("vec_id") < 4).collect().map(_.getLong(0)).foreach { q =>
+      assert(out((dim, q)) == 1.0, s"full-dim recall must be 1 for query $q")
+    }
+    // all recalls in [0, 1]; 4 queries x 2 dims rows
+    assert(out.size == 8)
+    assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
+    // 2 dims of 64 loses information: mean recall strictly below 1
+    val m2 = out.collect { case ((m, _), r) if m == 2 => r }
+    assert(m2.sum / m2.size < 1.0)
+  }
+
   test("bitextMineIvf at nProbe = nLists equals brute bitextMine") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val xs = emb.filter(col("vec_id") % 2 === 0)
