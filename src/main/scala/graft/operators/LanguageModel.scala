@@ -190,8 +190,8 @@ object LanguageModel {
     ns.join(big, col("prev") === col("__bp") && col("w") === col("__bw"), "left")
       .join(uniW, col("w") === col("__uw"), "left")
       .join(uniP, col("prev") === col("__up"), "left")
-      .select((col("doc_id") +: extra.map(col)) :+
-        round(log(s), 9).cast("decimal(28,9)").as("lp"): _*)
+      .select((col("doc_id") +: extra.map(col)) ++ Seq(col("pos"),
+        round(log(s), 9).cast("decimal(28,9)").as("lp")): _*)
   }
 
   /** Streaming scoring aggregates for a (window, doc_id) group — exposed
@@ -293,6 +293,108 @@ object LanguageModel {
     scored.crossJoin(broadcast(th))
       .filter(col("gap") >= col("__th"))
       .drop("__th")
+  }
+
+  /** RHO-1-style SELECTIVE token filter (Lin et al., 2024): score every
+    * token under an in-domain reference model (trained on `targetRef`) and
+    * a general model (trained on `generalRef`), rank tokens WITHIN each
+    * document by the excess log-prob `lp_target − lp_general`, and keep the
+    * top `keepFrac` per document — the token-level analog of
+    * [[crossEntropySelect]]: instead of dropping whole documents, training
+    * masks the tokens the target-domain model does NOT prefer (boilerplate,
+    * noise, off-domain spans inside otherwise-good pages).
+    *
+    * Output, one row per non-empty document: (doc_id, n_tokens, n_kept,
+    * kept_frac, mean_excess, kept_md5) — `kept_md5` fingerprints the kept
+    * POSITIONS in ascending order, so two engines agree on exactly WHICH
+    * tokens survive, not just how many. Ties in excess break by position
+    * (earlier token wins) — a total order. Empty docs emit nothing (no
+    * scorable tokens).
+    *
+    * Scale shape: two scan-stage scoring streams (cap-bounded broadcast
+    * models), one (doc_id, pos) equi-join, one doc-keyed window —
+    * per-document state only; no corpus-global ordering anywhere. The
+    * excess is exact DECIMAL arithmetic on the round-9 per-token
+    * log-probs, so the ranking (and the md5) is engine-independent. */
+  def selectiveTokens(docs: DataFrame, idCol: String, textCol: String,
+                      targetRef: DataFrame, generalRef: DataFrame,
+                      vocabCap: Int, bigramCap: Int,
+                      keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val lmT = trainBigramLm(targetRef, idCol, textCol, vocabCap, bigramCap)
+    val lmG = trainBigramLm(generalRef, idCol, textCol, vocabCap, bigramCap)
+    val t = tokenLogProbs(docs, idCol, textCol, lmT)
+      .withColumnRenamed("lp", "lp_t")
+    val g = tokenLogProbs(docs, idCol, textCol, lmG)
+      .withColumnRenamed("lp", "lp_g")
+    val wDoc = Window.partitionBy("doc_id")
+    val ranked = t.join(g, Seq("doc_id", "pos"))
+      .withColumn("excess", (col("lp_t") - col("lp_g")).cast("decimal(28,9)"))
+      .withColumn("__r", row_number().over(
+        wDoc.orderBy(col("excess").desc, col("pos"))))
+      .withColumn("__n", count(lit(1)).over(wDoc))
+    ranked
+      .filter(col("__r") <= ceil(lit(keepFrac) * col("__n")).cast("long"))
+      .groupBy("doc_id")
+      .agg(max("__n").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_kept"),
+        round(count(lit(1)).cast("double") / max("__n"), 6).as("kept_frac"),
+        round(sum("excess").cast("double") / count(lit(1)), 6).as("mean_excess"),
+        md5(array_join(transform(sort_array(collect_list(col("pos"))),
+          _.cast("string")), " ")).as("kept_md5"))
+  }
+
+  /** One DoReMi-style domain-reweighting step (Xie et al., 2023): measure
+    * each domain's EXCESS LOSS — how much worse the proxy model (trained on
+    * `proxyRef`) scores the domain than the reference model (trained on
+    * `refRef`), clipped at zero — and update the mixture weights
+    * multiplicatively: `w'_i ∝ w_init · exp(η · excess_i)`, then mix with
+    * the uniform distribution at rate `smoothing` so no domain's weight
+    * can collapse to zero. Domains the proxy handles WORSE than the
+    * reference (high headroom) gain weight — the DoReMi signal that
+    * up-weighting them most improves the final model. `w_init` is uniform
+    * over the observed domains (DoReMi's initialization).
+    *
+    * Output: (sourceCol, n_docs, excess, w_init, w_updated), one row per
+    * domain with data, weights summing to 1 up to round-6.
+    *
+    * Scale shape: two [[perplexity]] scan-stage scoring passes (cap-bounded
+    * broadcast models) + ONE per-doc equi-join and one partial-agg groupBy
+    * to the domains-bounded frame; all weight math runs on that bounded
+    * frame with exact DECIMAL normalization sums (order-independent), so
+    * the weights are engine-reproducible. */
+  def doremiWeights(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, proxyRef: DataFrame, refRef: DataFrame,
+                    vocabCap: Int, bigramCap: Int,
+                    eta: Double, smoothing: Double): DataFrame = {
+    require(eta > 0.0, "eta must be positive")
+    require(smoothing >= 0.0 && smoothing < 1.0, "smoothing must be in [0, 1)")
+    val p = perplexityAgainst(docs, proxyRef, idCol, textCol, vocabCap, bigramCap)
+      .select(col("doc_id"), col("avg_logp").as("lp_p"))
+    val r = perplexityAgainst(docs, refRef, idCol, textCol, vocabCap, bigramCap)
+      .select(col("doc_id"), col("avg_logp").as("lp_r"))
+    val gap = greatest(lit(0.0), round(col("lp_r") - col("lp_p"), 6))
+    val perDomain = docs.select(col(idCol).as("doc_id"), col(sourceCol))
+      .join(p, Seq("doc_id")).join(r, Seq("doc_id"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(gap.cast("decimal(28,6)")).as("__gapSum"))
+      .withColumn("excess",
+        round(col("__gapSum").cast("double") / col("n_docs"), 6))
+    val k = broadcast(perDomain.agg(
+      count(lit(1)).cast("double").as("__k")))
+    val termed = perDomain.crossJoin(k)
+      .withColumn("w_init", lit(1.0) / col("__k"))
+      .withColumn("__term",
+        round(exp(lit(eta) * col("excess")) / col("__k"), 9)
+          .cast("decimal(28,9)"))
+    val z = broadcast(termed.agg(sum(col("__term")).as("__z")))
+    termed.crossJoin(z)
+      .select(col(sourceCol), col("n_docs"), col("excess"), col("w_init"),
+        round(lit(1.0 - smoothing) *
+            (col("__term").cast("double") / col("__z").cast("double")) +
+          lit(smoothing) / col("__k"), 6).as("w_updated"))
   }
 
   // ==================== trigram order ====================

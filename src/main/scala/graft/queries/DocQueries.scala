@@ -279,7 +279,7 @@ object DocQueries {
        |es$sfx AS (SELECT cur.doc_id, cur.pos, cur.w, prv.w AS prev
        |  FROM en$sfx cur LEFT JOIN en$sfx prv
        |  ON prv.doc_id = cur.doc_id AND prv.pos = cur.pos - 1),
-       |sc$sfx AS (SELECT es$sfx.doc_id,
+       |sc$sfx AS (SELECT es$sfx.doc_id, es$sfx.pos,
        |  CAST(round(ln(CASE
        |    WHEN es$sfx.prev IS NULL THEN (CAST(COALESCE(u1.c, 0) AS DOUBLE) + 1.0)
        |      / CAST((SELECT n FROM tot$sfx) + (SELECT u FROM vs$sfx) + 1 AS DOUBLE)
@@ -4963,6 +4963,86 @@ object DocQueries {
         |SELECT doc_id, logp_target, logp_general, gap
         |FROM sg CROSS JOIN th WHERE gap >= t ORDER BY doc_id""".stripMargin)),
 
+    // ---- RHO-1-style selective token filter: the TOKEN-level analog of
+    //      Moore–Lewis — rank tokens within each doc by the excess
+    //      log-prob under the src0-2 in-domain model vs the :lm1 general
+    //      model, keep the top 30 % per doc. kept_md5 fingerprints the
+    //      kept positions, so the gate pins WHICH tokens survive.
+    "q_sample_token_select" -> Q(
+      (s, d) => {
+        import graft.operators.{LanguageModel, Sampling}
+        val docs = Tables.documents(s, d)
+        LanguageModel.selectiveTokens(docs, "doc_id", "text",
+            targetRef = docs.filter(col("source").isin("src0", "src1", "src2")),
+            generalRef = docs.filter(
+              Sampling.split(col("doc_id"), 80, 10, salt = ":lm1") === "train"),
+            vocabCap = 256, bigramCap = 2048, keepFrac = 0.3)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |${pplCtesWhere(256, 2048,
+          "doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1', 'src2'))",
+          "_t")},
+        |${pplCtes(256, 2048, ":lm1")},
+        |jx AS (SELECT sc_t.doc_id, sc_t.pos,
+        |  CAST(sc_t.lp - sc.lp AS DECIMAL(28,9)) AS excess
+        |  FROM sc_t JOIN sc ON sc.doc_id = sc_t.doc_id AND sc.pos = sc_t.pos),
+        |rk AS (SELECT doc_id, pos, excess,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY excess DESC, pos) AS r,
+        |  count(*) OVER (PARTITION BY doc_id) AS n FROM jx),
+        |kp AS (SELECT * FROM rk WHERE r <= CAST(ceil(0.3 * n) AS BIGINT))
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  round(CAST(count(*) AS DOUBLE) / max(n), 6) AS kept_frac,
+        |  round(CAST(sum(excess) AS DOUBLE) / count(*), 6) AS mean_excess,
+        |  md5(array_to_string(list(pos ORDER BY pos), ' ')) AS kept_md5
+        |FROM kp GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- One DoReMi domain-reweighting step: per-source excess loss of
+    //      the :lm1 proxy model over the src0-2 reference model →
+    //      multiplicative weight update with uniform smoothing. The
+    //      domains the proxy handles worst gain the most weight.
+    "q_pipeline_mixture_doremi" -> Q(
+      (s, d) => {
+        import graft.operators.{LanguageModel, Sampling}
+        val docs = Tables.documents(s, d)
+        LanguageModel.doremiWeights(docs, "doc_id", "text", "source",
+            proxyRef = docs.filter(
+              Sampling.split(col("doc_id"), 80, 10, salt = ":lm1") === "train"),
+            refRef = docs.filter(col("source").isin("src0", "src1", "src2")),
+            vocabCap = 256, bigramCap = 2048, eta = 1.0, smoothing = 0.01)
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |${pplCtesWhere(256, 2048,
+          "doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1', 'src2'))",
+          "_t")},
+        |${pplCtes(256, 2048, ":lm1")},
+        |a_r AS (SELECT doc_id,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lp_r
+        |  FROM sc_t GROUP BY 1),
+        |a_p AS (SELECT doc_id,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lp_p
+        |  FROM sc GROUP BY 1),
+        |gp AS (SELECT d.source,
+        |  greatest(CAST(0.0 AS DOUBLE), round(a_r.lp_r - a_p.lp_p, 6)) AS gap
+        |  FROM documents d JOIN a_p ON a_p.doc_id = d.doc_id
+        |  JOIN a_r ON a_r.doc_id = d.doc_id),
+        |pd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(CAST(gap AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+        |    AS excess
+        |  FROM gp GROUP BY 1),
+        |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM pd),
+        |tm AS (SELECT pd.*, CAST(1.0 AS DOUBLE) / k AS w_init,
+        |  CAST(round(exp(CAST(1.0 AS DOUBLE) * excess) / k, 9)
+        |    AS DECIMAL(28,9)) AS term, k
+        |  FROM pd CROSS JOIN kk),
+        |zz AS (SELECT sum(term) AS z FROM tm)
+        |SELECT source, n_docs, excess, w_init,
+        |  round(CAST(0.99 AS DOUBLE) * (CAST(term AS DOUBLE) / CAST(z AS DOUBLE))
+        |    + CAST(0.01 AS DOUBLE) / k, 6) AS w_updated
+        |FROM tm CROSS JOIN zz ORDER BY source""".stripMargin)),
+
     // ---- Per-source embedding-centroid drift vs the corpus centroid —
     //      the SEMANTIC sibling of q_text_kl_by_source: cosine between each
     //      source's mean embedding and the global mean, from
@@ -5390,6 +5470,47 @@ object DocQueries {
         |  round(CAST(sum(CAST(round(blocked_frac, 9) AS DECIMAL(28,9)))
         |    AS DOUBLE), 6) AS frac_mass
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- model-output contamination screen (the self-consuming-loop
+    //      guard): chat-template control tokens + assistant boilerplate,
+    //      both scan-stage contains chains. Two corpus-present phrases
+    //      ride along so the hit path is exercised; the real markers
+    //      screen zero docs here (organic corpus), which the gate pins.
+    "q_curate_synthetic_screen" -> Q(
+      (s, d) => {
+        import graft.operators.Curation
+        Curation.syntheticScreen(Tables.documents(s, d), "text",
+            phrases = Curation.DefaultAiPhrases ++
+              Seq("slow filter value", "batch window spark"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("has_template"), lit(1))).as("n_template"),
+            count(when(col("has_ai_phrase"), lit(1))).as("n_phrase"),
+            count(when(col("is_synthetic"), lit(1))).as("n_flagged"))
+          .withColumn("rate",
+            round(col("n_flagged").cast("double") / col("n_docs"), 6))
+          .orderBy("source")
+      },
+      Some {
+        val tmpl = graft.operators.Curation.DefaultTemplateMarkers
+          .map(m => s"contains(text, '${m.replace("'", "''")}')")
+          .mkString(" OR ")
+        val phr = (graft.operators.Curation.DefaultAiPhrases ++
+            Seq("slow filter value", "batch window spark"))
+          .map(p => s"contains(lower(text), '${p.toLowerCase.replace("'", "''")}')")
+          .mkString(" OR ")
+        s"""WITH f AS (SELECT source,
+          |  COALESCE($tmpl, false) AS has_t,
+          |  COALESCE($phr, false) AS has_p
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs,
+          |  count(CASE WHEN has_t THEN 1 END) AS n_template,
+          |  count(CASE WHEN has_p THEN 1 END) AS n_phrase,
+          |  count(CASE WHEN has_t OR has_p THEN 1 END) AS n_flagged,
+          |  round(CAST(count(CASE WHEN has_t OR has_p THEN 1 END) AS DOUBLE)
+          |    / count(*), 6) AS rate
+          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
 
     // ---- crawl-URL canonicalization + URL-keyed dedup: fragment / tracking
     //      params / userinfo / default port / trailing slash all fold away,

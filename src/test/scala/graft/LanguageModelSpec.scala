@@ -134,6 +134,68 @@ class LanguageModelSpec extends SparkSpec {
     assert(cut == topk) // same selection when no ties straddle the threshold
   }
 
+  test("selectiveTokens: keepFrac=1 keeps every token; fractional keep is per-doc ceil") {
+    import spark.implicits._
+    val target = Seq((101L, "party agrees party agrees terms"),
+      (102L, "agrees terms party terms")).toDF("doc_id", "text")
+    val general = Seq((201L, "rain falls on the hills"),
+      (202L, "the hills see rain")).toDF("doc_id", "text")
+    val docs = Seq((1L, "party agrees terms rain"), (2L, "rain on the hills"),
+      (3L, "party")).toDF("doc_id", "text")
+    val all = LanguageModel.selectiveTokens(docs, "doc_id", "text",
+      target, general, vocabCap = 64, bigramCap = 256, keepFrac = 1.0)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_kept"))).toMap
+    assert(all(1L) == (4L, 4L) && all(2L) == (4L, 4L) && all(3L) == (1L, 1L))
+    val half = LanguageModel.selectiveTokens(docs, "doc_id", "text",
+      target, general, vocabCap = 64, bigramCap = 256, keepFrac = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Double]("kept_frac"))).toMap
+    // ceil(0.5*4)=2 kept of 4; ceil(0.5*1)=1 of 1
+    assert(half(1L)._1 == 2L && half(2L)._1 == 2L && half(3L) == (1L, 1.0))
+  }
+
+  test("selectiveTokens keeps the target-like tokens of a mixed doc") {
+    import spark.implicits._
+    val target = Seq((101L, "party agrees party agrees terms party agrees"))
+      .toDF("doc_id", "text")
+    val general = Seq((201L, "rain falls rain falls rain falls the rain"))
+      .toDF("doc_id", "text")
+    // doc mixes 2 target-domain tokens and 2 general-domain tokens; the
+    // kept half must be the target-like positions (1, 2), fingerprinted
+    val docs = Seq((1L, "party agrees rain falls")).toDF("doc_id", "text")
+    val row = LanguageModel.selectiveTokens(docs, "doc_id", "text",
+      target, general, vocabCap = 64, bigramCap = 256, keepFrac = 0.5)
+      .collect().head
+    assert(row.getAs[Long]("n_kept") == 2L)
+    val md5Of = java.security.MessageDigest.getInstance("MD5")
+      .digest("1 2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(row.getAs[String]("kept_md5") == md5Of)
+  }
+
+  test("doremiWeights: uniform init, weights sum to 1, worst-headroom domain gains") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "party agrees terms party agrees", "legal"),
+      (2L, "party terms agrees party terms", "legal"),
+      (3L, "rain falls on the hills", "weather"),
+      (4L, "the hills see rain and wind", "weather"))
+      .toDF("doc_id", "text", "source")
+    val out = LanguageModel.doremiWeights(docs, "doc_id", "text", "source",
+      proxyRef = docs.filter($"source" === "weather"),
+      refRef = docs, vocabCap = 64, bigramCap = 256,
+      eta = 1.0, smoothing = 0.01)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("excess"), r.getAs[Double]("w_init"),
+          r.getAs[Double]("w_updated"))).toMap
+    assert(out.values.forall(_._2 == 0.5))
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-5)
+    // the proxy trained only on weather text has headroom on legal docs:
+    // legal's excess, and so its updated weight, must exceed weather's
+    assert(out("legal")._1 > out("weather")._1)
+    assert(out("legal")._3 > out("weather")._3)
+  }
+
   test("empty and null texts produce no score row; self-scored ref is most fluent") {
     import spark.implicits._
     val lm = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",
