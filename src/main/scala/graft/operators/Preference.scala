@@ -87,6 +87,39 @@ object Preference {
       .drop("__n", "__var")
   }
 
+  /** Best-of-n rejection sampling (the RFT/RAFT curation shape): per
+    * prompt, keep the single highest-reward candidate — ties to the
+    * smallest id, deterministic on any engine — and only when it clears
+    * the absolute floor `minScore` (a prompt whose best sample is still
+    * bad contributes nothing; keeping it would distill failure modes).
+    * Output: one row per surviving prompt with the winner's id/score plus
+    * the group diagnostics SFT curation reports alongside the pick —
+    * candidate count and group-mean reward (how selective the floor was).
+    *
+    * Scale shape: ONE prompt-keyed partial aggregation (max_by for the
+    * winner, count/decimal-sum for the diagnostics) — no window, no join;
+    * group state is O(1) per prompt. The mean folds as a round-9 DECIMAL
+    * sum (order-free, engine-exact). */
+  def bestOfN(cands: DataFrame, promptCol: String, idCol: String,
+              scoreCol: String, minScore: Double,
+              carry: Seq[String] = Nil): DataFrame = {
+    val winner = struct(col(scoreCol).as("s"),
+      (-col(idCol)).as("negId"))
+    val r9 = round(col(scoreCol), 9).cast("decimal(38,9)")
+    val aggs = Seq(
+      max_by(col(idCol), winner).as("chosen_id"),
+      max(col(scoreCol)).as("chosen_score"),
+      count(lit(1)).as("n_cands"),
+      // no round: the quotient of an exact decimal sum and an exact count
+      // is ONE IEEE division — already engine-identical, and a round-9
+      // would sit ties exactly on the sum's 1e-9/n quotient lattice
+      (sum(r9).cast("double") / count(lit(1))).as("mean_score")) ++
+      carry.map(c => max_by(col(c), winner).as(s"chosen_$c"))
+    cands.groupBy(col(promptCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("chosen_score") >= minScore)
+  }
+
   /** DPO pair screen — the data-quality guards applied to chosen/rejected
     * pairs before preference training: drop NEAR-IDENTICAL pairs (token-set
     * jaccard >= `maxJaccard` — no learnable contrast) and LENGTH-SKEWED

@@ -184,6 +184,34 @@ object PreferenceQueries {
         |    AS keep
         |FROM sc ORDER BY prompt, rejected_id""".stripMargin)),
 
+    // ---- Best-of-n rejection sampling (RFT/RAFT): per prompt keep the
+    //      top-reward candidate when it clears the absolute floor; group
+    //      diagnostics ride along. One partial agg, no window.
+    "q_pref_best_of_n" -> Q(
+      (s, d) => Preference.bestOfN(candidates(s, d),
+          "prompt", "cand_id", "quality", minScore = 0.7,
+          carry = Seq("source"))
+        .orderBy("prompt"),
+      Some(s"""WITH $CandSql,
+        |w AS (SELECT prompt, cand_id, source, quality,
+        |  first_value(cand_id) OVER wx AS chosen_id,
+        |  first_value(quality) OVER wx AS chosen_score,
+        |  first_value(source) OVER wx AS chosen_source
+        |  FROM cand
+        |  WINDOW wx AS (PARTITION BY prompt ORDER BY quality DESC, cand_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT prompt, max(chosen_id) AS chosen_id,
+        |  max(chosen_score) AS chosen_score,
+        |  CAST(count(*) AS BIGINT) AS n_cands,
+        |  CAST(sum(CAST(round(quality, 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |    / count(*) AS mean_score,
+        |  max(chosen_source) AS chosen_source
+        |  FROM w GROUP BY 1)
+        |SELECT prompt, chosen_id, chosen_score, n_cands, mean_score,
+        |  chosen_source
+        |FROM g WHERE chosen_score >= CAST(0.7 AS DOUBLE)
+        |ORDER BY prompt""".stripMargin)),
+
     // ---- Bradley–Terry source strengths over the pair outcomes
     "q_pref_bradley_terry" -> Q(
       (s, d) => {

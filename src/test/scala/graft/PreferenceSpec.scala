@@ -124,6 +124,26 @@ class PreferenceSpec extends SparkSpec {
     assert(out(31L)._1 == 1.0 && !out(31L)._3, "empty-vs-empty drops")
   }
 
+  test("bestOfN: winner per prompt, id tie-break, floor drops weak groups, carry rides") {
+    val cands = Seq(
+      ("p1", 1L, 0.9, "mA"), ("p1", 2L, 0.6, "mB"), ("p1", 3L, 0.9, "mC"),
+      ("p2", 4L, 0.4, "mA"), ("p2", 5L, 0.3, "mB"),
+      ("p3", 6L, 0.8, "mB"))
+      .toDF("prompt", "cand_id", "quality", "model")
+    val out = Preference.bestOfN(cands, "prompt", "cand_id", "quality",
+        minScore = 0.7, carry = Seq("model"))
+      .collect().map(r => r.getAs[String]("prompt") -> r).toMap
+    // p2's best (0.4) is under the floor: the whole group drops
+    assert(out.keySet == Set("p1", "p3"))
+    // tie at 0.9 between ids 1 and 3 breaks to the SMALLER id
+    assert(out("p1").getAs[Long]("chosen_id") == 1L)
+    assert(out("p1").getAs[String]("chosen_model") == "mA")
+    assert(out("p1").getAs[Long]("n_cands") == 3L)
+    assert(out("p1").getAs[Double]("mean_score") == 2.4 / 3)
+    assert(out("p3").getAs[Long]("chosen_id") == 6L)
+    assert(out("p3").getAs[Long]("n_cands") == 1L)
+  }
+
   test("bradleyTerry leaves no pinned caches after release") {
     val scope = CacheScope.handle()
     Preference.bradleyTerry(Seq(("a", "b"), ("b", "a")).toDF("w", "l"),
