@@ -1004,6 +1004,58 @@ object ScaleCheck {
           (lit(-8.0) + col("id") * 0.7).as("lat"),
           (lit(95.0) + col("id") * 1.3).as("lon"))
         graft.operators.GeoJoin.nearestK(pts, "id", st, k = 3)
+      },
+
+      // RHO-1 selective tokens: two scan-stage LM scorers, one (doc,pos)
+      // join, one doc-keyed window — per-document state only
+      "token_select" -> { d =>
+        val docs = Tables.documents(spark, d)
+        graft.operators.LanguageModel.selectiveTokens(docs, "doc_id", "text",
+          targetRef = docs.filter(col("source").isin("src0", "src1", "src2")),
+          generalRef = docs.filter(graft.operators.Sampling
+            .split(col("doc_id"), 80, 10, salt = ":lm1") === "train"),
+          vocabCap = 256, bigramCap = 2048, keepFrac = 0.3)
+      },
+
+      // DoReMi reweighting: two scan-stage scoring passes folding to a
+      // domains-bounded frame; weight math is metadata-sized
+      "doremi" -> { d =>
+        val docs = Tables.documents(spark, d)
+        graft.operators.LanguageModel.doremiWeights(docs, "doc_id", "text",
+          "source",
+          proxyRef = docs.filter(graft.operators.Sampling
+            .split(col("doc_id"), 80, 10, salt = ":lm1") === "train"),
+          refRef = docs.filter(col("source").isin("src0", "src1", "src2")),
+          vocabCap = 256, bigramCap = 2048, eta = 1.0, smoothing = 0.01)
+      },
+
+      // best-of-n rejection sampling: ONE prompt-keyed partial agg
+      "best_of_n" -> { d =>
+        val toks = TextFunctions.tokens(col("text"))
+        val cands = Tables.documents(spark, d).select(
+          (col("doc_id") % 50).as("prompt"), col("doc_id").as("cand_id"),
+          col("source"),
+          when(size(toks) > 0,
+            size(array_distinct(toks)).cast("double") / size(toks))
+            .otherwise(lit(0.0)).as("quality"))
+        graft.operators.Preference.bestOfN(cands, "prompt", "cand_id",
+          "quality", minScore = 0.7, carry = Seq("source"))
+      },
+
+      // synthetic-text screen: pure scan-stage contains chains
+      "synthetic_screen" -> { d =>
+        graft.operators.Curation.syntheticScreen(
+          Tables.documents(spark, d), "text",
+          phrases = graft.operators.Curation.DefaultAiPhrases ++
+            Seq("slow filter value", "batch window spark"))
+      },
+
+      // Matryoshka recall: one brute ranking pass per probed dim over a
+      // fixed 8-query set — corpus-linear per dim
+      "matryoshka" -> { d =>
+        val emb = Tables.embeddings(spark, d)
+        graft.operators.Similarity.matryoshkaRecall(emb,
+          emb.filter(col("vec_id") < 8), k = 10, dims = Seq(8, 16, 32))
       })
 
     // optional arg: comma-separated substrings — run only matching cases

@@ -206,6 +206,45 @@ object Curation {
       .withColumn("has_blocked", col("n_blocked") > 0)
   }
 
+  /** Chat-template control tokens that mark text as MODEL OUTPUT rather
+    * than organic web text — the default marker set for
+    * [[syntheticScreen]]. Case-sensitive: these are literal serialization
+    * artifacts, and lowercasing would false-positive prose like "[inst]". */
+  val DefaultTemplateMarkers: Seq[String] = Seq(
+    "<|endoftext|>", "<|im_start|>", "<|im_end|>",
+    "<|system|>", "<|user|>", "<|assistant|>", "[INST]", "[/INST]")
+
+  /** Assistant-boilerplate phrases (matched lowercase) — the second
+    * synthetic-text signal: text a model SAID, scraped back into a crawl. */
+  val DefaultAiPhrases: Seq[String] = Seq(
+    "as an ai language model", "as a large language model",
+    "i cannot assist with", "my training data only goes",
+    "regenerate response", "i do not have personal opinions")
+
+  /** Model-output contamination screen — the self-consuming-loop guard: a
+    * crawl refreshed after LLMs went mainstream contains model OUTPUT
+    * (pasted chats, template-token leakage, assistant boilerplate), and
+    * training on it distills the old model instead of the web. Flags each
+    * document on two scan-stage signals: a case-sensitive chat-template
+    * control-token hit (`has_template`) and a lowercase assistant-phrase
+    * hit (`has_ai_phrase`); `is_synthetic` is their OR. Pure Column trees
+    * (codegen'd `contains` chain over broadcast-free literals), zero
+    * shuffles, stream-safe — the same scan-stage shape as the C4/Gopher
+    * rules it runs beside. */
+  def syntheticScreen(docs: DataFrame, textCol: String,
+                      templateMarkers: Seq[String] = DefaultTemplateMarkers,
+                      phrases: Seq[String] = DefaultAiPhrases): DataFrame = {
+    require(templateMarkers.nonEmpty && phrases.nonEmpty,
+      "need at least one template marker and one phrase")
+    val t = col(textCol)
+    val lowered = lower(t)
+    val hasT = templateMarkers.map(m => t.contains(lit(m))).reduce(_ || _)
+    val hasP = phrases.map(p => lowered.contains(lit(p.toLowerCase))).reduce(_ || _)
+    docs.withColumn("has_template", coalesce(hasT, lit(false)))
+      .withColumn("has_ai_phrase", coalesce(hasP, lit(false)))
+      .withColumn("is_synthetic", col("has_template") || col("has_ai_phrase"))
+  }
+
   /** (doc_id, domain) edge list — one row per URL occurrence (NOT distinct:
     * occurrence counts are the ranking signal). */
   def domainEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame =

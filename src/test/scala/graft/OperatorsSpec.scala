@@ -920,6 +920,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3L) == ((3L, 1L, 1.0 / 3, true))) // "Scam" folds to the term
   }
 
+  test("syntheticScreen: template tokens case-sensitive, phrases case-folded, null text clean") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "normal prose about weather <|im_start|>assistant leaked"),
+      (2L, "she wrote AS AN AI LANGUAGE MODEL I cannot help with that"),
+      (3L, "plain organic text with [inst] lowercase lookalike"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = Curation.syntheticScreen(docs, "text")
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Boolean]("has_template"), x.getAs[Boolean]("has_ai_phrase"),
+          x.getAs[Boolean]("is_synthetic")))).toMap
+    assert(r(1L) == ((true, false, true)),  "template control token flags")
+    assert(r(2L) == ((false, true, true)),  "phrase match is case-folded")
+    assert(r(3L) == ((false, false, false)), "[inst] must NOT match [INST]")
+    assert(r(4L) == ((false, false, false)), "null text is clean, not null")
+  }
+
   test("rank normalization: sharded reassembly equals the plain window rank, ties and all") {
     import graft.operators.Curation
     import org.apache.spark.sql.expressions.Window
