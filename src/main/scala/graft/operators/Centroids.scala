@@ -85,10 +85,13 @@ object Centroids {
   def covarianceUpper(embeddings: DataFrame, vecCol: String,
                       dim: Int): DataFrame = {
     require(dim > 0, "dim must be positive")
-    val e = embeddings
+    // fan out FIRST: the embedding table is one small parquet file at test
+    // scales, and without this the dim(dim+1)/2-per-row pair stream
+    // explodes inside a near-single-task stage
+    val e = graft.core.Parallelism.fanOut(embeddings
       .select(col(vecCol).cast("array<double>").as("__v"))
       .filter(size(col("__v")) === dim &&
-        forall(col("__v"), x => x.isNotNull))
+        forall(col("__v"), x => x.isNotNull)))
     val mu = e.select(posexplode(col("__v")).as(Seq("i", "x")))
       .groupBy("i")
       .agg((sum(round(col("x"), 9).cast("decimal(28,9)")).cast("double") /
@@ -96,19 +99,30 @@ object Centroids {
     val muArr = mu.groupBy()
       .agg(transform(array_sort(collect_list(struct(col("i"), col("mu")))),
         s => s.getField("mu")).as("__mu"))
+    // the hot pair stream carries ONE flat double per product (posexplode
+    // index = upper-triangle position) instead of an (i,j,p) struct —
+    // building n·dim(dim+1)/2 structs per scan measurably dominated the
+    // gate (9.3 s solo at sf0.1); the (i,j) labels join onto the
+    // dim(dim+1)/2-row RESULT, never the corpus-sized stream. Identical
+    // products, rounds, and groups — bit-identical output.
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val posMap = broadcast(
+      (0 until dim).flatMap(i => (i until dim).map(j => (i.toLong, j.toLong)))
+        .zipWithIndex.map { case ((i, j), pos) => (pos, i, j) }
+        .toDF("pos", "i", "j"))
     e.crossJoin(broadcast(muArr))
-      .select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      .select(posexplode(flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
         transform(sequence(i, lit(dim - 1)), j =>
-          struct(i.as("i"), j.as("j"),
-            ((element_at(col("__v"), i + lit(1)) -
-                element_at(col("__mu"), i + lit(1))) *
-              (element_at(col("__v"), j + lit(1)) -
-                element_at(col("__mu"), j + lit(1)))).as("p")))))).as("c"))
-      .select(col("c.i").cast("long").as("i"),
-        col("c.j").cast("long").as("j"), col("c.p").as("p"))
-      .groupBy("i", "j")
+          (element_at(col("__v"), i + lit(1)) -
+              element_at(col("__mu"), i + lit(1))) *
+            (element_at(col("__v"), j + lit(1)) -
+              element_at(col("__mu"), j + lit(1))))))).as(Seq("pos", "p")))
+      .groupBy("pos")
       .agg((sum(round(col("p"), 9).cast("decimal(28,9)")).cast("double") /
         count(lit(1))).as("cov"))
+      .join(posMap, Seq("pos"))
+      .select(col("i"), col("j"), col("cov"))
   }
 
   /** TOP PRINCIPAL COMPONENT of an embedding corpus by the power method —
@@ -183,7 +197,7 @@ object Centroids {
       .orderBy("i").collect().map(_.getAs[Double]("loading"))
     // per-dim means, model-sized, the covariance pass's exact arithmetic
     val e = embeddings.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val mu = e.filter(size(col("__v")) === dim)
+    val mu = graft.core.Parallelism.fanOut(e.filter(size(col("__v")) === dim))
       .select(posexplode(col("__v")).as(Seq("i", "x")))
       .groupBy("i")
       .agg((sum(round(col("x"), 9).cast("decimal(28,9)")).cast("double") /
@@ -191,12 +205,19 @@ object Centroids {
       .orderBy("i").collect().map(_.getAs[Double]("mu"))
     val vLit = array(stats.map(lit): _*)
     val muLit = array(mu.map(lit): _*)
-    val centered = zip_with(col("__v"), muLit, (x, m) => x - m)
-    // sequential fold dot product, round-9 pinned (the cross-engine contract)
-    val dot = round(aggregate(
-      zip_with(centered, vLit, (a, b) => a * b), lit(0.0), (acc, x) => acc + x), 9)
-    val out = zip_with(centered, vLit, (c, vv) => round(c - dot * vv, 9))
-    e.select(col(idCol),
-      when(size(col("__v")) === dim, out).as("embedding"))
+    // stage the centered vector and its dot product as their own projected
+    // columns: inlining `dot` into the rewrite lambda re-evaluates the
+    // 64-fold aggregate once PER ELEMENT unless codegen CSE saves it —
+    // staged, it computes once per row; fanOut splits the one-file scan
+    val staged = graft.core.Parallelism.fanOut(e)
+      .withColumn("__c", zip_with(col("__v"), muLit, (x, m) => x - m))
+      // sequential fold dot product, round-9 pinned (the cross-engine contract)
+      .withColumn("__dot", round(aggregate(
+        zip_with(col("__c"), vLit, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x), 9))
+    staged.select(col(idCol),
+      when(size(col("__v")) === dim,
+        zip_with(col("__c"), vLit, (c, vv) => round(c - col("__dot") * vv, 9)))
+        .as("embedding"))
   }
 }

@@ -929,6 +929,49 @@ class PlanSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("selectiveTokens: models broadcast; the only sort-merge work is doc-keyed") {
+    import graft.operators.{LanguageModel, Sampling}
+    val docs = Tables.documents(spark, sf)
+    val p = planOf(LanguageModel.selectiveTokens(docs, "doc_id", "text",
+      targetRef = docs.filter(col("source").isin("src0", "src1", "src2")),
+      generalRef = docs.filter(
+        Sampling.split(col("doc_id"), 80, 10, salt = ":lm1") === "train"),
+      vocabCap = 64, bigramCap = 256, keepFrac = 0.3))
+    // all model lookups (vocab/unigram/bigram per scorer) ride broadcast
+    // joins — the token-keyed exchanges in the plan belong to model
+    // TRAINING (cap-bounded partial aggs), never to scoring; the scored
+    // corpus only windows per document
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"model lookup degenerated to a nested loop:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 6,
+      s"model lookups not broadcast:\n$p")
+    val badWin = "windowspecdefinition\\((?!doc_id)".r.findAllIn(p).toList
+    assert(badWin.isEmpty, s"window on a non-doc key: $badWin\n$p")
+  }
+
+  test("syntheticScreen is pure scan stage: zero exchanges, zero joins") {
+    import graft.operators.Curation
+    val p = planOf(Curation.syntheticScreen(
+      Tables.documents(spark, sf), "text"))
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Window"), s"screen must stay scan-stage:\n$p")
+  }
+
+  test("bestOfN is one partial-agged prompt-keyed aggregation, no window") {
+    import graft.operators.Preference
+    val cands = Tables.documents(spark, sf).select(
+      (col("doc_id") % 50).as("prompt"), col("doc_id").as("cand_id"),
+      col("source"), (col("doc_id") % 10).cast("double").as("quality"))
+    val p = planOf(Preference.bestOfN(cands, "prompt", "cand_id", "quality",
+      minScore = 0.5, carry = Seq("source")))
+    assert(!p.contains("Window"), s"winner pick must not window:\n$p")
+    // max_by's struct ordering compiles to a SortAggregate — what matters
+    // is that it combines MAP-SIDE before the one prompt-keyed exchange
+    assert(p.contains("partial_max_by"), s"group agg not partial:\n$p")
+    assert("hashpartitioning\\(prompt".r.findAllIn(p).nonEmpty,
+      s"aggregation must shuffle on prompt:\n$p")
+  }
+
   test("retention cohorts: activity distinct-aggregates before the user join") {
     import graft.operators.Sessionize
     val p = planOf(Sessionize.retentionCohorts(Tables.events(spark, sf),
