@@ -292,6 +292,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("synthetic-text screen runs stateless on a stream and equals the batch rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "organic prose, nothing to see"),
+      (2L, "pasted chat <|im_start|>assistant hello"),
+      (3L, "she said As An AI Language Model in a quote"))
+    val mem = MemoryStream[(Long, String)]
+    // syntheticScreen is a pure function of the row — the SAME operator
+    // runs on the stream unmodified (no twin needed), append, stateless
+    val q = Curation.syntheticScreen(mem.toDF().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("synth_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(1): _*)
+      q.processAllAvailable()
+      val cols = Seq("doc_id", "has_template", "has_ai_phrase", "is_synthetic")
+      val streamed = s.sql("SELECT * FROM synth_stream")
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      val batch = Curation.syntheticScreen(rows.toDF("doc_id", "text"), "text")
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.map(_.getAs[Boolean]("is_synthetic")) ==
+        Seq(false, true, true))
+    } finally q.stop()
+  }
+
   // shared fixture for the streaming near-dup tests: a tiny corpus with its
   // stored LSH index (bands + token sets), built by the BATCH index builders
   // — the persisted artifacts a deployed ingest pipeline probes
