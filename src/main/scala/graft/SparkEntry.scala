@@ -38,5 +38,5 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    inventory.collect { case (name, Q(_, Some(sql))) => name -> sql }.toMap
+    inventory.collect { case (name, Q(_, Some(sql), _)) => name -> sql }.toMap
 }

@@ -152,9 +152,12 @@ object Multimodal {
       .toDF()
   }
 
-  private[graft] def decodePpm(id: Long, b: Array[Byte]): PpmFeatures = {
-    def bad = PpmFeatures(id, 0, 0, 0, 0.0, 0.0, 0.0, is_valid = false)
-    if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '6') return bad
+  /** Parsed P6 header: (width, height, maxval, offset of the RGB plane).
+    * None for anything this kernel cannot decode — bad magic, malformed
+    * ASCII fields, maxval > 255 (2-byte samples), or a plane shorter than
+    * `3·w·h`. Shared by [[decodePpm]] and [[resizePpmImage]]. */
+  private def parsePpmHeader(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '6') return None
     var i = 2
     def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
     // netpbm token separator: whitespace, with '#' comments running to EOL
@@ -183,22 +186,30 @@ object Multimodal {
     val w = readAsciiInt(); val h = readAsciiInt(); val maxval = readAsciiInt()
     // maxval > 255 would mean 2-byte samples (P6 allows up to 65535); this
     // kernel supports the 1-byte plane only and flags the rest invalid
-    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return bad
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     // exactly ONE whitespace byte after maxval, then the binary plane
-    if (i >= b.length || !isWs(b(i))) return bad
+    if (i >= b.length || !isWs(b(i))) return None
     i += 1
     val nPixels = w.toLong * h
-    if (nPixels > Int.MaxValue / 4 || b.length - i < nPixels * 3) return bad
-    var sr = 0L; var sg = 0L; var sb = 0L
-    var p = 0L
-    while (p < nPixels) {
-      val o = i + (p * 3).toInt
-      sr += b(o) & 0xff; sg += b(o + 1) & 0xff; sb += b(o + 2) & 0xff
-      p += 1
-    }
-    PpmFeatures(id, w, h, maxval, sr.toDouble / nPixels,
-      sg.toDouble / nPixels, sb.toDouble / nPixels, is_valid = true)
+    if (nPixels > Int.MaxValue / 4 || b.length - i < nPixels * 3) return None
+    Some((w, h, maxval, i))
   }
+
+  private[graft] def decodePpm(id: Long, b: Array[Byte]): PpmFeatures =
+    parsePpmHeader(b) match {
+      case None => PpmFeatures(id, 0, 0, 0, 0.0, 0.0, 0.0, is_valid = false)
+      case Some((w, h, maxval, off)) =>
+        val nPixels = w.toLong * h
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var p = 0L
+        while (p < nPixels) {
+          val o = off + (p * 3).toInt
+          sr += b(o) & 0xff; sg += b(o + 1) & 0xff; sb += b(o + 2) & 0xff
+          p += 1
+        }
+        PpmFeatures(id, w, h, maxval, sr.toDouble / nPixels,
+          sg.toDouble / nPixels, sb.toDouble / nPixels, is_valid = true)
+    }
 
   /** Little-endian byte encoding of an integer Column — the RIFF container's
     * number format. Integer shifts + hex + unhex only: scan-stage, exact. */
@@ -328,15 +339,97 @@ object Multimodal {
       is_valid = true)
   }
 
-  /** STUB resize kernel: a real implementation decodes `payload`, resizes to
-    * (w, h) and re-encodes; the container has no codecs, so the stub keeps
-    * the payload and records the target dims in metadata. The plumbing —
-    * partition-local map, no shuffle, schema evolution via struct rewrite —
-    * is the real contract. */
+  /** STUB resize kernel for COMPRESSED formats (JPEG/PNG — the container
+    * has no codecs): keeps the payload and records the target dims in
+    * metadata. The un-stubbed counterpart for the codec-free raster format
+    * is [[resizePpm]], a real box-filter resample. */
   def fakeResize(media: DataFrame, w: Int, h: Int): DataFrame =
     media.withColumn("meta", struct(
       col("meta.byte_len"), col("meta.sha256"), col("meta.source"),
       lit(w).as("target_w"), lit(h).as("target_h")))
+
+  private[graft] case class MediaMeta(byte_len: Long, sha256: String,
+                                      source: String)
+  private[graft] case class MediaRow(media_id: Long, kind: String,
+                                     payload: Array[Byte], meta: MediaMeta)
+
+  /** REAL resize kernel — genuine box-filter (pixel-area-average) resample
+    * over decoded P6 PPM pixels, pure JVM, no codec library: parse the
+    * header via [[parsePpmHeader]], average each target pixel's source box
+    * with EXACT integer arithmetic, re-encode as P6. The thumbnail /
+    * train-resolution normalization pass of an image-curation pipeline.
+    *
+    * Resample contract (chosen so any engine can mirror it bit-for-bit):
+    *  - DOWNSAMPLE ONLY — effective target dims are `min(outW, w)` x
+    *    `min(outH, h)` (a box filter has no information to invent pixels;
+    *    upsampling would need interpolation and unroundable weights);
+    *  - target pixel (x2, y2)'s box spans source columns
+    *    `[x2·w/W2, (x2+1)·w/W2)` and rows `[y2·h/H2, (y2+1)·h/H2)` (integer
+    *    floor division; every box non-empty because w >= W2, h >= H2);
+    *  - each output channel byte is the box mean rounded HALF-UP in
+    *    integers: `(2·sum + cnt) / (2·cnt)` — no floating point anywhere.
+    *
+    * Payloads that fail the P6 parse pass through UNCHANGED (fail-soft: the
+    * asset stays in the corpus and the downstream decode flags it).
+    * Partition-local typed map, no shuffle; meta (byte_len, sha256, source)
+    * is refreshed to describe the re-encoded payload — sha256 matches
+    * Spark's `sha2(payload, 256)` lowercase-hex convention. */
+  def resizePpm(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, "target dims must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("payload"),
+        col("meta.source").as("source"))
+      .as[(Long, String, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, kind, payload, source) =>
+        val out = resizePpmImage(payload, outW, outH).getOrElse(payload)
+        // null payload stays null (meta mirrors fromText on a null: len 0,
+        // null digest — Spark's sha2(NULL) is NULL too)
+        val sha = if (out == null) null
+          else java.security.MessageDigest.getInstance("SHA-256")
+            .digest(out).map("%02x".format(_)).mkString
+        MediaRow(id, kind, out,
+          MediaMeta(if (out == null) 0L else out.length.toLong, sha, source))
+      })
+      .toDF()
+  }
+
+  private[graft] def resizePpmImage(b: Array[Byte], outW: Int,
+                                    outH: Int): Option[Array[Byte]] =
+    parsePpmHeader(b).map { case (w, h, maxval, off) =>
+      val w2 = math.min(outW, w)
+      val h2 = math.min(outH, h)
+      val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
+      val plane = new Array[Byte](w2 * h2 * 3)
+      var y2 = 0
+      while (y2 < h2) {
+        val ys = y2 * h / h2; val ye = (y2 + 1) * h / h2
+        var x2 = 0
+        while (x2 < w2) {
+          val xs = x2 * w / w2; val xe = (x2 + 1) * w / w2
+          val cnt = (ye - ys).toLong * (xe - xs)
+          var c = 0
+          while (c < 3) {
+            var sum = 0L
+            var y = ys
+            while (y < ye) {
+              var x = xs
+              while (x < xe) {
+                sum += b(off + (y.toLong * w + x).toInt * 3 + c) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            plane((y2 * w2 + x2) * 3 + c) =
+              ((2 * sum + cnt) / (2 * cnt)).toByte // mean, half-up, integer
+            c += 1
+          }
+          x2 += 1
+        }
+        y2 += 1
+      }
+      header ++ plane
+    }
 
   /** Build REAL YUV4MPEG2 (Y4M) video streams from the payload bytes — the
     * honest video corpus for [[decodeY4mFrames]], completing the

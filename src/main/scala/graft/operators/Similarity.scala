@@ -1151,4 +1151,45 @@ object Similarity {
                     minMargin: Double, nProbe: Int): DataFrame =
     bitextMarginPairs(searchIvf(indexY, xs, k, nProbe),
       searchIvf(indexX, ys, k, nProbe), minMargin)
+
+  /** Index-routed Matryoshka recall — the corpus-scale path
+    * [[matryoshkaRecall]]'s doc promises: per-dim rankings come from
+    * [[searchIvf]] probes of PER-DIM truncated indexes (the deployment
+    * persists one index per candidate serving dimension at ingest) instead
+    * of corpus-linear brute scans, so each dim's cost is cell-local. The
+    * full-dim baseline probes `fullIndex` at `nProbeFull`; recall semantics
+    * are identical to the brute operator when every cell is probed
+    * (nProbe = the index's nLists), asserted in SimilaritySpec.
+    *
+    * `dimIndexes` maps truncation dim m -> an index built over
+    * `slice(embedding, 1, m)` of the same corpus; queries are truncated in
+    * here to match. The full-dim top-k frame roots one consumer PER dim, so
+    * it is persisted, materialized, and pinned into the caller's
+    * [[graft.core.CacheScope]] — it is (queries x k)-bounded, never
+    * corpus-bounded. */
+  def matryoshkaRecallIvf(fullIndex: IvfIndex, dimIndexes: Seq[(Int, IvfIndex)],
+                          queries: DataFrame, k: Int, nProbe: Int,
+                          nProbeFull: Int,
+                          scope: graft.core.CacheScope.Handle =
+                            graft.core.CacheScope.detached): DataFrame = {
+    require(dimIndexes.nonEmpty, "need at least one truncation dim")
+    val full = scope.pin(
+      searchIvf(fullIndex, queries, k, nProbeFull)
+        .select(col("query_id"), col("nbr_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    full.count() // one consumer per probed dim — materialize before fan-out
+    val qids = queries.select(col("vec_id").as("query_id"))
+    dimIndexes.map { case (m, idx) =>
+      val tq = queries.select(col("vec_id"),
+        slice(col("embedding"), 1, m).as("embedding"))
+      val hits = searchIvf(idx, tq, k, nProbe)
+        .select(col("query_id"), col("nbr_id"))
+        .join(full, Seq("query_id", "nbr_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).cast("long").as("n_hits"))
+      qids.join(hits, Seq("query_id"), "left")
+        .select(lit(m).as("m"), col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / k).as("recall"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -910,6 +910,60 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getInt(0) == 224 && r.getInt(1) == 224 && r.getLong(2) > 0)
   }
 
+  test("resizePpmImage: exact box means, half-up rounding, uneven boxes, clamps") {
+    import graft.operators.Multimodal.resizePpmImage
+    // 4x4, channel value = 16*y + x for r, +100 for g, +200 for b (mod 256)
+    def px(y: Int, x: Int) = Array((16 * y + x), (16 * y + x + 100), (16 * y + x + 200))
+    val plane44 = (for (y <- 0 until 4; x <- 0 until 4; v <- px(y, x))
+      yield (v % 256).toByte).toArray
+    val img44 = "P6\n4 4\n255\n".getBytes("US-ASCII") ++ plane44
+    val out = resizePpmImage(img44, 2, 2).get
+    assert(new String(out.take(11), "US-ASCII") == "P6\n2 2\n255\n")
+    // box (0,0) = pixels (0,0)(0,1)(1,0)(1,1): r mean = (0+1+16+17)/4 = 8.5 -> 9
+    val p = out.drop(11).map(_ & 0xff)
+    assert(p(0) == 9 && p(1) == 109 && p(2) == 209)   // half-up at .5
+    // box (1,1) = pixels (2,2)(2,3)(3,2)(3,3): r mean = (34+35+50+51)/4 = 42.5 -> 43
+    assert(p(9) == 43 && p(10) == 143 && p(11) == 243)
+    // 4x3 -> 2x2: uneven y-boxes [0,1) and [1,3) (floor-division spans)
+    val plane43 = (for (y <- 0 until 3; x <- 0 until 4; v <- px(y, x))
+      yield (v % 256).toByte).toArray
+    val img43 = "P6\n4 3\n255\n".getBytes("US-ASCII") ++ plane43
+    val p43 = resizePpmImage(img43, 2, 2).get.drop(11).map(_ & 0xff)
+    assert(p43(0) == 1)                  // rows [0,1): (0+1)/2 = 0.5 -> 1
+    assert(p43(6) == 25)                 // rows [1,3): (16+17+32+33)/4 = 24.5 -> 25
+    // upsample clamps to source dims: 4x4 at target 8x8 stays 4x4 unchanged
+    val same = resizePpmImage(img44, 8, 8).get
+    assert(same.sameElements(img44))
+    // malformed input is None (caller passes the payload through)
+    assert(resizePpmImage("P5\nx".getBytes("US-ASCII"), 2, 2).isEmpty)
+    assert(resizePpmImage(null, 2, 2).isEmpty)
+  }
+
+  test("resizePpm: resampled payload round-trips decode; meta refreshed; fail-soft") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+    val media = Multimodal.encodePpm(
+      Multimodal.fromText(docs, "doc_id", "text", "source"))
+    val resized = Multimodal.resizePpm(media, 2, 2)
+    // meta describes the NEW payload bit-for-bit (sha matches Spark's sha2)
+    val metaOk = resized.select(col("media_id"),
+        (col("meta.byte_len") === length(col("payload")).cast("long")).as("len_ok"),
+        (col("meta.sha256") === sha2(col("payload"), 256)).as("sha_ok"))
+      .collect()
+    assert(metaOk.nonEmpty && metaOk.forall(r => r.getBoolean(1) && r.getBoolean(2)))
+    val feats = Multimodal.decodePpmFeatures(resized).collect()
+    assert(feats.forall(_.getAs[Boolean]("is_valid")))
+    assert(feats.forall(r => r.getAs[Int]("width") == 2 &&
+      r.getAs[Int]("height") <= 2))
+    // a non-PPM payload passes through unchanged (fail-soft), meta refreshed
+    val raw = Multimodal.fromText(docs.limit(2), "doc_id", "text", "source")
+    val thr = Multimodal.resizePpm(raw, 2, 2)
+      .select(col("media_id"), col("payload").as("out_payload"))
+      .join(raw.select(col("media_id"), col("payload")), Seq("media_id"))
+      .select((col("out_payload") === col("payload")).as("same"))
+      .collect()
+    assert(thr.nonEmpty && thr.forall(_.getBoolean(0)))
+  }
+
   test("decode cap bounds the scan blowup: oversize payload == its capped prefix") {
     val docs = Tables.documents(spark, sf).limit(5)
     val media = Multimodal.fromText(docs, "doc_id", "text", "source")
@@ -1231,6 +1285,27 @@ class SimilaritySpec extends SparkSpec {
     // 2 dims of 64 loses information: mean recall strictly below 1
     val m2 = out.collect { case ((m, _), r) if m == 2 => r }
     assert(m2.sum / m2.size < 1.0)
+  }
+
+  test("matryoshkaRecallIvf at nProbe = nLists equals brute matryoshkaRecall") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val dims = Seq(8, 32)
+    val idxs = dims.map(m => m -> Similarity.buildIvf(
+      emb.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding")),
+      nLists = 4, seed = 42L))
+    val fullIdx = Similarity.buildIvf(emb, nLists = 4, seed = 42L)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("m", "query_id").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+      val brute = rows(Similarity.matryoshkaRecall(emb,
+        emb.filter(col("vec_id") < 4), k = 5, dims))
+      val ivf = rows(Similarity.matryoshkaRecallIvf(fullIdx, idxs,
+        emb.filter(col("vec_id") < 4), k = 5, nProbe = 4, nProbeFull = 4))
+      assert(brute.nonEmpty && ivf == brute,
+        s"ivf (${ivf.length}) != brute (${brute.length})")
+    } finally spark.catalog.clearCache()
   }
 
   test("bitextMineIvf at nProbe = nLists equals brute bitextMine") {
