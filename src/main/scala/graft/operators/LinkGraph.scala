@@ -67,7 +67,41 @@ object LinkGraph {
                orderIndependent: Boolean = true,
                scope: graft.core.CacheScope.Handle =
                  graft.core.CacheScope.detached): DataFrame =
-    pageRankLoop(edges, iters, damping, orderIndependent, scope, teleport = None)
+    pageRankLoop(weightedEdges(edges), iters, damping, orderIndependent,
+      scope, teleport = None)
+
+  /** The weighted-edge STATE a crawl frontier maintains between ranking
+    * runs: (src, dst, weight) with weight = occurrence count. One shuffle;
+    * the frame is domain-PAIR-bounded — orders of magnitude smaller than
+    * the crawl it summarizes, and the only thing [[pageRankWeighted]] needs
+    * to re-rank. */
+  def weightedEdges(edges: DataFrame): DataFrame =
+    edges.groupBy("src", "dst").agg(count(lit(1)).cast("long").as("weight"))
+
+  /** Edge-append increment for the maintained state: fold a NEW batch of
+    * raw edges (a crawl wave's outlinks) into an existing weighted state.
+    * Counts add, so `merge(weighted(a), b) == weighted(a ∪ b)` exactly —
+    * which is what makes incremental re-ranking hash-equal to a full
+    * recompute on the merged edge set (the `q_dedup_*_increment` contract).
+    * One shuffle on (src, dst); the delta aggregates map-side before it
+    * ever meets the state. */
+  def mergeWeightedEdges(state: DataFrame, deltaEdges: DataFrame): DataFrame =
+    state.unionByName(weightedEdges(deltaEdges))
+      .groupBy("src", "dst").agg(sum("weight").cast("long").as("weight"))
+
+  /** PageRank over a maintained weighted-edge state — the incremental
+    * re-rank path: a frontier appends edges via [[mergeWeightedEdges]] and
+    * re-ranks from the merged state, skipping the full-corpus edge
+    * extraction/aggregation pass (at crawl scale: the pass that reads every
+    * fetched page again). Iteration arithmetic is identical to
+    * [[pageRank]], so ranks are bit-equal to a recompute over the merged
+    * edge list. */
+  def pageRankWeighted(weighted: DataFrame, iters: Int, damping: Double = 0.85,
+                       orderIndependent: Boolean = true,
+                       scope: graft.core.CacheScope.Handle =
+                         graft.core.CacheScope.detached): DataFrame =
+    pageRankLoop(weighted, iters, damping, orderIndependent, scope,
+      teleport = None)
 
   /** PERSONALIZED PageRank — the focused-crawl variant: the teleport
     * distribution concentrates on `seeds` (node, weight; weights should sum
@@ -82,16 +116,15 @@ object LinkGraph {
                            orderIndependent: Boolean = true,
                            scope: graft.core.CacheScope.Handle =
                              graft.core.CacheScope.detached): DataFrame =
-    pageRankLoop(edges, iters, damping, orderIndependent, scope,
-      teleport = Some(seeds.select(col("node"), col("weight"))))
+    pageRankLoop(weightedEdges(edges), iters, damping, orderIndependent,
+      scope, teleport = Some(seeds.select(col("node"), col("weight"))))
 
-  private def pageRankLoop(edges: DataFrame, iters: Int, damping: Double,
+  private def pageRankLoop(weighted: DataFrame, iters: Int, damping: Double,
                            orderIndependent: Boolean,
                            scope: graft.core.CacheScope.Handle,
                            teleport: Option[DataFrame]): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val w = edges.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
-      .persist()
+    val w = weighted.persist()
     val nodes0 = w.select(col("src").as("node"))
       .union(w.select(col("dst").as("node"))).distinct()
     // per-node teleport mass: uniform 1/n, or the seed weights (0 elsewhere)

@@ -5165,6 +5165,118 @@ object DocQueries {
         |    + CAST(0.01 AS DOUBLE) / k, 6) AS w_updated
         |FROM tm CROSS JOIN zz ORDER BY source""".stripMargin)),
 
+    // ---- Selection capstone (round 15): the DSIR/DoReMi-style
+    //      data-selection pipeline END TO END, composing the round-14
+    //      selection family whose stages were individually gated but never
+    //      chained: (1) RHO-1 selective tokens score every doc's token
+    //      stream against the in-domain (src0-2) vs general (:lm1) model
+    //      pair and keep the top 30 % per doc; (2) DoReMi reweights the
+    //      SOURCES from the same model pair's per-domain excess loss;
+    //      (3) the DoReMi weights drive a token-budget mixture plan over
+    //      the RHO-KEPT token mass (not raw tokens — selection changed the
+    //      cost of every doc), realized to epoch-tagged doc copies;
+    //      (4) the realized corpus is split leak-free by content group
+    //      (every copy of a duplicated text lands in one split). Summary
+    //      rows pin replication (id_sum weights each copy by epoch+1), so
+    //      a drift in ANY stage — token ranks, domain weights, plan
+    //      arithmetic, copy sampling, split hashing — hash-fails.
+    "q_pipeline_select_v2" -> Q(
+      (s, d) => {
+        import graft.operators.{LanguageModel, Sampling}
+        val docs = docsP(s, d)
+        val targetRef = docs.filter(col("source").isin("src0", "src1", "src2"))
+        val generalRef = docs.filter(
+          Sampling.split(col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        val sel = LanguageModel.selectiveTokens(docs, "doc_id", "text",
+            targetRef, generalRef,
+            vocabCap = 256, bigramCap = 2048, keepFrac = 0.3)
+          .select(col("doc_id"), col("n_kept"))
+        val wts = LanguageModel.doremiWeights(docs, "doc_id", "text", "source",
+            proxyRef = generalRef, refRef = targetRef,
+            vocabCap = 256, bigramCap = 2048, eta = 1.0, smoothing = 0.01)
+          .select(col("source"), col("w_updated").as("weight"))
+        val dt = docs.select(col("doc_id"), col("source"),
+            md5(col("text")).as("grp"))
+          .join(sel, Seq("doc_id"))
+        val plan = Sampling.mixturePlan(dt, "source", col("n_kept"), wts,
+          budgetTokens = 50000L, maxEpochs = 3.0)
+        val realized = Sampling.realizeMixture(dt, "source", col("doc_id"),
+          plan, salt = ":sv2")
+        Sampling.splitByGroup(realized, col("grp"), 80, 10, salt = ":sv2s")
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_doc_epochs"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum("n_kept").as("n_kept_tokens"),
+            sum(col("doc_id") * (col("epoch") + 1)).as("id_sum"))
+          .orderBy("source", "split")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |${pplCtesWhere(256, 2048,
+          "doc_id IN (SELECT doc_id FROM documents WHERE source IN ('src0', 'src1', 'src2'))",
+          "_t")},
+        |${pplCtes(256, 2048, ":lm1")},
+        |jx AS (SELECT sc_t.doc_id, sc_t.pos,
+        |  CAST(sc_t.lp - sc.lp AS DECIMAL(28,9)) AS excess
+        |  FROM sc_t JOIN sc ON sc.doc_id = sc_t.doc_id AND sc.pos = sc_t.pos),
+        |rk AS (SELECT doc_id, pos, excess,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY excess DESC, pos) AS r,
+        |  count(*) OVER (PARTITION BY doc_id) AS n FROM jx),
+        |ks AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept FROM rk
+        |  WHERE r <= CAST(ceil(0.3 * n) AS BIGINT) GROUP BY 1),
+        |a_r AS (SELECT doc_id,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lp_r
+        |  FROM sc_t GROUP BY 1),
+        |a_p AS (SELECT doc_id,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lp_p
+        |  FROM sc GROUP BY 1),
+        |gp AS (SELECT d.source,
+        |  greatest(CAST(0.0 AS DOUBLE), round(a_r.lp_r - a_p.lp_p, 6)) AS gap
+        |  FROM documents d JOIN a_p ON a_p.doc_id = d.doc_id
+        |  JOIN a_r ON a_r.doc_id = d.doc_id),
+        |pd AS (SELECT source,
+        |  round(CAST(sum(CAST(gap AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6)
+        |    AS excess
+        |  FROM gp GROUP BY 1),
+        |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM pd),
+        |tm AS (SELECT pd.source,
+        |  CAST(round(exp(CAST(1.0 AS DOUBLE) * excess) / k, 9)
+        |    AS DECIMAL(28,9)) AS term, k
+        |  FROM pd CROSS JOIN kk),
+        |zz AS (SELECT sum(term) AS z FROM tm),
+        |wu AS (SELECT source,
+        |  round(CAST(0.99 AS DOUBLE) * (CAST(term AS DOUBLE) / CAST(z AS DOUBLE))
+        |    + CAST(0.01 AS DOUBLE) / k, 6) AS weight
+        |  FROM tm CROSS JOIN zz),
+        |dt AS (SELECT d.doc_id, d.source, md5(d.text) AS grp, ks.n_kept
+        |  FROM documents d JOIN ks ON ks.doc_id = d.doc_id),
+        |c2 AS (SELECT source,
+        |  CAST(sum(greatest(n_kept, 0)) AS BIGINT) AS n_tokens
+        |  FROM dt GROUP BY 1),
+        |wt AS (SELECT sum(CAST(round(weight, 9) AS DECIMAL(28,9))) AS w_tot FROM wu),
+        |wn AS (SELECT source, CAST(CAST(round(weight, 9) AS DECIMAL(28,9)) AS DOUBLE)
+        |    / CAST(w_tot AS DOUBLE) AS target_w FROM wu, wt),
+        |p AS (SELECT c2.source,
+        |  CASE WHEN n_tokens > 0 THEN least(CAST(3.0 AS DOUBLE),
+        |    (target_w * CAST(50000 AS DOUBLE)) / CAST(n_tokens AS DOUBLE))
+        |    ELSE CAST(0.0 AS DOUBLE) END AS epochs
+        |  FROM c2 JOIN wn USING (source)),
+        |r AS (SELECT dt.doc_id, dt.source, dt.grp, dt.n_kept,
+        |  CAST(floor(epochs) AS BIGINT)
+        |    + CASE WHEN CAST(${fp60Sql("CAST(doc_id AS VARCHAR) || ':sv2'")} % 10000
+        |        AS DOUBLE) < (epochs - floor(epochs)) * 10000.0
+        |      THEN 1 ELSE 0 END AS n_copies
+        |  FROM dt JOIN p USING (source)),
+        |e AS (SELECT doc_id, source, grp, n_kept, unnest(range(n_copies)) AS epoch
+        |  FROM r WHERE n_copies > 0),
+        |sp AS (SELECT *, CASE WHEN b < 80 THEN 'train'
+        |    WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        |  FROM (SELECT e.*, ${fp60Sql("grp || ':sv2s'")} % 100 AS b FROM e))
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_doc_epochs,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_kept) AS BIGINT) AS n_kept_tokens,
+        |  CAST(sum(doc_id * (epoch + 1)) AS BIGINT) AS id_sum
+        |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ---- Per-source embedding-centroid drift vs the corpus centroid —
     //      the SEMANTIC sibling of q_text_kl_by_source: cosine between each
     //      source's mean embedding and the global mean, from
@@ -6837,6 +6949,34 @@ object DocQueries {
         |  ('d1', CAST(0.4 AS DOUBLE))),
         |${pageRankCtes(3, personalized = true)}
         |SELECT node AS domain, rank FROM r3 ORDER BY domain""".stripMargin)),
+
+    // ---- INCREMENTAL PageRank (round 15): the crawl-frontier maintenance
+    //      path — the weighted-edge state is built from the first crawl
+    //      wave (doc_id % 7 != 0), a later wave's raw edges fold in via
+    //      mergeWeightedEdges (counts add), and re-ranking runs from the
+    //      merged state WITHOUT re-reading the first wave's documents.
+    //      Because the merged state equals the full edge aggregation
+    //      value-for-value and the iteration arithmetic is shared, the
+    //      result is hash-equal to a full recompute on the merged edge set
+    //      — which is exactly what the oracle computes (the full unrolled
+    //      chain over ALL documents' edges, 4 iterations). The
+    //      increment≡recompute DataFrame identity is additionally pinned
+    //      in LinkGraphSpec.
+    "q_web_pagerank_increment" -> Q(
+      (s, d) => {
+        import graft.operators.LinkGraph
+        val docs = docsP(s, d)
+        val state = LinkGraph.weightedEdges(
+          synthDomainEdges(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)))
+        val merged = LinkGraph.mergeWeightedEdges(state,
+          synthDomainEdges(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
+        LinkGraph.pageRankWeighted(merged, iters = 4,
+            damping = 0.85, orderIndependent = false)
+          .orderBy("domain")
+      },
+      Some(s"""WITH $SynthEdgesSql,
+        |${pageRankCtes(4)}
+        |SELECT node AS domain, rank FROM r4 ORDER BY domain""".stripMargin)),
 
     // ---- HITS hubs & authorities over the same synthetic graph: the
     //      complementary link metric to PageRank for frontier scheduling

@@ -30,6 +30,32 @@ class LinkGraphSpec extends SparkSpec {
     assert(r.size == 3)
   }
 
+  test("incremental edge-append re-rank is bit-equal to full recompute") {
+    // two crawl waves over a shared domain space; wave2 repeats an edge so
+    // the merge must ADD weights, not dedupe them
+    val wave1 = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val wave2 = Seq(("c", "a"), ("a", "b"), ("d", "a")).toDF("src", "dst")
+    val full = wave1.unionByName(wave2)
+    // state maintenance: merge(weighted(w1), w2) == weighted(w1 ∪ w2)
+    val merged = LinkGraph.mergeWeightedEdges(
+      LinkGraph.weightedEdges(wave1), wave2)
+    val direct = LinkGraph.weightedEdges(full)
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("src", "dst").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(triples(merged) == triples(direct))
+    // re-rank from the merged state == recompute from the raw merged edges,
+    // in both fold modes
+    for (oi <- Seq(true, false)) {
+      val inc = LinkGraph.pageRankWeighted(merged, iters = 3,
+          orderIndependent = oi)
+        .orderBy("domain").collect().map(r => (r.getString(0), r.getDouble(1)))
+      val re = LinkGraph.pageRank(full, iters = 3, orderIndependent = oi)
+        .orderBy("domain").collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(inc.nonEmpty && inc.sameElements(re), s"mode oi=$oi diverged")
+    }
+  }
+
   test("production decimal-sum mode equals the ordered-fold gate mode") {
     // a denser deterministic graph incl. parallel edges (weights) and a hub
     val edges = spark.range(0, 400).select(
