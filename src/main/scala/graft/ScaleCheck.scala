@@ -1056,6 +1056,108 @@ object ScaleCheck {
         val emb = Tables.embeddings(spark, d)
         graft.operators.Similarity.matryoshkaRecall(emb,
           emb.filter(col("vec_id") < 8), k = 10, dims = Seq(8, 16, 32))
+      },
+
+      // Matryoshka over per-dim IVF indexes (round 15): same curve, but
+      // each dim's ranking probes nProbe/nLists of its truncated index —
+      // cell-local instead of corpus-linear. Includes the per-dim index
+      // builds (linear scans + sampled k-means). nLists scales with the
+      // replication factor (the dfCut discipline): production sizes the
+      // cell COUNT with the corpus so cell SIZE — and per-query probe cost
+      // at fixed nProbe — stays constant.
+      "matryoshka_ivf" -> { d =>
+        import graft.operators.Similarity
+        val nl = if (d == out) 80 else 8
+        val emb = Tables.embeddings(spark, d)
+        val idxs = Seq(8, 16, 32).map(m => m -> Similarity.buildIvf(
+          emb.select(col("vec_id"), slice(col("embedding"), 1, m).as("embedding")),
+          nLists = nl, seed = 42L))
+        Similarity.matryoshkaRecallIvf(Similarity.buildIvf(emb, nl, 41L), idxs,
+          emb.filter(col("vec_id") < 8), k = 10, nProbe = 2, nProbeFull = 2)
+      },
+
+      // Dual-index bitext mining (round 15): each direction probes the
+      // OTHER side's index — candidates are cell-joined, neither side
+      // broadcast; includes both index builds. nLists scales with the
+      // corpus (constant cell size — see matryoshka_ivf); the query SIDES
+      // still scale 10x, so the expected ratio is ~10x query rows x
+      // constant per-query probe cost on fixed cores.
+      "bitext_ivf" -> { d =>
+        import graft.operators.Similarity
+        val nl = if (d == out) 80 else 8
+        val emb = Tables.embeddings(spark, d)
+        val xs = emb.filter(col("vec_id") % 2 === 0)
+        val ys = emb.filter(col("vec_id") % 2 === 1)
+        Similarity.bitextMineIvf(
+          Similarity.buildIvf(xs, nLists = nl, seed = 42L),
+          Similarity.buildIvf(ys, nLists = nl, seed = 43L),
+          xs, ys, k = 4, minMargin = 1.05, nProbe = 2)
+      },
+
+      // Box-filter PPM resize (round 15): encode -> real resample ->
+      // decode, all partition-local typed maps, zero shuffle end to end
+      "ppm_resize" -> { d =>
+        import graft.operators.Multimodal
+        Multimodal.decodePpmFeatures(Multimodal.resizePpm(
+          Multimodal.encodePpm(Multimodal.fromText(
+            Tables.documents(spark, d), "doc_id", "text", "source")),
+          outW = 2, outH = 2))
+      },
+
+      // Incremental PageRank (round 15): one (src,dst) state-merge shuffle
+      // + the shared iteration loop over the domain-pair-bounded merged
+      // state — wave-1 documents are never re-read
+      "pagerank_increment" -> { d =>
+        import graft.operators.LinkGraph
+        def dom(e: org.apache.spark.sql.Column) =
+          concat(lit("d"), e.cast("string"))
+        def mk(df: DataFrame) = df.select(
+          dom(col("doc_id") % 20).as("src"),
+          explode(array(dom((col("doc_id") * 7 + 3) % 20),
+            dom((col("doc_id") * 13 + 5) % 20),
+            dom(col("doc_id") % 4))).as("dst"))
+        val docs = Tables.documents(spark, d)
+        val state = LinkGraph.weightedEdges(
+          mk(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)))
+        val merged = LinkGraph.mergeWeightedEdges(state,
+          mk(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
+        LinkGraph.pageRankWeighted(merged, iters = 4)
+      },
+
+      // Selection capstone chain (round 15): one shared LM pair, RHO-1
+      // token filter + DoReMi weights + mixture realization + leak-free
+      // group split — the q_pipeline_select_v2 composition
+      "select_chain" -> { d =>
+        import graft.operators.{LanguageModel, Sampling}
+        val docs = Tables.documents(spark, d)
+        val lmT = LanguageModel.trainBigramLm(
+          docs.filter(col("source").isin("src0", "src1", "src2")),
+          "doc_id", "text", vocabCap = 256, bigramCap = 2048)
+        val lmG = LanguageModel.trainBigramLm(
+          docs.filter(Sampling.split(col("doc_id"), 80, 10, salt = ":lm1") === "train"),
+          "doc_id", "text", vocabCap = 256, bigramCap = 2048)
+        val scored = LanguageModel.dualTokenScores(docs, "doc_id", "text",
+            lmT, lmG)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        scored.count()
+        val sel = LanguageModel.selectiveTokensScored(scored, keepFrac = 0.3)
+          .select(col("doc_id"), col("n_kept"))
+        val wts = LanguageModel.doremiWeightsScored(docs, "doc_id", "source",
+            scored, eta = 1.0, smoothing = 0.01)
+          .select(col("source"), col("w_updated").as("weight"))
+        val dt = docs.select(col("doc_id"), col("source"),
+            md5(col("text")).as("grp"))
+          .join(sel, Seq("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dt.count()
+        val plan = Sampling.mixturePlan(dt, "source", col("n_kept"), wts,
+          budgetTokens = 50000L, maxEpochs = 3.0)
+        Sampling.splitByGroup(
+            Sampling.realizeMixture(dt, "source", col("doc_id"), plan,
+              salt = ":sv2"),
+            col("grp"), 80, 10, salt = ":sv2s")
+          .groupBy("source", "split")
+          .agg(count(lit(1)).as("n_doc_epochs"), sum("n_kept").as("n_kept_tokens"))
       })
 
     // optional arg: comma-separated substrings — run only matching cases

@@ -319,17 +319,45 @@ object LanguageModel {
   def selectiveTokens(docs: DataFrame, idCol: String, textCol: String,
                       targetRef: DataFrame, generalRef: DataFrame,
                       vocabCap: Int, bigramCap: Int,
-                      keepFrac: Double): DataFrame = {
+                      keepFrac: Double): DataFrame =
+    selectiveTokensLm(docs, idCol, textCol,
+      trainBigramLm(targetRef, idCol, textCol, vocabCap, bigramCap),
+      trainBigramLm(generalRef, idCol, textCol, vocabCap, bigramCap),
+      keepFrac)
+
+  /** [[selectiveTokens]] against PRE-TRAINED models — the train-once /
+    * score-many deployment shape: a selection pipeline trains its
+    * in-domain and general models once per corpus snapshot and feeds the
+    * same pair to every stage that scores against it (token selection,
+    * DoReMi reweighting, CE selection), instead of re-running the
+    * corpus-scale training scans per stage. */
+  def selectiveTokensLm(docs: DataFrame, idCol: String, textCol: String,
+                        lmT: BigramLm, lmG: BigramLm,
+                        keepFrac: Double): DataFrame =
+    selectiveTokensScored(dualTokenScores(docs, idCol, textCol, lmT, lmG),
+      keepFrac)
+
+  /** Per-token DUAL-model scores — score once, consume many: (doc_id, pos,
+    * lp_t, lp_g), one row per token position (both models score every
+    * position — OOV folds to the unk row, it is never dropped — so the
+    * position join is lossless). A selection pipeline computes this frame
+    * ONCE (persisting it via the caller's CacheScope if it roots several
+    * consumers) and feeds BOTH the RHO-1 token filter
+    * ([[selectiveTokensScored]]) and the DoReMi reweighting
+    * ([[doremiWeightsScored]]) — two corpus-scale scoring scans total,
+    * instead of the four that separate Lm-operator calls pay. */
+  def dualTokenScores(docs: DataFrame, idCol: String, textCol: String,
+                      lmT: BigramLm, lmG: BigramLm): DataFrame =
+    tokenLogProbs(docs, idCol, textCol, lmT).withColumnRenamed("lp", "lp_t")
+      .join(tokenLogProbs(docs, idCol, textCol, lmG)
+        .withColumnRenamed("lp", "lp_g"), Seq("doc_id", "pos"))
+
+  /** [[selectiveTokens]] from a pre-scored [[dualTokenScores]] frame. */
+  def selectiveTokensScored(scored: DataFrame, keepFrac: Double): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val lmT = trainBigramLm(targetRef, idCol, textCol, vocabCap, bigramCap)
-    val lmG = trainBigramLm(generalRef, idCol, textCol, vocabCap, bigramCap)
-    val t = tokenLogProbs(docs, idCol, textCol, lmT)
-      .withColumnRenamed("lp", "lp_t")
-    val g = tokenLogProbs(docs, idCol, textCol, lmG)
-      .withColumnRenamed("lp", "lp_g")
     val wDoc = Window.partitionBy("doc_id")
-    val ranked = t.join(g, Seq("doc_id", "pos"))
+    val ranked = scored
       .withColumn("excess", (col("lp_t") - col("lp_g")).cast("decimal(28,9)"))
       .withColumn("__r", row_number().over(
         wDoc.orderBy(col("excess").desc, col("pos"))))
@@ -370,13 +398,49 @@ object LanguageModel {
                     eta: Double, smoothing: Double): DataFrame = {
     require(eta > 0.0, "eta must be positive")
     require(smoothing >= 0.0 && smoothing < 1.0, "smoothing must be in [0, 1)")
-    val p = perplexityAgainst(docs, proxyRef, idCol, textCol, vocabCap, bigramCap)
+    doremiWeightsLm(docs, idCol, textCol, sourceCol,
+      trainBigramLm(proxyRef, idCol, textCol, vocabCap, bigramCap),
+      trainBigramLm(refRef, idCol, textCol, vocabCap, bigramCap),
+      eta, smoothing)
+  }
+
+  /** [[doremiWeights]] against PRE-TRAINED proxy/reference models — see
+    * [[selectiveTokensLm]] for the train-once rationale; a selection
+    * capstone shares ONE (in-domain, general) model pair across its token
+    * filter and its domain reweighting. */
+  def doremiWeightsLm(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String, lmProxy: BigramLm, lmRef: BigramLm,
+                      eta: Double, smoothing: Double): DataFrame = {
+    val p = perplexity(docs, idCol, textCol, lmProxy)
       .select(col("doc_id"), col("avg_logp").as("lp_p"))
-    val r = perplexityAgainst(docs, refRef, idCol, textCol, vocabCap, bigramCap)
+    val r = perplexity(docs, idCol, textCol, lmRef)
       .select(col("doc_id"), col("avg_logp").as("lp_r"))
+    doremiFromDocScores(docs, idCol, sourceCol, p.join(r, Seq("doc_id")),
+      eta, smoothing)
+  }
+
+  /** [[doremiWeights]] from a pre-scored [[dualTokenScores]] frame (lp_t =
+    * the REFERENCE model, lp_g = the PROXY): per-doc averages fold from the
+    * shared frame in ONE aggregation with the same round-6 contract as
+    * [[perplexity]], so the result is bit-identical to the ref-trained
+    * path. */
+  def doremiWeightsScored(docs: DataFrame, idCol: String, sourceCol: String,
+                          scored: DataFrame, eta: Double,
+                          smoothing: Double): DataFrame =
+    doremiFromDocScores(docs, idCol, sourceCol,
+      scored.groupBy("doc_id").agg(
+        round(sum("lp_g").cast("double") / count(lit(1)), 6).as("lp_p"),
+        round(sum("lp_t").cast("double") / count(lit(1)), 6).as("lp_r")),
+      eta, smoothing)
+
+  private def doremiFromDocScores(docs: DataFrame, idCol: String,
+                                  sourceCol: String, scores: DataFrame,
+                                  eta: Double, smoothing: Double): DataFrame = {
+    require(eta > 0.0, "eta must be positive")
+    require(smoothing >= 0.0 && smoothing < 1.0, "smoothing must be in [0, 1)")
     val gap = greatest(lit(0.0), round(col("lp_r") - col("lp_p"), 6))
     val perDomain = docs.select(col(idCol).as("doc_id"), col(sourceCol))
-      .join(p, Seq("doc_id")).join(r, Seq("doc_id"))
+      .join(scores, Seq("doc_id"))
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(gap.cast("decimal(28,6)")).as("__gapSum"))

@@ -5187,17 +5187,32 @@ object DocQueries {
         val targetRef = docs.filter(col("source").isin("src0", "src1", "src2"))
         val generalRef = docs.filter(
           Sampling.split(col("doc_id"), 80, 10, salt = ":lm1") === "train")
-        val sel = LanguageModel.selectiveTokens(docs, "doc_id", "text",
-            targetRef, generalRef,
-            vocabCap = 256, bigramCap = 2048, keepFrac = 0.3)
+        // ONE (in-domain, general) model pair and ONE dual-scoring pass,
+        // shared by both selection stages — train-once / score-once
+        // (unshared, the chain pays four model trainings and four
+        // corpus-scale scoring scans instead of two and two). The scored
+        // frame roots two consumers, so it is persisted + materialized.
+        val lmT = LanguageModel.trainBigramLm(targetRef, "doc_id", "text",
+          vocabCap = 256, bigramCap = 2048)
+        val lmG = LanguageModel.trainBigramLm(generalRef, "doc_id", "text",
+          vocabCap = 256, bigramCap = 2048)
+        val scored = LanguageModel.dualTokenScores(docs, "doc_id", "text",
+            lmT, lmG)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        scored.count()
+        val sel = LanguageModel.selectiveTokensScored(scored, keepFrac = 0.3)
           .select(col("doc_id"), col("n_kept"))
-        val wts = LanguageModel.doremiWeights(docs, "doc_id", "text", "source",
-            proxyRef = generalRef, refRef = targetRef,
-            vocabCap = 256, bigramCap = 2048, eta = 1.0, smoothing = 0.01)
+        val wts = LanguageModel.doremiWeightsScored(docs, "doc_id", "source",
+            scored, eta = 1.0, smoothing = 0.01)
           .select(col("source"), col("w_updated").as("weight"))
+        // dt roots TWO consumers (the plan's per-source aggregation and the
+        // realization join) and sits downstream of the RHO-1 rank window —
+        // unpinned, the whole selection chain runs twice. Doc-bounded.
         val dt = docs.select(col("doc_id"), col("source"),
             md5(col("text")).as("grp"))
           .join(sel, Seq("doc_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        dt.count()
         val plan = Sampling.mixturePlan(dt, "source", col("n_kept"), wts,
           budgetTokens = 50000L, maxEpochs = 3.0)
         val realized = Sampling.realizeMixture(dt, "source", col("doc_id"),

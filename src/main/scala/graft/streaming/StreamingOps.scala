@@ -344,6 +344,65 @@ object StreamingOps {
           graft.operators.Similarity.appendIvf(index, batch.toDF(), dir)
       }
 
+  /** Streaming LINK-STATE maintenance — the live twin of
+    * [[graft.operators.LinkGraph.mergeWeightedEdges]]: each micro-batch of
+    * raw (src, dst) outlink edges (a crawl wave's fetch results) aggregates
+    * map-side to batch-level (src, dst, weight) deltas and APPENDS them to
+    * the state log at `dir`. Because edge counts add, [[loadLinkState]]'s
+    * fold of the log equals `weightedEdges` over every edge ever streamed —
+    * so re-ranking from the loaded state is bit-equal to batch PageRank on
+    * the union (stream ≡ batch, pinned in StreamingSpec), the
+    * `q_web_pagerank_increment` contract at a live seam.
+    *
+    * Per-batch cost is batch-bounded (one partial-agg groupBy + a parquet
+    * append touching no existing files); the fold at rank time is
+    * state-log-bounded, and a periodic compaction (rewrite the folded
+    * state, the [[graft.operators.Similarity.compactIvf]] shape) keeps the
+    * log short on long horizons. Same at-least-once caveat as
+    * [[ivfIngest]]: a replayed micro-batch appends duplicate deltas —
+    * exactly-once deployments fence on batchId or compact with dedup. */
+  def linkStateIngest(edges: DataFrame,
+                      dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    edges.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.LinkGraph.weightedEdges(batch.toDF())
+            .write.mode("append").parquet(dir)
+      }
+
+  /** Fold the [[linkStateIngest]] delta log into the current weighted-edge
+    * state — the frame [[graft.operators.LinkGraph.pageRankWeighted]]
+    * re-ranks from. */
+  def loadLinkState(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("src", "dst").agg(sum("weight").cast("long").as("weight"))
+
+  /** Rewrite the delta log as its fold — one row per (src, dst) — via a
+    * temp-dir swap (an overwrite cannot read its own input; same
+    * delete-then-rename window and recovery contract as
+    * [[graft.operators.Similarity.compactIvf]]: if the process dies between
+    * delete and rename, the compacted state survives complete in the temp
+    * dir and the swap is re-runnable). Run on the cadence appends dictate;
+    * [[loadLinkState]] output is identical before and after (pinned in
+    * StreamingSpec), only the log length changes. */
+  def compactLinkState(spark: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir/__compacting"
+    loadLinkState(spark, dir).repartition(col("src"))
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    // swap: replace the log's data files with the fold, keeping the dir
+    fs.listStatus(dst).filter(_.getPath.getName != "__compacting")
+      .foreach(st => fs.delete(st.getPath, true))
+    fs.listStatus(src)
+      .foreach(st => fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(dst, st.getPath.getName)))
+    fs.delete(src, true): Unit
+  }
+
   /** Streaming SEMANTIC decontamination — the live twin of
     * [[graft.operators.Decontaminate.semanticFlags]]: each micro-batch's
     * embeddings are scored against the STATIC benchmark embedding frame

@@ -196,6 +196,38 @@ class LanguageModelSpec extends SparkSpec {
     assert(out("legal")._3 > out("weather")._3)
   }
 
+  test("score-once selection path is bit-equal to the per-operator paths") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "party agrees terms party agrees", "legal"),
+      (2L, "party terms agrees rain terms", "legal"),
+      (3L, "rain falls on the hills", "weather"),
+      (4L, "the hills see rain and wind", "weather"))
+      .toDF("doc_id", "text", "source")
+    val target = docs.filter($"source" === "legal")
+    val general = docs.filter($"source" === "weather")
+    val lmT = LanguageModel.trainBigramLm(target, "doc_id", "text", 64, 256)
+    val lmG = LanguageModel.trainBigramLm(general, "doc_id", "text", 64, 256)
+    val scored = LanguageModel.dualTokenScores(docs, "doc_id", "text", lmT, lmG)
+      .persist()
+    try {
+      val selA = LanguageModel.selectiveTokens(docs, "doc_id", "text",
+          target, general, vocabCap = 64, bigramCap = 256, keepFrac = 0.5)
+        .orderBy("doc_id").collect().toSeq
+      val selB = LanguageModel.selectiveTokensScored(scored, keepFrac = 0.5)
+        .orderBy("doc_id").collect().toSeq
+      assert(selA.nonEmpty && selB == selA)
+      val dorA = LanguageModel.doremiWeights(docs, "doc_id", "text", "source",
+          proxyRef = general, refRef = target, vocabCap = 64, bigramCap = 256,
+          eta = 1.0, smoothing = 0.01)
+        .orderBy("source").collect().toSeq
+      val dorB = LanguageModel.doremiWeightsScored(docs, "doc_id", "source",
+          scored, eta = 1.0, smoothing = 0.01)
+        .orderBy("source").collect().toSeq
+      assert(dorA.nonEmpty && dorB == dorA)
+    } finally { scored.unpersist(): Unit }
+  }
+
   test("empty and null texts produce no score row; self-scored ref is most fluent") {
     import spark.implicits._
     val lm = LanguageModel.trainBigramLm(refDocs, "doc_id", "text",

@@ -739,6 +739,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming link-state ingest: folded log re-rank equals batch PageRank") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.LinkGraph
+    // two crawl waves; wave 2 repeats an edge so the fold must ADD weights
+    val wave1 = Seq(("a", "b"), ("a", "c"), ("b", "c"))
+    val wave2 = Seq(("c", "a"), ("a", "b"), ("d", "a"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_link_stream").toString + "/state"
+    try {
+      val mem = MemoryStream[(String, String)]
+      val edges = mem.toDF().toDF("src", "dst")
+      val q = StreamingOps.linkStateIngest(edges, dir).start()
+      try {
+        mem.addData(wave1: _*)
+        q.processAllAvailable()
+        mem.addData(wave2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val ranksStream = LinkGraph.pageRankWeighted(
+          StreamingOps.loadLinkState(s, dir), iters = 3)
+        .orderBy("domain").collect().map(r => (r.getString(0), r.getDouble(1)))
+      val ranksBatch = LinkGraph.pageRank(
+          (wave1 ++ wave2).toDF("src", "dst"), iters = 3)
+        .orderBy("domain").collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(ranksStream.nonEmpty && ranksStream.sameElements(ranksBatch))
+      // compaction rewrites the log as its fold: state identical, one row
+      // per distinct (src, dst) — the repeated a->b edge proves the ADD
+      val before = StreamingOps.loadLinkState(s, dir).orderBy("src", "dst")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      StreamingOps.compactLinkState(s, dir)
+      val after = StreamingOps.loadLinkState(s, dir).orderBy("src", "dst")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      assert(after == before)
+      assert(after.exists { case (a, b, w) => a == "a" && b == "b" && w == 2L })
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir).getParentFile)
+  }
+
   test("streaming perplexity equals batch scoring once windows close") {
     import graft.operators.LanguageModel
     val s = spark
