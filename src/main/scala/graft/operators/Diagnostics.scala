@@ -463,4 +463,133 @@ object Diagnostics {
     }
     rows.reduce(_ unionByName _)
   }
+
+  /** EXACT rank-based quantiles of an integer-valued column — the
+    * sequence-length distribution a pipeline reads before picking packing
+    * budgets, truncation caps, and batch buckets. The `q`-quantile is the
+    * smallest value whose cumulative count reaches `ceil(q·n)` (rank
+    * semantics, no interpolation — so the answer is an OBSERVED value and
+    * every intermediate is an integer, bit-reproducible on any engine;
+    * `percentile_approx`-style sketches trade that away).
+    *
+    * Scale shape: one shuffle folds the corpus to its distinct-value
+    * counts (bounded by the value range — sequence lengths, not documents);
+    * cumulative counts use the engine's two-phase sharded-cumsum shape
+    * ([[ClassifierEval.binaryMetricsBy]]): percentile shard thresholds
+    * over the DISTINCT-VALUE frame (exactness needs only monotone shard
+    * ranges), per-shard offsets (shards-bounded), windows only over shard
+    * slices — never a corpus-scale partition. Count cells are mergeable
+    * (they add), so per-shard partial sketches compose across 100 TB
+    * splits. Answer extraction is a broadcast range join of the
+    * |qs|-sized target frame against the distinct-value frame.
+    *
+    * Output: (q, rank_target, value, n) ordered by q. */
+  def exactQuantiles(df: DataFrame, value: Column, qs: Seq[Double],
+                     shards: Int = 8): DataFrame =
+    exactQuantilesFromCounts(
+      df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
+        .groupBy("v").agg(count(lit(1)).as("cnt")),
+      qs, shards)
+
+  /** [[exactQuantiles]] over a PRE-FOLDED (v, cnt) distinct-value count
+    * frame — the entry point for composed gates that read the length
+    * distribution more than once (quantiles + a truncation audit): fold the
+    * corpus to counts ONCE, pin the value-bounded result, and feed every
+    * consumer from it instead of re-tokenizing per branch. */
+  def exactQuantilesFromCounts(c: DataFrame, qs: Seq[Double],
+                               shards: Int = 8): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    require(shards > 1, "shards must be > 1")
+    import org.apache.spark.sql.expressions.Window
+    val spark = c.sparkSession
+    import spark.implicits._
+    val ths = c.agg(percentile(col("v"), lit(1.0 / shards)).as("__t1"),
+      (2 until shards).map(i =>
+        percentile(col("v"), lit(i.toDouble / shards)).as(s"__t$i")): _*)
+    val shard = (1 until shards)
+      .map(i => when(col("v") > col(s"__t$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sharded = c.crossJoin(broadcast(ths))
+      .withColumn("__shard", shard)
+      .drop((1 until shards).map(i => s"__t$i"): _*)
+    val wOff = Window.orderBy("__shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sharded.groupBy("__shard").agg(sum("cnt").as("__scnt"))
+      .select(col("__shard"),
+        coalesce(sum("__scnt").over(wOff), lit(0L)).as("__off"))
+    val wIn = Window.partitionBy("__shard").orderBy("v")
+    val cum = sharded.join(broadcast(offs), Seq("__shard"))
+      .withColumn("cum", col("__off") + sum("cnt").over(wIn))
+    val tot = c.agg(sum("cnt").cast("long").as("n"))
+    val targets = qs.toDF("q").crossJoin(broadcast(tot))
+      .select(col("q"), ceil(col("q") * col("n")).cast("long").as("rank_target"),
+        col("n"))
+    cum.join(broadcast(targets), col("cum") >= col("rank_target"))
+      .groupBy("q", "rank_target", "n")
+      .agg(min("v").as("value"))
+      .select(col("q"), col("rank_target"), col("value"), col("n"))
+      .orderBy("q")
+  }
+
+  /** Group-wise [[exactQuantiles]] — the per-source / per-language length
+    * distribution (a mixture hides its tails: one source's p99 is another's
+    * p50, and a single global truncation cap silently amputates the long
+    * source). Same rank semantics: the group's `q`-quantile is the smallest
+    * observed value whose within-group cumulative count reaches
+    * `ceil(q·n_g)`.
+    *
+    * Scale shape mirrors [[ClassifierEval.binaryMetricsBy]]: one shuffle to
+    * (group, value) counts, per-group percentile shard thresholds over the
+    * distinct-value frame, shard offsets on the (groups × shards)-bounded
+    * frame, windows only over (group, shard) slices — no corpus-scale and
+    * no whole-group window partition even when one group dominates the
+    * corpus. Broadcasts are groups-bounded (thresholds, offsets, targets) —
+    * the source/language universe, not the documents.
+    *
+    * Output: (groupCol, q, rank_target, value, n) ordered by group, q. */
+  def exactQuantilesBy(df: DataFrame, groupCol: String, value: Column,
+                       qs: Seq[Double], shards: Int = 8): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    require(shards > 1, "shards must be > 1")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val c = df.select(col(groupCol), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__cnt"))
+    val ths = c.groupBy(col(groupCol).as("__qg"))
+      .agg(percentile(col("__v"), lit(1.0 / shards)).as("__t1"),
+        (2 until shards).map(i =>
+          percentile(col("__v"), lit(i.toDouble / shards)).as(s"__t$i")): _*)
+    val shard = (1 until shards)
+      .map(i => when(col("__v") > col(s"__t$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sharded = c.join(broadcast(ths), col(groupCol) === col("__qg"))
+      .withColumn("__shard", shard)
+      .drop("__qg").drop((1 until shards).map(i => s"__t$i"): _*)
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sharded.groupBy(col(groupCol), col("__shard"))
+      .agg(sum("__cnt").as("__scnt"))
+      .withColumn("__off", coalesce(sum("__scnt").over(wOff), lit(0L)))
+      .select(col(groupCol), col("__shard"), col("__off"))
+    val wIn = Window.partitionBy(col(groupCol), col("__shard"))
+      .orderBy(col("__v"))
+    val cum = sharded.join(broadcast(offs), Seq(groupCol, "__shard"))
+      .withColumn("__cum", col("__off") + sum("__cnt").over(wIn))
+    val targets = c.groupBy(col(groupCol).as("__tg"))
+      .agg(sum("__cnt").cast("long").as("n"))
+      .crossJoin(qs.toDF("q"))
+      .select(col("__tg"), col("q"),
+        ceil(col("q") * col("n")).cast("long").as("rank_target"), col("n"))
+    cum.join(broadcast(targets),
+        col(groupCol) === col("__tg") && col("__cum") >= col("rank_target"))
+      .groupBy(col(groupCol), col("q"), col("rank_target"), col("n"))
+      .agg(min("__v").as("value"))
+      .select(col(groupCol), col("q"), col("rank_target"), col("value"),
+        col("n"))
+      .orderBy(col(groupCol), col("q"))
+  }
 }

@@ -68,6 +68,29 @@ object DocQueries {
   private[queries] val ToksSql =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)"""
 
+  /** Phrase list for the multi-pattern (Aho–Corasick) screen gates: spans
+    * token boundaries, includes self-overlapping phrases ("a a" in
+    * "a a a" counts twice) and a never-firing entry (the list-audit case). */
+  private val MultiMatchPats = Seq("table table", "a a", "fast sort",
+    "scan query", "value", "spark part filter", "zz-never-hits")
+
+  /** Occurrence CTE mirroring MultiMatch semantics exactly: every position
+    * where the pattern starts, overlapping included — a contains-prefiltered
+    * candidate set crossed with a constant position series (DuckDB's
+    * generate_series cannot correlate on len(text); 4096 comfortably bounds
+    * the synthetic docs' ~600 chars). */
+  private val MultiMatchOccSql = {
+    val vals = MultiMatchPats.map(p => s"('$p')").mkString(", ")
+    s"""pats(pat) AS (VALUES $vals),
+       |cand AS (SELECT d.doc_id, d.text, p.pat
+       |  FROM documents d JOIN pats p ON contains(d.text, p.pat)),
+       |pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 4096) g(i)),
+       |occ AS (SELECT doc_id, pat, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM cand JOIN pos ON pos.i + len(pat) - 1 <= len(text)
+       |  WHERE substr(text, pos.i, CAST(len(pat) AS INT)) = pat
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Distinct word 3-shingles of `toks` — mirrors TextFunctions.shingles(3)
     * followed by array_distinct. */
   /** DISTINCT word k-shingles of `toks` — mirrors
@@ -4879,6 +4902,133 @@ object DocQueries {
         |FROM est JOIN exact ON exact.tok = est.tok
         |ORDER BY est.est_cnt DESC, est.tok LIMIT 40""".stripMargin
       }),
+
+    // ---- Exact rank-based token-length quantiles (round 15): the
+    //      sequence-length distribution read before picking packing
+    //      budgets / truncation caps. Rank semantics (smallest value whose
+    //      cumulative count reaches ceil(q*n)) keep every intermediate an
+    //      integer — no interpolation, no sketch error — and the
+    //      distinct-value count cells are mergeable across shards (the
+    //      100 TB shape). Cumulative counts ride the engine's sharded-
+    //      cumsum (never a corpus-scale window partition).
+    "q_text_length_quantiles" -> Q(
+      (s, d) => graft.operators.Diagnostics.exactQuantiles(
+        Tables.documents(s, d).select(
+          TextFunctions.tokenCount(col("text")).as("n_toks")),
+        col("n_toks"), qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)),
+      Some(s"""WITH t AS (SELECT CAST(len($ToksSql) AS BIGINT) AS v FROM documents),
+        |c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |w AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |qq(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |  (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+        |tg AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS rank_target, n
+        |  FROM qq CROSS JOIN nn)
+        |SELECT tg.q, tg.rank_target, CAST(min(w.v) AS BIGINT) AS value, tg.n
+        |FROM tg JOIN w ON w.cum >= tg.rank_target
+        |GROUP BY 1, 2, 4 ORDER BY q""".stripMargin)),
+
+    // ---- Group-wise length quantiles (round 15): the per-language
+    //      sequence-length distribution — a mixture hides its tails (one
+    //      group's p99 is another's p50, and a single global truncation cap
+    //      silently amputates the long group). Same rank semantics within
+    //      each group; windows only over (group, shard) slices, broadcasts
+    //      bounded by the language universe.
+    "q_text_length_quantiles_by" -> Q(
+      (s, d) => graft.operators.Diagnostics.exactQuantilesBy(
+        Tables.documents(s, d).select(col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_toks")),
+        "lang", col("n_toks"), qs = Seq(0.5, 0.9, 0.99)),
+      Some(s"""WITH t AS (SELECT lang, CAST(len($ToksSql) AS BIGINT) AS v
+        |  FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT lang, v, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+        |w AS (SELECT lang, v,
+        |  CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum FROM c),
+        |nn AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+        |qq(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |  (CAST(0.99 AS DOUBLE))),
+        |tg AS (SELECT lang, q, CAST(ceil(q * n) AS BIGINT) AS rank_target, n
+        |  FROM qq CROSS JOIN nn)
+        |SELECT tg.lang, tg.q, tg.rank_target, CAST(min(w.v) AS BIGINT) AS value, tg.n
+        |FROM tg JOIN w ON w.lang = tg.lang AND w.cum >= tg.rank_target
+        |GROUP BY 1, 2, 3, 5 ORDER BY tg.lang, tg.q""".stripMargin)),
+
+    // ---- Truncation-cap audit (round 15): what each candidate cap
+    //      (p50/p90/p99 from the exact quantiles) would cost — documents
+    //      touched, tokens cut, tokens kept. Composition discipline: ONE
+    //      corpus tokenization folded to the value-bounded (v, cnt) frame,
+    //      pinned, feeding BOTH the quantile caps and the audit fold (the
+    //      q_pipeline_audit lineage pattern); every output is an integer,
+    //      bit-exact by construction.
+    "q_text_truncation_audit" -> Q(
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .select(TextFunctions.tokenCount(col("text")).cast("long").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        val caps = graft.operators.Diagnostics
+          .exactQuantilesFromCounts(c, qs = Seq(0.5, 0.9, 0.99))
+          .select(col("q"), col("value").as("cap"))
+        c.crossJoin(broadcast(caps))
+          .groupBy("q", "cap")
+          .agg(
+            sum(when(col("v") > col("cap"), col("cnt")).otherwise(lit(0L)))
+              .as("n_docs_over"),
+            sum(when(col("v") > col("cap"), col("cnt") * (col("v") - col("cap")))
+              .otherwise(lit(0L))).as("tokens_saved"),
+            sum(col("cnt") * least(col("v"), col("cap"))).as("tokens_kept"))
+          .orderBy("q")
+      },
+      Some(s"""WITH t AS (SELECT CAST(len($ToksSql) AS BIGINT) AS v FROM documents),
+        |c AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |w AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |qq(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |  (CAST(0.99 AS DOUBLE))),
+        |tg AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS rank_target
+        |  FROM qq CROSS JOIN nn),
+        |caps AS (SELECT tg.q, CAST(min(w.v) AS BIGINT) AS cap
+        |  FROM tg JOIN w ON w.cum >= tg.rank_target GROUP BY 1)
+        |SELECT caps.q, caps.cap,
+        |  CAST(coalesce(sum(CASE WHEN c.v > caps.cap THEN c.cnt ELSE 0 END), 0) AS BIGINT) AS n_docs_over,
+        |  CAST(coalesce(sum(CASE WHEN c.v > caps.cap THEN c.cnt * (c.v - caps.cap) ELSE 0 END), 0) AS BIGINT) AS tokens_saved,
+        |  CAST(sum(c.cnt * least(c.v, caps.cap)) AS BIGINT) AS tokens_kept
+        |FROM c CROSS JOIN caps GROUP BY 1, 2 ORDER BY q""".stripMargin)),
+
+    // ---- Aho–Corasick multi-pattern phrase screen (round 15): substring
+    //      semantics for blocklist entries that span token boundaries or
+    //      carry punctuation — ONE corpus scan regardless of pattern count
+    //      (a contains-chain is O(patterns x text) and stops codegenning at
+    //      list scale). Counts EVERY occurrence end position, overlapping
+    //      included ("a a a" contains "a a" twice) — the oracle enumerates
+    //      positions to mirror that exactly. Profile = the list audit
+    //      (which entries fire, at what volume; zero-hit entries included).
+    "q_text_multimatch_profile" -> Q(
+      (s, d) => graft.operators.MultiMatch.patternProfile(
+        Tables.documents(s, d), "doc_id", "text", MultiMatchPats),
+      Some(s"""WITH $MultiMatchOccSql
+        |SELECT p.pat AS pattern, CAST(count(o.doc_id) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(o.n_hits), 0) AS BIGINT) AS n_hits
+        |FROM pats p LEFT JOIN occ o ON o.pat = p.pat
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Per-document phrase-screen flags: every doc (hit or not) with
+    //      total occurrences, distinct patterns hit, and the drop flag —
+    //      the blocklistFlags output contract for PHRASE lists. Shape: the
+    //      sparse (doc, pattern) hit fold, one bounded left join back.
+    "q_text_multimatch_screen" -> Q(
+      (s, d) => graft.operators.MultiMatch.screenFlags(
+          Tables.documents(s, d), "doc_id", "text", MultiMatchPats)
+        .select(col("doc_id"), col("n_hits"), col("n_patterns"),
+          col("has_hit"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $MultiMatchOccSql
+        |SELECT d.doc_id, CAST(coalesce(sum(o.n_hits), 0) AS BIGINT) AS n_hits,
+        |  CAST(count(o.pat) AS BIGINT) AS n_patterns,
+        |  coalesce(sum(o.n_hits), 0) > 0 AS has_hit
+        |FROM documents d LEFT JOIN occ o ON o.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY d.doc_id""".stripMargin)),
 
     // ---- Duplicate-cluster size histogram over the Jaccard component
     //      labeling — the "is near-dup removal worth its cost" number: how

@@ -256,4 +256,51 @@ class DiagnosticsSpec extends SparkSpec {
       "f1" -> (col("s1") > 0), "f2" -> (col("s2") > 0),
       "f3" -> (col("s1") > 0), "f4" -> lit(true))).count() == 6)
   }
+
+  test("exactQuantiles: rank semantics on a hand-built multiset, sharded == tiny") {
+    import spark.implicits._
+    // values 1x10, 2x20, 3x30, 4x40 (n=100): cum = 10, 30, 60, 100
+    val df = (Seq.fill(10)(1) ++ Seq.fill(20)(2) ++ Seq.fill(30)(3) ++
+      Seq.fill(40)(4)).toDF("v")
+    val out = Diagnostics.exactQuantiles(df, col("v"),
+        qs = Seq(0.1, 0.11, 0.3, 0.5, 0.95, 1.0))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0.1) == ((10L, 1L, 100L)))   // rank 10 -> cum(1)=10 reaches
+    assert(out(0.11) == ((11L, 2L, 100L)))  // rank 11 -> first past value 1
+    assert(out(0.3) == ((30L, 2L, 100L)))
+    assert(out(0.5) == ((50L, 3L, 100L)))
+    assert(out(0.95) == ((95L, 4L, 100L)))
+    assert(out(1.0) == ((100L, 4L, 100L))) // q=1 is the max
+    // shard count cannot change an exact answer (only the cumsum layout)
+    val s2 = Diagnostics.exactQuantiles(df, col("v"),
+        qs = Seq(0.1, 0.11, 0.3, 0.5, 0.95, 1.0), shards = 3)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(s2 == out)
+  }
+
+  test("exactQuantilesBy: per-group rank quantiles, null group dropped") {
+    import spark.implicits._
+    val df = (Seq.fill(2)(("a", 1)) ++ Seq.fill(3)(("a", 2)) ++
+      Seq(("b", 10), ("b", 20), ("b", 30), ("b", 30)) ++
+      Seq((null: String, 99))).toDF("g", "v")
+    val out = Diagnostics.exactQuantilesBy(df, "g", col("v"),
+        qs = Seq(0.4, 0.5, 1.0), shards = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.size == 6)                       // 2 groups x 3 qs, no null
+    assert(out(("a", 0.4)) == ((2L, 1L, 5L)))   // rank 2 -> cum(1)=2
+    assert(out(("a", 0.5)) == ((3L, 2L, 5L)))   // rank 3 -> first past 1
+    assert(out(("a", 1.0)) == ((5L, 2L, 5L)))
+    assert(out(("b", 0.4)) == ((2L, 20L, 4L)))  // cum: 10->1, 20->2, 30->4
+    assert(out(("b", 0.5)) == ((2L, 20L, 4L)))
+    assert(out(("b", 1.0)) == ((4L, 30L, 4L)))
+    // the counts-frame entry point is the same computation
+    val c = df.filter(col("g") === "a").groupBy(col("v").cast("long").as("v"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    val fromCounts = Diagnostics.exactQuantilesFromCounts(c, Seq(0.4, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
+    assert(fromCounts == Map(0.4 -> 1L, 0.5 -> 2L, 1.0 -> 2L))
+  }
 }

@@ -954,6 +954,10 @@ class SimilaritySpec extends SparkSpec {
     assert(feats.forall(_.getAs[Boolean]("is_valid")))
     assert(feats.forall(r => r.getAs[Int]("width") == 2 &&
       r.getAs[Int]("height") <= 2))
+    // the encode -> resize -> decode chain is scan-stage end to end
+    val plan = Multimodal.decodePpmFeatures(Multimodal.resizePpm(media, 2, 2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resize chain must not shuffle:\n$plan")
     // a non-PPM payload passes through unchanged (fail-soft), meta refreshed
     val raw = Multimodal.fromText(docs.limit(2), "doc_id", "text", "source")
     val thr = Multimodal.resizePpm(raw, 2, 2)
