@@ -1158,6 +1158,32 @@ object ScaleCheck {
             col("grp"), 80, 10, salt = ":sv2s")
           .groupBy("source", "split")
           .agg(count(lit(1)).as("n_doc_epochs"), sum("n_kept").as("n_kept_tokens"))
+      },
+
+      // Aho-Corasick phrase screen (round 15): one corpus scan regardless
+      // of pattern count (128 phrases here); only sparse hits shuffle —
+      // expected ~1x scan-stage scaling
+      "multimatch" -> { d =>
+        import graft.operators.MultiMatch
+        val vocab = Seq("table", "value", "scan", "query", "fast", "sort",
+          "a", "agg", "join", "batch", "spark", "window", "group", "key",
+          "line", "part")
+        val pats = (for (x <- vocab; y <- vocab.take(8)) yield s"$x $y").distinct
+        MultiMatch.screenFlags(Tables.documents(spark, d), "doc_id", "text",
+          pats)
+          .groupBy("has_hit")
+          .agg(count(lit(1)).as("n"), sum("n_hits").as("hits"))
+      },
+
+      // Exact rank quantiles (round 15): one shuffle to distinct-value
+      // counts, sharded cumsum over the value-bounded frame — the corpus
+      // term is the count fold only
+      "length_quantiles" -> { d =>
+        import graft.operators.Diagnostics
+        Diagnostics.exactQuantilesBy(
+          Tables.documents(spark, d).select(col("lang"),
+            TextFunctions.tokenCount(col("text")).as("n_toks")),
+          "lang", col("n_toks"), qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
       })
 
     // optional arg: comma-separated substrings — run only matching cases

@@ -801,4 +801,68 @@ object StreamingOps {
       .select("conv_id", tsCol, "transcript_h", "text", "n_turns",
         "has_system")
   }
+
+  /** Streaming twin of the Aho–Corasick phrase screen
+    * ([[graft.operators.MultiMatch.screenFlags]]): per-document totals
+    * computed INLINE from one automaton pass — no sparse-hit fold, no join
+    * back — so the op is a stateless partition-local typed map, append-mode
+    * safe at ingest rate. The automaton compiles once per partition from
+    * the broadcast pattern list (pattern-list-bounded, the broadcast-model
+    * contract). Overlap-inclusive counts, case-sensitive — the batch
+    * operator's exact semantics; stream ≡ batch pinned in StreamingSpec. */
+  def multiMatchStream(docs: DataFrame, idCol: String, textCol: String,
+                       patterns: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(patterns)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("n_hits", LongType, nullable = false),
+      StructField("n_patterns", LongType, nullable = false),
+      StructField("has_hit", BooleanType, nullable = false)))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .mapPartitions { it =>
+        val ac = graft.operators.MultiMatch.compile(bc.value)
+        it.map { row =>
+          val counts = ac.countsIn(row.getAs[String]("text"))
+          var hits = 0L
+          var pats = 0L
+          var i = 0
+          while (i < counts.length) {
+            if (counts(i) > 0L) { hits += counts(i); pats += 1L }
+            i += 1
+          }
+          org.apache.spark.sql.Row(
+            if (row.isNullAt(0)) null else row.getLong(0),
+            hits, pats, hits > 0L)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Streaming maintenance of the length-distribution state behind
+    * [[graft.operators.Diagnostics.exactQuantilesFromCounts]] — the
+    * [[linkStateIngest]] pattern for quantiles: distinct-value counts ADD,
+    * so each micro-batch appends its own (v, cnt) fold to a delta log and
+    * the folded log is bit-identical to the batch fold over everything
+    * ingested (increment ≡ recompute pinned in StreamingSpec). Per-batch
+    * cost is batch-bounded; the log folds to a value-bounded frame.
+    * Same at-least-once caveat as [[ivfIngest]]; compact on the
+    * [[compactLinkState]] contract if the log grows long. */
+  def lengthStateIngest(docs: DataFrame, value: Column,
+                        dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .select(value.cast("long").as("v")).filter(col("v").isNotNull)
+            .groupBy("v").agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(dir)
+      }
+
+  /** Fold the [[lengthStateIngest]] delta log into the (v, cnt) frame
+    * [[graft.operators.Diagnostics.exactQuantilesFromCounts]] reads. */
+  def loadLengthState(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+      .groupBy("v").agg(sum("cnt").cast("long").as("cnt"))
 }

@@ -919,4 +919,64 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1L) == batchText)
     } finally q.stop()
   }
+
+  test("streaming phrase screen equals the batch Aho-Corasick flags") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.MultiMatch
+    val pats = Seq("a a", "table table", "zz")
+    val rows = Seq((1L, "a a a table table"), (2L, "clean doc"),
+      (3L, "zz a a zz"))
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.multiMatchStream(docs, "doc_id", "text", pats)
+      .writeStream.format("memory").queryName("mm_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(1): _*) // split across micro-batches
+      q.processAllAvailable()
+      val cols = Seq("doc_id", "n_hits", "n_patterns", "has_hit")
+      val streamed = s.sql("SELECT * FROM mm_stream")
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      val batch = MultiMatch.screenFlags(rows.toDF("doc_id", "text"),
+          "doc_id", "text", pats)
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // overlap semantics survive the stream: "a a a" counts "a a" twice
+      assert(streamed.head.getAs[Long]("n_hits") == 3L)
+    } finally q.stop()
+  }
+
+  test("streaming length-state ingest: folded-log quantiles equal batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.Diagnostics
+    // wave 2 repeats value 3, so the fold must ADD counts across batches
+    val wave1 = Seq(1L, 2L, 2L, 3L, 3L, 3L).map(v => (v, s"d$v"))
+    val wave2 = Seq(3L, 4L, 4L, 4L).map(v => (v, s"e$v"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_len_stream").toString + "/state"
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val docs = mem.toDF().toDF("n_toks", "text")
+      val q = StreamingOps.lengthStateIngest(docs, col("n_toks"), dir).start()
+      try {
+        mem.addData(wave1: _*)
+        q.processAllAvailable()
+        mem.addData(wave2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val qs = Seq(0.5, 0.9, 1.0)
+      val fromState = Diagnostics.exactQuantilesFromCounts(
+        StreamingOps.loadLengthState(s, dir), qs).collect().toSeq
+      val batch = Diagnostics.exactQuantiles(
+        (wave1 ++ wave2).toDF("v", "text"), col("v"), qs).collect().toSeq
+      assert(fromState == batch, s"state $fromState != batch $batch")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
 }
