@@ -1160,6 +1160,16 @@ object ScaleCheck {
           .agg(count(lit(1)).as("n_doc_epochs"), sum("n_kept").as("n_kept_tokens"))
       },
 
+      // QOI compressed-image codec (round 15): encode (op selection, hash
+      // index) -> strict decode -> channel means, all partition-local typed
+      // maps, zero shuffle — expected ~1x scan-stage scaling
+      "qoi_roundtrip" -> { d =>
+        import graft.operators.Multimodal
+        Multimodal.decodeQoiFeatures(Multimodal.encodeQoi(
+          Multimodal.fromText(Tables.documents(spark, d), "doc_id", "text",
+            "source")))
+      },
+
       // Aho-Corasick phrase screen (round 15): one corpus scan regardless
       // of pattern count (128 phrases here); only sparse hits shuffle —
       // expected ~1x scan-stage scaling

@@ -5695,6 +5695,36 @@ object DocQueries {
         |FROM d2 ORDER BY media_id""".stripMargin
       }),
 
+    // REAL COMPRESSED image decode (round 15): the corpus is encoded as
+    // genuine QOI streams (RUN/INDEX/DIFF/LUMA/RGB ops, 64-slot hash
+    // index, wrapping-int8 deltas — the public qoiformat.org spec) and the
+    // kernel decodes the op stream back into pixels. QOI is LOSSLESS, so
+    // the oracle mirrors the PIXEL CONSTRUCTION analytically from the text
+    // bytes and never sees the codec — any encoder op-selection or decoder
+    // state-machine defect breaks the round trip and hash-fails.
+    "q_multimodal_qoi_decode" -> Q(
+      (s, d) => Multimodal.decodeQoiFeatures(Multimodal.encodeQoi(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text", "source")))
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        def chanMean(c: Int) =
+          s"""CAST(list_sum(list_transform(range(0, h*4),
+             |   k -> CASE WHEN k*3 + ${c + 1} <= len THEN ${byteAt(s"k*3 + ${c + 1}")} ELSE 0 END)) AS DOUBLE)
+             | / CAST(h*4 AS DOUBLE)""".stripMargin
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 12) AS h FROM m)
+        |SELECT media_id, 4 AS width, CAST(h AS INT) AS height, 3 AS channels,
+        | ${chanMean(0)} AS mean_r,
+        | ${chanMean(1)} AS mean_g,
+        | ${chanMean(2)} AS mean_b,
+        | true AS is_valid
+        |FROM d ORDER BY media_id""".stripMargin
+      }),
+
     // REAL audio decode (round 14, second honest media kernel): documents
     // become genuine RIFF/WAVE mono 16-bit PCM payloads and the
     // mapPartitions kernel WALKS the container — magic, chunk list, fmt

@@ -968,6 +968,79 @@ class SimilaritySpec extends SparkSpec {
     assert(thr.nonEmpty && thr.forall(_.getBoolean(0)))
   }
 
+  test("QOI kernel: every op class round-trips losslessly; strict on malformed streams") {
+    import Multimodal.{qoiEncode, qoiDecode}
+    def rt(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val enc = qoiEncode(px, w, h)
+      val dec = qoiDecode(enc)
+      assert(dec.nonEmpty, "decode failed")
+      val (dw, dh, c, out) = dec.get
+      assert((dw, dh, c) == ((w, h, 3)))
+      assert(out.toSeq == px.toSeq, "round trip must be lossless")
+      enc
+    }
+    // RUN (incl. the 62-pixel cap): 160 identical pixels compress hard
+    val flat = Array.fill[Byte](4 * 40 * 3)(7: Byte)
+    val encFlat = rt(flat, 4, 40)
+    assert(encFlat.length < 4 * 40 * 3 / 10,
+      s"run-only image must compress: ${encFlat.length} bytes")
+    // DIFF: +1 on every channel per pixel stays in the 2-bit delta window
+    rt(Array.tabulate[Byte](4 * 3 * 3)(i => ((i / 3) & 0xff).toByte), 4, 3)
+    // LUMA: +10 per pixel on all channels (dg=10, dr-dg=db-dg=0)
+    rt(Array.tabulate[Byte](4 * 2 * 3)(i => ((i / 3) * 10 % 250).toByte), 4, 2)
+    // RGB then INDEX: two alternating distant colors
+    rt(Array.tabulate[Byte](4 * 4 * 3)(
+      i => if ((i / 3) % 2 == 0) 10: Byte else 200.toByte), 4, 4)
+    // seeded random planes: mostly RGB ops (QOI may EXPAND on noise —
+    // lossless is the contract, compression is content-dependent)
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { _ =>
+      val h = 1 + rnd.nextInt(9)
+      rt(Array.fill[Byte](4 * h * 3)(rnd.nextInt(256).toByte), 4, h)
+    }
+    // strictness: every malformed shape is None, never a throw
+    val good = qoiEncode(flat, 4, 40)
+    assert(qoiDecode(null).isEmpty)
+    assert(qoiDecode(good.take(10)).isEmpty)          // truncated header
+    assert(qoiDecode(good.dropRight(1)).isEmpty)      // truncated marker
+    assert(qoiDecode(good ++ Array[Byte](0)).isEmpty) // trailing garbage
+    val badMagic = good.clone(); badMagic(0) = 'x'.toByte
+    assert(qoiDecode(badMagic).isEmpty)
+    val badMarker = good.clone(); badMarker(badMarker.length - 1) = 2
+    assert(qoiDecode(badMarker).isEmpty)
+    // dims claiming more pixels than the op stream provides
+    val tallDims = good.clone(); tallDims(11) = (tallDims(11) + 1).toByte
+    assert(qoiDecode(tallDims).isEmpty)
+  }
+
+  test("encodeQoi -> decodeQoiFeatures equals the PPM kernel on the same pixels") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+    val media = Multimodal.fromText(docs, "doc_id", "text", "source")
+    val cols = Seq("media_id", "width", "height", "mean_r", "mean_g",
+      "mean_b", "is_valid")
+    // the compressed codec is lossless, so its decoded features must be
+    // bit-identical to the uncompressed kernel's on the same construction
+    val qoi = Multimodal.decodeQoiFeatures(Multimodal.encodeQoi(media))
+      .select(cols.head, cols.tail: _*).orderBy("media_id").collect().toSeq
+    val ppm = Multimodal.decodePpmFeatures(Multimodal.encodePpm(media))
+      .select(cols.head, cols.tail: _*).orderBy("media_id").collect().toSeq
+    assert(qoi == ppm)
+    assert(qoi.nonEmpty && qoi.forall(_.getAs[Boolean]("is_valid")))
+    // meta describes the compressed payload bit-for-bit
+    val enc = Multimodal.encodeQoi(media)
+    val metaOk = enc.select(
+        (col("meta.byte_len") === length(col("payload")).cast("long")).as("l"),
+        (col("meta.sha256") === sha2(col("payload"), 256)).as("s")).collect()
+    assert(metaOk.nonEmpty && metaOk.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+    // encode -> decode is scan-stage end to end
+    val plan = Multimodal.decodeQoiFeatures(Multimodal.encodeQoi(media))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"qoi chain must not shuffle:\n$plan")
+    // a raw non-QOI payload flags invalid instead of throwing
+    val invalid = Multimodal.decodeQoiFeatures(media).collect()
+    assert(invalid.forall(r => !r.getAs[Boolean]("is_valid")))
+  }
+
   test("decode cap bounds the scan blowup: oversize payload == its capped prefix") {
     val docs = Tables.documents(spark, sf).limit(5)
     val media = Multimodal.fromText(docs, "doc_id", "text", "source")
