@@ -532,6 +532,20 @@ object Diagnostics {
       .orderBy("q")
   }
 
+  /** Token-MASS quantiles — the context-budget reading of the length
+    * distribution: the smallest length `v` such that documents of length
+    * <= v hold at least `q` of the corpus's TOKENS (not its documents; a
+    * handful of book-length outliers can carry half the token mass while
+    * being invisible in doc-count quantiles). Identical rank machinery
+    * run over the measure `v·cnt`; output `n` is the total token mass and
+    * `rank_target` the mass target. Zero-length rows carry no mass and
+    * drop out. */
+  def massQuantilesFromCounts(c: DataFrame, qs: Seq[Double],
+                              shards: Int = 8): DataFrame =
+    exactQuantilesFromCounts(
+      c.select(col("v"), (col("v") * col("cnt")).cast("long").as("cnt"))
+        .filter(col("cnt") > 0), qs, shards)
+
   /** Group-wise [[exactQuantiles]] — the per-source / per-language length
     * distribution (a mixture hides its tails: one source's p99 is another's
     * p50, and a single global truncation cap silently amputates the long

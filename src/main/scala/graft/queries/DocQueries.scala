@@ -4928,6 +4928,32 @@ object DocQueries {
         |FROM tg JOIN w ON w.cum >= tg.rank_target
         |GROUP BY 1, 2, 4 ORDER BY q""".stripMargin)),
 
+    // ---- Token-MASS quantiles (round 15): the context-budget reading —
+    //      the smallest length whose <=-prefix holds q of the corpus's
+    //      TOKENS (doc-count quantiles hide that a few long outliers can
+    //      carry half the mass). Same rank machinery over the measure
+    //      v*cnt; n is the total token mass.
+    "q_text_token_mass_quantiles" -> Q(
+      (s, d) => {
+        val c = Tables.documents(s, d)
+          .select(TextFunctions.tokenCount(col("text")).cast("long").as("v"))
+          .groupBy("v").agg(count(lit(1)).as("cnt"))
+        graft.operators.Diagnostics.massQuantilesFromCounts(
+          c, qs = Seq(0.25, 0.5, 0.9, 0.99))
+      },
+      Some(s"""WITH t AS (SELECT CAST(len($ToksSql) AS BIGINT) AS v FROM documents),
+        |c AS (SELECT v, CAST(v * count(*) AS BIGINT) AS cnt FROM t
+        |  GROUP BY 1 HAVING v * count(*) > 0),
+        |w AS (SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM c),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |qq(q) AS (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |  (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))),
+        |tg AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS rank_target, n
+        |  FROM qq CROSS JOIN nn)
+        |SELECT tg.q, tg.rank_target, CAST(min(w.v) AS BIGINT) AS value, tg.n
+        |FROM tg JOIN w ON w.cum >= tg.rank_target
+        |GROUP BY 1, 2, 4 ORDER BY q""".stripMargin)),
+
     // ---- Group-wise length quantiles (round 15): the per-language
     //      sequence-length distribution — a mixture hides its tails (one
     //      group's p99 is another's p50, and a single global truncation cap
@@ -5724,6 +5750,54 @@ object DocQueries {
         | true AS is_valid
         |FROM d ORDER BY media_id""".stripMargin
       }),
+
+    // ---- Vision-language sequence packing (round 15): the multimodal
+    //      composition proof — every (image, caption) pair costs its TEXT
+    //      tokens plus a ViT-style PATCH grid over the image's DECODED dims
+    //      (2x2 patches: ceil(w/2)*ceil(h/2)), and the joint budget drives
+    //      the packBins layout. The dims come off the real QOI decode, so
+    //      the gate chains codec -> feature -> join -> shard-parallel pack;
+    //      the oracle mirrors the patch grid analytically from the text
+    //      bytes and the pack's prefix sums exactly. One media scan, one
+    //      text scan, one doc-keyed join, one shard window — no
+    //      corpus-scale partition.
+    "q_multimodal_pack" -> Q(
+      (s, d) => {
+        import graft.operators.{Multimodal, Packing}
+        val media = Multimodal.decodeQoiFeatures(Multimodal.encodeQoi(
+            Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+              "source")))
+          .select(col("media_id").as("doc_id"),
+            (floor((col("width") + 1) / lit(2)) *
+              floor((col("height") + 1) / lit(2)))
+              .cast("long").as("n_patch_tokens"))
+        val text = Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long")
+            .as("n_text_tokens"))
+        val joint = text.join(media, Seq("doc_id"))
+          .withColumn("n_tokens",
+            col("n_text_tokens") + col("n_patch_tokens"))
+        Packing.packBins(joint, "doc_id", col("n_tokens"),
+            budgetTokens = 768L, shards = 8)
+          .select(col("doc_id"), col("n_text_tokens"), col("n_patch_tokens"),
+            col("n_tokens"), col("shard"), col("tokens_before"), col("bin"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($ToksSql) AS BIGINT) AS n_text_tokens,
+        |  greatest(1, octet_length(encode(text)) // 12) AS h FROM documents),
+        |j AS (SELECT doc_id, n_text_tokens,
+        |  CAST(2 * ((h + 1) // 2) AS BIGINT) AS n_patch_tokens,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM t),
+        |p AS (SELECT doc_id, n_text_tokens, n_patch_tokens,
+        |  CAST(n_text_tokens + n_patch_tokens AS BIGINT) AS n_tokens, shard,
+        |  CAST(coalesce(sum(n_text_tokens + n_patch_tokens) OVER (
+        |    PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS tokens_before
+        |  FROM j)
+        |SELECT doc_id, n_text_tokens, n_patch_tokens, n_tokens, shard,
+        |  tokens_before, CAST(floor(tokens_before / 768.0) AS BIGINT) AS bin
+        |FROM p ORDER BY doc_id""".stripMargin)),
 
     // REAL audio decode (round 14, second honest media kernel): documents
     // become genuine RIFF/WAVE mono 16-bit PCM payloads and the

@@ -303,4 +303,17 @@ class DiagnosticsSpec extends SparkSpec {
       .collect().map(r => r.getDouble(0) -> r.getLong(2)).toMap
     assert(fromCounts == Map(0.4 -> 1L, 0.5 -> 2L, 1.0 -> 2L))
   }
+
+  test("massQuantilesFromCounts: mass targets, zero-length rows carry none") {
+    import spark.implicits._
+    // mass per value: 1x10=10, 2x20=40, 3x30=90, 4x40=160; cum 10/50/140/300
+    val c = Seq((0L, 5L), (1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L))
+      .toDF("v", "cnt")
+    val out = Diagnostics.massQuantilesFromCounts(c, Seq(0.1, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0.1) == ((30L, 2L, 300L)))  // mass 30 -> cum(2)=50 reaches
+    assert(out(0.5) == ((150L, 4L, 300L))) // half the tokens need v=4
+    assert(out(1.0) == ((300L, 4L, 300L)))
+  }
 }
