@@ -19,6 +19,39 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Zero-width / invisible code points an evasive duplicate hides behind:
+    * ZWSP, ZWNJ, ZWJ, BOM-as-ZWNBSP, soft hyphen. Stripped (not mapped)
+    * by [[foldConfusables]]. */
+  val ZeroWidthRe = "[\\u200B\\u200C\\u200D\\uFEFF\\u00AD]"
+
+  /** Curated homoglyph table — the HIGH-FREQUENCY evasion alphabet (a BMP
+    * subset of Unicode TR#39 confusables): Cyrillic and Greek letters that
+    * render identically to Latin, plus NBSP→space. One codepoint per slot
+    * so both Spark's and DuckDB's `translate` apply it identically;
+    * deliberately NOT the full TR#39 table (that is font-dependent — this
+    * is the set spam and SEO text actually uses). */
+  val ConfusablesFrom: String =
+    "аеорсухіѕј" + // cyr lower
+    "АВЕКМНОРСТХ" + // cyr upper
+    "οΑΒΕΖΗΙΚΜΝΟΡΤΥΧ" + // greek
+    " " // NBSP
+  val ConfusablesTo: String =
+    "aeopcyxisj" +
+    "ABEKMHOPCTX" +
+    "oABEZHIKMNOPTYX" +
+    " "
+
+  /** Confusable folding — the dedup-EVASION counter: a copied document that
+    * swaps Latin letters for identical-looking Cyrillic/Greek ones and
+    * sprinkles zero-width characters hashes differently, walks straight
+    * through exact dedup, and re-enters the corpus. Folding strips the
+    * invisibles and maps the curated homoglyph alphabet back to Latin so
+    * the content hash sees what the READER sees. Pure codegen'd Column
+    * tree (regexp_replace + translate), scan-stage, stream-safe. */
+  def foldConfusables(text: Column): Column =
+    translate(regexp_replace(text, ZeroWidthRe, ""),
+      ConfusablesFrom, ConfusablesTo)
+
   /** BPE-ish sub-token count: alphabetic runs, digit runs, and single
     * non-alnum symbols each count as one token (a cheap, deterministic proxy
     * for a byte-pair-encoded length used for budget accounting). */

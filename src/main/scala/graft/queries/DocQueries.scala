@@ -4928,6 +4928,45 @@ object DocQueries {
         |FROM tg JOIN w ON w.cum >= tg.rank_target
         |GROUP BY 1, 2, 4 ORDER BY q""".stripMargin)),
 
+    // ---- Evasion-resistant dedup (round 15): a copied document that swaps
+    //      Latin letters for identical-looking Cyrillic/Greek homoglyphs
+    //      and sprinkles zero-width characters hashes differently and walks
+    //      through exact dedup. The gate builds deterministic evaded twins
+    //      for half the corpus, then counts distinct content hashes RAW vs
+    //      FOLDED (TextFunctions.foldConfusables: strip invisibles, map the
+    //      curated homoglyph alphabet back) — folding collapses every twin
+    //      back onto its source. Scan-stage Column trees; one agg.
+    "q_dedup_confusable_fold" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val evaded = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("​"), // ZWSP — the invisible-evasion seed
+              translate(col("text"), "aeopcxis", "аеорсхіѕ")).as("text"))
+        docs.unionByName(evaded).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("raw_distinct"),
+          countDistinct(md5(TextFunctions.foldConfusables(col("text"))))
+            .as("folded_distinct"))
+      },
+      Some {
+        val zw = """[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]"""
+        val from = graft.functions.TextFunctions.ConfusablesFrom
+        val to = graft.functions.TextFunctions.ConfusablesTo
+        s"""WITH base AS (SELECT doc_id, text FROM documents),
+        |ev AS (SELECT doc_id + 1000000 AS doc_id,
+        |  chr(8203) || translate(text, 'aeopcxis',
+        |    'аеорсхіѕ') AS text
+        |  FROM base WHERE doc_id % 2 = 0),
+        |al AS (SELECT text FROM base UNION ALL SELECT text FROM ev)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS raw_distinct,
+        |  CAST(count(DISTINCT md5(translate(
+        |    regexp_replace(text, '$zw', '', 'g'), '$from', '$to')))
+        |    AS BIGINT) AS folded_distinct
+        |FROM al""".stripMargin
+      }),
+
     // ---- Token-MASS quantiles (round 15): the context-budget reading —
     //      the smallest length whose <=-prefix holds q of the corpus's
     //      TOKENS (doc-count quantiles hide that a few long outliers can

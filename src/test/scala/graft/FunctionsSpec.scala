@@ -356,4 +356,23 @@ class FunctionsSpec extends SparkSpec {
       .select(fleschReadingEase(col("text")), fkGradeLevel(col("text"))).head()
     assert(empty.getDouble(0) == 0.0 && empty.getDouble(1) == 0.0)
   }
+
+  test("foldConfusables: homoglyphs map back, invisibles strip, ascii is a fixpoint") {
+    val rows = Seq(
+      "​ѕраrk ѕсаn", // ZWSP + cyr swap of "spark scan"
+      "spark scan",                                     // ascii fixpoint
+      "soft­hyphen zw‌nj bom﻿",          // invisibles only
+      "nb sp",                                     // NBSP -> space
+      "οΟ greek o"                            // greek omicron pair
+    ).toDF("text").select(TextFunctions.foldConfusables(col("text")).as("f"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows(0) == "spark scan")
+    assert(rows(1) == "spark scan")
+    assert(rows(2) == "softhyphen zwnj bom")
+    assert(rows(3) == "nb sp")
+    assert(rows(4) == "oO greek o")
+    // the from/to tables stay in lockstep (one codepoint per slot)
+    assert(TextFunctions.ConfusablesFrom.length ==
+      TextFunctions.ConfusablesTo.length)
+  }
 }
