@@ -1160,6 +1160,20 @@ object ScaleCheck {
           .agg(count(lit(1)).as("n_doc_epochs"), sum("n_kept").as("n_kept_tokens"))
       },
 
+      // Gradient-trained logistic filter (round 15): ONE tokenization to
+      // the persisted (doc, bucket, cnt) frame; per iteration one broadcast
+      // join + two partial aggs — corpus term linear, model buckets-bounded
+      "logit_train" -> { d =>
+        import graft.operators.QualityClassifier
+        val docs = Tables.documents(spark, d)
+        val lab = docs.withColumn("__q",
+          TextFunctions.qualityScore(col("text")))
+        val m = QualityClassifier.trainLogistic(lab, "doc_id", "text",
+          col("__q") >= 0.6, iters = 3, lr = 0.5, buckets = 4096,
+          salt = ":lg1")
+        QualityClassifier.scoreLogistic(docs, "doc_id", "text", m)
+      },
+
       // QOI compressed-image codec (round 15): encode (op selection, hash
       // index) -> strict decode -> channel means, all partition-local typed
       // maps, zero shuffle — expected ~1x scan-stage scaling

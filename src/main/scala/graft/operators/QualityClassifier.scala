@@ -135,4 +135,130 @@ object QualityClassifier {
           .cast("double").as("log_odds"))
       .withColumn("keep", col("log_odds") > 0.0)
   }
+
+  // ================ gradient-trained logistic filter ================
+
+  /** Trained logistic model: the buckets-bounded weight frame plus the
+    * bias as a decimal(28,9) value (driver-held, the HITS driver-scalar
+    * convention — one tiny collect per iteration, never a corpus row). */
+  case class LogitModel(w: DataFrame, bias: java.math.BigDecimal,
+                        buckets: Int, salt: String)
+
+  /** Batch gradient descent for the fastText-class LOGISTIC quality filter
+    * — the genuinely gradient-trained sibling of [[train]]'s closed-form
+    * Naive Bayes (NB assumes feature independence; the logistic weights
+    * co-adapt, which is why published pipelines ship linear classifiers,
+    * not NB, as the final quality tier).
+    *
+    * Determinism contract (what makes a bit-exact cross-engine oracle
+    * possible for an ITERATIVE float algorithm):
+    *  - features are integer bucket counts; predictions are rounded to 9
+    *    decimals immediately after the sigmoid (the calibration-gate
+    *    convention), so per-doc errors are decimal(28,9) EXACT;
+    *  - every corpus-scale sum (gradients) is a sum of exact decimals —
+    *    order-independent, partial-agg friendly;
+    *  - the only float ops are per-slot: `w + lrEff·grad` in IEEE doubles
+    *    with `lrEff = lr / nDocs` computed by one double division of
+    *    identical operands on any engine, re-rounded to 9 decimals.
+    *
+    * Scale shape: ONE tokenization folds the corpus to the (doc, bucket,
+    * cnt) frame, persisted and reused by every iteration (margins pass +
+    * gradient pass) and by [[scoreLogistic]]; per-iteration cost is one
+    * broadcast join of the buckets-bounded weight frame and two partial
+    * aggs. Weights persist-swap per iteration (the PageRank loop shape) so
+    * the lineage never compounds. */
+  def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
+                    label: Column, iters: Int = 3, lr: Double = 0.5,
+                    buckets: Int = 4096, salt: String = ":lg1"): LogitModel = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = docs.sparkSession
+    // EXPLICIT narrow decimal operand types throughout: Spark caps decimal
+    // products at precision 38 by REDUCING SCALE (decimal(28,9) × bigint
+    // silently becomes scale 6 — three decimals gone and the oracle
+    // diverges). weights (19,9) × counts (10,0) → (30,9); errors (10,9) ×
+    // counts (10,0) → (21,9): every product and sum stays exact.
+    val y = docs.select(col(idCol).as("doc_id"),
+      when(label, lit(1.0)).otherwise(lit(0.0)).cast("decimal(10,9)").as("y"))
+    val x = tokenBuckets(docs, idCol, textCol, buckets, salt)
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).cast("decimal(10,0)").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    x.count()
+    val n = docs.count()
+    val lrEff = lr / n // one IEEE division of identical operands per engine
+    def dec9w(c: Column): Column = round(c, 9).cast("decimal(19,9)")
+    val w0 = lit(0).cast("decimal(19,9)")
+    var w: DataFrame = null
+    var bias: java.math.BigDecimal = java.math.BigDecimal.ZERO.setScale(9)
+    var t = 0
+    while (t < iters) {
+      // margins: bias + sum_b w(b) * cnt(doc,b); w = 0 on the first pass
+      val margins =
+        if (w == null)
+          y.select(col("doc_id"), lit(bias).cast("decimal(28,9)").as("m"))
+        else
+          y.join(
+            x.join(broadcast(w), Seq("b"), "left")
+              .groupBy("doc_id")
+              .agg(sum(coalesce(col("w"), w0) * col("cnt")).as("s"))
+              .hint("shuffle_hash"),
+            Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (coalesce(col("s").cast("decimal(28,9)"),
+                lit(0).cast("decimal(28,9)")) +
+                lit(bias).cast("decimal(28,9)")).as("m"))
+      // exact per-doc error: label minus the 9-decimal-rounded sigmoid
+      val err = y.join(margins, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("y") - round(lit(1.0) /
+              (lit(1.0) + exp(-col("m").cast("double"))), 9)
+            .cast("decimal(10,9)")).cast("decimal(10,9)").as("e"))
+      val grads = x.join(err, Seq("doc_id"))
+        .groupBy("b").agg(sum(col("cnt") * col("e")).as("g"))
+      val wPrev = w
+      w = (if (wPrev == null) grads.select(col("b"), w0.as("w"), col("g"))
+           else grads.join(broadcast(wPrev), Seq("b"), "left")
+              .select(col("b"), coalesce(col("w"), w0).as("w"), col("g")))
+        .select(col("b"), dec9w(col("w").cast("double") +
+          lit(lrEff) * col("g").cast("double")).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      w.count()
+      if (wPrev != null) wPrev.unpersist(blocking = false)
+      // bias update through the SAME engine expression as the weights, so
+      // driver state can never drift from what the oracle computes
+      val gBias = err.agg(sum("e").cast("decimal(28,9)")).head.getDecimal(0)
+      bias = spark.range(1).select(dec9w(lit(bias).cast("double") +
+          lit(lrEff) * lit(gBias).cast("double")).as("nb"))
+        .head.getDecimal(0)
+      t += 1
+    }
+    x.unpersist(blocking = false)
+    LogitModel(w, bias, buckets, salt)
+  }
+
+  /** Score every document under a trained [[LogitModel]]:
+    * (doc_id, n_tokens, margin, p, keep). Margins stay decimal-exact up to
+    * the final 6-decimal presentation round; `keep` is the rounded margin
+    * against zero (what a reader of the report would apply). Token-less
+    * documents score the bias alone. */
+  def scoreLogistic(docs: DataFrame, idCol: String, textCol: String,
+                    m: LogitModel): DataFrame = {
+    val w0 = lit(0).cast("decimal(19,9)")
+    val perDoc = tokenBuckets(docs, idCol, textCol, m.buckets, m.salt)
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).cast("decimal(10,0)").as("cnt"))
+      .join(broadcast(m.w), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("decimal(20,0)").as("n_tokens"),
+        sum(coalesce(col("w"), w0) * col("cnt")).as("s"))
+    val mDec = coalesce(col("s").cast("decimal(28,9)"),
+      lit(0).cast("decimal(28,9)")) + lit(m.bias).cast("decimal(28,9)")
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"),
+        round(mDec, 6).cast("double").as("margin"),
+        round(lit(1.0) / (lit(1.0) + exp(-mDec.cast("double"))), 9).as("p"))
+      .withColumn("keep", col("margin") > 0.0)
+  }
 }

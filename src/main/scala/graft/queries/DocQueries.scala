@@ -2725,6 +2725,76 @@ object DocQueries {
         |    / CAST(count(*) AS DOUBLE) AS frac_pos
         |FROM bi GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ---- Gradient-trained LOGISTIC quality filter (round 15): the
+    //      fastText-class linear classifier itself — 3 unrolled batch-GD
+    //      iterations over hashed-unigram counts, weak-labeled by the
+    //      heuristic (the NB gate's deployment pattern). Bit-exact across
+    //      engines for an ITERATIVE float algorithm: integer features,
+    //      sigmoids rounded to 9 decimals on the spot (errors become exact
+    //      decimals; every corpus-scale gradient sum is order-independent),
+    //      and the only float op — w + lrEff*grad — is per-slot IEEE with
+    //      lrEff one double division, re-rounded to 9. The oracle unrolls
+    //      the same 3 iterations.
+    "q_text_logit_quality" -> Q(
+      (s, d) => {
+        import graft.operators.QualityClassifier
+        val docs = Tables.documents(s, d)
+        val lab = docs.withColumn("__q",
+          graft.functions.TextFunctions.qualityScore(col("text")))
+        val m = QualityClassifier.trainLogistic(lab, "doc_id", "text",
+          col("__q") >= 0.6, iters = 3, lr = 0.5, buckets = 4096,
+          salt = ":lg1")
+        QualityClassifier.scoreLogistic(docs, "doc_id", "text", m)
+          .orderBy("doc_id")
+      },
+      Some {
+        def iter(t: Int): String = {
+          val bp = if (t == 1) "CAST(0 AS DECIMAL(19,9))"
+            else s"(SELECT v FROM bias${t - 1})"
+          val mDef =
+            if (t == 1)
+              s"m$t AS (SELECT doc_id, y, CAST($bp AS DECIMAL(28,9)) AS m FROM yy)"
+            else {
+              val w = s"w${t - 1}"
+              s"""m$t AS (SELECT yy.doc_id, yy.y,
+                 |  CAST(COALESCE(s.s, 0) AS DECIMAL(28,9)) + CAST($bp AS DECIMAL(28,9)) AS m
+                 |  FROM yy LEFT JOIN (SELECT xb.doc_id,
+                 |      sum(CAST(COALESCE($w.w, 0) AS DECIMAL(19,9)) * xb.cnt) AS s
+                 |    FROM xb LEFT JOIN $w ON $w.b = xb.b GROUP BY 1) s
+                 |  ON s.doc_id = yy.doc_id)""".stripMargin
+            }
+          val wJoin = if (t == 1) "" else s" LEFT JOIN w${t - 1} ON w${t - 1}.b = g$t.b"
+          val wPrev = if (t == 1) "CAST(0 AS DECIMAL(19,9))"
+            else s"CAST(COALESCE(w${t - 1}.w, 0) AS DECIMAL(19,9))"
+          s"""$mDef,
+             |e$t AS (SELECT doc_id, CAST(y - CAST(round(1.0/(1.0+exp(-CAST(m AS DOUBLE))), 9) AS DECIMAL(10,9)) AS DECIMAL(10,9)) AS e FROM m$t),
+             |g$t AS (SELECT b, sum(cnt * e) AS g FROM xb JOIN e$t USING (doc_id) GROUP BY 1),
+             |w$t AS (SELECT g$t.b, CAST(round(CAST($wPrev AS DOUBLE) + (SELECT v FROM lr) * CAST(g AS DOUBLE), 9) AS DECIMAL(19,9)) AS w FROM g$t$wJoin),
+             |bg$t AS (SELECT CAST(sum(e) AS DECIMAL(28,9)) AS g FROM e$t),
+             |bias$t AS (SELECT CAST(round(CAST($bp AS DOUBLE) + (SELECT v FROM lr) * CAST(g AS DOUBLE), 9) AS DECIMAL(19,9)) AS v FROM bg$t)""".stripMargin
+        }
+        s"""WITH ${qualityLangCtes("documents")},
+        |xb AS (SELECT u.doc_id, ${fp60Sql("tok || ':lg1'")} % 4096 AS b,
+        |    CAST(count(*) AS DECIMAL(10,0)) AS cnt
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t0) u GROUP BY 1, 2),
+        |yy AS (SELECT doc_id, CAST(CASE WHEN quality >= 0.6 THEN 1.0 ELSE 0.0 END AS DECIMAL(10,9)) AS y FROM scored),
+        |lr AS (SELECT CAST(0.5 AS DOUBLE) / count(*) AS v FROM yy),
+        |${iter(1)},
+        |${iter(2)},
+        |${iter(3)},
+        |pd AS (SELECT xb.doc_id, CAST(sum(xb.cnt) AS BIGINT) AS ntok,
+        |    sum(CAST(COALESCE(w3.w, 0) AS DECIMAL(19,9)) * xb.cnt) AS s
+        |  FROM xb LEFT JOIN w3 ON w3.b = xb.b GROUP BY 1),
+        |sc AS (SELECT d.doc_id, CAST(COALESCE(pd.ntok, 0) AS BIGINT) AS n_tokens,
+        |    CAST(COALESCE(pd.s, 0) AS DECIMAL(28,9))
+        |      + CAST((SELECT v FROM bias3) AS DECIMAL(28,9)) AS m
+        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+        |SELECT doc_id, n_tokens, CAST(round(m, 6) AS DOUBLE) AS margin,
+        |  CAST(round(1.0/(1.0+exp(-CAST(m AS DOUBLE))), 9) AS DOUBLE) AS p,
+        |  CAST(round(m, 6) AS DOUBLE) > 0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- NB classifier DISCRIMINATION report (ROC-AUC + average
     //      precision, per source): the threshold-free half of filter
     //      acceptance beside the calibration gate — does the per-token

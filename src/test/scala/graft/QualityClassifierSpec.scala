@@ -125,4 +125,55 @@ class QualityClassifierSpec extends SparkSpec {
       assert(got == want, s"shards=$shards: $got != $want")
     }
   }
+
+  test("logistic GD: one hand-computed iteration; margins, p, prior-only docs") {
+    import spark.implicits._
+    // d1 = "aa aa" (positive), d2 = "bb" (negative); with lr=0.5 over n=2
+    // docs, lrEff=0.25. Iteration 1 from w=0: p=0.5 for both, err=+/-0.5;
+    // grad(aa)=2*0.5=1.0, grad(bb)=-0.5, grad(bias)=0 ->
+    // w(aa)=0.25, w(bb)=-0.125, bias=0.
+    val docs = Seq((1L, "aa aa"), (2L, "bb")).toDF("doc_id", "text")
+    val m1 = QualityClassifier.trainLogistic(docs, "doc_id", "text",
+      label = col("doc_id") === 1L, iters = 1, lr = 0.5, buckets = 4096)
+    assert(m1.bias.doubleValue == 0.0)
+    val s1 = QualityClassifier.scoreLogistic(docs, "doc_id", "text", m1)
+      .orderBy("doc_id").collect()
+    assert(s1(0).getAs[Double]("margin") == 0.5)    // 2 * 0.25
+    assert(s1(0).getAs[Long]("n_tokens") == 2L)
+    assert(s1(0).getAs[Boolean]("keep"))
+    assert(s1(1).getAs[Double]("margin") == -0.125)
+    assert(!s1(1).getAs[Boolean]("keep"))
+    // p is the 9-decimal sigmoid of the exact margin
+    assert(s1(0).getAs[Double]("p") ==
+      BigDecimal(1.0 / (1.0 + math.exp(-0.5)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // unseen tokens score the bias alone; empty text keeps n_tokens = 0
+    val s1u = QualityClassifier.scoreLogistic(
+        Seq((9L, "zz zz"), (10L, "")).toDF("doc_id", "text"), "doc_id",
+        "text", m1)
+      .orderBy("doc_id").collect()
+    assert(s1u(0).getAs[Double]("margin") == 0.0)
+    assert(s1u(1).getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("logistic GD: more iterations separate the classes monotonically") {
+    import spark.implicits._
+    val docs = (1L to 30L).map { i =>
+      (i, if (i % 2 == 0) "good solid prose here" else "spam junk list spam")
+    }.toDF("doc_id", "text")
+    val lab = col("doc_id") % 2 === 0
+    def margins(iters: Int): Map[Long, Double] =
+      QualityClassifier.scoreLogistic(docs, "doc_id", "text",
+          QualityClassifier.trainLogistic(docs, "doc_id", "text", lab,
+            iters = iters, lr = 0.5, buckets = 4096))
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("margin")).toMap
+    val m1 = margins(1); val m3 = margins(3)
+    // every positive doc's margin grows, every negative's shrinks
+    assert((2L to 30L by 2).forall(i => m3(i) > m1(i) && m3(i) > 0))
+    assert((1L to 29L by 2).forall(i => m3(i) < m1(i) && m3(i) < 0))
+    // the weight frame is buckets-bounded (distinct tokens here: 7)
+    val mdl = QualityClassifier.trainLogistic(docs, "doc_id", "text", lab,
+      iters = 2, lr = 0.5, buckets = 4096)
+    assert(mdl.w.count() <= 7L)
+  }
 }
