@@ -236,6 +236,27 @@ object QualityClassifier {
     LogitModel(w, bias, buckets, salt)
   }
 
+  /** Persist a trained [[LogitModel]] (train-once / score-many, the [[save]]
+    * contract): the buckets-bounded weight table plus one meta row. The
+    * bias is stored as the decimal(19,9) it already is, so the reloaded
+    * model scores bit-identically. */
+  def saveLogit(m: LogitModel, dir: String): Unit = {
+    val spark = m.w.sparkSession
+    m.w.coalesce(1).write.mode("overwrite").parquet(s"$dir/w")
+    spark.range(1).select(lit(m.bias).cast("decimal(19,9)").as("bias"),
+        lit(m.buckets).as("buckets"), lit(m.salt).as("salt"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a model persisted by [[saveLogit]]. */
+  def loadLogit(spark: org.apache.spark.sql.SparkSession,
+                dir: String): LogitModel = {
+    val meta = spark.read.parquet(s"$dir/meta").head
+    LogitModel(spark.read.parquet(s"$dir/w"),
+      meta.getAs[java.math.BigDecimal]("bias"),
+      meta.getAs[Int]("buckets"), meta.getAs[String]("salt"))
+  }
+
   /** Score every document under a trained [[LogitModel]]:
     * (doc_id, n_tokens, margin, p, keep). Margins stay decimal-exact up to
     * the final 6-decimal presentation round; `keep` is the rounded margin

@@ -175,5 +175,20 @@ class QualityClassifierSpec extends SparkSpec {
     val mdl = QualityClassifier.trainLogistic(docs, "doc_id", "text", lab,
       iters = 2, lr = 0.5, buckets = 4096)
     assert(mdl.w.count() <= 7L)
+    // save -> load -> score is bit-identical (train-once / score-many)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_logit").toString
+    try {
+      QualityClassifier.saveLogit(mdl, dir)
+      val re = QualityClassifier.loadLogit(spark, dir)
+      assert(re.bias == mdl.bias && re.buckets == mdl.buckets &&
+        re.salt == mdl.salt)
+      val a = QualityClassifier.scoreLogistic(docs, "doc_id", "text", mdl)
+        .orderBy("doc_id").collect().toSeq
+      val b = QualityClassifier.scoreLogistic(docs, "doc_id", "text", re)
+        .orderBy("doc_id").collect().toSeq
+      assert(a == b)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
   }
 }
