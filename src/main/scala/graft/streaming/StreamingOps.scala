@@ -865,4 +865,63 @@ object StreamingOps {
   def loadLengthState(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
       .groupBy("v").agg(sum("cnt").cast("long").as("cnt"))
+
+  /** Streaming twin of [[graft.operators.QualityClassifier.scoreLogistic]]
+    * — score documents AT INGEST under a trained (train-once / score-many)
+    * logistic model: the buckets-bounded weight table is collected once and
+    * broadcast, and each row is featurized and scored in a stateless
+    * partition-local typed map (no explode, no join, no state) — the
+    * append-mode shape a quality filter needs on a live crawl.
+    *
+    * The featurizer is the JVM mirror of the batch path's hashed-unigram
+    * buckets (lowercase whitespace tokens → md5-fp60 → mod buckets), the
+    * margin accumulates the same exact decimal(19,9) weights, and the
+    * presentation rounds use the same shortest-decimal-string semantics as
+    * Spark's `round` — stream ≡ batch row for row (pinned in
+    * StreamingSpec). */
+  def logitScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                       m: graft.operators.QualityClassifier.LogitModel): DataFrame = {
+    val spark = docs.sparkSession
+    val wMap = m.w.collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val bc = spark.sparkContext.broadcast(
+      (wMap, m.bias, m.buckets.toLong, m.salt))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("margin", DoubleType, nullable = false),
+      StructField("p", DoubleType, nullable = false),
+      StructField("keep", BooleanType, nullable = false)))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .mapPartitions { it =>
+        val (w, bias, buckets, salt) = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { row =>
+          val text = row.getAs[String]("text")
+          val toks =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase(java.util.Locale.ROOT)
+              .split("\\s+").filter(_.nonEmpty)
+          var mDec = bias
+          toks.foreach { t =>
+            val d = md.digest((t + salt).getBytes("UTF-8"))
+            var v = 0L
+            var i = 0
+            while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+            v = (v << 4) | ((d(7) & 0xf0L) >> 4) // first 15 hex = 60 bits
+            w.get(v % buckets).foreach(wb => mDec = mDec.add(wb))
+          }
+          val m6 = mDec.setScale(6, java.math.RoundingMode.HALF_UP)
+            .doubleValue
+          // valueOf = shortest-decimal-string, Spark's round(double) path
+          val p = java.math.BigDecimal
+            .valueOf(1.0 / (1.0 + math.exp(-mDec.doubleValue)))
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+          org.apache.spark.sql.Row(
+            if (row.isNullAt(0)) null else row.getLong(0),
+            toks.length.toLong, m6, p, m6 > 0.0)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+  }
 }

@@ -979,4 +979,36 @@ class StreamingSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir).getParentFile)
   }
+
+  test("streaming logistic scoring equals the batch scorer row for row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.QualityClassifier
+    val train = Seq((1L, "good solid prose"), (2L, "spam junk spam"),
+      (3L, "good prose again"), (4L, "junk list junk")).toDF("doc_id", "text")
+    val m = QualityClassifier.trainLogistic(train, "doc_id", "text",
+      col("doc_id") % 2 === 1, iters = 2, lr = 0.5, buckets = 4096)
+    // score a DIFFERENT set: unseen tokens, empty text, repeats
+    val rows = Seq((10L, "good good spam"), (11L, ""), (12L, "novel words"),
+      (13L, "solid junk prose list"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.logitScoreStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", m)
+      .writeStream.format("memory").queryName("logit_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val cols = Seq("doc_id", "n_tokens", "margin", "p", "keep")
+      val streamed = s.sql("SELECT * FROM logit_stream")
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      val batch = QualityClassifier.scoreLogistic(
+          rows.toDF("doc_id", "text"), "doc_id", "text", m)
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
 }
