@@ -532,6 +532,51 @@ object Diagnostics {
       .orderBy("q")
   }
 
+  /** Population Stability Index between a REFERENCE corpus slice and the
+    * CURRENT one over a categorical feature — the batch between-crawl
+    * drift report beside the live [[graft.streaming.StreamingOps]] drift
+    * monitor: has the language / source / quality-bucket mix moved enough
+    * that yesterday's filter thresholds and mixture weights no longer
+    * describe today's corpus? (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * re-tune — the standard scorecard bands.)
+    *
+    * Add-one smoothing over the UNION category set keeps every log finite
+    * (a category present on one side only is exactly the drift worth
+    * flagging, not a division error). Exactness: counts are integers,
+    * totals driver scalars off a category-bounded agg, and each term is
+    * one fixed IEEE expression — identical on any engine.
+    *
+    * Scale shape: two map-side-combined count folds (one per slice), one
+    * category-bounded full outer join, scan-stage terms — the corpus is
+    * read once per slice and nothing corpus-scale shuffles.
+    *
+    * Output: (cat, n_ref, n_cur, p_ref, p_cur, psi_term) ordered by cat;
+    * total PSI = sum(psi_term). */
+  def psiByCategory(ref: DataFrame, cur: DataFrame, cat: Column): DataFrame = {
+    val r = ref.select(cat.cast("string").as("cat"))
+      .filter(col("cat").isNotNull)
+      .groupBy("cat").agg(count(lit(1)).as("n_ref"))
+    val c = cur.select(cat.cast("string").as("cat"))
+      .filter(col("cat").isNotNull)
+      .groupBy("cat").agg(count(lit(1)).as("n_cur"))
+    val j = r.hint("shuffle_hash").join(c, Seq("cat"), "full")
+      .select(col("cat"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = j.agg(sum("n_ref"), sum("n_cur"), count(lit(1))).head
+    val nr = Option(t.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val nc = Option(t.get(1)).fold(0L)(_.asInstanceOf[Long])
+    val k = t.getLong(2)
+    val pRef = (col("n_ref").cast("double") + lit(1.0)) /
+      lit((nr + k).toDouble)
+    val pCur = (col("n_cur").cast("double") + lit(1.0)) /
+      lit((nc + k).toDouble)
+    j.select(col("cat"), col("n_ref"), col("n_cur"),
+        round(pRef, 9).as("p_ref"), round(pCur, 9).as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 9).as("psi_term"))
+      .orderBy("cat")
+  }
+
   /** Token-MASS quantiles — the context-budget reading of the length
     * distribution: the smallest length `v` such that documents of length
     * <= v hold at least `q` of the corpus's TOKENS (not its documents; a

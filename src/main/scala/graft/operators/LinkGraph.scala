@@ -211,10 +211,21 @@ object LinkGraph {
     * CacheScope; same checkpoint note as PageRank for long horizons. */
   def hits(edges: DataFrame, iters: Int,
            scope: graft.core.CacheScope.Handle =
-             graft.core.CacheScope.detached): DataFrame = {
+             graft.core.CacheScope.detached): DataFrame =
+    hitsWeighted(edges.groupBy("src", "dst").agg(count(lit(1)).as("weight")),
+      iters, scope)
+
+  /** HITS over a MAINTAINED weighted-edge state ([[weightedEdges]] /
+    * [[mergeWeightedEdges]] / the streaming delta log) — the incremental
+    * re-rank path, exactly the [[pageRankWeighted]] contract: counts add,
+    * so scores off the merged state are bit-equal to a full recompute on
+    * the merged edge list, and the full-corpus edge extraction pass is
+    * skipped. */
+  def hitsWeighted(weighted: DataFrame, iters: Int,
+                   scope: graft.core.CacheScope.Handle =
+                     graft.core.CacheScope.detached): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val w = edges.groupBy("src", "dst").agg(count(lit(1)).as("weight"))
-      .persist()
+    val w = weighted.persist()
     val nodes = w.select(col("src").as("node"))
       .union(w.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()

@@ -4998,6 +4998,41 @@ object DocQueries {
         |FROM tg JOIN w ON w.cum >= tg.rank_target
         |GROUP BY 1, 2, 4 ORDER BY q""".stripMargin)),
 
+    // ---- Corpus drift: PSI between crawl slices (round 15): the batch
+    //      between-crawl drift report — has the source mix moved enough
+    //      that yesterday's thresholds and mixture weights are stale? The
+    //      gate splits the corpus into two deterministic "crawls" (doc_id
+    //      parity) and reads the per-source PSI terms; add-one smoothing
+    //      over the union category set keeps one-sided categories finite.
+    "q_text_psi_drift" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        graft.operators.Diagnostics.psiByCategory(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          col("source"))
+      },
+      Some("""WITH r AS (SELECT source AS cat, count(*) AS n_ref FROM documents
+        |  WHERE doc_id % 2 = 0 AND source IS NOT NULL GROUP BY 1),
+        |c AS (SELECT source AS cat, count(*) AS n_cur FROM documents
+        |  WHERE doc_id % 2 = 1 AND source IS NOT NULL GROUP BY 1),
+        |j AS (SELECT COALESCE(r.cat, c.cat) AS cat,
+        |  CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+        |  CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM r FULL JOIN c ON r.cat = c.cat),
+        |t AS (SELECT sum(n_ref) AS nr, sum(n_cur) AS nc, count(*) AS k FROM j),
+        |p AS (SELECT cat, n_ref, n_cur,
+        |  (CAST(n_ref AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |    / CAST((SELECT nr + k FROM t) AS DOUBLE) AS pr,
+        |  (CAST(n_cur AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |    / CAST((SELECT nc + k FROM t) AS DOUBLE) AS pc
+        |  FROM j)
+        |SELECT cat, n_ref, n_cur,
+        |  CAST(round(pr, 9) AS DOUBLE) AS p_ref,
+        |  CAST(round(pc, 9) AS DOUBLE) AS p_cur,
+        |  CAST(round((pc - pr) * ln(pc / pr), 9) AS DOUBLE) AS psi_term
+        |FROM p ORDER BY cat""".stripMargin)),
+
     // ---- Evasion-resistant dedup (round 15): a copied document that swaps
     //      Latin letters for identical-looking Cyrillic/Greek homoglyphs
     //      and sprinkles zero-width characters hashes differently and walks
@@ -7365,6 +7400,27 @@ object DocQueries {
       (s, d) => graft.operators.LinkGraph.hits(
           synthDomainEdges(docsP(s, d)), iters = 2)
         .orderBy("domain"),
+      Some(s"""WITH $SynthEdgesSql,
+        |${hitsCtes(2)}
+        |SELECT a2.node AS domain, a2.score AS authority, h2.score AS hub
+        |FROM a2 JOIN h2 ON h2.node = a2.node ORDER BY 1""".stripMargin)),
+
+    // ---- Incremental HITS from the maintained link state (round 15):
+    //      the hubs/authorities twin of q_web_pagerank_increment — a crawl
+    //      wave appends edges into the weighted state and HITS re-ranks
+    //      from the merged fold, bit-equal to a full recompute (counts
+    //      add), skipping the full-corpus edge extraction. Same oracle as
+    //      q_web_hits by construction.
+    "q_web_hits_increment" -> Q(
+      (s, d) => {
+        import graft.operators.LinkGraph
+        val docs = docsP(s, d)
+        val state = LinkGraph.weightedEdges(
+          synthDomainEdges(docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)))
+        val merged = LinkGraph.mergeWeightedEdges(state,
+          synthDomainEdges(docs.filter(pmod(col("doc_id"), lit(7)) === 0)))
+        LinkGraph.hitsWeighted(merged, iters = 2).orderBy("domain")
+      },
       Some(s"""WITH $SynthEdgesSql,
         |${hitsCtes(2)}
         |SELECT a2.node AS domain, a2.score AS authority, h2.score AS hub

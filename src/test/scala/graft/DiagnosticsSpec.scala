@@ -316,4 +316,28 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out(0.5) == ((150L, 4L, 300L))) // half the tokens need v=4
     assert(out(1.0) == ((300L, 4L, 300L)))
   }
+
+  test("psiByCategory: hand-computed terms, one-sided category, zero drift") {
+    import spark.implicits._
+    val ref = (Seq.fill(6)("a") ++ Seq.fill(2)("b")).toDF("g")
+    val cur = (Seq.fill(2)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c"))
+      .toDF("g")
+    val out = Diagnostics.psiByCategory(ref, cur, col("g"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    // union k=3; smoothed pr = (n_ref+1)/11, pc = (n_cur+1)/11
+    def term(a: Long, b: Long): Double = {
+      val pr = (a + 1.0) / 11.0; val pc = (b + 1.0) / 11.0
+      BigDecimal((pc - pr) * math.log(pc / pr))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out("a") == ((6L, 2L, term(6, 2))))
+    assert(out("b") == ((2L, 4L, term(2, 4))))
+    assert(out("c") == ((0L, 2L, term(0, 2)))) // one-sided stays finite
+    assert(out.values.map(_._3).sum > 0.25)    // this split is real drift
+    // identical slices: every term is exactly zero
+    val same = Diagnostics.psiByCategory(ref, ref, col("g"))
+      .collect().map(_.getDouble(5))
+    assert(same.forall(_ == 0.0))
+  }
 }

@@ -54,6 +54,14 @@ class LinkGraphSpec extends SparkSpec {
         .orderBy("domain").collect().map(r => (r.getString(0), r.getDouble(1)))
       assert(inc.nonEmpty && inc.sameElements(re), s"mode oi=$oi diverged")
     }
+    // HITS from the same merged state == recompute over the raw edge union
+    val hitsInc = LinkGraph.hitsWeighted(merged, iters = 2)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val hitsRe = LinkGraph.hits(full, iters = 2)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(hitsInc.nonEmpty && hitsInc == hitsRe)
   }
 
   test("production decimal-sum mode equals the ordered-fold gate mode") {
