@@ -74,6 +74,58 @@ object DocQueries {
   private val MultiMatchPats = Seq("table table", "a a", "fast sort",
     "scan query", "value", "spark part filter", "zz-never-hits")
 
+  /** One unrolled batch-GD iteration for the logistic-filter oracle —
+    * margins off w{t-1}/bias{t-1}, 9-decimal-rounded sigmoid errors, exact
+    * decimal gradient sums, per-slot IEEE updates (mirrors
+    * QualityClassifier.trainLogistic step for step). */
+  private def logitIterCtes(t: Int): String = {
+    val bp = if (t == 1) "CAST(0 AS DECIMAL(19,9))"
+      else s"(SELECT v FROM bias${t - 1})"
+    val mDef =
+      if (t == 1)
+        s"m$t AS (SELECT doc_id, y, CAST($bp AS DECIMAL(28,9)) AS m FROM yy)"
+      else {
+        val w = s"w${t - 1}"
+        s"""m$t AS (SELECT yy.doc_id, yy.y,
+           |  CAST(COALESCE(s.s, 0) AS DECIMAL(28,9)) + CAST($bp AS DECIMAL(28,9)) AS m
+           |  FROM yy LEFT JOIN (SELECT xb.doc_id,
+           |      sum(CAST(COALESCE($w.w, 0) AS DECIMAL(19,9)) * xb.cnt) AS s
+           |    FROM xb LEFT JOIN $w ON $w.b = xb.b GROUP BY 1) s
+           |  ON s.doc_id = yy.doc_id)""".stripMargin
+      }
+    val wJoin = if (t == 1) "" else s" LEFT JOIN w${t - 1} ON w${t - 1}.b = g$t.b"
+    val wPrev = if (t == 1) "CAST(0 AS DECIMAL(19,9))"
+      else s"CAST(COALESCE(w${t - 1}.w, 0) AS DECIMAL(19,9))"
+    s"""$mDef,
+       |e$t AS (SELECT doc_id, CAST(y - CAST(round(1.0/(1.0+exp(-CAST(m AS DOUBLE))), 9) AS DECIMAL(10,9)) AS DECIMAL(10,9)) AS e FROM m$t),
+       |g$t AS (SELECT b, sum(cnt * e) AS g FROM xb JOIN e$t USING (doc_id) GROUP BY 1),
+       |w$t AS (SELECT g$t.b, CAST(round(CAST($wPrev AS DOUBLE) + (SELECT v FROM lr) * CAST(g AS DOUBLE), 9) AS DECIMAL(19,9)) AS w FROM g$t$wJoin),
+       |bg$t AS (SELECT CAST(sum(e) AS DECIMAL(28,9)) AS g FROM e$t),
+       |bias$t AS (SELECT CAST(round(CAST($bp AS DOUBLE) + (SELECT v FROM lr) * CAST(g AS DOUBLE), 9) AS DECIMAL(19,9)) AS v FROM bg$t)""".stripMargin
+  }
+
+  /** Full logistic-filter training + scoring CTE chain (3 iterations over
+    * :lg1 hashed-unigram buckets, weak labels `labelSql` evaluated against
+    * `scored`, final per-doc decimal margin in `sc(doc_id, n_tokens, m)`).
+    * Requires qualityLangCtes in scope; shared by the logit gate and the
+    * filter bake-off. */
+  private def logitTrainSql(labelSql: String): String =
+    s"""xb AS (SELECT u.doc_id, ${fp60Sql("tok || ':lg1'")} % 4096 AS b,
+       |    CAST(count(*) AS DECIMAL(10,0)) AS cnt
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t0) u GROUP BY 1, 2),
+       |yy AS (SELECT doc_id, CAST(CASE WHEN $labelSql THEN 1.0 ELSE 0.0 END AS DECIMAL(10,9)) AS y FROM scored),
+       |lr AS (SELECT CAST(0.5 AS DOUBLE) / count(*) AS v FROM yy),
+       |${logitIterCtes(1)},
+       |${logitIterCtes(2)},
+       |${logitIterCtes(3)},
+       |pd AS (SELECT xb.doc_id, CAST(sum(xb.cnt) AS BIGINT) AS ntok,
+       |    sum(CAST(COALESCE(w3.w, 0) AS DECIMAL(19,9)) * xb.cnt) AS s
+       |  FROM xb LEFT JOIN w3 ON w3.b = xb.b GROUP BY 1),
+       |sc AS (SELECT d.doc_id, CAST(COALESCE(pd.ntok, 0) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(pd.s, 0) AS DECIMAL(28,9))
+       |      + CAST((SELECT v FROM bias3) AS DECIMAL(28,9)) AS m
+       |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)""".stripMargin
+
   /** Occurrence CTE mirroring MultiMatch semantics exactly: every position
     * where the pattern starts, overlapping included — a contains-prefiltered
     * candidate set crossed with a constant position series (DuckDB's
@@ -2747,53 +2799,12 @@ object DocQueries {
         QualityClassifier.scoreLogistic(docs, "doc_id", "text", m)
           .orderBy("doc_id")
       },
-      Some {
-        def iter(t: Int): String = {
-          val bp = if (t == 1) "CAST(0 AS DECIMAL(19,9))"
-            else s"(SELECT v FROM bias${t - 1})"
-          val mDef =
-            if (t == 1)
-              s"m$t AS (SELECT doc_id, y, CAST($bp AS DECIMAL(28,9)) AS m FROM yy)"
-            else {
-              val w = s"w${t - 1}"
-              s"""m$t AS (SELECT yy.doc_id, yy.y,
-                 |  CAST(COALESCE(s.s, 0) AS DECIMAL(28,9)) + CAST($bp AS DECIMAL(28,9)) AS m
-                 |  FROM yy LEFT JOIN (SELECT xb.doc_id,
-                 |      sum(CAST(COALESCE($w.w, 0) AS DECIMAL(19,9)) * xb.cnt) AS s
-                 |    FROM xb LEFT JOIN $w ON $w.b = xb.b GROUP BY 1) s
-                 |  ON s.doc_id = yy.doc_id)""".stripMargin
-            }
-          val wJoin = if (t == 1) "" else s" LEFT JOIN w${t - 1} ON w${t - 1}.b = g$t.b"
-          val wPrev = if (t == 1) "CAST(0 AS DECIMAL(19,9))"
-            else s"CAST(COALESCE(w${t - 1}.w, 0) AS DECIMAL(19,9))"
-          s"""$mDef,
-             |e$t AS (SELECT doc_id, CAST(y - CAST(round(1.0/(1.0+exp(-CAST(m AS DOUBLE))), 9) AS DECIMAL(10,9)) AS DECIMAL(10,9)) AS e FROM m$t),
-             |g$t AS (SELECT b, sum(cnt * e) AS g FROM xb JOIN e$t USING (doc_id) GROUP BY 1),
-             |w$t AS (SELECT g$t.b, CAST(round(CAST($wPrev AS DOUBLE) + (SELECT v FROM lr) * CAST(g AS DOUBLE), 9) AS DECIMAL(19,9)) AS w FROM g$t$wJoin),
-             |bg$t AS (SELECT CAST(sum(e) AS DECIMAL(28,9)) AS g FROM e$t),
-             |bias$t AS (SELECT CAST(round(CAST($bp AS DOUBLE) + (SELECT v FROM lr) * CAST(g AS DOUBLE), 9) AS DECIMAL(19,9)) AS v FROM bg$t)""".stripMargin
-        }
-        s"""WITH ${qualityLangCtes("documents")},
-        |xb AS (SELECT u.doc_id, ${fp60Sql("tok || ':lg1'")} % 4096 AS b,
-        |    CAST(count(*) AS DECIMAL(10,0)) AS cnt
-        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t0) u GROUP BY 1, 2),
-        |yy AS (SELECT doc_id, CAST(CASE WHEN quality >= 0.6 THEN 1.0 ELSE 0.0 END AS DECIMAL(10,9)) AS y FROM scored),
-        |lr AS (SELECT CAST(0.5 AS DOUBLE) / count(*) AS v FROM yy),
-        |${iter(1)},
-        |${iter(2)},
-        |${iter(3)},
-        |pd AS (SELECT xb.doc_id, CAST(sum(xb.cnt) AS BIGINT) AS ntok,
-        |    sum(CAST(COALESCE(w3.w, 0) AS DECIMAL(19,9)) * xb.cnt) AS s
-        |  FROM xb LEFT JOIN w3 ON w3.b = xb.b GROUP BY 1),
-        |sc AS (SELECT d.doc_id, CAST(COALESCE(pd.ntok, 0) AS BIGINT) AS n_tokens,
-        |    CAST(COALESCE(pd.s, 0) AS DECIMAL(28,9))
-        |      + CAST((SELECT v FROM bias3) AS DECIMAL(28,9)) AS m
-        |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id)
+      Some(s"""WITH ${qualityLangCtes("documents")},
+        |${logitTrainSql("quality >= 0.6")}
         |SELECT doc_id, n_tokens, CAST(round(m, 6) AS DOUBLE) AS margin,
         |  CAST(round(1.0/(1.0+exp(-CAST(m AS DOUBLE))), 9) AS DOUBLE) AS p,
         |  CAST(round(m, 6) AS DOUBLE) > 0 AS keep
-        |FROM sc ORDER BY doc_id""".stripMargin
-      }),
+        |FROM sc ORDER BY doc_id""".stripMargin)),
 
     // ---- NB classifier DISCRIMINATION report (ROC-AUC + average
     //      precision, per source): the threshold-free half of filter
@@ -2883,6 +2894,113 @@ object DocQueries {
         | CASE WHEN tnp > 0 THEN
         |   round(CAST(sum(apt) AS DOUBLE) / tnp, 9) END AS avg_precision
         |FROM u GROUP BY source, tnp, tnn ORDER BY source""".stripMargin)),
+
+    // ---- Filter BAKE-OFF (round 15): the two TRAINED quality tiers —
+    //      closed-form NB and gradient-trained logistic — scored head to
+    //      head with exact ROC-AUC / AP against the weak label both
+    //      trained on (in-sample by design: the question is which tier
+    //      ORDERS documents closer to the signal it distills; held-out
+    //      generalization is the NB calibration gate's job). The label is
+    //      the CCNet-style "is the target language" split (balanced
+    //      ~44/56 on this corpus — the quality label is 499:1 at gate
+    //      scale and degenerate for ranking metrics). Both scores are
+    //      length-normalized per token so the comparison is scale-free.
+    "q_text_filter_bakeoff" -> Q(
+      (s, d) => {
+        import graft.operators.{ClassifierEval, QualityClassifier}
+        val docs = Tables.documents(s, d)
+        val lab = docs.withColumn("__en",
+          graft.functions.TextFunctions.langId(col("text")) === "en")
+        val labels = lab.select(col("doc_id"), col("__en").as("is_pos"))
+        val nbM = QualityClassifier.train(
+          lab.filter(col("__en")), lab.filter(!col("__en")),
+          "doc_id", "text", buckets = 4096, salt = ":nb1")
+        val nb = QualityClassifier.score(docs, "doc_id", "text", nbM)
+          .join(labels, Seq("doc_id"))
+          .select(lit("nb").as("filter"),
+            round(col("log_odds") / greatest(col("n_tokens"), lit(1L)), 9)
+              .as("v"),
+            col("is_pos"))
+        val lgM = QualityClassifier.trainLogistic(lab, "doc_id", "text",
+          col("__en"), iters = 3, lr = 0.5, buckets = 4096,
+          salt = ":lg1")
+        val lg = QualityClassifier.scoreLogistic(docs, "doc_id", "text", lgM)
+          .join(labels, Seq("doc_id"))
+          .select(lit("logit").as("filter"),
+            round(col("margin") / greatest(col("n_tokens"), lit(1L)), 9)
+              .as("v"),
+            col("is_pos"))
+        ClassifierEval.binaryMetricsBy(nb.unionByName(lg), "filter",
+            col("v"), col("is_pos"))
+          .orderBy("filter")
+      },
+      Some(s"""WITH ${qualityLangCtes("documents")},
+        |nbe AS (SELECT s.doc_id, s.lang,
+        |    ${fp60Sql("tok || ':nb1'")} % 4096 AS b
+        |  FROM (SELECT doc_id, lang FROM scored) s JOIN
+        |    (SELECT doc_id, unnest(toks) AS tok FROM t0) u USING (doc_id)),
+        |nbp AS (SELECT b, count(*) AS cp FROM nbe WHERE lang = 'en' GROUP BY 1),
+        |nbn AS (SELECT b, count(*) AS cn FROM nbe WHERE lang <> 'en' GROUP BY 1),
+        |nbtp AS (SELECT COALESCE(sum(cp), 0) AS n FROM nbp),
+        |nbtn AS (SELECT COALESCE(sum(cn), 0) AS n FROM nbn),
+        |nbm AS (SELECT COALESCE(nbp.b, nbn.b) AS b, CAST(round(ln(
+        |    ((CAST(COALESCE(cp, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / CAST((SELECT n FROM nbtp) + 4096 AS DOUBLE))
+        |    / ((CAST(COALESCE(cn, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |      / CAST((SELECT n FROM nbtn) + 4096 AS DOUBLE))), 9)
+        |  AS DECIMAL(28,9)) AS llr
+        |  FROM nbp FULL JOIN nbn ON nbp.b = nbn.b),
+        |nbd AS (SELECT CAST(round(ln(
+        |    CAST((SELECT n FROM nbtn) + 4096 AS DOUBLE)
+        |    / CAST((SELECT n FROM nbtp) + 4096 AS DOUBLE)), 9)
+        |  AS DECIMAL(28,9)) AS v),
+        |nbpri AS (SELECT CAST(round(ln(
+        |    CAST((SELECT count(*) FROM scored WHERE lang = 'en') + 1 AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM scored WHERE lang <> 'en') + 1 AS DOUBLE)), 9)
+        |  AS DECIMAL(28,9)) AS v),
+        |nbpd AS (SELECT doc_id, count(*) AS n_tokens,
+        |    sum(COALESCE(nbm.llr, (SELECT v FROM nbd))) AS sllr
+        |  FROM nbe LEFT JOIN nbm ON nbm.b = nbe.b GROUP BY 1),
+        |nbsc AS (SELECT d.doc_id, COALESCE(nbpd.n_tokens, 0) AS n_tokens,
+        |    CAST(round(COALESCE(nbpd.sllr, 0) + (SELECT v FROM nbpri), 6)
+        |      AS DOUBLE) AS log_odds
+        |  FROM documents d LEFT JOIN nbpd ON nbpd.doc_id = d.doc_id),
+        |${logitTrainSql("lang = 'en'")},
+        |lab AS (SELECT doc_id, (lang = 'en') AS is_pos FROM scored),
+        |uv AS (
+        |  SELECT 'nb' AS filter,
+        |    round(nbsc.log_odds / greatest(nbsc.n_tokens, 1), 9) AS v,
+        |    lab.is_pos
+        |  FROM nbsc JOIN lab USING (doc_id)
+        |  UNION ALL
+        |  SELECT 'logit',
+        |    round(CAST(round(sc.m, 6) AS DOUBLE) / greatest(sc.n_tokens, 1), 9),
+        |    lab.is_pos
+        |  FROM sc JOIN lab USING (doc_id)),
+        |g AS (SELECT filter, v,
+        |    CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS gnp,
+        |    CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS gnn
+        |  FROM uv GROUP BY 1, 2),
+        |t AS (SELECT filter, CAST(sum(gnp) AS BIGINT) AS tnp,
+        |    CAST(sum(gnn) AS BIGINT) AS tnn FROM g GROUP BY 1),
+        |c AS (SELECT filter, v, gnp, gnn,
+        |    COALESCE(sum(gnn) OVER (PARTITION BY filter ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb,
+        |    COALESCE(sum(gnp) OVER (PARTITION BY filter ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cpb
+        |  FROM g),
+        |u AS (SELECT c.filter, tnp, tnn,
+        |    gnp * (2*cnb + gnn) AS u2,
+        |    CAST(round(gnp * (tnp - cpb) / ((tnp - cpb) + (tnn - cnb)), 12)
+        |      AS DECIMAL(38,12)) AS apt
+        |  FROM c JOIN t USING (filter))
+        |SELECT filter, CAST(tnp + tnn AS BIGINT) AS n,
+        | CAST(tnp AS BIGINT) AS n_pos, CAST(tnn AS BIGINT) AS n_neg,
+        | CASE WHEN tnp > 0 AND tnn > 0 THEN
+        |   round(CAST(sum(u2) AS DOUBLE) / (2.0 * tnp * tnn), 9) END AS auc_roc,
+        | CASE WHEN tnp > 0 THEN
+        |   round(CAST(sum(apt) AS DOUBLE) / tnp, 9) END AS avg_precision
+        |FROM u GROUP BY filter, tnp, tnn ORDER BY filter""".stripMargin)),
 
     // ---- BPE round trip: merges trained on the :bpe1 80% split, applied
     //      to every document; the compared contract is LOSSLESSNESS — each
