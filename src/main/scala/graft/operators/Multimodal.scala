@@ -601,6 +601,70 @@ object Multimodal {
         sum(col("meta.byte_len")).as("total_bytes"),
         countDistinct(col("meta.sha256")).as("distinct_payloads"))
 
+  // ===================== perceptual image hash =====================
+
+  /** One image's perceptual fingerprint: the average-hash (aHash) bits
+    * packed MSB-first in (row, col) order, plus the grid actually used
+    * (DOWNSAMPLE-ONLY like [[resizePpm]]: a 4×3 source hashes on 4×3). */
+  case class AHashFeatures(media_id: Long, ahash: Long, n_bits: Int,
+                           grid_w: Int, grid_h: Int, is_valid: Boolean)
+
+  /** Perceptual average-hash over decoded P6 pixels — the IMAGE member of
+    * the dedup family: re-encoded, recompressed, or uniformly
+    * brightness-shifted copies of a picture hash to the SAME fingerprint,
+    * so exact-dedup evasion that defeats a byte hash collapses under a
+    * groupBy(ahash) or a [[graft.functions.Hamming64]] near-dup bucket
+    * join (the SimHash pattern, applied to pixels).
+    *
+    * Contract (all integer arithmetic, bit-exact on any engine):
+    *  - box-resample to `min(grid, w) × min(grid, h)` under the EXACT
+    *    [[resizePpm]] contract (floor-division boxes, half-up means);
+    *  - cell luma = r + g + b of the resampled means (no /3 — scaling by 3
+    *    cannot change a comparison);
+    *  - bit_i = (n_cells · luma_i > Σ lumas) — the mean threshold cleared
+    *    of its division, which is what makes the hash invariant to a
+    *    uniform brightness shift (+c moves every luma and the mean by the
+    *    same 3c) and to pre-downscaling onto an aligned grid (hashing a
+    *    grid-sized box-resample of the image equals hashing the image —
+    *    single-pixel boxes are exact fixpoints of the resampler);
+    *  - bits pack MSB-first in (row, col) order into a long (grid ≤ 8 →
+    *    at most 64 bits).
+    *
+    * Shape: partition-local typed map, zero shuffle, fail-soft. */
+  def aHashFeatures(media: DataFrame, grid: Int = 4): DataFrame = {
+    require(grid >= 1 && grid <= 8, "grid must be in [1, 8]")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val resized = resizePpmImage(payload, grid, grid)
+          .flatMap(rb => parsePpmHeader(rb).map((rb, _)))
+        resized match {
+          case None => AHashFeatures(id, 0L, 0, 0, 0, is_valid = false)
+          case Some((rb, (w2, h2, _, off))) =>
+            val n = w2 * h2
+            val lumas = new Array[Long](n)
+            var tot = 0L
+            var i = 0
+            while (i < n) {
+              lumas(i) = (rb(off + i * 3) & 0xff).toLong +
+                (rb(off + i * 3 + 1) & 0xff) + (rb(off + i * 3 + 2) & 0xff)
+              tot += lumas(i)
+              i += 1
+            }
+            var hash = 0L
+            i = 0
+            while (i < n) {
+              if (n * lumas(i) > tot) hash |= 1L << (n - 1 - i)
+              i += 1
+            }
+            AHashFeatures(id, hash, n, w2, h2, is_valid = true)
+        }
+      })
+      .toDF()
+  }
+
   // ===================== QOI — a real COMPRESSED raster codec ==========
 
   /** Build REAL QOI images ("Quite OK Image", the public one-page spec at

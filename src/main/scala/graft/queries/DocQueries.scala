@@ -5983,6 +5983,60 @@ object DocQueries {
         |FROM d2 ORDER BY media_id""".stripMargin
       }),
 
+    // ---- Perceptual image hash (round 15): aHash over decoded pixels —
+    //      the IMAGE member of the dedup family (re-encoded or uniformly
+    //      brightened copies collapse under groupBy(ahash), the byte hash
+    //      doesn't). All-integer mean threshold (n*luma > total), bits off
+    //      half-up box means under the resize contract. The gate also pins
+    //      the aligned-downscale fixpoint: hashing a 4x4 pre-resample of
+    //      the image equals hashing the image. The oracle derives the hash
+    //      analytically from the text bytes — neither kernel is trusted.
+    "q_multimodal_ahash" -> Q(
+      (s, d) => {
+        val media = Multimodal.encodePpm(Multimodal.fromText(
+          Tables.documents(s, d), "doc_id", "text", "source"))
+        val direct = Multimodal.aHashFeatures(media, grid = 4)
+          .select(col("media_id"), col("ahash"), col("n_bits"),
+            col("grid_h"))
+        val pre = Multimodal.aHashFeatures(
+            Multimodal.resizePpm(media, 4, 4), grid = 4)
+          .select(col("media_id"), col("ahash").as("ahash_pre"))
+        direct.join(pre, Seq("media_id"))
+          .withColumn("scale_invariant", col("ahash") === col("ahash_pre"))
+          .orderBy("media_id")
+      },
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        // half-up box mean for channel c of resampled cell i: single source
+        // column x = i%4, source rows [i//4*h/h2, (i//4+1)*h/h2)
+        def pv(c: Int) =
+          s"""((2 * list_sum(list_transform(range(i//4*h//h2, (i//4+1)*h//h2), yy ->
+             |   CASE WHEN yy*12 + (i%4)*3 + ${c + 1} <= len
+             |    THEN ${byteAt(s"yy*12 + (i%4)*3 + ${c + 1}")} ELSE 0 END))
+             | + ((i//4+1)*h//h2 - i//4*h//h2))
+             | // (2 * ((i//4+1)*h//h2 - i//4*h//h2)))""".stripMargin
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 12) AS h FROM m),
+        |d2 AS (SELECT media_id, hx, len, h, least(4, h) AS h2 FROM d),
+        |lum AS (SELECT media_id, h2, g.i,
+        |    ${pv(0)} + ${pv(1)} + ${pv(2)} AS luma
+        |  FROM d2 CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+        |  WHERE g.i < h2 * 4),
+        |hsh AS (SELECT media_id, CAST(max(h2) AS INT) AS grid_h,
+        |    CAST(max(h2) * 4 AS INT) AS n_bits,
+        |    CAST(coalesce(sum(CASE WHEN (h2*4) * luma > (SELECT sum(l2.luma)
+        |        FROM lum l2 WHERE l2.media_id = lum.media_id)
+        |      THEN (CAST(1 AS BIGINT) << CAST(h2*4 - 1 - i AS INT))
+        |      ELSE 0 END), 0) AS BIGINT) AS ahash
+        |  FROM lum GROUP BY media_id)
+        |SELECT media_id, ahash, n_bits, grid_h, ahash AS ahash_pre,
+        |  true AS scale_invariant
+        |FROM hsh ORDER BY media_id""".stripMargin
+      }),
+
     // REAL COMPRESSED image decode (round 15): the corpus is encoded as
     // genuine QOI streams (RUN/INDEX/DIFF/LUMA/RGB ops, 64-slot hash
     // index, wrapping-int8 deltas — the public qoiformat.org spec) and the

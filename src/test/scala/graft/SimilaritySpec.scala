@@ -1041,6 +1041,42 @@ class SimilaritySpec extends SparkSpec {
     assert(invalid.forall(r => !r.getAs[Boolean]("is_valid")))
   }
 
+  test("aHash: hand bits, brightness invariance, downscale fixpoint, fail-soft") {
+    import spark.implicits._
+    // 2x2 image, alternating dark/bright columns
+    val px = Array[Byte](10, 10, 10, 100, 100, 100, 10, 10, 10,
+      100, 100, 100)
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ px
+    val df = Seq((1L, ppm)).toDF("media_id", "payload")
+    // lumas 30, 300, 30, 300; tot 660; bit = 4*l > 660: 0,1,0,1 -> 0b0101
+    val r = Multimodal.aHashFeatures(df, grid = 2).head()
+    assert(r.getAs[Long]("ahash") == 5L)
+    assert(r.getAs[Int]("n_bits") == 4 && r.getAs[Boolean]("is_valid"))
+    // uniform brightness shift cannot move a bit
+    val brighter = "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      px.map(b => ((b & 0xff) + 50).toByte)
+    val rb = Multimodal.aHashFeatures(
+      Seq((1L, brighter)).toDF("media_id", "payload"), grid = 2).head()
+    assert(rb.getAs[Long]("ahash") == 5L)
+    // corpus-wide: hashing a 4x4 pre-resample equals hashing the original
+    val media = Multimodal.encodePpm(Multimodal.fromText(
+      Tables.documents(spark, sf).filter(col("doc_id") < 40),
+      "doc_id", "text", "source"))
+    val direct = Multimodal.aHashFeatures(media, grid = 4)
+      .select("media_id", "ahash").collect()
+      .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    val pre = Multimodal.aHashFeatures(Multimodal.resizePpm(media, 4, 4),
+        grid = 4)
+      .select("media_id", "ahash").collect()
+      .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(direct.nonEmpty && direct == pre)
+    // malformed payloads flag invalid instead of throwing
+    val bad = Multimodal.aHashFeatures(
+      Seq((9L, "not a ppm".getBytes("US-ASCII"))).toDF("media_id", "payload"))
+      .head()
+    assert(!bad.getAs[Boolean]("is_valid") && bad.getAs[Long]("ahash") == 0L)
+  }
+
   test("decode cap bounds the scan blowup: oversize payload == its capped prefix") {
     val docs = Tables.documents(spark, sf).limit(5)
     val media = Multimodal.fromText(docs, "doc_id", "text", "source")
