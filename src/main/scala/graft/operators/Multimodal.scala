@@ -665,6 +665,48 @@ object Multimodal {
       .toDF()
   }
 
+  /** Image near-dup PAIRS over [[aHashFeatures]] fingerprints — the
+    * [[Dedup.simhashPairs]] machinery applied to pixels: band the hash,
+    * equi-join candidates on (band, band-bits), exact Hamming distance on
+    * the candidates only. With 4 bands, every pair within
+    * `maxHamming <= 3` shares at least one intact band (pigeonhole), so
+    * the banded result EQUALS the all-pairs result — which is what the
+    * oracle checks, brute-force. Scale shape: the hash is one scan; the
+    * join is a band-keyed equi-join (never a cross), the SimHash contract.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b. */
+  def aHashPairs(media: DataFrame, grid: Int = 4, maxHamming: Int = 3,
+                 scope: graft.core.CacheScope.Handle =
+                   graft.core.CacheScope.detached): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4 bands guarantee completeness only for hamming <= 3")
+    // fixed-width hex signature: grid^2 bits, padded to 4 equal bands
+    val nHex = (((grid * grid + 3) / 4) + 3) / 4 * 4
+    val width = nHex / 4
+    val sig = aHashFeatures(media, grid)
+      .filter(col("is_valid"))
+      .select(col("media_id"),
+        lpad(lower(hex(col("ahash"))), nHex, "0").as("sig"))
+    val bands = scope.pin(sig.select(col("media_id"), col("sig"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          substring(col("sig"), 1 + width * b, width).as("bh"))): _*)).as("e"))
+      .select(col("media_id"), col("sig"), col("e.band"), col("e.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    bands.count() // materialize before the self-join (the simhashPairs note)
+    val b = bands.hint("shuffle_hash")
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("a.sig").as("sig_a"),
+        col("b.media_id").as("id_b"), col("b.sig").as("sig_b"))
+      .distinct()
+    graft.GraftExtensions.register(media.sparkSession)
+    cand.select(col("id_a"), col("id_b"),
+        graft.functions.Hamming64.hamming64(col("sig_a"), col("sig_b"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ===================== QOI — a real COMPRESSED raster codec ==========
 
   /** Build REAL QOI images ("Quite OK Image", the public one-page spec at

@@ -6037,6 +6037,48 @@ object DocQueries {
         |FROM hsh ORDER BY media_id""".stripMargin
       }),
 
+    // ---- Image near-dup pairs (round 15): banded Hamming join over the
+    //      perceptual hashes — the SimHash candidate machinery applied to
+    //      pixels. 4 bands make the banded result EQUAL to all-pairs at
+    //      maxHamming <= 3, so the oracle is the brute-force self-join on
+    //      the analytically-derived hashes (xor + bit_count).
+    "q_multimodal_ahash_pairs" -> Q(
+      (s, d) => Multimodal.aHashPairs(
+          Multimodal.encodePpm(Multimodal.fromText(
+            Tables.documents(s, d), "doc_id", "text", "source")),
+          grid = 4, maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        def pv(c: Int) =
+          s"""((2 * list_sum(list_transform(range(i//4*h//h2, (i//4+1)*h//h2), yy ->
+             |   CASE WHEN yy*12 + (i%4)*3 + ${c + 1} <= len
+             |    THEN ${byteAt(s"yy*12 + (i%4)*3 + ${c + 1}")} ELSE 0 END))
+             | + ((i//4+1)*h//h2 - i//4*h//h2))
+             | // (2 * ((i//4+1)*h//h2 - i//4*h//h2)))""".stripMargin
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 12) AS h FROM m),
+        |d2 AS (SELECT media_id, hx, len, h, least(4, h) AS h2 FROM d),
+        |lum AS (SELECT media_id, h2, g.i,
+        |    ${pv(0)} + ${pv(1)} + ${pv(2)} AS luma
+        |  FROM d2 CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+        |  WHERE g.i < h2 * 4),
+        |hsh AS (SELECT media_id,
+        |    CAST(coalesce(sum(CASE WHEN (h2*4) * luma > (SELECT sum(l2.luma)
+        |        FROM lum l2 WHERE l2.media_id = lum.media_id)
+        |      THEN (CAST(1 AS BIGINT) << CAST(h2*4 - 1 - i AS INT))
+        |      ELSE 0 END), 0) AS BIGINT) AS ahash
+        |  FROM lum GROUP BY media_id)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+        |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+      }),
+
     // REAL COMPRESSED image decode (round 15): the corpus is encoded as
     // genuine QOI streams (RUN/INDEX/DIFF/LUMA/RGB ops, 64-slot hash
     // index, wrapping-int8 deltas — the public qoiformat.org spec) and the

@@ -1070,6 +1070,17 @@ class SimilaritySpec extends SparkSpec {
       .select("media_id", "ahash").collect()
       .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
     assert(direct.nonEmpty && direct == pre)
+    // banded pair join == brute-force hamming over the collected hashes
+    // (4 bands are COMPLETE for maxHamming <= 3 by pigeonhole)
+    val got = Multimodal.aHashPairs(media, grid = 4, maxHamming = 3)
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1)) -> r2.getInt(2))
+      .toMap
+    val want = (for {
+      (ia, ha) <- direct.toSeq; (ib, hb) <- direct.toSeq
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib) -> d).toMap
+    assert(got == want && want.nonEmpty)
     // malformed payloads flag invalid instead of throwing
     val bad = Multimodal.aHashFeatures(
       Seq((9L, "not a ppm".getBytes("US-ASCII"))).toDF("media_id", "payload"))
