@@ -286,9 +286,11 @@ object Multimodal {
       .toDF()
   }
 
-  private[graft] def decodeWav(id: Long, b: Array[Byte]): WavFeatures = {
-    def bad = WavFeatures(id, 0, 0, 0, 0L, 0.0, 0.0, 0.0, 0, 0L,
-      is_valid = false)
+  /** Chunk-walk to the mono 16-bit PCM plane: (sample_rate, data offset,
+    * n_samples). None for anything outside the kernel's honest scope
+    * (compressed, multi-channel, or non-16-bit forms). Shared by
+    * [[decodeWav]] and [[wavEnvelopeHash]]. */
+  private def wavPcm(b: Array[Byte]): Option[(Int, Int, Long)] = {
     def u8(i: Int): Int = b(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long =
@@ -296,28 +298,38 @@ object Multimodal {
         (u8(i + 3).toLong << 24)
     def tag(i: Int): String = new String(b, i, 4, "US-ASCII")
     if (b == null || b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE")
-      return bad
+      return None
     // generic chunk walk: chunks may appear in any order with strangers
     // (LIST, fact, ...) between them; odd-sized chunks carry one pad byte
     var i = 12
     var fmtAt = -1; var dataAt = -1; var dataLen = 0L
     while (i + 8 <= b.length && (fmtAt < 0 || dataAt < 0)) {
       val id4 = tag(i); val sz = le32(i + 4)
-      if (sz < 0 || i + 8 + sz > b.length) return bad
+      if (sz < 0 || i + 8 + sz > b.length) return None
       if (id4 == "fmt " && fmtAt < 0) fmtAt = i + 8
       else if (id4 == "data" && dataAt < 0) { dataAt = i + 8; dataLen = sz }
       i += 8 + sz.toInt + (sz % 2).toInt
     }
-    if (fmtAt < 0 || dataAt < 0 || fmtAt + 16 > b.length) return bad
+    if (fmtAt < 0 || dataAt < 0 || fmtAt + 16 > b.length) return None
     val audioFormat = le16(fmtAt)
     val channels = le16(fmtAt + 2)
     val rate = le32(fmtAt + 4)
     val bits = le16(fmtAt + 14)
     // this kernel's honest scope: uncompressed mono 16-bit only
     if (audioFormat != 1 || channels != 1 || bits != 16 || rate <= 0 ||
-      rate > Int.MaxValue) return bad
-    val n = dataLen / 2
-    if (n == 0) return WavFeatures(id, rate.toInt, 1, 16, 0L, 0.0, 0.0, 0.0,
+      rate > Int.MaxValue) return None
+    Some((rate.toInt, dataAt, dataLen / 2))
+  }
+
+  private[graft] def decodeWav(id: Long, b: Array[Byte]): WavFeatures = {
+    def bad = WavFeatures(id, 0, 0, 0, 0L, 0.0, 0.0, 0.0, 0, 0L,
+      is_valid = false)
+    def u8(i: Int): Int = b(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    val parsed = wavPcm(b)
+    if (parsed.isEmpty) return bad
+    val (rate, dataAt, n) = parsed.get
+    if (n == 0) return WavFeatures(id, rate, 1, 16, 0L, 0.0, 0.0, 0.0,
       0, 0L, is_valid = true)
     var sumAbs = 0L; var sumSq = 0L; var peak = 0; var zc = 0L
     var prevNeg = false
@@ -705,6 +717,66 @@ object Multimodal {
         graft.functions.Hamming64.hamming64(col("sig_a"), col("sig_b"))
           .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** One clip's energy-envelope fingerprint (the audio sibling of
+    * [[AHashFeatures]]). */
+  case class WavEnvelope(media_id: Long, envhash: Long, n_bits: Int,
+                         is_valid: Boolean)
+
+  /** Perceptual audio fingerprint — the ENERGY ENVELOPE hash: split the
+    * PCM stream into `min(windows, n)` floor-division boxes, take the
+    * half-up integer mean of |sample| per box, and set bit_w when the
+    * box's mean clears the across-box mean (the all-integer
+    * `n_boxes · m_w > Σ m` threshold of [[aHashFeatures]]). Re-containered
+    * or offset-trimmed-silence copies of a clip collapse under
+    * groupBy(envhash) / a Hamming bucket where the byte hash diverges —
+    * the audio member of the dedup family. Approximately gain-invariant
+    * (exactly, when box sums scale without touching the half-up
+    * boundaries). Partition-local typed map, zero shuffle, fail-soft. */
+  def wavEnvelopeHash(media: DataFrame, windows: Int = 16): DataFrame = {
+    require(windows >= 1 && windows <= 64, "windows must be in [1, 64]")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        wavPcm(payload) match {
+          case None => WavEnvelope(id, 0L, 0, is_valid = false)
+          case Some((_, dataAt, n)) =>
+            if (n == 0) WavEnvelope(id, 0L, 0, is_valid = true)
+            else {
+              val w2 = math.min(windows.toLong, n).toInt
+              val means = new Array[Long](w2)
+              var tot = 0L
+              var w = 0
+              while (w < w2) {
+                val ks = w * n / w2; val ke = (w + 1) * n / w2
+                val cnt = ke - ks
+                var sum = 0L
+                var k = ks
+                while (k < ke) {
+                  val o = dataAt + (k * 2).toInt
+                  val v = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+                  val s = if (v >= 0x8000) v - 0x10000 else v
+                  sum += math.abs(s)
+                  k += 1
+                }
+                means(w) = (2 * sum + cnt) / (2 * cnt) // half-up mean
+                tot += means(w)
+                w += 1
+              }
+              var hash = 0L
+              w = 0
+              while (w < w2) {
+                if (w2 * means(w) > tot) hash |= 1L << (w2 - 1 - w)
+                w += 1
+              }
+              WavEnvelope(id, hash, w2, is_valid = true)
+            }
+        }
+      })
+      .toDF()
   }
 
   // ===================== QOI — a real COMPRESSED raster codec ==========

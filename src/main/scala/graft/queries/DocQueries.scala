@@ -6197,6 +6197,47 @@ object DocQueries {
         |FROM sg ORDER BY media_id""".stripMargin
       }),
 
+    // ---- Audio energy-envelope fingerprint (round 15): the audio member
+    //      of the dedup family — half-up |sample| means over floor-division
+    //      PCM windows, all-integer mean threshold, bits packed MSB-first.
+    //      The oracle derives the hash analytically from the text bytes
+    //      (16-bit LE samples), never seeing the kernel.
+    "q_multimodal_wav_envelope" -> Q(
+      (s, d) => Multimodal.wavEnvelopeHash(Multimodal.encodeWav(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")), windows = 16)
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 2) AS n FROM m),
+        |sm AS (SELECT media_id, n, list_transform(range(0, n), k ->
+        |  (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256 +
+        |  (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END)) AS us
+        |  FROM d),
+        |sg AS (SELECT media_id, n, least(16, n) AS w2, list_transform(us,
+        |  v -> CAST(abs(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS BIGINT)) AS sa
+        |  FROM sm),
+        |env AS (SELECT media_id, w2, g.w,
+        |    (2 * list_sum(list_transform(range(w*n//w2, (w+1)*n//w2),
+        |        k -> sa[k+1]))
+        |     + ((w+1)*n//w2 - w*n//w2))
+        |     // (2 * ((w+1)*n//w2 - w*n//w2)) AS mw
+        |  FROM sg CROSS JOIN (SELECT unnest(range(0, 16)) AS w) g
+        |  WHERE g.w < w2),
+        |hsh AS (SELECT media_id, CAST(max(w2) AS INT) AS n_bits,
+        |    CAST(coalesce(sum(CASE WHEN w2 * mw > (SELECT sum(e2.mw)
+        |        FROM env e2 WHERE e2.media_id = env.media_id)
+        |      THEN (CAST(1 AS BIGINT) << CAST(w2 - 1 - w AS INT))
+        |      ELSE 0 END), 0) AS BIGINT) AS envhash
+        |  FROM env GROUP BY media_id)
+        |SELECT media_id, envhash, n_bits, true AS is_valid
+        |FROM hsh ORDER BY media_id""".stripMargin
+      }),
+
     // Frame sampling: the generator shape (rows out >> rows in, no shuffle)
     // hash-checked — DuckDB mirrors the deterministic payload slices with
     // blob substrings.

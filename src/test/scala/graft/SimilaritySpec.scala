@@ -1088,6 +1088,32 @@ class SimilaritySpec extends SparkSpec {
     assert(!bad.getAs[Boolean]("is_valid") && bad.getAs[Long]("ahash") == 0L)
   }
 
+  test("wavEnvelopeHash: hand-computed bits over crafted PCM, fail-soft") {
+    import spark.implicits._
+    // samples 0,0,1000,1000,0,0,1000,1000 -> 4 windows of 2 -> means
+    // 0,1000,0,1000; tot 2000; bit = 4*m > 2000: 0,1,0,1 -> 0b0101
+    val pcm = Array(0, 0, 1000, 1000, 0, 0, 1000, 1000).flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    val raw = Seq((1L, pcm)).toDF("media_id", "payload")
+      .withColumn("meta", struct(lit(0L).as("byte_len"),
+        lit("").as("sha256"), lit("s").as("source")))
+    val r = Multimodal.wavEnvelopeHash(Multimodal.encodeWav(raw),
+      windows = 4).head()
+    assert(r.getAs[Long]("envhash") == 5L)
+    assert(r.getAs[Int]("n_bits") == 4 && r.getAs[Boolean]("is_valid"))
+    // fewer samples than windows: boxes shrink to one sample each
+    val short = Seq((2L, Array[Byte](0, 0, -24, 3))) // samples 0, 1000
+      .toDF("media_id", "payload")
+      .withColumn("meta", struct(lit(0L).as("byte_len"),
+        lit("").as("sha256"), lit("s").as("source")))
+    val r2 = Multimodal.wavEnvelopeHash(Multimodal.encodeWav(short),
+      windows = 16).head()
+    assert(r2.getAs[Int]("n_bits") == 2 && r2.getAs[Long]("envhash") == 1L)
+    // a non-WAV payload flags invalid instead of throwing
+    val bad = Multimodal.wavEnvelopeHash(raw, windows = 4).head()
+    assert(!bad.getAs[Boolean]("is_valid"))
+  }
+
   test("decode cap bounds the scan blowup: oversize payload == its capped prefix") {
     val docs = Tables.documents(spark, sf).limit(5)
     val media = Multimodal.fromText(docs, "doc_id", "text", "source")
