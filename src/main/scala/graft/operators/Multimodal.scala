@@ -519,16 +519,17 @@ object Multimodal {
       .toDF()
   }
 
-  private[graft] def decodeY4m(id: Long, b: Array[Byte],
-                               every: Int): Seq[Y4mFrame] = {
-    def bad = Seq(Y4mFrame(id, -1, 0, 0, "", 0.0, 0, 0, is_valid = false))
+  /** Parsed Y4M stream header: (w, h, colorspace, frame plane size, offset
+    * just past the header '\n'). Shared by [[decodeY4m]] and
+    * [[y4mTemporalHash]]. */
+  private def y4mHeader(b: Array[Byte]): Option[(Int, Int, String, Long, Int)] = {
     val magic = "YUV4MPEG2".getBytes("US-ASCII")
-    if (b == null || b.length < magic.length + 1) return bad
-    if (!magic.indices.forall(i => b(i) == magic(i))) return bad
+    if (b == null || b.length < magic.length + 1) return None
+    if (!magic.indices.forall(i => b(i) == magic(i))) return None
     // stream header: everything to the first '\n'; tags are space-separated
     var hEnd = magic.length
     while (hEnd < b.length && b(hEnd) != '\n') hEnd += 1
-    if (hEnd >= b.length) return bad
+    if (hEnd >= b.length) return None
     val header = new String(b, 0, hEnd, "US-ASCII")
     var w = -1; var h = -1; var cs = "420" // spec default when C is absent
     header.split(' ').drop(1).filter(_.nonEmpty).foreach { tag =>
@@ -540,7 +541,7 @@ object Multimodal {
         case _ => // F/I/A/X tags don't affect plane sizing
       }
     }
-    if (w <= 0 || h <= 0) return bad
+    if (w <= 0 || h <= 0) return None
     val frameSize: Long = cs match {
       case "mono" => w.toLong * h
       case "444" => 3L * w * h
@@ -548,7 +549,17 @@ object Multimodal {
       case c if c.startsWith("420") => w.toLong * h + 2L * (w / 2) * (h / 2)
       case _ => -1L
     }
-    if (frameSize <= 0 || frameSize > Int.MaxValue) return bad
+    if (frameSize <= 0 || frameSize > Int.MaxValue) return None
+    Some((w, h, cs, frameSize, hEnd + 1))
+  }
+
+  private[graft] def decodeY4m(id: Long, b: Array[Byte],
+                               every: Int): Seq[Y4mFrame] = {
+    def bad = Seq(Y4mFrame(id, -1, 0, 0, "", 0.0, 0, 0, is_valid = false))
+    val parsed = y4mHeader(b)
+    if (parsed.isEmpty) return bad
+    val (w, h, cs, frameSize, hEnd1) = parsed.get
+    val hEnd = hEnd1 - 1
     val marker = "FRAME".getBytes("US-ASCII")
     val out = Seq.newBuilder[Y4mFrame]
     var i = hEnd + 1
@@ -717,6 +728,83 @@ object Multimodal {
         graft.functions.Hamming64.hamming64(col("sig_a"), col("sig_b"))
           .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** One stream's temporal fingerprint (the video sibling of
+    * [[AHashFeatures]] / [[WavEnvelope]]). */
+  case class Y4mTemporalHash(media_id: Long, thash: Long, n_bits: Int,
+                             n_frames: Long, is_valid: Boolean)
+
+  /** Perceptual VIDEO fingerprint — the temporal luma envelope: frames are
+    * boxed into `min(windows, n_frames)` floor-division spans, each span's
+    * value is the half-up integer mean of ALL its frames' Y-plane bytes
+    * (one fold, not a mean of means), and bits come from the same
+    * all-integer `n·m > Σm` threshold as [[aHashFeatures]]. Completes the
+    * image / audio / video fingerprint triple: a re-containered or
+    * uniformly-regraded copy of a stream collapses under groupBy(thash).
+    * Partition-local typed map, zero shuffle, fail-soft. */
+  def y4mTemporalHash(media: DataFrame, windows: Int = 16): DataFrame = {
+    require(windows >= 1 && windows <= 64, "windows must be in [1, 64]")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        y4mHeader(payload) match {
+          case None => Y4mTemporalHash(id, 0L, 0, 0L, is_valid = false)
+          case Some((w, h, _, frameSize, start)) =>
+            // frame walk: collect per-frame Y-plane byte sums
+            val marker = "FRAME".getBytes("US-ASCII")
+            val sums = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val ny = w * h
+            var i = start
+            var go = true
+            while (go && i < payload.length) {
+              if (i + marker.length > payload.length ||
+                !marker.indices.forall(k => payload(i + k) == marker(k)))
+                go = false
+              else {
+                var j = i + marker.length
+                while (j < payload.length && payload(j) != '\n') j += 1
+                if (j >= payload.length ||
+                  payload.length - (j + 1) < frameSize) go = false
+                else {
+                  var s = 0L
+                  var k = 0
+                  while (k < ny) { s += payload(j + 1 + k) & 0xff; k += 1 }
+                  sums += s
+                  i = j + 1 + frameSize.toInt
+                }
+              }
+            }
+            val nf = sums.length
+            if (nf == 0) Y4mTemporalHash(id, 0L, 0, 0L, is_valid = true)
+            else {
+              val w2 = math.min(windows, nf)
+              val means = new Array[Long](w2)
+              var tot = 0L
+              var b = 0
+              while (b < w2) {
+                val fs = b * nf / w2; val fe = (b + 1) * nf / w2
+                var s = 0L
+                var f = fs
+                while (f < fe) { s += sums(f); f += 1 }
+                val cnt = (fe - fs).toLong * ny
+                means(b) = (2 * s + cnt) / (2 * cnt)
+                tot += means(b)
+                b += 1
+              }
+              var hash = 0L
+              b = 0
+              while (b < w2) {
+                if (w2 * means(b) > tot) hash |= 1L << (w2 - 1 - b)
+                b += 1
+              }
+              Y4mTemporalHash(id, hash, w2, nf.toLong, is_valid = true)
+            }
+        }
+      })
+      .toDF()
   }
 
   /** One clip's energy-envelope fingerprint (the audio sibling of

@@ -6238,6 +6238,50 @@ object DocQueries {
         |FROM hsh ORDER BY media_id""".stripMargin
       }),
 
+    // ---- Video temporal fingerprint (round 15): completes the image /
+    //      audio / video perceptual-hash triple — per-window half-up means
+    //      over the frames' Y-plane bytes (floor-division frame spans, one
+    //      fold per span), all-integer mean threshold. Oracle derives the
+    //      hash analytically from the text bytes; the span inverse for
+    //      floor-division boxes is w = ((f+1)*w2 - 1) // nf (validated
+    //      across nf shapes — the naive f*w2 // nf is the CEILING-span
+    //      inverse and misassigns boundary frames). The 64-frame oracle
+    //      bound comfortably covers the ~36-frame synthetic streams.
+    "q_multimodal_y4m_thash" -> Q(
+      (s, d) => Multimodal.y4mTemporalHash(Multimodal.encodeY4m(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")), windows = 16)
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 16) AS nf FROM m),
+        |fs AS (SELECT media_id, nf, least(16, nf) AS w2, g.f,
+        |    CAST(list_sum(list_transform(range(0, 16), p ->
+        |      CASE WHEN f*16 + p + 1 <= len THEN ${byteAt("f*16 + p + 1")}
+        |      ELSE 0 END)) AS BIGINT) AS s
+        |  FROM d CROSS JOIN (SELECT unnest(range(0, 64)) AS f) g
+        |  WHERE g.f < nf),
+        |env AS (SELECT media_id, nf, w2, ((f + 1) * w2 - 1) // nf AS w,
+        |    CAST(sum(s) AS BIGINT) AS ssum,
+        |    CAST(count(*) * 16 AS BIGINT) AS cnt
+        |  FROM fs GROUP BY 1, 2, 3, 4),
+        |mw AS (SELECT media_id, nf, w2, w,
+        |    (2 * ssum + cnt) // (2 * cnt) AS mv FROM env),
+        |hsh AS (SELECT media_id, CAST(max(w2) AS INT) AS n_bits,
+        |    CAST(max(nf) AS BIGINT) AS n_frames,
+        |    CAST(coalesce(sum(CASE WHEN w2 * mv > (SELECT sum(m2.mv)
+        |        FROM mw m2 WHERE m2.media_id = mw.media_id)
+        |      THEN (CAST(1 AS BIGINT) << CAST(w2 - 1 - w AS INT))
+        |      ELSE 0 END), 0) AS BIGINT) AS thash
+        |  FROM mw GROUP BY media_id)
+        |SELECT media_id, thash, n_bits, n_frames, true AS is_valid
+        |FROM hsh ORDER BY media_id""".stripMargin
+      }),
+
     // Frame sampling: the generator shape (rows out >> rows in, no shuffle)
     // hash-checked — DuckDB mirrors the deterministic payload slices with
     // blob substrings.

@@ -1114,6 +1114,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!bad.getAs[Boolean]("is_valid"))
   }
 
+  test("y4mTemporalHash: hand bits over crafted frames, fail-soft") {
+    import spark.implicits._
+    // 4 mono 4x4 frames: two dark (byte 10), two bright (byte 200);
+    // windows=2 -> span means 10 and 200, tot 210, bits 0,1 -> 0b01
+    val payload = (Array.fill[Byte](32)(10) ++
+      Array.fill[Byte](32)(200.toByte))
+    val raw = Seq((1L, payload)).toDF("media_id", "payload")
+      .withColumn("meta", struct(lit(0L).as("byte_len"),
+        lit("").as("sha256"), lit("s").as("source")))
+    val r = Multimodal.y4mTemporalHash(Multimodal.encodeY4m(raw),
+      windows = 2).head()
+    assert(r.getAs[Long]("thash") == 1L)
+    assert(r.getAs[Int]("n_bits") == 2 && r.getAs[Long]("n_frames") == 4L)
+    assert(r.getAs[Boolean]("is_valid"))
+    // a non-Y4M payload flags invalid instead of throwing
+    val bad = Multimodal.y4mTemporalHash(raw, windows = 2).head()
+    assert(!bad.getAs[Boolean]("is_valid"))
+  }
+
   test("decode cap bounds the scan blowup: oversize payload == its capped prefix") {
     val docs = Tables.documents(spark, sf).limit(5)
     val media = Multimodal.fromText(docs, "doc_id", "text", "source")
