@@ -1184,6 +1184,36 @@ object ScaleCheck {
             "source")))
       },
 
+      // Perceptual fingerprint triple (round 15): image aHash + banded
+      // pairs, audio envelope, video temporal — all partition-local typed
+      // maps; the only shuffle is the band-keyed pair join. Grid 8 =
+      // 64-bit signatures (the corpus-scale sizing; a 16-bit grid-4
+      // signature saturates its band space at 10x and the candidate join
+      // degenerates toward all-pairs — measured 34x before this sizing)
+      "fingerprints" -> { d =>
+        import graft.operators.Multimodal
+        val media = Multimodal.fromText(Tables.documents(spark, d),
+          "doc_id", "text", "source")
+        val img = Multimodal.aHashPairs(Multimodal.encodePpm(media),
+            grid = 8, maxHamming = 1)
+          .agg(count(lit(1)).as("n_pairs"))
+        val aud = Multimodal.wavEnvelopeHash(Multimodal.encodeWav(media))
+          .agg(countDistinct(col("envhash")).as("n_env"))
+        val vid = Multimodal.y4mTemporalHash(Multimodal.encodeY4m(media))
+          .agg(countDistinct(col("thash")).as("n_t"))
+        img.crossJoin(aud).crossJoin(vid)
+      },
+
+      // PSI drift (round 15): two count folds + a category-bounded join
+      "psi_drift" -> { d =>
+        import graft.operators.Diagnostics
+        val docs = Tables.documents(spark, d)
+        Diagnostics.psiByCategory(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          col("source"))
+      },
+
       // Aho-Corasick phrase screen (round 15): one corpus scan regardless
       // of pattern count (128 phrases here); only sparse hits shuffle —
       // expected ~1x scan-stage scaling

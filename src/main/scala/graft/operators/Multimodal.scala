@@ -691,27 +691,43 @@ object Multimodal {
   /** Image near-dup PAIRS over [[aHashFeatures]] fingerprints — the
     * [[Dedup.simhashPairs]] machinery applied to pixels: band the hash,
     * equi-join candidates on (band, band-bits), exact Hamming distance on
-    * the candidates only. With 4 bands, every pair within
-    * `maxHamming <= 3` shares at least one intact band (pigeonhole), so
-    * the banded result EQUALS the all-pairs result — which is what the
-    * oracle checks, brute-force. Scale shape: the hash is one scan; the
-    * join is a band-keyed equi-join (never a cross), the SimHash contract.
+    * the candidates only. With `maxHamming + 1` bands, every pair within
+    * `maxHamming` shares at least one intact band (pigeonhole), so the
+    * banded result EQUALS the all-pairs result — which is what the oracle
+    * checks, brute-force. Scale shape: the hash is one scan; the join is a
+    * band-keyed equi-join (never a cross), the SimHash contract.
+    *
+    * SIZE THE GRID TO THE CORPUS: band selectivity is 16^width per band,
+    * so a grid-4 (16-bit) signature has 16-value bands — fine at
+    * gate/validation scale, but a corpus that outgrows the signature space
+    * piles thousands of images into each band bucket and the candidate
+    * join degenerates toward all-pairs (measured 34× at 10× in SCALE.md).
+    * At corpus scale use grid = 8 (64-bit signature, 65536-value bands) —
+    * the SimHash sizing, and the configuration the scale suite measures.
     *
     * Output: (id_a, id_b, hamming), id_a < id_b. */
   def aHashPairs(media: DataFrame, grid: Int = 4, maxHamming: Int = 3,
                  scope: graft.core.CacheScope.Handle =
                    graft.core.CacheScope.detached): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 4,
-      "4 bands guarantee completeness only for hamming <= 3")
-    // fixed-width hex signature: grid^2 bits, padded to 4 equal bands
-    val nHex = (((grid * grid + 3) / 4) + 3) / 4 * 4
-    val width = nHex / 4
-    val sig = aHashFeatures(media, grid)
-      .filter(col("is_valid"))
-      .select(col("media_id"),
-        lpad(lower(hex(col("ahash"))), nHex, "0").as("sig"))
+    require(maxHamming >= 0 && maxHamming < 16,
+      "maxHamming + 1 bands must each carry at least one hex digit")
+    // TIGHT banding: maxHamming + 1 bands (the pigeonhole minimum) over
+    // the hex width the DATA actually uses — padding to a fixed grid^2
+    // width would make the leading bands constant zero whenever the
+    // source images are narrower than the grid, collapsing every image
+    // into one bucket and degenerating the candidate join toward
+    // all-pairs (measured 50x at 10x before this sizing). Fewer, wider
+    // bands = maximum per-band selectivity for the same guarantee.
+    val feats = aHashFeatures(media, grid).filter(col("is_valid"))
+    val maxBits = Option(feats.agg(max("n_bits")).head.get(0))
+      .fold(4)(_.asInstanceOf[Int]).max(4)
+    val nBands = maxHamming + 1
+    val nHex = (((maxBits + 3) / 4) + nBands - 1) / nBands * nBands
+    val width = nHex / nBands
+    val sig = feats.select(col("media_id"),
+      lpad(lower(hex(col("ahash"))), nHex, "0").as("sig"))
     val bands = scope.pin(sig.select(col("media_id"), col("sig"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
           substring(col("sig"), 1 + width * b, width).as("bh"))): _*)).as("e"))
       .select(col("media_id"), col("sig"), col("e.band"), col("e.bh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
