@@ -229,50 +229,66 @@ object LinkGraph {
     val nodes = w.select(col("src").as("node"))
       .union(w.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count()
-    // half-step: propagate `scores` across edges from `from` to `to`,
-    // L1-normalize, land on the full node universe. `raw` roots BOTH the
-    // norm total and the node join, so it is pinned for the step — without
-    // the pin the edge join+agg would run twice per half-step (measured
-    // ~2x the whole operator's cost at sf0.1). The norm total comes back
-    // as a 1-row driver scalar (bounded, like `n` above) rather than a
-    // broadcast-crossJoin branch: a second plan branch over `raw` doubles
-    // the captured plan tree per half-step, which compounds to an
-    // exponentially-sized plan string across iterations (AQE's plan-update
-    // explain OOMed the driver before any task ran)
-    def halfStep(scores: DataFrame, from: String, to: String): DataFrame = {
-      val raw = w.join(scores, w(from) === scores("node"))
+    // Half-step: propagate `scores` across edges from `from` to `to` and
+    // SUM — the L1 normalization is NOT applied here but folded lazily
+    // into the consumer (the next half-step's score expression, or the
+    // final presentation join), halving the per-iteration
+    // materializations: the norm-total collect is the one action per
+    // half-step, and it doubles as the raw frame's materializer. The norm
+    // total comes back as a 1-row driver scalar (bounded, like `n` above)
+    // rather than a broadcast-crossJoin branch: a second plan branch over
+    // `raw` doubles the captured plan tree per half-step, which compounds
+    // to an exponentially-sized plan string across iterations (AQE's
+    // plan-update explain OOMed the driver before any task ran).
+    //
+    // Mid-loop score frames carry only nodes WITH inflow: a node absent
+    // from `raw` has score round9(0/tot) = 0 and its outgoing per-edge
+    // contributions are round9(0·w) = 0 — dropping them changes no sum and
+    // no norm total, so the schedule is bit-identical to landing every
+    // half-step on the node universe (the oracle's form); the universe
+    // join happens once, in the final presentation.
+    def halfStep(scores: DataFrame, from: String,
+                 to: String): (DataFrame, java.math.BigDecimal) = {
+      val raw = scope.pin(w.join(scores, w(from) === scores("node"))
         .groupBy(w(to).as("__to"))
         .agg(sum(round(col("score") * col("weight"), 9)
           .cast("decimal(38,9)")).as("__raw"))
-        .persist()
-      // materializes the raw cache; exact decimal total, one double cast
-      val tot = raw.agg(sum("__raw")).head.getDecimal(0)
-      val next = scope.pin(nodes.join(raw, nodes("node") === col("__to"), "left")
-        .select(col("node"),
-          round(coalesce(col("__raw").cast("double"), lit(0.0)) /
-            lit(tot).cast("double"), 9).as("score"))
         .persist())
-      next.count() // materialize, then the step-local raw pin can go
-      raw.unpersist(blocking = false)
-      next
+      // the ONE action: exact decimal total; materializes the raw cache
+      val tot = raw.agg(sum("__raw")).head.getDecimal(0)
+      (raw, tot)
     }
+    // lazily-normalized score view of a half-step result
+    def scoresOf(step: (DataFrame, java.math.BigDecimal)): DataFrame =
+      step._1.select(col("__to").as("node"),
+        round(col("__raw").cast("double") / lit(step._2).cast("double"), 9)
+          .as("score"))
     var hub = nodes.select(col("node"), round(lit(1.0) / n, 9).as("score"))
     var auth: DataFrame = null
-    var prevA: Option[DataFrame] = None
-    var prevH: Option[DataFrame] = None
+    var stepA: (DataFrame, java.math.BigDecimal) = null
+    var stepH: (DataFrame, java.math.BigDecimal) = null
     for (_ <- 1 to iters) {
-      val nextA = halfStep(hub, "src", "dst")
-      prevA.foreach(_.unpersist(blocking = false))
-      prevA = Some(nextA); auth = nextA
-      val nextH = halfStep(auth, "dst", "src")
-      prevH.foreach(_.unpersist(blocking = false))
-      prevH = Some(nextH); hub = nextH
+      val prevA = stepA
+      stepA = halfStep(hub, "src", "dst")
+      // the previous auth raw fed only the hub step that is already
+      // materialized (its successor's tot collect ran) — release it
+      if (prevA != null) prevA._1.unpersist(blocking = false)
+      auth = scoresOf(stepA)
+      val prevH = stepH
+      stepH = halfStep(auth, "dst", "src")
+      if (prevH != null) prevH._1.unpersist(blocking = false)
+      hub = scoresOf(stepH)
     }
     w.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    auth.select(col("node").as("domain"), col("score").as("authority"))
-      .join(hub.select(col("node").as("domain"), col("score").as("hub")),
-        Seq("domain"))
+    scope.pin(nodes) // the presentation join below reads it lazily
+    // land on the full node universe once: dangling sides score 0 through
+    // the norm, never NULL (the documented contract)
+    def landed(step: (DataFrame, java.math.BigDecimal), as: String): DataFrame =
+      nodes.join(step._1, nodes("node") === col("__to"), "left")
+        .select(col("node").as("domain"),
+          round(coalesce(col("__raw").cast("double"), lit(0.0)) /
+            lit(step._2).cast("double"), 9).as(as))
+    landed(stepA, "authority").join(landed(stepH, "hub"), Seq("domain"))
   }
 
   /** Semi-supervised LABEL PROPAGATION over the (symmetrized) link graph —

@@ -57,7 +57,36 @@ object QualityClassifier {
       .select(col("doc_id"),
         Importance.tokenBucket(col("tok"), buckets, salt).as("b"))
 
+  /** ONE corpus tokenization folded to the (doc_id, b, cnt) bucket-count
+    * frame — the shared feature representation every classifier in this
+    * family consumes (NB train + score, logistic train + score). Persist
+    * the result and tokenization is paid exactly once per pipeline no
+    * matter how many classifier families train and score over it; summing
+    * `cnt` reproduces per-token semantics exactly because every token in a
+    * bucket carries the same model weight. cnt is decimal(10,0) so every
+    * downstream weight×count product stays within decimal-38 exactness
+    * (see [[trainLogistic]]'s precision notes). */
+  def tokenFold(docs: DataFrame, idCol: String, textCol: String,
+                buckets: Int = 4096, salt: String = ":bk1"): DataFrame =
+    tokenBuckets(docs, idCol, textCol, buckets, salt)
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).cast("decimal(10,0)").as("cnt"))
+
   private def dec9(c: Column): Column = round(c, 9).cast("decimal(28,9)")
+
+  /** Materialize a BUCKETS-BOUNDED model frame (≤ `buckets` rows by
+    * contract) as a driver-local DataFrame. Model frames are broadcast to
+    * every consumer anyway; carrying them as distributed lineage makes each
+    * broadcast RE-RUN the training aggregation (and any consumer that
+    * derives several broadcasts from one scored frame pays it several
+    * times), while a local relation broadcasts from driver memory with a
+    * flat plan. Values are untouched — this is the same bounded collect
+    * every broadcast of the frame would do. */
+  private def localize(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
 
   /** Train on a labeled split. Four train-once metadata aggregates (two
     * token totals, two doc counts) run eagerly; the per-bucket model stays
@@ -75,13 +104,70 @@ object QualityClassifier {
     val pPos = (coalesce(col("cp"), lit(0L)).cast("double") + lit(1.0)) / dP
     val pNeg = (coalesce(col("cn"), lit(0L)).cast("double") + lit(1.0)) / dN
     // buckets-bounded full outer; shuffle_hash skips the pointless sort
-    val llr = bp.hint("shuffle_hash").join(bn, Seq("b"), "full")
-      .select(col("b"), dec9(log(pPos / pNeg)).as("llr"))
+    val llr = localize(bp.hint("shuffle_hash").join(bn, Seq("b"), "full")
+      .select(col("b"), dec9(log(pPos / pNeg)).as("llr")))
     NbModel(llr,
       defaultLlr = dec9(log(dN / dP)),
       prior = dec9(log(lit((pos.count() + 1).toDouble) /
         lit((neg.count() + 1).toDouble))),
       buckets, salt)
+  }
+
+  /** [[train]] from a shared [[tokenFold]] frame plus a (doc_id, is_pos)
+    * label frame — the one-tokenization path for pipelines that train
+    * SEVERAL classifier families over the same corpus (the bake-off gate's
+    * shape). Bucket counts are sums of the fold's exact integer `cnt`, so
+    * the model is bit-identical to [[train]] on the pos/neg split under
+    * the same salt; llr narrows to decimal(19,9) (|llr| is a log-ratio,
+    * < 10^2) so [[scoreFold]]'s llr×cnt product stays decimal-exact. */
+  def trainFold(fold: DataFrame, labels: DataFrame,
+                buckets: Int = 4096, salt: String = ":bk1"): NbModel = {
+    val d0 = lit(0).cast("decimal(10,0)")
+    val agg = fold.join(labels, Seq("doc_id"))
+      .groupBy("b")
+      .agg(sum(when(col("is_pos"), col("cnt")).otherwise(d0)).as("cp"),
+        sum(when(col("is_pos"), d0).otherwise(col("cnt"))).as("cn"))
+    val np = Option(agg.agg(sum("cp")).head.get(0))
+      .fold(0L)(_.asInstanceOf[java.math.BigDecimal].longValueExact())
+    val nn = Option(agg.agg(sum("cn")).head.get(0))
+      .fold(0L)(_.asInstanceOf[java.math.BigDecimal].longValueExact())
+    val dP = lit((np + buckets).toDouble)
+    val dN = lit((nn + buckets).toDouble)
+    def dec919(c: Column): Column = round(c, 9).cast("decimal(19,9)")
+    val pPos = (col("cp").cast("double") + lit(1.0)) / dP
+    val pNeg = (col("cn").cast("double") + lit(1.0)) / dN
+    val llr = localize(agg.select(col("b"), dec919(log(pPos / pNeg)).as("llr")))
+    NbModel(llr,
+      defaultLlr = dec919(log(dN / dP)),
+      prior = dec919(log(
+        lit((labels.filter(col("is_pos")).count() + 1).toDouble) /
+        lit((labels.filter(!col("is_pos")).count() + 1).toDouble))),
+      buckets, salt)
+  }
+
+  /** [[score]] from a shared [[tokenFold]] frame: per-doc token count is
+    * the exact sum of `cnt`, and the llr sum becomes sum(llr×cnt) — both
+    * bit-identical to the per-token path because every token in a bucket
+    * carries the same decimal llr. The llr is narrowed to decimal(19,9)
+    * before the multiply so the (19,9)×(10,0) product is (30,9)-exact on
+    * both engines (a (28,9) operand would push past precision 38 and
+    * silently drop scale). */
+  def scoreFold(docs: DataFrame, idCol: String, fold: DataFrame,
+                m: NbModel): DataFrame = {
+    val llr19 = coalesce(col("llr"), m.defaultLlr).cast("decimal(19,9)")
+    val perDoc = fold
+      .join(broadcast(m.llr), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum("cnt").cast("long").as("n_tokens"),
+        sum(llr19 * col("cnt")).as("sllr"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("sllr").cast("decimal(28,9)"),
+            lit(0).cast("decimal(28,9)")) + m.prior.cast("decimal(28,9)"), 6)
+          .cast("double").as("log_odds"))
+      .withColumn("keep", col("log_odds") > 0.0)
   }
 
   /** Persist a trained model under `dir` (train-once / score-many: the
@@ -170,6 +256,21 @@ object QualityClassifier {
   def trainLogistic(docs: DataFrame, idCol: String, textCol: String,
                     label: Column, iters: Int = 3, lr: Double = 0.5,
                     buckets: Int = 4096, salt: String = ":lg1"): LogitModel = {
+    val x = tokenFold(docs, idCol, textCol, buckets, salt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    x.count()
+    try trainLogisticFold(docs, idCol, label, x, iters, lr, buckets, salt)
+    finally x.unpersist(blocking = false)
+  }
+
+  /** [[trainLogistic]] over an externally-built (and ideally persisted)
+    * [[tokenFold]] frame — the caller keeps ownership of the fold, so one
+    * tokenization can feed this trainer, [[scoreLogisticFold]], AND the NB
+    * pair under the same salt (the bake-off's score-once shape). */
+  def trainLogisticFold(docs: DataFrame, idCol: String, label: Column,
+                        x: DataFrame, iters: Int = 3, lr: Double = 0.5,
+                        buckets: Int = 4096,
+                        salt: String = ":bk1"): LogitModel = {
     require(iters >= 1, "iters must be >= 1")
     val spark = docs.sparkSession
     // EXPLICIT narrow decimal operand types throughout: Spark caps decimal
@@ -177,13 +278,12 @@ object QualityClassifier {
     // silently becomes scale 6 — three decimals gone and the oracle
     // diverges). weights (19,9) × counts (10,0) → (30,9); errors (10,9) ×
     // counts (10,0) → (21,9): every product and sum stays exact.
+    // persisted: y is two narrow columns per doc, but its label expression
+    // (langId / qualityScore — fat scan-stage column trees) would otherwise
+    // re-evaluate on BOTH actions of every GD iteration
     val y = docs.select(col(idCol).as("doc_id"),
       when(label, lit(1.0)).otherwise(lit(0.0)).cast("decimal(10,9)").as("y"))
-    val x = tokenBuckets(docs, idCol, textCol, buckets, salt)
-      .groupBy("doc_id", "b")
-      .agg(count(lit(1)).cast("decimal(10,0)").as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    x.count()
     val n = docs.count()
     val lrEff = lr / n // one IEEE division of identical operands per engine
     def dec9w(c: Column): Column = round(c, 9).cast("decimal(19,9)")
@@ -216,14 +316,17 @@ object QualityClassifier {
       val grads = x.join(err, Seq("doc_id"))
         .groupBy("b").agg(sum(col("cnt") * col("e")).as("g"))
       val wPrev = w
-      w = (if (wPrev == null) grads.select(col("b"), w0.as("w"), col("g"))
-           else grads.join(broadcast(wPrev), Seq("b"), "left")
-              .select(col("b"), coalesce(col("w"), w0).as("w"), col("g")))
+      // localize instead of persist-swap: the weight frame is
+      // buckets-bounded, and as a driver-local relation every following
+      // iteration (and the scorer) broadcasts it with a FLAT plan — the
+      // persist-swap variant re-analyzed the full compounding lineage on
+      // every action, which dominated wall time at any corpus size
+      w = localize(
+        (if (wPrev == null) grads.select(col("b"), w0.as("w"), col("g"))
+         else grads.join(broadcast(wPrev), Seq("b"), "left")
+            .select(col("b"), coalesce(col("w"), w0).as("w"), col("g")))
         .select(col("b"), dec9w(col("w").cast("double") +
-          lit(lrEff) * col("g").cast("double")).as("w"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      w.count()
-      if (wPrev != null) wPrev.unpersist(blocking = false)
+          lit(lrEff) * col("g").cast("double")).as("w")))
       // bias update through the SAME engine expression as the weights, so
       // driver state can never drift from what the oracle computes
       val gBias = err.agg(sum("e").cast("decimal(28,9)")).head.getDecimal(0)
@@ -232,7 +335,7 @@ object QualityClassifier {
         .head.getDecimal(0)
       t += 1
     }
-    x.unpersist(blocking = false)
+    y.unpersist(blocking = false) // w/bias are driver-local; nothing lazy remains
     LogitModel(w, bias, buckets, salt)
   }
 
@@ -263,11 +366,17 @@ object QualityClassifier {
     * against zero (what a reader of the report would apply). Token-less
     * documents score the bias alone. */
   def scoreLogistic(docs: DataFrame, idCol: String, textCol: String,
-                    m: LogitModel): DataFrame = {
+                    m: LogitModel): DataFrame =
+    scoreLogisticFold(docs, idCol,
+      tokenFold(docs, idCol, textCol, m.buckets, m.salt), m)
+
+  /** [[scoreLogistic]] over a shared [[tokenFold]] frame (must have been
+    * built under the model's buckets/salt) — behavior-identical, the
+    * per-token path IS this fold followed by the same joins. */
+  def scoreLogisticFold(docs: DataFrame, idCol: String, fold: DataFrame,
+                        m: LogitModel): DataFrame = {
     val w0 = lit(0).cast("decimal(19,9)")
-    val perDoc = tokenBuckets(docs, idCol, textCol, m.buckets, m.salt)
-      .groupBy("doc_id", "b")
-      .agg(count(lit(1)).cast("decimal(10,0)").as("cnt"))
+    val perDoc = fold
       .join(broadcast(m.w), Seq("b"), "left")
       .groupBy("doc_id")
       .agg(sum("cnt").cast("decimal(20,0)").as("n_tokens"),

@@ -109,8 +109,8 @@ object DocQueries {
     * `scored`, final per-doc decimal margin in `sc(doc_id, n_tokens, m)`).
     * Requires qualityLangCtes in scope; shared by the logit gate and the
     * filter bake-off. */
-  private def logitTrainSql(labelSql: String): String =
-    s"""xb AS (SELECT u.doc_id, ${fp60Sql("tok || ':lg1'")} % 4096 AS b,
+  private def logitTrainSql(labelSql: String, salt: String = ":lg1"): String =
+    s"""xb AS (SELECT u.doc_id, ${fp60Sql(s"tok || '$salt'")} % 4096 AS b,
        |    CAST(count(*) AS DECIMAL(10,0)) AS cnt
        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t0) u GROUP BY 1, 2),
        |yy AS (SELECT doc_id, CAST(CASE WHEN $labelSql THEN 1.0 ELSE 0.0 END AS DECIMAL(10,9)) AS y FROM scored),
@@ -2793,10 +2793,16 @@ object DocQueries {
         val docs = Tables.documents(s, d)
         val lab = docs.withColumn("__q",
           graft.functions.TextFunctions.qualityScore(col("text")))
-        val m = QualityClassifier.trainLogistic(lab, "doc_id", "text",
-          col("__q") >= 0.6, iters = 3, lr = 0.5, buckets = 4096,
+        // ONE persisted fold feeds training AND scoring (same salt, so the
+        // unrolled oracle is untouched) — halves the gate's tokenization.
+        val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
+            buckets = 4096, salt = ":lg1")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fold.count()
+        val m = QualityClassifier.trainLogisticFold(lab, "doc_id",
+          col("__q") >= 0.6, fold, iters = 3, lr = 0.5, buckets = 4096,
           salt = ":lg1")
-        QualityClassifier.scoreLogistic(docs, "doc_id", "text", m)
+        QualityClassifier.scoreLogisticFold(docs, "doc_id", fold, m)
           .orderBy("doc_id")
       },
       Some(s"""WITH ${qualityLangCtes("documents")},
@@ -2895,36 +2901,48 @@ object DocQueries {
         |   round(CAST(sum(apt) AS DOUBLE) / tnp, 9) END AS avg_precision
         |FROM u GROUP BY source, tnp, tnn ORDER BY source""".stripMargin)),
 
-    // ---- Filter BAKE-OFF (round 15): the two TRAINED quality tiers —
-    //      closed-form NB and gradient-trained logistic — scored head to
-    //      head with exact ROC-AUC / AP against the weak label both
-    //      trained on (in-sample by design: the question is which tier
-    //      ORDERS documents closer to the signal it distills; held-out
-    //      generalization is the NB calibration gate's job). The label is
-    //      the CCNet-style "is the target language" split (balanced
-    //      ~44/56 on this corpus — the quality label is 499:1 at gate
-    //      scale and degenerate for ranking metrics). Both scores are
-    //      length-normalized per token so the comparison is scale-free.
+    // ---- Filter BAKE-OFF (round 15; score-once fusion round 16): the two
+    //      TRAINED quality tiers — closed-form NB and gradient-trained
+    //      logistic — scored head to head with exact ROC-AUC / AP against
+    //      the weak label both trained on (in-sample by design: the
+    //      question is which tier ORDERS documents closer to the signal it
+    //      distills; held-out generalization is the NB calibration gate's
+    //      job). The label is the CCNet-style "is the target language"
+    //      split (balanced ~44/56 on this corpus — the quality label is
+    //      499:1 at gate scale and degenerate for ranking metrics). Both
+    //      scores are length-normalized per token so the comparison is
+    //      scale-free. ONE persisted tokenFold under ONE salt feeds NB
+    //      train + score and logistic train + score — the corpus is
+    //      tokenized once, not four times (a bake-off compares
+    //      classifiers, not salts), which is the production shape for any
+    //      pipeline running several filter families over one corpus.
     "q_text_filter_bakeoff" -> Q(
       (s, d) => {
         import graft.operators.{ClassifierEval, QualityClassifier}
         val docs = Tables.documents(s, d)
         val lab = docs.withColumn("__en",
           graft.functions.TextFunctions.langId(col("text")) === "en")
+        // persisted: the fat langId column tree would otherwise re-evaluate
+        // in every trainer action and label join downstream
         val labels = lab.select(col("doc_id"), col("__en").as("is_pos"))
-        val nbM = QualityClassifier.train(
-          lab.filter(col("__en")), lab.filter(!col("__en")),
-          "doc_id", "text", buckets = 4096, salt = ":nb1")
-        val nb = QualityClassifier.score(docs, "doc_id", "text", nbM)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
+            buckets = 4096, salt = ":bk1")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fold.count()
+        val nbM = QualityClassifier.trainFold(fold, labels,
+          buckets = 4096, salt = ":bk1")
+        val nb = QualityClassifier.scoreFold(docs, "doc_id", fold, nbM)
           .join(labels, Seq("doc_id"))
           .select(lit("nb").as("filter"),
             round(col("log_odds") / greatest(col("n_tokens"), lit(1L)), 9)
               .as("v"),
             col("is_pos"))
-        val lgM = QualityClassifier.trainLogistic(lab, "doc_id", "text",
-          col("__en"), iters = 3, lr = 0.5, buckets = 4096,
-          salt = ":lg1")
-        val lg = QualityClassifier.scoreLogistic(docs, "doc_id", "text", lgM)
+        val lgM = QualityClassifier.trainLogisticFold(lab, "doc_id",
+          col("__en"), fold, iters = 3, lr = 0.5, buckets = 4096,
+          salt = ":bk1")
+        val lg = QualityClassifier.scoreLogisticFold(docs, "doc_id", fold,
+            lgM)
           .join(labels, Seq("doc_id"))
           .select(lit("logit").as("filter"),
             round(col("margin") / greatest(col("n_tokens"), lit(1L)), 9)
@@ -2935,38 +2953,37 @@ object DocQueries {
           .orderBy("filter")
       },
       Some(s"""WITH ${qualityLangCtes("documents")},
-        |nbe AS (SELECT s.doc_id, s.lang,
-        |    ${fp60Sql("tok || ':nb1'")} % 4096 AS b
-        |  FROM (SELECT doc_id, lang FROM scored) s JOIN
-        |    (SELECT doc_id, unnest(toks) AS tok FROM t0) u USING (doc_id)),
-        |nbp AS (SELECT b, count(*) AS cp FROM nbe WHERE lang = 'en' GROUP BY 1),
-        |nbn AS (SELECT b, count(*) AS cn FROM nbe WHERE lang <> 'en' GROUP BY 1),
-        |nbtp AS (SELECT COALESCE(sum(cp), 0) AS n FROM nbp),
-        |nbtn AS (SELECT COALESCE(sum(cn), 0) AS n FROM nbn),
-        |nbm AS (SELECT COALESCE(nbp.b, nbn.b) AS b, CAST(round(ln(
-        |    ((CAST(COALESCE(cp, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |${logitTrainSql("lang = 'en'", ":bk1")},
+        |lab AS (SELECT doc_id, (lang = 'en') AS is_pos FROM scored),
+        |nbg AS (SELECT b,
+        |    sum(CASE WHEN is_pos THEN cnt ELSE CAST(0 AS DECIMAL(10,0)) END) AS cp,
+        |    sum(CASE WHEN is_pos THEN CAST(0 AS DECIMAL(10,0)) ELSE cnt END) AS cn
+        |  FROM xb JOIN lab USING (doc_id) GROUP BY 1),
+        |nbtp AS (SELECT COALESCE(sum(cp), 0) AS n FROM nbg),
+        |nbtn AS (SELECT COALESCE(sum(cn), 0) AS n FROM nbg),
+        |nbm AS (SELECT b, CAST(round(ln(
+        |    ((CAST(cp AS DOUBLE) + CAST(1.0 AS DOUBLE))
         |      / CAST((SELECT n FROM nbtp) + 4096 AS DOUBLE))
-        |    / ((CAST(COALESCE(cn, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |    / ((CAST(cn AS DOUBLE) + CAST(1.0 AS DOUBLE))
         |      / CAST((SELECT n FROM nbtn) + 4096 AS DOUBLE))), 9)
-        |  AS DECIMAL(28,9)) AS llr
-        |  FROM nbp FULL JOIN nbn ON nbp.b = nbn.b),
+        |  AS DECIMAL(19,9)) AS llr
+        |  FROM nbg),
         |nbd AS (SELECT CAST(round(ln(
         |    CAST((SELECT n FROM nbtn) + 4096 AS DOUBLE)
         |    / CAST((SELECT n FROM nbtp) + 4096 AS DOUBLE)), 9)
-        |  AS DECIMAL(28,9)) AS v),
+        |  AS DECIMAL(19,9)) AS v),
         |nbpri AS (SELECT CAST(round(ln(
         |    CAST((SELECT count(*) FROM scored WHERE lang = 'en') + 1 AS DOUBLE)
         |    / CAST((SELECT count(*) FROM scored WHERE lang <> 'en') + 1 AS DOUBLE)), 9)
-        |  AS DECIMAL(28,9)) AS v),
-        |nbpd AS (SELECT doc_id, count(*) AS n_tokens,
-        |    sum(COALESCE(nbm.llr, (SELECT v FROM nbd))) AS sllr
-        |  FROM nbe LEFT JOIN nbm ON nbm.b = nbe.b GROUP BY 1),
+        |  AS DECIMAL(19,9)) AS v),
+        |nbpd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    sum(CAST(COALESCE(nbm.llr, (SELECT v FROM nbd)) AS DECIMAL(19,9))
+        |      * cnt) AS sllr
+        |  FROM xb LEFT JOIN nbm ON nbm.b = xb.b GROUP BY 1),
         |nbsc AS (SELECT d.doc_id, COALESCE(nbpd.n_tokens, 0) AS n_tokens,
-        |    CAST(round(COALESCE(nbpd.sllr, 0) + (SELECT v FROM nbpri), 6)
-        |      AS DOUBLE) AS log_odds
+        |    CAST(round(CAST(COALESCE(nbpd.sllr, 0) AS DECIMAL(28,9))
+        |      + (SELECT v FROM nbpri), 6) AS DOUBLE) AS log_odds
         |  FROM documents d LEFT JOIN nbpd ON nbpd.doc_id = d.doc_id),
-        |${logitTrainSql("lang = 'en'")},
-        |lab AS (SELECT doc_id, (lang = 'en') AS is_pos FROM scored),
         |uv AS (
         |  SELECT 'nb' AS filter,
         |    round(nbsc.log_odds / greatest(nbsc.n_tokens, 1), 9) AS v,

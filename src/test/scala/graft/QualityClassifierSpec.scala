@@ -191,4 +191,40 @@ class QualityClassifierSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir))
   }
+
+  test("shared tokenFold path is bit-identical to the per-token path") {
+    import spark.implicits._
+    // mixed corpus incl. a token-less doc and a doc whose tokens repeat
+    val docs = ((1L to 24L).map { i =>
+      (i, if (i % 3 == 0) "spam spam junk buy now"
+          else if (i % 3 == 1) "clear structured prose reads well here"
+          else "prose prose prose spam")
+    } :+ (99L, "   ")).toDF("doc_id", "text")
+    val label = col("doc_id") % 3 === 1
+    val labels = docs.select(col("doc_id"), label.as("is_pos"))
+    val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
+      buckets = 256, salt = ":t")
+    // NB: train on the split vs trainFold on the labels — same model scores
+    val mA = QualityClassifier.train(docs.filter(label), docs.filter(!label),
+      "doc_id", "text", buckets = 256, salt = ":t")
+    val mB = QualityClassifier.trainFold(fold, labels, buckets = 256,
+      salt = ":t")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("log_odds"))).toSeq
+    assert(rows(QualityClassifier.score(docs, "doc_id", "text", mA)) ==
+      rows(QualityClassifier.scoreFold(docs, "doc_id", fold, mB)))
+    // logistic: fold trainer + fold scorer vs the tokenizing wrappers
+    val lA = QualityClassifier.trainLogistic(docs, "doc_id", "text", label,
+      iters = 2, lr = 0.5, buckets = 256, salt = ":t")
+    val lB = QualityClassifier.trainLogisticFold(docs, "doc_id", label, fold,
+      iters = 2, lr = 0.5, buckets = 256, salt = ":t")
+    assert(lA.bias == lB.bias)
+    def lrows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("margin"),
+        r.getAs[Double]("p"))).toSeq
+    assert(lrows(QualityClassifier.scoreLogistic(docs, "doc_id", "text", lA))
+      == lrows(QualityClassifier.scoreLogisticFold(docs, "doc_id", fold, lB)))
+  }
 }
