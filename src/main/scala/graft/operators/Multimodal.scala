@@ -381,8 +381,10 @@ object Multimodal {
     *  - each output channel byte is the box mean rounded HALF-UP in
     *    integers: `(2·sum + cnt) / (2·cnt)` — no floating point anywhere.
     *
-    * Payloads that fail the P6 parse pass through UNCHANGED (fail-soft: the
-    * asset stays in the corpus and the downstream decode flags it).
+    * Accepts BOTH raster containers ([[rasterView]]): P6 payloads come back
+    * P6, PNG payloads come back 8-bit RGB PNG. Payloads that parse as
+    * neither pass through UNCHANGED (fail-soft: the asset stays in the
+    * corpus and the downstream decode flags it).
     * Partition-local typed map, no shuffle; meta (byte_len, sha256, source)
     * is refreshed to describe the re-encoded payload — sha256 matches
     * Spark's `sha2(payload, 256)` lowercase-hex convention. */
@@ -406,12 +408,29 @@ object Multimodal {
       .toDF()
   }
 
-  private[graft] def resizePpmImage(b: Array[Byte], outW: Int,
-                                    outH: Int): Option[Array[Byte]] =
-    parsePpmHeader(b).map { case (w, h, maxval, off) =>
+  /** Unified raster view over the two image containers this engine decodes
+    * without a codec library: (w, h, maxval, buffer, plane offset, isPng).
+    * P6 PPM parses zero-copy (the plane is a view into the payload at
+    * `off`); PNG decodes via [[pngDecode]] into a fresh RGB plane. Every
+    * raster kernel (resize, aHash) goes through this view, so accepting a
+    * new container is one case here, not one per kernel. */
+  private def rasterView(b: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte], Int, Boolean)] =
+    parsePpmHeader(b) match {
+      case Some((w, h, maxval, off)) => Some((w, h, maxval, b, off, false))
+      case None =>
+        pngDecode(b).map { case (w, h, _, px) => (w, h, 255, px, 0, true) }
+    }
+
+  /** Box-filter resample of any [[rasterView]]-decodable payload to a bare
+    * RGB plane: (w2, h2, maxval, plane, isPng). Same exact-integer contract
+    * as the public resize doc (floor-division box spans, half-up integer
+    * mean). */
+  private[graft] def resampleBox(b: Array[Byte], outW: Int, outH: Int)
+      : Option[(Int, Int, Int, Array[Byte], Boolean)] =
+    rasterView(b).map { case (w, h, maxval, buf, off, isPng) =>
       val w2 = math.min(outW, w)
       val h2 = math.min(outH, h)
-      val header = s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII")
       val plane = new Array[Byte](w2 * h2 * 3)
       var y2 = 0
       while (y2 < h2) {
@@ -427,7 +446,7 @@ object Multimodal {
             while (y < ye) {
               var x = xs
               while (x < xe) {
-                sum += b(off + (y.toLong * w + x).toInt * 3 + c) & 0xff
+                sum += buf(off + (y.toLong * w + x).toInt * 3 + c) & 0xff
                 x += 1
               }
               y += 1
@@ -440,7 +459,17 @@ object Multimodal {
         }
         y2 += 1
       }
-      header ++ plane
+      (w2, h2, maxval, plane, isPng)
+    }
+
+  /** Resample + re-encode IN KIND: a P6 payload comes back P6 (original
+    * maxval), a PNG payload comes back 8-bit RGB PNG — resize preserves the
+    * container a downstream consumer expects. */
+  private[graft] def resizePpmImage(b: Array[Byte], outW: Int,
+                                    outH: Int): Option[Array[Byte]] =
+    resampleBox(b, outW, outH).map { case (w2, h2, maxval, plane, isPng) =>
+      if (isPng) pngEncode(plane, w2, h2)
+      else s"P6\n$w2 $h2\n$maxval\n".getBytes("US-ASCII") ++ plane
     }
 
   /** Build REAL YUV4MPEG2 (Y4M) video streams from the payload bytes — the
@@ -661,18 +690,18 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        val resized = resizePpmImage(payload, grid, grid)
-          .flatMap(rb => parsePpmHeader(rb).map((rb, _)))
-        resized match {
+        // resampleBox accepts any rasterView container (P6 PPM or PNG) and
+        // hands back the bare plane — no re-encode/re-parse round trip
+        resampleBox(payload, grid, grid) match {
           case None => AHashFeatures(id, 0L, 0, 0, 0, is_valid = false)
-          case Some((rb, (w2, h2, _, off))) =>
+          case Some((w2, h2, _, rb, _)) =>
             val n = w2 * h2
             val lumas = new Array[Long](n)
             var tot = 0L
             var i = 0
             while (i < n) {
-              lumas(i) = (rb(off + i * 3) & 0xff).toLong +
-                (rb(off + i * 3 + 1) & 0xff) + (rb(off + i * 3 + 2) & 0xff)
+              lumas(i) = (rb(i * 3) & 0xff).toLong +
+                (rb(i * 3 + 1) & 0xff) + (rb(i * 3 + 2) & 0xff)
               tot += lumas(i)
               i += 1
             }
@@ -1100,6 +1129,243 @@ object Multimodal {
               sb.toDouble / n, is_valid = true)
           case None =>
             QoiFeatures(id, 0, 0, 0, 0.0, 0.0, 0.0, is_valid = false)
+        }
+      })
+      .toDF()
+  }
+
+  // ======================= PNG (round 16) =======================
+
+  /** Build REAL PNG images from the payload bytes — the format corpora
+    * actually ship in, decodable with zero new dependencies because PNG's
+    * only codec is DEFLATE and `java.util.zip` is JVM-built-in. Same pixel
+    * construction as [[encodePpm]]/[[encodeQoi]] (width 4, height =
+    * max(1, ⌊len/12⌋) rows of 4 RGB pixels, short payloads zero-pad their
+    * single row), so the analytic oracle convention carries over: PNG is
+    * LOSSLESS, the oracle mirrors the pixel construction from the source
+    * bytes, and any defect in either the encoder's chunk/zlib framing or
+    * the decoder's filter reconstruction breaks the round trip and
+    * hash-fails. Partition-local typed map, zero shuffle. */
+  def encodePng(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"),
+        col("meta.source").as("source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, payload, source) =>
+        val out =
+          if (payload == null) null
+          else {
+            val h = math.max(1, payload.length / 12)
+            val px = new Array[Byte](h * 12)
+            System.arraycopy(payload, 0, px, 0,
+              math.min(payload.length, h * 12))
+            pngEncode(px, 4, h)
+          }
+        val sha = if (out == null) null
+          else java.security.MessageDigest.getInstance("SHA-256")
+            .digest(out).map("%02x".format(_)).mkString
+        MediaRow(id, "image", out,
+          MediaMeta(if (out == null) 0L else out.length.toLong, sha, source))
+      })
+      .toDF()
+  }
+
+  /** PNG encoder over an RGB plane — critical chunks only, faithful to the
+    * public spec (RFC 2083 / W3C PNG): 8-byte signature; IHDR (8-bit,
+    * color type 2 truecolor, no interlace); ONE IDAT holding the zlib
+    * stream of filter-type-0-prefixed scanlines; IEND. CRC32 over
+    * type+data per chunk. Filter 0 everywhere is the valid minimal choice
+    * for an encoder (filters optimize compression, not correctness) — the
+    * DECODER handles all five types. */
+  private[graft] def pngEncode(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(px.length == w * h * 3, "plane must be w*h*3 RGB bytes")
+    val stride = w * 3
+    val raw = new Array[Byte]((stride + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (stride + 1)) = 0 // filter type: None
+      System.arraycopy(px, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zBuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(zBuf.size + 64)
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](8 /*bit depth*/ , 2 /*truecolor*/ , 0, 0, 0 /*no interlace*/))
+    chunk("IDAT", zBuf.toByteArray)
+    chunk("IEND", Array.empty[Byte])
+    out.toByteArray
+  }
+
+  /** PNG decoder — the real thing, zero new deps: signature check, chunk
+    * walk with per-chunk CRC32 verification, IHDR validation (8-bit depth,
+    * color types 2 RGB / 6 RGBA, compression 0, filter method 0, no
+    * interlace — Adam7 and palette/gray forms fail soft), multi-IDAT
+    * concatenation, `java.util.zip.Inflater`, and full scanline filter
+    * reconstruction for ALL FIVE filter types (None/Sub/Up/Average/Paeth,
+    * including Paeth's tie-breaking predictor order). Strict like
+    * [[qoiDecode]]: truncated zlib streams, over-long streams, trailing
+    * bytes after IEND, or any CRC mismatch yield None.
+    *
+    * Returns (width, height, source channels, RGB plane) — RGBA sources
+    * are reconstructed with their alpha (the filters act on all 4
+    * channels) and the returned plane drops it, the [[qoiDecode]]
+    * convention. */
+  private[graft] def pngDecode(bts: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    // 8 signature + IHDR(25) + shortest IDAT(12) + IEND(12)
+    if (bts == null || bts.length < 57) return None
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var s = 0
+    while (s < 8) { if ((bts(s) & 0xff) != sig(s)) return None; s += 1 }
+    def be32(o: Int): Int =
+      ((bts(o) & 0xff) << 24) | ((bts(o + 1) & 0xff) << 16) |
+        ((bts(o + 2) & 0xff) << 8) | (bts(o + 3) & 0xff)
+    var i = 8
+    var w = 0; var h = 0; var colorType = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (i + 12 > bts.length) return None
+      val len = be32(i)
+      if (len < 0 || i + 12 + len > bts.length) return None
+      val typ = new String(bts, i + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bts, i + 4, 4 + len)
+      if (crc.getValue.toInt != be32(i + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return None
+          w = be32(i + 8); h = be32(i + 12)
+          val bitDepth = bts(i + 16) & 0xff
+          colorType = bts(i + 17) & 0xff
+          val compression = bts(i + 18) & 0xff
+          val filterMethod = bts(i + 19) & 0xff
+          val interlace = bts(i + 20) & 0xff
+          if (w <= 0 || h <= 0 || bitDepth != 8 ||
+              (colorType != 2 && colorType != 6) || compression != 0 ||
+              filterMethod != 0 || interlace != 0 ||
+              w.toLong * h > Int.MaxValue / 8) return None
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(bts, i + 8, len)
+        case "IEND" =>
+          if (!seenIhdr || len != 0) return None
+          seenIend = true
+        case _ => // ancillary chunks skipped (tEXt, pHYs, gAMA, ...)
+          if (!seenIhdr) return None
+      }
+      i += 12 + len
+    }
+    if (i != bts.length || idat.size == 0) return None
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val k = inf.inflate(raw, off, raw.length - off)
+        if (k == 0 && inf.needsInput()) return None // truncated stream
+        off += k
+      }
+      if (off != raw.length) return None
+      if (!inf.finished() && inf.inflate(new Array[Byte](1)) > 0)
+        return None // stream longer than the pixel data
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // scanline filter reconstruction, in place row by row
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val rgb = new Array[Byte](w * h * 3)
+    val prior = new Array[Byte](stride) // zeroed: the spec's virtual row -1
+    val cur = new Array[Byte](stride)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (stride + 1)
+      val f = raw(rowOff) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < stride) {
+        val v = raw(rowOff + 1 + x) & 0xff
+        val a = if (x >= bpp) cur(x - bpp) & 0xff else 0
+        val b = prior(x) & 0xff
+        val c = if (x >= bpp) prior(x - bpp) & 0xff else 0
+        val recon = f match {
+          case 0 => v
+          case 1 => v + a
+          case 2 => v + b
+          case 3 => v + ((a + b) >> 1)
+          case _ => v + paeth(a, b, c)
+        }
+        cur(x) = (recon & 0xff).toByte
+        x += 1
+      }
+      var p = 0
+      while (p < w) {
+        rgb((y * w + p) * 3) = cur(p * bpp)
+        rgb((y * w + p) * 3 + 1) = cur(p * bpp + 1)
+        rgb((y * w + p) * 3 + 2) = cur(p * bpp + 2)
+        p += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    Some((w, h, bpp, rgb))
+  }
+
+  /** One decoded PNG's features — the [[QoiFeatures]] shape. */
+  case class PngFeatures(media_id: Long, width: Int, height: Int,
+                         channels: Int, mean_r: Double, mean_g: Double,
+                         mean_b: Double, is_valid: Boolean)
+
+  /** REAL PNG decode — the [[decodePpmFeatures]] contract over
+    * [[pngDecode]]: partition-local typed map, fail-soft, no shuffle. */
+  def decodePngFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        pngDecode(payload) match {
+          case Some((w, h, c, px)) =>
+            val n = w.toLong * h
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < n) {
+              sr += px(p * 3) & 0xff
+              sg += px(p * 3 + 1) & 0xff
+              sb += px(p * 3 + 2) & 0xff
+              p += 1
+            }
+            PngFeatures(id, w, h, c, sr.toDouble / n, sg.toDouble / n,
+              sb.toDouble / n, is_valid = true)
+          case None =>
+            PngFeatures(id, 0, 0, 0, 0.0, 0.0, 0.0, is_valid = false)
         }
       })
       .toDF()

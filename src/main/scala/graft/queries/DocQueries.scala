@@ -6126,6 +6126,91 @@ object DocQueries {
         |FROM d ORDER BY media_id""".stripMargin
       }),
 
+    // REAL PNG decode (round 16): the corpus is encoded as genuine PNG
+    // files (critical chunks, CRC32-framed, zlib IDAT via java.util.zip —
+    // the format image corpora actually ship in) and the kernel walks the
+    // chunks, inflates, and reconstructs scanline filters. PNG is
+    // LOSSLESS, so the oracle mirrors the PIXEL CONSTRUCTION analytically
+    // from the text bytes (the encodePpm/encodeQoi convention) and never
+    // sees the codec — any defect in the encoder's chunk/zlib framing or
+    // the decoder's inflate/filter path breaks the round trip and
+    // hash-fails.
+    "q_multimodal_png_decode" -> Q(
+      (s, d) => Multimodal.decodePngFeatures(Multimodal.encodePng(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text", "source")))
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        def chanMean(c: Int) =
+          s"""CAST(list_sum(list_transform(range(0, h*4),
+             |   k -> CASE WHEN k*3 + ${c + 1} <= len THEN ${byteAt(s"k*3 + ${c + 1}")} ELSE 0 END)) AS DOUBLE)
+             | / CAST(h*4 AS DOUBLE)""".stripMargin
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 12) AS h FROM m)
+        |SELECT media_id, 4 AS width, CAST(h AS INT) AS height, 3 AS channels,
+        | ${chanMean(0)} AS mean_r,
+        | ${chanMean(1)} AS mean_g,
+        | ${chanMean(2)} AS mean_b,
+        | true AS is_valid
+        |FROM d ORDER BY media_id""".stripMargin
+      }),
+
+    // Cross-codec raster pin (round 16): the aHash + box-resize kernels
+    // over a PNG corpus — same pixel construction as the PPM corpus, so
+    // the analytic aHash oracle (and the downscale-fixpoint invariant) is
+    // IDENTICAL to q_multimodal_ahash's. A defect anywhere in the PNG
+    // path under the shared rasterView (decode, resample, re-encode in
+    // kind, re-decode) diverges from the container-independent oracle and
+    // hash-fails.
+    "q_multimodal_png_ahash" -> Q(
+      (s, d) => {
+        val media = Multimodal.encodePng(Multimodal.fromText(
+          Tables.documents(s, d), "doc_id", "text", "source"))
+        val direct = Multimodal.aHashFeatures(media, grid = 4)
+          .select(col("media_id"), col("ahash"), col("n_bits"),
+            col("grid_h"))
+        // resizePpm re-encodes a PNG input as PNG (in kind); hashing the
+        // resized stream must be a fixpoint exactly as in the PPM gate
+        val pre = Multimodal.aHashFeatures(
+            Multimodal.resizePpm(media, 4, 4), grid = 4)
+          .select(col("media_id"), col("ahash").as("ahash_pre"))
+        direct.join(pre, Seq("media_id"))
+          .withColumn("scale_invariant", col("ahash") === col("ahash_pre"))
+          .orderBy("media_id")
+      },
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        def pv(c: Int) =
+          s"""((2 * list_sum(list_transform(range(i//4*h//h2, (i//4+1)*h//h2), yy ->
+             |   CASE WHEN yy*12 + (i%4)*3 + ${c + 1} <= len
+             |    THEN ${byteAt(s"yy*12 + (i%4)*3 + ${c + 1}")} ELSE 0 END))
+             | + ((i//4+1)*h//h2 - i//4*h//h2))
+             | // (2 * ((i//4+1)*h//h2 - i//4*h//h2)))""".stripMargin
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 12) AS h FROM m),
+        |d2 AS (SELECT media_id, hx, len, h, least(4, h) AS h2 FROM d),
+        |lum AS (SELECT media_id, h2, g.i,
+        |    ${pv(0)} + ${pv(1)} + ${pv(2)} AS luma
+        |  FROM d2 CROSS JOIN (SELECT unnest(range(0, 16)) AS i) g
+        |  WHERE g.i < h2 * 4),
+        |hsh AS (SELECT media_id, CAST(max(h2) AS INT) AS grid_h,
+        |    CAST(max(h2) * 4 AS INT) AS n_bits,
+        |    CAST(coalesce(sum(CASE WHEN (h2*4) * luma > (SELECT sum(l2.luma)
+        |        FROM lum l2 WHERE l2.media_id = lum.media_id)
+        |      THEN (CAST(1 AS BIGINT) << CAST(h2*4 - 1 - i AS INT))
+        |      ELSE 0 END), 0) AS BIGINT) AS ahash
+        |  FROM lum GROUP BY media_id)
+        |SELECT media_id, ahash, n_bits, grid_h, ahash AS ahash_pre,
+        |  true AS scale_invariant
+        |FROM hsh ORDER BY media_id""".stripMargin
+      }),
+
     // ---- Vision-language sequence packing (round 15): the multimodal
     //      composition proof — every (image, caption) pair costs its TEXT
     //      tokens plus a ViT-style PATCH grid over the image's DECODED dims

@@ -1041,6 +1041,170 @@ class SimilaritySpec extends SparkSpec {
     assert(invalid.forall(r => !r.getAs[Boolean]("is_valid")))
   }
 
+  test("PNG kernel: all five filter types reconstruct; RGBA; strict on malformed forms") {
+    import Multimodal.{pngDecode, pngEncode}
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      be32(data.length) ++ tb ++ data ++ be32(crc.getValue.toInt)
+    }
+    def deflate(raw: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    // hand-build a PNG whose scanlines use a CHOSEN filter per row by
+    // forward-filtering a known plane — decode must invert every type
+    def buildPng(px: Array[Byte], w: Int, h: Int, bpp: Int,
+                 filters: Seq[Int]): Array[Byte] = {
+      val stride = w * bpp
+      val raw = new Array[Byte]((stride + 1) * h)
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      for (y <- 0 until h) {
+        val f = filters(y % filters.length)
+        raw(y * (stride + 1)) = f.toByte
+        for (x <- 0 until stride) {
+          val v = px(y * stride + x) & 0xff
+          val a = if (x >= bpp) px(y * stride + x - bpp) & 0xff else 0
+          val b = if (y > 0) px((y - 1) * stride + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) px((y - 1) * stride + x - bpp) & 0xff else 0
+          val filt = f match {
+            case 0 => v
+            case 1 => v - a
+            case 2 => v - b
+            case 3 => v - ((a + b) >> 1)
+            case 4 => v - paeth(a, b, c)
+          }
+          raw(y * (stride + 1) + 1 + x) = (filt & 0xff).toByte
+        }
+      }
+      val colorType = if (bpp == 3) 2 else 6
+      sig ++ chunk("IHDR", be32(w) ++ be32(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)) ++
+        chunk("IDAT", deflate(raw)) ++ chunk("IEND", Array.empty[Byte])
+    }
+    val rnd = new scala.util.Random(7)
+    // RGB: every filter type exercised over rows of a random plane
+    val px6 = Array.fill[Byte](5 * 6 * 3)(rnd.nextInt(256).toByte)
+    val decoded = pngDecode(buildPng(px6, 5, 6, 3, Seq(0, 1, 2, 3, 4, 4)))
+    assert(decoded.nonEmpty)
+    assert(decoded.get._1 == 5 && decoded.get._2 == 6 && decoded.get._3 == 3)
+    assert(decoded.get._4.toSeq == px6.toSeq,
+      "filter reconstruction must be exact for all five types")
+    // RGBA: filters act on 4 channels; the returned plane drops alpha
+    val px4 = Array.fill[Byte](3 * 4 * 4)(rnd.nextInt(256).toByte)
+    val dec4 = pngDecode(buildPng(px4, 3, 4, 4, Seq(4, 3, 2, 1)))
+    assert(dec4.nonEmpty && dec4.get._3 == 4)
+    val rgbOnly = (0 until 12).flatMap(p => px4.slice(p * 4, p * 4 + 3))
+    assert(dec4.get._4.toSeq == rgbOnly)
+    // multi-IDAT streams concatenate (split the zlib stream mid-way)
+    val z = deflate({
+      val stride = 4 * 3
+      val raw = new Array[Byte]((stride + 1) * 2)
+      for (y <- 0 until 2; x <- 0 until stride)
+        raw(y * (stride + 1) + 1 + x) = px6(y * stride + x)
+      raw
+    })
+    val (z1, z2) = z.splitAt(z.length / 2)
+    val multi = sig ++ chunk("IHDR", be32(4) ++ be32(2) ++
+      Array[Byte](8, 2, 0, 0, 0)) ++ chunk("IDAT", z1) ++
+      chunk("IDAT", z2) ++ chunk("IEND", Array.empty[Byte])
+    assert(pngDecode(multi).exists(_._4.toSeq == px6.take(24).toSeq))
+    // ancillary chunks are walked over (CRC still checked)
+    val withText = sig ++ chunk("IHDR", be32(4) ++ be32(2) ++
+      Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("tEXt", "k v".getBytes("US-ASCII")) ++
+      chunk("IDAT", z) ++ chunk("IEND", Array.empty[Byte])
+    assert(pngDecode(withText).nonEmpty)
+    // the engine's own encoder round-trips
+    val enc = pngEncode(px6, 5, 6)
+    assert(pngDecode(enc).exists(_._4.toSeq == px6.toSeq))
+    // strictness: every malformed form is None, never a throw
+    assert(pngDecode(null).isEmpty)
+    assert(pngDecode(enc.take(30)).isEmpty)            // truncated chunks
+    assert(pngDecode(enc ++ Array[Byte](0)).isEmpty)   // trailing bytes
+    val badSig = enc.clone(); badSig(0) = 'x'.toByte
+    assert(pngDecode(badSig).isEmpty)
+    val badCrc = enc.clone(); badCrc(badCrc.length - 1) =
+      (badCrc(badCrc.length - 1) ^ 1).toByte
+    assert(pngDecode(badCrc).isEmpty)                  // IEND CRC flipped
+    // unsupported IHDR forms fail soft with VALID chunk CRCs, so the
+    // header validation itself is what rejects them
+    def ihdrVariant(depth: Int, colorType: Int, interlace: Int) =
+      sig ++ chunk("IHDR", be32(5) ++ be32(6) ++
+        Array[Byte](depth.toByte, colorType.toByte, 0, 0, interlace.toByte)) ++
+        chunk("IDAT", deflate(new Array[Byte]((5 * 3 + 1) * 6))) ++
+        chunk("IEND", Array.empty[Byte])
+    assert(pngDecode(ihdrVariant(8, 3, 0)).isEmpty)  // palette
+    assert(pngDecode(ihdrVariant(16, 2, 0)).isEmpty) // 16-bit samples
+    assert(pngDecode(ihdrVariant(8, 2, 1)).isEmpty)  // Adam7 interlace
+    // a stream that inflates SHORT of the pixel data
+    val short = sig ++ chunk("IHDR", be32(5) ++ be32(6) ++
+      Array[Byte](8, 2, 0, 0, 0)) ++ chunk("IDAT", z) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(pngDecode(short).isEmpty)
+  }
+
+  test("encodePng -> decodePngFeatures equals the PPM kernel; raster kernels accept PNG") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+    val media = Multimodal.fromText(docs, "doc_id", "text", "source")
+    val cols = Seq("media_id", "width", "height", "mean_r", "mean_g",
+      "mean_b", "is_valid")
+    // PNG is lossless: decoded features must be bit-identical to the
+    // uncompressed kernel's on the same pixel construction
+    val png = Multimodal.decodePngFeatures(Multimodal.encodePng(media))
+      .select(cols.head, cols.tail: _*).orderBy("media_id").collect().toSeq
+    val ppm = Multimodal.decodePpmFeatures(Multimodal.encodePpm(media))
+      .select(cols.head, cols.tail: _*).orderBy("media_id").collect().toSeq
+    assert(png == ppm)
+    assert(png.nonEmpty && png.forall(_.getAs[Boolean]("is_valid")))
+    // aHash over the PNG corpus equals aHash over the PPM corpus: the
+    // shared rasterView makes the fingerprint container-independent
+    val hashCols = Seq("media_id", "ahash", "n_bits", "is_valid")
+    val hPng = Multimodal.aHashFeatures(Multimodal.encodePng(media), grid = 4)
+      .select(hashCols.head, hashCols.tail: _*).orderBy("media_id").collect().toSeq
+    val hPpm = Multimodal.aHashFeatures(Multimodal.encodePpm(media), grid = 4)
+      .select(hashCols.head, hashCols.tail: _*).orderBy("media_id").collect().toSeq
+    assert(hPng == hPpm)
+    // resize preserves the container: a resized PNG is still a PNG, and
+    // its decoded plane equals the resized PPM corpus' plane
+    val rPng = Multimodal.resizePpm(Multimodal.encodePng(media), 4, 4)
+    val first = rPng.orderBy("media_id").select("payload").head()
+      .getAs[Array[Byte]](0)
+    assert((first(0) & 0xff) == 0x89 && first(1) == 'P'.toByte)
+    val fPng = Multimodal.decodePngFeatures(rPng)
+      .select(cols.head, cols.tail: _*).orderBy("media_id").collect().toSeq
+    val fPpm = Multimodal.decodePpmFeatures(
+        Multimodal.resizePpm(Multimodal.encodePpm(media), 4, 4))
+      .select(cols.head, cols.tail: _*).orderBy("media_id").collect().toSeq
+    assert(fPng == fPpm)
+    // meta describes the compressed payload bit-for-bit
+    val enc = Multimodal.encodePng(media)
+    val metaOk = enc.select(
+        (col("meta.byte_len") === length(col("payload")).cast("long")).as("l"),
+        (col("meta.sha256") === sha2(col("payload"), 256)).as("s")).collect()
+    assert(metaOk.nonEmpty && metaOk.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+    // encode -> decode is scan-stage end to end
+    val plan = Multimodal.decodePngFeatures(Multimodal.encodePng(media))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"png chain must not shuffle:\n$plan")
+    // a raw non-PNG payload flags invalid instead of throwing
+    val invalid = Multimodal.decodePngFeatures(media).collect()
+    assert(invalid.forall(r => !r.getAs[Boolean]("is_valid")))
+  }
+
   test("aHash: hand bits, brightness invariance, downscale fixpoint, fail-soft") {
     import spark.implicits._
     // 2x2 image, alternating dark/bright columns
