@@ -472,6 +472,65 @@ object Similarity {
     val dst = new org.apache.hadoop.fs.Path(s"$dir/assigned")
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    spark.catalog.refreshByPath(s"$dir/assigned")
+  }
+
+  /** CENTROID REFRESH for a persisted index — the lifecycle op that closes
+    * the drift gap: [[appendIvf]] deliberately freezes the coarse
+    * quantizer (retraining per batch would re-cell the corpus), so after
+    * enough OFF-DISTRIBUTION appends the new mass piles into a few stale
+    * cells and probe recall decays (spec-measured). Refresh re-trains the
+    * quantizer on a hash sample of the CURRENT stored corpus (the exact
+    * [[buildIvf]] recipe — same sample cap, same fixed-seed k-means),
+    * re-assigns every stored vector to the new cells, and swaps the layout
+    * in through the [[compactIvf]] temp-dir contract, so
+    * [[appendIvf]]/[[deleteFromIvf]] keep composing against the refreshed
+    * `dir` unchanged.
+    *
+    * A quantized index keeps its EXACT stored codes/scale — quantization
+    * is per-vector and independent of cell, so re-celling moves rows
+    * without a second rounding pass; the re-train sees the dequantized
+    * vectors (what the index actually holds). Run it on the cadence drift
+    * dictates (e.g. when [[ivfRecallReport]] dips below target); like
+    * compaction it assumes a quiesced index, and readers pick the new
+    * cells up on their next [[loadIvf]].
+    *
+    * Scale shape: one bounded-sample k-means fit + ONE assignment pass
+    * over the stored corpus (broadcast centroids, min_by — the build
+    * shape) + one partitioned rewrite. Nothing corpus-sized ever reaches
+    * the driver. */
+  def retrainIvf(spark: SparkSession, dir: String, nLists: Int = 16,
+                 seed: Long = 42L): Unit = {
+    val stored = spark.read.parquet(s"$dir/assigned")
+    val quantized = stored.columns.contains("codes")
+    val vecs =
+      if (quantized) stored.select(col("nbr_id"),
+        VectorFunctions.dequantizeI8(col("codes"), col("scale")).as("nbr_v"))
+      else stored.select(col("nbr_id"), col("nbr_v"))
+    val fresh = buildIvf(vecs.select(col("nbr_id").as("vec_id"),
+      col("nbr_v").as("embedding")), nLists, seed)
+    try {
+      // keep the stored byte shape: a quantized index carries its original
+      // codes/scale to the new cell; a raw index takes the re-assignment
+      val reassigned =
+        if (quantized)
+          stored.drop("cell").join(
+            fresh.assigned.select("nbr_id", "cell").hint("shuffle_hash"),
+            Seq("nbr_id"))
+        else fresh.assigned
+      val tmp = s"$dir/assigned__retraining"
+      reassigned.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/assigned")
+      fs.delete(dst, true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+      // centroids last: written only after the matching assignment landed
+      fresh.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/centroids")
+      spark.catalog.refreshByPath(s"$dir/assigned")
+      spark.catalog.refreshByPath(s"$dir/centroids")
+    } finally fresh.assigned.unpersist(blocking = false)
   }
 
   // ==================== product quantization (IVF+PQ) ====================

@@ -359,6 +359,126 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("retrainIvf: drift collapses pruning into one mega-cell; refresh restores selectivity at equal recall") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") < 200)
+    // off-distribution drift: three wide clouds far from the base cloud
+    // (x4 spread, +2/+3/+4 offsets) — the corpus a frontier keeps appending
+    // after the domain shifts. ~4.5x the base mass.
+    val drifted = Seq(2.0, 3.0, 4.0).zipWithIndex.map { case (off, j) =>
+      emb.filter(col("vec_id") >= 200).select(
+        (col("vec_id") + lit(1000L * (j + 1))).as("vec_id"),
+        transform(col("embedding"), x => x * lit(4.0f) + lit(off.toFloat))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+    val merged = base.unionByName(drifted)
+    val queries = drifted.filter(col("vec_id") % 100 === 7).limit(25)
+    val truth = Similarity.bruteForceTopK(merged, queries, k = 10)
+      .select("query_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(idx: Similarity.IvfIndex, nProbe: Int): Double = {
+      val got = Similarity.searchIvf(idx, queries, k = 10, nProbe = nProbe)
+        .select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    // candidates a probe of depth nProbe scans, summed over the queries —
+    // mirrors probeCells' (dist2 asc, cell asc) order on the driver
+    def scanned(idx: Similarity.IvfIndex, nProbe: Int): Long = {
+      val sizes = idx.assigned.groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val cents = idx.centroids.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      queries.select("embedding").collect().map { qr =>
+        val q = qr.getSeq[Float](0).map(_.toDouble).toArray
+        cents.map { case (c, v) =>
+          (v.indices.map(i => (q(i) - v(i)) * (q(i) - v(i))).sum, c)
+        }.sortBy(identity).take(nProbe)
+          .map { case (_, c) => sizes.getOrElse(c, 0L) }.sum
+      }.sum
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    val built = Similarity.buildIvf(base, nLists = 8, seed = 42L)
+    try {
+      Similarity.saveIvf(built, dir)
+      Similarity.appendIvf(built, drifted, dir)
+      val stale = Similarity.loadIvf(spark, dir)
+      val total = merged.count()
+      // frozen centroids: the drifted mass piles into few stale cells, so
+      // a 2-of-8 probe reads MOST of the corpus — pruning has collapsed
+      // (recall looks fine only because the probe is near-exhaustive)
+      val scannedStale = scanned(stale, 2)
+      assert(scannedStale > queries.count() * total / 2,
+        s"drift must collapse pruning: scanned $scannedStale of $total/query")
+      val recallStale = recallAt(stale, 2)
+      // refresh: re-train on the stored corpus, re-assign, swap in place
+      Similarity.retrainIvf(spark, dir, nLists = 8, seed = 42L)
+      val fresh = Similarity.loadIvf(spark, dir)
+      // selectivity restored: the same 2-of-8 probe now scans a fraction
+      val scannedFresh = scanned(fresh, 2)
+      assert(scannedFresh * 2 < scannedStale,
+        s"refresh must restore pruning: $scannedStale -> $scannedFresh")
+      // at the SCAN BUDGET the stale index was paying (near-exhaustive),
+      // the refreshed index recovers at least the stale recall
+      assert(recallAt(fresh, 8) >= recallStale - 1e-12,
+        "equal-budget recall must not regress after refresh")
+      // re-assignment lost nothing: the refreshed index at exhaustive
+      // probe equals brute force over the merged corpus row for row
+      // (k-means init is partition-order-dependent, so centroid EQUALITY
+      // with a from-scratch build is not a contract — search results at
+      // full probe depth are)
+      val viaRefresh = Similarity.searchIvf(fresh, queries, k = 10,
+          nProbe = 8)
+        .select("query_id", "rank", "nbr_id").collect().map(_.toSeq).toSet
+      val brute = Similarity.bruteForceTopK(merged, queries, k = 10)
+        .select("query_id", "rank", "nbr_id").collect().map(_.toSeq).toSet
+      assert(viaRefresh == brute)
+    } finally {
+      built.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("retrainIvf on a quantized index re-cells without re-rounding the stored codes") {
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.filter(col("vec_id") < 150)
+    val batch = emb.filter(col("vec_id") >= 150 && col("vec_id") < 250)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(2.0f)).as("embedding"))
+    val built = Similarity.quantizeIvf(
+      Similarity.buildIvf(base, nLists = 4, seed = 7L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rtq").toString
+    try {
+      Similarity.saveIvf(built, dir)
+      Similarity.appendIvf(built, batch, dir)
+      def codesSet = Similarity.loadIvf(spark, dir).assigned
+        .select("nbr_id", "codes", "scale").collect()
+        .map(r => (r.getLong(0), r.getSeq[Byte](1),
+          r.getAs[Double]("scale"))).toSet
+      val beforeCodes = codesSet
+      Similarity.retrainIvf(spark, dir, nLists = 4, seed = 7L)
+      // every (id, codes, scale) row survives bit-identically; only the
+      // cell column moved — no second quantization pass
+      assert(codesSet == beforeCodes)
+      val loaded = Similarity.loadIvf(spark, dir)
+      assert(loaded.assigned.columns.contains("codes"))
+      // the refreshed quantized index still searches: exhaustive probe
+      // equals quantized brute force over what the index stores
+      val queries = emb.filter(col("vec_id") < 3)
+      val stored = loaded.assigned.select(col("nbr_id").as("vec_id"),
+        graft.functions.VectorFunctions.dequantizeI8(col("codes"), col("scale"))
+          .as("embedding"))
+      val viaIdx = Similarity.searchIvf(loaded, queries, k = 5, nProbe = 4)
+        .select("query_id", "rank", "nbr_id").collect().map(_.toSeq).toSet
+      val brute = Similarity.bruteForceTopK(stored, queries, k = 5)
+        .select("query_id", "rank", "nbr_id").collect().map(_.toSeq).toSet
+      assert(viaIdx == brute)
+    } finally {
+      built.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("quantized IVF at nProbe=nLists equals quantized brute force; recall holds at nProbe=4") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 8)
