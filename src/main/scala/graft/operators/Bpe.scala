@@ -291,8 +291,17 @@ object Bpe {
     * output. Fertility is spec-pinned (the learned segmentation is not
     * SQL-expressible — same contract as the roundtrip gate). */
   def fertilityByGroup(docs: DataFrame, idCol: String, textCol: String,
-                       groupCol: String, merges: DataFrame): DataFrame = {
-    val enc = applyBpe(docs, idCol, textCol, merges)
+                       groupCol: String, merges: DataFrame): DataFrame =
+    fertilityFromEncoded(applyBpe(docs, idCol, textCol, merges),
+      docs, idCol, groupCol)
+
+  /** [[fertilityByGroup]] over an ALREADY-ENCODED frame in the
+    * (doc_id, words: array<struct<word, subtokens>>) shape — shared by the
+    * BPE and [[UnigramLm]] tokenizers so their fit reports (and the
+    * bake-off comparing them) are computed by one definition. */
+  private[operators] def fertilityFromEncoded(encoded: DataFrame,
+      docs: DataFrame, idCol: String, groupCol: String): DataFrame = {
+    val enc = encoded
       .join(docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp")),
         Seq("doc_id"))
       .select(col("grp"),

@@ -3046,6 +3046,104 @@ object DocQueries {
         |  md5(COALESCE(array_to_string($ToksSql, ' '), '')) AS recon_md5
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Unigram-LM tokenizer (round 16) — the SentencePiece-style
+    //      sibling of the BPE family. The COUNT-DETERMINED stages are
+    //      hash-gated (seed candidates below, final vocab membership next
+    //      gate); EM trains only the segmentation probabilities and is
+    //      spec-pinned against a hand-computed iteration (BpeSpec
+    //      convention — float lattice marginals are not SQL-expressible).
+    //      Seed statistics: every substring (len 1..8) of every frequent
+    //      word <= 64 chars, occurrence-counted and weighted by word
+    //      frequency, score = cnt*len, top-2048 by (score desc, piece asc).
+    "q_text_unigram_seed" -> Q(
+      (s, d) => {
+        import graft.operators.UnigramLm
+        UnigramLm.seedCandidates(Tables.documents(s, d), "doc_id", "text",
+            maxPieceLen = 8, seedCap = 2048)
+          .orderBy(desc("score"), asc("piece"))
+      },
+      Some(s"""WITH wc AS (SELECT tok AS word, count(*) AS c
+        |  FROM (SELECT unnest($ToksSql) AS tok FROM documents) u
+        |  GROUP BY 1 ORDER BY c DESC, word LIMIT ${1 << 17}),
+        |ws AS (SELECT word, c FROM wc WHERE len(word) <= 64),
+        |pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) g(i)),
+        |lens AS (SELECT CAST(l AS INT) AS l FROM generate_series(1, 8) g(l)),
+        |subs AS (SELECT substr(word, i, l) AS piece, sum(c) AS cnt
+        |  FROM ws JOIN pos ON pos.i <= len(word)
+        |    JOIN lens ON lens.l <= least(8, len(word) - pos.i + 1)
+        |  GROUP BY 1),
+        |sc AS (SELECT piece, cnt, cnt * len(piece) AS score,
+        |    row_number() OVER (ORDER BY cnt * len(piece) DESC, piece) AS rn
+        |  FROM subs)
+        |SELECT piece, CAST(cnt AS BIGINT) AS cnt, CAST(score AS BIGINT) AS score
+        |FROM sc WHERE rn <= 2048 ORDER BY score DESC, piece""".stripMargin)),
+
+    // Final vocab MEMBERSHIP — count-determined (the full single-char
+    // inventory for coverage, then top multi-char candidates by the seed
+    // score into a 512-piece budget), so membership is hash-exact and EM
+    // can never silently change which pieces exist — only their weights.
+    "q_text_unigram_vocab" -> Q(
+      (s, d) => {
+        import graft.operators.UnigramLm
+        UnigramLm.selectVocab(Tables.documents(s, d), "doc_id", "text",
+            vocabSize = 512, maxPieceLen = 8, seedCap = 2048)
+          .orderBy("piece")
+      },
+      Some(s"""WITH wc AS (SELECT tok AS word, count(*) AS c
+        |  FROM (SELECT unnest($ToksSql) AS tok FROM documents) u
+        |  GROUP BY 1 ORDER BY c DESC, word LIMIT ${1 << 17}),
+        |ws AS (SELECT word, c FROM wc WHERE len(word) <= 64),
+        |pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) g(i)),
+        |lens AS (SELECT CAST(l AS INT) AS l FROM generate_series(1, 8) g(l)),
+        |subs AS (SELECT substr(word, i, l) AS piece, sum(c) AS cnt
+        |  FROM ws JOIN pos ON pos.i <= len(word)
+        |    JOIN lens ON lens.l <= least(8, len(word) - pos.i + 1)
+        |  GROUP BY 1),
+        |sc AS (SELECT piece, cnt, cnt * len(piece) AS score,
+        |    row_number() OVER (ORDER BY cnt * len(piece) DESC, piece) AS rn
+        |  FROM subs),
+        |seeds AS (SELECT piece, cnt, score FROM sc WHERE rn <= 2048),
+        |chars AS (SELECT piece, CAST(1 AS INT) AS piece_len,
+        |    CAST(cnt AS BIGINT) AS cnt, CAST(cnt AS BIGINT) AS score
+        |  FROM subs WHERE len(piece) = 1),
+        |nch AS (SELECT count(*) AS n FROM chars),
+        |mt AS (SELECT piece, CAST(len(piece) AS INT) AS piece_len,
+        |    CAST(cnt AS BIGINT) AS cnt, CAST(score AS BIGINT) AS score,
+        |    row_number() OVER (ORDER BY score DESC, piece) AS rn
+        |  FROM seeds WHERE len(piece) >= 2)
+        |SELECT piece, piece_len, cnt, score FROM chars
+        |UNION ALL
+        |SELECT piece, piece_len, cnt, score FROM mt
+        |WHERE rn <= greatest(0, 512 - (SELECT n FROM nch))
+        |ORDER BY piece""".stripMargin)),
+
+    // Viterbi segmentation ROUND TRIP — the q_text_bpe_roundtrip contract:
+    // concatenating each word's pieces reconstructs the word exactly, for
+    // every document, whatever the learned probabilities ended up being
+    // (the learned segmentation itself is not SQL-expressible; the EM
+    // arithmetic is spec-pinned).
+    "q_text_unigram_roundtrip" -> Q(
+      (s, d) => {
+        import graft.operators.UnigramLm
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(graft.operators.Sampling.split(
+          col("doc_id"), 80, 10, salt = ":ug1") === "train")
+        val model = UnigramLm.trainUnigram(ref, "doc_id", "text",
+          vocabSize = 512, iters = 2, seedCap = 2048)
+        UnigramLm.applyUnigram(docs, "doc_id", "text", model)
+          .select(col("doc_id"),
+            when(col("words").isNull, lit(0L))
+              .otherwise(size(col("words")).cast("bigint")).as("n_words"),
+            md5(coalesce(concat_ws(" ",
+              transform(col("words"), w => concat_ws("", w.getField("subtokens")))),
+              lit(""))).as("recon_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+        |  COALESCE(len($ToksSql), 0) AS n_words,
+        |  md5(COALESCE(array_to_string($ToksSql, ' '), '')) AS recon_md5
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- Curation capstone v3: LM-fluency-gated token budget. Documents
     //      passing the perplexity cut (ppl <= 30 under the :lm1 reference
     //      model — the CCNet keep rule with a fixed threshold) fill each
