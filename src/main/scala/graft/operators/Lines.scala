@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Cross-document line-level deduplication and boilerplate removal — the
@@ -138,6 +138,81 @@ object Lines {
           col("n_sentences") >= minSentences)
       .select(col(idCol), col("keep_doc"), col("n_lines"), col("n_kept"),
         col("n_sentences"), col("text"))
+  }
+
+  /** FENCE-AWARE [[c4Clean]] — the code-corpus variant every code-LLM
+    * pipeline needs: C4's line rules were written for web prose and
+    * destroy exactly the content a code/math corpus is curated FOR (code
+    * lines rarely end in terminal punctuation; `{` flags the whole page).
+    * This variant PROTECTS two structures before the line rules fire:
+    *  - ``` fenced blocks (both fence-marker lines and everything between
+    *    them — fence state is the running parity of marker lines, a
+    *    marker being any line whose TRIMMED form starts with ```);
+    *  - inline-math lines: any line carrying at least two `$` characters
+    *    (a `$...$` span).
+    * Protected lines are kept VERBATIM (untrimmed — indentation is code
+    * content); unprotected lines go through the standard C4 rules
+    * (trimmed). Document rules become code-aware too: the `{` flag fires
+    * only on UNPROTECTED lines, and the sentence floor judges only the
+    * cleaned UNPROTECTED prose — a page that is all code + 2 prose
+    * sentences still fails, a page of prose with a brace-bearing fenced
+    * example no longer does. "lorem ipsum" stays a whole-page rule (filler
+    * is filler, fenced or not).
+    *
+    * Same zero-shuffle scan-stage shape as [[c4Clean]]: the fence parity
+    * is a per-line prefix fold over the line array — O(lines²) per
+    * document in array slices, fine at any corpus size because it never
+    * leaves the scan task. Returns (idCol, keep_doc, n_lines, n_kept,
+    * n_protected, n_sentences, text). */
+  def c4CleanCodeAware(docs: DataFrame, idCol: String, textCol: String,
+                       minWordsPerLine: Int = 5,
+                       minSentences: Int = 3): DataFrame = {
+    require(minWordsPerLine > 0 && minSentences >= 0,
+      "minWordsPerLine must be positive, minSentences non-negative")
+    val policyPhrases = Seq("terms of use", "privacy policy", "cookie policy",
+      "uses cookies", "use of cookies", "use cookies")
+    val segs = split(coalesce(col("text_orig"), lit("")), "\n")
+    def isMarker(l: Column): Column = trim(l).startsWith("```")
+    val markers = transform(segs, l => when(isMarker(l), 1).otherwise(0))
+    def prose(l: Column): Column = {
+      val t = trim(l)
+      val lc = lower(t)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minWordsPerLine &&
+        !lc.contains("javascript") &&
+        policyPhrases.map(p => !lc.contains(p)).reduce(_ && _)
+    }
+    // per line: (original, protected?, kept-form-or-null)
+    val dec = transform(segs, (l, i) => {
+      val inFence = aggregate(slice(markers, lit(1), i), lit(0),
+        (a, x) => a + x) % 2 === 1
+      val mathLine =
+        length(regexp_replace(l, "[^$]", "")) >= 2
+      val protect = inFence || isMarker(l) || mathLine
+      struct(l.as("line"), protect.as("prot"),
+        when(protect, l).otherwise(when(prose(l), trim(l))).as("kept"))
+    })
+    val keptArr = filter(dec, x => x.getField("kept").isNotNull)
+    val proseKept = filter(dec,
+      x => x.getField("kept").isNotNull && !x.getField("prot"))
+    docs.select(col(idCol), col(textCol).as("text_orig"))
+      .withColumn("n_lines", nLinesCol)
+      .withColumn("n_kept", size(keptArr).cast("long"))
+      .withColumn("n_protected",
+        size(filter(dec, x => x.getField("prot"))).cast("long"))
+      .withColumn("text",
+        array_join(transform(keptArr, x => x.getField("kept")), "\n"))
+      .withColumn("n_sentences",
+        length(regexp_replace(
+          array_join(transform(proseKept, x => x.getField("kept")), "\n"),
+          "[^.!?]", "")).cast("long"))
+      .withColumn("keep_doc",
+        !exists(dec, x => !x.getField("prot") &&
+          x.getField("line").contains("{")) &&
+          !lower(coalesce(col("text_orig"), lit(""))).contains("lorem ipsum") &&
+          col("n_sentences") >= minSentences)
+      .select(col(idCol), col("keep_doc"), col("n_lines"), col("n_kept"),
+        col("n_protected"), col("n_sentences"), col("text"))
   }
 
   /** Rebuild (idCol, text, n_lines, `keptCountName`) from a kept-line frame

@@ -3977,6 +3977,113 @@ object DocQueries {
         |  n_lines, n_kept, n_sentences, md5(ct) AS clean_md5
         |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // ---- Fence-aware C4 cleaning (round 16): the code-corpus variant —
+    //      ``` fenced blocks and $...$ math lines are PROTECTED from the
+    //      line rules (kept verbatim, indentation intact), the `{` flag
+    //      fires only on unprotected lines, and the sentence floor judges
+    //      only the unprotected prose. Fixtures embed a brace-bearing
+    //      fenced example (must survive + not flag the doc), a math line,
+    //      the standard chrome lines (must still be cut), and per-modulus
+    //      lorem-ipsum / UNFENCED-brace tails (must still flag).
+    "q_text_c4_code_aware" -> Q(
+      (s, d) => {
+        val words = split(col("text"), " ")
+        def line(start: Int, len: Int, tail: String) =
+          concat(array_join(slice(words, start, len), " "), lit(tail))
+        val page = concat(
+          concat_ws("\n",
+            line(1, 6, "."),
+            lit("```scala"),
+            lit("def f(x) = {"),
+            lit("  x + 1"),
+            lit("}"),
+            lit("```"),
+            line(7, 7, "."),
+            lit("the energy balance is $E = mc^2$ here"),
+            lit("please enable javascript to view this page."),
+            lit("we use cookies; see our privacy policy for details."),
+            line(3, 7, " right?")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nlorem ipsum dolor sit amet consectetur elite prose."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\nif (x) { return y; } outside any fence."))
+            .otherwise(lit("")))
+        Lines.c4CleanCodeAware(
+            docsP(s, d).select(col("doc_id"), page.as("text")),
+            "doc_id", "text")
+          .select(col("doc_id"), col("keep_doc"), col("n_lines"),
+            col("n_kept"), col("n_protected"), col("n_sentences"),
+            md5(col("text")).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pg AS (SELECT doc_id,
+        |  concat(
+        |    concat_ws(chr(10),
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),1,6),' '),'') || '.',
+        |      '```scala',
+        |      'def f(x) = ' || chr(123),
+        |      '  x + 1',
+        |      chr(125),
+        |      '```',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),7,13),' '),'') || '.',
+        |      'the energy balance is $$E = mc^2$$ here',
+        |      'please enable javascript to view this page.',
+        |      'we use cookies; see our privacy policy for details.',
+        |      coalesce(array_to_string(list_slice(string_split(text,' '),3,9),' '),'') || ' right?'),
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN chr(10) || 'lorem ipsum dolor sit amet consectetur elite prose.'
+        |      ELSE '' END,
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN chr(10) || 'if (x) ' || chr(123) || ' return y; ' || chr(125) || ' outside any fence.'
+        |      ELSE '' END) AS t0
+        |  FROM documents),
+        |lx AS (SELECT doc_id, t0, string_split(t0, chr(10)) AS ls FROM pg),
+        |mk AS (SELECT doc_id, t0, ls, list_transform(ls, s ->
+        |    CASE WHEN starts_with(trim(s), '```') THEN 1 ELSE 0 END) AS m
+        |  FROM lx),
+        |dc AS (SELECT doc_id, t0, ls, list_transform(ls, (s, i) -> {
+        |    'line': s,
+        |    'prot': (coalesce(list_sum(m[1:i-1]), 0) % 2 = 1)
+        |      OR starts_with(trim(s), '```')
+        |      OR length(regexp_replace(s, '[^$$]', '', 'g')) >= 2,
+        |    'ok': regexp_matches(trim(s), '[.!?"]$$')
+        |      AND len(string_split_regex(trim(s), '\\s+')) >= 5
+        |      AND NOT contains(lower(trim(s)), 'javascript')
+        |      AND NOT contains(lower(trim(s)), 'terms of use')
+        |      AND NOT contains(lower(trim(s)), 'privacy policy')
+        |      AND NOT contains(lower(trim(s)), 'cookie policy')
+        |      AND NOT contains(lower(trim(s)), 'uses cookies')
+        |      AND NOT contains(lower(trim(s)), 'use of cookies')
+        |      AND NOT contains(lower(trim(s)), 'use cookies')
+        |  }) AS dec FROM mk),
+        |kv AS (SELECT doc_id, t0, ls,
+        |  list_transform(dec, x -> CASE WHEN x.prot THEN x.line
+        |    WHEN x.ok THEN trim(x.line) END) AS keptv,
+        |  dec FROM dc),
+        |ag AS (SELECT doc_id,
+        |  CAST(len(list_filter(ls, l -> length(trim(l)) > 0)) AS BIGINT)
+        |    AS n_lines,
+        |  CAST(len(list_filter(keptv, k -> k IS NOT NULL)) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(len(list_filter(dec, x -> x.prot)) AS BIGINT) AS n_protected,
+        |  coalesce(array_to_string(
+        |    list_filter(keptv, k -> k IS NOT NULL), chr(10)), '') AS ct,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(dec, x -> (NOT x.prot) AND x.ok),
+        |    x -> trim(x.line)), chr(10)), '') AS prose_ct,
+        |  len(list_filter(dec, x -> (NOT x.prot)
+        |    AND contains(x.line, chr(123)))) > 0 AS brace,
+        |  contains(lower(t0), 'lorem ipsum') AS lorem
+        |  FROM kv),
+        |fin AS (SELECT doc_id, n_lines, n_kept, n_protected,
+        |  CAST(length(regexp_replace(prose_ct, '[^.!?]', '', 'g')) AS BIGINT)
+        |    AS n_sentences, ct, brace, lorem FROM ag)
+        |SELECT doc_id,
+        |  (NOT brace AND NOT lorem AND n_sentences >= 3) AS keep_doc,
+        |  n_lines, n_kept, n_protected, n_sentences, md5(ct) AS clean_md5
+        |FROM fin ORDER BY doc_id""".stripMargin)),
+
     // cross-document repeated-span dedup (C4 / Lee et al. substring family):
     // maximal token spans whose 8-token shingles appear in >= 2 documents.
     // Positions are 1-based inclusive token indices; flagged shingle starts

@@ -1201,6 +1201,42 @@ class OperatorsSpec extends SparkSpec {
     assert(r(3)._2 == false && r(3)._3 == 3L)
   }
 
+  test("c4CleanCodeAware protects fences and math; prose rules still fire outside") {
+    import graft.operators.Lines
+    val good = "the quick brown fox jumps high."
+    val s2 = "another proper sentence with enough words here!"
+    val s3 = "is this a third full sentence with words?"
+    val js = "please enable javascript to see the content."
+    val fenced = Seq("```python", "def f(x):", "    return {x: 1}", "```")
+    val math = "so $x^2 + y^2$ holds"
+    val docs = Seq(
+      // fenced braces + unpunctuated code survive verbatim; chrome still cut
+      (1L, (Seq(good) ++ fenced ++ Seq(js, math, s2, s3)).mkString("\n")),
+      // UNFENCED brace still flags the page
+      (2L, Seq(good, s2, s3, "int f() { }").mkString("\n")),
+      // all code, no prose sentences -> sentence floor fails the page
+      (3L, fenced.mkString("\n")),
+      // unclosed fence protects to end of document
+      (4L, (Seq(good, s2, s3, "```") ++ Seq(js)).mkString("\n"))
+    ).toDF("doc_id", "text")
+    val r = Lines.c4CleanCodeAware(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Boolean]("keep_doc"),
+        x.getAs[Long]("n_kept"), x.getAs[Long]("n_protected"),
+        x.getAs[Long]("n_sentences"), x.getAs[String]("text"))).toSeq
+    // doc 1: 4 fence lines + 1 math line protected VERBATIM (indentation
+    // intact), js cut, 3 prose sentences -> page kept despite fenced braces
+    assert(r(0) == (1L, true, 8L, 5L, 3L,
+      (Seq(good) ++ fenced ++ Seq(math, s2, s3)).mkString("\n")))
+    // doc 2: the brace is outside any fence -> page flagged
+    assert(r(1)._2 == false && r(1)._4 == 0L)
+    // doc 3: protected code survives but the page has zero prose sentences
+    assert(r(2) == (3L, false, 4L, 4L, 0L, fenced.mkString("\n")))
+    // doc 4: everything after the unclosed fence marker is protected
+    assert(r(3)._2 == true && r(3)._4 == 2L &&
+      r(3)._6.endsWith("```\n" + js))
+  }
+
   test("dedupLines keeps the first occurrence of each line, in order") {
     import graft.functions.TextFunctions
     val out = Seq("a\nb\na\nc\nb", "solo", "")
