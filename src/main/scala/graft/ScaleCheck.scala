@@ -1238,6 +1238,98 @@ object ScaleCheck {
           Tables.documents(spark, d).select(col("lang"),
             TextFunctions.tokenCount(col("text")).as("n_toks")),
           "lang", col("n_toks"), qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      },
+
+      // ---- round 16 ----
+      // PNG encode -> chunk/CRC/inflate/filter decode: partition-local
+      // typed maps end to end, zero shuffle — expect scan-stage flat
+      "png_roundtrip" -> { d =>
+        import graft.operators.Multimodal
+        Multimodal.decodePngFeatures(Multimodal.encodePng(
+          Multimodal.fromText(Tables.documents(spark, d),
+            "doc_id", "text", "source")))
+      },
+      // aHash over a PNG corpus: rasterView PNG decode + box resample in
+      // one typed kernel — the cross-codec path the r16 gate pins
+      "png_ahash" -> { d =>
+        import graft.operators.Multimodal
+        Multimodal.aHashFeatures(Multimodal.encodePng(
+          Multimodal.fromText(Tables.documents(spark, d),
+            "doc_id", "text", "source")), grid = 8)
+      },
+      // unigram-LM tokenizer: two distributed count aggregations + driver
+      // EM on the cap-bounded word table + the Viterbi scan kernel. The
+      // corpus term is the counts + the apply scan; EM cost is bounded by
+      // DISTINCT words (fixed under replication — ids offset, text reused)
+      "unigram_tokenizer" -> { d =>
+        import graft.operators.UnigramLm
+        val docs = Tables.documents(spark, d)
+        val model = UnigramLm.trainUnigram(docs, "doc_id", "text",
+          vocabSize = 512, iters = 2, seedCap = 2048)
+        UnigramLm.applyUnigram(docs, "doc_id", "text", model)
+      },
+      // fence-aware C4: scan-stage Column trees incl. the per-line prefix
+      // fold (O(lines^2) in array slices, page-bounded) — expect flat
+      "c4_code_aware" -> { d =>
+        val words = split(col("text"), " ")
+        val page = concat_ws("\n",
+          concat(array_join(slice(words, 1, 6), " "), lit(".")),
+          lit("```"),
+          concat(lit("  code { "), array_join(slice(words, 7, 4), " "), lit(" }")),
+          lit("```"),
+          concat(array_join(slice(words, 3, 8), " "), lit(" right?")),
+          lit("the sum $a + b$ stays"),
+          concat(array_join(slice(words, 11, 7), " "), lit(".")))
+        graft.operators.Lines.c4CleanCodeAware(
+          Tables.documents(spark, d).select(col("doc_id"), page.as("text")),
+          "doc_id", "text")
+      },
+      // IVF lifecycle refresh: buildIvf + save + retrain (sample k-means +
+      // ONE re-assignment pass + partitioned rewrite). nLists scales with
+      // the corpus (the dfCut discipline) so cell size stays constant
+      "ivf_retrain" -> { d =>
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+        val nLists = if (d == out) 80 else 8
+        val dir = s"/tmp/graft_scale_ivf_rt_${if (d == out) "10x" else "1x"}"
+        val built = Similarity.buildIvf(emb, nLists = nLists, seed = 42L)
+        Similarity.saveIvf(built, dir)
+        built.assigned.unpersist(blocking = false)
+        Similarity.retrainIvf(spark, dir, nLists = nLists, seed = 43L)
+        Similarity.loadIvf(spark, dir).assigned
+      },
+      // the fused filter bake-off: ONE persisted tokenFold + labels frame
+      // feeding NB train/score, logistic train/score, and the exact-AUC
+      // metrics fold — the r16 score-once shape
+      "bakeoff_fused" -> { d =>
+        import graft.operators.{ClassifierEval, QualityClassifier}
+        val docs = Tables.documents(spark, d)
+        val lab = docs.withColumn("__en",
+          TextFunctions.langId(col("text")) === "en")
+        val labels = lab.select(col("doc_id"), col("__en").as("is_pos"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
+            buckets = 4096, salt = ":bk1")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        fold.count()
+        val nbM = QualityClassifier.trainFold(fold, labels,
+          buckets = 4096, salt = ":bk1")
+        val nb = QualityClassifier.scoreFold(docs, "doc_id", fold, nbM)
+          .join(labels, Seq("doc_id"))
+          .select(lit("nb").as("filter"),
+            round(col("log_odds") / greatest(col("n_tokens"), lit(1L)), 9)
+              .as("v"), col("is_pos"))
+        val lgM = QualityClassifier.trainLogisticFold(lab, "doc_id",
+          col("__en"), fold, iters = 3, lr = 0.5, buckets = 4096,
+          salt = ":bk1")
+        val lg = QualityClassifier.scoreLogisticFold(docs, "doc_id", fold,
+            lgM)
+          .join(labels, Seq("doc_id"))
+          .select(lit("logit").as("filter"),
+            round(col("margin") / greatest(col("n_tokens"), lit(1L)), 9)
+              .as("v"), col("is_pos"))
+        ClassifierEval.binaryMetricsBy(nb.unionByName(lg), "filter",
+          col("v"), col("is_pos"))
       })
 
     // optional arg: comma-separated substrings — run only matching cases

@@ -67,8 +67,10 @@ object Importance {
       lit((nt + buckets).toDouble)
     val pR = (coalesce(col("cr"), lit(0L)).cast("double") + lit(1.0)) /
       lit((nr + buckets).toDouble)
-    br.join(bt, Seq("b"), "left")
-      .select(col("b"), round(log(pT / pR), 9).cast("decimal(28,9)").as("lr"))
+    // buckets-bounded model: localized so every broadcast is flat instead
+    // of re-running both corpus tokenizations (BoundedFrames.localize)
+    graft.core.BoundedFrames.localize(br.join(bt, Seq("b"), "left")
+      .select(col("b"), round(log(pT / pR), 9).cast("decimal(28,9)").as("lr")))
   }
 
   /** Per-document log importance weight under the hashed-unigram model:

@@ -127,13 +127,19 @@ object LanguageModel {
     val vRow = vocab.agg(count(lit(1)), coalesce(sum("c"), lit(0L))).head
     val (u, inVocabMass) = (vRow.getLong(0), vRow.getLong(1))
     // normalized unigrams: vocab counts + the <unk> mass row; grouped so a
-    // literal "<unk>" token in the vocab merges instead of duplicating
-    val uni = vocab
+    // literal "<unk>" token in the vocab merges instead of duplicating.
+    // Both model frames are LOCALIZED (cap-bounded by construction): left
+    // as distributed lineage over `toks` — which this trainer unpersists on
+    // exit — every downstream broadcast would re-run the corpus
+    // tokenization+aggregation from scratch, once per scoring consumer
+    // (see BoundedFrames.localize).
+    val uni = graft.core.BoundedFrames.localize(vocab
       .unionByName(Seq((Unk, n - inVocabMass)).toDF("tok", "c"))
-      .groupBy("tok").agg(sum("c").as("c"))
-    val big = normStream(toks, vocab).filter(col("prev").isNotNull)
-      .groupBy("prev", "w").agg(count(lit(1)).as("cb"))
-      .orderBy(desc("cb"), asc("prev"), asc("w")).limit(bigramCap)
+      .groupBy("tok").agg(sum("c").as("c")))
+    val big = graft.core.BoundedFrames.localize(
+      normStream(toks, vocab).filter(col("prev").isNotNull)
+        .groupBy("prev", "w").agg(count(lit(1)).as("cb"))
+        .orderBy(desc("cb"), asc("prev"), asc("w")).limit(bigramCap))
     val lm = BigramLm(uni, big, totalTokens = n, vocabTypes = u)
     toks.unpersist()
     lm
@@ -522,11 +528,13 @@ object LanguageModel {
                      trigramCap: Int = 1 << 22): TrigramLm = {
     val base = trainBigramLm(ref, idCol, textCol, vocabCap, bigramCap)
     val toks = tokFrame(ref, idCol, textCol)
-    val tri = normStream3(toks, base.vocab)
+    // localized like the base model's frames (cap-bounded; the lineage
+    // would otherwise re-tokenize the reference corpus per broadcast)
+    val tri = graft.core.BoundedFrames.localize(normStream3(toks, base.vocab)
       .filter(col("prev2").isNotNull)
       .groupBy("prev2", "prev", "w").agg(count(lit(1)).as("ct"))
       .orderBy(desc("ct"), asc("prev2"), asc("prev"), asc("w"))
-      .limit(trigramCap)
+      .limit(trigramCap))
     TrigramLm(base, tri)
   }
 
@@ -629,12 +637,18 @@ object LanguageModel {
         .groupBy("prev", "w").agg(count(lit(1)).as("cb"))
         .orderBy(desc("cb"), asc("prev"), asc("w")).limit(bigramCap)
         .persist(StorageLevel.MEMORY_AND_DISK))
-    val ctx = big.groupBy(col("prev"))
-      .agg(sum("cb").as("cv"), count(lit(1)).as("n1v"))
-    val cont = big.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
-    val meta = big.agg(count(lit(1))).head.getLong(0)
-    val u = vocab.agg(count(lit(1))).head.getLong(0)
-    val lm = KneserNeyLm(vocab, big, ctx, cont, bigramTypes = meta, vocabTypes = u)
+    // all four lookup frames localized (vocab/bigram-cap-bounded): the
+    // scorer broadcasts each one, and distributed lineage would re-run
+    // the training aggregations per broadcast (BoundedFrames.localize)
+    val vb = graft.core.BoundedFrames.localize(vocab)
+    val bg = graft.core.BoundedFrames.localize(big)
+    val ctx = graft.core.BoundedFrames.localize(bg.groupBy(col("prev"))
+      .agg(sum("cb").as("cv"), count(lit(1)).as("n1v")))
+    val cont = graft.core.BoundedFrames.localize(
+      bg.groupBy(col("w")).agg(count(lit(1)).as("n1w")))
+    val meta = bg.count()
+    val u = vb.count()
+    val lm = KneserNeyLm(vb, bg, ctx, cont, bigramTypes = meta, vocabTypes = u)
     toks.unpersist()
     lm
   }

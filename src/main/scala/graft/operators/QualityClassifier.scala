@@ -75,18 +75,10 @@ object QualityClassifier {
   private def dec9(c: Column): Column = round(c, 9).cast("decimal(28,9)")
 
   /** Materialize a BUCKETS-BOUNDED model frame (≤ `buckets` rows by
-    * contract) as a driver-local DataFrame. Model frames are broadcast to
-    * every consumer anyway; carrying them as distributed lineage makes each
-    * broadcast RE-RUN the training aggregation (and any consumer that
-    * derives several broadcasts from one scored frame pays it several
-    * times), while a local relation broadcasts from driver memory with a
-    * flat plan. Values are untouched — this is the same bounded collect
-    * every broadcast of the frame would do. */
-  private def localize(df: DataFrame): DataFrame = {
-    val rows = df.collect()
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
-  }
+    * contract) as a driver-local DataFrame — see
+    * [[graft.core.BoundedFrames.localize]] for the full rationale. */
+  private def localize(df: DataFrame): DataFrame =
+    graft.core.BoundedFrames.localize(df)
 
   /** Train on a labeled split. Four train-once metadata aggregates (two
     * token totals, two doc counts) run eagerly; the per-bucket model stays
