@@ -1298,6 +1298,20 @@ object ScaleCheck {
         Similarity.retrainIvf(spark, dir, nLists = nLists, seed = 43L)
         Similarity.loadIvf(spark, dir).assigned
       },
+      // the same lifecycle with nLists held FIXED — the refresh-on-a-fixed-
+      // cell-budget regime — to separate the corpus-linear term from the
+      // corpus × nLists assignment term the scaled-nLists case carries
+      // (every IVF build pays n·k distance evals; see SCALE.md note)
+      "ivf_retrain_fixed" -> { d =>
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+        val dir = s"/tmp/graft_scale_ivf_rtf_${if (d == out) "10x" else "1x"}"
+        val built = Similarity.buildIvf(emb, nLists = 8, seed = 42L)
+        Similarity.saveIvf(built, dir)
+        built.assigned.unpersist(blocking = false)
+        Similarity.retrainIvf(spark, dir, nLists = 8, seed = 43L)
+        Similarity.loadIvf(spark, dir).assigned
+      },
       // the fused filter bake-off: ONE persisted tokenFold + labels frame
       // feeding NB train/score, logistic train/score, and the exact-AUC
       // metrics fold — the r16 score-once shape

@@ -487,8 +487,13 @@ object Diagnostics {
   def exactQuantiles(df: DataFrame, value: Column, qs: Seq[Double],
                      shards: Int = 8): DataFrame =
     exactQuantilesFromCounts(
+      // persisted (lazily): FOUR frames derive from the count fold (shard
+      // thresholds, offsets, totals, the sharded cumsums) and each is
+      // broadcast separately — unpersisted, every broadcast re-runs the
+      // corpus fold. Value-bounded, cache-safe.
       df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
-        .groupBy("v").agg(count(lit(1)).as("cnt")),
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       qs, shards)
 
   /** [[exactQuantiles]] over a PRE-FOLDED (v, cnt) distinct-value count
@@ -615,9 +620,13 @@ object Diagnostics {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted (lazily): thresholds/offsets/targets/cumsums each broadcast
+    // a frame derived from this fold — see exactQuantiles. (group,value)-
+    // bounded, cache-safe.
     val c = df.select(col(groupCol), value.cast("long").as("__v"))
       .filter(col("__v").isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ths = c.groupBy(col(groupCol).as("__qg"))
       .agg(percentile(col("__v"), lit(1.0 / shards)).as("__t1"),
         (2 until shards).map(i =>

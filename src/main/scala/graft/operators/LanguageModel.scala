@@ -445,13 +445,17 @@ object LanguageModel {
     require(eta > 0.0, "eta must be positive")
     require(smoothing >= 0.0 && smoothing < 1.0, "smoothing must be in [0, 1)")
     val gap = greatest(lit(0.0), round(col("lp_r") - col("lp_p"), 6))
-    val perDomain = docs.select(col(idCol).as("doc_id"), col(sourceCol))
-      .join(scores, Seq("doc_id"))
-      .groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(gap.cast("decimal(28,6)")).as("__gapSum"))
-      .withColumn("excess",
-        round(col("__gapSum").cast("double") / col("n_docs"), 6))
+    // sources-bounded, localized: three consumers derive from it (the k
+    // broadcast, the z broadcast, the final select) and each would re-run
+    // the corpus-scale score join+agg upstream (BoundedFrames.localize)
+    val perDomain = graft.core.BoundedFrames.localize(
+      docs.select(col(idCol).as("doc_id"), col(sourceCol))
+        .join(scores, Seq("doc_id"))
+        .groupBy(col(sourceCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(gap.cast("decimal(28,6)")).as("__gapSum"))
+        .withColumn("excess",
+          round(col("__gapSum").cast("double") / col("n_docs"), 6)))
     val k = broadcast(perDomain.agg(
       count(lit(1)).cast("double").as("__k")))
     val termed = perDomain.crossJoin(k)
