@@ -95,9 +95,13 @@ object QualityClassifier {
     val dN = lit((nn + buckets).toDouble)
     val pPos = (coalesce(col("cp"), lit(0L)).cast("double") + lit(1.0)) / dP
     val pNeg = (coalesce(col("cn"), lit(0L)).cast("double") + lit(1.0)) / dN
-    // buckets-bounded full outer; shuffle_hash skips the pointless sort
-    val llr = localize(bp.hint("shuffle_hash").join(bn, Seq("b"), "full")
-      .select(col("b"), dec9(log(pPos / pNeg)).as("llr")))
+    // buckets-bounded full outer; shuffle_hash skips the pointless sort.
+    // NOT localized (unlike the GD weights): the model is broadcast exactly
+    // once per scoring run, so its single lazy evaluation already costs
+    // what a localize collect would — an eager collect here only adds a
+    // job (solo-measured +1.9 s on the AUC gate).
+    val llr = bp.hint("shuffle_hash").join(bn, Seq("b"), "full")
+      .select(col("b"), dec9(log(pPos / pNeg)).as("llr"))
     NbModel(llr,
       defaultLlr = dec9(log(dN / dP)),
       prior = dec9(log(lit((pos.count() + 1).toDouble) /
@@ -128,7 +132,9 @@ object QualityClassifier {
     def dec919(c: Column): Column = round(c, 9).cast("decimal(19,9)")
     val pPos = (col("cp").cast("double") + lit(1.0)) / dP
     val pNeg = (col("cn").cast("double") + lit(1.0)) / dN
-    val llr = localize(agg.select(col("b"), dec919(log(pPos / pNeg)).as("llr")))
+    // lazy like [[train]]'s llr (single broadcast per scoring run; the
+    // lineage reads the caller's persisted fold) — see the note there
+    val llr = agg.select(col("b"), dec919(log(pPos / pNeg)).as("llr"))
     NbModel(llr,
       defaultLlr = dec919(log(dN / dP)),
       prior = dec919(log(
