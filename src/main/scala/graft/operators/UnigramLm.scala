@@ -273,4 +273,47 @@ object UnigramLm {
     Bpe.fertilityFromEncoded(
       applyUnigram(docs, idCol, textCol, model, maxPieceLen),
       docs, idCol, groupCol)
+
+  /** VOCAB COVERAGE report, per source — the static "does this vocabulary
+    * fit this corpus slice" numbers a team reads BEFORE committing a
+    * tokenizer (fertility needs a trained model and a full encode pass;
+    * coverage is pure counting against the vocab table, so it also
+    * hash-gates):
+    *  - `oov_char_rate`: fraction of character occurrences outside the
+    *    vocab's single-char inventory — exactly the characters Viterbi
+    *    must emit as unk fallback pieces;
+    *  - `whole_word_rate`: fraction of word occurrences present VERBATIM
+    *    as a vocab piece — the mass that can segment to one piece.
+    * A slice with high char-OOV (new language, emoji-heavy source) or low
+    * whole-word coverage (domain shift) flags for a vocab refresh.
+    *
+    * Scale shape: the char-inventory membership test is a scan-stage
+    * `translate` against the collected (vocab-bounded) inventory string —
+    * no per-char explode; the whole-word test is one broadcast left join;
+    * one partial-agg groupBy(source). */
+  def coverageBySource(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, vocab: DataFrame): DataFrame = {
+    // vocab-bounded collect; sorted so the inventory string is canonical
+    val inv = vocab.filter(length(col("piece")) === 1)
+      .select("piece").collect().map(_.getString(0)).sorted.mkString
+    val pieces = vocab.select(col("piece").as("__p"))
+    val words = Parallelism.fanOut(docs.select(
+        col(sourceCol).as("source"),
+        TextFunctions.tokens(col(textCol)).as("toks")))
+      .select(col("source"), explode(col("toks")).as("word"))
+      .join(broadcast(pieces), col("word") === col("__p"), "left")
+      .select(col("source"),
+        length(col("word")).cast("long").as("n_chars"),
+        length(translate(col("word"), inv, "")).cast("long").as("n_oov"),
+        when(col("__p").isNotNull, 1L).otherwise(0L).as("hit"))
+    words.groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum("hit").as("n_whole_word"),
+        sum("n_chars").as("n_chars"),
+        sum("n_oov").as("n_oov_chars"))
+      .withColumn("whole_word_rate",
+        round(col("n_whole_word").cast("double") / col("n_words"), 6))
+      .withColumn("oov_char_rate",
+        round(col("n_oov_chars").cast("double") / col("n_chars"), 6))
+  }
 }

@@ -3144,6 +3144,62 @@ object DocQueries {
         |  md5(COALESCE(array_to_string($ToksSql, ' '), '')) AS recon_md5
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Vocab COVERAGE report (round 16): the static pre-commit tokenizer
+    // numbers, per source — char-OOV occurrence rate against the vocab's
+    // single-char inventory (the unk-fallback mass) and the verbatim
+    // whole-word hit rate. The vocab trains on the :ug1 80% split, the
+    // report covers the WHOLE corpus, so the held-out slice genuinely
+    // moves the rates. Pure counting end to end — vocab membership is the
+    // count-determined stage — so the gate hash-checks the full chain.
+    "q_text_unigram_coverage" -> Q(
+      (s, d) => {
+        import graft.operators.{Sampling, UnigramLm}
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(Sampling.split(
+          col("doc_id"), 80, 10, salt = ":ug1") === "train")
+        val vocab = UnigramLm.selectVocab(ref, "doc_id", "text",
+          vocabSize = 512, maxPieceLen = 8, seedCap = 2048)
+        UnigramLm.coverageBySource(docs, "doc_id", "text", "source", vocab)
+          .orderBy("source")
+      },
+      Some(s"""WITH wc AS (SELECT tok AS word, count(*) AS c
+        |  FROM (SELECT unnest($ToksSql) AS tok FROM documents
+        |        WHERE ${fp60Sql("CAST(doc_id AS VARCHAR) || ':ug1'")} % 100 < 80) u
+        |  GROUP BY 1 ORDER BY c DESC, word LIMIT ${1 << 17}),
+        |ws AS (SELECT word, c FROM wc WHERE len(word) <= 64),
+        |pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) g(i)),
+        |lens AS (SELECT CAST(l AS INT) AS l FROM generate_series(1, 8) g(l)),
+        |subs AS (SELECT substr(word, i, l) AS piece, sum(c) AS cnt
+        |  FROM ws JOIN pos ON pos.i <= len(word)
+        |    JOIN lens ON lens.l <= least(8, len(word) - pos.i + 1)
+        |  GROUP BY 1),
+        |sc AS (SELECT piece, cnt, cnt * len(piece) AS score,
+        |    row_number() OVER (ORDER BY cnt * len(piece) DESC, piece) AS rn
+        |  FROM subs),
+        |seeds AS (SELECT piece, cnt, score FROM sc WHERE rn <= 2048),
+        |chars AS (SELECT piece FROM subs WHERE len(piece) = 1),
+        |nch AS (SELECT count(*) AS n FROM chars),
+        |mt AS (SELECT piece,
+        |    row_number() OVER (ORDER BY score DESC, piece) AS rn
+        |  FROM seeds WHERE len(piece) >= 2),
+        |vcb AS (SELECT piece FROM chars
+        |  UNION ALL SELECT piece FROM mt
+        |  WHERE rn <= greatest(0, 512 - (SELECT n FROM nch))),
+        |ivs AS (SELECT coalesce(string_agg(piece, '' ORDER BY piece), '') AS s
+        |  FROM chars),
+        |wds AS (SELECT source, unnest($ToksSql) AS word FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(CASE WHEN word IN (SELECT piece FROM vcb)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_whole_word,
+        |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(translate(word, (SELECT s FROM ivs), ''))) AS BIGINT)
+        |    AS n_oov_chars,
+        |  round(CAST(sum(CASE WHEN word IN (SELECT piece FROM vcb)
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS whole_word_rate,
+        |  round(CAST(sum(len(translate(word, (SELECT s FROM ivs), '')))
+        |      AS DOUBLE) / sum(len(word)), 6) AS oov_char_rate
+        |FROM wds GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- Curation capstone v3: LM-fluency-gated token budget. Documents
     //      passing the perplexity cut (ppl <= 30 under the :lm1 reference
     //      model — the CCNet keep rule with a fixed threshold) fill each

@@ -924,4 +924,50 @@ object StreamingOps {
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
   }
+
+  /** Streaming twin of [[graft.operators.UnigramLm.applyUnigram]] —
+    * segment documents AT INGEST under a trained (train-once / apply-many)
+    * unigram-LM tokenizer: the piece log-probs are collected once and
+    * broadcast, and each row segments through the same Viterbi kernel the
+    * batch path runs, in a stateless partition-local typed map with a
+    * per-partition word memo (no explode, no join, no state) — the
+    * append-mode shape a tokenization stage needs on a live crawl.
+    *
+    * Tokenization is the JVM mirror of `TextFunctions.tokens` (lowercase
+    * whitespace split) and the segmentation IS [[UnigramLm.viterbi]], so
+    * stream ≡ batch row for row (pinned in StreamingSpec). */
+  def unigramSegmentStream(docs: DataFrame, idCol: String, textCol: String,
+                           model: DataFrame, maxPieceLen: Int = 8,
+                           memoCap: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    val logps = model.select("piece", "logp").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val bc = spark.sparkContext.broadcast(logps)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("words", ArrayType(StructType(Seq(
+        StructField("word", StringType, nullable = true),
+        StructField("subtokens", ArrayType(StringType, containsNull = false),
+          nullable = false))), containsNull = false), nullable = true)))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .mapPartitions { it =>
+        val memo = new scala.collection.mutable.HashMap[String, Array[String]]
+        val lp = bc.value
+        it.map { row =>
+          val text = row.getAs[String]("text")
+          val words =
+            if (text == null) null
+            else text.toLowerCase(java.util.Locale.ROOT)
+              .split("\\s+").filter(_.nonEmpty).toSeq.map { w =>
+                if (memo.size > memoCap) memo.clear()
+                val subs = memo.getOrElseUpdate(w,
+                  graft.operators.UnigramLm.viterbi(w, lp, maxPieceLen))
+                org.apache.spark.sql.Row(w, subs.toSeq)
+              }
+          org.apache.spark.sql.Row(
+            if (row.isNullAt(0)) null else row.getLong(0), words)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+  }
 }

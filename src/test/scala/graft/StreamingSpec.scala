@@ -1011,4 +1011,44 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch, s"stream $streamed != batch $batch")
     } finally q.stop()
   }
+
+  test("streaming unigram segmentation equals the batch Viterbi row for row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.UnigramLm
+    val train = Seq((1L, "the brown fox ran"), (2L, "the brown owl sat"),
+      (3L, "brown foxes run far"), (4L, "owls sit near the fox"))
+      .toDF("doc_id", "text")
+    val model = UnigramLm.trainUnigram(train, "doc_id", "text",
+      vocabSize = 64, iters = 2, seedCap = 256)
+    // unseen tokens (char/unk fallback), empty text, repeats
+    val rows = Seq((10L, "the brown fox"), (11L, ""),
+      (12L, "zebra quux"), (13L, "fox fox owl"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.unigramSegmentStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .writeStream.format("memory").queryName("unigram_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+            expr("transform(words, w -> struct(w.word, w.subtokens))")
+              .cast("string").as("w"))
+          .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      val streamed = norm(s.sql("SELECT * FROM unigram_stream"))
+      val batch = norm(UnigramLm.applyUnigram(
+        rows.toDF("doc_id", "text"), "doc_id", "text", model))
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // every word reconstructs from its pieces on the stream side too
+      val bad = s.sql("SELECT * FROM unigram_stream")
+        .select(explode(col("words")).as("w"))
+        .filter(concat_ws("", col("w.subtokens")) =!= col("w.word")).count()
+      assert(bad == 0L)
+    } finally q.stop()
+  }
 }
