@@ -4995,6 +4995,32 @@ object DocQueries {
       },
       prewarm = Some(PrewarmIvf)),
 
+    // ---- FULL index lifecycle under the correctness gate (round 16):
+    //      build on a split → save → append the rest with frozen
+    //      centroids → RETRAIN (re-sizing nLists 8 → 16, new seed — the
+    //      drift-refresh op) → exhaustive-probe search ≡ brute force over
+    //      the whole corpus. Any lost/duplicated row, stale cell file, or
+    //      centroid/assignment mismatch anywhere in the chain hash-fails
+    //      against the shared brute oracle.
+    "q_sim_ivf_retrain_exact" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val base = emb.filter(col("vec_id") % 3 =!= 0)
+        val batch = emb.filter(col("vec_id") % 3 === 0)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf_rt_gate").toString
+        val built = Similarity.buildIvf(base, nLists = 8, seed = 42L)
+        Similarity.saveIvf(built, dir)
+        built.assigned.unpersist(blocking = false)
+        Similarity.appendIvf(built, batch, dir)
+        Similarity.retrainIvf(s, dir, nLists = 16, seed = 7L)
+        Similarity.searchIvf(Similarity.loadIvf(s, dir),
+            emb.filter(col("vec_id") < 8), k = 10, nProbe = 16)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(BruteTopKSql)),
+
     // ---- Per-label centroids (mixture profiles): exact sequential-fold
     //      means of the first 4 dims, in vec_id order on both engines (plain
     //      double avg is partial-aggregation-order-dependent and would not
