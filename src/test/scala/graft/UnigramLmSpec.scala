@@ -105,4 +105,26 @@ class UnigramLmSpec extends SparkSpec {
       assert(f >= 1.0 && f < avgWordLen, s"fertility $f out of bounds")
     }
   }
+
+  test("coverage report: hand-computed OOV chars and whole-word hits per source") {
+    import spark.implicits._
+    // vocab trained on source A only; B brings an unseen char 'z' and
+    // unseen words
+    val train = Seq((1L, "aba cab"), (2L, "aba bac")).toDF("doc_id", "text")
+    val vocab = UnigramLm.selectVocab(train, "doc_id", "text",
+      vocabSize = 16, maxPieceLen = 4, seedCap = 64)
+    // inventory = {a, b, c}; whole-word pieces include "aba","cab","bac"
+    val docs = Seq(
+      (10L, "A", "aba cab"),     // 2 words, both verbatim hits, 0 oov
+      (11L, "B", "zab aba"),     // "zab": 1 oov char (z), not a vocab word
+      (12L, "B", "cc zz")        // "cc" covered chars but no such piece;
+    ).toDF("doc_id", "source", "text") //  "zz": 2 oov chars
+    val r = UnigramLm.coverageBySource(docs, "doc_id", "text", "source",
+        vocab)
+      .orderBy("source").collect()
+      .map(x => (x.getAs[String]("source"), x.getAs[Long]("n_words"),
+        x.getAs[Long]("n_whole_word"), x.getAs[Long]("n_chars"),
+        x.getAs[Long]("n_oov_chars"))).toSeq
+    assert(r == Seq(("A", 2L, 2L, 6L, 0L), ("B", 4L, 1L, 10L, 3L)))
+  }
 }
