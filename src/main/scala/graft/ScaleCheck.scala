@@ -218,6 +218,20 @@ object ScaleCheck {
         Dedup.connectedComponents(chainPairs(d), maxIter = 64)),
       "components_prop" -> (d =>
         Dedup.connectedComponentsPropagation(chainPairs(d), maxIter = 64)),
+      // INCREMENTAL components with a FIXED delta against a 1x vs 10x
+      // labeled corpus (labeling pre-built untimed below — production holds
+      // its labeling as a table; the op's contract is folding a batch into
+      // it). The delta edges live entirely in replica shard 0 (ids < 1200),
+      // so the increment is IDENTICAL at both scales and the ratio isolates
+      // the corpus-size term of the fold: two broadcast-probed label scans
+      // + one increment-bounded collect + the local union-find. ~1x ratio =
+      // cost scales with the DELTA, not the corpus.
+      "components_incr_delta" -> { d =>
+        val tag = if (d == out) "10x" else "1x"
+        val labels = spark.read.parquet(s"/tmp/graft_scale_complabels_$tag")
+        Dedup.componentsIncrement(labels,
+          chainPairs(d).filter(col("id_b") < 1200L))
+      },
       // IVF search at 10x corpus: build (kmeans on a hash sample + ONE
       // broadcast-centroid assignment scan) then probe nProbe/nLists of the
       // index for a fixed query set. The assignment expression is constant-
@@ -1352,6 +1366,20 @@ object ScaleCheck {
       case Some(pats) =>
         cases.filter { case (n, _) => pats.split(',').exists(n.contains) }
       case None => cases
+    }
+
+    // pre-built labelings for components_incr_delta (untimed: the base
+    // labeling is the corpus-scale asset the increment op reads; the case
+    // must time the FOLD, not the batch labeling). The delta slice is
+    // withheld so the increment genuinely adds unseen edges.
+    if (picked.exists(_._1 == "components_incr_delta")) {
+      Seq((base, "1x"), (out, "10x")).foreach { case (d, tag) =>
+        Dedup.connectedComponents(
+            chainPairs(d).filter(col("id_b") >= 1200L), maxIter = 64)
+          .write.mode("overwrite")
+          .parquet(s"/tmp/graft_scale_complabels_$tag")
+      }
+      spark.catalog.clearCache()
     }
 
     // warm codegen/JIT once at 1x so both measured runs are hot

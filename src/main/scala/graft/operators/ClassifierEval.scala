@@ -39,17 +39,21 @@ object ClassifierEval {
     * positive). Ties in `score` are handled exactly (trapezoidal tie
     * credit for AUC, block thresholds for AP). */
   def binaryMetricsBy(df: DataFrame, groupCol: String, score: Column,
-                      label: Column, shards: Int = 8): DataFrame = {
+                      label: Column, shards: Int = 8,
+                      scope: graft.core.CacheScope.Handle =
+                        graft.core.CacheScope.detached): DataFrame = {
     require(shards > 1, "shards must be > 1")
     // Persisted (lazily): four downstream frames derive from g (shard
     // thresholds, per-shard offsets, group totals, the sharded cumsums) and
     // each is broadcast separately — without the persist every broadcast
     // RE-RUNS the caller's scoring pipeline upstream of `df`. g is the
     // distinct-(group, score) class-count frame: ≪ corpus, cache-safe.
-    val g = df.groupBy(col(groupCol), score.as("__v"))
+    // Pinned into `scope` so a long-lived session can release it once the
+    // metrics are materialized (default detached = external cache sweep).
+    val g = scope.pin(df.groupBy(col(groupCol), score.as("__v"))
       .agg(sum(when(label, 1L).otherwise(0L)).as("__np"),
         sum(when(label, 0L).otherwise(1L)).as("__nn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // shard thresholds need only monotonicity (shard ranges stay contiguous
     // in score); exact percentile over the distinct-score frame is cheap
     val ths = g.groupBy(col(groupCol).as("__ce_g"))

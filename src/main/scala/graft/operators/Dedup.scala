@@ -687,9 +687,19 @@ object Dedup {
     * Output: (id, comp, is_keeper) for every id in `labels` plus every id
     * in `newEdges` — the [[connectedComponents]] contract. Isolated NEW
     * documents (no edges) are their own components by definition; union
-    * them as (id, id) if the output must list them. */
+    * them as (id, id) if the output must list them.
+    *
+    * The projected graph is DRIVER-LOCAL by contract (it is bounded by the
+    * ingest batch, never the corpus), so its closure runs as a union-find
+    * on collected edges — zero iterative Spark jobs, where the star
+    * alternation paid ~3 shuffle/agg jobs per round on a graph of a few
+    * thousand edges (pure job-latency, the measured bulk of the gate). An
+    * increment whose projection exceeds `maxLocalEdges` falls back to the
+    * distributed star alternation unchanged, so a contract-violating
+    * "increment" degrades to the batch shape instead of a driver OOM. */
   def componentsIncrement(labels: DataFrame, newEdges: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          maxLocalEdges: Int = 1 << 22): DataFrame = {
     val l = labels.select(col("id"), col("comp"))
     val edges = newEdges.select(col("id_a"), col("id_b"))
     val ids = edges.select(col("id_a").as("id"))
@@ -704,8 +714,15 @@ object Dedup {
       .select(coalesce(col("ca"), col("id_a")).as("id_a"),
         coalesce(col("cb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b")) // intra-component edges are no-ops
-    // merged labeling of the projected (increment-bounded) graph
-    val merged = connectedComponents(projected, maxIter).select("id", "comp")
+    // merged labeling of the projected (increment-bounded) graph: local
+    // union-find when it fits (min-id representative ≡ the star
+    // alternation's fixpoint labels), distributed alternation otherwise
+    val probe = projected.limit(maxLocalEdges + 1).collect()
+    val merged =
+      if (probe.length <= maxLocalEdges)
+        localComponents(labels.sparkSession, probe,
+          projected.schema("id_a").dataType)
+      else connectedComponents(projected, maxIter).select("id", "comp")
     // endpoints with no prior label = genuinely new documents (derived from
     // the already-bounded frames — never an anti-join against the corpus)
     val newRows = ids.join(broadcast(touched.select("id")), Seq("id"), "left_anti")
@@ -718,6 +735,69 @@ object Dedup {
       .select(col("id"), coalesce(col("__m"), col("comp")).as("comp"))
     oldRows.unionByName(newRows)
       .select(col("id"), col("comp"), (col("id") === col("comp")).as("is_keeper"))
+  }
+
+  /** Union-find closure of a collected (increment-bounded) edge list —
+    * [[componentsIncrement]]'s local path. Output labels are the MINIMUM id
+    * reachable from each node, i.e. exactly the star alternation's fixpoint
+    * labeling, so the local and distributed paths are interchangeable bit
+    * for bit. String ids compare as UTF-8 bytes (Spark's UTF8String order,
+    * which differs from Java's UTF-16 compareTo above the BMP); numeric and
+    * decimal ids take their natural Comparable order — both match what
+    * `least`/`min` computed on the distributed path. */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              edgeRows: Array[org.apache.spark.sql.Row],
+                              dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    val ord: Ordering[Any] = dt match {
+      case org.apache.spark.sql.types.StringType => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.asInstanceOf[String]
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(x.length, y.length)
+          while (i < n) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      }
+      case _ => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
+    }
+    val idx = scala.collection.mutable.HashMap.empty[Any, Int]
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def nodeOf(v: Any): Int =
+      idx.getOrElseUpdate(v, { vals += v; vals.length - 1 })
+    edgeRows.foreach { r => nodeOf(r.get(0)); nodeOf(r.get(1)) }
+    val parent = Array.tabulate(vals.length)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    edgeRows.foreach { r =>
+      val ra = find(idx(r.get(0))); val rb = find(idx(r.get(1)))
+      if (ra != rb) parent(rb) = ra
+    }
+    val minOf = scala.collection.mutable.HashMap.empty[Int, Any]
+    for (i <- vals.indices) {
+      val root = find(i)
+      val v = vals(i)
+      if (!minOf.get(root).exists(m => ord.compare(m, v) <= 0))
+        minOf.update(root, v)
+    }
+    val rows: Seq[org.apache.spark.sql.Row] = vals.indices
+      .map(i => org.apache.spark.sql.Row(vals(i), minOf(find(i))))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt),
+        org.apache.spark.sql.types.StructField("comp", dt))))
   }
 
   /** Min-label propagation components — the O(graph diameter) fallback kept

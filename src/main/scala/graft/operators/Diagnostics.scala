@@ -485,15 +485,18 @@ object Diagnostics {
     *
     * Output: (q, rank_target, value, n) ordered by q. */
   def exactQuantiles(df: DataFrame, value: Column, qs: Seq[Double],
-                     shards: Int = 8): DataFrame =
+                     shards: Int = 8,
+                     scope: graft.core.CacheScope.Handle =
+                       graft.core.CacheScope.detached): DataFrame =
     exactQuantilesFromCounts(
       // persisted (lazily): FOUR frames derive from the count fold (shard
       // thresholds, offsets, totals, the sharded cumsums) and each is
       // broadcast separately — unpersisted, every broadcast re-runs the
-      // corpus fold. Value-bounded, cache-safe.
-      df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
+      // corpus fold. Value-bounded, cache-safe; pinned into `scope` so a
+      // long-lived caller can release it after materializing the answer.
+      scope.pin(df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
         .groupBy("v").agg(count(lit(1)).as("cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
       qs, shards)
 
   /** [[exactQuantiles]] over a PRE-FOLDED (v, cnt) distinct-value count
@@ -613,7 +616,9 @@ object Diagnostics {
     *
     * Output: (groupCol, q, rank_target, value, n) ordered by group, q. */
   def exactQuantilesBy(df: DataFrame, groupCol: String, value: Column,
-                       qs: Seq[Double], shards: Int = 8): DataFrame = {
+                       qs: Seq[Double], shards: Int = 8,
+                       scope: graft.core.CacheScope.Handle =
+                         graft.core.CacheScope.detached): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       "quantiles must be in (0, 1]")
     require(shards > 1, "shards must be > 1")
@@ -622,11 +627,11 @@ object Diagnostics {
     import spark.implicits._
     // persisted (lazily): thresholds/offsets/targets/cumsums each broadcast
     // a frame derived from this fold — see exactQuantiles. (group,value)-
-    // bounded, cache-safe.
-    val c = df.select(col(groupCol), value.cast("long").as("__v"))
+    // bounded, cache-safe; pinned into `scope` for scoped release.
+    val c = scope.pin(df.select(col(groupCol), value.cast("long").as("__v"))
       .filter(col("__v").isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ths = c.groupBy(col(groupCol).as("__qg"))
       .agg(percentile(col("__v"), lit(1.0 / shards)).as("__t1"),
         (2 until shards).map(i =>

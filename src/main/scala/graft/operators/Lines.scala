@@ -148,8 +148,10 @@ object Lines {
     *  - ``` fenced blocks (both fence-marker lines and everything between
     *    them — fence state is the running parity of marker lines, a
     *    marker being any line whose TRIMMED form starts with ```);
-    *  - inline-math lines: any line carrying at least two `$` characters
-    *    (a `$...$` span).
+    *  - inline-math lines: any line carrying a real `$...$` span — both
+    *    delimiters flush against non-space content (`$E = mc^2$`), so
+    *    price/spam chrome ("$$$ BUY NOW $$$", "costs $5 and $10") is NOT
+    *    protected and still faces the prose rules.
     * Protected lines are kept VERBATIM (untrimmed — indentation is code
     * content); unprotected lines go through the standard C4 rules
     * (trimmed). Document rules become code-aware too: the `{` flag fires
@@ -186,8 +188,12 @@ object Lines {
     val dec = transform(segs, (l, i) => {
       val inFence = aggregate(slice(markers, lit(1), i), lit(0),
         (a, x) => a + x) % 2 === 1
+      // a REAL $...$ span: both delimiters flush against non-space content
+      // (`$x^2 + y$`), never a bare `$` pair — "any line with two dollars"
+      // protected price/spam chrome ("$$$ BUY NOW $$$", "costs $5 and $10")
+      // verbatim and exempted it from every prose rule
       val mathLine =
-        length(regexp_replace(l, "[^$]", "")) >= 2
+        l.rlike("\\$[^$\\s](?:[^$]*[^$\\s])?\\$")
       val protect = inFence || isMarker(l) || mathLine
       struct(l.as("line"), protect.as("prot"),
         when(protect, l).otherwise(when(prose(l), trim(l))).as("kept"))

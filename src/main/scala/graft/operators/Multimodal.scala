@@ -420,6 +420,12 @@ object Multimodal {
       case Some((w, h, maxval, off)) => Some((w, h, maxval, b, off, false))
       case None =>
         pngDecode(b).map { case (w, h, _, px) => (w, h, 255, px, 0, true) }
+          .orElse(Jpeg.decode(b).map { case (w, h, _, px) =>
+            // the last flag selects the LOSSLESS re-encode container in
+            // resizePpmImage: a resampled JPEG must not pay a second
+            // quantization generation, so it comes back as PNG
+            (w, h, 255, px, 0, true)
+          })
     }
 
   /** Box-filter resample of any [[rasterView]]-decodable payload to a bare
@@ -464,7 +470,10 @@ object Multimodal {
 
   /** Resample + re-encode IN KIND: a P6 payload comes back P6 (original
     * maxval), a PNG payload comes back 8-bit RGB PNG — resize preserves the
-    * container a downstream consumer expects. */
+    * container a downstream consumer expects. The one deliberate exception:
+    * a JPEG payload ALSO comes back as PNG — re-encoding the resampled
+    * plane through the lossy path would stack a second quantization
+    * generation onto pixels the resample already averaged. */
   private[graft] def resizePpmImage(b: Array[Byte], outW: Int,
                                     outH: Int): Option[Array[Byte]] =
     resampleBox(b, outW, outH).map { case (w2, h2, maxval, plane, isPng) =>
@@ -1336,6 +1345,97 @@ object Multimodal {
       y += 1
     }
     Some((w, h, bpp, rgb))
+  }
+
+  /** Build REAL baseline JPEGs from the payload bytes — the honest corpus
+    * for [[decodeJpegFeatures]]: a 16-pixel-tall horizontal strip of
+    * `max(1, len/3)` SOLID 16x16 MCUs, MCU m coloured by payload bytes
+    * (3m, 3m+1, 3m+2), zero-padded past the payload end. Solid MCUs are
+    * the construction that makes a LOSSY codec analytically oracle-able:
+    * a constant block's DCT is pure DC, so with [[Jpeg.FlatQuant]]'s DC
+    * step of 8 the quantization round-trips exactly and the decoded
+    * pixels are the closed-form JFIF colour round-trip of the inputs
+    * (every rounding in the chain is `floor(x + 0.5)` on one double
+    * expression — mirrorable in oracle SQL). The DECODER never assumes
+    * this construction; it decodes whatever baseline stream it is handed.
+    * Defaults to [[Jpeg.FlatQuant]] for both tables (the exact-DC gate
+    * shape); pass the Annex K tables for a realistic lossy corpus. */
+  def encodeJpeg(media: DataFrame,
+                 lumaQ: Array[Int] = Jpeg.FlatQuant,
+                 chromaQ: Array[Int] = Jpeg.FlatQuant): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"),
+        col("meta.source").as("source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, payload, source) =>
+        val out =
+          if (payload == null) null
+          else {
+            val nMcu = math.max(1, payload.length / 3)
+            val w = 16 * nMcu
+            val px = new Array[Byte](w * 16 * 3)
+            var m = 0
+            while (m < nMcu) {
+              var c = 0
+              while (c < 3) {
+                val v = if (3 * m + c < payload.length) payload(3 * m + c)
+                  else 0: Byte
+                var y = 0
+                while (y < 16) {
+                  var x = 0
+                  while (x < 16) {
+                    px((y * w + m * 16 + x) * 3 + c) = v
+                    x += 1
+                  }
+                  y += 1
+                }
+                c += 1
+              }
+              m += 1
+            }
+            Jpeg.encode(px, w, 16, lumaQ, chromaQ)
+          }
+        val sha = if (out == null) null
+          else java.security.MessageDigest.getInstance("SHA-256")
+            .digest(out).map("%02x".format(_)).mkString
+        MediaRow(id, "image", out,
+          MediaMeta(if (out == null) 0L else out.length.toLong, sha, source))
+      })
+      .toDF()
+  }
+
+  /** One decoded JPEG's features — the [[QoiFeatures]] shape. */
+  case class JpegFeatures(media_id: Long, width: Int, height: Int,
+                          channels: Int, mean_r: Double, mean_g: Double,
+                          mean_b: Double, is_valid: Boolean)
+
+  /** REAL JPEG decode — the [[decodePngFeatures]] contract over
+    * [[Jpeg.decode]]: partition-local typed map, fail-soft, no shuffle. */
+  def decodeJpegFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        Jpeg.decode(payload) match {
+          case Some((w, h, c, px)) =>
+            val n = w.toLong * h
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < n) {
+              sr += px(p * 3) & 0xff
+              sg += px(p * 3 + 1) & 0xff
+              sb += px(p * 3 + 2) & 0xff
+              p += 1
+            }
+            JpegFeatures(id, w, h, c, sr.toDouble / n, sg.toDouble / n,
+              sb.toDouble / n, is_valid = true)
+          case None =>
+            JpegFeatures(id, 0, 0, 0, 0.0, 0.0, 0.0, is_valid = false)
+        }
+      })
+      .toDF()
   }
 
   /** One decoded PNG's features — the [[QoiFeatures]] shape. */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.CacheScope
+import graft.core.{BoundedFrames, CacheScope}
 
 /** Preference-data construction and fitting — the RLHF/DPO half of a
   * training-data pipeline: turn scored candidate completions into
@@ -13,9 +13,11 @@ import graft.core.CacheScope
   *
   * Scale shape: [[preferencePairs]] is one window over the prompt key
   * (candidate sets are small per prompt — skew-free by construction);
-  * [[bradleyTerry]] is `iters` rounds of join + partial-agg over the
-  * (item, item) comparison matrix, whose size is items², not corpus-sized —
-  * the corpus-scaled work is the single pass that built the comparisons.
+  * [[bradleyTerry]] folds the comparison stream ONCE into its
+  * items²-bounded win matrix, localizes it (the
+  * [[graft.core.BoundedFrames.localize]] model-frame contract), and runs
+  * every MM iteration over local relations — the corpus-scaled work is the
+  * single pass that built the comparisons.
   */
 object Preference {
 
@@ -162,7 +164,12 @@ object Preference {
     * strength positive even with a lopsided win matrix — without it a
     * never-winning item hits 0 and poisons later denominators.
     * Self-comparisons (winner == loser) are dropped. Output: (item,
-    * strength), uniform start 1/|items|. */
+    * strength), uniform start 1/|items|.
+    *
+    * `scope` is accepted for source compatibility but never pinned into:
+    * after the one corpus fold, every table here (win matrix, strengths)
+    * is an items-bounded LOCAL relation — nothing distributed survives the
+    * call. */
   def bradleyTerry(comparisons: DataFrame, winnerCol: String, loserCol: String,
                    iters: Int = 3, alpha: Double = 1.0,
                    scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
@@ -170,23 +177,31 @@ object Preference {
     val sym = comparisons
       .filter(col(winnerCol) =!= col(loserCol))
       .select(col(winnerCol).as("i"), col(loserCol).as("j"))
+    // ONE corpus-scale pass: fold the comparison stream to its ordered
+    // win-count matrix c(i, j) — bounded by distinct item PAIRS (items²,
+    // the sources/models being ranked, not the corpus) — and localize it
+    // (the [[graft.core.BoundedFrames.localize]] contract). Every MM
+    // iteration below is then pure local-relation arithmetic: carried as
+    // distributed lineage instead, each iteration re-paid persist+count
+    // jobs and re-broadcast a frame the driver already held, and `wins`
+    // re-ran the whole upstream pairs pipeline a second time.
+    val cnt = BoundedFrames.localize(sym.groupBy("i", "j")
+      .agg(count(lit(1)).cast("double").as("c")))
     // n_ij (total meetings, symmetric): each ordered (i, j) counts wins in
-    // both roles; + 2*alpha smoothing
-    val nm = scope.pin(sym.union(sym.select(col("j").as("i"), col("i").as("j")))
-      .groupBy("i", "j")
-      .agg((count(lit(1)).cast("double") + lit(2.0 * alpha)).as("n"))
-      .persist())
-    nm.count()
+    // both roles; + 2*alpha smoothing. c values are exact integer doubles,
+    // so sum("c") == the count the union-groupBy form produced.
+    val nm = BoundedFrames.localize(
+      cnt.unionByName(cnt.select(col("j").as("i"), col("i").as("j"), col("c")))
+        .groupBy("i", "j")
+        .agg((sum("c") + lit(2.0 * alpha)).as("n")))
     // W_i = observed wins + alpha per distinct opponent met
-    val wins = sym.groupBy("i").agg(count(lit(1)).cast("double").as("__w"))
+    val wins = cnt.groupBy("i").agg(sum("c").as("__w"))
     val deg = nm.groupBy("i").agg(count(lit(1)).cast("double").as("__deg"))
-    val W = scope.pin(deg.join(wins, Seq("i"), "left")
+    val W = BoundedFrames.localize(deg.join(wins, Seq("i"), "left")
       .select(col("i"),
-        (coalesce(col("__w"), lit(0.0)) + lit(alpha) * col("__deg")).as("W"))
-      .persist())
+        (coalesce(col("__w"), lit(0.0)) + lit(alpha) * col("__deg")).as("W")))
     val nItems = W.count()
     var pi = W.select(col("i"), round(lit(1.0) / nItems, 9).as("s"))
-    var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val terms = nm
         .join(pi.select(col("i").as("__ii"), col("s").as("__si")),
@@ -197,19 +212,11 @@ object Preference {
           round(col("n") / (col("__si") + col("__sj")), 9)
             .cast("decimal(38,9)").as("t"))
       val denom = terms.groupBy("i").agg(sum("t").as("den"))
-      val raw = scope.pin(W.join(denom, Seq("i"))
-        .select(col("i"), round(col("W") / col("den").cast("double"), 9).as("r"))
-        .persist())
-      // items-bounded driver scalar (the HITS-fix pattern: a second plan
-      // branch per iteration compounds the captured plan exponentially)
+      val raw = BoundedFrames.localize(W.join(denom, Seq("i"))
+        .select(col("i"), round(col("W") / col("den").cast("double"), 9).as("r")))
       val tot = raw.agg(sum(col("r").cast("decimal(38,9)"))).head.getDecimal(0)
-      val next = scope.pin(raw
-        .select(col("i"), round(col("r") / lit(tot).cast("double"), 9).as("s"))
-        .persist())
-      next.count()
-      raw.unpersist(blocking = false)
-      prev.foreach(_.unpersist(blocking = false))
-      prev = Some(next); pi = next
+      pi = BoundedFrames.localize(raw
+        .select(col("i"), round(col("r") / lit(tot).cast("double"), 9).as("s")))
     }
     pi.select(col("i").as("item"), col("s").as("strength"))
   }

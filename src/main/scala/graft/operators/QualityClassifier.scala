@@ -71,6 +71,34 @@ object QualityClassifier {
     tokenBuckets(docs, idCol, textCol, buckets, salt)
       .groupBy("doc_id", "b")
       .agg(count(lit(1)).cast("decimal(10,0)").as("cnt"))
+      // provenance ride-along: the fold is only valid for models trained
+      // under the SAME (buckets, salt) feature space — a mismatched pairing
+      // trains/scores against different buckets and mis-scores SILENTLY.
+      // Consumers assert against this metadata and fail fast instead.
+      .select(col("doc_id"),
+        col("b").as("b", new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("graft.fold.buckets", buckets.toLong)
+          .putString("graft.fold.salt", salt).build()),
+        col("cnt"))
+
+  /** Fail-fast provenance check for externally-built [[tokenFold]] frames:
+    * when the fold carries the build metadata, a (buckets, salt) mismatch
+    * against the consuming trainer/model raises instead of silently
+    * training or scoring in the wrong feature space. Folds built by hand
+    * (no metadata) pass through — the caller owns the pairing. */
+  private def assertFoldMatches(fold: DataFrame, buckets: Int,
+                                salt: String, who: String): Unit =
+    fold.schema.fields.find(_.name == "b").foreach { sf =>
+      if (sf.metadata.contains("graft.fold.salt")) {
+        val fSalt = sf.metadata.getString("graft.fold.salt")
+        val fBuckets = sf.metadata.getLong("graft.fold.buckets")
+        require(fSalt == salt && fBuckets == buckets.toLong,
+          s"$who expects a token fold built under (buckets=$buckets, " +
+            s"salt=$salt) but this fold was built under " +
+            s"(buckets=$fBuckets, salt=$fSalt) — the feature spaces differ " +
+            "and every score would be silently wrong")
+      }
+    }
 
   private def dec9(c: Column): Column = round(c, 9).cast("decimal(28,9)")
 
@@ -118,6 +146,7 @@ object QualityClassifier {
     * < 10^2) so [[scoreFold]]'s llr×cnt product stays decimal-exact. */
   def trainFold(fold: DataFrame, labels: DataFrame,
                 buckets: Int = 4096, salt: String = ":bk1"): NbModel = {
+    assertFoldMatches(fold, buckets, salt, "trainFold")
     val d0 = lit(0).cast("decimal(10,0)")
     val agg = fold.join(labels, Seq("doc_id"))
       .groupBy("b")
@@ -152,6 +181,7 @@ object QualityClassifier {
     * silently drop scale). */
   def scoreFold(docs: DataFrame, idCol: String, fold: DataFrame,
                 m: NbModel): DataFrame = {
+    assertFoldMatches(fold, m.buckets, m.salt, "scoreFold")
     val llr19 = coalesce(col("llr"), m.defaultLlr).cast("decimal(19,9)")
     val perDoc = fold
       .join(broadcast(m.llr), Seq("b"), "left")
@@ -270,6 +300,7 @@ object QualityClassifier {
                         buckets: Int = 4096,
                         salt: String = ":bk1"): LogitModel = {
     require(iters >= 1, "iters must be >= 1")
+    assertFoldMatches(x, buckets, salt, "trainLogisticFold")
     val spark = docs.sparkSession
     // EXPLICIT narrow decimal operand types throughout: Spark caps decimal
     // products at precision 38 by REDUCING SCALE (decimal(28,9) × bigint
@@ -373,6 +404,7 @@ object QualityClassifier {
     * per-token path IS this fold followed by the same joins. */
   def scoreLogisticFold(docs: DataFrame, idCol: String, fold: DataFrame,
                         m: LogitModel): DataFrame = {
+    assertFoldMatches(fold, m.buckets, m.salt, "scoreLogisticFold")
     val w0 = lit(0).cast("decimal(19,9)")
     val perDoc = fold
       .join(broadcast(m.w), Seq("b"), "left")

@@ -482,10 +482,12 @@ object Similarity {
     * cells and probe recall decays (spec-measured). Refresh re-trains the
     * quantizer on a hash sample of the CURRENT stored corpus (the exact
     * [[buildIvf]] recipe — same sample cap, same fixed-seed k-means),
-    * re-assigns every stored vector to the new cells, and swaps the layout
-    * in through the [[compactIvf]] temp-dir contract, so
+    * re-assigns every stored vector to the new cells, and swaps BOTH
+    * halves (assignment layout + centroid table) in together from one
+    * staged temp root — they are only consistent as a pair — so
     * [[appendIvf]]/[[deleteFromIvf]] keep composing against the refreshed
-    * `dir` unchanged.
+    * `dir` unchanged and a crash at any point leaves a documented
+    * roll-forward/roll-back state (see the in-body recovery note).
     *
     * A quantized index keeps its EXACT stored codes/scale — quantization
     * is per-vector and independent of cell, so re-celling moves rows
@@ -518,19 +520,217 @@ object Similarity {
             fresh.assigned.select("nbr_id", "cell").hint("shuffle_hash"),
             Seq("nbr_id"))
         else fresh.assigned
-      val tmp = s"$dir/assigned__retraining"
-      reassigned.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-      val dst = new org.apache.hadoop.fs.Path(s"$dir/assigned")
-      fs.delete(dst, true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-      // centroids last: written only after the matching assignment landed
+      // CRASH CONSISTENCY: both halves are staged FULLY under one temp root
+      // before any rename touches the live index, then swapped by four
+      // metadata renames with the originals moved ASIDE (never deleted
+      // early) — the deleteFromIvf contract. The layouts must flip
+      // TOGETHER: new cells + old centroid table (or the reverse) is the
+      // silent-row-loss state (probes never reach cells the centroid table
+      // does not name). Recovery if a crashed run left `__retraining`
+      // behind: roll FORWARD by moving its `assigned`/`centroids` dirs into
+      // place (skipping any already moved — `old__*` presence marks those),
+      // or roll BACK by restoring the `old__*` dirs; then delete the temp
+      // root and rerun. Like compactIvf, the swap assumes a quiesced index.
+      val tmpRoot = s"$dir/__retraining"
+      reassigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmpRoot/assigned")
       fresh.centroids.coalesce(1).write.mode("overwrite")
-        .parquet(s"$dir/centroids")
+        .parquet(s"$tmpRoot/centroids")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmpRoot), spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      fs.rename(p(s"$dir/assigned"), p(s"$tmpRoot/old__assigned"))
+      fs.rename(p(s"$tmpRoot/assigned"), p(s"$dir/assigned"))
+      fs.rename(p(s"$dir/centroids"), p(s"$tmpRoot/old__centroids"))
+      fs.rename(p(s"$tmpRoot/centroids"), p(s"$dir/centroids"))
+      fs.delete(p(tmpRoot), true)
       spark.catalog.refreshByPath(s"$dir/assigned")
       spark.catalog.refreshByPath(s"$dir/centroids")
     } finally fresh.assigned.unpersist(blocking = false)
+  }
+
+  // ==================== two-level (residual) IVF ====================
+
+  /** A two-level coarse quantizer over an [[IvfIndex]]: `index.centroids`
+    * is the LEAF table (nParents·fanout rows, each row carrying its
+    * `parent`), `coarse` the parent table (nParents rows), and leaf
+    * centroids are parent + shared residual codeword. The inner `index`
+    * obeys the whole flat contract — [[saveIvf]]/[[loadIvf]]/[[searchIvf]]
+    * work on it unchanged (flat search just scans all leaf centroids
+    * exhaustively instead of descending the hierarchy). */
+  case class Ivf2Index(index: IvfIndex, coarse: DataFrame, fanout: Int)
+
+  /** Hierarchical nearest-leaf assignment: nearest PARENT first (nParents
+    * distance evals, broadcast parent table), then nearest LEAF among that
+    * parent's `fanout` children (broadcast equi-join on parent) — per
+    * vector nParents + fanout ≈ 2·√nLists evals instead of the flat
+    * assignment's nLists. This is the 65k-list fix: SCALE.md's re-sizing
+    * row prices the flat corpus × nLists assignment at 3.5× per 10×; the
+    * two-level form keeps the per-vector term √-bounded.
+    *
+    * Plan shape: the parent min_by partial-aggregates map-side before ONE
+    * corpus shuffle on nbr_id; the child stage's broadcast join preserves
+    * that hash partitioning, so its min_by aggregates WITHOUT a second
+    * exchange (asserted in SimilaritySpec). Ties break (distance, id) at
+    * both levels — deterministic like [[assignCells]]. Hierarchical
+    * descent is the standard coarse-quantizer approximation: a vector near
+    * a parent boundary may land in a slightly farther leaf than the flat
+    * argmin; recall is governed by the probe budget either way (the spec
+    * pins parity against flat IVF at equal budget). */
+  def assignCells2(vecs: DataFrame, coarse: DataFrame,
+                   leaves: DataFrame): DataFrame = {
+    graft.GraftExtensions.register(vecs.sparkSession)
+    val byParent = vecs.crossJoin(broadcast(coarse))
+      .groupBy(col("nbr_id"))
+      .agg(min_by(
+        struct(col("parent"), col("nbr_v")),
+        struct(graft.functions.VecCosine.dist2(col("nbr_v"), col("pcentroid")).as("d"),
+          col("parent"))).as("m"))
+      .select(col("nbr_id"), col("m.nbr_v").as("nbr_v"),
+        col("m.parent").as("parent"))
+    byParent
+      .join(broadcast(leaves.select(col("parent"), col("cell"), col("centroid"))),
+        Seq("parent"))
+      .groupBy(col("nbr_id"))
+      .agg(min_by(
+        struct(col("cell"), col("nbr_v")),
+        struct(graft.functions.VecCosine.dist2(col("nbr_v"), col("centroid")).as("d"),
+          col("cell"))).as("m"))
+      .select(col("nbr_id"), col("m.nbr_v").as("nbr_v"), col("m.cell").as("cell"))
+  }
+
+  /** Train the two-level quantizer and assign the corpus: one k-means fit
+    * of `nParents` parent cells on a hash sample (the [[buildIvf]] recipe,
+    * sized to the LEAF count), a second fit of `fanout` SHARED residual
+    * codewords on the sample's parent residuals (the residual-codebook
+    * trick: one codebook serves every parent, so training stays two fits
+    * however many leaves there are), leaf table = parent ⊕ residual
+    * (driver-built, nParents·fanout rows), then ONE hierarchical
+    * assignment pass. nLists = nParents·fanout; size nParents ≈ fanout ≈
+    * √nLists for the 2·√nLists assignment cost. */
+  def buildIvf2(corpus: DataFrame, nParents: Int = 4, fanout: Int = 4,
+                seed: Long = 42L): Ivf2Index = {
+    graft.GraftExtensions.register(corpus.sparkSession)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.storage.StorageLevel
+    require(nParents >= 1 && fanout >= 1, "nParents and fanout must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = Parallelism.fanOut(
+      corpus.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")))
+    val n = c.count()
+    val targetRows = nParents.toLong * fanout * 100L
+    val pct = math.min(100, math.max(1,
+      math.ceil(targetRows * 100.0 / math.max(n, 1L)).toInt))
+    val train = Sampling.sampleByHash(c, col("nbr_id"), pct, salt = s"ivf2$seed")
+      .select(col("nbr_id"),
+        array_to_vector(col("nbr_v").cast("array<double>")).as("features"))
+      .repartition(4)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val fit1 = new KMeans().setK(nParents).setSeed(seed).setMaxIter(5)
+      .setInitMode("random").fit(train.select("features"))
+    val parents = fit1.clusterCenters.toIndexedSeq.zipWithIndex
+      .map { case (cent, i) => (i, cent.toArray.toSeq) }
+      .toDF("parent", "pcentroid")
+    // sample residuals against the NEAREST parent (same tie-break as the
+    // assignment), then one shared residual fit
+    val resid = train
+      .select(col("nbr_id"),
+        vector_to_array(col("features")).as("nbr_v"))
+      .crossJoin(broadcast(parents))
+      .groupBy(col("nbr_id"))
+      .agg(min_by(struct(col("pcentroid"), col("nbr_v")),
+        struct(graft.functions.VecCosine.dist2(col("nbr_v"), col("pcentroid")).as("d"),
+          col("parent"))).as("m"))
+      .select(zip_with(col("m.nbr_v").cast("array<double>"),
+        col("m.pcentroid"), (a, b) => a - b).as("r"))
+      .select(array_to_vector(col("r")).as("features"))
+    val fit2 = new KMeans().setK(fanout).setSeed(seed + 1).setMaxIter(5)
+      .setInitMode("random").fit(resid)
+    train.unpersist(blocking = false)
+    val leaves = (for {
+      (pc, i) <- fit1.clusterCenters.toIndexedSeq.zipWithIndex
+      (rc, j) <- fit2.clusterCenters.toIndexedSeq.zipWithIndex
+    } yield (i * fanout + j, pc.toArray.zip(rc.toArray).map { case (a, b) => a + b }.toSeq, i))
+      .toDF("cell", "centroid", "parent")
+    val assigned = assignCells2(c, parents, leaves)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    Ivf2Index(IvfIndex(assigned, leaves), parents, fanout)
+  }
+
+  /** Query-side hierarchical probe: rank parents per query, expand the top
+    * `probeParents` parents' children, rank the expanded LEAVES by leaf
+    * distance, keep `nProbe` — per query nParents + probeParents·fanout
+    * distance evals instead of the flat probe's nLists. */
+  private def probeCells2(queries: DataFrame, i2: Ivf2Index,
+                          nProbe: Int, probeParents: Int): DataFrame = {
+    val wp = Window.partitionBy("query_id").orderBy(col("__dp"), col("parent"))
+    val wl = Window.partitionBy("query_id").orderBy(col("__d"), col("cell"))
+    queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+      .crossJoin(broadcast(i2.coarse))
+      .withColumn("__dp",
+        graft.functions.VecCosine.dist2(col("q_v"), col("pcentroid")))
+      .withColumn("__rp", row_number().over(wp))
+      .filter(col("__rp") <= probeParents)
+      .select(col("query_id"), col("q_v"), col("parent"))
+      .join(broadcast(i2.index.centroids
+        .select(col("parent"), col("cell"), col("centroid"))), Seq("parent"))
+      .withColumn("__d",
+        graft.functions.VecCosine.dist2(col("q_v"), col("centroid")))
+      .withColumn("__r", row_number().over(wl))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("q_v"), col("cell"))
+  }
+
+  /** [[searchIvf]] through the two-level probe. `probeParents` defaults to
+    * enough parents to expose nProbe leaves (⌈nProbe/fanout⌉ + 1 — one
+    * extra parent absorbs boundary queries whose best leaves straddle two
+    * parents); pass `probeParents = nParents` for an exhaustive-leaf probe
+    * (≡ flat search ≡ brute force at nProbe = nLists — the oracle gate). */
+  def searchIvf2(i2: Ivf2Index, queries: DataFrame, k: Int, nProbe: Int,
+                 probeParents: Int = 0): DataFrame = {
+    graft.GraftExtensions.register(queries.sparkSession)
+    // a budget larger than nParents is harmless: the rank filter passes
+    // every parent and the probe degrades gracefully to exhaustive
+    val pp = if (probeParents > 0) probeParents else nProbe / i2.fanout + 2
+    val probed = probeCells2(queries, i2, nProbe, pp)
+    val scored = probeStore(i2.index).join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id"),
+        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Persist / load the two-level index: the inner flat index under the
+    * [[saveIvf]] layout (the `parent` column rides along in the leaf
+    * table), the parent table + fanout under `dir/coarse`. A directory
+    * saved this way still loads as a FLAT index via [[loadIvf]]. */
+  def saveIvf2(i2: Ivf2Index, dir: String): Unit = {
+    saveIvf(i2.index, dir)
+    i2.coarse.withColumn("fanout", lit(i2.fanout))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+  }
+
+  /** Load an index persisted by [[saveIvf2]]. */
+  def loadIvf2(spark: SparkSession, dir: String): Ivf2Index = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    Ivf2Index(loadIvf(spark, dir),
+      coarse.select("parent", "pcentroid"),
+      coarse.select("fanout").head.getInt(0))
+  }
+
+  /** [[appendIvf]] through the hierarchical assignment: the new batch
+    * lands under the frozen two-level quantizer with the same
+    * touched-cells-only dynamic partition append. */
+  def appendIvf2(i2: Ivf2Index, newBatch: DataFrame, dir: String): Unit = {
+    val assigned = assignCells2(Parallelism.fanOut(
+        newBatch.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"))),
+      i2.coarse, i2.index.centroids)
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
   // ==================== product quantization (IVF+PQ) ====================

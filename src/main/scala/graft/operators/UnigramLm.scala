@@ -118,6 +118,14 @@ object UnigramLm {
                              iters: Int): Map[String, Double] = {
     require(iters >= 1, "iters must be >= 1")
     val pieces = vocab.toSet
+    // every lattice loop is bounded by the LONGEST PIECE ACTUALLY IN THE
+    // VOCAB (derived, not passed — so a hand-built spec vocab with long
+    // pieces stays correct): a substring longer than that can never be in
+    // `pieces`, so probing it is pure waste — O(n·maxLen) substring
+    // constructions per word instead of O(n²)
+    val maxLen =
+      if (vocab.isEmpty) 1 else math.min(vocab.iterator.map(_.length).max,
+        MaxSeedWordLen)
     def round9(x: Double): Double =
       BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     var p: Map[String, Double] =
@@ -128,7 +136,7 @@ object UnigramLm {
         val n = w.length
         // alpha(j): total prob of segmentations of w[0, j)
         val alpha = new Array[Double](n + 1); alpha(0) = 1.0
-        for (j <- 1 to n; i <- math.max(0, j - MaxSeedWordLen) until j) {
+        for (j <- 1 to n; i <- math.max(0, j - maxLen) until j) {
           val piece = w.substring(i, j)
           if (pieces.contains(piece))
             alpha(j) += alpha(i) * p(piece)
@@ -136,12 +144,12 @@ object UnigramLm {
         val z = alpha(n)
         if (z > 0.0) {
           val beta = new Array[Double](n + 1); beta(n) = 1.0
-          for (i <- n - 1 to 0 by -1; j <- i + 1 to n) {
+          for (i <- n - 1 to 0 by -1; j <- i + 1 to math.min(n, i + maxLen)) {
             val piece = w.substring(i, j)
             if (pieces.contains(piece))
               beta(i) += p(piece) * beta(j)
           }
-          for (i <- 0 until n; j <- i + 1 to n) {
+          for (i <- 0 until n; j <- i + 1 to math.min(n, i + maxLen)) {
             val piece = w.substring(i, j)
             if (pieces.contains(piece)) {
               val m = alpha(i) * p(piece) * beta(j) / z
@@ -291,6 +299,77 @@ object UnigramLm {
     * `translate` against the collected (vocab-bounded) inventory string —
     * no per-char explode; the whole-word test is one broadcast left join;
     * one partial-agg groupBy(source). */
+  /** MIN-PIECE segmentation over a vocab — SentencePiece's probability-free
+    * "shortest segmentation" regime, run through the SAME Viterbi kernel
+    * with a uniform model (logp 0 per piece): unks cost −10 each, so the
+    * lattice minimizes (unk count, piece count) lexicographically. Being
+    * COUNT-DETERMINED (vocab membership is [[selectVocab]]'s hash-gated
+    * stage; no EM weights), its piece counts are oracle-mirrorable — the
+    * tokenizer-bakeoff gate's DP twin — unlike the EM-weighted
+    * [[applyUnigram]], whose float lattice is spec-pinned instead. */
+  def applyMinPieces(docs: DataFrame, idCol: String, textCol: String,
+                     vocab: DataFrame, maxPieceLen: Int = 8): DataFrame =
+    applyUnigram(docs, idCol, textCol,
+      vocab.select(col("piece"), lit(1.0).as("prob"), lit(0.0).as("logp")),
+      maxPieceLen)
+
+  /** Greedy longest-prefix-match (MaxMatch) segmentation — WordPiece's
+    * inference rule: at each position take the LONGEST vocab piece
+    * (≤ maxPieceLen), else one unk char. Deterministic, count-determined,
+    * single pass per word — the cheap-but-suboptimal baseline the bakeoff
+    * gate prices against the min-piece DP (greedy's extra pieces per word
+    * are exactly what the DP saves). Output: the [[applyUnigram]] shape. */
+  def applyMaxMatch(docs: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, maxPieceLen: Int = 8,
+                    memoCap: Int = 1 << 16): DataFrame = {
+    val spark = docs.sparkSession
+    val pieces = vocab.select("piece").collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(pieces)
+    val in = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks")))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", in.schema("doc_id").dataType, nullable = true),
+      StructField("words", ArrayType(StructType(Seq(
+        StructField("word", StringType, nullable = true),
+        StructField("subtokens", ArrayType(StringType, containsNull = false),
+          nullable = false))), containsNull = false), nullable = true)))
+    in.mapPartitions { it =>
+      val memo = new scala.collection.mutable.HashMap[String, Array[String]]
+      val vs = bc.value
+      it.map { row =>
+        val toks = row.getSeq[String](1)
+        val words =
+          if (toks == null) null
+          else toks.map { w =>
+            if (memo.size > memoCap) memo.clear()
+            val subs = memo.getOrElseUpdate(w, maxMatch(w, vs, maxPieceLen))
+            Row(w, subs.toSeq)
+          }
+        Row(row.get(0), words)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** One word's greedy longest-match pieces (spec'd by hand example). */
+  private[graft] def maxMatch(word: String, vocab: Set[String],
+                              maxPieceLen: Int): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    val n = word.length
+    while (pos < n) {
+      var l = math.min(math.max(maxPieceLen, 1), n - pos)
+      var found = 0
+      while (l >= 1 && found == 0) {
+        if (vocab.contains(word.substring(pos, pos + l))) found = l
+        l -= 1
+      }
+      val take = if (found > 0) found else 1
+      out += word.substring(pos, pos + take)
+      pos += take
+    }
+    out.toArray
+  }
+
   def coverageBySource(docs: DataFrame, idCol: String, textCol: String,
                        sourceCol: String, vocab: DataFrame): DataFrame = {
     // vocab-bounded collect; sorted so the inventory string is canonical

@@ -4056,6 +4056,7 @@ object DocQueries {
             lit("```"),
             line(7, 7, "."),
             lit("the energy balance is $E = mc^2$ here"),
+            lit("$$$ BUY NOW $$$ prices start from $5 and $10 here."),
             lit("please enable javascript to view this page."),
             lit("we use cookies; see our privacy policy for details."),
             line(3, 7, " right?")),
@@ -4084,6 +4085,7 @@ object DocQueries {
         |      '```',
         |      coalesce(array_to_string(list_slice(string_split(text,' '),7,13),' '),'') || '.',
         |      'the energy balance is $$E = mc^2$$ here',
+        |      '$$$$$$ BUY NOW $$$$$$ prices start from $$5 and $$10 here.',
         |      'please enable javascript to view this page.',
         |      'we use cookies; see our privacy policy for details.',
         |      coalesce(array_to_string(list_slice(string_split(text,' '),3,9),' '),'') || ' right?'),
@@ -4102,7 +4104,7 @@ object DocQueries {
         |    'line': s,
         |    'prot': (coalesce(list_sum(m[1:i-1]), 0) % 2 = 1)
         |      OR starts_with(trim(s), '```')
-        |      OR length(regexp_replace(s, '[^$$]', '', 'g')) >= 2,
+        |      OR regexp_matches(s, '\\$$[^$$\\s](?:[^$$]*[^$$\\s])?\\$$'),
         |    'ok': regexp_matches(trim(s), '[.!?"]$$')
         |      AND len(string_split_regex(trim(s), '\\s+')) >= 5
         |      AND NOT contains(lower(trim(s)), 'javascript')
@@ -4994,6 +4996,33 @@ object DocQueries {
           .orderBy("query_id", "rank")
       },
       prewarm = Some(PrewarmIvf)),
+
+    // ---- TWO-LEVEL (residual) coarse quantizer (round 17): parent
+    //      k-means + one SHARED residual codebook, leaf = parent ⊕
+    //      residual, hierarchical assignment at nParents + fanout distance
+    //      evals per vector — the fix for the corpus × nLists term
+    //      SCALE.md's re-sizing row prices at 3.5×/10× (a 65k-list flat
+    //      scan stops being metadata-sized). Exhaustive-leaf probe over
+    //      the saved+reloaded index ≡ brute force pins the whole
+    //      build/save/load/search chain; equal-budget recall parity vs
+    //      flat IVF and the one-corpus-shuffle assignment plan are spec'd
+    //      (SimilaritySpec).
+    "q_sim_topk_ivf2_exact" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf2_gate").toString
+        val built = Similarity.buildIvf2(emb, nParents = 4, fanout = 4,
+          seed = 42L)
+        Similarity.saveIvf2(built, dir)
+        built.index.assigned.unpersist(blocking = false)
+        Similarity.searchIvf2(Similarity.loadIvf2(s, dir),
+            emb.filter(col("vec_id") < 8), k = 10, nProbe = 16,
+            probeParents = 4)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(BruteTopKSql)),
 
     // ---- FULL index lifecycle under the correctness gate (round 16):
     //      build on a split → save → append the rest with frozen
@@ -6443,6 +6472,62 @@ object DocQueries {
         | ${chanMean(2)} AS mean_b,
         | true AS is_valid
         |FROM d ORDER BY media_id""".stripMargin
+      }),
+
+    // ---- REAL JPEG decode (round 17): the full baseline chain — JFIF
+    //      colour conversion, 4:2:0 subsampling, FDCT, quantization,
+    //      Huffman entropy coding, then the decoder's marker walk, Huffman
+    //      decode, dequant, IDCT, upsample, colour restore. The corpus is
+    //      SOLID 16x16 MCUs under Jpeg.FlatQuant (DC step 8), the one
+    //      construction where a LOSSY codec round-trips exactly (a constant
+    //      block is pure DC; quant/dequant by 8 is the identity on it), so
+    //      the oracle is the closed-form JFIF round trip of the input
+    //      colours — every rounding is floor(x+0.5) on one double
+    //      expression, mirrored verbatim.
+    "q_multimodal_jpeg_decode" -> Q(
+      (s, d) => Multimodal.decodeJpegFeatures(Multimodal.encodeJpeg(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")))
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        def byteOr0(p: String) =
+          s"CASE WHEN $p <= len THEN ${byteAt(p)} ELSE 0 END"
+        def cl(e: String) =
+          s"least(255, greatest(0, CAST(floor($e) AS BIGINT)))"
+        def mean(f: String) =
+          s"CAST(256 * list_sum(list_transform(rs, x -> x.$f)) AS DOUBLE)" +
+            s" / CAST(256 * nm AS DOUBLE)"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 3) AS nm FROM m),
+        |c1 AS (SELECT media_id, nm, list_transform(range(0, nm), k ->
+        |  {'r': ${byteOr0("3*k+1")}, 'g': ${byteOr0("3*k+2")},
+        |   'b': ${byteOr0("3*k+3")}}) AS cs FROM d),
+        |c2 AS (SELECT media_id, nm, list_transform(cs, p -> {
+        |  'y': ${cl("CAST(0.299 AS DOUBLE)*p.r + CAST(0.587 AS DOUBLE)*p.g" +
+          " + CAST(0.114 AS DOUBLE)*p.b + CAST(0.5 AS DOUBLE)")},
+        |  'cb': ${cl("CAST(128.5 AS DOUBLE) - CAST(0.1687 AS DOUBLE)*p.r" +
+          " - CAST(0.3313 AS DOUBLE)*p.g + CAST(0.5 AS DOUBLE)*p.b")},
+        |  'cr': ${cl("CAST(128.5 AS DOUBLE) + CAST(0.5 AS DOUBLE)*p.r" +
+          " - CAST(0.4187 AS DOUBLE)*p.g - CAST(0.0813 AS DOUBLE)*p.b")}})
+        |  AS ys FROM c1),
+        |c3 AS (SELECT media_id, nm, list_transform(ys, q -> {
+        |  'r2': ${cl("q.y + CAST(1.402 AS DOUBLE)*(q.cr - 128)" +
+          " + CAST(0.5 AS DOUBLE)")},
+        |  'g2': ${cl("q.y - CAST(0.344136 AS DOUBLE)*(q.cb - 128)" +
+          " - CAST(0.714136 AS DOUBLE)*(q.cr - 128) + CAST(0.5 AS DOUBLE)")},
+        |  'b2': ${cl("q.y + CAST(1.772 AS DOUBLE)*(q.cb - 128)" +
+          " + CAST(0.5 AS DOUBLE)")}}) AS rs FROM c2)
+        |SELECT media_id, CAST(16 * nm AS INT) AS width, 16 AS height,
+        |  3 AS channels,
+        |  ${mean("r2")} AS mean_r,
+        |  ${mean("g2")} AS mean_g,
+        |  ${mean("b2")} AS mean_b,
+        |  true AS is_valid
+        |FROM c3 ORDER BY media_id""".stripMargin
       }),
 
     // Cross-codec raster pin (round 16): the aHash + box-resize kernels

@@ -1209,9 +1209,11 @@ class OperatorsSpec extends SparkSpec {
     val js = "please enable javascript to see the content."
     val fenced = Seq("```python", "def f(x):", "    return {x: 1}", "```")
     val math = "so $x^2 + y^2$ holds"
+    // bare-dollar chrome: real $...$ spans protect, price/spam lines do NOT
+    val spam = "$$$ BUY NOW $$$ prices start from $5 and $10 each."
     val docs = Seq(
       // fenced braces + unpunctuated code survive verbatim; chrome still cut
-      (1L, (Seq(good) ++ fenced ++ Seq(js, math, s2, s3)).mkString("\n")),
+      (1L, (Seq(good) ++ fenced ++ Seq(js, math, spam, s2, s3)).mkString("\n")),
       // UNFENCED brace still flags the page
       (2L, Seq(good, s2, s3, "int f() { }").mkString("\n")),
       // all code, no prose sentences -> sentence floor fails the page
@@ -1225,9 +1227,10 @@ class OperatorsSpec extends SparkSpec {
         x.getAs[Long]("n_kept"), x.getAs[Long]("n_protected"),
         x.getAs[Long]("n_sentences"), x.getAs[String]("text"))).toSeq
     // doc 1: 4 fence lines + 1 math line protected VERBATIM (indentation
-    // intact), js cut, 3 prose sentences -> page kept despite fenced braces
-    assert(r(0) == (1L, true, 8L, 5L, 3L,
-      (Seq(good) ++ fenced ++ Seq(math, s2, s3)).mkString("\n")))
+    // intact), js cut; the $-spam line is NOT protected (no flush $...$
+    // span) and survives only as ordinary trimmed prose -> 4 sentences
+    assert(r(0) == (1L, true, 9L, 5L, 4L,
+      (Seq(good) ++ fenced ++ Seq(math, spam, s2, s3)).mkString("\n")))
     // doc 2: the brace is outside any fence -> page flagged
     assert(r(1)._2 == false && r(1)._4 == 0L)
     // doc 3: protected code survives but the page has zero prose sentences

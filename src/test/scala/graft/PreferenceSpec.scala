@@ -144,11 +144,15 @@ class PreferenceSpec extends SparkSpec {
     assert(out("p3").getAs[Long]("n_cands") == 1L)
   }
 
-  test("bradleyTerry leaves no pinned caches after release") {
+  test("bradleyTerry holds no distributed caches at all") {
+    // the localized rewrite keeps every iteration table as an items-bounded
+    // local relation: nothing is persisted, so a tracking scope stays empty
+    // (release remains a safe no-op for callers written against the old
+    // persist-per-iteration shape)
     val scope = CacheScope.handle()
     Preference.bradleyTerry(Seq(("a", "b"), ("b", "a")).toDF("w", "l"),
       "w", "l", iters = 1, scope = scope).count()
-    assert(scope.pinnedCount > 0)
+    assert(scope.pinnedCount == 0)
     scope.release()
     assert(scope.pinnedCount == 0)
   }

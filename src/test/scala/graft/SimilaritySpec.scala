@@ -1779,4 +1779,112 @@ class SimilaritySpec extends SparkSpec {
         s"ivf (${ivf.length}) != brute (${brute.length})")
     } finally spark.catalog.clearCache()
   }
+
+  test("two-level IVF: exhaustive probe equals brute force; one corpus shuffle") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val i2 = Similarity.buildIvf2(emb, nParents = 4, fanout = 4, seed = 42L)
+    try {
+      // every leaf probed => candidates = whole corpus => exact search,
+      // regardless of where the hierarchical descent placed each vector
+      val full = Similarity.searchIvf2(i2, queries, k = 10, nProbe = 16,
+          probeParents = 4)
+        .select("query_id", "nbr_id", "rank").orderBy("query_id", "rank")
+        .collect().toSeq
+      val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+        .select("query_id", "nbr_id", "rank").orderBy("query_id", "rank")
+        .collect().toSeq
+      assert(full.nonEmpty && full == brute)
+      // the assignment plan pays ONE corpus exchange: the child-stage
+      // min_by reuses the parent stage's hash partitioning on nbr_id
+      // (its broadcast join preserves it), so no second shuffle appears.
+      // Counted on a FRESH plan — the built index's own frame is already
+      // cache-backed, so its executed plan is just the InMemory scan.
+      val plan = Similarity.assignCells2(
+          emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v")),
+          i2.coarse, i2.index.centroids)
+        .queryExecution.executedPlan.toString
+      val nShuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(nShuffles == 1,
+        s"expected 1 exchange in assignCells2, got $nShuffles:\n$plan")
+    } finally {
+      i2.index.assigned.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("two-level IVF: recall parity with flat IVF at equal probe budget") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 10
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(emb, queries, k))
+    val flat = Similarity.buildIvf(emb, nLists = 16, seed = 42L)
+    val two = Similarity.buildIvf2(emb, nParents = 4, fanout = 4, seed = 42L)
+    try {
+      // SAME probe budget: 4 of 16 leaf cells each
+      val rFlat = (exact intersect
+        hits(Similarity.searchIvf(flat, queries, k, nProbe = 4))).size.toDouble / exact.size
+      val r2 = (exact intersect
+        hits(Similarity.searchIvf2(two, queries, k, nProbe = 4))).size.toDouble / exact.size
+      // the hierarchical descent must not cost meaningful recall at the
+      // same budget (it probes the same NUMBER of leaves, chosen through
+      // the parent level)
+      assert(r2 >= rFlat - 0.15, s"two-level recall $r2 vs flat $rFlat")
+      assert(r2 >= 0.4, s"two-level recall too low: $r2")
+    } finally {
+      flat.assigned.unpersist()
+      two.index.assigned.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("two-level IVF rides save/load/append; flat loadIvf still reads the dir") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val base = emb.filter(col("vec_id") % 20 =!= 0)
+    val batch = emb.filter(col("vec_id") % 20 === 0)
+    val i2 = Similarity.buildIvf2(base, nParents = 3, fanout = 3, seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
+    try {
+      Similarity.saveIvf2(i2, dir)
+      val loaded = Similarity.loadIvf2(spark, dir)
+      assert(loaded.fanout == 3)
+      val a = Similarity.searchIvf2(i2, queries, k = 5, nProbe = 3)
+        .orderBy("query_id", "rank").collect().toSeq
+      val b = Similarity.searchIvf2(loaded, queries, k = 5, nProbe = 3)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(a.nonEmpty && a == b)
+      // the same dir loads as a FLAT index (leaf table carries `parent`
+      // harmlessly); flat search at full probe = brute force over the base
+      val flat = Similarity.loadIvf(spark, dir)
+      val fullFlat = Similarity.searchIvf(flat, queries, k = 5, nProbe = 9)
+        .select("query_id", "nbr_id").orderBy("query_id", "nbr_id")
+        .collect().toSeq
+      val bruteBase = Similarity.bruteForceTopK(base, queries, k = 5)
+        .select("query_id", "nbr_id").orderBy("query_id", "nbr_id")
+        .collect().toSeq
+      assert(fullFlat == bruteBase)
+      // append lands the batch under the frozen two-level quantizer and
+      // search sees it: full-probe search over the dir == brute force
+      // over the UNION corpus
+      Similarity.appendIvf2(loaded, batch, dir)
+      spark.catalog.refreshByPath(s"$dir/assigned")
+      val after = Similarity.loadIvf2(spark, dir)
+      val fullAfter = Similarity.searchIvf2(after, queries, k = 5,
+          nProbe = 9, probeParents = 3)
+        .select("query_id", "nbr_id").orderBy("query_id", "nbr_id")
+        .collect().toSeq
+      val bruteAll = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select("query_id", "nbr_id").orderBy("query_id", "nbr_id")
+        .collect().toSeq
+      assert(fullAfter == bruteAll)
+    } finally {
+      i2.index.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
 }
