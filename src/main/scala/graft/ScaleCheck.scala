@@ -1326,6 +1326,20 @@ object ScaleCheck {
         Similarity.retrainIvf(spark, dir, nLists = 8, seed = 43L)
         Similarity.loadIvf(spark, dir).assigned
       },
+      // TWO-LEVEL IVF under the re-sizing regime that prices the flat
+      // build at 3.5x (ivf_retrain above): nLists scales with the corpus
+      // (8 -> 80) but the two-level assignment pays nParents + fanout
+      // evals/vector (6 -> 18, a 3x per-vector term) instead of the flat
+      // nLists (8 -> 80, 10x) — the sqrt-bounded fix for 65k-list indexes
+      "ivf2_build" -> { d =>
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+        val (np, f) = if (d == out) (10, 8) else (4, 2)
+        val i2 = Similarity.buildIvf2(emb, nParents = np, fanout = f,
+          seed = 42L)
+        Similarity.searchIvf2(i2,
+          emb.filter(col("vec_id") % 1000L === 0L), k = 10, nProbe = 2)
+      },
       // the fused filter bake-off: ONE persisted tokenFold + labels frame
       // feeding NB train/score, logistic train/score, and the exact-AUC
       // metrics fold — the r16 score-once shape

@@ -3200,6 +3200,136 @@ object DocQueries {
         |      AS DOUBLE) / sum(len(word)), 6) AS oov_char_rate
         |FROM wds GROUP BY source ORDER BY source""".stripMargin)),
 
+    // ---- Tokenizer BAKE-OFF (round 17): two real segmentation strategies
+    //      head-to-head over the SAME :ug1-trained 512-piece vocab, per
+    //      source — greedy longest-match (WordPiece inference) vs the
+    //      min-piece DP (SentencePiece's probability-free shortest
+    //      segmentation; the uniform-model Viterbi kernel). Both are
+    //      COUNT-DETERMINED (vocab membership is the hash-gated stage; no
+    //      EM weights, no merge order), so fertility and fallback mass are
+    //      fully SQL-mirrorable: the oracle re-runs the greedy walk and the
+    //      min-cost DP per DISTINCT word with recursive CTEs and weights by
+    //      word frequency. The EM-weighted Viterbi and the BPE encoder are
+    //      the non-mirrorable family members: their LOSSLESSNESS is gated
+    //      (the two roundtrip gates) and their trained-model fertility
+    //      head-to-head is spec-pinned (UnigramLmSpec). One corpus scan per
+    //      segmenter; fallback = char occurrences outside the vocab's
+    //      single-char inventory (provably the unk mass for BOTH — a vocab
+    //      piece can only contain inventory chars).
+    "q_text_tokenizer_bakeoff" -> Q(
+      (s, d) => {
+        import graft.operators.{Sampling, UnigramLm}
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(Sampling.split(
+          col("doc_id"), 80, 10, salt = ":ug1") === "train")
+        val vocab = graft.core.BoundedFrames.localize(
+          UnigramLm.selectVocab(ref, "doc_id", "text", vocabSize = 512,
+            maxPieceLen = 8, seedCap = 2048))
+        val inv = vocab.filter(length(col("piece")) === 1)
+          .select("piece").collect().map(_.getString(0)).sorted.mkString
+        def stats(name: String, enc: DataFrame) =
+          enc.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+            .select(col("source"),
+              coalesce(size(col("words")), lit(0)).cast("long").as("w"),
+              coalesce(aggregate(col("words"), lit(0L),
+                (a, x) => a + size(x.getField("subtokens"))), lit(0L)).as("p"),
+              coalesce(aggregate(col("words"), lit(0L),
+                (a, x) => a + length(x.getField("word"))), lit(0L)).as("c"),
+              coalesce(aggregate(col("words"), lit(0L),
+                (a, x) => a + length(translate(x.getField("word"), inv, ""))),
+                lit(0L)).as("f"))
+            .groupBy("source")
+            .agg(sum("w").as("n_words"), sum("c").as("n_chars"),
+              sum("p").as("n_pieces"), sum("f").as("n_fallback_chars"))
+            .select(lit(name).as("tokenizer"), col("source"),
+              col("n_words"), col("n_chars"), col("n_pieces"),
+              when(col("n_words") > 0,
+                round(col("n_pieces").cast("double") /
+                  col("n_words").cast("double"), 6)).as("fertility"),
+              col("n_fallback_chars"),
+              when(col("n_chars") > 0,
+                round(col("n_fallback_chars").cast("double") /
+                  col("n_chars").cast("double"), 6)).as("fallback_rate"))
+        stats("greedy_maxmatch",
+            UnigramLm.applyMaxMatch(docs, "doc_id", "text", vocab))
+          .unionByName(stats("minpiece_dp",
+            UnigramLm.applyMinPieces(docs, "doc_id", "text", vocab)))
+          .orderBy("tokenizer", "source")
+      },
+      Some(s"""WITH RECURSIVE wc AS (SELECT tok AS word, count(*) AS c
+        |  FROM (SELECT unnest($ToksSql) AS tok FROM documents
+        |        WHERE ${fp60Sql("CAST(doc_id AS VARCHAR) || ':ug1'")} % 100 < 80) u
+        |  GROUP BY 1 ORDER BY c DESC, word LIMIT ${1 << 17}),
+        |ws AS (SELECT word, c FROM wc WHERE len(word) <= 64),
+        |pos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) g(i)),
+        |lens AS (SELECT CAST(l AS INT) AS l FROM generate_series(1, 8) g(l)),
+        |subs AS (SELECT substr(word, i, l) AS piece, sum(c) AS cnt
+        |  FROM ws JOIN pos ON pos.i <= len(word)
+        |    JOIN lens ON lens.l <= least(8, len(word) - pos.i + 1)
+        |  GROUP BY 1),
+        |sc AS (SELECT piece, cnt, cnt * len(piece) AS score,
+        |    row_number() OVER (ORDER BY cnt * len(piece) DESC, piece) AS rn
+        |  FROM subs),
+        |seeds AS (SELECT piece, cnt, score FROM sc WHERE rn <= 2048),
+        |chars AS (SELECT piece FROM subs WHERE len(piece) = 1),
+        |nch AS (SELECT count(*) AS n FROM chars),
+        |mt AS (SELECT piece,
+        |    row_number() OVER (ORDER BY score DESC, piece) AS rn
+        |  FROM seeds WHERE len(piece) >= 2),
+        |vcb AS (SELECT piece FROM chars
+        |  UNION ALL SELECT piece FROM mt
+        |  WHERE rn <= greatest(0, 512 - (SELECT n FROM nch))),
+        |vli AS (SELECT list(piece) AS vl FROM vcb),
+        |wsrc AS (SELECT source, unnest($ToksSql) AS word FROM documents),
+        |wcnt AS (SELECT source, word, count(*) AS c, len(word) AS wl
+        |  FROM wsrc GROUP BY 1, 2, len(word)),
+        |dwl AS (SELECT word, (SELECT vl FROM vli) AS vl
+        |  FROM (SELECT DISTINCT word FROM wcnt)),
+        |dp AS (
+        |  SELECT word, vl, 0 AS j, [CAST(0 AS BIGINT)] AS cs FROM dwl
+        |  UNION ALL
+        |  SELECT word, vl, j + 1,
+        |    list_append(cs, list_min(list_transform(
+        |      range(greatest(0, j + 1 - 8), j + 1),
+        |      i -> cs[CAST(i + 1 AS INT)] + CASE
+        |        WHEN list_contains(vl,
+        |          substr(word, CAST(i + 1 AS INT), CAST(j + 1 - i AS INT)))
+        |          THEN CAST(1 AS BIGINT)
+        |        WHEN j + 1 - i = 1 THEN CAST(1000001 AS BIGINT) END)))
+        |  FROM dp WHERE j < len(word)),
+        |mp AS (SELECT word, cs[len(word) + 1] % 1000000 AS np,
+        |    cs[len(word) + 1] // 1000000 AS nf
+        |  FROM dp WHERE j = len(word)),
+        |gr AS (
+        |  SELECT word, vl, 0 AS pos, 0 AS np, 0 AS nf FROM dwl
+        |  UNION ALL
+        |  SELECT word, vl, pos + coalesce(best, 1), np + 1,
+        |    nf + CASE WHEN best IS NULL THEN 1 ELSE 0 END
+        |  FROM (SELECT word, vl, pos, np, nf,
+        |      list_max(list_transform(range(1, least(8, len(word) - pos) + 1),
+        |        l -> CASE WHEN list_contains(vl,
+        |          substr(word, CAST(pos + 1 AS INT), CAST(l AS INT)))
+        |          THEN l END)) AS best
+        |    FROM gr WHERE pos < len(word)) t),
+        |ge AS (SELECT word, np, nf FROM gr WHERE pos = len(word)),
+        |rows_mp AS (SELECT 'minpiece_dp' AS tokenizer, source,
+        |    sum(c) AS w, sum(c * wl) AS ch, sum(c * np) AS p, sum(c * nf) AS f
+        |  FROM wcnt JOIN mp USING (word) GROUP BY 2),
+        |rows_gr AS (SELECT 'greedy_maxmatch' AS tokenizer, source,
+        |    sum(c) AS w, sum(c * wl) AS ch, sum(c * np) AS p, sum(c * nf) AS f
+        |  FROM wcnt JOIN ge USING (word) GROUP BY 2),
+        |uni AS (SELECT * FROM rows_gr UNION ALL SELECT * FROM rows_mp)
+        |SELECT tokenizer, source, CAST(w AS BIGINT) AS n_words,
+        |  CAST(ch AS BIGINT) AS n_chars, CAST(p AS BIGINT) AS n_pieces,
+        |  CASE WHEN w > 0
+        |    THEN round(CAST(p AS DOUBLE) / CAST(w AS DOUBLE), 6) END
+        |    AS fertility,
+        |  CAST(f AS BIGINT) AS n_fallback_chars,
+        |  CASE WHEN ch > 0
+        |    THEN round(CAST(f AS DOUBLE) / CAST(ch AS DOUBLE), 6) END
+        |    AS fallback_rate
+        |FROM uni ORDER BY tokenizer, source""".stripMargin)),
+
     // ---- Curation capstone v3: LM-fluency-gated token budget. Documents
     //      passing the perplexity cut (ppl <= 30 under the :lm1 reference
     //      model — the CCNet keep rule with a fixed threshold) fill each

@@ -106,6 +106,29 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("maxMatch greedy walk and min-piece DP: hand examples, greedy trap") {
+    // greedy longest-match kernel by hand
+    assert(UnigramLm.maxMatch("abcd", Set("abc", "ab", "d", "a"), 8).toSeq ==
+      Seq("abc", "d"))
+    assert(UnigramLm.maxMatch("axb", Set("a", "b"), 8).toSeq ==
+      Seq("a", "x", "b")) // unk falls back one char, walk continues
+    assert(UnigramLm.maxMatch("", Set("a"), 8).toSeq == Seq())
+    // the classic greedy trap: longest-first eats "aaa" and strands an unk
+    // "a"; the min-piece DP (uniform-model Viterbi) pays two "aa" pieces
+    // and keeps the unk mass at zero — unk-count dominates piece-count
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val vocab = Seq("aaa", "aa").toDF("piece")
+    def pieces(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(explode(col("words")).as("w"))
+        .select(explode(col("w.subtokens")).as("t"))
+        .collect().map(_.getString(0)).toSeq
+    assert(pieces(UnigramLm.applyMaxMatch(docs, "doc_id", "text", vocab)) ==
+      Seq("aaa", "a"))
+    assert(pieces(UnigramLm.applyMinPieces(docs, "doc_id", "text", vocab)) ==
+      Seq("aa", "aa"))
+  }
+
   test("coverage report: hand-computed OOV chars and whole-word hits per source") {
     import spark.implicits._
     // vocab trained on source A only; B brings an unseen char 'z' and
