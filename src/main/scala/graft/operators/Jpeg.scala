@@ -168,27 +168,36 @@ object Jpeg {
     n
   }
 
-  /** Forward DCT of one level-shifted block (raster f) into raster F. */
+  /** Forward DCT of one level-shifted block (raster f) into raster F —
+    * SEPARABLE (rows then columns, 2·8³ multiplies instead of the direct
+    * form's 8⁴): the standard factorization; float results differ from the
+    * direct sum only in summation order (≪ quantizer steps). */
   private def fdct(f: Array[Double]): Array[Double] = {
-    val out = new Array[Double](64)
-    var u = 0
-    while (u < 8) {
-      var v = 0
-      while (v < 8) {
+    val tmp = new Array[Double](64)
+    var y = 0
+    while (y < 8) { // 1-D DCT along each row
+      var u = 0
+      while (u < 8) {
         var s = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            s += f(y * 8 + x) * Ctab(u)(x) * Ctab(v)(y)
-            x += 1
-          }
-          y += 1
-        }
-        out(v * 8 + u) = 0.25 * s
-        v += 1
+        var x = 0
+        while (x < 8) { s += f(y * 8 + x) * Ctab(u)(x); x += 1 }
+        tmp(y * 8 + u) = s
+        u += 1
       }
-      u += 1
+      y += 1
+    }
+    val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) { // 1-D DCT down each column
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * Ctab(v)(yy); yy += 1 }
+        out(v * 8 + u) = 0.25 * s
+        u += 1
+      }
+      v += 1
     }
     out
   }
@@ -554,6 +563,9 @@ object Jpeg {
     val br = new BitReader(bts, sosAt)
     val predDc = new Array[Int](comps.length)
     val coef = new Array[Int](64)
+    val nzU = new Array[Int](64)
+    val nzV = new Array[Int](64)
+    val nzF = new Array[Double](64)
     def decodeBlock(ci: Int, bx: Int, by: Int): Boolean = {
       val c = comps(ci)
       val dc = dcTabs(c.dcTab); val ac = acTabs(c.acTab)
@@ -592,22 +604,31 @@ object Jpeg {
         }
       }
       if (br.broken) return false
-      // IDCT + level shift + clamp into the component plane
+      // IDCT + level shift + clamp into the component plane. The nonzero
+      // coefficients are gathered ONCE per block so the pixel loop pays
+      // 64·nnz multiplies, not 64·64 zero-checks — real blocks quantize
+      // most AC away (a DC-only block costs 64 multiplies total), and the
+      // gather order (raster) is fixed, so summation stays deterministic.
+      var nnz = 0
+      var ci2 = 0
+      while (ci2 < 64) {
+        if (coef(ci2) != 0) {
+          nzU(nnz) = ci2 % 8; nzV(nnz) = ci2 / 8
+          nzF(nnz) = coef(ci2).toDouble
+          nnz += 1
+        }
+        ci2 += 1
+      }
       val pw = planeW(ci)
       var y = 0
       while (y < 8) {
         var x = 0
         while (x < 8) {
           var s = 0.0
-          var u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              val f = coef(v * 8 + u)
-              if (f != 0) s += Ctab(u)(x) * Ctab(v)(y) * f
-              v += 1
-            }
-            u += 1
+          var t = 0
+          while (t < nnz) {
+            s += Ctab(nzU(t))(x) * Ctab(nzV(t))(y) * nzF(t)
+            t += 1
           }
           planes(ci)((by * 8 + y) * pw + bx * 8 + x) =
             clamp255(math.floor(0.25 * s + 0.5).toInt + 128)

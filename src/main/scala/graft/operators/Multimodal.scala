@@ -1349,8 +1349,13 @@ object Multimodal {
 
   /** Build REAL baseline JPEGs from the payload bytes — the honest corpus
     * for [[decodeJpegFeatures]]: a 16-pixel-tall horizontal strip of
-    * `max(1, len/3)` SOLID 16x16 MCUs, MCU m coloured by payload bytes
-    * (3m, 3m+1, 3m+2), zero-padded past the payload end. Solid MCUs are
+    * `max(1, min(64, len/3))` SOLID 16x16 MCUs, MCU m coloured by payload
+    * bytes (3m, 3m+1, 3m+2), zero-padded past the payload end. The 64-MCU
+    * cap bounds the construction's pixel amplification (3 payload bytes
+    * become 256 pixels — uncapped, an average document cost ~4x more
+    * encode work than the whole PNG gate); 64 MCUs exercise every codec
+    * path (DC prediction chains, chroma subsampling, multi-MCU scans) at a
+    * fixed per-document budget. Solid MCUs are
     * the construction that makes a LOSSY codec analytically oracle-able:
     * a constant block's DCT is pure DC, so with [[Jpeg.FlatQuant]]'s DC
     * step of 8 the quantization round-trips exactly and the decoded
@@ -1372,7 +1377,7 @@ object Multimodal {
         val out =
           if (payload == null) null
           else {
-            val nMcu = math.max(1, payload.length / 3)
+            val nMcu = math.max(1, math.min(64, payload.length / 3))
             val w = 16 * nMcu
             val px = new Array[Byte](w * 16 * 3)
             var m = 0

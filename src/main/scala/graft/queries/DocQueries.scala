@@ -6632,7 +6632,8 @@ object DocQueries {
             s" / CAST(256 * nm AS DOUBLE)"
         s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
         |  octet_length(encode(text)) AS len FROM documents),
-        |d AS (SELECT media_id, hx, len, greatest(1, len // 3) AS nm FROM m),
+        |d AS (SELECT media_id, hx, len, greatest(1, least(64, len // 3)) AS nm
+        |  FROM m),
         |c1 AS (SELECT media_id, nm, list_transform(range(0, nm), k ->
         |  {'r': ${byteOr0("3*k+1")}, 'g': ${byteOr0("3*k+2")},
         |   'b': ${byteOr0("3*k+3")}}) AS cs FROM d),
