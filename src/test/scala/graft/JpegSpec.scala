@@ -128,6 +128,54 @@ class JpegSpec extends SparkSpec {
     assert(px.forall(p => (p & 0xff) == 128))
   }
 
+  test("hand-assembled stream with DRI/RST0: restart consumed, DC predictor reset") {
+    // 16x8 greyscale = two 8x8 MCUs, restart interval 1: entropy is
+    // MCU0 | RST0 | MCU1. MCU0: DC cat-0 ('00') + EOB ('1010') pad-> 0x2B,
+    // all-128 block. MCU1 after the PREDICTOR RESET: DC cat-2 ('011') +
+    // value bits '10' (+2) + EOB ('1010') -> 011101010 pad-> 0x75 0x7F;
+    // DC 2 x quant 8 -> IDCT 2 -> solid 130. A decoder that fails to reset
+    // the predictor or to consume the marker cannot produce this plane.
+    val out = new java.io.ByteArrayOutputStream()
+    def b(vs: Int*): Unit = vs.foreach(v => out.write(v & 0xff))
+    b(0xff, 0xd8)
+    b(0xff, 0xdb, 0x00, 0x43, 0x00); (0 until 64).foreach(_ => b(8))
+    b(0xff, 0xdd, 0x00, 0x04, 0x00, 0x01) // DRI: interval 1
+    b(0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x08, 0x00, 0x10, 0x01,
+      0x01, 0x11, 0x00) // SOF0: w=16 h=8, 1 comp 1x1
+    b(0xff, 0xc4, 0x00, 0x1f, 0x00)
+    b(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    (0 to 11).foreach(b(_))
+    b(0xff, 0xc4, 0x00, 0xb5, 0x10) // Annex K AC-luma ('1010' = EOB)
+    b(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    val acVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+      0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+      0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+      0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+      0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+    acVals.foreach(b(_))
+    b(0xff, 0xda, 0x00, 0x08, 0x01, 0x01, 0x00, 0x00, 0x3f, 0x00)
+    b(0x2b)             // MCU0
+    b(0xff, 0xd0)       // RST0
+    b(0x75, 0x7f)       // MCU1 (DC +2 after reset)
+    b(0xff, 0xd9)
+    val Some((w, h, nc, px)) = Jpeg.decode(out.toByteArray)
+    assert((w, h, nc) == (16, 8, 1))
+    for (y <- 0 until 8; x <- 0 until 16) {
+      val want = if (x < 8) 128 else 130
+      assert((px((y * 16 + x) * 3) & 0xff) == want, s"($x,$y)")
+    }
+  }
+
   test("malformed inputs fail soft") {
     val good = Jpeg.encode(solidStrip(Seq((10, 20, 30))), 16, 16)
     assert(Jpeg.decode(null).isEmpty)
