@@ -1340,6 +1340,28 @@ object ScaleCheck {
         Similarity.searchIvf2(i2,
           emb.filter(col("vec_id") % 1000L === 0L), k = 10, nProbe = 2)
       },
+      // GIF encode -> LZW/sub-block/palette decode: partition-local typed
+      // maps end to end, zero shuffle — the png_roundtrip shape; expect
+      // scan-stage flat
+      "gif_roundtrip" -> { d =>
+        import graft.operators.Multimodal
+        Multimodal.decodeGifFeatures(Multimodal.encodeGif(
+          Multimodal.fromText(Tables.documents(spark, d),
+            "doc_id", "text", "source")))
+      },
+      // trained multiclass NB lang-id: one token fold, a buckets-bounded
+      // broadcast model, K decimal sums in ONE per-doc groupBy (no row
+      // blowup by K) — the corpus term is the fold + one shuffle
+      "langid_trained" -> { d =>
+        import graft.operators.{LangClassifier, QualityClassifier}
+        val docs = Tables.documents(spark, d)
+        val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
+          buckets = 4096, salt = ":li1")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val m = LangClassifier.trainLangNb(fold,
+          docs.select("doc_id", "lang"), buckets = 4096, salt = ":li1")
+        LangClassifier.scoreLang(docs.select("doc_id"), "doc_id", fold, m)
+      },
       // the fused filter bake-off: ONE persisted tokenFold + labels frame
       // feeding NB train/score, logistic train/score, and the exact-AUC
       // metrics fold — the r16 score-once shape

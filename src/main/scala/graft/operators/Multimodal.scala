@@ -426,6 +426,11 @@ object Multimodal {
             // quantization generation, so it comes back as PNG
             (w, h, 255, px, 0, true)
           })
+          .orElse(Gif.decode(b).map { case (w, h, _, px) =>
+            // resampling quantizes away from the palette, so a resized
+            // GIF also comes back as PNG (true-color lossless)
+            (w, h, 255, px, 0, true)
+          })
     }
 
   /** Box-filter resample of any [[rasterView]]-decodable payload to a bare
@@ -1473,6 +1478,161 @@ object Multimodal {
             PngFeatures(id, 0, 0, 0, 0.0, 0.0, 0.0, is_valid = false)
         }
       })
+      .toDF()
+  }
+
+  /** The 256-entry palette the GIF corpus builders use: entry i maps to
+    * RGB (i, (i+85) mod 256, 255−i) — three DISTINCT channel functions of
+    * the index, each a one-liner in oracle SQL, so a swapped channel or a
+    * palette-lookup off-by-one hash-fails (a greyscale palette would hide
+    * both). */
+  private[graft] val GifPalette: Array[Byte] = {
+    val p = new Array[Byte](256 * 3)
+    var i = 0
+    while (i < 256) {
+      p(i * 3) = i.toByte
+      p(i * 3 + 1) = ((i + 85) % 256).toByte
+      p(i * 3 + 2) = (255 - i).toByte
+      i += 1
+    }
+    p
+  }
+
+  /** Build REAL GIF89a images from the payload bytes — the palette-indexed
+    * corpus for [[decodeGifFeatures]]: a 4-wide, `max(1, len/12)`-tall
+    * frame whose pixel k is palette index payload(k) (zero past the end),
+    * under [[GifPalette]]. GIF is LOSSLESS, so the oracle mirrors the
+    * index→RGB construction analytically and never sees the codec — any
+    * defect in the LZW coder, sub-block framing, or color-table walk
+    * breaks the round trip and hash-fails. Dimensions match the PNG/QOI
+    * builders (4 × len/12) so the three gates carry comparable weight. */
+  def encodeGif(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"),
+        col("meta.source").as("source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, payload, source) =>
+        val out =
+          if (payload == null) null
+          else {
+            val h = math.max(1, payload.length / 12)
+            val idx = new Array[Byte](4 * h)
+            val n = math.min(idx.length, payload.length)
+            System.arraycopy(payload, 0, idx, 0, n)
+            Gif.encode(idx, 4, h, GifPalette)
+          }
+        val sha = if (out == null) null
+          else java.security.MessageDigest.getInstance("SHA-256")
+            .digest(out).map("%02x".format(_)).mkString
+        MediaRow(id, "image", out,
+          MediaMeta(if (out == null) 0L else out.length.toLong, sha, source))
+      })
+      .toDF()
+  }
+
+  /** One decoded GIF's features — the [[QoiFeatures]] shape. */
+  case class GifFeatures(media_id: Long, width: Int, height: Int,
+                         channels: Int, mean_r: Double, mean_g: Double,
+                         mean_b: Double, is_valid: Boolean)
+
+  /** REAL GIF decode — the [[decodePngFeatures]] contract over
+    * [[Gif.decode]]: partition-local typed map, fail-soft, no shuffle. */
+  def decodeGifFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        Gif.decode(payload) match {
+          case Some((w, h, c, px)) =>
+            val n = w.toLong * h
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < n) {
+              sr += px(p * 3) & 0xff
+              sg += px(p * 3 + 1) & 0xff
+              sb += px(p * 3 + 2) & 0xff
+              p += 1
+            }
+            GifFeatures(id, w, h, c, sr.toDouble / n, sg.toDouble / n,
+              sb.toDouble / n, is_valid = true)
+          case None =>
+            GifFeatures(id, 0, 0, 0, 0.0, 0.0, 0.0, is_valid = false)
+        }
+      })
+      .toDF()
+  }
+
+  /** Build ANIMATED GIF89a streams from the payload bytes — the
+    * multi-frame corpus for [[decodeGifFrameFeatures]]: `max(1, min(16,
+    * len))` frames on an 8×8 logical screen, frame f a SOLID fill of
+    * palette index payload(f) (zero past the end) under [[GifPalette]],
+    * with per-frame graphic control extensions and the NETSCAPE looping
+    * block — the animation surface a crawl's GIFs actually use. */
+  def encodeGifFrames(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"),
+        col("meta.source").as("source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, payload, source) =>
+        val out =
+          if (payload == null) null
+          else {
+            val nf = math.max(1, math.min(16, payload.length))
+            val frames = (0 until nf).map { f =>
+              val v = if (f < payload.length) payload(f) else 0: Byte
+              Gif.Frame(Array.fill(64)(v), 0, 0, 8, 8)
+            }
+            Gif.encodeFrames(frames, 8, 8, GifPalette)
+          }
+        val sha = if (out == null) null
+          else java.security.MessageDigest.getInstance("SHA-256")
+            .digest(out).map("%02x".format(_)).mkString
+        MediaRow(id, "video", out,
+          MediaMeta(if (out == null) 0L else out.length.toLong, sha, source))
+      })
+      .toDF()
+  }
+
+  /** One animated-GIF frame's features (the GIF sibling of
+    * [[Y4mFrame]]): composited-canvas channel means per frame. */
+  case class GifFrameFeatures(media_id: Long, frame_no: Int, width: Int,
+                              height: Int, mean_r: Double, mean_g: Double,
+                              mean_b: Double, is_valid: Boolean)
+
+  /** REAL animated-GIF frame walk — one row per frame with the
+    * COMPOSITED canvas's channel means (disposal methods and transparency
+    * applied, so the features describe what a viewer sees, not the raw
+    * sub-rectangle). Fail-soft: an undecodable payload yields one
+    * invalid row, the [[decodeY4mFrames]] convention. */
+  def decodeGifFrameFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        Gif.decodeFrames(payload) match {
+          case Some((sw, sh, frames)) =>
+            val n = sw.toLong * sh
+            frames.map { f =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var p = 0
+              while (p < n) {
+                sr += f.canvas(p * 3) & 0xff
+                sg += f.canvas(p * 3 + 1) & 0xff
+                sb += f.canvas(p * 3 + 2) & 0xff
+                p += 1
+              }
+              GifFrameFeatures(id, f.index, sw, sh, sr.toDouble / n,
+                sg.toDouble / n, sb.toDouble / n, is_valid = true)
+            }
+          case None =>
+            Seq(GifFrameFeatures(id, -1, 0, 0, 0.0, 0.0, 0.0,
+              is_valid = false))
+        }
+      }
       .toDF()
   }
 }

@@ -86,8 +86,8 @@ object QualityClassifier {
     * against the consuming trainer/model raises instead of silently
     * training or scoring in the wrong feature space. Folds built by hand
     * (no metadata) pass through — the caller owns the pairing. */
-  private def assertFoldMatches(fold: DataFrame, buckets: Int,
-                                salt: String, who: String): Unit =
+  private[operators] def assertFoldMatches(fold: DataFrame, buckets: Int,
+                                           salt: String, who: String): Unit =
     fold.schema.fields.find(_.name == "b").foreach { sf =>
       if (sf.metadata.contains("graft.fold.salt")) {
         val fSalt = sf.metadata.getString("graft.fold.salt")

@@ -290,6 +290,83 @@ object DocQueries {
        |FROM g0)""".stripMargin
   }
 
+  /** The trained-lang-id pipeline shared by the two langid gates: one
+    * token fold (persisted — train and score both read it), multiclass NB
+    * trained on the hash-split 80% with the table's own lang labels, the
+    * held-out 20% scored and joined back to truth. */
+  private def langIdScored(s: org.apache.spark.sql.SparkSession,
+                           d: String): DataFrame = {
+    import graft.operators.{LangClassifier, QualityClassifier, Sampling}
+    val docs = Tables.documents(s, d)
+    val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
+        buckets = 4096, salt = ":li1")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val split = Sampling.split(col("doc_id"), 80, 10, salt = ":li1s")
+    val labels = docs.filter(split === "train").select("doc_id", "lang")
+    val test = docs.filter(split =!= "train")
+    val m = LangClassifier.trainLangNb(fold, labels, buckets = 4096,
+      salt = ":li1")
+    LangClassifier.scoreLang(test.select("doc_id"), "doc_id",
+        fold.join(test.select("doc_id"), Seq("doc_id"), "left_semi"), m)
+      .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("lang_pred"),
+        (col("lang") === col("lang_pred")).as("correct"),
+        col("n_tokens"), col("score"))
+  }
+
+  /** The DuckDB mirror of [[langIdScored]] up to the ranked per-language
+    * posterior table `rk` (rn = 1 is the prediction) and the per-doc token
+    * counts `nt` — the full NB model unrolled in the decimal discipline.
+    * The per-token llk sum is bit-identical to the Spark side's
+    * cnt-weighted sum because every token in a bucket carries the same
+    * decimal llk. */
+  private def langNbCtes(): String =
+    s"""t0 AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+       |e AS (SELECT doc_id, ${fp60Sql("tok || ':li1'")} % 4096 AS b
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t0)),
+       |f AS (SELECT doc_id, b, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |sp AS (SELECT doc_id,
+       |    ${fp60Sql("CAST(doc_id AS VARCHAR) || ':li1s'")} % 100 AS bk
+       |  FROM documents),
+       |lab AS (SELECT d.doc_id, d.lang FROM documents d
+       |  JOIN sp USING (doc_id) WHERE sp.bk < 80),
+       |te AS (SELECT d.doc_id, d.lang FROM documents d
+       |  JOIN sp USING (doc_id) WHERE sp.bk >= 80),
+       |c AS (SELECT l.lang, f.b, sum(f.cnt) AS c FROM f
+       |  JOIN lab l USING (doc_id) GROUP BY 1, 2),
+       |t AS (SELECT lang, sum(c) AS t FROM c GROUP BY 1),
+       |lg AS (SELECT lang, count(*) AS nd FROM lab GROUP BY 1),
+       |nn AS (SELECT count(*) AS n, count(DISTINCT lang) AS k FROM lab),
+       |m AS (SELECT c.b, c.lang, CAST(round(ln(
+       |    (CAST(c.c AS DOUBLE) + CAST(1.0 AS DOUBLE))
+       |      / CAST(t.t + 4096 AS DOUBLE)), 9) AS DECIMAL(19,9)) AS llk
+       |  FROM c JOIN t USING (lang)),
+       |dflt AS (SELECT g.lang, CAST(round(ln(
+       |    CAST(1.0 AS DOUBLE)
+       |      / CAST(COALESCE(t.t, 0) + 4096 AS DOUBLE)), 9)
+       |  AS DECIMAL(19,9)) AS v FROM lg g LEFT JOIN t USING (lang)),
+       |pri AS (SELECT g.lang, CAST(round(ln(
+       |    CAST(g.nd + 1 AS DOUBLE)
+       |      / CAST((SELECT n FROM nn) + (SELECT k FROM nn) AS DOUBLE)), 9)
+       |  AS DECIMAL(28,9)) AS v FROM lg g),
+       |sc AS (SELECT e.doc_id, L.lang, sum(COALESCE(m.llk, d2.v)) AS s
+       |  FROM e JOIN te USING (doc_id)
+       |  CROSS JOIN (SELECT lang FROM lg) L
+       |  JOIN dflt d2 ON d2.lang = L.lang
+       |  LEFT JOIN m ON m.b = e.b AND m.lang = L.lang
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT te.doc_id, te.lang AS lang_true, L.lang,
+       |    CAST(COALESCE(sc.s, 0) AS DECIMAL(28,9)) + p.v AS score
+       |  FROM te CROSS JOIN (SELECT lang FROM lg) L
+       |  JOIN pri p ON p.lang = L.lang
+       |  LEFT JOIN sc ON sc.doc_id = te.doc_id AND sc.lang = L.lang),
+       |rk AS (SELECT doc_id, lang_true, lang, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, lang ASC) AS rn
+       |  FROM tot),
+       |nt AS (SELECT f.doc_id, sum(f.cnt) AS n_tokens FROM f
+       |  JOIN te USING (doc_id) GROUP BY 1)""".stripMargin
+
   /** Final select for the cut gates. The coalesce covers DuckDB's
     * array_to_string([]) = NULL vs Spark's array_join([]) = ''. */
   private def spanCutTail(docFilter: String): String =
@@ -3216,6 +3293,50 @@ object DocQueries {
     //      segmenter; fallback = char occurrences outside the vocab's
     //      single-char inventory (provably the unk mass for BOTH — a vocab
     //      piece can only contain inventory chars).
+    // ---- TRAINED lang-id (round 17): multiclass multinomial NB over the
+    //      shared token fold — the fastText-supervised tier above the
+    //      marker heuristic (q_text_langid). Train on the hash-split 80%
+    //      with the documents table's own lang labels, predict the held-out
+    //      20% by argmax posterior (decimal-exact scores, ties to the
+    //      lexicographically smallest language). The oracle unrolls the
+    //      whole model — per-language smoothed bucket likelihoods, priors,
+    //      defaults — in the NB decimal discipline (dec9 once, decimal
+    //      sums, argmax before the final 6-digit round).
+    "q_text_langid_trained" -> Q(
+      (s, d) => langIdScored(s, d).orderBy("doc_id"),
+      Some(s"""WITH ${langNbCtes()}
+        |SELECT r.doc_id, r.lang_true AS lang, r.lang AS lang_pred,
+        | r.lang = r.lang_true AS correct,
+        | CAST(COALESCE(nt.n_tokens, 0) AS BIGINT) AS n_tokens,
+        | CAST(round(r.score, 6) AS DOUBLE) AS score
+        |FROM rk r LEFT JOIN nt USING (doc_id)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // The confusion matrix over the same held-out predictions — the
+    // routing-quality report a lang-id stage publishes (which language
+    // pairs bleed into each other, and with what share of the true mass).
+    "q_text_langid_confusion" -> Q(
+      (s, d) => {
+        val sc = langIdScored(s, d)
+        val tot = sc.groupBy("lang")
+          .agg(count(lit(1)).as("n_true"))
+        sc.groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+          .join(tot, Seq("lang"))
+          .select(col("lang"), col("lang_pred"), col("n"),
+            (col("n").cast("double") / col("n_true").cast("double"))
+              .as("share"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some(s"""WITH ${langNbCtes()},
+        |pred AS (SELECT doc_id, lang_true, lang AS lang_pred FROM rk
+        |  WHERE rn = 1),
+        |tt AS (SELECT lang_true, count(*) AS n_true FROM pred GROUP BY 1)
+        |SELECT p.lang_true AS lang, p.lang_pred, count(*) AS n,
+        | CAST(count(*) AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS share
+        |FROM pred p JOIN tt t USING (lang_true)
+        |GROUP BY 1, 2, t.n_true ORDER BY 1, 2""".stripMargin)),
+
     "q_text_tokenizer_bakeoff" -> Q(
       (s, d) => {
         import graft.operators.{Sampling, UnigramLm}
@@ -6659,6 +6780,75 @@ object DocQueries {
         |  ${mean("b2")} AS mean_b,
         |  true AS is_valid
         |FROM c3 ORDER BY media_id""".stripMargin
+      }),
+
+    // ---- REAL GIF decode (round 17): the third crawl image container
+    //      beside JPEG/PNG, and the only PALETTE-INDEXED one — the corpus
+    //      is genuine GIF89a (logical screen descriptor, 256-entry global
+    //      color table, graphic control extension, LZW-compressed index
+    //      stream in sub-blocks, trailer) whose pixel k is palette index
+    //      payload(k). GIF is LOSSLESS, so the oracle mirrors the
+    //      index→RGB palette construction (i, (i+85) mod 256, 255−i)
+    //      analytically and never sees the codec: a defect in the LZW
+    //      variable-width decode, the sub-block reassembly, or the
+    //      color-table lookup hash-fails.
+    "q_multimodal_gif_decode" -> Q(
+      (s, d) => Multimodal.decodeGifFeatures(Multimodal.encodeGif(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")))
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 12) AS h FROM m),
+        |i AS (SELECT media_id, h, list_transform(range(0, h*4), k ->
+        |  CASE WHEN k+1 <= len THEN ${byteAt("k+1")} ELSE 0 END) AS ix
+        |  FROM d)
+        |SELECT media_id, 4 AS width, CAST(h AS INT) AS height,
+        | 3 AS channels,
+        | CAST(list_sum(ix) AS DOUBLE) / CAST(h*4 AS DOUBLE) AS mean_r,
+        | CAST(list_sum(list_transform(ix, v -> (v+85) % 256)) AS DOUBLE)
+        |   / CAST(h*4 AS DOUBLE) AS mean_g,
+        | CAST(list_sum(list_transform(ix, v -> 255-v)) AS DOUBLE)
+        |   / CAST(h*4 AS DOUBLE) AS mean_b,
+        | true AS is_valid
+        |FROM i ORDER BY media_id""".stripMargin
+      }),
+
+    // ---- ANIMATED GIF frame walk (round 17): multi-frame 89a streams
+    //      (NETSCAPE loop block, per-frame graphic control extensions) —
+    //      the animation surface crawl GIFs actually use, and the only
+    //      frame-sequence path beside Y4M. One row per COMPOSITED frame;
+    //      the corpus's frame f is a solid 8x8 fill of palette index
+    //      payload(f), so every feature derives analytically from the
+    //      text bytes. A decoder that mis-walks the extension chain,
+    //      drops a frame, or mis-composites hash-fails.
+    "q_multimodal_gif_frames" -> Q(
+      (s, d) => Multimodal.decodeGifFrameFeatures(Multimodal.encodeGifFrames(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")))
+        .orderBy("media_id", "frame_no"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, least(16, len)) AS nf
+        |  FROM m),
+        |f AS (SELECT media_id, hx, len, unnest(range(0, nf)) AS k FROM d),
+        |v AS (SELECT media_id, CAST(k AS INT) AS frame_no,
+        |  CASE WHEN k+1 <= len THEN ${byteAt("k+1")} ELSE 0 END AS ix
+        |  FROM f)
+        |SELECT media_id, frame_no, 8 AS width, 8 AS height,
+        | CAST(ix AS DOUBLE) AS mean_r,
+        | CAST((ix+85) % 256 AS DOUBLE) AS mean_g,
+        | CAST(255-ix AS DOUBLE) AS mean_b,
+        | true AS is_valid
+        |FROM v ORDER BY media_id, frame_no""".stripMargin
       }),
 
     // Cross-codec raster pin (round 16): the aHash + box-resize kernels

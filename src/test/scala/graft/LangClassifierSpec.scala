@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LangClassifier, QualityClassifier}
+
+/** Trained multiclass NB lang-id: hand-checkable separation, prior-only
+  * prediction for token-less docs, deterministic tie-breaking, and the
+  * fold-provenance fail-fast. */
+class LangClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "der hund und die katze und der vogel", "de"),
+    (2L, "die sonne und der mond", "de"),
+    (3L, "the dog and the cat and the bird", "en"),
+    (4L, "the sun and the moon", "en"),
+    (5L, "el perro y el gato y el sol", "es"),
+    (6L, "la luna y el cielo", "es")).toDF("doc_id", "text", "lang")
+
+  private def foldOf(df: org.apache.spark.sql.DataFrame) =
+    QualityClassifier.tokenFold(df, "doc_id", "text", buckets = 4096,
+      salt = ":lit")
+
+  test("separable vocabularies classify correctly; langs sorted") {
+    val fold = foldOf(docs)
+    val m = LangClassifier.trainLangNb(fold, docs.select("doc_id", "lang"),
+      buckets = 4096, salt = ":lit")
+    assert(m.langs == Seq("de", "en", "es"))
+    val test = Seq((10L, "der hund und die sonne"),
+      (11L, "the cat and the moon"), (12L, "el gato y la luna"))
+      .toDF("doc_id", "text")
+    val got = LangClassifier.scoreLang(test, "doc_id", foldOf(test), m)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[String]("lang_pred")).toSeq ==
+      Seq("de", "en", "es"))
+    assert(got.forall(_.getAs[Long]("n_tokens") > 0))
+  }
+
+  test("token-less doc predicts the prior argmax") {
+    val skewed = docs.union(Seq(
+      (7L, "the a b c", "en"), (8L, "the d e f", "en")).toDF())
+    val fold = foldOf(skewed)
+    val m = LangClassifier.trainLangNb(fold,
+      skewed.select("doc_id", "lang"), buckets = 4096, salt = ":lit")
+    val test = Seq((20L, "")).toDF("doc_id", "text")
+    val got = LangClassifier.scoreLang(test, "doc_id", foldOf(test), m)
+      .collect()
+    assert(got.length == 1)
+    // en has 4 docs vs 2/2: the largest prior wins with no tokens
+    assert(got(0).getAs[String]("lang_pred") == "en")
+    assert(got(0).getAs[Long]("n_tokens") == 0L)
+  }
+
+  test("exact score ties break to the lexicographically smallest language") {
+    // two languages with MIRRORED single-doc corpora: a test doc with one
+    // token unseen in both trains scores default+prior identically
+    val train = Seq((1L, "aa bb", "xx"), (2L, "aa bb", "yy"))
+      .toDF("doc_id", "text", "lang")
+    val m = LangClassifier.trainLangNb(foldOf(train),
+      train.select("doc_id", "lang"), buckets = 4096, salt = ":lit")
+    val test = Seq((3L, "zz")).toDF("doc_id", "text")
+    val got = LangClassifier.scoreLang(test, "doc_id", foldOf(test), m)
+      .collect()
+    assert(got(0).getAs[String]("lang_pred") == "xx")
+  }
+
+  test("fold built under a different salt fails fast") {
+    val wrong = QualityClassifier.tokenFold(docs, "doc_id", "text",
+      buckets = 4096, salt = ":other")
+    val e = intercept[IllegalArgumentException] {
+      LangClassifier.trainLangNb(wrong, docs.select("doc_id", "lang"),
+        buckets = 4096, salt = ":lit")
+    }
+    assert(e.getMessage.contains("feature space"))
+  }
+}
