@@ -925,6 +925,86 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming twin of [[graft.operators.LangClassifier.scoreLang]] —
+    * ROUTE documents by language AT INGEST under a trained multiclass NB:
+    * the wide buckets-bounded model plus the per-language default/prior
+    * constants are collected once and broadcast, and each row tokenizes,
+    * buckets (the [[logitScoreStream]] 60-bit md5 mirror of
+    * `Importance.tokenBucket`), accumulates K exact BigDecimal sums, and
+    * argmaxes with the batch tie rule (equal scores to the smallest
+    * language index) — a stateless partition-local typed map, the
+    * append-mode shape a crawl router needs. Stream ≡ batch row for row
+    * (pinned in StreamingSpec): the per-token decimal adds commute with
+    * the batch side's cnt-weighted decimal sums. */
+  def langIdStream(docs: DataFrame, idCol: String, textCol: String,
+                   m: graft.operators.LangClassifier.LangNbModel): DataFrame = {
+    val spark = docs.sparkSession
+    val k = m.langs.length
+    // llk rows: bucket -> dense per-language array (null = unseen default)
+    val llkMap: Map[Long, Array[java.math.BigDecimal]] = m.wide.collect()
+      .map { r =>
+        r.getLong(0) ->
+          Array.tabulate(k)(i => r.getDecimal(i + 1))
+      }.toMap
+    // defaults/priors are constant-foldable decimal expressions: evaluate
+    // once through the engine so the values match the batch plan exactly
+    val constRow = spark.range(1)
+      .select((m.defaults ++ m.priors).zipWithIndex.map {
+        case (c, i) => c.as(s"c$i") }: _*).head
+    val defaults = Array.tabulate(k)(i => constRow.getDecimal(i))
+    val priors = Array.tabulate(k)(i => constRow.getDecimal(k + i))
+    val bc = spark.sparkContext.broadcast(
+      (llkMap, defaults, priors, m.langs.toArray, m.buckets.toLong, m.salt))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = true),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("lang_pred", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .mapPartitions { it =>
+        val (llk, dflt, pri, langs, buckets, salt) = bc.value
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { row =>
+          val text = row.getAs[String]("text")
+          val toks =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase(java.util.Locale.ROOT)
+              .split("\\s+").filter(_.nonEmpty)
+          val sums = Array.fill(langs.length)(java.math.BigDecimal.ZERO)
+          toks.foreach { t =>
+            val d = md.digest((t + salt).getBytes("UTF-8"))
+            var v = 0L
+            var i = 0
+            while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+            v = (v << 4) | ((d(7) & 0xf0L) >> 4) // first 15 hex = 60 bits
+            val rowLlk = llk.getOrElse(v % buckets, null)
+            var j = 0
+            while (j < sums.length) {
+              val w =
+                if (rowLlk == null || rowLlk(j) == null) dflt(j)
+                else rowLlk(j)
+              sums(j) = sums(j).add(w)
+              j += 1
+            }
+          }
+          var best = 0
+          var bestScore = sums(0).add(pri(0))
+          var j = 1
+          while (j < sums.length) {
+            val s = sums(j).add(pri(j))
+            if (s.compareTo(bestScore) > 0) { best = j; bestScore = s }
+            j += 1
+          }
+          org.apache.spark.sql.Row(
+            if (row.isNullAt(0)) null else row.getLong(0),
+            toks.length.toLong, langs(best),
+            bestScore.setScale(6, java.math.RoundingMode.HALF_UP)
+              .doubleValue)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Streaming twin of [[graft.operators.UnigramLm.applyUnigram]] —
     * segment documents AT INGEST under a trained (train-once / apply-many)
     * unigram-LM tokenizer: the piece log-probs are collected once and

@@ -1012,6 +1012,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming lang-id routing equals the batch scorer row for row") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.{LangClassifier, QualityClassifier}
+    val train = Seq((1L, "der hund und die katze", "de"),
+      (2L, "die sonne und der mond", "de"),
+      (3L, "the dog and the cat", "en"),
+      (4L, "the sun and the moon", "en")).toDF("doc_id", "text", "lang")
+    val fold = QualityClassifier.tokenFold(train, "doc_id", "text",
+      buckets = 4096, salt = ":lis")
+    val m = LangClassifier.trainLangNb(fold, train.select("doc_id", "lang"),
+      buckets = 4096, salt = ":lis")
+    // unseen tokens (tie broken to 'de'), empty text, mixed, repeats
+    val rows = Seq((10L, "der hund und the dog"), (11L, ""),
+      (12L, "novel words here"), (13L, "the the the mond"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingOps.langIdStream(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", m)
+      .writeStream.format("memory").queryName("langid_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val cols = Seq("doc_id", "n_tokens", "lang_pred", "score")
+      val streamed = s.sql("SELECT * FROM langid_stream")
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      val test = rows.toDF("doc_id", "text")
+      val batch = LangClassifier.scoreLang(test, "doc_id",
+          QualityClassifier.tokenFold(test, "doc_id", "text",
+            buckets = 4096, salt = ":lis"), m)
+        .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming unigram segmentation equals the batch Viterbi row for row") {
     val s = spark
     import s.implicits._
