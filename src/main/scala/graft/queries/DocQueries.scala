@@ -2677,6 +2677,75 @@ object DocQueries {
         |FROM sck GROUP BY 1 ORDER BY doc_id""".stripMargin
       }),
 
+    // ---- CCNet head/middle/tail routing (round 17): the published CCNet
+    //      pipeline's signature stage — per-SOURCE perplexity terciles
+    //      route every document into head (most fluent third), middle, or
+    //      tail. Composes two gated folds: the bigram LM perplexity
+    //      (q_text_perplexity's exact pipeline) and the sharded exact
+    //      quantiles (q_text_length_quantiles_by's), joined by a
+    //      source-bounded broadcast. The tercile cut runs on ppl in
+    //      FIXED-POINT 1e-4 units (ppl is already rounded to 4 decimals,
+    //      so round(ppl*10000) is lossless) because the exact-quantile
+    //      fold is integer-keyed by design — double keys would hash the
+    //      count fold on approximate values.
+    "q_text_ccnet_buckets" -> Q(
+      (s, d) => {
+        import graft.operators.{Diagnostics, LanguageModel, Sampling}
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(Sampling.split(
+          col("doc_id"), 80, 10, salt = ":lm1") === "train")
+        val ppl = LanguageModel.perplexityAgainst(
+            docs, ref, "doc_id", "text", vocabCap = 256, bigramCap = 2048)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .withColumn("pplq", round(col("ppl") * 10000, 0).cast("long"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ppl.count() // two consumers: the quantile fold and the routing
+        val th = Diagnostics.exactQuantilesBy(
+            ppl.select(col("source"), col("pplq")), "source", col("pplq"),
+            qs = Seq(1.0 / 3, 2.0 / 3))
+          .groupBy("source")
+          .agg(min(when(col("q") === 1.0 / 3, col("value"))).as("t1"),
+            min(when(col("q") === 2.0 / 3, col("value"))).as("t2"))
+        ppl.join(broadcast(th), Seq("source"))
+          .select(col("doc_id"), col("source"), col("ppl"),
+            when(col("pplq") <= col("t1"), "head")
+              .when(col("pplq") <= col("t2"), "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |${pplCtes(vocabCap = 256, bigramCap = 2048, salt = ":lm1")},
+        |pd AS (SELECT doc_id,
+        |    round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS ppl
+        |  FROM sc GROUP BY 1),
+        |ps AS (SELECT pd.doc_id, d.source, pd.ppl,
+        |    CAST(round(pd.ppl * 10000, 0) AS BIGINT) AS v
+        |  FROM pd JOIN documents d USING (doc_id)),
+        |c AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ps GROUP BY 1, 2),
+        |w AS (SELECT source, v, CAST(sum(cnt) OVER (PARTITION BY source
+        |    ORDER BY v) AS BIGINT) AS cum FROM c),
+        |nn AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM c GROUP BY 1),
+        |qq(q) AS (VALUES (CAST(1.0 AS DOUBLE)/CAST(3.0 AS DOUBLE)),
+        |  (CAST(2.0 AS DOUBLE)/CAST(3.0 AS DOUBLE))),
+        |tg AS (SELECT source, q, CAST(ceil(q * n) AS BIGINT)
+        |    AS rank_target FROM qq CROSS JOIN nn),
+        |qv AS (SELECT tg.source, tg.q, min(w.v) AS value FROM tg
+        |  JOIN w ON w.source = tg.source AND w.cum >= tg.rank_target
+        |  GROUP BY 1, 2),
+        |th AS (SELECT source,
+        |  min(CASE WHEN q = CAST(1.0 AS DOUBLE)/CAST(3.0 AS DOUBLE)
+        |    THEN value END) AS t1,
+        |  min(CASE WHEN q = CAST(2.0 AS DOUBLE)/CAST(3.0 AS DOUBLE)
+        |    THEN value END) AS t2
+        | FROM qv GROUP BY 1)
+        |SELECT ps.doc_id, ps.source, ps.ppl,
+        | CASE WHEN ps.v <= th.t1 THEN 'head'
+        |      WHEN ps.v <= th.t2 THEN 'middle'
+        |      ELSE 'tail' END AS bucket
+        |FROM ps JOIN th USING (source) ORDER BY doc_id""".stripMargin)),
+
     // ---- DSIR importance resampling: hashed-unigram likelihood-ratio
     //      weights toward the src0/src1 target domain, Gumbel top-k
     //      selection derandomized through the doc-id hash. Per-token
