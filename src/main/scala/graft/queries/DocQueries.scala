@@ -271,6 +271,15 @@ object DocQueries {
     * langId over `from` (must expose doc_id, text, source):
     * scored(doc_id, text, source, n_toks, quality, lang). One definition
     * for every oracle that gates on quality/language. */
+  /** The 4-rule quality score (mirrors TextFunctions.qualityScore) as a
+    * SQL expression over `text` and `toks` columns in scope — a def so it
+    * dodges the fragment-declaration-order gotcha. */
+  private def qualityExprSql: String =
+    s"""((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+       | + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+       | + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+       | + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))""".stripMargin
+
   private[queries] def qualityLangCtes(from: String): String = {
     val langNames = TextFunctions.LangMarkers.map(_._1)
     val langHits = TextFunctions.LangMarkers.map { case (lang, ms) =>
@@ -282,10 +291,7 @@ object DocQueries {
        |h0 AS (SELECT *, $langHits FROM t0),
        |g0 AS (SELECT *, $greatest AS m FROM h0),
        |scored AS (SELECT doc_id, text, source, CAST(len(toks) AS BIGINT) AS n_toks,
-       | ((((CASE WHEN length(text) BETWEEN 50 AND 10000 THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
-       |  + (CASE WHEN $StopRatioSql > 0.01 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
-       |  + (CASE WHEN $PunctRatioSql < 0.2 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
-       |  + (CASE WHEN $AvgTokLenSql BETWEEN 2.0 AND 12.0 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS quality,
+       | $qualityExprSql AS quality,
        | CASE WHEN m = 0 THEN 'und' $langCase END AS lang
        |FROM g0)""".stripMargin
   }
@@ -319,11 +325,15 @@ object DocQueries {
     * counts `nt` — the full NB model unrolled in the decimal discipline.
     * The per-token llk sum is bit-identical to the Spark side's
     * cnt-weighted sum because every token in a bucket carries the same
-    * decimal llk. */
-  private def langNbCtes(): String =
-    s"""t0 AS (SELECT doc_id, lang, $ToksSql AS toks FROM documents),
+    * decimal llk. `scoreAll` scores EVERY document (the production
+    * routing shape — the model still trains on the 80% split only);
+    * default scores the held-out 20%. */
+  private def langNbCtes(scoreAll: Boolean = false): String = {
+    val teWhere = if (scoreAll) "" else " WHERE sp.bk >= 80"
+    s"""li0 AS (SELECT doc_id, lang, source, text, $ToksSql AS toks
+       |  FROM documents),
        |e AS (SELECT doc_id, ${fp60Sql("tok || ':li1'")} % 4096 AS b
-       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t0)),
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM li0)),
        |f AS (SELECT doc_id, b, count(*) AS cnt FROM e GROUP BY 1, 2),
        |sp AS (SELECT doc_id,
        |    ${fp60Sql("CAST(doc_id AS VARCHAR) || ':li1s'")} % 100 AS bk
@@ -331,7 +341,7 @@ object DocQueries {
        |lab AS (SELECT d.doc_id, d.lang FROM documents d
        |  JOIN sp USING (doc_id) WHERE sp.bk < 80),
        |te AS (SELECT d.doc_id, d.lang FROM documents d
-       |  JOIN sp USING (doc_id) WHERE sp.bk >= 80),
+       |  JOIN sp USING (doc_id)$teWhere),
        |c AS (SELECT l.lang, f.b, sum(f.cnt) AS c FROM f
        |  JOIN lab l USING (doc_id) GROUP BY 1, 2),
        |t AS (SELECT lang, sum(c) AS t FROM c GROUP BY 1),
@@ -366,6 +376,7 @@ object DocQueries {
        |  FROM tot),
        |nt AS (SELECT f.doc_id, sum(f.cnt) AS n_tokens FROM f
        |  JOIN te USING (doc_id) GROUP BY 1)""".stripMargin
+  }
 
   /** Final select for the cut gates. The coalesce covers DuckDB's
     * array_to_string([]) = NULL vs Spark's array_join([]) = ''. */
@@ -3370,7 +3381,11 @@ object DocQueries {
     //      lexicographically smallest language). The oracle unrolls the
     //      whole model — per-language smoothed bucket likelihoods, priors,
     //      defaults — in the NB decimal discipline (dec9 once, decimal
-    //      sums, argmax before the final 6-digit round).
+    //      sums, argmax before the final 6-digit round). NOTE: the
+    //      synthetic corpus draws lang labels INDEPENDENTLY of its
+    //      shared-vocabulary text, so the majority-class posterior is the
+    //      Bayes optimum here and every doc predicts 'en' — the gate pins
+    //      the model arithmetic; LangClassifierSpec pins real separation.
     "q_text_langid_trained" -> Q(
       (s, d) => langIdScored(s, d).orderBy("doc_id"),
       Some(s"""WITH ${langNbCtes()}
@@ -7918,6 +7933,59 @@ object DocQueries {
         |SELECT split, source, count(*) AS n_docs,
         |  CAST(sum(len($ToksSql)) AS BIGINT) AS n_tokens
         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Lang-routed curation capstone (round 17, v8): the CCNet-shaped
+    //      front half — the TRAINED lang-id (labels only on the 80% split,
+    //      the annotated-slice production shape) routes EVERY document,
+    //      the quality screen cuts per route, and the summary reports each
+    //      (source, route)'s surviving mass plus how much of it the router
+    //      agreed with ground truth on (the routing-precision number an
+    //      operator reads before trusting per-language budgets). Every
+    //      stage is an already-gated operator; deliberately ONE scan past
+    //      the langid pipeline, not a fifth heavy capstone. NOTE on the
+    //      synthetic corpus: the documents table's lang labels are drawn
+    //      INDEPENDENTLY of its shared-vocabulary text, so the Bayes
+    //      optimum here IS the majority-class posterior — every doc routes
+    //      'en' and n_lang_match reads the per-source 'en' share. The
+    //      gate pins the full model arithmetic regardless;
+    //      LangClassifierSpec pins real separation on hand corpora.
+    "q_pipeline_curate_v8" -> Q(
+      (s, d) => {
+        import graft.operators.{LangClassifier, QualityClassifier, Sampling}
+        val docs = Tables.documents(s, d)
+        val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
+            buckets = 4096, salt = ":li1")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val labels = docs.filter(Sampling.split(
+            col("doc_id"), 80, 10, salt = ":li1s") === "train")
+          .select("doc_id", "lang")
+        val m = LangClassifier.trainLangNb(fold, labels, buckets = 4096,
+          salt = ":li1")
+        LangClassifier.scoreLang(docs.select("doc_id"), "doc_id", fold, m)
+          .join(docs.select(col("doc_id"), col("lang"), col("source"),
+            col("text")), Seq("doc_id"))
+          .filter(TextFunctions.qualityScore(col("text")) >= 0.4)
+          .groupBy("source", "lang_pred")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextFunctions.tokenCount(col("text")).cast("long"))
+              .as("n_tokens"),
+            sum(when(col("lang") === col("lang_pred"), lit(1L))
+              .otherwise(lit(0L))).as("n_lang_match"))
+          .orderBy("source", "lang_pred")
+      },
+      Some(s"""WITH ${langNbCtes(scoreAll = true)},
+        |pred AS (SELECT doc_id, lang_true, lang AS lang_pred FROM rk
+        |  WHERE rn = 1),
+        |qv AS (SELECT doc_id, source, $qualityExprSql AS quality,
+        |    CAST(len(toks) AS BIGINT) AS ntk
+        |  FROM li0)
+        |SELECT qv.source, p.lang_pred, count(*) AS n_docs,
+        | CAST(sum(qv.ntk) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN p.lang_true = p.lang_pred THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_lang_match
+        |FROM pred p JOIN qv USING (doc_id)
+        |WHERE qv.quality >= CAST(0.4 AS DOUBLE)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---- Web-crawl front-end capstone (the RefinedWeb-style chain): crawl
     //      rows (synthetic url + multi-line page) -> URL-keyed dedup (first
