@@ -115,6 +115,12 @@ object ScaleCheck {
       "exact_dedup" -> (d => Dedup.exact(Tables.documents(spark, d), "doc_id", "text")),
       "minhash_sig" -> (d =>
         Dedup.minhashSig(Tables.documents(spark, d), "doc_id", "text", 32, shingleSet)),
+      // OPH twin of minhash_sig: ONE bin+permutation per token edge
+      // instead of 32 permutation mins (map side), then a <=32-rows/doc
+      // re-agg + scan-stage densification — the signature-build lever
+      "minhash_sig_oph" -> (d =>
+        Dedup.minhashSigOph(Tables.documents(spark, d), "doc_id", "text", 32,
+          shingleSet)),
       "simhash_sig" -> (d =>
         Dedup.simhash(Tables.documents(spark, d), "doc_id", "text", shingleSet)),
       "jaccard_pairs" -> (d =>

@@ -338,6 +338,61 @@ object Dedup {
       .drop(fpsCol)
   }
 
+  /** ONE-PERMUTATION MinHash signature (OPH — Li/Owen/Zhang 2012) with
+    * rotation densification (Shrivastava/Li 2014): the k-permutation
+    * signature's big-corpus variant. [[minhashSig]] pays k permutation
+    * min-aggregates PER TOKEN EDGE (cheap integer ops, but k of them);
+    * OPH hashes each token ONCE into bin `fp mod k`, takes one permuted
+    * min per bin, and fills EMPTY bins by rotating to the nearest
+    * non-empty bin clockwise with an offset of `t · HashPrime` per step —
+    * distinct rotation distances can never collide with true minima, so
+    * banding over densified slots keeps the collision semantics the LSH
+    * join needs. Per token edge the map side now does ONE bin assignment
+    * + ONE permutation instead of k — the 100 TB signature-build lever.
+    *
+    * Output schema matches [[minhashSig]] (doc_id, h0..h{k-1}), so
+    * [[minhashBands]] and every banded join downstream consume OPH
+    * signatures unchanged. (OPH slots are NOT value-compatible with the
+    * k-permutation slots — pick one scheme per index.) Slot j of a doc
+    * whose bin j is occupied is `min((a0·x + b0) mod P)` over that bin's
+    * tokens; the structural densification pattern is spec-pinned. Scale
+    * shape: the (doc, bin) min fold is map-side combined (one shuffle of
+    * ≤k rows per doc), the densification a scan-stage coalesce chain over
+    * a k-bounded map. */
+  def minhashSigOph(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                    tokens: Column => Column = TextFunctions.tokenSet): DataFrame = {
+    require(k > 0 && k <= 64, s"k in 1..64, got $k")
+    val (a0, b0) = HashParams(0)
+    val g = tokenIndex(docs, idCol, textCol, tokens)
+      // the fingerprint is staged in its own projection (ONE md5 per
+      // token) — bin and permutation are cheap ops over it, the
+      // withMinhashSigCols discipline
+      .select(col("doc_id"), tokenFingerprint(col("tok")).as("x"))
+      .select(col("doc_id"), pmod(col("x"), lit(k.toLong)).as("bin"),
+        pmod(lit(a0) * col("x") + lit(b0), lit(HashPrime)).as("pv"))
+      .groupBy("doc_id", "bin")
+      .agg(min("pv").as("v"))
+    // densify through a nearest-occupied-bin search per slot (3 array ops
+    // over the <=k keys) rather than a k-term coalesce per slot — the
+    // k^2-term expression tree blows Janino's method limit and drops the
+    // whole stage to interpreted execution. `__filled` is staged in its
+    // own projection so the k getItems don't each re-evaluate it.
+    val filled = transform(sequence(lit(0L), lit((k - 1).toLong)), j => {
+      val nb = coalesce(
+        array_min(filter(col("__keys"), b => b >= j)),
+        array_min(col("__keys")) + lit(k.toLong))
+      element_at(col("__m"), pmod(nb, lit(k.toLong))) +
+        (nb - j) * lit(HashPrime)
+    })
+    g.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("v"))))
+        .as("__m"))
+      .withColumn("__keys", map_keys(col("__m")))
+      .withColumn("__filled", filled)
+      .select(col("doc_id") +:
+        (0 until k).map(j => col("__filled").getItem(j).as(s"h$j")): _*)
+  }
+
   /** The banding expression shared by [[minhashBands]] and the streaming
     * probes: an array of (band, band_hash) structs over signature columns
     * h0..h{k-1}, band_hash = md5 over the band's signature slice. */
@@ -371,12 +426,16 @@ object Dedup {
     * duplicate (jaccard 1) collides in every band, so its pair is
     * recovered at any config — recall is 1.0 on identical-pair truth
     * (spec-pinned). Per config: one signature pass, the banded self-join,
-    * and two counts; all frames are pair-bounded past the scans. */
+    * and two counts; all frames are pair-bounded past the scans.
+    * `oph = true` runs the curve over [[minhashSigOph]] signatures — the
+    * adoption check an operator reads before switching the signature
+    * scheme on a production index. */
   def lshRecallReport(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double, configs: Seq[(Int, Int)],
                       maxTokenDf: Long = 0L,
                       tokens: Column => Column = TextFunctions.tokenSet,
-                      scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
+                      scope: CacheScope.Handle = CacheScope.detached,
+                      oph: Boolean = false): DataFrame = {
     require(configs.nonEmpty, "need at least one (k, rowsPerBand) config")
     val truth = scope.pin(
       jaccardPairs(docs, idCol, textCol, threshold, maxTokenDf, tokens, scope)
@@ -386,8 +445,10 @@ object Dedup {
     val tAgg = truth.agg(count(lit(1)).as("n_true_pairs"))
     configs.map { case (k, rpb) =>
       require(k % rpb == 0, s"k=$k not divisible by rowsPerBand=$rpb")
-      val bands = minhashBands(
-          minhashSig(docs, idCol, textCol, k, tokens), k, rpb)
+      val sig =
+        if (oph) minhashSigOph(docs, idCol, textCol, k, tokens)
+        else minhashSig(docs, idCol, textCol, k, tokens)
+      val bands = minhashBands(sig, k, rpb)
         .hint("shuffle_hash")
       val cand = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") &&

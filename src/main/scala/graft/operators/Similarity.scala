@@ -354,7 +354,14 @@ object Similarity {
     * later query batch loads and probes). The assignment frame is written
     * PARTITIONED BY cell, so a loaded index's probe join reads only the
     * probed cells' files (nProbe/nLists of the index) instead of scanning
-    * all of it; the centroid table is a tiny (cell, centroid) parquet. */
+    * all of it; the centroid table is a tiny (cell, centroid) parquet.
+    *
+    * PUBLISH CONTRACT: save targets a FRESH (or disposable) dir — the two
+    * halves are written sequentially, so overwriting a LIVE index risks
+    * the mixed-halves state on a crash between them (new assignment + old
+    * centroids probes the wrong cells silently). Publish-then-rename at
+    * the caller, or use the staged maintenance ops ([[retrainIvf]],
+    * [[compactIvf]], [[deleteFromIvf]]) to mutate an index in place. */
   def saveIvf(index: IvfIndex, dir: String): Unit = {
     index.assigned.write.mode("overwrite")
       .partitionBy("cell").parquet(s"$dir/assigned")
@@ -710,6 +717,9 @@ object Similarity {
     * table), the parent table + fanout under `dir/coarse`. A directory
     * saved this way still loads as a FLAT index via [[loadIvf]]. */
   def saveIvf2(i2: Ivf2Index, dir: String): Unit = {
+    // same publish contract as saveIvf (fresh dir / publish-then-rename):
+    // three sequential halves here, and the hierarchical probe needs the
+    // coarse table consistent with the leaf centroids it descends into
     saveIvf(i2.index, dir)
     i2.coarse.withColumn("fanout", lit(i2.fanout))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")

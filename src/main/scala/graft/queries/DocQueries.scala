@@ -612,6 +612,31 @@ object DocQueries {
 
   /** Band rows: one SELECT per band over the sig CTE (mirror of
     * Dedup.minhashBands' md5 over the comma-joined slice). */
+  /** OPH signature CTEs (g, a, sig) over an `fp(doc_id, x)` table in
+    * scope — mirrors Dedup.minhashSigOph: per-bin permuted mins into a
+    * k-array, then the rotation-densified slot per position (t·P offsets
+    * keep distinct rotation distances collision-free). */
+  private def ophSigSql(k: Int): String = {
+    val (a0, b0) = graft.operators.Dedup.HashParams(0)
+    val p = graft.operators.Dedup.HashPrime
+    val arr = (0 until k)
+      .map(j => s"min(CASE WHEN bin = $j THEN v END)")
+      .mkString("[", ", ", "]")
+    val slots = (0 until k).map { j =>
+      (0 until k).map { t =>
+        val idx = (j + t) % k + 1 // DuckDB lists are 1-indexed
+        if (t == 0) s"arr[$idx]"
+        else s"arr[$idx] + ${t.toLong * p}"
+      }.mkString("coalesce(", ", ", s") AS h$j")
+    }.mkString(",\n  ")
+    s"""g AS (SELECT doc_id, x % $k AS bin,
+       |  min(($a0 * x + $b0) % $p) AS v FROM fp GROUP BY 1, 2),
+       |a AS (SELECT doc_id, $arr AS arr FROM g GROUP BY 1),
+       |sig AS (SELECT doc_id,
+       |  $slots
+       |FROM a)""".stripMargin
+  }
+
   private def minhashBandsSql(k: Int, rowsPerBand: Int): String =
     (0 until k / rowsPerBand).map { band =>
       val slice = (band * rowsPerBand until (band + 1) * rowsPerBand)
@@ -4065,6 +4090,78 @@ object DocQueries {
         |  FROM bands a JOIN bands b
         |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
         |${jaccardTailSql(0.3, "JOIN cand ON cand.id_a = c.id_a AND cand.id_b = c.id_b")}""".stripMargin)),
+
+    // ---- ONE-PERMUTATION MinHash signatures (round 17): the OPH/
+    //      densified variant — one bin hash + one permutation PER TOKEN
+    //      EDGE instead of k permutation mins, empty bins filled by
+    //      rotation with a t·P offset. The oracle rebuilds every slot:
+    //      per-bin conditional mins into a k-array, then the same
+    //      32-term coalesce rotation per slot. Signature-level (not
+    //      pair-level) so a single slot's off-by-one fails loudly.
+    "q_dedup_minhash_oph" -> Q(
+      (s, d) => Dedup.minhashSigOph(Tables.documents(s, d), "doc_id", "text",
+          k = 32, tokens = shingleSet)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |fp AS (SELECT doc_id, $TokenFingerprintSql AS x FROM sh),
+        |${ophSigSql(32)}
+        |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
+
+    // ---- OPH recall parity (round 17): the adoption check for the
+    //      one-permutation scheme — the SAME recall/cost curve as
+    //      q_dedup_lsh_recall but banded over densified OPH signatures.
+    //      An operator switching the production signature build to OPH
+    //      reads this row pair against the k-permutation one before
+    //      committing; truth is the identical jaccard pair set.
+    "q_dedup_oph_recall" -> Q(
+      (s, d) => Dedup.lshRecallReport(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.3, configs = Seq((32, 4), (32, 8)),
+          maxTokenDf = 100L, tokens = shingleSet, oph = true)
+        .orderBy("rows_per_band"),
+      Some {
+        def candSql(b: String) =
+          s"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM $b a JOIN $b b
+             |  ON a.band = b.band AND a.band_hash = b.band_hash
+             |    AND a.doc_id < b.doc_id""".stripMargin
+        def rowSql(rpb: Int, cand: String) =
+          s"""SELECT 32 AS k, $rpb AS rows_per_band, ${32 / rpb} AS n_bands,
+             |  (SELECT n_true_pairs FROM tc) AS n_true_pairs,
+             |  (SELECT count(*) FROM $cand) AS n_candidates,
+             |  (SELECT count(*) FROM truth t JOIN $cand c
+             |     ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_recovered,
+             |  CASE WHEN (SELECT n_true_pairs FROM tc) > 0
+             |    THEN CAST((SELECT count(*) FROM truth t JOIN $cand c
+             |        ON t.id_a = c.id_a AND t.id_b = c.id_b) AS DOUBLE)
+             |      / CAST((SELECT n_true_pairs FROM tc) AS DOUBLE) END AS recall""".stripMargin
+        s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
+        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
+        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
+        |jt AS (SELECT doc_id, tok FROM (
+        |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
+        |  WHERE df <= 100),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM jt GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        |  FROM jt a JOIN jt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT c.id_a, c.id_b FROM common c
+        |  JOIN sizes sa ON sa.doc_id = c.id_a
+        |  JOIN sizes sb ON sb.doc_id = c.id_b
+        |  WHERE CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common)
+        |    >= CAST(0.3 AS DOUBLE)),
+        |tc AS (SELECT count(*) AS n_true_pairs FROM truth),
+        |fp AS (SELECT doc_id, $TokenFingerprintSql AS x FROM sh0),
+        |${ophSigSql(32)},
+        |bands4 AS (${minhashBandsSql(32, 4)}),
+        |cand4 AS (${candSql("bands4")}),
+        |bands8 AS (${minhashBandsSql(32, 8)}),
+        |cand8 AS (${candSql("bands8")})
+        |${rowSql(4, "cand4")}
+        |UNION ALL
+        |${rowSql(8, "cand8")}
+        |ORDER BY rows_per_band""".stripMargin
+      }),
 
     // ---- LSH recall/cost report (round 14): for each (k, rowsPerBand)
     //      banding, the fraction of true >= 0.3-jaccard pairs the banded

@@ -1345,6 +1345,46 @@ class OperatorsSpec extends SparkSpec {
     assert(disagree.count() == 0)
   }
 
+  test("OPH signature: occupied bins carry true minima; empty bins rotate") {
+    import graft.operators.Dedup
+    val k = 32
+    val p = Dedup.HashPrime
+    // a SINGLE-token doc occupies exactly one bin: slot j* holds the raw
+    // permuted min (< P), and every other slot j must read that value
+    // plus (cyclic distance from j to j*) * P — the densification
+    // structure, pinned without knowing md5 values
+    val one = Seq((1L, "solitary")).toDF("doc_id", "text")
+    val row = Dedup.minhashSigOph(one, "doc_id", "text", k).head
+    val hs = (0 until k).map(i => row.getAs[Long](s"h$i"))
+    val jStar = hs.indexWhere(_ < p)
+    assert(jStar >= 0 && hs.count(_ < p) == 1)
+    for (j <- 0 until k) {
+      val t = (jStar - j + k) % k // rotation steps from j forward to j*
+      assert(hs(j) == hs(jStar) + t * p, s"slot $j")
+    }
+    // identical docs produce identical signatures (band-collision
+    // precondition); a disjoint doc produces a different one
+    val docs = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), (3L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSigOph(docs, "doc_id", "text", k)
+      .orderBy("doc_id").collect()
+    val v = sig.map(r => (0 until k).map(i => r.getAs[Long](s"h$i")))
+    assert(v(0) == v(1) && v(0) != v(2))
+    // occupied-bin slots agree with a direct per-bin recomputation
+    val (a0, b0) = Dedup.HashParams(0)
+    val direct = graft.operators.Dedup
+      .tokenIndex(docs.filter(col("doc_id") === 1L), "doc_id", "text")
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 7), 16, 10).cast("long") + 1L)
+      .collect().map(_.getLong(1))
+      .groupBy(x => x % k)
+      .map { case (bin, xs) =>
+        bin -> xs.map(x => java.lang.Math.floorMod(a0 * x + b0, p)).min }
+    direct.foreach { case (bin, want) =>
+      assert(v(0)(bin.toInt) == want, s"bin $bin") }
+  }
+
   test("chunking covers every token with the configured overlap") {
     import graft.operators.Chunking
     val doc = (1 to 10).map(i => s"t$i").mkString(" ")
