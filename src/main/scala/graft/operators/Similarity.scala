@@ -510,6 +510,15 @@ object Similarity {
     * the driver. */
   def retrainIvf(spark: SparkSession, dir: String, nLists: Int = 16,
                  seed: Long = 42L): Unit = {
+    // a two-level dir carries a coarse table consistent with its LEAF
+    // centroids; rebuilding flat centroids under it would leave loadIvf2
+    // descending a stale hierarchy into cells that no longer exist —
+    // fail fast instead of silently corrupting the index
+    val fsChk = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    require(!fsChk.exists(new org.apache.hadoop.fs.Path(s"$dir/coarse")),
+      s"$dir holds a two-level (IVF2) index — retrainIvf would orphan its " +
+        "coarse table; rebuild with buildIvf2 and publish to a fresh dir")
     val stored = spark.read.parquet(s"$dir/assigned")
     val quantized = stored.columns.contains("codes")
     val vecs =

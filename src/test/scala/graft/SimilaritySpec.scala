@@ -1881,6 +1881,13 @@ class SimilaritySpec extends SparkSpec {
         .select("query_id", "nbr_id").orderBy("query_id", "nbr_id")
         .collect().toSeq
       assert(fullAfter == bruteAll)
+      // flat retrain on a two-level dir must fail fast — rebuilding flat
+      // centroids would orphan the coarse table and loadIvf2 would
+      // descend a stale hierarchy (silent row loss, not an error)
+      val e = intercept[IllegalArgumentException] {
+        Similarity.retrainIvf(spark, dir, nLists = 4, seed = 11L)
+      }
+      assert(e.getMessage.contains("two-level"))
     } finally {
       i2.index.assigned.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
