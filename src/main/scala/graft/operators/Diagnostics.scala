@@ -665,4 +665,30 @@ object Diagnostics {
         col("n"))
       .orderBy(col(groupCol), col("q"))
   }
+
+  /** Corpus SNAPSHOT DIFF — the versioning primitive between two corpus
+    * states (yesterday's crawl vs today's): per document id, whether it
+    * was `added`, `removed`, `changed` (same id, different content hash),
+    * or `unchanged`. What a curation team reads before re-running an
+    * expensive downstream stage — an unchanged-heavy diff means the
+    * incremental paths ([[Dedup.exactIncrement]],
+    * [[Dedup.componentsIncrement]], [[graft.streaming.StreamingOps]]'
+    * ingest twins) can take the delta instead of the corpus.
+    *
+    * Scale shape: ONE full-outer hash join on the id (both sides reduced
+    * to (id, md5) in the scan stage — content never shuffles), statuses a
+    * scan-stage CASE over the join's null pattern. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val a = oldDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("__ha"))
+    val b = newDocs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("__hb"))
+    a.hint("shuffle_hash").join(b, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") =!= col("__hb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
 }

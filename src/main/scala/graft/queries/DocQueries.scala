@@ -5881,6 +5881,42 @@ object DocQueries {
         |FROM tg JOIN w ON w.cum >= tg.rank_target
         |GROUP BY 1, 2, 4 ORDER BY q""".stripMargin)),
 
+    // ---- Corpus SNAPSHOT DIFF (round 17): the versioning primitive
+    //      between two corpus states — per id: added / removed / changed /
+    //      unchanged by content hash, one full-outer join of (id, md5)
+    //      scan folds. The "v2 crawl" is derived deterministically from
+    //      the same table (every 7th id dropped, every 5th's text edited,
+    //      every 11th re-ingested under a shifted id), so both engines
+    //      construct the identical pair of snapshots.
+    "q_dedup_corpus_diff" -> Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .select("doc_id", "text")
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        graft.operators.Diagnostics.corpusDiff(docs, v2, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH v2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 11 = 0),
+        |a AS (SELECT doc_id, md5(text) AS ha FROM documents),
+        |b AS (SELECT doc_id, md5(text) AS hb FROM v2)
+        |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        | CASE WHEN a.doc_id IS NULL THEN 'added'
+        |      WHEN b.doc_id IS NULL THEN 'removed'
+        |      WHEN ha != hb THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin)),
+
     // ---- Corpus drift: PSI between crawl slices (round 15): the batch
     //      between-crawl drift report — has the source mix moved enough
     //      that yesterday's thresholds and mixture weights are stale? The
