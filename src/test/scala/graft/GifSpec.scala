@@ -160,6 +160,26 @@ class GifSpec extends SparkSpec {
     assert(Gif.decodeFrames(Gif.encodeFrames(Seq(f), 4, 4, palette)).isEmpty)
   }
 
+  test("decoder never throws: random bytes and single-byte corruptions") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 300) {
+      val b = Array.fill(rnd.nextInt(120))(rnd.nextInt(256).toByte)
+      Gif.decode(b) // None or a valid decode — anything but a throw
+    }
+    // every single-byte corruption of a real stream (magic, descriptors,
+    // LZW payload, trailer) must fail soft or decode to SOMETHING —
+    // AIOOBE/negative-size/infinite-loop paths all surface here
+    val good = Gif.encode(Array.tabulate(24)(i => (i * 11).toByte), 4, 6,
+      palette)
+    for (i <- good.indices) {
+      val c = good.clone()
+      c(i) = (c(i) ^ 0x5b).toByte
+      Gif.decode(c)
+    }
+    // and truncations at every length
+    for (n <- 0 until good.length) Gif.decode(good.take(n))
+  }
+
   test("encodeGif corpus decodes to the palette construction; aHash accepts GIF") {
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz", "s1"), (2L, "x", "s1"),
         (3L, "", "s2"))

@@ -65,6 +65,28 @@ class LangClassifierSpec extends SparkSpec {
     assert(got(0).getAs[String]("lang_pred") == "xx")
   }
 
+  test("scoreLang's SCORING path pays exactly two doc_id exchanges") {
+    val fold = foldOf(docs)
+    val m = LangClassifier.trainLangNb(fold, docs.select("doc_id", "lang"),
+      buckets = 4096, salt = ":lit")
+    val plan = LangClassifier.scoreLang(docs.select("doc_id"), "doc_id",
+      fold, m).queryExecution.executedPlan.toString
+    // the SCORING path partitions on doc_id alone: (1) the per-doc
+    // groupBy over the fold, (2) the docs side of the final join (the
+    // perDoc side reuses the groupBy partitioning). The fold build's
+    // (doc_id, b) and the one-time model lineage's (b[, lang]) exchanges
+    // are composite/other keys — excluded by the single-key pattern. The
+    // K per-language scores add NO exchanges because they are K agg
+    // columns in the one groupBy pass, not a K-way row blowup.
+    val nDocShuffles =
+      """Exchange hashpartitioning\(doc_id#\d+L?, \d+\)""".r
+        .findAllIn(plan).length
+    assert(nDocShuffles == 2,
+      s"expected 2 doc_id-only exchanges in scoreLang, got $nDocShuffles:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"), s"model must broadcast:\n$plan")
+  }
+
   test("fold built under a different salt fails fast") {
     val wrong = QualityClassifier.tokenFold(docs, "doc_id", "text",
       buckets = 4096, salt = ":other")

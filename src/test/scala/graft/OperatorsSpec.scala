@@ -1385,6 +1385,19 @@ class OperatorsSpec extends SparkSpec {
       assert(v(0)(bin.toInt) == want, s"bin $bin") }
   }
 
+  test("OPH signature build pays two hash exchanges (k-perm pays one)") {
+    import graft.operators.Dedup
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // the k-permutation form: one groupBy(doc_id) exchange, k agg columns
+    assert(shuffles(Dedup.minhashSig(docs, "doc_id", "text", 8)) == 1)
+    // OPH trades a second (<=k rows/doc) exchange for 1-op-per-edge map
+    // work: groupBy(doc_id, bin), then the per-doc re-agg
+    assert(shuffles(Dedup.minhashSigOph(docs, "doc_id", "text", 8)) == 2)
+  }
+
   test("chunking covers every token with the configured overlap") {
     import graft.operators.Chunking
     val doc = (1 to 10).map(i => s"t$i").mkString(" ")
