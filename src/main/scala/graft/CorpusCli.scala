@@ -23,7 +23,10 @@ import graft.sources.Export
   * feed the corpus):
   *   0. with `--from-html`: HTML → text extraction (the text column is raw
   *      markup — script/style chrome dies, blocks become lines)
-  *   1. quality + language screen (scan-stage Column trees)
+  *   1. quality + language screen (scan-stage Column trees; with
+  *      `--trained-langid`, the language is the multiclass-NB router
+  *      trained on the input's own lang labels over its 80% hash split
+  *      instead of the marker heuristic)
   *   2. exact dedup over the survivors, first occurrence kept
   *   3. with `--neardup`: MinHash-LSH near-dup clustering, best-quality
   *      exemplar kept per cluster
@@ -46,7 +49,8 @@ object CorpusCli {
              shards: Int = 8, budgetTokensPerSource: Long = 50000L,
              minQuality: Double = 0.4, lang: String = "en",
              fromHtml: Boolean = false, nearDup: Boolean = false,
-             deconBenchDir: Option[String] = None): Summary = {
+             deconBenchDir: Option[String] = None,
+             trainedLangId: Boolean = false): Summary = {
     // --from-html: the text column is raw markup — run the extraction
     // stage (capstone-v2's step zero) before any text operator sees it
     val raw = Tables.documents(spark, inDir)
@@ -54,10 +58,36 @@ object CorpusCli {
     val extracted =
       if (fromHtml) raw.withColumn("text", Curation.htmlToText(col("text")))
       else raw
+    // --trained-langid: route with the multiclass NB trained on the
+    // input's OWN lang labels over its 80% hash split (the annotated-
+    // slice production shape) instead of the fixed marker heuristic;
+    // requires a `lang` column on the input parquet
+    val langOf: DataFrame =
+      if (!trainedLangId)
+        extracted.select(col("doc_id"),
+          TextFunctions.langId(col("text")).as("lang"))
+      else {
+        import graft.operators.{LangClassifier, QualityClassifier, Sampling}
+        require(spark.read.parquet(s"$inDir/documents.parquet")
+          .columns.contains("lang"),
+          "--trained-langid needs a lang column on the input to train on")
+        val labeled = Tables.documents(spark, inDir)
+          .select(col("doc_id"), col("lang"))
+        val fold = QualityClassifier.tokenFold(extracted, "doc_id", "text",
+            buckets = 4096, salt = ":cli1")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val m = LangClassifier.trainLangNb(fold,
+          labeled.filter(Sampling.split(col("doc_id"), 80, 10,
+            salt = ":cli1s") === "train"),
+          buckets = 4096, salt = ":cli1")
+        LangClassifier.scoreLang(extracted.select("doc_id"), "doc_id",
+            fold, m)
+          .select(col("doc_id"), col("lang_pred").as("lang"))
+      }
     val docs = extracted
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
       .withColumn("quality", TextFunctions.qualityScore(col("text")))
-      .withColumn("lang", TextFunctions.langId(col("text")))
+      .join(langOf, Seq("doc_id"))
 
     // stage flags (computed for EVERY doc — the audit's raw material)
     val qualityFail = col("quality") < minQuality
@@ -168,7 +198,8 @@ object CorpusCli {
         lang = arg("--lang", "en"),
         fromHtml = args.contains("--from-html"),
         nearDup = args.contains("--neardup"),
-        deconBenchDir = Option(arg("--decon-bench", null)))
+        deconBenchDir = Option(arg("--decon-bench", null)),
+        trainedLangId = args.contains("--trained-langid"))
       val verdicts = s.byVerdict.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       println(s"""{"n_docs":${s.nDocs},"n_kept":${s.nKept},""" +
