@@ -62,6 +62,9 @@ object CorpusCli {
     // input's OWN lang labels over its 80% hash split (the annotated-
     // slice production shape) instead of the fixed marker heuristic;
     // requires a `lang` column on the input parquet
+    // released before returning — a long-lived session calling curate()
+    // repeatedly must not accumulate cached folds (the CacheScope lesson)
+    var langFold: Option[DataFrame] = None
     val langOf: DataFrame =
       if (!trainedLangId)
         extracted.select(col("doc_id"),
@@ -76,6 +79,7 @@ object CorpusCli {
         val fold = QualityClassifier.tokenFold(extracted, "doc_id", "text",
             buckets = 4096, salt = ":cli1")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        langFold = Some(fold)
         val m = LangClassifier.trainLangNb(fold,
           labeled.filter(Sampling.split(col("doc_id"), 80, 10,
             salt = ":cli1s") === "train"),
@@ -181,7 +185,11 @@ object CorpusCli {
 
     val byVerdict = verdict.groupBy("verdict").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    Summary(docs.count(), byVerdict.getOrElse("kept", 0L), byVerdict, shardsOk)
+    val summary =
+      Summary(docs.count(), byVerdict.getOrElse("kept", 0L), byVerdict,
+        shardsOk)
+    langFold.foreach(_.unpersist(blocking = false))
+    summary
   }
 
   def main(args: Array[String]): Unit = {

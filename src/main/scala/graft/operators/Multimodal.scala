@@ -1596,6 +1596,63 @@ object Multimodal {
       .toDF()
   }
 
+  /** One animated GIF's temporal fingerprint (the GIF sibling of
+    * [[Y4mTemporalHash]]). */
+  case class GifTemporalHash(media_id: Long, thash: Long, n_bits: Int,
+                             n_frames: Long, is_valid: Boolean)
+
+  /** Perceptual fingerprint for ANIMATED GIFs — the temporal brightness
+    * envelope over COMPOSITED frames (disposal + transparency applied, so
+    * the envelope describes what a viewer sees): per frame, the integer
+    * sum of all canvas RGB bytes; frames split into `windows` spans;
+    * per-span half-up byte mean; bit b = span b brighter than the
+    * envelope's own mean — the [[y4mTemporalHash]] math exactly, so the
+    * two containers' fingerprints live in the same Hamming space for
+    * banded near-dup joins. Scan-stage typed kernel, zero shuffle. */
+  def gifTemporalHash(media: DataFrame, windows: Int = 16): DataFrame = {
+    require(windows >= 1 && windows <= 64, "windows must be in [1, 64]")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        Gif.decodeFrames(payload) match {
+          case None => GifTemporalHash(id, 0L, 0, 0L, is_valid = false)
+          case Some((sw, sh, frames)) =>
+            val nBytes = sw * sh * 3
+            val sums = frames.map { f =>
+              var s = 0L
+              var i = 0
+              while (i < nBytes) { s += f.canvas(i) & 0xff; i += 1 }
+              s
+            }
+            val nf = sums.length
+            val w2 = math.min(windows, nf)
+            val means = new Array[Long](w2)
+            var tot = 0L
+            var b = 0
+            while (b < w2) {
+              val fs = b * nf / w2; val fe = (b + 1) * nf / w2
+              var s = 0L
+              var f = fs
+              while (f < fe) { s += sums(f); f += 1 }
+              val cnt = (fe - fs).toLong * nBytes
+              means(b) = (2 * s + cnt) / (2 * cnt)
+              tot += means(b)
+              b += 1
+            }
+            var hash = 0L
+            b = 0
+            while (b < w2) {
+              if (w2 * means(b) > tot) hash |= 1L << (w2 - 1 - b)
+              b += 1
+            }
+            GifTemporalHash(id, hash, w2, nf.toLong, is_valid = true)
+        }
+      })
+      .toDF()
+  }
+
   /** One animated-GIF frame's features (the GIF sibling of
     * [[Y4mFrame]]): composited-canvas channel means per frame. */
   case class GifFrameFeatures(media_id: Long, frame_no: Int, width: Int,

@@ -7068,6 +7068,49 @@ object DocQueries {
         |FROM v ORDER BY media_id, frame_no""".stripMargin
       }),
 
+    // ---- Animated-GIF temporal fingerprint (round 17): the GIF member
+    //      of the perceptual family (aHash image / envelope audio / thash
+    //      video) — the y4m thash math over COMPOSITED canvases, so GIF
+    //      and Y4M fingerprints share one Hamming space. A solid frame of
+    //      palette index v sums to 64·((v+85) mod 256 + 255) canvas
+    //      bytes, so the whole envelope derives analytically; windows = 4
+    //      puts up to 4 frames in a span (exercising the span sums, which
+    //      windows = 16 over <=16 frames would not).
+    "q_multimodal_gif_thash" -> Q(
+      (s, d) => Multimodal.gifTemporalHash(Multimodal.encodeGifFrames(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")), windows = 4)
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len,
+        |  greatest(1, least(16, len)) AS nf FROM m),
+        |fs AS (SELECT media_id, nf, least(4, nf) AS w2, g.f,
+        |    64 * (((CASE WHEN g.f + 1 <= len THEN ${byteAt("g.f + 1")}
+        |      ELSE 0 END) + 85) % 256 + 255) AS s
+        |  FROM d CROSS JOIN (SELECT unnest(range(0, 16)) AS f) g
+        |  WHERE g.f < nf),
+        |env AS (SELECT media_id, nf, w2, ((f + 1) * w2 - 1) // nf AS w,
+        |    CAST(sum(s) AS BIGINT) AS ssum,
+        |    CAST(count(*) * 192 AS BIGINT) AS cnt
+        |  FROM fs GROUP BY 1, 2, 3, 4),
+        |mw AS (SELECT media_id, nf, w2, w,
+        |    (2 * ssum + cnt) // (2 * cnt) AS mv FROM env),
+        |hsh AS (SELECT media_id, CAST(max(w2) AS INT) AS n_bits,
+        |    CAST(max(nf) AS BIGINT) AS n_frames,
+        |    CAST(coalesce(sum(CASE WHEN w2 * mv > (SELECT sum(m2.mv)
+        |        FROM mw m2 WHERE m2.media_id = mw.media_id)
+        |      THEN (CAST(1 AS BIGINT) << CAST(w2 - 1 - w AS INT))
+        |      ELSE 0 END), 0) AS BIGINT) AS thash
+        |  FROM mw GROUP BY media_id)
+        |SELECT media_id, thash, n_bits, n_frames, true AS is_valid
+        |FROM hsh ORDER BY media_id""".stripMargin
+      }),
+
     // Cross-codec raster pin (round 16): the aHash + box-resize kernels
     // over a PNG corpus — same pixel construction as the PPM corpus, so
     // the analytic aHash oracle (and the downscale-fixpoint invariant) is

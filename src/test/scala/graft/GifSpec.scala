@@ -212,6 +212,26 @@ class GifSpec extends SparkSpec {
     assert(resized.forall(p => (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte))
   }
 
+  test("temporal hash: bright-bright-dark-dark animation reads 0b1100") {
+    // palette byte sum per pixel depends only on (v+85) mod 256: v = 170
+    // maps to 255+255 = 510 per pixel (bright), v = 171 to 0+255 = 255
+    // (dark). Four frames [bright, bright, dark, dark] at windows = 4:
+    // per-byte window means [170, 170, 85, 85], tot = 510, so bits 0 and
+    // 1 set -> thash 12.
+    val frames = Seq(170, 170, 171, 171).map(v =>
+      Gif.Frame(Array.fill(64)(v.toByte), 0, 0, 8, 8))
+    val payload = Gif.encodeFrames(frames, 8, 8, palette)
+    val media = Seq((1L, "video", payload, (payload.length.toLong,
+        null: String, "s")))
+      .toDF("media_id", "kind", "payload", "meta")
+      .withColumn("meta", struct(col("meta._1").as("byte_len"),
+        col("meta._2").as("sha256"), col("meta._3").as("source")))
+    val r = Multimodal.gifTemporalHash(media, windows = 4).head
+    assert(r.getAs[Boolean]("is_valid"))
+    assert(r.getAs[Int]("n_bits") == 4 && r.getAs[Long]("n_frames") == 4L)
+    assert(r.getAs[Long]("thash") == 12L, r.toString)
+  }
+
   test("encodeGifFrames corpus: one composited row per frame") {
     val docs = Seq((1L, "abc", "s1"), (2L, "", "s2"))
       .toDF("doc_id", "text", "source")
