@@ -752,6 +752,64 @@ object Similarity {
     assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
+  /** [[retrainIvf]] for a TWO-LEVEL index: rebuild the hierarchical
+    * quantizer from the stored vectors and swap ALL THREE persisted parts
+    * (assignment layout, leaf centroid table, coarse parent table)
+    * together from one staged temp root — any two without the third is
+    * the silent-row-loss state (the hierarchical probe descends parents
+    * into leaves; a stale parent table names children that no longer
+    * exist). Same recovery contract as [[retrainIvf]]: a crashed run
+    * leaves `__retraining2` behind — roll forward by moving its part
+    * dirs into place (skipping ones already moved; `old__*` presence
+    * marks those), or roll back from the `old__*` dirs, then delete the
+    * temp root and rerun.
+    *
+    * Also the UPGRADE path: run against a dir saved by [[saveIvf]] (no
+    * `coarse`) to convert a flat index to two-level in place — the flat
+    * case simply has no coarse table to move aside. Quantized indexes
+    * keep their exact stored codes/scale, re-celled without a second
+    * rounding pass (the [[retrainIvf]] rule). */
+  def retrainIvf2(spark: SparkSession, dir: String, nParents: Int = 4,
+                  fanout: Int = 4, seed: Long = 42L): Unit = {
+    val stored = spark.read.parquet(s"$dir/assigned")
+    val quantized = stored.columns.contains("codes")
+    val vecs =
+      if (quantized) stored.select(col("nbr_id"),
+        VectorFunctions.dequantizeI8(col("codes"), col("scale")).as("nbr_v"))
+      else stored.select(col("nbr_id"), col("nbr_v"))
+    val fresh = buildIvf2(vecs.select(col("nbr_id").as("vec_id"),
+      col("nbr_v").as("embedding")), nParents, fanout, seed)
+    try {
+      val reassigned =
+        if (quantized)
+          stored.drop("cell").join(
+            fresh.index.assigned.select("nbr_id", "cell").hint("shuffle_hash"),
+            Seq("nbr_id"))
+        else fresh.index.assigned
+      val tmpRoot = s"$dir/__retraining2"
+      reassigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmpRoot/assigned")
+      fresh.index.centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$tmpRoot/centroids")
+      fresh.coarse.withColumn("fanout", lit(fresh.fanout))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmpRoot/coarse")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(tmpRoot), spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      fs.rename(p(s"$dir/assigned"), p(s"$tmpRoot/old__assigned"))
+      fs.rename(p(s"$tmpRoot/assigned"), p(s"$dir/assigned"))
+      fs.rename(p(s"$dir/centroids"), p(s"$tmpRoot/old__centroids"))
+      fs.rename(p(s"$tmpRoot/centroids"), p(s"$dir/centroids"))
+      if (fs.exists(p(s"$dir/coarse"))) // absent on the flat-upgrade path
+        fs.rename(p(s"$dir/coarse"), p(s"$tmpRoot/old__coarse"))
+      fs.rename(p(s"$tmpRoot/coarse"), p(s"$dir/coarse"))
+      fs.delete(p(tmpRoot), true)
+      spark.catalog.refreshByPath(s"$dir/assigned")
+      spark.catalog.refreshByPath(s"$dir/centroids")
+      spark.catalog.refreshByPath(s"$dir/coarse")
+    } finally fresh.index.assigned.unpersist(blocking = false)
+  }
+
   // ==================== product quantization (IVF+PQ) ====================
 
   /** Trained PQ codebooks: `m` subspaces of `dim / m` dims each, `nCodes`

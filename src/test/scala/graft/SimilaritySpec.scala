@@ -1888,8 +1888,47 @@ class SimilaritySpec extends SparkSpec {
         Similarity.retrainIvf(spark, dir, nLists = 4, seed = 11L)
       }
       assert(e.getMessage.contains("two-level"))
+      // the two-level retrain swaps all three parts in together: a fresh
+      // (2 x 4)-leaf hierarchy over the SAME stored rows, exhaustive
+      // probe still the brute-force result, no staging residue left
+      Similarity.retrainIvf2(spark, dir, nParents = 2, fanout = 4,
+        seed = 13L)
+      val re = Similarity.loadIvf2(spark, dir)
+      assert(re.fanout == 4 &&
+        re.coarse.select("parent").distinct().count() == 2)
+      val fullRe = Similarity.searchIvf2(re, queries, k = 5,
+          nProbe = 8, probeParents = 2)
+        .select("query_id", "nbr_id").orderBy("query_id", "nbr_id")
+        .collect().toSeq
+      assert(fullRe == bruteAll)
+      assert(!new java.io.File(s"$dir/__retraining2").exists())
     } finally {
       i2.index.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("retrainIvf2 upgrades a flat index dir to two-level in place") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val flat = Similarity.buildIvf(emb, nLists = 4, seed = 5L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_up").toString
+    try {
+      Similarity.saveIvf(flat, dir)
+      Similarity.retrainIvf2(spark, dir, nParents = 2, fanout = 3, seed = 9L)
+      val i2 = Similarity.loadIvf2(spark, dir)
+      assert(i2.fanout == 3)
+      val full = Similarity.searchIvf2(i2, queries, k = 5,
+          nProbe = 6, probeParents = 2)
+        .select("query_id", "nbr_id").orderBy("query_id", "nbr_id")
+        .collect().toSeq
+      val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .select("query_id", "nbr_id").orderBy("query_id", "nbr_id")
+        .collect().toSeq
+      assert(full.nonEmpty && full == brute)
+    } finally {
+      flat.assigned.unpersist()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       spark.catalog.clearCache()
     }
