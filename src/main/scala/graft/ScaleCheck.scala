@@ -1355,6 +1355,26 @@ object ScaleCheck {
           Multimodal.fromText(Tables.documents(spark, d),
             "doc_id", "text", "source")))
       },
+      // animated-GIF temporal fingerprint: decode + envelope are
+      // partition-local typed maps, zero shuffle — expect flat
+      "gif_thash" -> { d =>
+        import graft.operators.Multimodal
+        Multimodal.gifTemporalHash(Multimodal.encodeGifFrames(
+          Multimodal.fromText(Tables.documents(spark, d),
+            "doc_id", "text", "source")), windows = 4)
+      },
+      // corpus snapshot diff: two (id, md5) scan folds + ONE full-outer
+      // hash join — content never shuffles; expect ~linear
+      "corpus_diff" -> { d =>
+        import graft.operators.Diagnostics
+        val docs = Tables.documents(spark, d)
+        val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(5)) === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .select("doc_id", "text")
+        Diagnostics.corpusDiff(docs, v2, "doc_id", "text")
+      },
       // trained multiclass NB lang-id: one token fold, a buckets-bounded
       // broadcast model, K decimal sums in ONE per-doc groupBy (no row
       // blowup by K) — the corpus term is the fold + one shuffle
