@@ -53,8 +53,8 @@ object CorpusCli {
              trainedLangId: Boolean = false): Summary = {
     // --from-html: the text column is raw markup — run the extraction
     // stage (capstone-v2's step zero) before any text operator sees it
-    val raw = Tables.documents(spark, inDir)
-      .select(col("doc_id"), col("source"), col("text"))
+    val docs0 = Tables.documents(spark, inDir)
+    val raw = docs0.select(col("doc_id"), col("source"), col("text"))
     val extracted =
       if (fromHtml) raw.withColumn("text", Curation.htmlToText(col("text")))
       else raw
@@ -71,11 +71,11 @@ object CorpusCli {
           TextFunctions.langId(col("text")).as("lang"))
       else {
         import graft.operators.{LangClassifier, QualityClassifier, Sampling}
-        require(spark.read.parquet(s"$inDir/documents.parquet")
-          .columns.contains("lang"),
+        // checked on the already-loaded frame — one Tables.documents load
+        // owns the input path convention, no second footer read
+        require(docs0.columns.contains("lang"),
           "--trained-langid needs a lang column on the input to train on")
-        val labeled = Tables.documents(spark, inDir)
-          .select(col("doc_id"), col("lang"))
+        val labeled = docs0.select(col("doc_id"), col("lang"))
         val fold = QualityClassifier.tokenFold(extracted, "doc_id", "text",
             buckets = 4096, salt = ":cli1")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1346,6 +1346,22 @@ object ScaleCheck {
         Similarity.searchIvf2(i2,
           emb.filter(col("vec_id") % 1000L === 0L), k = 10, nProbe = 2)
       },
+      // IVF2 x PQ composed (round 18): the ivf2_build re-sizing regime with
+      // the store PQ-coded — hierarchical assignment (sqrt-bounded
+      // evals/vector) + per-subspace encode (broadcast codebooks, two
+      // partial-agg groupBys) + a probe that scans m BYTES per candidate.
+      // Expect the ivf2_build ratio plus the flat encode term (~linear)
+      "ivf2_pq" -> { d =>
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+        val (np, f) = if (d == out) (10, 8) else (4, 2)
+        val i2 = Similarity.buildIvf2(emb, nParents = np, fanout = f,
+          seed = 42L)
+        val pq = Similarity.trainPq(emb, m = 16, nCodes = 64, seed = 7L)
+        val coded = Similarity.encodePq2(i2, pq)
+        Similarity.searchIvf2Pq(coded, pq,
+          emb.filter(col("vec_id") % 1000L === 0L), k = 10, nProbe = 2)
+      },
       // GIF encode -> LZW/sub-block/palette decode: partition-local typed
       // maps end to end, zero shuffle — the png_roundtrip shape; expect
       // scan-stage flat
@@ -1444,8 +1460,15 @@ object ScaleCheck {
       spark.catalog.clearCache()
     }
 
-    // warm codegen/JIT once at 1x so both measured runs are hot
-    picked.foreach { case (_, f) => f(base).write.format("noop").mode("overwrite").save() }
+    // warm codegen/JIT once at 1x so both measured runs are hot. Cache is
+    // swept after EVERY shape here too (time() already sweeps the measured
+    // runs): shapes that persist an internal fold (langid_trained,
+    // bakeoff_fused) must not let it outlive the shape and skew the memory
+    // available to neighbors measured in the same session.
+    picked.foreach { case (_, f) =>
+      f(base).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    }
     val results = picked.map { case (name, f) =>
       val t1 = time(name, base)(f)
       val t10 = time(name, out)(f)

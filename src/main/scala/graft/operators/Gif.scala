@@ -332,6 +332,11 @@ object Gif {
       val packed = r.u8()
       val bgIndex = r.u8()
       r.skip(1) // aspect ratio
+      // a truncated global table is a malformation NOW, not later: take()
+      // on a short buffer would zero-pad (copyOfRange semantics) and read
+      // silently-black entries — check remaining first, like the LCT path
+      if ((packed & 0x80) != 0 && r.remaining < 3 * (2 << (packed & 7)))
+        return None
       val gct: Array[Byte] =
         if ((packed & 0x80) != 0) r.take(3 * (2 << (packed & 7))) else null
       val canvas = new Array[Byte](sw * sh * 3)

@@ -519,6 +519,7 @@ object Similarity {
     require(!fsChk.exists(new org.apache.hadoop.fs.Path(s"$dir/coarse")),
       s"$dir holds a two-level (IVF2) index — retrainIvf would orphan its " +
         "coarse table; rebuild with buildIvf2 and publish to a fresh dir")
+    requireNoStaleSwap(fsChk, s"$dir/__retraining")
     val stored = spark.read.parquet(s"$dir/assigned")
     val quantized = stored.columns.contains("codes")
     val vecs =
@@ -555,15 +556,40 @@ object Similarity {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmpRoot), spark.sparkContext.hadoopConfiguration)
       def p(s: String) = new org.apache.hadoop.fs.Path(s)
-      fs.rename(p(s"$dir/assigned"), p(s"$tmpRoot/old__assigned"))
-      fs.rename(p(s"$tmpRoot/assigned"), p(s"$dir/assigned"))
-      fs.rename(p(s"$dir/centroids"), p(s"$tmpRoot/old__centroids"))
-      fs.rename(p(s"$tmpRoot/centroids"), p(s"$dir/centroids"))
+      mustRename(fs, p(s"$dir/assigned"), p(s"$tmpRoot/old__assigned"))
+      mustRename(fs, p(s"$tmpRoot/assigned"), p(s"$dir/assigned"))
+      mustRename(fs, p(s"$dir/centroids"), p(s"$tmpRoot/old__centroids"))
+      mustRename(fs, p(s"$tmpRoot/centroids"), p(s"$dir/centroids"))
       fs.delete(p(tmpRoot), true)
       spark.catalog.refreshByPath(s"$dir/assigned")
       spark.catalog.refreshByPath(s"$dir/centroids")
     } finally fresh.assigned.unpersist(blocking = false)
   }
+
+  /** Fail fast when a previous retrain's temp root survived a crash: its
+    * staged parts and `old__*` backups are the RECOVERY material, and the
+    * swap renames of a fresh run against it would fail (or, on
+    * LocalFileSystem, nest directories) only to have the closing
+    * tmp-root delete destroy both the staged parts and the backups while
+    * the live dir sits in a mixed state. Manual recovery per the retrain
+    * contract, then rerun. */
+  private def requireNoStaleSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                 tmpRoot: String): Unit =
+    require(!fs.exists(new org.apache.hadoop.fs.Path(tmpRoot)),
+      s"$tmpRoot exists — a previous retrain crashed mid-swap; roll its " +
+        "contents forward or back per the retrain recovery contract and " +
+        "delete the temp root before retraining again")
+
+  /** A swap rename that must succeed: a silently-false rename would leave
+    * the staged/live halves inconsistent and the closing cleanup would then
+    * delete the only good copy. */
+  private def mustRename(fs: org.apache.hadoop.fs.FileSystem,
+                         src: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(src, dst),
+      s"rename $src -> $dst failed mid-swap — the index dir needs the " +
+        "retrain recovery procedure (roll the temp root forward or back) " +
+        "before it is probed or retrained again")
 
   // ==================== two-level (residual) IVF ====================
 
@@ -771,6 +797,9 @@ object Similarity {
     * rounding pass (the [[retrainIvf]] rule). */
   def retrainIvf2(spark: SparkSession, dir: String, nParents: Int = 4,
                   fanout: Int = 4, seed: Long = 42L): Unit = {
+    requireNoStaleSwap(org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration),
+      s"$dir/__retraining2")
     val stored = spark.read.parquet(s"$dir/assigned")
     val quantized = stored.columns.contains("codes")
     val vecs =
@@ -796,13 +825,13 @@ object Similarity {
       val fs = org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(tmpRoot), spark.sparkContext.hadoopConfiguration)
       def p(s: String) = new org.apache.hadoop.fs.Path(s)
-      fs.rename(p(s"$dir/assigned"), p(s"$tmpRoot/old__assigned"))
-      fs.rename(p(s"$tmpRoot/assigned"), p(s"$dir/assigned"))
-      fs.rename(p(s"$dir/centroids"), p(s"$tmpRoot/old__centroids"))
-      fs.rename(p(s"$tmpRoot/centroids"), p(s"$dir/centroids"))
+      mustRename(fs, p(s"$dir/assigned"), p(s"$tmpRoot/old__assigned"))
+      mustRename(fs, p(s"$tmpRoot/assigned"), p(s"$dir/assigned"))
+      mustRename(fs, p(s"$dir/centroids"), p(s"$tmpRoot/old__centroids"))
+      mustRename(fs, p(s"$tmpRoot/centroids"), p(s"$dir/centroids"))
       if (fs.exists(p(s"$dir/coarse"))) // absent on the flat-upgrade path
-        fs.rename(p(s"$dir/coarse"), p(s"$tmpRoot/old__coarse"))
-      fs.rename(p(s"$tmpRoot/coarse"), p(s"$dir/coarse"))
+        mustRename(fs, p(s"$dir/coarse"), p(s"$tmpRoot/old__coarse"))
+      mustRename(fs, p(s"$tmpRoot/coarse"), p(s"$dir/coarse"))
       fs.delete(p(tmpRoot), true)
       spark.catalog.refreshByPath(s"$dir/assigned")
       spark.catalog.refreshByPath(s"$dir/centroids")
@@ -912,8 +941,16 @@ object Similarity {
                   k: Int, nProbe: Int): DataFrame = {
     graft.GraftExtensions.register(queries.sparkSession)
     val probed = probeCells(queries, index.centroids, nProbe)
-    // nested [subspace][code] -> codeword value (one row, metadata-sized):
-    // inner sort by code, outer by subspace — both deterministic
+    rankPqCandidates(pqReconStore(index.assigned, pq), probed, k)
+  }
+
+  /** The PQ-reconstruction candidate store shared by the flat and two-level
+    * probes: each coded row decoded to its reconstruction IN THE SCAN by
+    * indexing a nested [subspace][code] -> codeword array that rides a
+    * one-row broadcast (codebooks are DATA in a joined row, never plan
+    * literals — codegen stays constant-sized in m x nCodes; inner sort by
+    * code, outer by subspace, both deterministic). */
+  private def pqReconStore(assigned: DataFrame, pq: PqCodebooks): DataFrame = {
     val nested = pq.codebooks
       .groupBy("subspace")
       .agg(transform(array_sort(collect_list(struct(col("code"), col("codeword")))),
@@ -921,11 +958,17 @@ object Similarity {
       .groupBy()
       .agg(transform(array_sort(collect_list(struct(col("subspace"), col("cb")))),
         s => s.getField("cb")).as("cb"))
-    val store = index.assigned.crossJoin(broadcast(nested))
+    assigned.crossJoin(broadcast(nested))
       .select(col("cell"), col("nbr_id"),
         flatten(transform(col("pq_codes"), (c, j) =>
           element_at(element_at(col("cb"), j + lit(1)),
             c.cast("int") + lit(129)))).as("nbr_v"))
+  }
+
+  /** Score probed cells' candidates against the full-precision query and
+    * keep each query's top k — the shared tail of every IVF search. */
+  private def rankPqCandidates(store: DataFrame, probed: DataFrame,
+                               k: Int): DataFrame = {
     val scored = store.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id"),
@@ -933,6 +976,52 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** [[encodePq]] for a TWO-LEVEL index — the 65k-list composition the two
+    * levers were built for: the hierarchical quantizer caps assignment at
+    * 2·√nLists distance evals per vector, PQ caps the stored bytes at m per
+    * vector. The leaf assignment already rides the flat [[IvfIndex]]
+    * contract, so the encode is [[encodePq]] over the inner index verbatim;
+    * the coarse table and fanout ride along unchanged. [[saveIvf2]] +
+    * [[savePq]] persist the result (the coded leaf layout loads back
+    * through [[loadIvf2]] + [[loadPq]]). */
+  def encodePq2(i2: Ivf2Index, pq: PqCodebooks): Ivf2Index =
+    Ivf2Index(encodePq(i2.index, pq), i2.coarse, i2.fanout)
+
+  /** [[searchIvfPq]] through the two-level probe: the hierarchical parent →
+    * leaf descent picks the `nProbe` candidate cells (nParents +
+    * probeParents·fanout distance evals per query instead of the flat
+    * probe's nLists), then candidates score by PQ reconstruction exactly as
+    * the flat path — same deterministic left-to-right fold, so the
+    * exhaustive-probe mode (`probeParents = nParents`, `nProbe = nLists`)
+    * hash-matches the same brute-force-over-reconstructions oracle the flat
+    * PQ gate uses. At production settings the probe touches
+    * nProbe/nLists of an index that stores m BYTES per vector — the two
+    * scale levers composed. */
+  def searchIvf2Pq(i2: Ivf2Index, pq: PqCodebooks, queries: DataFrame,
+                   k: Int, nProbe: Int, probeParents: Int = 0): DataFrame = {
+    graft.GraftExtensions.register(queries.sparkSession)
+    val pp = if (probeParents > 0) probeParents else nProbe / i2.fanout + 2
+    val probed = probeCells2(queries, i2, nProbe, pp)
+    rankPqCandidates(pqReconStore(i2.index.assigned, pq), probed, k)
+  }
+
+  /** [[appendIvfPq]] for a two-level index: the new batch descends the
+    * FROZEN hierarchical quantizer ([[assignCells2]]) and is encoded under
+    * the FROZEN codebooks, then appended into the same cell-partitioned
+    * layout — load-after-append is row-identical to a fresh encode of the
+    * unioned corpus (both are pure per-row functions of the frozen model
+    * frames; asserted in SimilaritySpec). */
+  def appendIvf2Pq(i2: Ivf2Index, pq: PqCodebooks, newBatch: DataFrame,
+                   dir: String): Unit = {
+    val fresh = IvfIndex(
+      assignCells2(Parallelism.fanOut(
+          newBatch.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_v"))),
+        i2.coarse, i2.index.centroids),
+      i2.index.centroids)
+    encodePq(fresh, pq).assigned
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
   /** Persist trained PQ codebooks beside a [[saveIvf]] index — the

@@ -399,6 +399,72 @@ object DocQueries {
     s"list_dot_product(list_transform($a, (x, i) -> x - $b[i]), " +
       s"list_transform($a, (x, i) -> x - $b[i]))"
 
+  /** Cross-engine-deterministic PQ codebooks for the PQ gates: m=8
+    * subspaces x 16 codewords, each codeword the EXACT sequential-fold mean
+    * (in vec_id order) of a hash-bucket of subvectors — the
+    * q_dedup_semantic centroid trick lifted to subspaces, so both engines
+    * derive bit-identical codebooks without k-means. The k-means-trained
+    * path ([[graft.operators.Similarity.trainPq]]) is recall-bounded in
+    * SimilaritySpec. */
+  private def deterministicPq(emb: DataFrame): Similarity.PqCodebooks = {
+    import graft.operators.{Centroids, Dedup}
+    val e = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val (m, sub, nCodes) = (8, 8, 16)
+    val cb = (0 until m).map { j =>
+      e.select(col("vec_id"),
+          pmod(Dedup.tokenFp60(concat(col("vec_id").cast("string"),
+            lit(s":pq$j"))), lit(nCodes.toLong)).as("code"),
+          slice(col("v"), j * sub + 1, sub).as("sv"))
+        .groupBy("code")
+        .agg(array((1 to sub).map(i =>
+          Centroids.exactDimMean(col("vec_id"), element_at(col("sv"), i))): _*)
+          .as("codeword"))
+        .select(lit(j).as("subspace"), col("code").cast("int").as("code"),
+          col("codeword"))
+    }.reduce(_ unionByName _)
+    Similarity.PqCodebooks(m, 64, nCodes, cb)
+  }
+
+  /** Brute force over PQ RECONSTRUCTIONS under the [[deterministicPq]]
+    * codebooks — the shared oracle for both exhaustive-probe PQ gates
+    * (flat `q_sim_topk_ivf_pq` and two-level `q_sim_topk_ivf2_pq`: with
+    * every cell probed the coarse quantizer cannot affect the result, so
+    * one oracle pins both layouts). Mirrors encode (argmin d2, ties to
+    * lowest code), reconstruction (flatten in subspace order), and cosine
+    * bit for bit. */
+  private def PqTopKSql: String = {
+    val cbUnion = (0 until 8).map { j =>
+      val dims = (1 to 8).map { i =>
+        val g = j * 8 + i
+        s"list_dot_product(list(v[$g] ORDER BY vec_id), " +
+          s"list_transform(list(v[$g] ORDER BY vec_id), x -> 1.0)) " +
+          s"/ len(list(v[$g] ORDER BY vec_id))"
+      }.mkString(", ")
+      s"""SELECT $j AS subspace, code, [$dims] AS codeword FROM (
+         |  SELECT vec_id, v,
+         |    ${fp60Sql(s"CAST(vec_id AS VARCHAR) || ':pq$j'")} % 16 AS code
+         |  FROM e) GROUP BY code""".stripMargin
+    }.mkString("\n UNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    |cb AS ($cbUnion),
+    |enc0 AS (SELECT e.vec_id, cb.subspace, cb.code, cb.codeword,
+    |  ${d2Sql("e.v[(cb.subspace * 8 + 1):(cb.subspace * 8 + 8)]", "cb.codeword")} AS d2
+    |  FROM e CROSS JOIN cb),
+    |enc AS (SELECT vec_id, subspace, codeword FROM (
+    |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+    |    ORDER BY d2, code) AS rn FROM enc0) WHERE rn = 1),
+    |recon AS (SELECT vec_id AS nbr_id,
+    |  flatten(list(codeword ORDER BY subspace)) AS nbr_v
+    |  FROM enc GROUP BY vec_id),
+    |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    |scored AS (SELECT query_id, nbr_id, ${cosSql("qv", "nbr_v")} AS cosine
+    |  FROM recon CROSS JOIN q WHERE nbr_id != query_id)
+    |SELECT query_id, nbr_id, cosine,
+    | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+    |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Bigram-LM scoring CTE chain — mirrors LanguageModel train + score
     * (stupid backoff, capped vocab/bigrams, <unk> normalization, per-token
     * log-probs rounded to 9 decimals as DECIMAL(28,9)). Expects a caller
@@ -4944,24 +5010,8 @@ object DocQueries {
     // SimilaritySpec.
     "q_sim_topk_ivf_pq" -> Q(
       (s, d) => {
-        import graft.operators.{Centroids, Dedup}
         val emb = Tables.embeddings(s, d)
-        val e = emb.select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v"))
-        val (m, sub, nCodes) = (8, 8, 16)
-        val cb = (0 until m).map { j =>
-          e.select(col("vec_id"),
-              pmod(Dedup.tokenFp60(concat(col("vec_id").cast("string"),
-                lit(s":pq$j"))), lit(nCodes.toLong)).as("code"),
-              slice(col("v"), j * sub + 1, sub).as("sv"))
-            .groupBy("code")
-            .agg(array((1 to sub).map(i =>
-              Centroids.exactDimMean(col("vec_id"), element_at(col("sv"), i))): _*)
-              .as("codeword"))
-            .select(lit(j).as("subspace"), col("code").cast("int").as("code"),
-              col("codeword"))
-        }.reduce(_ unionByName _)
-        val pq = Similarity.PqCodebooks(m, 64, nCodes, cb)
+        val pq = deterministicPq(emb)
         val coded = Similarity.encodePq(
           Similarity.sharedIvf(emb, corpusKey = d, nLists = 16), pq)
         Similarity.searchIvfPq(coded, pq, emb.filter(col("vec_id") < 8),
@@ -4970,37 +5020,38 @@ object DocQueries {
           .orderBy("query_id", "rank")
       },
       prewarm = Some(PrewarmIvf),
-      oracle = Some {
-        val cbUnion = (0 until 8).map { j =>
-          val dims = (1 to 8).map { i =>
-            val g = j * 8 + i
-            s"list_dot_product(list(v[$g] ORDER BY vec_id), " +
-              s"list_transform(list(v[$g] ORDER BY vec_id), x -> 1.0)) " +
-              s"/ len(list(v[$g] ORDER BY vec_id))"
-          }.mkString(", ")
-          s"""SELECT $j AS subspace, code, [$dims] AS codeword FROM (
-             |  SELECT vec_id, v,
-             |    ${fp60Sql(s"CAST(vec_id AS VARCHAR) || ':pq$j'")} % 16 AS code
-             |  FROM e) GROUP BY code""".stripMargin
-        }.mkString("\n UNION ALL\n")
-        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cb AS ($cbUnion),
-        |enc0 AS (SELECT e.vec_id, cb.subspace, cb.code, cb.codeword,
-        |  ${d2Sql("e.v[(cb.subspace * 8 + 1):(cb.subspace * 8 + 8)]", "cb.codeword")} AS d2
-        |  FROM e CROSS JOIN cb),
-        |enc AS (SELECT vec_id, subspace, codeword FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-        |    ORDER BY d2, code) AS rn FROM enc0) WHERE rn = 1),
-        |recon AS (SELECT vec_id AS nbr_id,
-        |  flatten(list(codeword ORDER BY subspace)) AS nbr_v
-        |  FROM enc GROUP BY vec_id),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
-        |scored AS (SELECT query_id, nbr_id, ${cosSql("qv", "nbr_v")} AS cosine
-        |  FROM recon CROSS JOIN q WHERE nbr_id != query_id)
-        |SELECT query_id, nbr_id, cosine,
-        | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
-        |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
-      }),
+      oracle = Some(PqTopKSql)),
+
+    // IVF2 + PQ — the two scale levers COMPOSED over one persisted layout
+    // (round 18): the two-level quantizer caps assignment/probe at
+    // ~2·√nLists distance evals, PQ caps the store at m bytes/vector; a
+    // 65k-list × 100 TB deployment needs both at once. The gate runs the
+    // full lifecycle — build the hierarchical quantizer, encode its leaf
+    // assignment under the SAME deterministic hash-bucket codebooks as the
+    // flat gate, saveIvf2 + savePq, reload both halves, search through the
+    // hierarchical probe at an exhaustive budget — and must hash-match the
+    // SAME brute-force-over-reconstructions oracle: at probeParents =
+    // nParents / nProbe = nLists the k-means hierarchy cannot affect the
+    // result, so any row lost or re-scored anywhere in the
+    // encode/save/load/descend chain fails the hash.
+    "q_sim_topk_ivf2_pq" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pq = deterministicPq(emb)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivf2_pq_gate").toString
+        val built = Similarity.buildIvf2(emb, nParents = 4, fanout = 4,
+          seed = 42L)
+        Similarity.saveIvf2(Similarity.encodePq2(built, pq), dir)
+        Similarity.savePq(pq, dir)
+        built.index.assigned.unpersist(blocking = false)
+        Similarity.searchIvf2Pq(Similarity.loadIvf2(s, dir),
+            Similarity.loadPq(s, dir), emb.filter(col("vec_id") < 8),
+            k = 10, nProbe = 16, probeParents = 4)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      Some(PqTopKSql)),
 
     // ---- Dataset DATASHEET (round 14): the per-source one-stop card a
     //      corpus ships with — volume, exact mean quality, language share,

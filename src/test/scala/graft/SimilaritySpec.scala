@@ -1933,4 +1933,130 @@ class SimilaritySpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("IVF2+PQ: composed lifecycle — encode, persist, append frozen, and the byte ladder") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val pq = Similarity.trainPq(base, m = 16, nCodes = 32, seed = 11L)
+    val i2 = Similarity.buildIvf2(base, nParents = 2, fanout = 3, seed = 42L)
+    val coded = Similarity.encodePq2(i2, pq)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_pq").toString
+    def bytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles).fold(0L)(_.map(walk).sum)
+        else f.length()
+      walk(new java.io.File(d))
+    }
+    try {
+      // persist both halves; loaded search == in-memory search row for row
+      Similarity.saveIvf2(coded, dir)
+      Similarity.savePq(pq, dir)
+      val loaded = Similarity.loadIvf2(spark, dir)
+      val loadedPq = Similarity.loadPq(spark, dir)
+      val a = Similarity.searchIvf2Pq(coded, pq, queries, k = 5, nProbe = 3)
+        .orderBy("query_id", "rank").collect()
+      val b = Similarity.searchIvf2Pq(loaded, loadedPq, queries, k = 5,
+          nProbe = 3)
+        .orderBy("query_id", "rank").collect()
+      assert(a.nonEmpty && a.toSeq == b.toSeq)
+      // exhaustive hierarchical probe == exhaustive FLAT probe over the
+      // same coded inner index: the descent only picks cells, the scores
+      // are the same reconstruction fold
+      val h = Similarity.searchIvf2Pq(coded, pq, queries, k = 5,
+          nProbe = 6, probeParents = 2)
+        .orderBy("query_id", "rank").collect()
+      val f = Similarity.searchIvfPq(coded.index, pq, queries, k = 5,
+          nProbe = 6)
+        .orderBy("query_id", "rank").collect()
+      assert(h.toSeq == f.toSeq)
+      // frozen-model append: load-after-append == fresh encode of the
+      // union under the SAME hierarchical quantizer + codebooks
+      Similarity.appendIvf2Pq(coded, pq, batch, dir)
+      spark.catalog.refreshByPath(s"$dir/assigned")
+      val after = Similarity.loadIvf2(spark, dir).index.assigned
+        .select("nbr_id", "pq_codes", "cell").collect()
+        .map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq,
+          r.getAs[Number]("cell").longValue)).toSet
+      val freshUnion = Similarity.encodePq(
+          Similarity.IvfIndex(Similarity.assignCells2(
+            graft.core.Parallelism.fanOut(emb.select(col("vec_id").as("nbr_id"),
+              col("embedding").as("nbr_v"))), i2.coarse, i2.index.centroids),
+            i2.index.centroids), pq)
+        .assigned.select("nbr_id", "pq_codes", "cell").collect()
+        .map(r => (r.getLong(0), r.getSeq[Byte](1).toSeq,
+          r.getAs[Number]("cell").longValue)).toSet
+      assert(after == freshUnion, "append diverged from fresh union encode")
+      // the byte ladder on the TWO-LEVEL layout: pq < i8 < raw over the
+      // same rows, same one-file layout
+      val cmpDir = java.nio.file.Files.createTempDirectory("graft_cmp2").toString
+      try {
+        i2.index.assigned.coalesce(1)
+          .write.mode("overwrite").parquet(s"$cmpDir/raw")
+        Similarity.quantizeIvf(i2.index).assigned.coalesce(1)
+          .write.mode("overwrite").parquet(s"$cmpDir/i8")
+        coded.index.assigned.coalesce(1)
+          .write.mode("overwrite").parquet(s"$cmpDir/pq")
+        val (raw, i8, pqB) =
+          (bytes(s"$cmpDir/raw"), bytes(s"$cmpDir/i8"), bytes(s"$cmpDir/pq"))
+        assert(i8 < raw, s"int8 $i8 not smaller than raw $raw")
+        assert(pqB < i8, s"pq $pqB not smaller than int8 $i8")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cmpDir))
+      }
+    } finally {
+      i2.index.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("retrain fails fast on a stale crash-leftover temp root and on a false rename") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    val flatDir = java.nio.file.Files.createTempDirectory("graft_stale_f").toString
+    val twoDir = java.nio.file.Files.createTempDirectory("graft_stale_2").toString
+    try {
+      val flat = Similarity.buildIvf(emb, nLists = 2, seed = 3L)
+      Similarity.saveIvf(flat, flatDir)
+      flat.assigned.unpersist()
+      val i2 = Similarity.buildIvf2(emb, nParents = 2, fanout = 2, seed = 3L)
+      Similarity.saveIvf2(i2, twoDir)
+      i2.index.assigned.unpersist()
+      // a surviving temp root is RECOVERY MATERIAL: retraining over it
+      // would rename into it and then delete it — fail fast instead
+      assert(new java.io.File(s"$flatDir/__retraining").mkdirs())
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.retrainIvf(spark, flatDir, nLists = 2, seed = 4L)
+      }
+      assert(e1.getMessage.contains("__retraining"))
+      assert(new java.io.File(s"$twoDir/__retraining2").mkdirs())
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.retrainIvf2(spark, twoDir, nParents = 2, fanout = 2,
+          seed = 4L)
+      }
+      assert(e2.getMessage.contains("__retraining2"))
+      // after clearing the leftover, retrain proceeds and converges to the
+      // brute-force result at full probe — the guard only blocks the
+      // genuinely unsafe state
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$twoDir/__retraining2"))
+      Similarity.retrainIvf2(spark, twoDir, nParents = 2, fanout = 2,
+        seed = 4L)
+      val re = Similarity.loadIvf2(spark, twoDir)
+      val full = Similarity.searchIvf2(re, emb.filter(col("vec_id") < 3),
+          k = 3, nProbe = 4, probeParents = 2)
+        .select("query_id", "nbr_id").orderBy("query_id", "nbr_id")
+        .collect().toSeq
+      val brute = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 3), k = 3)
+        .select("query_id", "nbr_id").orderBy("query_id", "nbr_id")
+        .collect().toSeq
+      assert(full == brute)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(flatDir))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(twoDir))
+      spark.catalog.clearCache()
+    }
+  }
 }
