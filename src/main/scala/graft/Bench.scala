@@ -62,11 +62,16 @@ object Bench {
       }
     }
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // gate-scoped persists release INSIDE the timed region: production
+      // pays the unpersist too, and the next run's sweep then has nothing
+      // gate-owned left to find
+      graft.core.CacheScope.beginGate()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      finally graft.core.CacheScope.endGate()
       (System.nanoTime() - t0) / 1e9
     }
     def median(xs: Seq[Double]): Double = {

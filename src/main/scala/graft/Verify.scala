@@ -23,23 +23,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var releasedTotal = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only(name)) {
+        // per-gate cache scope: gate-internal persists (token folds, band
+        // indexes) pin into this handle and are RELEASED as soon as the
+        // gate's output is materialized — a 300-gate sweep holds at most
+        // one gate's intermediates at a time, by construction rather than
+        // by blanket sweep.
+        graft.core.CacheScope.beginGate()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // cache hygiene between gates. DataFrame-level persists are swept
-        // SILENTLY by clearCache() — by design: memoized indexes (e.g.
-        // Similarity.sharedIvf) leave their frame cached for reuse and
-        // repair themselves after the sweep, so a DF-level entry here is
-        // legitimate. RDD-level persists have no such owner and would pin
-        // memory for the rest of the run, so they are STRICT by default: a
-        // gate that leaks one is recorded as FAILED (its dump is deleted,
-        // so the driver's compare reports it) and the discipline can't
-        // erode silently; SPARK_GRAFT_LENIENT_CACHE=1 restores
-        // warn-and-clean for local archaeology.
+        finally releasedTotal += graft.core.CacheScope.endGate()
+        // cache hygiene between gates. Remaining DataFrame-level persists
+        // after the handle release are the SESSION-SHARED assets (the
+        // memoized Similarity.sharedIvf index) — swept here and they
+        // repair themselves on next use. RDD-level persists have no such
+        // owner and would pin memory for the rest of the run, so they are
+        // STRICT by default: a gate that leaks one is recorded as FAILED
+        // (its dump is deleted, so the driver's compare reports it) and
+        // the discipline can't erode silently; SPARK_GRAFT_LENIENT_CACHE=1
+        // restores warn-and-clean for local archaeology.
         spark.catalog.clearCache()
         val leftover = spark.sparkContext.getPersistentRDDs
         if (leftover.nonEmpty) {
@@ -72,6 +79,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // end-of-sweep residue assertion: every gate handle was released and
+    // every sweep ran, so nothing may still be pinned at either layer
+    spark.catalog.clearCache()
+    require(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "verify sweep finished with persisted RDDs still registered — a " +
+        "gate's persist escaped both its handle and the sweep")
+    System.err.println(
+      s"[verify] gate-scoped persists released: $releasedTotal")
     spark.stop()
   }
 }

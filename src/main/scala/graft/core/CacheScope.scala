@@ -56,4 +56,39 @@ object CacheScope {
 
   /** No-op handle for callers that rely on an external cache sweep. */
   val detached: Handle = new Handle(track = false)
+
+  // ------------------------- per-gate handle -------------------------
+  //
+  // The correctness/bench harnesses run ~300 gate closures in one session;
+  // a gate that persists an internal frame (a shared token fold, an LSH
+  // band index) owns no release point — the closure returns a LAZY frame,
+  // so the persist must outlive the closure. Routing those persists
+  // through a harness-owned CURRENT handle closes the loop: the harness
+  // begins a gate, materializes its output, then releases — and can then
+  // ASSERT zero residue instead of sweeping blind. Outside a harness the
+  // current handle is [[detached]], preserving the historical
+  // persist-until-swept contract for ad-hoc callers.
+
+  private val gate =
+    new java.util.concurrent.atomic.AtomicReference[Handle](detached)
+
+  /** Install a fresh tracking handle as the current gate scope. */
+  def beginGate(): Unit = gate.set(handle())
+
+  /** Release everything the current gate pinned and fall back to
+    * [[detached]]. Returns how many frames were released (harness
+    * accounting). */
+  def endGate(): Int = {
+    val h = gate.getAndSet(detached)
+    val n = h.pinnedCount
+    h.release()
+    n
+  }
+
+  /** Persist `df` at MEMORY_AND_DISK and pin it to the current gate scope
+    * (no-op pin outside a harness). The single call every gate-internal
+    * persist routes through. */
+  def gatePersist(df: DataFrame): DataFrame =
+    gate.get.pin(df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 }

@@ -68,18 +68,60 @@ object QualityClassifier {
     * (see [[trainLogistic]]'s precision notes). */
   def tokenFold(docs: DataFrame, idCol: String, textCol: String,
                 buckets: Int = 4096, salt: String = ":bk1"): DataFrame =
-    tokenBuckets(docs, idCol, textCol, buckets, salt)
+    foldOf(tokenBuckets(docs, idCol, textCol, buckets, salt), buckets, salt)
+
+  /** The (doc_id, b, cnt) tail shared by every fold builder, with the
+    * provenance ride-along: the fold is only valid for models trained
+    * under the SAME (buckets, salt) feature space — a mismatched pairing
+    * trains/scores against different buckets and mis-scores SILENTLY.
+    * Consumers assert against this metadata and fail fast instead. */
+  private def foldOf(pairs: DataFrame, buckets: Int, salt: String): DataFrame =
+    pairs
       .groupBy("doc_id", "b")
       .agg(count(lit(1)).cast("decimal(10,0)").as("cnt"))
-      // provenance ride-along: the fold is only valid for models trained
-      // under the SAME (buckets, salt) feature space — a mismatched pairing
-      // trains/scores against different buckets and mis-scores SILENTLY.
-      // Consumers assert against this metadata and fail fast instead.
       .select(col("doc_id"),
         col("b").as("b", new org.apache.spark.sql.types.MetadataBuilder()
           .putLong("graft.fold.buckets", buckets.toLong)
           .putString("graft.fold.salt", salt).build()),
         col("cnt"))
+
+  /** fastText-style char n-gram stream: each whitespace token wrapped in
+    * boundary markers (`<tok>`, capped at `capLen` chars so the expression
+    * stays bounded on pathological tokens), then every char n-gram for
+    * n in [minN, maxN] emitted once per OCCURRENCE. Pure Column tree —
+    * runs in the scan stage like [[graft.functions.TextFunctions.tokens]]. */
+  private def charGrams(text: Column, minN: Int, maxN: Int,
+                        capLen: Int): Column =
+    flatten(transform(TextFunctions.tokens(text), t => {
+      val w = substring(concat(lit("<"), t, lit(">")), 1, capLen)
+      flatten(transform(sequence(lit(minN), lit(maxN)), n =>
+        when(length(w) >= n,
+          transform(sequence(lit(1), length(w) - n + lit(1)),
+            i => w.substr(i, n)))
+          .otherwise(array().cast("array<string>"))))
+    }))
+
+  /** [[tokenFold]] over char 3–5-grams instead of token unigrams — the
+    * feature space the fastText/CCNet lang-id tier actually runs on:
+    * subword units generalize to UNSEEN words (held-out text full of novel
+    * tokens all falls to one default llk under a token-unigram model, while
+    * its character morphology — suffixes like `ção` vs `ción` — was seen in
+    * training). Same (buckets, salt) provenance fail-fast, same
+    * (doc_id, b, cnt) shape, so [[LangClassifier.trainLangNb]] /
+    * `scoreLang` consume it unchanged. Scale shape is the token fold's:
+    * one scan-stage explode (~3 x chars per doc rows) into one partial-agg
+    * groupBy. */
+  def charGramFold(docs: DataFrame, idCol: String, textCol: String,
+                   buckets: Int = 4096, salt: String = ":lc1",
+                   minN: Int = 3, maxN: Int = 5,
+                   capLen: Int = 64): DataFrame =
+    foldOf(
+      Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
+          charGrams(col(textCol), minN, maxN, capLen).as("grams")))
+        .select(col("doc_id"), explode(col("grams")).as("tok"))
+        .select(col("doc_id"),
+          Importance.tokenBucket(col("tok"), buckets, salt).as("b")),
+      buckets, salt)
 
   /** Fail-fast provenance check for externally-built [[tokenFold]] frames:
     * when the fold carries the build metadata, a (buckets, salt) mismatch

@@ -22,6 +22,17 @@ import graft.operators.{Bloom, Dedup, Lines, Multimodal, RetrievalEval, Similari
   */
 object DocQueries {
 
+  /** Gate-internal persists route through the harness-owned
+    * [[graft.core.CacheScope]] gate handle: the harness (Verify/Bench)
+    * begins a gate, materializes its output, releases the handle, and
+    * ASSERTS zero residue — so a 300-gate sweep accumulates nothing.
+    * Outside a harness the handle is detached and this is a plain
+    * MEMORY_AND_DISK persist (the historical persist-until-swept
+    * contract). */
+  private implicit class GatePersistOps(private val df: DataFrame) {
+    def gatePersist(): DataFrame = graft.core.CacheScope.gatePersist(df)
+  }
+
   /** documents with the compute-dense-stage parallelism guard applied (the
     * text-stat expression trees do all their work in the scan stage). */
   private def docsP(s: SparkSession, d: String): DataFrame =
@@ -306,7 +317,7 @@ object DocQueries {
     val docs = Tables.documents(s, d)
     val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
         buckets = 4096, salt = ":li1")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .gatePersist()
     val split = Sampling.split(col("doc_id"), 80, 10, salt = ":li1s")
     val labels = docs.filter(split === "train").select("doc_id", "lang")
     val test = docs.filter(split =!= "train")
@@ -1033,7 +1044,7 @@ object DocQueries {
             .select("vec_id", "component"), Seq("vec_id"))
       })
       if (labeled.storageLevel == StorageLevel.NONE) {
-        labeled.persist(StorageLevel.MEMORY_AND_DISK)
+        labeled.gatePersist()
         labeled.count()
       }
       labeled
@@ -1535,7 +1546,7 @@ object DocQueries {
           .withColumn("is_keeper", col("doc_id") === min("doc_id").over(grp))
           .filter(col("is_keeper") && pmod(col("doc_id"), lit(20)) =!= 0)
           .select("doc_id", "source", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         kept.count()
         val bench = docsP(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
           .select("doc_id", "text")
@@ -1691,7 +1702,7 @@ object DocQueries {
           .withColumn("is_keeper", col("doc_id") === min("doc_id").over(grp))
           .filter(col("is_keeper"))
           .select("doc_id", "source", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         keptc.count()
         // n_tokens from cutSpans is the BEFORE-cut count, so kept tokens =
         // n_tokens - n_removed (no re-tokenization of the rewritten text)
@@ -2800,7 +2811,7 @@ object DocQueries {
             docs, ref, "doc_id", "text", vocabCap = 256, bigramCap = 2048)
           .join(docs.select("doc_id", "source"), Seq("doc_id"))
           .withColumn("pplq", round(col("ppl") * 10000, 0).cast("long"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         ppl.count() // two consumers: the quantile fold and the routing
         val th = Diagnostics.exactQuantilesBy(
             ppl.select(col("source"), col("pplq")), "source", col("pplq"),
@@ -3045,7 +3056,7 @@ object DocQueries {
         // unrolled oracle is untouched) — halves the gate's tokenization.
         val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
             buckets = 4096, salt = ":lg1")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         fold.count()
         val m = QualityClassifier.trainLogisticFold(lab, "doc_id",
           col("__q") >= 0.6, fold, iters = 3, lr = 0.5, buckets = 4096,
@@ -3173,10 +3184,10 @@ object DocQueries {
         // persisted: the fat langId column tree would otherwise re-evaluate
         // in every trainer action and label join downstream
         val labels = lab.select(col("doc_id"), col("__en").as("is_pos"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
             buckets = 4096, salt = ":bk1")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         fold.count()
         val nbM = QualityClassifier.trainFold(fold, labels,
           buckets = 4096, salt = ":bk1")
@@ -4832,7 +4843,7 @@ object DocQueries {
         val pairs = Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
             threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)
           .select("id_a", "id_b")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         pairs.count()
         val split = graft.operators.Sampling.hashBucket(
           concat_ws(":", col("id_a"), col("id_b")), 100, "cinc") < 80
@@ -5690,7 +5701,7 @@ object DocQueries {
         // pattern; r14 verdict flagged this gate as the suite's #1 cost)
         val gated = base.filter(col("quality") >= 0.6 && col("lang") === "en")
           .select("doc_id", "text", "source")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         gated.count()
         val ce = LanguageModel.crossEntropySelect(gated, "doc_id", "text",
           targetRef = gated.filter(col("source").isin("src0", "src1", "src2")),
@@ -6105,7 +6116,7 @@ object DocQueries {
         val c = Tables.documents(s, d)
           .select(TextFunctions.tokenCount(col("text")).cast("long").as("v"))
           .groupBy("v").agg(count(lit(1)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         c.count()
         val caps = graft.operators.Diagnostics
           .exactQuantilesFromCounts(c, qs = Seq(0.5, 0.9, 0.99))
@@ -6488,7 +6499,7 @@ object DocQueries {
           vocabCap = 256, bigramCap = 2048)
         val scored = LanguageModel.dualTokenScores(docs, "doc_id", "text",
             lmT, lmG)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         scored.count()
         val sel = LanguageModel.selectiveTokensScored(scored, keepFrac = 0.3)
           .select(col("doc_id"), col("n_kept"))
@@ -6501,7 +6512,7 @@ object DocQueries {
         val dt = docs.select(col("doc_id"), col("source"),
             md5(col("text")).as("grp"))
           .join(sel, Seq("doc_id"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         dt.count()
         val plan = Sampling.mixturePlan(dt, "source", col("n_kept"), wts,
           budgetTokens = 50000L, maxEpochs = 3.0)
@@ -6639,7 +6650,7 @@ object DocQueries {
             col("doc_id"), col("text"), col("source"),
             TextFunctions.qualityScore(col("text")).as("quality"),
             TextFunctions.langId(col("text")).as("lang"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         base.count()
         val gated = base.filter(col("quality") >= 0.6 && col("lang") === "en")
         val grp = Window.partitionBy(md5(col("text")))
@@ -6650,14 +6661,14 @@ object DocQueries {
           .join(keepers.filter(col("is_keeper")), Seq("doc_id"), "left_semi")
           .filter(pmod(col("doc_id"), lit(20)) =!= 0)
           .select("doc_id", "source", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         kept.count()
         val bench = docsP(s, d).filter(pmod(col("doc_id"), lit(20)) === 0)
           .select("doc_id", "text")
         val decon = Decontaminate.fractions(kept, bench, "doc_id", "text",
             threshold = 0.5, shingleK = ShingleK)
           .select(col("doc_id"), col("is_contaminated"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         decon.count()
         val clean = kept.join(
           decon.filter(!col("is_contaminated")), Seq("doc_id"), "left_semi")
@@ -7458,7 +7469,7 @@ object DocQueries {
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
             threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)
           .select("id_a", "id_b")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         pairs.count()
         val sp = Sampling.splitByComponents(docs, "doc_id", pairs,
             80, 10, salt = ":lf1")
@@ -8123,7 +8134,7 @@ object DocQueries {
         val pairs = Dedup.jaccardPairs(screened, "doc_id", "text",
             threshold = 0.3, maxTokenDf = 100L, tokens = shingleSet)
           .select("id_a", "id_b")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         pairs.count()
         val soft = Dedup.softDedupSample(screened, "doc_id", pairs, salt = ":v7")
           .filter(col("kept"))
@@ -8182,7 +8193,7 @@ object DocQueries {
         val docs = Tables.documents(s, d)
         val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
             buckets = 4096, salt = ":li1")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .gatePersist()
         val labels = docs.filter(Sampling.split(
             col("doc_id"), 80, 10, salt = ":li1s") === "train")
           .select("doc_id", "lang")

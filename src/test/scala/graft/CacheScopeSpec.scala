@@ -155,4 +155,26 @@ class CacheScopeSpec extends SparkSpec {
     sweep() // historical contract: external sweep clears the persists
     assert(persistentCount == 0)
   }
+
+  test("gate scope: gatePersist pins to the current gate and endGate leaves zero residue") {
+    sweep()
+    assert(persistentCount == 0)
+    // outside a harness: gatePersist is a plain persist (detached pin),
+    // released only by an external sweep — the historical contract
+    val loose = CacheScope.gatePersist(docs.select("doc_id"))
+    loose.count()
+    assert(persistentCount == 1)
+    assert(CacheScope.endGate() == 0) // no gate open: nothing to release
+    sweep()
+    // inside a harness: begin -> persist -> materialize -> end releases
+    CacheScope.beginGate()
+    val pinned = CacheScope.gatePersist(docs.select("doc_id", "text"))
+    assert(pinned.count() == 5)
+    assert(persistentCount == 1, "gate persist must be live mid-gate")
+    assert(CacheScope.endGate() == 1)
+    assert(persistentCount == 0,
+      "endGate must leave zero persistent RDDs — the Verify/Bench residue assertion")
+    // endGate is idempotent and falls back to detached
+    assert(CacheScope.endGate() == 0)
+  }
 }
