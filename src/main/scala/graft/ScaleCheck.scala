@@ -1404,6 +1404,20 @@ object ScaleCheck {
           docs.select("doc_id", "lang"), buckets = 4096, salt = ":li1")
         LangClassifier.scoreLang(docs.select("doc_id"), "doc_id", fold, m)
       },
+      // char 3-5-gram lang-id (round 18): same wide-NB train/score shape
+      // over ~3x chars-per-doc feature rows instead of tokens-per-doc —
+      // the explode is bigger but still scan-stage into one partial-agg
+      // fold; expect the langid_trained ratio with a larger constant
+      "langid_char" -> { d =>
+        import graft.operators.{LangClassifier, QualityClassifier}
+        val docs = Tables.documents(spark, d)
+        val fold = QualityClassifier.charGramFold(docs, "doc_id", "text",
+          buckets = 4096, salt = ":lc1")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val m = LangClassifier.trainLangNb(fold,
+          docs.select("doc_id", "lang"), buckets = 4096, salt = ":lc1")
+        LangClassifier.scoreLang(docs.select("doc_id"), "doc_id", fold, m)
+      },
       // the fused filter bake-off: ONE persisted tokenFold + labels frame
       // feeding NB train/score, logistic train/score, and the exact-AUC
       // metrics fold — the r16 score-once shape

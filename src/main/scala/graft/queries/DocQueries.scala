@@ -307,22 +307,28 @@ object DocQueries {
        |FROM g0)""".stripMargin
   }
 
-  /** The trained-lang-id pipeline shared by the two langid gates: one
-    * token fold (persisted — train and score both read it), multiclass NB
+  /** The trained-lang-id pipeline shared by the langid gates: one feature
+    * fold (persisted — train and score both read it), multiclass NB
     * trained on the hash-split 80% with the table's own lang labels, the
-    * held-out 20% scored and joined back to truth. */
+    * held-out 20% scored and joined back to truth. `charGrams` swaps the
+    * token-unigram fold for the fastText-tier char 3–5-gram fold — the
+    * SAME trainer/scorer over a different feature space. */
   private def langIdScored(s: org.apache.spark.sql.SparkSession,
-                           d: String): DataFrame = {
+                           d: String, charGrams: Boolean = false): DataFrame = {
     import graft.operators.{LangClassifier, QualityClassifier, Sampling}
     val docs = Tables.documents(s, d)
-    val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
-        buckets = 4096, salt = ":li1")
+    val salt = if (charGrams) ":lc1" else ":li1"
+    val fold = (if (charGrams)
+        QualityClassifier.charGramFold(docs, "doc_id", "text",
+          buckets = 4096, salt = salt)
+      else QualityClassifier.tokenFold(docs, "doc_id", "text",
+        buckets = 4096, salt = salt))
       .gatePersist()
     val split = Sampling.split(col("doc_id"), 80, 10, salt = ":li1s")
     val labels = docs.filter(split === "train").select("doc_id", "lang")
     val test = docs.filter(split =!= "train")
     val m = LangClassifier.trainLangNb(fold, labels, buckets = 4096,
-      salt = ":li1")
+      salt = salt)
     LangClassifier.scoreLang(test.select("doc_id"), "doc_id",
         fold.join(test.select("doc_id"), Seq("doc_id"), "left_semi"), m)
       .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -338,13 +344,19 @@ object DocQueries {
     * cnt-weighted sum because every token in a bucket carries the same
     * decimal llk. `scoreAll` scores EVERY document (the production
     * routing shape — the model still trains on the 80% split only);
-    * default scores the held-out 20%. */
-  private def langNbCtes(scoreAll: Boolean = false): String = {
+    * default scores the held-out 20%. `featureCte` overrides the feature
+    * stream `e(doc_id, b)` — one bucket row per feature OCCURRENCE — so
+    * the char-gram mirror swaps only the feature space (the
+    * [[langIdScored]] contract on the Spark side). */
+  private def langNbCtes(scoreAll: Boolean = false,
+                         featureCte: String = ""): String = {
     val teWhere = if (scoreAll) "" else " WHERE sp.bk >= 80"
+    val e = if (featureCte.nonEmpty) featureCte else
+      s"""e AS (SELECT doc_id, ${fp60Sql("tok || ':li1'")} % 4096 AS b
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM li0))""".stripMargin
     s"""li0 AS (SELECT doc_id, lang, source, text, $ToksSql AS toks
        |  FROM documents),
-       |e AS (SELECT doc_id, ${fp60Sql("tok || ':li1'")} % 4096 AS b
-       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM li0)),
+       |$e,
        |f AS (SELECT doc_id, b, count(*) AS cnt FROM e GROUP BY 1, 2),
        |sp AS (SELECT doc_id,
        |    ${fp60Sql("CAST(doc_id AS VARCHAR) || ':li1s'")} % 100 AS bk
@@ -3522,6 +3534,40 @@ object DocQueries {
         | CAST(count(*) AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS share
         |FROM pred p JOIN tt t USING (lang_true)
         |GROUP BY 1, 2, t.n_true ORDER BY 1, 2""".stripMargin)),
+
+    // ---- CHAR 3–5-GRAM trained lang-id (round 18): the same multiclass
+    //      NB trainer/scorer over the feature space the fastText/CCNet
+    //      tier actually runs on — each token wrapped `<tok>` (capped at
+    //      64 chars) and every char n-gram, n in 3..5, hashed into the
+    //      shared (buckets, salt) fold. Subword units are what separate
+    //      same-script languages (`ção` vs `ción`) and what generalize to
+    //      UNSEEN words — on held-out text full of novel tokens a
+    //      token-unigram model collapses every token to one default llk
+    //      while the char model has seen the morphology
+    //      (LangClassifierSpec pins that separation head-to-head; the
+    //      synthetic corpus's labels are text-independent, so here the
+    //      majority-class posterior stays the Bayes optimum and the gate
+    //      pins the ARITHMETIC: same fully-unrolled NB oracle, char-gram
+    //      feature CTE swapped in).
+    "q_text_langid_char" -> Q(
+      (s, d) => langIdScored(s, d, charGrams = true).orderBy("doc_id"),
+      Some {
+        val charE =
+          s"""w0 AS (SELECT doc_id, substr('<' || tok || '>', 1, 64) AS w
+             |  FROM (SELECT doc_id, unnest(toks) AS tok FROM li0)),
+             |cpos AS (SELECT CAST(i AS INT) AS i FROM generate_series(1, 64) g(i)),
+             |clens AS (SELECT CAST(l AS INT) AS l FROM generate_series(3, 5) g(l)),
+             |e AS (SELECT doc_id, ${fp60Sql("substr(w, i, l) || ':lc1'")} % 4096 AS b
+             |  FROM w0 JOIN cpos ON cpos.i <= len(w)
+             |    JOIN clens ON cpos.i + clens.l - 1 <= len(w))""".stripMargin
+        s"""WITH ${langNbCtes(featureCte = charE)}
+        |SELECT r.doc_id, r.lang_true AS lang, r.lang AS lang_pred,
+        | r.lang = r.lang_true AS correct,
+        | CAST(COALESCE(nt.n_tokens, 0) AS BIGINT) AS n_tokens,
+        | CAST(round(r.score, 6) AS DOUBLE) AS score
+        |FROM rk r LEFT JOIN nt USING (doc_id)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+      }),
 
     "q_text_tokenizer_bakeoff" -> Q(
       (s, d) => {

@@ -96,4 +96,66 @@ class LangClassifierSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("feature space"))
   }
+
+  test("char 3-5-grams separate same-script morphology the token model cannot") {
+    // Two same-script "languages" distinguished ONLY by suffix morphology
+    // (-ção/-ções vs -ción/-ciones). Held-out docs use UNSEEN words with
+    // the same morphology: every test token is OOV to the token-unigram
+    // model, so all its per-token scores collapse to the per-language
+    // default llk — with training token mass and doc counts balanced, the
+    // two languages tie exactly and the tie-break sends EVERY doc to the
+    // lexicographically smaller label (half wrong). The char-gram model
+    // has seen the suffix subwords in training and separates both.
+    val train = Seq(
+      (1L, "informação nação atenção", "pt"),
+      (2L, "situações condições posições", "pt"),
+      (3L, "información nación atención", "es"),
+      (4L, "situaciones condiciones posiciones", "es"))
+      .toDF("doc_id", "text", "lang")
+    val test = Seq(
+      (10L, "educação operações"),
+      (11L, "educación operaciones")).toDF("doc_id", "text")
+    val labels = train.select("doc_id", "lang")
+
+    val tokM = LangClassifier.trainLangNb(
+      QualityClassifier.tokenFold(train, "doc_id", "text", 4096, ":sep"),
+      labels, 4096, ":sep")
+    val tokPred = LangClassifier.scoreLang(test, "doc_id",
+        QualityClassifier.tokenFold(test, "doc_id", "text", 4096, ":sep"),
+        tokM)
+      .orderBy("doc_id").collect().map(_.getAs[String]("lang_pred")).toSeq
+    // every test token is unseen -> exact score tie -> both fall to 'es'
+    assert(tokPred == Seq("es", "es"),
+      s"token-unigram model should collapse on OOV morphology, got $tokPred")
+
+    val chM = LangClassifier.trainLangNb(
+      QualityClassifier.charGramFold(train, "doc_id", "text", 4096, ":sepc"),
+      labels, 4096, ":sepc")
+    val chPred = LangClassifier.scoreLang(test, "doc_id",
+        QualityClassifier.charGramFold(test, "doc_id", "text", 4096, ":sepc"),
+        chM)
+      .orderBy("doc_id").collect().map(_.getAs[String]("lang_pred")).toSeq
+    assert(chPred == Seq("pt", "es"),
+      s"char-gram model should separate the morphology, got $chPred")
+  }
+
+  test("charGramFold emits fastText-style boundary-marked occurrence counts") {
+    // "ab cd" -> tokens <ab>, <cd>: each contributes 3-grams {<ab, ab>} /
+    // {<cd, cd>} and 4-gram {<ab>} / {<cd>}; maxN=5 adds nothing at len 4.
+    // 'ab ab' doubles the <ab> counts — occurrences, not distinct grams.
+    val df = Seq((1L, "ab cd"), (2L, "ab ab")).toDF("doc_id", "text")
+    val fold = QualityClassifier.charGramFold(df, "doc_id", "text",
+      buckets = 1 << 20, salt = ":cg")
+    val tot = fold.groupBy("doc_id")
+      .agg(sum(col("cnt")).cast("long").as("n"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(tot == Seq(6L, 6L), s"3 grams per 4-char token, got $tot")
+    // doc 2's buckets are doc 1's <ab> buckets with cnt 2
+    val d2 = fold.filter(col("doc_id") === 2L)
+      .select("b", "cnt").collect()
+      .map(r => (r.getAs[Number]("b").longValue,
+        r.getAs[java.math.BigDecimal]("cnt").longValueExact())).toMap
+    assert(d2.values.toSet == Set(2L), s"expected doubled counts, got $d2")
+    assert(d2.size == 3)
+  }
 }
