@@ -50,7 +50,8 @@ object CorpusCli {
              minQuality: Double = 0.4, lang: String = "en",
              fromHtml: Boolean = false, nearDup: Boolean = false,
              deconBenchDir: Option[String] = None,
-             trainedLangId: Boolean = false): Summary = {
+             trainedLangId: Boolean = false,
+             codec: Option[String] = None): Summary = {
     // --from-html: the text column is raw markup — run the extraction
     // stage (capstone-v2's step zero) before any text operator sees it
     val docs0 = Tables.documents(spark, inDir)
@@ -173,7 +174,7 @@ object CorpusCli {
 
     val manifest = Export.jsonlSharded(
       kept.select("doc_id", "source", "text", "n_tokens", "quality"),
-      col("doc_id"), shards, s"$outDir/corpus")
+      col("doc_id"), shards, s"$outDir/corpus", codec = codec)
     manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
 
     // full pre-flight: rows AND byte totals AND null-required-field count —
@@ -207,7 +208,9 @@ object CorpusCli {
         fromHtml = args.contains("--from-html"),
         nearDup = args.contains("--neardup"),
         deconBenchDir = Option(arg("--decon-bench", null)),
-        trainedLangId = args.contains("--trained-langid"))
+        trainedLangId = args.contains("--trained-langid"),
+        // --codec gzip|zstd: compressed .jsonl.{gz,zst} shard delivery
+        codec = Option(arg("--codec", null)))
       val verdicts = s.byVerdict.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       println(s"""{"n_docs":${s.nDocs},"n_kept":${s.nKept},""" +

@@ -28,23 +28,64 @@ object Export {
     *    the shard, the standard layout for a streaming loader.
     *
     * The manifest is computed from the same frame that was written (count
-    * + byte partial-aggs, no second read of the output). */
+    * + byte partial-aggs, no second read of the output), plus one
+    * driver-side listing of the written part files — bounded by the shard
+    * count (one part file per shard by construction) — for the on-disk
+    * (compressed) byte column.
+    *
+    * `codec` (None | "gzip" | "zstd"): training-loader delivery is
+    * overwhelmingly `.jsonl.{gz,zst}` — the codec option writes each shard
+    * through Spark's built-in Hadoop compression codec
+    * (`part-*.txt.gz`/`.zst`), and [[readJsonlSharded]] /
+    * [[validateShardsBytes]] decompress transparently by extension, so the
+    * loader contract (manifest schedule, per-shard streaming) is
+    * unchanged. The manifest's `n_bytes` stays the RAW content accounting
+    * (line + newline — the codec-independent invariant re-reads are
+    * validated against); `n_bytes_compressed` is what the files occupy on
+    * disk (equal to `n_bytes` when codec is None). Re-export determinism
+    * holds compressed too: shard content is ordered, and Hadoop's gzip
+    * header carries no timestamp — byte-identical files per shard
+    * (checked in `SinksSpec`). */
   def jsonlSharded(df: DataFrame, idCol: Column, shards: Int, path: String,
-                   salt: String = ""): DataFrame = {
+                   salt: String = "", codec: Option[String] = None): DataFrame = {
     require(shards > 0, "shards must be positive")
+    require(codec.forall(Seq("gzip", "zstd").contains),
+      s"unsupported jsonl codec ${codec.get} (gzip | zstd)")
     val json = to_json(struct(df.columns.map(col): _*))
     val staged = df
       .withColumn("__shard", Sampling.hashBucket(idCol.cast("string"), shards, salt))
       .withColumn("__json", json)
-    staged
+    val writer = staged
       .repartition(shards, col("__shard"))
       .sortWithinPartitions(col("__shard"), idCol)
       .select(col("__shard").as("shard"), col("__json").as("value"))
-      .write.partitionBy("shard").mode("overwrite").text(path)
+      .write.partitionBy("shard").mode("overwrite")
+    codec.fold(writer)(c => writer.option("compression", c)).text(path)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val disk = diskBytesByShard(spark, path)
+      .toSeq.toDF("shard", "n_bytes_compressed")
     staged.groupBy(col("__shard").as("shard"))
       .agg(count(lit(1)).as("n_rows"),
         sum(length(col("__json")).cast("long") + lit(1L)).as("n_bytes"))
+      .join(disk, Seq("shard"), "left")
+      .select(col("shard"), col("n_rows"), col("n_bytes"),
+        lit(codec.getOrElse("none")).as("codec"),
+        coalesce(col("n_bytes_compressed"), lit(0L)).as("n_bytes_compressed"))
       .orderBy("shard")
+  }
+
+  /** On-disk bytes per shard directory — a driver listing bounded by the
+    * shard count, never data-sized. */
+  private def diskBytesByShard(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Map[Long, Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.globStatus(new org.apache.hadoop.fs.Path(path, "shard=*/part-*"))
+      .toSeq
+      .map(st => (st.getPath.getParent.getName.stripPrefix("shard=").toLong,
+        st.getLen))
+      .groupMapReduce(_._1)(_._2)(_ + _)
   }
 
   /** Loader side of [[jsonlSharded]]: read the shard directories back into
@@ -98,7 +139,15 @@ object Export {
     *
     * Output: (shard, expected_rows, actual_rows, expected_bytes,
     * actual_bytes, n_bad, ok) — full-outer against the manifest so missing
-    * and unexpected shards both surface; `ok` requires all three checks. */
+    * and unexpected shards both surface; `ok` requires all three checks.
+    *
+    * COMPRESSED exports validate for free on the content side: the text
+    * scan decompresses by extension, so `actual_bytes` is the DECOMPRESSED
+    * content total against the manifest's codec-independent `n_bytes`.
+    * When the manifest carries the `n_bytes_compressed` column
+    * (codec-aware [[jsonlSharded]]), the on-disk bytes are ALSO checked —
+    * a re-compressed tampered shard whose decompressed length happens to
+    * match still changes its compressed length's recorded value. */
   def validateShardsBytes(spark: org.apache.spark.sql.SparkSession, path: String,
                           schema: org.apache.spark.sql.types.StructType,
                           manifest: DataFrame, requiredCol: String): DataFrame = {
@@ -110,19 +159,36 @@ object Export {
       .agg(count(lit(1)).as("actual_rows"),
         sum(col("__bytes")).as("actual_bytes"),
         sum(when(col("__bad"), lit(1L)).otherwise(lit(0L))).as("n_bad"))
-    manifest.select(col("shard").cast("long").as("shard"),
-        col("n_rows").as("expected_rows"), col("n_bytes").as("expected_bytes"))
-      .join(actual, Seq("shard"), "full_outer")
+    val checkDisk = manifest.columns.contains("n_bytes_compressed")
+    val mf =
+      if (checkDisk) {
+        import spark.implicits._
+        val disk = diskBytesByShard(spark, path)
+          .toSeq.toDF("shard", "disk_bytes")
+        manifest.select(col("shard").cast("long").as("shard"),
+            col("n_rows").as("expected_rows"),
+            col("n_bytes").as("expected_bytes"),
+            col("n_bytes_compressed").as("expected_disk_bytes"))
+          .join(disk, Seq("shard"), "full_outer")
+      } else
+        manifest.select(col("shard").cast("long").as("shard"),
+          col("n_rows").as("expected_rows"),
+          col("n_bytes").as("expected_bytes"),
+          lit(0L).as("expected_disk_bytes"), lit(0L).as("disk_bytes"))
+    mf.join(actual, Seq("shard"), "full_outer")
       .select(col("shard"),
         coalesce(col("expected_rows"), lit(0L)).as("expected_rows"),
         coalesce(col("actual_rows"), lit(0L)).as("actual_rows"),
         coalesce(col("expected_bytes"), lit(0L)).as("expected_bytes"),
         coalesce(col("actual_bytes"), lit(0L)).as("actual_bytes"),
-        coalesce(col("n_bad"), lit(0L)).as("n_bad"))
+        coalesce(col("n_bad"), lit(0L)).as("n_bad"),
+        (coalesce(col("expected_disk_bytes"), lit(0L)) ===
+          coalesce(col("disk_bytes"), lit(0L))).as("__disk_ok"))
       .withColumn("ok",
         col("expected_rows") === col("actual_rows") &&
           col("expected_bytes") === col("actual_bytes") &&
-          col("n_bad") === 0L)
+          col("n_bad") === 0L && col("__disk_ok"))
+      .drop("__disk_ok")
       .orderBy("shard")
   }
 }

@@ -199,6 +199,24 @@ class CliSpec extends SparkSpec {
     val keptAudit = audit.filter(col("verdict") === "kept")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptAudit == corpus.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // --codec gzip: same kept set delivered as .jsonl.gz shards, manifest
+    // records the codec + compressed bytes, and the read-back + full byte
+    // validation (decompressed AND on-disk) still passes
+    val outGz = Files.createTempDirectory("graft-corpus-gz").toString
+    val sGz = CorpusCli.curate(spark, "/root/testdata/sf0.001", outGz,
+      shards = 4, budgetTokensPerSource = budget, minQuality = 0.4,
+      codec = Some("gzip"))
+    assert(sGz.shardsOk && sGz.nKept == s.nKept)
+    val mGz = spark.read.parquet(s"$outGz/manifest").collect()
+    assert(mGz.forall(r => r.getAs[String]("codec") == "gzip" &&
+      r.getAs[Long]("n_bytes_compressed") < r.getAs[Long]("n_bytes")))
+    assert(new java.io.File(s"$outGz/corpus").listFiles()
+      .filter(_.getName.startsWith("shard=")).forall(
+        _.listFiles().exists(_.getName.endsWith(".txt.gz"))))
+    val gzCorpus = graft.sources.Export.readJsonlSharded(
+      spark, s"$outGz/corpus", schema)
+    assert(gzCorpus.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      keptAudit)
   }
 
   test("CorpusCli --trained-langid routes with the NB model instead of markers") {

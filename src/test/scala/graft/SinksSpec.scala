@@ -205,4 +205,91 @@ class SinksSpec extends SparkSpec {
     assert(v.values.count(!_.getAs[Boolean]("ok")) == 2)
     manifest.unpersist()
   }
+
+  test("compressed JSONL shards: gzip round-trip, deterministic re-export, tamper detection") {
+    import graft.sources.Export
+    import org.apache.spark.sql.functions.col
+    // repetitive text so even the small spec shards compress below raw
+    val docs = (1L to 37L).map(i =>
+      (i, Seq.fill(40)(s"tok$i").mkString(" "), s"src${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val out1 = tmpDir("jsonlgz1").toString
+    val manifest = Export.jsonlSharded(docs, col("doc_id"), shards = 4,
+      out1, codec = Some("gzip")).persist()
+    val mrows = manifest.collect()
+    // manifest records the codec and BOTH byte totals; the files are .gz
+    assert(mrows.forall(_.getAs[String]("codec") == "gzip"))
+    assert(mrows.map(_.getAs[Long]("n_rows")).sum == 37L)
+    assert(mrows.forall(r => r.getAs[Long]("n_bytes_compressed") > 0L &&
+      r.getAs[Long]("n_bytes_compressed") < r.getAs[Long]("n_bytes")),
+      "gzip shards must be smaller than their raw content")
+    val parts = new java.io.File(out1).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+      .map(d => d.listFiles().filter(_.getName.endsWith(".txt.gz")).head)
+    assert(parts.length == 4, "one .txt.gz part per shard")
+    // loader round trip decompresses transparently (extension-based) and
+    // recovers the shard column; the FULL byte validation is green —
+    // decompressed content vs raw accounting AND on-disk vs compressed
+    val back = Export.readJsonlSharded(spark, out1, docs.schema)
+    assert(back.select("doc_id", "text", "source").collect().toSet ==
+      docs.collect().toSet)
+    val v0 = Export.validateShardsBytes(spark, out1, docs.schema, manifest,
+      "doc_id")
+    assert(v0.collect().forall(_.getAs[Boolean]("ok")))
+    // deterministic delivery holds for the COMPRESSED bytes: Hadoop's gzip
+    // header carries no timestamp, so a re-export is byte-identical per
+    // shard file
+    val out2 = tmpDir("jsonlgz2").toString
+    Export.jsonlSharded(docs, col("doc_id"), shards = 4, out2,
+      codec = Some("gzip"))
+    def gzBytes(dir: String): Map[String, Seq[Byte]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+        .map(d => d.getName ->
+          java.nio.file.Files.readAllBytes(d.listFiles()
+            .filter(_.getName.endsWith(".txt.gz")).head.toPath).toSeq)
+        .toMap
+    assert(gzBytes(out1) == gzBytes(out2))
+    // tamper INSIDE the compression: re-gzip one shard with one line
+    // corrupted in place (same decompressed length, same line count) —
+    // row counts and byte totals stay green, n_bad catches it
+    val pa = parts(0).toPath
+    val in = new java.util.zip.GZIPInputStream(
+      java.nio.file.Files.newInputStream(pa))
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    in.close()
+    val tampered = ("x" * lines.head.length) :: lines.tail
+    val bo = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(tampered.map(_ + "\n").mkString.getBytes("UTF-8"))
+    gz.close()
+    java.nio.file.Files.write(pa, bo.toByteArray)
+    new java.io.File(parts(0).getParent).listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    spark.catalog.refreshByPath(out1)
+    val shardA = parts(0).getParentFile.getName.stripPrefix("shard=").toLong
+    val v1 = Export.validateShardsBytes(spark, out1, docs.schema, manifest,
+        "doc_id")
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    assert(!v1(shardA).getAs[Boolean]("ok") &&
+      v1(shardA).getAs[Long]("n_bad") == 1L)
+    assert(v1(shardA).getAs[Long]("actual_bytes") ==
+      v1(shardA).getAs[Long]("expected_bytes"),
+      "in-place corruption preserves the decompressed totals")
+    assert(v1.values.count(!_.getAs[Boolean]("ok")) == 1)
+    manifest.unpersist()
+    // zstd rides the same option when the Hadoop native codec is present;
+    // environments without it still fail fast through the codec allowlist
+    if (org.apache.hadoop.io.compress.ZStandardCodec.isNativeCodeLoaded()) {
+      val outZ = tmpDir("jsonlzst").toString
+      val mz = Export.jsonlSharded(docs, col("doc_id"), shards = 4, outZ,
+        codec = Some("zstd"))
+      assert(mz.collect().forall(_.getAs[String]("codec") == "zstd"))
+      assert(Export.readJsonlSharded(spark, outZ, docs.schema).count() == 37L)
+    }
+    val bad = intercept[IllegalArgumentException] {
+      Export.jsonlSharded(docs, col("doc_id"), shards = 4,
+        tmpDir("jsonlbad").toString, codec = Some("lz9"))
+    }
+    assert(bad.getMessage.contains("unsupported jsonl codec"))
+  }
 }
