@@ -348,6 +348,83 @@ class CliSpec extends SparkSpec {
     assert(ids == Set(1002L, 1003L, 1004L))
   }
 
+  test("IngestCli --diff reconciles snapshots through the increment chain; end state = fresh build") {
+    val s2 = spark
+    import s2.implicits._
+    def writeCorpus(dir: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def T(i: Long) =
+      s"unique$i alpha$i beta$i gamma$i delta$i epsilon$i"
+    val oldDir = Files.createTempDirectory("graft-diff-old").toString
+    val newDir = Files.createTempDirectory("graft-diff-new").toString
+    val new2Dir = Files.createTempDirectory("graft-diff-new2").toString
+    val stateDir = Files.createTempDirectory("graft-diff-st").toString + "/st"
+    val freshState = Files.createTempDirectory("graft-diff-fr").toString + "/st"
+    val emptyIn = Files.createTempDirectory("graft-diff-empty").toString
+    val oldRows = (1L to 12L).map(i => (i, T(i)))
+    writeCorpus(oldDir, oldRows)
+    // new snapshot: remove 3 & 7, change 5 in place, add 21 & 22 (all
+    // content pairwise disjoint — the clean case where the diff path must
+    // converge to exactly what a fresh build over the new snapshot holds)
+    val newRows = oldRows.filterNot(r => Set(3L, 7L).contains(r._1))
+      .map { case (i, t) =>
+        if (i == 5L) (i, "changed five entirely fresh words body") else (i, t) } ++
+      Seq((21L, "brand new document twenty one payload"),
+        (22L, "brand new document twenty two payload"))
+    writeCorpus(newDir, newRows)
+    val d1 = IngestCli.runDiff(spark, oldDir, newDir, stateDir)
+    // the re-ingested slice is exactly added+changed; counts track the
+    // new snapshot
+    assert(IngestCli.currentDocs(spark, stateDir)
+      .select("doc_id").as[Long].collect().toSet == Set(5L, 21L, 22L))
+    assert(d1.nDocs == 3 && d1.nLabels == 12 && d1.nCorpus == 12, s"$d1")
+    // rerun of the SAME reconciliation: the batch marker makes it a no-op
+    val d2 = IngestCli.runDiff(spark, oldDir, newDir, stateDir)
+    assert(d2 == d1, s"rerun must be a no-op: $d2 vs $d1")
+    assert(spark.read.parquet(s"$stateDir/docs").count() == 3L)
+    // end state == a FRESH state build over the new snapshot, artifact by
+    // artifact, once the tombstone mask is compacted in
+    IngestCli.run(spark, newDir, emptyIn, freshState)
+    IngestCli.compactState(spark, stateDir)
+    def hashSet(st: String) = spark.read.parquet(s"$st/index/hashes")
+      .select("content_hash").as[String].collect().toSet
+    assert(hashSet(stateDir) == hashSet(freshState))
+    def setsMap(st: String) = spark.read.parquet(s"$st/index/sets")
+      .select(col("id_corpus"), array_sort(col("toks_corpus")).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(setsMap(stateDir) == setsMap(freshState))
+    def bandRows(st: String) = {
+      val df = spark.read.parquet(s"$st/index/bands")
+      val cols = df.columns.sorted.map(col).toIndexedSeq
+      df.select(cols: _*).collect().map(_.toSeq).toSet
+    }
+    assert(bandRows(stateDir) == bandRows(freshState))
+    def labelRows(st: String) = spark.read.parquet(s"$st/labels")
+      .select("id", "comp").as[(Long, Long)].collect().toSet
+    assert(labelRows(stateDir) == labelRows(freshState))
+    // chained second diff: remove 21, change 22, add an exact dup of a
+    // retained doc (must drop) and a token-reordered near-dup of doc 2
+    // (must survive AND cluster under doc 2's component)
+    val new2Rows = newRows.filterNot(_._1 == 21L)
+      .map { case (i, t) =>
+        if (i == 22L) (i, "changed twenty two second generation") else (i, t) } ++
+      Seq((23L, T(1)),
+        (24L, s"epsilon2 unique2 alpha2 beta2 gamma2 delta2 unique2"))
+    writeCorpus(new2Dir, new2Rows)
+    val d3 = IngestCli.runDiff(spark, newDir, new2Dir, stateDir)
+    assert(IngestCli.currentDocs(spark, stateDir)
+      .select("doc_id").as[Long].collect().toSet == Set(5L, 22L, 24L))
+    // 12 live contents: 10 retained + 22's new generation + 24 (23's
+    // content duplicates doc 1's and the hash index is value-unique)
+    assert(d3.nDocs == 3 && d3.nLabels == 12 && d3.nCorpus == 12, s"$d3")
+    val labels2 = spark.read.parquet(s"$stateDir/labels")
+      .select("id", "comp").as[(Long, Long)].collect().toMap
+    assert(labels2(24L) == 2L, "near-dup must fold into its corpus component")
+    assert(!labels2.contains(23L), "exact dup must not enter the labeling")
+    assert(!labels2.contains(21L) && !labels2.contains(3L))
+  }
+
   test("CorpusCli --from-html extracts first and lands on the plain-text result") {
     // stage an input whose text column is raw markup wrapping the same words
     val htmlDir = Files.createTempDirectory("graft-corpus-html").toString
