@@ -1372,7 +1372,8 @@ object Multimodal {
     * shape); pass the Annex K tables for a realistic lossy corpus. */
   def encodeJpeg(media: DataFrame,
                  lumaQ: Array[Int] = Jpeg.FlatQuant,
-                 chromaQ: Array[Int] = Jpeg.FlatQuant): DataFrame = {
+                 chromaQ: Array[Int] = Jpeg.FlatQuant,
+                 maxMcu: Int = 64): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id").cast("long"), col("payload"),
@@ -1382,7 +1383,7 @@ object Multimodal {
         val out =
           if (payload == null) null
           else {
-            val nMcu = math.max(1, math.min(64, payload.length / 3))
+            val nMcu = math.max(1, math.min(maxMcu, payload.length / 3))
             val w = 16 * nMcu
             val px = new Array[Byte](w * 16 * 3)
             var m = 0

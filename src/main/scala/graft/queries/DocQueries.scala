@@ -1693,64 +1693,6 @@ object DocQueries {
         | CAST(count(DISTINCT shard * 100000 + bin) AS BIGINT) AS n_bins
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // ---- Curation capstone v2: the round-11 operator chain end to end —
-    //      quality/lang gates -> exact-dedup keeper -> cross-document
-    //      SPAN-CUT rewrite (k=8 boilerplate strip over the kept corpus) ->
-    //      TOKEN-budget per-source mixture (600 tokens of REWRITTEN text per
-    //      source) -> per-source summary. Every stage is individually
-    //      oracle-proven; this gate proves the composition.
-    "q_pipeline_curate_v2" -> Q(
-      (s, d) => {
-        import graft.operators.{Curation, Dedup}
-        val scored = docsP(s, d).select(
-            col("doc_id"), col("text"), col("source"),
-            TextFunctions.qualityScore(col("text")).as("quality"),
-            TextFunctions.langId(col("text")).as("lang"))
-          .filter(col("quality") >= 0.6 && col("lang") === "en")
-        val grp = Window.partitionBy(md5(col("text")))
-        // read three times (span edges, rebuild join, source join): persist
-        // so the gate expression tree evaluates once
-        val keptc = scored
-          .withColumn("is_keeper", col("doc_id") === min("doc_id").over(grp))
-          .filter(col("is_keeper"))
-          .select("doc_id", "source", "text")
-          .gatePersist()
-        keptc.count()
-        // n_tokens from cutSpans is the BEFORE-cut count, so kept tokens =
-        // n_tokens - n_removed (no re-tokenization of the rewritten text)
-        val sized = Dedup.cutSpans(keptc, "doc_id", "text", k = 8)
-          .join(keptc.select(col("doc_id"), col("source")), "doc_id")
-          .withColumn("n_kept", col("n_tokens") - col("n_removed"))
-        val budgeted = Curation.capTokensPerKey(sized, col("source"),
-          col("n_kept"), budget = 600L, order = Seq(col("doc_id")),
-          idCol = col("doc_id"))
-        budgeted.groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum("n_kept").as("n_tokens"),
-            sum("n_removed").as("n_cut"))
-          .orderBy("source")
-      },
-      Some {
-        s"""WITH ${qualityLangCtes("documents")},
-           |gated AS (SELECT * FROM scored WHERE quality >= 0.6 AND lang = 'en'),
-           |keptc AS (SELECT doc_id, source, text FROM (
-           |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
-           |  FROM gated) WHERE is_keeper),
-           |${spanCteChain(8, "", DupSharedCte, from = "keptc")},
-           |${spanCutCtes("")},
-           |sized AS (SELECT c.doc_id, kc.source,
-           |  CAST(len(c.kt) AS BIGINT) AS n_kept,
-           |  CAST(c.n_tokens - len(c.kt) AS BIGINT) AS n_removed
-           |  FROM cutk c JOIN keptc kc ON kc.doc_id = c.doc_id),
-           |w AS (SELECT *, sum(n_kept) OVER (PARTITION BY source
-           |  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM sized),
-           |bud AS (SELECT * FROM w WHERE cum - n_kept < 600)
-           |SELECT source, count(*) AS n_docs,
-           | CAST(sum(n_kept) AS BIGINT) AS n_tokens,
-           | CAST(sum(n_removed) AS BIGINT) AS n_cut
-           |FROM bud GROUP BY source ORDER BY source""".stripMargin
-      }),
-
     // ---- Gopher-style structural quality signals (Rae et al. 2021 §A1.1):
     //      symbol-to-word ratio, bullet-line and ellipsis-line fractions,
     //      alphabetic-word fraction. Pure integer-count ratios — zero
@@ -3683,45 +3625,6 @@ object DocQueries {
         |    AS fallback_rate
         |FROM uni ORDER BY tokenizer, source""".stripMargin)),
 
-    // ---- Curation capstone v3: LM-fluency-gated token budget. Documents
-    //      passing the perplexity cut (ppl <= 30 under the :lm1 reference
-    //      model — the CCNet keep rule with a fixed threshold) fill each
-    //      source's token budget MOST-FLUENT-FIRST (order by ppl, then
-    //      doc_id), composing the scorer with the two-phase budget cut.
-    "q_pipeline_curate_v3" -> Q(
-      (s, d) => {
-        import graft.operators.{Curation, LanguageModel, Sampling}
-        val docs = Tables.documents(s, d)
-        val ref = docs.filter(Sampling.split(
-          col("doc_id"), 80, 10, salt = ":lm1") === "train")
-        val scored = LanguageModel.perplexityAgainst(
-          docs, ref, "doc_id", "text", vocabCap = 256, bigramCap = 2048)
-        val fluent = docs.join(
-            scored.filter(col("ppl") <= 30.0).select("doc_id", "ppl"),
-            Seq("doc_id"))
-          .select(col("doc_id"), col("source"), col("ppl"),
-            TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
-        Curation.capTokensPerKey(fluent, col("source"), col("n_tokens"),
-            budget = 500L, order = Seq(col("ppl"), col("doc_id")),
-            idCol = col("doc_id"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH tk AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-        |${pplCtes(vocabCap = 256, bigramCap = 2048, salt = ":lm1")},
-        |sd AS (SELECT doc_id,
-        |  round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS ppl
-        |  FROM sc GROUP BY 1),
-        |fl AS (SELECT d.doc_id, d.source, sd.ppl,
-        |  CAST(len(tk.toks) AS BIGINT) AS n_tokens
-        |  FROM documents d JOIN tk ON tk.doc_id = d.doc_id
-        |  JOIN sd ON sd.doc_id = d.doc_id
-        |  WHERE sd.ppl <= CAST(30.0 AS DOUBLE)),
-        |w AS (SELECT doc_id, source, ppl, n_tokens, sum(n_tokens) OVER (
-        |  PARTITION BY source ORDER BY ppl, doc_id ROWS UNBOUNDED PRECEDING)
-        |  AS cum FROM fl)
-        |SELECT doc_id, source, ppl, n_tokens FROM w
-        |WHERE cum - n_tokens < 500 ORDER BY doc_id""".stripMargin)),
-
     // ---- Curation capstone v4 (round-12 wave composed): drop documents
     //      whose EMBEDDING sits near the benchmark set (semantic
     //      decontamination — vec_id aligns 1:1 with doc_id), cut each
@@ -3774,41 +3677,55 @@ object DocQueries {
         |SELECT doc_id, source, round(quality, 9) AS quality_r, n_tokens
         |FROM w WHERE cum - n_tokens < 500 ORDER BY doc_id""".stripMargin)),
 
-    // ---- Curation capstone v5 (round-13 wave composed): the full recipe
-    //      from raw corpus to packed training bins — drop documents sharing
-    //      ANY 13-gram with the eval set (collision rule), cut each source
-    //      at its own 25th quality percentile, solve the epoch-capped
-    //      mixture over the survivors, REALIZE it (integer passes + the
-    //      deterministic fractional pass), and pack the epoch-tagged rows
-    //      into 512-token bins. Every stage is the individually-gated
-    //      operator; the per-source layout summary pins the composition.
+    // ---- Curation capstone v5 (round-13 wave composed; round 18 absorbed
+    //      the retired v2's distinctive stage): the full recipe from raw
+    //      corpus to packed training bins — drop documents sharing ANY
+    //      13-gram with the eval set (collision rule), cut each source at
+    //      its own 25th quality percentile, cross-document SPAN-CUT
+    //      rewrite (k=8 boilerplate strip over the kept corpus — the
+    //      composition the v2 capstone used to carry), solve the
+    //      epoch-capped mixture over the REWRITTEN token mass, REALIZE it
+    //      (integer passes + the deterministic fractional pass), and pack
+    //      the epoch-tagged rows into 512-token bins. Every stage is the
+    //      individually-gated operator; the per-source layout summary
+    //      (now including the cut-token mass) pins the composition.
     "q_pipeline_curate_v5" -> Q(
       (s, d) => {
-        import graft.operators.{Curation, Decontaminate, Packing, Sampling}
+        import graft.operators.{Curation, Decontaminate, Dedup, Packing, Sampling}
         val docs = Tables.documents(s, d)
         val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
         val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
         val clean = Decontaminate.ngramClean(corpus, bench, "doc_id", "text",
           shingleK = 13)
         val scored = Parallelism.fanOut(clean).select(
-          col("doc_id"), col("source"),
-          TextFunctions.qualityScore(col("text")).as("quality"),
-          TextFunctions.tokenCount(col("text")).cast("bigint").as("n_toks"))
-        val kept = Curation.thresholdBySource(scored, "source", col("quality"),
-          p = 0.25)
-        val weights = kept.select("source").distinct()
+          col("doc_id"), col("source"), col("text"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        // read twice (span edges + source join): persist once
+        val keptc = Curation.thresholdBySource(scored, "source", col("quality"),
+            p = 0.25)
+          .select("doc_id", "source", "text")
+          .gatePersist()
+        keptc.count()
+        // kept tokens = pre-cut count - cut count (no re-tokenization of
+        // the rewritten text — the v2 accounting)
+        val cut = Dedup.cutSpans(keptc, "doc_id", "text", k = 8)
+          .join(keptc.select(col("doc_id"), col("source")), "doc_id")
+          .withColumn("n_kept", col("n_tokens") - col("n_removed"))
+          .select("doc_id", "source", "n_kept", "n_removed")
+        val weights = cut.select("source").distinct()
           .select(col("source"),
             ((length(col("source")) % 5) + 1).cast("double").as("weight"))
-        val plan = Sampling.mixturePlan(kept, "source", col("n_toks"), weights,
+        val plan = Sampling.mixturePlan(cut, "source", col("n_kept"), weights,
           budgetTokens = 50000L, maxEpochs = 3.0)
-        val realized = Sampling.realizeMixture(kept, "source", col("doc_id"),
+        val realized = Sampling.realizeMixture(cut, "source", col("doc_id"),
             plan, salt = ":v5")
           .withColumn("pack_id", col("doc_id") * 10 + col("epoch"))
-        Packing.packBins(realized, "pack_id", col("n_toks"),
+        Packing.packBins(realized, "pack_id", col("n_kept"),
             budgetTokens = 512L, shards = 8)
           .groupBy("source")
           .agg(count(lit(1)).as("n_rows"),
-            sum("n_toks").as("n_tokens"),
+            sum("n_kept").as("n_tokens"),
+            sum("n_removed").as("n_cut"),
             countDistinct(col("shard") * lit(100000L) + col("bin")).as("n_bins"))
           .orderBy("source")
       },
@@ -3826,12 +3743,18 @@ object DocQueries {
         |${qualityLangCtes("clean")},
         |th AS (SELECT source, quantile_cont(quality, 0.25) AS threshold
         |  FROM scored GROUP BY 1),
-        |kept AS (SELECT sc.doc_id, sc.source, sc.n_toks FROM scored sc
+        |keptc AS (SELECT sc.doc_id, sc.source, sc.text FROM scored sc
         |  JOIN th USING (source) WHERE sc.quality >= th.threshold),
-        |cc AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
-        |  FROM kept GROUP BY 1),
+        |${spanCteChain(8, "", DupSharedCte, from = "keptc")},
+        |${spanCutCtes("")},
+        |sized AS (SELECT c.doc_id, kc.source,
+        |  CAST(len(c.kt) AS BIGINT) AS n_kept,
+        |  CAST(c.n_tokens - len(c.kt) AS BIGINT) AS n_removed
+        |  FROM cutk c JOIN keptc kc ON kc.doc_id = c.doc_id),
+        |cc AS (SELECT source, CAST(sum(n_kept) AS BIGINT) AS n_tokens
+        |  FROM sized GROUP BY 1),
         |w AS (SELECT source, CAST((length(source) % 5) + 1 AS DOUBLE) AS weight
-        |  FROM (SELECT DISTINCT source FROM kept)),
+        |  FROM (SELECT DISTINCT source FROM sized)),
         |wt AS (SELECT sum(CAST(round(weight, 9) AS DECIMAL(28,9))) AS w_tot FROM w),
         |wn AS (SELECT source, CAST(CAST(round(weight, 9) AS DECIMAL(28,9)) AS DOUBLE)
         |    / CAST(w_tot AS DOUBLE) AS target_w FROM w, wt),
@@ -3840,25 +3763,28 @@ object DocQueries {
         |    (target_w * CAST(50000 AS DOUBLE)) / CAST(n_tokens AS DOUBLE))
         |    ELSE CAST(0.0 AS DOUBLE) END AS epochs
         |  FROM cc JOIN wn USING (source)),
-        |r AS (SELECT k.doc_id, k.source, k.n_toks,
+        |r AS (SELECT k.doc_id, k.source, k.n_kept, k.n_removed,
         |  CAST(floor(epochs) AS BIGINT)
         |    + CASE WHEN CAST(${fp60Sql("CAST(doc_id AS VARCHAR) || ':v5'")} % 10000
         |        AS DOUBLE) < (epochs - floor(epochs)) * 10000.0
         |      THEN 1 ELSE 0 END AS n_copies
-        |  FROM kept k JOIN p USING (source)),
-        |e0 AS (SELECT doc_id, source, n_toks, unnest(range(n_copies)) AS epoch
+        |  FROM sized k JOIN p USING (source)),
+        |e0 AS (SELECT doc_id, source, n_kept, n_removed,
+        |  unnest(range(n_copies)) AS epoch
         |  FROM r WHERE n_copies > 0),
-        |e AS (SELECT source, n_toks, doc_id * 10 + epoch AS pack_id FROM e0),
-        |ps AS (SELECT source, n_toks, pack_id,
+        |e AS (SELECT source, n_kept, n_removed,
+        |  doc_id * 10 + epoch AS pack_id FROM e0),
+        |ps AS (SELECT source, n_kept, n_removed, pack_id,
         |  ${fp60Sql("CAST(pack_id AS VARCHAR)")} % 8 AS shard FROM e),
-        |b AS (SELECT source, n_toks, shard,
-        |  CAST(floor(CAST(coalesce(sum(n_toks) OVER (PARTITION BY shard
+        |pb AS (SELECT source, n_kept, n_removed, shard,
+        |  CAST(floor(CAST(coalesce(sum(n_kept) OVER (PARTITION BY shard
         |    ORDER BY pack_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS BIGINT) / 512.0) AS BIGINT) AS bin
         |  FROM ps)
-        |SELECT source, count(*) AS n_rows, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |SELECT source, count(*) AS n_rows, CAST(sum(n_kept) AS BIGINT) AS n_tokens,
+        | CAST(sum(n_removed) AS BIGINT) AS n_cut,
         | CAST(count(DISTINCT shard * 100000 + bin) AS BIGINT) AS n_bins
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+        |FROM pb GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // ---- Quality-weighted sampling: keep probability proportional to the
     //      document's quality score (hash bucket < quality*100) — the
@@ -7061,9 +6987,15 @@ object DocQueries {
     //      colours — every rounding is floor(x+0.5) on one double
     //      expression, mirrored verbatim.
     "q_multimodal_jpeg_decode" -> Q(
+      // gate corpus capped at 16 MCUs/doc (round 18): every decode path the
+      // 64-MCU corpus exercised — multi-block DC prediction, entropy walk,
+      // IDCT, upsampling — fires identically at 16 blocks, at a quarter of
+      // the arithmetic (the suite-max trim VERDICT r17 asked for); the
+      // subsampling/greyscale/restart variants are JpegSpec's hand-assembled
+      // streams either way
       (s, d) => Multimodal.decodeJpegFeatures(Multimodal.encodeJpeg(
           Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
-            "source")))
+            "source"), maxMcu = 16))
         .orderBy("media_id"),
       Some {
         def byteAt(p: String) =
@@ -7078,7 +7010,7 @@ object DocQueries {
             s" / CAST(256 * nm AS DOUBLE)"
         s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
         |  octet_length(encode(text)) AS len FROM documents),
-        |d AS (SELECT media_id, hx, len, greatest(1, least(64, len // 3)) AS nm
+        |d AS (SELECT media_id, hx, len, greatest(1, least(16, len // 3)) AS nm
         |  FROM m),
         |c1 AS (SELECT media_id, nm, list_transform(range(0, nm), k ->
         |  {'r': ${byteOr0("3*k+1")}, 'g': ${byteOr0("3*k+2")},
@@ -8270,143 +8202,6 @@ object DocQueries {
         |FROM pred p JOIN qv USING (doc_id)
         |WHERE qv.quality >= CAST(0.4 AS DOUBLE)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
-
-    // ---- Web-crawl front-end capstone (the RefinedWeb-style chain): crawl
-    //      rows (synthetic url + multi-line page) -> URL-keyed dedup (first
-    //      fetch wins) -> C4 rule cleaning (keep_doc pages only) -> domain
-    //      screening on an upstream classifier score -> blocklist any-hit
-    //      drop on the CLEANED text -> per-source survivors + token mass.
-    //      Every stage is an already-gated operator; the oracle chains the
-    //      same mirrors.
-    "q_pipeline_web_curate" -> Q(
-      (s, d) => {
-        import s.implicits._
-        import graft.operators.{Curation, Lines}
-        val words = split(col("text"), " ")
-        def line(st: Int, ln: Int, tail: String) =
-          concat(array_join(slice(words, st, ln), " "), lit(tail))
-        val url = concat(
-          when(col("doc_id") % 2 === 0, lit("HTTP://User@WWW.Example.COM:80"))
-            .otherwise(lit("https://cdn.example.net:443")),
-          lit("/page/"), (col("doc_id") % 211).cast("string"),
-          when(col("doc_id") % 3 === 0, lit("?utm_source=feed&q=7&gclid=zz"))
-            .otherwise(lit("")))
-        val page = concat(
-          concat_ws("\n",
-            line(1, 6, "."),
-            line(7, 3, "."),
-            lit("please enable javascript to view this page."),
-            line(10, 7, ""),
-            line(4, 8, " done!"),
-            line(12, 7, " right?")),
-          when(col("doc_id") % 7 === 0,
-            lit("\nlorem ipsum dolor sit amet consectetur elite prose."))
-            .otherwise(lit("")))
-        val crawl = docsP(s, d).select(col("doc_id"), col("source"),
-          url.as("url"), page.as("page"))
-        val fetched = Curation.dedupByUrl(crawl, "doc_id", "url")
-          .filter(col("is_keeper")).select("doc_id", "source", "page")
-        val c4 = Lines.c4Clean(fetched, "doc_id", "page").filter(col("keep_doc"))
-          .select(col("doc_id"), col("text"))
-          .join(fetched.select("doc_id", "source"), Seq("doc_id"))
-        val dom = Curation.screenDomains(
-            c4.withColumn("domain",
-              concat(lit("site"), (col("doc_id") % 37).cast("string"),
-                lit(".example"))),
-            "doc_id", "domain",
-            (col("doc_id") % 100).cast("double") / 100.0,
-            maxDocsPerDomain = 1000000L, minAvgQuality = 0.5)
-          .filter(!col("domain_flagged"))
-        val terms = Seq("slow", "dup", "noise").toDF("term")
-        Curation.blocklistFlags(dom, "doc_id", "text", terms)
-          .filter(!col("has_blocked"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"),
-            sum(TextFunctions.tokenCount(col("text")).cast("long")).as("n_tokens"))
-          .orderBy("source")
-      },
-      Some {
-        val ctToks = ToksSql.replace("lower(text)", "lower(ct)")
-        s"""WITH u AS (SELECT doc_id, source, text,
-        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://User@WWW.Example.COM:80'
-        |        ELSE 'https://cdn.example.net:443' END)
-        |  || '/page/' || CAST(doc_id % 211 AS VARCHAR)
-        |  || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&q=7&gclid=zz'
-        |        ELSE '' END) AS url
-        |  FROM documents),
-        |cn AS (SELECT doc_id, source, text,
-        |  CASE WHEN instr(regexp_replace(url, '#.*$$', ''), '?') > 0
-        |    THEN substr(regexp_replace(url, '#.*$$', ''), 1,
-        |      instr(regexp_replace(url, '#.*$$', ''), '?') - 1)
-        |    ELSE regexp_replace(url, '#.*$$', '') END AS base,
-        |  regexp_extract(regexp_replace(url, '#.*$$', ''), '\\?(.*)$$', 1) AS q
-        |  FROM u),
-        |cu AS (SELECT doc_id, source, text,
-        |  regexp_replace(regexp_replace(
-        |    regexp_replace(lower(regexp_extract(base, '(?i)^(https?://[^/]+)', 1)),
-        |      '^(https?://)[^@/]*@', '\\1'),
-        |    '^(http://[^/]*?):80$$', '\\1'), '^(https://[^/]*?):443$$', '\\1')
-        |  || regexp_replace(regexp_replace(base, '(?i)^https?://[^/]+', ''), '/$$', '')
-        |  || CASE WHEN coalesce(array_to_string(list_filter(string_split(q, '&'),
-        |       x -> len(x) > 0 AND NOT regexp_matches(x,
-        |         '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '') <> ''
-        |     THEN '?' || coalesce(array_to_string(list_filter(string_split(q, '&'),
-        |       x -> len(x) > 0 AND NOT regexp_matches(x,
-        |         '^(utm_[^=]*|gclid|fbclid|ref)(=|$$)')), '&'), '')
-        |     ELSE '' END AS canonical_url
-        |  FROM cn),
-        |fk AS (SELECT doc_id, source, text FROM cu
-        |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY canonical_url)),
-        |pg AS (SELECT doc_id, source,
-        |  concat(
-        |    concat_ws(chr(10),
-        |      coalesce(array_to_string(list_slice(string_split(text,' '),1,6),' '),'') || '.',
-        |      coalesce(array_to_string(list_slice(string_split(text,' '),7,9),' '),'') || '.',
-        |      'please enable javascript to view this page.',
-        |      coalesce(array_to_string(list_slice(string_split(text,' '),10,16),' '),''),
-        |      coalesce(array_to_string(list_slice(string_split(text,' '),4,11),' '),'') || ' done!',
-        |      coalesce(array_to_string(list_slice(string_split(text,' '),12,18),' '),'') || ' right?'),
-        |    CASE WHEN doc_id % 7 = 0
-        |      THEN chr(10) || 'lorem ipsum dolor sit amet consectetur elite prose.'
-        |      ELSE '' END) AS t0
-        |  FROM fk),
-        |c4 AS (SELECT doc_id, source, t0,
-        |  list_transform(list_filter(string_split(t0, chr(10)), s2 ->
-        |    regexp_matches(trim(s2), '[.!?"]$$')
-        |    AND len(string_split_regex(trim(s2), '\\s+')) >= 5
-        |    AND NOT contains(lower(trim(s2)), 'javascript')
-        |    AND NOT contains(lower(trim(s2)), 'terms of use')
-        |    AND NOT contains(lower(trim(s2)), 'privacy policy')
-        |    AND NOT contains(lower(trim(s2)), 'cookie policy')
-        |    AND NOT contains(lower(trim(s2)), 'uses cookies')
-        |    AND NOT contains(lower(trim(s2)), 'use of cookies')
-        |    AND NOT contains(lower(trim(s2)), 'use cookies')
-        |  ), s2 -> trim(s2)) AS kept FROM pg),
-        |cc AS (SELECT doc_id, source, t0,
-        |  coalesce(array_to_string(kept, chr(10)), '') AS ct FROM c4),
-        |cv AS (SELECT doc_id, source, ct FROM cc
-        |  WHERE NOT contains(t0, '{') AND NOT contains(lower(t0), 'lorem ipsum')
-        |    AND length(regexp_replace(ct, '[^.!?]', '', 'g')) >= 3),
-        |dm AS (SELECT doc_id, source, ct,
-        |  'site' || CAST(doc_id % 37 AS VARCHAR) || '.example' AS domain,
-        |  CAST(doc_id % 100 AS DOUBLE) / CAST(100 AS DOUBLE) AS quality FROM cv),
-        |ds AS (SELECT domain, count(*) AS domain_docs,
-        |  ${ExactAgg.avgSql("quality", 6)} AS domain_avg_quality
-        |  FROM dm GROUP BY 1),
-        |dv AS (SELECT dm.doc_id, dm.source, dm.ct
-        |  FROM dm JOIN ds USING (domain)
-        |  WHERE NOT (ds.domain_docs > 1000000 OR ds.domain_avg_quality < 0.5)),
-        |bl AS (SELECT unnest(['slow', 'dup', 'noise']) AS tok),
-        |e0 AS (SELECT doc_id, unnest($ctToks) AS tok FROM dv),
-        |hb AS (SELECT e0.doc_id, count(*) AS n_blocked
-        |  FROM e0 JOIN bl ON bl.tok = e0.tok GROUP BY 1),
-        |fin AS (SELECT dv.doc_id, dv.source, dv.ct
-        |  FROM dv LEFT JOIN hb ON hb.doc_id = dv.doc_id
-        |  WHERE COALESCE(hb.n_blocked, 0) = 0)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(len($ctToks)) AS BIGINT) AS n_tokens
-        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin
-      }),
 
     // ---- Web capstone v3 (round 14) — the POLITE-crawl chain: robots
     //      screening (parsed rules, exact-agent precedence) leads the
