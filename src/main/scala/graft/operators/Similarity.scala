@@ -521,18 +521,17 @@ object Similarity {
         "coarse table; rebuild with buildIvf2 and publish to a fresh dir")
     requireNoStaleSwap(fsChk, s"$dir/__retraining")
     val stored = spark.read.parquet(s"$dir/assigned")
-    val quantized = stored.columns.contains("codes")
-    val vecs =
-      if (quantized) stored.select(col("nbr_id"),
-        VectorFunctions.dequantizeI8(col("codes"), col("scale")).as("nbr_v"))
-      else stored.select(col("nbr_id"), col("nbr_v"))
+    val coded = storedIsCoded(stored)
+    val vecs = storedVectors(spark, dir, stored)
     val fresh = buildIvf(vecs.select(col("nbr_id").as("vec_id"),
       col("nbr_v").as("embedding")), nLists, seed)
     try {
-      // keep the stored byte shape: a quantized index carries its original
-      // codes/scale to the new cell; a raw index takes the re-assignment
+      // keep the stored byte shape: a coded index (int8 or PQ) carries its
+      // original codes/scale to the new cell — quantization is per-vector
+      // and independent of cell, so re-celling never re-rounds; a raw
+      // index takes the re-assignment
       val reassigned =
-        if (quantized)
+        if (coded)
           stored.drop("cell").join(
             fresh.assigned.select("nbr_id", "cell").hint("shuffle_hash"),
             Seq("nbr_id"))
@@ -565,6 +564,33 @@ object Similarity {
       spark.catalog.refreshByPath(s"$dir/centroids")
     } finally fresh.assigned.unpersist(blocking = false)
   }
+
+  /** True when the stored assignment layout carries codes instead of raw
+    * vectors (int8 `codes`/`scale` or PQ `pq_codes`). */
+  private def storedIsCoded(stored: DataFrame): Boolean =
+    stored.columns.contains("codes") || stored.columns.contains("pq_codes")
+
+  /** The retrain TRAINING VIEW of a stored assignment layout, in any of its
+    * three byte shapes: raw vectors pass through, an int8 index dequantizes
+    * (codes × scale — what the index actually holds), and a PQ index
+    * RECONSTRUCTS from its codes under the codebooks persisted beside it by
+    * [[savePq]] (the only vectors a PQ index still has — retraining on them
+    * is exactly retraining on what every probe scores). Fails fast when a
+    * PQ layout has no codebook artifacts in `dir`. */
+  private def storedVectors(spark: SparkSession, dir: String,
+                            stored: DataFrame): DataFrame =
+    if (stored.columns.contains("pq_codes")) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/pq_meta")),
+        s"$dir/assigned holds PQ codes but no savePq artifacts — retrain " +
+          "needs the codebooks to reconstruct the vectors it re-trains on")
+      pqReconStore(stored, loadPq(spark, dir)).select("nbr_id", "nbr_v")
+    }
+    else if (stored.columns.contains("codes"))
+      stored.select(col("nbr_id"),
+        VectorFunctions.dequantizeI8(col("codes"), col("scale")).as("nbr_v"))
+    else stored.select("nbr_id", "nbr_v")
 
   /** Fail fast when a previous retrain's temp root survived a crash: its
     * staged parts and `old__*` backups are the RECOVERY material, and the
@@ -792,25 +818,24 @@ object Similarity {
     *
     * Also the UPGRADE path: run against a dir saved by [[saveIvf]] (no
     * `coarse`) to convert a flat index to two-level in place — the flat
-    * case simply has no coarse table to move aside. Quantized indexes
-    * keep their exact stored codes/scale, re-celled without a second
-    * rounding pass (the [[retrainIvf]] rule). */
+    * case simply has no coarse table to move aside. Coded indexes (int8
+    * OR PQ) keep their exact stored bytes, re-celled without a second
+    * rounding pass (the [[retrainIvf]] rule); a PQ layout re-trains on
+    * its reconstructions under the codebooks persisted beside it — which
+    * are exactly the vectors every probe scores. */
   def retrainIvf2(spark: SparkSession, dir: String, nParents: Int = 4,
                   fanout: Int = 4, seed: Long = 42L): Unit = {
     requireNoStaleSwap(org.apache.hadoop.fs.FileSystem.get(
         new java.net.URI(dir), spark.sparkContext.hadoopConfiguration),
       s"$dir/__retraining2")
     val stored = spark.read.parquet(s"$dir/assigned")
-    val quantized = stored.columns.contains("codes")
-    val vecs =
-      if (quantized) stored.select(col("nbr_id"),
-        VectorFunctions.dequantizeI8(col("codes"), col("scale")).as("nbr_v"))
-      else stored.select(col("nbr_id"), col("nbr_v"))
+    val coded = storedIsCoded(stored)
+    val vecs = storedVectors(spark, dir, stored)
     val fresh = buildIvf2(vecs.select(col("nbr_id").as("vec_id"),
       col("nbr_v").as("embedding")), nParents, fanout, seed)
     try {
       val reassigned =
-        if (quantized)
+        if (coded)
           stored.drop("cell").join(
             fresh.index.assigned.select("nbr_id", "cell").hint("shuffle_hash"),
             Seq("nbr_id"))

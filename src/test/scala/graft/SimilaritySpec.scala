@@ -2012,6 +2012,72 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("retrain re-cells a PQ-coded index on its reconstructions, codes byte-exact") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 4)
+    val pq = Similarity.trainPq(emb, m = 16, nCodes = 32, seed = 11L)
+    def codesOf(assigned: org.apache.spark.sql.DataFrame) =
+      assigned.select("nbr_id", "pq_codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Byte](1).toSeq).toMap
+    // ---- flat: a PQ dir re-trains on its reconstructions; exhaustive
+    //      probe results are IDENTICAL before and after (cells cannot
+    //      matter at full probe; scores come from the same codes)
+    val flatDir = java.nio.file.Files.createTempDirectory("graft_pq_rt").toString
+    val twoDir = java.nio.file.Files.createTempDirectory("graft_pq_rt2").toString
+    val bareDir = java.nio.file.Files.createTempDirectory("graft_pq_rt3").toString
+    try {
+      val flat = Similarity.buildIvf(emb, nLists = 4, seed = 42L)
+      val coded = Similarity.encodePq(flat, pq)
+      Similarity.saveIvf(coded, flatDir)
+      Similarity.savePq(pq, flatDir)
+      flat.assigned.unpersist()
+      val before = Similarity.searchIvfPq(Similarity.loadIvf(spark, flatDir),
+          Similarity.loadPq(spark, flatDir), queries, k = 5, nProbe = 4)
+        .orderBy("query_id", "rank").collect().toSeq
+      val codesBefore = codesOf(Similarity.loadIvf(spark, flatDir).assigned)
+      Similarity.retrainIvf(spark, flatDir, nLists = 8, seed = 7L)
+      val reloaded = Similarity.loadIvf(spark, flatDir)
+      assert(reloaded.centroids.count() == 8)
+      assert(codesOf(reloaded.assigned) == codesBefore,
+        "re-celling must keep every stored code byte-exact")
+      val after = Similarity.searchIvfPq(reloaded,
+          Similarity.loadPq(spark, flatDir), queries, k = 5, nProbe = 8)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(before.nonEmpty && after == before)
+      // ---- two-level: same contract through retrainIvf2
+      val i2 = Similarity.buildIvf2(emb, nParents = 2, fanout = 2, seed = 3L)
+      Similarity.saveIvf2(Similarity.encodePq2(i2, pq), twoDir)
+      Similarity.savePq(pq, twoDir)
+      i2.index.assigned.unpersist()
+      val b2 = Similarity.searchIvf2Pq(Similarity.loadIvf2(spark, twoDir),
+          Similarity.loadPq(spark, twoDir), queries, k = 5, nProbe = 4,
+          probeParents = 2)
+        .orderBy("query_id", "rank").collect().toSeq
+      Similarity.retrainIvf2(spark, twoDir, nParents = 2, fanout = 3,
+        seed = 9L)
+      val re2 = Similarity.loadIvf2(spark, twoDir)
+      assert(re2.fanout == 3)
+      assert(codesOf(re2.index.assigned) == codesBefore)
+      val a2 = Similarity.searchIvf2Pq(re2, Similarity.loadPq(spark, twoDir),
+          queries, k = 5, nProbe = 6, probeParents = 2)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(a2 == b2)
+      // ---- a PQ layout without its codebooks cannot retrain — fail fast,
+      //      never train on garbage
+      val bare = Similarity.buildIvf(emb, nLists = 2, seed = 5L)
+      Similarity.saveIvf(Similarity.encodePq(bare, pq), bareDir)
+      bare.assigned.unpersist()
+      val e = intercept[IllegalArgumentException] {
+        Similarity.retrainIvf(spark, bareDir, nLists = 4, seed = 6L)
+      }
+      assert(e.getMessage.contains("savePq"))
+    } finally {
+      Seq(flatDir, twoDir, bareDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("retrain fails fast on a stale crash-leftover temp root and on a false rename") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
     val flatDir = java.nio.file.Files.createTempDirectory("graft_stale_f").toString
