@@ -1049,6 +1049,56 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/assigned")
   }
 
+  /** [[searchIvfFiltered]] through the two-level probe: the attribute
+    * predicate evaluates in the candidate scan exactly as the flat path
+    * (one id-keyed attrs join against the store, independent of query
+    * count), only the cell-selection descends the hierarchy. At
+    * `probeParents = nParents` / `nProbe = nLists` the result is
+    * row-identical to the flat filtered search over the inner index
+    * (spec-pinned). */
+  def searchIvf2Filtered(i2: Ivf2Index, attrs: DataFrame, queries: DataFrame,
+                         k: Int, nProbe: Int, pred: Column,
+                         probeParents: Int = 0): DataFrame = {
+    graft.GraftExtensions.register(queries.sparkSession)
+    val pp = if (probeParents > 0) probeParents else nProbe / i2.fanout + 2
+    val probed = probeCells2(queries, i2, nProbe, pp)
+    val store = probeStore(i2.index)
+      .join(attrs.withColumnRenamed(attrs.columns.head, "nbr_id"), Seq("nbr_id"))
+      .filter(pred)
+    rankPqCandidates(store, probed, k)
+  }
+
+  /** [[ivfRecallReport]] for a two-level index — the tuning curve now has
+    * TWO axes (how many parents to descend, how many leaves to keep), so
+    * the report takes (probeParents, nProbe) budget pairs and lands one
+    * macro-averaged row per pair. Same scale shape: the exact pass is paid
+    * once for the whole curve (pinned into the caller's scope), each
+    * probed ranking is the hierarchical cell-pruned scan, and the driver
+    * loop is over budget pairs, never data. mean_recall is exactly 1.0 at
+    * the exhaustive pair (spec-pinned; non-exhaustive budgets are not
+    * totally ordered across BOTH axes, so only nested budgets are
+    * monotone). */
+  def ivf2RecallReport(i2: Ivf2Index, corpus: DataFrame, queries: DataFrame,
+                       k: Int, budgets: Seq[(Int, Int)],
+                       scope: graft.core.CacheScope.Handle =
+                         graft.core.CacheScope.detached): DataFrame = {
+    require(budgets.nonEmpty, "need at least one (probeParents, nProbe) budget")
+    val qrels = scope.pin(bruteForceTopK(corpus, queries, k)
+      .select(col("query_id"), col("nbr_id").as("doc_id"),
+        lit(1.0).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    qrels.count()
+    val rows = budgets.map { case (pp, np) =>
+      RetrievalEval.summary(RetrievalEval.perQuery(
+          searchIvf2(i2, queries, k, np, pp), qrels, k))
+        .withColumn("probe_parents", lit(pp))
+        .withColumn("n_probe", lit(np))
+    }
+    rows.reduce(_ unionByName _)
+      .select("probe_parents", "n_probe", "n_queries", "n_evaluable",
+        "mean_recall", "mean_precision", "mean_mrr", "mean_ndcg")
+  }
+
   /** Persist trained PQ codebooks beside a [[saveIvf]] index — the
     * deployment needs both halves to probe (codes are meaningless without
     * their codebooks, exactly as cells are without centroids). The codebook

@@ -2012,6 +2012,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF2 filtered search matches the flat path; two-axis recall report hits 1.0 exhaustive") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 4)
+    val i2 = Similarity.buildIvf2(emb, nParents = 2, fanout = 3, seed = 42L)
+    val attrs = emb.select(col("vec_id"), (col("vec_id") % 2 === 0).as("keep"))
+    try {
+      // exhaustive hierarchical probe ≡ exhaustive FLAT filtered search
+      // over the inner index — the descent only picks cells
+      val h = Similarity.searchIvf2Filtered(i2, attrs, queries, k = 5,
+          nProbe = 6, pred = col("keep"), probeParents = 2)
+        .orderBy("query_id", "rank").collect()
+      val f = Similarity.searchIvfFiltered(i2.index, attrs, queries, k = 5,
+          nProbe = 6, pred = col("keep"))
+        .orderBy("query_id", "rank").collect()
+      assert(h.nonEmpty && h.toSeq == f.toSeq)
+      // the predicate is respected: only even ids can rank
+      assert(h.forall(_.getLong(1) % 2 == 0))
+      // two-axis tuning report: nested budgets (same parents, more leaves)
+      // are monotone, the exhaustive pair is exactly 1.0
+      val scope = graft.core.CacheScope.handle()
+      val rep = Similarity.ivf2RecallReport(i2, emb, queries, k = 5,
+          budgets = Seq((1, 2), (2, 3), (2, 6)), scope = scope)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Double]("mean_recall"))
+        .toMap
+      scope.release()
+      assert(rep((2, 6)) == 1.0, s"exhaustive budget must recover exact: $rep")
+      assert(rep((2, 3)) <= rep((2, 6)) + 1e-12,
+        s"nested leaf budgets must be monotone: $rep")
+      assert(rep.values.forall(r => r >= 0.0 && r <= 1.0))
+    } finally {
+      i2.index.assigned.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("retrain re-cells a PQ-coded index on its reconstructions, codes byte-exact") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
     val queries = emb.filter(col("vec_id") < 4)
