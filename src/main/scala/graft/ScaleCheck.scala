@@ -1418,6 +1418,35 @@ object ScaleCheck {
           docs.select("doc_id", "lang"), buckets = 4096, salt = ":lc1")
         LangClassifier.scoreLang(docs.select("doc_id"), "doc_id", fold, m)
       },
+      // WARC/WET container round trip (round 18): ONE shuffle groups docs
+      // into (source, segment) WET files — segments sized so the 10x
+      // corpus gets 10x the files, the Common Crawl shape (the segment is
+      // the parallel unit; per-file bytes stay constant) — then the parse
+      // side is a partition-local flatMap generator. Expect ~linear:
+      // gzip/grammar arithmetic per byte dominates both halves.
+      "wet_roundtrip" -> { d =>
+        import graft.sources.Warc
+        val segs = if (d == out) 40 else 4
+        Warc.wetRecords(Warc.wetExport(
+          Tables.documents(spark, d).select("source", "doc_id", "text"),
+          gzipped = true, segments = segs))
+      },
+      // PQ-filtered search (round 18): the searchIvfPq cell-pruned scan
+      // over m-byte codes plus ONE id-keyed attrs join before the rank —
+      // the join is the only term the filter adds, independent of query
+      // count; expect the ivf2_pq ratio class
+      "pq_filtered" -> { d =>
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+        val nLists = if (d == out) 64 else 16
+        val idx = Similarity.buildIvf(emb, nLists = nLists, seed = 42L)
+        val pq = Similarity.trainPq(emb, m = 16, nCodes = 64, seed = 7L)
+        val coded = Similarity.encodePq(idx, pq)
+        Similarity.searchIvfPqFiltered(coded, pq,
+          emb.select(col("vec_id"), (col("vec_id") % 2 === 0).as("keep")),
+          emb.filter(col("vec_id") % 1000L === 0L), k = 10,
+          nProbe = 2, pred = col("keep"))
+      },
       // the fused filter bake-off: ONE persisted tokenFold + labels frame
       // feeding NB train/score, logistic train/score, and the exact-AUC
       // metrics fold — the r16 score-once shape

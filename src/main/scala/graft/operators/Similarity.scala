@@ -1062,10 +1062,7 @@ object Similarity {
     graft.GraftExtensions.register(queries.sparkSession)
     val pp = if (probeParents > 0) probeParents else nProbe / i2.fanout + 2
     val probed = probeCells2(queries, i2, nProbe, pp)
-    val store = probeStore(i2.index)
-      .join(attrs.withColumnRenamed(attrs.columns.head, "nbr_id"), Seq("nbr_id"))
-      .filter(pred)
-    rankPqCandidates(store, probed, k)
+    rankPqCandidates(filteredStore(probeStore(i2.index), attrs, pred), probed, k)
   }
 
   /** [[ivfRecallReport]] for a two-level index — the tuning curve now has
@@ -1315,16 +1312,54 @@ object Similarity {
                         pred: Column): DataFrame = {
     graft.GraftExtensions.register(queries.sparkSession)
     val probed = probeCells(queries, index.centroids, nProbe)
-    val store = probeStore(index)
+    rankPqCandidates(filteredStore(probeStore(index), attrs, pred), probed, k)
+  }
+
+  /** Apply the attribute predicate to a candidate store BEFORE ranking —
+    * the shared pre-filter step of every filtered search variant (raw,
+    * int8, PQ; flat and two-level): one id-keyed join of the attrs frame
+    * against the store, then the predicate in the scan stage. */
+  private def filteredStore(store: DataFrame, attrs: DataFrame,
+                            pred: Column): DataFrame =
+    store
       .join(attrs.withColumnRenamed(attrs.columns.head, "nbr_id"), Seq("nbr_id"))
       .filter(pred)
-    val scored = store.join(broadcast(probed), Seq("cell"))
-      .filter(col("query_id") =!= col("nbr_id"))
-      .select(col("query_id"), col("nbr_id"),
-        graft.functions.VecCosine.cosine(col("q_v"), col("nbr_v")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+
+  /** [[searchIvfFiltered]] over a PQ-CODED store — the last missing
+    * two-lever composition: a 65k-list × 100 TB deployment stores m bytes
+    * per vector AND serves predicated retrieval (lang = en, licence
+    * allow-listed...), so the filter has to evaluate against the coded
+    * layout, not a parallel raw copy. Candidates decode to their PQ
+    * reconstructions in the probe scan exactly as [[searchIvfPq]], the
+    * attrs join + `pred` drop candidates BEFORE the rank (the same
+    * pre-filter semantics as the raw path — a selective predicate never
+    * starves the top-k), and at nProbe = nLists the result is brute force
+    * over the FILTERED reconstructions (the oracle gate). Scale shape:
+    * [[searchIvfPq]]'s cell-pruned m-bytes-per-row scan plus ONE id-keyed
+    * attrs join, independent of query count. */
+  def searchIvfPqFiltered(index: IvfIndex, pq: PqCodebooks, attrs: DataFrame,
+                          queries: DataFrame, k: Int, nProbe: Int,
+                          pred: Column): DataFrame = {
+    graft.GraftExtensions.register(queries.sparkSession)
+    val probed = probeCells(queries, index.centroids, nProbe)
+    rankPqCandidates(
+      filteredStore(pqReconStore(index.assigned, pq), attrs, pred), probed, k)
+  }
+
+  /** [[searchIvfPqFiltered]] through the two-level probe — all three
+    * levers at once (hierarchical assignment cost, m-byte storage,
+    * predicated retrieval). Only the cell selection descends the
+    * hierarchy; at `probeParents = nParents` / `nProbe = nLists` the
+    * result is row-identical to the flat PQ-filtered search over the
+    * inner index (spec-pinned). */
+  def searchIvf2PqFiltered(i2: Ivf2Index, pq: PqCodebooks, attrs: DataFrame,
+                           queries: DataFrame, k: Int, nProbe: Int,
+                           pred: Column, probeParents: Int = 0): DataFrame = {
+    graft.GraftExtensions.register(queries.sparkSession)
+    val pp = if (probeParents > 0) probeParents else nProbe / i2.fanout + 2
+    val probed = probeCells2(queries, i2, nProbe, pp)
+    rankPqCandidates(
+      filteredStore(pqReconStore(i2.index.assigned, pq), attrs, pred), probed, k)
   }
 
   /** Recall-vs-nProbe TUNING REPORT for a built index — the curve an

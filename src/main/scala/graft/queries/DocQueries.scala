@@ -456,7 +456,14 @@ object DocQueries {
     * one oracle pins both layouts). Mirrors encode (argmin d2, ties to
     * lowest code), reconstruction (flatten in subspace order), and cosine
     * bit for bit. */
-  private def PqTopKSql: String = {
+  private def PqTopKSql: String = PqTopKSqlWhere("TRUE")
+
+  /** [[PqTopKSql]] with a candidate-side predicate over the embeddings
+    * row (alias `e` — e.g. `e.label < 5`): brute force over the FILTERED
+    * reconstructions, the oracle for the PQ-filtered search gates. The
+    * unfiltered gates pass TRUE, so one mirror pins all four PQ probe
+    * paths. */
+  private def PqTopKSqlWhere(candPred: String): String = {
     val cbUnion = (0 until 8).map { j =>
       val dims = (1 to 8).map { i =>
         val g = j * 8 + i
@@ -469,7 +476,8 @@ object DocQueries {
          |    ${fp60Sql(s"CAST(vec_id AS VARCHAR) || ':pq$j'")} % 16 AS code
          |  FROM e) GROUP BY code""".stripMargin
     }.mkString("\n UNION ALL\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+    |  FROM embeddings),
     |cb AS ($cbUnion),
     |enc0 AS (SELECT e.vec_id, cb.subspace, cb.code, cb.codeword,
     |  ${d2Sql("e.v[(cb.subspace * 8 + 1):(cb.subspace * 8 + 8)]", "cb.codeword")} AS d2
@@ -482,7 +490,8 @@ object DocQueries {
     |  FROM enc GROUP BY vec_id),
     |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
     |scored AS (SELECT query_id, nbr_id, ${cosSql("qv", "nbr_v")} AS cosine
-    |  FROM recon CROSS JOIN q WHERE nbr_id != query_id)
+    |  FROM recon JOIN e ON e.vec_id = recon.nbr_id CROSS JOIN q
+    |  WHERE nbr_id != query_id AND ($candPred))
     |SELECT query_id, nbr_id, cosine,
     | row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
     |FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin
@@ -5035,6 +5044,126 @@ object DocQueries {
           .orderBy("query_id", "rank")
       },
       Some(PqTopKSql)),
+
+    // PQ × FILTER — the remaining lever composition (round 18): a coded
+    // m-bytes/vector store that also serves PREDICATED retrieval (lang,
+    // licence, quality-threshold...). Pre-filter semantics identical to
+    // q_sim_topk_filtered (attrs join + predicate BEFORE the rank — a
+    // selective predicate never starves the top-k), candidates scored
+    // against their PQ reconstructions exactly as q_sim_topk_ivf_pq; at
+    // nProbe = nLists the coarse cells cannot affect the result, so the
+    // oracle is the SAME brute-force-over-reconstructions mirror with the
+    // label predicate on the candidate side. The two-level descent
+    // (searchIvf2PqFiltered) is row-identical at exhaustive budgets —
+    // spec-pinned in SimilaritySpec, not re-gated.
+    "q_sim_topk_ivf_pq_filtered" -> Q(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val pq = deterministicPq(emb)
+        val coded = Similarity.encodePq(
+          Similarity.sharedIvf(emb, corpusKey = d, nLists = 16), pq)
+        Similarity.searchIvfPqFiltered(coded, pq,
+            emb.select("vec_id", "label"), emb.filter(col("vec_id") < 8),
+            k = 10, nProbe = 16, pred = col("label") < 5)
+          .withColumn("rank", col("rank").cast("bigint"))
+          .orderBy("query_id", "rank")
+      },
+      prewarm = Some(PrewarmIvf),
+      oracle = Some(PqTopKSqlWhere("e.label < 5"))),
+
+    // ---- WARC/WET container round trip (round 18): the delivery format
+    //      of web-crawl corpora (Common Crawl ships .wet.gz extracted-text
+    //      segments; a crawl-scale ingest STARTS from these files). The
+    //      gate runs the full container lifecycle distributed: one shuffle
+    //      groups documents into per-source WET files (warcinfo header +
+    //      one conversion record per doc, each record its own gzip member
+    //      — the range-requestable Common Crawl layout), then the
+    //      partition-local generator parses every member stream back and
+    //      the decoded records must reproduce the corpus bit for bit —
+    //      ids (from the record URI), octet lengths, and UTF-8 text. Any
+    //      header, length, terminator, or gzip-member defect anywhere in
+    //      the 500-record round trip fails the hash. The byte grammar
+    //      itself (malformed forms, multi-member layout, binary-safe
+    //      payloads) is pinned in WarcSpec.
+    "q_s_wet_roundtrip" -> Q(
+      (s, d) => {
+        import graft.sources.Warc
+        val files = Warc.wetExport(
+          docsP(s, d).select("source", "doc_id", "text"), gzipped = true,
+          segments = 3)
+        Warc.wetRecords(files)
+          .filter(col("is_valid"))
+          .select(
+            element_at(split(col("target_uri"), "/"), -1)
+              .cast("bigint").as("doc_id"),
+            col("target_uri"), col("content_length"), col("text"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+        | 'https://example.org/' || source || '/' || doc_id AS target_uri,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        | text
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- WARC -> WET conversion (round 18): the crawl-to-corpus step
+    //      itself — full-capture WARC files (warcinfo + request + response
+    //      records, HTTP layer inside the response payloads, every record
+    //      its own gzip member) distilled to the text layer: parse the
+    //      container, split the HTTP head, keep 200 text/html responses,
+    //      extract text with the SAME Curation.htmlToText chain the web
+    //      gates run (a Column regex tree — the byte kernels stop at the
+    //      container layers, codegen keeps the extraction). The oracle
+    //      rebuilds the page and replays the extraction chain; ids ride
+    //      the record URIs through both HTTP and WARC layers, so any
+    //      defect in record framing, member compression, HTTP splitting,
+    //      or extraction fails the hash.
+    "q_s_warc_to_wet" -> Q(
+      (s, d) => {
+        import graft.sources.Warc
+        val words = split(col("text"), " ")
+        val html = concat(
+          lit("<html><head><title>"), array_join(slice(words, 1, 2), " "),
+          lit("</title></head><body><p>"), col("text"),
+          lit("</p></body></html>"))
+        val files = Warc.warcExport(
+          docsP(s, d).select(col("source"), col("doc_id"), html.as("html")),
+          gzipped = true, segments = 2)
+        Warc.warcToWet(files)
+          .select(
+            element_at(split(col("target_uri"), "/"), -1)
+              .cast("bigint").as("doc_id"),
+            col("text"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, text
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  '<html><head><title>'
+        |  || coalesce(array_to_string(list_slice(ws, 1, 2), ' '), '')
+        |  || '</title></head><body><p>' || text || '</p></body></html>'
+        |  AS html FROM w),
+        |s1 AS (SELECT doc_id, regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)</?(p|div|br|li|ul|ol|tr|table|h[1-6])\\b[^>]*>', chr(10), 'g')
+        |  AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(t,
+        |      '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&amp;', '&', 'g')
+        |  AS t FROM s5),
+        |s7 AS (SELECT doc_id, regexp_replace(t, '[ \\t\\f\\r]+', ' ', 'g') AS t FROM s6),
+        |s8 AS (SELECT doc_id, regexp_replace(t, ' ?\\n ?', chr(10), 'g') AS t FROM s7),
+        |s9 AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(t, '\\n{2,}', chr(10), 'g'),
+        |    '^\\n+|\\n+$$', '', 'g')) AS t FROM s8)
+        |SELECT doc_id, t AS text FROM s9 ORDER BY doc_id""".stripMargin)),
 
     // ---- Dataset DATASHEET (round 14): the per-source one-stop card a
     //      corpus ships with — volume, exact mean quality, language share,

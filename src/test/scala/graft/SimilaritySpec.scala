@@ -2161,4 +2161,111 @@ class SimilaritySpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("PQ-filtered search: true pre-filter top-k over reconstructions; two-level descent matches flat") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 4)
+    val attrs = emb.select(col("vec_id"), (col("vec_id") % 2 === 0).as("keep"))
+    val pq = Similarity.trainPq(emb, m = 16, nCodes = 32, seed = 11L)
+    val i2 = Similarity.buildIvf2(emb, nParents = 2, fanout = 3, seed = 42L)
+    val coded = Similarity.encodePq2(i2, pq)
+    def tup(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getAs[Number](3).intValue)).toSeq
+    try {
+      val got = Similarity.searchIvfPqFiltered(coded.index, pq, attrs,
+          queries, k = 5, nProbe = 6, pred = col("keep"))
+        .orderBy("query_id", "rank").collect()
+      // expected: the FULL exhaustive PQ ranking post-filtered and
+      // re-ranked — with every candidate ranked, pre- and post-filter
+      // must agree row for row (ids, scores, ranks)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+      val expected = Similarity.searchIvfPq(coded.index, pq, queries,
+          k = 500, nProbe = 6)
+        .join(attrs.withColumnRenamed("vec_id", "nbr_id"), Seq("nbr_id"))
+        .filter(col("keep"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("query_id"), col("nbr_id"), col("cosine"), col("rk"))
+        .orderBy("query_id", "rk").collect()
+      assert(got.nonEmpty && tup(got) == tup(expected))
+      // the predicate is respected and a selective predicate never
+      // starves the top-k: k rows per query, all of them eligible
+      assert(got.forall(_.getLong(1) % 2 == 0))
+      assert(got.groupBy(_.getLong(0)).values.forall(_.length == 5))
+      // the fixture actually exercises pre-filter semantics: some plain
+      // top-k row is filtered-out (so post-filtering the shortlist would
+      // starve below k where the pre-filter path did not)
+      val plain = Similarity.searchIvfPq(coded.index, pq, queries,
+        k = 5, nProbe = 6).collect()
+      assert(plain.exists(_.getLong(1) % 2 == 1),
+        "fixture too easy: plain top-k already all-eligible")
+      // two-level exhaustive descent is row-identical to the flat path —
+      // the hierarchy only picks cells
+      val h = Similarity.searchIvf2PqFiltered(coded, pq, attrs, queries,
+          k = 5, nProbe = 6, pred = col("keep"), probeParents = 2)
+        .orderBy("query_id", "rank").collect()
+      assert(tup(h) == tup(got))
+    } finally {
+      i2.index.assigned.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("deleteFromIvf and compactIvf compose with the two-level layout unchanged") {
+    // both ops touch ONLY dir/assigned — the leaf half the IVF2 layout
+    // shares with the flat contract — so they must work on an IVF2 dir
+    // with the coarse table riding along untouched. This pins the
+    // composition (the lifecycle matrix row), not new machinery.
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 4)
+    val i2 = Similarity.buildIvf2(emb, nParents = 2, fanout = 3, seed = 42L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2_dc").toString
+    try {
+      Similarity.saveIvf2(i2, dir)
+      // victims: ids that actually rank in some query's exhaustive top-3
+      // (so forgetting them is observable), never a query id
+      val victims = Similarity.searchIvf2(Similarity.loadIvf2(spark, dir),
+          queries, k = 3, nProbe = 6, probeParents = 2)
+        .filter(col("nbr_id") >= 4)
+        .select("nbr_id").distinct().orderBy("nbr_id").limit(4)
+        .collect().map(_.getLong(0))
+      assert(victims.nonEmpty)
+      val coarseBefore = spark.read.parquet(s"$dir/coarse")
+        .collect().map(_.toSeq).toSet
+      val s2 = spark
+      import s2.implicits._
+      Similarity.deleteFromIvf(spark, dir, victims.toSeq.toDF("vec_id"))
+      val reloaded = Similarity.loadIvf2(spark, dir)
+      assert(reloaded.fanout == i2.fanout)
+      assert(spark.read.parquet(s"$dir/coarse").collect().map(_.toSeq).toSet
+        == coarseBefore, "delete must not touch the coarse half")
+      // exhaustive hierarchical search over the dir == brute force over
+      // the survivors: rows forgotten, top-k still full
+      val survivors = emb.filter(!col("vec_id").isin(victims.toSeq: _*))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "rank", "nbr_id").collect().map(_.toSeq).toSet
+      val afterDelete = rows(Similarity.searchIvf2(reloaded, queries,
+        k = 5, nProbe = 6, probeParents = 2))
+      assert(afterDelete == rows(Similarity.bruteForceTopK(survivors, queries, k = 5)))
+      // compaction on the same dir: one file per surviving cell, rows and
+      // search results unchanged, coarse still untouched
+      Similarity.compactIvf(spark, dir)
+      val perCell = new java.io.File(s"$dir/assigned").listFiles()
+        .filter(_.getName.startsWith("cell=")).map(d =>
+          d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      assert(perCell.nonEmpty && perCell.values.forall(_ == 1),
+        s"compaction should leave one file per cell: $perCell")
+      val afterCompact = rows(Similarity.searchIvf2(
+        Similarity.loadIvf2(spark, dir), queries, k = 5, nProbe = 6,
+        probeParents = 2))
+      assert(afterCompact == afterDelete)
+      assert(spark.read.parquet(s"$dir/coarse").collect().map(_.toSeq).toSet
+        == coarseBefore)
+    } finally {
+      i2.index.assigned.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      spark.catalog.clearCache()
+    }
+  }
 }
