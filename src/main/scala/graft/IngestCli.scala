@@ -63,7 +63,17 @@ object IngestCli {
 
   def run(spark: SparkSession, corpusDir: String, inDir: String,
           stateDir: String, k: Int = 16, rowsPerBand: Int = 4,
-          threshold: Double = 0.5): Summary = {
+          threshold: Double = 0.5): Summary =
+    runArrivals(spark, corpusDir, inDir, stateDir,
+      s"$stateDir/checkpoint", k, rowsPerBand, threshold)
+
+  /** The shared arrivals runner — [[run]] and [[runWet]] differ only in
+    * where the JSONL batch files come from, and each source path gets its
+    * OWN checkpoint (a streaming checkpoint is bound to one source). */
+  private def runArrivals(spark: SparkSession, corpusDir: String,
+                          inDir: String, stateDir: String, checkpoint: String,
+                          k: Int, rowsPerBand: Int,
+                          threshold: Double): Summary = {
     ensureIndexes(spark, corpusDir, stateDir, k, rowsPerBand)
     val hashes = spark.read.parquet(s"$stateDir/index/hashes")
     val bands = spark.read.parquet(s"$stateDir/index/bands")
@@ -71,7 +81,7 @@ object IngestCli {
     val arrivals = spark.readStream.schema(ArrivalSchema).json(inDir)
     val q = StreamingOps.ingestDedupPipeline(arrivals, hashes, bands, sets,
         stateDir, "doc_id", "text", k, rowsPerBand, threshold)
-      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -85,6 +95,62 @@ object IngestCli {
       nDocs = countOf(s"$stateDir/docs"),
       nLabels = countOf(s"$stateDir/labels"),
       nCorpus = hashes.count())
+  }
+
+  // ==================== WET-segment arrivals ====================
+
+  /** Crawl-drop ingest: documents arrive as WET SEGMENT FILES (the Common
+    * Crawl delivery contract — `.wet[.gz]` landing in `wetDir`), not
+    * JSONL. Each NOT-YET-STAGED segment is parsed once (the
+    * [[graft.sources.Warc]] container kernels -> conversion records;
+    * doc_id = the numeric URI tail when present, else the 64-bit hash of
+    * the URI) and staged as ONE JSONL file under `state/wet_arrivals/`
+    * named after the segment, published by rename so the stream source
+    * only ever lists complete files; the staged directory then rides the
+    * UNCHANGED [[run]] pipeline (its file-source checkpoint ingests each
+    * staged file exactly once, and staging is presence-guarded so reruns
+    * re-stage nothing — segment-granular exactly-once end to end). Per-run
+    * cost scales with the NEW segment bytes: parse is a partition-local
+    * generator, staging is one job per new segment, and the increment
+    * chain is the same stored-index probe every arrival pays. */
+  def runWet(spark: SparkSession, corpusDir: String, wetDir: String,
+             stateDir: String, k: Int = 16, rowsPerBand: Int = 4,
+             threshold: Double = 0.5): Summary = {
+    import graft.sources.Warc
+    ensureIndexes(spark, corpusDir, stateDir, k, rowsPerBand)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), conf)
+    val stagedDir = s"$stateDir/wet_arrivals"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stagedDir))
+    val inFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(wetDir), conf)
+    val fresh = inFs.listStatus(new org.apache.hadoop.fs.Path(wetDir)).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(".wet") || p.getName.endsWith(".wet.gz"))
+      .filter(p => !fs.exists(
+        new org.apache.hadoop.fs.Path(stagedDir, p.getName + ".jsonl")))
+    fresh.foreach { p =>
+      val tmp = s"$stagedDir/__staging_${p.getName}"
+      Warc.wetRecords(Warc.readWetFiles(spark, Seq(p.toString)))
+        .filter(col("is_valid"))
+        .select(to_json(struct(
+          coalesce(
+            element_at(split(col("target_uri"), "/"), -1).cast("long"),
+            xxhash64(col("target_uri"))).as("doc_id"),
+          col("text"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"no part file staged for $p"))
+      require(fs.rename(part,
+        new org.apache.hadoop.fs.Path(stagedDir, p.getName + ".jsonl")),
+        s"staging rename failed for $p")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    runArrivals(spark, corpusDir, stagedDir, stateDir,
+      s"$stateDir/wet_checkpoint", k, rowsPerBand, threshold)
   }
 
   // ==================== diff-driven incremental ingest ====================
@@ -346,8 +412,19 @@ object IngestCli {
       // corpus snapshots through the increment chain instead of streaming
       // an arrivals directory; --compact folds tombstones afterwards
       val diffAt = args.indexOf("--diff")
+      val wetAt = args.indexOf("--wet")
       val s =
-        if (diffAt >= 0 && args.length >= diffAt + 3) {
+        if (wetAt >= 0 && args.length >= wetAt + 2)
+          // --wet <dir>: crawl-drop mode — WET segment files are the
+          // arrival unit instead of JSONL
+          runWet(spark,
+            corpusDir = arg("--corpus", "/root/testdata/sf0.001"),
+            wetDir = args(wetAt + 1),
+            stateDir = arg("--state", "/tmp/graft_ingest"),
+            k = arg("--k", "16").toInt,
+            rowsPerBand = arg("--rows-per-band", "4").toInt,
+            threshold = arg("--threshold", "0.5").toDouble)
+        else if (diffAt >= 0 && args.length >= diffAt + 3) {
           val r = runDiff(spark, oldDir = args(diffAt + 1),
             newDir = args(diffAt + 2),
             stateDir = arg("--state", "/tmp/graft_ingest"),

@@ -428,10 +428,15 @@ object Warc {
     * arbitrarily splittable; the segment file IS the parallel unit, the
     * Common Crawl contract), source and segment recovered from the
     * `<source>-NNNNN` file name. */
-  def readWetFiles(spark: SparkSession, dir: String): DataFrame = {
+  def readWetFiles(spark: SparkSession, dir: String): DataFrame =
+    readWetFiles(spark, Seq(dir))
+
+  /** [[readWetFiles]] over an explicit path list — the incremental-ingest
+    * shape: only the NOT-YET-SEEN segment files of a drop are loaded. */
+  def readWetFiles(spark: SparkSession, paths: Seq[String]): DataFrame = {
     val name = regexp_replace(element_at(split(col("path"), "/"), -1),
       "\\.wet(\\.gz)?$", "")
-    spark.read.format("binaryFile").load(dir)
+    spark.read.format("binaryFile").load(paths: _*)
       .select(
         regexp_replace(name, "-\\d+$", "").as("source"),
         coalesce(regexp_extract(name, "-(\\d+)$", 1).cast("long"), lit(0L))

@@ -348,6 +348,45 @@ class CliSpec extends SparkSpec {
     assert(ids == Set(1002L, 1003L, 1004L))
   }
 
+  test("IngestCli --wet ingests crawl segments exactly once through the same chain") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.sources.Warc
+    val corpusDir = Files.createTempDirectory("graft-wet-corpus").toString
+    Seq((100L, "alpha beta gamma delta epsilon zeta"),
+        (101L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val wetDir = Files.createTempDirectory("graft-wet-in").toString
+    val stateDir = Files.createTempDirectory("graft-wet-state").toString + "/st"
+    def drop(src: String, docs: Seq[(Long, String)]): Unit =
+      Warc.writeWetFiles(Warc.wetExport(
+        docs.toDF("doc_id", "text").withColumn("source", lit(src))), wetDir)
+    drop("seg_a", Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta"),       // exact corpus dup
+      (1002L, "alpha beta gamma delta epsilon zeta extra"), // near-dup of 100
+      (1003L, "totally fresh unrelated content words here")))
+    val r1 = IngestCli.runWet(spark, corpusDir, wetDir, stateDir)
+    assert(r1.nDocs == 2 && r1.nCorpus == 2,
+      s"exact dup must drop, survivors append: $r1")
+    assert(r1.nLabels == 4) // 2 corpus + 2 survivors
+    val labels = spark.read.parquet(s"$stateDir/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1002L) == 100L && labels(1003L) == 1003L)
+    // rerun with NO new segments: staging is presence-guarded and the
+    // checkpoint already holds the staged file — exactly-once end to end
+    val r2 = IngestCli.runWet(spark, corpusDir, wetDir, stateDir)
+    assert(r2 == r1, s"rerun must be exactly-once: $r2 vs $r1")
+    // a second segment lands; only it is processed
+    drop("seg_b", Seq(
+      (1004L, "another brand new document entirely distinct")))
+    val r3 = IngestCli.runWet(spark, corpusDir, wetDir, stateDir)
+    assert(r3.nDocs == 3 && r3.nLabels == 5, s"increment only: $r3")
+    val ids = spark.read.parquet(s"$stateDir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1002L, 1003L, 1004L))
+  }
+
   test("IngestCli --diff reconciles snapshots through the increment chain; end state = fresh build") {
     val s2 = spark
     import s2.implicits._

@@ -815,6 +815,49 @@ class PlanSpec extends SparkSpec {
     } finally index.assigned.unpersist()
   }
 
+  test("PQ-filtered ANN: predicate below the rank window, codebooks broadcast, no cartesian on data") {
+    val emb = Tables.embeddings(spark, sf)
+    val index = Similarity.buildIvf(emb, nLists = 4)
+    val pq = Similarity.trainPq(emb, m = 16, nCodes = 16, seed = 3L)
+    try {
+      val p = planOf(Similarity.searchIvfPqFiltered(
+        Similarity.encodePq(index, pq), pq,
+        emb.select("vec_id", "label"), emb.filter(col("vec_id") < 4),
+        k = 5, nProbe = 4, pred = col("label") < 5))
+      // pre-filter semantics survive the coded store: the label Filter
+      // sits under the rank window
+      val lines = p.linesIterator.toSeq
+      val winIdx = lines.indexWhere(_.contains("Window"))
+      val predIdx = lines.indexWhere(l => l.contains("label") && l.contains("Filter"))
+      assert(winIdx >= 0 && predIdx > winIdx,
+        s"label filter must be below the rank window (win@$winIdx, pred@$predIdx):\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+      // the codebook nest rides a one-row broadcast, never a shuffled join
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin")
+        || p.contains("BroadcastNestedLoopJoin"),
+        s"codebooks not broadcast:\n$p")
+    } finally index.assigned.unpersist()
+  }
+
+  test("WET export is exactly one shuffle; the parse side adds none") {
+    import graft.sources.Warc
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "text")
+    def exchanges(p: String): Int =
+      p.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange"))
+    // file assembly: the single shuffle is the (source, segment) group —
+    // the delivery unit; everything else is scan-stage
+    val files = Warc.wetExport(docs, gzipped = true, segments = 2)
+    val pBuild = planOf(files)
+    assert(exchanges(pBuild) == 1,
+      s"wetExport must shuffle exactly once:\n$pBuild")
+    // container parse: a partition-local generator over the file rows —
+    // records never shuffle (no NEW exchange above the build's one)
+    val pParse = planOf(Warc.wetRecords(files))
+    assert(exchanges(pParse) == 1,
+      s"wetRecords must add no shuffle:\n$pParse")
+  }
+
   test("fuzzy join is a length-band equi-join: no cartesian, no nested loop") {
     import graft.operators.FuzzyJoin
     val keyed = Tables.documents(spark, sf).select(col("doc_id"),
