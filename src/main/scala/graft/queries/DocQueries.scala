@@ -5165,6 +5165,47 @@ object DocQueries {
         |    '^\\n+|\\n+$$', '', 'g')) AS t FROM s8)
         |SELECT doc_id, t AS text FROM s9 ORDER BY doc_id""".stripMargin)),
 
+    // ---- FIM transform (round 18): the fill-in-the-middle rearrangement
+    //      infilling-capable models train on (public recipe,
+    //      arXiv:2207.14255; StarCoder sentinel convention) — a
+    //      hash-selected half of the corpus is split at two reproducible
+    //      character cuts and rearranged PSM (prefix/suffix/middle) and
+    //      SPM (joint) off the SAME cuts; the rest pass through. Pure
+    //      scan-stage Column tree; the oracle replays the 60-bit
+    //      fingerprint cut arithmetic and both CASE branches, so the
+    //      selection, every cut position, and the sentinel assembly are
+    //      all hash-pinned. Degenerate splits (empty prefix/middle/
+    //      suffix) occur naturally and are kept — the paper's behavior.
+    "q_text_fim" -> Q(
+      (s, d) => {
+        import graft.operators.Fim
+        val docs = docsP(s, d).select("doc_id", "text")
+        val psm = Fim.fim(docs, "doc_id", "text", ratePct = 50)
+          .select(col("doc_id"), col("fim_applied"),
+            col("text").as("text_psm"))
+        val spm = Fim.fim(docs, "doc_id", "text", ratePct = 50, spm = true)
+          .select(col("doc_id"), col("text").as("text_spm"))
+        psm.join(spm, Seq("doc_id")).orderBy("doc_id")
+      },
+      Some(s"""WITH f AS (SELECT doc_id, text, length(text) AS L,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':fimA'")} % (length(text) + 1) AS a,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':fimB'")} % (length(text) + 1) AS b,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':fimS'")} % 100 AS sel
+        | FROM documents),
+        |c AS (SELECT doc_id, text, L, least(a, b) AS c1, greatest(a, b) AS c2,
+        |  sel < 50 AS ap FROM f)
+        |SELECT doc_id, ap AS fim_applied,
+        | CASE WHEN ap THEN '<|fim_prefix|>' || substr(text, 1, CAST(c1 AS INT))
+        |   || '<|fim_suffix|>' || substr(text, CAST(c2 + 1 AS INT), CAST(L - c2 AS INT))
+        |   || '<|fim_middle|>' || substr(text, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))
+        |  ELSE text END AS text_psm,
+        | CASE WHEN ap THEN '<|fim_prefix|>' || '<|fim_suffix|>'
+        |   || substr(text, CAST(c2 + 1 AS INT), CAST(L - c2 AS INT))
+        |   || '<|fim_middle|>' || substr(text, 1, CAST(c1 AS INT))
+        |   || substr(text, CAST(c1 + 1 AS INT), CAST(c2 - c1 AS INT))
+        |  ELSE text END AS text_spm
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ---- Dataset DATASHEET (round 14): the per-source one-stop card a
     //      corpus ships with — volume, exact mean quality, language share,
     //      exact-dup rate, benchmark-contamination rate, mean char entropy

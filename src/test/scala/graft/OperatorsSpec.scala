@@ -1811,4 +1811,57 @@ class OperatorsSpec extends SparkSpec {
         r.getAs[Boolean]("robots_blocked")).toMap
     assert(other(3L) && other(1L) && !other(6L)) // "/" blocks all of a.com
   }
+
+  test("FIM transform: spans reassemble the original, PSM/SPM share cuts, rate and salt behave") {
+    import graft.operators.Fim
+    val docs = (1L to 40L).map(i =>
+        (i, s"doc $i body " + ("w" + i + " ") * (i % 7).toInt + "tail"))
+      .toDF("doc_id", "text")
+    val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val psm = Fim.fim(docs, "doc_id", "text", ratePct = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val spm = Fim.fim(docs, "doc_id", "text", ratePct = 50, spm = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(psm.exists(_._3) && psm.exists(!_._3), "rate=50 must mix modes")
+    // selection is a pure function of (id, salt): both modes agree on it
+    assert(psm.map(t => t._1 -> t._3).toMap == spm.map(t => t._1 -> t._3).toMap)
+    def spansPsm(t: String): (String, String, String) = {
+      val p = t.stripPrefix(Fim.Prefix)
+      val Array(pre, rest) = p.split(java.util.regex.Pattern.quote(Fim.Suffix), 2)
+      val Array(suf, mid) = rest.split(java.util.regex.Pattern.quote(Fim.Middle), 2)
+      (pre, mid, suf)
+    }
+    psm.foreach { case (id, t, applied) =>
+      if (!applied) assert(t == original(id))
+      else {
+        assert(t.startsWith(Fim.Prefix))
+        val (pre, mid, suf) = spansPsm(t)
+        // the three spans reassemble the document exactly — FIM reorders,
+        // never loses or duplicates a character
+        assert(pre + mid + suf == original(id), s"doc $id spans diverge")
+      }
+    }
+    // SPM rides the SAME cuts: its reassembly equals PSM's span split
+    val psmById = psm.map(t => t._1 -> t._2).toMap
+    spm.foreach { case (id, t, applied) =>
+      if (applied) {
+        val (pre, mid, suf) = spansPsm(psmById(id))
+        assert(t == Fim.Prefix + Fim.Suffix + suf + Fim.Middle + pre + mid,
+          s"doc $id SPM diverges from PSM cuts")
+      } else assert(t == original(id))
+    }
+    // rate extremes
+    assert(Fim.fim(docs, "doc_id", "text", ratePct = 0)
+      .filter(col("fim_applied")).count() == 0)
+    assert(Fim.fim(docs, "doc_id", "text", ratePct = 100)
+      .filter(!col("fim_applied")).count() == 0)
+    // determinism + salt sensitivity
+    val again = Fim.fim(docs, "doc_id", "text", ratePct = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(again.toSeq.sortBy(_._1) == psm.toSeq.sortBy(_._1))
+    val salted = Fim.fim(docs, "doc_id", "text", ratePct = 50, salt = ":v2")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(salted != psm.map(t => t._1 -> t._3).toMap,
+      "a different salt must re-draw the selection")
+  }
 }

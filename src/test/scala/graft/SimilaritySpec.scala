@@ -2212,6 +2212,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 store composes with the two-level probe and with the filtered path") {
+    // closes the quantization x layout x predicate matrix: raw/PQ already
+    // ride both probes gated; the int8 probeStore path is shared code, so
+    // these are composition PINS, not new machinery
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 4)
+    val i2 = Similarity.buildIvf2(emb, nParents = 2, fanout = 3, seed = 42L)
+    val q2 = Ivf2IndexQuantized(i2)
+    try {
+      // exhaustive two-level probe over the int8 inner store == exhaustive
+      // FLAT probe over the same quantized index (the descent only picks
+      // cells; scores are the same dequantized cosine fold)
+      val h = Similarity.searchIvf2(q2, queries, k = 5, nProbe = 6,
+          probeParents = 2)
+        .orderBy("query_id", "rank").collect()
+      val f = Similarity.searchIvf(q2.index, queries, k = 5, nProbe = 6)
+        .orderBy("query_id", "rank").collect()
+      assert(h.nonEmpty && h.toSeq == f.toSeq)
+      // filtered search over the int8 store: pre-filter top-k over the
+      // dequantized vectors — equals the post-filtered FULL ranking
+      val attrs = emb.select(col("vec_id"), (col("vec_id") % 2 === 0).as("keep"))
+      val got = Similarity.searchIvfFiltered(q2.index, attrs, queries,
+          k = 5, nProbe = 6, pred = col("keep"))
+        .orderBy("query_id", "rank").collect()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+      val expected = Similarity.searchIvf(q2.index, queries, k = 500,
+          nProbe = 6)
+        .join(attrs.withColumnRenamed("vec_id", "nbr_id"), Seq("nbr_id"))
+        .filter(col("keep"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("query_id"), col("nbr_id"), col("cosine"), col("rk"))
+        .orderBy("query_id", "rk").collect()
+      def tup(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getAs[Number](3).intValue)).toSeq
+      assert(got.nonEmpty && tup(got) == tup(expected))
+      assert(got.forall(_.getLong(1) % 2 == 0))
+    } finally {
+      i2.index.assigned.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
+  private def Ivf2IndexQuantized(i2: Similarity.Ivf2Index): Similarity.Ivf2Index =
+    Similarity.Ivf2Index(Similarity.quantizeIvf(i2.index), i2.coarse, i2.fanout)
+
   test("deleteFromIvf and compactIvf compose with the two-level layout unchanged") {
     // both ops touch ONLY dir/assigned — the leaf half the IVF2 layout
     // shares with the flat contract — so they must work on an IVF2 dir
