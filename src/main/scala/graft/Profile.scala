@@ -15,6 +15,7 @@ object Profile {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -23,18 +24,32 @@ object Profile {
       val t0 = System.nanoTime; val r = f
       println(f"PROF $n: ${(System.nanoTime - t0) / 1e9}%.2f s"); r
     }
-    val docs = Tables.documents(spark, d)
-    val shingleSet =
-      (t: org.apache.spark.sql.Column) => array_distinct(TextFunctions.shingles(t, 3))
-    val sig = Dedup.simhash(docs, "doc_id", "text", shingleSet)
-    time("simhash sig run1") { sig.write.format("noop").mode("overwrite").save() }
-    time("simhash sig run2") { sig.write.format("noop").mode("overwrite").save() }
-    val jp = Dedup.jaccardPairs(docs, "doc_id", "text", 0.3, tokens = shingleSet)
-    time("jaccard run1") { jp.write.format("noop").mode("overwrite").save() }
-    time("jaccard run2") { jp.write.format("noop").mode("overwrite").save() }
-    val sp = Dedup.simhashPairs(docs, "doc_id", "text", 16, shingleSet)
-    time("simhash pairs run1") { sp.write.format("noop").mode("overwrite").save() }
-    time("simhash pairs run2") { sp.write.format("noop").mode("overwrite").save() }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // --- q_text_spans_within_cut, staged ---
+    val seeded = graft.core.Parallelism.fanOut(Tables.documents(spark, d))
+      .select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 10), " ")).as("text"))
+    val spans = Dedup.repeatedSpansWithinDoc(seeded, "doc_id", "text", k = 3)
+    (1 to 3).foreach { i =>
+      time(s"spansWithin only r$i") { noop(spans) }
+    }
+    val cut = Dedup.cutSpans(seeded, "doc_id", "text", spans)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("text")).as("clean_md5"))
+    (1 to 3).foreach { i =>
+      time(s"cutSpans no-sort r$i") { noop(cut) }
+    }
+    (1 to 3).foreach { i =>
+      time(s"cutSpans sorted r$i") { noop(cut.orderBy("doc_id")) }
+    }
+    (1 to 3).foreach { i =>
+      time(s"full gate r$i") {
+        noop(SparkEntry.queries("q_text_spans_within_cut")(spark, d))
+      }
+    }
     spark.stop()
   }
 }

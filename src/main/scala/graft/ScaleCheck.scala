@@ -852,6 +852,15 @@ object ScaleCheck {
           graft.operators.Multimodal.fromText(
             Tables.documents(spark, d), "doc_id", "text", "source")))),
 
+      // fixed-point STFT: per-clip cost is maxFrames-capped (8 frames x
+      // 33 bins x 64 taps), so the shape is scan-stage and the ratio
+      // should track the corpus row count, not text bytes
+      "wav_spectrogram" -> (d => graft.operators.Multimodal.wavSpectrogram(
+        graft.operators.Multimodal.encodeWav(
+          graft.operators.Multimodal.fromText(
+            Tables.documents(spark, d), "doc_id", "text", "source")),
+        maxFrames = 8)),
+
       // readability formulas: scan-stage Column trees
       "readability" -> (d => Tables.documents(spark, d).select(
         col("doc_id"),

@@ -926,6 +926,152 @@ object Multimodal {
       .toDF()
   }
 
+  // ============ Fixed-point STFT — the frequency-domain audio kernel ====
+
+  /** STFT frame length (non-overlapping frames, `SpecFrame/2 + 1` bins). */
+  val SpecFrame = 64
+
+  /** Q15 Hann window and DFT twiddle tables. The spectral kernel is FIXED
+    * POINT on purpose: with `round(32768·f)` integer tables, every windowed
+    * DFT sum is exact 64-bit integer arithmetic (max |Σ| ≈ 2.3e15 < 2^53,
+    * so even its double image is exact), and `re² + im²` is then one
+    * deterministic IEEE expression — an independent engine replaying the
+    * same tables reproduces the spectrogram BIT FOR BIT, which is what lets
+    * the oracle gate hash-compare a Fourier transform at all. A float
+    * window would instead differ by libm ulps across engines. */
+  private[graft] val hannQ15: Array[Long] = Array.tabulate(SpecFrame)(i =>
+    math.round(32768.0 * 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / SpecFrame))))
+  private[graft] val cosQ15: Array[Long] = Array.tabulate(SpecFrame)(j =>
+    math.round(32768.0 * math.cos(2.0 * math.Pi * j / SpecFrame)))
+  private[graft] val sinQ15: Array[Long] = Array.tabulate(SpecFrame)(j =>
+    math.round(32768.0 * math.sin(2.0 * math.Pi * j / SpecFrame)))
+
+  /** One spectrogram cell: the power of `bin` (0..SpecFrame/2) in frame
+    * `frame` of clip `media_id`. Power is (Q15·Q15-scaled) `re² + im²`. */
+  case class SpecCell(media_id: Long, frame: Int, bin: Int, power: Double)
+
+  /** Windowed DFT of one frame: returns power per bin 0..N/2. Exact by
+    * construction (see [[hannQ15]]): xw = s·hann ≤ 2^30, each product
+    * xw·twiddle ≤ 2^45.1, the 64-term sum ≤ 2^51.1 — never rounds. */
+  private def framePowers(payload: Array[Byte], dataAt: Int,
+                          frame: Int): Array[Double] = {
+    val xw = new Array[Long](SpecFrame)
+    var i = 0
+    while (i < SpecFrame) {
+      val o = dataAt + ((frame.toLong * SpecFrame + i) * 2).toInt
+      val v = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+      val s = if (v >= 0x8000) v - 0x10000 else v
+      xw(i) = s.toLong * hannQ15(i)
+      i += 1
+    }
+    val out = new Array[Double](SpecFrame / 2 + 1)
+    var bn = 0
+    while (bn <= SpecFrame / 2) {
+      var re = 0L; var im = 0L
+      i = 0
+      while (i < SpecFrame) {
+        val t = (i * bn) % SpecFrame
+        re += xw(i) * cosQ15(t)
+        im -= xw(i) * sinQ15(t)
+        i += 1
+      }
+      out(bn) = re.toDouble * re.toDouble + im.toDouble * im.toDouble
+      bn += 1
+    }
+    out
+  }
+
+  /** REAL frequency-domain audio features — the fixed-point STFT power
+    * spectrogram: the PCM plane is boxed into non-overlapping
+    * [[SpecFrame]]-sample frames (at most `maxFrames` — the feature
+    * extractor's clip budget, which also caps per-row cost independent of
+    * clip length), each frame is Hann-windowed and DFT'd with the Q15
+    * integer tables, and every (frame, bin) power becomes one long-form
+    * row. This is the front half of every audio featurizer (log-mel,
+    * MFCC, fingerprinting); downstream aggregations are then plain
+    * relational ops over the long form.
+    *
+    * Long form (not an array column) so bins prune/filter relationally;
+    * clips that fail the PCM walk or carry fewer than one full frame emit
+    * NO rows (the fail-soft convention for row-generator kernels — the
+    * per-clip validity surface is [[decodeWavFeatures]]).
+    *
+    * Shape: typed `mapPartitions` flatMap, partition-local, zero shuffle;
+    * O(maxFrames · N²/2) integer ops per clip, payload never leaves the
+    * scan task. (An FFT would cut the N² to N·logN; at N = 64 the table-
+    * driven direct form is simpler and the constant is tiny.) */
+  def wavSpectrogram(media: DataFrame, maxFrames: Int = 64): DataFrame = {
+    require(maxFrames >= 1, "maxFrames must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        wavPcm(payload) match {
+          case None => Iterator.empty
+          case Some((_, dataAt, n)) =>
+            val nf = math.min(maxFrames.toLong, n / SpecFrame).toInt
+            (0 until nf).iterator.flatMap { f =>
+              val p = framePowers(payload, dataAt, f)
+              (0 to SpecFrame / 2).iterator.map(bn =>
+                SpecCell(id, f, bn, p(bn)))
+            }
+        }
+      })
+      .toDF()
+  }
+
+  /** One clip's spectral fingerprint (the frequency-domain sibling of
+    * [[WavEnvelope]]): dominant non-DC bin per frame, 6 bits each. */
+  case class WavFingerprint(media_id: Long, fphash: Long, n_frames: Int,
+                            is_valid: Boolean)
+
+  /** Perceptual audio fingerprint in the FREQUENCY domain — the classic
+    * landmark recipe (dominant spectral peak per time slice, Wang's
+    * constellation idea reduced to its first moment): per frame, the
+    * dominant bin among 1..N/2 (DC excluded — it encodes loudness, not
+    * pitch; ties break to the LOWEST bin), packed 6 bits per frame
+    * MSB-first into a long. Where [[wavEnvelopeHash]] matches copies by
+    * loudness contour, this matches them by pitch trajectory — a
+    * re-GAINED copy (every sample scaled) keeps its dominant bins
+    * bit-exactly as long as no windowed sum changes sign class, so the
+    * two hashes fail independently and the pair is a stronger dedup key
+    * than either alone. `maxFrames ≤ 10` keeps the pack inside 60 bits.
+    *
+    * Same kernel shape as the envelope: typed map, zero shuffle,
+    * fail-soft (`is_valid = false` on a failed PCM walk; a valid clip
+    * shorter than one frame fingerprints as (0, 0 frames, valid)). */
+  def wavFingerprintHash(media: DataFrame, maxFrames: Int = 10): DataFrame = {
+    require(maxFrames >= 1 && maxFrames <= 10,
+      "maxFrames must be in [1, 10] — 6 bits per frame in a 64-bit hash")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        wavPcm(payload) match {
+          case None => WavFingerprint(id, 0L, 0, is_valid = false)
+          case Some((_, dataAt, n)) =>
+            val nf = math.min(maxFrames.toLong, n / SpecFrame).toInt
+            var hash = 0L
+            var f = 0
+            while (f < nf) {
+              val p = framePowers(payload, dataAt, f)
+              var dom = 1
+              var bn = 2
+              while (bn <= SpecFrame / 2) {
+                if (p(bn) > p(dom)) dom = bn // ties keep the LOWEST bin
+                bn += 1
+              }
+              hash = (hash << 6) | dom.toLong
+              f += 1
+            }
+            WavFingerprint(id, hash, nf, is_valid = true)
+        }
+      })
+      .toDF()
+  }
+
   // ===================== QOI — a real COMPRESSED raster codec ==========
 
   /** Build REAL QOI images ("Quite OK Image", the public one-page spec at

@@ -3717,10 +3717,16 @@ object DocQueries {
         keptc.count()
         // kept tokens = pre-cut count - cut count (no re-tokenization of
         // the rewritten text — the v2 accounting)
+        // the span-cut rewrite roots THREE consumers (the weight universe,
+        // the mixture plan's mass aggregation, and the realization join) —
+        // unpinned, the whole decontaminate -> threshold -> span-cut chain
+        // runs three times. Doc-bounded accounting rows: cheap to hold.
         val cut = Dedup.cutSpans(keptc, "doc_id", "text", k = 8)
           .join(keptc.select(col("doc_id"), col("source")), "doc_id")
           .withColumn("n_kept", col("n_tokens") - col("n_removed"))
           .select("doc_id", "source", "n_kept", "n_removed")
+          .gatePersist()
+        cut.count()
         val weights = cut.select("source").distinct()
           .select(col("source"),
             ((length(col("source")) % 5) + 1).cast("double").as("weight"))
@@ -7501,6 +7507,120 @@ object DocQueries {
         |  FROM env GROUP BY media_id)
         |SELECT media_id, envhash, n_bits, true AS is_valid
         |FROM hsh ORDER BY media_id""".stripMargin
+      }),
+
+    // ---- Fixed-point STFT spectrogram (round 18): the frequency-domain
+    //      audio kernel. The transform is fixed point BY DESIGN — Q15
+    //      integer Hann window and twiddle tables make every windowed DFT
+    //      sum exact 64-bit integer arithmetic (max |Σ| ≈ 2^51 < 2^53, so
+    //      its double image is exact too) and re²+im² one deterministic
+    //      IEEE expression — which is the only reason a Fourier transform
+    //      can face a bit-exact hash oracle at all. The oracle replays the
+    //      DFT from the raw text bytes in DuckDB; the three integer tables
+    //      interpolate into the SQL as literal lists (shared mathematical
+    //      CONSTANTS, the fp60Sql convention — the oracle's sample
+    //      extraction, windowing, sums, and squaring are all independent).
+    //      maxFrames = 8 caps BOTH engines' per-clip cost (8 frames × 33
+    //      bins × 64 taps), so the gate is corpus-length-insensitive.
+    "q_multimodal_wav_spectrogram" -> Q(
+      (s, d) => Multimodal.wavSpectrogram(Multimodal.encodeWav(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")), maxFrames = 8)
+        .orderBy("media_id", "frame", "bin"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        val hannL = Multimodal.hannQ15.mkString("[", ", ", "]")
+        val cosL = Multimodal.cosQ15.mkString("[", ", ", "]")
+        val sinL = Multimodal.sinQ15.mkString("[", ", ", "]")
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len // 2 AS n FROM m WHERE len // 2 >= 64),
+        |sm AS (SELECT media_id, least(n // 64, 8) AS nf,
+        |  list_transform(range(0, least(n, 512)), k -> CAST(
+        |    CASE WHEN ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} >= 32768
+        |    THEN ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} - 65536
+        |    ELSE ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} END
+        |    AS BIGINT)) AS ss
+        |  FROM d),
+        |g AS (SELECT media_id, ss, gf.f, gb.bn
+        |  FROM sm
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS f) gf
+        |  CROSS JOIN (SELECT unnest(range(0, 33)) AS bn) gb
+        |  WHERE gf.f < nf),
+        |p AS (SELECT media_id, f, bn,
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |    ss[f*64+i+1] * ($hannL)[i+1] * ($cosL)[((i*bn)%64)+1]))
+        |    AS DOUBLE) AS re,
+        |  CAST(-list_sum(list_transform(range(0, 64), i ->
+        |    ss[f*64+i+1] * ($hannL)[i+1] * ($sinL)[((i*bn)%64)+1]))
+        |    AS DOUBLE) AS im
+        |  FROM g)
+        |SELECT media_id, CAST(f AS INT) AS frame, CAST(bn AS INT) AS bin,
+        |  re*re + im*im AS power
+        |FROM p ORDER BY media_id, frame, bin""".stripMargin
+      }),
+
+    // ---- Spectral fingerprint (round 18): the frequency-domain member of
+    //      the perceptual-hash family — dominant non-DC bin per STFT frame
+    //      (ties to the LOWEST bin), 6 bits per frame MSB-first. The
+    //      envelope hash matches copies by loudness contour; this one
+    //      matches by pitch trajectory. Oracle: the spectrogram CTE above,
+    //      then an exact-double argmax (max-power window + min(bin) at the
+    //      max — both engines' powers are bit-identical, so the equality
+    //      is sound) and a power-of-two pack; clips with no full frame
+    //      fingerprint as (0, 0 frames, valid) via the LEFT JOIN.
+    "q_multimodal_wav_fingerprint" -> Q(
+      (s, d) => Multimodal.wavFingerprintHash(Multimodal.encodeWav(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")), maxFrames = 8)
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        val hannL = Multimodal.hannQ15.mkString("[", ", ", "]")
+        val cosL = Multimodal.cosQ15.mkString("[", ", ", "]")
+        val sinL = Multimodal.sinQ15.mkString("[", ", ", "]")
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len // 2 AS n FROM m WHERE len // 2 >= 64),
+        |sm AS (SELECT media_id, least(n // 64, 8) AS nf,
+        |  list_transform(range(0, least(n, 512)), k -> CAST(
+        |    CASE WHEN ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} >= 32768
+        |    THEN ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} - 65536
+        |    ELSE ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} END
+        |    AS BIGINT)) AS ss
+        |  FROM d),
+        |g AS (SELECT media_id, ss, gf.f, gb.bn
+        |  FROM sm
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS f) gf
+        |  CROSS JOIN (SELECT unnest(range(1, 33)) AS bn) gb
+        |  WHERE gf.f < nf),
+        |p AS (SELECT media_id, f, bn,
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |    ss[f*64+i+1] * ($hannL)[i+1] * ($cosL)[((i*bn)%64)+1]))
+        |    AS DOUBLE) AS re,
+        |  CAST(-list_sum(list_transform(range(0, 64), i ->
+        |    ss[f*64+i+1] * ($hannL)[i+1] * ($sinL)[((i*bn)%64)+1]))
+        |    AS DOUBLE) AS im
+        |  FROM g),
+        |pw AS (SELECT media_id, f, bn, re*re + im*im AS power,
+        |  max(re*re + im*im) OVER (PARTITION BY media_id, f) AS mx
+        |  FROM p),
+        |dom AS (SELECT media_id, f, min(bn) AS dom FROM pw
+        |  WHERE power = mx GROUP BY 1, 2),
+        |dom2 AS (SELECT media_id, f, dom,
+        |  count(*) OVER (PARTITION BY media_id) AS nf FROM dom),
+        |h AS (SELECT media_id, CAST(max(nf) AS INT) AS n_frames,
+        |  CAST(sum(dom * (CAST(1 AS BIGINT) <<
+        |    CAST(6 * (nf - 1 - f) AS INT))) AS BIGINT) AS fphash
+        |  FROM dom2 GROUP BY media_id)
+        |SELECT m.media_id, coalesce(h.fphash, 0) AS fphash,
+        |  CAST(coalesce(h.n_frames, 0) AS INT) AS n_frames,
+        |  true AS is_valid
+        |FROM m LEFT JOIN h USING (media_id) ORDER BY media_id""".stripMargin
       }),
 
     // ---- Video temporal fingerprint (round 15): completes the image /

@@ -1398,6 +1398,98 @@ class SimilaritySpec extends SparkSpec {
     assert(!bad.getAs[Boolean]("is_valid"))
   }
 
+  test("wavSpectrogram: bin-aligned sines land on their bin; powers track a float DFT") {
+    import spark.implicits._
+    val N = Multimodal.SpecFrame
+    // two frames of a bin-5 sine, one frame of a bin-12 sine: with a Hann
+    // window a bin-aligned tone leaks only to the two adjacent bins at a
+    // quarter of the center power, so the dominant bin is the tone's
+    def sine(bin: Int, amp: Double): Array[Int] =
+      Array.tabulate(N)(i => math.round(
+        amp * math.sin(2.0 * math.Pi * bin * i / N)).toInt)
+    val samples = sine(5, 20000) ++ sine(5, 20000) ++ sine(12, 15000)
+    val pcm = samples.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    val raw = Seq((1L, pcm)).toDF("media_id", "payload")
+      .withColumn("meta", struct(lit(0L).as("byte_len"),
+        lit("").as("sha256"), lit("s").as("source")))
+    val cells = Multimodal.wavSpectrogram(Multimodal.encodeWav(raw))
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(cells.size == 3 * (N / 2 + 1))
+    def dominant(f: Int): Int =
+      (0 to N / 2).maxBy(b => (cells((f, b)), -b))
+    assert(dominant(0) == 5 && dominant(1) == 5 && dominant(2) == 12)
+    // frames 0 and 1 carry identical samples -> identical spectra
+    assert((0 to N / 2).forall(b => cells((0, b)) == cells((1, b))))
+    // the fixed-point power must track an independent double-precision
+    // windowed DFT to Q15 quantization error (scale: 2^30 per amplitude)
+    (0 to N / 2).foreach { b =>
+      val xw = Array.tabulate(N)(i => samples(i) *
+        0.5 * (1.0 - math.cos(2.0 * math.Pi * i / N)))
+      val re = (0 until N).map(i =>
+        xw(i) * math.cos(2.0 * math.Pi * i * b / N)).sum
+      val im = -(0 until N).map(i =>
+        xw(i) * math.sin(2.0 * math.Pi * i * b / N)).sum
+      val scale = 32768.0 * 32768.0
+      val want = (re * re + im * im) * scale * scale
+      val tol = 1e-3 * math.pow(20000.0 * N * scale, 2)
+      assert(math.abs(cells((0, b)) - want) <= tol,
+        s"bin $b: ${cells((0, b))} vs $want")
+    }
+    // a DC frame concentrates in bin 0
+    val dc = Array.fill(N)(1000).flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    val dcells = Multimodal.wavSpectrogram(Multimodal.encodeWav(
+        Seq((2L, dc)).toDF("media_id", "payload")
+          .withColumn("meta", struct(lit(0L).as("byte_len"),
+            lit("").as("sha256"), lit("s").as("source")))))
+      .collect().map(r => r.getInt(2) -> r.getDouble(3)).toMap
+    assert((1 to N / 2).forall(b => dcells(0) > dcells(b)))
+    // fail-soft and budget: no rows for non-WAV or sub-frame clips; the
+    // maxFrames budget truncates, and the kernel never shuffles
+    assert(Multimodal.wavSpectrogram(raw).count() == 0)
+    val one = Multimodal.wavSpectrogram(Multimodal.encodeWav(raw),
+      maxFrames = 1)
+    assert(one.count() == (N / 2 + 1))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"spectrogram must not shuffle:\n$plan")
+  }
+
+  test("wavFingerprintHash: pitch trajectory packs 6 bits a frame, gain-invariant") {
+    import spark.implicits._
+    val N = Multimodal.SpecFrame
+    def sine(bin: Int, amp: Double): Array[Int] =
+      Array.tabulate(N)(i => math.round(
+        amp * math.sin(2.0 * math.Pi * bin * i / N)).toInt)
+    def pcmOf(samples: Array[Int]): Array[Byte] = samples.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.encodeWav(rows.toDF("media_id", "payload")
+        .withColumn("meta", struct(lit(0L).as("byte_len"),
+          lit("").as("sha256"), lit("s").as("source"))))
+    // frames at bins 5, 12, 31 -> hash = 5 <<12 | 12 <<6 | 31
+    val full = sine(5, 20000) ++ sine(12, 15000) ++ sine(31, 9000)
+    val half = full.map(_ / 2) // re-gained copy: same pitch trajectory
+    val r = Multimodal.wavFingerprintHash(
+        mediaOf(Seq((1L, pcmOf(full)), (2L, pcmOf(half)))))
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getInt(2), x.getBoolean(3))).toMap
+    assert(r(1L) == (((5L << 12) | (12L << 6) | 31L, 3, true)))
+    assert(r(2L)._1 == r(1L)._1, "a re-gained copy keeps its fingerprint")
+    // sub-frame clip: zero frames, still valid; non-WAV payload: invalid
+    val short = mediaOf(Seq((3L, Array[Byte](1, 2, 3, 4))))
+    val rs = Multimodal.wavFingerprintHash(short).head()
+    assert(rs.getLong(1) == 0L && rs.getInt(2) == 0 && rs.getBoolean(3))
+    val bad = Multimodal.wavFingerprintHash(
+      Seq((4L, "nope".getBytes("US-ASCII"))).toDF("media_id", "payload"))
+      .head()
+    assert(!bad.getBoolean(3) && bad.getLong(1) == 0L)
+    // maxFrames budget: only the first frame's bin survives
+    val r1 = Multimodal.wavFingerprintHash(mediaOf(Seq((5L, pcmOf(full)))),
+      maxFrames = 1).head()
+    assert(r1.getLong(1) == 5L && r1.getInt(2) == 1)
+  }
+
   test("y4mTemporalHash: hand bits over crafted frames, fail-soft") {
     import spark.implicits._
     // 4 mono 4x4 frames: two dark (byte 10), two bright (byte 200);
