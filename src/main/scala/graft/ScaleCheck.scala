@@ -861,6 +861,15 @@ object ScaleCheck {
             Tables.documents(spark, d), "doc_id", "text", "source")),
         maxFrames = 8)),
 
+      // fixed-point resample + re-decode: two chained typed kernels, cost
+      // linear in PCM bytes, zero shuffle end to end
+      "wav_resample" -> (d => graft.operators.Multimodal.decodeWavFeatures(
+        graft.operators.Multimodal.resampleWav(
+          graft.operators.Multimodal.encodeWav(
+            graft.operators.Multimodal.fromText(
+              Tables.documents(spark, d), "doc_id", "text", "source")),
+          outRate = 6000))),
+
       // readability formulas: scan-stage Column trees
       "readability" -> (d => Tables.documents(spark, d).select(
         col("doc_id"),

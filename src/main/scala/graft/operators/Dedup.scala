@@ -435,15 +435,35 @@ object Dedup {
                       maxTokenDf: Long = 0L,
                       tokens: Column => Column = TextFunctions.tokenSet,
                       scope: CacheScope.Handle = CacheScope.detached,
-                      oph: Boolean = false): DataFrame = {
+                      oph: Boolean = false): DataFrame =
+    lshRecallMatrix(docs, idCol, textCol, threshold, configs, maxTokenDf,
+      tokens, scope, families = Seq(oph))
+      .drop("family")
+
+  /** The two-axis form of [[lshRecallReport]]: one recall/cost row per
+    * (signature family × banding config), both families measured against
+    * ONE shared truth set. The truth computation (df-filtered all-pairs
+    * Jaccard) dominates the report's cost and is family-independent, so a
+    * bake-off that ran the report once per family paid it twice for no
+    * information — this is the single-scan replacement (r18 suite trim).
+    * `families`: false = k independent permutations ([[minhashSig]]),
+    * true = one-permutation with rotation densification
+    * ([[minhashSigOph]]). */
+  def lshRecallMatrix(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, configs: Seq[(Int, Int)],
+                      maxTokenDf: Long = 0L,
+                      tokens: Column => Column = TextFunctions.tokenSet,
+                      scope: CacheScope.Handle = CacheScope.detached,
+                      families: Seq[Boolean] = Seq(false)): DataFrame = {
     require(configs.nonEmpty, "need at least one (k, rowsPerBand) config")
+    require(families.nonEmpty, "need at least one signature family")
     val truth = scope.pin(
       jaccardPairs(docs, idCol, textCol, threshold, maxTokenDf, tokens, scope)
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK))
     truth.count()
     val tAgg = truth.agg(count(lit(1)).as("n_true_pairs"))
-    configs.map { case (k, rpb) =>
+    (for (oph <- families; (k, rpb) <- configs) yield {
       require(k % rpb == 0, s"k=$k not divisible by rowsPerBand=$rpb")
       val sig =
         if (oph) minhashSigOph(docs, idCol, textCol, k, tokens)
@@ -463,14 +483,15 @@ object Dedup {
       val rAgg = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
         .agg(count(lit(1)).as("n_recovered"))
       tAgg.crossJoin(cAgg).crossJoin(rAgg)
-        .select(lit(k).as("k"), lit(rpb).as("rows_per_band"),
+        .select(lit(if (oph) "oph" else "kperm").as("family"),
+          lit(k).as("k"), lit(rpb).as("rows_per_band"),
           lit(k / rpb).as("n_bands"),
           col("n_true_pairs"), col("n_candidates"), col("n_recovered"),
           when(col("n_true_pairs") > 0,
               col("n_recovered").cast("double") /
                 col("n_true_pairs").cast("double"))
             .as("recall"))
-    }.reduce(_ unionByName _)
+    }).reduce(_ unionByName _)
   }
 
   /** MinHash-LSH near-dup pairs: candidates collide on >=1 band bucket, then

@@ -1072,6 +1072,79 @@ object Multimodal {
       .toDF()
   }
 
+  /** Fixed-point linear resampler — the sample-rate normalization every
+    * speech/audio ingest runs (mixed-rate crawl audio → one model rate)
+    * as an EXACT integer kernel, the audio sibling of [[resizePpm]]'s
+    * half-up box filter. Output sample k sits at source position
+    * `k·srcRate/outRate`, split rationally: `i = (k·src) / out` (floor),
+    * `fracQ15 = ((k·src mod out) · 32768) / out` (floor), and the sample
+    * is `s_i + floor((s_{i+1} − s_i) · fracQ15 / 32768)` with the tail
+    * clamped to the last sample — every step integer, so any engine
+    * replaying the arithmetic reproduces the stream bit for bit (no
+    * float phase accumulator to drift). `outN = max(1, n·outRate/srcRate)`.
+    *
+    * Linear interpolation is the honest label: a production resampler
+    * adds a windowed-sinc low-pass before decimation; the phase
+    * arithmetic (the part engines get wrong) is exactly this. Payloads
+    * the PCM walk rejects pass through unchanged (the [[resizePpm]]
+    * fail-soft contract); a clip already at `outRate` re-encodes
+    * canonically but keeps its samples. Typed map, zero shuffle. */
+  def resampleWav(media: DataFrame, outRate: Int): DataFrame = {
+    require(outRate >= 1, "outRate must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("payload"),
+        col("meta.source").as("source"))
+      .as[(Long, String, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, kind, payload, source) =>
+        val out = resampleWavBytes(payload, outRate).getOrElse(payload)
+        val sha = if (out == null) null
+          else java.security.MessageDigest.getInstance("SHA-256")
+            .digest(out).map("%02x".format(_)).mkString
+        MediaRow(id, kind, out,
+          MediaMeta(if (out == null) 0L else out.length.toLong, sha, source))
+      })
+      .toDF()
+  }
+
+  /** The per-clip resample: parse, interpolate, re-encode with the
+    * canonical 44-byte header (the [[encodeWav]] construction). None for
+    * payloads outside the PCM walk's scope. */
+  private[graft] def resampleWavBytes(b: Array[Byte],
+                                      outRate: Int): Option[Array[Byte]] =
+    wavPcm(b).map { case (rate, dataAt, n) =>
+      def sample(k: Long): Int = {
+        val o = dataAt + (k * 2).toInt
+        val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        if (v >= 0x8000) v - 0x10000 else v
+      }
+      val outN =
+        if (n == 0) 0L else math.max(1L, n * outRate / rate)
+      val plane = new Array[Byte]((outN * 2).toInt)
+      var k = 0L
+      while (k < outN) {
+        val num = k * rate
+        val i = num / outRate
+        val fracQ15 = ((num % outRate) * 32768L) / outRate
+        val s0 = sample(math.min(i, n - 1))
+        val s1 = sample(math.min(i + 1, n - 1))
+        // floor division for the Q15 step (arithmetic shift semantics,
+        // sign-correct for negative deltas)
+        val v = s0 + math.floorDiv((s1 - s0) * fracQ15, 32768L).toInt
+        plane((k * 2).toInt) = (v & 0xff).toByte
+        plane((k * 2 + 1).toInt) = ((v >> 8) & 0xff).toByte
+        k += 1
+      }
+      def le(value: Long, nb: Int): Array[Byte] =
+        (0 until nb).map(j => ((value >> (8 * j)) & 0xff).toByte).toArray
+      val fmtChunk = "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++
+        le(1, 2) ++ le(1, 2) ++ le(outRate, 4) ++ le(outRate.toLong * 2, 4) ++
+        le(2, 2) ++ le(16, 2)
+      "RIFF".getBytes("US-ASCII") ++ le(outN * 2 + 36, 4) ++
+        "WAVE".getBytes("US-ASCII") ++ fmtChunk ++
+        "data".getBytes("US-ASCII") ++ le(outN * 2, 4) ++ plane
+    }
+
   // ===================== QOI — a real COMPRESSED raster codec ==========
 
   /** Build REAL QOI images ("Quite OK Image", the public one-page spec at

@@ -714,7 +714,7 @@ object DocQueries {
     * scope — mirrors Dedup.minhashSigOph: per-bin permuted mins into a
     * k-array, then the rotation-densified slot per position (t·P offsets
     * keep distinct rotation distances collision-free). */
-  private def ophSigSql(k: Int): String = {
+  private def ophSigSql(k: Int, sigName: String = "sig"): String = {
     val (a0, b0) = graft.operators.Dedup.HashParams(0)
     val p = graft.operators.Dedup.HashPrime
     val arr = (0 until k)
@@ -727,19 +727,20 @@ object DocQueries {
         else s"arr[$idx] + ${t.toLong * p}"
       }.mkString("coalesce(", ", ", s") AS h$j")
     }.mkString(",\n  ")
-    s"""g AS (SELECT doc_id, x % $k AS bin,
+    s"""g_$sigName AS (SELECT doc_id, x % $k AS bin,
        |  min(($a0 * x + $b0) % $p) AS v FROM fp GROUP BY 1, 2),
-       |a AS (SELECT doc_id, $arr AS arr FROM g GROUP BY 1),
-       |sig AS (SELECT doc_id,
+       |a_$sigName AS (SELECT doc_id, $arr AS arr FROM g_$sigName GROUP BY 1),
+       |$sigName AS (SELECT doc_id,
        |  $slots
-       |FROM a)""".stripMargin
+       |FROM a_$sigName)""".stripMargin
   }
 
-  private def minhashBandsSql(k: Int, rowsPerBand: Int): String =
+  private def minhashBandsSql(k: Int, rowsPerBand: Int,
+                              from: String = "sig"): String =
     (0 until k / rowsPerBand).map { band =>
       val slice = (band * rowsPerBand until (band + 1) * rowsPerBand)
         .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ',' || ")
-      s"SELECT doc_id, $band AS band, md5($slice) AS band_hash FROM sig"
+      s"SELECT doc_id, $band AS band, md5($slice) AS band_hash FROM $from"
     }.mkString("\n  UNION ALL ")
 
   // ---------- SimHash SQL mirrors (generated to match Dedup.simhash) --------
@@ -4172,80 +4173,35 @@ object DocQueries {
         |${ophSigSql(32)}
         |SELECT * FROM sig ORDER BY doc_id""".stripMargin)),
 
-    // ---- OPH recall parity (round 17): the adoption check for the
-    //      one-permutation scheme — the SAME recall/cost curve as
-    //      q_dedup_lsh_recall but banded over densified OPH signatures.
-    //      An operator switching the production signature build to OPH
-    //      reads this row pair against the k-permutation one before
-    //      committing; truth is the identical jaccard pair set.
-    "q_dedup_oph_recall" -> Q(
-      (s, d) => Dedup.lshRecallReport(Tables.documents(s, d), "doc_id", "text",
+    // ---- LSH recall/cost matrix (round 14 k-perm curve + round 17 OPH
+    //      parity, merged round 18): for each signature family (k
+    //      independent permutations vs one-permutation + rotation
+    //      densification) and each (k, rowsPerBand) banding, the fraction
+    //      of true >= 0.3-jaccard pairs the banded candidates recover and
+    //      the candidate count — measured on the corpus, not assumed from
+    //      the 1-(1-s^r)^b formula. The truth set (df-filtered all-pairs
+    //      jaccard) dominates the cost and is family-independent, so the
+    //      two per-family reports this gate replaces each paid it once for
+    //      the same rows; here BOTH families read ONE shared truth.
+    //      Narrower bands (4 rows x 8 bands) must recall at least as much
+    //      as wider ones within each family; an operator switching the
+    //      production signature build to OPH reads its rows against the
+    //      k-permutation ones before committing.
+    "q_dedup_lsh_recall_matrix" -> Q(
+      (s, d) => Dedup.lshRecallMatrix(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.3, configs = Seq((32, 4), (32, 8)),
-          maxTokenDf = 100L, tokens = shingleSet, oph = true)
-        .orderBy("rows_per_band"),
+          maxTokenDf = 100L, tokens = shingleSet,
+          families = Seq(false, true))
+        .orderBy("family", "rows_per_band"),
       Some {
         def candSql(b: String) =
           s"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM $b a JOIN $b b
              |  ON a.band = b.band AND a.band_hash = b.band_hash
              |    AND a.doc_id < b.doc_id""".stripMargin
-        def rowSql(rpb: Int, cand: String) =
-          s"""SELECT 32 AS k, $rpb AS rows_per_band, ${32 / rpb} AS n_bands,
-             |  (SELECT n_true_pairs FROM tc) AS n_true_pairs,
-             |  (SELECT count(*) FROM $cand) AS n_candidates,
-             |  (SELECT count(*) FROM truth t JOIN $cand c
-             |     ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_recovered,
-             |  CASE WHEN (SELECT n_true_pairs FROM tc) > 0
-             |    THEN CAST((SELECT count(*) FROM truth t JOIN $cand c
-             |        ON t.id_a = c.id_a AND t.id_b = c.id_b) AS DOUBLE)
-             |      / CAST((SELECT n_true_pairs FROM tc) AS DOUBLE) END AS recall""".stripMargin
-        s"""WITH t AS (SELECT doc_id, $ToksSql AS toks FROM documents),
-        |sh0 AS (SELECT doc_id, unnest($ShinglesSql) AS tok FROM t),
-        |sh1 AS (SELECT doc_id, $TokenFp60Sql AS tok FROM sh0),
-        |jt AS (SELECT doc_id, tok FROM (
-        |  SELECT doc_id, tok, count(*) OVER (PARTITION BY tok) AS df FROM sh1)
-        |  WHERE df <= 100),
-        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM jt GROUP BY 1),
-        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-        |  FROM jt a JOIN jt b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |truth AS (SELECT c.id_a, c.id_b FROM common c
-        |  JOIN sizes sa ON sa.doc_id = c.id_a
-        |  JOIN sizes sb ON sb.doc_id = c.id_b
-        |  WHERE CAST(c.common AS DOUBLE) / (sa.n_tok + sb.n_tok - c.common)
-        |    >= CAST(0.3 AS DOUBLE)),
-        |tc AS (SELECT count(*) AS n_true_pairs FROM truth),
-        |fp AS (SELECT doc_id, $TokenFingerprintSql AS x FROM sh0),
-        |${ophSigSql(32)},
-        |bands4 AS (${minhashBandsSql(32, 4)}),
-        |cand4 AS (${candSql("bands4")}),
-        |bands8 AS (${minhashBandsSql(32, 8)}),
-        |cand8 AS (${candSql("bands8")})
-        |${rowSql(4, "cand4")}
-        |UNION ALL
-        |${rowSql(8, "cand8")}
-        |ORDER BY rows_per_band""".stripMargin
-      }),
-
-    // ---- LSH recall/cost report (round 14): for each (k, rowsPerBand)
-    //      banding, the fraction of true >= 0.3-jaccard pairs the banded
-    //      candidates recover and the candidate count — measured on the
-    //      corpus, not assumed from the 1-(1-s^r)^b formula. Narrower
-    //      bands (4 rows x 8 bands) must recall at least as much as wider
-    //      ones here; both configs share one signature table.
-    "q_dedup_lsh_recall" -> Q(
-      (s, d) => Dedup.lshRecallReport(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.3, configs = Seq((32, 4), (32, 8)),
-          maxTokenDf = 100L, tokens = shingleSet)
-        .orderBy("rows_per_band"),
-      Some {
-        def candSql(b: String) =
-          s"""SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM $b a JOIN $b b
-             |  ON a.band = b.band AND a.band_hash = b.band_hash
-             |    AND a.doc_id < b.doc_id""".stripMargin
-        def rowSql(rpb: Int, cand: String) =
-          s"""SELECT 32 AS k, $rpb AS rows_per_band, ${32 / rpb} AS n_bands,
+        def rowSql(family: String, rpb: Int, cand: String) =
+          s"""SELECT '$family' AS family, 32 AS k, $rpb AS rows_per_band,
+             |  ${32 / rpb} AS n_bands,
              |  (SELECT n_true_pairs FROM tc) AS n_true_pairs,
              |  (SELECT count(*) FROM $cand) AS n_candidates,
              |  (SELECT count(*) FROM truth t JOIN $cand c
@@ -4272,14 +4228,23 @@ object DocQueries {
         |tc AS (SELECT count(*) AS n_true_pairs FROM truth),
         |fp AS (SELECT doc_id, $TokenFingerprintSql AS x FROM sh0),
         |sig AS (SELECT doc_id, $minhashMinsSql FROM fp GROUP BY doc_id),
-        |bands4 AS (${minhashBandsSql(32, 4)}),
-        |cand4 AS (${candSql("bands4")}),
-        |bands8 AS (${minhashBandsSql(32, 8)}),
-        |cand8 AS (${candSql("bands8")})
-        |${rowSql(4, "cand4")}
+        |kbands4 AS (${minhashBandsSql(32, 4)}),
+        |kcand4 AS (${candSql("kbands4")}),
+        |kbands8 AS (${minhashBandsSql(32, 8)}),
+        |kcand8 AS (${candSql("kbands8")}),
+        |${ophSigSql(32, "sigo")},
+        |obands4 AS (${minhashBandsSql(32, 4, from = "sigo")}),
+        |ocand4 AS (${candSql("obands4")}),
+        |obands8 AS (${minhashBandsSql(32, 8, from = "sigo")}),
+        |ocand8 AS (${candSql("obands8")})
+        |${rowSql("kperm", 4, "kcand4")}
         |UNION ALL
-        |${rowSql(8, "cand8")}
-        |ORDER BY rows_per_band""".stripMargin
+        |${rowSql("kperm", 8, "kcand8")}
+        |UNION ALL
+        |${rowSql("oph", 4, "ocand4")}
+        |UNION ALL
+        |${rowSql("oph", 8, "ocand8")}
+        |ORDER BY family, rows_per_band""".stripMargin
       }),
 
     // ---- Incremental dedup: a new batch (doc_id % 20 = 0) deduped against
@@ -7507,6 +7472,63 @@ object DocQueries {
         |  FROM env GROUP BY media_id)
         |SELECT media_id, envhash, n_bits, true AS is_valid
         |FROM hsh ORDER BY media_id""".stripMargin
+      }),
+
+    // ---- Fixed-point linear resample (round 18): the sample-rate
+    //      normalization step of a speech ingest (mixed-rate audio → one
+    //      model rate), 8000 → 6000 Hz so the 4/3 phase ratio exercises
+    //      all three fractional offsets (0, 10922, 21845 in Q15). The
+    //      kernel's phase arithmetic is exact integer rationals — output
+    //      k reads source position k·src/out split into floor index +
+    //      Q15 fraction, floor-division interpolation — so the oracle
+    //      replays it bit for bit from the raw bytes and any drift in
+    //      index, fraction, clamping, or sign handling hash-fails. The
+    //      gate decodes the RESAMPLED stream back through the feature
+    //      kernel: header re-encode bugs fail the same hash.
+    "q_multimodal_wav_resample" -> Q(
+      (s, d) => Multimodal.decodeWavFeatures(Multimodal.resampleWav(
+          Multimodal.encodeWav(Multimodal.fromText(
+            Tables.documents(s, d), "doc_id", "text", "source")),
+          outRate = 6000))
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 2) AS n FROM m),
+        |sm AS (SELECT media_id, n, list_transform(range(0, n), k -> CAST(
+        |  CASE WHEN (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256
+        |      + (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END) >= 32768
+        |  THEN (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256
+        |      + (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END) - 65536
+        |  ELSE (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256
+        |      + (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END) END
+        |  AS BIGINT)) AS ss FROM d),
+        |rs AS (SELECT media_id, n, greatest(1, n * 6000 // 8000) AS outn,
+        |  ss FROM sm),
+        |ro AS (SELECT media_id, outn, list_transform(range(0, outn), k ->
+        |  ss[least(k*8000 // 6000, n-1) + 1]
+        |  + CAST(floor((
+        |      (ss[least(k*8000 // 6000 + 1, n-1) + 1]
+        |        - ss[least(k*8000 // 6000, n-1) + 1])
+        |      * ((k*8000 % 6000) * 32768 // 6000)) / 32768.0) AS BIGINT))
+        |  AS os FROM rs)
+        |SELECT media_id, CAST(6000 AS INT) AS sample_rate,
+        | CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+        | CAST(outn AS BIGINT) AS n_samples,
+        | CAST(outn AS DOUBLE) / 6000 AS duration_s,
+        | CAST(list_sum(list_transform(os, v -> CAST(abs(v) AS BIGINT)))
+        |   AS DOUBLE) / outn AS mean_abs,
+        | sqrt(CAST(list_sum(list_transform(os, v -> CAST(v AS BIGINT) * v))
+        |   AS DOUBLE) / outn) AS rms,
+        | CAST(list_max(list_transform(os, v -> abs(v))) AS INT) AS peak,
+        | CAST(coalesce(list_sum(list_transform(range(1, outn), k ->
+        |   CASE WHEN (os[k] < 0) != (os[k+1] < 0) THEN 1 ELSE 0 END)), 0)
+        |   AS BIGINT) AS zero_crossings,
+        | true AS is_valid
+        |FROM ro ORDER BY media_id""".stripMargin
       }),
 
     // ---- Fixed-point STFT spectrogram (round 18): the frequency-domain

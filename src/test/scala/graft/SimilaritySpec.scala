@@ -1490,6 +1490,70 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.getLong(1) == 5L && r1.getInt(2) == 1)
   }
 
+  test("resampleWav: exact integer phase — decimation, midpoints, clamp, passthrough") {
+    import spark.implicits._
+    import graft.operators.Multimodal.{resampleWavBytes, decodeWav}
+    def pcmOf(samples: Seq[Int]): Array[Byte] = samples.toArray.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.encodeWav(rows.toDF("media_id", "payload")
+        .withColumn("meta", struct(lit(0L).as("byte_len"),
+          lit("").as("sha256"), lit("s").as("source"))))
+    def samplesOf(wav: Array[Byte]): Seq[Int] = {
+      val f = decodeWav(9L, wav)
+      assert(f.is_valid)
+      val n = f.n_samples.toInt
+      (0 until n).map { k =>
+        val o = wav.length - 2 * n + 2 * k
+        val v = (wav(o) & 0xff) | ((wav(o + 1) & 0xff) << 8)
+        if (v >= 0x8000) v - 0x10000 else v
+      }
+    }
+    val src = Seq(100, -200, 300, -400, 500, -600, 700, -32768)
+    val wav8k = {
+      val df = Multimodal.resampleWav(mediaOf(Seq((1L, pcmOf(src)))), 8000)
+      df.select("payload").head().getAs[Array[Byte]](0)
+    }
+    // identity rate: canonical re-encode, samples untouched
+    assert(samplesOf(wav8k) == src)
+    // 2:1 decimation: integer phase, frac always 0 -> every other sample
+    val down = Multimodal.resampleWav(mediaOf(Seq((2L, pcmOf(src)))), 4000)
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(samplesOf(down) == Seq(100, 300, 500, 700))
+    assert(decodeWav(2L, down).sample_rate == 4000)
+    // 1:2 upsample: odd outputs are floor-midpoints (sign-correct: the
+    // Q15 floor rounds toward -inf, so a falling pair floors DOWN)
+    val up = Multimodal.resampleWav(mediaOf(Seq((3L, pcmOf(Seq(1, 2, 1)))))
+      , 16000).select("payload").head().getAs[Array[Byte]](0)
+    // outN = 3*16000/8000 = 6; positions 0,.5,1,1.5,2,2.5(clamped)
+    assert(samplesOf(up) == Seq(1, 1, 2, 1, 1, 1))
+    // non-WAV payloads pass through unchanged (resize fail-soft contract)
+    val raw = Seq((4L, "not audio".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+      .withColumn("kind", lit("audio"))
+      .withColumn("meta", struct(lit(0L).as("byte_len"),
+        lit("").as("sha256"), lit("s").as("source")))
+    val pass = Multimodal.resampleWav(raw, 4000)
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(new String(pass, "US-ASCII") == "not audio")
+    // kernel-level 4/3 ratio: all three Q15 offsets exercised, vs a
+    // direct re-derivation of the phase arithmetic
+    val r = resampleWavBytes(wav8k, 6000).get
+    val out = samplesOf(r)
+    val n = src.length
+    val expect = (0 until out.length).map { k =>
+      val num = k.toLong * 8000
+      val i = (num / 6000).toInt
+      val frac = ((num % 6000) * 32768L) / 6000
+      val s0 = src(math.min(i, n - 1)); val s1 = src(math.min(i + 1, n - 1))
+      s0 + math.floorDiv((s1 - s0) * frac, 32768L).toInt
+    }
+    assert(out.length == n * 6000 / 8000 && out == expect)
+    val plan = Multimodal.resampleWav(mediaOf(Seq((5L, pcmOf(src)))), 6000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resample must not shuffle:\n$plan")
+  }
+
   test("y4mTemporalHash: hand bits over crafted frames, fail-soft") {
     import spark.implicits._
     // 4 mono 4x4 frames: two dark (byte 10), two bright (byte 200);
