@@ -5076,6 +5076,69 @@ object DocQueries {
         | text
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- WebDataset tar shards (round 18): the delivery container of
+    //      MULTIMODAL training corpora — plain ustar archives whose
+    //      adjacent members group into samples by basename key
+    //      (<key>.txt + <key>.bin here). Full distributed lifecycle:
+    //      corpus → real WAV payloads → tar shards (ONE shuffle, sorted
+    //      canonical member order) → partition-local parse → samples →
+    //      the BINARY member decoded back through the audio feature
+    //      kernel. The oracle derives every output analytically from the
+    //      text bytes (ids, member counts, the text member verbatim, the
+    //      wav_decode feature mirror over the .bin member) — any defect
+    //      in header layout, checksum, octal sizes, 512-byte padding,
+    //      member order, or sample grouping fails the hash.
+    "q_s_wds_roundtrip" -> Q(
+      (s, d) => {
+        import graft.sources.Tar
+        val docs = Tables.documents(s, d)
+        val media = Multimodal.encodeWav(
+          Multimodal.fromText(docs, "doc_id", "text", "source"))
+        val withText = media.select(col("media_id").as("doc_id"),
+            col("payload"))
+          .join(docs.select("doc_id", "text"), Seq("doc_id"))
+        val samples = Tar.wdsSamples(Tar.wdsExport(withText, shards = 8))
+          .filter(col("is_valid"))
+        val feats = Multimodal.decodeWavFeatures(
+          samples.select(col("key").as("media_id"), col("bin").as("payload")))
+        samples.select(col("key").as("doc_id"), col("shard"), col("text"),
+            col("n_members"))
+          .join(feats, col("doc_id") === col("media_id"))
+          .select(col("doc_id"), col("shard"), col("n_members"), col("text"),
+            col("n_samples"), col("mean_abs"), col("rms"), col("peak"),
+            col("zero_crossings"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id, text, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len,
+        |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':wds'")} % 8 AS shard
+        |  FROM documents),
+        |d AS (SELECT doc_id, text, shard, hx, len,
+        |  greatest(1, len // 2) AS n FROM m),
+        |sm AS (SELECT doc_id, text, shard, n, list_transform(range(0, n),
+        |  k -> (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256 +
+        |  (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END)) AS us
+        |  FROM d),
+        |sg AS (SELECT doc_id, text, shard, n, list_transform(us,
+        |  v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS ss FROM sm)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        | CAST(2 AS INT) AS n_members, text,
+        | CAST(n AS BIGINT) AS n_samples,
+        | CAST(list_sum(list_transform(ss, v -> CAST(abs(v) AS BIGINT)))
+        |   AS DOUBLE) / n AS mean_abs,
+        | sqrt(CAST(list_sum(list_transform(ss, v -> CAST(v AS BIGINT) * v))
+        |   AS DOUBLE) / n) AS rms,
+        | CAST(list_max(list_transform(ss, v -> abs(v))) AS INT) AS peak,
+        | CAST(coalesce(list_sum(list_transform(range(1, n), k ->
+        |   CASE WHEN (ss[k] < 0) != (ss[k+1] < 0) THEN 1 ELSE 0 END)), 0)
+        |   AS BIGINT) AS zero_crossings
+        |FROM sg ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- WARC -> WET conversion (round 18): the crawl-to-corpus step
     //      itself — full-capture WARC files (warcinfo + request + response
     //      records, HTTP layer inside the response payloads, every record
