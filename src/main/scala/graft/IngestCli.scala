@@ -153,6 +153,55 @@ object IngestCli {
       s"$stateDir/wet_checkpoint", k, rowsPerBand, threshold)
   }
 
+  // ==================== WebDataset-shard arrivals ====================
+
+  /** Multimodal-drop ingest: documents arrive as WebDataset TAR SHARDS
+    * (`.tar` landing in `wdsDir` — the delivery contract of multimodal
+    * corpora), not JSONL. The text member of each sample is the dedup
+    * surface (the binary member rides the corpus zone untouched; byte
+    * dedup of media is the [[graft.operators.Multimodal]] hash family's
+    * job). Same segment-granular exactly-once machinery as [[runWet]]:
+    * each NOT-YET-STAGED shard parses once ([[graft.sources.Tar]]
+    * kernels), stages as ONE JSONL file published by rename, and the
+    * staged directory rides the UNCHANGED [[run]] pipeline behind its own
+    * checkpoint. Per-run cost scales with NEW shard bytes. */
+  def runWds(spark: SparkSession, corpusDir: String, wdsDir: String,
+             stateDir: String, k: Int = 16, rowsPerBand: Int = 4,
+             threshold: Double = 0.5): Summary = {
+    import graft.sources.Tar
+    ensureIndexes(spark, corpusDir, stateDir, k, rowsPerBand)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(stateDir), conf)
+    val stagedDir = s"$stateDir/wds_arrivals"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stagedDir))
+    val inFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(wdsDir), conf)
+    val fresh = inFs.listStatus(new org.apache.hadoop.fs.Path(wdsDir)).toSeq
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".tar"))
+      .filter(p => !fs.exists(
+        new org.apache.hadoop.fs.Path(stagedDir, p.getName + ".jsonl")))
+    fresh.foreach { p =>
+      val tmp = s"$stagedDir/__staging_${p.getName}"
+      Tar.wdsSamples(Tar.readWdsFiles(spark, Seq(p.toString)))
+        .filter(col("is_valid") && col("text").isNotNull)
+        .select(to_json(struct(
+          col("key").as("doc_id"), col("text"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"no part file staged for $p"))
+      require(fs.rename(part,
+        new org.apache.hadoop.fs.Path(stagedDir, p.getName + ".jsonl")),
+        s"staging rename failed for $p")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    runArrivals(spark, corpusDir, stagedDir, stateDir,
+      s"$stateDir/wds_checkpoint", k, rowsPerBand, threshold)
+  }
+
   // ==================== diff-driven incremental ingest ====================
 
   /** The stored-index view after tombstones — MERGE-ON-READ deletes, the
@@ -413,8 +462,19 @@ object IngestCli {
       // an arrivals directory; --compact folds tombstones afterwards
       val diffAt = args.indexOf("--diff")
       val wetAt = args.indexOf("--wet")
+      val wdsAt = args.indexOf("--wds")
       val s =
-        if (wetAt >= 0 && args.length >= wetAt + 2)
+        if (wdsAt >= 0 && args.length >= wdsAt + 2)
+          // --wds <dir>: multimodal-drop mode — WebDataset tar shards are
+          // the arrival unit instead of JSONL
+          runWds(spark,
+            corpusDir = arg("--corpus", "/root/testdata/sf0.001"),
+            wdsDir = args(wdsAt + 1),
+            stateDir = arg("--state", "/tmp/graft_ingest"),
+            k = arg("--k", "16").toInt,
+            rowsPerBand = arg("--rows-per-band", "4").toInt,
+            threshold = arg("--threshold", "0.5").toDouble)
+        else if (wetAt >= 0 && args.length >= wetAt + 2)
           // --wet <dir>: crawl-drop mode — WET segment files are the
           // arrival unit instead of JSONL
           runWet(spark,

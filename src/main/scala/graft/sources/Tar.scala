@@ -201,6 +201,45 @@ object Tar {
       .toDF("shard", "payload", "n_samples")
   }
 
+  /** Write [[wdsExport]] shards to `dir` (one `shard-NNNNN.tar` each — the
+    * WebDataset numbered-shard naming) through a foreachPartition direct
+    * write (each task writes its own shard file, no driver funnel — the
+    * [[Warc.writeWetFiles]] layout). */
+  def writeWdsFiles(files: DataFrame, dir: String): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      files.sparkSession.sparkContext.hadoopConfiguration)
+    files.select(col("shard").cast("long"), col("payload"))
+      .rdd.foreachPartition { it =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(dir), conf.value)
+        it.foreach { r =>
+          val name = f"shard-${r.getLong(0)}%05d.tar"
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(dir, name), true)
+          out.write(r.getAs[Array[Byte]](1)); out.close()
+        }
+      }
+  }
+
+  /** Read a directory (or explicit list) of `.tar` shards: one task per
+    * shard via the binaryFile source — tar members are sequential, the
+    * shard file IS the parallel unit (the WebDataset loader contract). */
+  def readWdsFiles(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): DataFrame = readWdsFiles(spark, Seq(dir))
+
+  /** [[readWdsFiles]] over an explicit path list — the incremental-ingest
+    * shape: only the NOT-YET-SEEN shards of a drop are loaded. */
+  def readWdsFiles(spark: org.apache.spark.sql.SparkSession,
+                   paths: Seq[String]): DataFrame = {
+    val name = regexp_replace(element_at(split(col("path"), "/"), -1),
+      "\\.tar$", "")
+    spark.read.format("binaryFile").load(paths: _*)
+      .select(
+        coalesce(regexp_extract(name, "-(\\d+)$", 1).cast("long"), lit(0L))
+          .as("shard"),
+        col("content").as("payload"))
+  }
+
   /** Explode shards back to samples — the loader half: partition-local
     * flatMap generator, no shuffle; adjacent members sharing a key
     * assemble into one sample row (key, text from `.txt`, bytes of the

@@ -387,6 +387,49 @@ class CliSpec extends SparkSpec {
     assert(ids == Set(1002L, 1003L, 1004L))
   }
 
+  test("IngestCli --wds ingests WebDataset shards exactly once through the same chain") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.sources.Tar
+    val corpusDir = Files.createTempDirectory("graft-wds-corpus").toString
+    Seq((100L, "alpha beta gamma delta epsilon zeta"),
+        (101L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$corpusDir/documents.parquet")
+    val wdsDir = Files.createTempDirectory("graft-wds-in").toString
+    val stateDir = Files.createTempDirectory("graft-wds-state").toString + "/st"
+    var shardNo = 0L
+    def drop(docs: Seq[(Long, String)]): Unit = {
+      // one shard per drop: samples carry a text member and a binary
+      // member (the media payload the text-dedup chain must NOT touch)
+      val bytes = Tar.wdsFileBytes(docs.map { case (id, t) =>
+        (id, t, s"media-of-$id".getBytes("UTF-8")) })
+      shardNo += 1
+      Tar.writeWdsFiles(Seq((shardNo, bytes)).toDF("shard", "payload"), wdsDir)
+    }
+    drop(Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta"),       // exact corpus dup
+      (1002L, "alpha beta gamma delta epsilon zeta extra"), // near-dup of 100
+      (1003L, "totally fresh unrelated content words here")))
+    val r1 = IngestCli.runWds(spark, corpusDir, wdsDir, stateDir)
+    assert(r1.nDocs == 2 && r1.nCorpus == 2,
+      s"exact dup must drop, survivors append: $r1")
+    assert(r1.nLabels == 4) // 2 corpus + 2 survivors
+    val labels = spark.read.parquet(s"$stateDir/labels")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1002L) == 100L && labels(1003L) == 1003L)
+    // rerun with NO new shards: presence-guarded staging + checkpoint
+    val r2 = IngestCli.runWds(spark, corpusDir, wdsDir, stateDir)
+    assert(r2 == r1, s"rerun must be exactly-once: $r2 vs $r1")
+    // a second shard lands; only it is processed
+    drop(Seq((1004L, "another brand new document entirely distinct")))
+    val r3 = IngestCli.runWds(spark, corpusDir, wdsDir, stateDir)
+    assert(r3.nDocs == 3 && r3.nLabels == 5, s"increment only: $r3")
+    val ids = spark.read.parquet(s"$stateDir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1002L, 1003L, 1004L))
+  }
+
   test("IngestCli --diff reconciles snapshots through the increment chain; end state = fresh build") {
     val s2 = spark
     import s2.implicits._
