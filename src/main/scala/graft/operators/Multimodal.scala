@@ -950,11 +950,12 @@ object Multimodal {
     * `frame` of clip `media_id`. Power is (Q15·Q15-scaled) `re² + im²`. */
   case class SpecCell(media_id: Long, frame: Int, bin: Int, power: Double)
 
-  /** Windowed DFT of one frame: returns power per bin 0..N/2. Exact by
-    * construction (see [[hannQ15]]): xw = s·hann ≤ 2^30, each product
-    * xw·twiddle ≤ 2^45.1, the 64-term sum ≤ 2^51.1 — never rounds. */
-  private def framePowers(payload: Array[Byte], dataAt: Int,
-                          frame: Int): Array[Double] = {
+  /** Windowed DFT of one frame: exact (re, im) integer sums per bin
+    * 0..N/2. Exact by construction (see [[hannQ15]]): xw = s·hann ≤ 2^30,
+    * each product xw·twiddle ≤ 2^45.1, the 64-term sum ≤ 2^51.1 — never
+    * overflows a long, and its double image never rounds. */
+  private def frameReIm(payload: Array[Byte], dataAt: Int,
+                        frame: Int): (Array[Long], Array[Long]) = {
     val xw = new Array[Long](SpecFrame)
     var i = 0
     while (i < SpecFrame) {
@@ -964,7 +965,8 @@ object Multimodal {
       xw(i) = s.toLong * hannQ15(i)
       i += 1
     }
-    val out = new Array[Double](SpecFrame / 2 + 1)
+    val res = new Array[Long](SpecFrame / 2 + 1)
+    val ims = new Array[Long](SpecFrame / 2 + 1)
     var bn = 0
     while (bn <= SpecFrame / 2) {
       var re = 0L; var im = 0L
@@ -975,10 +977,19 @@ object Multimodal {
         im -= xw(i) * sinQ15(t)
         i += 1
       }
-      out(bn) = re.toDouble * re.toDouble + im.toDouble * im.toDouble
+      res(bn) = re; ims(bn) = im
       bn += 1
     }
-    out
+    (res, ims)
+  }
+
+  /** [[frameReIm]] folded to the one deterministic IEEE power expression
+    * per bin (the [[wavSpectrogram]] cell value). */
+  private def framePowers(payload: Array[Byte], dataAt: Int,
+                          frame: Int): Array[Double] = {
+    val (res, ims) = frameReIm(payload, dataAt, frame)
+    Array.tabulate(SpecFrame / 2 + 1)(bn =>
+      res(bn).toDouble * res(bn).toDouble + ims(bn).toDouble * ims(bn).toDouble)
   }
 
   /** REAL frequency-domain audio features — the fixed-point STFT power
@@ -1019,6 +1030,66 @@ object Multimodal {
         }
       })
       .toDF()
+  }
+
+  /** One clip's per-band spectral energy. `energy` travels as an exact
+    * decimal STRING out of the kernel (the exact integer Σ(re²+im²) can
+    * reach ~7·10³² — past every fixed-width numeric a case-class encoder
+    * offers — and the public surface casts it to decimal(38,0)). */
+  private case class WavBandEnergyRow(media_id: Long, band: Int,
+                                      n_cells: Long, energy: String)
+
+  /** Per-band spectral energy — the STFT consumed as an EXACT aggregate:
+    * bins split into `bands` contiguous ranges (width ⌈33/bands⌉) and each
+    * band's `Σ(re² + im²)` accumulates in arbitrary-precision integers
+    * inside the kernel, surfacing as decimal(38,0). The double-valued
+    * [[wavSpectrogram]] cells cannot be re-aggregated exactly by a SQL
+    * engine (a double→decimal cast is engine-defined below the 17th
+    * digit and float sums are order-dependent), so exactness here has to
+    * come from the kernel — which is the point: the band profile is the
+    * feature a router/quality screen consumes, and it must not depend on
+    * partition order. Same fail-soft row-generator contract as the
+    * spectrogram: invalid or sub-frame clips emit no rows. */
+  def wavBandEnergy(media: DataFrame, maxFrames: Int = 8,
+                    bands: Int = 4): DataFrame = {
+    require(maxFrames >= 1, "maxFrames must be positive")
+    require(bands >= 1 && bands <= SpecFrame / 2 + 1,
+      "bands must be in [1, bins]")
+    val width = (SpecFrame / 2 + 1 + bands - 1) / bands
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        wavPcm(payload) match {
+          case None => Iterator.empty
+          case Some((_, dataAt, n)) =>
+            val nf = math.min(maxFrames.toLong, n / SpecFrame).toInt
+            if (nf == 0) Iterator.empty
+            else {
+              val acc = Array.fill(bands)(BigInt(0))
+              val cells = new Array[Long](bands)
+              var f = 0
+              while (f < nf) {
+                val p = frameReIm(payload, dataAt, f)
+                var bn = 0
+                while (bn <= SpecFrame / 2) {
+                  val b = bn / width
+                  val re = BigInt(p._1(bn)); val im = BigInt(p._2(bn))
+                  acc(b) += re * re + im * im
+                  cells(b) += 1
+                  bn += 1
+                }
+                f += 1
+              }
+              (0 until bands).iterator.map(b =>
+                WavBandEnergyRow(id, b, cells(b), acc(b).toString))
+            }
+        }
+      })
+      .toDF()
+      .select(col("media_id"), col("band"), col("n_cells"),
+        col("energy").cast("decimal(38,0)").as("energy"))
   }
 
   /** One clip's spectral fingerprint (the frequency-domain sibling of

@@ -7647,6 +7647,56 @@ object DocQueries {
         |FROM p ORDER BY media_id, frame, bin""".stripMargin
       }),
 
+    // ---- Per-band spectral energy (round 18): the STFT consumed as an
+    //      EXACT aggregate — four contiguous bin bands, each band's
+    //      Σ(re²+im²) accumulated in arbitrary-precision integers inside
+    //      the kernel (the double-valued spectrogram cells cannot be
+    //      re-aggregated exactly by a SQL engine: double→decimal casts
+    //      are engine-defined below the 17th digit and float sums are
+    //      order-dependent), surfacing as decimal(38,0). The oracle keeps
+    //      re/im as exact HUGEINTs and squares/sums in integer space —
+    //      bit-for-bit against the BigInt kernel, partition-order-proof.
+    "q_multimodal_wav_band_energy" -> Q(
+      (s, d) => Multimodal.wavBandEnergy(Multimodal.encodeWav(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")), maxFrames = 8, bands = 4)
+        .orderBy("media_id", "band"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        val hannL = Multimodal.hannQ15.mkString("[", ", ", "]")
+        val cosL = Multimodal.cosQ15.mkString("[", ", ", "]")
+        val sinL = Multimodal.sinQ15.mkString("[", ", ", "]")
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len // 2 AS n FROM m WHERE len // 2 >= 64),
+        |sm AS (SELECT media_id, least(n // 64, 8) AS nf,
+        |  list_transform(range(0, least(n, 512)), k -> CAST(
+        |    CASE WHEN ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} >= 32768
+        |    THEN ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} - 65536
+        |    ELSE ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} END
+        |    AS BIGINT)) AS ss
+        |  FROM d),
+        |g AS (SELECT media_id, ss, gf.f, gb.bn
+        |  FROM sm
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS f) gf
+        |  CROSS JOIN (SELECT unnest(range(0, 33)) AS bn) gb
+        |  WHERE gf.f < nf),
+        |p AS (SELECT media_id, f, bn,
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |    ss[f*64+i+1] * ($hannL)[i+1] * ($cosL)[((i*bn)%64)+1]))
+        |    AS HUGEINT) AS re,
+        |  CAST(-list_sum(list_transform(range(0, 64), i ->
+        |    ss[f*64+i+1] * ($hannL)[i+1] * ($sinL)[((i*bn)%64)+1]))
+        |    AS HUGEINT) AS im
+        |  FROM g)
+        |SELECT media_id, CAST(bn // 9 AS INT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(re*re + im*im) AS DECIMAL(38,0)) AS energy
+        |FROM p GROUP BY 1, 2 ORDER BY media_id, band""".stripMargin
+      }),
+
     // ---- Spectral fingerprint (round 18): the frequency-domain member of
     //      the perceptual-hash family — dominant non-DC bin per STFT frame
     //      (ties to the LOWEST bin), 6 bits per frame MSB-first. The

@@ -1490,6 +1490,49 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.getLong(1) == 5L && r1.getInt(2) == 1)
   }
 
+  test("wavBandEnergy: exact BigInt band sums, band placement, cell counts") {
+    import spark.implicits._
+    val N = Multimodal.SpecFrame
+    def sine(bin: Int, amp: Double): Array[Int] =
+      Array.tabulate(N)(i => math.round(
+        amp * math.sin(2.0 * math.Pi * bin * i / N)).toInt)
+    def pcmOf(samples: Array[Int]): Array[Byte] = samples.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.encodeWav(rows.toDF("media_id", "payload")
+        .withColumn("meta", struct(lit(0L).as("byte_len"),
+          lit("").as("sha256"), lit("s").as("source"))))
+    // frame 1: tone in band 0 (bin 5); frame 2: tone in band 3 (bin 30)
+    val samples = sine(5, 20000) ++ sine(30, 20000)
+    val rows = Multimodal.wavBandEnergy(
+        mediaOf(Seq((1L, pcmOf(samples)))), bands = 4)
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), BigInt(r.getDecimal(3).toBigInteger))).toMap
+    assert(rows.keySet == Set(0, 1, 2, 3))
+    // cell counts: bands of 9/9/9/6 bins x 2 frames
+    assert(rows.map { case (b, (c, _)) => b -> c } ==
+      Map(0 -> 18L, 1 -> 18L, 2 -> 18L, 3 -> 12L))
+    // the two tone bands dwarf the middle bands
+    assert(rows(0)._2 > rows(1)._2 * 100 && rows(3)._2 > rows(2)._2 * 100)
+    // exact vs an independent BigInt re-derivation of the windowed DFT
+    val want = Array.fill(4)(BigInt(0))
+    (0 until 2).foreach { f =>
+      val xw = Array.tabulate(N)(i => samples(f * N + i).toLong *
+        math.round(32768.0 * 0.5 * (1 - math.cos(2 * math.Pi * i / N))))
+      (0 to N / 2).foreach { bn =>
+        val re = BigInt((0 until N).map(i => xw(i) *
+          math.round(32768.0 * math.cos(2 * math.Pi * ((i * bn) % N) / N))).sum)
+        val im = BigInt(-(0 until N).map(i => xw(i) *
+          math.round(32768.0 * math.sin(2 * math.Pi * ((i * bn) % N) / N))).sum)
+        want(bn / 9) += re * re + im * im
+      }
+    }
+    (0 to 3).foreach(b => assert(rows(b)._2 == want(b), s"band $b"))
+    // fail-soft: non-WAV and sub-frame clips emit no rows
+    assert(Multimodal.wavBandEnergy(
+      Seq((2L, "nope".getBytes)).toDF("media_id", "payload")).count() == 0)
+  }
+
   test("resampleWav: exact integer phase — decimation, midpoints, clamp, passthrough") {
     import spark.implicits._
     import graft.operators.Multimodal.{resampleWavBytes, decodeWav}
