@@ -240,6 +240,19 @@ object Tar {
         col("content").as("payload"))
   }
 
+  /** Sample id from a member key: the numeric key when it parses (our
+    * canonical [[wdsKey]] form), else a deterministic 64-bit FNV-1a of
+    * the key string — foreign WebDataset shards use keys like
+    * `sample_000`, and a loader surface must not throw on them (the
+    * [[Warc.wetRecords]] URI-tail convention). */
+  private def keyId(key: String): Long =
+    try key.toLong catch {
+      case _: NumberFormatException =>
+        var h = 0xcbf29ce484222325L
+        key.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+        h
+    }
+
   /** Explode shards back to samples — the loader half: partition-local
     * flatMap generator, no shuffle; adjacent members sharing a key
     * assemble into one sample row (key, text from `.txt`, bytes of the
@@ -270,7 +283,7 @@ object Tar {
               val txt = ms.find(_.name.endsWith(".txt"))
                 .map(e => new String(e.bytes, "UTF-8")).orNull
               val bin = ms.find(!_.name.endsWith(".txt")).map(_.bytes).orNull
-              (shard, key.toLong, txt, bin, ms.size, true)
+              (shard, keyId(key), txt, bin, ms.size, true)
             }.toSeq
         }
       }

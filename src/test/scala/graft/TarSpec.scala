@@ -98,6 +98,20 @@ class TarSpec extends SparkSpec {
     val textOnly = Tar.wdsFileBytes(Seq((5L, "five", null)))
     assert(Tar.parseTar(textOnly).get.map(_.name) ==
       Seq("00000000000000000005.txt"))
+    // FOREIGN shards use non-numeric keys: the loader hashes them to a
+    // deterministic 64-bit id instead of throwing
+    val foreign = Tar.tarFileBytes(Seq(
+      TarEntry("sample_000.txt", b("alien")),
+      TarEntry("sample_000.bin", b("BYTES"))))
+    val fRows = Tar.wdsSamples(
+        Seq((0L, foreign)).toDF("shard", "payload"))
+      .collect()
+    assert(fRows.length == 1 && fRows(0).getBoolean(5))
+    assert(fRows(0).getAs[String]("text") == "alien" &&
+      fRows(0).getInt(4) == 2)
+    val again = Tar.wdsSamples(Seq((0L, foreign)).toDF("shard", "payload"))
+      .head().getLong(1)
+    assert(again == fRows(0).getLong(1)) // hash id is deterministic
     // distributed round trip + a malformed shard flagged, not dropped
     val docs = Seq((1L, "one", b("x1")), (2L, "two", b("x2")),
       (3L, "three", b("x3"))).toDF("doc_id", "text", "payload")
