@@ -1449,6 +1449,19 @@ object ScaleCheck {
           Tables.documents(spark, d).select("source", "doc_id", "text"),
           gzipped = true, segments = segs))
       },
+      // WebDataset shard lifecycle: corpus -> tar shards (ONE hash-shard
+      // shuffle; shards sized so the 10x corpus gets 10x the files) ->
+      // partition-local sample parse. Expect the wet_roundtrip class:
+      // per-byte header/padding arithmetic dominates, fixed costs at 1x
+      "wds_roundtrip" -> { d =>
+        import graft.sources.Tar
+        val shards = if (d == out) 40 else 4
+        Tar.wdsSamples(Tar.wdsExport(
+          Tables.documents(spark, d).select(col("doc_id"), col("text"),
+            col("text").cast("binary").as("payload")),
+          shards = shards))
+      },
+
       // PQ-filtered search (round 18): the searchIvfPq cell-pruned scan
       // over m-byte codes plus ONE id-keyed attrs join before the rank —
       // the join is the only term the filter adds, independent of query

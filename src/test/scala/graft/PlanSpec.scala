@@ -858,6 +858,27 @@ class PlanSpec extends SparkSpec {
       s"wetRecords must add no shuffle:\n$pParse")
   }
 
+  test("WDS shard export is exactly one shuffle; the sample parse adds none") {
+    import graft.sources.Tar
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        col("text").cast("binary").as("payload"))
+    def exchanges(p: String): Int =
+      p.linesIterator.count(l => l.contains("Exchange") &&
+        !l.contains("BroadcastExchange"))
+    // shard assembly: the single shuffle is the hash-shard group — the
+    // delivery unit; everything else is scan-stage
+    val files = Tar.wdsExport(docs, shards = 2)
+    val pBuild = planOf(files)
+    assert(exchanges(pBuild) == 1,
+      s"wdsExport must shuffle exactly once:\n$pBuild")
+    // container parse: a partition-local generator — samples never
+    // shuffle (no NEW exchange above the build's one)
+    val pParse = planOf(Tar.wdsSamples(files))
+    assert(exchanges(pParse) == 1,
+      s"wdsSamples must add no shuffle:\n$pParse")
+  }
+
   test("fuzzy join is a length-band equi-join: no cartesian, no nested loop") {
     import graft.operators.FuzzyJoin
     val keyed = Tables.documents(spark, sf).select(col("doc_id"),
