@@ -1032,24 +1032,55 @@ object Multimodal {
       .toDF()
   }
 
-  /** One clip's per-band spectral energy. `energy` travels as an exact
-    * decimal STRING out of the kernel (the exact integer Σ(re²+im²) can
-    * reach ~7·10³² — past every fixed-width numeric a case-class encoder
-    * offers — and the public surface casts it to decimal(38,0)). */
-  private case class WavBandEnergyRow(media_id: Long, band: Int,
-                                      n_cells: Long, energy: String)
+  /** The exact-integer LIMB convention for energies past int64: a
+    * non-negative exact integer `v < 2^(21·limbs)` splits into 21-bit
+    * limbs `lⱼ = (v >> 21j) & (2^21−1)`, PER CELL, BEFORE aggregation —
+    * so a sum of cells surfaces as the five plain-BIGINT limb sums
+    * `Lⱼ = Σ_cells lⱼ(cell)` (no carry propagation on purpose: both
+    * engines split then sum, and Σⱼ Lⱼ·2^21j = Σ cells exactly). With
+    * ≤ 264 cells each limb sum stays < 2^30 ≪ 2^53, so the surface
+    * survives ANY checker canonicalization — int64, float64, decimal —
+    * unlike a DECIMAL(38,0)/HUGEINT result, whose canonicalization is
+    * engine-version-defined above 2^53 (the r18 driver-red lesson). */
+  private[graft] val EnergyLimbBits = 21
+  private[graft] val EnergyLimbs = 5
+  private[graft] val EnergyLimbMask = (1L << EnergyLimbBits) - 1
+
+  /** Reconstruct the exact integer from its limb sums (spec/consumer
+    * side): Σⱼ Lⱼ·2^(21·j). */
+  def energyFromLimbs(limbSums: Seq[Long]): BigInt =
+    limbSums.zipWithIndex.map { case (l, j) =>
+      BigInt(l) << (EnergyLimbBits * j) }.sum
+
+  /** One clip's per-band spectral energy, as limb sums (see
+    * [[energyFromLimbs]]): the exact Σ(re²+im²) reaches ~2^103 — past
+    * every fixed-width numeric — so it travels as five sub-2^53 BIGINT
+    * limb sums that no engine can canonicalize lossily. */
+  private[graft] case class WavBandEnergyRow(
+      media_id: Long, band: Int, n_cells: Long,
+      energy_l0: Long, energy_l1: Long, energy_l2: Long,
+      energy_l3: Long, energy_l4: Long)
 
   /** Per-band spectral energy — the STFT consumed as an EXACT aggregate:
     * bins split into `bands` contiguous ranges (width ⌈33/bands⌉) and each
     * band's `Σ(re² + im²)` accumulates in arbitrary-precision integers
-    * inside the kernel, surfacing as decimal(38,0). The double-valued
-    * [[wavSpectrogram]] cells cannot be re-aggregated exactly by a SQL
-    * engine (a double→decimal cast is engine-defined below the 17th
-    * digit and float sums are order-dependent), so exactness here has to
-    * come from the kernel — which is the point: the band profile is the
-    * feature a router/quality screen consumes, and it must not depend on
-    * partition order. Same fail-soft row-generator contract as the
-    * spectrogram: invalid or sub-frame clips emit no rows. */
+    * inside the kernel. The double-valued [[wavSpectrogram]] cells cannot
+    * be re-aggregated exactly by a SQL engine (a double→decimal cast is
+    * engine-defined below the 17th digit and float sums are
+    * order-dependent), so exactness here has to come from the kernel —
+    * which is the point: the band profile is the feature a router/quality
+    * screen consumes, and it must not depend on partition order.
+    *
+    * Surface: the per-cell 21-bit limb split (see [[energyFromLimbs]]) —
+    * each cell value re²+im² (< 2^103, exact) splits into five 21-bit
+    * limbs BEFORE summation, and the row carries the five limb sums as
+    * plain BIGINTs, every one < 2^30. The true energy is
+    * `Σⱼ energy_lⱼ·2^21j` (asserted against an independent BigInt
+    * re-derivation in the spec); the limbs themselves are what a hash
+    * oracle compares, because int64s below 2^53 are canonicalization-
+    * proof on every engine — a DECIMAL(38,0) surface is not. Same
+    * fail-soft row-generator contract as the spectrogram: invalid or
+    * sub-frame clips emit no rows. */
   def wavBandEnergy(media: DataFrame, maxFrames: Int = 8,
                     bands: Int = 4): DataFrame = {
     require(maxFrames >= 1, "maxFrames must be positive")
@@ -1067,7 +1098,7 @@ object Multimodal {
             val nf = math.min(maxFrames.toLong, n / SpecFrame).toInt
             if (nf == 0) Iterator.empty
             else {
-              val acc = Array.fill(bands)(BigInt(0))
+              val acc = Array.ofDim[Long](bands, EnergyLimbs)
               val cells = new Array[Long](bands)
               var f = 0
               while (f < nf) {
@@ -1076,20 +1107,25 @@ object Multimodal {
                 while (bn <= SpecFrame / 2) {
                   val b = bn / width
                   val re = BigInt(p._1(bn)); val im = BigInt(p._2(bn))
-                  acc(b) += re * re + im * im
+                  var cell = re * re + im * im
+                  var j = 0
+                  while (j < EnergyLimbs) {
+                    acc(b)(j) += (cell & EnergyLimbMask).toLong
+                    cell >>= EnergyLimbBits
+                    j += 1
+                  }
                   cells(b) += 1
                   bn += 1
                 }
                 f += 1
               }
               (0 until bands).iterator.map(b =>
-                WavBandEnergyRow(id, b, cells(b), acc(b).toString))
+                WavBandEnergyRow(id, b, cells(b), acc(b)(0), acc(b)(1),
+                  acc(b)(2), acc(b)(3), acc(b)(4)))
             }
         }
       })
       .toDF()
-      .select(col("media_id"), col("band"), col("n_cells"),
-        col("energy").cast("decimal(38,0)").as("energy"))
   }
 
   /** One clip's spectral fingerprint (the frequency-domain sibling of
@@ -1183,7 +1219,7 @@ object Multimodal {
     * payloads outside the PCM walk's scope. */
   private[graft] def resampleWavBytes(b: Array[Byte],
                                       outRate: Int): Option[Array[Byte]] =
-    wavPcm(b).map { case (rate, dataAt, n) =>
+    wavPcm(b).flatMap { case (rate, dataAt, n) =>
       def sample(k: Long): Int = {
         val o = dataAt + (k * 2).toInt
         val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -1191,6 +1227,9 @@ object Multimodal {
       }
       val outN =
         if (n == 0) 0L else math.max(1L, n * outRate / rate)
+      // fail-soft, not crash/corrupt: a huge upsample ratio would wrap the
+      // Int plane allocation and the 32-bit RIFF size fields
+      if (outN * 2 > Int.MaxValue - 44L) None else Some {
       val plane = new Array[Byte]((outN * 2).toInt)
       var k = 0L
       while (k < outN) {
@@ -1214,6 +1253,7 @@ object Multimodal {
       "RIFF".getBytes("US-ASCII") ++ le(outN * 2 + 36, 4) ++
         "WAVE".getBytes("US-ASCII") ++ fmtChunk ++
         "data".getBytes("US-ASCII") ++ le(outN * 2, 4) ++ plane
+      }
     }
 
   // ===================== QOI — a real COMPRESSED raster codec ==========

@@ -7647,15 +7647,24 @@ object DocQueries {
         |FROM p ORDER BY media_id, frame, bin""".stripMargin
       }),
 
-    // ---- Per-band spectral energy (round 18): the STFT consumed as an
-    //      EXACT aggregate — four contiguous bin bands, each band's
-    //      Σ(re²+im²) accumulated in arbitrary-precision integers inside
-    //      the kernel (the double-valued spectrogram cells cannot be
-    //      re-aggregated exactly by a SQL engine: double→decimal casts
-    //      are engine-defined below the 17th digit and float sums are
-    //      order-dependent), surfacing as decimal(38,0). The oracle keeps
-    //      re/im as exact HUGEINTs and squares/sums in integer space —
-    //      bit-for-bit against the BigInt kernel, partition-order-proof.
+    // ---- Per-band spectral energy (round 18; surface re-shaped round 19):
+    //      the STFT consumed as an EXACT aggregate — four contiguous bin
+    //      bands, each band's Σ(re²+im²) accumulated in arbitrary-precision
+    //      integers inside the kernel (the double-valued spectrogram cells
+    //      cannot be re-aggregated exactly by a SQL engine: double→decimal
+    //      casts are engine-defined below the 17th digit and float sums
+    //      are order-dependent). The r18 DECIMAL(38,0) surface was red on
+    //      the driver's checker — 28–31-digit integers through a HUGEINT
+    //      sum + decimal canonicalization are engine-VERSION-sensitive
+    //      above 2^53 — so the surface is now the per-cell 21-bit limb
+    //      split (Multimodal.energyFromLimbs): each exact cell (< 2^103,
+    //      computed per-row in 128-bit space) splits into five 21-bit
+    //      limbs BEFORE aggregation, and the row carries the five limb
+    //      SUMS as plain BIGINTs, each < 2^30 — below float64's 2^53, so
+    //      NO checker canonicalization can lose a bit on any engine. The
+    //      oracle replays split-then-sum identically (per-cell HUGEINT
+    //      ops are pure integer arithmetic — the version-sensitive parts,
+    //      128-bit aggregation and decimal surfacing, never occur).
     "q_multimodal_wav_band_energy" -> Q(
       (s, d) => Multimodal.wavBandEnergy(Multimodal.encodeWav(
           Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
@@ -7690,11 +7699,25 @@ object DocQueries {
         |  CAST(-list_sum(list_transform(range(0, 64), i ->
         |    ss[f*64+i+1] * ($hannL)[i+1] * ($sinL)[((i*bn)%64)+1]))
         |    AS HUGEINT) AS im
-        |  FROM g)
-        |SELECT media_id, CAST(bn // 9 AS INT) AS band,
+        |  FROM g),
+        |c AS (SELECT media_id, bn, re*re + im*im AS cell FROM p),
+        |l AS (SELECT media_id, CAST(bn // 9 AS INT) AS band,
+        |  CAST(cell % 2097152 AS BIGINT) AS l0,
+        |  CAST((cell // 2097152) % 2097152 AS BIGINT) AS l1,
+        |  CAST((cell // 2097152 // 2097152) % 2097152 AS BIGINT) AS l2,
+        |  CAST((cell // 2097152 // 2097152 // 2097152) % 2097152
+        |    AS BIGINT) AS l3,
+        |  CAST(cell // 2097152 // 2097152 // 2097152 // 2097152
+        |    AS BIGINT) AS l4
+        |  FROM c)
+        |SELECT media_id, band,
         |  CAST(count(*) AS BIGINT) AS n_cells,
-        |  CAST(sum(re*re + im*im) AS DECIMAL(38,0)) AS energy
-        |FROM p GROUP BY 1, 2 ORDER BY media_id, band""".stripMargin
+        |  CAST(sum(l0) AS BIGINT) AS energy_l0,
+        |  CAST(sum(l1) AS BIGINT) AS energy_l1,
+        |  CAST(sum(l2) AS BIGINT) AS energy_l2,
+        |  CAST(sum(l3) AS BIGINT) AS energy_l3,
+        |  CAST(sum(l4) AS BIGINT) AS energy_l4
+        |FROM l GROUP BY 1, 2 ORDER BY media_id, band""".stripMargin
       }),
 
     // ---- Spectral fingerprint (round 18): the frequency-domain member of

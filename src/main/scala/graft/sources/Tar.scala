@@ -150,8 +150,13 @@ object Tar {
       if (nameEnd == off) return None
       val name = new String(bytes, off, nameEnd - off, "UTF-8")
       val dataOff = off + BlockSize
-      val padded = ((size + BlockSize - 1) / BlockSize * BlockSize).toInt
-      if (dataOff + padded + 2 * BlockSize > bytes.length) return None
+      // bounds arithmetic in Long: a near-Int.MaxValue octal size would
+      // wrap an Int padding/bounds check negative and crash the copy
+      // instead of fail-softing (the documented contract is None)
+      val paddedL = (size + BlockSize - 1) / BlockSize * BlockSize
+      if (dataOff.toLong + paddedL + 2L * BlockSize > bytes.length)
+        return None
+      val padded = paddedL.toInt
       val tf = bytes(off + 156)
       if (tf != '0' && tf != 0) return None // only regular files here
       out += TarEntry(name,
@@ -165,8 +170,13 @@ object Tar {
 
   /** WebDataset member key: fixed-width so lexicographic member order is
     * numeric sample order (the loader streams members sequentially and
-    * groups ADJACENT members into samples). */
-  private[graft] def wdsKey(id: Long): String = f"$id%020d"
+    * groups ADJACENT members into samples). Non-negative only — a '-'
+    * prefix sorts before '0' and would silently break the lexicographic ≡
+    * numeric invariant the canonical-bytes contract rests on. */
+  private[graft] def wdsKey(id: Long): String = {
+    require(id >= 0, s"WebDataset sample ids must be non-negative: $id")
+    f"$id%020d"
+  }
 
   /** One shard's bytes: per sample (sorted by id — canonical member
     * order), `<key>.txt` (UTF-8 text) then `<key>.bin` (the binary

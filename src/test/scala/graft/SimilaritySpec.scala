@@ -1490,7 +1490,7 @@ class SimilaritySpec extends SparkSpec {
     assert(r1.getLong(1) == 5L && r1.getInt(2) == 1)
   }
 
-  test("wavBandEnergy: exact BigInt band sums, band placement, cell counts") {
+  test("wavBandEnergy: exact limb-split band sums, band placement, cell counts") {
     import spark.implicits._
     val N = Multimodal.SpecFrame
     def sine(bin: Int, amp: Double): Array[Int] =
@@ -1504,10 +1504,17 @@ class SimilaritySpec extends SparkSpec {
           lit("").as("sha256"), lit("s").as("source"))))
     // frame 1: tone in band 0 (bin 5); frame 2: tone in band 3 (bin 30)
     val samples = sine(5, 20000) ++ sine(30, 20000)
-    val rows = Multimodal.wavBandEnergy(
+    val raw = Multimodal.wavBandEnergy(
         mediaOf(Seq((1L, pcmOf(samples)))), bands = 4)
-      .collect().map(r => r.getInt(1) ->
-        (r.getLong(2), BigInt(r.getDecimal(3).toBigInteger))).toMap
+      .collect()
+    // the limb surface's contract: every surfaced value is far below
+    // 2^53, so no engine canonicalization (int64/float64/decimal) can
+    // lose a bit of it
+    raw.foreach(r => (3 to 7).foreach(i =>
+      assert(r.getLong(i) >= 0 && r.getLong(i) < (1L << 53))))
+    val rows = raw.map(r => r.getInt(1) ->
+      (r.getLong(2),
+        Multimodal.energyFromLimbs((3 to 7).map(r.getLong)))).toMap
     assert(rows.keySet == Set(0, 1, 2, 3))
     // cell counts: bands of 9/9/9/6 bins x 2 frames
     assert(rows.map { case (b, (c, _)) => b -> c } ==
@@ -1595,6 +1602,44 @@ class SimilaritySpec extends SparkSpec {
     val plan = Multimodal.resampleWav(mediaOf(Seq((5L, pcmOf(src)))), 6000)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"resample must not shuffle:\n$plan")
+    // overflow fail-soft: an upsample ratio whose output plane would wrap
+    // the Int allocation / 32-bit RIFF size fields refuses (None), and the
+    // operator passes the clip through unchanged rather than corrupting it
+    val long8k = {
+      val df = Multimodal.resampleWav(
+        mediaOf(Seq((6L, pcmOf(Seq.fill(8000)(7))))), 8000)
+      df.select("payload").head().getAs[Array[Byte]](0)
+    }
+    assert(resampleWavBytes(long8k, Int.MaxValue).isEmpty)
+    val kept = Multimodal.resampleWav(
+        mediaOf(Seq((7L, pcmOf(Seq.fill(8000)(7))))), Int.MaxValue)
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(kept.toSeq == long8k.toSeq)
+  }
+
+  test("media row kernels survive CODEGEN_ONLY — no interpreted-encoder fallback") {
+    // r18 regression class: a `private` row case class compiles but makes
+    // Spark's encoder codegen fail and silently fall back to interpreted
+    // row encoding (ERROR CodeGenerator in every run). Pin: run every wav
+    // row-kernel under a session where codegen failure THROWS instead of
+    // falling back, so the next private case class cannot land silently.
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    import strict.implicits._
+    val media = Multimodal.encodeWav(
+      Seq((1L, Array.tabulate[Byte](256)(i => (i * 7).toByte)))
+        .toDF("media_id", "payload")
+        .withColumn("meta", struct(lit(0L).as("byte_len"),
+          lit("").as("sha256"), lit("s").as("source"))))
+    // collect(), not count(): count prunes the serializer's fields, so the
+    // row-class accessor codegen this pin exists to exercise never runs
+    assert(Multimodal.wavBandEnergy(media).collect().nonEmpty)
+    assert(Multimodal.wavSpectrogram(media, maxFrames = 2).collect().nonEmpty)
+    assert(Multimodal.wavFingerprintHash(media).collect().nonEmpty)
+    assert(Multimodal.decodeWavFeatures(media).collect().nonEmpty)
+    assert(Multimodal.resampleWav(media, 6000).collect().nonEmpty)
+    assert(Multimodal.wavEnvelopeHash(media, windows = 4).collect().nonEmpty)
   }
 
   test("y4mTemporalHash: hand bits over crafted frames, fail-soft") {

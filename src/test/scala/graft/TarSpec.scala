@@ -79,6 +79,26 @@ class TarSpec extends SparkSpec {
     val trailing = good ++ Array.fill[Byte](512)(0)
     trailing(trailing.length - 1) = 1
     assert(Tar.parseTar(trailing).isEmpty)
+    // near-Int.MaxValue size with a VALID checksum: the padded-size and
+    // bounds arithmetic must stay in Long — an Int wrap used to crash the
+    // copy instead of refusing (fail-soft means None, never a throw)
+    val huge = good.clone()
+    "17777777777".getBytes("US-ASCII").copyToArray(huge, 124) // 2^31 - 1
+    java.util.Arrays.fill(huge, 148, 156, ' '.toByte)
+    var sum2 = 0L
+    (0 until 512).foreach(i => sum2 += huge(i) & 0xff)
+    val cs2 = java.lang.Long.toOctalString(sum2)
+    ("0" * (6 - cs2.length) + cs2).getBytes("US-ASCII").copyToArray(huge, 148)
+    huge(154) = 0; huge(155) = ' '
+    assert(Tar.parseTar(huge).isEmpty)
+  }
+
+  test("wds keys refuse negative ids — the lexicographic≡numeric invariant") {
+    // '-' sorts before '0', so a negative id would silently break the
+    // sorted-member == numeric-sample-order contract; the writer refuses
+    intercept[IllegalArgumentException] {
+      Tar.wdsFileBytes(Seq((-1L, "neg", null)))
+    }
   }
 
   test("wds shards: canonical bytes, adjacent-member samples, fail-soft rows") {
