@@ -870,6 +870,15 @@ object ScaleCheck {
               Tables.documents(spark, d), "doc_id", "text", "source")),
           outRate = 6000))),
 
+      // mel filterbank over the STFT: same maxFrames-capped scan-stage
+      // shape as wav_spectrogram plus the constant weight-table fold —
+      // the ratio should track corpus rows
+      "wav_logmel" -> (d => graft.operators.Multimodal.wavLogMel(
+        graft.operators.Multimodal.encodeWav(
+          graft.operators.Multimodal.fromText(
+            Tables.documents(spark, d), "doc_id", "text", "source")),
+        sampleRate = 8000, nMel = 8, maxFrames = 8)),
+
       // readability formulas: scan-stage Column trees
       "readability" -> (d => Tables.documents(spark, d).select(
         col("doc_id"),

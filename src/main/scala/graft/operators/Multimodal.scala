@@ -1128,6 +1128,125 @@ object Multimodal {
       .toDF()
   }
 
+  /** Q15 integer mel filterbank over the [[wavSpectrogram]] bins — the
+    * standard triangular construction (HTK convention, mel(f) =
+    * 2595·log10(1 + f/700)): `nMel + 2` points equally spaced in mel
+    * space between 0 and `sampleRate/2`, band m a triangle rising from
+    * point m to m+1 and falling to m+2, evaluated at each bin's center
+    * frequency `k·sampleRate/SpecFrame` and quantized `round(32768·w)`.
+    * Like [[hannQ15]], the table is computed ONCE on the driver in
+    * doubles and then treated as shared integer CONSTANTS — the kernel
+    * and the oracle consume the same literal table, so cross-engine
+    * exactness never depends on libm. */
+  private[graft] def melWeightsQ15(sampleRate: Int,
+                                   nMel: Int): Array[Array[Long]] = {
+    require(sampleRate >= 2, "sampleRate must be >= 2")
+    require(nMel >= 1 && nMel <= SpecFrame / 2,
+      "nMel must be in [1, bins-1]")
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    def invMel(m: Double) = 700.0 * (math.pow(10.0, m / 2595.0) - 1.0)
+    val top = mel(sampleRate / 2.0)
+    val pts = Array.tabulate(nMel + 2)(i => invMel(top * i / (nMel + 1)))
+    Array.tabulate(nMel) { m =>
+      val lo = pts(m); val mid = pts(m + 1); val hi = pts(m + 2)
+      Array.tabulate(SpecFrame / 2 + 1) { k =>
+        val f = k.toDouble * sampleRate / SpecFrame
+        val w =
+          if (f > lo && f <= mid) (f - lo) / (mid - lo)
+          else if (f > mid && f < hi) (hi - f) / (hi - mid)
+          else 0.0
+        math.round(32768.0 * w)
+      }
+    }
+  }
+
+  /** One clip's mel-filterbank energies as weighted limb sums plus the
+    * exact integer log (see [[wavLogMel]]). */
+  private[graft] case class WavLogMelRow(
+      media_id: Long, mel: Int, n_cells: Long,
+      logmel_l0: Long, logmel_l1: Long, logmel_l2: Long,
+      logmel_l3: Long, logmel_l4: Long, log10_floor: Int)
+
+  /** Log-mel filterbank energies — the feature speech/audio-dedup
+    * pipelines actually consume, one step past [[wavBandEnergy]]'s
+    * un-warped bands: each mel band's energy is `Σ_cells w·(re²+im²)`
+    * with the Q15 triangular weights of [[melWeightsQ15]], every step
+    * exact integer arithmetic. The filterbank is defined for the TARGET
+    * model rate (`sampleRate`) — in a real pipeline [[resampleWav]] runs
+    * first, exactly as mixed-rate crawl audio is normalized before
+    * feature extraction.
+    *
+    * Surface: the same per-cell 21-bit limb convention as
+    * [[wavBandEnergy]] (see [[energyFromLimbs]]), made WEIGHTED — the
+    * row carries `Lⱼ = Σ_cells w·lⱼ(cell)` (w ≤ 2^15, lⱼ < 2^21, ≤ 264
+    * cells → every Lⱼ < 2^45 ≪ 2^53, canonicalization-proof on any
+    * engine), reconstructing as `Σⱼ Lⱼ·2^21j = Σ w·cell` exactly by
+    * linearity. The LOG itself is surfaced in exact integer form:
+    * `log10_floor` = ⌊log10(energy)⌋ (= the energy's decimal digit
+    * count − 1; −1 for a zero band) — the order-of-magnitude feature,
+    * computable bit-identically by any engine from the decimal string.
+    * Fail-soft row generator: invalid or sub-frame clips emit no rows;
+    * partition-local, zero shuffle (the weight table rides the closure
+    * as bounded constants, like the Q15 DFT tables). */
+  def wavLogMel(media: DataFrame, sampleRate: Int = 8000, nMel: Int = 8,
+                maxFrames: Int = 8): DataFrame = {
+    require(maxFrames >= 1, "maxFrames must be positive")
+    val weights = melWeightsQ15(sampleRate, nMel)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        wavPcm(payload) match {
+          case None => Iterator.empty
+          case Some((_, dataAt, n)) =>
+            val nf = math.min(maxFrames.toLong, n / SpecFrame).toInt
+            if (nf == 0) Iterator.empty
+            else {
+              val acc = Array.ofDim[Long](nMel, EnergyLimbs)
+              val cells = new Array[Long](nMel)
+              val limbs = new Array[Long](EnergyLimbs)
+              var f = 0
+              while (f < nf) {
+                val p = frameReIm(payload, dataAt, f)
+                var bn = 0
+                while (bn <= SpecFrame / 2) {
+                  val re = BigInt(p._1(bn)); val im = BigInt(p._2(bn))
+                  var cell = re * re + im * im
+                  var j = 0
+                  while (j < EnergyLimbs) {
+                    limbs(j) = (cell & EnergyLimbMask).toLong
+                    cell >>= EnergyLimbBits
+                    j += 1
+                  }
+                  var m = 0
+                  while (m < nMel) {
+                    val w = weights(m)(bn)
+                    if (w > 0) {
+                      j = 0
+                      while (j < EnergyLimbs) {
+                        acc(m)(j) += w * limbs(j); j += 1
+                      }
+                      cells(m) += 1
+                    }
+                    m += 1
+                  }
+                  bn += 1
+                }
+                f += 1
+              }
+              (0 until nMel).iterator.map { m =>
+                val total = energyFromLimbs(acc(m).toSeq)
+                WavLogMelRow(id, m, cells(m), acc(m)(0), acc(m)(1),
+                  acc(m)(2), acc(m)(3), acc(m)(4),
+                  if (total == 0) -1 else total.toString.length - 1)
+              }
+            }
+        }
+      })
+      .toDF()
+  }
+
   /** One clip's spectral fingerprint (the frequency-domain sibling of
     * [[WavEnvelope]]): dominant non-DC bin per frame, 6 bits each. */
   case class WavFingerprint(media_id: Long, fphash: Long, n_frames: Int,

@@ -7720,6 +7720,89 @@ object DocQueries {
         |FROM l GROUP BY 1, 2 ORDER BY media_id, band""".stripMargin
       }),
 
+    // ---- Log-mel filterbank (round 19): the feature speech/audio-dedup
+    //      pipelines actually consume — Q15 triangular mel weights
+    //      (HTK construction, driver-computed integer CONSTANTS shared
+    //      with the oracle, the hannQ15/fp60Sql convention) over the
+    //      exact STFT cells, every step integer arithmetic. Surface: the
+    //      weighted per-cell 21-bit limb split (w·lⱼ sums, each < 2^45 —
+    //      canonicalization-proof on any checker) plus the exact integer
+    //      log — log10_floor = decimal digit count − 1, which any engine
+    //      derives bit-identically from the HUGEINT's decimal string.
+    //      The oracle joins the literal weight table against the limb
+    //      CTE and replays split-weight-sum; the kernel's BigInt truth is
+    //      asserted separately in SimilaritySpec.
+    "q_multimodal_wav_logmel" -> Q(
+      (s, d) => Multimodal.wavLogMel(Multimodal.encodeWav(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")), sampleRate = 8000, nMel = 8, maxFrames = 8)
+        .orderBy("media_id", "mel"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        val hannL = Multimodal.hannQ15.mkString("[", ", ", "]")
+        val cosL = Multimodal.cosQ15.mkString("[", ", ", "]")
+        val sinL = Multimodal.sinQ15.mkString("[", ", ", "]")
+        val melW = Multimodal.melWeightsQ15(8000, 8)
+        val wRows = (for {
+          m <- melW.indices
+          bn <- melW(m).indices if melW(m)(bn) > 0
+        } yield s"($m, $bn, ${melW(m)(bn)})").mkString(", ")
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len // 2 AS n FROM m WHERE len // 2 >= 64),
+        |sm AS (SELECT media_id, least(n // 64, 8) AS nf,
+        |  list_transform(range(0, least(n, 512)), k -> CAST(
+        |    CASE WHEN ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} >= 32768
+        |    THEN ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} - 65536
+        |    ELSE ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} END
+        |    AS BIGINT)) AS ss
+        |  FROM d),
+        |g AS (SELECT media_id, ss, gf.f, gb.bn
+        |  FROM sm
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS f) gf
+        |  CROSS JOIN (SELECT unnest(range(0, 33)) AS bn) gb
+        |  WHERE gf.f < nf),
+        |p AS (SELECT media_id, f, bn,
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |    ss[f*64+i+1] * ($hannL)[i+1] * ($cosL)[((i*bn)%64)+1]))
+        |    AS HUGEINT) AS re,
+        |  CAST(-list_sum(list_transform(range(0, 64), i ->
+        |    ss[f*64+i+1] * ($hannL)[i+1] * ($sinL)[((i*bn)%64)+1]))
+        |    AS HUGEINT) AS im
+        |  FROM g),
+        |c AS (SELECT media_id, bn, re*re + im*im AS cell FROM p),
+        |l AS (SELECT media_id, bn,
+        |  CAST(cell % 2097152 AS BIGINT) AS l0,
+        |  CAST((cell // 2097152) % 2097152 AS BIGINT) AS l1,
+        |  CAST((cell // 2097152 // 2097152) % 2097152 AS BIGINT) AS l2,
+        |  CAST((cell // 2097152 // 2097152 // 2097152) % 2097152
+        |    AS BIGINT) AS l3,
+        |  CAST(cell // 2097152 // 2097152 // 2097152 // 2097152
+        |    AS BIGINT) AS l4
+        |  FROM c),
+        |a AS (SELECT media_id, w.mel,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(w.wq * l0) AS BIGINT) AS logmel_l0,
+        |  CAST(sum(w.wq * l1) AS BIGINT) AS logmel_l1,
+        |  CAST(sum(w.wq * l2) AS BIGINT) AS logmel_l2,
+        |  CAST(sum(w.wq * l3) AS BIGINT) AS logmel_l3,
+        |  CAST(sum(w.wq * l4) AS BIGINT) AS logmel_l4
+        |  FROM l JOIN (VALUES $wRows) AS w(mel, bn, wq) ON l.bn = w.bn
+        |  GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |  (((CAST(logmel_l4 AS HUGEINT) * 2097152 + logmel_l3) * 2097152
+        |    + logmel_l2) * 2097152 + logmel_l1) * 2097152 + logmel_l0
+        |    AS total FROM a)
+        |SELECT media_id, CAST(mel AS INT) AS mel, n_cells,
+        |  logmel_l0, logmel_l1, logmel_l2, logmel_l3, logmel_l4,
+        |  CASE WHEN total = 0 THEN -1
+        |    ELSE CAST(length(CAST(total AS VARCHAR)) AS INT) - 1
+        |  END AS log10_floor
+        |FROM t ORDER BY media_id, mel""".stripMargin
+      }),
+
     // ---- Spectral fingerprint (round 18): the frequency-domain member of
     //      the perceptual-hash family — dominant non-DC bin per STFT frame
     //      (ties to the LOWEST bin), 6 bits per frame MSB-first. The

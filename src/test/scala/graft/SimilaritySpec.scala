@@ -1540,6 +1540,95 @@ class SimilaritySpec extends SparkSpec {
       Seq((2L, "nope".getBytes)).toDF("media_id", "payload")).count() == 0)
   }
 
+  test("melWeightsQ15: hand-computed triangles, coverage, DC exclusion") {
+    // rate 8000, nMel 2: mel points 0 / 620.58 / 1791.33 / 4000 Hz, bins
+    // every 125 Hz. Hand-derived Q15 values (round(32768·w) of the
+    // triangle at each bin center):
+    //   band 0 rising: bin 1 = 6600, bin 4 = 26401; peak past the
+    //   620.58 Hz midpoint: bin 5 = 32644 (falling edge, w = 0.99626);
+    //   band 1 bin 14 = 31611 (rising), bin 32 (Nyquist) = 0
+    val w2 = Multimodal.melWeightsQ15(8000, 2)
+    assert(w2(0)(1) == 6600L && w2(0)(4) == 26401L && w2(0)(5) == 32644L)
+    assert(w2(1)(14) == 31611L && w2(1)(32) == 0L)
+    // structure, any config: DC excluded (triangle 0 rises FROM 0 Hz),
+    // weights within Q15, every band non-empty, every interior bin
+    // covered by some band
+    val w8 = Multimodal.melWeightsQ15(8000, 8)
+    assert(w8.forall(_(0) == 0L))
+    assert(w8.forall(_.forall(w => w >= 0L && w <= 32768L)))
+    assert(w8.forall(_.exists(_ > 0L)))
+    assert((1 to 31).forall(bn => w8.exists(_(bn) > 0L)))
+  }
+
+  test("wavLogMel: exact weighted limb sums, tone placement, integer log") {
+    import spark.implicits._
+    val N = Multimodal.SpecFrame
+    def sine(bin: Int, amp: Double): Array[Int] =
+      Array.tabulate(N)(i => math.round(
+        amp * math.sin(2.0 * math.Pi * bin * i / N)).toInt)
+    def pcmOf(samples: Array[Int]): Array[Byte] = samples.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.encodeWav(rows.toDF("media_id", "payload")
+        .withColumn("meta", struct(lit(0L).as("byte_len"),
+          lit("").as("sha256"), lit("s").as("source"))))
+    val nMel = 8
+    val weights = Multimodal.melWeightsQ15(8000, nMel)
+    // two frames: tones at bin 3 (low mel bands) and bin 30 (top band)
+    val samples = sine(3, 20000) ++ sine(30, 20000)
+    val df = Multimodal.wavLogMel(mediaOf(Seq((1L, pcmOf(samples)))),
+      sampleRate = 8000, nMel = nMel)
+    val raw = df.collect()
+    assert(raw.map(_.getInt(1)).toSet == (0 until nMel).toSet)
+    // every surfaced limb sum is far below 2^53 (the weighted bound 2^45)
+    raw.foreach(r => (3 to 7).foreach(i =>
+      assert(r.getLong(i) >= 0 && r.getLong(i) < (1L << 45))))
+    val got = raw.map(r => r.getInt(1) ->
+      (r.getLong(2), Multimodal.energyFromLimbs((3 to 7).map(r.getLong)),
+        r.getInt(8))).toMap
+    // independent BigInt re-derivation: longhand windowed DFT, exact
+    // cell, weighted sum per mel band with the shared Q15 weight table
+    val want = Array.fill(nMel)(BigInt(0))
+    val wantCells = Array.fill(nMel)(0L)
+    (0 until 2).foreach { f =>
+      val xw = Array.tabulate(N)(i => samples(f * N + i).toLong *
+        math.round(32768.0 * 0.5 * (1 - math.cos(2 * math.Pi * i / N))))
+      (0 to N / 2).foreach { bn =>
+        val re = BigInt((0 until N).map(i => xw(i) *
+          math.round(32768.0 * math.cos(2 * math.Pi * ((i * bn) % N) / N))).sum)
+        val im = BigInt(-(0 until N).map(i => xw(i) *
+          math.round(32768.0 * math.sin(2 * math.Pi * ((i * bn) % N) / N))).sum)
+        val cell = re * re + im * im
+        (0 until nMel).foreach { m =>
+          if (weights(m)(bn) > 0) {
+            want(m) += BigInt(weights(m)(bn)) * cell
+            wantCells(m) += 1
+          }
+        }
+      }
+    }
+    (0 until nMel).foreach { m =>
+      assert(got(m)._1 == wantCells(m), s"n_cells mel $m")
+      assert(got(m)._2 == want(m), s"energy mel $m")
+      val digits = if (want(m) == 0) -1 else want(m).toString.length - 1
+      assert(got(m)._3 == digits, s"log10_floor mel $m")
+    }
+    // tone placement: among the bands covering a tone's bin, the one with
+    // the peak weight at that bin carries the most energy
+    val loBand = (0 until nMel).maxBy(m => weights(m)(3))
+    val hiBand = (0 until nMel).maxBy(m => weights(m)(30))
+    assert(loBand != hiBand)
+    assert((0 until nMel).filter(m => weights(m)(3) > 0)
+      .maxBy(m => got(m)._2) == loBand)
+    assert((0 until nMel).filter(m => weights(m)(30) > 0)
+      .maxBy(m => got(m)._2) == hiBand)
+    // fail-soft + zero shuffle
+    assert(Multimodal.wavLogMel(
+      Seq((2L, "nope".getBytes)).toDF("media_id", "payload")).count() == 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"logmel must not shuffle:\n$plan")
+  }
+
   test("resampleWav: exact integer phase — decimation, midpoints, clamp, passthrough") {
     import spark.implicits._
     import graft.operators.Multimodal.{resampleWavBytes, decodeWav}
