@@ -156,8 +156,9 @@ object IngestCli {
   // ==================== WebDataset-shard arrivals ====================
 
   /** Multimodal-drop ingest: documents arrive as WebDataset TAR SHARDS
-    * (`.tar` landing in `wdsDir` — the delivery contract of multimodal
-    * corpora), not JSONL. The text member of each sample is the dedup
+    * (`.tar` or `.tar.gz` landing in `wdsDir` — the delivery contract of
+    * multimodal corpora; the gzip layer is transparent in
+    * [[graft.sources.Tar.parseTar]]), not JSONL. The text member of each sample is the dedup
     * surface (the binary member rides the corpus zone untouched; byte
     * dedup of media is the [[graft.operators.Multimodal]] hash family's
     * job). Same segment-granular exactly-once machinery as [[runWet]]:
@@ -179,7 +180,8 @@ object IngestCli {
       new java.net.URI(wdsDir), conf)
     val fresh = inFs.listStatus(new org.apache.hadoop.fs.Path(wdsDir)).toSeq
       .map(_.getPath)
-      .filter(_.getName.endsWith(".tar"))
+      .filter(p => p.getName.endsWith(".tar") ||
+        p.getName.endsWith(".tar.gz"))
       .filter(p => !fs.exists(
         new org.apache.hadoop.fs.Path(stagedDir, p.getName + ".jsonl")))
     fresh.foreach { p =>

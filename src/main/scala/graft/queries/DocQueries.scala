@@ -649,6 +649,68 @@ object DocQueries {
 
   private val TokenFp60Sql: String = fp60Sql("tok")
 
+  /** Shared WebDataset roundtrip frame: corpus → real WAV payloads → tar
+    * shards (plain or gzipped — the roundtrip is byte-transparent, so
+    * one oracle serves both delivery forms) → parse → samples, the
+    * binary member decoded back through the audio feature kernel. */
+  private def wdsRoundtripFrame(s: SparkSession, d: String,
+                                gzip: Boolean): DataFrame = {
+    import graft.sources.Tar
+    val docs = Tables.documents(s, d)
+    val media = Multimodal.encodeWav(
+      Multimodal.fromText(docs, "doc_id", "text", "source"))
+    val withText = media.select(col("media_id").as("doc_id"),
+        col("payload"))
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+    val samples = Tar.wdsSamples(
+        Tar.wdsExport(withText, shards = 8, gzip = gzip))
+      .filter(col("is_valid"))
+    val feats = Multimodal.decodeWavFeatures(
+      samples.select(col("key").as("media_id"), col("bin").as("payload")))
+    samples.select(col("key").as("doc_id"), col("shard"), col("text"),
+        col("n_members"))
+      .join(feats, col("doc_id") === col("media_id"))
+      .select(col("doc_id"), col("shard"), col("n_members"), col("text"),
+        col("n_samples"), col("mean_abs"), col("rms"), col("peak"),
+        col("zero_crossings"))
+      .orderBy("doc_id")
+  }
+
+  /** The analytic oracle for [[wdsRoundtripFrame]]: every output derived
+    * from the text bytes (ids, member counts, the text member verbatim,
+    * the wav_decode feature mirror over the .bin member) — any defect in
+    * header layout, checksum, octal sizes, 512-byte padding, member
+    * order, sample grouping, or (gz form) gzip framing fails the hash. */
+  private def wdsRoundtripOracle: String = {
+    def byteAt(p: String) =
+      s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+        s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+    s"""WITH m AS (SELECT doc_id, text, hex(encode(text)) AS hx,
+    |  octet_length(encode(text)) AS len,
+    |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':wds'")} % 8 AS shard
+    |  FROM documents),
+    |d AS (SELECT doc_id, text, shard, hx, len,
+    |  greatest(1, len // 2) AS n FROM m),
+    |sm AS (SELECT doc_id, text, shard, n, list_transform(range(0, n),
+    |  k -> (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256 +
+    |  (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END)) AS us
+    |  FROM d),
+    |sg AS (SELECT doc_id, text, shard, n, list_transform(us,
+    |  v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS ss FROM sm)
+    |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+    | CAST(2 AS INT) AS n_members, text,
+    | CAST(n AS BIGINT) AS n_samples,
+    | CAST(list_sum(list_transform(ss, v -> CAST(abs(v) AS BIGINT)))
+    |   AS DOUBLE) / n AS mean_abs,
+    | sqrt(CAST(list_sum(list_transform(ss, v -> CAST(v AS BIGINT) * v))
+    |   AS DOUBLE) / n) AS rms,
+    | CAST(list_max(list_transform(ss, v -> abs(v))) AS INT) AS peak,
+    | CAST(coalesce(list_sum(list_transform(range(1, n), k ->
+    |   CASE WHEN (ss[k] < 0) != (ss[k+1] < 0) THEN 1 ELSE 0 END)), 0)
+    |   AS BIGINT) AS zero_crossings
+    |FROM sg ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared near-dup component CTE chain (word-3-shingle jaccard >= 0.3,
     * maxTokenDf 100, recursive closure) ending in `pairs(id_a, id_b)` and
     * `comp(id, comp)` — the same chain the q_dedup_components oracle pins;
@@ -5089,55 +5151,19 @@ object DocQueries {
     //      in header layout, checksum, octal sizes, 512-byte padding,
     //      member order, or sample grouping fails the hash.
     "q_s_wds_roundtrip" -> Q(
-      (s, d) => {
-        import graft.sources.Tar
-        val docs = Tables.documents(s, d)
-        val media = Multimodal.encodeWav(
-          Multimodal.fromText(docs, "doc_id", "text", "source"))
-        val withText = media.select(col("media_id").as("doc_id"),
-            col("payload"))
-          .join(docs.select("doc_id", "text"), Seq("doc_id"))
-        val samples = Tar.wdsSamples(Tar.wdsExport(withText, shards = 8))
-          .filter(col("is_valid"))
-        val feats = Multimodal.decodeWavFeatures(
-          samples.select(col("key").as("media_id"), col("bin").as("payload")))
-        samples.select(col("key").as("doc_id"), col("shard"), col("text"),
-            col("n_members"))
-          .join(feats, col("doc_id") === col("media_id"))
-          .select(col("doc_id"), col("shard"), col("n_members"), col("text"),
-            col("n_samples"), col("mean_abs"), col("rms"), col("peak"),
-            col("zero_crossings"))
-          .orderBy("doc_id")
-      },
-      Some {
-        def byteAt(p: String) =
-          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
-            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
-        s"""WITH m AS (SELECT doc_id, text, hex(encode(text)) AS hx,
-        |  octet_length(encode(text)) AS len,
-        |  ${fp60Sql("CAST(doc_id AS VARCHAR) || ':wds'")} % 8 AS shard
-        |  FROM documents),
-        |d AS (SELECT doc_id, text, shard, hx, len,
-        |  greatest(1, len // 2) AS n FROM m),
-        |sm AS (SELECT doc_id, text, shard, n, list_transform(range(0, n),
-        |  k -> (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256 +
-        |  (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END)) AS us
-        |  FROM d),
-        |sg AS (SELECT doc_id, text, shard, n, list_transform(us,
-        |  v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS ss FROM sm)
-        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
-        | CAST(2 AS INT) AS n_members, text,
-        | CAST(n AS BIGINT) AS n_samples,
-        | CAST(list_sum(list_transform(ss, v -> CAST(abs(v) AS BIGINT)))
-        |   AS DOUBLE) / n AS mean_abs,
-        | sqrt(CAST(list_sum(list_transform(ss, v -> CAST(v AS BIGINT) * v))
-        |   AS DOUBLE) / n) AS rms,
-        | CAST(list_max(list_transform(ss, v -> abs(v))) AS INT) AS peak,
-        | CAST(coalesce(list_sum(list_transform(range(1, n), k ->
-        |   CASE WHEN (ss[k] < 0) != (ss[k+1] < 0) THEN 1 ELSE 0 END)), 0)
-        |   AS BIGINT) AS zero_crossings
-        |FROM sg ORDER BY doc_id""".stripMargin
-      }),
+      (s, d) => wdsRoundtripFrame(s, d, gzip = false),
+      Some(wdsRoundtripOracle)),
+
+    // ---- Gzipped WebDataset shards (round 19): the same full container
+    //      lifecycle with the `.tar.gz` delivery form real WDS corpora
+    //      ship — each shard one timestamp-free gzip stream
+    //      (Warc.gzipMember framing), transparently inflated by
+    //      parseTar. The roundtrip is byte-transparent, so the SAME
+    //      analytic oracle applies; any defect in the gzip framing or
+    //      inflation fails the identical hash.
+    "q_s_wds_gz_roundtrip" -> Q(
+      (s, d) => wdsRoundtripFrame(s, d, gzip = true),
+      Some(wdsRoundtripOracle)),
 
     // ---- WARC -> WET conversion (round 18): the crawl-to-corpus step
     //      itself — full-capture WARC files (warcinfo + request + response

@@ -94,12 +94,20 @@ object Tar {
     out.toByteArray
   }
 
-  /** Parse a ustar archive; None for anything malformed (fail-soft
-    * whole-file, the [[Warc.parseWarc]] contract): short blocks, bad
-    * magic, checksum mismatch, non-octal or lying size, a missing
-    * two-block terminator, or trailing non-zero bytes. */
-  def parseTar(bytes: Array[Byte]): Option[Seq[TarEntry]] = {
-    if (bytes == null || bytes.length % BlockSize != 0 ||
+  /** Parse a ustar archive, plain or gzipped (`.tar.gz` shards — real
+    * WebDataset corpora frequently ship compressed; the gzip layer is
+    * transparent here exactly as in [[Warc.parseWarc]]); None for
+    * anything malformed (fail-soft whole-file, the [[Warc.parseWarc]]
+    * contract): corrupt gzip, short blocks, bad magic, checksum
+    * mismatch, non-octal or lying size, a missing two-block terminator,
+    * or trailing non-zero bytes. */
+  def parseTar(raw: Array[Byte]): Option[Seq[TarEntry]] = {
+    if (raw == null) return None
+    val bytes = if (Warc.isGzip(raw)) Warc.gunzipAll(raw) match {
+      case Some(p) => p
+      case None => return None
+    } else raw
+    if (bytes.length % BlockSize != 0 ||
       bytes.length < 2 * BlockSize) return None
     def isZeroBlock(off: Int): Boolean = {
       var i = off
@@ -192,8 +200,13 @@ object Tar {
   /** Build WebDataset tar shards from (doc_id, text, payload) rows — ONE
     * shuffle on the hash-derived shard key (the shard file is the
     * delivery unit, the [[Warc.wetExport]] shape). Deterministic: shard
-    * membership is a pure hash of the id, member order is sorted by id. */
-  def wdsExport(docs: DataFrame, shards: Int = 8): DataFrame = {
+    * membership is a pure hash of the id, member order is sorted by id.
+    * With `gzip = true` each shard's bytes are one gzip stream (the
+    * `.tar.gz` delivery form; [[Warc.gzipMember]]'s timestamp-free
+    * framing keeps the canonical-bytes contract — same samples in, same
+    * compressed bytes out). */
+  def wdsExport(docs: DataFrame, shards: Int = 8,
+                gzip: Boolean = false): DataFrame = {
     require(shards > 0, "shards must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -206,7 +219,8 @@ object Tar {
       .mapGroups { (shard: Long,
                     rows: Iterator[(Long, String, Array[Byte], Long)]) =>
         val ss = rows.map(r => (r._1, r._2, r._3)).toSeq
-        (shard, wdsFileBytes(ss), ss.size.toLong)
+        val tar = wdsFileBytes(ss)
+        (shard, if (gzip) Warc.gzipMember(tar) else tar, ss.size.toLong)
       }
       .toDF("shard", "payload", "n_samples")
   }
@@ -223,10 +237,14 @@ object Tar {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           new java.net.URI(dir), conf.value)
         it.foreach { r =>
-          val name = f"shard-${r.getLong(0)}%05d.tar"
+          val bytes = r.getAs[Array[Byte]](1)
+          // extension follows the payload (gzipped exports land as
+          // .tar.gz), so a directory listing reads true
+          val ext = if (Warc.isGzip(bytes)) "tar.gz" else "tar"
+          val name = f"shard-${r.getLong(0)}%05d.$ext"
           val out = fs.create(
             new org.apache.hadoop.fs.Path(dir, name), true)
-          out.write(r.getAs[Array[Byte]](1)); out.close()
+          out.write(bytes); out.close()
         }
       }
   }
@@ -242,7 +260,7 @@ object Tar {
   def readWdsFiles(spark: org.apache.spark.sql.SparkSession,
                    paths: Seq[String]): DataFrame = {
     val name = regexp_replace(element_at(split(col("path"), "/"), -1),
-      "\\.tar$", "")
+      "\\.tar(\\.gz)?$", "")
     spark.read.format("binaryFile").load(paths: _*)
       .select(
         coalesce(regexp_extract(name, "-(\\d+)$", 1).cast("long"), lit(0L))

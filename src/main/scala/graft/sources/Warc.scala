@@ -77,7 +77,7 @@ object Warc {
   }
 
   /** Inflate a (possibly multi-member) gzip stream; None on corruption. */
-  private def gunzipAll(bytes: Array[Byte]): Option[Array[Byte]] =
+  private[sources] def gunzipAll(bytes: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes), 64 * 1024)
@@ -88,7 +88,7 @@ object Warc {
       Some(out.toByteArray)
     } catch { case _: java.io.IOException => None }
 
-  private def isGzip(b: Array[Byte]): Boolean =
+  private[sources] def isGzip(b: Array[Byte]): Boolean =
     b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
 
   /** Parse a WARC file (plain or gzipped, any member layout) into its

@@ -399,11 +399,12 @@ class CliSpec extends SparkSpec {
     val wdsDir = Files.createTempDirectory("graft-wds-in").toString
     val stateDir = Files.createTempDirectory("graft-wds-state").toString + "/st"
     var shardNo = 0L
-    def drop(docs: Seq[(Long, String)]): Unit = {
+    def drop(docs: Seq[(Long, String)], gz: Boolean = false): Unit = {
       // one shard per drop: samples carry a text member and a binary
       // member (the media payload the text-dedup chain must NOT touch)
-      val bytes = Tar.wdsFileBytes(docs.map { case (id, t) =>
+      val tar = Tar.wdsFileBytes(docs.map { case (id, t) =>
         (id, t, s"media-of-$id".getBytes("UTF-8")) })
+      val bytes = if (gz) graft.sources.Warc.gzipMember(tar) else tar
       shardNo += 1
       Tar.writeWdsFiles(Seq((shardNo, bytes)).toDF("shard", "payload"), wdsDir)
     }
@@ -428,6 +429,15 @@ class CliSpec extends SparkSpec {
     val ids = spark.read.parquet(s"$stateDir/docs")
       .select("doc_id").as[Long].collect().toSet
     assert(ids == Set(1002L, 1003L, 1004L))
+    // a GZIPPED shard lands (.tar.gz — the compressed delivery form):
+    // same arrival unit, transparently inflated
+    drop(Seq((1005L, "gzipped shard document with fresh words indeed")),
+      gz = true)
+    val r4 = IngestCli.runWds(spark, corpusDir, wdsDir, stateDir)
+    assert(r4.nDocs == 4 && r4.nLabels == 6, s"gz shard increment: $r4")
+    val ids4 = spark.read.parquet(s"$stateDir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids4 == Set(1002L, 1003L, 1004L, 1005L))
   }
 
   test("IngestCli --diff reconciles snapshots through the increment chain; end state = fresh build") {

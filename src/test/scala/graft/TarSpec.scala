@@ -158,4 +158,44 @@ class TarSpec extends SparkSpec {
     val plan = Tar.wdsSamples(local).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"wdsSamples must not shuffle:\n$plan")
   }
+
+  test("gzipped wds shards: canonical bytes, transparent parse, file roundtrip") {
+    import spark.implicits._
+    val samples = Seq(
+      (7L, "seven", b("AA")), (3L, "three", b("BB")), (11L, "eleven", b("CC")))
+    val docs = samples.toDF("doc_id", "text", "payload")
+    // canonical compressed bytes: same samples in -> same .tar.gz bytes
+    // out, across re-exports (timestamp-free gzip framing)
+    val gz1 = Tar.wdsExport(docs, shards = 1, gzip = true)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val gz2 = Tar.wdsExport(docs.orderBy(col("doc_id").desc), shards = 1,
+        gzip = true)
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(gz1.toSeq == gz2.toSeq)
+    assert((gz1(0) & 0xff) == 0x1f && (gz1(1) & 0xff) == 0x8b)
+    // the gzip layer is byte-transparent: parseTar(gz) == parseTar(plain)
+    val plain = Tar.wdsFileBytes(samples)
+    assert(Tar.parseTar(gz1).get.map(e => (e.name, e.bytes.toSeq)) ==
+      Tar.parseTar(plain).get.map(e => (e.name, e.bytes.toSeq)))
+    // corrupt gzip fail-softs as None / an is_valid=false row
+    val corrupt = gz1.clone(); corrupt(gz1.length / 2) =
+      (corrupt(gz1.length / 2) ^ 0x55).toByte
+    assert(Tar.parseTar(corrupt).isEmpty) // DEFLATE/CRC trips -> None
+    val flagged = Tar.wdsSamples(
+        Seq((0L, corrupt.take(20))).toDF("shard", "payload"))
+      .head()
+    assert(!flagged.getBoolean(5))
+    // file lifecycle: gz payloads land as .tar.gz, read back by shard
+    // number, samples identical to the plain-tar path
+    val dir = java.nio.file.Files.createTempDirectory("graft-wdsgz").toString
+    Tar.writeWdsFiles(Seq((4L, gz1)).toDF("shard", "payload"), dir)
+    assert(new java.io.File(dir, "shard-00004.tar.gz").isFile)
+    val readBack = Tar.wdsSamples(Tar.readWdsFiles(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[String]("text"), r.getBoolean(5)))
+    assert(readBack.map(_._1).toSet == Set(4L))
+    assert(readBack.map(x => (x._2, x._3)).sortBy(_._1).toSeq ==
+      Seq((3L, "three"), (7L, "seven"), (11L, "eleven")))
+    assert(readBack.forall(_._4))
+  }
 }
