@@ -870,6 +870,14 @@ object ScaleCheck {
               Tables.documents(spark, d), "doc_id", "text", "source")),
           outRate = 6000))),
 
+      // DCT perceptual hash: fixed 16x16 grid per image, so per-row cost
+      // is bounded by the box-resample over the source bytes — scan-stage,
+      // the aHash shape with a constant-size transform on top
+      "phash" -> (d => graft.operators.Multimodal.pHashFeatures(
+        graft.operators.Multimodal.encodePpm(
+          graft.operators.Multimodal.fromText(
+            Tables.documents(spark, d), "doc_id", "text", "source")))),
+
       // mel filterbank over the STFT: same maxFrames-capped scan-stage
       // shape as wav_spectrogram plus the constant weight-table fold —
       // the ratio should track corpus rows

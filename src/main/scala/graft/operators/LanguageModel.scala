@@ -165,6 +165,15 @@ object LanguageModel {
       .groupBy("doc_id")
       .agg(pplAggs.head, pplAggs.tail: _*)
 
+  /** [[perplexity]] over a PRE-TOKENIZED frame (the [[tokFrame]] shape:
+    * doc_id, toks) — the two-model scorers share one tokenization pass
+    * through this: tokenizing per scorer would re-run the corpus text
+    * split (and its fan-out exchange) once per model. */
+  private def perplexityToks(toks: DataFrame, lm: BigramLm): DataFrame =
+    tokenLogProbsToks(toks, lm)
+      .groupBy("doc_id")
+      .agg(pplAggs.head, pplAggs.tail: _*)
+
   /** The shared scoring aggregate list: token count, rounded avg log-prob,
     * perplexity (see [[perplexity]] for the rounding contract). */
   private def pplAggs: Seq[org.apache.spark.sql.Column] = {
@@ -181,8 +190,14 @@ object LanguageModel {
     * column a streaming aggregation needs) pass through untouched. */
   private[graft] def tokenLogProbs(docs: DataFrame, idCol: String,
                                    textCol: String, lm: BigramLm,
-                                   extra: Seq[String] = Nil): DataFrame = {
-    val ns = normStream(tokFrame(docs, idCol, textCol, extra), lm.vocab, extra)
+                                   extra: Seq[String] = Nil): DataFrame =
+    tokenLogProbsToks(tokFrame(docs, idCol, textCol, extra), lm, extra)
+
+  /** [[tokenLogProbs]] over a pre-built [[tokFrame]] (see
+    * [[perplexityToks]]). */
+  private def tokenLogProbsToks(toks: DataFrame, lm: BigramLm,
+                                extra: Seq[String] = Nil): DataFrame = {
+    val ns = normStream(toks, lm.vocab, extra)
     val uniW = broadcast(lm.unigrams.select(col("tok").as("__uw"), col("c").as("cu")))
     val uniP = broadcast(lm.unigrams.select(col("tok").as("__up"), col("c").as("cprev")))
     val big = broadcast(lm.bigrams.select(
@@ -238,6 +253,25 @@ object LanguageModel {
       vocabTypes = meta.getAs[Long]("vocab_types"))
   }
 
+  /** ONE materialized tokenization of the scoring corpus, shared by both
+    * passes of every two-model scorer below: tokenizing per scorer re-runs
+    * the corpus text split (and its fan-out exchange) once per model —
+    * r18's per-gate cache hygiene exposed exactly that re-derivation once
+    * the accidental cross-gate cache reuse was gone. Pinned to the current
+    * gate scope (no-op outside a harness; a streaming frame cannot persist
+    * and keeps its inline lineage — the streaming twins score ONE model per
+    * query anyway). */
+  private def sharedToks(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val tf = tokFrame(docs, idCol, textCol)
+    if (docs.isStreaming) tf
+    else {
+      val pinned = graft.core.CacheScope.gatePersist(tf)
+      pinned.count()
+      pinned
+    }
+  }
+
   /** Moore–Lewis cross-entropy-difference selection: score every document
     * under an IN-DOMAIN model (trained on `targetRef`) and a GENERAL model
     * (trained on `generalRef`), rank by the gap `avg_logp_target −
@@ -250,15 +284,19 @@ object LanguageModel {
     * (gap desc, doc_id).
     *
     * Scale shape: both scorers are the [[perplexity]] scan-stage stream
-    * with cap-bounded broadcast models; the only added work is one doc_id
-    * equi-join of two per-doc score frames and a global top-k
-    * (TakeOrdered, never a full sort). */
+    * with cap-bounded broadcast models over ONE shared tokenization
+    * ([[sharedToks]]); the only added work is one doc_id equi-join of two
+    * per-doc score frames and a global top-k (TakeOrdered, never a full
+    * sort). */
   def crossEntropySelect(docs: DataFrame, idCol: String, textCol: String,
                          targetRef: DataFrame, generalRef: DataFrame,
                          vocabCap: Int, bigramCap: Int, k: Int): DataFrame = {
-    val t = perplexityAgainst(docs, targetRef, idCol, textCol, vocabCap, bigramCap)
+    val lmT = trainBigramLm(targetRef, idCol, textCol, vocabCap, bigramCap)
+    val lmG = trainBigramLm(generalRef, idCol, textCol, vocabCap, bigramCap)
+    val toks = sharedToks(docs, idCol, textCol)
+    val t = perplexityToks(toks, lmT)
       .select(col("doc_id"), col("avg_logp").as("logp_target"))
-    val g = perplexityAgainst(docs, generalRef, idCol, textCol, vocabCap, bigramCap)
+    val g = perplexityToks(toks, lmG)
       .select(col("doc_id"), col("avg_logp").as("logp_general"))
     t.join(g, Seq("doc_id"))
       .withColumn("gap", round(col("logp_target") - col("logp_general"), 6))
@@ -282,11 +320,14 @@ object LanguageModel {
                       scope: graft.core.CacheScope.Handle =
                         graft.core.CacheScope.detached): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
-    val t = perplexityAgainst(docs, targetRef, idCol, textCol, vocabCap,
-        bigramCap, scope)
+    val lmT = trainBigramLm(targetRef, idCol, textCol, vocabCap, bigramCap,
+      scope)
+    val lmG = trainBigramLm(generalRef, idCol, textCol, vocabCap, bigramCap,
+      scope)
+    val toks = sharedToks(docs, idCol, textCol)
+    val t = perplexityToks(toks, lmT)
       .select(col("doc_id"), col("avg_logp").as("logp_target"))
-    val g = perplexityAgainst(docs, generalRef, idCol, textCol, vocabCap,
-        bigramCap, scope)
+    val g = perplexityToks(toks, lmG)
       .select(col("doc_id"), col("avg_logp").as("logp_general"))
     // read twice (threshold aggregate + the cut): persist + materialize so
     // the two LM scoring passes run ONCE — same discipline as the Dedup
@@ -353,10 +394,12 @@ object LanguageModel {
     * ([[doremiWeightsScored]]) — two corpus-scale scoring scans total,
     * instead of the four that separate Lm-operator calls pay. */
   def dualTokenScores(docs: DataFrame, idCol: String, textCol: String,
-                      lmT: BigramLm, lmG: BigramLm): DataFrame =
-    tokenLogProbs(docs, idCol, textCol, lmT).withColumnRenamed("lp", "lp_t")
-      .join(tokenLogProbs(docs, idCol, textCol, lmG)
+                      lmT: BigramLm, lmG: BigramLm): DataFrame = {
+    val toks = sharedToks(docs, idCol, textCol)
+    tokenLogProbsToks(toks, lmT).withColumnRenamed("lp", "lp_t")
+      .join(tokenLogProbsToks(toks, lmG)
         .withColumnRenamed("lp", "lp_g"), Seq("doc_id", "pos"))
+  }
 
   /** [[selectiveTokens]] from a pre-scored [[dualTokenScores]] frame. */
   def selectiveTokensScored(scored: DataFrame, keepFrac: Double): DataFrame = {
@@ -417,9 +460,10 @@ object LanguageModel {
   def doremiWeightsLm(docs: DataFrame, idCol: String, textCol: String,
                       sourceCol: String, lmProxy: BigramLm, lmRef: BigramLm,
                       eta: Double, smoothing: Double): DataFrame = {
-    val p = perplexity(docs, idCol, textCol, lmProxy)
+    val toks = sharedToks(docs, idCol, textCol)
+    val p = perplexityToks(toks, lmProxy)
       .select(col("doc_id"), col("avg_logp").as("lp_p"))
-    val r = perplexity(docs, idCol, textCol, lmRef)
+    val r = perplexityToks(toks, lmRef)
       .select(col("doc_id"), col("avg_logp").as("lp_r"))
     doremiFromDocScores(docs, idCol, sourceCol, p.join(r, Seq("doc_id")),
       eta, smoothing)

@@ -731,6 +731,119 @@ object Multimodal {
       .toDF()
   }
 
+  /** pHash grid side (box-resample target and DCT length). */
+  private val PhGrid = 16
+
+  /** Q15 DCT-II cosine table for the [[pHashFeatures]] transform:
+    * `C[t][k] = round(32768·cos(π(2t+1)k/32))`, t, k in 0..15. Like
+    * [[hannQ15]], driver-computed integer CONSTANTS shared verbatim with
+    * the oracle, so cross-engine exactness never depends on libm. */
+  private[graft] val dctCosQ15: Array[Array[Long]] =
+    Array.tabulate(PhGrid, PhGrid)((t, k) =>
+      math.round(32768.0 * math.cos(math.Pi * (2 * t + 1) * k /
+        (2.0 * PhGrid))))
+
+  /** One image's DCT perceptual hash (see [[pHashFeatures]]). */
+  case class PHashFeatures(media_id: Long, phash: Long, dct_median: Long,
+                           grid_w: Int, grid_h: Int, is_valid: Boolean)
+
+  /** Perceptual DCT-hash (pHash) over decoded pixels — the
+    * frequency-domain member of the image dedup family, beside the
+    * mean-threshold [[aHashFeatures]] exactly as [[wavFingerprintHash]]
+    * sits beside [[wavEnvelopeHash]] for audio: aHash matches copies by
+    * coarse luminance layout, pHash by the low-frequency STRUCTURE, so
+    * recompression/sharpen/noise edits that flip aHash cells leave the
+    * low-band DCT signs alone and the pair is a stronger dedup key than
+    * either hash (both feed the same [[graft.functions.Hamming64]]
+    * near-dup bucketing).
+    *
+    * The classic construction, made exact-integer end to end:
+    *  - box-resample to `min(16, w) × min(16, h)` under the EXACT
+    *    [[resizePpm]] contract, then zero-pad to the 16×16 DCT grid (a
+    *    ≥16×16 image takes the textbook path; a narrower one is
+    *    letterboxed — deterministic, and single-pixel boxes being
+    *    resampler fixpoints keeps the hash invariant to pre-downscaling
+    *    onto the grid, the [[aHashFeatures]] property);
+    *  - cell luma = r + g + b of the resampled means (no division — a
+    *    global ×3 scales every DCT coefficient and the median alike, so
+    *    no comparison moves);
+    *  - separable DCT-II with the Q15 [[dctCosQ15]] tables, exact 64-bit
+    *    integer sums (|luma| ≤ 765 → row pass < 2^29, column pass < 2^48);
+    *  - keep the 8×8 low-frequency block, median = the 32nd-smallest of
+    *    its 63 non-DC coefficients (ties deterministic — integer sort);
+    *  - bit (8v+u) from the MSB is 1 iff `S[v][u] > median`; the DC bit
+    *    is forced 0 (it encodes brightness, not structure — and skipping
+    *    it keeps the pack off the sign bit).
+    *
+    * Shape: partition-local typed map, zero shuffle, fail-soft
+    * (`is_valid = false` on undecodable payloads). */
+  def pHashFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        resampleBox(payload, PhGrid, PhGrid) match {
+          case None => PHashFeatures(id, 0L, 0L, 0, 0, is_valid = false)
+          case Some((w2, h2, _, rb, _)) =>
+            val g = Array.ofDim[Long](PhGrid, PhGrid)
+            var y = 0
+            while (y < h2) {
+              var x = 0
+              while (x < w2) {
+                val o = (y * w2 + x) * 3
+                g(y)(x) = (rb(o) & 0xff).toLong + (rb(o + 1) & 0xff) +
+                  (rb(o + 2) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            // separable DCT-II, low 8x8 block only
+            val r = Array.ofDim[Long](PhGrid, 8)
+            y = 0
+            while (y < PhGrid) {
+              var u = 0
+              while (u < 8) {
+                var s = 0L; var x = 0
+                while (x < PhGrid) { s += g(y)(x) * dctCosQ15(x)(u); x += 1 }
+                r(y)(u) = s
+                u += 1
+              }
+              y += 1
+            }
+            val sMat = Array.ofDim[Long](8, 8)
+            var v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                var s = 0L; var yy = 0
+                while (yy < PhGrid) { s += r(yy)(u) * dctCosQ15(yy)(v); yy += 1 }
+                sMat(v)(u) = s
+                u += 1
+              }
+              v += 1
+            }
+            val ac = (for { vv <- 0 until 8; uu <- 0 until 8
+                            if vv != 0 || uu != 0 } yield sMat(vv)(uu))
+              .sorted.toArray
+            val med = ac(31)
+            var hash = 0L
+            v = 0
+            while (v < 8) {
+              var u = 0
+              while (u < 8) {
+                if ((v != 0 || u != 0) && sMat(v)(u) > med)
+                  hash |= 1L << (63 - (8 * v + u))
+                u += 1
+              }
+              v += 1
+            }
+            PHashFeatures(id, hash, med, w2, h2, is_valid = true)
+        }
+      })
+      .toDF()
+  }
+
   /** Image near-dup PAIRS over [[aHashFeatures]] fingerprints — the
     * [[Dedup.simhashPairs]] machinery applied to pixels: band the hash,
     * equi-join candidates on (band, band-bits), exact Hamming distance on

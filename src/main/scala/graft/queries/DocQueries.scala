@@ -7102,6 +7102,79 @@ object DocQueries {
         |FROM hsh ORDER BY media_id""".stripMargin
       }),
 
+    // ---- DCT perceptual hash (round 19): the frequency-domain image
+    //      fingerprint beside the mean-threshold aHash — box-resample to
+    //      the 16×16 grid (narrow corpus images letterbox with zeros),
+    //      luma = r+g+b, separable Q15 DCT-II (driver-constant tables,
+    //      the hannQ15 convention), 8×8 low block, bits vs the median of
+    //      the 63 AC coefficients, DC bit 0. All integer; the oracle
+    //      replays resample → luma → two DCT passes → ordinal median
+    //      (row_number 32 of 63) → power-of-two pack from the raw text
+    //      bytes. The resizePpm twin pins grid-fixpoint invariance, the
+    //      ahash gate's scale_invariant contract.
+    "q_multimodal_phash" -> Q(
+      (s, d) => {
+        val media = Multimodal.encodePpm(Multimodal.fromText(
+          Tables.documents(s, d), "doc_id", "text", "source"))
+        val direct = Multimodal.pHashFeatures(media)
+          .select(col("media_id"), col("phash"), col("dct_median"),
+            col("grid_w"), col("grid_h"))
+        val pre = Multimodal.pHashFeatures(
+            Multimodal.resizePpm(media, 16, 16))
+          .select(col("media_id"), col("phash").as("phash_pre"))
+        direct.join(pre, Seq("media_id"))
+          .withColumn("scale_invariant", col("phash") === col("phash_pre"))
+          .orderBy("media_id")
+      },
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        // half-up box mean for channel c of the (y, x) grid cell: single
+        // source column x, source rows [y*h/h2, (y+1)*h/h2)
+        def pv(c: Int) =
+          s"""((2 * list_sum(list_transform(range(y*h//h2, (y+1)*h//h2), yy ->
+             |   CASE WHEN yy*12 + x*3 + ${c + 1} <= len
+             |    THEN ${byteAt(s"yy*12 + x*3 + ${c + 1}")} ELSE 0 END))
+             | + ((y+1)*h//h2 - y*h//h2))
+             | // (2 * ((y+1)*h//h2 - y*h//h2)))""".stripMargin
+        val cosL = Multimodal.dctCosQ15.flatten.mkString("[", ", ", "]")
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 12) AS h FROM m),
+        |d2 AS (SELECT media_id, hx, len, h, least(16, h) AS h2 FROM d),
+        |lum AS (SELECT media_id, h2, gy.y, gx.x,
+        |    ${pv(0)} + ${pv(1)} + ${pv(2)} AS luma
+        |  FROM d2
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y) gy
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS x) gx
+        |  WHERE gy.y < h2),
+        |rdct AS (SELECT media_id, y, gu.u,
+        |    sum(luma * ($cosL)[x*16 + u + 1]) AS r
+        |  FROM lum CROSS JOIN (SELECT unnest(range(0, 8)) AS u) gu
+        |  GROUP BY 1, 2, 3),
+        |sdct AS (SELECT media_id, gv.v, u,
+        |    sum(r * ($cosL)[y*16 + v + 1]) AS s
+        |  FROM rdct CROSS JOIN (SELECT unnest(range(0, 8)) AS v) gv
+        |  GROUP BY 1, 2, 3),
+        |acs AS (SELECT media_id, s,
+        |    row_number() OVER (PARTITION BY media_id ORDER BY s) AS rn
+        |  FROM sdct WHERE NOT (v = 0 AND u = 0)),
+        |med AS (SELECT media_id, s AS md FROM acs WHERE rn = 32),
+        |hsh AS (SELECT sdct.media_id,
+        |    CAST(coalesce(sum(CASE WHEN NOT (v = 0 AND u = 0) AND s > md
+        |      THEN (CAST(1 AS BIGINT) << CAST(63 - (8*v + u) AS INT))
+        |      ELSE 0 END), 0) AS BIGINT) AS phash,
+        |    CAST(max(md) AS BIGINT) AS dct_median
+        |  FROM sdct JOIN med ON med.media_id = sdct.media_id
+        |  GROUP BY 1)
+        |SELECT hsh.media_id, phash, dct_median, CAST(4 AS INT) AS grid_w,
+        |  CAST(h2 AS INT) AS grid_h, phash AS phash_pre,
+        |  true AS scale_invariant
+        |FROM hsh JOIN d2 ON d2.media_id = hsh.media_id
+        |ORDER BY hsh.media_id""".stripMargin
+      }),
+
     // ---- Image near-dup pairs (round 15): banded Hamming join over the
     //      perceptual hashes — the SimHash candidate machinery applied to
     //      pixels. 4 bands make the banded result EQUAL to all-pairs at

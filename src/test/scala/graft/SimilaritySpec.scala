@@ -1372,6 +1372,76 @@ class SimilaritySpec extends SparkSpec {
     assert(!bad.getAs[Boolean]("is_valid") && bad.getAs[Long]("ahash") == 0L)
   }
 
+  test("pHash: Q15 DCT table, longhand re-derivation, fixpoint, fail-soft") {
+    import spark.implicits._
+    // hand values of the Q15 DCT-II table: C[t][0] = 32768 for every t;
+    // C[0][1] = round(32768·cos(π/32)) = 32610, antisymmetric partner
+    // C[15][1] = −32610; C[0][8] = round(32768·cos(π/4)) = 23170;
+    // C[3][4] = −30274; C[2][2] = 18205
+    val C = Multimodal.dctCosQ15
+    assert((0 until 16).forall(t => C(t)(0) == 32768L))
+    assert(C(0)(1) == 32610L && C(15)(1) == -32610L)
+    assert(C(0)(8) == 23170L && C(3)(4) == -30274L && C(2)(2) == 18205L)
+    // longhand re-derivation on a crafted 4x20 gradient+stripe image:
+    // independently resample, pad, DCT (cos recomputed from the formula),
+    // median, pack — must equal the kernel bit for bit
+    val w = 4; val h = 20
+    val px = Array.tabulate(w * h * 3)(i => ((i / 3 / w) * 12 +
+      (i / 3 % w) * 17 + i % 3 * 5).min(255).toByte)
+    val ppm = s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    val row = Multimodal.pHashFeatures(
+      Seq((1L, ppm)).toDF("media_id", "payload")).head()
+    assert(row.getAs[Boolean]("is_valid"))
+    assert(row.getAs[Int]("grid_w") == 4 && row.getAs[Int]("grid_h") == 16)
+    val g = Array.ofDim[Long](16, 16)
+    (0 until 16).foreach { y =>
+      val ys = y * h / 16; val ye = (y + 1) * h / 16
+      (0 until w).foreach { x =>
+        (0 until 3).foreach { c =>
+          var sum = 0L
+          (ys until ye).foreach(yy =>
+            sum += px((yy * w + x) * 3 + c) & 0xff)
+          val cnt = ye - ys
+          g(y)(x) += (2 * sum + cnt) / (2 * cnt)
+        }
+      }
+    }
+    def cq(t: Int, k: Int): Long =
+      math.round(32768.0 * math.cos(math.Pi * (2 * t + 1) * k / 32.0))
+    val s = Array.tabulate(8, 8)((v, u) =>
+      (0 until 16).map(y =>
+        (0 until 16).map(x => g(y)(x) * cq(x, u)).sum * cq(y, v)).sum)
+    val ac = (for { v <- 0 until 8; u <- 0 until 8 if v != 0 || u != 0 }
+      yield s(v)(u)).sorted
+    val med = ac(31)
+    var want = 0L
+    for { v <- 0 until 8; u <- 0 until 8
+          if (v != 0 || u != 0) && s(v)(u) > med }
+      want |= 1L << (63 - (8 * v + u))
+    assert(row.getAs[Long]("dct_median") == med)
+    assert(row.getAs[Long]("phash") == want)
+    // strictly-above-median bits: at most 31 of 63; DC bit always 0
+    assert(java.lang.Long.bitCount(want) <= 31)
+    assert((want & (1L << 63)) == 0L)
+    // corpus-wide grid fixpoint: hashing a 16x16 pre-resample equals
+    // hashing the original (single-pixel boxes are resampler fixpoints)
+    val media = Multimodal.encodePpm(Multimodal.fromText(
+      Tables.documents(spark, sf).filter(col("doc_id") < 40),
+      "doc_id", "text", "source"))
+    val direct = Multimodal.pHashFeatures(media)
+      .select("media_id", "phash").collect()
+      .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    val pre = Multimodal.pHashFeatures(Multimodal.resizePpm(media, 16, 16))
+      .select("media_id", "phash").collect()
+      .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
+    assert(direct.nonEmpty && direct == pre)
+    // malformed payloads flag invalid instead of throwing
+    val bad = Multimodal.pHashFeatures(
+      Seq((9L, "not a ppm".getBytes("US-ASCII"))).toDF("media_id", "payload"))
+      .head()
+    assert(!bad.getAs[Boolean]("is_valid") && bad.getAs[Long]("phash") == 0L)
+  }
+
   test("wavEnvelopeHash: hand-computed bits over crafted PCM, fail-soft") {
     import spark.implicits._
     // samples 0,0,1000,1000,0,0,1000,1000 -> 4 windows of 2 -> means
