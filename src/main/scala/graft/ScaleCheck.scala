@@ -870,6 +870,14 @@ object ScaleCheck {
               Tables.documents(spark, d), "doc_id", "text", "source")),
           outRate = 6000))),
 
+      // VAD + silence trim: two linear passes over the PCM bytes per clip
+      // (window sums, then the span copy), scan-stage, zero shuffle
+      "wav_vad" -> (d => graft.operators.Multimodal.decodeWavFeatures(
+        graft.operators.Multimodal.trimWavSilence(
+          graft.operators.Multimodal.encodeWav(
+            graft.operators.Multimodal.fromText(
+              Tables.documents(spark, d), "doc_id", "text", "source"))))),
+
       // DCT perceptual hash: fixed 16x16 grid per image, so per-row cost
       // is bounded by the box-resample over the source bytes — scan-stage,
       // the aHash shape with a constant-size transform on top

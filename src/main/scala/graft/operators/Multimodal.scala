@@ -1488,6 +1488,146 @@ object Multimodal {
       }
     }
 
+  /** One voiced segment (see [[wavVadSegments]]). */
+  case class WavVadSegment(media_id: Long, seg_no: Int, start_sample: Long,
+                           n_samples: Long, sum_abs: Long, n_windows: Int)
+
+  /** Voice-activity segmentation — the speech-ingest step between decode
+    * and feature extraction (a crawl clip is mostly silence/noise framing
+    * short voiced spans; training pipelines keep the spans): the PCM
+    * stream boxes into `window`-sample windows (the tail keeps its
+    * partial window), a window is VOICED iff its mean |sample| exceeds
+    * the CLIP's mean |sample| — evaluated by exact integer
+    * cross-multiplication `winSum·n > totalAbs·winLen` (the
+    * [[wavEnvelopeHash]] threshold convention: division-free, invariant
+    * to uniform gain, and products stay < 2^52 for window ≤ 64), and
+    * maximal runs of voiced windows become segments.
+    *
+    * Output, one row per segment: (media_id, seg_no 1-based, start_sample,
+    * n_samples, sum_abs, n_windows). An all-silent (or all-equal) clip
+    * emits no segments; invalid payloads emit no rows (the row-generator
+    * fail-soft contract). Partition-local typed flatMap, zero shuffle. */
+  def wavVadSegments(media: DataFrame, window: Int = 64): DataFrame = {
+    require(window >= 1 && window <= 64,
+      "window must be in [1, 64] — the exact-integer threshold bound")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        wavPcm(payload) match {
+          case None => Iterator.empty
+          case Some((_, dataAt, n)) =>
+            def absAt(k: Long): Long = {
+              val o = dataAt + (k * 2).toInt
+              val v = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+              math.abs(if (v >= 0x8000) v - 0x10000 else v).toLong
+            }
+            var totalAbs = 0L
+            var k = 0L
+            while (k < n) { totalAbs += absAt(k); k += 1 }
+            val nW = ((n + window - 1) / window).toInt
+            val segs = scala.collection.mutable.ArrayBuffer
+              .empty[WavVadSegment]
+            var w = 0
+            var segStart = -1
+            var segSum = 0L
+            def close(endW: Int): Unit = if (segStart >= 0) {
+              val s0 = segStart.toLong * window
+              segs += WavVadSegment(id, segs.length + 1, s0,
+                math.min(endW.toLong * window, n) - s0, segSum,
+                endW - segStart)
+              segStart = -1; segSum = 0L
+            }
+            while (w < nW) {
+              val s0 = w.toLong * window
+              val len = math.min(window.toLong, n - s0)
+              var sum = 0L
+              var i = 0L
+              while (i < len) { sum += absAt(s0 + i); i += 1 }
+              if (sum * n > totalAbs * len) {
+                if (segStart < 0) segStart = w
+                segSum += sum
+              } else close(w)
+              w += 1
+            }
+            close(nW)
+            segs.iterator
+        }
+      })
+      .toDF()
+  }
+
+  /** Trim leading and trailing silence — [[wavVadSegments]]'s voiced
+    * window test applied as the classic clip-normalization edit: keep the
+    * sample span from the FIRST voiced window's start to the LAST voiced
+    * window's end, re-encoded through the canonical header (the
+    * [[resampleWav]] construction, same rate). A clip with no voiced
+    * window (all-silent or all-equal — nothing to anchor a trim) and any
+    * payload outside the PCM walk pass through unchanged, the fail-soft
+    * contract. Typed map, zero shuffle. */
+  def trimWavSilence(media: DataFrame, window: Int = 64): DataFrame = {
+    require(window >= 1 && window <= 64,
+      "window must be in [1, 64] — the exact-integer threshold bound")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("payload"),
+        col("meta.source").as("source"))
+      .as[(Long, String, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, kind, payload, source) =>
+        val out = trimWavBytes(payload, window).getOrElse(payload)
+        val sha = if (out == null) null
+          else java.security.MessageDigest.getInstance("SHA-256")
+            .digest(out).map("%02x".format(_)).mkString
+        MediaRow(id, kind, out,
+          MediaMeta(if (out == null) 0L else out.length.toLong, sha, source))
+      })
+      .toDF()
+  }
+
+  /** The per-clip trim: None when the payload is outside the PCM walk or
+    * no window is voiced (both pass-through cases for [[trimWavSilence]]). */
+  private[graft] def trimWavBytes(b: Array[Byte],
+                                  window: Int): Option[Array[Byte]] =
+    wavPcm(b).flatMap { case (rate, dataAt, n) =>
+      def absAt(k: Long): Long = {
+        val o = dataAt + (k * 2).toInt
+        val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        math.abs(if (v >= 0x8000) v - 0x10000 else v).toLong
+      }
+      var totalAbs = 0L
+      var k = 0L
+      while (k < n) { totalAbs += absAt(k); k += 1 }
+      val nW = ((n + window - 1) / window).toInt
+      var first = -1
+      var last = -1
+      var w = 0
+      while (w < nW) {
+        val s0 = w.toLong * window
+        val len = math.min(window.toLong, n - s0)
+        var sum = 0L
+        var i = 0L
+        while (i < len) { sum += absAt(s0 + i); i += 1 }
+        if (sum * n > totalAbs * len) { if (first < 0) first = w; last = w }
+        w += 1
+      }
+      if (first < 0) None
+      else {
+        val s0 = first.toLong * window
+        val outN = math.min((last + 1).toLong * window, n) - s0
+        def le(value: Long, nb: Int): Array[Byte] =
+          (0 until nb).map(j => ((value >> (8 * j)) & 0xff).toByte).toArray
+        val fmtChunk = "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++
+          le(1, 2) ++ le(1, 2) ++ le(rate, 4) ++ le(rate.toLong * 2, 4) ++
+          le(2, 2) ++ le(16, 2)
+        Some("RIFF".getBytes("US-ASCII") ++ le(outN * 2 + 36, 4) ++
+          "WAVE".getBytes("US-ASCII") ++ fmtChunk ++
+          "data".getBytes("US-ASCII") ++ le(outN * 2, 4) ++
+          java.util.Arrays.copyOfRange(b, dataAt + (s0 * 2).toInt,
+            dataAt + ((s0 + outN) * 2).toInt))
+      }
+    }
+
   // ===================== QOI — a real COMPRESSED raster codec ==========
 
   /** Build REAL QOI images ("Quite OK Image", the public one-page spec at

@@ -7693,6 +7693,126 @@ object DocQueries {
         |FROM ro ORDER BY media_id""".stripMargin
       }),
 
+    // ---- Voice-activity segmentation (round 19): the speech-ingest step
+    //      between decode and features — windows of 64 samples (partial
+    //      tail kept), voiced iff window mean |s| > clip mean |s| by exact
+    //      integer cross-multiplication (division-free, gain-invariant),
+    //      maximal voiced runs become segments. The oracle replays the
+    //      window sums and threshold from the raw bytes and rebuilds the
+    //      runs with the gaps-and-islands window (w − row_number), so any
+    //      drift in window boxing, tail handling, threshold strictness,
+    //      or run assembly hash-fails. (The oracle's 4096-window replay
+    //      bound covers 256 KB clips — 450× the synthetic corpus max; the
+    //      OPERATOR is uncapped.)
+    "q_multimodal_wav_vad" -> Q(
+      (s, d) => Multimodal.wavVadSegments(Multimodal.encodeWav(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")), window = 64)
+        .orderBy("media_id", "seg_no"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 2) AS n FROM m),
+        |sm AS (SELECT media_id, n, list_transform(range(0, n), k -> CAST(
+        |  CASE WHEN (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256
+        |      + (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END) >= 32768
+        |  THEN (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256
+        |      + (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END) - 65536
+        |  ELSE (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256
+        |      + (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END) END
+        |  AS BIGINT)) AS ss FROM d),
+        |ta AS (SELECT media_id, n, ss,
+        |  list_sum(list_transform(ss, v -> abs(v))) AS total_abs,
+        |  (n + 63) // 64 AS nw FROM sm),
+        |wd AS (SELECT media_id, n, gw.w, least(64, n - gw.w*64) AS wl,
+        |  total_abs,
+        |  list_sum(list_transform(range(gw.w*64, gw.w*64 +
+        |    least(64, n - gw.w*64)), k -> abs(ss[k+1]))) AS ws
+        |  FROM ta CROSS JOIN (SELECT unnest(range(0, 4096)) AS w) gw
+        |  WHERE gw.w < nw),
+        |vw AS (SELECT media_id, n, w, ws FROM wd
+        |  WHERE ws * n > total_abs * wl),
+        |isl AS (SELECT media_id, n, w, ws,
+        |  w - row_number() OVER (PARTITION BY media_id ORDER BY w) AS grp
+        |  FROM vw),
+        |seg AS (SELECT media_id, min(n) AS n, min(w) AS w0, max(w) AS w1,
+        |  sum(ws) AS sum_abs, count(*) AS nwin
+        |  FROM isl GROUP BY media_id, grp)
+        |SELECT media_id,
+        |  CAST(row_number() OVER (PARTITION BY media_id ORDER BY w0)
+        |    AS INT) AS seg_no,
+        |  CAST(w0 * 64 AS BIGINT) AS start_sample,
+        |  CAST(least((w1+1) * 64, n) - w0 * 64 AS BIGINT) AS n_samples,
+        |  CAST(sum_abs AS BIGINT) AS sum_abs,
+        |  CAST(nwin AS INT) AS n_windows
+        |FROM seg ORDER BY media_id, seg_no""".stripMargin
+      }),
+
+    // ---- Silence trim (round 19): the VAD test applied as the classic
+    //      clip-normalization edit — keep first-voiced-window start to
+    //      last-voiced-window end, re-encode through the canonical
+    //      header; clips with no voiced anchor pass through unchanged.
+    //      The gate decodes the TRIMMED stream through the feature
+    //      mirror, so header re-encode or span-arithmetic bugs fail the
+    //      same hash (the wav_resample gate pattern).
+    "q_multimodal_wav_trim" -> Q(
+      (s, d) => Multimodal.decodeWavFeatures(Multimodal.trimWavSilence(
+          Multimodal.encodeWav(Multimodal.fromText(
+            Tables.documents(s, d), "doc_id", "text", "source")),
+          window = 64))
+        .orderBy("media_id"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len, greatest(1, len // 2) AS n FROM m),
+        |sm AS (SELECT media_id, n, list_transform(range(0, n), k -> CAST(
+        |  CASE WHEN (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256
+        |      + (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END) >= 32768
+        |  THEN (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256
+        |      + (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END) - 65536
+        |  ELSE (CASE WHEN 2*k+2 <= len THEN ${byteAt("2*k+2")} ELSE 0 END) * 256
+        |      + (CASE WHEN 2*k+1 <= len THEN ${byteAt("2*k+1")} ELSE 0 END) END
+        |  AS BIGINT)) AS ss FROM d),
+        |ta AS (SELECT media_id, n, ss,
+        |  list_sum(list_transform(ss, v -> abs(v))) AS total_abs,
+        |  (n + 63) // 64 AS nw FROM sm),
+        |wd AS (SELECT media_id, n, gw.w, least(64, n - gw.w*64) AS wl,
+        |  total_abs,
+        |  list_sum(list_transform(range(gw.w*64, gw.w*64 +
+        |    least(64, n - gw.w*64)), k -> abs(ss[k+1]))) AS ws
+        |  FROM ta CROSS JOIN (SELECT unnest(range(0, 4096)) AS w) gw
+        |  WHERE gw.w < nw),
+        |fv AS (SELECT media_id, min(w) AS fw, max(w) AS lw FROM wd
+        |  WHERE ws * n > total_abs * wl GROUP BY 1),
+        |tr AS (SELECT ta.media_id,
+        |  coalesce(fv.fw * 64, 0) AS s0,
+        |  coalesce(least((fv.lw + 1) * 64, n), n)
+        |    - coalesce(fv.fw * 64, 0) AS outn,
+        |  ss FROM ta LEFT JOIN fv ON fv.media_id = ta.media_id),
+        |ro AS (SELECT media_id, outn,
+        |  list_slice(ss, s0 + 1, s0 + outn) AS os FROM tr)
+        |SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+        | CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+        | CAST(outn AS BIGINT) AS n_samples,
+        | CAST(outn AS DOUBLE) / 8000 AS duration_s,
+        | CAST(list_sum(list_transform(os, v -> CAST(abs(v) AS BIGINT)))
+        |   AS DOUBLE) / outn AS mean_abs,
+        | sqrt(CAST(list_sum(list_transform(os, v -> CAST(v AS BIGINT) * v))
+        |   AS DOUBLE) / outn) AS rms,
+        | CAST(list_max(list_transform(os, v -> abs(v))) AS INT) AS peak,
+        | CAST(coalesce(list_sum(list_transform(range(1, outn), k ->
+        |   CASE WHEN (os[k] < 0) != (os[k+1] < 0) THEN 1 ELSE 0 END)), 0)
+        |   AS BIGINT) AS zero_crossings,
+        | true AS is_valid
+        |FROM ro ORDER BY media_id""".stripMargin
+      }),
+
     // ---- Fixed-point STFT spectrogram (round 18): the frequency-domain
     //      audio kernel. The transform is fixed point BY DESIGN — Q15
     //      integer Hann window and twiddle tables make every windowed DFT

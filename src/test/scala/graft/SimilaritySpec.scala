@@ -1801,6 +1801,84 @@ class SimilaritySpec extends SparkSpec {
     assert(Multimodal.wavEnvelopeHash(media, windows = 4).collect().nonEmpty)
   }
 
+  test("wavVadSegments + trimWavSilence: hand segments, tail, gain invariance, pass-through") {
+    import spark.implicits._
+    def pcmOf(samples: Seq[Int]): Array[Byte] = samples.toArray.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.encodeWav(rows.toDF("media_id", "payload")
+        .withColumn("meta", struct(lit(0L).as("byte_len"),
+          lit("").as("sha256"), lit("s").as("source"))))
+    val sil = Seq.fill(64)(0)
+    val tone = Seq.fill(64)(1000)
+    val half = Seq.tabulate(64)(i => if (i % 2 == 0) 500 else -500)
+    // [silence, tone, silence, half-tone]: clip mean |s| = 375, so both
+    // tone (1000) and half-tone (500) windows are voiced, separately
+    val segs = Multimodal.wavVadSegments(
+        mediaOf(Seq((1L, pcmOf(sil ++ tone ++ sil ++ half)))))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(segs.toSeq == Seq((1, 64L, 64L, 64000L, 1),
+      (2, 192L, 64L, 32000L, 1)))
+    // adjacent voiced windows merge into ONE run
+    val merged = Multimodal.wavVadSegments(
+        mediaOf(Seq((2L, pcmOf(sil ++ tone ++ tone ++ sil)))))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(merged.toSeq == Seq((1, 64L, 128L)))
+    // partial tail window is a window of its own length
+    val tail = Multimodal.wavVadSegments(
+        mediaOf(Seq((3L, pcmOf(sil ++ Seq.fill(32)(1000))))))
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getInt(5)))
+    assert(tail.toSeq == Seq((64L, 32L, 1)))
+    // uniform gain cannot move a boundary (cross-multiplied threshold)
+    val gained = Multimodal.wavVadSegments(
+        mediaOf(Seq((4L, pcmOf((sil ++ tone ++ sil ++ half).map(_ * 2))))))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(gained.toSeq == Seq((1, 64L, 64L), (2, 192L, 64L)))
+    // all-equal clip: no window beats the mean -> no segments
+    assert(Multimodal.wavVadSegments(
+      mediaOf(Seq((5L, pcmOf(Seq.fill(128)(700)))))).count() == 0)
+    // non-WAV payload: no rows (fail-soft row generator)
+    assert(Multimodal.wavVadSegments(
+      Seq((6L, "nope".getBytes)).toDF("media_id", "payload")).count() == 0)
+    // trim: keeps first-voiced start .. last-voiced end (middle silence
+    // survives), canonical re-encode
+    def samplesOf(wav: Array[Byte]): Seq[Int] = {
+      val f = Multimodal.decodeWav(9L, wav)
+      assert(f.is_valid)
+      val n = f.n_samples.toInt
+      (0 until n).map { k =>
+        val o = wav.length - 2 * n + 2 * k
+        val v = (wav(o) & 0xff) | ((wav(o + 1) & 0xff) << 8)
+        if (v >= 0x8000) v - 0x10000 else v
+      }
+    }
+    val src = sil ++ tone ++ sil ++ half ++ sil
+    val trimmed = Multimodal.trimWavSilence(mediaOf(Seq((7L, pcmOf(src)))))
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(samplesOf(trimmed) == (tone ++ sil ++ half))
+    // no voiced anchor (all-equal) and non-WAV: pass through unchanged
+    val flat = Multimodal.trimWavSilence(
+        mediaOf(Seq((8L, pcmOf(Seq.fill(128)(700))))))
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(samplesOf(flat) == Seq.fill(128)(700))
+    val raw = Seq((9L, "not audio".getBytes("US-ASCII")))
+      .toDF("media_id", "payload")
+      .withColumn("kind", lit("audio"))
+      .withColumn("meta", struct(lit(0L).as("byte_len"),
+        lit("").as("sha256"), lit("s").as("source")))
+    assert(new String(Multimodal.trimWavSilence(raw)
+      .select("payload").head().getAs[Array[Byte]](0), "US-ASCII")
+      == "not audio")
+    // both stay scan-stage
+    val plan1 = Multimodal.wavVadSegments(mediaOf(Seq((10L, pcmOf(src)))))
+      .queryExecution.executedPlan.toString
+    assert(!plan1.contains("Exchange"), s"vad must not shuffle:\n$plan1")
+    val plan2 = Multimodal.trimWavSilence(mediaOf(Seq((11L, pcmOf(src)))))
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange"), s"trim must not shuffle:\n$plan2")
+  }
+
   test("y4mTemporalHash: hand bits over crafted frames, fail-soft") {
     import spark.implicits._
     // 4 mono 4x4 frames: two dark (byte 10), two bright (byte 200);
