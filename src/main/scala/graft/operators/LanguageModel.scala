@@ -261,12 +261,19 @@ object LanguageModel {
     * gate scope (no-op outside a harness; a streaming frame cannot persist
     * and keeps its inline lineage — the streaming twins score ONE model per
     * query anyway). */
-  private def sharedToks(docs: DataFrame, idCol: String,
-                         textCol: String): DataFrame = {
+  private def sharedToks(docs: DataFrame, idCol: String, textCol: String,
+                         scope: Option[graft.core.CacheScope.Handle] = None)
+      : DataFrame = {
     val tf = tokFrame(docs, idCol, textCol)
     if (docs.isStreaming) tf
     else {
-      val pinned = graft.core.CacheScope.gatePersist(tf)
+      // route through the caller's handle when the operator takes one (its
+      // release() must free EVERYTHING the call pinned); otherwise the
+      // harness's current gate scope
+      val pinned = scope match {
+        case Some(h) => h.pin(tf.persist(StorageLevel.MEMORY_AND_DISK))
+        case None => graft.core.CacheScope.gatePersist(tf)
+      }
       pinned.count()
       pinned
     }
@@ -304,6 +311,7 @@ object LanguageModel {
       .limit(k)
   }
 
+
   /** Corpus-proportional variant of [[crossEntropySelect]]: keep the top
     * `keepFrac` of documents by gap via a PERCENTILE THRESHOLD (one
     * aggregate, broadcast scalar, scan-stage filter ≥) instead of a top-k.
@@ -324,7 +332,7 @@ object LanguageModel {
       scope)
     val lmG = trainBigramLm(generalRef, idCol, textCol, vocabCap, bigramCap,
       scope)
-    val toks = sharedToks(docs, idCol, textCol)
+    val toks = sharedToks(docs, idCol, textCol, Some(scope))
     val t = perplexityToks(toks, lmT)
       .select(col("doc_id"), col("avg_logp").as("logp_target"))
     val g = perplexityToks(toks, lmG)

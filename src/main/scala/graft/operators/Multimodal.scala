@@ -1360,6 +1360,81 @@ object Multimodal {
       .toDF()
   }
 
+  /** One clip-level cepstral coefficient (see [[wavMfcc]]). */
+  private[graft] case class WavMfccRow(media_id: Long, k: Int, mfcc: Double)
+
+  /** Clip-level MFCCs — the last step of the classic audio feature chain
+    * (STFT → mel filterbank → log → DCT), computed over the clip's
+    * aggregated mel profile: the [[wavLogMel]] energies `E_m` (exact
+    * integers), logged as `round(ln(E_m + 1), 9)` (the +1 keeps silent
+    * bands defined at 0; integer→double conversion is IEEE
+    * nearest-even on every engine, and JVM/DuckDB `ln` agree to the bit
+    * on these inputs — the round-9 discipline the perplexity gates
+    * established), then the order-FIXED DCT-II dot product
+    * `c_k = Σ_m l_m·cos(π(2m+1)k/2nMel)` evaluated m-ascending (a fixed
+    * expression, not an aggregation — float addition order never
+    * varies), rounded to 6. Cosine constants are driver doubles
+    * interpolated into the oracle via their round-trip decimal form.
+    *
+    * Output: (media_id, k, mfcc), k in [0, nCoeff). Same fail-soft
+    * row-generator contract as the spectrogram family; zero shuffle. */
+  def wavMfcc(media: DataFrame, sampleRate: Int = 8000, nMel: Int = 8,
+              nCoeff: Int = 8, maxFrames: Int = 8): DataFrame = {
+    require(maxFrames >= 1, "maxFrames must be positive")
+    require(nCoeff >= 1 && nCoeff <= nMel, "nCoeff must be in [1, nMel]")
+    val weights = melWeightsQ15(sampleRate, nMel)
+    val dct = Array.tabulate(nCoeff, nMel)((k, m) =>
+      math.cos(math.Pi * (2 * m + 1) * k / (2.0 * nMel)))
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        wavPcm(payload) match {
+          case None => Iterator.empty
+          case Some((_, dataAt, n)) =>
+            val nf = math.min(maxFrames.toLong, n / SpecFrame).toInt
+            if (nf == 0) Iterator.empty
+            else {
+              val acc = Array.fill(nMel)(BigInt(0))
+              var f = 0
+              while (f < nf) {
+                val p = frameReIm(payload, dataAt, f)
+                var bn = 0
+                while (bn <= SpecFrame / 2) {
+                  val re = BigInt(p._1(bn)); val im = BigInt(p._2(bn))
+                  val cell = re * re + im * im
+                  var m = 0
+                  while (m < nMel) {
+                    if (weights(m)(bn) > 0) acc(m) += cell * weights(m)(bn)
+                    m += 1
+                  }
+                  bn += 1
+                }
+                f += 1
+              }
+              val logs = Array.tabulate(nMel)(m => round9(
+                math.log((acc(m) + 1).toDouble)))
+              (0 until nCoeff).iterator.map { k =>
+                var c = 0.0
+                var m = 0
+                while (m < nMel) { c += logs(m) * dct(k)(m); m += 1 }
+                WavMfccRow(id, k, round6(c))
+              }
+            }
+        }
+      })
+      .toDF()
+  }
+
+  /** Spark's `round(col, n)` semantics (HALF_UP on the decimal form) in
+    * kernel space — the cross-engine rounding discipline the perplexity
+    * gates established. */
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** One clip's spectral fingerprint (the frequency-domain sibling of
     * [[WavEnvelope]]): dominant non-DC bin per frame, 6 bits each. */
   case class WavFingerprint(media_id: Long, fphash: Long, n_frames: Int,

@@ -8022,6 +8022,83 @@ object DocQueries {
         |FROM t ORDER BY media_id, mel""".stripMargin
       }),
 
+    // ---- Clip-level MFCCs (round 19): the last step of the classic
+    //      audio feature chain (STFT → mel → log → DCT) over the
+    //      aggregated mel profile — exact integer mel energies, then
+    //      round(ln(E+1), 9) (integer→double is IEEE nearest on both
+    //      engines; JVM and DuckDB ln agree to the bit — the perplexity
+    //      gates' round-9 discipline) and an order-FIXED cepstral dot
+    //      product (an expression, not an aggregation, so float addition
+    //      order never varies), rounded to 6. Cosine constants
+    //      interpolate via their round-trip decimal form, CAST AS DOUBLE.
+    "q_multimodal_wav_mfcc" -> Q(
+      (s, d) => Multimodal.wavMfcc(Multimodal.encodeWav(
+          Multimodal.fromText(Tables.documents(s, d), "doc_id", "text",
+            "source")), sampleRate = 8000, nMel = 8, nCoeff = 8,
+          maxFrames = 8)
+        .orderBy("media_id", "k"),
+      Some {
+        def byteAt(p: String) =
+          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+        val hannL = Multimodal.hannQ15.mkString("[", ", ", "]")
+        val cosL = Multimodal.cosQ15.mkString("[", ", ", "]")
+        val sinL = Multimodal.sinQ15.mkString("[", ", ", "]")
+        val melW = Multimodal.melWeightsQ15(8000, 8)
+        val wRows = (for {
+          m <- melW.indices
+          bn <- melW(m).indices if melW(m)(bn) > 0
+        } yield s"($m, $bn, ${melW(m)(bn)})").mkString(", ")
+        val ks = (0 until 8).map { k =>
+          val expr = (0 until 8).map { m =>
+            val c = math.cos(math.Pi * (2 * m + 1) * k / 16.0)
+            s"l$m * CAST($c AS DOUBLE)"
+          }.mkString(" + ")
+          s"SELECT media_id, CAST($k AS INT) AS k, round($expr, 6) AS mfcc FROM pv"
+        }.mkString("\n|", "\n|UNION ALL\n|", "")
+        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |  octet_length(encode(text)) AS len FROM documents),
+        |d AS (SELECT media_id, hx, len // 2 AS n FROM m WHERE len // 2 >= 64),
+        |sm AS (SELECT media_id, least(n // 64, 8) AS nf,
+        |  list_transform(range(0, least(n, 512)), k -> CAST(
+        |    CASE WHEN ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} >= 32768
+        |    THEN ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} - 65536
+        |    ELSE ${byteAt("2*k+2")} * 256 + ${byteAt("2*k+1")} END
+        |    AS BIGINT)) AS ss
+        |  FROM d),
+        |g AS (SELECT media_id, ss, gf.f, gb.bn
+        |  FROM sm
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS f) gf
+        |  CROSS JOIN (SELECT unnest(range(0, 33)) AS bn) gb
+        |  WHERE gf.f < nf),
+        |p AS (SELECT media_id, f, bn,
+        |  CAST(list_sum(list_transform(range(0, 64), i ->
+        |    ss[f*64+i+1] * ($hannL)[i+1] * ($cosL)[((i*bn)%64)+1]))
+        |    AS HUGEINT) AS re,
+        |  CAST(-list_sum(list_transform(range(0, 64), i ->
+        |    ss[f*64+i+1] * ($hannL)[i+1] * ($sinL)[((i*bn)%64)+1]))
+        |    AS HUGEINT) AS im
+        |  FROM g),
+        |c AS (SELECT media_id, bn, re*re + im*im AS cell FROM p),
+        |a AS (SELECT media_id, w.mel, sum(cell * w.wq) AS total
+        |  FROM c JOIN (VALUES $wRows) AS w(mel, bn, wq) ON c.bn = w.bn
+        |  GROUP BY 1, 2),
+        |lg AS (SELECT media_id, mel,
+        |  round(ln(CAST(total + 1 AS DOUBLE)), 9) AS l FROM a),
+        |pv AS (SELECT media_id,
+        |  max(CASE WHEN mel = 0 THEN l END) AS l0,
+        |  max(CASE WHEN mel = 1 THEN l END) AS l1,
+        |  max(CASE WHEN mel = 2 THEN l END) AS l2,
+        |  max(CASE WHEN mel = 3 THEN l END) AS l3,
+        |  max(CASE WHEN mel = 4 THEN l END) AS l4,
+        |  max(CASE WHEN mel = 5 THEN l END) AS l5,
+        |  max(CASE WHEN mel = 6 THEN l END) AS l6,
+        |  max(CASE WHEN mel = 7 THEN l END) AS l7
+        |  FROM lg GROUP BY 1)
+        |SELECT media_id, k, mfcc FROM ($ks
+        |) ORDER BY media_id, k""".stripMargin
+      }),
+
     // ---- Spectral fingerprint (round 18): the frequency-domain member of
     //      the perceptual-hash family — dominant non-DC bin per STFT frame
     //      (ties to the LOWEST bin), 6 bits per frame MSB-first. The

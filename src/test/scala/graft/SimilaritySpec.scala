@@ -1801,6 +1801,60 @@ class SimilaritySpec extends SparkSpec {
     assert(Multimodal.wavEnvelopeHash(media, windows = 4).collect().nonEmpty)
   }
 
+  test("wavMfcc: longhand cepstrum re-derivation, k=0 identity, fail-soft") {
+    import spark.implicits._
+    val N = Multimodal.SpecFrame
+    def sine(bin: Int, amp: Double): Array[Int] =
+      Array.tabulate(N)(i => math.round(
+        amp * math.sin(2.0 * math.Pi * bin * i / N)).toInt)
+    def pcmOf(samples: Array[Int]): Array[Byte] = samples.flatMap(v =>
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    def mediaOf(rows: Seq[(Long, Array[Byte])]) =
+      Multimodal.encodeWav(rows.toDF("media_id", "payload")
+        .withColumn("meta", struct(lit(0L).as("byte_len"),
+          lit("").as("sha256"), lit("s").as("source"))))
+    val nMel = 8
+    val weights = Multimodal.melWeightsQ15(8000, nMel)
+    val samples = sine(3, 20000) ++ sine(30, 20000)
+    val df = Multimodal.wavMfcc(mediaOf(Seq((1L, pcmOf(samples)))))
+    val got = df.collect().map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    assert(got.keySet == (0 until 8).toSet)
+    // independent longhand: exact integer mel energies (the logmel spec's
+    // DFT re-derivation), then the same round-9 log and fixed-order DCT
+    val want = Array.fill(nMel)(BigInt(0))
+    (0 until 2).foreach { f =>
+      val xw = Array.tabulate(N)(i => samples(f * N + i).toLong *
+        math.round(32768.0 * 0.5 * (1 - math.cos(2 * math.Pi * i / N))))
+      (0 to N / 2).foreach { bn =>
+        val re = BigInt((0 until N).map(i => xw(i) *
+          math.round(32768.0 * math.cos(2 * math.Pi * ((i * bn) % N) / N))).sum)
+        val im = BigInt(-(0 until N).map(i => xw(i) *
+          math.round(32768.0 * math.sin(2 * math.Pi * ((i * bn) % N) / N))).sum)
+        val cell = re * re + im * im
+        (0 until nMel).foreach(m =>
+          if (weights(m)(bn) > 0) want(m) += cell * BigInt(weights(m)(bn)))
+      }
+    }
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val logs = Array.tabulate(nMel)(m => r9(math.log((want(m) + 1).toDouble)))
+    (0 until 8).foreach { k =>
+      var c = 0.0
+      (0 until nMel).foreach(m =>
+        c += logs(m) * math.cos(math.Pi * (2 * m + 1) * k / (2.0 * nMel)))
+      assert(got(k) == r6(c), s"coefficient $k")
+    }
+    // k = 0 is the plain sum of the log energies (cos terms all 1)
+    assert(got(0) == r6(logs.sum))
+    // fail-soft: non-WAV and sub-frame clips emit no rows; zero shuffle
+    assert(Multimodal.wavMfcc(
+      Seq((2L, "nope".getBytes)).toDF("media_id", "payload")).count() == 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mfcc must not shuffle:\n$plan")
+  }
+
   test("wavVadSegments + trimWavSilence: hand segments, tail, gain invariance, pass-through") {
     import spark.implicits._
     def pcmOf(samples: Seq[Int]): Array[Byte] = samples.toArray.flatMap(v =>
