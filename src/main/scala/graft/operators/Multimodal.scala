@@ -902,6 +902,56 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Banded Hamming near-dup pairs over any full-64-bit signature frame
+    * (media_id, hash64) — the [[aHashPairs]] candidate machinery at the
+    * fixed SimHash sizing (16 hex digits, `maxHamming + 1` bands, so the
+    * banded result EQUALS all-pairs by pigeonhole). Shared by the pHash
+    * pair surface; aHashPairs keeps its data-width-adaptive banding (its
+    * signatures can be narrower than 64 bits). */
+  private def hashPairs64(feats: DataFrame, maxHamming: Int,
+                          scope: graft.core.CacheScope.Handle): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      "maxHamming + 1 bands must each carry at least one hex digit")
+    val nBands = maxHamming + 1
+    val nHex = (16 + nBands - 1) / nBands * nBands
+    val width = nHex / nBands
+    val sig = feats.select(col("media_id"),
+      lpad(lower(hex(col("hash64"))), nHex, "0").as("sig"))
+    val bands = scope.pin(sig.select(col("media_id"), col("sig"),
+        explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
+          substring(col("sig"), 1 + width * b, width).as("bh"))): _*)).as("e"))
+      .select(col("media_id"), col("sig"), col("e.band"), col("e.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    bands.count() // materialize before the self-join (the simhashPairs note)
+    val b = bands.hint("shuffle_hash")
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("a.sig").as("sig_a"),
+        col("b.media_id").as("id_b"), col("b.sig").as("sig_b"))
+      .distinct()
+    graft.GraftExtensions.register(feats.sparkSession)
+    cand.select(col("id_a"), col("id_b"),
+        graft.functions.Hamming64.hamming64(col("sig_a"), col("sig_b"))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Image near-dup PAIRS over [[pHashFeatures]] fingerprints — the
+    * frequency-structure twin of [[aHashPairs]]: band the 64-bit DCT
+    * hash, equi-join candidates on (band, band-bits), exact Hamming on
+    * candidates only; `maxHamming + 1` bands make the banded result
+    * EQUAL to all-pairs (pigeonhole). The 64-bit signature is already at
+    * the corpus sizing aHashPairs' scaladoc prescribes (65536-value
+    * bands). Output: (id_a, id_b, hamming), id_a < id_b. */
+  def pHashPairs(media: DataFrame, maxHamming: Int = 3,
+                 scope: graft.core.CacheScope.Handle =
+                   graft.core.CacheScope.detached): DataFrame =
+    hashPairs64(
+      pHashFeatures(media).filter(col("is_valid"))
+        .select(col("media_id"), col("phash").as("hash64")),
+      maxHamming, scope)
+
   /** One stream's temporal fingerprint (the video sibling of
     * [[AHashFeatures]] / [[WavEnvelope]]). */
   case class Y4mTemporalHash(media_id: Long, thash: Long, n_bits: Int,

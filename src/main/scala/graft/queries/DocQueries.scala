@@ -649,6 +649,54 @@ object DocQueries {
 
   private val TokenFp60Sql: String = fp60Sql("tok")
 
+  /** The pHash analytic replay (resample → luma → separable Q15 DCT-II →
+    * ordinal median → power-of-two pack), shared by the feature gate and
+    * the pairs gate — one definition, so the mirrors cannot drift. Ends
+    * with `hsh(media_id, phash, dct_median)`; `d2` carries grid dims. */
+  private def pHashOracleCtes: String = {
+    def byteAt(p: String) =
+      s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
+        s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
+    // half-up box mean for channel c of the (y, x) grid cell: single
+    // source column x, source rows [y*h/h2, (y+1)*h/h2)
+    def pv(c: Int) =
+      s"""((2 * list_sum(list_transform(range(y*h//h2, (y+1)*h//h2), yy ->
+         |   CASE WHEN yy*12 + x*3 + ${c + 1} <= len
+         |    THEN ${byteAt(s"yy*12 + x*3 + ${c + 1}")} ELSE 0 END))
+         | + ((y+1)*h//h2 - y*h//h2))
+         | // (2 * ((y+1)*h//h2 - y*h//h2)))""".stripMargin
+    val cosL = Multimodal.dctCosQ15.flatten.mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+    |  octet_length(encode(text)) AS len FROM documents),
+    |d AS (SELECT media_id, hx, len, greatest(1, len // 12) AS h FROM m),
+    |d2 AS (SELECT media_id, hx, len, h, least(16, h) AS h2 FROM d),
+    |lum AS (SELECT media_id, h2, gy.y, gx.x,
+    |    ${pv(0)} + ${pv(1)} + ${pv(2)} AS luma
+    |  FROM d2
+    |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y) gy
+    |  CROSS JOIN (SELECT unnest(range(0, 4)) AS x) gx
+    |  WHERE gy.y < h2),
+    |rdct AS (SELECT media_id, y, gu.u,
+    |    sum(luma * ($cosL)[x*16 + u + 1]) AS r
+    |  FROM lum CROSS JOIN (SELECT unnest(range(0, 8)) AS u) gu
+    |  GROUP BY 1, 2, 3),
+    |sdct AS (SELECT media_id, gv.v, u,
+    |    sum(r * ($cosL)[y*16 + v + 1]) AS s
+    |  FROM rdct CROSS JOIN (SELECT unnest(range(0, 8)) AS v) gv
+    |  GROUP BY 1, 2, 3),
+    |acs AS (SELECT media_id, s,
+    |    row_number() OVER (PARTITION BY media_id ORDER BY s) AS rn
+    |  FROM sdct WHERE NOT (v = 0 AND u = 0)),
+    |med AS (SELECT media_id, s AS md FROM acs WHERE rn = 32),
+    |hsh AS (SELECT sdct.media_id,
+    |    CAST(coalesce(sum(CASE WHEN NOT (v = 0 AND u = 0) AND s > md
+    |      THEN (CAST(1 AS BIGINT) << CAST(63 - (8*v + u) AS INT))
+    |      ELSE 0 END), 0) AS BIGINT) AS phash,
+    |    CAST(max(md) AS BIGINT) AS dct_median
+    |  FROM sdct JOIN med ON med.media_id = sdct.media_id
+    |  GROUP BY 1)""".stripMargin
+  }
+
   /** Shared WebDataset roundtrip frame: corpus → real WAV payloads → tar
     * shards (plain or gzipped — the roundtrip is byte-transparent, so
     * one oracle serves both delivery forms) → parse → samples, the
@@ -7127,52 +7175,41 @@ object DocQueries {
           .orderBy("media_id")
       },
       Some {
-        def byteAt(p: String) =
-          s"((instr('0123456789ABCDEF', substr(hx, 2*($p)-1, 1)) - 1) * 16 + " +
-            s"(instr('0123456789ABCDEF', substr(hx, 2*($p), 1)) - 1))"
-        // half-up box mean for channel c of the (y, x) grid cell: single
-        // source column x, source rows [y*h/h2, (y+1)*h/h2)
-        def pv(c: Int) =
-          s"""((2 * list_sum(list_transform(range(y*h//h2, (y+1)*h//h2), yy ->
-             |   CASE WHEN yy*12 + x*3 + ${c + 1} <= len
-             |    THEN ${byteAt(s"yy*12 + x*3 + ${c + 1}")} ELSE 0 END))
-             | + ((y+1)*h//h2 - y*h//h2))
-             | // (2 * ((y+1)*h//h2 - y*h//h2)))""".stripMargin
-        val cosL = Multimodal.dctCosQ15.flatten.mkString("[", ", ", "]")
-        s"""WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-        |  octet_length(encode(text)) AS len FROM documents),
-        |d AS (SELECT media_id, hx, len, greatest(1, len // 12) AS h FROM m),
-        |d2 AS (SELECT media_id, hx, len, h, least(16, h) AS h2 FROM d),
-        |lum AS (SELECT media_id, h2, gy.y, gx.x,
-        |    ${pv(0)} + ${pv(1)} + ${pv(2)} AS luma
-        |  FROM d2
-        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS y) gy
-        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS x) gx
-        |  WHERE gy.y < h2),
-        |rdct AS (SELECT media_id, y, gu.u,
-        |    sum(luma * ($cosL)[x*16 + u + 1]) AS r
-        |  FROM lum CROSS JOIN (SELECT unnest(range(0, 8)) AS u) gu
-        |  GROUP BY 1, 2, 3),
-        |sdct AS (SELECT media_id, gv.v, u,
-        |    sum(r * ($cosL)[y*16 + v + 1]) AS s
-        |  FROM rdct CROSS JOIN (SELECT unnest(range(0, 8)) AS v) gv
-        |  GROUP BY 1, 2, 3),
-        |acs AS (SELECT media_id, s,
-        |    row_number() OVER (PARTITION BY media_id ORDER BY s) AS rn
-        |  FROM sdct WHERE NOT (v = 0 AND u = 0)),
-        |med AS (SELECT media_id, s AS md FROM acs WHERE rn = 32),
-        |hsh AS (SELECT sdct.media_id,
-        |    CAST(coalesce(sum(CASE WHEN NOT (v = 0 AND u = 0) AND s > md
-        |      THEN (CAST(1 AS BIGINT) << CAST(63 - (8*v + u) AS INT))
-        |      ELSE 0 END), 0) AS BIGINT) AS phash,
-        |    CAST(max(md) AS BIGINT) AS dct_median
-        |  FROM sdct JOIN med ON med.media_id = sdct.media_id
-        |  GROUP BY 1)
+        s"""$pHashOracleCtes
         |SELECT hsh.media_id, phash, dct_median, CAST(4 AS INT) AS grid_w,
         |  CAST(h2 AS INT) AS grid_h, phash AS phash_pre,
         |  true AS scale_invariant
         |FROM hsh JOIN d2 ON d2.media_id = hsh.media_id
         |ORDER BY hsh.media_id""".stripMargin
+      }),
+
+    // ---- pHash near-dup pairs (round 19): the frequency-structure twin
+    //      of the ahash pairs gate — banded Hamming join over the 64-bit
+    //      DCT hashes (4 bands == all-pairs at maxHamming <= 3 by
+    //      pigeonhole). The corpus unions with offset-id EXACT copies so
+    //      the pair space is provably non-empty (every copy pair at
+    //      Hamming 0) on top of whatever natural near-dups exist; the
+    //      oracle is the brute-force self-join over the analytically
+    //      derived hashes.
+    "q_multimodal_phash_pairs" -> Q(
+      (s, d) => {
+        val media = Multimodal.encodePpm(Multimodal.fromText(
+            Tables.documents(s, d), "doc_id", "text", "source"))
+          .select(col("media_id"), col("payload"))
+        val both = media.unionByName(media.select(
+          (col("media_id") + 100000).as("media_id"), col("payload")))
+        Multimodal.pHashPairs(both, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        s"""$pHashOracleCtes,
+        |u AS (SELECT media_id, phash FROM hsh
+        |  UNION ALL SELECT media_id + 100000 AS media_id, phash FROM hsh)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM u a JOIN u b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
       }),
 
     // ---- Image near-dup pairs (round 15): banded Hamming join over the

@@ -1435,6 +1435,19 @@ class SimilaritySpec extends SparkSpec {
       .select("media_id", "phash").collect()
       .map(r2 => r2.getLong(0) -> r2.getLong(1)).toMap
     assert(direct.nonEmpty && direct == pre)
+    // banded pair join == brute-force hamming over the collected hashes
+    // (4 bands are COMPLETE at maxHamming <= 3 by pigeonhole); offset-id
+    // exact copies guarantee a non-empty pair space
+    val both = media.select(col("media_id"), col("payload")).unionByName(
+      media.select((col("media_id") + 1000).as("media_id"), col("payload")))
+    val gotP = Multimodal.pHashPairs(both, maxHamming = 3).collect()
+      .map(r2 => (r2.getLong(0), r2.getLong(1)) -> r2.getInt(2)).toMap
+    val hashes = direct ++ direct.map { case (i, h) => (i + 1000L) -> h }
+    val wantP = (for { (ia, ha) <- hashes.toSeq; (ib, hb) <- hashes.toSeq
+                       if ia < ib
+                       dd = java.lang.Long.bitCount(ha ^ hb) if dd <= 3 }
+      yield (ia, ib) -> dd).toMap
+    assert(gotP == wantP && wantP.nonEmpty)
     // malformed payloads flag invalid instead of throwing
     val bad = Multimodal.pHashFeatures(
       Seq((9L, "not a ppm".getBytes("US-ASCII"))).toDF("media_id", "payload"))
