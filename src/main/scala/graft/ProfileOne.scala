@@ -32,9 +32,11 @@ object ProfileOne {
     case class JobRec(id: Int, desc: String, start: Long, var end: Long = 0L,
                       stages: mutable.ArrayBuffer[Int] = mutable.ArrayBuffer())
     case class StageRec(id: Int, nm: String, taskMs: Long, inB: Long,
-                        srB: Long, swB: Long, nTasks: Int, spill: Long)
+                        srB: Long, swB: Long, nTasks: Int, spill: Long,
+                        cpuMs: Long, gcMs: Long)
     val jobs = mutable.ArrayBuffer[JobRec]()
     val stages = mutable.Map[Int, StageRec]()
+    val details = mutable.Map[Int, String]()
     @volatile var record = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (record) {
@@ -54,13 +56,19 @@ object ProfileOne {
         if (record) {
           val si = e.stageInfo
           val m = si.taskMetrics
+          val where = si.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("ProfileOne"))
+            .map(_.trim.stripPrefix("at ").take(60))
+            .getOrElse(si.name.takeWhile(_ != '\n').take(60))
           stages.synchronized {
+            if (m.executorRunTime > 3000) details(si.stageId) = si.details
             stages(si.stageId) = StageRec(si.stageId,
-              si.name.takeWhile(_ != '\n').take(70),
+              where,
               m.executorRunTime, m.inputMetrics.bytesRead,
               m.shuffleReadMetrics.totalBytesRead,
               m.shuffleWriteMetrics.bytesWritten,
-              si.numTasks, m.memoryBytesSpilled)
+              si.numTasks, m.memoryBytesSpilled,
+              m.executorCpuTime / 1000000, m.jvmGCTime)
           }
         }
     }
@@ -92,8 +100,8 @@ object ProfileOne {
     jobs.foreach { j =>
       val w = if (j.end > 0) (j.end - j.start) / 1e6 else -1.0
       val st = j.stages.toSeq.sorted.flatMap(stages.get).map { s =>
-        f"[s${s.id} ${s.nm} task=${s.taskMs}ms in=${s.inB / 1024 / 1024}MB " +
-          f"sr=${s.srB / 1024}KB sw=${s.swB / 1024}KB n=${s.nTasks}" +
+        f"[s${s.id} ${s.nm} task=${s.taskMs}ms cpu=${s.cpuMs}ms gc=${s.gcMs}ms " +
+          f"in=${s.inB / 1024 / 1024}MB sr=${s.srB / 1024}KB sw=${s.swB / 1024}KB n=${s.nTasks}" +
           (if (s.spill > 0) f" SPILL=${s.spill / 1024 / 1024}MB" else "") + "]"
       }.mkString(" ")
       println(f"${j.id}%4d ${w}%8.1f  ${j.desc.take(40)} $st")
@@ -101,6 +109,12 @@ object ProfileOne {
     val totalTask = stages.values.map(_.taskMs).sum
     println(f"%njobs=${jobs.size} stages=${stages.size} " +
       f"sum(taskMs)=$totalTask wall=${secs}%.3f s")
+    if (sys.env.contains("SPARK_GRAFT_PROFILE_DETAILS")) {
+      details.toSeq.sortBy(_._1).foreach { case (id, det) =>
+        println(s"---- stage $id details ----")
+        println(det.linesIterator.take(12).mkString("\n"))
+      }
+    }
     spark.stop()
   }
 }

@@ -54,12 +54,27 @@ object ClassifierEval {
       .agg(sum(when(label, 1L).otherwise(0L)).as("__np"),
         sum(when(label, 0L).otherwise(1L)).as("__nn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // materialize BEFORE the fan-out below: the broadcast subplans (ths,
+    // offsets, totals) evaluate CONCURRENTLY inside the caller's one action,
+    // and a still-cold lazy persist lets each of them re-run the caller's
+    // full scoring pipeline (profiled on q_eval_classifier_auc: the scoring
+    // chain's stages executed three times per run). One count() pays the
+    // chain exactly once; everything downstream reads the cache.
+    g.count()
     // shard thresholds need only monotonicity (shard ranges stay contiguous
-    // in score); exact percentile over the distinct-score frame is cheap
-    val ths = g.groupBy(col(groupCol).as("__ce_g"))
-      .agg(percentile(col("__v"), lit(1.0 / shards)).as("__t1"),
-        (2 until shards).map(i =>
-          percentile(col("__v"), lit(i.toDouble / shards)).as(s"__t$i")): _*)
+    // in score); exact percentile over the distinct-score frame is cheap.
+    // ths / offsets / totals are all GROUP-ALPHABET-bounded (≤ groups or
+    // groups×shards rows by construction) and each is broadcast downstream:
+    // localize them (the BoundedFrames convention) so they evaluate
+    // sequentially against the materialized g — as lazy broadcast subplans
+    // they all fire concurrently inside the caller's one action, and the
+    // profiled result was the g aggregation chain executing several times
+    // in parallel instead of once (q_eval_classifier_auc, r19).
+    val ths = graft.core.BoundedFrames.localize(
+      g.groupBy(col(groupCol).as("__ce_g"))
+        .agg(percentile(col("__v"), lit(1.0 / shards)).as("__t1"),
+          (2 until shards).map(i =>
+            percentile(col("__v"), lit(i.toDouble / shards)).as(s"__t$i")): _*))
     val shard = (1 until shards)
       .map(i => when(col("__v") > col(s"__t$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -71,12 +86,12 @@ object ClassifierEval {
       .rowsBetween(Window.unboundedPreceding, -1)
     val perShard = sharded.groupBy(col(groupCol), col("__shard"))
       .agg(sum("__np").as("__snp"), sum("__nn").as("__snn"))
-    val offsets = perShard
+    val offsets = graft.core.BoundedFrames.localize(perShard
       .withColumn("__offp", coalesce(sum("__snp").over(wOff), lit(0L)))
       .withColumn("__offn", coalesce(sum("__snn").over(wOff), lit(0L)))
-      .select(col(groupCol), col("__shard"), col("__offp"), col("__offn"))
-    val totals = perShard.groupBy(col(groupCol))
-      .agg(sum("__snp").as("__gtp"), sum("__snn").as("__gtn"))
+      .select(col(groupCol), col("__shard"), col("__offp"), col("__offn")))
+    val totals = graft.core.BoundedFrames.localize(perShard.groupBy(col(groupCol))
+      .agg(sum("__snp").as("__gtp"), sum("__snn").as("__gtn")))
     // intra-shard strict-below cumsums; __v is distinct within a group, so
     // the window order is total without a tie-break column
     val wIn = Window.partitionBy(col(groupCol), col("__shard"))

@@ -194,23 +194,38 @@ object QualityClassifier {
       .groupBy("b")
       .agg(sum(when(col("is_pos"), col("cnt")).otherwise(d0)).as("cp"),
         sum(when(col("is_pos"), d0).otherwise(col("cnt"))).as("cn"))
-    val np = Option(agg.agg(sum("cp")).head.get(0))
-      .fold(0L)(_.asInstanceOf[java.math.BigDecimal].longValueExact())
-    val nn = Option(agg.agg(sum("cn")).head.get(0))
-      .fold(0L)(_.asInstanceOf[java.math.BigDecimal].longValueExact())
+    // ONE distributed pass over the fold⋈labels aggregation (r19 perf): the
+    // old shape paid it four times — two .agg jobs for the token totals, a
+    // lazy llr re-evaluation at every model broadcast — and the decimal
+    // aggregation is the measured bulk of a trainFold pass (7–12 s of task
+    // time at sf0.1). `agg` is buckets-bounded by contract, so localize it
+    // once; the totals and the llr table derive from the LOCAL relation
+    // through the same engine expressions as before (the trainLogisticFold
+    // bias convention — driver state never computes arithmetic the oracle
+    // doesn't), at zero further cluster work.
+    val aggL = localize(agg)
+    val tots = aggL.agg(sum("cp"), sum("cn")).head
+    def totAt(i: Int): Long =
+      if (tots.isNullAt(i)) 0L else tots.getDecimal(i).longValueExact()
+    val np = totAt(0)
+    val nn = totAt(1)
     val dP = lit((np + buckets).toDouble)
     val dN = lit((nn + buckets).toDouble)
     def dec919(c: Column): Column = round(c, 9).cast("decimal(19,9)")
     val pPos = (col("cp").cast("double") + lit(1.0)) / dP
     val pNeg = (col("cn").cast("double") + lit(1.0)) / dN
-    // lazy like [[train]]'s llr (single broadcast per scoring run; the
-    // lineage reads the caller's persisted fold) — see the note there
-    val llr = agg.select(col("b"), dec919(log(pPos / pNeg)).as("llr"))
+    // localized like the GD weights (buckets-bounded): as lazy distributed
+    // lineage every broadcast of the model re-ran the aggregation pass
+    val llr = localize(
+      aggL.select(col("b"), dec919(log(pPos / pNeg)).as("llr")))
+    // count(when(pred, 1)) skips null-predicate rows exactly as the
+    // two .filter(...).count() actions this replaces did
+    val dc = labels.agg(count(when(col("is_pos"), lit(1))),
+      count(when(!col("is_pos"), lit(1)))).head
     NbModel(llr,
       defaultLlr = dec919(log(dN / dP)),
-      prior = dec919(log(
-        lit((labels.filter(col("is_pos")).count() + 1).toDouble) /
-        lit((labels.filter(!col("is_pos")).count() + 1).toDouble))),
+      prior = dec919(log(lit((dc.getLong(0) + 1).toDouble) /
+        lit((dc.getLong(1) + 1).toDouble))),
       buckets, salt)
   }
 

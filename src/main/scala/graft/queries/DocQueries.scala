@@ -2975,14 +2975,26 @@ object DocQueries {
     // model scores every document (token-less docs get the prior verdict).
     "q_text_nb_quality" -> Q(
       (s, d) => {
+        // fold path (r19 perf): the per-token train/score pair tokenized the
+        // corpus three times (pos-train, neg-train, score) and re-evaluated
+        // the fat qualityScore tree in every train-once action; ONE persisted
+        // tokenFold + persisted labels pay each exactly once. Bit-identical
+        // by the trainFold/scoreFold linearity contract (oracle unchanged).
         import graft.operators.QualityClassifier
         val docs = Tables.documents(s, d)
-        val lab = docs.withColumn("__q",
-          graft.functions.TextFunctions.qualityScore(col("text")))
-        val m = QualityClassifier.train(
-          lab.filter(col("__q") >= 0.6), lab.filter(col("__q") < 0.6),
-          "doc_id", "text", buckets = 4096, salt = ":nb1")
-        QualityClassifier.score(docs, "doc_id", "text", m).orderBy("doc_id")
+        // fanOut: the label projection evaluates the fat qualityScore tree;
+        // a single-split local scan would otherwise run it on ONE task
+        val labels = Parallelism.fanOut(docs).select(col("doc_id"),
+            (graft.functions.TextFunctions.qualityScore(col("text")) >= 0.6)
+              .as("is_pos"))
+          .gatePersist()
+        val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
+            buckets = 4096, salt = ":nb1")
+          .gatePersist()
+        fold.count()
+        val m = QualityClassifier.trainFold(fold, labels,
+          buckets = 4096, salt = ":nb1")
+        QualityClassifier.scoreFold(docs, "doc_id", fold, m).orderBy("doc_id")
       },
       Some(s"""WITH ${qualityLangCtes("documents")},
         |e AS (SELECT s.doc_id, s.quality,
@@ -3032,19 +3044,30 @@ object DocQueries {
     //      the gate keeps the exact form for the bit-exact oracle).
     "q_text_nb_calibration" -> Q(
       (s, d) => {
+        // fold path (r19 perf) — see q_text_nb_quality. The scored frame
+        // additionally roots TWO consumers (the percentile agg and the
+        // binned report), so its narrow projection is persisted too.
         import graft.operators.QualityClassifier
         val docs = Tables.documents(s, d)
-        val lab = docs.withColumn("__q",
-          graft.functions.TextFunctions.qualityScore(col("text")))
-        val m = QualityClassifier.train(
-          lab.filter(col("__q") >= 0.6), lab.filter(col("__q") < 0.6),
-          "doc_id", "text", buckets = 4096, salt = ":nb1")
-        val scored = QualityClassifier.score(docs, "doc_id", "text", m)
-          .join(lab.select(col("doc_id"), (col("__q") >= 0.6).as("is_pos")),
-            Seq("doc_id"))
+        // fanOut: the label projection evaluates the fat qualityScore tree;
+        // a single-split local scan would otherwise run it on ONE task
+        val labels = Parallelism.fanOut(docs).select(col("doc_id"),
+            (graft.functions.TextFunctions.qualityScore(col("text")) >= 0.6)
+              .as("is_pos"))
+          .gatePersist()
+        val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
+            buckets = 4096, salt = ":nb1")
+          .gatePersist()
+        fold.count()
+        val m = QualityClassifier.trainFold(fold, labels,
+          buckets = 4096, salt = ":nb1")
+        val scored = QualityClassifier.scoreFold(docs, "doc_id", fold, m)
+          .join(labels, Seq("doc_id"))
           .withColumn("v",
             round(col("log_odds") / greatest(col("n_tokens"), lit(1L)), 9))
           .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-col("v"))), 9))
+          .select("doc_id", "v", "p", "is_pos")
+          .gatePersist()
         val ths = scored.agg(expr(
           "percentile(v, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("t"))
         scored.crossJoin(broadcast(ths))
@@ -3157,18 +3180,27 @@ object DocQueries {
     //      no-global-window scale shape).
     "q_eval_classifier_auc" -> Q(
       (s, d) => {
+        // fold path (r19 perf) — see q_text_nb_quality; `lab` carries the
+        // source column the metric grouping needs.
         import graft.operators.{ClassifierEval, QualityClassifier}
         val docs = Tables.documents(s, d)
-        val lab = docs.withColumn("__q",
-          graft.functions.TextFunctions.qualityScore(col("text")))
-        val m = QualityClassifier.train(
-          lab.filter(col("__q") >= 0.6), lab.filter(col("__q") < 0.6),
-          "doc_id", "text", buckets = 4096, salt = ":nb1")
-        val scored = QualityClassifier.score(docs, "doc_id", "text", m)
-          .join(lab.select(col("doc_id"), col("source"),
-            (col("__q") >= 0.6).as("is_pos")), Seq("doc_id"))
+        val lab = Parallelism.fanOut(docs).select(col("doc_id"), col("source"),
+            (graft.functions.TextFunctions.qualityScore(col("text")) >= 0.6)
+              .as("is_pos"))
+          .gatePersist()
+        val fold = QualityClassifier.tokenFold(docs, "doc_id", "text",
+            buckets = 4096, salt = ":nb1")
+          .gatePersist()
+        fold.count()
+        val m = QualityClassifier.trainFold(fold,
+          lab.select(col("doc_id"), col("is_pos")),
+          buckets = 4096, salt = ":nb1")
+        val scored = QualityClassifier.scoreFold(docs, "doc_id", fold, m)
+          .join(lab, Seq("doc_id"))
           .withColumn("v",
             round(col("log_odds") / greatest(col("n_tokens"), lit(1L)), 9))
+          .select("doc_id", "source", "v", "is_pos")
+          .gatePersist()
         ClassifierEval.binaryMetricsBy(scored, "source", col("v"),
             col("is_pos"))
           .orderBy("source")
