@@ -393,12 +393,17 @@ object QualityClassifier {
               (coalesce(col("s").cast("decimal(28,9)"),
                 lit(0).cast("decimal(28,9)")) +
                 lit(bias).cast("decimal(28,9)")).as("m"))
-      // exact per-doc error: label minus the 9-decimal-rounded sigmoid
+      // exact per-doc error: label minus the 9-decimal-rounded sigmoid.
+      // Persisted for the iteration (two narrow columns per doc): the
+      // gradient collect and the bias aggregate below both consume it, and
+      // unpersisted each re-ran the whole margins chain — one extra
+      // fold-decimal pass per iteration (r19 profile).
       val err = y.join(margins, Seq("doc_id"))
         .select(col("doc_id"),
           (col("y") - round(lit(1.0) /
               (lit(1.0) + exp(-col("m").cast("double"))), 9)
             .cast("decimal(10,9)")).cast("decimal(10,9)").as("e"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val grads = x.join(err, Seq("doc_id"))
         .groupBy("b").agg(sum(col("cnt") * col("e")).as("g"))
       val wPrev = w
@@ -416,6 +421,7 @@ object QualityClassifier {
       // bias update through the SAME engine expression as the weights, so
       // driver state can never drift from what the oracle computes
       val gBias = err.agg(sum("e").cast("decimal(28,9)")).head.getDecimal(0)
+      err.unpersist(blocking = false) // both consumers done for this iter
       bias = spark.range(1).select(dec9w(lit(bias).cast("double") +
           lit(lrEff) * lit(gBias).cast("double")).as("nb"))
         .head.getDecimal(0)
