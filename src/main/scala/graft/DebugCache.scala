@@ -52,6 +52,25 @@ object DebugCache {
     println(fin.linesIterator.filter(l => l.contains("Scan parquet") ||
       l.contains("InMemoryTableScan") || l.contains("Generate") ||
       l.contains("HashAggregate")).take(24).mkString("\n"))
+    // self-join cache substitution check
+    import graft.operators.Dedup
+    val sig = Dedup.minhashSig(docs, "doc_id", "text", 32,
+      t => array_distinct(graft.functions.TextFunctions.shingles(t, 3)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    val bands = Dedup.minhashBands(sig, 32, 4).hint("shuffle_hash")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    hasIMR(cand, "bands-self-join")
+    cand.write.format("noop").mode("overwrite").save()
+    val finc = cand.queryExecution.executedPlan.toString
+    println("bands-self-join FINAL IMR=" +
+      "InMemoryTableScan".r.findAllIn(finc).length)
+    sig.unpersist()
     graft.core.CacheScope.endGate()
     spark.stop()
   }
