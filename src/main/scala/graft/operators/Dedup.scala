@@ -657,7 +657,8 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None,
                           checkpointInterval: Int = 3,
-                          scope: CacheScope.Handle = CacheScope.detached): DataFrame = {
+                          scope: CacheScope.Handle = CacheScope.detached,
+                          maxLocalEdges: Int = 1 << 22): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     checkpointDir.foreach(sc.setCheckpointDir)
     // orient src > dst (drops self-loops); both star steps preserve the
@@ -669,6 +670,24 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = init0.count()
+    // Bounded-graph fast path (r19 perf): near-dup pair graphs are usually a
+    // sliver of the corpus, and on them the star alternation's cost is pure
+    // JOB LATENCY — ~3 shuffle/agg jobs per round × ~4-6 rounds (profiled as
+    // the bulk of q_dedup_semantic / the components gates). The same bounded
+    // driver union-find [[componentsIncrement]] runs on increments emits
+    // IDENTICAL labels (min-id representative ≡ the alternation's fixpoint;
+    // [[localComponents]] doc + spec), and nEdges is already counted, so the
+    // switch costs nothing. Graphs past the bound run the distributed
+    // alternation unchanged — the 100 TB contract is untouched.
+    if (nEdges <= maxLocalEdges) {
+      val edgeRows = init0.collect()
+      val dt = init0.schema("src").dataType
+      init0.unpersist(blocking = false)
+      lastRunRounds = 0
+      return localComponents(pairs.sparkSession, edgeRows, dt)
+        .select(col("id"), col("comp"),
+          (col("id") === col("comp")).as("is_keeper"))
+    }
     val parts = edgeParts(pairs, nEdges)
     var (edges, pinned) = truncateRound(init0.coalesce(parts), 0,
       checkpointDir, checkpointInterval, defer = true)

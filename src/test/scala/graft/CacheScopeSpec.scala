@@ -104,7 +104,9 @@ class CacheScopeSpec extends SparkSpec {
   test("connectedComponents (both variants) release their final round") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     assertReleased("connectedComponents")(scope =>
-      Dedup.connectedComponents(pairs, scope = scope))
+      // maxLocalEdges = 0: the pin-hygiene contract under test belongs to
+      // the distributed loop (the bounded-local path persists nothing)
+      Dedup.connectedComponents(pairs, scope = scope, maxLocalEdges = 0))
     assertReleased("connectedComponentsPropagation")(scope =>
       Dedup.connectedComponentsPropagation(pairs, scope = scope))
   }

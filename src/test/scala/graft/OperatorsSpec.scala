@@ -144,7 +144,8 @@ class OperatorsSpec extends SparkSpec {
     // large-star/small-star alternation contracts it in ~O(log n) rounds.
     // Differential: both algorithms must emit identical labels.
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val star = Dedup.connectedComponents(pairs, maxIter = 64).orderBy("id").collect()
+    val star = Dedup.connectedComponents(pairs, maxIter = 64,
+      maxLocalEdges = 0).orderBy("id").collect()
     val starRounds = Dedup.lastRunRounds
     val prop = Dedup.connectedComponentsPropagation(pairs, maxIter = 64)
       .orderBy("id").collect()
@@ -156,6 +157,21 @@ class OperatorsSpec extends SparkSpec {
     assert(starRounds <= 10, s"alternation took $starRounds rounds")
   }
 
+  test("bounded-local components fast path matches the distributed alternation") {
+    // mixed shapes: a chain, a clique, a star, singleton-free isolated pairs —
+    // the local union-find (default maxLocalEdges) must label them exactly as
+    // the star alternation (maxLocalEdges = 0 forces the distributed path)
+    val pairs = ((1L until 12L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 40L), (50L, 31L),
+        (31L, 32L), (60L, 61L))).toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs).orderBy("id").collect()
+    assert(Dedup.lastRunRounds == 0, "expected the bounded-local path")
+    val dist = Dedup.connectedComponents(pairs, maxLocalEdges = 0)
+      .orderBy("id").collect()
+    assert(Dedup.lastRunRounds > 0, "expected the distributed path")
+    assert(local.toSeq == dist.toSeq)
+  }
+
   test("connected components: reliable-checkpoint mode reaches the same fixpoint") {
     // a longer chain (diameter 4) forces several label-propagation rounds, so
     // both the checkpoint round (iter % 3 == 0) and the persist-between
@@ -165,8 +181,8 @@ class OperatorsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
     try {
       val local = Dedup.connectedComponents(pairs).orderBy("id").collect()
-      val reliable = Dedup.connectedComponents(pairs,
-        checkpointDir = Some(dir), checkpointInterval = 3).orderBy("id").collect()
+      val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir),
+        checkpointInterval = 3, maxLocalEdges = 0).orderBy("id").collect()
       assert(reliable.toSeq == local.toSeq)
       assert(reliable.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
         Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (8L, 8L), (9L, 8L)))
