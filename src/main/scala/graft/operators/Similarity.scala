@@ -349,6 +349,36 @@ object Similarity {
     index
   }
 
+  private val savedIndexMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** Memoized BUILD+SAVE of an index fixture under a fresh temp dir — the
+    * saved-artifact twin of [[sharedIvf]] for the load-and-probe lifecycle
+    * gates (r20, VERDICT r19 item 5): production publishes an index once at
+    * ingest and every later query batch loads + probes it, so a gate that
+    * rebuilds and re-saves the identical index per run measures
+    * construction, not retrieval. `build` runs AT MOST ONCE per (session,
+    * variantKey) and must fully write the fixture into the directory it is
+    * given (save* calls are actions, so nothing stays lazy); the directory
+    * is immutable afterwards — maintenance gates that mutate their index
+    * (append/retrain/delete) keep building private dirs. `variantKey` names
+    * the exact saved bytes (corpus + build params + encoding); the caller
+    * owns the contract that equal keys mean equal artifacts. Session-scoped
+    * like [[sharedIvf]]: the memo dies with the process, every
+    * bench/verify invocation rebuilds the fixture once, and stopped
+    * sessions are evicted on each lookup. */
+  def sharedSavedIndex(spark: SparkSession, variantKey: String)
+                      (build: String => Unit): String =
+    savedIndexMemo.synchronized {
+      savedIndexMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+      savedIndexMemo.getOrElseUpdate((spark, variantKey), {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_shared_idx").toString
+        build(dir)
+        dir
+      })
+    }
+
   /** Persist a built index under `dir` — the deployment shape where the
     * index outlives the building job (ingest builds and saves once; every
     * later query batch loads and probes). The assignment frame is written
