@@ -44,9 +44,9 @@ object Bpe {
     * words (ties by word asc — deterministic TakeOrdered). */
   def wordCounts(docs: DataFrame, idCol: String, textCol: String,
                  wordCap: Int): DataFrame =
-    Parallelism.fanOut(docs.select(
-        TextFunctions.tokens(col(textCol)).as("toks")))
-      .select(explode(col("toks")).as("word"))
+    // fanOut raw text, tokenize post-exchange (single-task scan otherwise)
+    Parallelism.fanOut(docs.select(col(textCol)))
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
       .orderBy(desc("c"), asc("word")).limit(wordCap)
 
@@ -243,8 +243,9 @@ object Bpe {
     val ranks = merges.select("rank", "left", "right").collect()
       .map(r => (r.getString(1), r.getString(2)) -> r.getLong(0).toInt).toMap
     val bc = spark.sparkContext.broadcast(ranks)
-    val in = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("toks")))
+    val in = Parallelism.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
     val outSchema = StructType(Seq(
       StructField("doc_id", in.schema("doc_id").dataType, nullable = true),
       StructField("words", ArrayType(StructType(Seq(

@@ -52,9 +52,11 @@ object Diagnostics {
     * count-distinct expansion touches the corpus twice. */
   def distinctNgramRatio(docs: DataFrame, sourceCol: String, textCol: String,
                          n: Int): DataFrame = {
-    val e = Parallelism.fanOut(docs.select(col(sourceCol).as("source"),
-        TextFunctions.shingles(col(textCol), n).as("__sh")))
-      .select(col("source"), explode(col("__sh")).as("__tok"))
+    // fanOut raw text, shingle post-exchange (single-task scan otherwise)
+    val e = Parallelism.fanOut(
+        docs.select(col(sourceCol).as("source"), col(textCol)))
+      .select(col("source"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("__tok"))
       .select(col("source"), Dedup.tokenFp60(col("__tok")).as("fp"))
     e.groupBy("source", "fp").agg(count(lit(1)).as("c"))
       .groupBy("source")

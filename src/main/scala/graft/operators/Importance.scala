@@ -45,9 +45,11 @@ object Importance {
   /** (doc_id, b) — one row per token occurrence with its feature bucket. */
   private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,
                            buckets: Int, salt: String): DataFrame =
-    Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("toks")))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    // fanOut the raw text, tokenize after the exchange: expressions in the
+    // pre-repartition projection run in the (often single-task) scan stage
+    Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), tokenBucket(col("tok"), buckets, salt).as("b"))
 
   /** The bucket log-likelihood-ratio model: (b, lr) where

@@ -63,30 +63,45 @@ object LanguageModel {
     * to an unbound source; micro-batch parallelism follows the source). */
   private def tokFrame(docs: DataFrame, idCol: String, textCol: String,
                        extra: Seq[String] = Nil): DataFrame = {
-    val sel = docs.select((col(idCol).as("doc_id") +: extra.map(col)) :+
+    // fanOut the RAW text and tokenize after the exchange (r20): an
+    // expression inside the pre-repartition projection executes in the
+    // scan stage — a single task when the input is one parquet split —
+    // serializing the tokenize on one core (same fix as
+    // QualityClassifier.tokenBuckets; bit-exact, partitioning-independent)
+    val base = docs.select((col(idCol).as("doc_id") +: extra.map(col)) :+
+      col(textCol): _*)
+    val fanned = if (docs.isStreaming) base else Parallelism.fanOut(base)
+    fanned.select((col("doc_id") +: extra.map(col)) :+
       TextFunctions.tokens(col(textCol)).as("toks"): _*)
-    if (docs.isStreaming) sel else Parallelism.fanOut(sel)
   }
 
-  /** The normalized (doc_id, pos, prev, w) token stream: `w` is the token
-    * (vocab member or `<unk>`), `prev` its normalized predecessor (null at
-    * position 1). Built by zipping the token array with its own 1-shifted
-    * copy BEFORE exploding — scan-stage only; a lag() window would add a
-    * corpus shuffle on doc_id for the same result. Both membership lookups
-    * are broadcast joins against the cap-bounded vocab. */
-  private def normStream(toks: DataFrame, vocab: DataFrame,
-                         extra: Seq[String] = Nil): DataFrame = {
+  /** The raw (doc_id, extra..., pos, tok, prevRaw) positional token stream
+    * shared by the single- and dual-model scorers: the token array zipped
+    * with its own 1-shifted copy BEFORE exploding — scan-stage only; a
+    * lag() window would add a corpus shuffle on doc_id for the same
+    * result. */
+  private def rawStream(toks: DataFrame,
+                        extra: Seq[String] = Nil): DataFrame = {
     val prevs = when(size(col("toks")) >= 1,
       concat(array(lit(null).cast("string")),
         slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0)))))
       .otherwise(col("toks"))
-    val z = toks
+    toks
       .select((col("doc_id") +: extra.map(col)) :+
         posexplode(zip_with(col("toks"), prevs,
           (t, p) => struct(t.as("t"), p.as("p")))): _*)
       .select((col("doc_id") +: extra.map(col)) ++ Seq(
         (col("pos") + 1).as("pos"),
         col("col.t").as("tok"), col("col.p").as("prevRaw")): _*)
+  }
+
+  /** The normalized (doc_id, pos, prev, w) token stream: `w` is the token
+    * (vocab member or `<unk>`), `prev` its normalized predecessor (null at
+    * position 1). Both membership lookups are broadcast joins against the
+    * cap-bounded vocab. */
+  private def normStream(toks: DataFrame, vocab: DataFrame,
+                         extra: Seq[String] = Nil): DataFrame = {
+    val z = rawStream(toks, extra)
     val invW = broadcast(vocab.select(col("tok").as("__vw"), lit(1).as("__mw")))
     val invP = broadcast(vocab.select(col("tok").as("__vp"), lit(1).as("__mp")))
     z.join(invW, col("tok") === col("__vw"), "left")
@@ -98,6 +113,62 @@ object LanguageModel {
           .otherwise(lit(Unk)).as("prev"),
         when(col("__mw").isNotNull, col("tok")).otherwise(lit(Unk)).as("w")): _*)
   }
+
+  /** Append one model's round-9 per-token log-prob as `lp$sfx` to a
+    * [[rawStream]]-shaped frame — the per-model half of the FUSED
+    * dual-model scorer (r20): chaining two of these scores both models in
+    * ONE pass over the exploded token stream. Every lookup (two vocab
+    * memberships, bigram, two unigrams) is a 1:1 left broadcast join
+    * against a cap-bounded model frame, so chaining preserves row
+    * multiplicity and each lp expression is the [[tokenLogProbsToks]] tree
+    * verbatim — the fused frame is row- and value-identical to joining the
+    * two single-model score frames on (doc_id, pos). */
+  private def withLp(df: DataFrame, lm: BigramLm, sfx: String): DataFrame = {
+    val vocab = lm.vocab
+    val invW = broadcast(vocab.select(
+      col("tok").as(s"__vw$sfx"), lit(1).as(s"__mw$sfx")))
+    val invP = broadcast(vocab.select(
+      col("tok").as(s"__vp$sfx"), lit(1).as(s"__mp$sfx")))
+    val big = broadcast(lm.bigrams.select(col("prev").as(s"__bp$sfx"),
+      col("w").as(s"__bw$sfx"), col("cb").as(s"__cb$sfx")))
+    val uniW = broadcast(lm.unigrams.select(
+      col("tok").as(s"__uw$sfx"), col("c").as(s"__cu$sfx")))
+    val uniP = broadcast(lm.unigrams.select(
+      col("tok").as(s"__up$sfx"), col("c").as(s"__cprev$sfx")))
+    val w = when(col(s"__mw$sfx").isNotNull, col("tok")).otherwise(lit(Unk))
+    val prev = when(col("prevRaw").isNull, lit(null).cast("string"))
+      .when(col(s"__mp$sfx").isNotNull, col("prevRaw"))
+      .otherwise(lit(Unk))
+    val denom = lit((lm.totalTokens + lm.vocabTypes + 1).toDouble)
+    val sUni = (coalesce(col(s"__cu$sfx"), lit(0L)).cast("double") + lit(1.0)) / denom
+    val s = when(col(s"__prev$sfx").isNull, sUni)
+      .when(col(s"__cb$sfx").isNotNull && col(s"__cprev$sfx") > 0,
+        col(s"__cb$sfx").cast("double") / col(s"__cprev$sfx").cast("double"))
+      .otherwise(lit(Backoff) * sUni)
+    df.join(invW, col("tok") === col(s"__vw$sfx"), "left")
+      .join(invP, col("prevRaw") === col(s"__vp$sfx"), "left")
+      .withColumn(s"__w$sfx", w)
+      .withColumn(s"__prev$sfx", prev)
+      .join(big, col(s"__prev$sfx") === col(s"__bp$sfx") &&
+        col(s"__w$sfx") === col(s"__bw$sfx"), "left")
+      .join(uniW, col(s"__w$sfx") === col(s"__uw$sfx"), "left")
+      .join(uniP, col(s"__prev$sfx") === col(s"__up$sfx"), "left")
+      .withColumn(s"lp$sfx", round(log(s), 9).cast("decimal(28,9)"))
+  }
+
+  /** ONE-pass dual-model per-token scores over a pre-built [[tokFrame]]:
+    * (doc_id, pos, lp_t, lp_g). Replaces two full token-stream scoring
+    * passes PLUS a token-scaled (doc_id, pos) shuffle join with a single
+    * scan-stage pass through both models' broadcast lookups (r20; profiled
+    * on q_pipeline_select_v2 as 11.9 s + 9.4 s of pass task-time + a 9.3 MB
+    * token-scaled exchange into the join — at 100 TB that join alone
+    * shuffles the corpus's token count). Value-identical by the [[withLp]]
+    * 1:1-join argument; both models score every position (OOV folds to
+    * unk), exactly the old join's lossless contract. */
+  private def dualTokenLogProbsToks(toks: DataFrame, lmT: BigramLm,
+                                    lmG: BigramLm): DataFrame =
+    withLp(withLp(rawStream(toks), lmT, "_t"), lmG, "_g")
+      .select(col("doc_id"), col("pos"), col("lp_t"), col("lp_g"))
 
   /** Train a stupid-backoff bigram model on a reference corpus.
     *
@@ -162,15 +233,6 @@ object LanguageModel {
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
                  lm: BigramLm): DataFrame =
     tokenLogProbs(docs, idCol, textCol, lm)
-      .groupBy("doc_id")
-      .agg(pplAggs.head, pplAggs.tail: _*)
-
-  /** [[perplexity]] over a PRE-TOKENIZED frame (the [[tokFrame]] shape:
-    * doc_id, toks) — the two-model scorers share one tokenization pass
-    * through this: tokenizing per scorer would re-run the corpus text
-    * split (and its fan-out exchange) once per model. */
-  private def perplexityToks(toks: DataFrame, lm: BigramLm): DataFrame =
-    tokenLogProbsToks(toks, lm)
       .groupBy("doc_id")
       .agg(pplAggs.head, pplAggs.tail: _*)
 
@@ -301,15 +363,25 @@ object LanguageModel {
     val lmT = trainBigramLm(targetRef, idCol, textCol, vocabCap, bigramCap)
     val lmG = trainBigramLm(generalRef, idCol, textCol, vocabCap, bigramCap)
     val toks = sharedToks(docs, idCol, textCol)
-    val t = perplexityToks(toks, lmT)
-      .select(col("doc_id"), col("avg_logp").as("logp_target"))
-    val g = perplexityToks(toks, lmG)
-      .select(col("doc_id"), col("avg_logp").as("logp_general"))
-    t.join(g, Seq("doc_id"))
+    dualDocScores(toks, lmT, lmG)
       .withColumn("gap", round(col("logp_target") - col("logp_general"), 6))
       .orderBy(col("gap").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Per-doc (logp_target, logp_general) averages off the FUSED dual-model
+    * token pass (r20): one scan-stage scoring stream and ONE per-doc
+    * aggregation where the unfused shape paid two streams, two
+    * aggregations, and a per-doc join. Both rounded averages divide by the
+    * same count (both models score every position), so each equals the
+    * [[perplexityToks]] avg_logp bit for bit. */
+  private def dualDocScores(toks: DataFrame, lmT: BigramLm,
+                            lmG: BigramLm): DataFrame =
+    dualTokenLogProbsToks(toks, lmT, lmG)
+      .groupBy("doc_id")
+      .agg(
+        round(sum("lp_t").cast("double") / count(lit(1)), 6).as("logp_target"),
+        round(sum("lp_g").cast("double") / count(lit(1)), 6).as("logp_general"))
 
 
   /** Corpus-proportional variant of [[crossEntropySelect]]: keep the top
@@ -333,14 +405,10 @@ object LanguageModel {
     val lmG = trainBigramLm(generalRef, idCol, textCol, vocabCap, bigramCap,
       scope)
     val toks = sharedToks(docs, idCol, textCol, Some(scope))
-    val t = perplexityToks(toks, lmT)
-      .select(col("doc_id"), col("avg_logp").as("logp_target"))
-    val g = perplexityToks(toks, lmG)
-      .select(col("doc_id"), col("avg_logp").as("logp_general"))
     // read twice (threshold aggregate + the cut): persist + materialize so
-    // the two LM scoring passes run ONCE — same discipline as the Dedup
-    // self-joins (unmaterialized branches would recompute both models)
-    val scored = scope.pin(t.join(g, Seq("doc_id"))
+    // the (fused, r20) dual-model scoring pass runs ONCE — same discipline
+    // as the Dedup self-joins (unmaterialized branches would recompute it)
+    val scored = scope.pin(dualDocScores(toks, lmT, lmG)
       .withColumn("gap", round(col("logp_target") - col("logp_general"), 6))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     scored.count()
@@ -402,12 +470,8 @@ object LanguageModel {
     * ([[doremiWeightsScored]]) — two corpus-scale scoring scans total,
     * instead of the four that separate Lm-operator calls pay. */
   def dualTokenScores(docs: DataFrame, idCol: String, textCol: String,
-                      lmT: BigramLm, lmG: BigramLm): DataFrame = {
-    val toks = sharedToks(docs, idCol, textCol)
-    tokenLogProbsToks(toks, lmT).withColumnRenamed("lp", "lp_t")
-      .join(tokenLogProbsToks(toks, lmG)
-        .withColumnRenamed("lp", "lp_g"), Seq("doc_id", "pos"))
-  }
+                      lmT: BigramLm, lmG: BigramLm): DataFrame =
+    dualTokenLogProbsToks(sharedToks(docs, idCol, textCol), lmT, lmG)
 
   /** [[selectiveTokens]] from a pre-scored [[dualTokenScores]] frame. */
   def selectiveTokensScored(scored: DataFrame, keepFrac: Double): DataFrame = {
@@ -469,11 +533,12 @@ object LanguageModel {
                       sourceCol: String, lmProxy: BigramLm, lmRef: BigramLm,
                       eta: Double, smoothing: Double): DataFrame = {
     val toks = sharedToks(docs, idCol, textCol)
-    val p = perplexityToks(toks, lmProxy)
-      .select(col("doc_id"), col("avg_logp").as("lp_p"))
-    val r = perplexityToks(toks, lmRef)
-      .select(col("doc_id"), col("avg_logp").as("lp_r"))
-    doremiFromDocScores(docs, idCol, sourceCol, p.join(r, Seq("doc_id")),
+    // fused dual pass (r20): lp_t scores the proxy, lp_g the reference —
+    // one token-stream scan instead of two plus a per-doc join
+    doremiFromDocScores(docs, idCol, sourceCol,
+      dualDocScores(toks, lmProxy, lmRef)
+        .select(col("doc_id"), col("logp_target").as("lp_p"),
+          col("logp_general").as("lp_r")),
       eta, smoothing)
   }
 

@@ -49,11 +49,17 @@ object QualityClassifier {
   case class NbModel(llr: DataFrame, defaultLlr: Column, prior: Column,
                      buckets: Int, salt: String)
 
+  // fanOut the RAW text, tokenize after the exchange (r20): an expression
+  // inside the pre-repartition projection executes in the SCAN stage —
+  // which is a single task when the input is one parquet split — so the
+  // "scan-stage" work serialized on one core and the exchange shipped the
+  // exploded arrays. Raw text is the same bytes over the wire, and the
+  // fold's groupBy output is partitioning-independent (bit-exact).
   private def tokenBuckets(docs: DataFrame, idCol: String, textCol: String,
                            buckets: Int, salt: String): DataFrame =
-    Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("toks")))
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"),
         Importance.tokenBucket(col("tok"), buckets, salt).as("b"))
 
@@ -115,10 +121,16 @@ object QualityClassifier {
                    buckets: Int = 4096, salt: String = ":lc1",
                    minN: Int = 3, maxN: Int = 5,
                    capLen: Int = 64): DataFrame =
+    // fanOut BEFORE the gram expression (r20): computed inside the
+    // pre-repartition projection, the ~3-grams-per-char explosion ran in
+    // the single-task scan stage (profiled: 2.6 s serial, 14.6 MB of gram
+    // arrays through the exchange on q_text_langid_char); after the
+    // exchange it parallelizes across the fan-out and the exchange carries
+    // raw text instead of grams. Same tokenBuckets rationale above.
     foldOf(
-      Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
-          charGrams(col(textCol), minN, maxN, capLen).as("grams")))
-        .select(col("doc_id"), explode(col("grams")).as("tok"))
+      Parallelism.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol)))
+        .select(col("doc_id"),
+          explode(charGrams(col(textCol), minN, maxN, capLen)).as("tok"))
         .select(col("doc_id"),
           Importance.tokenBucket(col("tok"), buckets, salt).as("b")),
       buckets, salt)

@@ -247,8 +247,9 @@ object UnigramLm {
     val logps = model.select("piece", "logp").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     val bc = spark.sparkContext.broadcast(logps)
-    val in = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("toks")))
+    val in = Parallelism.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
     val outSchema = StructType(Seq(
       StructField("doc_id", in.schema("doc_id").dataType, nullable = true),
       StructField("words", ArrayType(StructType(Seq(
@@ -325,8 +326,9 @@ object UnigramLm {
     val spark = docs.sparkSession
     val pieces = vocab.select("piece").collect().map(_.getString(0)).toSet
     val bc = spark.sparkContext.broadcast(pieces)
-    val in = Parallelism.fanOut(docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("toks")))
+    val in = Parallelism.fanOut(
+        docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
     val outSchema = StructType(Seq(
       StructField("doc_id", in.schema("doc_id").dataType, nullable = true),
       StructField("words", ArrayType(StructType(Seq(
